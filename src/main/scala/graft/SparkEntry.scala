@@ -12,7 +12,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles)
+      (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
+      (_root_.graft.queries.IndexQueries.queries, _root_.graft.queries.IndexQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -37,6 +37,23 @@ object TextFunctions {
     }
   }
 
+  /** Plain-Scala twin of [[cleanedText]] — for oracle-literal generation
+    * and row-level code outside the DataFrame layer (same semantics:
+    * Java String.replace is left-to-right non-overlapping like Python's).
+    */
+  def cleanedTextLocal(text: String): String = {
+    if (text == null) return null
+    val ascii = text.filter(_ < 128)
+    val words = ascii.replaceAll("[^a-zA-Z0-9]+", " ").toLowerCase
+    var s = words.trim
+    for (w <- Stopwords) {
+      s = s.replace(" " + w + " ", " ")
+      if (s.startsWith(w + " ")) s = s.substring(w.length + 1)
+      if (s.endsWith(" " + w)) s = s.substring(0, s.length - w.length - 1)
+    }
+    s
+  }
+
   /** DuckDB SQL equivalent of [[cleanedText]] applied to SQL expression
     * `expr`. DuckDB regexp_replace needs the 'g' flag to match Spark's
     * replace-all default.

@@ -1,0 +1,78 @@
+package graft.index
+
+import graft.functions.{TextFunctions, Xash}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One table of the data lake.
+  *
+  * @param rowId expression yielding a stable dense 0-based row id. Using
+  *              an existing dense key avoids the global sort/zipWithIndex
+  *              a synthetic row id would need at 100 TB.
+  */
+case class LakeTable(tableId: Int, name: String, df: DataFrame, rowId: Column)
+
+/** Builds the four MaCO index relations as DataFrames
+  * (reference: maco/data_handler.py — Postgres tables `main`,
+  * `column_headers`, `table_info`; here parquet-friendly DataFrames).
+  *
+  * The whole build is one declarative transform per table, unioned:
+  * clean → per-row super key → melt (posexplode) → cell rows. No
+  * driver-side iteration over rows (the reference loops a Python cursor
+  * per table; at 100 TB this must be a single distributed job).
+  */
+object LakeIndexer {
+  val MaxTokenLength = 200 // maco/data_handler.py:32
+
+  /** Cleaned cell token for column `c`: null → '' (deviation from the
+    * reference's pandas `str(NaN)`→'nan'; documented SURVEY.md §3).
+    */
+  private def cleanCol(c: Column): Column =
+    substring(TextFunctions.cleanedText(coalesce(c.cast("string"), lit(""))), 1, MaxTokenLength)
+
+  /** Inverted cell index: (tokenized, tableid, colid, rowid,
+    * table_col_id, sk_hi, sk_lo). Super key = OR of XASH over the row
+    * (maco/data_handler.py:281), carried as two longs.
+    */
+  def cells(tables: Seq[LakeTable]): DataFrame =
+    tables.map(cellsOf).reduce(_ unionByName _)
+
+  private def cellsOf(tb: LakeTable): DataFrame = {
+    val cleaned = tb.df.columns.map(c => cleanCol(col(c)))
+    tb.df
+      .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
+      .withColumn("sk", Xash.superKeyUdf(col("toks")))
+      .select(col("rowid"), posexplode(col("toks")).as(Seq("colid", "tokenized")),
+        col("sk._1").as("sk_hi"), col("sk._2").as("sk_lo"))
+      .select(
+        col("tokenized"),
+        lit(tb.tableId).as("tableid"),
+        col("colid"),
+        col("rowid"),
+        concat_ws("_", lit(tb.tableId), col("colid")).as("table_col_id"),
+        col("sk_hi"), col("sk_lo"))
+  }
+
+  /** (tableid, colid, header, header_tokenized) — maco/data_handler.py:262. */
+  def columnHeaders(spark: SparkSession, tables: Seq[LakeTable]): DataFrame = {
+    import spark.implicits._
+    tables.flatMap { tb =>
+      tb.df.columns.zipWithIndex.map { case (h, i) =>
+        (tb.tableId, i, h, TextFunctions.cleanedTextLocal(h))
+      }
+    }.toDF("tableid", "colid", "header", "header_tokenized")
+  }
+
+  /** (tableid, dataset_name, max_row_id, max_col_id) —
+    * maco/data_handler.py:357 (max_row_id = row count, max_col_id =
+    * last column index).
+    */
+  def tableInfo(tables: Seq[LakeTable]): DataFrame =
+    tables.map { tb =>
+      tb.df.agg(
+        lit(tb.tableId).as("tableid"),
+        lit(tb.name).as("dataset_name"),
+        count(lit(1)).as("max_row_id"),
+        lit(tb.df.columns.length - 1).as("max_col_id"))
+    }.reduce(_ unionByName _)
+}

@@ -1,0 +1,42 @@
+package graft.index
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The demo data lake over the driver testdata: five dimension tables,
+  * each with a dense 0-based key reused as rowid. Used by the index /
+  * MATE / COCOA / duplicate queries and their DuckDB oracles.
+  */
+object TestLake {
+  /** (tableId, tableName, keyColumn, allColumns) — column order is the
+    * parquet schema order; colid is the position in this list.
+    */
+  val spec: Seq[(Int, String, String, Seq[String])] = Seq(
+    (1, "nation", "n_nationkey", Seq("n_nationkey", "n_name", "n_regionkey")),
+    (2, "region", "r_regionkey", Seq("r_regionkey", "r_name")),
+    (3, "supplier", "s_suppkey", Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")),
+    (4, "customer", "c_custkey", Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")),
+    (5, "part", "p_partkey", Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"))
+  )
+
+  def tables(s: SparkSession, dir: String): Seq[LakeTable] =
+    spec.map { case (id, name, key, _) =>
+      LakeTable(id, name, s.read.parquet(s"$dir/$name.parquet"), col(key))
+    }
+
+  def cells(s: SparkSession, dir: String): DataFrame =
+    LakeIndexer.cells(tables(s, dir))
+
+  /** DuckDB SQL producing the same cell index (tokenized, tableid,
+    * colid, rowid, table_col_id) — super keys are not SQL-expressible
+    * and are checked separately.
+    */
+  def cellsSql: String =
+    spec.flatMap { case (id, name, key, cols) =>
+      cols.zipWithIndex.map { case (c, i) =>
+        val tok = s"substr(${TextFunctions.cleanedTextSql(s"coalesce(CAST($c AS VARCHAR), '')")}, 1, ${LakeIndexer.MaxTokenLength})"
+        s"SELECT $tok AS tokenized, $id AS tableid, $i AS colid, CAST($key AS BIGINT) AS rowid, '${id}_$i' AS table_col_id FROM $name"
+      }
+    }.mkString("", " UNION ALL ", "")
+}

@@ -1,0 +1,58 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Multi-format lake ingestion (reference: maco/data_handler.py:362 —
+  * csv/tsv/json/parquet/arff readers feeding the indexer).
+  *
+  * Spark-native: each format maps to a built-in DataFrame reader so
+  * scans stay distributed and schema-aware. `arff` (a niche academic
+  * format) is parsed from its text form.
+  */
+object LakeReader {
+
+  def read(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
+    path.split('.').last match {
+      case "csv"     => readCsv(s, path, ",", schema)
+      case "tsv"     => readCsv(s, path, "\t", schema)
+      case "json"    => readJson(s, path, schema)
+      case "parquet" => s.read.parquet(path)
+      case "arff"    => readArff(s, path)
+      case other     => throw new IllegalArgumentException(s"Invalid file format: $other")
+    }
+
+  def readCsv(s: SparkSession, path: String, delimiter: String = ",",
+              schema: Option[StructType] = None): DataFrame = {
+    val r = s.read.option("header", "true").option("delimiter", delimiter)
+    schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
+  }
+
+  def readJson(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = s.read
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** Minimal ARFF: `@attribute name type` declarations then `@data` CSV
+    * rows; all attributes read as strings (the indexer tokenizes
+    * everything to text anyway, maco/data_handler.py:406).
+    */
+  def readArff(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val lines = s.read.textFile(path)
+    val attrs = lines
+      .filter(l => l.trim.toLowerCase.startsWith("@attribute"))
+      .collect()
+      .map(_.trim.split("\\s+")(1))
+    val n = attrs.length
+    val data = lines
+      .filter { l =>
+        val t = l.trim
+        t.nonEmpty && !t.startsWith("@") && !t.startsWith("%")
+      }
+      .map(_.split(",", -1).map(_.trim.stripPrefix("'").stripSuffix("'")))
+      .filter(_.length == n)
+    val cols = attrs.indices.map(i => org.apache.spark.sql.functions.col("value")(i).as(attrs(i)))
+    data.toDF("value").select(cols: _*)
+  }
+}
