@@ -13,7 +13,8 @@ object SparkEntry {
   private def modules: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
-      (_root_.graft.queries.IndexQueries.queries, _root_.graft.queries.IndexQueries.oracles)
+      (_root_.graft.queries.IndexQueries.queries, _root_.graft.queries.IndexQueries.oracles),
+      (_root_.graft.queries.DiscoveryQueries.queries, _root_.graft.queries.DiscoveryQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,126 @@
+package graft.cocoa
+
+import graft.index.CocoaIndex
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** COCOA — correlation-driven enrichment
+  * (reference: maco/cocoa.py enrich / enrich_multicolumn).
+  *
+  * Spark-first redesign: the reference walks a per-column rank
+  * linked-list on the driver (maco/cocoa.py:479-523). Here ranks are
+  * window functions and every external column of every candidate table
+  * is scored in ONE grouped aggregation over the melted cell index —
+  * a fixed number of shuffles regardless of how many columns are
+  * evaluated, which is what survives a 100 TB lake.
+  *
+  * Semantics (SURVEY.md §3 deviations documented there):
+  * - numeric columns → Spearman: Pearson of (target rank, external
+  *   rank); input rows without a join partner get the middle rank
+  *   ⌈n/2⌉ (maco/cocoa.py:199).
+  * - categorical columns → max over values of the one-hot Pearson
+  *   closed form (maco/cocoa.py:269).
+  */
+object Cocoa {
+
+  /** Average-tie ascending rank of `target` (nulls bottom), keyed by
+    * input row: (input_row, rt). Global sort — the input dataset is the
+    * user's query table, small next to the lake.
+    */
+  def targetRanks(input: DataFrame): DataFrame = {
+    val ord = Window.orderBy(col("target").asc_nulls_last, col("input_row"))
+    input
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("rt", avg(col("rn")).over(Window.partitionBy(col("target"))))
+      .select("input_row", "rt")
+  }
+
+  /** Token-equality join map (maco/cocoa.py:62 generate_join_map):
+    * external row of `joinColId` → input row; the reference keeps the
+    * last input occurrence, we keep max(input_row) (identical when the
+    * query column is duplicate-free).
+    * input: (input_row, tok); extCells: one table's cells.
+    */
+  def joinPairs(input: DataFrame, extCells: DataFrame, joinColId: Int): DataFrame =
+    extCells.where(col("colid") === joinColId)
+      .join(broadcast(input), col("tokenized") === col("tok"))
+      .groupBy(col("tableid"), col("rowid").as("ext_row"))
+      .agg(max(col("input_row")).as("input_row"))
+
+  /** Correlation of every candidate external column.
+    *
+    * @param inputRanked (input_row, rt) from [[targetRanks]]
+    * @param pairs       (tableid, ext_row, input_row) join maps
+    * @param extCells    cell index rows of the candidate tables
+    * @param excluded    (tableid, colid) join columns to skip
+    * @return (tableid, table_col_id, is_numeric, corr)
+    */
+  def correlations(inputRanked: DataFrame, pairs: DataFrame,
+                   extCells: DataFrame, excluded: DataFrame): DataFrame = {
+    val stats = inputRanked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("rt")).as("r_sum"),
+      sum(col("rt") * col("rt")).as("r_sum2"))
+
+    val sorted = CocoaIndex.withSortValue(
+      extCells.join(excluded, Seq("tableid", "colid"), "left_anti"))
+
+    // one value per (external column, input row): last-write in value
+    // order = max (maco/cocoa.py numeric walk overwrites ascending)
+    val perRow = sorted
+      .join(pairs.withColumnRenamed("ext_row", "rowid"), Seq("tableid", "rowid"))
+      .groupBy(col("table_col_id"), col("tableid"), col("input_row"))
+      .agg(max(col("vnum")).as("vnum"), max(col("tokenized")).as("v_str"),
+        first(col("is_numeric")).as("is_numeric"))
+
+    val ord = Window.partitionBy("table_col_id")
+      .orderBy(col("vnum").asc_nulls_last, col("v_str").asc, col("input_row").asc)
+    val valKey = when(col("is_numeric"), coalesce(col("vnum").cast("string"), lit(" nan")))
+      .otherwise(col("v_str"))
+    val ranked = perRow
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("vk", valKey)
+      .withColumn("xr", avg(col("rn")).over(Window.partitionBy(col("table_col_id"), col("vk"))))
+      .join(inputRanked, "input_row")
+
+    // ---- numeric: Spearman over all n input rows (unjoined → mid rank)
+    val num = ranked.where(col("is_numeric"))
+      .groupBy("tableid", "table_col_id")
+      .agg(count(lit(1)).cast("double").as("m"),
+        sum(col("xr")).as("sx"), sum(col("xr") * col("xr")).as("sx2"),
+        sum(col("xr") * col("rt")).as("sxy"), sum(col("rt")).as("sy_j"))
+      .crossJoin(broadcast(stats))
+      .withColumn("mid", ceil(col("n") / 2).cast("double"))
+      .withColumn("SX", col("sx") + (col("n") - col("m")) * col("mid"))
+      .withColumn("SX2", col("sx2") + (col("n") - col("m")) * col("mid") * col("mid"))
+      .withColumn("SXY", col("sxy") + col("mid") * (col("r_sum") - col("sy_j")))
+      .withColumn("corr",
+        (col("n") * col("SXY") - col("SX") * col("r_sum")) /
+          (sqrt(col("n") * col("SX2") - col("SX") * col("SX")) *
+            sqrt(col("n") * col("r_sum2") - col("r_sum") * col("r_sum"))))
+      .select(col("tableid"), col("table_col_id"), lit(true).as("is_numeric"), col("corr"))
+
+    // ---- categorical: max |one-hot Pearson| over values
+    val cat = ranked.where(!col("is_numeric"))
+      .groupBy(col("tableid"), col("table_col_id"), col("vk"))
+      .agg(count(lit(1)).cast("double").as("qty"), sum(col("rt")).as("s"))
+      .crossJoin(broadcast(stats))
+      .withColumn("stdY", sqrt(col("r_sum2") / col("n") - (col("r_sum") / col("n")) * (col("r_sum") / col("n"))))
+      .where(col("qty") < col("n")) // qty = n → zero denominator (ref would crash)
+      .withColumn("corr_v",
+        (col("n") * col("s") - col("qty") * col("r_sum")) /
+          (col("stdY") * col("n") * sqrt(col("qty") * (col("n") - col("qty")))))
+      .groupBy("tableid", "table_col_id")
+      .agg(max(abs(col("corr_v"))).as("corr"))
+      .select(col("tableid"), col("table_col_id"), lit(false).as("is_numeric"), col("corr"))
+
+    num.unionByName(cat).where(col("corr").isNotNull && !isnan(col("corr")))
+  }
+
+  /** Top-k external features by |corr| (maco/cocoa.py:561). */
+  def topK(correlations: DataFrame, k: Int): DataFrame =
+    correlations
+      .orderBy(abs(col("corr")).desc, col("table_col_id").asc)
+      .limit(k)
+}

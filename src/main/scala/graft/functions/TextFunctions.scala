@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.functions._
+import org.apache.spark.sql.functions.udf
 
 /** Text cleaning / tokenization, Spark-native.
   *
@@ -25,31 +25,45 @@ object TextFunctions {
 
   /** maco/util.py:11 — ASCII-fold, non-alnum runs → single space, lower,
     * trim, then sequential stopword strip. Null-safe: null → null.
+    *
+    * Implemented as one compiled function, not a 99-deep regexp_replace
+    * chain: the chain blows past Janino's method-size limit (killing
+    * whole-stage codegen for every plan it appears in) and costs 99
+    * regex passes per cell — untenable in the index-build hot path.
     */
-  def cleanedText(c: Column): Column = {
-    val ascii = regexp_replace(c.cast("string"), "[^\\x00-\\x7F]", "")
-    val words = lower(regexp_replace(ascii, "[^a-zA-Z0-9]+", " "))
-    val base  = trim(words)
-    Stopwords.foldLeft(base) { (acc, w) =>
-      val mid = regexp_replace(acc, " " + w + " ", " ")
-      val hd  = regexp_replace(mid, "^" + w + " ", "")
-      regexp_replace(hd, " " + w + "$", "")
-    }
-  }
+  def cleanedText(c: Column): Column = cleanUdf(c.cast("string"))
 
-  /** Plain-Scala twin of [[cleanedText]] — for oracle-literal generation
-    * and row-level code outside the DataFrame layer (same semantics:
-    * Java String.replace is left-to-right non-overlapping like Python's).
+  private lazy val cleanUdf = udf((s: String) => cleanedTextLocal(s))
+
+  /** Row-level form (same semantics as the SQL twin below: Java
+    * String.replace is left-to-right non-overlapping like Python's).
     */
   def cleanedTextLocal(text: String): String = {
     if (text == null) return null
-    val ascii = text.filter(_ < 128)
-    val words = ascii.replaceAll("[^a-zA-Z0-9]+", " ").toLowerCase
-    var s = words.trim
-    for (w <- Stopwords) {
-      s = s.replace(" " + w + " ", " ")
-      if (s.startsWith(w + " ")) s = s.substring(w.length + 1)
-      if (s.endsWith(" " + w)) s = s.substring(0, s.length - w.length - 1)
+    // single pass: ASCII-fold + non-alnum runs → single space + lower
+    val sb = new java.lang.StringBuilder(text.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < text.length) {
+      val ch = text.charAt(i)
+      if (ch < 128) {
+        val isAl = (ch >= 'a' && ch <= 'z') || (ch >= 'A' && ch <= 'Z') || (ch >= '0' && ch <= '9')
+        if (isAl) {
+          if (pendingSpace && sb.length > 0) sb.append(' ')
+          pendingSpace = false
+          sb.append(if (ch >= 'A' && ch <= 'Z') (ch + 32).toChar else ch)
+        } else pendingSpace = true
+      }
+      i += 1
+    }
+    var s = sb.toString
+    var w = 0
+    while (w < Stopwords.length) {
+      val sw = Stopwords(w)
+      s = s.replace(" " + sw + " ", " ")
+      if (s.startsWith(sw + " ")) s = s.substring(sw.length + 1)
+      if (s.endsWith(" " + sw)) s = s.substring(0, s.length - sw.length - 1)
+      w += 1
     }
     s
   }

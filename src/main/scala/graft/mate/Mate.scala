@@ -1,0 +1,108 @@
+package graft.mate
+
+import graft.functions.{TextFunctions, Xash}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** MATE — top-k multi-attribute joinability search
+  * (reference: maco/mate.py:125 join_search).
+  *
+  * Spark-first redesign: the reference's driver-side heap + per-table
+  * pruning loop becomes a declarative plan — token-match join on the
+  * first query column, native 128-bit super-key containment pre-filter
+  * (two long compares, maco/mate.py:393), then exact per-column
+  * verification joins and a global top-k. At scale the exact-k heap is
+  * the part that cannot distribute; the joins can, so we compute all
+  * candidate scores shuffle-parallel and `ORDER BY score LIMIT k`.
+  *
+  * Determinism (SURVEY.md §3): input row ids are `min(rowId)` per
+  * distinct raw query-tuple (the reference keeps pandas' first
+  * occurrence), matched column lists are ascending, ties break by
+  * (score desc, tableid asc, columns asc), and scores are natural match
+  * counts (the reference returns `score - 1`, maco/mate.py:523).
+  */
+object Mate {
+
+  /** Input preparation (maco/mate.py:182-197): dedup on raw query
+    * values, clean, drop ''/'nan'/'unknown', add query super key.
+    * Output: (MateRowID, tok_0..tok_{n-1}, q_hi, q_lo).
+    */
+  def prepare(input: DataFrame, rowId: Column, queryCols: Seq[String]): DataFrame = {
+    val n = queryCols.length
+    val raws = queryCols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"raw_$i") }
+    val grouped = input
+      .select((rowId.cast("long").as("__rid") +: raws): _*)
+      .groupBy((0 until n).map(i => col(s"raw_$i")): _*)
+      .agg(min(col("__rid")).as("MateRowID"))
+    val toks = (0 until n).map(i =>
+      TextFunctions.cleanedText(coalesce(col(s"raw_$i"), lit(""))).as(s"tok_$i"))
+    val cleaned = grouped.select((col("MateRowID") +: toks): _*)
+    val filtered = cleaned.where(
+      (0 until n).map(i => !col(s"tok_$i").isin("", "nan", "unknown")).reduce(_ && _))
+    filtered
+      .withColumn("sk", Xash.superKeyUdf(array((0 until n).map(i => col(s"tok_$i")): _*)))
+      .select((col("MateRowID") +: (0 until n).map(i => col(s"tok_$i")) :+
+        col("sk._1").as("q_hi") :+ col("sk._2").as("q_lo")): _*)
+  }
+
+  /** All verified candidate matches: (tableid, rowid, MateRowID,
+    * columns) where `columns` is the matched-column-combination string
+    * (first-column colid, then ascending matched colids per further
+    * query column — maco/mate.py:113 evaluate_rows).
+    */
+  def matches(input: DataFrame, rowId: Column, queryCols: Seq[String], cells: DataFrame): DataFrame = {
+    val prep = prepare(input, rowId, queryCols)
+    val q0 = broadcast(prep.select(col("MateRowID"), col("tok_0"), col("q_hi"), col("q_lo")))
+    val cand = cells
+      .join(q0, cells("tokenized") === q0("tok_0"))
+      // hash pre-filter: no false negatives, exact verification follows
+      .where(Xash.contains(col("sk_hi"), col("sk_lo"), col("q_hi"), col("q_lo")))
+      .select(col("tableid"), col("rowid"), col("colid").as("c0"), col("MateRowID"))
+    var cur = cand
+    if (queryCols.length > 1) {
+      val candKeys = cand.select("tableid", "rowid", "MateRowID").distinct()
+      for (i <- 1 until queryCols.length) {
+        val qi = broadcast(prep.select(col("MateRowID"), col(s"tok_$i")))
+        val mi = cells.select("tableid", "rowid", "colid", "tokenized")
+          .join(candKeys, Seq("tableid", "rowid"))
+          .join(qi, Seq("MateRowID"))
+          .where(col("tokenized") === col(s"tok_$i"))
+          .groupBy("tableid", "rowid", "MateRowID")
+          .agg(concat_ws("_",
+            transform(array_sort(collect_set(col("colid"))), _.cast("string"))).as(s"m_$i"))
+        cur = cur.join(mi, Seq("tableid", "rowid", "MateRowID"))
+      }
+    }
+    val combo = concat_ws("_",
+      (col("c0").cast("string") +: (1 until queryCols.length).map(i => col(s"m_$i"))): _*)
+    cur.select(col("tableid"), col("rowid"), col("MateRowID"), combo.as("columns"))
+  }
+
+  /** Top-k joinable tables: (tableid, columns, joinability). */
+  def joinSearch(input: DataFrame, rowId: Column, queryCols: Seq[String],
+                 cells: DataFrame, k: Int): DataFrame = {
+    val scored = matches(input, rowId, queryCols, cells)
+      .groupBy("tableid", "columns")
+      .agg(count(lit(1)).as("joinability"))
+    val best = Window.partitionBy("tableid")
+      .orderBy(col("joinability").desc, col("columns").asc)
+    scored
+      .withColumn("rk", row_number().over(best)).where(col("rk") === 1).drop("rk")
+      .orderBy(col("joinability").desc, col("tableid").asc)
+      .limit(k)
+  }
+
+  /** Join maps for the top-k tables (maco/mate.py:473): external row →
+    * input row (min MateRowID per external row, deterministic).
+    */
+  def joinMaps(input: DataFrame, rowId: Column, queryCols: Seq[String],
+               cells: DataFrame, k: Int): DataFrame = {
+    val top = joinSearch(input, rowId, queryCols, cells, k)
+      .select("tableid", "columns")
+    matches(input, rowId, queryCols, cells)
+      .join(broadcast(top), Seq("tableid", "columns"))
+      .groupBy("tableid", "columns", "rowid")
+      .agg(min("MateRowID").as("input_row"))
+  }
+}

@@ -1,0 +1,227 @@
+package graft.queries
+
+import graft.cocoa.Cocoa
+import graft.functions.TextFunctions
+import graft.index.TestLake
+import graft.mate.Mate
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Discovery workloads (MATE / COCOA / join maps) — SURVEY.md §2.2.
+  *
+  * Scenarios over the demo lake:
+  * - `mate_topk`      multi-attribute search: customer sample,
+  *                    (c_nationkey, c_mktsegment), k=10
+  * - `mate_single`    single-attribute search: full customer,
+  *                    (c_nationkey), k=5
+  * - `mate_joinmap`   join maps of the multi-attribute search
+  * - `cocoa_enrich`   single-table enrichment: customer × nation via
+  *                    nationkey, target c_acctbal (Spearman + one-hot)
+  * - `cocoa_topk_features` multicolumn enrichment over mate_single's
+  *                    top tables, k_c=10
+  */
+object DiscoveryQueries {
+  import Q._
+
+  private def cleanTok(c: org.apache.spark.sql.Column) =
+    TextFunctions.cleanedText(coalesce(c.cast("string"), lit("")))
+
+  private def corrOut(df: DataFrame): DataFrame =
+    df.select(col("table_col_id"), col("is_numeric").cast("int").as("is_numeric"),
+      round(col("corr"), 6).cast("decimal(10,6)").as("corr"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mate_topk" -> ((s, dir) => {
+      val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+      Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
+        TestLake.cells(s, dir), 10)
+    }),
+
+    "mate_single" -> ((s, dir) => {
+      val input = t(s, dir, "customer")
+      Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey"),
+        TestLake.cells(s, dir), 5)
+    }),
+
+    "mate_joinmap" -> ((s, dir) => {
+      val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+      Mate.joinMaps(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
+        TestLake.cells(s, dir), 10)
+        .orderBy("tableid", "rowid")
+    }),
+
+    "cocoa_enrich" -> ((s, dir) => {
+      val cells = TestLake.cells(s, dir)
+      val cust = t(s, dir, "customer")
+      val input = cust.select(col("c_custkey").as("input_row"),
+        cleanTok(col("c_nationkey")).as("tok"),
+        col("c_acctbal").as("target"))
+      val ranked = Cocoa.targetRanks(input.select("input_row", "target"))
+      val pairs = Cocoa.joinPairs(input.select("input_row", "tok"),
+        cells.where(col("tableid") === 1), 0)
+      val excluded = { import s.implicits._; Seq((1, 0)).toDF("tableid", "colid") }
+      val corr = Cocoa.correlations(ranked, pairs, cells.where(col("tableid") === 1), excluded)
+      corrOut(corr).orderBy("table_col_id")
+    }),
+
+    "cocoa_topk_features" -> ((s, dir) => {
+      val cells = TestLake.cells(s, dir)
+      val cust = t(s, dir, "customer")
+      val top = Mate.joinSearch(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
+      val jm = Mate.joinMaps(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
+        .select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
+      val excluded = top.select(col("tableid"), col("columns").cast("int").as("colid"))
+      val input = cust.select(col("c_custkey").as("input_row"), col("c_acctbal").as("target"))
+      val corr = Cocoa.correlations(Cocoa.targetRanks(input), jm, cells, excluded)
+      // rank on the ROUNDED corr so the SQL oracle's tie behavior matches
+      corrOut(corr)
+        .orderBy(abs(col("corr")).desc, col("table_col_id").asc)
+        .limit(10)
+    })
+  )
+
+  // -------------------------------------------------------------------
+  // DuckDB oracle SQL generation
+  // -------------------------------------------------------------------
+
+  /** MATE pipeline CTEs over `iraw(rid, raw_0..raw_{nq-1})`. Appends
+    * cells, input prep, candidate+verify joins, scoring and topk.
+    */
+  private def mateCtes(inputSql: String, nq: Int, k: Int): String = {
+    val rawCols = (0 until nq).map(i => s"raw_$i")
+    val tokDefs = (0 until nq).map(i =>
+      s"${TextFunctions.cleanedTextSql(s"coalesce(raw_$i, '')")} AS tok_$i").mkString(", ")
+    val notNull = (0 until nq).map(i => s"tok_$i NOT IN ('','nan','unknown')").mkString(" AND ")
+    val verify = (1 until nq).map { i =>
+      s""", m_$i AS (
+         |  SELECT k.tableid, k.rowid, k.mrid,
+         |    array_to_string(list_transform(list_sort(list(DISTINCT c.colid)), x -> CAST(x AS VARCHAR)), '_') AS mcols_$i
+         |  FROM candk k
+         |  JOIN cells c ON c.tableid = k.tableid AND c.rowid = k.rowid
+         |  JOIN input i ON i.mrid = k.mrid AND c.tokenized = i.tok_$i
+         |  GROUP BY k.tableid, k.rowid, k.mrid)""".stripMargin
+    }.mkString("")
+    val comboExpr = (Seq("CAST(cand.c0 AS VARCHAR)") ++ (1 until nq).map(i => s"m_$i.mcols_$i"))
+      .mkString(" || '_' || ")
+    val verifyJoins = (1 until nq).map(i =>
+      s"JOIN m_$i ON m_$i.tableid = cand.tableid AND m_$i.rowid = cand.rowid AND m_$i.mrid = cand.mrid")
+      .mkString(" ")
+    s"""cells AS (${TestLake.cellsSql}),
+       |iraw AS ($inputSql),
+       |idedup AS (SELECT ${rawCols.mkString(", ")}, min(rid) AS mrid FROM iraw GROUP BY ${rawCols.mkString(", ")}),
+       |itok AS (SELECT mrid, $tokDefs FROM idedup),
+       |input AS (SELECT * FROM itok WHERE $notNull),
+       |cand AS (SELECT c.tableid, c.rowid, c.colid AS c0, i.mrid
+       |         FROM cells c JOIN input i ON c.tokenized = i.tok_0),
+       |candk AS (SELECT DISTINCT tableid, rowid, mrid FROM cand)$verify,
+       |matched AS (SELECT cand.tableid, cand.rowid, cand.mrid, $comboExpr AS columns
+       |            FROM cand $verifyJoins),
+       |scored AS (SELECT tableid, columns, count(*) AS joinability FROM matched GROUP BY 1, 2),
+       |best AS (SELECT *, row_number() OVER (PARTITION BY tableid ORDER BY joinability DESC, columns ASC) AS rk FROM scored),
+       |topk AS (SELECT tableid, columns, joinability FROM best WHERE rk = 1
+       |         ORDER BY joinability DESC, tableid ASC LIMIT $k)""".stripMargin
+  }
+
+  private val custSampleSql =
+    "SELECT c_custkey AS rid, CAST(c_nationkey AS VARCHAR) AS raw_0, CAST(c_mktsegment AS VARCHAR) AS raw_1 FROM customer WHERE c_custkey % 7 = 0"
+  private val custFullSql =
+    "SELECT c_custkey AS rid, CAST(c_nationkey AS VARCHAR) AS raw_0 FROM customer"
+
+  /** Normalized cells (vnum / is_numeric / valkey) — mirrors
+    * CocoaIndex.withSortValue; `src` must provide
+    * (tableid, colid, rowid, tokenized, table_col_id).
+    */
+  private def normCtes(src: String): String =
+    s"""n1 AS (SELECT table_col_id, tableid, colid, rowid, tokenized,
+       |        (tokenized IN ('','nan') OR TRY_CAST(tokenized AS DOUBLE) IS NOT NULL) AS tok_num,
+       |        CASE WHEN tokenized IN ('','nan') THEN NULL ELSE TRY_CAST(tokenized AS DOUBLE) END AS vnum0
+       |       FROM $src),
+       |n2 AS (SELECT *, bool_and(tok_num) OVER (PARTITION BY table_col_id) AS is_numeric FROM n1),
+       |norm AS (SELECT table_col_id, tableid, colid, rowid, tokenized, is_numeric,
+       |        CASE WHEN is_numeric THEN (CASE WHEN isnan(vnum0) THEN NULL ELSE vnum0 END) END AS vnum
+       |       FROM n2)""".stripMargin
+
+  /** Correlation CTEs given `pairs(tableid, ext_row, input_row)`,
+    * `tr(input_row, rt)`, `norm` (normalized cells restricted to the
+    * candidate tables) and an exclusion predicate on (tableid, colid).
+    */
+  private def corrCtes(excludePred: String): String =
+    s"""stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(rt) AS r_sum, sum(rt*rt) AS r_sum2 FROM tr),
+       |pr AS (SELECT norm.table_col_id, norm.tableid, p.input_row,
+       |        max(norm.vnum) AS vnum, max(norm.tokenized) AS v_str, bool_and(norm.is_numeric) AS is_numeric
+       |       FROM norm JOIN pairs p ON norm.tableid = p.tableid AND norm.rowid = p.ext_row
+       |       WHERE NOT ($excludePred)
+       |       GROUP BY 1, 2, 3),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY table_col_id ORDER BY vnum ASC NULLS LAST, v_str ASC, input_row ASC) AS rn,
+       |        CASE WHEN is_numeric THEN coalesce(CAST(vnum AS VARCHAR), ' nan') ELSE v_str END AS vk
+       |       FROM pr),
+       |xrt AS (SELECT *, avg(rn) OVER (PARTITION BY table_col_id, vk) AS xr FROM rk),
+       |j AS (SELECT x.*, t.rt FROM xrt x JOIN tr t USING (input_row)),
+       |numagg AS (SELECT tableid, table_col_id, n, r_sum, r_sum2,
+       |        CAST(count(*) AS DOUBLE) AS m, sum(xr) AS sx, sum(xr*xr) AS sx2,
+       |        sum(xr*rt) AS sxy, sum(rt) AS sy_j, CAST(ceil(n/2) AS DOUBLE) AS mid
+       |       FROM j, stats WHERE is_numeric GROUP BY tableid, table_col_id, n, r_sum, r_sum2),
+       |numx AS (SELECT tableid, table_col_id,
+       |        sx + (n - m) * mid AS SX, sx2 + (n - m) * mid * mid AS SX2,
+       |        sxy + mid * (r_sum - sy_j) AS SXY, n, r_sum, r_sum2 FROM numagg),
+       |numc AS (SELECT tableid, table_col_id, TRUE AS is_numeric,
+       |        (n*SXY - SX*r_sum) / (sqrt(n*SX2 - SX*SX) * sqrt(n*r_sum2 - r_sum*r_sum)) AS corr
+       |       FROM numx),
+       |catagg AS (SELECT tableid, table_col_id, vk, n, r_sum, r_sum2,
+       |        CAST(count(*) AS DOUBLE) AS qty, sum(rt) AS s
+       |       FROM j, stats WHERE NOT is_numeric GROUP BY tableid, table_col_id, vk, n, r_sum, r_sum2),
+       |catc AS (SELECT tableid, table_col_id, FALSE AS is_numeric,
+       |        max(abs((n*s - qty*r_sum) / (sqrt(r_sum2/n - (r_sum/n)*(r_sum/n)) * n * sqrt(qty*(n-qty))))) AS corr
+       |       FROM catagg WHERE qty < n GROUP BY 1, 2, 3),
+       |corr AS (SELECT * FROM numc UNION ALL SELECT * FROM catc)""".stripMargin
+
+  private val corrSelect =
+    "SELECT table_col_id, CAST(is_numeric AS INT) AS is_numeric, CAST(round(corr, 6) AS DECIMAL(10,6)) AS corr FROM corr WHERE corr IS NOT NULL AND NOT isnan(corr)"
+
+  private val trCte =
+    """tr AS (SELECT input_row, avg(rn) OVER (PARTITION BY target) AS rt
+      |       FROM (SELECT input_row, target, row_number() OVER (ORDER BY target ASC NULLS LAST, input_row) AS rn
+      |             FROM inp))""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "mate_topk" ->
+      s"WITH ${mateCtes(custSampleSql, 2, 10)} SELECT * FROM topk",
+
+    "mate_single" ->
+      s"WITH ${mateCtes(custFullSql, 1, 5)} SELECT * FROM topk",
+
+    "mate_joinmap" ->
+      s"""WITH ${mateCtes(custSampleSql, 2, 10)},
+         |jm AS (SELECT m.tableid, m.columns, m.rowid, min(m.mrid) AS input_row
+         |       FROM matched m JOIN topk t ON m.tableid = t.tableid AND m.columns = t.columns
+         |       GROUP BY 1, 2, 3)
+         |SELECT * FROM jm ORDER BY tableid, rowid""".stripMargin,
+
+    "cocoa_enrich" ->
+      s"""WITH cells AS (${TestLake.cellsSql}),
+         |inp AS (SELECT c_custkey AS input_row,
+         |         ${TextFunctions.cleanedTextSql("coalesce(CAST(c_nationkey AS VARCHAR), '')")} AS tok,
+         |         c_acctbal AS target FROM customer),
+         |$trCte,
+         |pairs AS (SELECT c.tableid, c.rowid AS ext_row, max(i.input_row) AS input_row
+         |          FROM cells c JOIN inp i ON c.tokenized = i.tok
+         |          WHERE c.tableid = 1 AND c.colid = 0
+         |          GROUP BY c.tableid, c.rowid),
+         |${normCtes("(SELECT * FROM cells WHERE tableid = 1)")},
+         |${corrCtes("norm.tableid = 1 AND norm.colid = 0")}
+         |$corrSelect ORDER BY table_col_id""".stripMargin,
+
+    "cocoa_topk_features" ->
+      s"""WITH ${mateCtes(custFullSql, 1, 5)},
+         |jm AS (SELECT m.tableid, m.rowid AS ext_row, min(m.mrid) AS input_row
+         |       FROM matched m JOIN topk t ON m.tableid = t.tableid AND m.columns = t.columns
+         |       GROUP BY 1, 2),
+         |pairs AS (SELECT * FROM jm),
+         |excl AS (SELECT tableid, CAST(columns AS INT) AS colid FROM topk),
+         |inp AS (SELECT c_custkey AS input_row, c_acctbal AS target FROM customer),
+         |$trCte,
+         |${normCtes("(SELECT c.* FROM cells c JOIN topk t ON c.tableid = t.tableid)")},
+         |${corrCtes("EXISTS (SELECT 1 FROM excl e WHERE e.tableid = norm.tableid AND e.colid = norm.colid)")}
+         |SELECT * FROM ($corrSelect) ORDER BY abs(corr) DESC, table_col_id ASC LIMIT 10""".stripMargin
+  )
+}
