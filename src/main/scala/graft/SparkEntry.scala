@@ -14,7 +14,8 @@ object SparkEntry {
     Seq(
       (_root_.graft.queries.Relational.queries, _root_.graft.queries.Relational.oracles),
       (_root_.graft.queries.IndexQueries.queries, _root_.graft.queries.IndexQueries.oracles),
-      (_root_.graft.queries.DiscoveryQueries.queries, _root_.graft.queries.DiscoveryQueries.oracles)
+      (_root_.graft.queries.DiscoveryQueries.queries, _root_.graft.queries.DiscoveryQueries.oracles),
+      (_root_.graft.queries.DupQueries.queries, _root_.graft.queries.DupQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
