@@ -1,0 +1,134 @@
+package graft.dedup
+
+import graft.functions.SimHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication family for large-scale training-data
+  * pipelines (SURVEY.md §2.4 #29-33).
+  *
+  * Candidate generation is always index-based (shingle inverted index,
+  * LSH band buckets, simhash bands) — never an n² cross join — so each
+  * operator is one shuffle per stage and survives corpus-scale inputs.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set of a text column (empty when the text has
+    * fewer than n words — sequence() would otherwise count DOWN).
+    */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val ws = split(text, " ")
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(0), size(ws) - n),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup on md5 of the raw text: (doc_id, h, keep) — keep marks
+    * the group's minimum doc_id (the canonical survivor).
+    */
+  def exact(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id), md5(col(text)).as("h"))
+      .withColumn("keep", col(id) === min(col(id)).over(Window.partitionBy("h")))
+
+  /** All candidate pairs sharing ≥1 shingle, with exact Jaccard.
+    * Output: (id_1, id_2, common, sz_1, sz_2, jac), id_1 < id_2.
+    */
+  def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id",
+                        text: String = "text", n: Int = 3): DataFrame = {
+    val inv = docs
+      .select(col(id).as("did"), shingles(col(text), n).as("sh"))
+      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+    val a = inv.select(col("did").as("id_1"), col("sz").as("sz_1"), col("g"))
+    val b = inv.select(col("did").as("id_2"), col("sz").as("sz_2"), col("g"))
+    a.join(b, Seq("g")).where(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2")
+      .agg(count(lit(1)).as("common"), first("sz_1").as("sz_1"), first("sz_2").as("sz_2"))
+      .withColumn("jac", col("common").cast("double") /
+        (col("sz_1") + col("sz_2") - col("common")).cast("double"))
+  }
+
+  /** n-gram Jaccard near-dup pairs above a threshold. */
+  def ngramJaccard(docs: DataFrame, tau: Double, id: String = "doc_id",
+                   text: String = "text", n: Int = 3): DataFrame =
+    ngramJaccardPairs(docs, id, text, n).where(col("jac") >= tau)
+      .select("id_1", "id_2", "jac")
+
+  /** MinHash + LSH near-dup: `numHashes` permutations via seeded
+    * xxhash64 over shingles, `bands` bands; bucket-mates are verified
+    * with exact Jaccard. Output like [[ngramJaccard]].
+    */
+  def minhashLsh(docs: DataFrame, tau: Double, id: String = "doc_id",
+                 text: String = "text", n: Int = 3,
+                 numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val inv = docs
+      .select(col(id).as("did"), explode(shingles(col(text), n)).as("g"))
+    val minExprs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"mh_$i"))
+    val mins = inv.groupBy("did").agg(minExprs.head, minExprs.tail: _*)
+    val bandKeys = mins.select(col("did"),
+      posexplode(array((0 until bands).map(b =>
+        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)): _*))
+        .as(Seq("band", "bkey")))
+    val cand = bandKeys.as("x").join(bandKeys.as("y"), Seq("band", "bkey"))
+      .where(col("x.did") < col("y.did"))
+      .select(col("x.did").as("id_1"), col("y.did").as("id_2")).distinct()
+    ngramJaccardPairs(docs, id, text, n)
+      .join(cand, Seq("id_1", "id_2")) // verify only bucket candidates
+      .where(col("jac") >= tau)
+      .select("id_1", "id_2", "jac")
+  }
+
+  /** SimHash near-dup: 64-bit fingerprints, band-rotation candidates
+    * (4×16-bit bands ⇒ no false negatives for hamming ≤ 3), verified by
+    * exact hamming distance. Output: (doc_id, canon) — canon is the
+    * smallest matching doc id (itself when unique), so every document
+    * yields a row.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
+                     id: String = "doc_id", text: String = "text"): DataFrame = {
+    val fp = docs.select(col(id).as("did"), SimHash.simhashUdf(col(text)).as("sh"))
+    val banded = fp.select(col("did"), col("sh"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bkey")))
+    val pairs = banded.as("x").join(banded.as("y"), Seq("band", "bkey"))
+      .where(col("x.did") < col("y.did") &&
+        bit_count(col("x.sh").bitwiseXOR(col("y.sh"))) <= maxHamming)
+      .select(col("x.did").as("id_1"), col("y.did").as("id_2")).distinct()
+    val matches = pairs.select(col("id_1").as("did"), col("id_2").as("mid"))
+      .unionByName(pairs.select(col("id_2").as("did"), col("id_1").as("mid")))
+    fp.select(col("did"))
+      .join(matches, Seq("did"), "left")
+      .groupBy("did")
+      .agg(least(min(col("mid")), first(col("did"))).as("canon"))
+      .select(col("did").as("doc_id"), coalesce(col("canon"), col("did")).as("canon"))
+  }
+
+  /** Sequential-fold cosine of two float-array columns (double math,
+    * deterministic order — bit-identical to the DuckDB oracle's
+    * list_sum fold).
+    */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  }
+
+  /** Embedding near-dup: best cosine match per vector (brute force over
+    * candidate pairs; every vector yields a row).
+    * Output: (vec_id, best_id, cos).
+    */
+  def embeddingNearest(emb: DataFrame, id: String = "vec_id",
+                       vec: String = "embedding"): DataFrame = {
+    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
+    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    val pairs = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b").asc)
+    pairs.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
+      .select(col("id_a").as("vec_id"), col("id_b").as("best_id"), col("cos"))
+  }
+}

@@ -1,0 +1,57 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.4 #40).
+  *
+  * Media payloads travel as opaque `binary` columns next to typed
+  * metadata; decode / feature-extraction runs batched per partition so
+  * a real decoder (image/audio libs are not in this container) would
+  * amortize model/codec setup per batch. The decode itself is STUBBED
+  * with a deterministic fake — the Spark-side schema, partitioning and
+  * batch shape are real and tested.
+  */
+object Multimodal {
+
+  case class MediaRow(doc_id: Long, blob: Array[Byte])
+  case class MediaFeature(doc_id: Long, n_bytes: Int, feature: Array[Double])
+
+  /** Attach a binary payload column (here: utf-8 bytes of the text —
+    * the testdata has no real media; schema/partition behavior is what
+    * matters).
+    */
+  def withBlob(docs: DataFrame, text: String = "text"): DataFrame =
+    docs.withColumn("blob", encode(col(text), "utf-8"))
+
+  /** Typed metadata from the binary column alone (SQL-expressible). */
+  def meta(docs: DataFrame, id: String = "doc_id"): DataFrame =
+    withBlob(docs).select(
+      col(id),
+      octet_length(col("blob")).as("n_bytes"),
+      (octet_length(col("blob")) % 640).as("width"),
+      (octet_length(col("blob")) % 480).as("height"),
+      (expr("octet_length(blob) div 1000") + 1).as("n_frames"))
+
+  /** Batched per-partition decode → fixed-size feature vector.
+    * STUB: a real implementation would initialize a decoder per
+    * partition and decode each blob; the fake derives a deterministic
+    * 4-dim "feature" from the bytes so tests can pin the plumbing.
+    */
+  def decodeFeatures(spark: SparkSession, docs: DataFrame, id: String = "doc_id"): Dataset[MediaFeature] = {
+    import spark.implicits._
+    withBlob(docs).select(col(id).as("doc_id"), col("blob")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition decoder setup would go here (e.g. codec init)
+        rows.map { r =>
+          val b = r.blob
+          val feature = Array(
+            b.length.toDouble,
+            if (b.isEmpty) 0.0 else b.iterator.map(_ & 0xff).sum.toDouble / b.length,
+            b.count(_ == ' '.toByte).toDouble,
+            if (b.isEmpty) 0.0 else (b.head & 0xff).toDouble)
+          MediaFeature(r.doc_id, b.length, feature)
+        }
+      }
+  }
+}

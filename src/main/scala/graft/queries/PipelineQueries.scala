@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.TextFunctions
+import graft.ml.FeatureEval
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data pipeline operators — SURVEY.md §2.4. */
+object PipelineQueries {
+  import Q._
+
+  private def dec6(c: org.apache.spark.sql.Column) = round(c, 6).cast("decimal(10,6)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "dedup_jaccard" -> ((s, dir) =>
+      Dedup.ngramJaccard(t(s, dir, "documents"), 0.5)
+        .select(col("id_1"), col("id_2"), dec6(col("jac")).as("jac"))
+        .orderBy("id_1", "id_2")),
+
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashLsh(t(s, dir, "documents"), 0.5)
+        .select(col("id_1"), col("id_2"), dec6(col("jac")).as("jac"))
+        .orderBy("id_1", "id_2")),
+
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "dedup_embed" -> ((s, dir) =>
+      Dedup.embeddingNearest(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("best_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id")),
+
+    "knn_brute" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceKnn(emb.where(col("vec_id") < 100), emb, 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id", "rank")
+    }),
+
+    "knn_lsh" -> ((s, dir) =>
+      Similarity.lshKnn(t(s, dir, "embeddings"), 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id", "rank")),
+
+    "lang_id" -> ((s, dir) =>
+      TextAnalysis.languageId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "text_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "token_count" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.bagFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "doc_fingerprint_roll" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.meta(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(s, t(s, dir, "documents")).toDF()
+        .select(col("doc_id"), col("n_bytes"),
+          dec6(element_at(col("feature"), 2)).as("mean_byte"),
+          element_at(col("feature"), 3).cast("long").as("n_spaces"))
+        .orderBy("doc_id")),
+
+    "feature_eval" -> ((s, dir) =>
+      FeatureEval.permutationImportance(
+        t(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0),
+        Seq("l_quantity", "l_discount"), "l_extendedprice")
+        .select(col("feature"), col("importance"))
+        .orderBy("feature"))
+  )
+
+  // -------------------------------------------------------------------
+
+  private val shingleCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+      |inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
+      |p AS (SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS common,
+      |        any_value(a.sz) AS sz_1, any_value(b.sz) AS sz_2
+      |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)""".stripMargin
+
+  private val cosCtes =
+    """n AS (SELECT vec_id, embedding,
+      |        sqrt(list_sum(list_transform(range(1, len(embedding)+1), i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+      |      FROM embeddings),
+      |pc AS (SELECT a.vec_id AS vec_id, b.vec_id AS nid,
+      |        list_sum(list_transform(range(1, len(a.embedding)+1), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / a.nrm / b.nrm AS cos
+      |       FROM n a, n b WHERE a.vec_id <> b.vec_id)""".stripMargin
+
+  private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val qualityWords = "string_split(lower(text), ' ')"
+
+  def oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS h,
+        | doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_jaccard" ->
+      s"""WITH $shingleCtes
+         |SELECT id_1, id_2, CAST(round(common::DOUBLE / (sz_1 + sz_2 - common), 6) AS DECIMAL(10,6)) AS jac
+         |FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5 ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_embed" ->
+      s"""WITH $cosCtes,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC) AS rk FROM pc)
+         |SELECT vec_id, nid AS best_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cos
+         |FROM r WHERE rk = 1 ORDER BY vec_id""".stripMargin,
+
+    "knn_brute" ->
+      s"""WITH $cosCtes,
+         |r AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, nid ASC) AS rk
+         |      FROM pc WHERE vec_id < 100)
+         |SELECT vec_id, rk AS rank, nid AS neighbor_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cos
+         |FROM r WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "lang_id" -> {
+      val hits = TextAnalysis.LangProfiles.map { case (l, prof) =>
+        s"len(list_filter($qualityWords, x -> list_contains(${sqlList(prof)}, x))) AS hits_$l"
+      }.mkString(", ")
+      val langs = TextAnalysis.LangProfiles.map(_._1)
+      val cases = langs.map(l => s"WHEN hits_$l = g AND g > 0 THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, $hits FROM documents),
+         |g AS (SELECT *, greatest(${langs.map("hits_" + _).mkString(", ")}) AS g FROM s)
+         |SELECT doc_id, CASE $cases ELSE 'und' END AS pred_lang, g AS best_hits
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    "text_quality" ->
+      s"""SELECT doc_id, length(text) AS n_chars, len($qualityWords) AS n_words,
+         | CAST(round(len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / length(text)::DOUBLE, 6) AS DECIMAL(10,6)) AS punct_ratio,
+         | CAST(round(len(list_filter($qualityWords, x -> list_contains(${sqlList(TextFunctions.Stopwords)}, x)))::DOUBLE / len($qualityWords)::DOUBLE, 6) AS DECIMAL(10,6)) AS stop_ratio,
+         | CAST(round((length(text) - len($qualityWords) + 1)::DOUBLE / len($qualityWords)::DOUBLE, 6) AS DECIMAL(10,6)) AS mean_word_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         | md5(array_to_string(list_sort(list_distinct(string_split(${TextFunctions.cleanedTextSql("text")}, ' '))), ' ')) AS bag_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        | octet_length(encode(text)) % 640 AS width,
+        | octet_length(encode(text)) % 480 AS height,
+        | octet_length(encode(text)) // 1000 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

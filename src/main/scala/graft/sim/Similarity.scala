@@ -1,0 +1,59 @@
+package graft.sim
+
+import graft.dedup.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over embedding columns
+  * (SURVEY.md §2.4 #34-35).
+  */
+object Similarity {
+
+  /** Brute-force cosine top-k: exact baseline. Queries × corpus join
+    * (broadcast the query side), sequential-fold double cosine, window
+    * top-k. Output: (vec_id, rank, neighbor_id, cos).
+    */
+  def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
+                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val q = queries.select(col(id).as("qid"), col(vec).as("qv"))
+    val c = corpus.select(col(id).as("nid"), col(vec).as("nv"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    broadcast(q).crossJoin(c).where(col("qid") =!= col("nid"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH buckets: `bits`-bit signature from seeded
+    * deterministic hyperplanes. The scale path: candidates are bucket
+    * mates only, so cost is Σ bucket² instead of n².
+    */
+  def lshSignature(emb: DataFrame, bits: Int = 8, dim: Int = 64, seed: Long = 42L,
+                   id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val rnd = new java.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
+    val sig = (0 until bits).map { b =>
+      val dot = aggregate(
+        zip_with(col(vec), lit(planes(b)), (x, p) => x.cast("double") * p),
+        lit(0.0), (acc, v) => acc + v)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col(id), col(vec), sig.as("bucket"))
+  }
+
+  /** LSH-bucketed ANN: top-k among same-bucket candidates.
+    * Output: (vec_id, rank, neighbor_id, cos).
+    */
+  def lshKnn(emb: DataFrame, k: Int, bits: Int = 8, dim: Int = 64,
+             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val s = lshSignature(emb, bits, dim)
+    val a = s.select(col(id).as("qid"), col(vec).as("qv"), col("bucket"))
+    val b = s.select(col(id).as("nid"), col(vec).as("nv"), col("bucket"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    a.join(b, Seq("bucket")).where(col("qid") =!= col("nid"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.text
+
+import graft.functions.{SimHash, TextFunctions}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines
+  * (SURVEY.md §2.4 #36-39). Everything except the rolling fingerprint
+  * is a pure built-in-functions plan with a DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Tiny stopword profiles for the language-ID heuristic. */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "for"),
+    "es" -> Seq("el", "la", "los", "de", "que", "y", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "des", "un")
+  )
+
+  private def words(text: Column): Column = split(lower(text), " ")
+
+  /** Stopword-profile heuristic language ID: count profile-word hits
+    * per language, argmax (tie → first language in profile order, i.e.
+    * alphabetical; no hits → 'und'). Output: (doc_id, pred_lang,
+    * best_hits).
+    */
+  def languageId(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val ws = words(col(text))
+    val withScores = docs.select((col(id) +:
+      LangProfiles.map { case (lang, prof) =>
+        size(filter(ws, w => w.isInCollection(prof))).as(s"hits_$lang")
+      }): _*)
+    val hitCols = LangProfiles.map { case (l, _) => col(s"hits_$l") }
+    val bestHits = greatest(hitCols: _*)
+    val pred = LangProfiles.foldRight(lit("und")) { case ((lang, _), acc) =>
+      when(col(s"hits_$lang") === bestHits && bestHits > 0, lit(lang)).otherwise(acc)
+    }
+    withScores.select(col(id), pred.as("pred_lang"), bestHits.as("best_hits"))
+  }
+
+  /** Quality signals: length, word count, punctuation ratio, stopword
+    * ratio, mean word length (ratios as decimal(10,6) for exact
+    * cross-engine compare).
+    */
+  def qualityScore(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val ws = words(col(text))
+    val nWords = size(ws)
+    val stopHits = size(filter(ws, w => w.isInCollection(TextFunctions.Stopwords)))
+    docs.select(
+      col(id),
+      length(col(text)).as("n_chars"),
+      nWords.as("n_words"),
+      round(regexp_count(col(text), lit("[.,;:!?]")).cast("double") /
+        length(col(text)).cast("double"), 6).cast("decimal(10,6)").as("punct_ratio"),
+      round(stopHits.cast("double") / nWords.cast("double"), 6).cast("decimal(10,6)").as("stop_ratio"),
+      round((length(col(text)) - nWords + 1).cast("double") / nWords.cast("double"), 6)
+        .cast("decimal(10,6)").as("mean_word_len"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digit runs / single other non-space chars).
+    */
+  def tokenCounts(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(
+      col(id),
+      size(split(col(text), " ")).as("ws_tokens"),
+      regexp_count(col(text), lit("[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]")).as("re_tokens"))
+
+  /** Order-insensitive content fingerprint: md5 of the sorted distinct
+    * cleaned words (SQL-expressible).
+    */
+  def bagFingerprint(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id),
+      md5(concat_ws(" ",
+        array_sort(array_distinct(split(TextFunctions.cleanedText(col(text)), " "))))).as("bag_fp"))
+
+  /** Order-sensitive rolling polynomial fingerprint (rows-only): FNV of
+    * each word folded with ×31.
+    */
+  def rollingFingerprint(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val roll = udf { (s: String) =>
+      if (s == null) 0L
+      else s.split(" ").foldLeft(0L)((acc, w) => acc * 31L + SimHash.fnv1a64(w))
+    }
+    docs.select(col(id), roll(TextFunctions.cleanedText(col(text))).as("roll_fp"))
+  }
+}
