@@ -1,0 +1,60 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("shingles of short and normal texts") {
+    val df = docs((1L, "a b c d"), (2L, "a b"), (3L, "x y z"))
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(df(1L) == Seq("a b c", "b c d"))
+    assert(df(2L) == Seq())
+    assert(df(3L) == Seq("x y z"))
+  }
+
+  test("ngram jaccard finds the duplicate pair") {
+    val d = docs(
+      (1L, "the cat sat on the mat today fine"),
+      (2L, "the cat sat on the mat today ok"),
+      (3L, "completely different words here now then"))
+    val pairs = Dedup.ngramJaccard(d, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("minhash LSH finds the same high-similarity pair") {
+    val d = docs(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"),
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"))
+    val pairs = Dedup.minhashLsh(d, 0.5).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+  }
+
+  test("simhash near-dup clusters identical docs") {
+    val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "unrelated totally different content"))
+    val canon = Dedup.simhashNearDup(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 3L)
+  }
+
+  test("brute-force knn returns k ordered neighbors") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(-1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val knn = Similarity.bruteForceKnn(emb.where(col("vec_id") === 0), emb, 2).collect()
+    assert(knn.map(r => (r.getInt(1), r.getLong(2))).toSeq == Seq((1, 1L), (2, 2L)))
+  }
+}
