@@ -74,8 +74,15 @@ object Dedup {
     val cand = bandKeys.as("x").join(bandKeys.as("y"), Seq("band", "bkey"))
       .where(col("x.did") < col("y.did"))
       .select(col("x.did").as("id_1"), col("y.did").as("id_2")).distinct()
-    ngramJaccardPairs(docs, id, text, n)
-      .join(cand, Seq("id_1", "id_2")) // verify only bucket candidates
+    // verify ONLY bucket candidates (never the all-pairs join): attach
+    // both shingle sets and compute exact Jaccard per candidate pair
+    val sets = docs.select(col(id).as("did"), shingles(col(text), n).as("sh"))
+    cand
+      .join(sets.select(col("did").as("id_1"), col("sh").as("sh_1")), "id_1")
+      .join(sets.select(col("did").as("id_2"), col("sh").as("sh_2")), "id_2")
+      .withColumn("common", size(array_intersect(col("sh_1"), col("sh_2"))))
+      .withColumn("jac", col("common").cast("double") /
+        (size(col("sh_1")) + size(col("sh_2")) - col("common")).cast("double"))
       .where(col("jac") >= tau)
       .select("id_1", "id_2", "jac")
   }
@@ -106,16 +113,32 @@ object Dedup {
       .select(col("did").as("doc_id"), coalesce(col("canon"), col("did")).as("canon"))
   }
 
-  /** Sequential-fold cosine of two float-array columns (double math,
-    * deterministic order — bit-identical to the DuckDB oracle's
-    * list_sum fold).
+  /** Sequential-fold double dot product — a compiled while-loop, ~50×
+    * an interpreted Catalyst `aggregate` lambda, with the exact fold
+    * order of the DuckDB oracle's list_sum (bit-identical results).
     */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / sqrt(dot(a, a)) / sqrt(dot(b, b))
+  val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
+    var s = 0.0
+    var i = 0
+    val n = a.length
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
   }
+
+  /** Sequential-fold cosine of two float-array columns. Prefer
+    * [[withNorm]] + [[dotUdf]] in pair loops — this recomputes both
+    * norms per pair.
+    */
+  def cosine(a: Column, b: Column): Column =
+    dotUdf(a, b) / sqrt(dotUdf(a, a)) / sqrt(dotUdf(b, b))
+
+  /** (idAlias, vecAlias, normAlias): vectors with precomputed L2 norm —
+    * pair loops then do ONE dot per pair instead of three.
+    */
+  def withNorm(emb: DataFrame, id: String, vec: String,
+               idAlias: String, vecAlias: String, normAlias: String): DataFrame =
+    emb.select(col(id).as(idAlias), col(vec).as(vecAlias),
+      sqrt(dotUdf(col(vec), col(vec))).as(normAlias))
 
   /** Embedding near-dup: best cosine match per vector (brute force over
     * candidate pairs; every vector yields a row).
@@ -123,10 +146,10 @@ object Dedup {
     */
   def embeddingNearest(emb: DataFrame, id: String = "vec_id",
                        vec: String = "embedding"): DataFrame = {
-    val a = emb.select(col(id).as("id_a"), col(vec).as("va"))
-    val b = emb.select(col(id).as("id_b"), col(vec).as("vb"))
+    val a = withNorm(emb, id, vec, "id_a", "va", "na")
+    val b = withNorm(emb, id, vec, "id_b", "vb", "nb")
     val pairs = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dotUdf(col("va"), col("vb")) / col("na") / col("nb"))
     val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b").asc)
     pairs.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
       .select(col("id_a").as("vec_id"), col("id_b").as("best_id"), col("cos"))

@@ -25,8 +25,15 @@ object TestLake {
       LakeTable(id, name, s.read.parquet(s"$dir/$name.parquet"), col(key))
     }
 
+  /** Cell index, cached per (session, dir) — the real product persists
+    * the index once and every discovery query reads it, so queries
+    * within a session must not re-melt and re-hash the lake.
+    */
   def cells(s: SparkSession, dir: String): DataFrame =
-    LakeIndexer.cells(tables(s, dir))
+    cellsCache.getOrElseUpdate((s, dir), LakeIndexer.cells(tables(s, dir)).cache())
+
+  private val cellsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   /** DuckDB SQL producing the same cell index (tokenized, tableid,
     * colid, rowid, table_col_id) — super keys are not SQL-expressible

@@ -81,8 +81,11 @@ object Mate {
 
   /** Top-k joinable tables: (tableid, columns, joinability). */
   def joinSearch(input: DataFrame, rowId: Column, queryCols: Seq[String],
-                 cells: DataFrame, k: Int): DataFrame = {
-    val scored = matches(input, rowId, queryCols, cells)
+                 cells: DataFrame, k: Int): DataFrame =
+    topkOf(matches(input, rowId, queryCols, cells), k)
+
+  private def topkOf(matched: DataFrame, k: Int): DataFrame = {
+    val scored = matched
       .groupBy("tableid", "columns")
       .agg(count(lit(1)).as("joinability"))
     val best = Window.partitionBy("tableid")
@@ -94,15 +97,23 @@ object Mate {
   }
 
   /** Join maps for the top-k tables (maco/mate.py:473): external row →
-    * input row (min MateRowID per external row, deterministic).
+    * input row (min MateRowID per external row, deterministic). The
+    * match set is computed once and cached — scoring/topk and the map
+    * projection both read it.
     */
   def joinMaps(input: DataFrame, rowId: Column, queryCols: Seq[String],
-               cells: DataFrame, k: Int): DataFrame = {
-    val top = joinSearch(input, rowId, queryCols, cells, k)
-      .select("tableid", "columns")
-    matches(input, rowId, queryCols, cells)
-      .join(broadcast(top), Seq("tableid", "columns"))
+               cells: DataFrame, k: Int): DataFrame =
+    searchAndMaps(input, rowId, queryCols, cells, k)._2
+
+  /** Top-k result AND its join maps off one cached match set. */
+  def searchAndMaps(input: DataFrame, rowId: Column, queryCols: Seq[String],
+                    cells: DataFrame, k: Int): (DataFrame, DataFrame) = {
+    val matched = matches(input, rowId, queryCols, cells).cache()
+    val top = topkOf(matched, k)
+    val maps = matched
+      .join(broadcast(top.select("tableid", "columns")), Seq("tableid", "columns"))
       .groupBy("tableid", "columns", "rowid")
       .agg(min("MateRowID").as("input_row"))
+    (top, maps)
   }
 }

@@ -67,9 +67,8 @@ object DiscoveryQueries {
     "cocoa_topk_features" -> ((s, dir) => {
       val cells = TestLake.cells(s, dir)
       val cust = t(s, dir, "customer")
-      val top = Mate.joinSearch(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
-      val jm = Mate.joinMaps(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
-        .select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
+      val (top, jm0) = Mate.searchAndMaps(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
+      val jm = jm0.select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
       val excluded = top.select(col("tableid"), col("columns").cast("int").as("colid"))
       val input = cust.select(col("c_custkey").as("input_row"), col("c_acctbal").as("target"))
       val corr = Cocoa.correlations(Cocoa.targetRanks(input), jm, cells, excluded)

@@ -16,11 +16,11 @@ object Similarity {
     */
   def bruteForceKnn(queries: DataFrame, corpus: DataFrame, k: Int,
                     id: String = "vec_id", vec: String = "embedding"): DataFrame = {
-    val q = queries.select(col(id).as("qid"), col(vec).as("qv"))
-    val c = corpus.select(col(id).as("nid"), col(vec).as("nv"))
+    val q = Dedup.withNorm(queries, id, vec, "qid", "qv", "qn")
+    val c = Dedup.withNorm(corpus, id, vec, "nid", "nv", "nn")
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     broadcast(q).crossJoin(c).where(col("qid") =!= col("nid"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("cos", Dedup.dotUdf(col("qv"), col("nv")) / col("qn") / col("nn"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
   }
@@ -48,11 +48,12 @@ object Similarity {
   def lshKnn(emb: DataFrame, k: Int, bits: Int = 8, dim: Int = 64,
              id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val s = lshSignature(emb, bits, dim)
-    val a = s.select(col(id).as("qid"), col(vec).as("qv"), col("bucket"))
-    val b = s.select(col(id).as("nid"), col(vec).as("nv"), col("bucket"))
+      .withColumn("nrm", sqrt(Dedup.dotUdf(col(vec), col(vec))))
+    val a = s.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"), col("bucket"))
+    val b = s.select(col(id).as("nid"), col(vec).as("nv"), col("nrm").as("nn"), col("bucket"))
     val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
     a.join(b, Seq("bucket")).where(col("qid") =!= col("nid"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("cos", Dedup.dotUdf(col("qv"), col("nv")) / col("qn") / col("nn"))
       .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
       .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
   }
