@@ -118,6 +118,23 @@ object Cocoa {
     num.unionByName(cat).where(col("corr").isNotNull && !isnan(col("corr")))
   }
 
+  /** Materialize the enrichment: join the top-|corr| external column's
+    * values onto the input (the demo notebook's final step — the
+    * enriched dataset the user actually trains on).
+    * Output: input columns + (ext_col, ext_value).
+    */
+  def enrichJoin(input: DataFrame, corr: DataFrame, pairs: DataFrame,
+                 extCells: DataFrame): DataFrame = {
+    val top1 = corr
+      .orderBy(abs(col("corr")).desc, col("table_col_id").asc).limit(1)
+      .select("table_col_id")
+    val vals = extCells.join(broadcast(top1), "table_col_id")
+      .join(pairs.withColumnRenamed("ext_row", "rowid"), Seq("tableid", "rowid"))
+      .groupBy("input_row")
+      .agg(max(col("table_col_id")).as("ext_col"), max(col("tokenized")).as("ext_value"))
+    input.join(vals, Seq("input_row"), "left")
+  }
+
   /** Top-k external features by |corr| (maco/cocoa.py:561). */
   def topK(correlations: DataFrame, k: Int): DataFrame =
     correlations

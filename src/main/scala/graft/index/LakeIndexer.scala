@@ -31,17 +31,21 @@ object LakeIndexer {
     substring(TextFunctions.cleanedText(coalesce(c.cast("string"), lit(""))), 1, MaxTokenLength)
 
   /** Inverted cell index: (tokenized, tableid, colid, rowid,
-    * table_col_id, sk_hi, sk_lo). Super key = OR of XASH over the row
-    * (maco/data_handler.py:281), carried as two longs.
+    * table_col_id, sk_hi, sk_lo). Super key = `rowHash` folded over the
+    * row's tokens (default XASH OR, maco/data_handler.py:281; Bloom via
+    * `BloomHash.rowHashUdf` mirrors the reference's pluggable
+    * `hash_function`, maco/data_handler.py:89), carried as two longs.
     */
-  def cells(tables: Seq[LakeTable]): DataFrame =
-    tables.map(cellsOf).reduce(_ unionByName _)
+  def cells(tables: Seq[LakeTable],
+            rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame =
+    tables.map(cellsOf(_, rowHash)).reduce(_ unionByName _)
 
-  private def cellsOf(tb: LakeTable): DataFrame = {
+  private def cellsOf(tb: LakeTable,
+                      rowHash: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
     val cleaned = tb.df.columns.map(c => cleanCol(col(c)))
     tb.df
       .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
-      .withColumn("sk", Xash.superKeyUdf(col("toks")))
+      .withColumn("sk", rowHash(col("toks")))
       .select(col("rowid"), posexplode(col("toks")).as(Seq("colid", "tokenized")),
         col("sk._1").as("sk_hi"), col("sk._2").as("sk_lo"))
       .select(
@@ -62,6 +66,17 @@ object LakeIndexer {
       }
     }.toDF("tableid", "colid", "header", "header_tokenized")
   }
+
+  /** Rebuild a table's cleaned content from the cell index
+    * (maco/data_handler.py:656 get_table): pivot tokens by colid.
+    * Output: (rowid, c0..c{nCols-1}).
+    */
+  def reconstructTable(cells: DataFrame, tableId: Int, nCols: Int): DataFrame =
+    cells.where(col("tableid") === tableId)
+      .groupBy("rowid")
+      .pivot("colid", (0 until nCols).map(i => i: Integer))
+      .agg(first(col("tokenized")))
+      .toDF(("rowid" +: (0 until nCols).map(i => s"c$i")): _*)
 
   /** (tableid, dataset_name, max_row_id, max_col_id) —
     * maco/data_handler.py:357 (max_row_id = row count, max_col_id =

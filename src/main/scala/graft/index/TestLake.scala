@@ -35,6 +35,16 @@ object TestLake {
   private val cellsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Cell index with Bloom-filter row hashes instead of XASH
+    * (reference's pluggable hash_function; used by `mate_bloom`).
+    */
+  def cellsBloom(s: SparkSession, dir: String): DataFrame =
+    bloomCache.getOrElseUpdate((s, dir),
+      LakeIndexer.cells(tables(s, dir), graft.functions.BloomHash.rowHashUdf).cache())
+
+  private val bloomCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** DuckDB SQL producing the same cell index (tokenized, tableid,
     * colid, rowid, table_col_id) — super keys are not SQL-expressible
     * and are checked separately.

@@ -28,7 +28,8 @@ object Mate {
     * values, clean, drop ''/'nan'/'unknown', add query super key.
     * Output: (MateRowID, tok_0..tok_{n-1}, q_hi, q_lo).
     */
-  def prepare(input: DataFrame, rowId: Column, queryCols: Seq[String]): DataFrame = {
+  def prepare(input: DataFrame, rowId: Column, queryCols: Seq[String],
+              rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame = {
     val n = queryCols.length
     val raws = queryCols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"raw_$i") }
     val grouped = input
@@ -41,7 +42,7 @@ object Mate {
     val filtered = cleaned.where(
       (0 until n).map(i => !col(s"tok_$i").isin("", "nan", "unknown")).reduce(_ && _))
     filtered
-      .withColumn("sk", Xash.superKeyUdf(array((0 until n).map(i => col(s"tok_$i")): _*)))
+      .withColumn("sk", rowHash(array((0 until n).map(i => col(s"tok_$i")): _*)))
       .select((col("MateRowID") +: (0 until n).map(i => col(s"tok_$i")) :+
         col("sk._1").as("q_hi") :+ col("sk._2").as("q_lo")): _*)
   }
@@ -51,8 +52,9 @@ object Mate {
     * (first-column colid, then ascending matched colids per further
     * query column — maco/mate.py:113 evaluate_rows).
     */
-  def matches(input: DataFrame, rowId: Column, queryCols: Seq[String], cells: DataFrame): DataFrame = {
-    val prep = prepare(input, rowId, queryCols)
+  def matches(input: DataFrame, rowId: Column, queryCols: Seq[String], cells: DataFrame,
+              rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame = {
+    val prep = prepare(input, rowId, queryCols, rowHash)
     val q0 = broadcast(prep.select(col("MateRowID"), col("tok_0"), col("q_hi"), col("q_lo")))
     val cand = cells
       .join(q0, cells("tokenized") === q0("tok_0"))
@@ -81,8 +83,9 @@ object Mate {
 
   /** Top-k joinable tables: (tableid, columns, joinability). */
   def joinSearch(input: DataFrame, rowId: Column, queryCols: Seq[String],
-                 cells: DataFrame, k: Int): DataFrame =
-    topkOf(matches(input, rowId, queryCols, cells), k)
+                 cells: DataFrame, k: Int,
+                 rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame =
+    topkOf(matches(input, rowId, queryCols, cells, rowHash), k)
 
   private def topkOf(matched: DataFrame, k: Int): DataFrame = {
     val scored = matched

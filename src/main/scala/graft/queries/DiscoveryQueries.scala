@@ -64,6 +64,35 @@ object DiscoveryQueries {
       corrOut(corr).orderBy("table_col_id")
     }),
 
+    // Bloom-hashed index: different pre-filter, identical verified
+    // result — shares mate_topk's oracle modulo the hash column.
+    "mate_bloom" -> ((s, dir) => {
+      val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+      Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
+        TestLake.cellsBloom(s, dir), 10, graft.functions.BloomHash.rowHashUdf)
+    }),
+
+    "table_reconstruct" -> ((s, dir) =>
+      graft.index.LakeIndexer.reconstructTable(TestLake.cells(s, dir), 1, 3)
+        .orderBy("rowid")),
+
+    "cocoa_enrich_join" -> ((s, dir) => {
+      val cells = TestLake.cells(s, dir)
+      val cust = t(s, dir, "customer")
+      val input = cust.select(col("c_custkey").as("input_row"),
+        cleanTok(col("c_nationkey")).as("tok"),
+        col("c_acctbal").as("target"))
+      val ranked = Cocoa.targetRanks(input.select("input_row", "target"))
+      val nationCells = cells.where(col("tableid") === 1)
+      val pairs = Cocoa.joinPairs(input.select("input_row", "tok"), nationCells, 0)
+      val excluded = { import s.implicits._; Seq((1, 0)).toDF("tableid", "colid") }
+      val corr = Cocoa.correlations(ranked, pairs, nationCells, excluded)
+      Cocoa.enrichJoin(
+        input.select(col("input_row"), Q.dec(col("target")).as("target")),
+        corr, pairs, nationCells.join(excluded, Seq("tableid", "colid"), "left_anti"))
+        .orderBy("input_row")
+    }),
+
     "cocoa_topk_features" -> ((s, dir) => {
       val cells = TestLake.cells(s, dir)
       val cust = t(s, dir, "customer")
@@ -195,6 +224,38 @@ object DiscoveryQueries {
          |       FROM matched m JOIN topk t ON m.tableid = t.tableid AND m.columns = t.columns
          |       GROUP BY 1, 2, 3)
          |SELECT * FROM jm ORDER BY tableid, rowid""".stripMargin,
+
+    "mate_bloom" ->
+      s"WITH ${mateCtes(custSampleSql, 2, 10)} SELECT * FROM topk",
+
+    "table_reconstruct" -> {
+      val Seq(c0, c1, c2) = Seq("n_nationkey", "n_name", "n_regionkey").map(c =>
+        s"substr(${TextFunctions.cleanedTextSql(s"coalesce(CAST($c AS VARCHAR), '')")}, 1, 200)")
+      s"""SELECT CAST(n_nationkey AS BIGINT) AS rowid, $c0 AS c0, $c1 AS c1, $c2 AS c2
+         |FROM nation ORDER BY rowid""".stripMargin
+    },
+
+    "cocoa_enrich_join" ->
+      s"""WITH cells AS (${TestLake.cellsSql}),
+         |inp AS (SELECT c_custkey AS input_row,
+         |         ${TextFunctions.cleanedTextSql("coalesce(CAST(c_nationkey AS VARCHAR), '')")} AS tok,
+         |         c_acctbal AS target FROM customer),
+         |$trCte,
+         |pairs AS (SELECT c.tableid, c.rowid AS ext_row, max(i.input_row) AS input_row
+         |          FROM cells c JOIN inp i ON c.tokenized = i.tok
+         |          WHERE c.tableid = 1 AND c.colid = 0
+         |          GROUP BY c.tableid, c.rowid),
+         |${normCtes("(SELECT * FROM cells WHERE tableid = 1)")},
+         |${corrCtes("norm.tableid = 1 AND norm.colid = 0")},
+         |top1 AS (SELECT table_col_id FROM corr WHERE corr IS NOT NULL AND NOT isnan(corr)
+         |         ORDER BY abs(corr) DESC, table_col_id ASC LIMIT 1),
+         |vals AS (SELECT p.input_row, max(norm.table_col_id) AS ext_col, max(norm.tokenized) AS ext_value
+         |         FROM norm JOIN top1 t ON norm.table_col_id = t.table_col_id
+         |         JOIN pairs p ON p.tableid = norm.tableid AND p.ext_row = norm.rowid
+         |         WHERE NOT (norm.tableid = 1 AND norm.colid = 0)
+         |         GROUP BY p.input_row)
+         |SELECT i.input_row, CAST(i.target AS DECIMAL(18,2)) AS target, v.ext_col, v.ext_value
+         |FROM inp i LEFT JOIN vals v USING (input_row) ORDER BY input_row""".stripMargin,
 
     "cocoa_enrich" ->
       s"""WITH cells AS (${TestLake.cellsSql}),
