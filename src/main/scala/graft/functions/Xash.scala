@@ -63,10 +63,74 @@ object Xash {
     result | (BigInt(1) << (LengthBitStart + tokenSize % LengthMod))
   }
 
-  /** (hi, lo) long pair of the 128-bit hash. */
+  /** (hi, lo) long pair of the 128-bit hash — allocation-free fast path
+    * (the index build hashes every cell of the lake; BigInt here costs
+    * several allocations per token). Cross-checked against [[xashBig]]
+    * in XashSpec.
+    */
   def xash128(token: String): (Long, Long) = {
-    val b = xashBig(token)
-    ((b >> 64).toLong, b.toLong)
+    if (token == null || token == "" || token == "None" || token == " " || token == "''")
+      return (0L, 0L)
+
+    val tokenSize = token.length
+
+    // top-5 least frequent chars: counts over the token's own chars
+    val counts = new java.util.HashMap[Character, Integer]()
+    var i = 0
+    while (i < tokenSize) {
+      counts.merge(token.charAt(i), 1, (a, b) => a + b)
+      i += 1
+    }
+    // selection sort of up to 5 smallest (count, char) entries
+    val entries = new java.util.ArrayList[java.util.Map.Entry[Character, Integer]](counts.entrySet())
+    entries.sort { (a, b) =>
+      val c = Integer.compare(a.getValue, b.getValue)
+      if (c != 0) c else Character.compare(a.getKey, b.getKey)
+    }
+
+    var hi = 0L; var lo = 0L
+    var s = 0
+    val nSel = math.min(5, entries.size)
+    while (s < nSel) {
+      val c = entries.get(s).getKey.charValue()
+      val ci = Alphabet.indexOf(c)
+      if (ci >= 0) {
+        var sum = 0; var n = 0; var j = 0
+        while (j < tokenSize) {
+          if (token.charAt(j) == c) { sum += j; n += 1 }
+          j += 1
+        }
+        val meanIndex = sum.toDouble / n
+        var location = -1
+        var seg = 0
+        while (seg < SegmentSize && location < 0) {
+          if (meanIndex <= ((seg + 1) * tokenSize).toDouble / SegmentSize)
+            location = ci * SegmentSize + seg
+          seg += 1
+        }
+        if (location < 64) lo |= 1L << location else hi |= 1L << (location - 64)
+      }
+      s += 1
+    }
+
+    // rotate the 111-bit hash segment by d (maco/util.py:195)
+    val d = (LengthBitStart * (tokenSize % LengthMod)) / LengthMod
+    if (d > 0) {
+      // (v << d) keeping only bits < 111 ...
+      var shHi = if (d < 64) (hi << d) | (lo >>> (64 - d)) else lo << (d - 64)
+      val shLo = if (d < 64) lo << d else 0L
+      shHi &= (1L << (LengthBitStart - 64)) - 1
+      // ... | (v >>> (111 - d))
+      val r = LengthBitStart - d
+      val rtLo = if (r < 64) (lo >>> r) | (hi << (64 - r)) else hi >>> (r - 64)
+      val rtHi = if (r < 64) hi >>> r else 0L
+      hi = shHi | rtHi
+      lo = shLo | rtLo
+    }
+
+    // length bit at 111 + len % 17 (always in the hi word)
+    hi |= 1L << (LengthBitStart + tokenSize % LengthMod - 64)
+    (hi, lo)
   }
 
   /** Row super key: bitwise OR of the XASH of every cell in the row

@@ -6,6 +6,7 @@ import graft.functions.Xash
   * (maco/util.py:141 generate_XASH, hash_size=128).
   */
 class XashSpec extends SparkSpec {
+  val Mask64: BigInt = (BigInt(1) << 64) - 1
   val vectors: Seq[(String, BigInt)] = Seq(
     "hello" -> BigInt("83726420746696577807543097488310272"),
     "customer 42" -> BigInt("5318210057668627356355130189917716544"),
@@ -34,15 +35,27 @@ class XashSpec extends SparkSpec {
   test("xash128 hi/lo round-trips the 128-bit value") {
     vectors.foreach { case (tok, expected) =>
       val (hi, lo) = Xash.xash128(tok)
-      val rt = (BigInt(hi) << 64) | (BigInt(lo) & ((BigInt(1) << 64) - 1))
+      val rt = ((BigInt(hi) & Mask64) << 64) | (BigInt(lo) & Mask64)
       assert(rt == expected, s"token '$tok'")
+    }
+  }
+
+  test("fast long-pair path matches BigInt reference on random tokens") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    (0 until 2000).foreach { _ =>
+      val len = 1 + rnd.nextInt(40)
+      val tok = Seq.fill(len)(alpha(rnd.nextInt(alpha.length))).mkString
+      val (hi, lo) = Xash.xash128(tok)
+      val rt = ((BigInt(hi) & Mask64) << 64) | (BigInt(lo) & Mask64)
+      assert(rt == Xash.xashBig(tok), s"token '$tok'")
     }
   }
 
   test("superKey is OR of member hashes") {
     val (hi, lo) = Xash.superKey(Seq("hello", "germany"))
     val expected = Xash.xashBig("hello") | Xash.xashBig("germany")
-    val rt = (BigInt(hi) << 64) | (BigInt(lo) & ((BigInt(1) << 64) - 1))
+    val rt = ((BigInt(hi) & Mask64) << 64) | (BigInt(lo) & Mask64)
     assert(rt == expected)
   }
 }
