@@ -45,6 +45,11 @@ object PipelineQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    "knn_ivf" -> ((s, dir) =>
+      Similarity.ivfKnn(t(s, dir, "embeddings"), 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id", "rank")),
+
     "knn_lsh" -> ((s, dir) =>
       Similarity.lshKnn(t(s, dir, "embeddings"), 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))

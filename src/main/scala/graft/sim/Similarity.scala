@@ -42,6 +42,31 @@ object Similarity {
     emb.select(col(id), col(vec), sig.as("bucket"))
   }
 
+  /** IVF-style ANN: a seeded KMeans coarse quantizer assigns every
+    * vector to a cell; top-k search runs within each cell only
+    * (the classic inverted-file index — cost Σ|cell|² instead of n²).
+    * Output: (vec_id, rank, neighbor_id, cos).
+    */
+  def ivfKnn(emb: DataFrame, k: Int, nCells: Int = 16, seed: Long = 42L,
+             id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val toVec = udf((a: Array[Float]) =>
+      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
+    val feat = emb.select(col(id), col(vec)).withColumn("fv", toVec(col(vec)))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setSeed(seed).setFeaturesCol("fv").setPredictionCol("cell")
+      .fit(feat)
+    val assigned = model.transform(feat)
+      .select(col(id), col(vec), col("cell"))
+      .withColumn("nrm", sqrt(Dedup.dotUdf(col(vec), col(vec))))
+    val a = assigned.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
+    val b = assigned.select(col(id).as("nid"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    a.join(b, Seq("cell")).where(col("qid") =!= col("nid"))
+      .withColumn("cos", Dedup.dotUdf(col("qv"), col("nv")) / col("qn") / col("nn"))
+      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+  }
+
   /** LSH-bucketed ANN: top-k among same-bucket candidates.
     * Output: (vec_id, rank, neighbor_id, cos).
     */

@@ -1,0 +1,54 @@
+package graft
+
+import graft.index.{LakeIndexer, LakeTable}
+import graft.mate.Mate
+import org.apache.spark.sql.functions._
+
+/** MATE on a hand-built toy lake where the expected ranking is obvious. */
+class MateSpec extends SparkSpec {
+
+  private def lake() = {
+    val s = spark
+    import s.implicits._
+    // table 1: joins on both (city, seg) in columns (1, 2)
+    val t1 = Seq((0L, "berlin", "gold", 10), (1L, "paris", "gold", 20),
+      (2L, "rome", "silver", 30), (3L, "oslo", "none", 40))
+      .toDF("k", "city", "seg", "x")
+    // table 2: only the city column joins
+    val t2 = Seq((0L, "berlin", 1), (1L, "paris", 2), (2L, "lima", 3))
+      .toDF("k", "city", "y")
+    LakeIndexer.cells(Seq(
+      LakeTable(1, "t1", t1, col("k")),
+      LakeTable(2, "t2", t2, col("k"))))
+  }
+
+  private def input() = {
+    val s = spark
+    import s.implicits._
+    Seq((100L, "berlin", "gold"), (101L, "paris", "gold"), (102L, "rome", "silver"),
+      (103L, "lima", "gold")).toDF("rid", "city", "seg")
+  }
+
+  test("multi-attribute join search ranks the fully-matching table first") {
+    val top = Mate.joinSearch(input(), col("rid"), Seq("city", "seg"), lake(), 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // t1 matches (city,seg) on rows berlin/gold, paris/gold, rome/silver → 3
+    // t2 never has a seg value → no verified match
+    assert(top.toSeq == Seq((1, "1_2", 3L)))
+  }
+
+  test("single-attribute search scores per-column matches") {
+    val top = Mate.joinSearch(input(), col("rid"), Seq("city"), lake(), 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // t1 city col (colid 1): berlin, paris, rome → 3; t2 (colid 1): berlin, paris, lima → 3
+    // tie → tableid ascending
+    assert(top.toSeq == Seq((1, "1", 3L), (2, "1", 3L)))
+  }
+
+  test("join maps point external rows at input rows") {
+    val jm = Mate.joinMaps(input(), col("rid"), Seq("city", "seg"), lake(), 5)
+      .orderBy("rowid")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getLong(3)))
+    assert(jm.toSeq == Seq((1, 0L, 100L), (1, 1L, 101L), (1, 2L, 102L)))
+  }
+}
