@@ -114,6 +114,20 @@ object Relational {
         .orderBy("wstart", "event_type")
     }),
 
+    // Sessionization: 30-min-gap sessions per user (batch twin of the
+    // flatMapGroupsWithState streaming operator).
+    "q_sessionize" -> ((s, dir) => {
+      graft.streaming.EventStreams.sessionizeBatch(t(s, dir, "events"))
+        .orderBy("user_id", "sess_id")
+    }),
+
+    // Per-column lake profiling over customer.
+    "q_profile" -> ((s, dir) => {
+      graft.index.Profiler.profile(t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"))
+        .orderBy("column")
+    }),
+
     // Approximate distinct (HLL) — approximate by design, rows-only check.
     "q_approx_distinct" -> ((s, dir) => {
       t(s, dir, "events")
@@ -172,6 +186,22 @@ object Relational {
       s"""SELECT c_custkey, c_name FROM customer
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          |ORDER BY c_custkey""".stripMargin,
+
+    "q_sessionize" ->
+      s"""WITH l AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),
+         |s AS (SELECT *, CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM l),
+         |g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id FROM s)
+         |SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id, count(*) AS n_events,
+         | CAST(epoch(date_trunc('second', min(ts))) AS BIGINT) AS start_sec,
+         | CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+         |FROM g GROUP BY user_id, sess_id ORDER BY user_id, sess_id""".stripMargin,
+
+    "q_profile" -> Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment").map(c =>
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         | CAST(count(*) - count(CAST($c AS VARCHAR)) AS BIGINT) AS n_nulls,
+         | count(DISTINCT CAST($c AS VARCHAR)) AS n_distinct,
+         | min(CAST($c AS VARCHAR)) AS min_v, max(CAST($c AS VARCHAR)) AS max_v
+         |FROM customer""".stripMargin).mkString("", " UNION ALL ", " ORDER BY \"column\""),
 
     "q_events_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,

@@ -1,7 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming pipelines over the events schema
   * (SURVEY.md §2.3 #28).
@@ -26,6 +28,79 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("w.start").cast("long").as("wstart"), col("event_type"),
         col("cnt"), col("sum_value"))
+  }
+
+  /** Batch sessionization: a session breaks after `gapMinutes` of user
+    * inactivity. Window functions, one shuffle by user — and the exact
+    * twin of [[sessionizeStream]]'s stateful output.
+    * Output: (user_id, sess_id, n_events, start_sec, sum_value).
+    */
+  def sessionizeBatch(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val gapNanos = gapMinutes.toLong * 60L * 1000000000L
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    events
+      .withColumn("prev", lag(col("ts"), 1).over(byUser))
+      .withColumn("brk",
+        when(col("prev").isNull || col("ts") - col("prev") > gapNanos, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("brk")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(expr("ts div 1000000000")).as("start_sec"),
+        sum(col("value").cast("decimal(18,2)")).cast("decimal(18,2)").as("sum_value"))
+  }
+
+  case class Ev(user_id: Long, ts: Long, value: Double)
+  case class EvT(user_id: Long, ts: Long, value: Double, ets: java.sql.Timestamp)
+  case class SessionOut(user_id: Long, start_sec: Long, n_events: Long, sum_value: Double)
+  case class SessState(start: Long, last: Long, n: Long, sum: Double)
+
+  /** Streaming sessionization via flatMapGroupsWithState with event-time
+    * timeout: sessions are emitted when the watermark passes last event
+    * + gap. Custom state keeps one open session per user — bounded
+    * regardless of stream length.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapNanos = gapMinutes.toLong * 60L * 1000000000L
+    val gapMs = gapMinutes.toLong * 60L * 1000L
+
+    val withTime = events
+      .withColumn("ets", (col("ts") / lit(1000000000L)).cast("timestamp_ltz"))
+      .withWatermark("ets", s"$gapMinutes minutes")
+      .as[EvT]
+
+    withTime
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (user, rows, state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(user, s.start / 1000000000L, s.n, s.sum))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts)
+            var cur = state.getOption
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts - s.last <= gapNanos =>
+                  cur = Some(SessState(s.start, e.ts, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  out += SessionOut(user, s.start / 1000000000L, s.n, s.sum)
+                  cur = Some(SessState(e.ts, e.ts, 1L, e.value))
+                case None =>
+                  cur = Some(SessState(e.ts, e.ts, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last / 1000000L + gapMs)
+            }
+            out.iterator
+          }
+      }
   }
 
   /** Sessionization-style running state per user: last event type and

@@ -40,4 +40,47 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("sessionizeStream emits the sessions sessionizeBatch computes") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val min = 60L * 1000000000L
+    val t0 = 1000000L * min // away from epoch 0 (the initial watermark)
+    // user 1: two sessions (gap 40min); user 2: one session
+    val evs = Seq(
+      EventStreams.Ev(1L, t0 + 0 * min, 1.0), EventStreams.Ev(1L, t0 + 10 * min, 2.0),
+      EventStreams.Ev(1L, t0 + 50 * min, 3.0), EventStreams.Ev(1L, t0 + 60 * min, 4.0),
+      EventStreams.Ev(2L, t0 + 5 * min, 5.0))
+    // sentinel far in the future advances the watermark → closes all
+    val sentinel = EventStreams.Ev(99L, t0 + 1000 * min, 0.0)
+
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionizeStream(mem.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode("append").start()
+    mem.addData(evs: _*)
+    q.processAllAvailable()
+    mem.addData(sentinel)
+    q.processAllAvailable()
+    // one more batch so timed-out state flushes
+    mem.addData(EventStreams.Ev(98L, t0 + 2000 * min, 0.0))
+    q.processAllAvailable()
+    val streamed = spark.table("sess_out")
+      .select("user_id", "start_sec", "n_events", "sum_value")
+      .where(col("user_id") < 90)
+      .orderBy("user_id", "start_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    q.stop()
+
+    val batch = EventStreams.sessionizeBatch(
+      evs.toDF("user_id", "ts", "value"))
+      .orderBy("user_id", "sess_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("start_sec"), r.getAs[Long]("n_events"),
+        r.getAs[java.math.BigDecimal]("sum_value").doubleValue())).toSeq
+
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
 }
