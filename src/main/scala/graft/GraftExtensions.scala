@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.XashKernel
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+
+/** Session extension exposing the graft kernels to SQL users:
+  *
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  *   SELECT graft_cleaned_text(c), graft_xash(tok), graft_simhash(t) ...
+  *
+  * Each function resolves to a StaticInvoke of a compiled kernel — a
+  * native Catalyst expression inside whole-stage codegen, not a UDF.
+  * [[GraftExtensions.register]] injects the same functions into an
+  * already-running session (tests, notebooks).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach(ext.injectFunction)
+}
+
+object GraftExtensions {
+  private def info(name: String) = new ExpressionInfo(XashKernel.getClass.getName, name)
+
+  val injections: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_cleaned_text"), info("graft_cleaned_text"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, StringType, "cleanText", args)),
+    (FunctionIdentifier("graft_xash"), info("graft_xash"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, ArrayType(LongType, containsNull = false), "xash",
+          args, returnNullable = false)),
+    (FunctionIdentifier("graft_super_key"), info("graft_super_key"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, ArrayType(LongType, containsNull = false), "superKey",
+          args, returnNullable = false)),
+    (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, LongType, "simhash", args, returnNullable = false))
+  )
+
+  /** Register into a live session (equivalent to the extension). */
+  def register(spark: SparkSession): Unit = injections.foreach { case (id, fi, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+  }
+}

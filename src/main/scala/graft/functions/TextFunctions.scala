@@ -31,9 +31,10 @@ object TextFunctions {
     * whole-stage codegen for every plan it appears in) and costs 99
     * regex passes per cell — untenable in the index-build hot path.
     */
-  def cleanedText(c: Column): Column = cleanUdf(c.cast("string"))
+  def cleanedText(c: Column): Column = XashKernel.cleanTextCol(c.cast("string"))
 
-  private lazy val cleanUdf = udf((s: String) => cleanedTextLocal(s))
+  /** UDF form, kept for registration-style use. */
+  lazy val cleanUdf = udf((s: String) => cleanedTextLocal(s))
 
   /** Row-level form (same semantics as the SQL twin below: Java
     * String.replace is left-to-right non-overlapping like Python's).

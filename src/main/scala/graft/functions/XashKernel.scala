@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen-friendly entry points for the hash kernels.
+  *
+  * A Scala UDF costs catalyst→Scala row conversion per call and blocks
+  * expression-level optimizations; `StaticInvoke` of a static method
+  * compiles to a direct call inside whole-stage codegen. These are the
+  * preferred forms for the index-build hot path; `Xash.xashUdf` /
+  * `superKeyUdf` remain for API compatibility.
+  */
+object XashKernel {
+
+  /** 128-bit XASH as [hi, lo]. */
+  def xash(token: UTF8String): ArrayData = {
+    val (hi, lo) = Xash.xash128(if (token == null) null else token.toString)
+    new GenericArrayData(Array(hi, lo))
+  }
+
+  /** Row super key (OR of member XASH) as [hi, lo]. */
+  def superKey(tokens: ArrayData): ArrayData = {
+    var hi = 0L; var lo = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val (h, l) = Xash.xash128(if (t == null) "" else t.toString)
+      hi |= h; lo |= l
+      i += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
+  /** Reference tokenizer as a static kernel. */
+  def cleanText(s: UTF8String): UTF8String =
+    if (s == null) null
+    else UTF8String.fromString(TextFunctions.cleanedTextLocal(s.toString))
+
+  /** 64-bit SimHash as a static kernel. */
+  def simhash(s: UTF8String): Long =
+    SimHash.simhash64(if (s == null) null else s.toString)
+
+  // ---- Column wrappers --------------------------------------------------
+
+  private def exprOf(c: Column) = GraftColumnBridge.expression(c)
+
+  /** xash(token) → array<long> [hi, lo], codegen'd. */
+  def xashCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, ArrayType(LongType, containsNull = false), "xash",
+    Seq(exprOf(c)), returnNullable = false))
+
+  /** super key of an array<string> of tokens → array<long> [hi, lo]. */
+  def superKeyCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, ArrayType(LongType, containsNull = false), "superKey",
+    Seq(exprOf(c)), returnNullable = false))
+
+  /** cleaned_text(s), codegen'd. */
+  def cleanTextCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, StringType, "cleanText",
+    Seq(exprOf(c))))
+
+  /** simhash64(s), codegen'd. */
+  def simhashCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, LongType, "simhash",
+    Seq(exprOf(c)), returnNullable = false))
+}

@@ -37,17 +37,16 @@ object LakeIndexer {
     * `hash_function`, maco/data_handler.py:89), carried as two longs.
     */
   def cells(tables: Seq[LakeTable],
-            rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame =
+            rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame =
     tables.map(cellsOf(_, rowHash)).reduce(_ unionByName _)
 
-  private def cellsOf(tb: LakeTable,
-                      rowHash: org.apache.spark.sql.expressions.UserDefinedFunction): DataFrame = {
+  private def cellsOf(tb: LakeTable, rowHash: Column => Column): DataFrame = {
     val cleaned = tb.df.columns.map(c => cleanCol(col(c)))
     tb.df
       .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
       .withColumn("sk", rowHash(col("toks")))
       .select(col("rowid"), posexplode(col("toks")).as(Seq("colid", "tokenized")),
-        col("sk._1").as("sk_hi"), col("sk._2").as("sk_lo"))
+        col("sk")(0).as("sk_hi"), col("sk")(1).as("sk_lo"))
       .select(
         col("tokenized"),
         lit(tb.tableId).as("tableid"),

@@ -29,7 +29,7 @@ object Mate {
     * Output: (MateRowID, tok_0..tok_{n-1}, q_hi, q_lo).
     */
   def prepare(input: DataFrame, rowId: Column, queryCols: Seq[String],
-              rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame = {
+              rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame = {
     val n = queryCols.length
     val raws = queryCols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"raw_$i") }
     val grouped = input
@@ -44,7 +44,7 @@ object Mate {
     filtered
       .withColumn("sk", rowHash(array((0 until n).map(i => col(s"tok_$i")): _*)))
       .select((col("MateRowID") +: (0 until n).map(i => col(s"tok_$i")) :+
-        col("sk._1").as("q_hi") :+ col("sk._2").as("q_lo")): _*)
+        col("sk")(0).as("q_hi") :+ col("sk")(1).as("q_lo")): _*)
   }
 
   /** All verified candidate matches: (tableid, rowid, MateRowID,
@@ -53,7 +53,7 @@ object Mate {
     * query column — maco/mate.py:113 evaluate_rows).
     */
   def matches(input: DataFrame, rowId: Column, queryCols: Seq[String], cells: DataFrame,
-              rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame = {
+              rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame = {
     val prep = prepare(input, rowId, queryCols, rowHash)
     val q0 = broadcast(prep.select(col("MateRowID"), col("tok_0"), col("q_hi"), col("q_lo")))
     val cand = cells
@@ -84,7 +84,7 @@ object Mate {
   /** Top-k joinable tables: (tableid, columns, joinability). */
   def joinSearch(input: DataFrame, rowId: Column, queryCols: Seq[String],
                  cells: DataFrame, k: Int,
-                 rowHash: org.apache.spark.sql.expressions.UserDefinedFunction = Xash.superKeyUdf): DataFrame =
+                 rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame =
     topkOf(matches(input, rowId, queryCols, cells, rowHash), k)
 
   private def topkOf(matched: DataFrame, k: Int): DataFrame = {

@@ -69,7 +69,7 @@ object DiscoveryQueries {
     "mate_bloom" -> ((s, dir) => {
       val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
       Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
-        TestLake.cellsBloom(s, dir), 10, graft.functions.BloomHash.rowHashUdf)
+        TestLake.cellsBloom(s, dir), 10, graft.functions.BloomHash.rowHashCol)
     }),
 
     "table_reconstruct" -> ((s, dir) =>

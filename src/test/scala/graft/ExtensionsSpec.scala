@@ -1,0 +1,35 @@
+package graft
+
+import graft.functions.{SimHash, TextFunctions, Xash}
+
+/** The SQL-registered kernels agree with the library API. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("registered SQL functions match library results") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT graft_cleaned_text('Hello, The World!') AS c,
+        |       graft_simhash('the quick brown fox') AS s,
+        |       graft_xash('hello') AS x,
+        |       graft_super_key(array('hello', 'germany')) AS k""".stripMargin)
+      .collect()(0)
+
+    assert(r.getAs[String]("c") == TextFunctions.cleanedTextLocal("Hello, The World!"))
+    assert(r.getAs[Long]("s") == SimHash.simhash64("the quick brown fox"))
+    val x = r.getAs[scala.collection.Seq[Long]]("x")
+    assert((x(0), x(1)) == Xash.xash128("hello"))
+    val k = r.getAs[scala.collection.Seq[Long]]("k")
+    assert((k(0), k(1)) == Xash.superKey(Seq("hello", "germany")))
+  }
+
+  test("kernels run inside whole-stage codegen") {
+    GraftExtensions.register(spark)
+    val df = spark.read.parquet(s"${sf()}/documents.parquet")
+      .selectExpr("graft_xash(graft_cleaned_text(text)) AS x")
+    // would throw at execution if StaticInvoke codegen were broken
+    assert(df.collect().length == 500)
+    // "*(1) Project [static_invoke(...)]" — the * marks a codegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("static_invoke"))
+  }
+}
