@@ -66,6 +66,19 @@ object LakeIndexer {
     }.toDF("tableid", "colid", "header", "header_tokenized")
   }
 
+  /** Persist the cell index hash-partitioned by token and sorted within
+    * partitions — MATE's token-match join then reads co-located,
+    * min/max-prunable files (the parquet footer stats cover sorted
+    * token ranges). At lake scale this layout IS the inverted index.
+    */
+  def writeIndex(cells: DataFrame, path: String, numPartitions: Int = 32): Unit =
+    cells.repartition(numPartitions, col("tokenized"))
+      .sortWithinPartitions("tokenized")
+      .write.mode("overwrite").parquet(path)
+
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Rebuild a table's cleaned content from the cell index
     * (maco/data_handler.py:656 get_table): pivot tokens by colid.
     * Output: (rowid, c0..c{nCols-1}).

@@ -14,11 +14,15 @@ import org.apache.spark.sql.functions._
 object DupQueries {
   import Q._
 
-  private def dupLake(s: SparkSession, dir: String): DataFrame = {
-    val extra = LakeTable(6, "customer_dup",
-      t(s, dir, "customer").where(col("c_custkey") % 10 === 0), col("c_custkey"))
-    TestLake.cells(s, dir).unionByName(LakeIndexer.cells(Seq(extra)))
-  }
+  private def dupLake(s: SparkSession, dir: String): DataFrame =
+    dupLakeCache.getOrElseUpdate((s, dir), {
+      val extra = LakeTable(6, "customer_dup",
+        t(s, dir, "customer").where(col("c_custkey") % 10 === 0), col("c_custkey"))
+      TestLake.cells(s, dir).unionByName(LakeIndexer.cells(Seq(extra))).cache()
+    })
+
+  private val dupLakeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
   private def inputCells(s: SparkSession, dir: String): DataFrame =
     LakeIndexer.cells(Seq(LakeTable(0, "input",

@@ -114,6 +114,18 @@ object Relational {
         .orderBy("wstart", "event_type")
     }),
 
+    // Exact interpolated percentiles per group.
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.25D, 0.5D, 0.9D))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 4).cast("decimal(18,4)").as("p25"),
+          round(element_at(col("ps"), 2), 4).cast("decimal(18,4)").as("p50"),
+          round(element_at(col("ps"), 3), 4).cast("decimal(18,4)").as("p90"))
+        .orderBy("l_returnflag")
+    }),
+
     // Sessionization: 30-min-gap sessions per user (batch twin of the
     // flatMapGroupsWithState streaming operator).
     "q_sessionize" -> ((s, dir) => {
@@ -186,6 +198,13 @@ object Relational {
       s"""SELECT c_custkey, c_name FROM customer
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          |ORDER BY c_custkey""".stripMargin,
+
+    "q_percentiles" ->
+      s"""SELECT l_returnflag,
+         | CAST(round(quantile_cont(l_extendedprice, 0.25), 4) AS DECIMAL(18,4)) AS p25,
+         | CAST(round(quantile_cont(l_extendedprice, 0.5), 4) AS DECIMAL(18,4)) AS p50,
+         | CAST(round(quantile_cont(l_extendedprice, 0.9), 4) AS DECIMAL(18,4)) AS p90
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_sessionize" ->
       s"""WITH l AS (SELECT user_id, ts, value, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM events),

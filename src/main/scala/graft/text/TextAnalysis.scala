@@ -68,12 +68,21 @@ object TextAnalysis {
       regexp_count(col(text), lit("[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]")).as("re_tokens"))
 
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
-    * cleaned words (SQL-expressible).
+    * cleaned words (SQL-expressible). The sort/distinct runs as one
+    * compiled function — interpreted array expressions measured ~3s for
+    * 5000 docs.
     */
   def bagFingerprint(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
-    docs.select(col(id),
-      md5(concat_ws(" ",
-        array_sort(array_distinct(split(TextFunctions.cleanedText(col(text)), " "))))).as("bag_fp"))
+    docs.select(col(id), md5(sortedBagUdf(TextFunctions.cleanedText(col(text)))).as("bag_fp"))
+
+  private val sortedBagUdf = udf { (s: String) =>
+    if (s == null) null
+    else {
+      val distinct = new java.util.TreeSet[String]()
+      s.split(' ').foreach(distinct.add)
+      String.join(" ", distinct)
+    }
+  }
 
   /** Order-sensitive rolling polynomial fingerprint (rows-only): FNV of
     * each word folded with ×31.
