@@ -10,14 +10,25 @@ object Bench {
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Index build is an offline step (the reference's update_index);
+    // build it once up front so per-query timings measure query work,
+    // not whichever query happens to run first.
+    val indexBuild = {
+      val t0 = System.nanoTime()
+      try {
+        graft.index.TestLake.cells(spark, sfDir).count()
+        graft.index.TestLake.cellsBloom(spark, sfDir).count()
+      } catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = (results + ("index_build" -> indexBuild)).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = (if (results.nonEmpty) results.values.sum else 0.0) + indexBuild
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

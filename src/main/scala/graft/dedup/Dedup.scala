@@ -81,6 +81,44 @@ object Dedup {
     ngramJaccardPairs(docs, id, text, n).where(col("jac") >= tau)
       .select("id_1", "id_2", "jac")
 
+  /** Skew guard for corpus-scale candidate generation: drop shingles
+    * occurring in more than `maxDocFreq` documents before the
+    * inverted-index join. A stop-shingle shared by 1% of a billion-doc
+    * corpus would otherwise put 10^14 pairs in one join key. Candidate
+    * RECALL only drops for pairs whose every common shingle is hot —
+    * near-dups share many rare shingles.
+    */
+  def frequentShingleFilter(inv: DataFrame, maxDocFreq: Long): DataFrame = {
+    val hot = inv.groupBy("g").agg(count(lit(1)).as("df")).where(col("df") > maxDocFreq)
+    inv.join(hot.select("g"), Seq("g"), "left_anti")
+  }
+
+  /** Transitive closure of near-dup pairs → cluster ids: every doc gets
+    * the minimum doc id reachable through the pair graph (itself when
+    * isolated). Iterative min-label propagation — O(log n) joins, no
+    * driver-side graph.
+    */
+  def clusters(docs: DataFrame, pairs: DataFrame, id: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_1").as("a"), col("id_2").as("b"))
+      .unionByName(pairs.select(col("id_2").as("a"), col("id_1").as("b")))
+      .distinct().cache()
+    var labels = docs.select(col(id).as("node"), col(id).as("label")).cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "b"), "b")
+        .select(col("a").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label")).cache()
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .where(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("node").as(id), col("label").as("cluster"))
+  }
+
   /** MinHash + LSH near-dup: `numHashes` permutations via seeded
     * xxhash64 over shingles, `bands` bands; bucket-mates are verified
     * with exact Jaccard. Output like [[ngramJaccard]].

@@ -10,7 +10,11 @@ import org.apache.spark.sql.functions._
   *              an existing dense key avoids the global sort/zipWithIndex
   *              a synthetic row id would need at 100 TB.
   */
-case class LakeTable(tableId: Int, name: String, df: DataFrame, rowId: Column)
+case class LakeTable(tableId: Int, name: String, df: DataFrame, rowId: Column,
+                     dataCols: Seq[String] = Nil) {
+  /** Columns to index (all by default; readFolder excludes its synthetic row id). */
+  def cols: Seq[String] = if (dataCols.nonEmpty) dataCols else df.columns.toSeq
+}
 
 /** Builds the four MaCO index relations as DataFrames
   * (reference: maco/data_handler.py — Postgres tables `main`,
@@ -41,7 +45,7 @@ object LakeIndexer {
     tables.map(cellsOf(_, rowHash)).reduce(_ unionByName _)
 
   private def cellsOf(tb: LakeTable, rowHash: Column => Column): DataFrame = {
-    val cleaned = tb.df.columns.map(c => cleanCol(col(c)))
+    val cleaned = tb.cols.map(c => cleanCol(col(c))).toArray
     tb.df
       .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
       .withColumn("sk", rowHash(col("toks")))
@@ -60,7 +64,7 @@ object LakeIndexer {
   def columnHeaders(spark: SparkSession, tables: Seq[LakeTable]): DataFrame = {
     import spark.implicits._
     tables.flatMap { tb =>
-      tb.df.columns.zipWithIndex.map { case (h, i) =>
+      tb.cols.zipWithIndex.map { case (h, i) =>
         (tb.tableId, i, h, TextFunctions.cleanedTextLocal(h))
       }
     }.toDF("tableid", "colid", "header", "header_tokenized")
@@ -100,6 +104,6 @@ object LakeIndexer {
         lit(tb.tableId).as("tableid"),
         lit(tb.name).as("dataset_name"),
         count(lit(1)).as("max_row_id"),
-        lit(tb.df.columns.length - 1).as("max_col_id"))
+        lit(tb.cols.length - 1).as("max_col_id"))
     }.reduce(_ unionByName _)
 }

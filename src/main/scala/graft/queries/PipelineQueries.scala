@@ -25,6 +25,11 @@ object PipelineQueries {
         .select(col("id_1"), col("id_2"), dec6(col("jac")).as("jac"))
         .orderBy("id_1", "id_2")),
 
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clusters(docs, Dedup.ngramJaccard(docs, 0.5)).orderBy("doc_id")
+    }),
+
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashLsh(t(s, dir, "documents"), 0.5)
         .select(col("id_1"), col("id_2"), dec6(col("jac")).as("jac"))
@@ -121,6 +126,16 @@ object PipelineQueries {
       s"""WITH $shingleCtes
          |SELECT id_1, id_2, CAST(round(common::DOUBLE / (sz_1 + sz_2 - common), 6) AS DECIMAL(10,6)) AS jac
          |FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5 ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleCtes,
+         |dpairs AS (SELECT id_1, id_2 FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5),
+         |edges AS (SELECT id_1 AS a, id_2 AS b FROM dpairs UNION SELECT id_2, id_1 FROM dpairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM documents
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_embed" ->
       s"""WITH $cosCtes,

@@ -12,6 +12,33 @@ import org.apache.spark.sql.types.StructType
   */
 object LakeReader {
 
+  /** Ingest every file in a folder (maco/data_handler.py:501
+    * add_tables_folder): each readable file becomes a LakeTable with a
+    * synthetic dense row id; unreadable/unsupported files are counted,
+    * not fatal (the reference's file_errors counter).
+    */
+  def readFolder(s: SparkSession, dir: String, firstTableId: Int = 1):
+      (Seq[graft.index.LakeTable], Int) = {
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.isFile).map(_.getPath).sorted
+    var errors = 0
+    val tables = scala.collection.mutable.ArrayBuffer.empty[graft.index.LakeTable]
+    files.foreach { f =>
+      try {
+        val df = read(s, f)
+        df.schema // force analysis
+        val withId = df.withColumn("__rid",
+          org.apache.spark.sql.functions.row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(
+              org.apache.spark.sql.functions.monotonically_increasing_id())) - 1)
+        val name = f.split('/').last
+        tables += graft.index.LakeTable(firstTableId + tables.length, name,
+          withId, org.apache.spark.sql.functions.col("__rid"), df.columns.toSeq)
+      } catch { case _: Exception => errors += 1 }
+    }
+    (tables.toSeq, errors)
+  }
+
   def read(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
     path.split('.').last match {
       case "csv"     => readCsv(s, path, ",", schema)

@@ -1,0 +1,53 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.index.LakeIndexer
+import graft.sources.LakeReader
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class LakeReaderSpec extends SparkSpec {
+
+  test("readFolder ingests mixed formats and counts errors") {
+    val dir = Files.createTempDirectory("graft_folder_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x,y\n1,foo\n2,bar\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.json"), "{\"p\":1}\n{\"p\":2}\n{\"p\":3}\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c.xyz"), "unsupported")
+    val (tables, errors) = LakeReader.readFolder(spark, dir)
+    assert(errors == 1)
+    assert(tables.map(_.name) == Seq("a.csv", "b.json"))
+    val cells = LakeIndexer.cells(tables)
+    // a.csv: 2 rows × 2 cols; b.json: 3 rows × 1 col — __rid not indexed
+    assert(cells.count() == 2 * 2 + 3)
+    assert(cells.where(col("tableid") === 1).select(max(col("colid"))).first().getInt(0) == 1)
+  }
+
+  test("readFolder arff parsing") {
+    val dir = Files.createTempDirectory("graft_arff_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.arff"),
+      "@relation test\n@attribute name string\n@attribute size numeric\n@data\n'widget',3\n'bolt',5\n")
+    val (tables, errors) = LakeReader.readFolder(spark, dir)
+    assert(errors == 0 && tables.size == 1)
+    val rows = tables.head.df.select("name", "size").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(rows.toSeq == Seq(("widget", "3"), ("bolt", "5")))
+  }
+
+  test("cluster propagation finds connected components") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0)).toDF("id_1", "id_2", "jac")
+    val c = Dedup.clusters(docs, pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("frequent-shingle filter drops hot keys only") {
+    val s = spark
+    import s.implicits._
+    val inv = Seq((1L, "hot"), (2L, "hot"), (3L, "hot"), (1L, "rare"), (2L, "rare"))
+      .toDF("did", "g")
+    val kept = Dedup.frequentShingleFilter(inv, maxDocFreq = 2)
+      .select("g").distinct().collect().map(_.getString(0))
+    assert(kept.toSeq == Seq("rare"))
+  }
+}
