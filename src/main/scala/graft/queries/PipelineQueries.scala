@@ -38,14 +38,16 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
 
-    "dedup_embed" -> ((s, dir) =>
-      Dedup.embeddingNearest(t(s, dir, "embeddings"))
-        .select(col("vec_id"), col("best_id"), dec6(col("cos")).as("cos"))
-        .orderBy("vec_id")),
+    "dedup_embed" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceKnnBlocked(emb, emb, 1)
+        .select(col("vec_id"), col("neighbor_id").as("best_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id")
+    }),
 
     "knn_brute" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      Similarity.bruteForceKnn(emb.where(col("vec_id") < 100), emb, 3)
+      Similarity.bruteForceKnnBlocked(emb.where(col("vec_id") < 100), emb, 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
         .orderBy("vec_id", "rank")
     }),

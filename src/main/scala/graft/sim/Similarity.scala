@@ -42,6 +42,57 @@ object Similarity {
     emb.select(col(id), col(vec), sig.as("bucket"))
   }
 
+  /** Blocked exact top-k: broadcast the corpus (with precomputed
+    * norms), scan queries with a tight per-partition loop — a GEMM-
+    * shaped pass instead of a 4M-row pair join. Identical results and
+    * tie-breaks to [[bruteForceKnn]] (same sequential double folds,
+    * corpus iterated in ascending id). The corpus must fit in executor
+    * memory (beyond that, use lshKnn / ivfKnn).
+    */
+  def bruteForceKnnBlocked(queries: DataFrame, corpus: DataFrame, k: Int,
+                           id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val corp = corpus.select(col(id).cast("long"), col(vec))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+      .map { case (nid, nv) =>
+        var s = 0.0; var i = 0
+        while (i < nv.length) { s += nv(i).toDouble * nv(i).toDouble; i += 1 }
+        (nid, nv, math.sqrt(s))
+      }
+    val bc = spark.sparkContext.broadcast(corp)
+    queries.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          var qn = 0.0
+          var i = 0
+          while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          val qnorm = math.sqrt(qn)
+          // k best by (cos desc, nid asc); ascending-id scan + strict >
+          // keeps the smallest id on ties
+          val bestCos = Array.fill(k)(Double.NegativeInfinity)
+          val bestId = new Array[Long](k)
+          cs.foreach { case (nid, nv, nn) =>
+            if (nid != qid) {
+              var d = 0.0; var j = 0
+              while (j < nv.length) { d += qv(j).toDouble * nv(j).toDouble; j += 1 }
+              val cos = d / qnorm / nn
+              var pos = k
+              while (pos > 0 && cos > bestCos(pos - 1)) pos -= 1
+              if (pos < k) {
+                var m = k - 1
+                while (m > pos) { bestCos(m) = bestCos(m - 1); bestId(m) = bestId(m - 1); m -= 1 }
+                bestCos(pos) = cos; bestId(pos) = nid
+              }
+            }
+          }
+          (0 until k).iterator.filter(r => bestCos(r) > Double.NegativeInfinity)
+            .map(r => (qid, r + 1, bestId(r), bestCos(r)))
+        }
+      }.toDF("vec_id", "rank", "neighbor_id", "cos")
+  }
+
   /** IVF-style ANN: a seeded KMeans coarse quantizer assigns every
     * vector to a cell; top-k search runs within each cell only
     * (the classic inverted-file index — cost Σ|cell|² instead of n²).
