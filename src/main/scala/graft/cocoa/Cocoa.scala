@@ -36,6 +36,19 @@ object Cocoa {
       .select("input_row", "rt")
   }
 
+  /** Joinable-column discovery (maco/data_handler.py:695
+    * get_joinable_columns): rank every lake column by how many DISTINCT
+    * query tokens it contains, top k_t. The COCOA front door when MATE
+    * isn't used. input: (tok).
+    */
+  def joinableColumns(input: DataFrame, cells: DataFrame, kT: Int): DataFrame =
+    cells
+      .join(broadcast(input.select(col("tok")).distinct()), col("tokenized") === col("tok"))
+      .groupBy("table_col_id")
+      .agg(countDistinct(col("tokenized")).as("ct"))
+      .orderBy(col("ct").desc, col("table_col_id").asc)
+      .limit(kT)
+
   /** Token-equality join map (maco/cocoa.py:62 generate_join_map):
     * external row of `joinColId` → input row; the reference keeps the
     * last input occurrence, we keep max(input_row) (identical when the

@@ -37,6 +37,20 @@ object XashKernel {
     new GenericArrayData(Array(hi, lo))
   }
 
+  /** Bloom-filter row hash (BloomHash semantics) as [hi, lo]. */
+  def bloomRowHash(tokens: ArrayData): ArrayData = {
+    var hi = 0L; var lo = 0L
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val (h, l) = BloomHash.add(hi, lo, if (t == null) "" else t.toString)
+      hi = h; lo = l
+      i += 1
+    }
+    new GenericArrayData(Array(hi, lo))
+  }
+
   /** Reference tokenizer as a static kernel. */
   def cleanText(s: UTF8String): UTF8String =
     if (s == null) null
@@ -58,6 +72,11 @@ object XashKernel {
   /** super key of an array<string> of tokens → array<long> [hi, lo]. */
   def superKeyCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
     XashKernel.getClass, ArrayType(LongType, containsNull = false), "superKey",
+    Seq(exprOf(c)), returnNullable = false))
+
+  /** bloom row hash of an array<string> → array<long> [hi, lo]. */
+  def bloomRowHashCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, ArrayType(LongType, containsNull = false), "bloomRowHash",
     Seq(exprOf(c)), returnNullable = false))
 
   /** cleaned_text(s), codegen'd. */

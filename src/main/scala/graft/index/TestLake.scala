@@ -40,7 +40,7 @@ object TestLake {
     */
   def cellsBloom(s: SparkSession, dir: String): DataFrame =
     bloomCache.getOrElseUpdate((s, dir),
-      LakeIndexer.cells(tables(s, dir), graft.functions.BloomHash.rowHashCol).cache())
+      LakeIndexer.cells(tables(s, dir), graft.functions.XashKernel.bloomRowHashCol).cache())
 
   private val bloomCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]

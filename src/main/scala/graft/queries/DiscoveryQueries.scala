@@ -64,12 +64,19 @@ object DiscoveryQueries {
       corrOut(corr).orderBy("table_col_id")
     }),
 
+    // COCOA front door: columns ranked by distinct-token overlap.
+    "cocoa_joinable_cols" -> ((s, dir) => {
+      val input = t(s, dir, "customer")
+        .select(cleanTok(col("c_nationkey")).as("tok"))
+      Cocoa.joinableColumns(input, TestLake.cells(s, dir), 8)
+    }),
+
     // Bloom-hashed index: different pre-filter, identical verified
     // result — shares mate_topk's oracle modulo the hash column.
     "mate_bloom" -> ((s, dir) => {
       val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
       Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
-        TestLake.cellsBloom(s, dir), 10, graft.functions.BloomHash.rowHashCol)
+        TestLake.cellsBloom(s, dir), 10, graft.functions.XashKernel.bloomRowHashCol)
     }),
 
     "table_reconstruct" -> ((s, dir) =>
@@ -227,6 +234,13 @@ object DiscoveryQueries {
 
     "mate_bloom" ->
       s"WITH ${mateCtes(custSampleSql, 2, 10)} SELECT * FROM topk",
+
+    "cocoa_joinable_cols" ->
+      s"""WITH cells AS (${TestLake.cellsSql}),
+         |inp AS (SELECT DISTINCT ${TextFunctions.cleanedTextSql("coalesce(CAST(c_nationkey AS VARCHAR), '')")} AS tok FROM customer)
+         |SELECT table_col_id, count(DISTINCT tokenized) AS ct
+         |FROM cells JOIN inp ON tokenized = tok
+         |GROUP BY table_col_id ORDER BY ct DESC, table_col_id ASC LIMIT 8""".stripMargin,
 
     "table_reconstruct" -> {
       val Seq(c0, c1, c2) = Seq("n_nationkey", "n_name", "n_regionkey").map(c =>
