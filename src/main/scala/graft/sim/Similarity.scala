@@ -111,11 +111,10 @@ object Similarity {
       .withColumn("nrm", sqrt(Dedup.dotUdf(col(vec), col(vec))))
     val a = assigned.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
     val b = assigned.select(col(id).as("nid"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    a.join(b, Seq("cell")).where(col("qid") =!= col("nid"))
+    val pairs = a.join(b, Seq("cell")).where(col("qid") =!= col("nid"))
       .withColumn("cos", Dedup.dotUdf(col("qv"), col("nv")) / col("qn") / col("nn"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
-      .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
+      .select("qid", "nid", "cos")
+    rankTopK(pairs, k)
   }
 
   /** LSH-bucketed ANN: top-k among same-bucket candidates.
@@ -127,10 +126,21 @@ object Similarity {
       .withColumn("nrm", sqrt(Dedup.dotUdf(col(vec), col(vec))))
     val a = s.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"), col("bucket"))
     val b = s.select(col(id).as("nid"), col(vec).as("nv"), col("nrm").as("nn"), col("bucket"))
-    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
-    a.join(b, Seq("bucket")).where(col("qid") =!= col("nid"))
+    val pairs = a.join(b, Seq("bucket")).where(col("qid") =!= col("nid"))
       .withColumn("cos", Dedup.dotUdf(col("qv"), col("nv")) / col("qn") / col("nn"))
-      .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      .select("qid", "nid", "cos")
+    rankTopK(pairs, k)
+  }
+
+  /** Heap-select the k best pairs per query (custom TopKPerKey exec — no
+    * partition sort), then rank the ≤k survivors with a window that only
+    * touches keys·k rows.
+    */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val kept = graft.plans.TopKPerKey.perKey(pairs,
+      Seq("qid"), Seq(("cos", true), ("nid", false)), k)
+    val w = Window.partitionBy("qid").orderBy(col("cos").desc, col("nid").asc)
+    kept.withColumn("rank", row_number().over(w))
       .select(col("qid").as("vec_id"), col("rank"), col("nid").as("neighbor_id"), col("cos"))
   }
 }
