@@ -97,6 +97,16 @@ object Cocoa {
       .withColumn("xr", avg(col("rn")).over(Window.partitionBy(col("table_col_id"), col("vk"))))
       .join(inputRanked, "input_row")
 
+    corrFromRanked(ranked, stats)
+  }
+
+  /** Correlation aggregation over per-row external ranks — shared by the
+    * relational path and the packed-index walk. `ranked` needs
+    * (tableid, table_col_id, is_numeric, input_row, xr, rt).
+    * Categorical values group by `xr`: the average-tie rank is bijective
+    * with the value within a column.
+    */
+  private def corrFromRanked(ranked: DataFrame, stats: DataFrame): DataFrame = {
     // ---- numeric: Spearman over all n input rows (unjoined → mid rank)
     val num = ranked.where(col("is_numeric"))
       .groupBy("tableid", "table_col_id")
@@ -116,7 +126,7 @@ object Cocoa {
 
     // ---- categorical: max |one-hot Pearson| over values
     val cat = ranked.where(!col("is_numeric"))
-      .groupBy(col("tableid"), col("table_col_id"), col("vk"))
+      .groupBy(col("tableid"), col("table_col_id"), col("xr"))
       .agg(count(lit(1)).cast("double").as("qty"), sum(col("rt")).as("s"))
       .crossJoin(broadcast(stats))
       .withColumn("stdY", sqrt(col("r_sum2") / col("n") - (col("r_sum") / col("n")) * (col("r_sum") / col("n"))))
@@ -129,6 +139,72 @@ object Cocoa {
       .select(col("tableid"), col("table_col_id"), lit(false).as("is_numeric"), col("corr"))
 
     num.unionByName(cat).where(col("corr").isNotNull && !isnan(col("corr")))
+  }
+
+  /** Correlations computed FROM the persisted order index
+    * (offline-index mode; assumes 1:1 pair maps per column like the
+    * reference join maps). Agrees exactly with [[correlations]].
+    */
+  def correlationsFromIndex(inputRanked: DataFrame, index: DataFrame, pairs: DataFrame,
+                            excluded: DataFrame): DataFrame = {
+    val stats = inputRanked.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("rt")).as("r_sum"),
+      sum(col("rt") * col("rt")).as("r_sum2"))
+    val keep = index
+      .withColumn("colid", split(col("table_col_id"), "_")(1).cast("int"))
+      .withColumn("tableid", split(col("table_col_id"), "_")(0).cast("int"))
+      .join(excluded, Seq("tableid", "colid"), "left_anti")
+      .drop("colid", "tableid")
+    val ranked = ranksFromIndex(keep, pairs).join(inputRanked, "input_row")
+    corrFromRanked(ranked, stats)
+  }
+
+  /** External ranks reconstructed from the PACKED order index
+    * (maco/cocoa.py:479 — the offline-index mode): walk each column's
+    * successor list once, averaging ties within equal-runs (binary
+    * list), restricted to matched input rows. One task per column, no
+    * re-sort — this is what the persisted index buys at query time.
+    * Produces exactly the ranks [[correlations]] computes relationally.
+    *
+    * @param index (table_col_id, is_numeric, min_index, order_list, binary_list)
+    * @param pairs (tableid, ext_row, input_row)
+    * @return (table_col_id, tableid, input_row, is_numeric, xr)
+    */
+  def ranksFromIndex(index: DataFrame, pairs: DataFrame): DataFrame = {
+    val walkUdf = udf { (minIndex: Long, order: Seq[Long], binary: String,
+                         matchedRows: Seq[Long], matchedInputs: Seq[Long]) =>
+      val toInput = matchedRows.zip(matchedInputs).toMap
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      var ptr = minIndex
+      var pos = 0 // sequential position among matched rows (1-based)
+      val run = scala.collection.mutable.ArrayBuffer.empty[Long] // matched rows in current equal-run
+      def flushRun(): Unit = {
+        if (run.nonEmpty) {
+          val avg = (pos - run.length + 1 + pos).toDouble / 2
+          run.foreach(r => out += ((toInput(r), avg)))
+          run.clear()
+        }
+      }
+      while (ptr != -1L) {
+        if (toInput.contains(ptr)) { pos += 1; run += ptr }
+        // '1' = value changes after this row → close the tie run
+        if (binary.charAt(ptr.toInt) == '1') flushRun()
+        ptr = order(ptr.toInt)
+      }
+      flushRun()
+      out.toSeq
+    }
+    val matched = pairs.groupBy("tableid")
+      .agg(collect_list(col("ext_row")).as("mrows"), collect_list(col("input_row")).as("minputs"))
+    index
+      .withColumn("tableid", split(col("table_col_id"), "_")(0).cast("int"))
+      .join(matched, "tableid")
+      .select(col("table_col_id"), col("tableid"), col("is_numeric"),
+        explode(walkUdf(col("min_index"), col("order_list"), col("binary_list"),
+          col("mrows"), col("minputs"))).as("e"))
+      .select(col("table_col_id"), col("tableid"), col("is_numeric"),
+        col("e._1").as("input_row"), col("e._2").as("xr"))
   }
 
   /** Materialize the enrichment: join the top-|corr| external column's

@@ -64,6 +64,22 @@ object DiscoveryQueries {
       corrOut(corr).orderBy("table_col_id")
     }),
 
+    // Offline-index mode: correlations reconstructed by walking the
+    // persisted order index — must equal cocoa_enrich exactly.
+    "cocoa_from_index" -> ((s, dir) => {
+      val nationCells = TestLake.cells(s, dir).where(col("tableid") === 1)
+      val cust = t(s, dir, "customer")
+      val input = cust.select(col("c_custkey").as("input_row"),
+        cleanTok(col("c_nationkey")).as("tok"),
+        col("c_acctbal").as("target"))
+      val ranked = Cocoa.targetRanks(input.select("input_row", "target"))
+      val pairs = Cocoa.joinPairs(input.select("input_row", "tok"), nationCells, 0)
+      val excluded = { import s.implicits._; Seq((1, 0)).toDF("tableid", "colid") }
+      val index = graft.index.CocoaIndex.build(nationCells)
+      val corr = Cocoa.correlationsFromIndex(ranked, index, pairs, excluded)
+      corrOut(corr).orderBy("table_col_id")
+    }),
+
     // COCOA front door: columns ranked by distinct-token overlap.
     "cocoa_joinable_cols" -> ((s, dir) => {
       val input = t(s, dir, "customer")
@@ -284,6 +300,21 @@ object DiscoveryQueries {
          |${normCtes("(SELECT * FROM cells WHERE tableid = 1)")},
          |${corrCtes("norm.tableid = 1 AND norm.colid = 0")}
          |$corrSelect ORDER BY table_col_id""".stripMargin,
+
+    "cocoa_from_index" ->
+      s"""WITH cells AS (${TestLake.cellsSql}),
+         |inp AS (SELECT c_custkey AS input_row,
+         |         ${TextFunctions.cleanedTextSql("coalesce(CAST(c_nationkey AS VARCHAR), '')")} AS tok,
+         |         c_acctbal AS target FROM customer),
+         |$trCte,
+         |pairs AS (SELECT c.tableid, c.rowid AS ext_row, max(i.input_row) AS input_row
+         |          FROM cells c JOIN inp i ON c.tokenized = i.tok
+         |          WHERE c.tableid = 1 AND c.colid = 0
+         |          GROUP BY c.tableid, c.rowid),
+         |${normCtes("(SELECT * FROM cells WHERE tableid = 1)")},
+         |${corrCtes("norm.tableid = 1 AND norm.colid = 0")}
+         |$corrSelect ORDER BY table_col_id""".stripMargin,
+
 
     "cocoa_topk_features" ->
       s"""WITH ${mateCtes(custFullSql, 1, 5)},
