@@ -62,6 +62,15 @@ object PipelineQueries {
         .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
         .orderBy("vec_id", "rank")),
 
+    // Corpus-level n-gram statistics (LM-style frequency table).
+    "ngram_freq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      docs.select(explode(Dedup.shingles(col("text"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("g").asc)
+        .limit(20)
+    }),
+
     "lang_id" -> ((s, dir) =>
       TextAnalysis.languageId(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -151,6 +160,14 @@ object PipelineQueries {
          |      FROM pc WHERE vec_id < 100)
          |SELECT vec_id, rk AS rank, nid AS neighbor_id, CAST(round(cos, 6) AS DECIMAL(10,6)) AS cos
          |FROM r WHERE rk <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "ngram_freq" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-1, 0)+1),
+        |         i -> ws[i] || ' ' || ws[i+1])) AS s FROM w),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh)
+        |SELECT g, count(*) AS cnt FROM inv GROUP BY g
+        |ORDER BY cnt DESC, g ASC LIMIT 20""".stripMargin,
 
     "lang_id" -> {
       val hits = TextAnalysis.LangProfiles.map { case (l, prof) =>

@@ -114,6 +114,27 @@ object Relational {
         .orderBy("wstart", "event_type")
     }),
 
+    // ROLLUP aggregation (grouping-set machinery).
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(18,2)").as("sum_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Correlated subquery (TPC-H Q17 shape): parts ordered below 30% of
+    // their average quantity — exercises subquery decorrelation.
+    "q_corr_subquery" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgQ = l.groupBy(col("l_partkey").as("ap"))
+        .agg(avg(col("l_quantity")).as("aq"))
+      l.join(broadcast(avgQ), col("l_partkey") === col("ap"))
+        .where(col("l_quantity") < lit(0.3) * col("aq"))
+        .agg(round(sum(dec(col("l_extendedprice"))).cast("double") / 7, 4)
+          .cast("decimal(24,4)").as("avg_yearly"))
+    }),
+
     // Exact interpolated percentiles per group.
     "q_percentiles" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -198,6 +219,18 @@ object Relational {
       s"""SELECT c_custkey, c_name FROM customer
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          |ORDER BY c_custkey""".stripMargin,
+
+    "q_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         | CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+         | COUNT(*) AS n
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q_corr_subquery" ->
+      s"""SELECT CAST(round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7, 4) AS DECIMAL(24,4)) AS avg_yearly
+         |FROM lineitem l
+         |WHERE l_quantity < 0.3 * (SELECT avg(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)""".stripMargin,
 
     "q_percentiles" ->
       s"""SELECT l_returnflag,
