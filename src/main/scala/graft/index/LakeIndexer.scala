@@ -70,6 +70,16 @@ object LakeIndexer {
     }.toDF("tableid", "colid", "header", "header_tokenized")
   }
 
+  /** Streaming index maintenance: the same melt+hash transform applied
+    * to a STREAMING frame of new rows — append new cells to the
+    * persisted index continuously instead of the reference's full
+    * rebuild (stateless transform: no watermark needed).
+    */
+  def cellsStream(newRows: DataFrame, tableId: Int, rowId: Column,
+                  dataCols: Seq[String]): DataFrame =
+    cellsOf(LakeTable(tableId, s"t$tableId", newRows, rowId, dataCols),
+      graft.functions.XashKernel.superKeyCol)
+
   /** Persist the cell index hash-partitioned by token and sorted within
     * partitions — MATE's token-match join then reads co-located,
     * min/max-prunable files (the parquet footer stats cover sorted

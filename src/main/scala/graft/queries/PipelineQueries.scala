@@ -96,6 +96,23 @@ object PipelineQueries {
           element_at(col("feature"), 3).cast("long").as("n_spaces"))
         .orderBy("doc_id")),
 
+    // End-to-end corpus cleaning: quality gate → exact dedup → near-dup
+    // clustering → keep cluster canonicals. The survivors are what a
+    // training run would actually consume.
+    "pipeline_clean_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val quality = TextAnalysis.qualityScore(docs)
+        .where(col("n_words") >= 10 && col("stop_ratio") < lit(0.5))
+        .select("doc_id")
+      val kept = docs.join(quality, "doc_id")
+      val exactKeep = Dedup.exact(kept).where(col("keep")).select("doc_id")
+      val survivors = kept.join(exactKeep, "doc_id")
+      val clusters = Dedup.clusters(survivors, Dedup.ngramJaccard(survivors, 0.5))
+      clusters.where(col("doc_id") === col("cluster"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "feature_eval" -> ((s, dir) =>
       FeatureEval.permutationImportance(
         t(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0),
@@ -106,8 +123,10 @@ object PipelineQueries {
 
   // -------------------------------------------------------------------
 
-  private val shingleCtes =
-    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+  private def shingleCtes: String = shingleCtesOf("documents")
+
+  private def shingleCtesOf(src: String) =
+    s"""w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM $src),
       |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
       |inv AS (SELECT doc_id, len(s) AS sz, unnest(s) AS g FROM sh),
@@ -147,6 +166,24 @@ object PipelineQueries {
          |  UNION
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
          |SELECT a AS doc_id, min(b) AS cluster FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_corpus" ->
+      s"""WITH RECURSIVE q AS (SELECT doc_id FROM (
+         |    SELECT doc_id, len($qualityWords) AS n_words,
+         |      CAST(round(len(list_filter($qualityWords, x -> list_contains(${sqlList(TextFunctions.Stopwords)}, x)))::DOUBLE / len($qualityWords)::DOUBLE, 6) AS DECIMAL(10,6)) AS stop_ratio
+         |    FROM documents) WHERE n_words >= 10 AND stop_ratio < 0.5),
+         |kept AS (SELECT d.doc_id, d.text FROM documents d JOIN q USING (doc_id)),
+         |ek AS (SELECT doc_id FROM (SELECT doc_id, doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep FROM kept) WHERE keep),
+         |surv AS (SELECT k.doc_id, k.text FROM kept k JOIN ek USING (doc_id)),
+         |${shingleCtesOf("surv")},
+         |dpairs AS (SELECT id_1, id_2 FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5),
+         |edges AS (SELECT id_1 AS a, id_2 AS b FROM dpairs UNION SELECT id_2, id_1 FROM dpairs),
+         |reach(a, b) AS (
+         |  SELECT doc_id AS a, doc_id AS b FROM surv
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id FROM (SELECT a, min(b) AS cluster FROM reach GROUP BY a)
+         |WHERE a = cluster ORDER BY doc_id""".stripMargin,
 
     "dedup_embed" ->
       s"""WITH $cosCtes,

@@ -27,6 +27,30 @@ class IndexPersistSpec extends SparkSpec {
     assert(live == persisted)
   }
 
+  test("streaming index maintenance equals the batch build") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Int)]
+    val streamCells = LakeIndexer.cellsStream(
+      mem.toDF().toDF("k", "name", "v"), 7, col("k"), Seq("k", "name", "v"))
+    val q = streamCells.writeStream.format("memory").queryName("cells_out")
+      .outputMode("append").start()
+    mem.addData((0L, "Alpha", 1), (1L, "Beta", 2))
+    q.processAllAvailable()
+    mem.addData((2L, "Gamma", 3))
+    q.processAllAvailable()
+    val streamed = spark.table("cells_out")
+      .orderBy("rowid", "colid").collect().map(_.toSeq).toSeq
+    q.stop()
+
+    val batchDf = Seq((0L, "Alpha", 1), (1L, "Beta", 2), (2L, "Gamma", 3)).toDF("k", "name", "v")
+    val batch = LakeIndexer.cells(Seq(LakeTable(7, "t7", batchDf, col("k"))))
+      .orderBy("rowid", "colid").collect().map(_.toSeq).toSeq
+    assert(streamed == batch)
+    assert(batch.size == 9)
+  }
+
   test("reconstructTable inverts the melt") {
     val s = spark
     import s.implicits._
