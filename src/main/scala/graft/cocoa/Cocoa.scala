@@ -76,8 +76,13 @@ object Cocoa {
       sum(col("rt")).as("r_sum"),
       sum(col("rt") * col("rt")).as("r_sum2"))
 
+    // restrict to candidate TABLES before the per-column windows (full
+    // columns of those tables are kept so is_numeric stays column-wide)
+    val candTables = pairs.select("tableid").distinct()
     val sorted = CocoaIndex.withSortValue(
-      extCells.join(excluded, Seq("tableid", "colid"), "left_anti"))
+      extCells
+        .join(broadcast(candTables), Seq("tableid"), "left_semi")
+        .join(excluded, Seq("tableid", "colid"), "left_anti"))
 
     // one value per (external column, input row): last-write in value
     // order = max (maco/cocoa.py numeric walk overwrites ascending)
