@@ -80,6 +80,9 @@ object PipelineQueries {
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_scrub" -> ((s, dir) =>
+      TextAnalysis.scrubPatterns(t(s, dir, "documents")).orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.bagFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -228,6 +231,10 @@ object PipelineQueries {
     "token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,
         | len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]')) AS re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_scrub" ->
+      """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->

@@ -114,6 +114,16 @@ object Relational {
         .orderBy("wstart", "event_type")
     }),
 
+    // Pivot aggregation: linestatus as columns.
+    "q_pivot" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))).cast("decimal(18,2)"))
+        .toDF("l_returnflag", "qty_f", "qty_o")
+        .orderBy("l_returnflag")
+    }),
+
     // ROLLUP aggregation (grouping-set machinery).
     "q_rollup" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -219,6 +229,12 @@ object Relational {
       s"""SELECT c_custkey, c_name FROM customer
          |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
          |ORDER BY c_custkey""".stripMargin,
+
+    "q_pivot" ->
+      s"""SELECT l_returnflag,
+         | CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_f,
+         | CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS qty_o
+         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_rollup" ->
       s"""SELECT l_returnflag, l_linestatus,

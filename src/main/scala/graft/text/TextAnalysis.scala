@@ -84,6 +84,14 @@ object TextAnalysis {
     }
   }
 
+  /** Pattern scrubbing for training corpora: mask digit runs (the
+    * PII-redaction shape — emails/phones/ids are the same regexp_replace
+    * plan with richer patterns).
+    */
+  def scrubPatterns(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id),
+      regexp_replace(col(text), "[0-9]+", "<NUM>").as("scrubbed"))
+
   /** Order-sensitive rolling polynomial fingerprint (rows-only): FNV of
     * each word folded with ×31.
     */
