@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,23 +14,34 @@ object Bench {
     // Index build is an offline step (the reference's update_index);
     // build it once up front so per-query timings measure query work,
     // not whichever query happens to run first.
+    // Failures must be visible in the JSON, not masquerade as fast runs:
+    // catch NonFatal only (OOM etc. crash the bench loudly) and record the
+    // failed query names in a "failed" list.
+    var failed = List.empty[String]
     val indexBuild = {
       val t0 = System.nanoTime()
       try {
         graft.index.TestLake.cells(spark, sfDir).count()
         graft.index.TestLake.cellsBloom(spark, sfDir).count()
-      } catch { case _: Throwable => }
+      } catch { case NonFatal(e) =>
+        failed ::= "index_build"
+        System.err.println(s"[bench] index_build failed: $e")
+      }
       (System.nanoTime() - t0) / 1e9
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case NonFatal(e) =>
+        failed ::= name
+        System.err.println(s"[bench] $name failed: $e")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = (results + ("index_build" -> indexBuild)).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = (if (results.nonEmpty) results.values.sum else 0.0) + indexBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -192,6 +192,13 @@ object Cocoa {
         }
       }
       while (ptr != -1L) {
+        // Dense-rowid contract: the index arrays are addressed by rowid, so
+        // every pointer must be a valid 0-based position. An index built
+        // from a lake violating that yields wrong ranks silently — fail
+        // loudly instead.
+        require(ptr >= 0L && ptr < order.length && ptr < binary.length,
+          s"order-index pointer $ptr out of bounds (order_list size ${order.length}); " +
+            "CocoaIndex requires dense 0-based rowids per table")
         if (toInput.contains(ptr)) { pos += 1; run += ptr }
         // '1' = value changes after this row → close the tie run
         if (binary.charAt(ptr.toInt) == '1') flushRun()

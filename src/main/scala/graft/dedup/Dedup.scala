@@ -126,6 +126,9 @@ object Dedup {
   def minhashLsh(docs: DataFrame, tau: Double, id: String = "doc_id",
                  text: String = "text", n: Int = 3,
                  numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands); " +
+        "otherwise trailing hash functions are silently unused")
     val rows = numHashes / bands
     val inv = docs
       .select(col(id).as("did"), explode(shingles(col(text), n)).as("g"))

@@ -19,6 +19,13 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   * `requiredChildDistribution`), no sort, O(rows·log k) work and O(keys·k)
   * memory.
   *
+  * Memory bound: the per-partition heap map holds keys·k rows with NO spill
+  * path — correct sizing is keys/partition · k rows in executor memory
+  * (our ANN uses: ~query-side cardinality · k, far below partition size).
+  * For key cardinalities where keys·k approaches partition row count the
+  * window+sort idiom (which spills) is the right plan; use this operator
+  * when k·keys ≪ rows, which is exactly when the full sort is wasteful.
+  *
   * Wired the idiomatic way: logical node → Strategy → physical exec,
   * activated per session via `TopKPerKey.install(spark)`
   * (spark.experimental.extraStrategies) or cluster-wide through
