@@ -14,6 +14,15 @@ object Bench {
     // Index build is an offline step (the reference's update_index);
     // build it once up front so per-query timings measure query work,
     // not whichever query happens to run first.
+    // Untimed warmup: the first job in a fresh JVM pays codegen, shuffle
+    // and parquet-reader initialization (~5-8s measured) — burn that on a
+    // throwaway job so timed queries measure operator cost, not JVM
+    // startup. Index build and every query stay fully timed.
+    locally {
+      val w = spark.range(0, 1000000L, 1, 8).selectExpr("id % 97 AS k", "id AS v")
+      w.groupBy("k").count().orderBy(org.apache.spark.sql.functions.desc("count")).limit(5).count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     // Failures must be visible in the JSON, not masquerade as fast runs:
     // catch NonFatal only (OOM etc. crash the bench loudly) and record the
     // failed query names in a "failed" list.

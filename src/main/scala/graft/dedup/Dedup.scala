@@ -60,9 +60,15 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id",
                         text: String = "text", n: Int = 3): DataFrame = {
+    // Shingles join on their 64-bit hash, not the string: an 8-byte key
+    // shuffles ~4× less than a ~25-char shingle and compares in one
+    // instruction. Collisions would need two different shingles with equal
+    // xxhash64 in the same candidate pair (~n²/2⁶⁴ — negligible even at
+    // billions of distinct shingles).
     val inv = docs
       .select(col(id).as("did"), shingles(col(text), n).as("sh"))
-      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
+      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g0"))
+      .select(col("did"), col("sz"), xxhash64(col("g0")).as("g"))
     val a = inv.select(col("did").as("id_1"), col("sz").as("sz_1"), col("g"))
     val b = inv.select(col("did").as("id_2"), col("sz").as("sz_2"), col("g"))
     // sizes ride in the grouping key: count-only aggregation stays a
@@ -99,20 +105,33 @@ object Dedup {
     * driver-side graph.
     */
   def clusters(docs: DataFrame, pairs: DataFrame, id: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("id_1").as("a"), col("id_2").as("b"))
-      .unionByName(pairs.select(col("id_2").as("a"), col("id_1").as("b")))
+    // Both edge directions come out of ONE pass over `pairs` (explode of a
+    // 2-element array) — a union of pairs with pairs-swapped would execute
+    // the whole candidate-generation subplan twice before the cache exists.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_1").as("a"), col("id_2").as("b")),
+        struct(col("id_2").as("a"), col("id_1").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
     var labels = docs.select(col(id).as("node"), col(id).as("label")).cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
+      // The node's previous label rides through the union (each node has
+      // exactly ONE self row, so max(old) recovers it) — convergence is
+      // read off the same pass that materializes the round, one job per
+      // round instead of a propagate job plus a compare job.
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "b"), "b")
-        .select(col("a").as("node"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("node").agg(min(col("label")).as("label")).cache()
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .where(col("label") =!= col("old")).count()
+        .select(col("a").as("node"), col("label"),
+          when(lit(false), col("label")).as("old")) // typed NULL of label's type
+      val self = labels.select(col("node"), col("label"), col("label").as("old"))
+      val next = self.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"), max(col("old")).as("old"))
+        .cache()
+      changed = next.where(col("label") =!= col("old")).count()
+      labels.unpersist(false)
       labels = next
       iter += 1
     }

@@ -19,7 +19,15 @@ import org.apache.spark.sql.functions._
   */
 object CocoaIndex {
 
-  /** Augments cells with the per-column sort value and numericness. */
+  /** Augments cells with the per-column sort value and numericness.
+    *
+    * Column-wide numericness rides a window over `table_col_id`: the
+    * downstream rank windows partition by the SAME key, so Catalyst reuses
+    * one exchange for both (an aggregate+broadcast-join variant was
+    * measured slower — it re-executes the upstream plan for the aggregate
+    * pass). Per-column colocation is inherent to ranking a column; this
+    * adds no extra shuffle to it.
+    */
   def withSortValue(cells: DataFrame): DataFrame = {
     val tok = col("tokenized")
     // Reference is_numeric (maco/util.py:58): '' and 'nan' count as

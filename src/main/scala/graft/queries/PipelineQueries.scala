@@ -109,7 +109,9 @@ object PipelineQueries {
         .select("doc_id")
       val kept = docs.join(quality, "doc_id")
       val exactKeep = Dedup.exact(kept).where(col("keep")).select("doc_id")
-      val survivors = kept.join(exactKeep, "doc_id")
+      // survivors feeds shingle candidates AND the label seed — cache the
+      // quality+dedup gate result instead of re-running its self-joins.
+      val survivors = kept.join(exactKeep, "doc_id").cache()
       val clusters = Dedup.clusters(survivors, Dedup.ngramJaccard(survivors, 0.5))
       clusters.where(col("doc_id") === col("cluster"))
         .select(col("doc_id"))
