@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: each left row picks up the value columns of the
+  * LATEST right row with `rightTs <= leftTs` within the same key group
+  * (the time-series enrichment join Spark has no built-in operator for).
+  *
+  * Spark-first mechanics — the union+window idiom instead of a range
+  * join: tag both sides, union them, and carry right values forward with
+  * `last(..., ignoreNulls)` over an (ts, side)-ordered window. ONE
+  * shuffle on the key columns and a per-key sort; a naive range join is
+  * O(|left|·|right|) per key and a broadcast-range join needs the right
+  * side in memory. Right rows sort BEFORE left rows at equal timestamps,
+  * making the match inclusive.
+  *
+  * The right side must be unique per (keys, ts) — pre-aggregate if not —
+  * otherwise "the" matched row is ambiguous.
+  */
+object AsofJoin {
+
+  def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val carryLeft = left.columns.toSeq.filterNot(keys.contains)
+    // side 0 = right (sorts first at equal ts → inclusive match)
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        valueCols.map(col) ++
+        carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        carryLeft.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.unionByName(taggedRight)
+      .select(keys.map(col) ++ carryLeft.map(col) ++ Seq(col("__side")) ++
+        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 1).drop("__side")
+  }
+}

@@ -123,7 +123,29 @@ object PipelineQueries {
         t(s, dir, "lineitem").where(col("l_orderkey") % 10 === 0),
         Seq("l_quantity", "l_discount"), "l_extendedprice")
         .select(col("feature"), col("importance"))
-        .orderBy("feature"))
+        .orderBy("feature")),
+
+    // Benchmark decontamination: docs with doc_id % 50 = 0 act as the
+    // held-out eval set; every other doc reports its shared-shingle rate.
+    "contamination_check" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Contamination.ngramOverlap(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), 0.2)
+        .orderBy("doc_id")
+    }),
+
+    "text_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionRatio(t(s, dir, "documents")).orderBy("doc_id")),
+
+    "tfidf_topk" -> ((s, dir) =>
+      graft.text.Search.tfidfTopK(t(s, dir, "documents"), 3)
+        .orderBy("doc_id", "word")),
+
+    "bm25_search" -> ((s, dir) =>
+      graft.text.Search.bm25(t(s, dir, "documents"), Seq("data", "spark", "index"))
+        .orderBy(col("score").desc, col("doc_id").asc)
+        .limit(20))
   )
 
   // -------------------------------------------------------------------
@@ -249,6 +271,57 @@ object PipelineQueries {
         | octet_length(encode(text)) % 640 AS width,
         | octet_length(encode(text)) % 480 AS height,
         | octet_length(encode(text)) // 1000 + 1 AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "contamination_check" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+        |corp AS (SELECT doc_id, s FROM sh WHERE doc_id % 50 <> 0),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM corp),
+        |shared AS (SELECT i.doc_id, count(*) AS n_shared FROM inv i JOIN bench b USING (g) GROUP BY 1),
+        |r AS (SELECT c.doc_id, CAST(len(c.s) AS INT) AS n_shingles,
+        |        coalesce(sh2.n_shared, 0) AS n_shared,
+        |        CASE WHEN len(c.s) = 0 THEN 0.0
+        |             ELSE round(coalesce(sh2.n_shared, 0)::DOUBLE / len(c.s), 6) END AS share
+        |      FROM corp c LEFT JOIN shared sh2 USING (doc_id))
+        |SELECT doc_id, n_shingles, n_shared, share, share >= 0.2 AS contaminated
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "text_repetition" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |c AS (SELECT doc_id, word, count(*) AS cnt FROM w GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |        count(*) AS n_distinct, max(cnt) AS top_cnt FROM c GROUP BY 1)
+        |SELECT doc_id, n_words, n_distinct,
+        | round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
+        | round(top_cnt::DOUBLE / n_words, 6) AS top_share
+        |FROM a ORDER BY doc_id""".stripMargin,
+
+    "tfidf_topk" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (SELECT doc_id, tf.word AS word, round(tf * ln(n / df), 6) AS score
+        |      FROM tf JOIN df USING (word), n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word ASC) AS rk FROM s)
+        |SELECT doc_id, word, score FROM r WHERE rk <= 3 ORDER BY doc_id, word""".stripMargin,
+
+    "bm25_search" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM w
+        |       WHERE word IN ('data', 'spark', 'index') GROUP BY 1, 2),
+        |df AS (SELECT word, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |lens AS (SELECT doc_id, CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl FROM documents),
+        |st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |        avg(CAST(len(string_split(lower(text), ' ')) AS DOUBLE)) AS avgdl FROM documents),
+        |s AS (SELECT tf.doc_id AS doc_id,
+        |        ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * (1.2 + 1)) /
+        |          (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)) AS sc
+        |      FROM tf JOIN df USING (word) JOIN lens ON lens.doc_id = tf.doc_id, st),
+        |a AS (SELECT doc_id, round(sum(sc), 6) AS score FROM s GROUP BY 1)
+        |SELECT * FROM a ORDER BY score DESC, doc_id ASC LIMIT 20""".stripMargin
   )
 }

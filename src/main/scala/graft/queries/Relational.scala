@@ -177,6 +177,32 @@ object Relational {
         .groupBy("event_type")
         .agg(approx_count_distinct(col("user_id")).as("approx_users"))
         .orderBy("event_type")
+    }),
+
+    // Backward as-of join: every purchase picks up the value of the
+    // latest preceding (inclusive) view by the same user.
+    "q_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      // join runs at nano precision; the OUTPUT ts is micros — DuckDB
+      // timestamps are micro-precision, so nanos are not oracle-comparable
+      graft.ops.AsofJoin.backward(purchases, views,
+        Seq("user_id"), "ts", "ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
+    // Deterministic stratified sample: clicks at 2/16, all else 4/16,
+    // keyed on md5(event_id) — reproducible, shuffle-free, push-downable.
+    "q_stratified_sample" -> ((s, dir) => {
+      graft.ops.Sampling.stratifiedHashSample(t(s, dir, "events"),
+        col("event_id"), col("event_type"), Map("click" -> 2), 4)
+        .select("event_id", "user_id", "event_type")
+        .orderBy("event_id")
     })
   )
 
@@ -274,6 +300,23 @@ object Relational {
     "q_events_window" ->
       s"""SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS wstart, event_type,
          | COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
-         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // DuckDB timestamps are micro-precision → compare epoch micros.
+    "q_asof_join" ->
+      s"""WITH v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+         |           WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |p2 AS (SELECT p.*, (SELECT max(v2.ts) FROM v v2
+         |                    WHERE v2.user_id = p.user_id AND v2.ts <= p.ts) AS vts FROM p)
+         |SELECT p2.event_id, p2.user_id, CAST(epoch_us(p2.ts) AS BIGINT) AS ts_us, v.view_value
+         |FROM p2 LEFT JOIN v ON v.user_id = p2.user_id AND v.ts = p2.vts
+         |ORDER BY event_id""".stripMargin,
+
+    "q_stratified_sample" ->
+      s"""SELECT event_id, user_id, event_type FROM events
+         |WHERE (strpos('0123456789abcdef', substring(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1)
+         |      < (CASE event_type WHEN 'click' THEN 2 ELSE 4 END)
+         |ORDER BY event_id""".stripMargin
   )
 }

@@ -1,0 +1,60 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus keyword statistics and search scoring (TF-IDF, BM25) — the
+  * quality/relevance signals a training-data pipeline derives from raw
+  * text at corpus scale.
+  *
+  * Everything is explode → aggregate: per-doc term frequencies and the
+  * document-frequency table are single grouped aggregations (map-side
+  * partial), corpus-level scalars (N, avg doc length) ride a broadcast
+  * 1-row crossJoin — no driver round-trips, no UDFs in the hot path.
+  */
+object Search {
+
+  private def words(textCol: String) = split(lower(col(textCol)), " ")
+
+  /** (doc_id, word, tf) — raw per-doc term counts. */
+  def termFreq(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id), explode(words(text)).as("word"))
+      .groupBy(col(id), col("word")).agg(count(lit(1)).as("tf"))
+
+  /** Top-k words per document by TF-IDF (score = tf · ln(N/df)),
+    * ranked on the 6-decimal-rounded score, ties by word ascending.
+    * Output: (doc_id, word, score).
+    */
+  def tfidfTopK(docs: DataFrame, k: Int,
+                id: String = "doc_id", text: String = "text"): DataFrame = {
+    val tf = termFreq(docs, id, text)
+    val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(df, "word").crossJoin(broadcast(n))
+      .select(col(id), col("word"),
+        round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+    val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
+  }
+
+  /** BM25 relevance of every document for a bag of query terms
+    * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
+    * Output: (doc_id, score) for docs matching ≥1 term, 6-decimal score.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           id: String = "doc_id", text: String = "text",
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreq(docs, id, text).where(col("word").isin(terms: _*))
+    val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
+    val lens = docs.select(col(id), size(words(text)).cast("double").as("dl"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
+      avg(size(words(text)).cast("double")).as("avgdl"))
+    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
+    tf.join(df, "word").join(lens, id).crossJoin(broadcast(stats))
+      .select(col(id),
+        (idf * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
+      .groupBy(col(id)).agg(round(sum(col("s")), 6).as("score"))
+  }
+}

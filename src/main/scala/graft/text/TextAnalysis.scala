@@ -92,6 +92,23 @@ object TextAnalysis {
     docs.select(col(id),
       regexp_replace(col(text), "[0-9]+", "<NUM>").as("scrubbed"))
 
+  /** Repetition / boilerplate signals: distinct-word ratio and the share
+    * of the single most frequent word. High top-word share or low
+    * distinct ratio flags machine-generated or boilerplate text.
+    * Relational shape (explode → two aggregations) rather than per-row
+    * array ops, so it is one shuffle at any corpus size.
+    * Output: (doc_id, n_words, n_distinct, distinct_ratio, top_share).
+    */
+  def repetitionRatio(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame =
+    docs.select(col(id), explode(words(col(text))).as("w"))
+      .groupBy(col(id), col("w")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col(id))
+      .agg(sum(col("cnt")).as("n_words"), count(lit(1)).as("n_distinct"),
+        max(col("cnt")).as("top_cnt"))
+      .select(col(id), col("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6).as("distinct_ratio"),
+        round(col("top_cnt").cast("double") / col("n_words").cast("double"), 6).as("top_share"))
+
   /** Order-sensitive rolling polynomial fingerprint (rows-only): FNV of
     * each word folded with ×31.
     */

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{AsofJoin, Sampling}
+import graft.text.Contamination
+import org.apache.spark.sql.functions._
+
+/** As-of join, deterministic sampling and contamination on toy data. */
+class OpsSpec extends SparkSpec {
+
+  test("asof backward: latest right <= left per key, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l10"), // after right ts 5 → v5
+      (1L, 5L, "l5"),   // ties right ts 5 inclusively → v5
+      (1L, 3L, "l3"),   // before any right → null
+      (2L, 7L, "l7")    // key with no right rows → null
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 5L, "v5"),
+      (1L, 20L, "v20")
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    assert(out == Map("l10" -> Some("v5"), "l5" -> Some("v5"),
+      "l3" -> None, "l7" -> None))
+  }
+
+  test("stratified hash sample is deterministic and respects per-stratum rates") {
+    import spark.implicits._
+    val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
+    val sampled = Sampling.stratifiedHashSample(df, col("id"), col("s"), Map("a" -> 2), 8)
+    val counts = sampled.groupBy("s").count().as[(String, Long)].collect().toMap
+    // a: 2/16 = 12.5% of 2000 ≈ 250; b: 8/16 = 50% of 2000 ≈ 1000
+    assert(counts("a") > 150 && counts("a") < 350, s"a=${counts("a")}")
+    assert(counts("b") > 850 && counts("b") < 1150, s"b=${counts("b")}")
+    // deterministic: same filter → identical sample
+    assert(sampled.collect().toSet == Sampling
+      .stratifiedHashSample(df, col("id"), col("s"), Map("a" -> 2), 8).collect().toSet)
+  }
+
+  test("contamination counts shared shingles against the benchmark set") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b c d e"),       // shingles: abc bcd cde → shares abc bcd
+      (2L, "x y z w"),         // xyz yzw → none shared
+      (3L, "a b")              // too short → 0 shingles
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d q")).toDF("doc_id", "text") // abc bcd cdq
+    val out = Contamination.ngramOverlap(corpus, bench, tau = 0.5)
+      .select("doc_id", "n_shingles", "n_shared", "contaminated")
+      .as[(Long, Int, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 3, 2L, true)))  // 2/3 ≥ 0.5
+    assert(out(2L) == ((2L, 2, 0L, false)))
+    assert(out(3L) == ((3L, 0, 0L, false)))
+  }
+}
