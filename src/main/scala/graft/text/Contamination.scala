@@ -25,8 +25,8 @@ object Contamination {
     val benchGrams = benchmark
       .select(explode(Dedup.shingles(col(text), n)).as("g")).distinct()
     val inv = corpus
-      .select(col(id), size(Dedup.shingles(col(text), n)).as("n_shingles"),
-        explode_outer(Dedup.shingles(col(text), n)).as("g"))
+      .select(col(id), Dedup.shingles(col(text), n).as("sh")) // shingle UDF once per row
+      .select(col(id), size(col("sh")).as("n_shingles"), explode_outer(col("sh")).as("g"))
     val hit = inv.join(broadcast(benchGrams.withColumn("__hit", lit(1))), Seq("g"), "left")
     hit.groupBy(col(id), col("n_shingles"))
       .agg(sum(coalesce(col("__hit"), lit(0))).cast("long").as("n_shared"))

@@ -34,6 +34,9 @@ object Search {
     val scored = tf.join(df, "word").crossJoin(broadcast(n))
       .select(col(id), col("word"),
         round(col("tf") * log(col("n") / col("df")), 6).as("score"))
+    // window top-k, not the heap operator: with keys ≈ rows/100 the
+    // codegen'd sort beats per-row interpreted heap compares (measured
+    // 3.2s vs 14.9s at sf0.1); the heap wins when k·keys ≪ rows (ANN).
     val w = Window.partitionBy(col(id)).orderBy(col("score").desc, col("word").asc)
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
