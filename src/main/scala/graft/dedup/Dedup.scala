@@ -199,17 +199,13 @@ object Dedup {
       .select(col("did").as("doc_id"), coalesce(col("canon"), col("did")).as("canon"))
   }
 
-  /** Sequential-fold double dot product — a compiled while-loop, ~50×
-    * an interpreted Catalyst `aggregate` lambda, with the exact fold
-    * order of the DuckDB oracle's list_sum (bit-identical results).
+  /** Sequential-fold double dot product — the codegen'd StaticInvoke
+    * kernel ([[graft.functions.VecKernel]]): compiled while-loop over the
+    * unsafe float array, no per-call boxing, exact fold order of the
+    * DuckDB oracle's list_sum (bit-identical results).
     */
-  val dotUdf = udf { (a: Array[Float], b: Array[Float]) =>
-    var s = 0.0
-    var i = 0
-    val n = a.length
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
+  def dotUdf(a: Column, b: Column): Column =
+    graft.functions.VecKernel.dotCol(a, b)
 
   /** Sequential-fold cosine of two float-array columns. Prefer
     * [[withNorm]] + [[dotUdf]] in pair loops — this recomputes both
