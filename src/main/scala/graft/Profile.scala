@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only phase profiler: times the sub-stages of the heaviest bench
+  * queries so optimization targets the measured cost, not a guess.
+  * Not part of the driver contract.
+  */
+object Profile {
+  def time[T](name: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    r
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val b = GraftSession.tuneLocal(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+    // ad-hoc experiment overrides: GRAFT_EXTRA_CONF="k=v;k=v"
+    sys.env.get("GRAFT_EXTRA_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b.config(k, v) })
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // warmup
+    spark.range(0, 1000000L, 1, 8).selectExpr("id % 97 AS k", "id AS v")
+      .groupBy("k").count().orderBy(desc("count")).limit(5).count()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
+
+    val which = if (args.isEmpty) "cocoa_topk" else args(0)
+    which match {
+      case "cocoa_topk" => cocoaTopk(spark, sfDir)
+      case "jaccard"    => jaccard(spark, sfDir)
+      case "clusters"   => clusters(spark, sfDir)
+      case "index"      => index(spark, sfDir)
+      case "corr"       => corr(spark, sfDir)
+      case "dup_tables" => dupTables(spark, sfDir)
+      case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
+    }
+    spark.stop()
+  }
+
+  def index(spark: SparkSession, dir: String): Unit = {
+    import graft.index.{LakeIndexer, TestLake}
+    import graft.functions.TextFunctions
+    val tables = TestLake.tables(spark, dir)
+    time("scan_only")(tables.map(_.df).map(d => d.select(d.columns.map(col): _*)).reduce(_ unionByName _).count())
+    val melt = tables.map { tb =>
+      tb.df.select(tb.rowId.cast("long").as("rowid"),
+        posexplode(array(tb.cols.map(c => col(c).cast("string")): _*)).as(Seq("colid", "tok")))
+    }.reduce(_ unionByName _)
+    time("melt_only")(melt.count())
+    val meltClean = tables.map { tb =>
+      tb.df.select(tb.rowId.cast("long").as("rowid"),
+        posexplode(array(tb.cols.map(c =>
+          TextFunctions.cleanedText(coalesce(col(c).cast("string"), lit("")))): _*)).as(Seq("colid", "tok")))
+    }.reduce(_ unionByName _)
+    time("melt_clean")(meltClean.count())
+    val nocache = LakeIndexer.cells(tables)
+    time("cells_nocache")(nocache.count())
+    time("cells_nocache2")(nocache.count())
+    time("cells_cached")(graft.index.TestLake.cells(spark, dir).count())
+    time("cellsBloom")(graft.index.TestLake.cellsBloom(spark, dir).count())
+    time("cells_again")(graft.index.TestLake.cells(spark, dir).count())
+  }
+
+  def corr(spark: SparkSession, dir: String): Unit = {
+    import graft.cocoa.Cocoa
+    import graft.mate.Mate
+    import graft.index.CocoaIndex
+    val cells = graft.index.TestLake.cells(spark, dir)
+    time("cells_count")(cells.count())
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val (top, jm0) = Mate.searchAndMaps(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
+    time("searchAndMaps")(jm0.count())
+    val jm = jm0.select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
+    val excluded = top.select(col("tableid"), col("columns").cast("int").as("colid"))
+    val input = cust.select(col("c_custkey").as("input_row"), col("c_acctbal").as("target"))
+    val inputRanked = Cocoa.targetRanks(input)
+    time("pairs_count")(jm.count())
+    val candTables = jm.select("tableid").distinct()
+    val sorted = CocoaIndex.withSortValue(
+      cells.join(broadcast(candTables), Seq("tableid"), "left_semi")
+        .join(excluded, Seq("tableid", "colid"), "left_anti"))
+    time("sorted_count")(sorted.count())
+    val perRow = sorted
+      .join(jm.withColumnRenamed("ext_row", "rowid"), Seq("tableid", "rowid"))
+      .groupBy(col("table_col_id"), col("tableid"), col("input_row"))
+      .agg(max(col("vnum")).as("vnum"), max(col("tokenized")).as("v_str"),
+        first(col("is_numeric")).as("is_numeric"))
+    time("perRow_count")(perRow.count())
+    val ord = org.apache.spark.sql.expressions.Window.partitionBy("table_col_id")
+      .orderBy(col("vnum").asc_nulls_last, col("v_str").asc, col("input_row").asc)
+    val valKey = when(col("is_numeric"), coalesce(col("vnum").cast("string"), lit(" nan")))
+      .otherwise(col("v_str"))
+    val ranked = perRow
+      .withColumn("rn", row_number().over(ord))
+      .withColumn("vk", valKey)
+      .withColumn("xr", avg(col("rn")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("table_col_id"), col("vk"))))
+      .join(inputRanked, "input_row")
+    time("ranked_count")(ranked.count())
+    val g = ranked
+      .groupBy(col("tableid"), col("table_col_id"), col("is_numeric"), col("xr"))
+      .agg(count(lit(1)).cast("double").as("qty"), sum(col("rt")).as("s"))
+    time("g_count")(g.count())
+    val full = Cocoa.correlations(inputRanked, jm, cells, excluded)
+    time("correlations_full")(full.count())
+  }
+
+  def cocoaTopk(spark: SparkSession, dir: String): Unit = {
+    import graft.cocoa.Cocoa
+    import graft.mate.Mate
+    val cells = time("cells_build")(graft.index.TestLake.cells(spark, dir))
+    time("cells_count")(cells.count())
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val (top, jm0) = Mate.searchAndMaps(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
+    time("searchAndMaps_top")(top.count())
+    time("searchAndMaps_maps")(jm0.count())
+    val jm = jm0.select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
+    val excluded = top.select(col("tableid"), col("columns").cast("int").as("colid"))
+    val input = cust.select(col("c_custkey").as("input_row"), col("c_acctbal").as("target"))
+    val ranked = time("targetRanks")(Cocoa.targetRanks(input))
+    time("targetRanks_count")(ranked.count())
+    val corr = Cocoa.correlations(ranked, jm, cells, excluded)
+    time("correlations_count")(corr.count())
+    time("full_query_again")(SparkEntry.queries("cocoa_topk_features")(spark, dir).count())
+  }
+
+  def jaccard(spark: SparkSession, dir: String): Unit = {
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val inv = docs
+      .select(col("doc_id").as("did"), Dedup.shingles(col("text"), 3).as("sh"))
+      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g0"))
+      .select(col("did"), col("sz"), xxhash64(col("g0")).as("g"))
+    time("inv_count")(inv.count())
+    val pairs = Dedup.ngramJaccardPairs(docs)
+    time("pairs_count")(pairs.count())
+    time("tau_filter")(Dedup.ngramJaccard(docs, 0.5).count())
+    time("again")(Dedup.ngramJaccard(docs, 0.5).count())
+  }
+
+  def clusters(spark: SparkSession, dir: String): Unit = {
+    import graft.dedup.Dedup
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.ngramJaccard(docs, 0.5)
+    time("pairs")(pairs.count())
+    time("clusters_total")(Dedup.clusters(docs, pairs).count())
+  }
+
+  def dupTables(spark: SparkSession, dir: String): Unit = {
+    time("dup_tables")(SparkEntry.queries("dup_tables")(spark, dir).count())
+    time("dup_tables_again")(SparkEntry.queries("dup_tables")(spark, dir).count())
+  }
+}

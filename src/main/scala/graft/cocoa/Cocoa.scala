@@ -112,12 +112,24 @@ object Cocoa {
     * with the value within a column.
     */
   private def corrFromRanked(ranked: DataFrame, stats: DataFrame): DataFrame = {
+    // ONE pass over the expensive rank pipeline: aggregate per (column,
+    // xr) first, then derive BOTH branches from that small frame — the
+    // num/cat union would otherwise re-execute `ranked`'s windows and
+    // joins twice (measured ~2× the whole operator). Exactness: xr and rt
+    // are average ranks (half-integers ≪ 2^52), so qty-weighted products
+    // and re-associated sums stay exact in double — bit-identical to the
+    // row-at-a-time sums.
+    val g = ranked
+      .groupBy(col("tableid"), col("table_col_id"), col("is_numeric"), col("xr"))
+      .agg(count(lit(1)).cast("double").as("qty"), sum(col("rt")).as("s"))
+
     // ---- numeric: Spearman over all n input rows (unjoined → mid rank)
-    val num = ranked.where(col("is_numeric"))
+    val num = g.where(col("is_numeric"))
       .groupBy("tableid", "table_col_id")
-      .agg(count(lit(1)).cast("double").as("m"),
-        sum(col("xr")).as("sx"), sum(col("xr") * col("xr")).as("sx2"),
-        sum(col("xr") * col("rt")).as("sxy"), sum(col("rt")).as("sy_j"))
+      .agg(sum(col("qty")).as("m"),
+        sum(col("xr") * col("qty")).as("sx"),
+        sum(col("xr") * col("xr") * col("qty")).as("sx2"),
+        sum(col("xr") * col("s")).as("sxy"), sum(col("s")).as("sy_j"))
       .crossJoin(broadcast(stats))
       .withColumn("mid", ceil(col("n") / 2).cast("double"))
       .withColumn("SX", col("sx") + (col("n") - col("m")) * col("mid"))
@@ -129,10 +141,9 @@ object Cocoa {
             sqrt(col("n") * col("r_sum2") - col("r_sum") * col("r_sum"))))
       .select(col("tableid"), col("table_col_id"), lit(true).as("is_numeric"), col("corr"))
 
-    // ---- categorical: max |one-hot Pearson| over values
-    val cat = ranked.where(!col("is_numeric"))
-      .groupBy(col("tableid"), col("table_col_id"), col("xr"))
-      .agg(count(lit(1)).cast("double").as("qty"), sum(col("rt")).as("s"))
+    // ---- categorical: max |one-hot Pearson| over values (already
+    // grouped by xr — the average-tie rank is bijective with the value)
+    val cat = g.where(!col("is_numeric"))
       .crossJoin(broadcast(stats))
       .withColumn("stdY", sqrt(col("r_sum2") / col("n") - (col("r_sum") / col("n")) * (col("r_sum") / col("n"))))
       .where(col("qty") < col("n")) // qty = n → zero denominator (ref would crash)

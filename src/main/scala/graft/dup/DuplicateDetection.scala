@@ -30,11 +30,19 @@ object DuplicateDetection {
     * get_relations → compareTables): tableid_1 < tableid_2, equal super
     * key (pre-filter) and equal sorted row multiset (verification).
     */
-  def duplicateRowPairs(cells: DataFrame): DataFrame = {
-    val a = rowSignatures(cells).select(
+  def duplicateRowPairs(cells: DataFrame): DataFrame =
+    duplicateRowPairsFromSigs(rowSignatures(cells))
+
+  /** [[duplicateRowPairs]] over a precomputed (ideally cached)
+    * [[rowSignatures]] frame — the signature build is the expensive
+    * groupBy+sort pass, so callers running several duplicate queries
+    * over one lake should build it once.
+    */
+  def duplicateRowPairsFromSigs(sigs: DataFrame): DataFrame = {
+    val a = sigs.select(
       col("tableid").as("tableid_1"), col("rowid").as("rowid_1"),
       col("sig").as("sig_1"), col("sk_hi"), col("sk_lo"))
-    val b = rowSignatures(cells).select(
+    val b = sigs.select(
       col("tableid").as("tableid_2"), col("rowid").as("rowid_2"),
       col("sig").as("sig_2"), col("sk_hi"), col("sk_lo"))
     a.join(b, Seq("sk_hi", "sk_lo"))
@@ -45,10 +53,14 @@ object DuplicateDetection {
   /** Duplicate table pairs: at least min(|t1|, |t2|) duplicate row
     * pairs (maco/duplicate_detection.py:196).
     */
-  def duplicateTablePairs(cells: DataFrame): DataFrame = {
+  def duplicateTablePairs(cells: DataFrame): DataFrame =
+    duplicateTablePairsFromSigs(cells, rowSignatures(cells))
+
+  /** [[duplicateTablePairs]] with a precomputed signature frame. */
+  def duplicateTablePairsFromSigs(cells: DataFrame, sigs: DataFrame): DataFrame = {
     val sizes = cells.select("tableid", "rowid").distinct()
       .groupBy("tableid").agg(count(lit(1)).as("n_rows"))
-    duplicateRowPairs(cells)
+    duplicateRowPairsFromSigs(sigs)
       .groupBy("tableid_1", "tableid_2")
       .agg(count(lit(1)).as("n_dup"))
       .join(sizes.withColumnRenamed("tableid", "tableid_1").withColumnRenamed("n_rows", "n1"), "tableid_1")

@@ -22,7 +22,15 @@ object TestLake {
 
   def tables(s: SparkSession, dir: String): Seq[LakeTable] =
     spec.map { case (id, name, key, _) =>
-      LakeTable(id, name, s.read.parquet(s"$dir/$name.parquet"), col(key))
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      // The driver testdata writes ONE row group per file, so Spark scans
+      // each table as a single task and the melt+hash of the largest
+      // table becomes the critical path. Spread big tables before the
+      // (CPU-bound) index transform; a real lake has many files/row
+      // groups and needs no such shuffle, so gate it on the actual scan
+      // parallelism rather than doing it unconditionally.
+      val df = if (raw.rdd.getNumPartitions < 4 && id >= 3) raw.repartition(8) else raw
+      LakeTable(id, name, df, col(key))
     }
 
   /** Cell index, cached per (session, dir) — the real product persists

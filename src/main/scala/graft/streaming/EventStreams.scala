@@ -103,6 +103,23 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication: drop events whose (user_id, ts,
+    * event_type) was already seen, keeping dedup state only inside the
+    * watermark horizon (`dropDuplicatesWithinWatermark`) — the streaming
+    * twin of an exact-dedup batch pass, with state bounded by event-time
+    * instead of growing with the stream. Works on batch frames too
+    * (plain dropDuplicates semantics there).
+    */
+  def dedupStream(events: DataFrame, watermark: Option[String] = None): DataFrame = {
+    val ts = (col("ts") / lit(1000000000L)).cast("timestamp_ltz")
+    val based = events.withColumn("ts_sec", ts)
+    watermark match {
+      case Some(w) => based.withWatermark("ts_sec", w)
+        .dropDuplicatesWithinWatermark("user_id", "ts", "event_type")
+      case None => based.dropDuplicates("user_id", "ts", "event_type")
+    }
+  }
+
   /** Sessionization-style running state per user: last event type and
     * a running value total, via streaming-compatible aggregation.
     */

@@ -83,4 +83,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.size == 3)
   }
+
+  test("dedupStream drops in-watermark duplicates like batch dropDuplicates") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val sec = 1000000000L
+    val rows = Seq( // (ts, user_id, event_type, value); two exact dup keys
+      (100L * sec, 1L, "click", 1.0), (100L * sec, 1L, "click", 1.0),
+      (160L * sec, 1L, "view", 2.0), (220L * sec, 2L, "click", 3.0),
+      (220L * sec, 2L, "click", 3.0), (280L * sec, 3L, "view", 4.0))
+    val schema = Seq("ts", "user_id", "event_type", "value")
+
+    val mem = MemoryStream[(Long, Long, String, Double)]
+    val q = EventStreams.dedupStream(mem.toDF().toDF(schema: _*), Some("10 minutes"))
+      .writeStream.format("memory").queryName("dedup_out").outputMode("append").start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("dedup_out")
+      .select("user_id", "ts", "event_type", "value")
+      .orderBy("user_id", "ts", "event_type")
+      .collect().map(_.toSeq).toSeq
+    q.stop()
+
+    val batch = EventStreams.dedupStream(rows.toDF(schema: _*))
+      .select("user_id", "ts", "event_type", "value")
+      .orderBy("user_id", "ts", "event_type")
+      .collect().map(_.toSeq).toSeq
+
+    assert(streamed == batch)
+    assert(batch.size == 4)
+  }
 }
