@@ -21,7 +21,11 @@ object Bench {
     locally {
       val w = spark.range(0, 1000000L, 1, 8).selectExpr("id % 97 AS k", "id AS v")
       w.groupBy("k").count().orderBy(org.apache.spark.sql.functions.desc("count")).limit(5).count()
-      spark.read.parquet(s"$sfDir/region.parquet").count()
+      // touch every base table once so parquet footer/reader init is paid
+      // here, not inside whichever query reads a table first
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings")
+        .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
     }
     // Failures must be visible in the JSON, not masquerade as fast runs:
     // catch NonFatal only (OOM etc. crash the bench loudly) and record the

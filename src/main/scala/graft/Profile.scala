@@ -48,7 +48,7 @@ object Profile {
     import graft.index.{LakeIndexer, TestLake}
     import graft.functions.TextFunctions
     val tables = TestLake.tables(spark, dir)
-    time("scan_only")(tables.map(_.df).map(d => d.select(d.columns.map(col): _*)).reduce(_ unionByName _).count())
+    time("scan_only")(tables.map(_.df.count()).sum)
     val melt = tables.map { tb =>
       tb.df.select(tb.rowId.cast("long").as("rowid"),
         posexplode(array(tb.cols.map(c => col(c).cast("string")): _*)).as(Seq("colid", "tok")))

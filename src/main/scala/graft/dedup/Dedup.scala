@@ -114,7 +114,12 @@ object Dedup {
         struct(col("id_2").as("a"), col("id_1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
-    var labels = docs.select(col(id).as("node"), col(id).as("label")).cache()
+    // Only edge-incident nodes can change label — iterate over that
+    // (much smaller) set; isolated docs join back as their own cluster
+    // at the end. At corpus scale the near-dup graph is a tiny fraction
+    // of the corpus, so the per-round shuffles never touch full size.
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label")).cache()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < 20) {
@@ -135,7 +140,9 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels.select(col("node").as(id), col("label").as("cluster"))
+    docs.select(col(id).as("node"))
+      .join(labels.select(col("node"), col("label")), Seq("node"), "left")
+      .select(col("node").as(id), coalesce(col("label"), col("node")).as("cluster"))
   }
 
   /** MinHash + LSH near-dup: `numHashes` permutations via seeded

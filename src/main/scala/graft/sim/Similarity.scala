@@ -100,14 +100,15 @@ object Similarity {
     */
   def ivfKnn(emb: DataFrame, k: Int, nCells: Int = 16, seed: Long = 42L,
              id: String = "vec_id", vec: String = "embedding",
-             maxIter: Int = 10, maxTrain: Int = 100000): DataFrame = {
+             maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
     val toVec = udf((a: Array[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
     val feat = emb.select(col(id), col(vec)).withColumn("fv", toVec(col(vec)))
     // Coarse-quantizer discipline: centroids only partition the space, so
     // fit on a bounded sample with few iterations (classic IVF trains on
-    // ~100k vectors however big the corpus); ASSIGNMENT still covers every
-    // vector. Keeps the fit O(1) as the corpus grows.
+    // ~100k vectors however big the corpus — a converged Lloyd run buys
+    // nothing for cell balance); ASSIGNMENT still covers every vector.
+    // Keeps the fit O(1) as the corpus grows.
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
