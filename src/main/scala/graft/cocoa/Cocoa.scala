@@ -1,6 +1,5 @@
 package graft.cocoa
 
-import graft.index.CocoaIndex
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -76,18 +75,31 @@ object Cocoa {
       sum(col("rt")).as("r_sum"),
       sum(col("rt") * col("rt")).as("r_sum2"))
 
-    // restrict to candidate TABLES before the per-column windows (full
-    // columns of those tables are kept so is_numeric stays column-wide)
+    // restrict to candidate TABLES first; numericness must stay
+    // COLUMN-wide so it comes from a tiny per-column aggregate broadcast
+    // back — the window form (CocoaIndex.withSortValue) would shuffle
+    // and sort EVERY candidate cell, and extCells is the cached index so
+    // the aggregate's extra scan is nearly free. Only matched rows then
+    // carry the parsed sort value.
     val candTables = pairs.select("tableid").distinct()
-    val sorted = CocoaIndex.withSortValue(
-      extCells
-        .join(broadcast(candTables), Seq("tableid"), "left_semi")
-        .join(excluded, Seq("tableid", "colid"), "left_anti"))
+    val cand = extCells
+      .join(broadcast(candTables), Seq("tableid"), "left_semi")
+      .join(excluded, Seq("tableid", "colid"), "left_anti")
+    val tryD = expr("try_cast(tokenized AS double)")
+    val tokNumeric = col("tokenized").isin("", "nan") || tryD.isNotNull
+    val colNum = cand.groupBy("table_col_id")
+      .agg((min(when(tokNumeric, 1).otherwise(0)) === 1).as("is_numeric"))
+    val vnum0 = when(col("tokenized").isin("", "nan"), lit(null).cast("double"))
+      .otherwise(tryD)
 
     // one value per (external column, input row): last-write in value
     // order = max (maco/cocoa.py numeric walk overwrites ascending)
-    val perRow = sorted
+    val perRow = cand
       .join(pairs.withColumnRenamed("ext_row", "rowid"), Seq("tableid", "rowid"))
+      .join(broadcast(colNum), "table_col_id")
+      .withColumn("vnum", when(col("is_numeric"), vnum0))
+      // NaN from cast('nan') normalizes to null so all missing tie.
+      .withColumn("vnum", when(isnan(coalesce(col("vnum"), lit(0.0))), lit(null).cast("double")).otherwise(col("vnum")))
       .groupBy(col("table_col_id"), col("tableid"), col("input_row"))
       .agg(max(col("vnum")).as("vnum"), max(col("tokenized")).as("v_str"),
         first(col("is_numeric")).as("is_numeric"))

@@ -42,22 +42,34 @@ object LakeIndexer {
     */
   def cells(tables: Seq[LakeTable],
             rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame =
-    tables.map(cellsOf(_, rowHash)).reduce(_ unionByName _)
+    cellsMulti(tables, Seq("sk" -> rowHash))
 
-  private def cellsOf(tb: LakeTable, rowHash: Column => Column): DataFrame = {
+  /** Cell index carrying SEVERAL row-hash families in one melt pass
+    * (e.g. XASH and Bloom): the clean+explode work is shared, each
+    * family adds two long columns `<name>_hi`/`<name>_lo`. One pass over
+    * the lake however many hash variants are maintained.
+    */
+  def cellsMulti(tables: Seq[LakeTable],
+                 hashes: Seq[(String, Column => Column)]): DataFrame =
+    tables.map(cellsOf(_, hashes)).reduce(_ unionByName _)
+
+  private def cellsOf(tb: LakeTable, hashes: Seq[(String, Column => Column)]): DataFrame = {
     val cleaned = tb.cols.map(c => cleanCol(col(c))).toArray
+    val hashCols = hashes.flatMap { case (name, fn) =>
+      Seq(col(s"__$name")(0).as(s"${name}_hi"), col(s"__$name")(1).as(s"${name}_lo"))
+    }
     tb.df
       .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
-      .withColumn("sk", rowHash(col("toks")))
-      .select(col("rowid"), posexplode(col("toks")).as(Seq("colid", "tokenized")),
-        col("sk")(0).as("sk_hi"), col("sk")(1).as("sk_lo"))
+      .select(col("rowid") +: col("toks") +:
+        hashes.map { case (name, fn) => fn(col("toks")).as(s"__$name") }: _*)
+      .select(col("rowid") +: posexplode(col("toks")).as(Seq("colid", "tokenized")) +: hashCols: _*)
       .select(
-        col("tokenized"),
-        lit(tb.tableId).as("tableid"),
-        col("colid"),
-        col("rowid"),
-        concat_ws("_", lit(tb.tableId), col("colid")).as("table_col_id"),
-        col("sk_hi"), col("sk_lo"))
+        col("tokenized") +:
+        lit(tb.tableId).as("tableid") +:
+        col("colid") +:
+        col("rowid") +:
+        concat_ws("_", lit(tb.tableId), col("colid")).as("table_col_id") +:
+        hashes.flatMap { case (name, _) => Seq(col(s"${name}_hi"), col(s"${name}_lo")) }: _*)
   }
 
   /** (tableid, colid, header, header_tokenized) — maco/data_handler.py:262. */
@@ -78,7 +90,7 @@ object LakeIndexer {
   def cellsStream(newRows: DataFrame, tableId: Int, rowId: Column,
                   dataCols: Seq[String]): DataFrame =
     cellsOf(LakeTable(tableId, s"t$tableId", newRows, rowId, dataCols),
-      graft.functions.XashKernel.superKeyCol)
+      Seq("sk" -> graft.functions.XashKernel.superKeyCol))
 
   /** Persist the cell index hash-partitioned by token and sorted within
     * partitions — MATE's token-match join then reads co-located,

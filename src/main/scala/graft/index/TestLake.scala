@@ -33,25 +33,34 @@ object TestLake {
       LakeTable(id, name, df, col(key))
     }
 
+  /** Both hash families of the demo-lake cell index in ONE cached melt
+    * pass (tokenize/clean/explode shared; XASH and Bloom each add two
+    * long columns). [[cells]] / [[cellsBloom]] are projections of this.
+    */
+  private def cellsAll(s: SparkSession, dir: String): DataFrame =
+    cellsAllCache.getOrElseUpdate((s, dir),
+      LakeIndexer.cellsMulti(tables(s, dir), Seq(
+        "sk" -> graft.functions.XashKernel.superKeyCol,
+        "bk" -> graft.functions.XashKernel.bloomRowHashCol)).cache())
+
+  private val cellsAllCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private val cellCols = Seq("tokenized", "tableid", "colid", "rowid", "table_col_id")
+
   /** Cell index, cached per (session, dir) — the real product persists
     * the index once and every discovery query reads it, so queries
     * within a session must not re-melt and re-hash the lake.
     */
   def cells(s: SparkSession, dir: String): DataFrame =
-    cellsCache.getOrElseUpdate((s, dir), LakeIndexer.cells(tables(s, dir)).cache())
-
-  private val cellsCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    cellsAll(s, dir).select(cellCols.map(col) :+ col("sk_hi") :+ col("sk_lo"): _*)
 
   /** Cell index with Bloom-filter row hashes instead of XASH
     * (reference's pluggable hash_function; used by `mate_bloom`).
     */
   def cellsBloom(s: SparkSession, dir: String): DataFrame =
-    bloomCache.getOrElseUpdate((s, dir),
-      LakeIndexer.cells(tables(s, dir), graft.functions.XashKernel.bloomRowHashCol).cache())
-
-  private val bloomCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    cellsAll(s, dir).select(
+      cellCols.map(col) :+ col("bk_hi").as("sk_hi") :+ col("bk_lo").as("sk_lo"): _*)
 
   /** DuckDB SQL producing the same cell index (tokenized, tableid,
     * colid, rowid, table_col_id) — super keys are not SQL-expressible
