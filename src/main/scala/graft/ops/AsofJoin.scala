@@ -41,4 +41,30 @@ object AsofJoin {
         valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
       .where(col("__side") === 1).drop("__side")
   }
+
+  /** Forward as-of join: each left row picks up the EARLIEST right row
+    * with `rightTs >= leftTs` in its key group — same union+window
+    * idiom mirrored (first-looking-forward window, left sorts before
+    * right at equal timestamps so the match stays inclusive).
+    */
+  def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
+              leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
+    val carryLeft = left.columns.toSeq.filterNot(keys.contains)
+    // side 1 = right (sorts after left at equal ts → inclusive match)
+    val taggedRight = right.select(
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__side")) ++
+        valueCols.map(col) ++
+        carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(0).as("__side")) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        carryLeft.map(col): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    taggedLeft.unionByName(taggedRight)
+      .select(keys.map(col) ++ carryLeft.map(col) ++ Seq(col("__side")) ++
+        valueCols.map(c => first(col(c), ignoreNulls = true).over(w).as(c)): _*)
+      .where(col("__side") === 0).drop("__side")
+  }
 }

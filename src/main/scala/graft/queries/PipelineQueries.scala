@@ -155,6 +155,9 @@ object PipelineQueries {
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "text_boilerplate" -> ((s, dir) =>
+      TextAnalysis.boilerplateShare(t(s, dir, "documents"), 3, 5).orderBy("doc_id")),
+
     "tfidf_topk" -> ((s, dir) =>
       graft.text.Search.tfidfTopK(t(s, dir, "documents"), 3)
         .orderBy("doc_id", "word")),
@@ -315,6 +318,19 @@ object PipelineQueries {
         | round(n_distinct::DOUBLE / n_words, 6) AS distinct_ratio,
         | round(top_cnt::DOUBLE / n_words, 6) AS top_share
         |FROM a ORDER BY doc_id""".stripMargin,
+
+    "text_boilerplate" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1),
+        |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS s FROM w),
+        |inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |hot AS (SELECT g FROM (SELECT g, count(DISTINCT doc_id) AS df FROM inv GROUP BY g) WHERE df > 5),
+        |shared AS (SELECT i.doc_id, count(*) AS n_hot FROM inv i JOIN hot h USING (g) GROUP BY 1)
+        |SELECT s.doc_id, CAST(len(s.s) AS INT) AS n_shingles,
+        |  coalesce(sh2.n_hot, 0) AS n_hot,
+        |  CASE WHEN len(s.s) = 0 THEN 0.0
+        |       ELSE round(coalesce(sh2.n_hot, 0)::DOUBLE / len(s.s), 6) END AS hot_share
+        |FROM sh s LEFT JOIN shared sh2 USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     "tfidf_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

@@ -196,6 +196,21 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Forward variant: each purchase picks up the NEXT view at-or-after
+    // its timestamp (same union+window idiom, mirrored).
+    "q_asof_fwd" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val views = ev.where(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      graft.ops.AsofJoin.forward(purchases, views,
+        Seq("user_id"), "ts", "ts", Seq("view_value"))
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000").as("ts_us"), col("view_value"))
+        .orderBy("event_id")
+    }),
+
     // Deterministic stratified sample: clicks at 2/16, all else 4/16,
     // keyed on md5(event_id) — reproducible, shuffle-free, push-downable.
     "q_stratified_sample" -> ((s, dir) => {
@@ -309,6 +324,16 @@ object Relational {
          |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
          |p2 AS (SELECT p.*, (SELECT max(v2.ts) FROM v v2
          |                    WHERE v2.user_id = p.user_id AND v2.ts <= p.ts) AS vts FROM p)
+         |SELECT p2.event_id, p2.user_id, CAST(epoch_us(p2.ts) AS BIGINT) AS ts_us, v.view_value
+         |FROM p2 LEFT JOIN v ON v.user_id = p2.user_id AND v.ts = p2.vts
+         |ORDER BY event_id""".stripMargin,
+
+    "q_asof_fwd" ->
+      s"""WITH v AS (SELECT user_id, ts, max(value) AS view_value FROM events
+         |           WHERE event_type = 'view' GROUP BY 1, 2),
+         |p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+         |p2 AS (SELECT p.*, (SELECT min(v2.ts) FROM v v2
+         |                    WHERE v2.user_id = p.user_id AND v2.ts >= p.ts) AS vts FROM p)
          |SELECT p2.event_id, p2.user_id, CAST(epoch_us(p2.ts) AS BIGINT) AS ts_us, v.view_value
          |FROM p2 LEFT JOIN v ON v.user_id = p2.user_id AND v.ts = p2.vts
          |ORDER BY event_id""".stripMargin,

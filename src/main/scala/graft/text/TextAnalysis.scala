@@ -109,6 +109,30 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6).as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_words").cast("double"), 6).as("top_share"))
 
+  /** Cross-document boilerplate share: the fraction of a document's
+    * distinct n-gram shingles that occur in more than `minDf` documents
+    * corpus-wide (the C4/CCNet-style signal for template/boilerplate
+    * text — repeated spans that are NOT near-duplicate whole docs).
+    * Two grouped aggregations over the shingle inverted index; the hot
+    * shingle table is tiny (df > minDf) so it broadcasts.
+    * Output: (doc_id, n_shingles, n_hot, hot_share).
+    */
+  def boilerplateShare(docs: DataFrame, n: Int = 3, minDf: Long = 5,
+                       id: String = "doc_id", text: String = "text"): DataFrame = {
+    val inv = docs
+      .select(col(id), graft.dedup.Dedup.shingles(col(text), n).as("sh"))
+      .select(col(id), size(col("sh")).as("n_shingles"), explode_outer(col("sh")).as("g"))
+    val hot = inv.where(col("g").isNotNull)
+      .groupBy("g").agg(countDistinct(col(id)).as("df"))
+      .where(col("df") > minDf).select(col("g"), lit(1).as("__hot"))
+    inv.join(broadcast(hot), Seq("g"), "left")
+      .groupBy(col(id), col("n_shingles"))
+      .agg(sum(coalesce(col("__hot"), lit(0))).cast("long").as("n_hot"))
+      .withColumn("hot_share",
+        when(col("n_shingles") === 0, lit(0.0))
+          .otherwise(round(col("n_hot").cast("double") / col("n_shingles").cast("double"), 6)))
+  }
+
   /** Order-sensitive rolling polynomial fingerprint (rows-only): FNV of
     * each word folded with ×31.
     */

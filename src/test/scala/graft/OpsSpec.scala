@@ -25,6 +25,24 @@ class OpsSpec extends SparkSpec {
       "l3" -> None, "l7" -> None))
   }
 
+  test("asof forward: earliest right >= left per key, inclusive ties, null when none") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 10L, "l10"), // next right is ts 20 → v20
+      (1L, 5L, "l5"),   // ties right ts 5 inclusively → v5
+      (1L, 25L, "l25"), // after all right rows → null
+      (2L, 7L, "l7")    // key with no right rows → null
+    ).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 5L, "v5"),
+      (1L, 20L, "v20")
+    ).toDF("k", "ts", "v")
+    val out = AsofJoin.forward(left, right, Seq("k"), "ts", "ts", Seq("v"))
+      .select("tag", "v").as[(String, Option[String])].collect().toMap
+    assert(out == Map("l10" -> Some("v20"), "l5" -> Some("v5"),
+      "l25" -> None, "l7" -> None))
+  }
+
   test("stratified hash sample is deterministic and respects per-stratum rates") {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
