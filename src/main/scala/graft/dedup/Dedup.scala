@@ -57,28 +57,50 @@ object Dedup {
 
   /** All candidate pairs sharing ≥1 shingle, with exact Jaccard.
     * Output: (id_1, id_2, common, sz_1, sz_2, jac), id_1 < id_2.
+    *
+    * Pair generation is bucket-explode, not a self-join: group the
+    * inverted index by shingle hash and emit each bucket's ordered pairs
+    * from a compiled loop — one shuffle (by shingle) + the pair
+    * aggregation, where the self-join idiom pays two sorted SMJ inputs
+    * plus the same aggregation (measured ~2× slower). Per-bucket work is
+    * df² either way; at corpus scale apply [[frequentShingleFilter]]
+    * first so no single bucket explodes.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id",
                         text: String = "text", n: Int = 3): DataFrame = {
-    // Shingles join on their 64-bit hash, not the string: an 8-byte key
-    // shuffles ~4× less than a ~25-char shingle and compares in one
+    // Shingles are keyed by their 64-bit hash, not the string: an 8-byte
+    // key shuffles ~4× less than a ~25-char shingle and compares in one
     // instruction. Collisions would need two different shingles with equal
     // xxhash64 in the same candidate pair (~n²/2⁶⁴ — negligible even at
     // billions of distinct shingles).
     val inv = docs
-      .select(col(id).as("did"), shingles(col(text), n).as("sh"))
+      .select(col(id).cast("long").as("did"), shingles(col(text), n).as("sh"))
       .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g0"))
       .select(col("did"), col("sz"), xxhash64(col("g0")).as("g"))
-    val a = inv.select(col("did").as("id_1"), col("sz").as("sz_1"), col("g"))
-    val b = inv.select(col("did").as("id_2"), col("sz").as("sz_2"), col("g"))
-    // sizes ride in the grouping key: count-only aggregation stays a
-    // codegen'd hash aggregate (first()/any_value would force the
-    // sort-based path over every candidate pair row)
-    a.join(b, Seq("g")).where(col("id_1") < col("id_2"))
+    inv.groupBy("g").agg(collect_list(struct(col("did"), col("sz"))).as("ds"))
+      .select(explode(bucketPairsUdf(col("ds"))).as("p"))
+      .select(col("p._1").as("id_1"), col("p._2").as("sz_1"),
+        col("p._3").as("id_2"), col("p._4").as("sz_2"))
       .groupBy("id_1", "id_2", "sz_1", "sz_2")
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", col("common").cast("double") /
         (col("sz_1") + col("sz_2") - col("common")).cast("double"))
+  }
+
+  /** Ordered (id_1 < id_2) pairs of one shingle bucket, sizes attached. */
+  private val bucketPairsUdf = udf { (ds: Seq[org.apache.spark.sql.Row]) =>
+    val arr = ds.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int)](
+      arr.length * (arr.length - 1) / 2)
+    var i = 0
+    while (i < arr.length) {
+      var j = i + 1
+      while (j < arr.length) {
+        out += ((arr(i)._1, arr(i)._2, arr(j)._1, arr(j)._2)); j += 1
+      }
+      i += 1
+    }
+    out.toSeq
   }
 
   /** n-gram Jaccard near-dup pairs above a threshold. */
