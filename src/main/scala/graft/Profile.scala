@@ -39,6 +39,7 @@ object Profile {
       case "index"      => index(spark, sfDir)
       case "corr"       => corr(spark, sfDir)
       case "dup_tables" => dupTables(spark, sfDir)
+      case "explain"    => explainPlans(spark, sfDir)
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -176,6 +177,13 @@ object Profile {
     val pairs = Dedup.ngramJaccard(docs, 0.5)
     time("pairs")(pairs.count())
     time("clusters_total")(Dedup.clusters(docs, pairs).count())
+  }
+
+  def explainPlans(spark: SparkSession, dir: String): Unit = {
+    for (q <- Seq("q6_filter", "q5_multijoin", "q3_join", "mate_single", "dedup_jaccard")) {
+      println(s"==== $q ====")
+      SparkEntry.queries(q)(spark, dir).explain("formatted")
+    }
   }
 
   def dupTables(spark: SparkSession, dir: String): Unit = {
