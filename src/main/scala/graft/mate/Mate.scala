@@ -108,11 +108,22 @@ object Mate {
                cells: DataFrame, k: Int): DataFrame =
     searchAndMaps(input, rowId, queryCols, cells, k)._2
 
-  /** Top-k result AND its join maps off one cached match set. */
+  /** Top-k result AND its join maps off one cached match set.
+    *
+    * The top-k frame is materialized to a k-row LOCAL relation (k is a
+    * user constant — this is a bounded driver collect at any lake
+    * scale): every downstream consumer broadcasts it — the map
+    * projection here, COCOA's candidate-table and excluded-column
+    * filters — and as a local relation those broadcasts are free
+    * instead of each re-executing the score+topk subplan.
+    */
   def searchAndMaps(input: DataFrame, rowId: Column, queryCols: Seq[String],
                     cells: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val matched = matches(input, rowId, queryCols, cells).cache()
-    val top = topkOf(matched, k)
+    val spark = matched.sparkSession
+    val topK = topkOf(matched, k)
+    val top = spark.createDataFrame(
+      spark.sparkContext.parallelize(topK.collect().toIndexedSeq, 1), topK.schema)
     val maps = matched
       .join(broadcast(top.select("tableid", "columns")), Seq("tableid", "columns"))
       .groupBy("tableid", "columns", "rowid")
