@@ -124,10 +124,13 @@ object Mate {
     val topK = topkOf(matched, k)
     val top = spark.createDataFrame(
       spark.sparkContext.parallelize(topK.collect().toIndexedSeq, 1), topK.schema)
+    // cached: the maps ARE the reference's materialized join-map product,
+    // and COCOA consumes them several times (candidate tables, pair join)
     val maps = matched
       .join(broadcast(top.select("tableid", "columns")), Seq("tableid", "columns"))
       .groupBy("tableid", "columns", "rowid")
       .agg(min("MateRowID").as("input_row"))
+      .cache()
     (top, maps)
   }
 }

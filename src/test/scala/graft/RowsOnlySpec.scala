@@ -1,0 +1,88 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.functions.{BloomHash, SimHash, TextFunctions}
+import graft.ml.FeatureEval
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Pins for the operators the driver can only rows-check (no DuckDB
+  * oracle): hash kernels, ANN paths, the multimodal stub and the ML
+  * evaluation. Each rows-only `SparkEntry.queries` entry has a
+  * behavioral anchor here.
+  */
+class RowsOnlySpec extends SparkSpec {
+
+  test("rolling fingerprint is the ordered x31 fold of word FNV hashes") {
+    import spark.implicits._
+    val out = graft.text.TextAnalysis.rollingFingerprint(
+      Seq((1L, "hello world"), (2L, "world hello"), (3L, "")).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cleaned = TextFunctions.cleanedTextLocal("hello world")
+    val ws = cleaned.split(" ")
+    val expected = ws.foldLeft(0L)((acc, w) => acc * 31L + SimHash.fnv1a64(w))
+    assert(out(1L) == expected)
+    assert(out(1L) != out(2L)) // order-sensitive, unlike the bag fingerprint
+  }
+
+  test("bloom row hash is the OR of per-token filters, k bits per token") {
+    val (h1, l1) = BloomHash.rowHash(Seq("alpha"))
+    val (h2, l2) = BloomHash.rowHash(Seq("beta"))
+    val (hr, lr) = BloomHash.rowHash(Seq("alpha", "beta"))
+    assert((hr, lr) == (h1 | h2, l1 | l2))
+    val bits = java.lang.Long.bitCount(h1) + java.lang.Long.bitCount(l1)
+    assert(bits > 0 && bits <= BloomHash.NumHashes)
+    // containment prefilter has no false negatives by construction
+    assert((hr & h1) == h1 && (lr & l1) == l1)
+  }
+
+  test("multimodal decodeFeatures derives the deterministic stub features") {
+    import spark.implicits._
+    val out = Multimodal.decodeFeatures(spark,
+      Seq((7L, "ab c")).toDF("doc_id", "text")).collect().head
+    assert(out.doc_id == 7L)
+    assert(out.n_bytes == 4)
+    val bytes = "ab c".getBytes("UTF-8").map(_ & 0xff)
+    assert(out.feature.toSeq == Seq(4.0, bytes.sum.toDouble / 4, 1.0, 'a'.toInt.toDouble))
+  }
+
+  test("permutation importance ranks the real signal far above noise") {
+    import spark.implicits._
+    val df = (0 until 300).map { i =>
+      val x = i.toDouble / 3
+      val noise = SimHash.fnv1a64(i.toString).toDouble / Long.MaxValue
+      (x, noise, 3.0 * x + 1.0)
+    }.toDF("x", "noise", "y")
+    val imp = FeatureEval.permutationImportance(df, Seq("x", "noise"), "y")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(imp("x") > 100 * math.max(imp("noise"), 1e-9))
+  }
+
+  private def clusteredEmb = {
+    import spark.implicits._
+    // two tight, well-separated clusters in R^4
+    (0 until 6).map(i => (i.toLong, Array(10f + i * 0.1f, 0f, 0f, 1f))) ++
+      (6 until 12).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 1f, 0f)))
+  }
+
+  test("lsh knn matches brute force on separated clusters") {
+    import spark.implicits._
+    val emb = clusteredEmb.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceKnnBlocked(emb, emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Similarity.lshKnn(emb, 1, bits = 4, dim = 4)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(lsh == brute)
+  }
+
+  test("ivf knn matches brute force on separated clusters") {
+    import spark.implicits._
+    val emb = clusteredEmb.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceKnnBlocked(emb, emb, 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val ivf = Similarity.ivfKnn(emb, 1, nCells = 2)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf == brute)
+  }
+}
