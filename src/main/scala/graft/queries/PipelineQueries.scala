@@ -158,6 +158,15 @@ object PipelineQueries {
     "text_boilerplate" -> ((s, dir) =>
       TextAnalysis.boilerplateShare(t(s, dir, "documents"), 3, 5).orderBy("doc_id")),
 
+    "doc_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkWords(t(s, dir, "documents").where(col("doc_id") < 50), 20, 10)
+        .orderBy("doc_id", "chunk_id")),
+
+    "seq_pack" -> ((s, dir) =>
+      TextAnalysis.packSequences(t(s, dir, "documents"), 2048L, "source", "doc_id")
+        .select("doc_id", "source", "n_tokens", "bin")
+        .orderBy("doc_id")),
+
     "tfidf_topk" -> ((s, dir) =>
       graft.text.Search.tfidfTopK(t(s, dir, "documents"), 3)
         .orderBy("doc_id", "word")),
@@ -331,6 +340,24 @@ object PipelineQueries {
         |  CASE WHEN len(s.s) = 0 THEN 0.0
         |       ELSE round(coalesce(sh2.n_hot, 0)::DOUBLE / len(s.s), 6) END AS hot_share
         |FROM sh s LEFT JOIN shared sh2 USING (doc_id) ORDER BY s.doc_id""".stripMargin,
+
+    "doc_chunks" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents WHERE doc_id < 50),
+        |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-1, 0)+1, 10)) AS start,
+        |        CAST(unnest(range(0, greatest((len(ws)-1)//10, 0)+1)) AS INT) AS chunk_id
+        |       FROM w)
+        |SELECT doc_id, chunk_id,
+        |  array_to_string(list_slice(ws, start+1, start+20), ' ') AS chunk_text,
+        |  CAST(len(list_slice(ws, start+1, start+20)) AS INT) AS n_words
+        |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "seq_pack" ->
+      """SELECT doc_id, source, n_tokens,
+        | CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 2048 AS BIGINT) AS bin
+        |FROM (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
 
     "tfidf_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

@@ -2,6 +2,7 @@ package graft.text
 
 import graft.functions.{SimHash, TextFunctions}
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines
@@ -131,6 +132,45 @@ object TextAnalysis {
       .withColumn("hot_share",
         when(col("n_shingles") === 0, lit(0.0))
           .otherwise(round(col("n_hot").cast("double") / col("n_shingles").cast("double"), 6)))
+  }
+
+  /** Fixed-size word-window chunking with stride (the RAG / training
+    * window split): one output row per (doc, window start), window =
+    * `size` words, consecutive starts `stride` apart, last windows may
+    * be short. Pure per-row explode — no shuffle at any corpus size.
+    * Output: (doc_id, chunk_id, chunk_text, n_words).
+    */
+  def chunkWords(docs: DataFrame, size: Int, stride: Int,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0, s"size ($size) and stride ($stride) must be positive")
+    val ws = words(col(text))
+    docs
+      .select(col(id), ws.as("ws"))
+      .select(col(id),
+        posexplode(sequence(lit(0), greatest(org.apache.spark.sql.functions.size(col("ws")) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "start")),
+        col("ws"))
+      .select(col(id), col("chunk_id"),
+        array_join(slice(col("ws"), col("start") + 1, lit(size)), " ").as("chunk_text"),
+        org.apache.spark.sql.functions.size(slice(col("ws"), col("start") + 1, lit(size))).as("n_words"))
+  }
+
+  /** Greedy sequence packing per group: assign whole documents to
+    * consecutive fixed-token-budget bins (`maxTokens`), in `orderCol`
+    * order within each `groupCol` partition — the data-mixing step that
+    * turns documents into training sequences. Bins are per group, so
+    * packing parallelizes across groups (the global-order variant is a
+    * single sequential stream by definition). bin = ⌊tokens-before /
+    * maxTokens⌋: no document is split, and a bin overflows by at most
+    * its last document. Output: input columns + (n_tokens, bin).
+    */
+  def packSequences(docs: DataFrame, maxTokens: Long, groupCol: String,
+                    orderCol: String, text: String = "text"): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .withColumn("n_tokens", org.apache.spark.sql.functions.size(words(col(text))).cast("long"))
+      .withColumn("bin", (coalesce(sum(col("n_tokens")).over(w), lit(0L)) / maxTokens).cast("long"))
   }
 
   /** Order-sensitive rolling polynomial fingerprint (rows-only): FNV of
