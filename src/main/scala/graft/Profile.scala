@@ -40,6 +40,7 @@ object Profile {
       case "corr"       => corr(spark, sfDir)
       case "dup_tables" => dupTables(spark, sfDir)
       case "explain"    => explainPlans(spark, sfDir)
+      case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -177,6 +178,26 @@ object Profile {
     val pairs = Dedup.ngramJaccard(docs, 0.5)
     time("pairs")(pairs.count())
     time("clusters_total")(Dedup.clusters(docs, pairs).count())
+  }
+
+  /** Per-Spark-job wall time for one query (index prebuilt, warm). */
+  def jobProfile(spark: SparkSession, dir: String, query: String): Unit = {
+    graft.index.TestLake.cells(spark, dir).count()
+    graft.index.TestLake.cellsBloom(spark, dir).count()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(e.jobId, (e.time, Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")))
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.get(e.jobId)).foreach { case (t0, desc) =>
+          println(f"[job] ${e.jobId}%3d ${(e.time - t0) / 1000.0}%7.2f s  ${desc.take(90)}")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    time(query)(SparkEntry.queries(query)(spark, dir).count())
+    spark.sparkContext.removeSparkListener(listener)
   }
 
   def explainPlans(spark: SparkSession, dir: String): Unit = {

@@ -264,4 +264,21 @@ object Cocoa {
     correlations
       .orderBy(abs(col("corr")).desc, col("table_col_id").asc)
       .limit(k)
+
+  /** The reference's one-call multicolumn enrichment
+    * (maco/cocoa.py:306 enrich_multicolumn): MATE top-k joinable
+    * tables → join maps → correlation of every candidate column →
+    * top-k_c features by |corr|. `input` must carry `rowId`, the query
+    * columns and `target`.
+    */
+  def enrichMulticolumn(input: DataFrame, rowId: Column, queryCols: Seq[String],
+                        target: Column, cells: DataFrame, k: Int, kC: Int): DataFrame = {
+    val (top, jm0) = graft.mate.Mate.searchAndMaps(input, rowId, queryCols, cells, k)
+    val pairs = jm0.select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
+    val excluded = top
+      .select(col("tableid"), explode(split(col("columns"), "_")).as("c"))
+      .select(col("tableid"), col("c").cast("int").as("colid")).distinct()
+    val ranked = targetRanks(input.select(rowId.cast("long").as("input_row"), target.as("target")))
+    topK(correlations(ranked, pairs, cells, excluded), kC)
+  }
 }

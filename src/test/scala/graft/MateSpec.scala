@@ -45,6 +45,24 @@ class MateSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, "1", 3L), (2, "1", 3L)))
   }
 
+  test("enrichMulticolumn scores non-join columns of the top joinable table") {
+    val s = spark
+    import s.implicits._
+    val inp = Seq((100L, "berlin", "gold", 1.0), (101L, "paris", "gold", 2.0),
+      (102L, "rome", "silver", 3.0), (103L, "lima", "gold", 4.0))
+      .toDF("rid", "city", "seg", "tgt")
+    val out = graft.cocoa.Cocoa.enrichMulticolumn(
+      inp, col("rid"), Seq("city", "seg"), col("tgt"), lake(), 5, 3)
+      .collect().map(r => (r.getString(1), r.getDouble(3)))
+    // only t1 joins on (city, seg); its join columns 1 and 2 are excluded,
+    // leaving the key (colid 0) and x (colid 3), both monotone with tgt
+    assert(out.map(_._1).toSet == Set("1_0", "1_3"))
+    // the unmatched input row (lima) takes the mid external rank, so the
+    // correlation is positive but < 1; both columns rank tgt identically
+    assert(out.forall { case (_, c) => c > 0.3 })
+    assert(out.map(_._2).distinct.length == 1)
+  }
+
   test("join maps point external rows at input rows") {
     val jm = Mate.joinMaps(input(), col("rid"), Seq("city", "seg"), lake(), 5)
       .orderBy("rowid")
