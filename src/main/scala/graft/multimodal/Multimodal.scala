@@ -33,6 +33,49 @@ object Multimodal {
       (octet_length(col("blob")) % 480).as("height"),
       (expr("octet_length(blob) div 1000") + 1).as("n_frames"))
 
+  case class Frame(doc_id: Long, frame_idx: Int, frame_off: Long, frame_bytes: Int)
+  case class Resized(doc_id: Long, width: Int, height: Int,
+                     out_w: Int, out_h: Int, out_bytes: Long)
+
+  /** Frame sampling: one row per sampled frame of a "video" payload —
+    * frame boundaries every `frameSize` bytes (the stub's stand-in for
+    * codec keyframes). Pure per-row explode, no shuffle; a real decoder
+    * would seek per offset inside the same mapPartitions batch.
+    * Output: (doc_id, frame_idx, frame_off, frame_bytes).
+    */
+  def frameSample(spark: SparkSession, docs: DataFrame, frameSize: Int = 1000,
+                  id: String = "doc_id"): Dataset[Frame] = {
+    import spark.implicits._
+    withBlob(docs).select(col(id).as("doc_id"), col("blob")).as[MediaRow]
+      .flatMap { r =>
+        val n = r.blob.length
+        val frames = n / frameSize + 1
+        (0 until frames).iterator.map { i =>
+          val off = i.toLong * frameSize
+          Frame(r.doc_id, i, off, math.min(frameSize.toLong, n - off).toInt)
+        }
+      }
+  }
+
+  /** Resize-shaped transform: per-partition batch "resize" of each
+    * payload to a fixed raster. STUB: emits the metadata contract
+    * (fake source dims from [[meta]], fixed 224×224×3 output size); a
+    * real implementation decodes and scales inside the same batch loop.
+    * Output: (doc_id, width, height, out_w, out_h, out_bytes).
+    */
+  def resizeStub(spark: SparkSession, docs: DataFrame, outW: Int = 224, outH: Int = 224,
+                 id: String = "doc_id"): Dataset[Resized] = {
+    import spark.implicits._
+    withBlob(docs).select(col(id).as("doc_id"), col("blob")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition scaler/codec setup would go here
+        rows.map { r =>
+          val n = r.blob.length
+          Resized(r.doc_id, n % 640, n % 480, outW, outH, outW.toLong * outH * 3)
+        }
+      }
+  }
+
   /** Batched per-partition decode → fixed-size feature vector.
     * STUB: a real implementation would initialize a decoder per
     * partition and decode each blob; the fake derives a deterministic

@@ -102,6 +102,14 @@ object PipelineQueries {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.meta(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(s, t(s, dir, "documents").where(col("doc_id") < 100)).toDF()
+        .orderBy("doc_id", "frame_idx")),
+
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(s, t(s, dir, "documents")).toDF()
+        .orderBy("doc_id")),
+
     "multimodal_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(s, t(s, dir, "documents")).toDF()
         .select(col("doc_id"), col("n_bytes"),
@@ -300,6 +308,19 @@ object PipelineQueries {
         | octet_length(encode(text)) % 640 AS width,
         | octet_length(encode(text)) % 480 AS height,
         | octet_length(encode(text)) // 1000 + 1 AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents WHERE doc_id < 100),
+        |f AS (SELECT doc_id, n, CAST(unnest(range(0, n // 1000 + 1)) AS INT) AS frame_idx FROM b)
+        |SELECT doc_id, frame_idx, CAST(frame_idx AS BIGINT) * 1000 AS frame_off,
+        |  CAST(least(1000, n - frame_idx * 1000) AS INT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "multimodal_resize" ->
+      """SELECT doc_id, octet_length(encode(text)) % 640 AS width,
+        | octet_length(encode(text)) % 480 AS height,
+        | 224 AS out_w, 224 AS out_h, CAST(224*224*3 AS BIGINT) AS out_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "contamination_check" ->
