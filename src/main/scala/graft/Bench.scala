@@ -26,6 +26,17 @@ object Bench {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings")
         .foreach(t => spark.read.parquet(s"$sfDir/$t.parquet").count())
+      // spark.ml class-loading + BLAS init (~1-4s on first fit) must not
+      // land inside whichever ML query runs first
+      locally {
+        import org.apache.spark.ml.linalg.Vectors
+        val tiny = spark.createDataFrame((0 until 64).map(i =>
+          (i.toDouble, Vectors.dense(i.toDouble, (i % 7).toDouble)))).toDF("y", "fv")
+        new org.apache.spark.ml.clustering.KMeans().setK(2).setSeed(1L).setMaxIter(2)
+          .setFeaturesCol("fv").fit(tiny)
+        new org.apache.spark.ml.regression.LinearRegression()
+          .setFeaturesCol("fv").setLabelCol("y").setMaxIter(2).fit(tiny)
+      }
     }
     // Failures must be visible in the JSON, not masquerade as fast runs:
     // catch NonFatal only (OOM etc. crash the bench loudly) and record the

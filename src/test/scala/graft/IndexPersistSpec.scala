@@ -25,6 +25,13 @@ class IndexPersistSpec extends SparkSpec {
     val persisted = graft.mate.Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey"), back, 5)
       .collect().map(_.toSeq).toSeq
     assert(live == persisted)
+    // token filters reach the parquet scan of the persisted layout, so
+    // min/max stats on the sorted files can prune (the layout IS the
+    // inverted index)
+    val plan = back.where(col("tokenized") === "germany")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("EqualTo(tokenized,germany"),
+      s"expected token pushdown in:\n$plan")
   }
 
   test("streaming index maintenance equals the batch build") {
