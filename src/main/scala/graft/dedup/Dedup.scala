@@ -123,10 +123,18 @@ object Dedup {
 
   /** Transitive closure of near-dup pairs → cluster ids: every doc gets
     * the minimum doc id reachable through the pair graph (itself when
-    * isolated). Iterative min-label propagation — O(log n) joins, no
-    * driver-side graph.
+    * isolated).
+    *
+    * Adaptive execution, AQE-style: the EDGE set (τ-filtered near-dup
+    * pairs) is orders of magnitude smaller than the corpus, so when it
+    * fits comfortably on the driver (≤ `localThreshold` edges) a local
+    * union-find replaces ~4 rounds of join+aggregate latency; above the
+    * threshold the iterative min-label propagation runs — O(log n)
+    * joins, no driver-side graph. Both paths give identical labels
+    * (minimum component member).
     */
-  def clusters(docs: DataFrame, pairs: DataFrame, id: String = "doc_id"): DataFrame = {
+  def clusters(docs: DataFrame, pairs: DataFrame, id: String = "doc_id",
+               localThreshold: Long = 500000): DataFrame = {
     // Both edge directions come out of ONE pass over `pairs` (explode of a
     // 2-element array) — a union of pairs with pairs-swapped would execute
     // the whole candidate-generation subplan twice before the cache exists.
@@ -136,6 +144,7 @@ object Dedup {
         struct(col("id_2").as("a"), col("id_1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct().cache()
+    if (edges.count() <= localThreshold) return clustersLocal(docs, edges, id)
     // Only edge-incident nodes can change label — iterate over that
     // (much smaller) set; isolated docs join back as their own cluster
     // at the end. At corpus scale the near-dup graph is a tiny fraction
@@ -164,6 +173,35 @@ object Dedup {
     }
     docs.select(col(id).as("node"))
       .join(labels.select(col("node"), col("label")), Seq("node"), "left")
+      .select(col("node").as(id), coalesce(col("label"), col("node")).as("cluster"))
+  }
+
+  /** Driver union-find over a SMALL collected edge set (gated by
+    * `localThreshold` above); labels = minimum component member, exactly
+    * the propagation fixpoint. Isolated docs stay distributed and join
+    * the broadcast label map.
+    */
+  private def clustersLocal(docs: DataFrame, edges: DataFrame, id: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb } // min root wins
+    }
+    val labels = parent.keys.map(n => (n, find(n))).toSeq.toDF("node", "label")
+    docs.select(col(id).cast("long").as("node"))
+      .join(broadcast(labels), Seq("node"), "left")
       .select(col("node").as(id), coalesce(col("label"), col("node")).as("cluster"))
   }
 

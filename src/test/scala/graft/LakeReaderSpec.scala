@@ -37,8 +37,14 @@ class LakeReaderSpec extends SparkSpec {
     import s.implicits._
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val pairs = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (4L, 5L, 1.0)).toDF("id_1", "id_2", "jac")
-    val c = Dedup.clusters(docs, pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L)
+    // local union-find path (default threshold) and the distributed
+    // propagation path (threshold 0) must agree exactly
+    val local = Dedup.clusters(docs, pairs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val dist = Dedup.clusters(docs, pairs, localThreshold = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(local == expected)
+    assert(dist == expected)
   }
 
   test("frequent-shingle filter drops hot keys only") {
