@@ -41,6 +41,7 @@ object Profile {
       case "dup_tables" => dupTables(spark, sfDir)
       case "explain"    => explainPlans(spark, sfDir)
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
+      case "stress"     => stress(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -178,6 +179,33 @@ object Profile {
     val pairs = Dedup.ngramJaccard(docs, 0.5)
     time("pairs")(pairs.count())
     time("clusters_total")(Dedup.clusters(docs, pairs).count())
+  }
+
+  /** Synthetic corpus stress: nDocs documents (~40 words each, 10%
+    * exact dups, clustered near-dups) through the dedup family — the
+    * empirical check that the operators hold far beyond the driver
+    * testdata sizes, not just at sf0.1.
+    */
+  def stress(spark: SparkSession, nDocs: Int): Unit = {
+    import graft.dedup.Dedup
+    val docs = spark.range(0, nDocs, 1, 32).selectExpr(
+      "id AS doc_id",
+      // 90% unique body, 10% repeat of an earlier doc's body; each body
+      // ~40 words over a ~50k-word vocabulary with shared phrases
+      """concat_ws(' ',
+           transform(sequence(0, 39),
+             i -> concat('w', pmod(hash(CASE WHEN id % 10 = 9 THEN id - 5 ELSE id END, i), 50000)))
+         ) AS text""")
+      .cache()
+    time(s"materialize_${nDocs}_docs")(docs.count())
+    time("exact_dedup")(docs.select(org.apache.spark.sql.functions.md5(col("text"))).distinct().count())
+    time("minhash_lsh")(Dedup.minhashLsh(docs, 0.5).count())
+    val pairs = Dedup.ngramJaccard(docs, 0.5).cache()
+    time("jaccard_pairs")(pairs.count())
+    time("clusters_local")(Dedup.clusters(docs, pairs).count())
+    time("clusters_distributed")(Dedup.clusters(docs, pairs, localThreshold = 0).count())
+    time("boilerplate")(graft.text.TextAnalysis.boilerplateShare(docs, 3, 50).count())
+    docs.unpersist()
   }
 
   /** Per-Spark-job wall time for one query (index prebuilt, warm). */
