@@ -250,14 +250,16 @@ object Dedup {
         "otherwise trailing hash functions are silently unused")
     val rows = numHashes / bands
     // permutations are seeded re-hashes of the 64-bit shingle hash — the
-    // shingle string itself is never materialized
+    // shingle string itself is never materialized; the whole k-signature
+    // comes from ONE native aggregate buffer (functions.MinHashSig), not
+    // k separate min() expressions
     val inv = docs
       .select(col(id).as("did"), explode(shingleHashes(col(text), n)).as("g"))
-    val minExprs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("g"))).as(s"mh_$i"))
-    val mins = inv.groupBy("did").agg(minExprs.head, minExprs.tail: _*)
+    val mins = inv.groupBy("did")
+      .agg(graft.functions.MinHashSig.minhashSig(col("g"), numHashes).as("sig"))
     val bandKeys = mins.select(col("did"),
       posexplode(array((0 until bands).map(b =>
-        xxhash64((b * rows until (b + 1) * rows).map(i => col(s"mh_$i")): _*)): _*))
+        xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
         .as(Seq("band", "bkey")))
     val cand = bandKeys.as("x").join(bandKeys.as("y"), Seq("band", "bkey"))
       .where(col("x.did") < col("y.did"))

@@ -66,6 +66,20 @@ class RowsOnlySpec extends SparkSpec {
       (6 until 12).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 1f, 0f)))
   }
 
+  test("MinHashSig aggregate is bit-identical to k min(xxhash64(i, g)) expressions") {
+    import spark.implicits._
+    val inv = Seq((1L, 11L), (1L, 22L), (1L, 33L), (2L, 22L), (2L, 44L))
+      .toDF("did", "g")
+    val viaAgg = inv.groupBy("did")
+      .agg(graft.functions.MinHashSig.minhashSig(col("g"), 8).as("sig"))
+      .select(col("did"), col("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val minExprs = (0 until 8).map(i => min(xxhash64(lit(i), col("g"))).as(s"m_$i"))
+    val viaExpr = inv.groupBy("did").agg(minExprs.head, minExprs.tail: _*)
+      .collect().map(r => r.getLong(0) -> (1 to 8).map(r.getLong(_)).toSeq).toMap
+    assert(viaAgg == viaExpr)
+  }
+
   test("lsh knn matches brute force on separated clusters") {
     import spark.implicits._
     val emb = clusteredEmb.toDF("vec_id", "embedding")
