@@ -43,6 +43,34 @@ class OpsSpec extends SparkSpec {
       "l25" -> None, "l7" -> None))
   }
 
+  test("salted join equals the plain join on skewed keys") {
+    import spark.implicits._
+    // one hot key (0) dominating the big side
+    val big = (0L until 5000L).map(i => (if (i % 10 == 0) 0L else i % 97, i)).toDF("k", "v")
+    val dim = (0L until 97L).map(k => (k, s"d$k")).toDF("k", "name")
+    val plain = big.join(dim, Seq("k")).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    val salted = graft.ops.Salting.saltedJoin(big, dim, Seq("k"), 8).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
+  test("partitioned lake writer prunes directories on the partition column") {
+    import spark.implicits._
+    val df = Seq((1L, "en", "aa"), (2L, "de", "bb"), (3L, "en", "cc"), (4L, "fr", "dd"))
+      .toDF("doc_id", "lang", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lw_").toString + "/docs"
+    graft.sources.LakeWriter.writePartitioned(df, tmp, "lang", Seq("doc_id"))
+    val back = graft.sources.LakeWriter.read(spark, tmp)
+    assert(back.count() == 4)
+    val q = back.where(col("lang") === "en")
+    assert(q.count() == 2)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning in:\n$plan")
+  }
+
   test("stratified hash sample is deterministic and respects per-stratum rates") {
     import spark.implicits._
     val df = (0L until 4000L).map(i => (i, if (i % 2 == 0) "a" else "b")).toDF("id", "s")
