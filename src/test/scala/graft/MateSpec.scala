@@ -45,6 +45,18 @@ class MateSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, "1", 3L), (2, "1", 3L)))
   }
 
+  test("three-attribute search verifies all query columns") {
+    val s = spark
+    import s.implicits._
+    val inp = Seq((100L, "berlin", "gold", "10"), (101L, "paris", "gold", "20"),
+      (102L, "rome", "silver", "30"), (103L, "lima", "gold", "99"))
+      .toDF("rid", "city", "seg", "x")
+    val top = Mate.joinSearch(inp, col("rid"), Seq("city", "seg", "x"), lake(), 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // t1 rows 0-2 match (city, seg, x) → columns 1_2_3, joinability 3
+    assert(top.toSeq == Seq((1, "1_2_3", 3L)))
+  }
+
   test("enrichMulticolumn scores non-join columns of the top joinable table") {
     val s = spark
     import s.implicits._
