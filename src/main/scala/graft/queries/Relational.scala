@@ -196,6 +196,20 @@ object Relational {
         .orderBy("event_id")
     }),
 
+    // Binned range join: count each user's events inside their first
+    // active hour — point-in-interval as an equi-join on 15-min bins.
+    "q_range_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val hour = 3600L * 1000000000L
+      val intervals = ev.groupBy("user_id").agg(min(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + hour)
+      graft.ops.RangeJoin.pointInInterval(
+        ev.select(col("user_id"), col("event_id"), col("ts")), intervals,
+        Seq("user_id"), "ts", "s0", "e0", binWidth = 900L * 1000000000L)
+        .groupBy("user_id").agg(count(lit(1)).as("n_first_hour"))
+        .orderBy("user_id")
+    }),
+
     // Forward variant: each purchase picks up the NEXT view at-or-after
     // its timestamp (same union+window idiom, mirrored).
     "q_asof_fwd" -> ((s, dir) => {
@@ -327,6 +341,13 @@ object Relational {
          |SELECT p2.event_id, p2.user_id, CAST(epoch_us(p2.ts) AS BIGINT) AS ts_us, v.view_value
          |FROM p2 LEFT JOIN v ON v.user_id = p2.user_id AND v.ts = p2.vts
          |ORDER BY event_id""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (SELECT user_id, min(ts) AS s0 FROM events GROUP BY 1)
+        |SELECT e.user_id, count(*) AS n_first_hour
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        |WHERE e.ts >= iv.s0 AND e.ts <= iv.s0 + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_asof_fwd" ->
       s"""WITH v AS (SELECT user_id, ts, max(value) AS view_value FROM events

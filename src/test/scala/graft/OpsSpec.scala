@@ -43,6 +43,27 @@ class OpsSpec extends SparkSpec {
       "l25" -> None, "l7" -> None))
   }
 
+  test("binned range join equals the naive BETWEEN join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val points = (0 until 500).map(i => (i.toLong % 5, i.toLong, rnd.nextInt(1000).toLong))
+      .toDF("k", "pid", "p")
+    val intervals = (0 until 60).map { i =>
+      val s = rnd.nextInt(950).toLong
+      (i.toLong % 5, i.toLong, s, s + rnd.nextInt(120).toLong)
+    }.toDF("k", "iid", "s", "e")
+    val naive = points.join(intervals, Seq("k"))
+      .where(col("p") >= col("s") && col("p") <= col("e"))
+      .select("k", "pid", "iid").orderBy("k", "pid", "iid")
+      .collect().map(_.toSeq).toSeq
+    val binned = graft.ops.RangeJoin.pointInInterval(
+      points, intervals, Seq("k"), "p", "s", "e", binWidth = 64)
+      .select("k", "pid", "iid").orderBy("k", "pid", "iid")
+      .collect().map(_.toSeq).toSeq
+    assert(binned == naive)
+    assert(naive.nonEmpty)
+  }
+
   test("salted join equals the plain join on skewed keys") {
     import spark.implicits._
     // one hot key (0) dominating the big side
