@@ -167,7 +167,7 @@ object PipelineQueries {
       TextAnalysis.boilerplateShare(t(s, dir, "documents"), 3, 5).orderBy("doc_id")),
 
     "doc_chunks" -> ((s, dir) =>
-      TextAnalysis.chunkWords(t(s, dir, "documents").where(col("doc_id") < 50), 20, 10)
+      TextAnalysis.chunkWords(t(s, dir, "documents"), 20, 10)
         .orderBy("doc_id", "chunk_id")),
 
     "seq_pack" -> ((s, dir) =>
@@ -363,7 +363,7 @@ object PipelineQueries {
         |FROM sh s LEFT JOIN shared sh2 USING (doc_id) ORDER BY s.doc_id""".stripMargin,
 
     "doc_chunks" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents WHERE doc_id < 50),
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
         |st AS (SELECT doc_id, ws, unnest(range(0, greatest(len(ws)-1, 0)+1, 10)) AS start,
         |        CAST(unnest(range(0, greatest((len(ws)-1)//10, 0)+1)) AS INT) AS chunk_id
         |       FROM w)
