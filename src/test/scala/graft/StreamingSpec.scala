@@ -84,6 +84,33 @@ class StreamingSpec extends SparkSpec {
     assert(batch.size == 3)
   }
 
+  test("perUserTotals streaming matches batch") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val hour = 3600L * 1000000000L
+    val rows = (0 until 120).map { i =>
+      (i.toLong * hour, (i % 4).toLong, i.toDouble) // spans 5 days
+    }
+    val schema = Seq("ts", "user_id", "value")
+
+    val mem = MemoryStream[(Long, Long, Double)]
+    val q = EventStreams.perUserTotals(mem.toDF().toDF(schema: _*), Some("1 day"))
+      .writeStream.format("memory").queryName("totals_out").outputMode("complete").start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("totals_out")
+      .orderBy("wstart", "user_id").collect().map(_.toSeq).toSeq
+    q.stop()
+
+    val batch = EventStreams.perUserTotals(rows.toDF(schema: _*))
+      .orderBy("wstart", "user_id").collect().map(_.toSeq).toSeq
+
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("dedupStream drops in-watermark duplicates like batch dropDuplicates") {
     val s = spark
     import s.implicits._
