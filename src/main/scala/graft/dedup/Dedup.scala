@@ -212,7 +212,9 @@ object Dedup {
   /** Driver union-find over a SMALL collected edge set (gated by
     * `localThreshold` above); labels = minimum component member, exactly
     * the propagation fixpoint. Isolated docs stay distributed and join
-    * the broadcast label map.
+    * the broadcast label map. Doc ids must be long-castable (the
+    * propagation path's min() would accept any ordered type; set
+    * `localThreshold = 0` for non-numeric ids).
     */
   private def clustersLocal(docs: DataFrame, edges: DataFrame, id: String): DataFrame = {
     val spark = docs.sparkSession

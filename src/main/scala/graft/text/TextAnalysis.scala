@@ -162,7 +162,9 @@ object TextAnalysis {
     * packing parallelizes across groups (the global-order variant is a
     * single sequential stream by definition). bin = ⌊tokens-before /
     * maxTokens⌋: no document is split, and a bin overflows by at most
-    * its last document. Output: input columns + (n_tokens, bin).
+    * its last document. `orderCol` must be unique within each group —
+    * ties would make the prefix sums (and so the packing)
+    * nondeterministic. Output: input columns + (n_tokens, bin).
     */
   def packSequences(docs: DataFrame, maxTokens: Long, groupCol: String,
                     orderCol: String, text: String = "text"): DataFrame = {
