@@ -38,6 +38,9 @@ object Bench {
           .setFeaturesCol("fv").setLabelCol("y").setMaxIter(2).fit(tiny)
       }
     }
+    // settle the heap once so warmup garbage is not collected inside the
+    // first timed queries
+    System.gc()
     // Failures must be visible in the JSON, not masquerade as fast runs:
     // catch NonFatal only (OOM etc. crash the bench loudly) and record the
     // failed query names in a "failed" list.

@@ -170,6 +170,18 @@ object PipelineQueries {
       TextAnalysis.chunkWords(t(s, dir, "documents"), 20, 10)
         .orderBy("doc_id", "chunk_id")),
 
+    // Deterministic per-source mixing sample: the N docs per source with
+    // the smallest md5(doc_id) — reproducible across engines and runs,
+    // one shuffle, the data-mixing "take N from each source" step.
+    "corpus_mix" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("rk", row_number().over(w)).where(col("rk") <= 100)
+        .select("doc_id", "source", "rk")
+        .orderBy("source", "rk")
+    }),
+
     "seq_pack" -> ((s, dir) =>
       TextAnalysis.packSequences(t(s, dir, "documents"), 2048L, "source", "doc_id")
         .select("doc_id", "source", "n_tokens", "bin")
@@ -371,6 +383,13 @@ object PipelineQueries {
         |  array_to_string(list_slice(ws, start+1, start+20), ' ') AS chunk_text,
         |  CAST(len(list_slice(ws, start+1, start+20)) AS INT) AS n_words
         |FROM st ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "corpus_mix" ->
+      """SELECT doc_id, source, rk FROM (
+        |  SELECT doc_id, source, row_number() OVER (
+        |    PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 100 ORDER BY source, rk""".stripMargin,
 
     "seq_pack" ->
       """SELECT doc_id, source, n_tokens,
