@@ -39,7 +39,11 @@ object GraftExtensions {
           args, returnNullable = false)),
     (FunctionIdentifier("graft_simhash"), info("graft_simhash"),
       (args: Seq[Expression]) =>
-        StaticInvoke(XashKernel.getClass, LongType, "simhash", args, returnNullable = false))
+        StaticInvoke(XashKernel.getClass, LongType, "simhash", args, returnNullable = false)),
+    (FunctionIdentifier("graft_dot"), info("graft_dot"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(graft.functions.VecKernel.getClass, org.apache.spark.sql.types.DoubleType,
+          "dot", args, returnNullable = false))
   )
 
   /** Register into a live session (equivalent to the extension). */

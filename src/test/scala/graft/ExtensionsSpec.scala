@@ -20,6 +20,11 @@ class ExtensionsSpec extends SparkSpec {
     assert((x(0), x(1)) == Xash.xash128("hello"))
     val k = r.getAs[scala.collection.Seq[Long]]("k")
     assert((k(0), k(1)) == Xash.superKey(Seq("hello", "germany")))
+
+    val d = spark.sql(
+      "SELECT graft_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d")
+      .collect()(0).getAs[Double]("d")
+    assert(d == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
   }
 
   test("kernels run inside whole-stage codegen") {
