@@ -1,0 +1,28 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Pre-shuffle join pruning with a Bloom filter: build a filter over
+  * the small side's join keys and drop big-side rows that cannot
+  * match BEFORE the big side shuffles. With a selective join this
+  * removes most of the shuffle I/O for the cost of one broadcast
+  * bitset; false positives only survive to the exact join, never
+  * false negatives. (Spark's runtime bloom-filter rewrite covers some
+  * shapes automatically; this is the explicit plan-level form for when
+  * the optimizer cannot prove it, e.g. across cached stages.)
+  */
+object BloomPrune {
+
+  /** `big` filtered to rows whose long-valued `bigKey` might appear in
+    * `small`'s `smallKey`. Follow with the real join — this is a
+    * prefilter, not a join.
+    */
+  def semiFilter(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
+                 expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    val might = udf((v: Long) => bc.value.mightContainLong(v))
+    big.where(col(bigKey).isNotNull && might(col(bigKey).cast("long")))
+  }
+}

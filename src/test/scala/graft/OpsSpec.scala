@@ -43,6 +43,17 @@ class OpsSpec extends SparkSpec {
       "l25" -> None, "l7" -> None))
   }
 
+  test("bloom semi-filter prunes non-matching rows and never drops matches") {
+    import spark.implicits._
+    val big = (0L until 20000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val small = (0L until 20000L by 100L).map(k => (k, s"d$k")).toDF("k", "name")
+    val pruned = graft.ops.BloomPrune.semiFilter(big, small, "k", "k", expectedKeys = 1000)
+    val joinedPruned = pruned.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
+    val joinedPlain = big.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(joinedPruned == joinedPlain)           // no false negatives
+    assert(pruned.count() < big.count() / 10)     // most non-matches pruned
+  }
+
   test("binned range join equals the naive BETWEEN join") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
