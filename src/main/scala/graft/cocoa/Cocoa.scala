@@ -48,6 +48,33 @@ object Cocoa {
       .orderBy(col("ct").desc, col("table_col_id").asc)
       .limit(kT)
 
+  /** Column-pair Jaccard similarity over distinct cell tokens — the
+    * schema-matching complement to [[joinableColumns]]: instead of
+    * ranking lake columns against ONE query column, rank every pair of
+    * lake columns by |tokens∩| / |tokens∪|. Candidates come from the
+    * inverted cell index (columns sharing ≥1 token), never all pairs;
+    * at lake scale apply a hot-token guard first (the dedup module's
+    * `frequentShingleFilter` pattern).
+    * Output: (col_1, col_2, common, jac), col_1 < col_2, top `k`.
+    */
+  def columnPairSimilarity(cells: DataFrame, k: Int, minJac: Double = 0.0): DataFrame = {
+    val d = cells.select(col("table_col_id"), col("tokenized")).distinct()
+    val sizes = d.groupBy("table_col_id").agg(count(lit(1)).as("nd"))
+    val pairs = d.as("a").join(d.as("b"), "tokenized")
+      .where(col("a.table_col_id") < col("b.table_col_id"))
+      .groupBy(col("a.table_col_id").as("col_1"), col("b.table_col_id").as("col_2"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("table_col_id").as("col_1"), col("nd").as("n1")), "col_1")
+      .join(sizes.select(col("table_col_id").as("col_2"), col("nd").as("n2")), "col_2")
+      .withColumn("jac", col("common").cast("double") /
+        (col("n1") + col("n2") - col("common")).cast("double"))
+      .where(col("jac") >= minJac)
+      .select("col_1", "col_2", "common", "jac")
+      .orderBy(col("jac").desc, col("col_1").asc, col("col_2").asc)
+      .limit(k)
+  }
+
   /** Token-equality join map (maco/cocoa.py:62 generate_join_map):
     * external row of `joinColId` → input row; the reference keeps the
     * last input occurrence, we keep max(input_row) (identical when the

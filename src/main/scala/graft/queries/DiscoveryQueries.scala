@@ -95,6 +95,13 @@ object DiscoveryQueries {
       corrOut(corr).orderBy("table_col_id")
     }),
 
+    // Schema matching: every lake column pair ranked by token Jaccard.
+    "col_similarity" -> ((s, dir) => {
+      Cocoa.columnPairSimilarity(TestLake.cells(s, dir), 15)
+        .select(col("col_1"), col("col_2"), col("common"),
+          round(col("jac"), 6).cast("decimal(10,6)").as("jac"))
+    }),
+
     // COCOA front door: columns ranked by distinct-token overlap.
     "cocoa_joinable_cols" -> ((s, dir) => {
       val input = t(s, dir, "customer")
@@ -265,6 +272,21 @@ object DiscoveryQueries {
 
     "mate_bloom" ->
       s"WITH ${mateCtes(custSampleSql, 2, 10)} SELECT * FROM topk",
+
+    "col_similarity" ->
+      s"""WITH cells AS (${TestLake.cellsSql}),
+         |d AS (SELECT DISTINCT table_col_id, tokenized FROM cells),
+         |sizes AS (SELECT table_col_id, count(*) AS nd FROM d GROUP BY 1),
+         |p AS (SELECT a.table_col_id AS col_1, b.table_col_id AS col_2, count(*) AS common
+         |      FROM d a JOIN d b ON a.tokenized = b.tokenized AND a.table_col_id < b.table_col_id
+         |      GROUP BY 1, 2),
+         |j AS (SELECT p.col_1, p.col_2, p.common, s1.nd AS n1, s2.nd AS n2
+         |      FROM p JOIN sizes s1 ON s1.table_col_id = p.col_1
+         |             JOIN sizes s2 ON s2.table_col_id = p.col_2)
+         |SELECT col_1, col_2, common,
+         |  CAST(round(common::DOUBLE / (n1 + n2 - common), 6) AS DECIMAL(10,6)) AS jac
+         |FROM j
+         |ORDER BY common::DOUBLE / (n1 + n2 - common) DESC, col_1, col_2 LIMIT 15""".stripMargin,
 
     "cocoa_joinable_cols" ->
       s"""WITH cells AS (${TestLake.cellsSql}),
