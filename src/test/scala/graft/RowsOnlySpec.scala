@@ -66,6 +66,19 @@ class RowsOnlySpec extends SparkSpec {
       (6 until 12).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 1f, 0f)))
   }
 
+  test("approx distinct stays within HLL error of the exact count") {
+    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id")).as("a"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, e) =>
+      assert(math.abs(approx(k) - e).toDouble / e < 0.1, s"$k: ${approx(k)} vs $e")
+    }
+  }
+
   test("MinHashSig aggregate is bit-identical to k min(xxhash64(i, g)) expressions") {
     import spark.implicits._
     val inv = Seq((1L, 11L), (1L, 22L), (1L, 33L), (2L, 22L), (2L, 44L))
