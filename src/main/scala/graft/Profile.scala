@@ -138,39 +138,13 @@ object Profile {
     import graft.dedup.Dedup
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val inv = docs
-      .select(col("doc_id").as("did"), Dedup.shingles(col("text"), 3).as("sh"))
-      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g0"))
-      .select(col("did"), col("sz"), xxhash64(col("g0")).as("g"))
+      .select(col("doc_id").cast("long").as("did"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
     time("inv_count")(inv.count())
     val pairs = Dedup.ngramJaccardPairs(docs)
     time("pairs_count")(pairs.count())
     time("tau_filter")(Dedup.ngramJaccard(docs, 0.5).count())
     time("again")(Dedup.ngramJaccard(docs, 0.5).count())
-    // alternative: bucket-explode pair generation instead of SMJ self-join
-    val pairUdf = udf { (ds: Seq[org.apache.spark.sql.Row]) =>
-      val arr = ds.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Int)]
-      var i = 0
-      while (i < arr.length) {
-        var j = i + 1
-        while (j < arr.length) {
-          out += ((arr(i)._1, arr(i)._2, arr(j)._1, arr(j)._2)); j += 1
-        }
-        i += 1
-      }
-      out.toSeq
-    }
-    val alt = inv.groupBy("g").agg(collect_list(struct(col("did"), col("sz"))).as("ds"))
-      .select(explode(pairUdf(col("ds"))).as("p"))
-      .select(col("p._1").as("id_1"), col("p._2").as("sz_1"),
-        col("p._3").as("id_2"), col("p._4").as("sz_2"))
-      .groupBy("id_1", "id_2", "sz_1", "sz_2")
-      .agg(count(lit(1)).as("common"))
-      .withColumn("jac", col("common").cast("double") /
-        (col("sz_1") + col("sz_2") - col("common")).cast("double"))
-      .where(col("jac") >= 0.5)
-    time("alt_bucket_explode")(alt.count())
-    time("alt_again")(alt.count())
   }
 
   def clusters(spark: SparkSession, dir: String): Unit = {
