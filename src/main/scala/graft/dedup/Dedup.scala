@@ -101,7 +101,10 @@ object Dedup {
     * first so no single bucket explodes.
     */
   def ngramJaccardPairs(docs: DataFrame, id: String = "doc_id",
-                        text: String = "text", n: Int = 3): DataFrame = {
+                        text: String = "text", n: Int = 3,
+                        maxDocFreq: Int = 65536): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     // Shingles are keyed by their 64-bit hash and the strings are never
     // built ([[shingleHashes]]): an 8-byte key shuffles ~4× less than a
     // ~25-char shingle and compares in one instruction. Collisions would
@@ -110,36 +113,46 @@ object Dedup {
     val inv = docs
       .select(col(id).cast("long").as("did"), shingleHashes(col(text), n).as("sh"))
       .select(col("did"), size(col("sh")).as("sz"), explode(col("sh")).as("g"))
-    inv.groupBy("g").agg(collect_list(struct(col("did"), col("sz"))).as("ds"))
-      .select(explode(bucketPairsUdf(col("ds"))).as("p"))
-      .select(col("p._1").as("id_1"), col("p._2").as("sz_1"),
-        col("p._3").as("id_2"), col("p._4").as("sz_2"))
+    // df cap INSIDE the operator (the bucket size IS the shingle's doc
+    // frequency — no extra shuffle): a stop-shingle bucket does df² pair
+    // work, and candidate RECALL only drops for pairs whose EVERY shared
+    // shingle is hot — near-dups always share rarer shingles too. For
+    // corpora where even collect_list of a hot bucket is too large,
+    // apply [[frequentShingleFilter]] before this (anti-join pre-agg).
+    val buckets = inv.groupBy("g")
+      .agg(collect_list(struct(col("did").as("_1"), col("sz").as("_2"))).as("ds"))
+      .where(size(col("ds")) <= maxDocFreq)
+    // Pairs stream out of a LAZY iterator into the downstream hash
+    // aggregation — never df(df-1)/2 tuples buffered per bucket (that
+    // buffer's Int size hint overflowed past df = 2^16 and a single hot
+    // shingle could OOM an executor).
+    buckets.select(col("ds")).as[Seq[(Long, Int)]]
+      .flatMap { ds =>
+        val arr = ds.sortBy(_._1).toArray
+        new Iterator[(Long, Int, Long, Int)] {
+          private var i = 0
+          private var j = 1
+          def hasNext: Boolean = i < arr.length - 1
+          def next(): (Long, Int, Long, Int) = {
+            val r = (arr(i)._1, arr(i)._2, arr(j)._1, arr(j)._2)
+            j += 1
+            if (j >= arr.length) { i += 1; j = i + 1 }
+            r
+          }
+        }
+      }
+      .toDF("id_1", "sz_1", "id_2", "sz_2")
       .groupBy("id_1", "id_2", "sz_1", "sz_2")
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", col("common").cast("double") /
         (col("sz_1") + col("sz_2") - col("common")).cast("double"))
   }
 
-  /** Ordered (id_1 < id_2) pairs of one shingle bucket, sizes attached. */
-  private val bucketPairsUdf = udf { (ds: Seq[org.apache.spark.sql.Row]) =>
-    val arr = ds.map(r => (r.getLong(0), r.getInt(1))).sortBy(_._1).toArray
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Int, Long, Int)](
-      arr.length * (arr.length - 1) / 2)
-    var i = 0
-    while (i < arr.length) {
-      var j = i + 1
-      while (j < arr.length) {
-        out += ((arr(i)._1, arr(i)._2, arr(j)._1, arr(j)._2)); j += 1
-      }
-      i += 1
-    }
-    out.toSeq
-  }
-
   /** n-gram Jaccard near-dup pairs above a threshold. */
   def ngramJaccard(docs: DataFrame, tau: Double, id: String = "doc_id",
-                   text: String = "text", n: Int = 3): DataFrame =
-    ngramJaccardPairs(docs, id, text, n).where(col("jac") >= tau)
+                   text: String = "text", n: Int = 3,
+                   maxDocFreq: Int = 65536): DataFrame =
+    ngramJaccardPairs(docs, id, text, n, maxDocFreq).where(col("jac") >= tau)
       .select("id_1", "id_2", "jac")
 
   /** Skew guard for corpus-scale candidate generation: drop shingles
@@ -186,7 +199,8 @@ object Dedup {
       .select(col("node"), col("node").as("label")).cache()
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    val maxIter = 50
+    while (changed > 0 && iter < maxIter) {
       // The node's previous label rides through the union (each node has
       // exactly ONE self row, so max(old) recovers it) — convergence is
       // read off the same pass that materializes the round, one job per
@@ -196,14 +210,28 @@ object Dedup {
         .select(col("a").as("node"), col("label"),
           when(lit(false), col("label")).as("old")) // typed NULL of label's type
       val self = labels.select(col("node"), col("label"), col("label").as("old"))
-      val next = self.unionByName(viaEdges)
+      val prop = self.unionByName(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label"), max(col("old")).as("old"))
+      // Pointer doubling: also jump to the label's OWN label (labels are
+      // node ids, so every label has a row). Convergence becomes
+      // O(log diameter) rounds instead of O(diameter) — a 10^4-long
+      // near-dup chain resolves in ~14 rounds, not 10^4.
+      val next = prop.as("x")
+        .join(prop.select(col("node").as("label"), col("label").as("__ll")),
+          Seq("label"), "left")
+        .select(col("node"), least(col("label"), col("__ll")).as("label"), col("old"))
         .cache()
       changed = next.where(col("label") =!= col("old")).count()
       labels.unpersist(false)
       labels = next
       iter += 1
     }
+    // Non-converged labels are silently WRONG (a component would split) —
+    // refuse to return them. With doubling this bound allows diameters
+    // around 2^50; hitting it means the input is pathological.
+    if (changed > 0) sys.error(
+      s"Dedup.clusters: min-label propagation did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — refusing to return split components")
     docs.select(col(id).as("node"))
       .join(labels.select(col("node"), col("label")), Seq("node"), "left")
       .select(col("node").as(id), coalesce(col("label"), col("node")).as("cluster"))

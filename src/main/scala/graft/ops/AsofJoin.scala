@@ -24,22 +24,28 @@ object AsofJoin {
   def backward(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val carryLeft = left.columns.toSeq.filterNot(keys.contains)
+    // All value columns ride ONE struct per right row so the carried values
+    // always come from the SAME matched row — per-column last(ignoreNulls)
+    // would stitch columns from different right rows whenever a value is null.
+    val valsType = org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))
     // side 0 = right (sorts first at equal ts → inclusive match)
     val taggedRight = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        valueCols.map(col) ++
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(valueCols.map(col): _*).as("__vals")) ++
         carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__side"),
+        lit(null).cast(valsType).as("__vals")) ++
         carryLeft.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     taggedLeft.unionByName(taggedRight)
-      .select(keys.map(col) ++ carryLeft.map(col) ++ Seq(col("__side")) ++
-        valueCols.map(c => last(col(c), ignoreNulls = true).over(w).as(c)): _*)
-      .where(col("__side") === 1).drop("__side")
+      .select(keys.map(col) ++ carryLeft.map(col) ++ Seq(col("__side"),
+        last(col("__vals"), ignoreNulls = true).over(w).as("__vals")): _*)
+      .where(col("__side") === 1)
+      .select(keys.map(col) ++ carryLeft.map(col) ++
+        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
 
   /** Forward as-of join: each left row picks up the EARLIEST right row
@@ -50,21 +56,25 @@ object AsofJoin {
   def forward(left: DataFrame, right: DataFrame, keys: Seq[String],
               leftTs: String, rightTs: String, valueCols: Seq[String]): DataFrame = {
     val carryLeft = left.columns.toSeq.filterNot(keys.contains)
+    // Same single-struct carry as backward(): one matched row, all columns.
+    val valsType = org.apache.spark.sql.types.StructType(valueCols.map(c => right.schema(c)))
     // side 1 = right (sorts after left at equal ts → inclusive match)
     val taggedRight = right.select(
-      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__side")) ++
-        valueCols.map(col) ++
+      keys.map(col) ++ Seq(col(rightTs).as("__ts"), lit(1).as("__side"),
+        struct(valueCols.map(col): _*).as("__vals")) ++
         carryLeft.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
     val taggedLeft = left.select(
-      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(0).as("__side")) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(valsType).as("__vals")) ++
         carryLeft.map(col): _*)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     taggedLeft.unionByName(taggedRight)
-      .select(keys.map(col) ++ carryLeft.map(col) ++ Seq(col("__side")) ++
-        valueCols.map(c => first(col(c), ignoreNulls = true).over(w).as(c)): _*)
-      .where(col("__side") === 0).drop("__side")
+      .select(keys.map(col) ++ carryLeft.map(col) ++ Seq(col("__side"),
+        first(col("__vals"), ignoreNulls = true).over(w).as("__vals")): _*)
+      .where(col("__side") === 0)
+      .select(keys.map(col) ++ carryLeft.map(col) ++
+        valueCols.map(c => col("__vals").getField(c).as(c)): _*)
   }
 }

@@ -14,15 +14,24 @@ import org.apache.spark.sql.functions._
   */
 object BloomPrune {
 
-  /** `big` filtered to rows whose long-valued `bigKey` might appear in
-    * `small`'s `smallKey`. Follow with the real join — this is a
-    * prefilter, not a join.
+  /** `big` filtered to rows whose `bigKey` might appear in `small`'s
+    * `smallKey`. Follow with the real join — this is a prefilter, not a
+    * join. Both sides are hashed with the SAME xxhash64 before
+    * build/probe, so any key type works and the no-false-negatives
+    * guarantee holds; the key dataTypes must match (xxhash64 hashes the
+    * physical representation), enforced loudly rather than silently
+    * dropping rows.
     */
   def semiFilter(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
                  expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bf = small.stat.bloomFilter(smallKey, expectedKeys, fpp)
+    val bigType = big.schema(bigKey).dataType
+    val smallType = small.schema(smallKey).dataType
+    require(bigType == smallType,
+      s"semiFilter key types must match: $bigKey is $bigType, $smallKey is $smallType")
+    val bf = small.select(xxhash64(col(smallKey)).as("__h"))
+      .stat.bloomFilter("__h", expectedKeys, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((v: Long) => bc.value.mightContainLong(v))
-    big.where(col(bigKey).isNotNull && might(col(bigKey).cast("long")))
+    big.where(col(bigKey).isNotNull && might(xxhash64(col(bigKey))))
   }
 }

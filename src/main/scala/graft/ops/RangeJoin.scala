@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join. Spark plans `p BETWEEN s AND e` as a
@@ -26,9 +26,13 @@ object RangeJoin {
                       pointCol: String, startCol: String, endCol: String,
                       binWidth: Long): DataFrame = {
     require(binWidth > 0, s"binWidth ($binWidth) must be positive")
+    // Integral `div`, not `/`: double division rounds int64 values above
+    // 2^53 (nanosecond epochs), so a point and an interval endpoint near a
+    // bin boundary could bin inconsistently and silently drop a match.
+    def bin(c: String): Column = expr(s"`$c` div ${binWidth}L")
     val binned = intervals.withColumn("__bin",
-      explode(sequence(floor(col(startCol) / binWidth), floor(col(endCol) / binWidth))))
-    val p = points.withColumn("__bin", floor(col(pointCol) / binWidth))
+      explode(sequence(bin(startCol), bin(endCol))))
+    val p = points.withColumn("__bin", bin(pointCol))
     p.join(binned, keys :+ "__bin")
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")

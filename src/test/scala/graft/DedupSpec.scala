@@ -47,6 +47,40 @@ class DedupSpec extends SparkSpec {
     assert(canon(1L) == 1L && canon(2L) == 1L && canon(3L) == 3L)
   }
 
+  test("distributed label propagation converges on a chain longer than the old round cap") {
+    val s = spark
+    import s.implicits._
+    // 0-1-2-...-30: diameter 30 exceeded the old fixed 20-round budget; with
+    // pointer doubling it converges in O(log n) rounds to min label 0
+    val n = 30
+    val pairs = (0 until n).map(i => (i.toLong, i.toLong + 1, 1.0))
+      .toDF("id_1", "id_2", "jac")
+    val d = (0L to n.toLong).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .unionByName(Seq((100L, "isolated")).toDF("doc_id", "text"))
+    val out = Dedup.clusters(d, pairs, localThreshold = 0) // force distributed path
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L to n.toLong).forall(out(_) == 0L))
+    assert(out(100L) == 100L)
+  }
+
+  test("ngram jaccard df cap drops hot-shingle buckets only") {
+    // "hot one two" appears in all 4 docs (df=4) and is the ONLY shingle
+    // shared by (1,2); (3,4) also share rare df=2 shingles. Capping at
+    // df<=3 drops the hot bucket: pair (1,2) disappears, (3,4) survives.
+    val d = docs(
+      (1L, "hot one two a1 a2 a3"),
+      (2L, "hot one two b1 b2 b3"),
+      (3L, "hot one two rare alpha beta"),
+      (4L, "zz hot one two rare alpha beta"))
+    val all = Dedup.ngramJaccardPairs(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 2L)) && all.contains((3L, 4L)))
+    val capped = Dedup.ngramJaccardPairs(d, maxDocFreq = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!capped.contains((1L, 2L)))
+    assert(capped.contains((3L, 4L)))
+  }
+
   test("brute-force knn returns k ordered neighbors") {
     val s = spark
     import s.implicits._

@@ -43,6 +43,57 @@ class OpsSpec extends SparkSpec {
       "l25" -> None, "l7" -> None))
   }
 
+  test("asof carries all value columns from the SAME matched row when values are null") {
+    import spark.implicits._
+    // matched right row (ts 5) has v2 = null; the older row (ts 1) must NOT
+    // leak its v2 into the match
+    val left = Seq((1L, 10L, "l")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 1L, Option("old_v1"), Option("old_v2")),
+      (1L, 5L, Option("new_v1"), Option.empty[String])
+    ).toDF("k", "ts", "v1", "v2")
+    val back = AsofJoin.backward(left, right, Seq("k"), "ts", "ts", Seq("v1", "v2"))
+      .select("v1", "v2").as[(Option[String], Option[String])].collect().toSeq
+    assert(back == Seq((Some("new_v1"), None)))
+    // forward mirror: earliest right >= left is ts 15 with v1 = null
+    val left2 = Seq((1L, 12L, "l")).toDF("k", "ts", "tag")
+    val right2 = Seq(
+      (1L, 15L, Option.empty[String], Option("near_v2")),
+      (1L, 20L, Option("far_v1"), Option("far_v2"))
+    ).toDF("k", "ts", "v1", "v2")
+    val fwd = AsofJoin.forward(left2, right2, Seq("k"), "ts", "ts", Seq("v1", "v2"))
+      .select("v1", "v2").as[(Option[String], Option[String])].collect().toSeq
+    assert(fwd == Seq((None, Some("near_v2"))))
+  }
+
+  test("binned range join is exact for int64 domains above 2^53") {
+    import spark.implicits._
+    // nanosecond-epoch-scale values where double division rounds: with
+    // floor(x / w) both of these used to land in inconsistent bins
+    val base = (1L << 60) + 123456789L
+    val points = Seq((1L, 1L, base + 1000L)).toDF("k", "pid", "p")
+    val intervals = Seq((1L, 1L, base + 999L, base + 1001L)).toDF("k", "iid", "s", "e")
+    val out = graft.ops.RangeJoin.pointInInterval(
+      points, intervals, Seq("k"), "p", "s", "e", binWidth = 1000L)
+    assert(out.count() == 1)
+  }
+
+  test("bloom semi-filter works on string keys with no false negatives") {
+    import spark.implicits._
+    val big = (0L until 5000L).map(i => (s"key$i", i)).toDF("k", "v")
+    val small = (0L until 5000L by 50L).map(k => (s"key$k", s"d$k")).toDF("k", "name")
+    val pruned = graft.ops.BloomPrune.semiFilter(big, small, "k", "k", expectedKeys = 1000)
+    val joinedPruned = pruned.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
+    val joinedPlain = big.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
+    assert(joinedPruned == joinedPlain)           // no false negatives
+    assert(pruned.count() < big.count() / 5)      // most non-matches pruned
+    // mismatched key types fail loudly instead of silently pruning matches
+    val longKeyed = Seq((1L, "x")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      graft.ops.BloomPrune.semiFilter(longKeyed, small, "k", "k")
+    }
+  }
+
   test("bloom semi-filter prunes non-matching rows and never drops matches") {
     import spark.implicits._
     val big = (0L until 20000L).map(i => (i, s"v$i")).toDF("k", "v")
