@@ -45,30 +45,42 @@ object Bench {
     // catch NonFatal only (OOM etc. crash the bench loudly) and record the
     // failed query names in a "failed" list.
     var failed = List.empty[String]
-    val indexBuild = {
+    def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try {
-        graft.index.TestLake.cells(spark, sfDir).count()
-        graft.index.TestLake.cellsBloom(spark, sfDir).count()
-      } catch { case NonFatal(e) =>
-        failed ::= "index_build"
-        System.err.println(s"[bench] index_build failed: $e")
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case NonFatal(e) =>
+      try f catch { case NonFatal(e) =>
         failed ::= name
         System.err.println(s"[bench] $name failed: $e")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = (results + ("index_build" -> indexBuild)).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val indexBuild = timed("index_build") {
+      graft.index.TestLake.cells(spark, sfDir).count()
+      graft.index.TestLake.cellsBloom(spark, sfDir).count()
+    }
+    // Shared cross-query caches (join-map products, near-dup pair sets,
+    // dup-lake signatures) are materialized HERE under their own timed
+    // entry — otherwise their first-touch cost lands inside whichever
+    // query the map iteration order happens to run first and per-query
+    // numbers stop meaning anything round-over-round.
+    val cacheBuild = timed("cache_build") {
+      graft.queries.DiscoveryQueries.warmCaches(spark, sfDir)
+      graft.queries.PipelineQueries.warmCaches(spark, sfDir)
+      graft.queries.DupQueries.warmCaches(spark, sfDir)
+    }
+    // sorted order: deterministic and comparable across rounds (Map
+    // iteration order reshuffles whenever the key set changes)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      timed(name)(fn(spark, sfDir).count())
+    }
+    val all = results :+ indexBuild :+ cacheBuild
+    // full-precision per-query detail → stderr (dev feedback loop)
+    System.err.println(all.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
+    // stdout: ONE compact line, 3-decimal values, with metric/value LAST
+    // so a tail-truncated capture still carries the headline total
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = (if (results.nonEmpty) results.values.sum else 0.0) + indexBuild
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
     spark.stop()
   }
 }

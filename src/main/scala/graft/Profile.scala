@@ -182,18 +182,25 @@ object Profile {
     docs.unpersist()
   }
 
-  /** Per-Spark-job wall time for one query (index prebuilt, warm). */
+  /** Per-Spark-job wall time for one query (index + shared caches
+    * prebuilt, warm — the same conditions Bench times queries under).
+    */
   def jobProfile(spark: SparkSession, dir: String, query: String): Unit = {
     graft.index.TestLake.cells(spark, dir).count()
     graft.index.TestLake.cellsBloom(spark, dir).count()
+    graft.queries.DiscoveryQueries.warmCaches(spark, dir)
+    graft.queries.PipelineQueries.warmCaches(spark, dir)
+    graft.queries.DupQueries.warmCaches(spark, dir)
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        starts.put(e.jobId, (e.time, Option(e.properties)
-          .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")))
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val tasks = e.stageInfos.map(_.numTasks).sum
+        val site = e.stageInfos.lastOption.map(si => si.name + " @ " + si.details.linesIterator.take(1).mkString).getOrElse("")
+        starts.put(e.jobId, (e.time, s"${e.stageInfos.size}st/${tasks}t $site"))
+      }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
         Option(starts.get(e.jobId)).foreach { case (t0, desc) =>
-          println(f"[job] ${e.jobId}%3d ${(e.time - t0) / 1000.0}%7.2f s  ${desc.take(90)}")
+          println(f"[job] ${e.jobId}%3d ${(e.time - t0) / 1000.0}%7.2f s  ${desc.take(140)}")
         }
       }
     }

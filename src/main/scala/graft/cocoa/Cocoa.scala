@@ -51,18 +51,48 @@ object Cocoa {
   /** Column-pair Jaccard similarity over distinct cell tokens — the
     * schema-matching complement to [[joinableColumns]]: instead of
     * ranking lake columns against ONE query column, rank every pair of
-    * lake columns by |tokens∩| / |tokens∪|. Candidates come from the
-    * inverted cell index (columns sharing ≥1 token), never all pairs;
-    * at lake scale apply a hot-token guard first (the dedup module's
-    * `frequentShingleFilter` pattern).
+    * lake columns by |tokens∩| / |tokens∪|.
+    *
+    * Pair generation is bucket-explode over the inverted token index
+    * (group by token, emit each bucket's ordered column pairs from a
+    * lazy compiled iterator — the same shape as
+    * [[graft.dedup.Dedup.ngramJaccardPairs]], measured ~2× faster than
+    * the token self-join), never all pairs. `maxTokenDf` is the
+    * hot-token skew guard INSIDE the operator: a token appearing in
+    * 10⁵ columns would otherwise put 10¹⁰ pairs in one bucket;
+    * dropping it only loses pairs whose EVERY shared token is that hot
+    * — similar columns always share rarer tokens too.
     * Output: (col_1, col_2, common, jac), col_1 < col_2, top `k`.
     */
-  def columnPairSimilarity(cells: DataFrame, k: Int, minJac: Double = 0.0): DataFrame = {
+  def columnPairSimilarity(cells: DataFrame, k: Int, minJac: Double = 0.0,
+                           maxTokenDf: Int = 4096): DataFrame = {
+    val spark = cells.sparkSession
+    import spark.implicits._
     val d = cells.select(col("table_col_id"), col("tokenized")).distinct()
     val sizes = d.groupBy("table_col_id").agg(count(lit(1)).as("nd"))
-    val pairs = d.as("a").join(d.as("b"), "tokenized")
-      .where(col("a.table_col_id") < col("b.table_col_id"))
-      .groupBy(col("a.table_col_id").as("col_1"), col("b.table_col_id").as("col_2"))
+    // bucket size IS the token's column frequency — the guard costs no
+    // extra shuffle. Pairs stream from a lazy iterator (never df²
+    // buffered per bucket).
+    val buckets = d.groupBy("tokenized")
+      .agg(collect_list(col("table_col_id")).as("cs"))
+      .where(size(col("cs")) <= maxTokenDf)
+    val pairs = buckets.select(col("cs")).as[Seq[String]]
+      .flatMap { cs =>
+        val arr = cs.sorted.toArray
+        new Iterator[(String, String)] {
+          private var i = 0
+          private var j = 1
+          def hasNext: Boolean = i < arr.length - 1
+          def next(): (String, String) = {
+            val r = (arr(i), arr(j))
+            j += 1
+            if (j >= arr.length) { i += 1; j = i + 1 }
+            r
+          }
+        }
+      }
+      .toDF("col_1", "col_2")
+      .groupBy("col_1", "col_2")
       .agg(count(lit(1)).as("common"))
     pairs
       .join(sizes.select(col("table_col_id").as("col_1"), col("nd").as("n1")), "col_1")
@@ -152,48 +182,56 @@ object Cocoa {
     */
   private def corrFromRanked(ranked: DataFrame, stats: DataFrame): DataFrame = {
     // ONE pass over the expensive rank pipeline: aggregate per (column,
-    // xr) first, then derive BOTH branches from that small frame — the
-    // num/cat union would otherwise re-execute `ranked`'s windows and
-    // joins twice (measured ~2× the whole operator). Exactness: xr and rt
-    // are average ranks (half-integers ≪ 2^52), so qty-weighted products
-    // and re-associated sums stay exact in double — bit-identical to the
-    // row-at-a-time sums.
+    // xr), then derive BOTH branches in a single further aggregation
+    // with conditional columns — a num/cat UNION of two consumers of `g`
+    // would re-execute `ranked`'s windows and joins twice (measured:
+    // the whole operator ~2× slower). The 1-row stats frame rides a
+    // broadcast crossJoin BEFORE the final groupBy so the categorical
+    // per-value one-hot Pearson is computable inline. Exactness: xr and
+    // rt are average ranks (half-integers ≪ 2^52), so qty-weighted
+    // products and re-associated sums stay exact in double —
+    // bit-identical to the row-at-a-time sums.
     val g = ranked
       .groupBy(col("tableid"), col("table_col_id"), col("is_numeric"), col("xr"))
       .agg(count(lit(1)).cast("double").as("qty"), sum(col("rt")).as("s"))
 
-    // ---- numeric: Spearman over all n input rows (unjoined → mid rank)
-    val num = g.where(col("is_numeric"))
-      .groupBy("tableid", "table_col_id")
-      .agg(sum(col("qty")).as("m"),
+    val stdY = sqrt(col("r_sum2") / col("n") - (col("r_sum") / col("n")) * (col("r_sum") / col("n")))
+    // per-VALUE one-hot Pearson (categorical only; qty = n would zero
+    // the denominator — the reference would crash there, we null it out)
+    val corrV = when(!col("is_numeric") && col("qty") < col("n"),
+      (col("n") * col("s") - col("qty") * col("r_sum")) /
+        (stdY * col("n") * sqrt(col("qty") * (col("n") - col("qty")))))
+
+    val agg = g.crossJoin(broadcast(stats))
+      .withColumn("corr_v", corrV)
+      .groupBy("tableid", "table_col_id", "is_numeric")
+      .agg(
+        // numeric: moments for Spearman over the m JOINED rows
+        sum(col("qty")).as("m"),
         sum(col("xr") * col("qty")).as("sx"),
         sum(col("xr") * col("xr") * col("qty")).as("sx2"),
-        sum(col("xr") * col("s")).as("sxy"), sum(col("s")).as("sy_j"))
-      .crossJoin(broadcast(stats))
-      .withColumn("mid", ceil(col("n") / 2).cast("double"))
-      .withColumn("SX", col("sx") + (col("n") - col("m")) * col("mid"))
-      .withColumn("SX2", col("sx2") + (col("n") - col("m")) * col("mid") * col("mid"))
-      .withColumn("SXY", col("sxy") + col("mid") * (col("r_sum") - col("sy_j")))
-      .withColumn("corr",
-        (col("n") * col("SXY") - col("SX") * col("r_sum")) /
-          (sqrt(col("n") * col("SX2") - col("SX") * col("SX")) *
-            sqrt(col("n") * col("r_sum2") - col("r_sum") * col("r_sum"))))
-      .select(col("tableid"), col("table_col_id"), lit(true).as("is_numeric"), col("corr"))
+        sum(col("xr") * col("s")).as("sxy"), sum(col("s")).as("sy_j"),
+        // categorical: best per-value one-hot correlation
+        max(abs(col("corr_v"))).as("cat_corr"),
+        // 1-row stats are constant within any group — carry them through
+        first(col("n")).as("n"), first(col("r_sum")).as("r_sum"),
+        first(col("r_sum2")).as("r_sum2"))
 
-    // ---- categorical: max |one-hot Pearson| over values (already
-    // grouped by xr — the average-tie rank is bijective with the value)
-    val cat = g.where(!col("is_numeric"))
-      .crossJoin(broadcast(stats))
-      .withColumn("stdY", sqrt(col("r_sum2") / col("n") - (col("r_sum") / col("n")) * (col("r_sum") / col("n"))))
-      .where(col("qty") < col("n")) // qty = n → zero denominator (ref would crash)
-      .withColumn("corr_v",
-        (col("n") * col("s") - col("qty") * col("r_sum")) /
-          (col("stdY") * col("n") * sqrt(col("qty") * (col("n") - col("qty")))))
-      .groupBy("tableid", "table_col_id")
-      .agg(max(abs(col("corr_v"))).as("corr"))
-      .select(col("tableid"), col("table_col_id"), lit(false).as("is_numeric"), col("corr"))
+    // numeric: unjoined input rows take the middle rank ⌈n/2⌉
+    val numCorr = {
+      val mid = ceil(col("n") / 2).cast("double")
+      val sX = col("sx") + (col("n") - col("m")) * mid
+      val sX2 = col("sx2") + (col("n") - col("m")) * mid * mid
+      val sXY = col("sxy") + mid * (col("r_sum") - col("sy_j"))
+      (col("n") * sXY - sX * col("r_sum")) /
+        (sqrt(col("n") * sX2 - sX * sX) *
+          sqrt(col("n") * col("r_sum2") - col("r_sum") * col("r_sum")))
+    }
 
-    num.unionByName(cat).where(col("corr").isNotNull && !isnan(col("corr")))
+    agg
+      .withColumn("corr", when(col("is_numeric"), numCorr).otherwise(col("cat_corr")))
+      .select(col("tableid"), col("table_col_id"), col("is_numeric"), col("corr"))
+      .where(col("corr").isNotNull && !isnan(col("corr")))
   }
 
   /** Correlations computed FROM the persisted order index

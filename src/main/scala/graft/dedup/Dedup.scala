@@ -356,18 +356,16 @@ object Dedup {
     emb.select(col(id).as(idAlias), col(vec).as(vecAlias),
       sqrt(dotUdf(col(vec), col(vec))).as(normAlias))
 
-  /** Embedding near-dup: best cosine match per vector (brute force over
-    * candidate pairs; every vector yields a row).
+  /** Embedding near-dup: best cosine match per vector (every vector
+    * yields a row). Delegates to the blocked GEMM-shaped kNN (broadcast
+    * corpus + per-partition scan, k=1) — never an n² pair shuffle; the
+    * corpus-fits-in-executor-memory bound and the LSH/IVF escape hatch
+    * are documented on [[graft.sim.Similarity.bruteForceKnnBlocked]].
+    * Ties break identically to the old window form (cos desc, id asc).
     * Output: (vec_id, best_id, cos).
     */
   def embeddingNearest(emb: DataFrame, id: String = "vec_id",
-                       vec: String = "embedding"): DataFrame = {
-    val a = withNorm(emb, id, vec, "id_a", "va", "na")
-    val b = withNorm(emb, id, vec, "id_b", "vb", "nb")
-    val pairs = a.crossJoin(b).where(col("id_a") =!= col("id_b"))
-      .withColumn("cos", dotUdf(col("va"), col("vb")) / col("na") / col("nb"))
-    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b").asc)
-    pairs.withColumn("rk", row_number().over(w)).where(col("rk") === 1)
-      .select(col("id_a").as("vec_id"), col("id_b").as("best_id"), col("cos"))
-  }
+                       vec: String = "embedding"): DataFrame =
+    graft.sim.Similarity.bruteForceKnnBlocked(emb, emb, 1, id, vec)
+      .select(col("vec_id"), col("neighbor_id").as("best_id"), col("cos"))
 }

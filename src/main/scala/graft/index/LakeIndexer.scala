@@ -102,8 +102,62 @@ object LakeIndexer {
       .sortWithinPartitions("tokenized")
       .write.mode("overwrite").parquet(path)
 
-  def readIndex(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+  def readIndex(spark: SparkSession, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    val t = new org.apache.hadoop.fs.Path(path, TombstoneDir)
+    val fs = t.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(t)) {
+      // one row per removed table — a driver-side collect is bounded by
+      // the number of REMOVALS, never by index size, and the resulting
+      // NOT-IN literal pushes into the parquet scan (row-group pruning)
+      // where an anti-join could not
+      val dead = spark.read.parquet(t.toString)
+        .select("tableid").distinct().collect().map(_.getInt(0)).toSeq
+      if (dead.nonEmpty) df.where(!col("tableid").isin(dead: _*)) else df
+    } else df
+  }
+
+  private val TombstoneDir = "_tombstones"
+
+  /** Append new tables' cells to a persisted index WITHOUT rewriting it
+    * (the reference's update_index adds tables to the live Postgres
+    * index, maco/data_handler.py:205-258; a full rewrite of a 100-TB
+    * index per daily batch is not viable). The new cells are
+    * repartitioned and sorted exactly like [[writeIndex]]'s layout, so
+    * appended files carry the same token-range prunability. Re-adding a
+    * previously [[removeTable]]d tableId requires a [[compactIndex]]
+    * first (the tombstone would hide the new rows).
+    */
+  def addTables(newCells: DataFrame, path: String, numPartitions: Int = 32): Unit =
+    newCells.repartition(numPartitions, col("tokenized"))
+      .sortWithinPartitions("tokenized")
+      .write.mode("append").parquet(path)
+
+  /** Logical delete of one table from the persisted index: one tombstone
+    * row in an underscore-prefixed sidecar (invisible to the main
+    * parquet scan — Hadoop hides `_`-prefixed paths). No data files are
+    * rewritten; [[readIndex]] pushes the NOT-IN filter into the scan.
+    * The deletion-vector discipline: reclaim space with [[compactIndex]]
+    * when tombstones accumulate.
+    */
+  def removeTable(spark: SparkSession, path: String, tableId: Int): Unit = {
+    import spark.implicits._
+    Seq(tableId).toDF("tableid").repartition(1)
+      .write.mode("append").parquet(new org.apache.hadoop.fs.Path(path, TombstoneDir).toString)
+  }
+
+  /** Rewrite the index applying tombstones and restoring one sorted
+    * layout (the offline maintenance job; everything else is
+    * incremental).
+    */
+  def compactIndex(spark: SparkSession, path: String, numPartitions: Int = 32): Unit = {
+    val tmp = path + "__compact"
+    writeIndex(readIndex(spark, path), tmp, numPartitions)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+  }
 
   /** Rebuild a table's cleaned content from the cell index
     * (maco/data_handler.py:656 get_table): pivot tokens by colid.

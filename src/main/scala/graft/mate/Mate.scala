@@ -63,10 +63,24 @@ object Mate {
       .select(col("tableid"), col("rowid"), col("colid").as("c0"), col("MateRowID"))
     var cur = cand
     if (queryCols.length > 1) {
-      val candKeys = cand.select("tableid", "rowid", "MateRowID").distinct()
+      // cached: consumed once per extra query column PLUS the eager
+      // bloom build below — uncached, each consumer re-runs the
+      // token-match candidate join
+      val candKeys = cand.select("tableid", "rowid", "MateRowID").distinct().cache()
+      // Bloom-prune the per-column verification scans: each extra query
+      // column re-joins the FULL cell index against the (much smaller)
+      // candidate-row set — build one bloom over the candidate
+      // (tableid, rowid) keys and drop non-candidate cells BEFORE their
+      // shuffle. False positives just reach the exact join; no false
+      // negatives. At lake scale this turns #queryCols full-index
+      // shuffles into broadcast-bitset scans.
+      val rowKeys = candKeys.select("tableid", "rowid").distinct()
+      val prunedCells = graft.ops.BloomPrune.semiFilterMulti(
+        cells.select("tableid", "rowid", "colid", "tokenized"), rowKeys,
+        Seq("tableid", "rowid"), Seq("tableid", "rowid"))
       for (i <- 1 until queryCols.length) {
         val qi = broadcast(prep.select(col("MateRowID"), col(s"tok_$i")))
-        val mi = cells.select("tableid", "rowid", "colid", "tokenized")
+        val mi = prunedCells
           .join(candKeys, Seq("tableid", "rowid"))
           .join(qi, Seq("MateRowID"))
           .where(col("tokenized") === col(s"tok_$i"))

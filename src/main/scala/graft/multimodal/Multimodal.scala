@@ -76,6 +76,56 @@ object Multimodal {
       }
   }
 
+  case class ImageFeature(doc_id: Long, n_bytes: Int, width: Int, height: Int,
+                          mean_r: Double, mean_g: Double, mean_b: Double,
+                          decode_ok: Boolean)
+
+  /** REAL image decode behind the same batch contract: javax.imageio
+    * (JDK-bundled PNG/JPEG/BMP/GIF codecs) decodes each blob inside the
+    * per-partition loop and emits width/height/per-channel means.
+    * Non-decodable payloads yield `decode_ok = false` zeros rather than
+    * failing the job (the folder-ingestion error discipline). The
+    * deterministic stub ([[decodeFeatures]]) remains the test path for
+    * text-backed testdata; this is the production path for a lake whose
+    * binary column holds actual images.
+    */
+  def decodeImages(spark: SparkSession, docs: DataFrame, id: String = "doc_id",
+                   blobCol: String = "blob"): Dataset[ImageFeature] = {
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(blobCol).as("blob")).as[MediaRow]
+      .mapPartitions { rows =>
+        // per-partition codec setup: no temp-file cache, stream decode
+        javax.imageio.ImageIO.setUseCache(false)
+        rows.map { r =>
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.blob))
+            if (img == null)
+              ImageFeature(r.doc_id, r.blob.length, 0, 0, 0.0, 0.0, 0.0, decode_ok = false)
+            else {
+              val w = img.getWidth
+              val h = img.getHeight
+              var sr = 0L; var sg = 0L; var sb = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val p = img.getRGB(x, y)
+                  sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              val n = w.toLong * h
+              ImageFeature(r.doc_id, r.blob.length, w, h,
+                sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, decode_ok = true)
+            }
+          } catch { case scala.util.control.NonFatal(_) =>
+            ImageFeature(r.doc_id, r.blob.length, 0, 0, 0.0, 0.0, 0.0, decode_ok = false)
+          }
+        }
+      }
+  }
+
   /** Batched per-partition decode → fixed-size feature vector.
     * STUB: a real implementation would initialize a decoder per
     * partition and decode each blob; the fake derives a deterministic

@@ -23,15 +23,29 @@ object BloomPrune {
     * dropping rows.
     */
   def semiFilter(big: DataFrame, small: DataFrame, bigKey: String, smallKey: String,
-                 expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
-    val bigType = big.schema(bigKey).dataType
-    val smallType = small.schema(smallKey).dataType
-    require(bigType == smallType,
-      s"semiFilter key types must match: $bigKey is $bigType, $smallKey is $smallType")
-    val bf = small.select(xxhash64(col(smallKey)).as("__h"))
+                 expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame =
+    semiFilterMulti(big, small, Seq(bigKey), Seq(smallKey), expectedKeys, fpp)
+
+  /** Composite-key form: the filter is built over
+    * `xxhash64(smallKeys*)` and probed with `xxhash64(bigKeys*)` —
+    * e.g. MATE's (tableid, rowid) candidate keys.
+    */
+  def semiFilterMulti(big: DataFrame, small: DataFrame,
+                      bigKeys: Seq[String], smallKeys: Seq[String],
+                      expectedKeys: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(bigKeys.nonEmpty && bigKeys.length == smallKeys.length,
+      s"semiFilter needs matching non-empty key lists, got $bigKeys vs $smallKeys")
+    bigKeys.zip(smallKeys).foreach { case (b, sm) =>
+      val (bt, st) = (big.schema(b).dataType, small.schema(sm).dataType)
+      require(bt == st,
+        s"semiFilter key types must match: $b is $bt, $sm is $st " +
+          "(xxhash64 hashes the physical representation)")
+    }
+    val bf = small.select(xxhash64(smallKeys.map(col): _*).as("__h"))
       .stat.bloomFilter("__h", expectedKeys, fpp)
     val bc = big.sparkSession.sparkContext.broadcast(bf)
     val might = udf((v: Long) => bc.value.mightContainLong(v))
-    big.where(col(bigKey).isNotNull && might(xxhash64(col(bigKey))))
+    big.where(bigKeys.map(col(_).isNotNull).reduce(_ && _) &&
+      might(xxhash64(bigKeys.map(col): _*)))
   }
 }

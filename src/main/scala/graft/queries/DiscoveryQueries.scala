@@ -46,6 +46,30 @@ object DiscoveryQueries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Cached target ranks of customer.c_acctbal — shared by the three
+    * single-table COCOA scenarios, and consumed twice within each (the
+    * 1-row stats aggregate and the rank join are separate broadcast
+    * subqueries; uncached, each re-runs the global sort window).
+    */
+  private def custRanks(s: SparkSession, dir: String): DataFrame =
+    ranksCache.getOrElseUpdate((s, dir), {
+      val input = t(s, dir, "customer").select(col("c_custkey").as("input_row"),
+        col("c_acctbal").as("target"))
+      Cocoa.targetRanks(input).cache()
+    })
+
+  private val ranksCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Materialize the shared caches (Bench times this as `cache_build`
+    * so per-query numbers measure query work, not whichever query
+    * happens to touch a shared frame first).
+    */
+  def warmCaches(s: SparkSession, dir: String): Unit = {
+    custNationPairs(s, dir).count()
+    custRanks(s, dir).count()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mate_topk" -> ((s, dir) => {
       val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
@@ -68,11 +92,7 @@ object DiscoveryQueries {
 
     "cocoa_enrich" -> ((s, dir) => {
       val cells = TestLake.cells(s, dir)
-      val cust = t(s, dir, "customer")
-      val input = cust.select(col("c_custkey").as("input_row"),
-        cleanTok(col("c_nationkey")).as("tok"),
-        col("c_acctbal").as("target"))
-      val ranked = Cocoa.targetRanks(input.select("input_row", "target"))
+      val ranked = custRanks(s, dir)
       val pairs = custNationPairs(s, dir)
       val excluded = { import s.implicits._; Seq((1, 0)).toDF("tableid", "colid") }
       val corr = Cocoa.correlations(ranked, pairs, cells.where(col("tableid") === 1), excluded)
@@ -83,11 +103,7 @@ object DiscoveryQueries {
     // persisted order index — must equal cocoa_enrich exactly.
     "cocoa_from_index" -> ((s, dir) => {
       val nationCells = TestLake.cells(s, dir).where(col("tableid") === 1)
-      val cust = t(s, dir, "customer")
-      val input = cust.select(col("c_custkey").as("input_row"),
-        cleanTok(col("c_nationkey")).as("tok"),
-        col("c_acctbal").as("target"))
-      val ranked = Cocoa.targetRanks(input.select("input_row", "target"))
+      val ranked = custRanks(s, dir)
       val pairs = custNationPairs(s, dir)
       val excluded = { import s.implicits._; Seq((1, 0)).toDF("tableid", "colid") }
       val index = graft.index.CocoaIndex.build(nationCells)
@@ -127,7 +143,7 @@ object DiscoveryQueries {
       val input = cust.select(col("c_custkey").as("input_row"),
         cleanTok(col("c_nationkey")).as("tok"),
         col("c_acctbal").as("target"))
-      val ranked = Cocoa.targetRanks(input.select("input_row", "target"))
+      val ranked = custRanks(s, dir)
       val nationCells = cells.where(col("tableid") === 1)
       val pairs = custNationPairs(s, dir)
       val excluded = { import s.implicits._; Seq((1, 0)).toDF("tableid", "colid") }

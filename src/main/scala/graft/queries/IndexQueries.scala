@@ -77,10 +77,14 @@ object IndexQueries {
         .orderBy("p_partkey")
     }),
 
-    // 9. SimHash fingerprints (rows-only; pinned by unit vectors)
+    // 9. SimHash fingerprints: fast 64-bit mode + the reference-exact
+    // 128-bit md5 mode (rows-only; both pinned by unit vectors)
     "simhash_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), SimHash.simhashUdf(col("text")).as("sh"))
+        .select(col("doc_id"), SimHash.simhashUdf(col("text")).as("sh"),
+          SimHash.simhash128Udf(col("text")).as("sh128"))
+        .select(col("doc_id"), col("sh"),
+          col("sh128._1").as("sh128_hi"), col("sh128._2").as("sh128_lo"))
         .orderBy("doc_id")
     }),
 

@@ -28,6 +28,10 @@ object PipelineQueries {
   private val jacPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Materialize the shared pair cache (timed as Bench's `cache_build`). */
+  def warmCaches(s: SparkSession, dir: String): Unit =
+    jacPairs(s, dir).count()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("doc_id")),

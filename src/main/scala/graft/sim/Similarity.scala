@@ -32,13 +32,10 @@ object Similarity {
   def lshSignature(emb: DataFrame, bits: Int = 8, dim: Int = 64, seed: Long = 42L,
                    id: String = "vec_id", vec: String = "embedding"): DataFrame = {
     val rnd = new java.util.Random(seed)
-    val planes = Array.fill(bits, dim)(rnd.nextGaussian())
-    val sig = (0 until bits).map { b =>
-      val dot = aggregate(
-        zip_with(col(vec), lit(planes(b)), (x, p) => x.cast("double") * p),
-        lit(0.0), (acc, v) => acc + v)
-      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    val planes = Array.fill(bits * dim)(rnd.nextGaussian())
+    // codegen'd kernel: one compiled loop per row instead of bits×dim
+    // interpreted higher-order-function lambda calls
+    val sig = graft.functions.VecKernel.lshBucketCol(col(vec), planes, bits, dim)
     emb.select(col(id), col(vec), sig.as("bucket"))
   }
 

@@ -27,16 +27,30 @@ object LakeReader {
       try {
         val df = read(s, f)
         df.schema // force analysis
-        val withId = df.withColumn("__rid",
-          org.apache.spark.sql.functions.row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(
-              org.apache.spark.sql.functions.monotonically_increasing_id())) - 1)
+        val withId = withDenseRowId(df)
         val name = f.split('/').last
         tables += graft.index.LakeTable(firstTableId + tables.length, name,
           withId, org.apache.spark.sql.functions.col("__rid"), df.columns.toSeq)
       } catch { case _: Exception => errors += 1 }
     }
     (tables.toSeq, errors)
+  }
+
+  /** Dense 0-based row id in (partition, in-partition) order, fully
+    * distributed: `zipWithIndex` runs one tiny count job for the
+    * per-partition offsets and each partition then stamps its own
+    * contiguous range. The previous form — `row_number()` over an
+    * unpartitioned window — funneled the whole file through ONE task,
+    * a scale-killer for any real file.
+    */
+  def withDenseRowId(df: DataFrame, name: String = "__rid"): DataFrame = {
+    val s = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = df.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i)
+    }
+    s.createDataFrame(rdd, schema)
   }
 
   def read(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =

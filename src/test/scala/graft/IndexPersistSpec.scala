@@ -34,6 +34,34 @@ class IndexPersistSpec extends SparkSpec {
       s"expected token pushdown in:\n$plan")
   }
 
+  test("incremental addTables/removeTable ≡ full rebuild; MATE agrees on the maintained index") {
+    val tables = TestLake.tables(spark, sf())
+    val tmp = java.nio.file.Files.createTempDirectory("graft_incr_").toString + "/cells"
+    // day 0: persist an index over the first three tables
+    LakeIndexer.writeIndex(LakeIndexer.cells(tables.take(3)), tmp, numPartitions = 4)
+    // day 1: two new tables arrive — append, no rewrite
+    LakeIndexer.addTables(LakeIndexer.cells(tables.drop(3)), tmp, numPartitions = 4)
+    // day 2: table 2 is retracted — tombstone, no rewrite
+    LakeIndexer.removeTable(spark, tmp, 2)
+    val maintained = LakeIndexer.readIndex(spark, tmp)
+    val rebuilt = LakeIndexer.cells(tables.filterNot(_.tableId == 2))
+    val a = maintained.orderBy("tableid", "rowid", "colid").collect().map(_.toSeq)
+    val b = rebuilt.orderBy("tableid", "rowid", "colid").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+    // MATE equality on the maintained index
+    val input = spark.read.parquet(s"${sf()}/customer.parquet")
+    val live = graft.mate.Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey"), rebuilt, 5)
+      .collect().map(_.toSeq).toSeq
+    val incr = graft.mate.Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey"), maintained, 5)
+      .collect().map(_.toSeq).toSeq
+    assert(live == incr)
+    // compaction applies tombstones physically and preserves content
+    LakeIndexer.compactIndex(spark, tmp, numPartitions = 4)
+    val compacted = LakeIndexer.readIndex(spark, tmp)
+    assert(compacted.orderBy("tableid", "rowid", "colid").collect().map(_.toSeq).sameElements(b))
+    assert(compacted.where(col("tableid") === 2).count() == 0)
+  }
+
   test("streaming index maintenance equals the batch build") {
     val s = spark
     import s.implicits._

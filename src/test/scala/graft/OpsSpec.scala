@@ -167,6 +167,48 @@ class OpsSpec extends SparkSpec {
       .stratifiedHashSample(df, col("id"), col("s"), Map("a" -> 2), 8).collect().toSet)
   }
 
+  test("columnPairSimilarity: bucket-explode pairs match the self-join form; hot-token guard caps") {
+    import spark.implicits._
+    // cols A,B share t1,t2; C shares t1 only; t1 is in 3 columns
+    val cells = Seq(
+      ("A", "t1"), ("A", "t2"), ("A", "t3"),
+      ("B", "t1"), ("B", "t2"),
+      ("C", "t1"), ("C", "t9")
+    ).toDF("table_col_id", "tokenized")
+    val out = graft.cocoa.Cocoa.columnPairSimilarity(cells, 10)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // A∩B = {t1,t2} / |A∪B| = 3+2-2; A∩C = {t1} / 3+2-1; B∩C = {t1} / 2+2-1
+    assert(out(("A", "B")) == ((2L, 2.0 / 3)))
+    assert(out(("A", "C")) == ((1L, 1.0 / 4)))
+    assert(out(("B", "C")) == ((1L, 1.0 / 3)))
+    // guard at df<3 drops the 3-column token t1: A-C and B-C lose their
+    // only shared token; A-B keeps t2
+    val capped = graft.cocoa.Cocoa.columnPairSimilarity(cells, 10, maxTokenDf = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped == Map(("A", "B") -> 1L))
+  }
+
+  test("withDenseRowId: dense 0-based ids, multi-partition, (partition, offset) order") {
+    import spark.implicits._
+    val df = spark.range(0, 1000, 1, 8).select(col("id").as("v"))
+    val out = graft.sources.LakeReader.withDenseRowId(df)
+    assert(out.rdd.getNumPartitions == 8, "row-id stamping must not collapse to one partition")
+    val ids = out.select("__rid").as[Long].collect().sorted
+    assert(ids.toSeq == (0L until 1000L))
+    // within-partition order preserved: v ascending within each partition
+    // and ids contiguous per partition in partition order
+    val byPart = out.select(spark_partition_id().as("p"), col("v"), col("__rid"))
+      .as[(Int, Long, Long)].collect().groupBy(_._1)
+    byPart.values.foreach { rows =>
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._2).toSeq == sorted.map(_._2).sorted.toSeq)
+      val rids = sorted.map(_._3)
+      assert(rids.last - rids.head == rids.length - 1)
+    }
+  }
+
   test("contamination counts shared shingles against the benchmark set") {
     import spark.implicits._
     val corpus = Seq(

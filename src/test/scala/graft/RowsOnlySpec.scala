@@ -47,6 +47,38 @@ class RowsOnlySpec extends SparkSpec {
     assert(out.feature.toSeq == Seq(4.0, bytes.sum.toDouble / 4, 1.0, 'a'.toInt.toDouble))
   }
 
+  test("decodeImages really decodes PNG/JPEG blobs from a parquet fixture") {
+    import spark.implicits._
+    // build real images in-memory: 2×2 solid red PNG, 3×1 solid
+    // (0,128,255) JPEG-encoded... JPEG is lossy, so pin PNG exactly and
+    // JPEG approximately; plus one garbage blob
+    def png(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    def jpg(w: Int, h: Int, rgb: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_img_").toString
+    Seq((1L, png(2, 2, 0xFF0000)), (2L, jpg(4, 3, 0x808080)), (3L, Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "blob").write.mode("overwrite").parquet(s"$dir/imgs.parquet")
+    val out = Multimodal.decodeImages(spark, spark.read.parquet(s"$dir/imgs.parquet"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).decode_ok && out(1L).width == 2 && out(1L).height == 2)
+    assert(out(1L).mean_r == 255.0 && out(1L).mean_g == 0.0 && out(1L).mean_b == 0.0)
+    assert(out(2L).decode_ok && out(2L).width == 4 && out(2L).height == 3)
+    // JPEG is lossy: a solid mid-gray survives within a small tolerance
+    assert(math.abs(out(2L).mean_r - 128.0) < 4 && math.abs(out(2L).mean_g - 128.0) < 4)
+    assert(!out(3L).decode_ok && out(3L).n_bytes == 3)
+  }
+
   test("permutation importance ranks the real signal far above noise") {
     import spark.implicits._
     val df = (0 until 300).map { i =>

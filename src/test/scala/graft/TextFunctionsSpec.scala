@@ -31,4 +31,32 @@ class TextFunctionsSpec extends SparkSpec {
       assert(got == want, s"input '$in'")
     }
   }
+
+  /** Vectors independently derived from maco/util.py:250
+    * generate_Simhash's published algorithm (md5 feature hash over char
+    * 3-grams of the lowercased non-word-stripped token, f=128, bit set
+    * on strictly positive weighted sum), as (hi, lo) signed longs.
+    */
+  val simhash128Vectors: Seq[(String, (Long, Long))] = Seq(
+    "hello world" -> ((4693533796357124104L, -4898379191337243435L)),
+    // case + punctuation are stripped before feature extraction, so
+    // this MUST collide with "hello world" exactly
+    "Hello, World!" -> ((4693533796357124104L, -4898379191337243435L)),
+    "a" -> ((919145239626757800L, 3585878926028121697L)),
+    "" -> ((-3162216497309240828L, -1621285313438006658L)),
+    "Data Lake 42" -> ((-2123621712074364260L, -3757568744834718202L)),
+    "ab" -> ((1765116674205471180L, 3404963397999061920L))
+  )
+
+  test("simhash128 matches the reference md5 construction bit for bit") {
+    simhash128Vectors.foreach { case (in, want) =>
+      assert(graft.functions.SimHash.simhash128(in) == want, s"input '$in'")
+    }
+    // and through the UDF surface
+    import spark.implicits._
+    val out = simhash128Vectors.map(_._1).toDF("t")
+      .select(graft.functions.SimHash.simhash128Udf(col("t")).as("s"))
+      .select(col("s._1"), col("s._2")).as[(Long, Long)].collect()
+    assert(out.toSeq == simhash128Vectors.map(_._2))
+  }
 }
