@@ -23,8 +23,22 @@ object Xash {
   private val LengthBitStart = 111     // 37 * 3
   private val LengthMod = 128 - LengthBitStart // 17
 
-  /** 128-bit XASH of a cleaned token. */
-  def xashBig(token: String): BigInt = {
+  /** hash_size → per-char segment width (maco/util.py:173
+    * segment_size_dict). 128 is the published default and the two-long
+    * fast path ([[xash128]]); the other sizes are supported through the
+    * generic [[xashBig]] for reference parity.
+    */
+  val SegmentSizes: Map[Int, Int] = Map(64 -> 1, 128 -> 3, 256 -> 6, 512 -> 13)
+
+  /** XASH of a cleaned token at any reference hash size (64/128/256/512),
+    * bit-exact to maco/util.py:141 generate_XASH.
+    */
+  def xashBig(token: String, hashSize: Int = 128): BigInt = {
+    val segmentSize = SegmentSizes.getOrElse(hashSize,
+      throw new IllegalArgumentException(
+        s"XASH hash_size must be one of ${SegmentSizes.keys.toSeq.sorted}, got $hashSize"))
+    val lengthBitStart = 37 * segmentSize
+    val lengthMod = hashSize - lengthBitStart
     if (token == null || token == "" || token == "None" || token == " " || token == "''")
       return BigInt(0)
 
@@ -45,9 +59,9 @@ object Xash {
         val meanIndex = sum.toDouble / n
         var location = -1
         var s = 0
-        while (s < SegmentSize && location < 0) {
-          if (meanIndex <= ((s + 1) * tokenSize).toDouble / SegmentSize)
-            location = ci * SegmentSize + s
+        while (s < segmentSize && location < 0) {
+          if (meanIndex <= ((s + 1) * tokenSize).toDouble / segmentSize)
+            location = ci * segmentSize + s
           s += 1
         }
         result = result | (BigInt(1) << location)
@@ -55,12 +69,44 @@ object Xash {
     }
 
     // Rotation normalized by the length-bit position (maco/util.py:195).
-    val d = (LengthBitStart * (tokenSize % LengthMod)) / LengthMod
+    val d = (lengthBitStart * (tokenSize % lengthMod)) / lengthMod
     val x = result << d
-    val y = result >> (LengthBitStart - d)
-    result = (x | y) & ((BigInt(1) << LengthBitStart) - 1)
+    val y = result >> (lengthBitStart - d)
+    result = (x | y) & ((BigInt(1) << lengthBitStart) - 1)
 
-    result | (BigInt(1) << (LengthBitStart + tokenSize % LengthMod))
+    result | (BigInt(1) << (lengthBitStart + tokenSize % lengthMod))
+  }
+
+  /** Generic-size XASH as little-endian 64-bit words
+    * (hashSize/64 longs) — the storable form for the non-default sizes;
+    * row super keys OR these word-wise and containment is word-wise
+    * `q & ~row == 0`, exactly like the two-long 128 fast path.
+    */
+  def xashWords(token: String, hashSize: Int): Array[Long] = {
+    val v = xashBig(token, hashSize)
+    Array.tabulate(hashSize / 64)(i =>
+      ((v >> (i * 64)) & ((BigInt(1) << 64) - 1)).toLong)
+  }
+
+  /** Word-wise row super key over any hash size. */
+  def superKeyWords(tokens: Seq[String], hashSize: Int): Array[Long] = {
+    val acc = new Array[Long](hashSize / 64)
+    tokens.foreach { t =>
+      val w = xashWords(t, hashSize)
+      var i = 0
+      while (i < acc.length) { acc(i) |= w(i); i += 1 }
+    }
+    acc
+  }
+
+  /** Word-wise containment: every query bit present in the row key. */
+  def containsWords(row: Array[Long], q: Array[Long]): Boolean = {
+    var i = 0
+    while (i < q.length) {
+      if ((q(i) & ~row(i)) != 0L) return false
+      i += 1
+    }
+    true
   }
 
   /** (hi, lo) long pair of the 128-bit hash — allocation-free fast path

@@ -58,4 +58,51 @@ class XashSpec extends SparkSpec {
     val rt = ((BigInt(hi) & Mask64) << 64) | (BigInt(lo) & Mask64)
     assert(rt == expected)
   }
+
+  /** Size-variant vectors generated from the reference
+    * generate_XASH(hash_size ∈ {64, 256, 512}) — maco/util.py:173's
+    * segment_size_dict path.
+    */
+  val sizedVectors: Seq[(Int, String, BigInt)] = Seq(
+    (64, "hello", BigInt("40091200000", 16)),
+    (64, "germany", BigInt("100305100000", 16)),
+    (64, "a", BigInt("4000001000", 16)),
+    (64, "42", BigInt("80000000a0", 16)),
+    (64, "customer 042", BigInt("20000202b0000", 16)),
+    (64, "x" * 40, BigInt("4000000004000", 16)),
+    (256, "hello", BigInt("800000000040000400000100008000000000000000000000000000000", 16)),
+    (256, "germany", BigInt("2000000002020000000008008000040000000000000000000000000000", 16)),
+    (256, "a", BigInt("80000000000000000000000000000000000001000000000000000000", 16)),
+    (256, "42", BigInt("100000000000000000000000000000000000000000000080200000000", 16)),
+    (256, "customer 042", BigInt("40000000000000000001000000000010020010200000000000000000000", 16)),
+    (256, "x" * 40, BigInt("1000000000000000000000000000000000000000000000000000800000", 16)),
+    (512, "hello", BigInt("40000000000000000010000000000200000000000000800000000400000000000000000000000000000000000000000000000000000000000000000000", 16)),
+    (512, "germany", BigInt("100000000000000200010000000000000000000020000010000000000040000000000000000000000000000000000000000000000000000000000000000", 16)),
+    (512, "a", BigInt("4000000000000000000000000000000000000000000000000000000000000000000000000000000004000000000000000000000000000000000000000", 16)),
+    (512, "42", BigInt("8000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000001000010000000000000000000", 16)),
+    (512, "customer 042", BigInt("2000000000000000000000000000000000080000000000000000000000200000100000010004000000000000000000000000000000000000000000000000", 16)),
+    (512, "x" * 40, BigInt("400000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000000400000000000000000000000000", 16))
+  )
+
+  test("xashBig size variants match reference vectors (64/256/512)") {
+    sizedVectors.foreach { case (hs, tok, expected) =>
+      assert(Xash.xashBig(tok, hs) == expected, s"hash_size=$hs token '$tok'")
+    }
+  }
+
+  test("word form round-trips and containment holds for every size") {
+    for (hs <- Seq(64, 128, 256, 512)) {
+      val toks = Seq("hello", "germany", "customer 042")
+      val sk = Xash.superKeyWords(toks, hs)
+      toks.foreach { t =>
+        val w = Xash.xashWords(t, hs)
+        // round trip words → BigInt
+        val rt = w.zipWithIndex.map { case (x, i) => (BigInt(x) & Mask64) << (i * 64) }
+          .foldLeft(BigInt(0))(_ | _)
+        assert(rt == Xash.xashBig(t, hs), s"hash_size=$hs token '$t'")
+        assert(Xash.containsWords(sk, w), s"superkey must contain member, hs=$hs '$t'")
+      }
+      assert(!Xash.containsWords(Xash.xashWords("hello", hs), Xash.xashWords("germany", hs)))
+    }
+  }
 }
