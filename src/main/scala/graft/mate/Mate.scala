@@ -101,6 +101,22 @@ object Mate {
                  rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame =
     topkOf(matches(input, rowId, queryCols, cells, rowHash), k)
 
+  /** Score + top-k over an (optionally pre-cached) match set — public so
+    * callers that materialize the match set once (the reference's
+    * join-map product) can run search and map projection off the same
+    * frame without recomputing the candidate joins.
+    */
+  def topK(matched: DataFrame, k: Int): DataFrame = topkOf(matched, k)
+
+  /** Join-map projection of a match set restricted to `top`'s tables:
+    * external row → input row (min MateRowID per external row).
+    */
+  def mapsOf(matched: DataFrame, top: DataFrame): DataFrame =
+    matched
+      .join(broadcast(top.select("tableid", "columns")), Seq("tableid", "columns"))
+      .groupBy("tableid", "columns", "rowid")
+      .agg(min("MateRowID").as("input_row"))
+
   private def topkOf(matched: DataFrame, k: Int): DataFrame = {
     val scored = matched
       .groupBy("tableid", "columns")
@@ -132,19 +148,18 @@ object Mate {
     * instead of each re-executing the score+topk subplan.
     */
   def searchAndMaps(input: DataFrame, rowId: Column, queryCols: Seq[String],
-                    cells: DataFrame, k: Int): (DataFrame, DataFrame) = {
-    val matched = matches(input, rowId, queryCols, cells).cache()
+                    cells: DataFrame, k: Int): (DataFrame, DataFrame) =
+    searchAndMapsOf(matches(input, rowId, queryCols, cells).cache(), k)
+
+  /** [[searchAndMaps]] over an already-materialized match set. */
+  def searchAndMapsOf(matched: DataFrame, k: Int): (DataFrame, DataFrame) = {
     val spark = matched.sparkSession
-    val topK = topkOf(matched, k)
+    val topKDf = topkOf(matched, k)
     val top = spark.createDataFrame(
-      spark.sparkContext.parallelize(topK.collect().toIndexedSeq, 1), topK.schema)
+      spark.sparkContext.parallelize(topKDf.collect().toIndexedSeq, 1), topKDf.schema)
     // cached: the maps ARE the reference's materialized join-map product,
     // and COCOA consumes them several times (candidate tables, pair join)
-    val maps = matched
-      .join(broadcast(top.select("tableid", "columns")), Seq("tableid", "columns"))
-      .groupBy("tableid", "columns", "rowid")
-      .agg(min("MateRowID").as("input_row"))
-      .cache()
+    val maps = mapsOf(matched, top).cache()
     (top, maps)
   }
 }

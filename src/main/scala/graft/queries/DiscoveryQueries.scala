@@ -61,6 +61,33 @@ object DiscoveryQueries {
   private val ranksCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Cached verified MATE match sets — the reference materializes this
+    * intermediate (its join-map product) once per search and runs
+    * scoring and map projection off it; we do the same across the
+    * queries that share a search. Scoring/top-k/map projection stay
+    * per-query work.
+    *
+    * `sample` = (c_custkey%7, [c_nationkey, c_mktsegment]) — shared by
+    * mate_topk and mate_joinmap. `single` = (full customer,
+    * [c_nationkey]) — shared by mate_single and cocoa_topk_features.
+    */
+  private def mateMatches(s: SparkSession, dir: String, variant: String): DataFrame =
+    matchCache.getOrElseUpdate((s, dir, variant), {
+      val cells = TestLake.cells(s, dir)
+      val m = variant match {
+        case "sample" =>
+          val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
+          Mate.matches(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"), cells)
+        case "single" =>
+          val input = t(s, dir, "customer")
+          Mate.matches(input, col("c_custkey"), Seq("c_nationkey"), cells)
+      }
+      m.cache()
+    })
+
+  private val matchCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
   /** Materialize the shared caches (Bench times this as `cache_build`
     * so per-query numbers measure query work, not whichever query
     * happens to touch a shared frame first).
@@ -68,25 +95,20 @@ object DiscoveryQueries {
   def warmCaches(s: SparkSession, dir: String): Unit = {
     custNationPairs(s, dir).count()
     custRanks(s, dir).count()
+    mateMatches(s, dir, "sample").count()
+    mateMatches(s, dir, "single").count()
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mate_topk" -> ((s, dir) => {
-      val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
-      Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
-        TestLake.cells(s, dir), 10)
-    }),
+    "mate_topk" -> ((s, dir) =>
+      Mate.topK(mateMatches(s, dir, "sample"), 10)),
 
-    "mate_single" -> ((s, dir) => {
-      val input = t(s, dir, "customer")
-      Mate.joinSearch(input, col("c_custkey"), Seq("c_nationkey"),
-        TestLake.cells(s, dir), 5)
-    }),
+    "mate_single" -> ((s, dir) =>
+      Mate.topK(mateMatches(s, dir, "single"), 5)),
 
     "mate_joinmap" -> ((s, dir) => {
-      val input = t(s, dir, "customer").where(col("c_custkey") % 7 === 0)
-      Mate.joinMaps(input, col("c_custkey"), Seq("c_nationkey", "c_mktsegment"),
-        TestLake.cells(s, dir), 10)
+      val matched = mateMatches(s, dir, "sample")
+      Mate.mapsOf(matched, Mate.topK(matched, 10))
         .orderBy("tableid", "rowid")
     }),
 
@@ -156,12 +178,10 @@ object DiscoveryQueries {
 
     "cocoa_topk_features" -> ((s, dir) => {
       val cells = TestLake.cells(s, dir)
-      val cust = t(s, dir, "customer")
-      val (top, jm0) = Mate.searchAndMaps(cust, col("c_custkey"), Seq("c_nationkey"), cells, 5)
+      val (top, jm0) = Mate.searchAndMapsOf(mateMatches(s, dir, "single"), 5)
       val jm = jm0.select(col("tableid"), col("rowid").as("ext_row"), col("input_row"))
       val excluded = top.select(col("tableid"), col("columns").cast("int").as("colid"))
-      val input = cust.select(col("c_custkey").as("input_row"), col("c_acctbal").as("target"))
-      val corr = Cocoa.correlations(Cocoa.targetRanks(input), jm, cells, excluded)
+      val corr = Cocoa.correlations(custRanks(s, dir), jm, cells, excluded)
       // rank on the ROUNDED corr so the SQL oracle's tie behavior matches
       corrOut(corr)
         .orderBy(abs(col("corr")).desc, col("table_col_id").asc)
