@@ -4,7 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.StructType
 
 /** Multi-format lake ingestion (reference: maco/data_handler.py:362 —
-  * csv/tsv/json/parquet/arff readers feeding the indexer).
+  * csv/tsv/json/parquet/arff readers feeding the indexer; we add orc,
+  * which Spark reads natively with the same pushdown/pruning as
+  * parquet).
   *
   * Spark-native: each format maps to a built-in DataFrame reader so
   * scans stay distributed and schema-aware. `arff` (a niche academic
@@ -59,6 +61,7 @@ object LakeReader {
       case "tsv"     => readCsv(s, path, "\t", schema)
       case "json"    => readJson(s, path, schema)
       case "parquet" => s.read.parquet(path)
+      case "orc"     => s.read.orc(path)
       case "arff"    => readArff(s, path)
       case other     => throw new IllegalArgumentException(s"Invalid file format: $other")
     }

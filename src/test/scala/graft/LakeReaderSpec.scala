@@ -22,6 +22,19 @@ class LakeReaderSpec extends SparkSpec {
     assert(cells.where(col("tableid") === 1).select(max(col("colid"))).first().getInt(0) == 1)
   }
 
+  test("orc round-trip reads back with schema and filter pushdown") {
+    val dir = Files.createTempDirectory("graft_orc_").toString
+    import spark.implicits._
+    Seq((1, "foo", 2.5), (2, "bar", 7.0), (3, "baz", 1.0))
+      .toDF("k", "name", "v").write.orc(s"$dir/t.orc")
+    val back = LakeReader.read(spark, s"$dir/t.orc")
+    assert(back.schema.fieldNames.toSeq == Seq("k", "name", "v"))
+    assert(back.where(col("k") > 1).count() == 2)
+    // predicate reaches the ORC scan, not a post-scan filter only
+    val plan = back.where(col("k") > 1).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(k,1)"), plan.take(500))
+  }
+
   test("readFolder arff parsing") {
     val dir = Files.createTempDirectory("graft_arff_").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.arff"),
