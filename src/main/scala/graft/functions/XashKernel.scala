@@ -51,6 +51,42 @@ object XashKernel {
     new GenericArrayData(Array(hi, lo))
   }
 
+  /** Row super key at any reference hash size (64/128/256/512) as
+    * hashSize/64 little-endian words — the storable form for the
+    * non-default XASH widths ([[Xash.SegmentSizes]]).
+    */
+  def superKeyWords(tokens: ArrayData, hashSize: Int): ArrayData = {
+    val acc = new Array[Long](hashSize / 64)
+    var i = 0
+    val n = tokens.numElements()
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      val w = Xash.xashWords(if (t == null) "" else t.toString, hashSize)
+      var j = 0
+      while (j < acc.length) { acc(j) |= w(j); j += 1 }
+      i += 1
+    }
+    new GenericArrayData(acc)
+  }
+
+  /** Single-token XASH words at any hash size. */
+  def xashWords(token: UTF8String, hashSize: Int): ArrayData =
+    new GenericArrayData(
+      Xash.xashWords(if (token == null) null else token.toString, hashSize))
+
+  /** Word-wise containment: every query bit present in the row key —
+    * the any-width form of the (hi, lo) prefilter.
+    */
+  def containsWords(row: ArrayData, q: ArrayData): Boolean = {
+    var i = 0
+    val n = q.numElements()
+    while (i < n) {
+      if ((q.getLong(i) & ~row.getLong(i)) != 0L) return false
+      i += 1
+    }
+    true
+  }
+
   /** Reference tokenizer as a static kernel. */
   def cleanText(s: UTF8String): UTF8String =
     if (s == null) null
@@ -78,6 +114,23 @@ object XashKernel {
   def bloomRowHashCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(
     XashKernel.getClass, ArrayType(LongType, containsNull = false), "bloomRowHash",
     Seq(exprOf(c)), returnNullable = false))
+
+  /** any-width row super key of an array<string> → array<long> words. */
+  def superKeyWordsCol(c: Column, hashSize: Int): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, ArrayType(LongType, containsNull = false), "superKeyWords",
+    Seq(exprOf(c), org.apache.spark.sql.catalyst.expressions.Literal(hashSize)),
+    returnNullable = false))
+
+  /** any-width xash(token) → array<long> words. */
+  def xashWordsCol(c: Column, hashSize: Int): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, ArrayType(LongType, containsNull = false), "xashWords",
+    Seq(exprOf(c), org.apache.spark.sql.catalyst.expressions.Literal(hashSize)),
+    returnNullable = false))
+
+  /** word-wise containment prefilter, codegen'd. */
+  def containsWordsCol(row: Column, q: Column): Column = GraftColumnBridge.column(StaticInvoke(
+    XashKernel.getClass, org.apache.spark.sql.types.BooleanType, "containsWords",
+    Seq(exprOf(row), exprOf(q)), returnNullable = false))
 
   /** cleaned_text(s), codegen'd. */
   def cleanTextCol(c: Column): Column = GraftColumnBridge.column(StaticInvoke(

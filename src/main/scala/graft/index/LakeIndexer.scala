@@ -72,6 +72,30 @@ object LakeIndexer {
         hashes.flatMap { case (name, _) => Seq(col(s"${name}_hi"), col(s"${name}_lo")) }: _*)
   }
 
+  /** Cell index at any reference XASH width (64/128/256/512,
+    * maco/util.py:173 segment_size_dict): the super key is carried as
+    * hashSize/64 little-endian words in ONE array<long> column `sk`.
+    * The 128-bit (hi, lo) fast path ([[cells]]) stays the default; this
+    * is the reference-parity form for the other widths, consumed by
+    * `Mate.joinSearchAt`.
+    */
+  def cellsWords(tables: Seq[LakeTable], hashSize: Int): DataFrame =
+    tables.map { tb =>
+      val cleaned = tb.cols.map(c => cleanCol(col(c))).toArray
+      tb.df
+        .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
+        .select(col("rowid"), col("toks"),
+          graft.functions.XashKernel.superKeyWordsCol(col("toks"), hashSize).as("sk"))
+        .select(col("rowid"), posexplode(col("toks")).as(Seq("colid", "tokenized")), col("sk"))
+        .select(
+          col("tokenized"),
+          lit(tb.tableId).as("tableid"),
+          col("colid"),
+          col("rowid"),
+          concat_ws("_", lit(tb.tableId), col("colid")).as("table_col_id"),
+          col("sk"))
+    }.reduce(_ unionByName _)
+
   /** (tableid, colid, header, header_tokenized) — maco/data_handler.py:262. */
   def columnHeaders(spark: SparkSession, tables: Seq[LakeTable]): DataFrame = {
     import spark.implicits._

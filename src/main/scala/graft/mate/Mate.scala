@@ -31,6 +31,17 @@ object Mate {
   def prepare(input: DataFrame, rowId: Column, queryCols: Seq[String],
               rowHash: Column => Column = graft.functions.XashKernel.superKeyCol): DataFrame = {
     val n = queryCols.length
+    prepareToks(input, rowId, queryCols)
+      .withColumn("sk", rowHash(array((0 until n).map(i => col(s"tok_$i")): _*)))
+      .select((col("MateRowID") +: (0 until n).map(i => col(s"tok_$i")) :+
+        col("sk")(0).as("q_hi") :+ col("sk")(1).as("q_lo")): _*)
+  }
+
+  /** Hash-free input preparation: dedup, clean, filter — shared by the
+    * (hi, lo) and word-array prefilter paths.
+    */
+  private def prepareToks(input: DataFrame, rowId: Column, queryCols: Seq[String]): DataFrame = {
+    val n = queryCols.length
     val raws = queryCols.zipWithIndex.map { case (c, i) => col(c).cast("string").as(s"raw_$i") }
     val grouped = input
       .select((rowId.cast("long").as("__rid") +: raws): _*)
@@ -39,12 +50,8 @@ object Mate {
     val toks = (0 until n).map(i =>
       TextFunctions.cleanedText(coalesce(col(s"raw_$i"), lit(""))).as(s"tok_$i"))
     val cleaned = grouped.select((col("MateRowID") +: toks): _*)
-    val filtered = cleaned.where(
+    cleaned.where(
       (0 until n).map(i => !col(s"tok_$i").isin("", "nan", "unknown")).reduce(_ && _))
-    filtered
-      .withColumn("sk", rowHash(array((0 until n).map(i => col(s"tok_$i")): _*)))
-      .select((col("MateRowID") +: (0 until n).map(i => col(s"tok_$i")) :+
-        col("sk")(0).as("q_hi") :+ col("sk")(1).as("q_lo")): _*)
   }
 
   /** All verified candidate matches: (tableid, rowid, MateRowID,
@@ -61,6 +68,42 @@ object Mate {
       // hash pre-filter: no false negatives, exact verification follows
       .where(Xash.contains(col("sk_hi"), col("sk_lo"), col("q_hi"), col("q_lo")))
       .select(col("tableid"), col("rowid"), col("colid").as("c0"), col("MateRowID"))
+    verifyAndCombine(cand, prep, queryCols, cells)
+  }
+
+  /** [[matches]] over a word-array index ([[graft.index.LakeIndexer
+    * .cellsWords]]) at any reference XASH width — the prefilter is the
+    * word-wise containment kernel instead of the two-long compare; the
+    * exact verification tail is identical, so results match the default
+    * path bit-for-bit at every width (the prefilter never drops a true
+    * match, only admits more or fewer false candidates).
+    */
+  def matchesWords(input: DataFrame, rowId: Column, queryCols: Seq[String],
+                   cellsW: DataFrame, hashSize: Int): DataFrame = {
+    import graft.functions.XashKernel
+    val n = queryCols.length
+    val prepBase = prepareToks(input, rowId, queryCols)
+    val prep = prepBase.withColumn("q_sk",
+      XashKernel.superKeyWordsCol(array((0 until n).map(i => col(s"tok_$i")): _*), hashSize))
+    val q0 = broadcast(prep.select(col("MateRowID"), col("tok_0"), col("q_sk")))
+    val cand = cellsW
+      .join(q0, cellsW("tokenized") === q0("tok_0"))
+      .where(XashKernel.containsWordsCol(col("sk"), col("q_sk")))
+      .select(col("tableid"), col("rowid"), col("colid").as("c0"), col("MateRowID"))
+    verifyAndCombine(cand, prep, queryCols, cellsW)
+  }
+
+  /** Top-k search over a word-array index at any XASH width. */
+  def joinSearchAt(input: DataFrame, rowId: Column, queryCols: Seq[String],
+                   cellsW: DataFrame, k: Int, hashSize: Int): DataFrame =
+    topkOf(matchesWords(input, rowId, queryCols, cellsW, hashSize), k)
+
+  /** Exact per-column verification joins + matched-column combo string —
+    * shared tail of every prefilter variant. `cells` only needs
+    * (tableid, rowid, colid, tokenized).
+    */
+  private def verifyAndCombine(cand: DataFrame, prep: DataFrame,
+                               queryCols: Seq[String], cells: DataFrame): DataFrame = {
     var cur = cand
     if (queryCols.length > 1) {
       // cached: consumed once per extra query column PLUS the eager

@@ -45,6 +45,28 @@ class MateSpec extends SparkSpec {
     assert(top.toSeq == Seq((1, "1", 3L), (2, "1", 3L)))
   }
 
+  test("word-array index at every XASH width matches the (hi,lo) fast path") {
+    val s = spark
+    import s.implicits._
+    val t1 = Seq((0L, "berlin", "gold", 10), (1L, "paris", "gold", 20),
+      (2L, "rome", "silver", 30), (3L, "oslo", "none", 40))
+      .toDF("k", "city", "seg", "x")
+    val t2 = Seq((0L, "berlin", 1), (1L, "paris", 2), (2L, "lima", 3))
+      .toDF("k", "city", "y")
+    val tables = Seq(LakeTable(1, "t1", t1, col("k")), LakeTable(2, "t2", t2, col("k")))
+    val expected = Mate.joinSearch(input(), col("rid"), Seq("city", "seg"),
+      LakeIndexer.cells(tables), 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    for (hs <- Seq(64, 128, 256, 512)) {
+      val cellsW = LakeIndexer.cellsWords(tables, hs)
+      // stored word count matches the width
+      assert(cellsW.select(size(col("sk"))).first().getInt(0) == hs / 64)
+      val got = Mate.joinSearchAt(input(), col("rid"), Seq("city", "seg"), cellsW, 5, hs)
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == expected, s"hash_size=$hs")
+    }
+  }
+
   test("three-attribute search verifies all query columns") {
     val s = spark
     import s.implicits._
