@@ -44,20 +44,34 @@ object Search {
   /** BM25 relevance of every document for a bag of query terms
     * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
     * Output: (doc_id, score) for docs matching ≥1 term, 6-decimal score.
+    *
+    * Shuffle-free: the query-term set is small, so per-doc term counts
+    * are per-row codegen'd array scans (`size(filter(words, = term))`)
+    * instead of explode → groupBy — corpus stats (N, avgdl, per-term
+    * df) collapse to ONE 1-row aggregate riding a broadcast crossJoin.
+    * Two corpus scans total (stats + scoring), zero shuffles; the
+    * previous explode form paid four tokenize passes and two shuffles.
     */
   def bm25(docs: DataFrame, terms: Seq[String],
            id: String = "doc_id", text: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tf = termFreq(docs, id, text).where(col("word").isin(terms: _*))
-    val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
-    val lens = docs.select(col(id), size(words(text)).cast("double").as("dl"))
-    val stats = docs.agg(count(lit(1)).cast("double").as("n"),
-      avg(size(words(text)).cast("double")).as("avgdl"))
-    val idf = log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5))
-    tf.join(df, "word").join(lens, id).crossJoin(broadcast(stats))
-      .select(col(id),
-        (idf * (col("tf") * (k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))).as("s"))
-      .groupBy(col(id)).agg(round(sum(col("s")), 6).as("score"))
+    val ts = terms.distinct
+    val tfCols = ts.indices.map(i =>
+      size(filter(words(text), w => w === lit(ts(i)))).cast("double").as(s"tf_$i"))
+    val perDoc = docs.select(
+      (col(id) +: size(words(text)).cast("double").as("dl") +: tfCols): _*)
+    val statCols = avg(col("dl")).as("avgdl") +:
+      ts.indices.map(i => sum((col(s"tf_$i") > 0).cast("double")).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).cast("double").as("n"), statCols: _*)
+    def idf(i: Int) =
+      log(lit(1.0) + (col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+    val score = ts.indices.map { i =>
+      idf(i) * (col(s"tf_$i") * (k1 + 1)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl")))
+    }.reduce(_ + _)
+    perDoc
+      .where(ts.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col(id), round(score, 6).as("score"))
   }
 }
