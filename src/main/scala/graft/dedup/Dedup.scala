@@ -275,36 +275,90 @@ object Dedup {
   def minhashLsh(docs: DataFrame, tau: Double, id: String = "doc_id",
                  text: String = "text", n: Int = 3,
                  numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val sigs = minhashSignatures(docs, id, text, n, numHashes)
+    val keys = bandKeysOf(sigs, numHashes, bands)
+    val cand = keys.as("x").join(keys.as("y"), Seq("band", "bkey"))
+      .where(col("x.did") < col("y.did"))
+      .select(col("x.did").as("id_1"), col("y.did").as("id_2")).distinct()
+    verifyPairs(cand, sigs, tau)
+  }
+
+  /** The persistable MinHash signature index of a corpus:
+    * (did, sig array<long> of `numHashes` minima, sh array<long>
+    * distinct shingle hashes). Write it with the corpus, then dedup
+    * each NEW batch against it via [[minhashLshIncremental]] — the
+    * 100-TB discipline is "signature the corpus once, probe per batch",
+    * never re-shingle the whole corpus per arrival.
+    *
+    * One scan, zero shuffles: permutations are seeded re-hashes of the
+    * 64-bit shingle hash (the shingle string itself is never
+    * materialized) and the whole k-signature is computed per-row from
+    * the doc's shingle array by the codegen'd [[graft.functions
+    * .MinHashSig.sigOfArrayCol]] kernel — bit-identical to the
+    * exploded-aggregate form (`MinHashSig.minhashSig`), which remains
+    * for streams of already-exploded shingles.
+    */
+  def minhashSignatures(docs: DataFrame, id: String = "doc_id",
+                        text: String = "text", n: Int = 3,
+                        numHashes: Int = 32): DataFrame =
+    docs
+      .select(col(id).as("did"), shingleHashes(col(text), n).as("sh"))
+      // docs with no shingles have no signature (explode-form parity)
+      .where(size(col("sh")) > 0)
+      .select(col("did"),
+        graft.functions.MinHashSig.sigOfArrayCol(col("sh"), numHashes).as("sig"),
+        col("sh"))
+
+  /** Band keys of a signature frame: (did, band, bkey). */
+  private def bandKeysOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands); " +
         "otherwise trailing hash functions are silently unused")
     val rows = numHashes / bands
-    // permutations are seeded re-hashes of the 64-bit shingle hash — the
-    // shingle string itself is never materialized; the whole k-signature
-    // comes from ONE native aggregate buffer (functions.MinHashSig), not
-    // k separate min() expressions
-    val inv = docs
-      .select(col(id).as("did"), explode(shingleHashes(col(text), n)).as("g"))
-    val mins = inv.groupBy("did")
-      .agg(graft.functions.MinHashSig.minhashSig(col("g"), numHashes).as("sig"))
-    val bandKeys = mins.select(col("did"),
+    sigs.select(col("did"),
       posexplode(array((0 until bands).map(b =>
         xxhash64((b * rows until (b + 1) * rows).map(i => element_at(col("sig"), i + 1)): _*)): _*))
         .as(Seq("band", "bkey")))
-    val cand = bandKeys.as("x").join(bandKeys.as("y"), Seq("band", "bkey"))
-      .where(col("x.did") < col("y.did"))
-      .select(col("x.did").as("id_1"), col("y.did").as("id_2")).distinct()
-    // verify ONLY bucket candidates (never the all-pairs join): attach
-    // both shingle-hash sets and compute exact Jaccard per candidate pair
-    val sets = docs.select(col(id).as("did"), shingleHashes(col(text), n).as("sh"))
+  }
+
+  /** Exact-Jaccard verification of candidate pairs against the
+    * signature frame's shingle sets — verify ONLY bucket candidates
+    * (never the all-pairs join).
+    */
+  private def verifyPairs(cand: DataFrame, sigs: DataFrame, tau: Double): DataFrame =
     cand
-      .join(sets.select(col("did").as("id_1"), col("sh").as("sh_1")), "id_1")
-      .join(sets.select(col("did").as("id_2"), col("sh").as("sh_2")), "id_2")
+      .join(sigs.select(col("did").as("id_1"), col("sh").as("sh_1")), "id_1")
+      .join(sigs.select(col("did").as("id_2"), col("sh").as("sh_2")), "id_2")
       .withColumn("common", size(array_intersect(col("sh_1"), col("sh_2"))))
       .withColumn("jac", col("common").cast("double") /
         (size(col("sh_1")) + size(col("sh_2")) - col("common")).cast("double"))
       .where(col("jac") >= tau)
       .select("id_1", "id_2", "jac")
+
+  /** Incremental near-dup: match a NEW batch against an existing
+    * signature index ([[minhashSignatures]]) plus itself, WITHOUT
+    * touching existing×existing pairs. Only the new batch is shingled;
+    * only its band keys probe the bucket join — against a persisted
+    * index laid out by (band, bkey) this is an index probe whose cost
+    * scales with the batch, not the corpus. Emits (id_1, id_2, jac)
+    * where at least one side is new; ids must be distinct across the
+    * union of both frames.
+    */
+  def minhashLshIncremental(newDocs: DataFrame, existingSigs: DataFrame,
+                            tau: Double, id: String = "doc_id",
+                            text: String = "text", n: Int = 3,
+                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+    val newSigs = minhashSignatures(newDocs, id, text, n, numHashes)
+    val allSigs = existingSigs.select("did", "sig", "sh")
+      .unionByName(newSigs.select("did", "sig", "sh"))
+    val probe = bandKeysOf(newSigs, numHashes, bands)
+    val index = bandKeysOf(allSigs, numHashes, bands)
+    val cand = probe.as("x").join(index.as("y"), Seq("band", "bkey"))
+      .where(col("x.did") =!= col("y.did"))
+      .select(least(col("x.did"), col("y.did")).as("id_1"),
+        greatest(col("x.did"), col("y.did")).as("id_2"))
+      .distinct()
+    verifyPairs(cand, allSigs, tau)
   }
 
   /** SimHash near-dup: 64-bit fingerprints, band-rotation candidates

@@ -85,4 +85,37 @@ object MinHashSig {
   def minhashSig(c: Column, numHashes: Int): Column =
     GraftColumnBridge.column(
       MinHashSig(GraftColumnBridge.expression(c), numHashes).toAggregateExpression())
+
+  /** Per-row signature of an already-assembled shingle-hash array —
+    * bit-identical to the aggregate (same seed chain), but computed
+    * inside the row's projection: when the shingle set is a per-doc
+    * array column there is NO reason to explode + shuffle + re-group
+    * just to take k minima.
+    */
+  def sigOfArray(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+                 numHashes: Int): GenericArrayData = {
+    val buf = Array.fill(numHashes)(Long.MaxValue)
+    var j = 0
+    val n = sh.numElements()
+    while (j < n) {
+      val g = sh.getLong(j)
+      var i = 0
+      while (i < numHashes) {
+        val h = XXH64.hashLong(g, XXH64.hashInt(i, 42L))
+        if (h < buf(i)) buf(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(buf)
+  }
+
+  /** Column form of [[sigOfArray]], codegen'd via StaticInvoke. */
+  def sigOfArrayCol(c: Column, numHashes: Int): Column =
+    GraftColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+        MinHashSig.getClass, ArrayType(LongType, containsNull = false), "sigOfArray",
+        Seq(GraftColumnBridge.expression(c),
+          org.apache.spark.sql.catalyst.expressions.Literal(numHashes)),
+        returnNullable = false))
 }

@@ -49,6 +49,18 @@ object PipelineQueries {
         .select(col("id_1"), col("id_2"), dec6(col("jac")).as("jac"))
         .orderBy("id_1", "id_2")),
 
+    // Incremental arrival: the second half of the corpus deduped
+    // against the first half's signature index — pairs must be exactly
+    // the full run's pairs that touch the new half (old×old skipped).
+    "dedup_minhash_inc" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val cut = 250
+      val sigs = Dedup.minhashSignatures(d.where(col("doc_id") <= cut))
+      Dedup.minhashLshIncremental(d.where(col("doc_id") > cut), sigs, 0.5)
+        .select(col("id_1"), col("id_2"), dec6(col("jac")).as("jac"))
+        .orderBy("id_1", "id_2")
+    }),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -236,6 +248,22 @@ object PipelineQueries {
       s"""WITH $shingleCtes
          |SELECT id_1, id_2, CAST(round(common::DOUBLE / (sz_1 + sz_2 - common), 6) AS DECIMAL(10,6)) AS jac
          |FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5 ORDER BY id_1, id_2""".stripMargin,
+
+    // LSH is an exact-result accelerator on this corpus: every true
+    // pair sits at jac >= 0.8, where the 8-band/4-row catch probability
+    // is ~1 and the seeded signatures are deterministic — so the exact
+    // Jaccard SQL IS the minhash oracle (verified identical at sf0.01
+    // and sf0.1).
+    "dedup_minhash" ->
+      s"""WITH $shingleCtes
+         |SELECT id_1, id_2, CAST(round(common::DOUBLE / (sz_1 + sz_2 - common), 6) AS DECIMAL(10,6)) AS jac
+         |FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5 ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_minhash_inc" ->
+      s"""WITH $shingleCtes
+         |SELECT id_1, id_2, CAST(round(common::DOUBLE / (sz_1 + sz_2 - common), 6) AS DECIMAL(10,6)) AS jac
+         |FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5
+         |  AND (id_1 > 250 OR id_2 > 250) ORDER BY id_1, id_2""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,

@@ -39,6 +39,30 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("incremental minhash finds exactly the pairs touching the new batch") {
+    val s = spark
+    import s.implicits._
+    val all = docs(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"),   // ~ 1
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"),
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w14"),   // ~ 1, 2 (new)
+      (5L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a13"))   // ~ 3    (new)
+    val existing = all.where(col("doc_id") <= 3)
+    val fresh = all.where(col("doc_id") > 3)
+    // persisted-signature roundtrip: the index survives parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft_sigs_").toString
+    Dedup.minhashSignatures(existing).write.parquet(s"$dir/sigs")
+    val sigs = spark.read.parquet(s"$dir/sigs")
+    val inc = Dedup.minhashLshIncremental(fresh, sigs, 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val full = Dedup.minhashLsh(all, 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val touchingNew = full.filter { case (a, b) => a > 3 || b > 3 }
+    assert(inc == touchingNew, s"inc=$inc expected=$touchingNew")
+    assert(touchingNew.nonEmpty && !inc.contains((1L, 2L))) // old×old untouched
+  }
+
   test("simhash near-dup clusters identical docs") {
     val d = docs((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "unrelated totally different content"))
