@@ -120,6 +120,34 @@ object EventStreams {
     }
   }
 
+  /** Stream-stream interval join: each left event paired with the same
+    * user's right events at most `maxDelayMinutes` earlier (right.ts ∈
+    * [left.ts − delay, left.ts]) — the click-to-impression enrichment
+    * shape. Both sides are watermarked, so the join state store
+    * retains only the delay+watermark horizon per side; without the
+    * time bound a stream-stream join would buffer both streams
+    * forever. Works identically on batch frames (same join, watermarks
+    * ignored). Output: (user_id, l_ts, l_value, r_ts, r_value).
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         maxDelayMinutes: Int,
+                         watermark: Option[String] = None): DataFrame = {
+    def secs(df: DataFrame, p: String) = {
+      val based = df.select(col("user_id").as(s"${p}_user"),
+        col("ts").as(s"${p}_ts"), col("value").as(s"${p}_value"))
+        .withColumn(s"${p}_sec", (col(s"${p}_ts") / lit(1000000000L)).cast("timestamp_ltz"))
+      watermark.fold(based)(w => based.withWatermark(s"${p}_sec", w))
+    }
+    val l = secs(left, "l")
+    val r = secs(right, "r")
+    l.join(r,
+        col("l_user") === col("r_user") &&
+          col("r_sec") >= col("l_sec") - expr(s"INTERVAL $maxDelayMinutes MINUTES") &&
+          col("r_sec") <= col("l_sec"))
+      .select(col("l_user").as("user_id"), col("l_ts"), col("l_value"),
+        col("r_ts"), col("r_value"))
+  }
+
   /** Sessionization-style running state per user: last event type and
     * a running value total, via streaming-compatible aggregation.
     */

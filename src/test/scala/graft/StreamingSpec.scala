@@ -111,6 +111,45 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val min = 60L * 1000000000L
+    val schema = Seq("user_id", "ts", "value")
+    // left: clicks; right: impressions (within/outside the 10-min bound)
+    val lefts = Seq((1L, 20L * min, 1.0), (1L, 50L * min, 2.0), (2L, 30L * min, 3.0))
+    val rights = Seq(
+      (1L, 12L * min, 10.0),  // 8 min before left@20 → joins
+      (1L, 45L * min, 11.0),  // 5 min before left@50 → joins
+      (1L, 35L * min, 12.0),  // 15 min before left@50, after left@20 → joins neither
+      (2L, 30L * min, 13.0),  // same instant → joins
+      (3L, 30L * min, 14.0))  // no matching left user
+    val memL = MemoryStream[(Long, Long, Double)]
+    val memR = MemoryStream[(Long, Long, Double)]
+    val q = EventStreams.intervalJoinStream(
+        memL.toDF().toDF(schema: _*), memR.toDF().toDF(schema: _*),
+        maxDelayMinutes = 10, watermark = Some("30 minutes"))
+      .writeStream.format("memory").queryName("ij_out").outputMode("append").start()
+    memL.addData(lefts.take(2): _*)
+    memR.addData(rights.take(3): _*)
+    q.processAllAvailable()
+    memL.addData(lefts.drop(2): _*)
+    memR.addData(rights.drop(3): _*)
+    q.processAllAvailable()
+    val streamed = spark.table("ij_out")
+      .orderBy("user_id", "l_ts", "r_ts").collect().map(_.toSeq).toSeq
+    q.stop()
+
+    val batch = EventStreams.intervalJoinStream(
+        lefts.toDF(schema: _*), rights.toDF(schema: _*), maxDelayMinutes = 10)
+      .orderBy("user_id", "l_ts", "r_ts").collect().map(_.toSeq).toSeq
+
+    assert(streamed == batch)
+    assert(batch.size == 3)
+  }
+
   test("dedupStream drops in-watermark duplicates like batch dropDuplicates") {
     val s = spark
     import s.implicits._
