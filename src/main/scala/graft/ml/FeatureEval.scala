@@ -33,19 +33,27 @@ object FeatureEval {
         .first().getDouble(0)
 
     val mse0 = mse(base)
-    val withId = base.withColumn("__id", monotonically_increasing_id()).cache()
+    // The permutation is a pseudorandom bijection old-row → new-row:
+    // rank every row under two independent seeded hash orders and pair
+    // equal ranks. Each rank pass is a distributed range sort +
+    // per-partition-offset dense ids — the previous form ran TWO
+    // unpartitioned row_number windows PER FEATURE, funneling the whole
+    // dataset through one task 2·|features| times. One bijection reused
+    // across features is statistically equivalent for PFI: each
+    // feature's evaluation permutes only its own column.
+    val withId = graft.sources.LakeReader.withDenseRowId(base, "__id")
+    def hashRanked(s: Long): DataFrame = {
+      val sorted = withId.withColumn("__h", xxhash64(lit(s), col("__id")))
+        .repartitionByRange(col("__h")).sortWithinPartitions("__h")
+      graft.sources.LakeReader.withDenseRowId(sorted, "__rn").drop("__h", "__id")
+    }
+    val vals = hashRanked(seed).select((col("__rn") +: features.map(col)): _*).cache()
+    val keyed = hashRanked(seed + 1).cache()
     val rows = features.map { f =>
-      // permute column f: re-pair values with rows via a seeded shuffle
-      val w1 = org.apache.spark.sql.expressions.Window.orderBy(col("__r"))
-      val w2 = org.apache.spark.sql.expressions.Window.orderBy(col("__r2"))
-      val shuffled = withId.select(col(f)).withColumn("__r", rand(seed))
-        .withColumn("__rn", row_number().over(w1))
-      val keyed = withId.withColumn("__r2", rand(seed + 1))
-        .withColumn("__rn", row_number().over(w2))
-        .drop(f)
-      val permuted = keyed.join(shuffled.select(col("__rn"), col(f)), "__rn")
+      val permuted = keyed.drop(f).join(vals.select(col("__rn"), col(f)), "__rn")
       f -> (mse(permuted) - mse0)
     }
+    vals.unpersist(); keyed.unpersist()
     rows.toDF("feature", "importance")
   }
 }

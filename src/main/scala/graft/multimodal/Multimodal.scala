@@ -126,6 +126,58 @@ object Multimodal {
       }
   }
 
+  case class AudioFeature(doc_id: Long, n_bytes: Int, sample_rate: Double,
+                          channels: Int, frames: Long, duration_sec: Double,
+                          rms: Double, decode_ok: Boolean)
+
+  /** REAL audio decode: javax.sound.sampled (JDK-bundled WAV/AIFF/AU
+    * PCM codecs) parses each blob inside the per-partition loop and
+    * emits sample rate / channels / frame count / duration plus the
+    * RMS amplitude of the 16-bit PCM payload — the loudness feature an
+    * audio-corpus quality filter keys on. Non-decodable payloads yield
+    * `decode_ok = false` zeros, same error discipline as
+    * [[decodeImages]].
+    */
+  def decodeAudio(spark: SparkSession, docs: DataFrame, id: String = "doc_id",
+                  blobCol: String = "blob"): Dataset[AudioFeature] = {
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), col(blobCol).as("blob")).as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          try {
+            val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(r.blob))
+            val fmt = in.getFormat
+            val frames = in.getFrameLength
+            val dur = if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0
+            // RMS over 16-bit little-endian PCM samples (the WAV default)
+            var sumSq = 0.0; var n = 0L
+            if (fmt.getSampleSizeInBits == 16) {
+              val buf = new Array[Byte](8192)
+              var read = in.read(buf)
+              while (read > 0) {
+                var i = 0
+                while (i + 1 < read) {
+                  val s = if (fmt.isBigEndian)
+                    ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+                  else ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                  sumSq += s.toDouble * s.toDouble; n += 1
+                  i += 2
+                }
+                read = in.read(buf)
+              }
+            }
+            in.close()
+            val rms = if (n > 0) math.sqrt(sumSq / n) / 32768.0 else 0.0
+            AudioFeature(r.doc_id, r.blob.length, fmt.getSampleRate.toDouble,
+              fmt.getChannels, frames, dur, rms, decode_ok = true)
+          } catch { case scala.util.control.NonFatal(_) =>
+            AudioFeature(r.doc_id, r.blob.length, 0.0, 0, 0L, 0.0, 0.0, decode_ok = false)
+          }
+        }
+      }
+  }
+
   /** Batched per-partition decode → fixed-size feature vector.
     * STUB: a real implementation would initialize a decoder per
     * partition and decode each blob; the fake derives a deterministic

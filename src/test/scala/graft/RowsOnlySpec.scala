@@ -79,6 +79,37 @@ class RowsOnlySpec extends SparkSpec {
     assert(!out(3L).decode_ok && out(3L).n_bytes == 3)
   }
 
+  test("decodeAudio really decodes WAV blobs: format, duration, RMS") {
+    import spark.implicits._
+    // 0.5 s of a full-scale square wave at 8 kHz mono 16-bit PCM:
+    // RMS = 1.0 exactly; plus a half-scale variant (RMS 0.5) and garbage
+    def wav(amplitude: Short, frames: Int, rate: Float = 8000f): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+      val pcm = new Array[Byte](frames * 2)
+      for (i <- 0 until frames) {
+        val s: Short = if (i % 2 == 0) amplitude else (-amplitude).toShort
+        pcm(2 * i) = (s & 0xff).toByte
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_wav_").toString
+    Seq((1L, wav((-32768).toShort, 4000)), (2L, wav(16384, 2000)), (3L, Array[Byte](9, 9)))
+      .toDF("doc_id", "blob").write.mode("overwrite").parquet(s"$dir/wavs.parquet")
+    val out = Multimodal.decodeAudio(spark, spark.read.parquet(s"$dir/wavs.parquet"))
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(out(1L).decode_ok && out(1L).sample_rate == 8000.0 && out(1L).channels == 1)
+    assert(out(1L).frames == 4000 && math.abs(out(1L).duration_sec - 0.5) < 1e-6)
+    assert(math.abs(out(1L).rms - 1.0) < 1e-3, s"rms=${out(1L).rms}")
+    assert(out(2L).frames == 2000 && math.abs(out(2L).rms - 0.5) < 1e-3)
+    assert(!out(3L).decode_ok && out(3L).n_bytes == 2)
+  }
+
   test("permutation importance ranks the real signal far above noise") {
     import spark.implicits._
     val df = (0 until 300).map { i =>
