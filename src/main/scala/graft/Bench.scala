@@ -63,9 +63,15 @@ object Bench {
     // query the map iteration order happens to run first and per-query
     // numbers stop meaning anything round-over-round.
     val cacheBuild = timed("cache_build") {
-      graft.queries.DiscoveryQueries.warmCaches(spark, sfDir)
-      graft.queries.PipelineQueries.warmCaches(spark, sfDir)
-      graft.queries.DupQueries.warmCaches(spark, sfDir)
+      // independent cache families warm CONCURRENTLY (Spark actions are
+      // thread-safe): wall time = the slowest family, not the sum
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.sequence(Seq(
+        Future(graft.queries.DiscoveryQueries.warmCaches(spark, sfDir)),
+        Future(graft.queries.PipelineQueries.warmCaches(spark, sfDir)),
+        Future(graft.queries.DupQueries.warmCaches(spark, sfDir)))), Duration.Inf)
     }
     // sorted order: deterministic and comparable across rounds (Map
     // iteration order reshuffles whenever the key set changes)

@@ -33,27 +33,53 @@ object FeatureEval {
         .first().getDouble(0)
 
     val mse0 = mse(base)
-    // The permutation is a pseudorandom bijection old-row → new-row:
-    // rank every row under two independent seeded hash orders and pair
-    // equal ranks. Each rank pass is a distributed range sort +
-    // per-partition-offset dense ids — the previous form ran TWO
-    // unpartitioned row_number windows PER FEATURE, funneling the whole
-    // dataset through one task 2·|features| times. One bijection reused
-    // across features is statistically equivalent for PFI: each
-    // feature's evaluation permutes only its own column.
-    val withId = graft.sources.LakeReader.withDenseRowId(base, "__id")
-    def hashRanked(s: Long): DataFrame = {
-      val sorted = withId.withColumn("__h", xxhash64(lit(s), col("__id")))
-        .repartitionByRange(col("__h")).sortWithinPartitions("__h")
-      graft.sources.LakeReader.withDenseRowId(sorted, "__rn").drop("__h", "__id")
-    }
-    val vals = hashRanked(seed).select((col("__rn") +: features.map(col)): _*).cache()
-    val keyed = hashRanked(seed + 1).cache()
+    // The permutation is a seeded Feistel bijection on the dense-id
+    // domain: σ(id) is computed PER ROW (cycle-walking keeps it inside
+    // [0, n)), so re-pairing rows with permuted values costs one
+    // equi-join and nothing else — no sort, no window. The previous
+    // form ran TWO unpartitioned row_number windows per feature,
+    // funneling the whole dataset through one task 2·|features| times.
+    // One bijection reused across features is statistically equivalent
+    // for PFI: each feature's evaluation permutes only its own column.
+    val withId = graft.sources.LakeReader.withDenseRowId(base, "__id").cache()
+    val n = withId.count()
+    val perm = udf((i: Long) => FeatureEval.feistelPermute(i, n, seed))
+    val vals = withId.select((col("__id").as("__pid") +: features.map(col)): _*)
     val rows = features.map { f =>
-      val permuted = keyed.drop(f).join(vals.select(col("__rn"), col(f)), "__rn")
+      val permuted = withId.withColumn("__pid", perm(col("__id"))).drop(f)
+        .join(vals.select(col("__pid"), col(f)), "__pid")
       f -> (mse(permuted) - mse0)
     }
-    vals.unpersist(); keyed.unpersist()
+    withId.unpersist()
     rows.toDF("feature", "importance")
+  }
+
+  /** Seeded pseudorandom bijection on [0, n): a 4-round Feistel network
+    * over the smallest even-bit domain covering n, cycle-walked back
+    * into range (repeatedly applying a domain bijection must re-enter
+    * [0, n) — cycles of a permutation). Pure per-row arithmetic: the
+    * whole "shuffle" ships zero bytes.
+    */
+  def feistelPermute(id: Long, n: Long, seed: Long): Long = {
+    require(n > 0 && id >= 0 && id < n, s"id $id out of [0, $n)")
+    if (n == 1) return 0L
+    val bits = 64 - java.lang.Long.numberOfLeadingZeros(n - 1)
+    val half = (bits + 1) / 2
+    val mask = (1L << half) - 1
+    var v = id
+    do {
+      var l = v >>> half
+      var r = v & mask
+      var i = 0
+      while (i < 4) {
+        val f = scala.util.hashing.byteswap64(r ^ (seed * 0x9E3779B97F4A7C15L + i)) & mask
+        val nl = r
+        r = l ^ f
+        l = nl
+        i += 1
+      }
+      v = (l << half) | r
+    } while (v >= n)
+    v
   }
 }

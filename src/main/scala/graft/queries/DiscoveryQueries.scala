@@ -93,10 +93,14 @@ object DiscoveryQueries {
     * happens to touch a shared frame first).
     */
   def warmCaches(s: SparkSession, dir: String): Unit = {
-    custNationPairs(s, dir).count()
-    custRanks(s, dir).count()
-    mateMatches(s, dir, "sample").count()
-    mateMatches(s, dir, "single").count()
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(custNationPairs(s, dir).count()),
+      Future(custRanks(s, dir).count()),
+      Future(mateMatches(s, dir, "sample").count()),
+      Future(mateMatches(s, dir, "single").count()))), Duration.Inf)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -46,20 +46,21 @@ object Search {
     * Output: (doc_id, score) for docs matching ≥1 term, 6-decimal score.
     *
     * Shuffle-free: the query-term set is small, so per-doc term counts
-    * are per-row codegen'd array scans (`size(filter(words, = term))`)
-    * instead of explode → groupBy — corpus stats (N, avgdl, per-term
-    * df) collapse to ONE 1-row aggregate riding a broadcast crossJoin.
-    * Two corpus scans total (stats + scoring), zero shuffles; the
-    * previous explode form paid four tokenize passes and two shuffles.
+    * come from ONE compiled tokenize pass per row
+    * ([[graft.functions.SearchKernel.termStatsCol]]) — corpus stats
+    * (N, avgdl, per-term df) collapse to ONE 1-row aggregate riding a
+    * broadcast crossJoin. Two corpus scans total (stats + scoring),
+    * zero shuffles; the previous explode form paid four tokenize
+    * passes and two shuffles.
     */
   def bm25(docs: DataFrame, terms: Seq[String],
            id: String = "doc_id", text: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = terms.distinct
-    val tfCols = ts.indices.map(i =>
-      size(filter(words(text), w => w === lit(ts(i)))).cast("double").as(s"tf_$i"))
-    val perDoc = docs.select(
-      (col(id) +: size(words(text)).cast("double").as("dl") +: tfCols): _*)
+    val perDoc = docs
+      .select(col(id), graft.functions.SearchKernel.termStatsCol(col(text), ts).as("st"))
+      .select((col(id) +: col("st")(0).as("dl") +:
+        ts.indices.map(i => col("st")(i + 1).as(s"tf_$i"))): _*)
     val statCols = avg(col("dl")).as("avgdl") +:
       ts.indices.map(i => sum((col(s"tf_$i") > 0).cast("double")).as(s"df_$i"))
     val stats = perDoc.agg(count(lit(1)).cast("double").as("n"), statCols: _*)

@@ -110,6 +110,19 @@ class RowsOnlySpec extends SparkSpec {
     assert(!out(3L).decode_ok && out(3L).n_bytes == 2)
   }
 
+  test("feistelPermute is a seeded bijection on [0, n)") {
+    for (n <- Seq(1L, 2L, 7L, 1000L, 1025L)) {
+      val img = (0L until n).map(FeatureEval.feistelPermute(_, n, seed = 42L))
+      assert(img.toSet == (0L until n).toSet, s"n=$n not a bijection")
+    }
+    // different seeds give different permutations; most points move
+    val n = 1000L
+    val a = (0L until n).map(FeatureEval.feistelPermute(_, n, 1L))
+    val b = (0L until n).map(FeatureEval.feistelPermute(_, n, 2L))
+    assert(a != b)
+    assert(a.zipWithIndex.count { case (v, i) => v == i } < 50)
+  }
+
   test("permutation importance ranks the real signal far above noise") {
     import spark.implicits._
     val df = (0 until 300).map { i =>
