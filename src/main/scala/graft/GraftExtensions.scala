@@ -43,7 +43,29 @@ object GraftExtensions {
     (FunctionIdentifier("graft_dot"), info("graft_dot"),
       (args: Seq[Expression]) =>
         StaticInvoke(graft.functions.VecKernel.getClass, org.apache.spark.sql.types.DoubleType,
-          "dot", args, returnNullable = false))
+          "dot", args, returnNullable = false)),
+    (FunctionIdentifier("graft_xash_words"), info("graft_xash_words"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, ArrayType(LongType, containsNull = false), "xashWords",
+          args, returnNullable = false)),
+    (FunctionIdentifier("graft_super_key_words"), info("graft_super_key_words"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, ArrayType(LongType, containsNull = false),
+          "superKeyWords", args, returnNullable = false)),
+    (FunctionIdentifier("graft_contains_words"), info("graft_contains_words"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(XashKernel.getClass, org.apache.spark.sql.types.BooleanType,
+          "containsWords", args, returnNullable = false)),
+    (FunctionIdentifier("graft_minhash_sig"), info("graft_minhash_sig"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(graft.functions.MinHashSig.getClass,
+          ArrayType(LongType, containsNull = false), "sigOfArray", args,
+          returnNullable = false)),
+    (FunctionIdentifier("graft_term_stats"), info("graft_term_stats"),
+      (args: Seq[Expression]) =>
+        StaticInvoke(graft.functions.SearchKernel.getClass,
+          ArrayType(org.apache.spark.sql.types.DoubleType, containsNull = false), "termStats",
+          args, returnNullable = false))
   )
 
   /** Register into a live session (equivalent to the extension). */

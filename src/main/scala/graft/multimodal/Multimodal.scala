@@ -148,7 +148,8 @@ object Multimodal {
             val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
               new java.io.ByteArrayInputStream(r.blob))
             val fmt = in.getFormat
-            val frames = in.getFrameLength
+            // AudioSystem.NOT_SPECIFIED (-1) for unknown-length streams
+            val frames = math.max(in.getFrameLength, 0L)
             val dur = if (fmt.getFrameRate > 0) frames / fmt.getFrameRate.toDouble else 0.0
             // RMS over 16-bit little-endian PCM samples (the WAV default)
             var sumSq = 0.0; var n = 0L

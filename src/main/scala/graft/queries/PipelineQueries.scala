@@ -207,6 +207,12 @@ object PipelineQueries {
       graft.text.Search.tfidfTopK(t(s, dir, "documents"), 3)
         .orderBy("doc_id", "word")),
 
+    // LM-quality proxy: mean corpus-unigram log-prob per doc
+    "text_logprob" -> ((s, dir) =>
+      graft.text.Search.unigramLogProb(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_words"), dec6(col("logprob")).as("logprob"))
+        .orderBy("doc_id")),
+
     "bm25_search" -> ((s, dir) =>
       graft.text.Search.bm25(t(s, dir, "documents"), Seq("data", "spark", "index"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -430,6 +436,15 @@ object PipelineQueries {
         |FROM (SELECT doc_id, source, CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    "text_logprob" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |c AS (SELECT word, CAST(count(*) AS DOUBLE) AS cnt FROM w GROUP BY 1),
+        |t AS (SELECT sum(cnt) AS total FROM c)
+        |SELECT doc_id, count(*) AS n_words,
+        |  CAST(round(avg(ln(cnt / total)), 6) AS DECIMAL(10,6)) AS logprob
+        |FROM w JOIN c USING (word), t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tfidf_topk" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

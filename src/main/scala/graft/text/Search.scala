@@ -41,6 +41,24 @@ object Search {
     scored.withColumn("rk", row_number().over(w)).where(col("rk") <= k).drop("rk")
   }
 
+  /** Corpus-unigram log-probability per document — the language-model
+    * quality proxy (low average log-prob = unusual token distribution:
+    * boilerplate, gibberish, wrong-language) a pretraining pipeline
+    * filters on. P(w) is the word's corpus frequency; score = mean
+    * ln P(w) over the doc's words. Two corpus passes (vocabulary
+    * counts, then scoring); vocabulary total derives from the count
+    * table, not a third pass. Output: (doc_id, n_words, logprob).
+    */
+  def unigramLogProb(docs: DataFrame,
+                     id: String = "doc_id", text: String = "text"): DataFrame = {
+    val toks = docs.select(col(id), explode(words(text)).as("word"))
+    val counts = toks.groupBy("word").agg(count(lit(1)).cast("double").as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    toks.join(counts, "word").crossJoin(broadcast(total))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_words"), avg(log(col("cnt") / col("total"))).as("logprob"))
+  }
+
   /** BM25 relevance of every document for a bag of query terms
     * (k1 = 1.2, b = 0.75, idf = ln(1 + (N-df+0.5)/(df+0.5))).
     * Output: (doc_id, score) for docs matching ≥1 term, 6-decimal score.

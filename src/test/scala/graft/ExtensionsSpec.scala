@@ -25,6 +25,22 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0F, 2.0F, 3.0F), array(4.0F, 5.0F, 6.0F)) AS d")
       .collect()(0).getAs[Double]("d")
     assert(d == 1.0 * 4 + 2.0 * 5 + 3.0 * 6)
+
+    val r2 = spark.sql(
+      """SELECT graft_xash_words('hello', 256) AS xw,
+        |       graft_super_key_words(array('hello', 'germany'), 64) AS skw,
+        |       graft_contains_words(graft_super_key_words(array('hello', 'germany'), 128),
+        |                            graft_xash_words('hello', 128)) AS cw,
+        |       graft_minhash_sig(array(7L, 8L, 9L), 16) AS sig,
+        |       graft_term_stats('the cat sat on the mat', array('the', 'mat')) AS ts
+        |""".stripMargin).collect()(0)
+    assert(r2.getAs[scala.collection.Seq[Long]]("xw").toSeq ==
+      Xash.xashWords("hello", 256).toSeq)
+    assert(r2.getAs[scala.collection.Seq[Long]]("skw").toSeq ==
+      Xash.superKeyWords(Seq("hello", "germany"), 64).toSeq)
+    assert(r2.getAs[Boolean]("cw"))
+    assert(r2.getAs[scala.collection.Seq[Long]]("sig").length == 16)
+    assert(r2.getAs[scala.collection.Seq[Double]]("ts").toSeq == Seq(6.0, 2.0, 1.0))
   }
 
   test("kernels run inside whole-stage codegen") {
