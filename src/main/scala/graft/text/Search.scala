@@ -75,6 +75,7 @@ object Search {
            id: String = "doc_id", text: String = "text",
            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val ts = terms.distinct
+    require(ts.nonEmpty, "bm25 needs at least one query term")
     val perDoc = docs
       .select(col(id), graft.functions.SearchKernel.termStatsCol(col(text), ts).as("st"))
       .select((col(id) +: col("st")(0).as("dl") +:
