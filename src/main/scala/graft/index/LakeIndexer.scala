@@ -96,6 +96,30 @@ object LakeIndexer {
           col("sk"))
     }.reduce(_ unionByName _)
 
+  /** Posting lists for a token set (reference
+    * get_concatinated_posting_list, maco/data_handler.py:802): one row
+    * per matching cell, `pl = "{tableid}_{rowid};{colid}_{tokenized}"`.
+    * The literal IN list pushes into the parquet scan (row-group
+    * pruning on the sorted persisted layout); for a LARGE token set
+    * join `cells` against a token frame instead — an IN literal of
+    * millions of tokens belongs in a semi-join.
+    */
+  def postingList(cells: DataFrame, tokens: Seq[String]): DataFrame =
+    cells.where(col("tokenized").isin(tokens: _*))
+      .select(concat_ws("", col("tableid").cast("string"), lit("_"),
+        col("rowid").cast("string"), lit(";"), col("colid").cast("string"),
+        lit("_"), col("tokenized")).as("pl"))
+
+  /** [[postingList]] + the row super key (reference
+    * get_concatinated_posting_list_with_hash, maco/data_handler.py:825).
+    */
+  def postingListWithHash(cells: DataFrame, tokens: Seq[String]): DataFrame =
+    cells.where(col("tokenized").isin(tokens: _*))
+      .select(concat_ws("", col("tableid").cast("string"), lit("_"),
+        col("rowid").cast("string"), lit(";"), col("colid").cast("string"),
+        lit("_"), col("tokenized")).as("pl"),
+        col("sk_hi"), col("sk_lo"))
+
   /** (tableid, colid, header, header_tokenized) — maco/data_handler.py:262. */
   def columnHeaders(spark: SparkSession, tables: Seq[LakeTable]): DataFrame = {
     import spark.implicits._

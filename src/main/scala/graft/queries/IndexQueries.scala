@@ -26,6 +26,12 @@ object IndexQueries {
         .orderBy("tableid", "rowid", "colid")
     }),
 
+    // posting-list retrieval for a token set (the reference's
+    // get_concatinated_posting_list surface)
+    "posting_list" -> ((s, dir) =>
+      graft.index.LakeIndexer.postingList(TestLake.cells(s, dir),
+        Seq("germany", "france", "automobile")).orderBy("pl")),
+
     // 2. XASH super keys per row (not SQL-expressible → rows-only)
     "xash_index" -> ((s, dir) => {
       TestLake.cells(s, dir)
@@ -105,6 +111,11 @@ object IndexQueries {
 
     "cell_index" ->
       s"SELECT * FROM (${TestLake.cellsSql}) ORDER BY tableid, rowid, colid",
+
+    "posting_list" ->
+      s"""SELECT tableid || '_' || rowid || ';' || colid || '_' || tokenized AS pl
+         |FROM (${TestLake.cellsSql})
+         |WHERE tokenized IN ('germany', 'france', 'automobile') ORDER BY pl""".stripMargin,
 
     "col_headers" -> TestLake.spec.flatMap { case (id, _, _, cols) =>
       cols.zipWithIndex.map { case (c, i) =>

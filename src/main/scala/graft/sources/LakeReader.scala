@@ -63,8 +63,26 @@ object LakeReader {
       case "parquet" => s.read.parquet(path)
       case "orc"     => s.read.orc(path)
       case "arff"    => readArff(s, path)
+      case "txt" | "dat" => readCsv(s, path, sniffDelimiter(path))
       case other     => throw new IllegalArgumentException(s"Invalid file format: $other")
     }
+
+  /** Delimiter sniffing for extension-less delimited files (reference
+    * extract_delimiter_from_line, maco/data_handler.py:581 — Python's
+    * csv.Sniffer over the first line): the candidate separator
+    * occurring most often in the first line wins; a line with no
+    * candidate at all is an error (counted by [[readFolder]], not
+    * fatal). Driver-side single-line read — never loads the file.
+    */
+  def sniffDelimiter(path: String): String = {
+    val src = scala.io.Source.fromFile(path, "ISO-8859-1")
+    val line = try src.getLines().nextOption().getOrElse("") finally src.close()
+    val candidates = Seq(',', '\t', ';', '|', ':')
+    val best = candidates.maxBy(d => line.count(_ == d))
+    if (line.count(_ == best) == 0)
+      throw new IllegalArgumentException(s"no delimiter found in first line of $path")
+    best.toString
+  }
 
   def readCsv(s: SparkSession, path: String, delimiter: String = ",",
               schema: Option[StructType] = None): DataFrame = {

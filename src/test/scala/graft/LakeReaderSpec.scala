@@ -22,6 +22,20 @@ class LakeReaderSpec extends SparkSpec {
     assert(cells.where(col("tableid") === 1).select(max(col("colid"))).first().getInt(0) == 1)
   }
 
+  test("delimiter sniffing reads .txt/.dat delimited files") {
+    val dir = Files.createTempDirectory("graft_sniff_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "x;y;z\n1;foo;2\n3;bar;4\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.dat"), "p|q\n5|baz\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c.txt"), "nodelimiterhere\n")
+    assert(LakeReader.sniffDelimiter(s"$dir/a.txt") == ";")
+    assert(LakeReader.sniffDelimiter(s"$dir/b.dat") == "|")
+    val (tables, errors) = LakeReader.readFolder(spark, dir)
+    assert(errors == 1, "the delimiter-less file is counted, not fatal")
+    assert(tables.map(_.name) == Seq("a.txt", "b.dat"))
+    assert(tables.head.df.columns.toSeq == Seq("x", "y", "z", "__rid"))
+    assert(tables.head.df.count() == 2 && tables(1).df.count() == 1)
+  }
+
   test("orc round-trip reads back with schema and filter pushdown") {
     val dir = Files.createTempDirectory("graft_orc_").toString
     import spark.implicits._
