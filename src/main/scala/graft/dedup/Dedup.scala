@@ -82,6 +82,83 @@ object Dedup {
       }
     }).toMap
 
+  /** Positional word n-gram hashes: element i is the FNV fold of words
+    * [i, i+n). Unlike [[shingleHashes]] every occurrence keeps its
+    * position — duplicate-SPAN detection needs (gram, position), not
+    * the distinct set.
+    */
+  def positionalGramHashes(text: Column, n: Int): Column = posGramUdfs(n)(text)
+
+  private val posGramUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
+    (2 to 12).map(n => n -> udf { (s: String) =>
+      if (s == null) Array.empty[Long]
+      else {
+        val ws = s.split(' ')
+        if (ws.length < n) Array.empty[Long]
+        else {
+          val wh = new Array[Long](ws.length)
+          var i = 0
+          while (i < ws.length) { wh(i) = SimHash.fnv1a64(ws(i)); i += 1 }
+          val out = new Array[Long](ws.length - n + 1)
+          i = 0
+          while (i <= ws.length - n) {
+            var h = -3750763034362895579L // FNV-1a 64 offset basis
+            var j = 0
+            while (j < n) { h = (h ^ wh(i + j)) * 1099511628211L; j += 1 }
+            out(i) = h
+            i += 1
+          }
+          out
+        }
+      }
+    }).toMap
+
+  /** Maximal duplicate word spans across document pairs — substring-
+    * level exact dedup at word granularity (the span analysis of
+    * "Deduplicating Training Data Makes Language Models Better", Lee et
+    * al. 2022, as relational algebra: gram hits on the same diagonal
+    * instead of a suffix array, which has no distributed form). A span
+    * is ≥ `minWords` consecutive words shared verbatim by two docs;
+    * overlapping gram hits with equal p1−p2 merge into one maximal span.
+    *
+    * Plan: positional gram hashes (compiled kernel, gram strings never
+    * built) → inverted-index join on the 64-bit hash — candidates only,
+    * never all pairs; `maxGramDf` caps boilerplate grams that would do
+    * df² work — → run-merge as ONE window + one aggregation, both
+    * clustered by (doc_a, doc_b, diagonal) so the aggregation reuses
+    * the window's exchange. Output: (doc_a, doc_b, start_a, start_b,
+    * span_words), positions 1-based.
+    *
+    * `minWords > gram` is required: an isolated single-gram hit (the
+    * shape a 64-bit hash collision produces) then yields
+    * span_words = gram < minWords and cannot reach the output — a
+    * collision would have to land adjacent to a REAL span on its exact
+    * diagonal to matter.
+    */
+  def duplicateSpans(docs: DataFrame, gram: Int = 5, minWords: Int = 8,
+                     maxGramDf: Long = Long.MaxValue,
+                     id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(minWords > gram,
+      s"minWords ($minWords) must exceed gram ($gram) so an isolated gram hit never becomes a span")
+    val g = docs
+      .select(col(id).cast("long").as("did"), positionalGramHashes(col(text), gram).as("gh"))
+      .select(col("did"), posexplode(col("gh")).as(Seq("pos0", "g")))
+      .select(col("did"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
+    val guarded = if (maxGramDf == Long.MaxValue) g else frequentShingleFilter(g, maxGramDf)
+    val hits = guarded.select(col("did").as("doc_a"), col("pos").as("p1"), col("g"))
+      .join(guarded.select(col("did").as("doc_b"), col("pos").as("p2"), col("g")), "g")
+      .where(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "p1", "p2")
+    val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy("p1")
+    hits.withColumn("d", col("p1") - col("p2"))
+      .withColumn("run", col("p1") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "d", "run")
+      .agg(min("p1").as("start_a"), min("p2").as("start_b"),
+        (count(lit(1)) + gram - 1).as("span_words"))
+      .where(col("span_words") >= minWords)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_words")
+  }
+
   /** Exact dedup on md5 of the raw text: (doc_id, h, keep) — keep marks
     * the group's minimum doc_id (the canonical survivor).
     */

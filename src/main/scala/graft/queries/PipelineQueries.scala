@@ -61,6 +61,13 @@ object PipelineQueries {
         .orderBy("id_1", "id_2")
     }),
 
+    // Substring-level dedup: maximal shared word spans (>= 8 words at
+    // gram 5) between doc pairs — the span inventory a surgical
+    // span-removal pass would consume.
+    "dedup_spans" -> ((s, dir) =>
+      Dedup.duplicateSpans(t(s, dir, "documents"), 5, 8)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -270,6 +277,21 @@ object PipelineQueries {
          |SELECT id_1, id_2, CAST(round(common::DOUBLE / (sz_1 + sz_2 - common), 6) AS DECIMAL(10,6)) AS jac
          |FROM p WHERE common::DOUBLE / (sz_1 + sz_2 - common) >= 0.5
          |  AND (id_1 > 250 OR id_2 > 250) ORDER BY id_1, id_2""".stripMargin,
+
+    "dedup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g0 AS (SELECT doc_id, ws, CAST(unnest(range(1, greatest(len(ws) - 5 + 1, 0) + 1)) AS BIGINT) AS pos FROM w),
+        |g AS (SELECT doc_id, pos, array_to_string(list_slice(ws, pos, pos + 4), ' ') AS gram FROM g0),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+        |r AS (SELECT doc_a, doc_b, p1, p2, p1 - p2 AS d,
+        |        p1 - row_number() OVER (PARTITION BY doc_a, doc_b, p1 - p2 ORDER BY p1) AS run
+        |      FROM p)
+        |SELECT doc_a, doc_b, min(p1) AS start_a, min(p2) AS start_b,
+        |  CAST(count(*) + 4 AS BIGINT) AS span_words
+        |FROM r GROUP BY doc_a, doc_b, d, run
+        |HAVING count(*) + 4 >= 8
+        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,

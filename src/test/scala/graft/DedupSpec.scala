@@ -30,6 +30,29 @@ class DedupSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
   }
 
+  test("duplicateSpans finds maximal shared word spans on their diagonals") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-word shared span
+    val d = docs(
+      (1L, s"a1 a2 $shared a3 a4"),                       // span at word 3
+      (2L, s"b1 $shared b2 b3 b4"),                       // span at word 2
+      (3L, "c1 c2 c3 c4 c5 c6 c7 c8 c9 c10 c11 c12"))     // no overlap
+    val spans = Dedup.duplicateSpans(d, gram = 4, minWords = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // one maximal span: docs 1×2, starts 3 and 2 (1-based), 10 words —
+    // the 7 overlapping 4-gram hits merged into ONE row, not 7
+    assert(spans.toSeq == Seq((1L, 2L, 3L, 2L, 10L)))
+  }
+
+  test("duplicateSpans: repeated span in one doc yields one row per diagonal") {
+    val span = (1 to 8).map(i => s"t$i").mkString(" ")
+    val d = docs(
+      (1L, s"$span x1 x2 $span"),       // span at 1 and at 11
+      (2L, s"y1 $span y2 y3"))          // span at 2
+    val spans = Dedup.duplicateSpans(d, gram = 4, minWords = 6)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(spans == Set((1L, 2L, 8L), (11L, 2L, 8L)))
+  }
+
   test("minhash LSH finds the same high-similarity pair") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
