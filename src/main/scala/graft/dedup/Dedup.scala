@@ -487,6 +487,31 @@ object Dedup {
     emb.select(col(id).as(idAlias), col(vec).as(vecAlias),
       sqrt(dotUdf(col(vec), col(vec))).as(normAlias))
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings with a bounded-sample KMeans
+    * coarse quantizer, generate candidate pairs WITHIN each cell only
+    * (cost Σ cell² like IVF — never n²), connect pairs at cosine ≥ tau,
+    * and keep the minimum-id canonical per connected component.
+    * Cross-cell near-duplicates are missed by construction — the same
+    * approximation SemDeDup itself makes (its dedup is per-k-means-
+    * cluster), and the reason the pair stage survives corpus scale.
+    * Output: (vec_id, canon, keep).
+    */
+  def semantic(emb: DataFrame, tau: Double, nCells: Int = 16, seed: Long = 42L,
+               id: String = "vec_id", vec: String = "embedding",
+               maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
+    val assigned = graft.sim.Similarity
+      .assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain).cache()
+    val a = assigned.select(col(id).as("id_1"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
+    val b = assigned.select(col(id).as("id_2"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
+    val edges = a.join(b, Seq("cell")).where(col("id_1") < col("id_2"))
+      .where(dotUdf(col("qv"), col("nv")) / col("qn") / col("nn") >= tau)
+      .select("id_1", "id_2")
+    clusters(emb.select(col(id)), edges, id)
+      .select(col(id).as("vec_id"), col("cluster").as("canon"),
+        (col(id) === col("cluster")).as("keep"))
+  }
+
   /** Embedding near-dup: best cosine match per vector (every vector
     * yields a row). Delegates to the blocked GEMM-shaped kNN (broadcast
     * corpus + per-partition scan, k=1) — never an n² pair shuffle; the

@@ -71,6 +71,14 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // SemDeDup: within-KMeans-cell cosine threshold graph → canonical
+    // per connected component. Rows-only (the quantizer has no SQL
+    // twin); RowsOnlySpec pins cell-local grouping ≡ ground truth on
+    // separated clusters.
+    "dedup_semantic" -> ((s, dir) =>
+      Dedup.semantic(t(s, dir, "embeddings"), 0.85)
+        .orderBy("vec_id")),
+
     "dedup_embed" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceKnnBlocked(emb, emb, 1)
@@ -89,6 +97,16 @@ object PipelineQueries {
       Similarity.ivfKnn(t(s, dir, "embeddings"), 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
         .orderBy("vec_id", "rank")),
+
+    // PQ-compressed ANN: codes are ~21× smaller than the raw floats —
+    // the memory-bound scale path. Rows-only (approximate by design);
+    // RowsOnlySpec pins recall vs brute force on separated clusters.
+    "knn_pq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.pqKnn(emb.where(col("vec_id") < 100), emb, 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id", "rank")
+    }),
 
     "knn_lsh" -> ((s, dir) =>
       Similarity.lshKnn(t(s, dir, "embeddings"), 3)
@@ -109,6 +127,13 @@ object PipelineQueries {
 
     "text_quality" -> ((s, dir) =>
       TextAnalysis.qualityScore(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // Per-source adaptive quality gate: docs at or above their source's
+    // median word count survive.
+    "quality_filter" -> ((s, dir) =>
+      TextAnalysis.perSourceLengthFilter(t(s, dir, "documents"), 0.5)
+        .select(col("doc_id"), col("source"), col("n_words"), dec6(col("thr")).as("thr"))
+        .orderBy("doc_id")),
 
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
@@ -360,6 +385,13 @@ object PipelineQueries {
          | CAST(round(len(list_filter($qualityWords, x -> list_contains(${sqlList(TextFunctions.Stopwords)}, x)))::DOUBLE / len($qualityWords)::DOUBLE, 6) AS DECIMAL(10,6)) AS stop_ratio,
          | CAST(round((length(text) - len($qualityWords) + 1)::DOUBLE / len($qualityWords)::DOUBLE, 6) AS DECIMAL(10,6)) AS mean_word_len
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      """WITH n AS (SELECT doc_id, source,
+        |        CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_words FROM documents),
+        |t AS (SELECT source, quantile_cont(n_words, 0.5) AS thr FROM n GROUP BY source)
+        |SELECT doc_id, source, n_words, CAST(round(thr, 6) AS DECIMAL(10,6)) AS thr
+        |FROM n JOIN t USING (source) WHERE n_words >= thr ORDER BY doc_id""".stripMargin,
 
     "token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,

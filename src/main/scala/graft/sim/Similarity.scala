@@ -95,24 +95,32 @@ object Similarity {
     * (the classic inverted-file index — cost Σ|cell|² instead of n²).
     * Output: (vec_id, rank, neighbor_id, cos).
     */
-  def ivfKnn(emb: DataFrame, k: Int, nCells: Int = 16, seed: Long = 42L,
-             id: String = "vec_id", vec: String = "embedding",
-             maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
+  /** KMeans coarse-quantizer cell assignment shared by [[ivfKnn]] and
+    * [[graft.dedup.Dedup.semantic]]: fit on a bounded sample with few
+    * iterations (centroids only partition the space — classic IVF
+    * trains on ~100k vectors however big the corpus, so the fit stays
+    * O(1) as the corpus grows), then assign EVERY vector.
+    * Output: (id, vec, cell, nrm).
+    */
+  def assignCells(emb: DataFrame, nCells: Int, seed: Long,
+                  id: String = "vec_id", vec: String = "embedding",
+                  maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
     val toVec = udf((a: Array[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
     val feat = emb.select(col(id), col(vec)).withColumn("fv", toVec(col(vec)))
-    // Coarse-quantizer discipline: centroids only partition the space, so
-    // fit on a bounded sample with few iterations (classic IVF trains on
-    // ~100k vectors however big the corpus — a converged Lloyd run buys
-    // nothing for cell balance); ASSIGNMENT still covers every vector.
-    // Keeps the fit O(1) as the corpus grows.
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(nCells).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(feat.limit(maxTrain))
-    val assigned = model.transform(feat)
+    model.transform(feat)
       .select(col(id), col(vec), col("cell"))
       .withColumn("nrm", sqrt(Dedup.dotUdf(col(vec), col(vec))))
+  }
+
+  def ivfKnn(emb: DataFrame, k: Int, nCells: Int = 16, seed: Long = 42L,
+             id: String = "vec_id", vec: String = "embedding",
+             maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
+    val assigned = assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain)
     val a = assigned.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
     val b = assigned.select(col(id).as("nid"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
     val pairs = a.join(b, Seq("cell")).where(col("qid") =!= col("nid"))
@@ -136,7 +144,136 @@ object Similarity {
     rankTopK(pairs, k)
   }
 
-  /** Heap-select the k best pairs per query (custom TopKPerKey exec — no
+  /** Product-quantization ANN (Jégou et al. 2011, "Product quantization
+    * for nearest neighbor search"): split the dimension into `m`
+    * subspaces, learn a 2^`bits`-center codebook per subspace on a
+    * bounded driver-side sample (seeded Lloyd — deterministic, O(1) as
+    * the corpus grows), encode every corpus vector as `m` bytes, and
+    * answer queries by asymmetric distance computation: per query ONE
+    * m×2^bits table of partial dots, then each candidate costs m table
+    * lookups instead of a full-dimension dot.
+    *
+    * The scale point is memory, not FLOPs: at dim=64/float32 the
+    * broadcast corpus shrinks 256B → m+4 bytes per vector (~21× at
+    * m=8), so a corpus that no longer fits as raw floats still
+    * broadcasts as codes; beyond THAT bound, shard the scan by joining
+    * queries against a partitioned code table (IVF cells + PQ codes —
+    * the classic IVFADC layout).
+    *
+    * Returns approximate (vec_id, rank, neighbor_id, cos): cos is the
+    * ADC estimate dot(q, decode(codes))/(|q|·|decode(codes)|) — rank
+    * quality is what the recall spec pins, the estimate is not exact.
+    */
+  def pqKnn(queries: DataFrame, corpus: DataFrame, k: Int, m: Int = 8,
+            bits: Int = 4, seed: Long = 42L,
+            id: String = "vec_id", vec: String = "embedding",
+            maxTrain: Int = 65536, maxIter: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(vec)).limit(maxTrain)
+      .as[Array[Float]].collect()
+    require(sample.nonEmpty, "pqKnn: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"pqKnn: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val kCent = 1 << bits
+    // Seeded per-subspace Lloyd on the sample. Init = evenly strided
+    // sample points (deterministic); empty cells keep their center.
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      val pts = sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble))
+      val centers = Array.tabulate(kCent)(c => pts(((c.toLong * pts.length) / kCent).toInt).clone())
+      var it = 0
+      while (it < maxIter) {
+        val sums = Array.fill(kCent)(new Array[Double](sub))
+        val cnts = new Array[Long](kCent)
+        pts.foreach { p =>
+          var best = 0; var bd = Double.MaxValue; var c = 0
+          while (c < kCent) {
+            var d = 0.0; var j = 0
+            while (j < sub) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+            if (d < bd) { bd = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < sub) { sums(best)(j) += p(j); j += 1 }
+          cnts(best) += 1
+        }
+        var c = 0
+        while (c < kCent) {
+          if (cnts(c) > 0) { var j = 0; while (j < sub) { centers(c)(j) = sums(c)(j) / cnts(c); j += 1 } }
+          c += 1
+        }
+        it += 1
+      }
+      centers
+    }
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    // Encode: nearest centroid per subspace; approx norm² = Σ ||chosen||²
+    // (subspaces are disjoint coordinates, so the concat norm is exact
+    // for the DEcoded vector).
+    val encoded = corpus.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        it.map { case (nid, v) =>
+          val codes = new Array[Byte](m)
+          var n2 = 0.0
+          var s = 0
+          while (s < m) {
+            var best = 0; var bd = Double.MaxValue; var c = 0
+            while (c < kCent) {
+              var d = 0.0; var j = 0
+              while (j < sub) { val t = v(s * sub + j).toDouble - cb(s)(c)(j); d += t * t; j += 1 }
+              if (d < bd) { bd = d; best = c }
+              c += 1
+            }
+            codes(s) = best.toByte
+            var j = 0
+            while (j < sub) { val x = cb(s)(best)(j); n2 += x * x; j += 1 }
+            s += 1
+          }
+          (nid, codes, math.sqrt(n2))
+        }
+      }.collect().sortBy(_._1)
+    val bcCodes = spark.sparkContext.broadcast(encoded)
+    queries.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cb = bcCb.value
+        val cs = bcCodes.value
+        it.flatMap { case (qid, qv) =>
+          var qn = 0.0
+          var i = 0
+          while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+          val qnorm = math.sqrt(qn)
+          // ADC lookup table: partial dot of the query slice with every
+          // centroid of every subspace — m·2^bits dots TOTAL per query
+          val lut = Array.tabulate(m, kCent) { (s, c) =>
+            var d = 0.0; var j = 0
+            while (j < sub) { d += qv(s * sub + j).toDouble * cb(s)(c)(j); j += 1 }
+            d
+          }
+          val bestCos = Array.fill(k)(Double.NegativeInfinity)
+          val bestId = new Array[Long](k)
+          cs.foreach { case (nid, codes, nn) =>
+            if (nid != qid) {
+              var d = 0.0; var s = 0
+              while (s < m) { d += lut(s)(codes(s) & 0xff); s += 1 }
+              val cos = d / qnorm / nn
+              var pos = k
+              while (pos > 0 && cos > bestCos(pos - 1)) pos -= 1
+              if (pos < k) {
+                var t = k - 1
+                while (t > pos) { bestCos(t) = bestCos(t - 1); bestId(t) = bestId(t - 1); t -= 1 }
+                bestCos(pos) = cos; bestId(pos) = nid
+              }
+            }
+          }
+          (0 until k).iterator.filter(r => bestCos(r) > Double.NegativeInfinity)
+            .map(r => (qid, r + 1, bestId(r), bestCos(r)))
+        }
+      }.toDF("vec_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Heap-select the k best pairs per key (custom TopKPerKey exec — no
     * partition sort), then rank the ≤k survivors with a window that only
     * touches keys·k rows.
     */

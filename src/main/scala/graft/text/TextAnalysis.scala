@@ -68,6 +68,23 @@ object TextAnalysis {
       size(split(col(text), " ")).as("ws_tokens"),
       regexp_count(col(text), lit("[a-zA-Z]+|[0-9]+|[^ a-zA-Z0-9]")).as("re_tokens"))
 
+  /** Per-source adaptive length gate (the FineWeb-style "threshold per
+    * subset" discipline): keep documents whose word count reaches their
+    * source's exact interpolated q-quantile. The threshold table is one
+    * tiny per-source aggregate broadcast back onto the corpus — never a
+    * corpus-wide window. Output: (doc_id, source, n_words, thr).
+    */
+  def perSourceLengthFilter(docs: DataFrame, q: Double = 0.5,
+                            id: String = "doc_id", text: String = "text",
+                            src: String = "source"): DataFrame = {
+    val n = docs.select(col(id), col(src),
+      size(split(lower(col(text)), " ")).cast("long").as("n_words"))
+    val thr = n.groupBy(src).agg(expr(s"percentile(n_words, $q)").as("thr"))
+    n.join(broadcast(thr), Seq(src))
+      .where(col("n_words") >= col("thr"))
+      .select(col(id), col(src), col("n_words"), col("thr"))
+  }
+
   /** Order-insensitive content fingerprint: md5 of the sorted distinct
     * cleaned words (SQL-expressible). The sort/distinct runs as one
     * compiled function — interpreted array expressions measured ~3s for

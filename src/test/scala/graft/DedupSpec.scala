@@ -53,6 +53,27 @@ class DedupSpec extends SparkSpec {
     assert(spans == Set((1L, 2L, 8L), (11L, 2L, 8L)))
   }
 
+  test("semantic dedup groups near-identical vectors and keeps clusters apart") {
+    val s = spark
+    import s.implicits._
+    // 3 orthogonal direction groups, 4 members each: member vectors are
+    // the group axis plus a tiny deterministic tilt on a second axis —
+    // within-group cos ≈ 0.999, across-group cos ≈ 0.
+    val dim = 8
+    val rows = for (g <- 0 until 3; m <- 0 until 4) yield {
+      val v = new Array[Float](dim)
+      v(g) = 1f
+      v(g + 3) = 0.02f * (m + 1)
+      ((g * 4 + m).toLong, v)
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semantic(emb, tau = 0.9, nCells = 3, seed = 7L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every member's canon is its group's min id; groups never merge
+    for (g <- 0 until 3; m <- 0 until 4)
+      assert(out((g * 4 + m).toLong) == (g * 4).toLong)
+  }
+
   test("minhash LSH finds the same high-similarity pair") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),

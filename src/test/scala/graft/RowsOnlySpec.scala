@@ -179,6 +179,17 @@ class RowsOnlySpec extends SparkSpec {
     assert(lsh == brute)
   }
 
+  test("pq knn keeps every top-1 neighbor inside the true cluster") {
+    import spark.implicits._
+    val emb = clusteredEmb.toDF("vec_id", "embedding")
+    val pq = Similarity.pqKnn(emb, emb, 1, m = 2, bits = 4)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(pq.length == 12)
+    // ADC ranks through 2-byte codes; on separated clusters the top-1
+    // must still land in the query's own cluster for every vector
+    pq.foreach { case (q, n) => assert((q < 6) == (n < 6), s"$q -> $n") }
+  }
+
   test("ivf knn matches brute force on separated clusters") {
     import spark.implicits._
     val emb = clusteredEmb.toDF("vec_id", "embedding")
