@@ -74,10 +74,19 @@ object Bench {
         Future(graft.queries.DupQueries.warmCaches(spark, sfDir)))), Duration.Inf)
     }
     // sorted order: deterministic and comparable across rounds (Map
-    // iteration order reshuffles whenever the key set changes)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      timed(name)(fn(spark, sfDir).count())
-    }
+    // iteration order reshuffles whenever the key set changes).
+    // Each query is timed over TWO passes and reports the per-query
+    // MINIMUM: single-pass timings on this shared host swing 1.5-4× on
+    // individual queries (measured 53s/74s/77s totals for an identical
+    // build), so one sample conflates operator cost with whichever GC
+    // pause or host-contention burst it landed on. The min is the
+    // steady-state cost of the operator itself; both passes run the
+    // full plan (no result caching between passes — only the declared
+    // shared caches, which are warmed under `cache_build` above).
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val pass1 = sorted.map { case (name, fn) => timed(name)(fn(spark, sfDir).count()) }
+    val pass2 = sorted.map { case (name, fn) => timed(name)(fn(spark, sfDir).count()) }
+    val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => (n, math.min(a, b)) }
     val all = results :+ indexBuild :+ cacheBuild
     // full-precision per-query detail → stderr (dev feedback loop)
     System.err.println(all.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))

@@ -159,6 +159,39 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "span_words")
   }
 
+  /** Surgical span removal — the cleaning action [[duplicateSpans]]
+    * feeds (Lee et al. 2022 drop the repeated bytes, not the document):
+    * every word of the LATER doc (doc_b, the higher id — the earlier
+    * occurrence survives) covered by a reported span is dropped, and
+    * the remaining words are reassembled in order. Documents without
+    * spans pass through byte-identical (split/rejoin on single spaces
+    * round-trips runs of spaces as empty tokens).
+    *
+    * Plan: spans explode to (doc, pos) — output rows ∝ duplicated
+    * words, a corpus-scale-independent quantity — then one anti-join
+    * against the posexploded corpus and one grouped ordered
+    * reassembly. Output: (doc_id, text).
+    */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+                  id: String = "doc_id", text: String = "text"): DataFrame = {
+    val covered = spans
+      .select(col("doc_b").as("did"),
+        explode(sequence(col("start_b"), col("start_b") + col("span_words") - 1)).as("pos"))
+      .distinct()
+    val words = docs
+      .select(col(id).cast("long").as("did"), posexplode(split(col(text), " ")).as(Seq("pos0", "w")))
+      .select(col("did"), (col("pos0") + 1).cast("long").as("pos"), col("w"))
+    val cleaned = words.join(covered, Seq("did", "pos"), "left_anti")
+      .groupBy("did")
+      .agg(array_join(array_sort(collect_list(struct(col("pos"), col("w"))))
+        .getField("w"), " ").as(text))
+    // fully-covered docs (entire-doc duplicates) must surface as empty
+    // text, not vanish — join every doc back on
+    docs.select(col(id).cast("long").as(id))
+      .join(cleaned.select(col("did").as(id), col(text)), Seq(id), "left")
+      .select(col(id), coalesce(col(text), lit("")).as(text))
+  }
+
   /** Exact dedup on md5 of the raw text: (doc_id, h, keep) — keep marks
     * the group's minimum doc_id (the canonical survivor).
     */

@@ -28,9 +28,26 @@ object PipelineQueries {
   private val jacPairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Materialize the shared pair cache (timed as Bench's `cache_build`). */
-  def warmCaches(s: SparkSession, dir: String): Unit =
-    jacPairs(s, dir).count()
+  /** Duplicate word spans of the documents table (gram 5, minWords 8),
+    * shared by `dedup_spans` (the inventory) and `dedup_spans_clean`
+    * (the removal) — the positional-gram join is the expensive pass.
+    */
+  private def docSpans(s: SparkSession, dir: String): DataFrame =
+    spansCache.getOrElseUpdate((s, dir),
+      Dedup.duplicateSpans(t(s, dir, "documents"), 5, 8).cache())
+
+  private val spansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Materialize the shared caches (timed as Bench's `cache_build`). */
+  def warmCaches(s: SparkSession, dir: String): Unit = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    Await.result(Future.sequence(Seq(
+      Future(jacPairs(s, dir).count()),
+      Future(docSpans(s, dir).count()))), Duration.Inf)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact" -> ((s, dir) =>
@@ -65,8 +82,13 @@ object PipelineQueries {
     // gram 5) between doc pairs — the span inventory a surgical
     // span-removal pass would consume.
     "dedup_spans" -> ((s, dir) =>
-      Dedup.duplicateSpans(t(s, dir, "documents"), 5, 8)
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")),
+      docSpans(s, dir).orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
+    // The removal action: covered words dropped from the later doc,
+    // earlier occurrence survives; fully-duplicated docs become "".
+    "dedup_spans_clean" -> ((s, dir) =>
+      Dedup.removeSpans(t(s, dir, "documents"), docSpans(s, dir))
+        .orderBy("doc_id")),
 
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
@@ -253,6 +275,23 @@ object PipelineQueries {
 
   // -------------------------------------------------------------------
 
+  /** Duplicate-span CTEs (gram 5, minWords 8) ending in `spans`;
+    * also defines `w` (doc_id, ws) for downstream word-level CTEs.
+    */
+  private val spanCtes =
+    """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |g0 AS (SELECT doc_id, ws, CAST(unnest(range(1, greatest(len(ws) - 5 + 1, 0) + 1)) AS BIGINT) AS pos FROM w),
+      |g AS (SELECT doc_id, pos, array_to_string(list_slice(ws, pos, pos + 4), ' ') AS gram FROM g0),
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |r AS (SELECT doc_a, doc_b, p1, p2, p1 - p2 AS d,
+      |        p1 - row_number() OVER (PARTITION BY doc_a, doc_b, p1 - p2 ORDER BY p1) AS run
+      |      FROM p),
+      |spans AS (SELECT doc_a, doc_b, min(p1) AS start_a, min(p2) AS start_b,
+      |    CAST(count(*) + 4 AS BIGINT) AS span_words
+      |  FROM r GROUP BY doc_a, doc_b, d, run
+      |  HAVING count(*) + 4 >= 8)""".stripMargin
+
   private def shingleCtes: String = shingleCtesOf("documents")
 
   private def shingleCtesOf(src: String) =
@@ -304,19 +343,23 @@ object PipelineQueries {
          |  AND (id_1 > 250 OR id_2 > 250) ORDER BY id_1, id_2""".stripMargin,
 
     "dedup_spans" ->
-      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |g0 AS (SELECT doc_id, ws, CAST(unnest(range(1, greatest(len(ws) - 5 + 1, 0) + 1)) AS BIGINT) AS pos FROM w),
-        |g AS (SELECT doc_id, pos, array_to_string(list_slice(ws, pos, pos + 4), ' ') AS gram FROM g0),
-        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
-        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-        |r AS (SELECT doc_a, doc_b, p1, p2, p1 - p2 AS d,
-        |        p1 - row_number() OVER (PARTITION BY doc_a, doc_b, p1 - p2 ORDER BY p1) AS run
-        |      FROM p)
-        |SELECT doc_a, doc_b, min(p1) AS start_a, min(p2) AS start_b,
-        |  CAST(count(*) + 4 AS BIGINT) AS span_words
-        |FROM r GROUP BY doc_a, doc_b, d, run
-        |HAVING count(*) + 4 >= 8
-        |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+      s"""WITH $spanCtes
+         |SELECT doc_a, doc_b, start_a, start_b, span_words FROM spans
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "dedup_spans_clean" ->
+      s"""WITH $spanCtes,
+         |cov AS (SELECT DISTINCT doc_b AS did,
+         |          CAST(unnest(range(start_b, start_b + span_words)) AS BIGINT) AS pos FROM spans),
+         |wp AS (SELECT doc_id AS did, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos, ws FROM w),
+         |wp2 AS (SELECT did, pos, ws[pos] AS word FROM wp),
+         |kept AS (SELECT wp2.did, wp2.pos, wp2.word FROM wp2
+         |         LEFT JOIN cov ON cov.did = wp2.did AND cov.pos = wp2.pos
+         |         WHERE cov.did IS NULL),
+         |reasm AS (SELECT did, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY did)
+         |SELECT d.doc_id, coalesce(reasm.text, '') AS text
+         |FROM documents d LEFT JOIN reasm ON reasm.did = d.doc_id
+         |ORDER BY doc_id""".stripMargin,
 
     "dedup_clusters" ->
       s"""WITH RECURSIVE $shingleCtes,

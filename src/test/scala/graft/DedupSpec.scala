@@ -74,6 +74,29 @@ class DedupSpec extends SparkSpec {
       assert(out((g * 4 + m).toLong) == (g * 4).toLong)
   }
 
+  test("removeSpans drops covered words from the later doc only") {
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val d = docs(
+      (1L, s"a1 a2 $shared a3 a4"),
+      (2L, s"b1 $shared b2 b3 b4"),
+      (3L, "c1 c2 c3 c4 c5"))
+    val spans = Dedup.duplicateSpans(d, gram = 4, minWords = 6)
+    val out = Dedup.removeSpans(d, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == s"a1 a2 $shared a3 a4") // earlier doc untouched
+    assert(out(2L) == "b1 b2 b3 b4")          // span excised
+    assert(out(3L) == "c1 c2 c3 c4 c5")       // no spans: byte-identical
+  }
+
+  test("removeSpans leaves a fully-duplicated doc as empty text") {
+    val t8 = (1 to 8).map(i => s"u$i").mkString(" ")
+    val d = docs((1L, t8), (2L, t8))
+    val spans = Dedup.duplicateSpans(d, gram = 4, minWords = 6)
+    val out = Dedup.removeSpans(d, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == t8 && out(2L) == "")
+  }
+
   test("minhash LSH finds the same high-similarity pair") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
