@@ -532,9 +532,10 @@ object Dedup {
     */
   def semantic(emb: DataFrame, tau: Double, nCells: Int = 16, seed: Long = 42L,
                id: String = "vec_id", vec: String = "embedding",
-               maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
-    val assigned = graft.sim.Similarity
-      .assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain).cache()
+               maxIter: Int = 5, maxTrain: Int = 100000,
+               preAssigned: Option[DataFrame] = None): DataFrame = {
+    val assigned = preAssigned.getOrElse(graft.sim.Similarity
+      .assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain).cache())
     val a = assigned.select(col(id).as("id_1"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
     val b = assigned.select(col(id).as("id_2"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
     val edges = a.join(b, Seq("cell")).where(col("id_1") < col("id_2"))

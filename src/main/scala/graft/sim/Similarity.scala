@@ -119,8 +119,9 @@ object Similarity {
 
   def ivfKnn(emb: DataFrame, k: Int, nCells: Int = 16, seed: Long = 42L,
              id: String = "vec_id", vec: String = "embedding",
-             maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
-    val assigned = assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain)
+             maxIter: Int = 5, maxTrain: Int = 100000,
+             preAssigned: Option[DataFrame] = None): DataFrame = {
+    val assigned = preAssigned.getOrElse(assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain))
     val a = assigned.select(col(id).as("qid"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
     val b = assigned.select(col(id).as("nid"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
     val pairs = a.join(b, Seq("cell")).where(col("qid") =!= col("nid"))
