@@ -74,6 +74,20 @@ class DedupSpec extends SparkSpec {
       assert(out((g * 4 + m).toLong) == (g * 4).toLong)
   }
 
+  test("duplicateSpans run-merge reuses the window exchange (3 shuffles total)") {
+    val d = docs((1L, "a b c d e f g h"), (2L, "a b c d e f g x"))
+    val q = Dedup.duplicateSpans(d, gram = 4, minWords = 6)
+    q.collect()
+    // AdaptiveSparkPlan.toString prints final AND initial plans — count
+    // exchanges in the final one only
+    val plan = q.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    // ONE (doc_a, doc_b, diagonal) exchange shared by the window AND
+    // both aggregate phases — a second hashpartitioning exchange would
+    // mean the run aggregation re-shuffled what the window partitioned
+    val exchanges = "Exchange hashpartitioning\\(doc_a".r.findAllIn(plan).size
+    assert(exchanges == 1, s"expected 1 run-merge shuffle, got $exchanges:\n$plan")
+  }
+
   test("removeSpans drops covered words from the later doc only") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val d = docs(
