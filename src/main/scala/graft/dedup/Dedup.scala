@@ -136,7 +136,7 @@ object Dedup {
     * diagonal to matter.
     */
   def duplicateSpans(docs: DataFrame, gram: Int = 5, minWords: Int = 8,
-                     maxGramDf: Long = Long.MaxValue,
+                     maxGramDf: Long = 65536,
                      id: String = "doc_id", text: String = "text"): DataFrame = {
     require(minWords > gram,
       s"minWords ($minWords) must exceed gram ($gram) so an isolated gram hit never becomes a span")
@@ -144,6 +144,10 @@ object Dedup {
       .select(col(id).cast("long").as("did"), positionalGramHashes(col(text), gram).as("gh"))
       .select(col("did"), posexplode(col("gh")).as(Seq("pos0", "g")))
       .select(col("did"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
+    // The df cap is ON by default (matching ngramJaccardPairs): a
+    // boilerplate gram in 10^5 docs would put 10^10 position pairs in
+    // one join key. A capped gram can only shorten/split a span that
+    // ALSO contains rarer grams — real duplicated passages always do.
     val guarded = if (maxGramDf == Long.MaxValue) g else frequentShingleFilter(g, maxGramDf)
     val hits = guarded.select(col("did").as("doc_a"), col("pos").as("p1"), col("g"))
       .join(guarded.select(col("did").as("doc_b"), col("pos").as("p2"), col("g")), "g")

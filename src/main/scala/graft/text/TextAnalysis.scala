@@ -73,6 +73,11 @@ object TextAnalysis {
     * source's exact interpolated q-quantile. The threshold table is one
     * tiny per-source aggregate broadcast back onto the corpus — never a
     * corpus-wide window. Output: (doc_id, source, n_words, thr).
+    *
+    * `percentile` is exact and buffers per-distinct-VALUE counts, which
+    * is safe here because word counts are small integers (buffer ∝ max
+    * doc length, not corpus size); for continuous metrics swap in
+    * `approx_percentile`, which is mergeable at any scale.
     */
   def perSourceLengthFilter(docs: DataFrame, q: Double = 0.5,
                             id: String = "doc_id", text: String = "text",
