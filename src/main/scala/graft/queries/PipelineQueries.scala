@@ -144,6 +144,16 @@ object PipelineQueries {
         .orderBy("vec_id", "rank")
     }),
 
+    // IVFADC: distributed cell-partitioned code table, probed-cell
+    // join, per-query LUT scan — the nothing-corpus-sized-on-one-node
+    // ANN. Rows-only; RowsOnlySpec pins cluster recall.
+    "knn_ivfpq" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfPqKnn(emb.where(col("vec_id") < 100), emb, 3)
+        .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
+        .orderBy("vec_id", "rank")
+    }),
+
     "knn_lsh" -> ((s, dir) =>
       Similarity.lshKnn(t(s, dir, "embeddings"), 3)
         .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))

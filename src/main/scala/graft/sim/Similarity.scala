@@ -178,35 +178,9 @@ object Similarity {
     require(dim % m == 0, s"pqKnn: dim $dim not divisible by m $m")
     val sub = dim / m
     val kCent = 1 << bits
-    // Seeded per-subspace Lloyd on the sample. Init = evenly strided
-    // sample points (deterministic); empty cells keep their center.
+    // Seeded per-subspace Lloyd on the sample.
     val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
-      val pts = sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble))
-      val centers = Array.tabulate(kCent)(c => pts(((c.toLong * pts.length) / kCent).toInt).clone())
-      var it = 0
-      while (it < maxIter) {
-        val sums = Array.fill(kCent)(new Array[Double](sub))
-        val cnts = new Array[Long](kCent)
-        pts.foreach { p =>
-          var best = 0; var bd = Double.MaxValue; var c = 0
-          while (c < kCent) {
-            var d = 0.0; var j = 0
-            while (j < sub) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
-            if (d < bd) { bd = d; best = c }
-            c += 1
-          }
-          var j = 0
-          while (j < sub) { sums(best)(j) += p(j); j += 1 }
-          cnts(best) += 1
-        }
-        var c = 0
-        while (c < kCent) {
-          if (cnts(c) > 0) { var j = 0; while (j < sub) { centers(c)(j) = sums(c)(j) / cnts(c); j += 1 } }
-          c += 1
-        }
-        it += 1
-      }
-      centers
+      lloyd(sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble)), kCent, maxIter)
     }
     val bcCb = spark.sparkContext.broadcast(codebooks)
     // Encode: nearest centroid per subspace; approx norm² = Σ ||chosen||²
@@ -272,6 +246,154 @@ object Similarity {
             .map(r => (qid, r + 1, bestId(r), bestCos(r)))
         }
       }.toDF("vec_id", "rank", "neighbor_id", "cos")
+  }
+
+  /** Deterministic seeded Lloyd on driver-side points: init = evenly
+    * strided sample points; empty cells keep their previous center.
+    */
+  private def lloyd(pts: Array[Array[Double]], k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = pts.head.length
+    val centers = Array.tabulate(k)(c => pts(((c.toLong * pts.length) / k).toInt).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Long](k)
+      pts.foreach { p =>
+        val best = nearest(p, centers)
+        var j = 0
+        while (j < dim) { sums(best)(j) += p(j); j += 1 }
+        cnts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (cnts(c) > 0) { var j = 0; while (j < dim) { centers(c)(j) = sums(c)(j) / cnts(c); j += 1 } }
+        c += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  private def nearest(p: Array[Double], centers: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue; var c = 0
+    while (c < centers.length) {
+      var d = 0.0; var j = 0
+      while (j < p.length) { val t = p(j) - centers(c)(j); d += t * t; j += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** IVFADC (Jégou et al. 2011 §IV): the coarse quantizer routes every
+    * corpus vector to a cell and PQ codes approximate it inside the
+    * cell; a query probes its `nProbe` nearest cells and ADC-ranks only
+    * those cells' codes. UNLIKE [[pqKnn]] the code table is a
+    * DISTRIBUTED DataFrame hash-partitioned by cell — nothing
+    * corpus-sized is ever collected or broadcast, so this is the ANN
+    * that survives a corpus too big even for code broadcast: the scan
+    * is an equi-join of the probed (query, cell) pairs against the code
+    * table, then one per-query LUT pass over candidates. Broadcast
+    * state = centroids + codebooks + the QUERY batch (queries are the
+    * bounded side here — the classic batched-ANN-serving shape).
+    *
+    * Plain-PQ codes (not residual-PQ): one shared codebook set keeps
+    * encode relational; recall at equal bits is slightly below
+    * residual encoding — the spec pins what matters (cluster recall).
+    * Output: (vec_id, rank, neighbor_id, cos) — cos is the ADC
+    * estimate.
+    */
+  def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
+               m: Int = 8, bits: Int = 4, nProbe: Int = 4, seed: Long = 42L,
+               id: String = "vec_id", vec: String = "embedding",
+               maxTrain: Int = 65536, maxIter: Int = 10): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val sample = corpus.select(col(vec)).limit(maxTrain).as[Array[Float]].collect()
+    require(sample.nonEmpty, "ivfPqKnn: empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"ivfPqKnn: dim $dim not divisible by m $m")
+    val sub = dim / m
+    val kCent = 1 << bits
+    val samplePts = sample.map(v => v.map(_.toDouble))
+    val centroids = lloyd(samplePts, nCells, maxIter)
+    val codebooks = Array.tabulate(m) { s =>
+      lloyd(sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble)), kCent, maxIter)
+    }
+    val bcCent = spark.sparkContext.broadcast(centroids)
+    val bcCb = spark.sparkContext.broadcast(codebooks)
+    // Distributed encode: (cell, nid, codes, approx norm) — stays a
+    // DataFrame, hash-partitioned by the join below; never collected.
+    val codes = corpus.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cent = bcCent.value; val cb = bcCb.value
+        it.map { case (nid, v) =>
+          val cell = nearest(v.map(_.toDouble), cent)
+          val cs = new Array[Byte](m)
+          var n2 = 0.0
+          var s = 0
+          while (s < m) {
+            val p = Array.tabulate(sub)(j => v(s * sub + j).toDouble)
+            val best = nearest(p, cb(s))
+            cs(s) = best.toByte
+            var j = 0
+            while (j < sub) { val x = cb(s)(best)(j); n2 += x * x; j += 1 }
+            s += 1
+          }
+          (cell, nid, cs, math.sqrt(n2))
+        }
+      }.toDF("cell", "nid", "codes", "nn")
+    // Query batch is the bounded side: broadcast its vectors, explode
+    // its probed cells, and let the cell equi-join select candidates.
+    val qRows = queries.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])].collect()
+    val bcQ = spark.sparkContext.broadcast(qRows.toMap)
+    val probes = qRows.flatMap { case (qid, qv) =>
+      val p = qv.map(_.toDouble)
+      val byDist = (0 until nCells).sortBy { c =>
+        var d = 0.0; var j = 0
+        val cc = centroids(c)
+        while (j < p.length) { val t = p(j) - cc(j); d += t * t; j += 1 }
+        d
+      }
+      byDist.take(nProbe).map(c => (qid, c))
+    }.toSeq.toDF("qid", "cell")
+    val cand = broadcast(probes).join(codes, "cell")
+      .select(col("qid"), col("nid"), col("codes"), col("nn"))
+      .as[(Long, Long, Array[Byte], Double)]
+    cand.groupByKey(_._1).flatMapGroups { (qid, rows) =>
+      val qv = bcQ.value(qid)
+      var qn = 0.0
+      var i = 0
+      while (i < qv.length) { qn += qv(i).toDouble * qv(i).toDouble; i += 1 }
+      val qnorm = math.sqrt(qn)
+      val cb = bcCb.value
+      val lut = Array.tabulate(m, kCent) { (s, c) =>
+        var d = 0.0; var j = 0
+        while (j < sub) { d += qv(s * sub + j).toDouble * cb(s)(c)(j); j += 1 }
+        d
+      }
+      val bestCos = Array.fill(k)(Double.NegativeInfinity)
+      val bestId = new Array[Long](k)
+      rows.foreach { case (_, nid, cs, nn) =>
+        if (nid != qid) {
+          var d = 0.0; var s = 0
+          while (s < m) { d += lut(s)(cs(s) & 0xff); s += 1 }
+          val cos = d / qnorm / nn
+          // candidates arrive join-ordered, so break ties explicitly:
+          // (cos desc, nid asc)
+          var pos = k
+          while (pos > 0 && (cos > bestCos(pos - 1) ||
+            (cos == bestCos(pos - 1) && nid < bestId(pos - 1)))) pos -= 1
+          if (pos < k) {
+            var t = k - 1
+            while (t > pos) { bestCos(t) = bestCos(t - 1); bestId(t) = bestId(t - 1); t -= 1 }
+            bestCos(pos) = cos; bestId(pos) = nid
+          }
+        }
+      }
+      (0 until k).iterator.filter(r => bestCos(r) > Double.NegativeInfinity)
+        .map(r => (qid, r + 1, bestId(r), bestCos(r)))
+    }.toDF("vec_id", "rank", "neighbor_id", "cos")
   }
 
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no

@@ -190,6 +190,15 @@ class RowsOnlySpec extends SparkSpec {
     pq.foreach { case (q, n) => assert((q < 6) == (n < 6), s"$q -> $n") }
   }
 
+  test("ivfadc knn keeps every top-1 neighbor inside the true cluster") {
+    import spark.implicits._
+    val emb = clusteredEmb.toDF("vec_id", "embedding")
+    val res = Similarity.ivfPqKnn(emb, emb, 1, nCells = 2, m = 2, bits = 4, nProbe = 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    assert(res.length == 12)
+    res.foreach { case (q, n) => assert((q < 6) == (n < 6), s"$q -> $n") }
+  }
+
   test("ivf knn matches brute force on separated clusters") {
     import spark.implicits._
     val emb = clusteredEmb.toDF("vec_id", "embedding")
