@@ -153,6 +153,42 @@ object Dedup {
       .join(guarded.select(col("did").as("doc_b"), col("pos").as("p2"), col("g")), "g")
       .where(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b", "p1", "p2")
+    mergeRuns(hits, gram, minWords)
+  }
+
+  /** Duplicate spans ACROSS two corpora — span-level decontamination
+    * (the GPT-3/Pile n-gram-overlap discipline, localized to exact
+    * positions): `left` is the training corpus, `right` the held-out
+    * eval set; candidates pair left grams with right grams only, never
+    * left×left or right×right. Per-gram join work is df_left×df_right,
+    * so the df cap applies to each side. Output as [[duplicateSpans]]
+    * with doc_a from `left`, doc_b from `right` (ids may overlap —
+    * no doc_a < doc_b constraint).
+    */
+  def duplicateSpansAcross(left: DataFrame, right: DataFrame,
+                           gram: Int = 5, minWords: Int = 8,
+                           maxGramDf: Long = 65536,
+                           id: String = "doc_id", text: String = "text"): DataFrame = {
+    require(minWords > gram,
+      s"minWords ($minWords) must exceed gram ($gram) so an isolated gram hit never becomes a span")
+    def grams(docs: DataFrame) = {
+      val g = docs
+        .select(col(id).cast("long").as("did"), positionalGramHashes(col(text), gram).as("gh"))
+        .select(col("did"), posexplode(col("gh")).as(Seq("pos0", "g")))
+        .select(col("did"), (col("pos0") + 1).cast("long").as("pos"), col("g"))
+      if (maxGramDf == Long.MaxValue) g else frequentShingleFilter(g, maxGramDf)
+    }
+    val hits = grams(left).select(col("did").as("doc_a"), col("pos").as("p1"), col("g"))
+      .join(grams(right).select(col("did").as("doc_b"), col("pos").as("p2"), col("g")), "g")
+      .select("doc_a", "doc_b", "p1", "p2")
+    mergeRuns(hits, gram, minWords)
+  }
+
+  /** Merge positional gram hits on the same (doc_a, doc_b, p1−p2)
+    * diagonal into maximal spans — one window + one aggregation on one
+    * shared exchange (plan-shape pinned by DedupSpec).
+    */
+  private def mergeRuns(hits: DataFrame, gram: Int, minWords: Int): DataFrame = {
     val w = Window.partitionBy(col("doc_a"), col("doc_b"), col("d")).orderBy("p1")
     hits.withColumn("d", col("p1") - col("p2"))
       .withColumn("run", col("p1") - row_number().over(w))

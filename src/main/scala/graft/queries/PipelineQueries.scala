@@ -254,6 +254,16 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Span-level decontamination: exact positions of eval-set passages
+    // inside the training corpus (same split as contamination_check).
+    "contamination_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateSpansAcross(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), 5, 8)
+        .orderBy("doc_a", "doc_b", "start_a", "start_b")
+    }),
+
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -299,22 +309,34 @@ object PipelineQueries {
 
   // -------------------------------------------------------------------
 
-  /** Duplicate-span CTEs (gram 5, minWords 8) ending in `spans`;
-    * also defines `w` (doc_id, ws) for downstream word-level CTEs.
+  /** Positional-gram CTEs (gram 5): `w` (doc_id, ws) and `g`
+    * (doc_id, pos, gram).
     */
-  private val spanCtes =
+  private val gramCtes =
     """w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
       |g0 AS (SELECT doc_id, ws, CAST(unnest(range(1, greatest(len(ws) - 5 + 1, 0) + 1)) AS BIGINT) AS pos FROM w),
-      |g AS (SELECT doc_id, pos, array_to_string(list_slice(ws, pos, pos + 4), ' ') AS gram FROM g0),
-      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
-      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
-      |r AS (SELECT doc_a, doc_b, p1, p2, p1 - p2 AS d,
+      |g AS (SELECT doc_id, pos, array_to_string(list_slice(ws, pos, pos + 4), ' ') AS gram FROM g0)""".stripMargin
+
+  /** Diagonal run-merge over a pair CTE `p(doc_a, doc_b, p1, p2)` →
+    * `spans` (minWords 8).
+    */
+  private val runMergeCtes =
+    """r AS (SELECT doc_a, doc_b, p1, p2, p1 - p2 AS d,
       |        p1 - row_number() OVER (PARTITION BY doc_a, doc_b, p1 - p2 ORDER BY p1) AS run
       |      FROM p),
       |spans AS (SELECT doc_a, doc_b, min(p1) AS start_a, min(p2) AS start_b,
       |    CAST(count(*) + 4 AS BIGINT) AS span_words
       |  FROM r GROUP BY doc_a, doc_b, d, run
       |  HAVING count(*) + 4 >= 8)""".stripMargin
+
+  /** Duplicate-span CTEs (gram 5, minWords 8) ending in `spans`;
+    * also defines `w` (doc_id, ws) for downstream word-level CTEs.
+    */
+  private val spanCtes =
+    s"""$gramCtes,
+      |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
+      |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id),
+      |$runMergeCtes""".stripMargin
 
   private def shingleCtes: String = shingleCtesOf("documents")
 
@@ -509,6 +531,15 @@ object PipelineQueries {
         |      FROM corp c LEFT JOIN shared sh2 USING (doc_id))
         |SELECT doc_id, n_shingles, n_shared, share, share >= 0.2 AS contaminated
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "contamination_spans" ->
+      s"""WITH $gramCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
+         |      FROM g a JOIN g b ON a.gram = b.gram
+         |      WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+         |$runMergeCtes
+         |SELECT doc_a, doc_b, start_a, start_b, span_words FROM spans
+         |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

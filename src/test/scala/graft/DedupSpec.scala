@@ -88,6 +88,16 @@ class DedupSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 run-merge shuffle, got $exchanges:\n$plan")
   }
 
+  test("duplicateSpansAcross reports left-right pairs only, any id order") {
+    val span = (1 to 8).map(i => s"v$i").mkString(" ")
+    val left = docs((5L, s"$span l1"), (6L, s"l2 $span"))   // 5×6 share it too
+    val right = docs((2L, s"r1 r2 $span"), (9L, "x1 x2 x3 x4 x5 x6 x7 x8"))
+    val out = Dedup.duplicateSpansAcross(left, right, gram = 4, minWords = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // left×left (5,6) and right-only docs never appear; doc_a > doc_b ok
+    assert(out == Set((5L, 2L), (6L, 2L)))
+  }
+
   test("removeSpans drops covered words from the later doc only") {
     val shared = (1 to 10).map(i => s"s$i").mkString(" ")
     val d = docs(
