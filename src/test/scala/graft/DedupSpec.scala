@@ -88,6 +88,50 @@ class DedupSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 run-merge shuffle, got $exchanges:\n$plan")
   }
 
+  /** Brute-force diagonal reference: every maximal common word run of
+    * ≥ minWords between a and b, as (start_a, start_b, len), 1-based.
+    */
+  private def refSpans(a: Array[String], b: Array[String], minWords: Int): Set[(Long, Long, Long)] = {
+    val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    for (d <- -(b.length - 1) to (a.length - 1)) {
+      var i = math.max(0, d)
+      var runStart = -1
+      while (i <= a.length) {
+        val j = i - d
+        val m = i < a.length && j >= 0 && j < b.length && a(i) == b(j)
+        if (m && runStart < 0) runStart = i
+        if (!m && runStart >= 0) {
+          val len = i - runStart
+          if (len >= minWords)
+            out += (((runStart + 1).toLong, (runStart - d + 1).toLong, len.toLong))
+          runStart = -1
+        }
+        i += 1
+      }
+    }
+    out.toSet
+  }
+
+  test("duplicateSpans matches the brute-force diagonal reference on random corpora") {
+    val rnd = new scala.util.Random(11)
+    // docs stitched from a shared phrase pool → real multi-word overlaps
+    val pool = Array.fill(5)(Array.fill(3 + rnd.nextInt(6))("p" + rnd.nextInt(40)).mkString(" "))
+    def randDoc() = (0 until 2 + rnd.nextInt(3)).map { _ =>
+      if (rnd.nextBoolean()) pool(rnd.nextInt(pool.length))
+      else Array.fill(1 + rnd.nextInt(5))("n" + rnd.nextInt(40)).mkString(" ")
+    }.mkString(" ")
+    for (_ <- 1 to 3) {
+      val ds = (1L to 6L).map(i => (i, randDoc()))
+      val got = Dedup.duplicateSpans(docs(ds: _*), gram = 3, minWords = 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+      val want = (for {
+        Seq((ia, ta), (ib, tb)) <- ds.combinations(2)
+        (sa, sb, len) <- refSpans(ta.split(' '), tb.split(' '), 4)
+      } yield (ia, ib, sa, sb, len)).toSet
+      assert(got == want, s"docs=$ds")
+    }
+  }
+
   test("duplicateSpansAcross reports left-right pairs only, any id order") {
     val span = (1 to 8).map(i => s"v$i").mkString(" ")
     val left = docs((5L, s"$span l1"), (6L, s"l2 $span"))   // 5×6 share it too
