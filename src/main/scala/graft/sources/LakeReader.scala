@@ -22,7 +22,8 @@ object LakeReader {
   def readFolder(s: SparkSession, dir: String, firstTableId: Int = 1):
       (Seq[graft.index.LakeTable], Int) = {
     val files = new java.io.File(dir).listFiles()
-      .filter(_.isFile).map(_.getPath).sorted
+      .filter(f => f.isFile || DeltaReader.isDeltaTable(f.getPath))
+      .map(_.getPath).sorted
     var errors = 0
     val tables = scala.collection.mutable.ArrayBuffer.empty[graft.index.LakeTable]
     files.foreach { f =>
@@ -56,7 +57,8 @@ object LakeReader {
   }
 
   def read(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
-    path.split('.').last match {
+    if (DeltaReader.isDeltaTable(path)) DeltaReader.read(s, path)
+    else path.split('.').last match {
       case "csv"     => readCsv(s, path, ",", schema)
       case "tsv"     => readCsv(s, path, "\t", schema)
       case "json"    => readJson(s, path, schema)

@@ -1,0 +1,129 @@
+package graft
+
+import graft.sources.DeltaReader
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Fixtures are hand-written against the PUBLIC Delta protocol
+  * (PROTOCOL.md): parquet part files + JSON commit lines + a classic
+  * checkpoint — no delta-spark involved, which is the point (the
+  * reader must work from the spec alone).
+  */
+class DeltaReaderSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType),
+    StructField("src", StringType)))
+  private val dataSchema = StructType(schema.fields.filterNot(_.name == "src"))
+
+  /** Writes rows as a single parquet part file, returns its relative name. */
+  private def part(dir: java.io.File, name: String, rows: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val stage = new java.io.File(dir, s"_stage_$name")
+    rows.toDF("id", "v").coalesce(1).write.parquet(stage.getPath)
+    val f = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    val dest = new java.io.File(dir, name)
+    java.nio.file.Files.move(f.toPath, dest.toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    name
+  }
+
+  private def commit(log: java.io.File, version: Long, lines: Seq[String]): Unit = {
+    val f = new java.io.File(log, f"$version%020d.json")
+    java.nio.file.Files.write(f.toPath, lines.mkString("\n").getBytes("UTF-8"))
+  }
+
+  private def meta(partCols: String) =
+    s"""{"metaData":{"id":"t1","format":{"provider":"parquet","options":{}},"schemaString":${
+      com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+        .writeValueAsString(schema.json)},"partitionColumns":[$partCols],"configuration":{}}}"""
+
+  private def add(path: String, src: String) =
+    s"""{"add":{"path":"$path","partitionValues":{"src":"$src"},"size":1,"modificationTime":1,"dataChange":true}}"""
+
+  private def mkTable(): (java.io.File, java.io.File) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_").toFile
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    (dir, log)
+  }
+
+  private def collected(df: DataFrame): Set[(Long, String, String)] =
+    df.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+
+  test("delta snapshot replays add/remove across commits, typed partition columns from the log") {
+    val (dir, log) = mkTable()
+    val f1 = part(dir, "part-0001.parquet", Seq((1L, "a"), (2L, "b")))
+    val f2 = part(dir, "part-0002.parquet", Seq((3L, "c")))
+    val f3 = part(dir, "part-0003.parquet", Seq((4L, "d")))
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      meta("\"src\""), add(f1, "web"), add(f2, "book")))
+    commit(log, 1, Seq(
+      s"""{"remove":{"path":"$f2","dataChange":true}}""", add(f3, "web")))
+    val df = DeltaReader.read(spark, dir.getPath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "src"))
+    assert(collected(df) ==
+      Set((1L, "a", "web"), (2L, "b", "web"), (4L, "d", "web")))
+    // time travel: version 0 still sees f2, not f3
+    assert(collected(DeltaReader.read(spark, dir.getPath, Some(0L))) ==
+      Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")))
+    // LakeReader front door dispatches directories with _delta_log
+    assert(collected(graft.sources.LakeReader.read(spark, dir.getPath)) ==
+      collected(df))
+  }
+
+  test("delta checkpoint is the replay base; later JSON commits apply on top") {
+    val s = spark
+    import s.implicits._
+    val (dir, log) = mkTable()
+    val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
+    val f2 = part(dir, "part-0002.parquet", Seq((2L, "b")))
+    // checkpoint at version 1 carries the metaData + f1's add
+    val cpRows = Seq(
+      s"""{"metaData":{"id":"t1","schemaString":${
+        com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+          .writeValueAsString(schema.json)},"partitionColumns":["src"]}}""",
+      s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{"src":"web"},"size":1}}""")
+    // explicit action schema: real checkpoints store partitionValues as
+    // map<string,string>, which JSON inference would turn into a struct
+    val cpSchema = StructType(Seq(
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues",
+          org.apache.spark.sql.types.MapType(StringType, StringType)),
+        StructField("size", LongType)))),
+      StructField("remove", StructType(Seq(StructField("path", StringType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("schemaString", StringType),
+        StructField("partitionColumns",
+          org.apache.spark.sql.types.ArrayType(StringType))))),
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", LongType),
+        StructField("minWriterVersion", LongType))))))
+    spark.read.schema(cpSchema).json(cpRows.toDS).coalesce(1)
+      .write.parquet(new java.io.File(log, "_cp_stage").getPath)
+    val cpf = new java.io.File(log, "_cp_stage").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(cpf.toPath,
+      new java.io.File(log, f"${1L}%020d.checkpoint.parquet").toPath)
+    // JSON commit AFTER the checkpoint adds f2
+    commit(log, 2, Seq(s"""{"add":{"path":"$f2","partitionValues":{"src":"book"},"size":1,"dataChange":true}}"""))
+    val df = DeltaReader.read(spark, dir.getPath)
+    assert(collected(df) == Set((1L, "a", "web"), (2L, "b", "book")))
+  }
+
+  test("delta reader refuses minReaderVersion > 1 loudly") {
+    val (dir, log) = mkTable()
+    val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7}}""",
+      meta("\"src\""), add(f1, "web")))
+    val e = intercept[IllegalArgumentException] {
+      DeltaReader.read(spark, dir.getPath).collect()
+    }
+    assert(e.getMessage.contains("minReaderVersion"))
+  }
+}
