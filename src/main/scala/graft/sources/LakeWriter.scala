@@ -30,6 +30,63 @@ object LakeWriter {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Create a Delta table at `dir` (version 0) from `df` — the write
+    * side of [[DeltaReader]], emitting spec-conformant protocol /
+    * metaData / add actions (PROTOCOL.md; minReaderVersion 1, no
+    * column mapping). Single-writer discipline: real Delta arbitrates
+    * concurrent commits through an atomic log rename, which a
+    * single-pipeline sink does not need — concurrent writers to one
+    * table are out of scope and would need that arbitration.
+    */
+  def writeDelta(df: DataFrame, dir: String): Unit =
+    commitDelta(df, dir, 0L, includeMeta = true)
+
+  /** Append `df` to an existing Delta table as its next version —
+    * readers at older versions (versionAsOf) are unaffected, the new
+    * snapshot sees old + new files: the same add-only incremental
+    * maintenance discipline as `LakeIndexer.addTables`, but carried by
+    * the table format itself.
+    */
+  def appendDelta(df: DataFrame, dir: String): Unit = {
+    val log = new java.io.File(dir, "_delta_log")
+    require(log.isDirectory, s"appendDelta: not a Delta table: $dir")
+    val next = log.listFiles().toSeq
+      .filter(f => f.getName.matches("\\d{20}\\.json"))
+      .map(_.getName.take(20).toLong).max + 1
+    commitDelta(df, dir, next, includeMeta = false)
+  }
+
+  private def commitDelta(df: DataFrame, dir: String, version: Long,
+                          includeMeta: Boolean): Unit = {
+    val root = new java.io.File(dir)
+    val log = new java.io.File(root, "_delta_log")
+    log.mkdirs()
+    // stage the parquet files, then move them into the table root —
+    // files only become visible through the commit that adds them
+    val stage = new java.io.File(root, s"_stage_$version")
+    df.write.parquet(stage.getPath)
+    val moved = stage.listFiles().toSeq
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map { f =>
+        val dest = new java.io.File(root, f.getName)
+        java.nio.file.Files.move(f.toPath, dest.toPath)
+        (f.getName, dest.length())
+      }
+    stage.listFiles().foreach(_.delete()); stage.delete()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val now = 0L // deterministic logs: modificationTime is informational
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (includeMeta) {
+      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":[],"configuration":{}}}"""
+    }
+    moved.foreach { case (name, size) =>
+      actions += s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+    }
+    val commit = new java.io.File(log, f"$version%020d.json")
+    java.nio.file.Files.write(commit.toPath, actions.mkString("\n").getBytes("UTF-8"))
+  }
+
   /** Training-data export: a deterministic, seed-reproducible global
     * shuffle into `numShards` equal-ish shards (`shard=N` directories,
     * one file each). Order within a shard is the seeded doc-id hash —

@@ -115,6 +115,21 @@ class DeltaReaderSpec extends SparkSpec {
     assert(collected(df) == Set((1L, "a", "web"), (2L, "b", "book")))
   }
 
+  test("writeDelta/appendDelta round-trip through the reader with time travel") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_w_").toFile
+    val v0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val v1 = Seq((3L, "c")).toDF("id", "v")
+    graft.sources.LakeWriter.writeDelta(v0, dir.getPath)
+    graft.sources.LakeWriter.appendDelta(v1, dir.getPath)
+    def rows(df: DataFrame) = df.select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows(DeltaReader.read(spark, dir.getPath)) ==
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(rows(DeltaReader.read(spark, dir.getPath, Some(0L))) ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("delta reader refuses minReaderVersion > 1 loudly") {
     val (dir, log) = mkTable()
     val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
