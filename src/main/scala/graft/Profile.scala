@@ -179,6 +179,29 @@ object Profile {
     time("clusters_local")(Dedup.clusters(docs, pairs).count())
     time("clusters_distributed")(Dedup.clusters(docs, pairs, localThreshold = 0).count())
     time("boilerplate")(graft.text.TextAnalysis.boilerplateShare(docs, 3, 50).count())
+    val spans = Dedup.duplicateSpans(docs, 5, 8).cache()
+    time("duplicate_spans")(spans.count())
+    time("remove_spans")(Dedup.removeSpans(docs, spans).count())
+    spans.unpersist()
+    // synthetic embeddings riding the same ids: 64-dim signed hash
+    // noise (cross-doc cos ≈ 0), with 10% of vectors exact copies of an
+    // earlier one — near-dups are SPARSE, as in a real corpus; a
+    // generator where whole cells sit above τ would make Σ cell² the
+    // whole n² and no semantic-dedup design survives that input
+    val emb = spark.range(0, nDocs, 1, 32).selectExpr(
+      "id AS vec_id",
+      """transform(sequence(0, 63),
+           i -> cast(cast(pmod(hash(CASE WHEN id % 10 = 9 THEN id - 5 ELSE id END, i), 2001) - 1000 AS double) / 1000.0
+             AS float)) AS embedding""")
+      .cache()
+    time(s"materialize_${nDocs}_embeddings")(emb.count())
+    // nCells scales with the corpus (SemDeDup runs ~100k cells on
+    // LAION): bound mean cell size so within-cell pair work stays flat
+    time("semantic_dedup")(
+      Dedup.semantic(emb, 0.92, nCells = 256, maxIter = 3, maxTrain = 20000).count())
+    time("ivfpq_knn_1k_queries")(
+      graft.sim.Similarity.ivfPqKnn(emb.where(col("vec_id") < 1000), emb, 3).count())
+    emb.unpersist()
     docs.unpersist()
   }
 
