@@ -30,6 +30,46 @@ object LakeWriter {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Z-order (Morton-curve) clustered parquet: rows are laid out along
+    * an interleaved-bit curve over BOTH columns' quantile-bucket ranks,
+    * so every output file covers a small rectangle of (c1, c2) space
+    * and parquet min/max stats prune scans filtering on EITHER column —
+    * a single-column sort only ever prunes itself. This is the layout
+    * discipline behind Delta's OPTIMIZE ZORDER, exposed as a write
+    * option for the plain parquet sink.
+    *
+    * Scale: bucket boundaries come from ONE approx_percentile aggregate
+    * (255 doubles per column to the driver — corpus-size independent),
+    * bucketing is a broadcast binary search per row, and the only data
+    * movement is the range exchange on the z-value.
+    */
+  def writeZOrdered(df: DataFrame, path: String, c1: String, c2: String,
+                    numFiles: Int = 32): Unit = {
+    import org.apache.spark.sql.functions._
+    val qs = (1 until 256).map(_ / 256.0)
+    val bounds = df.select(
+      percentile_approx(df.col(c1).cast("double"), lit(qs.toArray), lit(10000)),
+      percentile_approx(df.col(c2).cast("double"), lit(qs.toArray), lit(10000)))
+      .head()
+    val b1 = bounds.getSeq[Double](0).toArray
+    val b2 = bounds.getSeq[Double](1).toArray
+    def bucket(bs: Array[Double], v: Double): Int = {
+      val i = java.util.Arrays.binarySearch(bs, v)
+      if (i >= 0) i + 1 else -(i + 1)
+    }
+    val zUdf = udf { (x: Double, y: Double) =>
+      val a = bucket(b1, x); val b = bucket(b2, y)
+      var r = 0; var i = 0
+      while (i < 8) { r |= (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)); i += 1 }
+      r
+    }
+    df.withColumn("__z", zUdf(df.col(c1).cast("double"), df.col(c2).cast("double")))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+  }
+
   /** Create a Delta table at `dir` (version 0) from `df` — the write
     * side of [[DeltaReader]], emitting spec-conformant protocol /
     * metaData / add actions (PROTOCOL.md; minReaderVersion 1, no

@@ -228,6 +228,33 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("z-ordered layout bounds BOTH columns per file; x-sort leaves y unbounded") {
+    val df = spark.range(20000).selectExpr(
+      "cast(pmod(hash(id, 1), 10000) AS double) / 10000 AS x",
+      "cast(pmod(hash(id, 2), 10000) AS double) / 10000 AS y")
+    val zdir = java.nio.file.Files.createTempDirectory("graft_z_").toString
+    val xdir = java.nio.file.Files.createTempDirectory("graft_x_").toString
+    graft.sources.LakeWriter.writeZOrdered(df, zdir, "x", "y", 16)
+    df.repartitionByRange(16, col("x")).sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(xdir)
+    def meanWidth(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      files.map { f =>
+        spark.read.parquet(f.getPath)
+          .agg(max(col(c)) - min(col(c))).head().getDouble(0)
+      }.sum / files.length
+    }
+    val zy = meanWidth(zdir, "y")
+    val zx = meanWidth(zdir, "x")
+    val xy = meanWidth(xdir, "y")
+    // a 16-file split of the 16-bit z-curve covers ≈quadrant-sized
+    // rectangles: both dims bounded; the x-sorted layout leaves y at
+    // ~full width per file, so min/max stats cannot prune y predicates
+    assert(zy < 0.6 * xy, s"zy=$zy xy=$xy")
+    assert(zx < 0.6, s"zx=$zx")
+  }
+
   test("contamination counts shared shingles against the benchmark set") {
     import spark.implicits._
     val corpus = Seq(
