@@ -199,8 +199,13 @@ object Profile {
     // LAION): bound mean cell size so within-cell pair work stays flat
     time("semantic_dedup")(
       Dedup.semantic(emb, 0.92, nCells = 256, maxIter = 3, maxTrain = 20000).count())
+    // nCells scales with the corpus here too: probed candidates per
+    // query are nProbe/nCells of the corpus, and the candidate shuffle
+    // is THE cost — 16 cells would ship 50M candidate rows for this
+    // batch (measured 41s), 64 cells ships 12.5M
     time("ivfpq_knn_1k_queries")(
-      graft.sim.Similarity.ivfPqKnn(emb.where(col("vec_id") < 1000), emb, 3).count())
+      graft.sim.Similarity.ivfPqKnn(emb.where(col("vec_id") < 1000), emb, 3,
+        nCells = 64, maxTrain = 20000, maxIter = 5).count())
     emb.unpersist()
     docs.unpersist()
   }

@@ -111,6 +111,38 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming incremental minhash accumulates exactly the full-run pair set") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val batch1 = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"),   // ~ 1
+      (3L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"))
+    val batch2 = Seq(
+      (4L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w14"),   // ~ 1, 2
+      (5L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a13"))   // ~ 3
+
+    val root = java.nio.file.Files.createTempDirectory("graft_dstream_").toString
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DedupStream.incrementalMinhash(
+      mem.toDF().toDF("doc_id", "text"),
+      s"$root/sigs", s"$root/pairs", s"$root/ckpt", 0.5)
+    mem.addData(batch1: _*)
+    q.processAllAvailable()
+    mem.addData(batch2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.read.parquet(s"$root/pairs")
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val full = graft.dedup.Dedup.minhashLsh((batch1 ++ batch2).toDF("doc_id", "text"), 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(streamed == full)
+    assert(full.nonEmpty)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val s = spark
     import s.implicits._
