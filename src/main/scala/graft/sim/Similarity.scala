@@ -300,13 +300,24 @@ object Similarity {
     * Plain-PQ codes (not residual-PQ): one shared codebook set keeps
     * encode relational; recall at equal bits is slightly below
     * residual encoding — the spec pins what matters (cluster recall).
+    *
+    * `rerank > k` adds the standard exact re-rank stage: the ADC pass
+    * keeps a per-query shortlist of `rerank` candidates, ONLY those
+    * rows join back to the corpus for a true cosine, and the final
+    * top-k is exact over the shortlist (queries×rerank rows — the raw
+    * vectors of the shortlist are the only full-precision data read).
+    * With every cell probed and `rerank` ≥ the corpus this recovers
+    * [[bruteForceKnn]] exactly (spec-pinned).
+    *
     * Output: (vec_id, rank, neighbor_id, cos) — cos is the ADC
-    * estimate.
+    * estimate, or the exact cosine when re-ranked.
     */
   def ivfPqKnn(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
                m: Int = 8, bits: Int = 4, nProbe: Int = 4, seed: Long = 42L,
                id: String = "vec_id", vec: String = "embedding",
-               maxTrain: Int = 65536, maxIter: Int = 10): DataFrame = {
+               maxTrain: Int = 65536, maxIter: Int = 10,
+               rerank: Int = 0): DataFrame = {
+    val keep = math.max(k, rerank)
     val spark = queries.sparkSession
     import spark.implicits._
     val sample = corpus.select(col(vec)).limit(maxTrain).as[Array[Float]].collect()
@@ -360,7 +371,7 @@ object Similarity {
     val cand = broadcast(probes).join(codes, "cell")
       .select(col("qid"), col("nid"), col("codes"), col("nn"))
       .as[(Long, Long, Array[Byte], Double)]
-    cand.groupByKey(_._1).flatMapGroups { (qid, rows) =>
+    val adc = cand.groupByKey(_._1).flatMapGroups { (qid, rows) =>
       val qv = bcQ.value(qid)
       var qn = 0.0
       var i = 0
@@ -372,8 +383,8 @@ object Similarity {
         while (j < sub) { d += qv(s * sub + j).toDouble * cb(s)(c)(j); j += 1 }
         d
       }
-      val bestCos = Array.fill(k)(Double.NegativeInfinity)
-      val bestId = new Array[Long](k)
+      val bestCos = Array.fill(keep)(Double.NegativeInfinity)
+      val bestId = new Array[Long](keep)
       rows.foreach { case (_, nid, cs, nn) =>
         if (nid != qid) {
           var d = 0.0; var s = 0
@@ -381,19 +392,43 @@ object Similarity {
           val cos = d / qnorm / nn
           // candidates arrive join-ordered, so break ties explicitly:
           // (cos desc, nid asc)
-          var pos = k
+          var pos = keep
           while (pos > 0 && (cos > bestCos(pos - 1) ||
             (cos == bestCos(pos - 1) && nid < bestId(pos - 1)))) pos -= 1
-          if (pos < k) {
-            var t = k - 1
+          if (pos < keep) {
+            var t = keep - 1
             while (t > pos) { bestCos(t) = bestCos(t - 1); bestId(t) = bestId(t - 1); t -= 1 }
             bestCos(pos) = cos; bestId(pos) = nid
           }
         }
       }
-      (0 until k).iterator.filter(r => bestCos(r) > Double.NegativeInfinity)
+      (0 until keep).iterator.filter(r => bestCos(r) > Double.NegativeInfinity)
         .map(r => (qid, r + 1, bestId(r), bestCos(r)))
     }.toDF("vec_id", "rank", "neighbor_id", "cos")
+    if (rerank <= k) adc
+    else {
+      // exact re-rank: true cosine for ONLY the queries×rerank
+      // shortlist rows, then the final top-k — a window over ≤ rerank
+      // rows per query
+      val exactCos = udf { (qid: Long, nv: Array[Float]) =>
+        val qv = bcQ.value(qid)
+        var d = 0.0; var qn = 0.0; var nn = 0.0
+        var i = 0
+        while (i < qv.length) {
+          d += qv(i).toDouble * nv(i).toDouble
+          qn += qv(i).toDouble * qv(i).toDouble
+          nn += nv(i).toDouble * nv(i).toDouble
+          i += 1
+        }
+        d / math.sqrt(qn) / math.sqrt(nn)
+      }
+      val raw = corpus.select(col(id).cast("long").as("neighbor_id"), col(vec).as("__nv"))
+      val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+      adc.select("vec_id", "neighbor_id").join(raw, "neighbor_id")
+        .withColumn("cos", exactCos(col("vec_id"), col("__nv")))
+        .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+        .select("vec_id", "rank", "neighbor_id", "cos")
+    }
   }
 
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no

@@ -199,6 +199,17 @@ class RowsOnlySpec extends SparkSpec {
     res.foreach { case (q, n) => assert((q < 6) == (n < 6), s"$q -> $n") }
   }
 
+  test("ivfadc with full probe and full rerank recovers brute force exactly") {
+    import spark.implicits._
+    val emb = clusteredEmb.toDF("vec_id", "embedding")
+    val brute = Similarity.bruteForceKnnBlocked(emb, emb, 2)
+      .select("vec_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    val rr = Similarity.ivfPqKnn(emb, emb, 2, nCells = 2, m = 2, bits = 4,
+      nProbe = 2, rerank = 12)
+      .select("vec_id", "rank", "neighbor_id").as[(Long, Int, Long)].collect().toSet
+    assert(rr == brute)
+  }
+
   test("ivf knn matches brute force on separated clusters") {
     import spark.implicits._
     val emb = clusteredEmb.toDF("vec_id", "embedding")
