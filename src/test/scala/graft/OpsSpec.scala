@@ -270,4 +270,29 @@ class OpsSpec extends SparkSpec {
     assert(out(2L) == ((2L, 2, 0L, false)))
     assert(out(3L) == ((3L, 0, 0L, false)))
   }
+
+  test("heavy hitters: sketch-pruned result equals the exact groupBy") {
+    import spark.implicits._
+    // skewed head + a long unit tail the sketch must prune
+    val words = Seq.fill(500)("alpha") ++ Seq.fill(300)("beta") ++
+      Seq.fill(120)("gamma") ++ Seq.fill(80)("delta") ++
+      (0 until 1000).map(i => s"tail$i")
+    val rows = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("id", "key").repartition(7)
+    val got = graft.ops.HeavyHitters.frequentKeys(rows, col("key"), 80L, maxMapSize = 256)
+      .as[(String, Long)].collect().toMap
+    val exact = rows.groupBy("key").count().where(col("count") >= 80)
+      .as[(String, Long)].collect().toMap
+    assert(got == exact)
+    assert(got == Map("alpha" -> 500L, "beta" -> 300L, "gamma" -> 120L, "delta" -> 80L))
+  }
+
+  test("heavy hitters: a threshold inside the sketch error bound fails loudly") {
+    import spark.implicits._
+    val rows = (0 until 50000).map(i => (i.toLong, s"k$i")).toDF("id", "key")
+    val ex = intercept[IllegalArgumentException] {
+      graft.ops.HeavyHitters.frequentKeys(rows, col("key"), 2L, maxMapSize = 64).collect()
+    }
+    assert(ex.getMessage.contains("error bound"))
+  }
 }
