@@ -183,6 +183,13 @@ object Profile {
     time("duplicate_spans")(spans.count())
     time("remove_spans")(Dedup.removeSpans(docs, spans).count())
     spans.unpersist()
+    // ~50k-word vocabulary at ~160 occurrences each: capacity must
+    // exceed the distinct count for a sub-threshold error bound
+    time("heavy_hitters")(
+      graft.ops.HeavyHitters.frequentTokens(docs, 150L, maxMapSize = 1 << 17).count())
+    val bpeMerges = time("bpe_train_64")(
+      graft.text.Bpe.train(graft.text.Bpe.wordCounts(docs), 64))
+    time("bpe_encode")(graft.text.Bpe.encode(spark, docs, bpeMerges).count())
     // synthetic embeddings riding the same ids: 64-dim signed hash
     // noise (cross-doc cos ≈ 0), with 10% of vectors exact copies of an
     // earlier one — near-dups are SPARSE, as in a real corpus; a
@@ -206,6 +213,9 @@ object Profile {
     time("ivfpq_knn_1k_queries")(
       graft.sim.Similarity.ivfPqKnn(emb.where(col("vec_id") < 1000), emb, 3,
         nCells = 64, maxTrain = 20000, maxIter = 5).count())
+    time("diversity_sample")(
+      graft.sim.Similarity.diversitySample(emb, 50,
+        nCells = 256, maxTrain = 20000, maxIter = 3).count())
     emb.unpersist()
     docs.unpersist()
   }

@@ -319,6 +319,13 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)),
 
+    // cluster-balanced sample off the shared coarse-quantizer cells
+    "diversity_sample" -> ((s, dir) =>
+      Similarity.diversitySample(t(s, dir, "embeddings"), 20,
+        preAssigned = Some(embCells(s, dir)))
+        .select("vec_id", "cell", "pick")
+        .orderBy("vec_id")),
+
     // exact heavy hitters: frequent-items sketch prunes the shuffle,
     // exact verify pass keeps the result oracle-checkable
     "heavy_tokens" -> ((s, dir) =>

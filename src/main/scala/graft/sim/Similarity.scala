@@ -117,6 +117,27 @@ object Similarity {
       .withColumn("nrm", sqrt(Dedup.dotUdf(col(vec), col(vec))))
   }
 
+  /** Cluster-balanced diversity sample: `perCell` vectors from each
+    * KMeans cell, picked in md5(id) order — the coverage-preserving
+    * subset a data-mixing pipeline draws when an iid sample would
+    * over-represent dense regions (the complement of SemDeDup: keep
+    * the spread, don't collapse it). Reuses the same coarse-quantizer
+    * assignment the IVF index and semantic dedup share (`preAssigned`).
+    * One exchange on `cell` into the heap operator — only cells·perCell
+    * rows survive, no partition sort; the hash pick order makes the
+    * sample reproducible across engines and partitionings, like
+    * `corpus_mix`. Output: (id, cell, pick).
+    */
+  def diversitySample(emb: DataFrame, perCell: Int, nCells: Int = 16, seed: Long = 42L,
+                      id: String = "vec_id", vec: String = "embedding",
+                      maxIter: Int = 5, maxTrain: Int = 100000,
+                      preAssigned: Option[DataFrame] = None): DataFrame = {
+    require(perCell > 0, s"perCell must be positive, got $perCell")
+    val assigned = preAssigned.getOrElse(assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain))
+    val keyed = assigned.select(col(id), col("cell"), md5(col(id).cast("string")).as("pick"))
+    graft.plans.TopKPerKey.perKey(keyed, Seq("cell"), Seq(("pick", false), (id, false)), perCell)
+  }
+
   def ivfKnn(emb: DataFrame, k: Int, nCells: Int = 16, seed: Long = 42L,
              id: String = "vec_id", vec: String = "embedding",
              maxIter: Int = 5, maxTrain: Int = 100000,
@@ -317,27 +338,60 @@ object Similarity {
                id: String = "vec_id", vec: String = "embedding",
                maxTrain: Int = 65536, maxIter: Int = 10,
                rerank: Int = 0): DataFrame = {
-    val keep = math.max(k, rerank)
-    val spark = queries.sparkSession
+    val model = trainPq(corpus, nCells, m, bits, vec, maxTrain, maxIter)
+    val codes = encodePq(corpus, model, id, vec)
+    ivfPqSearch(queries, codes, model, k, nProbe, rerank,
+      if (rerank > k) Some(corpus) else None, id, vec)
+  }
+
+  /** The driver-side ANN index model: coarse-quantizer centroids + the
+    * m per-subspace PQ codebooks. Small by construction (nCells·dim +
+    * m·2^bits·dim/m doubles), broadcast to every encode/search pass.
+    */
+  case class PqModel(nCells: Int, m: Int, bits: Int, dim: Int,
+                     centroids: Array[Array[Double]],
+                     codebooks: Array[Array[Array[Double]]]) {
+    def sub: Int = dim / m
+    def kCent: Int = 1 << bits
+  }
+
+  /** Train the coarse quantizer + PQ codebooks on a bounded corpus
+    * sample (cost O(maxTrain), independent of corpus size).
+    */
+  def trainPq(corpus: DataFrame, nCells: Int, m: Int, bits: Int,
+              vec: String = "embedding",
+              maxTrain: Int = 65536, maxIter: Int = 10): PqModel = {
+    val spark = corpus.sparkSession
     import spark.implicits._
     val sample = corpus.select(col(vec)).limit(maxTrain).as[Array[Float]].collect()
-    require(sample.nonEmpty, "ivfPqKnn: empty corpus")
+    require(sample.nonEmpty, "trainPq: empty corpus")
     val dim = sample.head.length
-    require(dim % m == 0, s"ivfPqKnn: dim $dim not divisible by m $m")
+    require(dim % m == 0, s"trainPq: dim $dim not divisible by m $m")
     val sub = dim / m
-    val kCent = 1 << bits
     val samplePts = sample.map(v => v.map(_.toDouble))
     val centroids = lloyd(samplePts, nCells, maxIter)
     val codebooks = Array.tabulate(m) { s =>
-      lloyd(sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble)), kCent, maxIter)
+      lloyd(sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble)), 1 << bits, maxIter)
     }
-    val bcCent = spark.sparkContext.broadcast(centroids)
-    val bcCb = spark.sparkContext.broadcast(codebooks)
-    // Distributed encode: (cell, nid, codes, approx norm) — stays a
-    // DataFrame, hash-partitioned by the join below; never collected.
-    val codes = corpus.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
+    PqModel(nCells, m, bits, dim, centroids, codebooks)
+  }
+
+  /** Distributed PQ encode: (cell, nid, codes, approx norm) — stays a
+    * DataFrame, hash-partitioned by the search join; never collected.
+    * Deterministic given the model, so encoding a new batch with a
+    * persisted model appends EXACTLY the rows a full re-encode would
+    * produce (the property [[addVectors]] relies on).
+    */
+  def encodePq(corpus: DataFrame, model: PqModel,
+               id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bcM = spark.sparkContext.broadcast(model)
+    val m = model.m
+    val sub = model.sub
+    corpus.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])]
       .mapPartitions { it =>
-        val cent = bcCent.value; val cb = bcCb.value
+        val cent = bcM.value.centroids; val cb = bcM.value.codebooks
         it.map { case (nid, v) =>
           val cell = nearest(v.map(_.toDouble), cent)
           val cs = new Array[Byte](m)
@@ -354,6 +408,30 @@ object Similarity {
           (cell, nid, cs, math.sqrt(n2))
         }
       }.toDF("cell", "nid", "codes", "nn")
+  }
+
+  /** ADC search over an encoded code table (fresh or read back from a
+    * persisted index). `corpusForRerank` must be given when
+    * `rerank > k`. The probed-cell set is known on the driver, so it is
+    * pushed as a static `cell IN (...)` predicate — on a persisted
+    * index partitioned by cell this prunes whole directories before
+    * any I/O.
+    */
+  def ivfPqSearch(queries: DataFrame, codes: DataFrame, model: PqModel,
+                  k: Int, nProbe: Int = 4, rerank: Int = 0,
+                  corpusForRerank: Option[DataFrame] = None,
+                  id: String = "vec_id", vec: String = "embedding"): DataFrame = {
+    require(rerank <= k || corpusForRerank.nonEmpty,
+      "ivfPqSearch: rerank > k needs the raw corpus for the exact stage")
+    val keep = math.max(k, rerank)
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val nCells = model.nCells
+    val m = model.m
+    val sub = model.sub
+    val kCent = model.kCent
+    val centroids = model.centroids
+    val bcCb = spark.sparkContext.broadcast(model.codebooks)
     // Query batch is the bounded side: broadcast its vectors, explode
     // its probed cells, and let the cell equi-join select candidates.
     val qRows = queries.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])].collect()
@@ -367,8 +445,13 @@ object Similarity {
         d
       }
       byDist.take(nProbe).map(c => (qid, c))
-    }.toSeq.toDF("qid", "cell")
-    val cand = broadcast(probes).join(codes, "cell")
+    }.toSeq
+    val probesDf = probes.toDF("qid", "cell")
+    // static partition pruning: the probed-cell set is known on the
+    // driver, so a persisted cell-partitioned code table only scans
+    // those directories
+    val prunedCodes = codes.where(col("cell").isin(probes.map(_._2).distinct: _*))
+    val cand = broadcast(probesDf).join(prunedCodes, "cell")
       .select(col("qid"), col("nid"), col("codes"), col("nn"))
       .as[(Long, Long, Array[Byte], Double)]
     val adc = cand.groupByKey(_._1).flatMapGroups { (qid, rows) =>
@@ -422,13 +505,62 @@ object Similarity {
         }
         d / math.sqrt(qn) / math.sqrt(nn)
       }
-      val raw = corpus.select(col(id).cast("long").as("neighbor_id"), col(vec).as("__nv"))
+      val raw = corpusForRerank.get
+        .select(col(id).cast("long").as("neighbor_id"), col(vec).as("__nv"))
       val w = Window.partitionBy("vec_id").orderBy(col("cos").desc, col("neighbor_id").asc)
       adc.select("vec_id", "neighbor_id").join(raw, "neighbor_id")
         .withColumn("cos", exactCos(col("vec_id"), col("__nv")))
         .withColumn("rank", row_number().over(w)).where(col("rank") <= k)
         .select("vec_id", "rank", "neighbor_id", "cos")
     }
+  }
+
+  /** Persist an ANN index: the code table directory-partitioned by
+    * cell (so a search's probed-cell predicate prunes whole partitions
+    * before any I/O) + the driver-side model as a 1-row nested-array
+    * parquet sidecar. The same maintenance discipline as
+    * `LakeIndexer.writeIndex`: build once offline, search and append
+    * many times.
+    */
+  def writeAnnIndex(path: String, model: PqModel, codes: DataFrame): Unit = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    Seq((model.nCells, model.m, model.bits, model.dim,
+      model.centroids.map(_.toSeq).toSeq, model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
+      .toDF("nCells", "m", "bits", "dim", "centroids", "codebooks")
+      .write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  /** Read a persisted ANN index back as (model, code table). The code
+    * table keeps its cell partitioning — `ivfPqSearch`'s probed-cell
+    * IN-filter becomes a PartitionFilters entry on this scan.
+    */
+  def readAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): (PqModel, DataFrame) = {
+    val r = spark.read.parquet(s"$path/model").head()
+    val model = PqModel(
+      r.getAs[Int]("nCells"), r.getAs[Int]("m"), r.getAs[Int]("bits"), r.getAs[Int]("dim"),
+      r.getAs[scala.collection.Seq[scala.collection.Seq[Double]]]("centroids")
+        .map(_.toArray).toArray,
+      r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("codebooks")
+        .map(_.map(_.toArray).toArray).toArray)
+    val codes = spark.read.parquet(s"$path/codes")
+      .select(col("cell").cast("int").as("cell"), col("nid"), col("codes"), col("nn"))
+    (model, codes)
+  }
+
+  /** Incremental maintenance: encode a new vector batch with the
+    * PERSISTED model and append it co-partitioned — no rewrite of the
+    * existing code table, the `addTables` discipline for the ANN index.
+    * Encoding is deterministic given the model, so the appended index
+    * is row-identical to a full re-encode of the union (spec-pinned).
+    * Single-writer by design, like the lake index.
+    */
+  def addVectors(spark: org.apache.spark.sql.SparkSession, path: String, newVecs: DataFrame,
+                 id: String = "vec_id", vec: String = "embedding"): Unit = {
+    val (model, _) = readAnnIndex(spark, path)
+    encodePq(newVecs, model, id, vec)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
   }
 
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no

@@ -1,0 +1,85 @@
+package graft
+
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+/** Persisted ANN index (IVFADC): round-trip fidelity, incremental
+  * append ≡ full re-encode, and partition pruning of the probed cells
+  * on the persisted code table.
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  // two tight, well-separated clusters in R^8 (m=4 → 2-dim subspaces)
+  private def emb(ids: Range, shift: Int) = {
+    import spark.implicits._
+    ids.map { i =>
+      val base = Array.fill(8)(0f)
+      base(shift) = 10f + (i % 7) * 0.1f
+      base(7 - shift) = 1f
+      (i.toLong, base)
+    }
+  }
+
+  private def corpus = {
+    import spark.implicits._
+    (emb(0 until 8, 0) ++ emb(8 until 16, 2)).toDF("vec_id", "embedding")
+  }
+
+  test("search from a persisted index equals the fresh in-memory search") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val model = Similarity.trainPq(corpus, nCells = 2, m = 4, bits = 2)
+    val codes = Similarity.encodePq(corpus, model)
+    val fresh = Similarity.ivfPqSearch(corpus.limit(6), codes, model, k = 2, nProbe = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+
+    Similarity.writeAnnIndex(dir, model, codes)
+    val (m2, codes2) = Similarity.readAnnIndex(spark, dir)
+    assert(m2.nCells == model.nCells && m2.m == model.m &&
+      m2.bits == model.bits && m2.dim == model.dim)
+    assert(m2.centroids.map(_.toSeq).toSeq == model.centroids.map(_.toSeq).toSeq)
+    assert(m2.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+    val persisted = Similarity.ivfPqSearch(corpus.limit(6), codes2, m2, k = 2, nProbe = 2)
+      .as[(Long, Int, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(persisted == fresh)
+  }
+
+  test("addVectors appends exactly what a full re-encode would produce") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val a = emb(0 until 8, 0).toDF("vec_id", "embedding")
+    val b = emb(8 until 16, 2).toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(a unionByName b, nCells = 2, m = 4, bits = 2)
+    Similarity.writeAnnIndex(dir, model, Similarity.encodePq(a, model))
+    Similarity.addVectors(spark, dir, b)
+
+    val (m2, codes2) = Similarity.readAnnIndex(spark, dir)
+    val full = Similarity.encodePq(a unionByName b, m2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Array[Byte], Double)].collect()
+        .map(r => (r._1, r._2, r._3.toSeq, r._4)).toSet
+    assert(rows(codes2.select("cell", "nid", "codes", "nn")) == rows(full))
+
+    // and the maintained index actually finds the appended vectors
+    val res = Similarity.ivfPqSearch(b.limit(3), codes2, m2, k = 1, nProbe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.nonEmpty && res.forall(r => r._3 >= 8L),
+      s"appended-cluster queries must hit appended neighbors: ${res.toSeq}")
+  }
+
+  test("probed-cell predicate prunes partitions of the persisted code table") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val model = Similarity.trainPq(corpus, nCells = 2, m = 4, bits = 2)
+    Similarity.writeAnnIndex(dir, model, Similarity.encodePq(corpus, model))
+    val (m2, codes2) = Similarity.readAnnIndex(spark, dir)
+    val plan = Similarity.ivfPqSearch(corpus.limit(2), codes2, m2, k = 1, nProbe = 1)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val filters = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(filters.exists(f => f.contains("cell") && f.nonEmpty),
+      s"expected a non-empty cell partition filter, got $filters in:\n$plan")
+  }
+}

@@ -142,6 +142,24 @@ class RowsOnlySpec extends SparkSpec {
       (6 until 12).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 1f, 0f)))
   }
 
+  test("diversity sample: perCell per cell, deterministic, subset of the corpus") {
+    import spark.implicits._
+    val emb = clusteredEmb.toDF("vec_id", "embedding")
+    val assigned = Similarity.assignCells(emb, 2, 42L)
+    val cellSizes = assigned.groupBy("cell").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val s1 = Similarity.diversitySample(emb, 2, preAssigned = Some(assigned))
+      .select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    // exactly min(perCell, cellSize) picked per cell
+    val perCell = s1.groupBy(_._2).view.mapValues(_.size).toMap
+    cellSizes.foreach { case (c, n) => assert(perCell(c) == math.min(2L, n)) }
+    // subset of the corpus, and reproducible under a different partitioning
+    assert(s1.map(_._1).subsetOf(clusteredEmb.map(_._1).toSet))
+    val s2 = Similarity.diversitySample(emb.repartition(5), 2, preAssigned = None,
+      nCells = 2, seed = 42L).select("vec_id", "cell").as[(Long, Int)].collect().toSet
+    assert(s1.map(_._1) == s2.map(_._1))
+  }
+
   test("approx distinct stays within HLL error of the exact count") {
     val ev = spark.read.parquet(s"${sf()}/events.parquet")
     val approx = ev.groupBy("event_type")
