@@ -30,4 +30,38 @@ object Sampling {
     }
     df.where(hexBucket(key) < rateCol)
   }
+
+  /** Temperature-flattened mixing sample (the multilingual/source
+    * balancing rule LLM pipelines use, e.g. α = 0.3 in mBERT/XLM-R
+    * sampling): stratum s gets a quota ∝ n_s^α of `targetN` rows —
+    * α = 1 reproduces the natural distribution, α = 0 gives uniform
+    * per-stratum quotas, in between flattens skew so head strata stop
+    * drowning the tail. Rows inside a stratum are taken in md5(id)
+    * order, so the sample is deterministic and engine-reproducible
+    * (the same discipline as [[stratifiedHashSample]] / `corpus_mix`).
+    * The share is rounded to 9 decimals before the quota floor so the
+    * Spark and oracle float sums cannot disagree on a boundary.
+    *
+    * Plan: one tiny stratum-count aggregate broadcast back, one
+    * rank-window per stratum — the same single exchange `corpus_mix`
+    * pays. Output: input columns + rk (1-based pick order).
+    */
+  def temperatureMix(df: DataFrame, stratum: String, targetN: Long, alpha: Double,
+                     id: String = "doc_id"): DataFrame = {
+    require(targetN > 0 && alpha >= 0.0 && alpha <= 1.0,
+      s"need targetN > 0 and alpha in [0,1], got $targetN, $alpha")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).cast("double").as("__n"))
+    val z = counts.agg(sum(pow(col("__n"), alpha)).as("__z"))
+    val quotas = counts.crossJoin(broadcast(z))
+      .select(col(stratum),
+        least(col("__n"),
+          floor(lit(targetN.toDouble) * round(pow(col("__n"), alpha) / col("__z"), 9)))
+          .cast("long").as("__quota"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratum))
+      .orderBy(md5(col(id).cast("string")), col(id))
+    df.join(broadcast(quotas), stratum)
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("__quota"))
+      .drop("__quota")
+  }
 }

@@ -319,6 +319,19 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)),
 
+    // temperature-flattened language mixing (α=0.3 over the skewed
+    // lang distribution — en is 44% of the corpus, ~26% of the sample)
+    "corpus_mix_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMix(t(s, dir, "documents"), "lang", 300L, 0.3)
+        .select("doc_id", "lang", "rk")
+        .orderBy("lang", "rk")),
+
+    // weak-label quality classifier scoring the whole corpus
+    "quality_classifier" -> ((s, dir) =>
+      graft.ml.QualityClassifier.weakLabelScore(
+        t(s, dir, "documents"), col("lang") === "en", numFeatures = 1 << 15)
+        .orderBy("doc_id")),
+
     // cluster-balanced sample off the shared coarse-quantizer cells
     "diversity_sample" -> ((s, dir) =>
       Similarity.diversitySample(t(s, dir, "embeddings"), 20,
@@ -668,6 +681,15 @@ object PipelineQueries {
     "heavy_tokens" ->
       """WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
         |SELECT word, count(*) AS cnt FROM w WHERE length(word) > 0
-        |GROUP BY word HAVING count(*) >= 100 ORDER BY word""".stripMargin
+        |GROUP BY word HAVING count(*) >= 100 ORDER BY word""".stripMargin,
+
+    "corpus_mix_temperature" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS n FROM documents GROUP BY 1),
+        |z AS (SELECT sum(pow(n, 0.3)) AS z FROM c),
+        |q AS (SELECT lang, CAST(least(n, floor(300 * round(pow(n, 0.3) / z, 9))) AS BIGINT) AS quota FROM c, z),
+        |r AS (SELECT doc_id, d.lang AS lang, quota, row_number() OVER (
+        |        PARTITION BY d.lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        |      FROM documents d JOIN q USING (lang))
+        |SELECT doc_id, lang, rk FROM r WHERE rk <= quota ORDER BY lang, rk""".stripMargin
   )
 }

@@ -65,9 +65,35 @@ object LakeReader {
       case "parquet" => s.read.parquet(path)
       case "orc"     => s.read.orc(path)
       case "arff"    => readArff(s, path)
+      case "avro"    => readAvro(s, path)
+      case "xml"     => readXml(s, path)
       case "txt" | "dat" => readCsv(s, path, sniffDelimiter(path))
       case other     => throw new IllegalArgumentException(s"Invalid file format: $other")
     }
+
+  /** Avro container files. Spark 4 ships the Avro format inside
+    * spark-sql but does not service-register the "avro" short name
+    * (it stays an "external module" by policy), so the reader is
+    * addressed by class — same distributed scan, projection pushdown
+    * via ReadSchema.
+    */
+  def readAvro(s: SparkSession, path: String): DataFrame =
+    s.read.format("org.apache.spark.sql.avro.AvroFileFormat").load(path)
+
+  /** XML via the built-in (Spark 4) xml source; `rowTag` defaults to
+    * `row` to mirror the csv header convention.
+    */
+  def readXml(s: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    s.read.option("rowTag", rowTag).xml(path)
+
+  /** A folder of raw media files as a binary-column DataFrame
+    * (path, modificationTime, length, content) — the ingestion edge of
+    * the multimodal pipeline: feed `content` straight into
+    * `Multimodal.decodeImages/decodeAudio`. Distributed file listing
+    * and reads; `pathGlobFilter` narrows by extension.
+    */
+  def readBinaryFolder(s: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(dir)
 
   /** Delimiter sniffing for extension-less delimited files (reference
     * extract_delimiter_from_line, maco/data_handler.py:581 — Python's

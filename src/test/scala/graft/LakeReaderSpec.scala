@@ -59,6 +59,48 @@ class LakeReaderSpec extends SparkSpec {
     assert(rows.toSeq == Seq(("widget", "3"), ("bolt", "5")))
   }
 
+  test("avro round-trip through the class-addressed built-in reader") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("avro").toString + "/t.avro"
+    val df = Seq((1L, "alpha", 1.5), (2L, "beta", -2.0)).toDF("id", "name", "x")
+    df.write.format("org.apache.spark.sql.avro.AvroFileFormat").save(dir)
+    val back = LakeReader.read(s, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "name", "x"))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+  }
+
+  test("xml rows read through the built-in xml source") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("xml")
+    val f = dir.resolve("t.xml")
+    java.nio.file.Files.writeString(f,
+      """<rows><row><id>1</id><name>alpha</name></row>
+        |<row><id>2</id><name>beta</name></row></rows>""".stripMargin)
+    val back = LakeReader.read(s, f.toString)
+    assert(back.count() == 2)
+    assert(back.select("id", "name").orderBy("id").collect().map(_.toSeq).toSeq ==
+      Seq(Seq(1L, "alpha"), Seq(2L, "beta")))
+  }
+
+  test("binary folder ingestion feeds the image decoder") {
+    val s = spark
+    val dir = java.nio.file.Files.createTempDirectory("bin")
+    // one real 2x1 PNG + one non-image file the glob excludes
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x0000ff)
+    javax.imageio.ImageIO.write(img, "png", dir.resolve("a.png").toFile)
+    java.nio.file.Files.writeString(dir.resolve("skip.txt"), "not an image")
+    val bin = LakeReader.readBinaryFolder(s, dir.toString, "*.png")
+      .withColumn("doc_id", org.apache.spark.sql.functions.lit(7L))
+    assert(bin.count() == 1)
+    val feats = graft.multimodal.Multimodal.decodeImages(s, bin, id = "doc_id", blobCol = "content")
+      .collect()
+    assert(feats.length == 1 && feats.head.decode_ok &&
+      feats.head.width == 2 && feats.head.height == 1)
+  }
+
   test("cluster propagation finds connected components") {
     val s = spark
     import s.implicits._

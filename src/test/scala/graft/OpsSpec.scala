@@ -271,6 +271,25 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0, 0L, false)))
   }
 
+  test("temperature mix: α interpolates natural→uniform shares, deterministic picks") {
+    import spark.implicits._
+    val df = ((0 until 80).map(i => (i.toLong, "big")) ++
+      (80 until 100).map(i => (i.toLong, "small"))).toDF("doc_id", "src")
+    def shares(alpha: Double) =
+      graft.ops.Sampling.temperatureMix(df, "src", 40L, alpha, "doc_id")
+        .groupBy("src").count().as[(String, Long)].collect().toMap
+    // α=1 keeps the natural 80/20 split; α=0 is uniform; α=0.5 between
+    assert(shares(1.0) == Map("big" -> 32L, "small" -> 8L))
+    assert(shares(0.0) == Map("big" -> 20L, "small" -> 20L))
+    assert(shares(0.5) == Map("big" -> 26L, "small" -> 13L))
+    // picks are md5-deterministic: same ids under any partitioning
+    val ids1 = graft.ops.Sampling.temperatureMix(df, "src", 40L, 0.5, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    val ids2 = graft.ops.Sampling.temperatureMix(df.repartition(9), "src", 40L, 0.5, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids1 == ids2)
+  }
+
   test("heavy hitters: sketch-pruned result equals the exact groupBy") {
     import spark.implicits._
     // skewed head + a long unit tail the sketch must prune

@@ -142,6 +142,28 @@ class RowsOnlySpec extends SparkSpec {
       (6 until 12).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 1f, 0f)))
   }
 
+  test("quality classifier separates vocabularies and generalizes past a noisy weak label") {
+    import spark.implicits._
+    // class A speaks words a0..a9, class B speaks b0..b9
+    def doc(seedWord: String, i: Int) =
+      (0 until 12).map(j => s"$seedWord${(i * 7 + j) % 10}").mkString(" ")
+    val docs = ((0 until 30).map(i => (i.toLong, doc("a", i), 1)) ++
+      (30 until 60).map(i => (i.toLong, doc("b", i), 0)))
+      .toDF("doc_id", "text", "truth")
+    // weak label flips 3 of the A docs — the hashed-BoW model must
+    // still score them as A (their vocabulary is pure class A)
+    val weak = (col("truth") === 1) && !col("doc_id").isin(0L, 1L, 2L)
+    val scored = graft.ml.QualityClassifier
+      .weakLabelScore(docs, weak, numFeatures = 1 << 12)
+      .join(docs.select("doc_id", "truth"), "doc_id")
+      .select(col("doc_id"), col("keep"), (col("truth") === 1).as("t"))
+      .as[(Long, Boolean, Boolean)].collect()
+    val acc = scored.count(r => r._2 == r._3).toDouble / scored.length
+    assert(acc >= 0.95, s"accuracy $acc")
+    // the three mislabeled docs are pulled back across the boundary
+    scored.filter(_._1 < 3L).foreach(r => assert(r._2, s"doc ${r._1} not corrected"))
+  }
+
   test("diversity sample: perCell per cell, deterministic, subset of the corpus") {
     import spark.implicits._
     val emb = clusteredEmb.toDF("vec_id", "embedding")
