@@ -51,11 +51,17 @@ object Sampling {
     require(targetN > 0 && alpha >= 0.0 && alpha <= 1.0,
       s"need targetN > 0 and alpha in [0,1], got $targetN, $alpha")
     val counts = df.groupBy(col(stratum)).agg(count(lit(1)).cast("double").as("__n"))
-    val z = counts.agg(sum(pow(col("__n"), alpha)).as("__z"))
-    val quotas = counts.crossJoin(broadcast(z))
+    // z via an unpartitioned window OVER THE COUNT TABLE (stratum-sized,
+    // tiny) — not a second aggregation subtree, which would re-scan the
+    // corpus: this keeps the whole quota computation at one corpus scan
+    val zw = org.apache.spark.sql.expressions.Window.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val quotas = counts
       .select(col(stratum),
         least(col("__n"),
-          floor(lit(targetN.toDouble) * round(pow(col("__n"), alpha) / col("__z"), 9)))
+          floor(lit(targetN.toDouble) *
+            round(pow(col("__n"), alpha) / sum(pow(col("__n"), alpha)).over(zw), 9)))
           .cast("long").as("__quota"))
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(stratum))
       .orderBy(md5(col(id).cast("string")), col(id))

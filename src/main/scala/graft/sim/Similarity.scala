@@ -525,7 +525,11 @@ object Similarity {
   def writeAnnIndex(path: String, model: PqModel, codes: DataFrame): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
-    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    // the code table nests one batch directory level above the cell
+    // partitioning: every maintenance write ([[addVectors]], streaming
+    // appends) owns its own `batch=<label>` directory, so a retried
+    // write REPLACES its own output instead of duplicating rows
+    codes.write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes/batch=base")
     Seq((model.nCells, model.m, model.bits, model.dim,
       model.centroids.map(_.toSeq).toSeq, model.codebooks.map(_.map(_.toSeq).toSeq).toSeq))
       .toDF("nCells", "m", "bits", "dim", "centroids", "codebooks")
@@ -544,23 +548,30 @@ object Similarity {
         .map(_.toArray).toArray,
       r.getAs[scala.collection.Seq[scala.collection.Seq[scala.collection.Seq[Double]]]]("codebooks")
         .map(_.map(_.toArray).toArray).toArray)
+    // batch is a discovered partition column one level above cell —
+    // dropped here; the probed-cell predicate still prunes on cell
+    // across every batch directory
     val codes = spark.read.parquet(s"$path/codes")
       .select(col("cell").cast("int").as("cell"), col("nid"), col("codes"), col("nn"))
     (model, codes)
   }
 
   /** Incremental maintenance: encode a new vector batch with the
-    * PERSISTED model and append it co-partitioned — no rewrite of the
-    * existing code table, the `addTables` discipline for the ANN index.
-    * Encoding is deterministic given the model, so the appended index
-    * is row-identical to a full re-encode of the union (spec-pinned).
-    * Single-writer by design, like the lake index.
+    * PERSISTED model and append it as its own cell-partitioned
+    * `batch=<label>` directory — no rewrite of the existing code
+    * table, the `addTables` discipline for the ANN index. Encoding is
+    * deterministic given the model, so the appended index is
+    * row-identical to a full re-encode of the union (spec-pinned).
+    * Re-running with the same label replaces that batch (idempotent);
+    * single-writer by design, like the lake index.
     */
   def addVectors(spark: org.apache.spark.sql.SparkSession, path: String, newVecs: DataFrame,
+                 batchLabel: String = "add0",
                  id: String = "vec_id", vec: String = "embedding"): Unit = {
     val (model, _) = readAnnIndex(spark, path)
     encodePq(newVecs, model, id, vec)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/codes")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes/batch=$batchLabel")
   }
 
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no

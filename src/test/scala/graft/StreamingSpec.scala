@@ -143,6 +143,49 @@ class StreamingSpec extends SparkSpec {
     assert(full.nonEmpty)
   }
 
+  test("streaming ANN maintenance: maintained index equals full re-encode, search finds new vectors") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    def v(i: Int, shift: Int) = {
+      val a = Array.fill(8)(0f); a(shift) = 10f + (i % 5) * 0.1f; a(7 - shift) = 1f
+      (i.toLong, a)
+    }
+    val base = (0 until 8).map(v(_, 0))
+    val b1 = (8 until 12).map(v(_, 2))
+    val b2 = (12 until 16).map(v(_, 2))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_annstream_").toString
+    val model = graft.sim.Similarity.trainPq(
+      (base ++ b1 ++ b2).toDF("vec_id", "embedding"), nCells = 2, m = 4, bits = 2)
+    graft.sim.Similarity.writeAnnIndex(root,
+      model, graft.sim.Similarity.encodePq(base.toDF("vec_id", "embedding"), model))
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = graft.streaming.AnnStream.incrementalAnnIndex(
+      mem.toDF().toDF("vec_id", "embedding"), root, s"$root/ckpt")
+    mem.addData(b1: _*)
+    q.processAllAvailable()
+    mem.addData(b2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val (m2, codes) = graft.sim.Similarity.readAnnIndex(spark, root)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "nid", "codes", "nn").as[(Int, Long, Array[Byte], Double)]
+        .collect().map(r => (r._1, r._2, r._3.toSeq, r._4)).toSet
+    val full = graft.sim.Similarity.encodePq(
+      (base ++ b1 ++ b2).toDF("vec_id", "embedding"), m2)
+    assert(rows(codes) == rows(full))
+
+    // a query in the streamed-in cluster finds streamed-in neighbors
+    val res = graft.sim.Similarity.ivfPqSearch(
+      b2.take(2).toDF("vec_id", "embedding"), codes, m2, k = 1, nProbe = 1)
+      .as[(Long, Int, Long, Double)].collect()
+    assert(res.nonEmpty && res.forall(_._3 >= 8L), res.toSeq.toString)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val s = spark
     import s.implicits._
