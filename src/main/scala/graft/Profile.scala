@@ -216,6 +216,18 @@ object Profile {
     time("diversity_sample")(
       graft.sim.Similarity.diversitySample(emb, 50,
         nCells = 256, maxTrain = 20000, maxIter = 3).count())
+    // persisted ANN index: offline build + search from disk with
+    // probed-cell partition pruning
+    val annDir = java.nio.file.Files.createTempDirectory("annstress").toString
+    val pqModel = time("ann_index_train")(
+      graft.sim.Similarity.trainPq(emb, nCells = 64, m = 8, bits = 4,
+        maxTrain = 20000, maxIter = 5))
+    time("ann_index_persist")(
+      graft.sim.Similarity.writeAnnIndex(annDir, pqModel,
+        graft.sim.Similarity.encodePq(emb, pqModel)))
+    val (annM, annCodes) = graft.sim.Similarity.readAnnIndex(spark, annDir)
+    time("ann_search_persisted_1k")(
+      graft.sim.Similarity.ivfPqSearch(emb.where(col("vec_id") < 1000), annCodes, annM, 3).count())
     emb.unpersist()
     docs.unpersist()
   }

@@ -50,17 +50,25 @@ object PipelineQueries {
   private val cellCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  /** Trained BPE merge table over the documents corpus (64 merges,
-    * vocabulary cap 2^16) — the tokenizer artifact `bpe_merges`
-    * inventories and `bpe_encode` applies; trained once per
-    * (session, dir) like every other shared product.
+  /** Trained BPE artifacts over the documents corpus (64 merges,
+    * vocabulary cap 2^16): the merge table `bpe_merges` inventories,
+    * `bpe_encode` applies, and the id table `bpe_encode_ids` ships —
+    * trained once per (session, dir) like every other shared product.
     */
-  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
-    bpeCache.getOrElseUpdate((s, dir),
-      graft.text.Bpe.train(graft.text.Bpe.wordCounts(t(s, dir, "documents")), 64))
+  private def bpeArtifacts(s: SparkSession, dir: String): (Seq[(String, String)], Map[String, Int]) =
+    bpeCache.getOrElseUpdate((s, dir), {
+      val wc = graft.text.Bpe.wordCounts(t(s, dir, "documents")).cache()
+      val merges = graft.text.Bpe.train(wc, 64)
+      val ids = graft.text.Bpe.vocab(wc, merges)
+      wc.unpersist()
+      (merges, ids)
+    })
 
-  private val bpeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[(String, String)]]
+  private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
+    bpeArtifacts(s, dir)._1
+
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (Seq[(String, String)], Map[String, Int])]
 
   /** Materialize the shared caches (timed as Bench's `cache_build`). */
   def warmCaches(s: SparkSession, dir: String): Unit = {
@@ -319,6 +327,11 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)),
 
+    // content-defined chunking: shift-robust chunk boundaries
+    "cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcChunks(s, t(s, dir, "documents")).toDF()
+        .orderBy("doc_id", "chunk_idx")),
+
     // temperature-flattened language mixing (α=0.3 over the skewed
     // lang distribution — en is 44% of the corpus, ~26% of the sample)
     "corpus_mix_temperature" -> ((s, dir) =>
@@ -359,7 +372,15 @@ object PipelineQueries {
       graft.text.Bpe.encode(s, t(s, dir, "documents"), bpeMerges(s, dir)).toDF()
         .select(col("doc_id"), col("n_words"), col("n_tokens"),
           concat_ws("|", col("tokens")).as("segmented"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ...and as token IDS through the vocab table — what actually ships
+    // to a trainer
+    "bpe_encode_ids" -> ((s, dir) => {
+      val (merges, ids) = bpeArtifacts(s, dir)
+      graft.text.Bpe.encodeIds(s, t(s, dir, "documents"), merges, ids).toDF()
+        .orderBy("doc_id")
+    })
   )
 
   // -------------------------------------------------------------------

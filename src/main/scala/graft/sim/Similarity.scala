@@ -551,9 +551,46 @@ object Similarity {
     // batch is a discovered partition column one level above cell —
     // dropped here; the probed-cell predicate still prunes on cell
     // across every batch directory
-    val codes = spark.read.parquet(s"$path/codes")
+    val raw = spark.read.parquet(s"$path/codes")
       .select(col("cell").cast("int").as("cell"), col("nid"), col("codes"), col("nn"))
+    // logical deletes: anti-join the tombstone sidecar (tiny, broadcast)
+    val tombs = new java.io.File(s"$path/$TombstoneDir")
+    val codes =
+      if (tombs.isDirectory)
+        raw.join(spark.read.parquet(tombs.getPath).select(col("nid")), Seq("nid"), "left_anti")
+          .select("cell", "nid", "codes", "nn")
+      else raw
     (model, codes)
+  }
+
+  private val TombstoneDir = "_tombstones"
+
+  /** Logical delete of vectors from a persisted index: tombstone ids in
+    * an underscore-prefixed sidecar (invisible to the main parquet
+    * scan), anti-joined out by [[readAnnIndex]] — no code files
+    * rewritten; reclaim with [[compactAnnIndex]]. Re-adding a removed
+    * id requires compaction first (the tombstone would hide it) — the
+    * same contract as `LakeIndexer.removeTable`.
+    */
+  def removeVectors(spark: org.apache.spark.sql.SparkSession, path: String,
+                    ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("nid").repartition(1)
+      .write.mode("append").parquet(s"$path/$TombstoneDir")
+  }
+
+  /** Offline rewrite: fold every batch directory into a fresh base,
+    * apply tombstones, drop the sidecar — add/remove stay incremental,
+    * this is the maintenance job that restores the compact layout.
+    */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (model, codes) = readAnnIndex(spark, path)
+    val tmp = path + "__compact"
+    writeAnnIndex(tmp, model, codes)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
   }
 
   /** Incremental maintenance: encode a new vector batch with the

@@ -117,8 +117,27 @@ object Bpe {
     syms
   }
 
+  /** Deterministic token-id table: the alphabet (distinct single
+    * characters of the trained word table, sorted) takes ids 0..A-1,
+    * merged tokens follow in rank order at A+rank. Every token
+    * [[encodeWord]] can emit is covered for in-vocabulary text;
+    * characters unseen at training time have no id (OOV → -1 in
+    * [[encodeIds]], the fallback a byte-level alphabet would remove).
+    */
+  def vocab(wordCounts: DataFrame, merges: Seq[(String, String)],
+            maxWords: Int = 1 << 16): Map[String, Int] = {
+    val alphabet = wordCounts
+      .orderBy(col("cnt").desc, col("word").asc).limit(maxWords)
+      .select(explode(split(col("word"), "")).as("c"))
+      .where(length(col("c")) > 0)
+      .distinct().orderBy("c").collect().map(_.getString(0))
+    val base = alphabet.zipWithIndex.toMap
+    base ++ merges.zipWithIndex.map { case ((l, r), i) => (l + r, base.size + i) }
+  }
+
   case class DocText(doc_id: Long, text: String)
   case class Encoded(doc_id: Long, n_words: Int, n_tokens: Int, tokens: Array[String])
+  case class EncodedIds(doc_id: Long, n_tokens: Int, ids: Array[Int])
 
   /** Encode the corpus with a trained merge table. Merge ranks ride one
     * broadcast; the pass is mapPartitions with a bounded per-partition
@@ -151,6 +170,45 @@ object Bpe {
             i += 1
           }
           Encoded(d.doc_id, ws.length, n, toks.result())
+        }
+      }
+  }
+
+  /** Token-ID encoding — what the training pipeline actually ships:
+    * the same greedy-by-rank segmentation mapped through [[vocab]]
+    * (one broadcast for ranks + ids together), OOV characters as -1.
+    * Same memo, same zero-shuffle shape as [[encode]].
+    */
+  def encodeIds(spark: SparkSession, docs: DataFrame, merges: Seq[(String, String)],
+                vocabIds: Map[String, Int],
+                id: String = "doc_id", text: String = "text",
+                memoSize: Int = 1 << 16): Dataset[EncodedIds] = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast((merges.zipWithIndex.toMap, vocabIds))
+    docs.select(col(id).cast("long").as("doc_id"), lower(col(text)).as("text"))
+      .as[DocText]
+      .mapPartitions { rows =>
+        val (rank, ids) = bc.value
+        val memo = new java.util.LinkedHashMap[String, Array[Int]](1024, 0.75f, true) {
+          override def removeEldestEntry(e: java.util.Map.Entry[String, Array[Int]]) =
+            size() > memoSize
+        }
+        rows.map { d =>
+          val ws = d.text.split(" ", -1).filter(_.nonEmpty)
+          val out = Array.newBuilder[Int]
+          var n = 0
+          var i = 0
+          while (i < ws.length) {
+            var enc = memo.get(ws(i))
+            if (enc == null) {
+              enc = encodeWord(ws(i), rank).map(t => ids.getOrElse(t, -1))
+              memo.put(ws(i), enc)
+            }
+            out ++= enc
+            n += enc.length
+            i += 1
+          }
+          EncodedIds(d.doc_id, n, out.result())
         }
       }
   }

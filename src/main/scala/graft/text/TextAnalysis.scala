@@ -207,4 +207,67 @@ object TextAnalysis {
     }
     docs.select(col(id), roll(TextFunctions.cleanedText(col(text))).as("roll_fp"))
   }
+
+  case class CdcChunk(doc_id: Long, chunk_idx: Int, start_word: Int,
+                      n_words: Int, chunk_hash: Long)
+
+  /** CONTENT-DEFINED chunking (the FastCDC/rsync idea at word
+    * granularity): a chunk boundary falls after word i when the hash
+    * of the last `window` words is ≡ 0 mod `avgSize` — the boundary
+    * depends only on LOCAL content, so inserting or deleting words
+    * early in a document re-aligns within one window and every later
+    * chunk (and its hash) is unchanged. Fixed-stride chunking
+    * ([[chunkWords]]) shifts every subsequent chunk instead, which is
+    * why chunk-hash dedup over CDC chunks catches shifted duplicates
+    * that positional chunking misses. `minSize`/`maxSize` clamp the
+    * geometric size distribution (classic CDC discipline: min skips
+    * the no-cut zone, max forces a cut).
+    *
+    * Per-row loop, zero shuffles; `chunk_hash` is the ×31-FNV fold of
+    * the chunk's words ([[rollingFingerprint]]'s form, so equal word
+    * sequences hash equal). Output: (doc_id, chunk_idx, start_word
+    * [1-based], n_words, chunk_hash).
+    */
+  def cdcChunks(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                window: Int = 3, avgSize: Int = 16, minSize: Int = 4, maxSize: Int = 64,
+                id: String = "doc_id", text: String = "text"): org.apache.spark.sql.Dataset[CdcChunk] = {
+    require(window > 0 && 0 < minSize && minSize <= avgSize && avgSize <= maxSize,
+      s"need 0 < minSize <= avgSize <= maxSize and window > 0, got $window/$minSize/$avgSize/$maxSize")
+    import spark.implicits._
+    docs.select(col(id).cast("long").as("doc_id"), lower(col(text)).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.flatMap { case (did, t) =>
+          val ws = (if (t == null) "" else t).split(" ", -1).filter(_.nonEmpty)
+          val wh = ws.map(SimHash.fnv1a64)
+          val out = scala.collection.mutable.ArrayBuffer.empty[CdcChunk]
+          var start = 0
+          var idx = 0
+          var i = 0
+          while (i < ws.length) {
+            val len = i - start + 1
+            // gram hash of the last `window` words, boundary test past minSize
+            val cut =
+              if (len >= maxSize) true
+              else if (len < minSize || i + 1 < window) false
+              else {
+                var h = -3750763034362895579L
+                var j = i - window + 1
+                while (j <= i) { h = (h ^ wh(j)) * 1099511628211L; j += 1 }
+                java.lang.Long.remainderUnsigned(h, avgSize) == 0L
+              }
+            if (cut || i == ws.length - 1) {
+              var fp = 0L
+              var j = start
+              while (j <= i) { fp = fp * 31L + wh(j); j += 1 }
+              out += CdcChunk(did, idx, start + 1, len, fp)
+              idx += 1
+              start = i + 1
+            }
+            i += 1
+          }
+          out
+        }
+      }
+  }
 }

@@ -69,6 +69,46 @@ class AnnIndexSpec extends SparkSpec {
       s"appended-cluster queries must hit appended neighbors: ${res.toSeq}")
   }
 
+  test("removeVectors hides ids from search; compact folds batches and drops tombstones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val a = emb(0 until 8, 0).toDF("vec_id", "embedding")
+    val b = emb(8 until 16, 2).toDF("vec_id", "embedding")
+    val model = Similarity.trainPq(a unionByName b, nCells = 2, m = 4, bits = 2)
+    Similarity.writeAnnIndex(dir, model, Similarity.encodePq(a, model))
+    Similarity.addVectors(spark, dir, b)
+
+    // vec 8 is the nearest neighbor of vec 9 before removal
+    val (m1, c1) = Similarity.readAnnIndex(spark, dir)
+    val pre = Similarity.ivfPqSearch(b.where(col("vec_id") === 9L), c1, m1, k = 1, nProbe = 1)
+      .as[(Long, Int, Long, Double)].head()
+    assert(pre._3 == 8L, pre.toString)
+
+    Similarity.removeVectors(spark, dir, Seq(8L))
+    val (m2, c2) = Similarity.readAnnIndex(spark, dir)
+    assert(c2.where(col("nid") === 8L).count() == 0)
+    val post = Similarity.ivfPqSearch(b.where(col("vec_id") === 9L), c2, m2, k = 1, nProbe = 1)
+      .as[(Long, Int, Long, Double)].head()
+    assert(post._3 != 8L, post.toString)
+
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Int, Long, Array[Byte], Double)].collect()
+        .map(r => (r._1, r._2, r._3.toSeq, r._4)).toSet
+    // snapshot the logical view BEFORE compaction rewrites the files
+    val preCompact = rows(c2.select("cell", "nid", "codes", "nn"))
+
+    Similarity.compactAnnIndex(spark, dir)
+    assert(!new java.io.File(s"$dir/_tombstones").exists())
+    // batches folded into one base directory
+    val batchDirs = new java.io.File(s"$dir/codes").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSeq
+    assert(batchDirs == Seq("batch=base"), batchDirs.toString)
+    // compacted index ≡ pre-compaction view
+    val (m3, c3) = Similarity.readAnnIndex(spark, dir)
+    assert(rows(c3.select("cell", "nid", "codes", "nn")) == preCompact)
+    assert(m3.centroids.map(_.toSeq).toSeq == m2.centroids.map(_.toSeq).toSeq)
+  }
+
   test("probed-cell predicate prunes partitions of the persisted code table") {
     val dir = java.nio.file.Files.createTempDirectory("annidx").toString
     val model = Similarity.trainPq(corpus, nCells = 2, m = 4, bits = 2)

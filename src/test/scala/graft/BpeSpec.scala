@@ -73,6 +73,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("vocab ids: alphabet first, merges at base+rank; ids round-trip tokens; OOV is -1") {
+    import spark.implicits._
+    val docs = Seq((1L, "the hug of the pug"), (2L, "pun pun bun hugs")).toDF("doc_id", "text")
+    val wc = Bpe.wordCounts(docs)
+    val merges = Bpe.train(wc, 6)
+    val v = Bpe.vocab(wc, merges)
+    // alphabet = sorted distinct chars, contiguous from 0
+    val alpha = "the hug of pug pun bun hugs".replace(" ", "").toSet.map((c: Char) => c.toString)
+    assert(alpha.forall(c => v.contains(c)))
+    assert(alpha.map(v).toSeq.sorted == (0 until alpha.size))
+    merges.zipWithIndex.foreach { case ((l, r), i) => assert(v(l + r) == alpha.size + i) }
+    // ids invert to the token segmentation
+    val inv = v.map(_.swap)
+    val toks = Bpe.encode(spark, docs, merges).collect().map(e => e.doc_id -> e.tokens.toSeq).toMap
+    val ids = Bpe.encodeIds(spark, docs, merges, v).collect()
+    ids.foreach { e =>
+      assert(e.ids.toSeq.map(inv) == toks(e.doc_id))
+      assert(e.n_tokens == e.ids.length)
+    }
+    // OOV character (unseen at training time) → -1
+    val oov = Bpe.encodeIds(spark, Seq((9L, "thé")).toDF("doc_id", "text"), merges, v).head()
+    assert(oov.ids.contains(-1))
+  }
+
   test("encode leaves no mergeable adjacent pair inside a word") {
     import spark.implicits._
     val docs = Seq((1L, "hugging hugs hug")).toDF("doc_id", "text")

@@ -142,6 +142,39 @@ class RowsOnlySpec extends SparkSpec {
       (6 until 12).map(i => (i.toLong, Array(0f, 10f + i * 0.1f, 1f, 0f)))
   }
 
+  test("CDC chunks: exact cover, size bounds, shift-robust hashes, partition-independent") {
+    import spark.implicits._
+    def word(i: Int) = s"w${(i * 2654435761L) % 997}"
+    val body = (0 until 300).map(word)
+    val docs = Seq((1L, body.mkString(" ")),
+      (2L, ((0 until 5).map(i => s"new$i") ++ body).mkString(" "))).toDF("doc_id", "text")
+    val chunks = graft.text.TextAnalysis.cdcChunks(spark, docs).collect()
+    val byDoc = chunks.groupBy(_.doc_id)
+
+    // exact cover: contiguous 1-based starts, lengths sum to the word count
+    for ((did, cs) <- byDoc) {
+      val sorted = cs.sortBy(_.chunk_idx)
+      assert(sorted.head.start_word == 1)
+      sorted.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(p(1).start_word == p(0).start_word + p(0).n_words) }
+      val total = if (did == 1L) 300 else 305
+      assert(sorted.map(_.n_words).sum == total)
+      // size bounds (the final chunk may undershoot minSize)
+      sorted.init.foreach(c => assert(c.n_words >= 4 && c.n_words <= 64, c.toString))
+    }
+
+    // shift robustness: the 5-word prefix perturbs at most the first
+    // few chunks — fixed-stride chunking would shift every hash
+    val h1 = byDoc(1L).map(_.chunk_hash).toSet
+    val h2 = byDoc(2L).map(_.chunk_hash).toSet
+    assert(byDoc(1L).length >= 5, s"want several chunks, got ${byDoc(1L).length}")
+    assert((h1 -- h2).size <= 2, s"${(h1 -- h2).size} of ${h1.size} hashes lost after shift")
+
+    // deterministic under repartitioning
+    val again = graft.text.TextAnalysis.cdcChunks(spark, docs.repartition(5)).collect().toSet
+    assert(again == chunks.toSet)
+  }
+
   test("quality classifier separates vocabularies and generalizes past a noisy weak label") {
     import spark.implicits._
     // class A speaks words a0..a9, class B speaks b0..b9
