@@ -190,6 +190,7 @@ object Profile {
     val bpeMerges = time("bpe_train_64")(
       graft.text.Bpe.train(graft.text.Bpe.wordCounts(docs), 64))
     time("bpe_encode")(graft.text.Bpe.encode(spark, docs, bpeMerges).count())
+    time("cdc_chunks")(graft.text.TextAnalysis.cdcChunks(spark, docs).count())
     // synthetic embeddings riding the same ids: 64-dim signed hash
     // noise (cross-doc cos ≈ 0), with 10% of vectors exact copies of an
     // earlier one — near-dups are SPARSE, as in a real corpus; a
