@@ -232,6 +232,18 @@ object Dedup {
       .select(col(id), coalesce(col(text), lit("")).as(text))
   }
 
+  /** The decontamination CLEANING action: excise every located
+    * eval-set passage ([[duplicateSpansAcross]] output) from the
+    * training doc — the covered side is doc_a/start_a here, unlike
+    * [[removeSpans]] where the later doc (doc_b) is cleaned; the eval
+    * set itself is never modified. Same plan as removeSpans: explode ∝
+    * contaminated words only, one anti-join, ordered reassembly.
+    */
+  def removeContamination(corpus: DataFrame, spans: DataFrame,
+                          id: String = "doc_id", text: String = "text"): DataFrame =
+    removeSpans(corpus, spans.select(col("doc_a").as("doc_b"),
+      col("start_a").as("start_b"), col("span_words")), id, text)
+
   /** Exact dedup on md5 of the raw text: (doc_id, h, keep) — keep marks
     * the group's minimum doc_id (the canonical survivor).
     */
@@ -304,6 +316,43 @@ object Dedup {
                    maxDocFreq: Int = 65536): DataFrame =
     ngramJaccardPairs(docs, id, text, n, maxDocFreq).where(col("jac") >= tau)
       .select("id_1", "id_2", "jac")
+
+  /** Shifted-duplicate detection over CONTENT-DEFINED chunks: pairs of
+    * documents sharing ≥ `tau` of their CDC chunk hashes
+    * ([[graft.text.TextAnalysis.cdcChunks]] — boundaries depend only on
+    * local content, so a near-copy with an inserted prefix/patch keeps
+    * almost all chunk hashes, where fixed-stride chunks would all
+    * shift). Containment scoring (common / min(chunks)) so a doc
+    * embedded in a larger one still scores high — the rsync/backup-dedup
+    * use case. Same bucket-join shape as every other candidate
+    * generator: inverted index on chunk_hash, distinct pairs per
+    * bucket, df cap via [[frequentShingleFilter]]. Output:
+    * (id_1, id_2, common, sz_1, sz_2, containment), id_1 < id_2.
+    */
+  def cdcNearDup(docs: DataFrame, tau: Double,
+                 window: Int = 3, avgSize: Int = 16, minSize: Int = 4, maxSize: Int = 64,
+                 maxChunkDf: Long = 65536,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    // SET semantics: a chunk content repeated within one doc counts
+    // once, so `common` can never exceed either side's size
+    val inv = graft.text.TextAnalysis
+      .cdcChunks(spark, docs, window, avgSize, minSize, maxSize, id, text)
+      .toDF().select(col("doc_id").as("did"), col("chunk_hash").as("g"))
+      .distinct()
+    val sizes = inv.groupBy("did").agg(count(lit(1)).as("sz"))
+    val guarded = frequentShingleFilter(inv, maxChunkDf)
+    val pairs = guarded.select(col("did").as("id_1"), col("g"))
+      .join(guarded.select(col("did").as("id_2"), col("g")), "g")
+      .where(col("id_1") < col("id_2"))
+      .groupBy("id_1", "id_2").agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.select(col("did").as("id_1"), col("sz").as("sz_1")), "id_1")
+      .join(sizes.select(col("did").as("id_2"), col("sz").as("sz_2")), "id_2")
+      .withColumn("containment", col("common") / least(col("sz_1"), col("sz_2")))
+      .where(col("containment") >= tau)
+      .select("id_1", "id_2", "common", "sz_1", "sz_2", "containment")
+  }
 
   /** Skew guard for corpus-scale candidate generation: drop shingles
     * occurring in more than `maxDocFreq` documents before the

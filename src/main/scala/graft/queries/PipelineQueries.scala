@@ -50,6 +50,22 @@ object PipelineQueries {
   private val cellCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** Eval-set contamination spans (gram 5, minWords 8, doc_id%50 split),
+    * shared by `contamination_spans` (the location report) and
+    * `contamination_clean` (the excision) — the cross-corpus positional
+    * gram join is the expensive pass.
+    */
+  private def contamSpans(s: SparkSession, dir: String): DataFrame =
+    contamCache.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      Dedup.duplicateSpansAcross(
+        docs.where(col("doc_id") % 50 =!= 0),
+        docs.where(col("doc_id") % 50 === 0), 5, 8).cache()
+    })
+
+  private val contamCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Trained BPE artifacts over the documents corpus (64 merges,
     * vocabulary cap 2^16): the merge table `bpe_merges` inventories,
     * `bpe_encode` applies, and the id table `bpe_encode_ids` ships —
@@ -79,6 +95,7 @@ object PipelineQueries {
       Future(jacPairs(s, dir).count()),
       Future(docSpans(s, dir).count()),
       Future(embCells(s, dir).count()),
+      Future(contamSpans(s, dir).count()),
       Future(bpeMerges(s, dir)))), Duration.Inf)
   }
 
@@ -277,13 +294,15 @@ object PipelineQueries {
 
     // Span-level decontamination: exact positions of eval-set passages
     // inside the training corpus (same split as contamination_check).
-    "contamination_spans" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      Dedup.duplicateSpansAcross(
-        docs.where(col("doc_id") % 50 =!= 0),
-        docs.where(col("doc_id") % 50 === 0), 5, 8)
-        .orderBy("doc_a", "doc_b", "start_a", "start_b")
-    }),
+    "contamination_spans" -> ((s, dir) =>
+      contamSpans(s, dir).orderBy("doc_a", "doc_b", "start_a", "start_b")),
+
+    // ...and the cleaning action: the corpus with those passages excised
+    "contamination_clean" -> ((s, dir) =>
+      Dedup.removeContamination(
+        t(s, dir, "documents").where(col("doc_id") % 50 =!= 0),
+        contamSpans(s, dir))
+        .orderBy("doc_id")),
 
     "text_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionRatio(t(s, dir, "documents")).orderBy("doc_id")),
@@ -331,6 +350,13 @@ object PipelineQueries {
     "cdc_chunks" -> ((s, dir) =>
       TextAnalysis.cdcChunks(s, t(s, dir, "documents")).toDF()
         .orderBy("doc_id", "chunk_idx")),
+
+    // ...and the shifted-duplicate pairs those chunks exist to catch
+    "cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcNearDup(t(s, dir, "documents"), 0.5)
+        .select(col("id_1"), col("id_2"), col("common"), col("sz_1"), col("sz_2"),
+          dec6(col("containment")).as("containment"))
+        .orderBy("id_1", "id_2")),
 
     // temperature-flattened language mixing (α=0.3 over the skewed
     // lang distribution — en is 44% of the corpus, ~26% of the sample)
@@ -616,6 +642,26 @@ object PipelineQueries {
          |$runMergeCtes
          |SELECT doc_a, doc_b, start_a, start_b, span_words FROM spans
          |ORDER BY doc_a, doc_b, start_a, start_b""".stripMargin,
+
+    "contamination_clean" ->
+      s"""WITH $gramCtes,
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS p1, b.pos AS p2
+         |      FROM g a JOIN g b ON a.gram = b.gram
+         |      WHERE a.doc_id % 50 <> 0 AND b.doc_id % 50 = 0),
+         |$runMergeCtes,
+         |cov AS (SELECT DISTINCT doc_a AS did,
+         |          CAST(unnest(range(start_a, start_a + span_words)) AS BIGINT) AS pos FROM spans),
+         |wp AS (SELECT doc_id AS did, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos, ws
+         |       FROM w WHERE doc_id % 50 <> 0),
+         |wp2 AS (SELECT did, pos, ws[pos] AS word FROM wp),
+         |kept AS (SELECT wp2.did, wp2.pos, wp2.word FROM wp2
+         |         LEFT JOIN cov ON cov.did = wp2.did AND cov.pos = wp2.pos
+         |         WHERE cov.did IS NULL),
+         |reasm AS (SELECT did, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY did)
+         |SELECT d.doc_id, coalesce(reasm.text, '') AS text
+         |FROM documents d LEFT JOIN reasm ON reasm.did = d.doc_id
+         |WHERE d.doc_id % 50 <> 0
+         |ORDER BY doc_id""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),

@@ -70,4 +70,21 @@ class PropertySpec extends AnyFunSuite {
       assert(big == Xash.xashBig(cleaned), s"token=$cleaned")
     }
   }
+
+  test("BPE greedy encode is lossless and fully merged under ANY merge table") {
+    // losslessness is structural (a merge replaces (l, r) with l+r), so
+    // it must hold for arbitrary — even incoherent — merge tables; the
+    // fixpoint law says no adjacent output pair is still mergeable
+    val alpha = "ab"
+    def tok() = Array.fill(1 + rnd.nextInt(3))(alpha(rnd.nextInt(2))).mkString
+    for (_ <- 1 to 300) {
+      val w = Array.fill(rnd.nextInt(20))(alpha(rnd.nextInt(2))).mkString
+      val rank = List.fill(rnd.nextInt(8))((tok(), tok())).distinct.zipWithIndex.toMap
+      val toks = graft.text.Bpe.encodeWord(w, rank)
+      assert(toks.mkString("") == w, s"w=$w rank=$rank -> ${toks.toSeq}")
+      toks.sliding(2).filter(_.length == 2).foreach { p =>
+        assert(!rank.contains((p(0), p(1))), s"w=$w rank=$rank -> ${toks.toSeq}")
+      }
+    }
+  }
 }

@@ -175,6 +175,38 @@ class RowsOnlySpec extends SparkSpec {
     assert(again == chunks.toSet)
   }
 
+  test("removeContamination excises the eval passage from the corpus doc only") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d e f g h i j"), (2L, "x y z")).toDF("doc_id", "text")
+    val eval = Seq((100L, "c d e f g h i j")).toDF("doc_id", "text")
+    val spans = graft.dedup.Dedup.duplicateSpansAcross(corpus, eval, 5, 8)
+    val s0 = spans.select("doc_a", "start_a", "span_words")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s0 == Seq((1L, 3L, 8L)), s0.toString)
+    val cleaned = graft.dedup.Dedup.removeContamination(corpus, spans)
+      .as[(Long, String)].collect().toMap
+    assert(cleaned == Map(1L -> "a b", 2L -> "x y z"))
+  }
+
+  test("CDC dedup catches a shifted near-copy that exact dedup misses") {
+    import spark.implicits._
+    def word(i: Int) = s"w${(i * 2654435761L) % 997}"
+    val body = (0 until 300).map(word).mkString(" ")
+    val docs = Seq(
+      (1L, body),                                          // original
+      (2L, "inserted prefix here " + body),                // shifted copy
+      (3L, (500 until 800).map(word).mkString(" "))        // unrelated
+    ).toDF("doc_id", "text")
+    // exact dedup sees three distinct hashes
+    assert(graft.dedup.Dedup.exact(docs).where(!col("keep")).count() == 0)
+    val pairs = graft.dedup.Dedup.cdcNearDup(docs, 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), pairs.toString)
+    // containment bounded by construction (set semantics)
+    val full = graft.dedup.Dedup.cdcNearDup(docs, 0.0)
+    assert(full.where(col("containment") > 1.0).count() == 0)
+  }
+
   test("quality classifier separates vocabularies and generalizes past a noisy weak label") {
     import spark.implicits._
     // class A speaks words a0..a9, class B speaks b0..b9
