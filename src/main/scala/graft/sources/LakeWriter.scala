@@ -127,6 +127,24 @@ object LakeWriter {
     java.nio.file.Files.write(commit.toPath, actions.mkString("\n").getBytes("UTF-8"))
   }
 
+  /** Bucketed table layout — the CO-LOCATED JOIN mechanism: both sides
+    * hash-bucketed by the join key into the same bucket count join
+    * with NO exchange at all (each task reads matching bucket files
+    * from both tables), where plain parquet pays two full shuffles.
+    * At 100 TB this is the difference between a join that moves the
+    * lake over the network and one that doesn't; the price is paid
+    * once at write time. Bucketing rides the session catalog
+    * (`saveAsTable` — bucket metadata lives in the metastore;
+    * `spark.sql.warehouse.dir` controls the physical location).
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String, numBuckets: Int,
+                    mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Training-data export: a deterministic, seed-reproducible global
     * shuffle into `numShards` equal-ish shards (`shard=N` directories,
     * one file each). Order within a shard is the seeded doc-id hash —

@@ -271,6 +271,34 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((3L, 0, 0L, false)))
   }
 
+  test("bucketed tables join with zero shuffles and match the plain join") {
+    import spark.implicits._
+    val left = (0 until 200).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (100 until 300).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    graft.sources.LakeWriter.writeBucketed(left, "bk_left", "k", 4)
+    graft.sources.LakeWriter.writeBucketed(right, "bk_right", "k", 4)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // force the shuffle-join path — the claim under test is that
+      // bucketing replaces the per-side hash exchanges, not that a
+      // small table can be broadcast
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bk_left").join(spark.table("bk_right"), "k")
+      val plan = joined.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$plan")
+      val expected = left.join(right, "k").select("k", "lv", "rv")
+        .collect().map(_.toSeq).toSet
+      assert(joined.select("k", "lv", "rv").collect().map(_.toSeq).toSet == expected)
+      assert(expected.size == 100)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS bk_left")
+      spark.sql("DROP TABLE IF EXISTS bk_right")
+    }
+  }
+
   test("temperature mix: α interpolates natural→uniform shares, deterministic picks") {
     import spark.implicits._
     val df = ((0 until 80).map(i => (i.toLong, "big")) ++
