@@ -341,6 +341,12 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_words"), dec6(col("logprob")).as("logprob"))
         .orderBy("doc_id")),
 
+    // ...and the bigram upgrade: transition-level fluency
+    "text_logprob2" -> ((s, dir) =>
+      graft.text.Search.bigramLogProb(t(s, dir, "documents"))
+        .select(col("doc_id"), col("n_bigrams"), dec6(col("logprob")).as("logprob"))
+        .orderBy("doc_id")),
+
     "bm25_search" -> ((s, dir) =>
       graft.text.Search.bm25(t(s, dir, "documents"), Seq("data", "spark", "index"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -718,6 +724,19 @@ object PipelineQueries {
         |SELECT doc_id, count(*) AS n_words,
         |  CAST(round(avg(ln(cnt / total)), 6) AS DECIMAL(10,6)) AS logprob
         |FROM w JOIN c USING (word), t
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_logprob2" ->
+      """WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |bi AS (SELECT doc_id, ws[i] AS prev, ws[i+1] AS w
+        |       FROM wl, unnest(range(1, len(ws))) AS t(i) WHERE len(ws) >= 2),
+        |c2 AS (SELECT prev, w, CAST(count(*) AS DOUBLE) AS c2 FROM bi GROUP BY 1, 2),
+        |c1 AS (SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT word) AS DOUBLE) AS v
+        |      FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents))
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(round(avg(ln((c2 + 1.0) / (c1 + v))), 6) AS DECIMAL(10,6)) AS logprob
+        |FROM bi JOIN c2 USING (prev, w) JOIN c1 USING (prev), v
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "tfidf_topk" ->

@@ -94,4 +94,36 @@ object Search {
       .crossJoin(broadcast(stats))
       .select(col(id), round(score, 6).as("score"))
   }
+
+  /** Bigram-LM quality proxy — the step up from [[unigramLogProb]]:
+    * mean ln P(w_i | w_{i-1}) over a document's transitions with
+    * add-one smoothing, P = (c(prev,w)+1) / (c(prev)+V). Word-salad
+    * scores low even when its unigram distribution looks normal — the
+    * signal unigram scoring structurally cannot see.
+    *
+    * Plan: bigrams come from zipping the word array with its own tail
+    * (pure per-row expressions — no window, no positional self-join);
+    * the bigram count table feeds BOTH c(prev,w) and c(prev) (a
+    * second grouped pass over the counts, not the corpus) and V rides
+    * a 1-row broadcast. Docs with <2 words have no transitions and are
+    * excluded. Output: (doc_id, n_bigrams, logprob).
+    */
+  def bigramLogProb(docs: DataFrame,
+                    id: String = "doc_id", text: String = "text"): DataFrame = {
+    val bi = docs
+      .select(col(id), words(text).as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col(id), explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 1).as("prev"),
+        slice(col("ws"), lit(2), size(col("ws")) - 1).as("w"))).as("b"))
+      .select(col(id), col("b.prev").as("prev"), col("b.w").as("w"))
+    val c2 = bi.groupBy("prev", "w").agg(count(lit(1)).cast("double").as("c2"))
+    val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
+    val v = docs.select(explode(words(text)).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("v"))
+    bi.join(c2, Seq("prev", "w")).join(c1, Seq("prev")).crossJoin(broadcast(v))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log((col("c2") + 1.0) / (col("c1") + col("v")))).as("logprob"))
+  }
 }
