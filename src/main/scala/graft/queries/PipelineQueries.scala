@@ -72,13 +72,8 @@ object PipelineQueries {
     * trained once per (session, dir) like every other shared product.
     */
   private def bpeArtifacts(s: SparkSession, dir: String): (Seq[(String, String)], Map[String, Int]) =
-    bpeCache.getOrElseUpdate((s, dir), {
-      val wc = graft.text.Bpe.wordCounts(t(s, dir, "documents")).cache()
-      val merges = graft.text.Bpe.train(wc, 64)
-      val ids = graft.text.Bpe.vocab(wc, merges)
-      wc.unpersist()
-      (merges, ids)
-    })
+    bpeCache.getOrElseUpdate((s, dir),
+      graft.text.Bpe.trainWithVocab(graft.text.Bpe.wordCounts(t(s, dir, "documents")), 64))
 
   private def bpeMerges(s: SparkSession, dir: String): Seq[(String, String)] =
     bpeArtifacts(s, dir)._1

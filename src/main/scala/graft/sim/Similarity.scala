@@ -435,6 +435,11 @@ object Similarity {
     // Query batch is the bounded side: broadcast its vectors, explode
     // its probed cells, and let the cell equi-join select candidates.
     val qRows = queries.select(col(id).cast("long"), col(vec)).as[(Long, Array[Float])].collect()
+    // duplicate query ids would double candidate rows (the same
+    // neighbor lands at two ranks) and qRows.toMap would silently keep
+    // one vector per id — fail loudly instead
+    require(qRows.map(_._1).distinct.length == qRows.length,
+      "ivfPqSearch: duplicate query ids — de-duplicate the query batch first")
     val bcQ = spark.sparkContext.broadcast(qRows.toMap)
     val probes = qRows.flatMap { case (qid, qv) =>
       val p = qv.map(_.toDouble)
@@ -525,6 +530,14 @@ object Similarity {
   def writeAnnIndex(path: String, model: PqModel, codes: DataFrame): Unit = {
     val spark = codes.sparkSession
     import spark.implicits._
+    // rebuilding in place must clear EVERYTHING the old index owned:
+    // a surviving batch=<label> dir would union codes quantized with
+    // the OLD codebooks into searches decoded through the new model's
+    // LUTs, and stale tombstones would hide re-added ids
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir"), true)
     // the code table nests one batch directory level above the cell
     // partitioning: every maintenance write ([[addVectors]], streaming
     // appends) owns its own `batch=<label>` directory, so a retried
@@ -553,11 +566,15 @@ object Similarity {
     // across every batch directory
     val raw = spark.read.parquet(s"$path/codes")
       .select(col("cell").cast("int").as("cell"), col("nid"), col("codes"), col("nn"))
-    // logical deletes: anti-join the tombstone sidecar (tiny, broadcast)
-    val tombs = new java.io.File(s"$path/$TombstoneDir")
+    // logical deletes: anti-join the tombstone sidecar (tiny,
+    // broadcast). Existence goes through the Hadoop FileSystem of the
+    // index path — java.io.File would silently miss tombstones on any
+    // non-local filesystem and resurface removed vectors
+    val tombPath = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
+    val fs = tombPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val codes =
-      if (tombs.isDirectory)
-        raw.join(spark.read.parquet(tombs.getPath).select(col("nid")), Seq("nid"), "left_anti")
+      if (fs.exists(tombPath))
+        raw.join(spark.read.parquet(tombPath.toString).select(col("nid")), Seq("nid"), "left_anti")
           .select("cell", "nid", "codes", "nn")
       else raw
     (model, codes)
@@ -604,12 +621,18 @@ object Similarity {
     */
   def addVectors(spark: org.apache.spark.sql.SparkSession, path: String, newVecs: DataFrame,
                  batchLabel: String = "add0",
-                 id: String = "vec_id", vec: String = "embedding"): Unit = {
-    val (model, _) = readAnnIndex(spark, path)
+                 id: String = "vec_id", vec: String = "embedding"): Unit =
+    addVectorsWith(readAnnIndex(spark, path)._1, path, newVecs, batchLabel, id, vec)
+
+  /** [[addVectors]] with a preloaded model — the streaming maintenance
+    * path reads the (immutable) model once per query, not per
+    * micro-batch.
+    */
+  def addVectorsWith(model: PqModel, path: String, newVecs: DataFrame, batchLabel: String,
+                     id: String = "vec_id", vec: String = "embedding"): Unit =
     encodePq(newVecs, model, id, vec)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/batch=$batchLabel")
-  }
 
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no
     * partition sort), then rank the ≤k survivors with a window that only

@@ -22,16 +22,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
 object AnnStream {
 
   def incrementalAnnIndex(vecs: DataFrame, indexPath: String, checkpoint: String,
-                          id: String = "vec_id", vec: String = "embedding"): StreamingQuery =
+                          id: String = "vec_id", vec: String = "embedding"): StreamingQuery = {
+    // the model is immutable by contract — read it ONCE per query, not
+    // per micro-batch
+    val model = Similarity.readAnnIndex(vecs.sparkSession, indexPath)._1
+    // batch directories are scoped by the checkpoint identity: batchId
+    // restarts at 0 under a NEW checkpoint, and an unscoped batch=0
+    // would silently overwrite the original batch-0 vectors; with the
+    // scope, same-checkpoint replays stay idempotent and a fresh
+    // checkpoint gets fresh directories
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     vecs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val (model, _) = Similarity.readAnnIndex(s, indexPath)
-        Similarity.encodePq(batch, model, id, vec)
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(s"$indexPath/codes/batch=$batchId")
+        Similarity.addVectorsWith(model, indexPath, batch, s"$scope-$batchId", id, vec)
         ()
       }
       .start()
+  }
 }

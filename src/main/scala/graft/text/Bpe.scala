@@ -41,13 +41,29 @@ object Bpe {
     *
     * Returns merges in rank order (rank 0 = first, highest-count merge).
     */
-  def train(wordCounts: DataFrame, numMerges: Int, maxWords: Int = 1 << 16): Seq[(String, String)] = {
+  def train(wordCounts: DataFrame, numMerges: Int, maxWords: Int = 1 << 16): Seq[(String, String)] =
+    trainWithVocab(wordCounts, numMerges, maxWords)._1
+
+  /** [[train]] + [[vocab]] off ONE bounded collect of the word-count
+    * table — the alphabet is a pure driver-side derivation of the same
+    * `top` array the merge loop consumes, so deriving both together
+    * saves a second distributed sort per tokenizer build.
+    */
+  def trainWithVocab(wordCounts: DataFrame, numMerges: Int,
+                     maxWords: Int = 1 << 16): (Seq[(String, String)], Map[String, Int]) = {
     val top = wordCounts
       .orderBy(col("cnt").desc, col("word").asc)
       .limit(maxWords)
       .collect()
+    val merges = trainLocal(top.map(r => (r.getString(0), r.getLong(1))), numMerges)
+    val alphabet = top.flatMap(_.getString(0).map(_.toString)).distinct.sorted
+    val base = alphabet.zipWithIndex.toMap
+    (merges, base ++ merges.zipWithIndex.map { case ((l, r), i) => (l + r, base.size + i) })
+  }
+
+  private def trainLocal(top: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
     var words: Array[(Array[String], Long)] =
-      top.map(r => (r.getString(0).map(_.toString).toArray, r.getLong(1)))
+      top.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var exhausted = false
@@ -158,7 +174,7 @@ object Bpe {
             size() > memoSize
         }
         rows.map { d =>
-          val ws = d.text.split(" ", -1).filter(_.nonEmpty)
+          val ws = (if (d.text == null) "" else d.text).split(" ", -1).filter(_.nonEmpty)
           val toks = Array.newBuilder[String]
           var n = 0
           var i = 0
@@ -194,7 +210,7 @@ object Bpe {
             size() > memoSize
         }
         rows.map { d =>
-          val ws = d.text.split(" ", -1).filter(_.nonEmpty)
+          val ws = (if (d.text == null) "" else d.text).split(" ", -1).filter(_.nonEmpty)
           val out = Array.newBuilder[Int]
           var n = 0
           var i = 0
