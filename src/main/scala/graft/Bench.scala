@@ -44,14 +44,18 @@ object Bench {
     // Failures must be visible in the JSON, not masquerade as fast runs:
     // catch NonFatal only (OOM etc. crash the bench loudly) and record the
     // failed query names in a "failed" list.
-    var failed = List.empty[String]
+    var failed = Set.empty[String]
+    // a failed pass reports +∞, NOT its fast-fail duration: min-of-2
+    // would otherwise publish a crash time as the operator's
+    // steady-state cost when the other pass succeeded
     def timed(name: String)(f: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
-      try f catch { case NonFatal(e) =>
-        failed ::= name
+      val ok = try { f; true } catch { case NonFatal(e) =>
+        failed += name
         System.err.println(s"[bench] $name failed: $e")
+        false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
     val indexBuild = timed("index_build") {
       graft.index.TestLake.cells(spark, sfDir).count()
@@ -87,13 +91,18 @@ object Bench {
     val pass1 = sorted.map { case (name, fn) => timed(name)(fn(spark, sfDir).count()) }
     val pass2 = sorted.map { case (name, fn) => timed(name)(fn(spark, sfDir).count()) }
     val results = pass1.zip(pass2).map { case ((n, a), (_, b)) => (n, math.min(a, b)) }
-    val all = results :+ indexBuild :+ cacheBuild
+    // a query that failed BOTH passes has min = ∞ — record 0 so the
+    // JSON stays parseable; its name is in `failed`, which is the
+    // authoritative signal (a 0 next to a failed entry cannot be read
+    // as a fast success)
+    val all = (results :+ indexBuild :+ cacheBuild)
+      .map { case (n, v) => (n, if (v.isInfinity) 0.0 else v) }
     // full-precision per-query detail → stderr (dev feedback loop)
     System.err.println(all.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
     // stdout: ONE compact line, 3-decimal values, with metric/value LAST
     // so a tail-truncated capture still carries the headline total
     val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).sum
     println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
     spark.stop()

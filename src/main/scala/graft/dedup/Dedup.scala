@@ -226,10 +226,14 @@ object Dedup {
       .agg(array_join(array_sort(collect_list(struct(col("pos"), col("w"))))
         .getField("w"), " ").as(text))
     // fully-covered docs (entire-doc duplicates) must surface as empty
-    // text, not vanish — join every doc back on
-    docs.select(col(id).cast("long").as(id))
+    // text, not vanish — join every doc back on. A NULL-text doc has no
+    // word rows either, but it was never excised: it passes through as
+    // NULL, not as a false "fully deduplicated" empty string
+    docs.select(col(id).cast("long").as(id), col(text).as("__orig"))
       .join(cleaned.select(col("did").as(id), col(text)), Seq(id), "left")
-      .select(col(id), coalesce(col(text), lit("")).as(text))
+      .select(col(id),
+        when(col("__orig").isNull, lit(null)).otherwise(coalesce(col(text), lit("")))
+          .as(text))
   }
 
   /** The decontamination CLEANING action: excise every located
@@ -508,6 +512,15 @@ object Dedup {
         graft.functions.MinHashSig.sigOfArrayCol(col("sh"), numHashes).as("sig"),
         col("sh"))
 
+  /** Band keys of a signature frame — the persistable LSH bucket index
+    * (did, band, bkey). Write it next to the signature index and hand
+    * it to [[minhashLshIncremental]]: a per-batch probe then reads the
+    * compact key table instead of re-hashing every corpus signature
+    * into bands on every arrival.
+    */
+  def minhashBandKeys(sigs: DataFrame, numHashes: Int = 32, bands: Int = 8): DataFrame =
+    bandKeysOf(sigs, numHashes, bands)
+
   /** Band keys of a signature frame: (did, band, bkey). */
   private def bandKeysOf(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0,
@@ -536,23 +549,31 @@ object Dedup {
 
   /** Incremental near-dup: match a NEW batch against an existing
     * signature index ([[minhashSignatures]]) plus itself, WITHOUT
-    * touching existing×existing pairs. Only the new batch is shingled;
-    * only its band keys probe the bucket join — against a persisted
-    * index laid out by (band, bkey) this is an index probe whose cost
-    * scales with the batch, not the corpus. Emits (id_1, id_2, jac)
-    * where at least one side is new; ids must be distinct across the
-    * union of both frames.
+    * touching existing×existing pairs. Only the new batch is shingled,
+    * and the batch-sized probe keys are BROADCAST into the bucket
+    * join, so the corpus side streams through in place — no
+    * corpus-sized shuffle per arrival. Pass `existingKeys` (the
+    * persisted [[minhashBandKeys]] table) so the corpus's band hashes
+    * are read, not recomputed from every signature on every batch;
+    * without it they are derived from `existingSigs` (one corpus-wide
+    * projection — correct, but the per-batch cost is then linear in
+    * the corpus twice instead of once). Emits (id_1, id_2, jac) where
+    * at least one side is new; ids must be distinct across the union
+    * of both frames.
     */
   def minhashLshIncremental(newDocs: DataFrame, existingSigs: DataFrame,
                             tau: Double, id: String = "doc_id",
                             text: String = "text", n: Int = 3,
-                            numHashes: Int = 32, bands: Int = 8): DataFrame = {
+                            numHashes: Int = 32, bands: Int = 8,
+                            existingKeys: Option[DataFrame] = None): DataFrame = {
     val newSigs = minhashSignatures(newDocs, id, text, n, numHashes)
     val allSigs = existingSigs.select("did", "sig", "sh")
       .unionByName(newSigs.select("did", "sig", "sh"))
     val probe = bandKeysOf(newSigs, numHashes, bands)
-    val index = bandKeysOf(allSigs, numHashes, bands)
-    val cand = probe.as("x").join(index.as("y"), Seq("band", "bkey"))
+    val index = existingKeys.getOrElse(bandKeysOf(existingSigs, numHashes, bands))
+      .select("did", "band", "bkey")
+      .unionByName(probe)
+    val cand = index.as("y").join(broadcast(probe.as("x")), Seq("band", "bkey"))
       .where(col("x.did") =!= col("y.did"))
       .select(least(col("x.did"), col("y.did")).as("id_1"),
         greatest(col("x.did"), col("y.did")).as("id_2"))

@@ -106,10 +106,19 @@ object Mate {
                                queryCols: Seq[String], cells: DataFrame): DataFrame = {
     var cur = cand
     if (queryCols.length > 1) {
-      // cached: consumed once per extra query column PLUS the eager
-      // bloom build below — uncached, each consumer re-runs the
-      // token-match candidate join
-      val candKeys = cand.select("tableid", "rowid", "MateRowID").distinct().cache()
+      // materialized ONCE via eager localCheckpoint — consumed once per
+      // extra query column PLUS the eager bloom build below; uncached,
+      // each consumer would re-run the token-match candidate join.
+      // localCheckpoint over cache() because this frame is internal to
+      // one search call: its blocks are freed by the ContextCleaner as
+      // soon as the plan is unreachable, where a cache() with no
+      // unpersist hook (consumers execute lazily, after this method
+      // returns) would pin executor storage for the session's lifetime.
+      // Caveat: lineage is truncated, so an executor loss mid-query
+      // fails the query instead of recomputing — acceptable for an
+      // interactive search; retry re-runs the search.
+      val candKeys = cand.select("tableid", "rowid", "MateRowID").distinct()
+        .localCheckpoint(true)
       // Bloom-prune the per-column verification scans: each extra query
       // column re-joins the FULL cell index against the (much smaller)
       // candidate-row set — build one bloom over the candidate

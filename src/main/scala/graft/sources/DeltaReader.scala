@@ -11,13 +11,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * commits (optionally compacted into parquet checkpoints), and a
   * snapshot is the add-file set left after replaying the log.
   *
-  * Supported: JSON commits, `_last_checkpoint` + classic single-file
-  * checkpoints, partition columns (types parsed from
-  * `metaData.schemaString`, a Spark StructType JSON), and time travel
-  * via `versionAsOf`. Refused LOUDLY: `protocol.minReaderVersion > 1`
-  * — column mapping / deletion vectors change how data must be
-  * interpreted, and reading past them silently would return wrong
-  * rows.
+  * Supported: JSON commits, classic single-file AND multi-part
+  * checkpoints (both discovered by listing — `_last_checkpoint` is an
+  * optimization hint, not required for correctness), partition
+  * columns (types parsed from `metaData.schemaString`, a Spark
+  * StructType JSON), and time travel via `versionAsOf`. Refused
+  * LOUDLY rather than misread: `protocol.minReaderVersion > 1`
+  * (column mapping / deletion vectors change how data must be
+  * interpreted), a log whose retention cleaned commits below the
+  * replay base (a silent partial snapshot otherwise), and absolute
+  * `add.path` URIs (shallow clones / external files).
   *
   * Scale: the log is driver-parsed, which is the design of the format
   * itself (logs are KB-MB; Delta compacts them into checkpoints so
@@ -31,6 +34,23 @@ object DeltaReader {
 
   private case class AddFile(path: String, partitionValues: Map[String, String])
 
+  /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
+    * application/x-www-form-urlencoded rules turn a literal '+' in a
+    * file name into a space and resolve the wrong file.
+    */
+  private[graft] def percentDecode(p: String): String = {
+    val out = new java.io.ByteArrayOutputStream(p.length)
+    var i = 0
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '%' && i + 2 < p.length) {
+        out.write(Integer.parseInt(p.substring(i + 1, i + 3), 16))
+        i += 3
+      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
   /** True when `dir` is a Delta table root. */
   def isDeltaTable(dir: String): Boolean =
     new java.io.File(dir, "_delta_log").isDirectory
@@ -43,10 +63,16 @@ object DeltaReader {
       .filter(f => f.getName.matches("\\d{20}\\.json"))
       .map(f => f.getName.take(20).toLong -> f)
       .sortBy(_._1)
-    val checkpoints = logDir.listFiles().toSeq
-      .filter(f => f.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-      .map(f => f.getName.take(20).toLong -> f)
-      .sortBy(_._1)
+    // classic single-file checkpoints AND multi-part
+    // NNN.checkpoint.PPPPPPPPPP.QQQQQQQQQQ.parquet — a version's parts
+    // are read together as one snapshot base; ignoring the multi-part
+    // form would silently drop every file added at or before it when
+    // retention has cleaned the pre-checkpoint commits
+    val checkpoints: Seq[(Long, Seq[java.io.File])] = logDir.listFiles().toSeq
+      .filter(f => f.getName.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+      .groupBy(_.getName.take(20).toLong)
+      .map { case (v, fs) => v -> fs.sortBy(_.getName) }
+      .toSeq.sortBy(_._1)
     val target = versionAsOf.getOrElse(
       (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
         sys.error(s"empty _delta_log: $dir")))
@@ -63,8 +89,17 @@ object DeltaReader {
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log
     val base = checkpoints.filter(_._1 <= target).lastOption
-    base.foreach { case (_, f) =>
-      val cp = s.read.parquet(f.getPath)
+    base.foreach { case (v, fs) =>
+      // a multi-part checkpoint names its part count — all parts must
+      // be present or the snapshot base is silently partial
+      val multi = "\\d{20}\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r
+      fs.head.getName match {
+        case multi(total) =>
+          require(fs.size == total.toInt,
+            s"checkpoint $v has ${fs.size} of $total parts in $logDir — refusing a partial snapshot")
+        case _ =>
+      }
+      val cp = s.read.parquet(fs.map(_.getPath): _*)
       val cols = cp.columns.toSet
       val rows = cp.collect()
       rows.foreach { r =>
@@ -88,9 +123,16 @@ object DeltaReader {
     }
 
     // replay JSON commits (base, target] in version order; action order
-    // inside a commit is preserved by per-line parsing
+    // inside a commit is preserved by per-line parsing. The chain must
+    // be CONTIGUOUS from the base: a gap means log retention cleaned
+    // commits this replay needs — a silent partial snapshot otherwise
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    commits.filter { case (v, _) => v > base.map(_._1).getOrElse(-1L) && v <= target }
+    val replay = commits.filter { case (v, _) => v > base.map(_._1).getOrElse(-1L) && v <= target }
+    val expected = (base.map(_._1).getOrElse(-1L) + 1) to target
+    require(replay.map(_._1) == expected,
+      s"commit chain ${replay.map(_._1)} does not cover $expected in $logDir " +
+        "(log cleaned past the newest usable checkpoint?) — refusing a partial snapshot")
+    replay
       .foreach { case (_, f) =>
         val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines().filter(_.nonEmpty).foreach { line =>
@@ -135,8 +177,12 @@ object DeltaReader {
     // from the LOG (authoritative per the spec), typed via schemaString
     val groups = active.values.toSeq.groupBy(_.partitionValues)
     groups.map { case (pv, files) =>
-      val paths = files.map(f => new java.io.File(dir,
-        java.net.URLDecoder.decode(f.path, "UTF-8")).getPath)
+      val paths = files.map { f =>
+        require(!f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
+          s"absolute add.path URI ${f.path} (shallow clone / external file) not supported — " +
+            "refusing to misresolve it against the table root")
+        new java.io.File(dir, percentDecode(f.path)).getPath
+      }
       val base = s.read.schema(dataSchema).parquet(paths: _*)
       val withParts = partSchema.foldLeft(base) { (df, f) =>
         val raw = pv.get(f.name).orNull

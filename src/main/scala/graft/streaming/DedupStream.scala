@@ -13,31 +13,54 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * outlive the query and stay shareable with batch jobs —
   * `flatMapGroupsWithState` state is per-key and query-private.
   *
-  * Retries are idempotent: each batch writes `batch=<id>` directories
-  * with overwrite, so a replayed micro-batch replaces its own output
-  * instead of duplicating it (the checkpoint keeps batch ids stable).
+  * Retries are idempotent: each batch writes checkpoint-scoped
+  * `batch=<scope>-<id>` directories with overwrite, so a replayed
+  * micro-batch replaces its own output instead of duplicating it
+  * (the checkpoint keeps batch ids stable), and a NEW query with a
+  * fresh checkpoint over the same long-lived index cannot clobber an
+  * earlier run's batch directories. A compact band-key table
+  * ([[Dedup.minhashBandKeys]]) is maintained at `<sigDir>-keys` so
+  * each probe reads corpus band keys instead of re-deriving them
+  * from every signature.
   */
 object DedupStream {
 
   def incrementalMinhash(docs: DataFrame, sigDir: String, pairsDir: String,
-                         checkpoint: String, tau: Double): StreamingQuery =
+                         checkpoint: String, tau: Double): StreamingQuery = {
+    // batch directories are scoped by the checkpoint identity (the
+    // AnnStream discipline): batchId restarts at 0 under a NEW
+    // checkpoint against the same long-lived index, and an unscoped
+    // batch=0 would silently overwrite the original batch-0 signatures
+    val scope = java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpoint.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
-        val haveSigs = new java.io.File(sigDir).exists() &&
-          new java.io.File(sigDir).listFiles() != null &&
-          new java.io.File(sigDir).listFiles().nonEmpty
+        // Hadoop FS existence, not java.io.File — the index lives on
+        // the lake's filesystem, and a local-disk check would silently
+        // dedupe every batch only against itself
+        val sigPath = new org.apache.hadoop.fs.Path(sigDir)
+        val fs = sigPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val haveSigs = fs.exists(sigPath) && fs.listStatus(sigPath).nonEmpty
+        val keysDir = s"$sigDir-keys"
         val existing =
           if (haveSigs) s.read.parquet(sigDir).select("did", "sig", "sh")
           else Dedup.minhashSignatures(batch.limit(0))
+        // the persisted band-key table makes each probe read compact
+        // keys instead of re-hashing every corpus signature per batch
+        val existingKeys =
+          if (haveSigs) Some(s.read.parquet(keysDir)) else None
         val b = batch.cache()
-        Dedup.minhashLshIncremental(b, existing, tau)
-          .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
-        Dedup.minhashSignatures(b)
-          .write.mode("overwrite").parquet(s"$sigDir/batch=$batchId")
+        Dedup.minhashLshIncremental(b, existing, tau, existingKeys = existingKeys)
+          .write.mode("overwrite").parquet(s"$pairsDir/batch=$scope-$batchId")
+        val sigs = Dedup.minhashSignatures(b)
+        sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$scope-$batchId")
+        Dedup.minhashBandKeys(sigs)
+          .write.mode("overwrite").parquet(s"$keysDir/batch=$scope-$batchId")
         b.unpersist()
         ()
       }
       .start()
+  }
 }

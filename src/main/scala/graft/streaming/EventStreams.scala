@@ -20,7 +20,7 @@ object EventStreams {
     * event_type, value).
     */
   def windowedAgg(events: DataFrame, watermark: Option[String] = None): DataFrame = {
-    val ts = (col("ts") / lit(1000000000L)).cast("timestamp_ltz")
+    val ts = timestamp_micros(expr("ts div 1000"))
     val based = events.withColumn("ts_sec", ts)
     val marked = watermark.fold(based)(w => based.withWatermark("ts_sec", w))
     marked
@@ -66,7 +66,7 @@ object EventStreams {
     val gapMs = gapMinutes.toLong * 60L * 1000L
 
     val withTime = events
-      .withColumn("ets", (col("ts") / lit(1000000000L)).cast("timestamp_ltz"))
+      .withColumn("ets", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ets", s"$gapMinutes minutes")
       .as[EvT]
 
@@ -111,7 +111,7 @@ object EventStreams {
     * (plain dropDuplicates semantics there).
     */
   def dedupStream(events: DataFrame, watermark: Option[String] = None): DataFrame = {
-    val ts = (col("ts") / lit(1000000000L)).cast("timestamp_ltz")
+    val ts = timestamp_micros(expr("ts div 1000"))
     val based = events.withColumn("ts_sec", ts)
     watermark match {
       case Some(w) => based.withWatermark("ts_sec", w)
@@ -133,9 +133,14 @@ object EventStreams {
                          maxDelayMinutes: Int,
                          watermark: Option[String] = None): DataFrame = {
     def secs(df: DataFrame, p: String) = {
+      // integral ns→µs division into timestamp_micros: `ts /
+      // 1000000000.0` is DOUBLE division with ~256 ns ulp at
+      // current-epoch nanoseconds (1.7e18 > 2^53), which can flip the
+      // inclusive `r <= l` boundary for events nanoseconds apart —
+      // the same int64-above-2^53 failure RangeJoin guards against
       val based = df.select(col("user_id").as(s"${p}_user"),
         col("ts").as(s"${p}_ts"), col("value").as(s"${p}_value"))
-        .withColumn(s"${p}_sec", (col(s"${p}_ts") / lit(1000000000L)).cast("timestamp_ltz"))
+        .withColumn(s"${p}_sec", timestamp_micros(expr(s"${p}_ts div 1000")))
       watermark.fold(based)(w => based.withWatermark(s"${p}_sec", w))
     }
     val l = secs(left, "l")
@@ -152,7 +157,7 @@ object EventStreams {
     * a running value total, via streaming-compatible aggregation.
     */
   def perUserTotals(events: DataFrame, watermark: Option[String] = None): DataFrame = {
-    val ts = (col("ts") / lit(1000000000L)).cast("timestamp_ltz")
+    val ts = timestamp_micros(expr("ts div 1000"))
     val based = events.withColumn("ts_sec", ts)
     val marked = watermark.fold(based)(w => based.withWatermark("ts_sec", w))
     marked

@@ -165,6 +165,32 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) == t8 && out(2L) == "")
   }
 
+  test("removeSpans passes a null-text doc through as null, not as fully-deduplicated") {
+    val s = spark
+    import s.implicits._
+    val t8 = (1 to 8).map(i => s"u$i").mkString(" ")
+    val d = Seq((1L, t8), (2L, t8), (3L, null: String)).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(d, gram = 4, minWords = 6)
+    val out = Dedup.removeSpans(d, spans)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(2L) == "")   // genuinely fully-excised
+    assert(out(3L) == null) // never touched — must stay distinguishable
+  }
+
+  test("incremental minhash with a persisted band-key table matches the recomputed form") {
+    val d1 = docs(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"))
+    val d2 = docs((3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w13"))
+    val sigs = Dedup.minhashSignatures(d1)
+    val keys = Dedup.minhashBandKeys(sigs)
+    val viaKeys = Dedup.minhashLshIncremental(d2, sigs, 0.5, existingKeys = Some(keys))
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recomputed = Dedup.minhashLshIncremental(d2, sigs, 0.5)
+      .select("id_1", "id_2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaKeys == recomputed && viaKeys == Set((1L, 3L)))
+  }
+
   test("minhash LSH finds the same high-similarity pair") {
     val d = docs(
       (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),

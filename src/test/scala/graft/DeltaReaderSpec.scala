@@ -130,6 +130,27 @@ class DeltaReaderSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("add.path decoding is RFC percent-decoding, not form-urlencoding") {
+    // '+' is a literal plus in a percent-encoded path; %20 is a space
+    assert(graft.sources.DeltaReader.percentDecode("a+b.parquet") == "a+b.parquet")
+    assert(graft.sources.DeltaReader.percentDecode("a%20b.parquet") == "a b.parquet")
+    assert(graft.sources.DeltaReader.percentDecode("x%2By.parquet") == "x+y.parquet")
+  }
+
+  test("delta reader refuses a commit chain with a gap below the target") {
+    val dir = java.nio.file.Files.createTempDirectory("delta_gap")
+    val log = dir.resolve("_delta_log")
+    java.nio.file.Files.createDirectories(log)
+    val meta = """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},"schemaString":"{\"type\":\"struct\",\"fields\":[{\"name\":\"id\",\"type\":\"long\",\"nullable\":true,\"metadata\":{}}]}","partitionColumns":[],"configuration":{}}}"""
+    // commit 1 exists, commit 0 was "cleaned" and no checkpoint covers it
+    java.nio.file.Files.writeString(log.resolve(f"${1L}%020d.json"),
+      meta + "\n" + """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.DeltaReader.read(spark, dir.toString)
+    }
+    assert(ex.getMessage.contains("partial snapshot"), ex.getMessage)
+  }
+
   test("delta reader refuses minReaderVersion > 1 loudly") {
     val (dir, log) = mkTable()
     val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
