@@ -557,23 +557,34 @@ object Dedup {
     * are read, not recomputed from every signature on every batch;
     * without it they are derived from `existingSigs` (one corpus-wide
     * projection — correct, but the per-batch cost is then linear in
-    * the corpus twice instead of once). Emits (id_1, id_2, jac) where
-    * at least one side is new; ids must be distinct across the union
-    * of both frames.
+    * the corpus twice instead of once). Pass `newSigs0` when the
+    * caller already computed the batch's signatures (the streaming
+    * path writes them anyway — recomputing the shingle+minhash
+    * pipeline per consumer is the dominant per-batch CPU). Emits
+    * (id_1, id_2, jac) where at least one side is new; ids must be
+    * distinct across the union of both frames.
     */
   def minhashLshIncremental(newDocs: DataFrame, existingSigs: DataFrame,
                             tau: Double, id: String = "doc_id",
                             text: String = "text", n: Int = 3,
                             numHashes: Int = 32, bands: Int = 8,
-                            existingKeys: Option[DataFrame] = None): DataFrame = {
-    val newSigs = minhashSignatures(newDocs, id, text, n, numHashes)
+                            existingKeys: Option[DataFrame] = None,
+                            newSigs0: Option[DataFrame] = None,
+                            broadcastProbe: Boolean = true): DataFrame = {
+    val newSigs = newSigs0.getOrElse(minhashSignatures(newDocs, id, text, n, numHashes))
     val allSigs = existingSigs.select("did", "sig", "sh")
       .unionByName(newSigs.select("did", "sig", "sh"))
     val probe = bandKeysOf(newSigs, numHashes, bands)
     val index = existingKeys.getOrElse(bandKeysOf(existingSigs, numHashes, bands))
       .select("did", "band", "bkey")
       .unionByName(probe)
-    val cand = index.as("y").join(broadcast(probe.as("x")), Seq("band", "bkey"))
+    // broadcastProbe = true is the streaming/micro-batch case (probe
+    // rows = |batch|·bands, far under the broadcast limit) — the corpus
+    // side then streams through in place. For a LARGE "new" frame (a
+    // corpus slice joined in batch) pass false: a forced broadcast
+    // above ~8GB fails outright where the shuffle join just works.
+    val probeSide = if (broadcastProbe) broadcast(probe.as("x")) else probe.as("x")
+    val cand = index.as("y").join(probeSide, Seq("band", "bkey"))
       .where(col("x.did") =!= col("y.did"))
       .select(least(col("x.did"), col("y.did")).as("id_1"),
         greatest(col("x.did"), col("y.did")).as("id_2"))

@@ -506,7 +506,7 @@ object PipelineQueries {
          |         LEFT JOIN cov ON cov.did = wp2.did AND cov.pos = wp2.pos
          |         WHERE cov.did IS NULL),
          |reasm AS (SELECT did, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY did)
-         |SELECT d.doc_id, coalesce(reasm.text, '') AS text
+         |SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(reasm.text, '') END AS text
          |FROM documents d LEFT JOIN reasm ON reasm.did = d.doc_id
          |ORDER BY doc_id""".stripMargin,
 
@@ -659,7 +659,7 @@ object PipelineQueries {
          |         LEFT JOIN cov ON cov.did = wp2.did AND cov.pos = wp2.pos
          |         WHERE cov.did IS NULL),
          |reasm AS (SELECT did, string_agg(word, ' ' ORDER BY pos) AS text FROM kept GROUP BY did)
-         |SELECT d.doc_id, coalesce(reasm.text, '') AS text
+         |SELECT d.doc_id, CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(reasm.text, '') END AS text
          |FROM documents d LEFT JOIN reasm ON reasm.did = d.doc_id
          |WHERE d.doc_id % 50 <> 0
          |ORDER BY doc_id""".stripMargin,

@@ -606,8 +606,17 @@ object Similarity {
     writeAnnIndex(tmp, model, codes)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // rename-ASIDE, not delete-then-rename: a crash between a delete
+    // and the rename would leave NO index at `path`; here the old index
+    // survives under __old until the swap has succeeded, and rename
+    // results are checked (directory rename can fail on object stores)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compactAnnIndex: could not move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compactAnnIndex: could not move $tmp into place — original preserved at $old")
+    fs.delete(old, true)
   }
 
   /** Incremental maintenance: encode a new vector batch with the
@@ -629,10 +638,22 @@ object Similarity {
     * micro-batch.
     */
   def addVectorsWith(model: PqModel, path: String, newVecs: DataFrame, batchLabel: String,
-                     id: String = "vec_id", vec: String = "embedding"): Unit =
+                     id: String = "vec_id", vec: String = "embedding"): Unit = {
+    // a flat pre-batch-layout code table (codes/cell=N at the top
+    // level) cannot take a nested batch append: mixed partition depths
+    // make the whole directory unreadable. Refuse with a migration
+    // path instead of bricking the index.
+    val codesPath = new org.apache.hadoop.fs.Path(s"$path/codes")
+    val fs = codesPath.getFileSystem(
+      newVecs.sparkSession.sparkContext.hadoopConfiguration)
+    if (fs.exists(codesPath))
+      require(!fs.listStatus(codesPath).exists(_.getPath.getName.startsWith("cell=")),
+        s"$path/codes uses the flat pre-batch layout — rebuild it with writeAnnIndex " +
+          "(or compactAnnIndex a copy) before appending batches")
     encodePq(newVecs, model, id, vec)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes/batch=$batchLabel")
+  }
 
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no
     * partition sort), then rank the ≤k survivors with a window that only

@@ -41,13 +41,25 @@ object DeltaReader {
   private[graft] def percentDecode(p: String): String = {
     val out = new java.io.ByteArrayOutputStream(p.length)
     var i = 0
+    var lit = 0 // start of the current run of literal chars
+    def flush(until: Int): Unit =
+      // whole-substring encoding keeps surrogate PAIRS together — a
+      // char-at-a-time encode would turn each half of a non-BMP
+      // character into a '?' byte
+      if (until > lit) out.write(p.substring(lit, until).getBytes("UTF-8"))
     while (i < p.length) {
-      val c = p.charAt(i)
-      if (c == '%' && i + 2 < p.length) {
-        out.write(Integer.parseInt(p.substring(i + 1, i + 3), 16))
+      if (p.charAt(i) == '%') {
+        flush(i)
+        require(i + 2 < p.length, s"truncated percent escape at offset $i in add.path '$p'")
+        val hex = p.substring(i + 1, i + 3)
+        require(hex.forall(c => Character.digit(c, 16) >= 0),
+          s"malformed percent escape '%$hex' at offset $i in add.path '$p'")
+        out.write(Integer.parseInt(hex, 16))
         i += 3
-      } else { out.write(c.toString.getBytes("UTF-8")); i += 1 }
+        lit = i
+      } else i += 1
     }
+    flush(p.length)
     new String(out.toByteArray, "UTF-8")
   }
 
@@ -89,7 +101,13 @@ object DeltaReader {
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log
     val base = checkpoints.filter(_._1 <= target).lastOption
-    base.foreach { case (v, fs) =>
+    base.foreach { case (v, fsAll) =>
+      // both checkpoint forms may coexist at one version; a classic
+      // single file is complete by itself, so prefer it — mixing the
+      // forms in one read would double-count adds and fail the
+      // multi-part completeness check on an intact table
+      val classic = fsAll.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      val fs = if (classic.nonEmpty) classic else fsAll
       // a multi-part checkpoint names its part count — all parts must
       // be present or the snapshot base is silently partial
       val multi = "\\d{20}\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r

@@ -48,16 +48,25 @@ object DedupStream {
           if (haveSigs) s.read.parquet(sigDir).select("did", "sig", "sh")
           else Dedup.minhashSignatures(batch.limit(0))
         // the persisted band-key table makes each probe read compact
-        // keys instead of re-hashing every corpus signature per batch
+        // keys instead of re-hashing every corpus signature per batch;
+        // it may legitimately be ABSENT (index written before the key
+        // table existed, or a crash between the sigs and keys writes) —
+        // fall back to deriving from the signatures rather than wedging
+        // the stream on PATH_NOT_FOUND forever
+        val keysPath = new org.apache.hadoop.fs.Path(keysDir)
         val existingKeys =
-          if (haveSigs) Some(s.read.parquet(keysDir)) else None
+          if (haveSigs && fs.exists(keysPath)) Some(s.read.parquet(keysDir)) else None
         val b = batch.cache()
-        Dedup.minhashLshIncremental(b, existing, tau, existingKeys = existingKeys)
+        // ONE signature computation per batch: the pairs probe, the
+        // signature write and the key write all consume this frame
+        val sigs = Dedup.minhashSignatures(b).cache()
+        Dedup.minhashLshIncremental(b, existing, tau,
+          existingKeys = existingKeys, newSigs0 = Some(sigs))
           .write.mode("overwrite").parquet(s"$pairsDir/batch=$scope-$batchId")
-        val sigs = Dedup.minhashSignatures(b)
         sigs.write.mode("overwrite").parquet(s"$sigDir/batch=$scope-$batchId")
         Dedup.minhashBandKeys(sigs)
           .write.mode("overwrite").parquet(s"$keysDir/batch=$scope-$batchId")
+        sigs.unpersist()
         b.unpersist()
         ()
       }

@@ -56,9 +56,18 @@ object Bpe {
       .limit(maxWords)
       .collect()
     val merges = trainLocal(top.map(r => (r.getString(0), r.getLong(1))), numMerges)
-    val alphabet = top.flatMap(_.getString(0).map(_.toString)).distinct.sorted
+    (merges, vocabLocal(top.map(_.getString(0)), merges))
+  }
+
+  /** The ONE id-table derivation both [[vocab]] and [[trainWithVocab]]
+    * share — UTF-16-char alphabet split, matching [[encodeWord]]'s
+    * segmentation exactly (a code-point split would assign no id to
+    * the surrogate-half tokens encodeWord emits for non-BMP text).
+    */
+  private def vocabLocal(words: Array[String], merges: Seq[(String, String)]): Map[String, Int] = {
+    val alphabet = words.flatMap(_.map(_.toString)).distinct.sorted
     val base = alphabet.zipWithIndex.toMap
-    (merges, base ++ merges.zipWithIndex.map { case ((l, r), i) => (l + r, base.size + i) })
+    base ++ merges.zipWithIndex.map { case ((l, r), i) => (l + r, base.size + i) }
   }
 
   private def trainLocal(top: Array[(String, Long)], numMerges: Int): Seq[(String, String)] = {
@@ -142,13 +151,10 @@ object Bpe {
     */
   def vocab(wordCounts: DataFrame, merges: Seq[(String, String)],
             maxWords: Int = 1 << 16): Map[String, Int] = {
-    val alphabet = wordCounts
+    val top = wordCounts
       .orderBy(col("cnt").desc, col("word").asc).limit(maxWords)
-      .select(explode(split(col("word"), "")).as("c"))
-      .where(length(col("c")) > 0)
-      .distinct().orderBy("c").collect().map(_.getString(0))
-    val base = alphabet.zipWithIndex.toMap
-    base ++ merges.zipWithIndex.map { case ((l, r), i) => (l + r, base.size + i) }
+      .collect().map(_.getString(0))
+    vocabLocal(top, merges)
   }
 
   case class DocText(doc_id: Long, text: String)

@@ -135,6 +135,17 @@ class DeltaReaderSpec extends SparkSpec {
     assert(graft.sources.DeltaReader.percentDecode("a+b.parquet") == "a+b.parquet")
     assert(graft.sources.DeltaReader.percentDecode("a%20b.parquet") == "a b.parquet")
     assert(graft.sources.DeltaReader.percentDecode("x%2By.parquet") == "x+y.parquet")
+    // non-BMP characters survive (surrogate pairs must not be split)
+    assert(graft.sources.DeltaReader.percentDecode("data-😀.parquet")
+      == "data-😀.parquet")
+    // malformed escapes fail loudly, not as NumberFormatException
+    val ex = intercept[IllegalArgumentException] {
+      graft.sources.DeltaReader.percentDecode("100%x2.parquet")
+    }
+    assert(ex.getMessage.contains("percent escape"))
+    intercept[IllegalArgumentException] {
+      graft.sources.DeltaReader.percentDecode("bad%2")
+    }
   }
 
   test("delta reader refuses a commit chain with a gap below the target") {
