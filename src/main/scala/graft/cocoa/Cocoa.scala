@@ -59,9 +59,12 @@ object Cocoa {
     * [[graft.dedup.Dedup.ngramJaccardPairs]], measured ~2× faster than
     * the token self-join), never all pairs. `maxTokenDf` is the
     * hot-token skew guard INSIDE the operator: a token appearing in
-    * 10⁵ columns would otherwise put 10¹⁰ pairs in one bucket;
-    * dropping it only loses pairs whose EVERY shared token is that hot
-    * — similar columns always share rarer tokens too.
+    * 10⁵ columns would otherwise put 10¹⁰ pairs in one bucket.
+    * Dropped tokens leave BOTH the pair counts and the column sizes,
+    * so `jac` is the exact Jaccard of the guard-filtered token sets —
+    * numerator and denominator over one universe (a numerator-only
+    * drop would strictly underestimate surviving pairs); a pair
+    * disappears entirely only when its EVERY shared token is hot.
     * Output: (col_1, col_2, common, jac), col_1 < col_2, top `k`.
     */
   def columnPairSimilarity(cells: DataFrame, k: Int, minJac: Double = 0.0,
@@ -69,13 +72,15 @@ object Cocoa {
     val spark = cells.sparkSession
     import spark.implicits._
     val d = cells.select(col("table_col_id"), col("tokenized")).distinct()
-    val sizes = d.groupBy("table_col_id").agg(count(lit(1)).as("nd"))
     // bucket size IS the token's column frequency — the guard costs no
     // extra shuffle. Pairs stream from a lazy iterator (never df²
     // buffered per bucket).
     val buckets = d.groupBy("tokenized")
       .agg(collect_list(col("table_col_id")).as("cs"))
       .where(size(col("cs")) <= maxTokenDf)
+    // sizes over the SAME guarded universe as the pair counts
+    val sizes = buckets.select(explode(col("cs")).as("table_col_id"))
+      .groupBy("table_col_id").agg(count(lit(1)).as("nd"))
     val pairs = buckets.select(col("cs")).as[Seq[String]]
       .flatMap { cs =>
         val arr = cs.sorted.toArray
@@ -142,12 +147,12 @@ object Cocoa {
     val cand = extCells
       .join(broadcast(candTables), Seq("tableid"), "left_semi")
       .join(excluded, Seq("tableid", "colid"), "left_anti")
-    val tryD = expr("try_cast(tokenized AS double)")
-    val tokNumeric = col("tokenized").isin("", "nan") || tryD.isNotNull
+    // value semantics shared with the index builder via CellValues —
+    // the bit-identity behind cocoa_from_index ≡ cocoa_enrich
+    import graft.index.CellValues
     val colNum = cand.groupBy("table_col_id")
-      .agg((min(when(tokNumeric, 1).otherwise(0)) === 1).as("is_numeric"))
-    val vnum0 = when(col("tokenized").isin("", "nan"), lit(null).cast("double"))
-      .otherwise(tryD)
+      .agg((min(when(CellValues.tokNumeric, 1).otherwise(0)) === 1).as("is_numeric"))
+    val vnum0 = CellValues.vnumRaw
 
     // one value per (external column, input row): last-write in value
     // order = max (maco/cocoa.py numeric walk overwrites ascending)
@@ -155,16 +160,14 @@ object Cocoa {
       .join(pairs.withColumnRenamed("ext_row", "rowid"), Seq("tableid", "rowid"))
       .join(broadcast(colNum), "table_col_id")
       .withColumn("vnum", when(col("is_numeric"), vnum0))
-      // NaN from cast('nan') normalizes to null so all missing tie.
-      .withColumn("vnum", when(isnan(coalesce(col("vnum"), lit(0.0))), lit(null).cast("double")).otherwise(col("vnum")))
+      .withColumn("vnum", CellValues.normalizeNan(col("vnum")))
       .groupBy(col("table_col_id"), col("tableid"), col("input_row"))
       .agg(max(col("vnum")).as("vnum"), max(col("tokenized")).as("v_str"),
         first(col("is_numeric")).as("is_numeric"))
 
     val ord = Window.partitionBy("table_col_id")
       .orderBy(col("vnum").asc_nulls_last, col("v_str").asc, col("input_row").asc)
-    val valKey = when(col("is_numeric"), coalesce(col("vnum").cast("string"), lit(" nan")))
-      .otherwise(col("v_str"))
+    val valKey = CellValues.valKey(col("vnum"), col("v_str"))
     val ranked = perRow
       .withColumn("rn", row_number().over(ord))
       .withColumn("vk", valKey)
@@ -235,8 +238,10 @@ object Cocoa {
   }
 
   /** Correlations computed FROM the persisted order index
-    * (offline-index mode; assumes 1:1 pair maps per column like the
-    * reference join maps). Agrees exactly with [[correlations]].
+    * (offline-index mode). Agrees exactly with [[correlations]],
+    * including N:1 pair maps (several external rows per input row):
+    * the walk keeps each input's last-in-order — i.e. max-value —
+    * occurrence, the same collapse the relational path applies.
     */
   def correlationsFromIndex(inputRanked: DataFrame, index: DataFrame, pairs: DataFrame,
                             excluded: DataFrame): DataFrame = {
@@ -268,17 +273,16 @@ object Cocoa {
     val walkUdf = udf { (minIndex: Long, order: Seq[Long], binary: String,
                          matchedRows: Seq[Long], matchedInputs: Seq[Long]) =>
       val toInput = matchedRows.zip(matchedInputs).toMap
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      // phase 1 — walk once, collecting (input_row, equal-run id) per
+      // matched external row in value order. When several external
+      // rows map to ONE input row (duplicate-valued join column), the
+      // relational path keeps that input's MAX value — i.e. its LAST
+      // occurrence in this ascending walk — so only the last event per
+      // input survives; ranking over all occurrences would inflate
+      // positions and every downstream moment.
+      val events = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
       var ptr = minIndex
-      var pos = 0 // sequential position among matched rows (1-based)
-      val run = scala.collection.mutable.ArrayBuffer.empty[Long] // matched rows in current equal-run
-      def flushRun(): Unit = {
-        if (run.nonEmpty) {
-          val avg = (pos - run.length + 1 + pos).toDouble / 2
-          run.foreach(r => out += ((toInput(r), avg)))
-          run.clear()
-        }
-      }
+      var runId = 0
       while (ptr != -1L) {
         // Dense-rowid contract: the index arrays are addressed by rowid, so
         // every pointer must be a valid 0-based position. An index built
@@ -287,10 +291,32 @@ object Cocoa {
         require(ptr >= 0L && ptr < order.length && ptr < binary.length,
           s"order-index pointer $ptr out of bounds (order_list size ${order.length}); " +
             "CocoaIndex requires dense 0-based rowids per table")
-        if (toInput.contains(ptr)) { pos += 1; run += ptr }
-        // '1' = value changes after this row → close the tie run
-        if (binary.charAt(ptr.toInt) == '1') flushRun()
+        toInput.get(ptr).foreach(inp => events += ((inp, runId)))
+        // '1' = value changes after this row → next equal-run
+        if (binary.charAt(ptr.toInt) == '1') runId += 1
         ptr = order(ptr.toInt)
+      }
+      // phase 2 — survivors (each input's last occurrence), positions
+      // re-counted over survivors only, averaged within equal-runs
+      val lastIdx = scala.collection.mutable.HashMap.empty[Long, Int]
+      events.zipWithIndex.foreach { case ((inp, _), i) => lastIdx(inp) = i }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      val run = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var pos = 0
+      var curRun = -1
+      def flushRun(): Unit = {
+        if (run.nonEmpty) {
+          val avg = (pos - run.length + 1 + pos).toDouble / 2
+          run.foreach(inp => out += ((inp, avg)))
+          run.clear()
+        }
+      }
+      events.zipWithIndex.foreach { case ((inp, r), i) =>
+        if (lastIdx(inp) == i) {
+          if (r != curRun) { flushRun(); curRun = r }
+          pos += 1
+          run += inp
+        }
       }
       flushRun()
       out.toSeq

@@ -1,8 +1,34 @@
 package graft.index
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+/** The ONE definition of the reference's cell-value semantics
+  * (maco/util.py:58): which tokens count as numeric, how a token
+  * parses to a sort value, how parse-NaN normalizes to missing, and
+  * the value key missing ties under. The order-index builder
+  * ([[CocoaIndex]]) and the relational correlation path
+  * (graft.cocoa.Cocoa) MUST stay bit-identical on these — that
+  * identity is the `cocoa_from_index` ≡ `cocoa_enrich` contract — so
+  * the expressions live once, here.
+  */
+object CellValues {
+  /** '' and 'nan' count as numeric (NaN); otherwise float-parseable. */
+  def tryDouble: Column = expr("try_cast(tokenized AS double)")
+  def tokNumeric: Column =
+    col("tokenized").isin("", "nan") || tryDouble.isNotNull
+  def vnumRaw: Column =
+    when(col("tokenized").isin("", "nan"), lit(null).cast("double")).otherwise(tryDouble)
+  /** NaN from cast('nan') normalizes to null so all missing tie. */
+  def normalizeNan(c: Column): Column =
+    when(isnan(coalesce(c, lit(0.0))), lit(null).cast("double")).otherwise(c)
+  /** Tie key: numeric by parsed value (missing → ' nan' sentinel,
+    * which no cleaned token can collide with), else the string.
+    */
+  def valKey(vnum: Column, str: Column): Column =
+    when(col("is_numeric"), coalesce(vnum.cast("string"), lit(" nan"))).otherwise(str)
+}
 
 /** COCOA order index (reference: maco/util.py:34 create_cocoa_index,
   * stored via maco/data_handler.py:312).
@@ -29,20 +55,12 @@ object CocoaIndex {
     * adds no extra shuffle to it.
     */
   def withSortValue(cells: DataFrame): DataFrame = {
-    val tok = col("tokenized")
-    // Reference is_numeric (maco/util.py:58): '' and 'nan' count as
-    // numeric (NaN); otherwise float-parseable.
-    val tryD = expr("try_cast(tokenized AS double)")
-    val vnum = when(tok.isin("", "nan"), lit(null).cast("double"))
-      .otherwise(tryD)
-    val tokNumeric = tok.isin("", "nan") || tryD.isNotNull
-    val colNumeric = min(when(tokNumeric, 1).otherwise(0))
+    val colNumeric = min(when(CellValues.tokNumeric, 1).otherwise(0))
       .over(Window.partitionBy("table_col_id")) === 1
     cells
       .withColumn("is_numeric", colNumeric)
-      .withColumn("vnum", when(col("is_numeric"), vnum))
-      // NaN from cast('nan') normalizes to null so all missing tie.
-      .withColumn("vnum", when(isnan(coalesce(col("vnum"), lit(0.0))), lit(null).cast("double")).otherwise(col("vnum")))
+      .withColumn("vnum", when(col("is_numeric"), CellValues.vnumRaw))
+      .withColumn("vnum", CellValues.normalizeNan(col("vnum")))
   }
 
   /** Long form of the index: one row per cell with rank, successor row
@@ -55,8 +73,7 @@ object CocoaIndex {
     val ord = Window.partitionBy("table_col_id")
       .orderBy(col("is_numeric").desc, // constant within partition
         col("vnum").asc_nulls_last, col("tokenized").asc, col("rowid").asc)
-    val valKey = when(col("is_numeric"), coalesce(col("vnum").cast("string"), lit(" nan")))
-      .otherwise(col("tokenized"))
+    val valKey = CellValues.valKey(col("vnum"), col("tokenized"))
     val tieW = Window.partitionBy(col("table_col_id"), valKey)
     sorted
       .withColumn("rn", row_number().over(ord))

@@ -203,8 +203,17 @@ object LakeIndexer {
     writeIndex(readIndex(spark, path), tmp, numPartitions)
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(path))
+    // rename-ASIDE with checked renames (the compactAnnIndex
+    // discipline): delete-then-rename would leave NO index at `path`
+    // on a crash between the two, and directory rename can fail
+    // silently on object stores
+    val p = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + "__old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"compactIndex: could not move $path aside")
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), p),
+      s"compactIndex: could not move $tmp into place — original preserved at $old")
+    fs.delete(old, true)
   }
 
   /** Rebuild a table's cleaned content from the cell index

@@ -47,8 +47,12 @@ object Mate {
       .select((rowId.cast("long").as("__rid") +: raws): _*)
       .groupBy((0 until n).map(i => col(s"raw_$i")): _*)
       .agg(min(col("__rid")).as("MateRowID"))
+    // truncate exactly like the INDEXED tokens (LakeIndexer.cleanCol):
+    // an untruncated query token can never equal its own indexed form
+    // past MaxTokenLength chars — the match would silently vanish
     val toks = (0 until n).map(i =>
-      TextFunctions.cleanedText(coalesce(col(s"raw_$i"), lit(""))).as(s"tok_$i"))
+      substring(TextFunctions.cleanedText(coalesce(col(s"raw_$i"), lit(""))),
+        1, graft.index.LakeIndexer.MaxTokenLength).as(s"tok_$i"))
     val cleaned = grouped.select((col("MateRowID") +: toks): _*)
     cleaned.where(
       (0 until n).map(i => !col(s"tok_$i").isin("", "nan", "unknown")).reduce(_ && _))
@@ -201,7 +205,11 @@ object Mate {
     */
   def searchAndMaps(input: DataFrame, rowId: Column, queryCols: Seq[String],
                     cells: DataFrame, k: Int): (DataFrame, DataFrame) =
-    searchAndMapsOf(matches(input, rowId, queryCols, cells).cache(), k)
+    // localCheckpoint over cache() for the same reason as candKeys in
+    // verifyAndCombine: this frame is returned with no unpersist hook,
+    // and a cache() would pin executor storage for the session's
+    // lifetime; checkpoint blocks are GC-freed once unreachable
+    searchAndMapsOf(matches(input, rowId, queryCols, cells).localCheckpoint(true), k)
 
   /** [[searchAndMaps]] over an already-materialized match set. */
   def searchAndMapsOf(matched: DataFrame, k: Int): (DataFrame, DataFrame) = {
@@ -209,9 +217,10 @@ object Mate {
     val topKDf = topkOf(matched, k)
     val top = spark.createDataFrame(
       spark.sparkContext.parallelize(topKDf.collect().toIndexedSeq, 1), topKDf.schema)
-    // cached: the maps ARE the reference's materialized join-map product,
-    // and COCOA consumes them several times (candidate tables, pair join)
-    val maps = mapsOf(matched, top).cache()
+    // materialized once: the maps ARE the reference's join-map product,
+    // and COCOA consumes them several times (candidate tables, pair
+    // join); localCheckpoint for the same lifecycle reason as above
+    val maps = mapsOf(matched, top).localCheckpoint(true)
     (top, maps)
   }
 }

@@ -202,8 +202,11 @@ object DiscoveryQueries {
     */
   private def mateCtes(inputSql: String, nq: Int, k: Int): String = {
     val rawCols = (0 until nq).map(i => s"raw_$i")
+    // same MaxTokenLength truncation as the indexed cells (and as
+    // Mate.prepareToks) — the query token must equal its indexed form
     val tokDefs = (0 until nq).map(i =>
-      s"${TextFunctions.cleanedTextSql(s"coalesce(raw_$i, '')")} AS tok_$i").mkString(", ")
+      s"substring(${TextFunctions.cleanedTextSql(s"coalesce(raw_$i, '')")}, 1, " +
+        s"${graft.index.LakeIndexer.MaxTokenLength}) AS tok_$i").mkString(", ")
     val notNull = (0 until nq).map(i => s"tok_$i NOT IN ('','nan','unknown')").mkString(" AND ")
     val verify = (1 until nq).map { i =>
       s""", m_$i AS (
