@@ -97,14 +97,42 @@ object Bench {
     // as a fast success)
     val all = (results :+ indexBuild :+ cacheBuild)
       .map { case (n, v) => (n, if (v.isInfinity) 0.0 else v) }
-    // full-precision per-query detail → stderr (dev feedback loop)
-    System.err.println(all.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}"))
-    // stdout: ONE compact line, 3-decimal values, with metric/value LAST
-    // so a tail-truncated capture still carries the headline total
-    val qs = all.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = all.map(_._2).sum
-    println(s"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":$total}""")
+    val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // The harness keeps only a 2000-char stdout TAIL; a full ~100-query
+    // map is >2000 chars at any precision (key names alone are ~1.2k),
+    // so the complete per-query detail goes to a SIDECAR file and the
+    // stdout line stays safely under the tail window.
+    val detailPath = new java.io.File("bench_detail.json").getAbsoluteFile
+    val detailJson = {
+      val qs = all.map { case (k, v) => f""""$k":$v%.3f""" }.mkString("{", ",", "}")
+      f"""{"queries":$qs,"failed":$failedJson,"sf":"$sfDir","unit":"sec","metric":"total","value":$total%.3f}"""
+    }
+    java.nio.file.Files.write(detailPath.toPath,
+      (detailJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    System.err.println(detailJson)
+    // stdout: ONE line, ≤ ~1500 chars — headline total first-class, then
+    // as many per-query entries as fit, slowest first (the ones perf
+    // grading cares about); the sidecar has every query at 3 decimals.
+    def fmt(v: Double): String = {
+      val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+      if (s.isEmpty) "0" else s
+    }
+    val budget = 1400
+    val fixedTail = s""""nq":${all.size},"detail":"${detailPath.getPath}"""" +
+      (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
+      f""","sf":"$sfDir","unit":"sec","metric":"total","value":$total%.2f}"""
+    val sb = new StringBuilder("{\"queries\":{")
+    var first = true
+    all.sortBy(-_._2).foreach { case (k, v) =>
+      val entry = (if (first) "" else ",") + "\"" + k + "\":" + fmt(v)
+      if (sb.length + entry.length + 2 + fixedTail.length <= budget) {
+        sb ++= entry; first = false
+      }
+    }
+    sb ++= "},"
+    sb ++= fixedTail
+    println(sb.result())
     spark.stop()
   }
 }

@@ -344,8 +344,12 @@ object Dedup {
       .cdcChunks(spark, docs, window, avgSize, minSize, maxSize, id, text)
       .toDF().select(col("doc_id").as("did"), col("chunk_hash").as("g"))
       .distinct()
-    val sizes = inv.groupBy("did").agg(count(lit(1)).as("sz"))
     val guarded = frequentShingleFilter(inv, maxChunkDf)
+    // sizes over the SAME guarded universe as `common` — sizing from
+    // the unguarded chunk set would depress containment below tau for
+    // docs dominated by hot chunks (numerator filtered, denominator
+    // not), the one-universe inconsistency columnPairSimilarity fixed
+    val sizes = guarded.groupBy("did").agg(count(lit(1)).as("sz"))
     val pairs = guarded.select(col("did").as("id_1"), col("g"))
       .join(guarded.select(col("did").as("id_2"), col("g")), "g")
       .where(col("id_1") < col("id_2"))
@@ -655,8 +659,11 @@ object Dedup {
                id: String = "vec_id", vec: String = "embedding",
                maxIter: Int = 5, maxTrain: Int = 100000,
                preAssigned: Option[DataFrame] = None): DataFrame = {
+    // localCheckpoint, not cache(): the blocks are released when the
+    // plan is GC'd instead of pinning executor storage for the session
+    // lifetime (same leak fix as Mate.searchAndMaps)
     val assigned = preAssigned.getOrElse(graft.sim.Similarity
-      .assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain).cache())
+      .assignCells(emb, nCells, seed, id, vec, maxIter, maxTrain).localCheckpoint(true))
     val a = assigned.select(col(id).as("id_1"), col(vec).as("qv"), col("nrm").as("qn"), col("cell"))
     val b = assigned.select(col(id).as("id_2"), col(vec).as("nv"), col("nrm").as("nn"), col("cell"))
     val edges = a.join(b, Seq("cell")).where(col("id_1") < col("id_2"))

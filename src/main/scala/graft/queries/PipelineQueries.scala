@@ -405,7 +405,12 @@ object PipelineQueries {
     // to a trainer
     "bpe_encode_ids" -> ((s, dir) => {
       val (merges, ids) = bpeArtifacts(s, dir)
+      // The driver's compare sorts/hashes result columns, which an
+      // array<int> column breaks — ship the id stream stringified,
+      // exactly like bpe_encode.segmented.
       graft.text.Bpe.encodeIds(s, t(s, dir, "documents"), merges, ids).toDF()
+        .select(col("doc_id"), col("n_tokens"),
+          array_join(col("ids").cast("array<string>"), "|").as("ids_str"))
         .orderBy("doc_id")
     })
   )

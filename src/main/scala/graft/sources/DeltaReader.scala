@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.{DataType, StructType}
@@ -22,6 +24,11 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * replay base (a silent partial snapshot otherwise), and absolute
   * `add.path` URIs (shallow clones / external files).
   *
+  * All log access rides the Hadoop FileSystem API resolved from the
+  * table path's scheme — a `java.io.File` walk would silently see no
+  * `_delta_log` on hdfs:// or s3a:// and fall through to a raw
+  * parquet read of staged files.
+  *
   * Scale: the log is driver-parsed, which is the design of the format
   * itself (logs are KB-MB; Delta compacts them into checkpoints so
   * readers never replay unbounded JSON); the DATA read stays a fully
@@ -32,7 +39,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaReader {
 
-  private case class AddFile(path: String, partitionValues: Map[String, String])
+  private[sources] case class AddFile(path: String, partitionValues: Map[String, String])
+
+  /** The replayed log state at one version — what both the reader and
+    * the checkpoint writer need: the live add set plus table metadata.
+    */
+  private[sources] case class Snapshot(version: Long, active: Seq[AddFile],
+                                       schemaJson: String, partCols: Seq[String],
+                                       minReader: Long)
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
     * application/x-www-form-urlencoded rules turn a literal '+' in a
@@ -63,34 +77,55 @@ object DeltaReader {
     new String(out.toByteArray, "UTF-8")
   }
 
-  /** True when `dir` is a Delta table root. */
-  def isDeltaTable(dir: String): Boolean =
-    new java.io.File(dir, "_delta_log").isDirectory
+  /** True when `dir` is a Delta table root (any Hadoop scheme). */
+  def isDeltaTable(dir: String, conf: Configuration): Boolean = {
+    val log = new Path(dir, "_delta_log")
+    val fs = log.getFileSystem(conf)
+    try fs.getFileStatus(log).isDirectory
+    catch { case _: java.io.FileNotFoundException => false }
+  }
 
-  /** Snapshot read at the latest version, or at `versionAsOf`. */
-  def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
-    val logDir = new java.io.File(dir, "_delta_log")
-    require(logDir.isDirectory, s"not a Delta table (no _delta_log): $dir")
-    val commits = logDir.listFiles().toSeq
-      .filter(f => f.getName.matches("\\d{20}\\.json"))
-      .map(f => f.getName.take(20).toLong -> f)
+  /** Convenience overload for local callers with no Hadoop conf in
+    * hand; a default Configuration resolves file:// and whatever the
+    * cluster's core-site declares.
+    */
+  def isDeltaTable(dir: String): Boolean = isDeltaTable(dir, new Configuration())
+
+  /** Replay the log to the target version. Driver-side by design (see
+    * scaladoc above); every FS touch goes through `fs`.
+    */
+  private[sources] def snapshot(s: SparkSession, dir: String,
+                                versionAsOf: Option[Long]): Snapshot = {
+    val hconf = s.sessionState.newHadoopConf()
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(hconf)
+    require(
+      try fs.getFileStatus(logPath).isDirectory
+      catch { case _: java.io.FileNotFoundException => false },
+      s"not a Delta table (no _delta_log): $dir")
+    val entries = fs.listStatus(logPath).toSeq
+    val commits = entries
+      .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => st.getPath.getName.take(20).toLong -> st.getPath)
       .sortBy(_._1)
     // classic single-file checkpoints AND multi-part
     // NNN.checkpoint.PPPPPPPPPP.QQQQQQQQQQ.parquet — a version's parts
     // are read together as one snapshot base; ignoring the multi-part
     // form would silently drop every file added at or before it when
     // retention has cleaned the pre-checkpoint commits
-    val checkpoints: Seq[(Long, Seq[java.io.File])] = logDir.listFiles().toSeq
-      .filter(f => f.getName.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+    val checkpoints: Seq[(Long, Seq[Path])] = entries
+      .filter(st => st.isFile &&
+        st.getPath.getName.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+      .map(_.getPath)
       .groupBy(_.getName.take(20).toLong)
-      .map { case (v, fs) => v -> fs.sortBy(_.getName) }
+      .map { case (v, ps) => v -> ps.sortBy(_.getName) }
       .toSeq.sortBy(_._1)
     val target = versionAsOf.getOrElse(
       (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
         sys.error(s"empty _delta_log: $dir")))
     versionAsOf.foreach { v =>
       require(commits.exists(_._1 == v) || checkpoints.exists(_._1 == v),
-        s"versionAsOf $v not present in $logDir")
+        s"versionAsOf $v not present in $logPath")
     }
 
     val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
@@ -101,23 +136,23 @@ object DeltaReader {
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log
     val base = checkpoints.filter(_._1 <= target).lastOption
-    base.foreach { case (v, fsAll) =>
+    base.foreach { case (v, psAll) =>
       // both checkpoint forms may coexist at one version; a classic
       // single file is complete by itself, so prefer it — mixing the
       // forms in one read would double-count adds and fail the
       // multi-part completeness check on an intact table
-      val classic = fsAll.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-      val fs = if (classic.nonEmpty) classic else fsAll
+      val classic = psAll.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      val ps = if (classic.nonEmpty) classic else psAll
       // a multi-part checkpoint names its part count — all parts must
       // be present or the snapshot base is silently partial
       val multi = "\\d{20}\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r
-      fs.head.getName match {
+      ps.head.getName match {
         case multi(total) =>
-          require(fs.size == total.toInt,
-            s"checkpoint $v has ${fs.size} of $total parts in $logDir — refusing a partial snapshot")
+          require(ps.size == total.toInt,
+            s"checkpoint $v has ${ps.size} of $total parts in $logPath — refusing a partial snapshot")
         case _ =>
       }
-      val cp = s.read.parquet(fs.map(_.getPath): _*)
+      val cp = s.read.parquet(ps.map(_.toString): _*)
       val cols = cp.columns.toSet
       val rows = cp.collect()
       rows.foreach { r =>
@@ -135,7 +170,12 @@ object DeltaReader {
         }
         if (cols("protocol") && !r.isNullAt(r.fieldIndex("protocol"))) {
           val pr = r.getStruct(r.fieldIndex("protocol"))
-          minReader = math.max(minReader, pr.getLong(pr.fieldIndex("minReaderVersion")))
+          // real delta-spark checkpoints store protocol versions as
+          // int32 (the protocol's parquet schema); hand-built fixtures
+          // may say int64 — getLong on an Integer throws, so go
+          // through Number
+          minReader = math.max(minReader,
+            pr.getAs[Number]("minReaderVersion").longValue())
         }
       }
     }
@@ -148,12 +188,15 @@ object DeltaReader {
     val replay = commits.filter { case (v, _) => v > base.map(_._1).getOrElse(-1L) && v <= target }
     val expected = (base.map(_._1).getOrElse(-1L) + 1) to target
     require(replay.map(_._1) == expected,
-      s"commit chain ${replay.map(_._1)} does not cover $expected in $logDir " +
+      s"commit chain ${replay.map(_._1)} does not cover $expected in $logPath " +
         "(log cleaned past the newest usable checkpoint?) — refusing a partial snapshot")
     replay
-      .foreach { case (_, f) =>
-        val src = scala.io.Source.fromFile(f, "UTF-8")
-        try src.getLines().filter(_.nonEmpty).foreach { line =>
+      .foreach { case (_, p) =>
+        val in = fs.open(p)
+        val rd = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))
+        try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).foreach { line =>
           val n = om.readTree(line)
           if (n.has("add")) {
             val a = n.get("add")
@@ -164,8 +207,8 @@ object DeltaReader {
                 (if (e.getValue.isNull) null else e.getValue.asText()) }
               b.result()
             }.getOrElse(Map.empty[String, String])
-            val p = a.get("path").asText()
-            active(p) = AddFile(p, pv)
+            val pth = a.get("path").asText()
+            active(pth) = AddFile(pth, pv)
           }
           if (n.has("remove")) active.remove(n.get("remove").get("path").asText())
           if (n.has("metaData")) {
@@ -177,29 +220,36 @@ object DeltaReader {
           }
           if (n.has("protocol"))
             minReader = math.max(minReader, n.get("protocol").get("minReaderVersion").asLong())
-        } finally src.close()
+        } finally rd.close()
       }
 
     require(minReader <= 1,
       s"Delta protocol minReaderVersion $minReader > 1 (column mapping / deletion " +
         "vectors not supported) — refusing to misread the table")
-    val schema = DataType.fromJson(schemaJson.getOrElse(
-      sys.error(s"no metaData action found in $logDir"))).asInstanceOf[StructType]
-    val dataSchema = StructType(schema.fields.filterNot(f => partCols.contains(f.name)))
-    val partSchema = schema.fields.filter(f => partCols.contains(f.name))
+    Snapshot(target, active.values.toSeq,
+      schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
+      partCols, minReader)
+  }
 
-    if (active.isEmpty)
+  /** Snapshot read at the latest version, or at `versionAsOf`. */
+  def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(s, dir, versionAsOf)
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+    val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
+
+    if (snap.active.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
     // one union branch per partition-value tuple: partition values come
     // from the LOG (authoritative per the spec), typed via schemaString
-    val groups = active.values.toSeq.groupBy(_.partitionValues)
+    val groups = snap.active.groupBy(_.partitionValues)
     groups.map { case (pv, files) =>
       val paths = files.map { f =>
         require(!f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
           s"absolute add.path URI ${f.path} (shallow clone / external file) not supported — " +
             "refusing to misresolve it against the table root")
-        new java.io.File(dir, percentDecode(f.path)).getPath
+        new Path(dir, percentDecode(f.path)).toString
       }
       val base = s.read.schema(dataSchema).parquet(paths: _*)
       val withParts = partSchema.foldLeft(base) { (df, f) =>

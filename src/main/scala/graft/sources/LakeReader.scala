@@ -18,12 +18,21 @@ object LakeReader {
     * add_tables_folder): each readable file becomes a LakeTable with a
     * synthetic dense row id; unreadable/unsupported files are counted,
     * not fatal (the reference's file_errors counter).
+    *
+    * The folder walk goes through the path's Hadoop FileSystem — this
+    * is the lake's INGESTION entry point, and a `java.io.File` listing
+    * would return null (→ NPE) on hdfs:// or s3a:// lakes while
+    * silently working in local tests.
     */
   def readFolder(s: SparkSession, dir: String, firstTableId: Int = 1):
       (Seq[graft.index.LakeTable], Int) = {
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.isFile || DeltaReader.isDeltaTable(f.getPath))
-      .map(_.getPath).sorted
+    val hconf = s.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    val files = fs.listStatus(dirPath)
+      .filter(st => st.isFile ||
+        (st.isDirectory && DeltaReader.isDeltaTable(st.getPath.toString, hconf)))
+      .map(_.getPath.toString).sorted // full URI — scheme preserved
     var errors = 0
     val tables = scala.collection.mutable.ArrayBuffer.empty[graft.index.LakeTable]
     files.foreach { f =>
@@ -57,7 +66,8 @@ object LakeReader {
   }
 
   def read(s: SparkSession, path: String, schema: Option[StructType] = None): DataFrame =
-    if (DeltaReader.isDeltaTable(path)) DeltaReader.read(s, path)
+    if (DeltaReader.isDeltaTable(path, s.sessionState.newHadoopConf()))
+      DeltaReader.read(s, path)
     else path.split('.').last match {
       case "csv"     => readCsv(s, path, ",", schema)
       case "tsv"     => readCsv(s, path, "\t", schema)
@@ -67,7 +77,7 @@ object LakeReader {
       case "arff"    => readArff(s, path)
       case "avro"    => readAvro(s, path)
       case "xml"     => readXml(s, path)
-      case "txt" | "dat" => readCsv(s, path, sniffDelimiter(path))
+      case "txt" | "dat" => readCsv(s, path, sniffDelimiter(path, s.sessionState.newHadoopConf()))
       case other     => throw new IllegalArgumentException(s"Invalid file format: $other")
     }
 
@@ -102,9 +112,25 @@ object LakeReader {
     * candidate at all is an error (counted by [[readFolder]], not
     * fatal). Driver-side single-line read — never loads the file.
     */
-  def sniffDelimiter(path: String): String = {
-    val src = scala.io.Source.fromFile(path, "ISO-8859-1")
-    val line = try src.getLines().nextOption().getOrElse("") finally src.close()
+  def sniffDelimiter(path: String,
+                     conf: org.apache.hadoop.conf.Configuration =
+                       new org.apache.hadoop.conf.Configuration()): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // bounded read: first 64 KiB, first line — never the whole file,
+    // and through the Hadoop FS so extension-less files on any scheme
+    // sniff identically to local ones
+    val in = fs.open(p)
+    val line = try {
+      val buf = new Array[Byte](65536)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      val s0 = new String(buf, 0, off, "ISO-8859-1")
+      val nl = s0.indexOf('\n')
+      if (nl >= 0) s0.substring(0, nl).stripSuffix("\r") else s0
+    } finally in.close()
     val candidates = Seq(',', '\t', ';', '|', ':')
     val best = candidates.maxBy(d => line.count(_ == d))
     if (line.count(_ == best) == 0)

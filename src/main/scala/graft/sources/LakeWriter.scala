@@ -77,9 +77,19 @@ object LakeWriter {
     * concurrent commits through an atomic log rename, which a
     * single-pipeline sink does not need — concurrent writers to one
     * table are out of scope and would need that arbitration.
+    *
+    * All log/file manipulation goes through the Hadoop FileSystem of
+    * the table path, so the sink works on any scheme the session can
+    * reach, matching [[DeltaReader]].
+    *
+    * `checkpointInterval` > 0 writes a classic checkpoint parquet (+
+    * `_last_checkpoint` hint) every that-many commits — without it a
+    * long-lived graft-written table replays every JSON commit forever,
+    * which is exactly the unbounded-log failure the format's
+    * checkpoints exist to prevent.
     */
-  def writeDelta(df: DataFrame, dir: String): Unit =
-    commitDelta(df, dir, 0L, includeMeta = true)
+  def writeDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0): Unit =
+    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval)
 
   /** Append `df` to an existing Delta table as its next version —
     * readers at older versions (versionAsOf) are unaffected, the new
@@ -87,32 +97,39 @@ object LakeWriter {
     * maintenance discipline as `LakeIndexer.addTables`, but carried by
     * the table format itself.
     */
-  def appendDelta(df: DataFrame, dir: String): Unit = {
-    val log = new java.io.File(dir, "_delta_log")
-    require(log.isDirectory, s"appendDelta: not a Delta table: $dir")
-    val next = log.listFiles().toSeq
-      .filter(f => f.getName.matches("\\d{20}\\.json"))
-      .map(_.getName.take(20).toLong).max + 1
-    commitDelta(df, dir, next, includeMeta = false)
+  def appendDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0): Unit = {
+    val spark = df.sparkSession
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(log) && fs.getFileStatus(log).isDirectory,
+      s"appendDelta: not a Delta table: $dir")
+    val next = fs.listStatus(log).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json"))
+      .map(_.take(20).toLong).max + 1
+    commitDelta(df, dir, next, includeMeta = false, checkpointInterval)
   }
 
   private def commitDelta(df: DataFrame, dir: String, version: Long,
-                          includeMeta: Boolean): Unit = {
-    val root = new java.io.File(dir)
-    val log = new java.io.File(root, "_delta_log")
-    log.mkdirs()
+                          includeMeta: Boolean, checkpointInterval: Int): Unit = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
     // stage the parquet files, then move them into the table root —
     // files only become visible through the commit that adds them
-    val stage = new java.io.File(root, s"_stage_$version")
-    df.write.parquet(stage.getPath)
-    val moved = stage.listFiles().toSeq
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map { f =>
-        val dest = new java.io.File(root, f.getName)
-        java.nio.file.Files.move(f.toPath, dest.toPath)
-        (f.getName, dest.length())
+    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_$version")
+    df.write.parquet(stage.toString)
+    val moved = fs.listStatus(stage).toSeq
+      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+      .map { st =>
+        val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+        (st.getPath.getName, st.getLen)
       }
-    stage.listFiles().foreach(_.delete()); stage.delete()
+    fs.delete(stage, true)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val now = 0L // deterministic logs: modificationTime is informational
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -123,8 +140,69 @@ object LakeWriter {
     moved.foreach { case (name, size) =>
       actions += s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
-    val commit = new java.io.File(log, f"$version%020d.json")
-    java.nio.file.Files.write(commit.toPath, actions.mkString("\n").getBytes("UTF-8"))
+    val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
+    val out = fs.create(commit, false)
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
+      checkpointDelta(spark, dir, version)
+  }
+
+  /** Write a classic single-file checkpoint at `version`: the replayed
+    * snapshot state (protocol + metaData + live adds) compacted into
+    * one parquet file, plus the `_last_checkpoint` hint. The repo's
+    * own [[DeltaReader]] replays from it, so a reader never walks
+    * commits below the newest checkpoint — the log stays O(interval)
+    * to read no matter how many commits the table accumulates.
+    *
+    * Protocol fields are written as int32, matching what real
+    * delta-spark checkpoints store (the reader goes through `Number`
+    * for exactly this reason).
+    */
+  def checkpointDelta(spark: SparkSession, dir: String, version: Long): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    val schema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType)))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType))))),
+      StructField("add", StructType(Seq(
+        StructField("path", StringType),
+        StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("dataChange", BooleanType))))))
+    val rows =
+      Row(Row(snap.minReader.toInt, 2), null, null) +:
+      Row(null,
+        Row(java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString,
+          snap.schemaJson, snap.partCols),
+        null) +:
+      snap.active.map(a => Row(null, null, Row(a.path, a.partitionValues, true)))
+    val hconf = spark.sessionState.newHadoopConf()
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(hconf)
+    // Spark writes a directory; the spec wants ONE file named
+    // NNN.checkpoint.parquet — write to a scratch dir, rename the
+    // single part file into place, then publish _last_checkpoint.
+    // Order matters for crash safety: the hint is written only after
+    // the checkpoint file exists (a reader ignores a missing hint but
+    // would fail on a hinted-but-absent checkpoint).
+    val scratch = new org.apache.hadoop.fs.Path(log, s"_cp_stage_$version")
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+      .coalesce(1).write.parquet(scratch.toString)
+    val part = fs.listStatus(scratch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    require(part.length == 1, s"expected one checkpoint part file, got ${part.length}")
+    val dest = new org.apache.hadoop.fs.Path(log, f"$version%020d.checkpoint.parquet")
+    require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest failed")
+    fs.delete(scratch, true)
+    val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
+    val out = fs.create(hint, true)
+    try out.write(s"""{"version":$version,"size":${rows.size}}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Bucketed table layout — the CO-LOCATED JOIN mechanism: both sides

@@ -130,6 +130,49 @@ class DeltaReaderSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
+  test("writer checkpoints every N commits; reader replays across and from them") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_cp_").toFile
+    graft.sources.LakeWriter.writeDelta(Seq((0L, "v0")).toDF("id", "v"),
+      dir.getPath, checkpointInterval = 10)
+    (1 to 25).foreach { i =>
+      graft.sources.LakeWriter.appendDelta(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        dir.getPath, checkpointInterval = 10)
+    }
+    val log = new java.io.File(dir, "_delta_log")
+    assert(new java.io.File(log, f"${10L}%020d.checkpoint.parquet").isFile)
+    assert(new java.io.File(log, f"${20L}%020d.checkpoint.parquet").isFile)
+    assert(new java.io.File(log, "_last_checkpoint").isFile)
+    // the writer's checkpoint stores protocol versions as int32, like
+    // real delta-spark checkpoints — this doubles as the regression
+    // fixture for the reader's Number-based access (getLong would throw)
+    val cpSchema = spark.read
+      .parquet(new java.io.File(log, f"${20L}%020d.checkpoint.parquet").getPath).schema
+    val proto = cpSchema("protocol").dataType.asInstanceOf[StructType]
+    assert(proto("minReaderVersion").dataType ==
+      org.apache.spark.sql.types.IntegerType)
+    def rows(df: DataFrame) = df.select("id", "v").as[(Long, String)].collect().toSet
+    val all = (0 to 25).map(i => (i.toLong, s"v$i")).toSet
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == all)
+    // time travel ACROSS the checkpoint boundary: base = checkpoint 10,
+    // then JSON commits 11..15 on top
+    assert(rows(DeltaReader.read(spark, dir.getPath, Some(15L))) ==
+      all.filter(_._1 <= 15))
+    // ...and to a pre-checkpoint version, replayed from JSON alone
+    assert(rows(DeltaReader.read(spark, dir.getPath, Some(5L))) ==
+      all.filter(_._1 <= 5))
+    // retention cleans commits ≤ 20: latest still reads (base =
+    // checkpoint 20 + commits 21..25), pre-checkpoint version refuses
+    (0 to 20).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == all)
+    val ex = intercept[IllegalArgumentException] {
+      DeltaReader.read(spark, dir.getPath, Some(5L)).collect()
+    }
+    assert(ex.getMessage.contains("partial snapshot") ||
+      ex.getMessage.contains("not present"), ex.getMessage)
+  }
+
   test("add.path decoding is RFC percent-decoding, not form-urlencoding") {
     // '+' is a literal plus in a percent-encoded path; %20 is a space
     assert(graft.sources.DeltaReader.percentDecode("a+b.parquet") == "a+b.parquet")

@@ -22,6 +22,22 @@ class LakeReaderSpec extends SparkSpec {
     assert(cells.where(col("tableid") === 1).select(max(col("colid"))).first().getInt(0) == 1)
   }
 
+  test("readFolder and sniffDelimiter work through an explicit file:-scheme Hadoop path") {
+    // the ingestion entry point must go through the Hadoop FileSystem
+    // resolved from the path's scheme — a java.io.File walk returns
+    // null on any non-local URI (silent NPE on hdfs/s3a lakes); the
+    // file: scheme is the URI form local tests can exercise
+    val dir = Files.createTempDirectory("graft_fs_uri_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x,y\n1,foo\n2,bar\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "p;q\n5;baz\n")
+    val uri = s"file:$dir"
+    val (tables, errors) = LakeReader.readFolder(spark, uri)
+    assert(errors == 0)
+    assert(tables.map(_.name) == Seq("a.csv", "b.txt"))
+    assert(tables.head.df.count() == 2 && tables(1).df.count() == 1)
+    assert(LakeReader.sniffDelimiter(s"file:$dir/b.txt") == ";")
+  }
+
   test("delimiter sniffing reads .txt/.dat delimited files") {
     val dir = Files.createTempDirectory("graft_sniff_").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "x;y;z\n1;foo;2\n3;bar;4\n")
