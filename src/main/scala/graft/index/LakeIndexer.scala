@@ -51,7 +51,24 @@ object LakeIndexer {
     */
   def cellsMulti(tables: Seq[LakeTable],
                  hashes: Seq[(String, Column => Column)]): DataFrame =
-    tables.map(cellsOf(_, hashes)).reduce(_ unionByName _)
+    balancedUnion(tables.map(cellsOf(_, hashes)))
+
+  /** Union a per-table plan list in grouped levels instead of one
+    * linear `reduce` fold: a left-deep chain makes the analyzer walk a
+    * tree as deep as the LAKE IS WIDE on every action — at 10^4-10^5
+    * tables that turns first-build planning into the bottleneck
+    * (driver time, not executor time) and risks analyzer stack depth.
+    * Grouped folds keep every node ≤64 children and the tree
+    * O(log_64 n) deep; the executed plan (one scan per table feeding a
+    * single Union) is unchanged.
+    */
+  private[graft] def balancedUnion(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "balancedUnion of an empty plan list")
+    var level = dfs
+    while (level.size > 1)
+      level = level.grouped(64).map(_.reduce(_ unionByName _)).toSeq
+    level.head
+  }
 
   private def cellsOf(tb: LakeTable, hashes: Seq[(String, Column => Column)]): DataFrame = {
     val cleaned = tb.cols.map(c => cleanCol(col(c))).toArray
@@ -72,6 +89,56 @@ object LakeIndexer {
         hashes.flatMap { case (name, _) => Seq(col(s"${name}_hi"), col(s"${name}_lo")) }: _*)
   }
 
+  /** Cell index over a MERGED folder ingest
+    * ([[graft.sources.LakeReader.readFolderMerged]]): the same clean →
+    * super-key → melt pipeline as [[cellsMulti]], but `tableid` /
+    * `table_col_id` come from a COLUMN instead of a per-table literal,
+    * so one homogeneous group of any number of tables is one plan
+    * branch and ONE generated-code unit. This is the index build that
+    * scales to a 10^5-table lake: the per-table form compiles a
+    * distinct codegen unit per table (inlined tableid literal) and
+    * walks a union as wide as the lake on every action.
+    */
+  def cellsMerged(groups: Seq[graft.sources.LakeReader.MergedGroup],
+                  hashes: Seq[(String, Column => Column)] =
+                    Seq("sk" -> graft.functions.XashKernel.superKeyCol)): DataFrame =
+    balancedUnion(groups.map { g =>
+      val cleaned = g.cols.map(c => cleanCol(col(c))).toArray
+      val hashCols = hashes.flatMap { case (name, _) =>
+        Seq(col(s"__$name")(0).as(s"${name}_hi"), col(s"__$name")(1).as(s"${name}_lo"))
+      }
+      g.df
+        .select(col("tableid"), col("__rid").cast("long").as("rowid"),
+          array(cleaned: _*).as("toks"))
+        .select(col("tableid") +: col("rowid") +: col("toks") +:
+          hashes.map { case (name, fn) => fn(col("toks")).as(s"__$name") }: _*)
+        .select(col("tableid") +: col("rowid") +:
+          posexplode(col("toks")).as(Seq("colid", "tokenized")) +: hashCols: _*)
+        .select(
+          col("tokenized") +:
+          col("tableid") +:
+          col("colid") +:
+          col("rowid") +:
+          concat_ws("_", col("tableid"), col("colid")).as("table_col_id") +:
+          hashes.flatMap { case (name, _) => Seq(col(s"${name}_hi"), col(s"${name}_lo")) }: _*)
+    })
+
+  /** `table_info` for a merged ingest: row counts from one grouped
+    * aggregation per homogeneous group, names from the catalog.
+    */
+  def tableInfoMerged(s: SparkSession,
+                      groups: Seq[graft.sources.LakeReader.MergedGroup],
+                      catalog: Seq[(Int, String)]): DataFrame = {
+    import s.implicits._
+    val names = catalog.toDF("tableid", "dataset_name")
+    balancedUnion(groups.map { g =>
+      g.df.groupBy(col("tableid"))
+        .agg(count(lit(1)).as("max_row_id"), lit(g.cols.length - 1).as("max_col_id"))
+    })
+      .join(broadcast(names), "tableid")
+      .select(col("tableid"), col("dataset_name"), col("max_row_id"), col("max_col_id"))
+  }
+
   /** Cell index at any reference XASH width (64/128/256/512,
     * maco/util.py:173 segment_size_dict): the super key is carried as
     * hashSize/64 little-endian words in ONE array<long> column `sk`.
@@ -80,7 +147,7 @@ object LakeIndexer {
     * `Mate.joinSearchAt`.
     */
   def cellsWords(tables: Seq[LakeTable], hashSize: Int): DataFrame =
-    tables.map { tb =>
+    balancedUnion(tables.map { tb =>
       val cleaned = tb.cols.map(c => cleanCol(col(c))).toArray
       tb.df
         .select(tb.rowId.cast("long").as("rowid"), array(cleaned: _*).as("toks"))
@@ -94,7 +161,7 @@ object LakeIndexer {
           col("rowid"),
           concat_ws("_", lit(tb.tableId), col("colid")).as("table_col_id"),
           col("sk"))
-    }.reduce(_ unionByName _)
+    })
 
   /** Posting lists for a token set (reference
     * get_concatinated_posting_list, maco/data_handler.py:802): one row
@@ -232,11 +299,11 @@ object LakeIndexer {
     * last column index).
     */
   def tableInfo(tables: Seq[LakeTable]): DataFrame =
-    tables.map { tb =>
+    balancedUnion(tables.map { tb =>
       tb.df.agg(
         lit(tb.tableId).as("tableid"),
         lit(tb.name).as("dataset_name"),
         count(lit(1)).as("max_row_id"),
         lit(tb.cols.length - 1).as("max_col_id"))
-    }.reduce(_ unionByName _)
+    })
 }

@@ -48,6 +48,140 @@ object LakeReader {
     (tables.toSeq, errors)
   }
 
+  /** One homogeneous slice of a lake folder, read as a SINGLE
+    * multi-path scan: `df` carries `tableid` + dense per-table `__rid`
+    * + the group's data columns. See [[readFolderMerged]].
+    */
+  case class MergedGroup(df: DataFrame, cols: Seq[String])
+
+  /** Wide-lake folder ingestion: files grouped by (format, header /
+    * schema), each group read as ONE multi-path scan with `tableid`
+    * resolved from `input_file_name()` through a broadcast file→id
+    * join. Returns the merged groups, the (tableid, dataset_name)
+    * catalog, and the unmergeable-file count.
+    *
+    * This is the 10^4-10^5-table entry path: [[readFolder]] builds one
+    * DataFrame per table, which makes the downstream index build a
+    * union with one branch per table — the analyzer walks a plan as
+    * wide as the lake and every branch compiles its own codegen unit
+    * (driver/compile time, not executor time, becomes first-build's
+    * bottleneck). Here a million same-schema csv files are ONE scan
+    * node, one codegen unit, however wide the lake is.
+    *
+    * csv/tsv groups key on the header line (bounded first-line read
+    * through the Hadoop FS) and read with an explicit all-string
+    * schema — no per-file inference scan; the indexer tokenizes to
+    * text anyway (maco/data_handler.py:406). parquet groups key on the
+    * footer schema. Anything else is counted in `errors` — route
+    * exotic formats through [[readFolder]].
+    *
+    * The per-table `__rid` is dense 0-based in scan order: one
+    * `row_number` window partitioned BY TABLE — distributed across the
+    * lake's tables (the skew bound is the largest single table, which
+    * is the wide-lake regime's small dimension; a lake of few huge
+    * tables wants [[readFolder]] + a native dense key instead).
+    */
+  def readFolderMerged(s: SparkSession, dir: String, firstTableId: Int = 1):
+      (Seq[MergedGroup], Seq[(Int, String)], Int) = {
+    val hconf = s.sessionState.newHadoopConf()
+    val dirPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirPath.getFileSystem(hconf)
+    val files = fs.listStatus(dirPath).filter(_.isFile)
+      .map(_.getPath.toString).sorted
+    // metadata probe (header line / parquet footer) per file, in
+    // PARALLEL: at 10^5 files a serial probe is minutes of driver
+    // wall time for ~3ms of I/O each — the probe must not become the
+    // wide lake's first bottleneck. Probe results keep listing order;
+    // id assignment below stays sequential and deterministic.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(32, Runtime.getRuntime.availableProcessors()))
+    val probed: Seq[Option[(String, String, Seq[String])]] = try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      Await.result(Future.traverse(files.toSeq) { f => Future {
+        try Some(f.split('.').last match {
+          case ext @ ("csv" | "tsv" | "txt" | "dat") =>
+            val d = ext match {
+              case "csv" => ","
+              case "tsv" => "\t"
+              case _     => sniffDelimiter(f, hconf)
+            }
+            val header = firstLine(f, hconf).split(java.util.regex.Pattern.quote(d), -1).toSeq
+            require(header.nonEmpty && header.forall(_.nonEmpty), s"empty header column in $f")
+            (s"delim:$d:" + header.mkString("\u0000"), d, header)
+          case "parquet" =>
+            val sch = s.read.parquet(f).schema
+            ("parquet:" + sch.json, null, sch.fieldNames.toSeq)
+          case other => throw new IllegalArgumentException(s"unmergeable format: $other")
+        })
+        catch { case _: Exception => None }
+      } }, Duration.Inf)
+    } finally pool.shutdown()
+    var errors = 0
+    // group key -> (delimiter or null, header cols, member files)
+    val groups = scala.collection.mutable.LinkedHashMap
+      .empty[String, (String, Seq[String], scala.collection.mutable.ArrayBuffer[String])]
+    val catalog = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    val fileIds = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
+    files.zip(probed).foreach {
+      case (_, None) => errors += 1
+      case (f, Some((key, d, cols))) =>
+        groups.getOrElseUpdate(key, (d, cols, scala.collection.mutable.ArrayBuffer.empty))
+          ._3 += f
+        val id = firstTableId + catalog.length
+        catalog += ((id, f.split('/').last))
+        fileIds += ((f, id))
+    }
+    import org.apache.spark.sql.functions.{broadcast, col, expr, input_file_name, monotonically_increasing_id, regexp_replace, row_number}
+    // join key: the PATH part of the file URI — input_file_name()
+    // returns a fully-qualified form ("file:///x") that need not match
+    // the listing's ("file:/x") byte-for-byte
+    def pathOf(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    val idFrame = {
+      import s.implicits._
+      fileIds.toSeq.map { case (f, id) => (pathOf(f), id) }.toDF("__file", "tableid")
+    }
+    val merged = groups.values.toSeq.map { case (delim, cols, groupFiles) =>
+      val base =
+        if (delim != null) {
+          val schema = StructType(cols.map(c =>
+            org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+          s.read.option("header", "true").option("delimiter", delim)
+            .schema(schema).csv(groupFiles.toSeq: _*)
+        } else s.read.parquet(groupFiles.toSeq: _*)
+      val tagged = base
+        .withColumn("__file",
+          regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
+        .join(broadcast(idFrame), "__file")
+        .drop("__file")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("tableid").orderBy(monotonically_increasing_id())
+      MergedGroup(
+        tagged.withColumn("__rid", row_number().over(w).cast("long") - 1L),
+        cols)
+    }
+    (merged, catalog.toSeq, errors)
+  }
+
+  /** Bounded first-line read through the Hadoop FS (64 KiB cap). */
+  private def firstLine(path: String, conf: org.apache.hadoop.conf.Configuration): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val in = fs.open(p)
+    try {
+      val buf = new Array[Byte](65536)
+      var off = 0
+      var n = 0
+      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
+        off += n
+      val s0 = new String(buf, 0, off, "ISO-8859-1")
+      val nl = s0.indexOf('\n')
+      if (nl >= 0) s0.substring(0, nl).stripSuffix("\r") else s0
+    } finally in.close()
+  }
+
   /** Dense 0-based row id in (partition, in-partition) order, fully
     * distributed: `zipWithIndex` runs one tiny count job for the
     * per-partition offsets and each partition then stamps its own
@@ -115,22 +249,10 @@ object LakeReader {
   def sniffDelimiter(path: String,
                      conf: org.apache.hadoop.conf.Configuration =
                        new org.apache.hadoop.conf.Configuration()): String = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(conf)
     // bounded read: first 64 KiB, first line — never the whole file,
     // and through the Hadoop FS so extension-less files on any scheme
     // sniff identically to local ones
-    val in = fs.open(p)
-    val line = try {
-      val buf = new Array[Byte](65536)
-      var off = 0
-      var n = 0
-      while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
-        off += n
-      val s0 = new String(buf, 0, off, "ISO-8859-1")
-      val nl = s0.indexOf('\n')
-      if (nl >= 0) s0.substring(0, nl).stripSuffix("\r") else s0
-    } finally in.close()
+    val line = firstLine(path, conf)
     val candidates = Seq(',', '\t', ';', '|', ':')
     val best = candidates.maxBy(d => line.count(_ == d))
     if (line.count(_ == best) == 0)

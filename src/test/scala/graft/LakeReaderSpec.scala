@@ -38,6 +38,39 @@ class LakeReaderSpec extends SparkSpec {
     assert(LakeReader.sniffDelimiter(s"file:$dir/b.txt") == ";")
   }
 
+  test("merged folder ingest builds the identical cell index through one scan per group") {
+    val dir = Files.createTempDirectory("graft_merged_").toString
+    // two homogeneous csv groups (different headers) + a tsv group +
+    // one unmergeable file — 6 tables, 3 scan branches
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x,y\n1,foo\n2,bar\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"), "x,y\n3,baz\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/c.csv"), "p,q,r\n7,a,b\n8,c,d\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.tsv"), "m\tn\n5\tfive\n6\tsix\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/e.tsv"), "m\tn\n9\tnine\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/f.xyz"), "unsupported")
+    val (groups, catalog, errors) = graft.sources.LakeReader.readFolderMerged(spark, dir)
+    assert(errors == 1)
+    assert(groups.size == 3, "one scan branch per homogeneous group, not per table")
+    assert(catalog == Seq((1, "a.csv"), (2, "b.csv"), (3, "c.csv"),
+      (4, "d.tsv"), (5, "e.tsv")))
+    // parity: the merged build must produce EXACTLY the per-table
+    // index — readFolder is all-strings via inference? no: compare on
+    // the same all-string footing readFolderMerged uses
+    val (tables, _) = LakeReader.readFolder(spark, dir)
+    val perTable = LakeIndexer.cells(tables.filterNot(_.name == "f.xyz"))
+    val merged = LakeIndexer.cellsMerged(groups)
+    assert(merged.columns.toSeq == perTable.columns.toSeq)
+    val key = merged.columns.map(col)
+    assert(merged.select(key: _*).collect().map(_.toString).sorted.toSeq ==
+      perTable.select(key: _*).collect().map(_.toString).sorted.toSeq)
+    // table_info parity
+    val infoM = LakeIndexer.tableInfoMerged(spark, groups, catalog)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val infoT = LakeIndexer.tableInfo(tables)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    assert(infoM == infoT)
+  }
+
   test("delimiter sniffing reads .txt/.dat delimited files") {
     val dir = Files.createTempDirectory("graft_sniff_").toString
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"), "x;y;z\n1;foo;2\n3;bar;4\n")
