@@ -390,13 +390,17 @@ object Dedup {
                localThreshold: Long = 500000): DataFrame = {
     // Both edge directions come out of ONE pass over `pairs` (explode of a
     // 2-element array) — a union of pairs with pairs-swapped would execute
-    // the whole candidate-generation subplan twice before the cache exists.
+    // the whole candidate-generation subplan twice before materializing.
+    // localCheckpoint, not cache: the edge set is re-read every
+    // propagation round but must not pin executor storage past this
+    // method (the blocks die with the Dataset instead of surviving the
+    // session) — the same leak this discipline fixed in `semantic`.
     val edges = pairs
       .select(explode(array(
         struct(col("id_1").as("a"), col("id_2").as("b")),
         struct(col("id_2").as("a"), col("id_1").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
-      .distinct().cache()
+      .distinct().localCheckpoint(true)
     if (edges.count() <= localThreshold) return clustersLocal(docs, edges, id)
     // Only edge-incident nodes can change label — iterate over that
     // (much smaller) set; isolated docs join back as their own cluster
@@ -439,8 +443,13 @@ object Dedup {
     if (changed > 0) sys.error(
       s"Dedup.clusters: min-label propagation did not converge in $maxIter rounds " +
         s"($changed labels still changing) — refusing to return split components")
+    // The loop's final round stays cached only until the labels are
+    // snapshotted here — the returned plan reads the checkpoint blocks
+    // (released when the Dataset is GC'd), not a session-lifetime cache.
+    val finalLabels = labels.select(col("node"), col("label")).localCheckpoint(true)
+    labels.unpersist(false)
     docs.select(col(id).as("node"))
-      .join(labels.select(col("node"), col("label")), Seq("node"), "left")
+      .join(finalLabels, Seq("node"), "left")
       .select(col("node").as(id), coalesce(col("label"), col("node")).as("cluster"))
   }
 

@@ -125,18 +125,27 @@ object LakeIndexer {
 
   /** `table_info` for a merged ingest: row counts from one grouped
     * aggregation per homogeneous group, names from the catalog.
+    *
+    * The CATALOG is the driving side: a zero-row table (header-only
+    * csv) produces no group in the count aggregate, and an inner join
+    * would silently drop it — the per-table [[tableInfo]] emits a
+    * count=0 row, and both ingest paths must agree. The counts side is
+    * bounded by the table count (one row per table), so broadcasting
+    * it keeps the join exchange-free.
     */
   def tableInfoMerged(s: SparkSession,
                       groups: Seq[graft.sources.LakeReader.MergedGroup],
                       catalog: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
-    val names = catalog.toDF("tableid", "dataset_name")
-    balancedUnion(groups.map { g =>
-      g.df.groupBy(col("tableid"))
-        .agg(count(lit(1)).as("max_row_id"), lit(g.cols.length - 1).as("max_col_id"))
+    val widthById = groups.flatMap(g => g.tableIds.map(_ -> (g.cols.length - 1))).toMap
+    val cat = catalog.map { case (id, name) => (id, name, widthById(id)) }
+      .toDF("tableid", "dataset_name", "max_col_id")
+    val counts = balancedUnion(groups.map { g =>
+      g.df.groupBy(col("tableid")).agg(count(lit(1)).as("__cnt"))
     })
-      .join(broadcast(names), "tableid")
-      .select(col("tableid"), col("dataset_name"), col("max_row_id"), col("max_col_id"))
+    cat.join(broadcast(counts), Seq("tableid"), "left")
+      .select(col("tableid"), col("dataset_name"),
+        coalesce(col("__cnt"), lit(0L)).as("max_row_id"), col("max_col_id"))
   }
 
   /** Cell index at any reference XASH width (64/128/256/512,

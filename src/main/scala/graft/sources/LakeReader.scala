@@ -50,9 +50,16 @@ object LakeReader {
 
   /** One homogeneous slice of a lake folder, read as a SINGLE
     * multi-path scan: `df` carries `tableid` + dense per-table `__rid`
-    * + the group's data columns. See [[readFolderMerged]].
+    * + the group's data columns; `tableIds` lists the member tables so
+    * catalog-driven consumers (table_info) can account for tables whose
+    * scan produces zero rows. See [[readFolderMerged]].
     */
-  case class MergedGroup(df: DataFrame, cols: Seq[String])
+  case class MergedGroup(df: DataFrame, cols: Seq[String], tableIds: Seq[Int] = Nil)
+
+  /** Per-file metadata probe result: the grouping key, the format, the
+    * delimiter (csv family only) and the column list.
+    */
+  private case class Probe(key: String, fmt: String, delim: String, cols: Seq[String])
 
   /** Wide-lake folder ingestion: files grouped by (format, header /
     * schema), each group read as ONE multi-path scan with `tableid`
@@ -72,14 +79,26 @@ object LakeReader {
     * through the Hadoop FS) and read with an explicit all-string
     * schema — no per-file inference scan; the indexer tokenizes to
     * text anyway (maco/data_handler.py:406). parquet groups key on the
-    * footer schema. Anything else is counted in `errors` — route
-    * exotic formats through [[readFolder]].
+    * footer schema. Line-delimited json groups key on the FIRST
+    * record's sorted top-level key set (the json analog of a csv
+    * header — same bounded one-line probe) and read all-string with an
+    * explicit schema in sorted key order, matching Spark's
+    * alphabetized json inference; a file whose later records carry
+    * extra keys mis-groups exactly like a csv with a lying header
+    * would, so heterogeneous-record json belongs in [[readFolder]].
+    * Anything else is counted in `errors` — route exotic formats
+    * through [[readFolder]].
     *
-    * The per-table `__rid` is dense 0-based in scan order: one
-    * `row_number` window partitioned BY TABLE — distributed across the
-    * lake's tables (the skew bound is the largest single table, which
-    * is the wide-lake regime's small dimension; a lake of few huge
-    * tables wants [[readFolder]] + a native dense key instead).
+    * The per-table `__rid` is dense 0-based in FILE ORDER: one
+    * `row_number` window partitioned BY TABLE, ordered by the split's
+    * byte offset (`_metadata.file_block_start`) then intra-split read
+    * order — deterministic however `files.maxPartitionBytes` carves
+    * the scan, where plain `monotonically_increasing_id()` order would
+    * follow Spark's size-descending file packing and shift ids when
+    * partition sizing changes. Distributed across the lake's tables
+    * (the skew bound is the largest single table, which is the
+    * wide-lake regime's small dimension; a lake of few huge tables
+    * wants [[readFolder]] + a native dense key instead).
     */
   def readFolderMerged(s: SparkSession, dir: String, firstTableId: Int = 1):
       (Seq[MergedGroup], Seq[(Int, String)], Int) = {
@@ -95,7 +114,8 @@ object LakeReader {
     // id assignment below stays sequential and deterministic.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(32, Runtime.getRuntime.availableProcessors()))
-    val probed: Seq[Option[(String, String, Seq[String])]] = try {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper() // thread-safe for reads
+    val probed: Seq[Option[Probe]] = try {
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       import scala.concurrent.{Await, Future}
@@ -110,62 +130,94 @@ object LakeReader {
             }
             val header = firstLine(f, hconf).split(java.util.regex.Pattern.quote(d), -1).toSeq
             require(header.nonEmpty && header.forall(_.nonEmpty), s"empty header column in $f")
-            (s"delim:$d:" + header.mkString("\u0000"), d, header)
+            Probe(s"delim:$d:" + header.mkString("\u0000"), "csv", d, header)
+          case "json" =>
+            val first = om.readTree(firstLine(f, hconf))
+            require(first != null && first.isObject, s"first json record is not an object in $f")
+            val keys = {
+              val it = first.fieldNames()
+              val b = Seq.newBuilder[String]
+              while (it.hasNext) b += it.next()
+              b.result().sorted
+            }
+            require(keys.nonEmpty, s"empty first json record in $f")
+            Probe("json:" + keys.mkString("\u0000"), "json", null, keys)
           case "parquet" =>
             val sch = s.read.parquet(f).schema
-            ("parquet:" + sch.json, null, sch.fieldNames.toSeq)
+            Probe("parquet:" + sch.json, "parquet", null, sch.fieldNames.toSeq)
           case other => throw new IllegalArgumentException(s"unmergeable format: $other")
         })
         catch { case _: Exception => None }
       } }, Duration.Inf)
     } finally pool.shutdown()
     var errors = 0
-    // group key -> (delimiter or null, header cols, member files)
-    val groups = scala.collection.mutable.LinkedHashMap
-      .empty[String, (String, Seq[String], scala.collection.mutable.ArrayBuffer[String])]
+    // group key -> (format, delimiter or null, cols, member files, member ids)
+    val groups = scala.collection.mutable.LinkedHashMap.empty[String,
+      (String, String, Seq[String], scala.collection.mutable.ArrayBuffer[String],
+       scala.collection.mutable.ArrayBuffer[Int])]
     val catalog = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
     val fileIds = scala.collection.mutable.ArrayBuffer.empty[(String, Int)]
     files.zip(probed).foreach {
       case (_, None) => errors += 1
-      case (f, Some((key, d, cols))) =>
-        groups.getOrElseUpdate(key, (d, cols, scala.collection.mutable.ArrayBuffer.empty))
-          ._3 += f
+      case (f, Some(Probe(key, fmt, d, cols))) =>
+        val g = groups.getOrElseUpdate(key, (fmt, d, cols,
+          scala.collection.mutable.ArrayBuffer.empty, scala.collection.mutable.ArrayBuffer.empty))
         val id = firstTableId + catalog.length
+        g._4 += f
+        g._5 += id
         catalog += ((id, f.split('/').last))
         fileIds += ((f, id))
     }
-    import org.apache.spark.sql.functions.{broadcast, col, expr, input_file_name, monotonically_increasing_id, regexp_replace, row_number}
-    // join key: the PATH part of the file URI — input_file_name()
-    // returns a fully-qualified form ("file:///x") that need not match
-    // the listing's ("file:/x") byte-for-byte
-    def pathOf(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getPath
+    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, monotonically_increasing_id, regexp_replace, row_number}
+    // join key: the PATH part of the file URI in its PERCENT-ENCODED
+    // form — input_file_name() returns Spark's url-encoded path (a
+    // space is "%20"), so the listing side must key on the encoded
+    // form too (Path.toUri.getRawPath); a decoded getPath key would
+    // silently drop every row of any file whose name needs encoding.
+    // The fully-qualified scheme/authority prefix ("file:///x" vs
+    // "file:/x") is stripped — it need not match byte-for-byte.
+    def pathOf(uri: String): String = new org.apache.hadoop.fs.Path(uri).toUri.getRawPath
     val idFrame = {
       import s.implicits._
       fileIds.toSeq.map { case (f, id) => (pathOf(f), id) }.toDF("__file", "tableid")
     }
-    val merged = groups.values.toSeq.map { case (delim, cols, groupFiles) =>
-      val base =
-        if (delim != null) {
-          val schema = StructType(cols.map(c =>
-            org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+    val merged = groups.values.toSeq.map { case (fmt, delim, cols, groupFiles, ids) =>
+      val allString = StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
+      val base = fmt match {
+        case "csv" =>
           s.read.option("header", "true").option("delimiter", delim)
-            .schema(schema).csv(groupFiles.toSeq: _*)
-        } else s.read.parquet(groupFiles.toSeq: _*)
+            .schema(allString).csv(groupFiles.toSeq: _*)
+        case "json" => s.read.schema(allString).json(groupFiles.toSeq: _*)
+        case _      => s.read.parquet(groupFiles.toSeq: _*)
+      }
       val tagged = base
+        // captured BEFORE the id join — metadata columns don't resolve
+        // through it. __pos orders a table's splits by byte offset so
+        // __rid below is independent of partition sizing.
+        .withColumn("__pos", col("_metadata.file_block_start"))
         .withColumn("__file",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
         .join(broadcast(idFrame), "__file")
         .drop("__file")
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("tableid").orderBy(monotonically_increasing_id())
+        .partitionBy("tableid").orderBy(col("__pos"), monotonically_increasing_id())
       MergedGroup(
-        tagged.withColumn("__rid", row_number().over(w).cast("long") - 1L),
-        cols)
+        tagged.withColumn("__rid", row_number().over(w).cast("long") - 1L).drop("__pos"),
+        cols, ids.toSeq)
     }
     (merged, catalog.toSeq, errors)
   }
 
-  /** Bounded first-line read through the Hadoop FS (64 KiB cap). */
+  /** Bounded first-line read through the Hadoop FS (64 KiB cap). A
+    * file whose first line exceeds the cap FAILS the probe rather than
+    * returning the truncated buffer as a pseudo-line: a silently
+    * truncated csv header would give [[readFolderMerged]] a wrong
+    * group key / column list and [[sniffDelimiter]] a delimiter vote
+    * over a partial line — the caller counts the file in `errors`,
+    * which is loud where truncation is silent. A short file with no
+    * trailing newline is still its own (complete) first line.
+    */
   private def firstLine(path: String, conf: org.apache.hadoop.conf.Configuration): String = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
@@ -178,7 +230,10 @@ object LakeReader {
         off += n
       val s0 = new String(buf, 0, off, "ISO-8859-1")
       val nl = s0.indexOf('\n')
-      if (nl >= 0) s0.substring(0, nl).stripSuffix("\r") else s0
+      if (nl >= 0) s0.substring(0, nl).stripSuffix("\r")
+      else if (off < buf.length) s0
+      else throw new IllegalArgumentException(
+        s"first line of $path exceeds ${buf.length} bytes — refusing a truncated header probe")
     } finally in.close()
   }
 
