@@ -395,6 +395,14 @@ object Dedup {
     // propagation round but must not pin executor storage past this
     // method (the blocks die with the Dataset instead of surviving the
     // session) — the same leak this discipline fixed in `semantic`.
+    // DOCUMENTED TRADEOFF: localCheckpoint truncates lineage into
+    // non-replicated executor-local blocks, so losing an executor
+    // (dynamic-allocation decommission, OOM kill) mid-method fails the
+    // call unrecoverably where cache() would have recomputed from
+    // lineage. On a long-lived dynamic-allocation cluster prefer
+    // reliable `checkpoint()` to a job-scoped checkpoint dir; here the
+    // method-scoped window is short and re-running the call is cheap
+    // relative to pinning edge blocks for the session lifetime.
     val edges = pairs
       .select(explode(array(
         struct(col("id_1").as("a"), col("id_2").as("b")),

@@ -138,7 +138,10 @@ object LakeIndexer {
                       catalog: Seq[(Int, String)]): DataFrame = {
     import s.implicits._
     val widthById = groups.flatMap(g => g.tableIds.map(_ -> (g.cols.length - 1))).toMap
-    val cat = catalog.map { case (id, name) => (id, name, widthById(id)) }
+    val cat = catalog.map { case (id, name) => (id, name,
+      widthById.getOrElse(id, sys.error(
+        s"tableInfoMerged: catalog table $id ('$name') belongs to no group — " +
+          "was a MergedGroup built without its tableIds membership list?"))) }
       .toDF("tableid", "dataset_name", "max_col_id")
     val counts = balancedUnion(groups.map { g =>
       g.df.groupBy(col("tableid")).agg(count(lit(1)).as("__cnt"))

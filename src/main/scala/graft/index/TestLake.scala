@@ -66,11 +66,70 @@ object TestLake {
     * colid, rowid, table_col_id) — super keys are not SQL-expressible
     * and are checked separately.
     */
-  def cellsSql: String =
-    spec.flatMap { case (id, name, key, cols) =>
+  def cellsSql: String = cellsSqlWithIds(spec.map(s => (s._1, s)))
+
+  private def cellsSqlWithIds(entries: Seq[(Int, (Int, String, String, Seq[String]))]): String =
+    entries.flatMap { case (id, (_, name, key, cols)) =>
       cols.zipWithIndex.map { case (c, i) =>
         val tok = s"substr(${TextFunctions.cleanedTextSql(s"coalesce(CAST($c AS VARCHAR), '')")}, 1, ${LakeIndexer.MaxTokenLength})"
         s"SELECT $tok AS tokenized, $id AS tableid, $i AS colid, CAST($key AS BIGINT) AS rowid, '${id}_$i' AS table_col_id FROM $name"
       }
     }.mkString("", " UNION ALL ", "")
+
+  /** The demo lake as a FOLDER of single-file csvs — the fixture for
+    * the merged wide-lake path (`readFolderMerged`+`cellsMerged`), the
+    * ingestion design a 10^4-table lake actually uses. Each table is
+    * ONE `<name>.csv` file with rows sorted by its dense 0-based key,
+    * so the merged path's file-order `__rid` equals the key and the
+    * same DuckDB oracle shape as [[cellsSql]] applies. Written once
+    * per (session, dir); local-FS temp fixture by construction.
+    */
+  def corpusDir(s: SparkSession, dir: String): String =
+    corpusCache.getOrElseUpdate((s, dir), {
+      val out = java.nio.file.Files.createTempDirectory("graft_merged_corpus_")
+      spec.foreach { case (_, name, key, _) =>
+        val stage = out.resolve(s"_stage_$name")
+        s.read.parquet(s"$dir/$name.parquet")
+          .repartition(1).sortWithinPartitions(col(key))
+          .write.option("header", "true").csv(stage.toString)
+        val parts = stage.toFile.listFiles().filter(_.getName.endsWith(".csv"))
+        require(parts.length == 1, s"expected one csv part for $name, got ${parts.length}")
+        java.nio.file.Files.move(parts.head.toPath, out.resolve(s"$name.csv"))
+        // scrub the staging dir (part markers, _SUCCESS) so the folder
+        // walk sees exactly one file per table
+        java.nio.file.Files.walk(stage).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => java.nio.file.Files.delete(p))
+      }
+      out.toString
+    })
+
+  private val corpusCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
+
+  /** Table ids the merged ingest assigns: file-listing (alphabetical
+    * filename) order, 1-based — `customer.csv`=1 … `supplier.csv`=5.
+    */
+  def mergedSpec: Seq[(Int, (Int, String, String, Seq[String]))] =
+    spec.sortBy(_._2).zipWithIndex.map { case (entry, i) => (i + 1, entry) }
+
+  /** Cell index built through the MERGED ingestion path over
+    * [[corpusDir]] — one scan branch per homogeneous header group
+    * instead of one per table. Plan cached per (session, dir); the
+    * data itself is small enough to re-scan per action.
+    */
+  def cellsMergedDemo(s: SparkSession, dir: String): DataFrame =
+    mergedCache.getOrElseUpdate((s, dir), {
+      val (groups, _, errors) =
+        graft.sources.LakeReader.readFolderMerged(s, corpusDir(s, dir))
+      require(errors == 0, s"merged demo corpus had $errors unreadable files")
+      LakeIndexer.cellsMerged(groups)
+    })
+
+  private val mergedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** DuckDB oracle for [[cellsMergedDemo]]: [[cellsSql]] with the
+    * merged path's filename-order table ids.
+    */
+  def cellsMergedSql: String = cellsSqlWithIds(mergedSpec)
 }

@@ -26,6 +26,16 @@ object IndexQueries {
         .orderBy("tableid", "rowid", "colid")
     }),
 
+    // 7b. the SAME cell index built through the merged wide-lake path
+    // (readFolderMerged + cellsMerged over a folder of csv files): the
+    // ingestion design a 10^4-table lake actually uses, checked
+    // rows+schema+hash against the same oracle shape as cell_index
+    "cell_index_merged" -> ((s, dir) => {
+      TestLake.cellsMergedDemo(s, dir)
+        .select("tokenized", "tableid", "colid", "rowid", "table_col_id")
+        .orderBy("tableid", "rowid", "colid")
+    }),
+
     // posting-list retrieval for a token set (the reference's
     // get_concatinated_posting_list surface)
     "posting_list" -> ((s, dir) =>
@@ -111,6 +121,9 @@ object IndexQueries {
 
     "cell_index" ->
       s"SELECT * FROM (${TestLake.cellsSql}) ORDER BY tableid, rowid, colid",
+
+    "cell_index_merged" ->
+      s"SELECT * FROM (${TestLake.cellsMergedSql}) ORDER BY tableid, rowid, colid",
 
     "posting_list" ->
       s"""SELECT tableid || '_' || rowid || ';' || colid || '_' || tokenized AS pl

@@ -39,14 +39,23 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaReader {
 
-  private[sources] case class AddFile(path: String, partitionValues: Map[String, String])
+  /** `size`/`modificationTime` ride through the snapshot so the
+    * checkpoint writer can emit them — the protocol REQUIRES them in
+    * checkpoint `add` actions, and dropping them would break real
+    * delta-spark readers of graft-written checkpoints.
+    */
+  private[sources] case class AddFile(path: String, partitionValues: Map[String, String],
+                                      size: Long = 0L, modificationTime: Long = 0L)
 
   /** The replayed log state at one version — what both the reader and
-    * the checkpoint writer need: the live add set plus table metadata.
+    * the checkpoint writer need: the live add set plus table metadata
+    * (`configuration` carries `delta.columnMapping.mode`; a checkpoint
+    * must re-emit it or a remounted reader loses the mapping).
     */
   private[sources] case class Snapshot(version: Long, active: Seq[AddFile],
                                        schemaJson: String, partCols: Seq[String],
-                                       minReader: Long)
+                                       minReader: Long,
+                                       configuration: Map[String, String] = Map.empty)
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
     * application/x-www-form-urlencoded rules turn a literal '+' in a
@@ -132,6 +141,8 @@ object DeltaReader {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1L
+    var readerFeatures: Set[String] = Set.empty
+    var configuration: Map[String, String] = Map.empty
 
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log
@@ -158,15 +169,22 @@ object DeltaReader {
       rows.foreach { r =>
         if (cols("add") && !r.isNullAt(r.fieldIndex("add"))) {
           val a = r.getStruct(r.fieldIndex("add"))
+          val aFields = a.schema.fieldNames.toSet
+          def optLong(name: String): Long =
+            if (aFields(name) && !a.isNullAt(a.fieldIndex(name)))
+              a.getAs[Number](name).longValue() else 0L
           val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
             .map(_.toMap).getOrElse(Map.empty[String, String])
           val p = a.getString(a.fieldIndex("path"))
-          active(p) = AddFile(p, pv)
+          active(p) = AddFile(p, pv, optLong("size"), optLong("modificationTime"))
         }
         if (cols("metaData") && !r.isNullAt(r.fieldIndex("metaData"))) {
           val md = r.getStruct(r.fieldIndex("metaData"))
+          val mdFields = md.schema.fieldNames.toSet
           schemaJson = Some(md.getString(md.fieldIndex("schemaString")))
           partCols = md.getSeq[String](md.fieldIndex("partitionColumns"))
+          if (mdFields("configuration") && !md.isNullAt(md.fieldIndex("configuration")))
+            configuration = md.getMap[String, String](md.fieldIndex("configuration")).toMap
         }
         if (cols("protocol") && !r.isNullAt(r.fieldIndex("protocol"))) {
           val pr = r.getStruct(r.fieldIndex("protocol"))
@@ -176,6 +194,9 @@ object DeltaReader {
           // through Number
           minReader = math.max(minReader,
             pr.getAs[Number]("minReaderVersion").longValue())
+          val prFields = pr.schema.fieldNames.toSet
+          if (prFields("readerFeatures") && !pr.isNullAt(pr.fieldIndex("readerFeatures")))
+            readerFeatures = pr.getSeq[String](pr.fieldIndex("readerFeatures")).toSet
         }
       }
     }
@@ -200,6 +221,9 @@ object DeltaReader {
           val n = om.readTree(line)
           if (n.has("add")) {
             val a = n.get("add")
+            require(!a.has("deletionVector") || a.get("deletionVector").isNull,
+              s"add action carries a deletion vector in $logPath — refusing to " +
+                "surface deleted rows as live data")
             val pv = Option(a.get("partitionValues")).map { m =>
               val it = m.fields()
               val b = Map.newBuilder[String, String]
@@ -208,7 +232,9 @@ object DeltaReader {
               b.result()
             }.getOrElse(Map.empty[String, String])
             val pth = a.get("path").asText()
-            active(pth) = AddFile(pth, pv)
+            def optLong(name: String): Long =
+              if (a.has(name) && !a.get(name).isNull) a.get(name).asLong() else 0L
+            active(pth) = AddFile(pth, pv, optLong("size"), optLong("modificationTime"))
           }
           if (n.has("remove")) active.remove(n.get("remove").get("path").asText())
           if (n.has("metaData")) {
@@ -217,9 +243,21 @@ object DeltaReader {
             partCols = Option(md.get("partitionColumns")).map { pcs =>
               (0 until pcs.size()).map(pcs.get(_).asText())
             }.getOrElse(Nil)
+            configuration = Option(md.get("configuration")).filterNot(_.isNull).map { c =>
+              val it = c.fields()
+              val b = Map.newBuilder[String, String]
+              while (it.hasNext) { val e = it.next(); b += e.getKey ->
+                (if (e.getValue.isNull) null else e.getValue.asText()) }
+              b.result()
+            }.getOrElse(Map.empty)
           }
-          if (n.has("protocol"))
-            minReader = math.max(minReader, n.get("protocol").get("minReaderVersion").asLong())
+          if (n.has("protocol")) {
+            val pr = n.get("protocol")
+            minReader = math.max(minReader, pr.get("minReaderVersion").asLong())
+            readerFeatures = Option(pr.get("readerFeatures")).filterNot(_.isNull).map { fs0 =>
+              (0 until fs0.size()).map(fs0.get(_).asText()).toSet
+            }.getOrElse(readerFeatures)
+          }
         } finally rd.close()
       }
 

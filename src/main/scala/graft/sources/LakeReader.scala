@@ -132,7 +132,12 @@ object LakeReader {
             require(header.nonEmpty && header.forall(_.nonEmpty), s"empty header column in $f")
             Probe(s"delim:$d:" + header.mkString("\u0000"), "csv", d, header)
           case "json" =>
-            val first = om.readTree(firstLine(f, hconf))
+            // parse from RAW BYTES: jackson auto-detects UTF-8/BOM per
+            // the JSON spec, where a string decode in the wrong charset
+            // would mojibake non-ASCII keys — the probed names would
+            // never match what Spark's UTF-8 json parser resolves and
+            // every such column would read all-null
+            val first = om.readTree(firstLineBytes(f, hconf))
             require(first != null && first.isObject, s"first json record is not an object in $f")
             val keys = {
               val it = first.fieldNames()
@@ -218,7 +223,18 @@ object LakeReader {
     * which is loud where truncation is silent. A short file with no
     * trailing newline is still its own (complete) first line.
     */
-  private def firstLine(path: String, conf: org.apache.hadoop.conf.Configuration): String = {
+  private def firstLine(path: String, conf: org.apache.hadoop.conf.Configuration): String =
+    // UTF-8 decode, matching Spark's own csv parser charset: an
+    // ISO-8859-1 decode would mojibake non-ASCII header names into a
+    // group key / column list that never matches what the scan sees
+    new String(firstLineBytes(path, conf), java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Raw bytes of the first line (64 KiB cap; `\n` is safe to split on
+    * byte-wise — UTF-8 never embeds 0x0A in a multi-byte sequence). The
+    * json probe parses these bytes directly so jackson's own
+    * UTF-8/BOM detection applies.
+    */
+  private def firstLineBytes(path: String, conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
@@ -228,11 +244,12 @@ object LakeReader {
       var n = 0
       while (off < buf.length && { n = in.read(buf, off, buf.length - off); n > 0 })
         off += n
-      val s0 = new String(buf, 0, off, "ISO-8859-1")
-      val nl = s0.indexOf('\n')
-      if (nl >= 0) s0.substring(0, nl).stripSuffix("\r")
-      else if (off < buf.length) s0
-      else throw new IllegalArgumentException(
+      var nl = 0
+      while (nl < off && buf(nl) != '\n') nl += 1
+      if (nl < off || off < buf.length) {
+        val end = if (nl > 0 && nl <= off && buf(math.min(nl, off) - 1) == '\r') nl - 1 else nl
+        java.util.Arrays.copyOfRange(buf, 0, math.min(end, off))
+      } else throw new IllegalArgumentException(
         s"first line of $path exceeds ${buf.length} bytes — refusing a truncated header probe")
     } finally in.close()
   }

@@ -40,19 +40,35 @@ class LakeReaderSpec extends SparkSpec {
 
   test("merged folder ingest builds the identical cell index through one scan per group") {
     val dir = Files.createTempDirectory("graft_merged_").toString
-    // two homogeneous csv groups (different headers) + a tsv group +
-    // one unmergeable file — 6 tables, 3 scan branches
+    // two homogeneous csv groups (different headers) + a tsv group + a
+    // json group + one unmergeable file; the x,y group also carries a
+    // space-named file (the url-encoded input_file_name join key), and
+    // a header-only zero-row csv (the table_info left-join path)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/a b.csv"), "x,y\n0,spacey\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/a.csv"), "x,y\n1,foo\n2,bar\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/b.csv"), "x,y\n3,baz\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/c.csv"), "p,q,r\n7,a,b\n8,c,d\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/d.tsv"), "m\tn\n5\tfive\n6\tsix\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/e.tsv"), "m\tn\n9\tnine\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/f.xyz"), "unsupported")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/g.json"),
+      "{\"k\":1,\"t\":\"one\"}\n{\"k\":2,\"t\":\"two\"}\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/h.json"), "{\"t\":\"three\",\"k\":3}\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/z.csv"), "x,y\n")
     val (groups, catalog, errors) = graft.sources.LakeReader.readFolderMerged(spark, dir)
     assert(errors == 1)
-    assert(groups.size == 3, "one scan branch per homogeneous group, not per table")
-    assert(catalog == Seq((1, "a.csv"), (2, "b.csv"), (3, "c.csv"),
-      (4, "d.tsv"), (5, "e.tsv")))
+    assert(groups.size == 4, "one scan branch per homogeneous group, not per table")
+    assert(catalog == Seq((1, "a b.csv"), (2, "a.csv"), (3, "b.csv"), (4, "c.csv"),
+      (5, "d.tsv"), (6, "e.tsv"), (7, "g.json"), (8, "h.json"), (9, "z.csv")))
+    // the space-named file's rows must survive the url-encoded
+    // input_file_name → listing join (a decoded key would drop them)
+    val xy = groups.find(_.tableIds.contains(1)).get.df
+    assert(xy.where(col("tableid") === 1).count() == 1)
+    // json group: sorted-key schema, typed values read back as strings
+    val js = groups.find(_.tableIds.contains(7)).get
+    assert(js.cols == Seq("k", "t"))
+    assert(js.df.where(col("tableid") === 8).select("k", "t").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq == Seq(("3", "three")))
     // parity: the merged build must produce EXACTLY the per-table
     // index — readFolder is all-strings via inference? no: compare on
     // the same all-string footing readFolderMerged uses
@@ -69,6 +85,79 @@ class LakeReaderSpec extends SparkSpec {
     val infoT = LakeIndexer.tableInfo(tables)
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3))).toSet
     assert(infoM == infoT)
+  }
+
+  test("merged __rid is identical across files.maxPartitionBytes settings") {
+    // the per-table dense row id must be a property of the FILE, not of
+    // how the scan happened to be carved into splits — __rid orders by
+    // the split's byte offset, so resizing maxPartitionBytes (here:
+    // ~16 splits vs one) must not move a single id
+    val dir = Files.createTempDirectory("graft_rid_").toString
+    val sb = new StringBuilder("k,v\n")
+    (0 until 20000).foreach(i => sb ++= s"$i,val$i\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), sb.toString)
+    val key = "spark.sql.files.maxPartitionBytes"
+    val prev = spark.conf.get(key)
+    def ridMap(): Map[Long, String] = {
+      val (groups, _, errors) = LakeReader.readFolderMerged(spark, dir)
+      assert(errors == 0)
+      groups.head.df.select("__rid", "k").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    }
+    try {
+      spark.conf.set(key, "16384")
+      val small = ridMap()
+      spark.conf.set(key, "134217728")
+      val large = ridMap()
+      assert(small.size == 20000)
+      assert(small == large)
+      assert(small(0L) == "0" && small(19999L) == "19999")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("a first line over the 64 KiB probe cap is a counted error, not a truncated group") {
+    val dir = Files.createTempDirectory("graft_bigline_").toString
+    // > 64 KiB before the first newline: a truncated probe would build
+    // a wrong group key / delimiter vote — the file must land in
+    // `errors` instead
+    val big = ("x," * 40000) + "x\n1,2\n"
+    Files.writeString(java.nio.file.Paths.get(s"$dir/big.csv"), big)
+    Files.writeString(java.nio.file.Paths.get(s"$dir/ok.csv"), "x,y\n1,foo\n")
+    val (groups, catalog, errors) = LakeReader.readFolderMerged(spark, dir)
+    assert(errors == 1)
+    assert(catalog.map(_._2) == Seq("ok.csv"))
+    assert(groups.size == 1 && groups.head.df.count() == 1)
+  }
+
+  test("json merged probe decodes UTF-8 keys the same way the scan does") {
+    val dir = Files.createTempDirectory("graft_utf8_").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/j.json"),
+      "{\"café\":\"crème\"}\n{\"café\":\"brûlée\"}\n")
+    val (groups, _, errors) = LakeReader.readFolderMerged(spark, dir)
+    assert(errors == 0 && groups.size == 1)
+    // a mojibaked probe (ISO-8859-1 decode of UTF-8 bytes) would name
+    // the column cafÃ© and every value would read null
+    assert(groups.head.cols == Seq("café"))
+    val vals = groups.head.df.select(col("café")).collect().map(_.getString(0))
+    assert(vals.sorted.toSeq == Seq("brûlée", "crème"))
+  }
+
+  test("cell_index_merged: the merged demo-lake index equals the per-table one under id remap") {
+    // the harness row's parity core: cellsMergedDemo (folder of
+    // key-sorted single-file csvs through readFolderMerged+cellsMerged)
+    // must reproduce TestLake.cells exactly, with tableids remapped to
+    // filename order — this is what its DuckDB oracle asserts at sf0.01
+    import graft.index.TestLake
+    val merged = TestLake.cellsMergedDemo(spark, sf())
+      .select("tokenized", "tableid", "colid", "rowid", "table_col_id")
+    val idMap = TestLake.mergedSpec.map { case (mid, (oid, _, _, _)) => (oid, mid) }.toMap
+    val remap = typedlit(idMap)
+    val perTable = TestLake.cells(spark, sf())
+      .withColumn("tableid", remap(col("tableid")))
+      .withColumn("table_col_id", concat_ws("_", col("tableid"), col("colid")))
+      .select("tokenized", "tableid", "colid", "rowid", "table_col_id")
+    assert(merged.collect().map(_.toString).sorted.toSeq ==
+      perTable.collect().map(_.toString).sorted.toSeq)
   }
 
   test("delimiter sniffing reads .txt/.dat delimited files") {
