@@ -261,19 +261,56 @@ object DeltaReader {
         } finally rd.close()
       }
 
-    require(minReader <= 1,
-      s"Delta protocol minReaderVersion $minReader > 1 (column mapping / deletion " +
-        "vectors not supported) — refusing to misread the table")
+    // Reader-version gate, per PROTOCOL.md: version 2 adds column
+    // mapping (supported below, name mode only); version 3 tables list
+    // their reader features explicitly — anything beyond column mapping
+    // (deletion vectors, v2 checkpoints, …) changes how data must be
+    // interpreted and is refused LOUDLY rather than misread.
+    if (minReader >= 3) {
+      require(minReader == 3,
+        s"Delta protocol minReaderVersion $minReader not supported — refusing to misread the table")
+      require(readerFeatures.nonEmpty,
+        s"Delta protocol minReaderVersion 3 with no readerFeatures in $logPath — " +
+          "malformed table, refusing to guess its reader requirements")
+      val unsupported = readerFeatures -- Set("columnMapping")
+      require(unsupported.isEmpty,
+        s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
+          "(only columnMapping is implemented) — refusing to misread the table")
+    }
+    val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name",
+      s"delta.columnMapping.mode '$cmMode' not supported (none/name only; id mode " +
+        "needs parquet field-id resolution) — refusing to misread the table")
     Snapshot(target, active.values.toSeq,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
-      partCols, minReader)
+      partCols, minReader, configuration)
   }
 
-  /** Snapshot read at the latest version, or at `versionAsOf`. */
+  /** Snapshot read at the latest version, or at `versionAsOf`.
+    *
+    * Column mapping (name mode): the parquet files carry PHYSICAL
+    * column names (`delta.columnMapping.physicalName` in the
+    * schemaString field metadata) and `partitionValues` keys are
+    * physical too — the scan reads physical names and the projection
+    * renames to the logical schema. Metadata-only remap: same
+    * distributed scan, pushdown and pruning as the unmapped path.
+    */
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name)))
+    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (!mapped) f.name
+      else {
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"column mapping is 'name' but field '${f.name}' carries no " +
+            "delta.columnMapping.physicalName metadata — malformed schemaString")
+        f.metadata.getString("delta.columnMapping.physicalName")
+      }
+    val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name))
+      .map(f => f.copy(name = physName(f))))
+    val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
+      .map(f => physName(f) -> f.name)
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
 
     if (snap.active.isEmpty)
@@ -289,9 +326,14 @@ object DeltaReader {
             "refusing to misresolve it against the table root")
         new Path(dir, percentDecode(f.path)).toString
       }
-      val base = s.read.schema(dataSchema).parquet(paths: _*)
+      val base0 = s.read.schema(dataSchema).parquet(paths: _*)
+      val base = logicalByPhys.foldLeft(base0) { case (df, (phys, logical)) =>
+        if (phys == logical) df else df.withColumnRenamed(phys, logical)
+      }
       val withParts = partSchema.foldLeft(base) { (df, f) =>
-        val raw = pv.get(f.name).orNull
+        // physical key first (what a column-mapped log writes), logical
+        // as the compatibility fallback
+        val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull
         df.withColumn(f.name, lit(raw).cast(f.dataType))
       }
       withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)

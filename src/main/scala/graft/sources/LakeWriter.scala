@@ -103,15 +103,21 @@ object LakeWriter {
     val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(log) && fs.getFileStatus(log).isDirectory,
       s"appendDelta: not a Delta table: $dir")
-    val next = fs.listStatus(log).toSeq
-      .map(_.getPath.getName)
-      .filter(_.matches("\\d{20}\\.json"))
-      .map(_.take(20).toLong).max + 1
+    // next version = max over commits AND checkpoint versions: after log
+    // retention cleans the JSON commits at or below a checkpoint (the
+    // state checkpoints exist to enable), the commit list alone can be
+    // empty — `.max` over it would throw on a perfectly healthy table
+    val names = fs.listStatus(log).toSeq.map(_.getPath.getName)
+    val next = (
+      names.filter(_.matches("\\d{20}\\.json")) ++
+      names.filter(_.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+    ).map(_.take(20).toLong).maxOption
+      .getOrElse(sys.error(s"appendDelta: empty _delta_log in $dir")) + 1
     commitDelta(df, dir, next, includeMeta = false, checkpointInterval)
   }
 
-  private def commitDelta(df: DataFrame, dir: String, version: Long,
-                          includeMeta: Boolean, checkpointInterval: Int): Unit = {
+  private[graft] def commitDelta(df: DataFrame, dir: String, version: Long,
+                                 includeMeta: Boolean, checkpointInterval: Int): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -141,7 +147,16 @@ object LakeWriter {
       actions += s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
-    val out = fs.create(commit, false)
+    // create-if-absent (overwrite = false) IS the commit arbitration: a
+    // second writer racing to the same version must fail loudly here —
+    // an overwrite would silently replace the winner's committed
+    // actions with this writer's, orphaning its data files
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version $version; " +
+          "re-read the table and retry the append", e)
+    }
     try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
     if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
       checkpointDelta(spark, dir, version)
@@ -162,25 +177,38 @@ object LakeWriter {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // checkpoint actions carry every field PROTOCOL.md requires of them:
+    // add needs size + modificationTime and metaData needs format +
+    // configuration — graft's own reader copes without, but delta-spark
+    // reading a graft-written checkpoint does not, which would defeat
+    // the interop purpose of writing the Delta format at all
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
         StructField("minWriterVersion", IntegerType)))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
         StructField("schemaString", StringType),
-        StructField("partitionColumns", ArrayType(StringType))))),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
       StructField("add", StructType(Seq(
         StructField("path", StringType),
         StructField("partitionValues", MapType(StringType, StringType)),
+        StructField("size", LongType),
+        StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType))))))
     val rows =
       Row(Row(snap.minReader.toInt, 2), null, null) +:
       Row(null,
         Row(java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString,
-          snap.schemaJson, snap.partCols),
+          Row("parquet", Map.empty[String, String]),
+          snap.schemaJson, snap.partCols, snap.configuration),
         null) +:
-      snap.active.map(a => Row(null, null, Row(a.path, a.partitionValues, true)))
+      snap.active.map(a =>
+        Row(null, null, Row(a.path, a.partitionValues, a.size, a.modificationTime, true)))
     val hconf = spark.sessionState.newHadoopConf()
     val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
     val fs = log.getFileSystem(hconf)

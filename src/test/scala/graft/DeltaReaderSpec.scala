@@ -173,6 +173,119 @@ class DeltaReaderSpec extends SparkSpec {
       ex.getMessage.contains("not present"), ex.getMessage)
   }
 
+  test("appendDelta works on a retention-cleaned table; checkpoint actions are protocol-complete") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_rc_").toFile
+    graft.sources.LakeWriter.writeDelta(Seq((0L, "v0")).toDF("id", "v"),
+      dir.getPath, checkpointInterval = 5)
+    (1 to 5).foreach { i =>
+      graft.sources.LakeWriter.appendDelta(Seq((i.toLong, s"v$i")).toDF("id", "v"),
+        dir.getPath, checkpointInterval = 5)
+    }
+    val log = new java.io.File(dir, "_delta_log")
+    val cpFile = new java.io.File(log, f"${5L}%020d.checkpoint.parquet")
+    assert(cpFile.isFile)
+    // the checkpoint must carry the protocol-REQUIRED action fields —
+    // graft's reader copes without them, a real delta-spark reader
+    // does not
+    val cp = spark.read.parquet(cpFile.getPath)
+    val adds = cp.where("add IS NOT NULL")
+      .select("add.path", "add.size", "add.modificationTime", "add.dataChange").collect()
+    assert(adds.length == 6)
+    assert(adds.forall(r => r.getLong(1) > 0L), "add.size must be the real file size")
+    assert(adds.forall(r => !r.isNullAt(2) && r.getBoolean(3)))
+    val md = cp.where("metaData IS NOT NULL")
+      .select("metaData.format.provider", "metaData.configuration", "metaData.id").head()
+    assert(md.getString(0) == "parquet")
+    assert(!md.isNullAt(1) && !md.isNullAt(2))
+    // log retention: every JSON commit at or below the checkpoint goes
+    // away — the exact state the old `.max`-over-commits version
+    // counter crashed on
+    (0 to 5).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
+    graft.sources.LakeWriter.appendDelta(Seq((99L, "v99")).toDF("id", "v"), dir.getPath)
+    assert(new java.io.File(log, f"${6L}%020d.json").isFile,
+      "append after retention must continue the version chain from the checkpoint")
+    val rows = graft.sources.DeltaReader.read(spark, dir.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == ((0 to 5).map(i => (i.toLong, s"v$i")).toSet + ((99L, "v99"))))
+  }
+
+  test("two writers racing to one commit version: the second fails loudly, not silently") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_race_").toFile
+    graft.sources.LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), dir.getPath)
+    graft.sources.LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v"), dir.getPath)
+    // a concurrent writer already committed version 1 — a second commit
+    // to the same version must throw (an overwrite would orphan the
+    // winner's files), and the loser's staged data must not leak into
+    // the table root as live files
+    val e = intercept[IllegalStateException] {
+      graft.sources.LakeWriter.commitDelta(Seq((2L, "c")).toDF("id", "v"),
+        dir.getPath, 1L, includeMeta = false, checkpointInterval = 0)
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    val rows = graft.sources.DeltaReader.read(spark, dir.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((0L, "a"), (1L, "b")))
+  }
+
+  test("delta column mapping (name mode): physical parquet names remap to the logical schema") {
+    val s = spark
+    import s.implicits._
+    val (dir, log) = mkTable()
+    // the data file carries PHYSICAL names, as delta-spark writes them
+    val stage = new java.io.File(dir, "_stage_cm")
+    Seq((1L, "a"), (2L, "b")).toDF("col-aaaa", "col-bbbb")
+      .coalesce(1).write.parquet(stage.getPath)
+    val f = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f.toPath, new java.io.File(dir, "part-cm.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    def fld(name: String, tpe: String, phys: String, id: Int) =
+      StructField(name, if (tpe == "long") LongType else StringType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", "long", "col-aaaa", 1), fld("v", "string", "col-bbbb", 2),
+      fld("src", "string", "col-cccc", 3)))
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm1","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":["src"],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"3"}}}""",
+      // partitionValues keyed by the PHYSICAL partition-column name
+      """{"add":{"path":"part-cm.parquet","partitionValues":{"col-cccc":"web"},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaReader.read(spark, dir.getPath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "src"))
+    assert(collected(df) == Set((1L, "a", "web"), (2L, "b", "web")))
+  }
+
+  test("column mapping id mode and non-columnMapping v3 features stay refused") {
+    val (dir, log) = mkTable()
+    val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm2","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
+      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaReader.read(spark, dir.getPath)
+    }
+    assert(e1.getMessage.contains("columnMapping.mode"), e1.getMessage)
+    val (dir2, log2) = mkTable()
+    val f2 = part(dir2, "part-0001.parquet", Seq((1L, "a")))
+    commit(log2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      meta("\"src\""), add(f2, "web")))
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaReader.read(spark, dir2.getPath)
+    }
+    assert(e2.getMessage.contains("deletionVectors"), e2.getMessage)
+  }
+
   test("add.path decoding is RFC percent-decoding, not form-urlencoding") {
     // '+' is a literal plus in a percent-encoded path; %20 is a space
     assert(graft.sources.DeltaReader.percentDecode("a+b.parquet") == "a+b.parquet")
