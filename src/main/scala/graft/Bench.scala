@@ -57,26 +57,46 @@ object Bench {
       }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Double.PositiveInfinity)
     }
-    val indexBuild = timed("index_build") {
-      graft.index.TestLake.cells(spark, sfDir).count()
-      graft.index.TestLake.cellsBloom(spark, sfDir).count()
+    // index_build / cache_build were ONE-SHOT through round 5 and their
+    // round-over-round deltas were pure host noise (±8s, unattributable
+    // — the same 1.5-4× single-pass swing the per-query min-of-2
+    // exists to remove). Same discipline here: pass A builds everything
+    // on a THROWAWAY child session (every build cache keys on the
+    // session, so nothing is reused), its cached blocks are dropped,
+    // then pass B builds on the bench session and stays warm for the
+    // queries. Each entry reports the min of its two cold builds.
+    def buildPass(s: SparkSession): (Double, Double) = {
+      val ib = timed("index_build") {
+        graft.index.TestLake.cells(s, sfDir).count()
+        graft.index.TestLake.cellsBloom(s, sfDir).count()
+      }
+      // Shared cross-query caches (join-map products, near-dup pair
+      // sets, dup-lake signatures) are materialized HERE under their
+      // own timed entry — otherwise their first-touch cost lands inside
+      // whichever query the map iteration order happens to run first
+      // and per-query numbers stop meaning anything round-over-round.
+      // Independent cache families warm CONCURRENTLY (Spark actions are
+      // thread-safe): wall time = the slowest family, not the sum.
+      val cb = timed("cache_build") {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.sequence(Seq(
+          Future(graft.queries.DiscoveryQueries.warmCaches(s, sfDir)),
+          Future(graft.queries.PipelineQueries.warmCaches(s, sfDir)),
+          Future(graft.queries.DupQueries.warmCaches(s, sfDir)))), Duration.Inf)
+      }
+      (ib._2, cb._2)
     }
-    // Shared cross-query caches (join-map products, near-dup pair sets,
-    // dup-lake signatures) are materialized HERE under their own timed
-    // entry — otherwise their first-touch cost lands inside whichever
-    // query the map iteration order happens to run first and per-query
-    // numbers stop meaning anything round-over-round.
-    val cacheBuild = timed("cache_build") {
-      // independent cache families warm CONCURRENTLY (Spark actions are
-      // thread-safe): wall time = the slowest family, not the sum
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.sequence(Seq(
-        Future(graft.queries.DiscoveryQueries.warmCaches(spark, sfDir)),
-        Future(graft.queries.PipelineQueries.warmCaches(spark, sfDir)),
-        Future(graft.queries.DupQueries.warmCaches(spark, sfDir)))), Duration.Inf)
-    }
+    val (ibA, cbA) = buildPass(spark.newSession())
+    // drop the throwaway session's cached blocks (the CacheManager is
+    // shared across sessions; the bench session has cached nothing yet)
+    // and settle the heap so pass B starts clean
+    spark.catalog.clearCache()
+    System.gc()
+    val (ibB, cbB) = buildPass(spark)
+    val indexBuild = ("index_build", math.min(ibA, ibB))
+    val cacheBuild = ("cache_build", math.min(cbA, cbB))
     // sorted order: deterministic and comparable across rounds (Map
     // iteration order reshuffles whenever the key set changes).
     // Each query is timed over TWO passes and reports the per-query
