@@ -317,7 +317,7 @@ object Profile {
 
   def explainPlans(spark: SparkSession, dir: String): Unit = {
     for (q <- Seq("q6_filter", "q5_multijoin", "q3_join", "mate_single", "dedup_jaccard",
-        "tfidf_topk", "bm25_search")) {
+        "tfidf_topk", "bm25_search", "cell_index_merged")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -55,11 +55,30 @@ class LakeReaderSpec extends SparkSpec {
       "{\"k\":1,\"t\":\"one\"}\n{\"k\":2,\"t\":\"two\"}\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/h.json"), "{\"t\":\"three\",\"k\":3}\n")
     Files.writeString(java.nio.file.Paths.get(s"$dir/z.csv"), "x,y\n")
+    // a parquet group (footer-schema key, typed scan) and a sniffed
+    // .txt group — the remaining probe branches
+    val s0 = spark
+    locally {
+      import s0.implicits._
+      def onePart(name: String, rows: Seq[(String, String)]): Unit = {
+        val stage = Files.createTempDirectory("graft_pq_stage_").resolve("w")
+        rows.toDF("pk", "pv").coalesce(1).write.parquet(stage.toString)
+        val f = stage.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(f.toPath, java.nio.file.Paths.get(s"$dir/$name"))
+        org.apache.commons.io.FileUtils.deleteDirectory(stage.toFile)
+      }
+      onePart("p.parquet", Seq(("10", "ten"), ("11", "eleven")))
+      onePart("q.parquet", Seq(("12", "twelve")))
+    }
+    Files.writeString(java.nio.file.Paths.get(s"$dir/s.txt"), "u;w\n20;twenty\n")
     val (groups, catalog, errors) = graft.sources.LakeReader.readFolderMerged(spark, dir)
     assert(errors == 1)
-    assert(groups.size == 4, "one scan branch per homogeneous group, not per table")
+    assert(groups.size == 6, "one scan branch per homogeneous group, not per table")
     assert(catalog == Seq((1, "a b.csv"), (2, "a.csv"), (3, "b.csv"), (4, "c.csv"),
-      (5, "d.tsv"), (6, "e.tsv"), (7, "g.json"), (8, "h.json"), (9, "z.csv")))
+      (5, "d.tsv"), (6, "e.tsv"), (7, "g.json"), (8, "h.json"), (9, "p.parquet"),
+      (10, "q.parquet"), (11, "s.txt"), (12, "z.csv")))
+    // both parquet files land in ONE footer-schema group
+    assert(groups.find(_.tableIds.contains(9)).get.tableIds == Seq(9, 10))
     // the space-named file's rows must survive the url-encoded
     // input_file_name → listing join (a decoded key would drop them)
     val xy = groups.find(_.tableIds.contains(1)).get.df
