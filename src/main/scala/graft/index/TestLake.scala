@@ -112,21 +112,37 @@ object TestLake {
   def mergedSpec: Seq[(Int, (Int, String, String, Seq[String]))] =
     spec.sortBy(_._2).zipWithIndex.map { case (entry, i) => (i + 1, entry) }
 
-  /** Cell index built through the MERGED ingestion path over
-    * [[corpusDir]] — one scan branch per homogeneous header group
-    * instead of one per table. Plan cached per (session, dir); the
-    * data itself is small enough to re-scan per action.
+  /** The merged ingest of [[corpusDir]] (groups + catalog), cached per
+    * (session, dir) so its consumers share one folder probe.
     */
-  def cellsMergedDemo(s: SparkSession, dir: String): DataFrame =
+  def mergedIngest(s: SparkSession, dir: String):
+      (Seq[graft.sources.LakeReader.MergedGroup], Seq[(Int, String)]) =
     mergedCache.getOrElseUpdate((s, dir), {
-      val (groups, _, errors) =
+      val (groups, catalog, errors) =
         graft.sources.LakeReader.readFolderMerged(s, corpusDir(s, dir))
       require(errors == 0, s"merged demo corpus had $errors unreadable files")
-      LakeIndexer.cellsMerged(groups)
+      (groups, catalog)
     })
 
-  private val mergedCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  /** Cell index built through the MERGED ingestion path over
+    * [[corpusDir]] — one scan branch per homogeneous header group
+    * instead of one per table. The data is small enough to re-scan
+    * per action.
+    */
+  def cellsMergedDemo(s: SparkSession, dir: String): DataFrame =
+    LakeIndexer.cellsMerged(mergedIngest(s, dir)._1)
+
+  /** `table_info` through the merged path (catalog-driven left join —
+    * the zero-row-table-safe form).
+    */
+  def tableInfoMergedDemo(s: SparkSession, dir: String): DataFrame = {
+    val (groups, catalog) = mergedIngest(s, dir)
+    LakeIndexer.tableInfoMerged(s, groups, catalog)
+  }
+
+  private val mergedCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+           (Seq[graft.sources.LakeReader.MergedGroup], Seq[(Int, String)])]
 
   /** DuckDB oracle for [[cellsMergedDemo]]: [[cellsSql]] with the
     * merged path's filename-order table ids.

@@ -60,6 +60,12 @@ object IndexQueries {
       LakeIndexer.tableInfo(TestLake.tables(s, dir))
         .orderBy("tableid")),
 
+    // 5b. table info through the merged wide-lake path: catalog-driven
+    // left join against per-group counts (the zero-row-safe form),
+    // same oracle shape as table_info under the merged tableids
+    "table_info_merged" -> ((s, dir) =>
+      TestLake.tableInfoMergedDemo(s, dir).orderBy("tableid")),
+
     // 6. COCOA order index — scalar stats vs SQL oracle...
     "cocoa_index_stats" -> ((s, dir) =>
       CocoaIndex.stats(TestLake.cells(s, dir))),
@@ -139,6 +145,10 @@ object IndexQueries {
 
     "table_info" -> TestLake.spec.map { case (id, name, _, cols) =>
       s"SELECT $id AS tableid, '$name' AS dataset_name, (SELECT count(*) FROM $name) AS max_row_id, ${cols.length - 1} AS max_col_id"
+    }.mkString("", " UNION ALL ", " ORDER BY tableid"),
+
+    "table_info_merged" -> TestLake.mergedSpec.map { case (id, (_, name, _, cols)) =>
+      s"SELECT $id AS tableid, '$name.csv' AS dataset_name, (SELECT count(*) FROM $name) AS max_row_id, ${cols.length - 1} AS max_col_id"
     }.mkString("", " UNION ALL ", " ORDER BY tableid"),
 
     "cocoa_index_stats" ->
