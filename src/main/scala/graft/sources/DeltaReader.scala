@@ -51,11 +51,19 @@ object DeltaReader {
     * the checkpoint writer need: the live add set plus table metadata
     * (`configuration` carries `delta.columnMapping.mode`; a checkpoint
     * must re-emit it or a remounted reader loses the mapping).
+    * `minWriter` and the feature lists ride along for the same reason:
+    * a checkpoint that re-stated the protocol as (1,2) would DOWNGRADE
+    * a column-mapping table's declared requirements, and a real reader
+    * replaying from that checkpoint would misinterpret the data it
+    * gates.
     */
   private[sources] case class Snapshot(version: Long, active: Seq[AddFile],
                                        schemaJson: String, partCols: Seq[String],
                                        minReader: Long,
-                                       configuration: Map[String, String] = Map.empty)
+                                       configuration: Map[String, String] = Map.empty,
+                                       minWriter: Long = 2L,
+                                       readerFeatures: Seq[String] = Nil,
+                                       writerFeatures: Seq[String] = Nil)
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
     * application/x-www-form-urlencoded rules turn a literal '+' in a
@@ -141,7 +149,9 @@ object DeltaReader {
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1L
+    var minWriter = 1L
     var readerFeatures: Set[String] = Set.empty
+    var writerFeatures: Set[String] = Set.empty
     var configuration: Map[String, String] = Map.empty
 
     // base: the newest checkpoint at or below the target version —
@@ -194,9 +204,13 @@ object DeltaReader {
           // through Number
           minReader = math.max(minReader,
             pr.getAs[Number]("minReaderVersion").longValue())
+          minWriter = math.max(minWriter,
+            pr.getAs[Number]("minWriterVersion").longValue())
           val prFields = pr.schema.fieldNames.toSet
           if (prFields("readerFeatures") && !pr.isNullAt(pr.fieldIndex("readerFeatures")))
             readerFeatures = pr.getSeq[String](pr.fieldIndex("readerFeatures")).toSet
+          if (prFields("writerFeatures") && !pr.isNullAt(pr.fieldIndex("writerFeatures")))
+            writerFeatures = pr.getSeq[String](pr.fieldIndex("writerFeatures")).toSet
         }
       }
     }
@@ -254,9 +268,13 @@ object DeltaReader {
           if (n.has("protocol")) {
             val pr = n.get("protocol")
             minReader = math.max(minReader, pr.get("minReaderVersion").asLong())
+            minWriter = math.max(minWriter, pr.get("minWriterVersion").asLong())
             readerFeatures = Option(pr.get("readerFeatures")).filterNot(_.isNull).map { fs0 =>
               (0 until fs0.size()).map(fs0.get(_).asText()).toSet
             }.getOrElse(readerFeatures)
+            writerFeatures = Option(pr.get("writerFeatures")).filterNot(_.isNull).map { fs0 =>
+              (0 until fs0.size()).map(fs0.get(_).asText()).toSet
+            }.getOrElse(writerFeatures)
           }
         } finally rd.close()
       }
@@ -283,7 +301,8 @@ object DeltaReader {
         "needs parquet field-id resolution) — refusing to misread the table")
     Snapshot(target, active.values.toSeq,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
-      partCols, minReader, configuration)
+      partCols, minReader, configuration,
+      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted)
   }
 
   /** Snapshot read at the latest version, or at `versionAsOf`.

@@ -99,21 +99,49 @@ object LakeWriter {
     */
   def appendDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0): Unit = {
     val spark = df.sparkSession
-    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
-    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(log) && fs.getFileStatus(log).isDirectory,
-      s"appendDelta: not a Delta table: $dir")
-    // next version = max over commits AND checkpoint versions: after log
-    // retention cleans the JSON commits at or below a checkpoint (the
-    // state checkpoints exist to enable), the commit list alone can be
-    // empty — `.max` over it would throw on a perfectly healthy table
-    val names = fs.listStatus(log).toSeq.map(_.getPath.getName)
-    val next = (
-      names.filter(_.matches("\\d{20}\\.json")) ++
-      names.filter(_.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
-    ).map(_.take(20).toLong).maxOption
-      .getOrElse(sys.error(s"appendDelta: empty _delta_log in $dir")) + 1
-    commitDelta(df, dir, next, includeMeta = false, checkpointInterval)
+    // Replay the log before writing: the snapshot is both the version
+    // counter (snapshot.version covers commits AND checkpoints, so
+    // appends survive log retention) and the compatibility gate. An
+    // append that skipped these checks could corrupt the table for
+    // every OTHER reader: parquet files whose schema contradicts
+    // metaData.schemaString, logical column names in a column-mapped
+    // table that expects physical ones, or a commit that silently
+    // violates writer features (constraints, generated columns) this
+    // writer does not implement.
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none",
+      s"appendDelta: table uses column mapping mode '$cm' — appended parquet would " +
+        "carry logical column names where the table's readers resolve physical ones; " +
+        "refusing to write unreadable files")
+    val safeFeatures = Set("appendOnly", "invariants")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 2 ||
+        (snap.minWriter == 7 && unsafe.isEmpty),
+      s"appendDelta: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — this writer implements version 2 (append semantics) and cannot " +
+        "enforce the table's declared constraints; refusing to write")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // column invariants live in schemaString field metadata and exist
+    // from writer version 2 up — a data check this writer doesn't run
+    val withInvariants = table.fields.filter(_.metadata.contains("delta.invariants"))
+    require(withInvariants.isEmpty,
+      s"appendDelta: columns ${withInvariants.map(_.name).mkString(", ")} declare " +
+        "invariants this writer cannot enforce; refusing to write unchecked data")
+    require(df.schema.length == table.length,
+      s"appendDelta: appended schema has ${df.schema.length} columns, table has " +
+        s"${table.length} (${table.fieldNames.mkString(", ")})")
+    df.schema.fields.zip(table.fields).foreach { case (a, t) =>
+      require(a.name == t.name && a.dataType == t.dataType,
+        s"appendDelta: schema mismatch at '${t.name}': appended " +
+          s"${a.name}:${a.dataType.simpleString}, table declares ${t.dataType.simpleString}")
+      require(t.nullable || !a.nullable,
+        s"appendDelta: column '${a.name}' may carry nulls but the table declares it " +
+          "non-nullable")
+    }
+    commitDelta(df, dir, snap.version + 1, includeMeta = false, checkpointInterval)
   }
 
   private[graft] def commitDelta(df: DataFrame, dir: String, version: Long,
@@ -185,7 +213,12 @@ object LakeWriter {
     val schema = StructType(Seq(
       StructField("protocol", StructType(Seq(
         StructField("minReaderVersion", IntegerType),
-        StructField("minWriterVersion", IntegerType)))),
+        StructField("minWriterVersion", IntegerType),
+        // present (non-null) exactly when the table's versions require
+        // them: readerFeatures at minReaderVersion >= 3, writerFeatures
+        // at minWriterVersion >= 7 — PROTOCOL.md's feature-table form
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
       StructField("metaData", StructType(Seq(
         StructField("id", StringType),
         StructField("format", StructType(Seq(
@@ -201,7 +234,13 @@ object LakeWriter {
         StructField("modificationTime", LongType),
         StructField("dataChange", BooleanType))))))
     val rows =
-      Row(Row(snap.minReader.toInt, 2), null, null) +:
+      // protocol is restated VERBATIM from the replayed log — writing
+      // (1,2) here would downgrade a column-mapping table's declared
+      // requirements and make a real reader misinterpret the data the
+      // versions gate
+      Row(Row(snap.minReader.toInt, snap.minWriter.toInt,
+        if (snap.minReader >= 3) snap.readerFeatures else null,
+        if (snap.minWriter >= 7) snap.writerFeatures else null), null, null) +:
       Row(null,
         Row(java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString,
           Row("parquet", Map.empty[String, String]),

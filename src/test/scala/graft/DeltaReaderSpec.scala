@@ -329,4 +329,152 @@ class DeltaReaderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("minReaderVersion"))
   }
+
+  test("appendDelta refuses schema-incompatible appends, accepts a matching one") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_sg_").toFile
+    graft.sources.LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "v"), dir.getPath)
+    // wrong column type (and name order): the message names the column
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(Seq(("x", 1L)).toDF("id", "v"), dir.getPath)
+    }
+    assert(e1.getMessage.contains("schema mismatch at 'id'"), e1.getMessage)
+    // wrong column count
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(
+        Seq((2L, "b", "extra")).toDF("id", "v", "w"), dir.getPath)
+    }
+    assert(e2.getMessage.contains("3 columns"), e2.getMessage)
+    // nullable column appended into a non-nullable table field: the
+    // table's id came from a Scala Long (non-nullable); boxed is not
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(
+        Seq((java.lang.Long.valueOf(2L), "b")).toDF("id", "v"), dir.getPath)
+    }
+    assert(e3.getMessage.contains("non-nullable"), e3.getMessage)
+    // a matching append still lands, and none of the refused writers
+    // leaked data files into the live table
+    graft.sources.LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "v"), dir.getPath)
+    assert(DeltaReader.read(spark, dir.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("appendDelta refuses column-mapped tables and unimplemented writer features") {
+    val s = spark
+    import s.implicits._
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    // column mapping: appended parquet would carry logical names where
+    // readers resolve physical ones
+    val (dir, log) = mkTable()
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm3","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""))
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir.getPath)
+    }
+    assert(e1.getMessage.contains("column mapping"), e1.getMessage)
+    // writer version 7 with a feature this writer cannot enforce
+    val (dir2, log2) = mkTable()
+    commit(log2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""",
+      s"""{"metaData":{"id":"wf1","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{}}}"""))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir2.getPath)
+    }
+    assert(e2.getMessage.contains("checkConstraints"), e2.getMessage)
+    // ...but version 7 carrying only append-safe features accepts
+    val (dir3, log3) = mkTable()
+    commit(log3, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}""",
+      s"""{"metaData":{"id":"wf2","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{}}}"""))
+    graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir3.getPath)
+    assert(DeltaReader.read(spark, dir3.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // column invariants (legal from writer version 2) are a data check
+    // this writer doesn't run — refuse rather than write unchecked rows
+    val invSchema = StructType(Seq(
+      StructField("id", LongType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.invariants",
+            """{"expression":{"expression":"id > 0"}}""").build()),
+      StructField("v", StringType)))
+    val (dir4, log4) = mkTable()
+    commit(log4, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"inv1","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(invSchema.json)},"partitionColumns":[],"configuration":{}}}"""))
+    val e3 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir4.getPath)
+    }
+    assert(e3.getMessage.contains("invariants"), e3.getMessage)
+  }
+
+  test("checkpointDelta restates the table's protocol verbatim, not (1,2)") {
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def fld(name: String, tpe: org.apache.spark.sql.types.DataType,
+            phys: String, id: Int) =
+      StructField(name, tpe, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "col-aaaa", 1), fld("v", StringType, "col-bbbb", 2)))
+    // a name-mode column-mapping table on the legacy (2,5) versions
+    val (dir, log) = mkTable()
+    val s0 = spark
+    import s0.implicits._
+    val stage = new java.io.File(dir, "_stage_cm")
+    Seq((1L, "a")).toDF("col-aaaa", "col-bbbb").coalesce(1).write.parquet(stage.getPath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf.toPath, new java.io.File(dir, "part-cp.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cp-cm","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"part-cp.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    graft.sources.LakeWriter.checkpointDelta(spark, dir.getPath, 0L)
+    val cpFile = new java.io.File(log, f"${0L}%020d.checkpoint.parquet")
+    val pr = spark.read.parquet(cpFile.getPath)
+      .where("protocol IS NOT NULL").select("protocol.*").head()
+    assert(pr.getAs[Int]("minReaderVersion") == 2, pr)
+    assert(pr.getAs[Int]("minWriterVersion") == 5, pr)
+    assert(pr.isNullAt(pr.fieldIndex("readerFeatures")), pr)
+    assert(pr.isNullAt(pr.fieldIndex("writerFeatures")), pr)
+    // the checkpoint alone (commit retention-cleaned) must still carry
+    // the mapping: read back through graft's own reader
+    new java.io.File(log, f"${0L}%020d.json").delete()
+    val df = DeltaReader.read(spark, dir.getPath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.select("id", "v").as[(Long, String)].collect().toSet == Set((1L, "a")))
+
+    // feature-form versions (3,7): the arrays must survive verbatim
+    val (dir2, log2) = mkTable()
+    val stage2 = new java.io.File(dir2, "_stage_cm2")
+    Seq((2L, "b")).toDF("col-aaaa", "col-bbbb").coalesce(1).write.parquet(stage2.getPath)
+    val pf2 = stage2.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf2.toPath, new java.io.File(dir2, "part-cp2.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage2)
+    commit(log2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["columnMapping"],"writerFeatures":["columnMapping"]}}""",
+      s"""{"metaData":{"id":"cp-cm2","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"part-cp2.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    graft.sources.LakeWriter.checkpointDelta(spark, dir2.getPath, 0L)
+    val pr2 = spark.read
+      .parquet(new java.io.File(log2, f"${0L}%020d.checkpoint.parquet").getPath)
+      .where("protocol IS NOT NULL").select("protocol.*").head()
+    assert(pr2.getAs[Int]("minReaderVersion") == 3, pr2)
+    assert(pr2.getAs[Int]("minWriterVersion") == 7, pr2)
+    assert(pr2.getSeq[String](pr2.fieldIndex("readerFeatures")) == Seq("columnMapping"), pr2)
+    assert(pr2.getSeq[String](pr2.fieldIndex("writerFeatures")) == Seq("columnMapping"), pr2)
+    new java.io.File(log2, f"${0L}%020d.json").delete()
+    val df2 = DeltaReader.read(spark, dir2.getPath)
+    assert(df2.select("id", "v").as[(Long, String)].collect().toSet == Set((2L, "b")))
+  }
 }
