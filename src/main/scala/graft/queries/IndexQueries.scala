@@ -110,6 +110,17 @@ object IndexQueries {
         .orderBy("doc_id")
     }),
 
+    // 9b. the reference-exact md5 SimHash proven against a fully
+    // INDEPENDENT SQL reimplementation (3-gram features, per-bit md5
+    // majority vote) — upgrades the md5 mode from unit-vector-pinned
+    // to oracle-checked end to end
+    "simhash128_ref" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), SimHash.simhash128Udf(col("p_name")).as("sh"))
+        .select(col("p_partkey"),
+          col("sh._1").as("sh128_hi"), col("sh._2").as("sh128_lo"))
+        .orderBy("p_partkey")),
+
     // 10. Bloom-filter row hashes over the customer table (rows-only)
     "bloom_rowhash" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -177,6 +188,39 @@ object IndexQueries {
         .mkString("", " UNION ALL ", " ORDER BY fmt"),
 
     "md5_tokens" ->
-      s"SELECT p_partkey, md5(${TextFunctions.cleanedTextSql("p_name")}) AS h FROM part ORDER BY p_partkey"
+      s"SELECT p_partkey, md5(${TextFunctions.cleanedTextSql("p_name")}) AS h FROM part ORDER BY p_partkey",
+
+    // A fully independent reimplementation of the reference-exact md5
+    // SimHash (maco/util.py:250): 3-gram features of the lowercased
+    // word-stripped name (whole remainder when shorter), one md5 per
+    // feature, bit i of the 128-bit digest voted +1/-1 across features,
+    // bit set on a strictly positive vote; the two unsigned halves
+    // reinterpreted as signed 64-bit to match the Spark longs.
+    "simhash128_ref" ->
+      """WITH toks AS (
+        |  SELECT p_partkey AS k,
+        |         regexp_replace(lower(p_name), '[^a-z0-9_]+', '', 'g') AS t
+        |  FROM part
+        |),
+        |feats AS (
+        |  SELECT k, CASE WHEN length(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS f
+        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i) g
+        |),
+        |votes AS (
+        |  SELECT k, i,
+        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(f), CAST(32 - i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM feats, (SELECT unnest(generate_series(0, 127)) AS i) bb
+        |  GROUP BY k, i
+        |),
+        |num AS (
+        |  SELECT k,
+        |    SUM(CASE WHEN v > 0 AND i < 64 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE 0 END) AS lo_u,
+        |    SUM(CASE WHEN v > 0 AND i >= 64 THEN CAST(1 AS HUGEINT) << CAST(i - 64 AS INT) ELSE 0 END) AS hi_u
+        |  FROM votes GROUP BY k
+        |)
+        |SELECT k AS p_partkey,
+        |  CAST(CASE WHEN hi_u >= CAST(9223372036854775808 AS HUGEINT) THEN hi_u - CAST(18446744073709551616 AS HUGEINT) ELSE hi_u END AS BIGINT) AS sh128_hi,
+        |  CAST(CASE WHEN lo_u >= CAST(9223372036854775808 AS HUGEINT) THEN lo_u - CAST(18446744073709551616 AS HUGEINT) ELSE lo_u END AS BIGINT) AS sh128_lo
+        |FROM num ORDER BY p_partkey""".stripMargin
   )
 }
