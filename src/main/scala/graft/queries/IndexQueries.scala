@@ -42,7 +42,8 @@ object IndexQueries {
       graft.index.LakeIndexer.postingList(TestLake.cells(s, dir),
         Seq("germany", "france", "automobile")).orderBy("pl")),
 
-    // 2. XASH super keys per row (not SQL-expressible → rows-only)
+    // 2. XASH super keys per row, oracle-checked against a fully
+    // independent SQL reimplementation of generate_XASH (see oracles)
     "xash_index" -> ((s, dir) => {
       TestLake.cells(s, dir)
         .select("tableid", "rowid", "sk_hi", "sk_lo")
@@ -100,7 +101,9 @@ object IndexQueries {
     }),
 
     // 9. SimHash fingerprints: fast 64-bit mode + the reference-exact
-    // 128-bit md5 mode (rows-only; both pinned by unit vectors)
+    // 128-bit md5 mode, BOTH oracle-checked against independent SQL
+    // reimplementations (FNV via a HUGEINT list_reduce fold, md5 via
+    // per-bit digest votes; see oracles)
     "simhash_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
         .select(col("doc_id"), SimHash.simhashUdf(col("text")).as("sh"),
@@ -121,7 +124,9 @@ object IndexQueries {
           col("sh._1").as("sh128_hi"), col("sh._2").as("sh128_lo"))
         .orderBy("p_partkey")),
 
-    // 10. Bloom-filter row hashes over the customer table (rows-only)
+    // 10. Bloom-filter row hashes over the customer table — oracle-
+    // checked against an independent SQL reimplementation (FNV base +
+    // five splitmix64-derived bits per token; see oracles)
     "bloom_rowhash" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val toks = array(c.columns.map(cn =>
@@ -190,6 +195,65 @@ object IndexQueries {
     "md5_tokens" ->
       s"SELECT p_partkey, md5(${TextFunctions.cleanedTextSql("p_name")}) AS h FROM part ORDER BY p_partkey",
 
+    // A fully independent SQL reimplementation of the reference XASH
+    // (maco/util.py:141 generate_XASH, 128-bit) + the row super key OR
+    // (data_handler.py:281): per cell token the 5 least frequent chars
+    // (ties by codepoint) each set bit charIndex*3 + tercile-of-mean-
+    // position; the 111-bit segment's length-dependent rotation is the
+    // cyclic map (loc + d) % 111 with d = (111 * (len % 17)) // 17 —
+    // tracking bit POSITIONS instead of a packed 128-bit value keeps
+    // the arithmetic inside HUGEINT — plus the length bit at
+    // 111 + len % 17; special tokens ('', 'None', ' ', two quotes)
+    // hash to zero but stay in the row spine via the left join. Mean
+    // comparisons are DOUBLE division, mirroring the Scala kernel's
+    // float semantics bit for bit.
+    "xash_index" ->
+      s"""WITH cells AS (${TestLake.cellsSql}),
+         |nonspecial AS (
+         |  SELECT tableid, rowid, colid, tokenized AS t, length(tokenized) AS len
+         |  FROM cells WHERE tokenized NOT IN ('', 'None', ' ', '''''')
+         |),
+         |chars AS (
+         |  SELECT tableid, rowid, colid, len,
+         |         substr(t, CAST(i AS INT), 1) AS c, i - 1 AS pos0
+         |  FROM nonspecial, LATERAL (SELECT unnest(generate_series(1, len)) AS i) g
+         |),
+         |cnt AS (
+         |  SELECT tableid, rowid, colid, len, c, count(*) AS n, sum(pos0) AS sumpos
+         |  FROM chars GROUP BY ALL
+         |),
+         |sel AS (
+         |  SELECT *, row_number() OVER (PARTITION BY tableid, rowid, colid ORDER BY n, c) AS rk
+         |  FROM cnt
+         |),
+         |locs AS (
+         |  SELECT tableid, rowid, colid, len,
+         |         (strpos(' 0123456789abcdefghijklmnopqrstuvwxyz', c) - 1) * 3 +
+         |         CASE WHEN CAST(sumpos AS DOUBLE)/n <= CAST(1*len AS DOUBLE)/3 THEN 0
+         |              WHEN CAST(sumpos AS DOUBLE)/n <= CAST(2*len AS DOUBLE)/3 THEN 1
+         |              ELSE 2 END AS loc
+         |  FROM sel
+         |  WHERE rk <= 5 AND strpos(' 0123456789abcdefghijklmnopqrstuvwxyz', c) > 0
+         |),
+         |rotbits AS (
+         |  SELECT tableid, rowid, (loc + (111 * (len % 17)) // 17) % 111 AS bit FROM locs
+         |  UNION ALL
+         |  SELECT tableid, rowid, 111 + (len % 17) AS bit FROM nonspecial
+         |),
+         |rowbits AS (SELECT DISTINCT tableid, rowid, bit FROM rotbits),
+         |packed AS (
+         |  SELECT tableid, rowid,
+         |    SUM(CASE WHEN bit < 64 THEN CAST(1 AS HUGEINT) << CAST(bit AS INT) ELSE CAST(0 AS HUGEINT) END) AS lo_u,
+         |    SUM(CASE WHEN bit >= 64 THEN CAST(1 AS HUGEINT) << CAST(bit - 64 AS INT) ELSE CAST(0 AS HUGEINT) END) AS hi_u
+         |  FROM rowbits GROUP BY ALL
+         |),
+         |spine AS (SELECT DISTINCT tableid, rowid FROM cells)
+         |SELECT s.tableid, s.rowid,
+         |  CAST(CASE WHEN coalesce(hi_u, 0) >= CAST(9223372036854775808 AS HUGEINT) THEN coalesce(hi_u, 0) - CAST(18446744073709551616 AS HUGEINT) ELSE coalesce(hi_u, 0) END AS BIGINT) AS sk_hi,
+         |  CAST(CASE WHEN coalesce(lo_u, 0) >= CAST(9223372036854775808 AS HUGEINT) THEN coalesce(lo_u, 0) - CAST(18446744073709551616 AS HUGEINT) ELSE coalesce(lo_u, 0) END AS BIGINT) AS sk_lo
+         |FROM spine s LEFT JOIN packed p USING (tableid, rowid)
+         |ORDER BY tableid, rowid""".stripMargin,
+
     // A fully independent reimplementation of the reference-exact md5
     // SimHash (maco/util.py:250): 3-gram features of the lowercased
     // word-stripped name (whole remainder when shorter), one md5 per
@@ -221,6 +285,87 @@ object IndexQueries {
         |SELECT k AS p_partkey,
         |  CAST(CASE WHEN hi_u >= CAST(9223372036854775808 AS HUGEINT) THEN hi_u - CAST(18446744073709551616 AS HUGEINT) ELSE hi_u END AS BIGINT) AS sh128_hi,
         |  CAST(CASE WHEN lo_u >= CAST(9223372036854775808 AS HUGEINT) THEN lo_u - CAST(18446744073709551616 AS HUGEINT) ELSE lo_u END AS BIGINT) AS sh128_lo
-        |FROM num ORDER BY p_partkey""".stripMargin
+        |FROM num ORDER BY p_partkey""".stripMargin,
+
+    // Both SimHash modes recomputed from scratch over the documents
+    // corpus: shared 3-gram features of the lowercased word-stripped
+    // text (whole remainder when shorter); the 64-bit mode votes the
+    // bits of an FNV-1a feature hash (HUGEINT fold), the 128-bit mode
+    // votes the bits of the feature's md5 digest.
+    "simhash_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS k, regexp_replace(lower(text), '[^a-z0-9_]+', '', 'g') AS t
+         |  FROM documents
+         |),
+         |feats AS (
+         |  SELECT k, CASE WHEN length(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS f
+         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i) g
+         |),
+         |hashed AS (
+         |  SELECT k, f, md5(f) AS h128,
+         |    ${fnvSql("f")} AS h64
+         |  FROM feats
+         |),
+         |votes64 AS (
+         |  SELECT k, i, SUM(CASE WHEN (h64 >> CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashed, (SELECT unnest(generate_series(0, 63)) AS i) b
+         |  GROUP BY k, i
+         |),
+         |num64 AS (
+         |  SELECT k, SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS sh_u
+         |  FROM votes64 GROUP BY k
+         |),
+         |votes128 AS (
+         |  SELECT k, i,
+         |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h128, CAST(32 - i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+         |  FROM hashed, (SELECT unnest(generate_series(0, 127)) AS i) b
+         |  GROUP BY k, i
+         |),
+         |num128 AS (
+         |  SELECT k,
+         |    SUM(CASE WHEN v > 0 AND i < 64 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS lo_u,
+         |    SUM(CASE WHEN v > 0 AND i >= 64 THEN CAST(1 AS HUGEINT) << CAST(i - 64 AS INT) ELSE CAST(0 AS HUGEINT) END) AS hi_u
+         |  FROM votes128 GROUP BY k
+         |)
+         |SELECT a.k AS doc_id,
+         |  ${toSigned64("sh_u")} AS sh,
+         |  ${toSigned64("hi_u")} AS sh128_hi,
+         |  ${toSigned64("lo_u")} AS sh128_lo
+         |FROM num64 a JOIN num128 b ON a.k = b.k
+         |ORDER BY doc_id""".stripMargin,
+
+    // Bloom row hash recomputed from scratch: every customer column
+    // cleaned exactly like the Spark side, FNV-1a base per token, five
+    // splitmix64-derived bit positions (floorMod(h,128) == unsigned
+    // h % 128 since 128 divides 2^64), OR-folded per row.
+    "bloom_rowhash" -> {
+      val cols = TestLake.spec.find(_._2 == "customer").get._4
+      val toks = cols.map(c =>
+        s"SELECT c_custkey AS k, ${TextFunctions.cleanedTextSql(s"coalesce(CAST($c AS VARCHAR), '')")} AS t FROM customer")
+        .mkString(" UNION ALL ")
+      val golden = BigInt("11400714819323198485") // 0x9E3779B97F4A7C15
+      s"""WITH toks AS ($toks),
+         |base AS (
+         |  SELECT k, ${fnvSql("t")} AS b
+         |  FROM toks
+         |),
+         |h0 AS (
+         |  SELECT k, (b + i * CAST($golden AS HUGEINT)) % $M64 AS h
+         |  FROM base, (SELECT unnest(generate_series(0, 4)) AS i) g
+         |),
+         |h1 AS (SELECT k, ${mulModSql("xor(h, h >> 30)", BigInt("13787848793156543929"))} AS h FROM h0),
+         |h2 AS (SELECT k, ${mulModSql("xor(h, h >> 27)", BigInt("10723151780598845931"))} AS h FROM h1),
+         |bits AS (SELECT DISTINCT k, CAST(xor(h, h >> 31) % 128 AS INT) AS bit FROM h2),
+         |packed AS (
+         |  SELECT k,
+         |    SUM(CASE WHEN bit < 64 THEN CAST(1 AS HUGEINT) << bit ELSE CAST(0 AS HUGEINT) END) AS lo_u,
+         |    SUM(CASE WHEN bit >= 64 THEN CAST(1 AS HUGEINT) << (bit - 64) ELSE CAST(0 AS HUGEINT) END) AS hi_u
+         |  FROM bits GROUP BY k
+         |)
+         |SELECT k AS c_custkey,
+         |  ${toSigned64("hi_u")} AS bf_hi,
+         |  ${toSigned64("lo_u")} AS bf_lo
+         |FROM packed ORDER BY c_custkey""".stripMargin
+    }
   )
 }

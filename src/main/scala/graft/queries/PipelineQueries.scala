@@ -135,6 +135,8 @@ object PipelineQueries {
       Dedup.removeSpans(t(s, dir, "documents"), docSpans(s, dir))
         .orderBy("doc_id")),
 
+    // Banded SimHash near-dup, oracle-checked against an all-pairs SQL
+    // recompute (banding is exact at hamming <= 3 — see oracles)
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashNearDup(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -223,6 +225,8 @@ object PipelineQueries {
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.bagFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // Order-sensitive rolling fingerprint, oracle-checked against a
+    // from-scratch SQL fold (see oracles)
     "doc_fingerprint_roll" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -603,6 +607,46 @@ object PipelineQueries {
       s"""SELECT doc_id,
          | md5(array_to_string(list_sort(list_distinct(string_split(${TextFunctions.cleanedTextSql("text")}, ' '))), ' ')) AS bag_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // Rolling ×31-FNV word fold recomputed from scratch (nested
+    // list_reduce: FNV per word, then acc*31+fnv mod 2^64). Word
+    // splitting mirrors Java split(" "): trailing empties dropped
+    // (rtrim), an all-space string yields NO words, the empty string
+    // yields one empty word.
+    "doc_fingerprint_roll" ->
+      s"""WITH cleaned AS (SELECT doc_id, ${TextFunctions.cleanedTextSql("text")} AS t FROM documents),
+         |words AS (
+         |  SELECT doc_id,
+         |    CASE WHEN t = '' THEN ['']
+         |         WHEN rtrim(t, ' ') = '' THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split(rtrim(t, ' '), ' ') END AS ws
+         |  FROM cleaned
+         |),
+         |rolled AS (
+         |  SELECT doc_id,
+         |    list_reduce(list_prepend(CAST(0 AS HUGEINT), [${fnvSql("w")} FOR w IN ws]),
+         |                (a, f) -> (a * 31 + f) % $M64) AS r_u
+         |  FROM words
+         |)
+         |SELECT doc_id, ${toSigned64("r_u")} AS roll_fp
+         |FROM rolled ORDER BY doc_id""".stripMargin,
+
+    // SimHash near-dup canon recomputed by BRUTE FORCE: the Spark
+    // side's 4×16-bit banding is exact for hamming ≤ 3 (pigeonhole:
+    // three differing bits cannot touch all four bands), so the banded
+    // result must equal all-pairs bit_count(xor) <= 3 with the same
+    // min-neighbor canonicalization.
+    "dedup_simhash" ->
+      s"""WITH ${Q.simhash64Ctes},
+         |pairs AS (
+         |  SELECT a.did AS id1, b.did AS id2
+         |  FROM sh a JOIN sh b ON a.did < b.did
+         |  WHERE bit_count(xor(a.sh_u, b.sh_u)) <= 3
+         |),
+         |nbr AS (SELECT id1 AS did, id2 AS mid FROM pairs UNION ALL SELECT id2 AS did, id1 AS mid FROM pairs)
+         |SELECT s.did AS doc_id, coalesce(least(s.did, min(mid)), s.did) AS canon
+         |FROM sh s LEFT JOIN nbr USING (did)
+         |GROUP BY s.did ORDER BY doc_id""".stripMargin,
 
     "multimodal_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,

@@ -15,6 +15,59 @@ object Q {
     */
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     c.cast("decimal(18,2)")
+
+  // --- independent SQL reimplementations of the FNV hash family ---
+  // (shared by the IndexQueries / PipelineQueries oracles): DuckDB has
+  // no wrap-around 64-bit arithmetic, so state runs in HUGEINT (int128)
+  // with explicit mod-2^64 folds; a full-width constant multiply splits
+  // the constant into 32-bit halves so no product exceeds int128:
+  // (a*c) mod 2^64 = (a*c_lo mod 2^64 + (a*c_hi mod 2^32)*2^32) mod 2^64.
+  val M64 = "CAST(18446744073709551616 AS HUGEINT)"
+  val M32 = "CAST(4294967296 AS HUGEINT)"
+
+  /** FNV-1a 64 of a string expression, per-char list_reduce fold
+    * (graft.functions.SimHash.fnv1a64's exact semantics; `unicode` =
+    * `charAt` on the ASCII tokens both sides produce).
+    */
+  def fnvSql(expr: String): String =
+    s"""list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS HUGEINT),
+       |                   [CAST(unicode(x) AS HUGEINT) FOR x IN string_split($expr, '') IF x <> '']),
+       |      (h, c) -> (xor(h, c) * CAST(1099511628211 AS HUGEINT)) % $M64)""".stripMargin
+
+  /** `(a * c) % 2^64` for a full-width 64-bit constant `c`. */
+  def mulModSql(a: String, c: BigInt): String = {
+    val hi = c >> 32; val lo = c & 0xffffffffL
+    s"(((($a) * CAST($lo AS HUGEINT)) % $M64 + ((($a) * CAST($hi AS HUGEINT)) % $M32) * $M32) % $M64)"
+  }
+
+  /** Reinterpret an unsigned-range HUGEINT as a signed 64-bit BIGINT. */
+  def toSigned64(u: String): String =
+    s"CAST(CASE WHEN $u >= CAST(9223372036854775808 AS HUGEINT) THEN $u - $M64 ELSE $u END AS BIGINT)"
+
+  /** The 64-bit-FNV SimHash of `documents.text` as CTE text: yields
+    * `sh(did, sh_u)` with the UNSIGNED fingerprint (callers sign it
+    * with [[toSigned64]] or compare bit patterns directly).
+    */
+  def simhash64Ctes: String =
+    s"""toks0 AS (
+       |  SELECT doc_id AS k, regexp_replace(lower(text), '[^a-z0-9_]+', '', 'g') AS t
+       |  FROM documents
+       |),
+       |feats0 AS (
+       |  SELECT k, CASE WHEN length(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS f
+       |  FROM toks0, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i) g
+       |),
+       |hashed0 AS (SELECT k, ${fnvSql("f")} AS h64 FROM feats0),
+       |votes0 AS (
+       |  SELECT k, i, SUM(CASE WHEN (h64 >> CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed0, (SELECT unnest(generate_series(0, 63)) AS i) b
+       |  GROUP BY k, i
+       |),
+       |sh AS (
+       |  SELECT k AS did, SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS sh_u
+       |  FROM votes0 GROUP BY k
+       |)""".stripMargin
 }
 
 /** Relational / analytic core — SURVEY.md §2.3.
