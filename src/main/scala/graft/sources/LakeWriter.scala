@@ -88,8 +88,12 @@ object LakeWriter {
     * which is exactly the unbounded-log failure the format's
     * checkpoints exist to prevent.
     */
-  def writeDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0): Unit =
-    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval)
+  def writeDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0,
+                 partitionBy: Seq[String] = Nil): Unit = {
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
+    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy)
+  }
 
   /** Append `df` to an existing Delta table as its next version —
     * readers at older versions (versionAsOf) are unaffected, the new
@@ -141,11 +145,29 @@ object LakeWriter {
         s"appendDelta: column '${a.name}' may carry nulls but the table declares it " +
           "non-nullable")
     }
-    commitDelta(df, dir, snap.version + 1, includeMeta = false, checkpointInterval)
+    // appends to a partitioned table must partition the same way —
+    // the layout is table metadata, not a per-commit choice
+    commitDelta(df, dir, snap.version + 1, includeMeta = false, checkpointInterval,
+      snap.partCols)
+  }
+
+  /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
+    * URL-encoded): unreserved chars, '/', and '=' pass through —
+    * everything else (space, '%', non-ASCII) becomes %XX so
+    * [[DeltaReader.percentDecode]] and a real reader's URI decode both
+    * reverse it exactly.
+    */
+  private def percentEncode(p: String): String = {
+    val keep = ('a' to 'z').toSet ++ ('A' to 'Z') ++ ('0' to '9') ++ "-._~/=".toSet
+    p.flatMap { ch =>
+      if (keep(ch)) ch.toString
+      else ch.toString.getBytes("UTF-8").map(b => f"%%${b & 0xff}%02X").mkString
+    }
   }
 
   private[graft] def commitDelta(df: DataFrame, dir: String, version: Long,
-                                 includeMeta: Boolean, checkpointInterval: Int): Unit = {
+                                 includeMeta: Boolean, checkpointInterval: Int,
+                                 partCols: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -153,26 +175,54 @@ object LakeWriter {
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
     // stage the parquet files, then move them into the table root —
-    // files only become visible through the commit that adds them
+    // files only become visible through the commit that adds them.
+    // Partitioned tables stage through partitionBy, so the data files
+    // land under col=value/ directories and (per Spark's layout) do
+    // not contain the partition columns themselves; the reader
+    // re-attaches them from add.partitionValues.
     val stage = new org.apache.hadoop.fs.Path(root, s"_stage_$version")
-    df.write.parquet(stage.toString)
-    val moved = fs.listStatus(stage).toSeq
-      .filter(_.getPath.getName.endsWith(".parquet")).sortBy(_.getPath.getName)
+    if (partCols.isEmpty) df.write.parquet(stage.toString)
+    else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val stageUri = stage.toUri.getPath.stripSuffix("/")
+    val moved = walk(stage).sortBy(_.getPath.toString)
       .map { st =>
-        val dest = new org.apache.hadoop.fs.Path(root, st.getPath.getName)
+        // relative path under the stage dir = partition dirs + file name
+        val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+        val dest = new org.apache.hadoop.fs.Path(root, rel)
+        if (rel.contains("/")) fs.mkdirs(dest.getParent)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
-        (st.getPath.getName, st.getLen)
+        // partitionValues from the col=value segments, Hive-unescaped
+        // (Spark escaped them when staging); the null marker maps back
+        // to a JSON null, which the reader types as a null literal
+        val pv = rel.split('/').dropRight(1).map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"unexpected staged partition segment '$seg' in $rel")
+          val col = seg.substring(0, eq)
+          val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(eq + 1))
+          col -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+        }.toSeq
+        (rel, pv, st.getLen)
       }
     fs.delete(stage, true)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val now = 0L // deterministic logs: modificationTime is informational
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     if (includeMeta) {
+      val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":[],"configuration":{}}}"""
+      actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
     }
-    moved.foreach { case (name, size) =>
-      actions += s"""{"add":{"path":"$name","partitionValues":{},"size":$size,"modificationTime":$now,"dataChange":true}}"""
+    moved.foreach { case (rel, pv, size) =>
+      val pvJson = pv.map { case (c, v) =>
+        s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
     // create-if-absent (overwrite = false) IS the commit arbitration: a

@@ -330,6 +330,42 @@ class DeltaReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("minReaderVersion"))
   }
 
+  test("partitioned writeDelta: hive layout, log-typed values, appends, nulls, escapes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_part_").toFile
+    val v0 = Seq((1L, "a", "web"), (2L, "b", "book"), (3L, "c", null: String))
+      .toDF("id", "v", "src")
+    graft.sources.LakeWriter.writeDelta(v0, dir.getPath, partitionBy = Seq("src"))
+    // hive layout on disk; the data files do NOT contain the partition
+    // column (the reader re-attaches it from add.partitionValues)
+    assert(new java.io.File(dir, "src=web").isDirectory)
+    assert(new java.io.File(dir, "src=__HIVE_DEFAULT_PARTITION__").isDirectory)
+    val onDisk = spark.read
+      .parquet(new java.io.File(dir, "src=web").getPath)
+    assert(onDisk.schema.fieldNames.toSeq == Seq("id", "v"))
+    def rows(df: DataFrame) = df.select("id", "v", "src")
+      .as[(Long, String, String)].collect().toSet
+    val back = DeltaReader.read(spark, dir.getPath)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "src"))
+    assert(rows(back) == Set((1L, "a", "web"), (2L, "b", "book"), (3L, "c", null)))
+    // an append inherits the table's partitioning from the snapshot
+    graft.sources.LakeWriter.appendDelta(
+      Seq((4L, "d", "web")).toDF("id", "v", "src"), dir.getPath)
+    assert(rows(DeltaReader.read(spark, dir.getPath)) ==
+      Set((1L, "a", "web"), (2L, "b", "book"), (3L, "c", null), (4L, "d", "web")))
+    assert(new java.io.File(dir, "src=web").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2,
+      "the appended file must land under its partition directory")
+    // a partition value needing path escaping survives the round trip
+    // (escaped on disk, raw in the log, raw back out of the reader)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_delta_esc_").toFile
+    graft.sources.LakeWriter.writeDelta(
+      Seq((1L, "x", "a b:c")).toDF("id", "v", "src"), dir2.getPath,
+      partitionBy = Seq("src"))
+    assert(rows(DeltaReader.read(spark, dir2.getPath)) == Set((1L, "x", "a b:c")))
+  }
+
   test("appendDelta refuses schema-incompatible appends, accepts a matching one") {
     val s = spark
     import s.implicits._
