@@ -63,7 +63,8 @@ object DeltaReader {
                                        configuration: Map[String, String] = Map.empty,
                                        minWriter: Long = 2L,
                                        readerFeatures: Seq[String] = Nil,
-                                       writerFeatures: Seq[String] = Nil)
+                                       writerFeatures: Seq[String] = Nil,
+                                       txns: Map[String, Long] = Map.empty)
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
     * application/x-www-form-urlencoded rules turn a literal '+' in a
@@ -153,6 +154,7 @@ object DeltaReader {
     var readerFeatures: Set[String] = Set.empty
     var writerFeatures: Set[String] = Set.empty
     var configuration: Map[String, String] = Map.empty
+    var txns: Map[String, Long] = Map.empty
 
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log
@@ -211,6 +213,11 @@ object DeltaReader {
             readerFeatures = pr.getSeq[String](pr.fieldIndex("readerFeatures")).toSet
           if (prFields("writerFeatures") && !pr.isNullAt(pr.fieldIndex("writerFeatures")))
             writerFeatures = pr.getSeq[String](pr.fieldIndex("writerFeatures")).toSet
+        }
+        if (cols("txn") && !r.isNullAt(r.fieldIndex("txn"))) {
+          val tx = r.getStruct(r.fieldIndex("txn"))
+          txns += tx.getString(tx.fieldIndex("appId")) ->
+            tx.getAs[Number]("version").longValue()
         }
       }
     }
@@ -276,6 +283,12 @@ object DeltaReader {
               (0 until fs0.size()).map(fs0.get(_).asText()).toSet
             }.getOrElse(writerFeatures)
           }
+          if (n.has("txn")) {
+            val tx = n.get("txn")
+            // later commits override: the latest version per appId is
+            // the idempotence watermark a streaming writer consults
+            txns += tx.get("appId").asText() -> tx.get("version").asLong()
+          }
         } finally rd.close()
       }
 
@@ -302,7 +315,7 @@ object DeltaReader {
     Snapshot(target, active.values.toSeq,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
-      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted)
+      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns)
   }
 
   /** Snapshot read at the latest version, or at `versionAsOf`.
@@ -314,6 +327,14 @@ object DeltaReader {
     * renames to the logical schema. Metadata-only remap: same
     * distributed scan, pushdown and pruning as the unmapped path.
     */
+  /** Highest `txn` version committed for `appId`, or -1 if none — the
+    * idempotence watermark of PROTOCOL.md's transaction identifiers: a
+    * streaming writer skips any batch id at or below it, so a batch
+    * retried after a sink crash lands exactly once.
+    */
+  def lastTxnVersion(s: SparkSession, dir: String, appId: String): Long =
+    snapshot(s, dir, None).txns.getOrElse(appId, -1L)
+
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]

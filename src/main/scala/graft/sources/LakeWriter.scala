@@ -89,10 +89,11 @@ object LakeWriter {
     * checkpoints exist to prevent.
     */
   def writeDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0,
-                 partitionBy: Seq[String] = Nil): Unit = {
+                 partitionBy: Seq[String] = Nil,
+                 txn: Option[(String, Long)] = None): Unit = {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
-    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy)
+    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn)
   }
 
   /** Append `df` to an existing Delta table as its next version —
@@ -101,7 +102,8 @@ object LakeWriter {
     * maintenance discipline as `LakeIndexer.addTables`, but carried by
     * the table format itself.
     */
-  def appendDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0): Unit = {
+  def appendDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0,
+                  txn: Option[(String, Long)] = None): Unit = {
     val spark = df.sparkSession
     // Replay the log before writing: the snapshot is both the version
     // counter (snapshot.version covers commits AND checkpoints, so
@@ -148,7 +150,7 @@ object LakeWriter {
     // appends to a partitioned table must partition the same way —
     // the layout is table metadata, not a per-commit choice
     commitDelta(df, dir, snap.version + 1, includeMeta = false, checkpointInterval,
-      snap.partCols)
+      snap.partCols, txn)
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -167,7 +169,8 @@ object LakeWriter {
 
   private[graft] def commitDelta(df: DataFrame, dir: String, version: Long,
                                  includeMeta: Boolean, checkpointInterval: Int,
-                                 partCols: Seq[String] = Nil): Unit = {
+                                 partCols: Seq[String] = Nil,
+                                 txn: Option[(String, Long)] = None): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -217,6 +220,12 @@ object LakeWriter {
       val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
       actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
       actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
+    }
+    // transaction identifier (PROTOCOL.md): records "this application
+    // has committed up to here" in the SAME atomic commit as the data,
+    // so a streaming batch and its watermark can never diverge
+    txn.foreach { case (appId, v) =>
+      actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},"version":$v}}"""
     }
     moved.foreach { case (rel, pv, size) =>
       val pvJson = pv.map { case (c, v) =>
@@ -282,22 +291,31 @@ object LakeWriter {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType))))))
+        StructField("dataChange", BooleanType)))),
+      // transaction identifiers MUST survive checkpointing (PROTOCOL.md
+      // checkpoint contents) or a streaming writer would replay every
+      // batch after log retention cleans its watermark commit
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType))))))
     val rows =
       // protocol is restated VERBATIM from the replayed log — writing
       // (1,2) here would downgrade a column-mapping table's declared
       // requirements and make a real reader misinterpret the data the
       // versions gate
-      Row(Row(snap.minReader.toInt, snap.minWriter.toInt,
+      (Row(Row(snap.minReader.toInt, snap.minWriter.toInt,
         if (snap.minReader >= 3) snap.readerFeatures else null,
-        if (snap.minWriter >= 7) snap.writerFeatures else null), null, null) +:
+        if (snap.minWriter >= 7) snap.writerFeatures else null), null, null, null) +:
       Row(null,
         Row(java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString,
           Row("parquet", Map.empty[String, String]),
           snap.schemaJson, snap.partCols, snap.configuration),
-        null) +:
+        null, null) +:
       snap.active.map(a =>
-        Row(null, null, Row(a.path, a.partitionValues, a.size, a.modificationTime, true)))
+        Row(null, null, Row(a.path, a.partitionValues, a.size, a.modificationTime, true), null))) ++
+      snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+        Row(null, null, null, Row(appId, v))
+      }
     val hconf = spark.sessionState.newHadoopConf()
     val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
     val fs = log.getFileSystem(hconf)

@@ -258,4 +258,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.size == 4)
   }
+
+  test("DeltaStream sinks a stream into a Delta table exactly once, txn-guarded") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_stream_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_delta_ckpt_").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.DeltaStream.writeDelta(
+      mem.toDF().toDF("id", "v"), dir, ckpt, appId = "spec-sink")
+    mem.addData((1L, "a"), (2L, "b"))
+    q.processAllAvailable()
+    mem.addData((3L, "c"))
+    q.processAllAvailable()
+    q.stop()
+    def rows = graft.sources.DeltaReader.read(spark, dir)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // two versions: batch-0 create + batch-1 append, each carrying its txn
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "spec-sink") == 1L)
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "other-app") == -1L)
+    // a sink RETRY of an already-committed batch must be a no-op: feed
+    // the same batch ids through a fresh query checkpoint (batch ids
+    // restart at 0) — both replayed batches sit at or below the
+    // watermark, so nothing lands twice
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_delta_ckpt2_").toString
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q2 = graft.streaming.DeltaStream.writeDelta(
+      mem2.toDF().toDF("id", "v"), dir, ckpt2, appId = "spec-sink")
+    mem2.addData((1L, "a"), (2L, "b"))
+    q2.processAllAvailable()
+    mem2.addData((3L, "c"))
+    q2.processAllAvailable()
+    q2.stop()
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "replayed batch ids at/below the txn watermark must not duplicate rows")
+    // ...while a DIFFERENT appId with the same batch ids is a new
+    // application and appends normally
+    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_delta_ckpt3_").toString
+    val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q3 = graft.streaming.DeltaStream.writeDelta(
+      mem3.toDF().toDF("id", "v"), dir, ckpt3, appId = "second-app")
+    mem3.addData((9L, "z"))
+    q3.processAllAvailable()
+    q3.stop()
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    // the txn watermark survives checkpoint compaction + log retention
+    // (versions: 0 = batch-0 create, 1 = batch-1, 2 = second-app)
+    graft.sources.LakeWriter.checkpointDelta(spark, dir, 2L)
+    val log = new java.io.File(dir, "_delta_log")
+    (0 to 2).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "spec-sink") == 1L,
+      "txn watermarks must survive checkpointing, or retention replays every batch")
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+  }
 }
