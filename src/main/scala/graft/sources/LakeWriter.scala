@@ -260,6 +260,78 @@ object LakeWriter {
     * delta-spark checkpoints store (the reader goes through `Number`
     * for exactly this reason).
     */
+  /** Compaction (the OPTIMIZE maintenance op): every partition whose
+    * live file count exceeds `minFiles` is rewritten into ONE file,
+    * committed as adds + removes with `dataChange = false` — the
+    * snapshot's ROWS are untouched, only their file layout changes, so
+    * a streaming reader of the table skips the commit entirely. This
+    * is the same small-file problem `LakeIndexer.compact` solves for
+    * the index layout, carried by the table format: a micro-batch
+    * streaming sink leaves one file per batch per partition, and a
+    * 100 TB table read pays per-file open cost forever unless someone
+    * folds the history.
+    *
+    * Time travel to PRE-compaction versions still replays the removed
+    * files (tombstones do not delete data files); the earliest version
+    * at which retention may physically delete them is an operator
+    * decision, exactly as the protocol intends.
+    */
+  def compactDelta(spark: SparkSession, dir: String, minFiles: Int = 2): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "compactDelta: column-mapped tables not supported (rewritten files would " +
+        "carry logical names readers can't resolve)")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val groups = snap.active.groupBy(_.partitionValues).filter(_._2.size >= minFiles)
+    if (groups.isEmpty) return
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stage = new org.apache.hadoop.fs.Path(root, s"_compact_${snap.version + 1}")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    groups.toSeq.sortBy(_._2.head.path).zipWithIndex.foreach { case ((pv, files), i) =>
+      // one coalesced rewrite per oversized partition; the data read
+      // is the distributed parquet scan of exactly that partition's
+      // files (no partition columns in the files, none added here)
+      val paths = files.map(f =>
+        new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(f.path)).toString)
+      val sub = new org.apache.hadoop.fs.Path(stage, s"g$i")
+      spark.read.parquet(paths: _*).coalesce(1).write.parquet(sub.toString)
+      val part = fs.listStatus(sub).map(_.getPath)
+        .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      require(part.length == 1, s"expected one compacted file, got ${part.length}")
+      // destination keeps the partition directory so the layout stays
+      // hive-readable; the compact marker keeps the name unique. The
+      // directory part of `rel` is reused straight from the first
+      // removed file's add.path, which is ALREADY percent-encoded —
+      // encode only the (clean) file name, never the whole path twice.
+      val relDir = files.head.path.split('/').dropRight(1).mkString("/")
+      val destName = s"part-compact-${snap.version + 1}-g$i.parquet"
+      val rel = if (relDir.isEmpty) destName else s"$relDir/$destName"
+      val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
+      if (rel.contains("/")) fs.mkdirs(dest.getParent)
+      val size = fs.getFileStatus(part.head).getLen
+      require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest failed")
+      val pvJson = pv.toSeq.sortBy(_._1).map { case (c, v) =>
+        s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false}}"""
+      files.foreach { f =>
+        actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"dataChange":false}}"""
+      }
+    }
+    fs.delete(stage, true)
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"${snap.version + 1}; re-read the table and retry the compaction", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   def checkpointDelta(spark: SparkSession, dir: String, version: Long): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -450,6 +450,51 @@ class DeltaReaderSpec extends SparkSpec {
     assert(e3.getMessage.contains("invariants"), e3.getMessage)
   }
 
+  test("compactDelta folds small files per partition without changing data") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_cpt_").toFile
+    graft.sources.LakeWriter.writeDelta(
+      Seq((1L, "a", "web")).toDF("id", "v", "src"), dir.getPath,
+      partitionBy = Seq("src"))
+    graft.sources.LakeWriter.appendDelta(
+      Seq((2L, "b", "web")).toDF("id", "v", "src"), dir.getPath)
+    graft.sources.LakeWriter.appendDelta(
+      Seq((3L, "c", "book")).toDF("id", "v", "src"), dir.getPath)
+    def rows(v: Option[Long] = None) = DeltaReader.read(spark, dir.getPath, v)
+      .select("id", "v", "src").as[(Long, String, String)].collect().toSet
+    assert(rows() == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")))
+    // web has two files, book one — only web is folded
+    graft.sources.LakeWriter.compactDelta(spark, dir.getPath)
+    val log = new java.io.File(dir, "_delta_log")
+    assert(new java.io.File(log, f"${3L}%020d.json").isFile)
+    assert(rows() == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")),
+      "compaction must not change the table's rows")
+    // the commit is pure layout movement: every action dataChange=false
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(log, f"${3L}%020d.json").toPath)
+    assert(lines.size() == 3, s"1 add + 2 removes expected, got $lines")
+    lines.forEach(l => assert(l.contains("\"dataChange\":false"), l))
+    // live file set: web folded to the single compacted file
+    val webLive = DeltaReader.read(spark, dir.getPath)
+      .where("src = 'web'").inputFiles
+    assert(webLive.length == 1 && webLive.head.contains("part-compact-"),
+      webLive.mkString(", "))
+    // time travel BELOW the compaction still replays the removed files
+    assert(rows(Some(2L)) == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")))
+    // ...and the physical files are still on disk (tombstones never delete)
+    assert(new java.io.File(dir, "src=web").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 3)
+    // idempotent: nothing left above minFiles, so no new commit
+    graft.sources.LakeWriter.compactDelta(spark, dir.getPath)
+    assert(!new java.io.File(log, f"${4L}%020d.json").isFile,
+      "an already-compact table must not grow an empty commit")
+    // a checkpoint after compaction carries the folded layout
+    graft.sources.LakeWriter.checkpointDelta(spark, dir.getPath, 3L)
+    (0 to 3).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
+    assert(rows() == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")))
+  }
+
   test("checkpointDelta restates the table's protocol verbatim, not (1,2)") {
     val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     def fld(name: String, tpe: org.apache.spark.sql.types.DataType,
