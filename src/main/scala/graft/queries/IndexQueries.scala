@@ -71,7 +71,10 @@ object IndexQueries {
     "cocoa_index_stats" -> ((s, dir) =>
       CocoaIndex.stats(TestLake.cells(s, dir))),
 
-    // ...and the packed array product (rows-only)
+    // ...and the packed array product's scalar projection — lengths,
+    // min_index, is_numeric all oracle-checked from the same SQL CTEs
+    // (arrays themselves stay out of the compare: renderings differ
+    // between the driver's two parquet readers)
     "cocoa_index_full" -> ((s, dir) =>
       CocoaIndex.build(TestLake.cells(s, dir))
         .select(col("table_col_id"), col("is_numeric"), col("min_index"),
@@ -137,6 +140,30 @@ object IndexQueries {
     })
   )
 
+  /** COCOA order-index statistics recomputed in SQL — the reference's
+    * rank/streak semantics over the same cells, shared by the stats
+    * oracle and the full-index projection oracle.
+    */
+  private def cocoaStatsSql: String =
+    s"""WITH cells AS (${TestLake.cellsSql}),
+       |c1 AS (SELECT table_col_id, rowid, tokenized,
+       |        (tokenized IN ('','nan') OR TRY_CAST(tokenized AS DOUBLE) IS NOT NULL) AS tok_num,
+       |        CASE WHEN tokenized IN ('','nan') THEN NULL ELSE TRY_CAST(tokenized AS DOUBLE) END AS vnum0
+       |       FROM cells),
+       |c2 AS (SELECT *, bool_and(tok_num) OVER (PARTITION BY table_col_id) AS is_numeric FROM c1),
+       |c3 AS (SELECT table_col_id, rowid, tokenized, is_numeric,
+       |        CASE WHEN is_numeric THEN (CASE WHEN isnan(vnum0) THEN NULL ELSE vnum0 END) END AS vnum
+       |       FROM c2),
+       |c4 AS (SELECT *, CASE WHEN is_numeric THEN coalesce(CAST(vnum AS VARCHAR), ' nan') ELSE tokenized END AS valkey FROM c3),
+       |c5 AS (SELECT *, row_number() OVER w AS rn, lead(valkey) OVER w AS next_key,
+       |        lead(rowid) OVER w IS NULL AS is_last
+       |       FROM c4 WINDOW w AS (PARTITION BY table_col_id ORDER BY vnum ASC NULLS LAST, tokenized ASC, rowid ASC))
+       |SELECT table_col_id, CAST(max(CASE WHEN is_numeric THEN 1 ELSE 0 END) AS INT) AS is_numeric,
+       |  min(CASE WHEN rn = 1 THEN rowid END) AS min_index,
+       |  count(*) AS n_rows,
+       |  CAST(sum(CASE WHEN NOT is_last AND (next_key IS DISTINCT FROM valkey) THEN 1 ELSE 0 END) AS BIGINT) AS ones
+       |FROM c5 GROUP BY table_col_id ORDER BY table_col_id""".stripMargin
+
   def oracles: Map[String, String] = Map(
     "tok_clean" ->
       s"SELECT doc_id, ${TextFunctions.cleanedTextSql("text")} AS tok FROM documents ORDER BY doc_id",
@@ -167,25 +194,17 @@ object IndexQueries {
       s"SELECT $id AS tableid, '$name.csv' AS dataset_name, (SELECT count(*) FROM $name) AS max_row_id, ${cols.length - 1} AS max_col_id"
     }.mkString("", " UNION ALL ", " ORDER BY tableid"),
 
-    "cocoa_index_stats" ->
-      s"""WITH cells AS (${TestLake.cellsSql}),
-         |c1 AS (SELECT table_col_id, rowid, tokenized,
-         |        (tokenized IN ('','nan') OR TRY_CAST(tokenized AS DOUBLE) IS NOT NULL) AS tok_num,
-         |        CASE WHEN tokenized IN ('','nan') THEN NULL ELSE TRY_CAST(tokenized AS DOUBLE) END AS vnum0
-         |       FROM cells),
-         |c2 AS (SELECT *, bool_and(tok_num) OVER (PARTITION BY table_col_id) AS is_numeric FROM c1),
-         |c3 AS (SELECT table_col_id, rowid, tokenized, is_numeric,
-         |        CASE WHEN is_numeric THEN (CASE WHEN isnan(vnum0) THEN NULL ELSE vnum0 END) END AS vnum
-         |       FROM c2),
-         |c4 AS (SELECT *, CASE WHEN is_numeric THEN coalesce(CAST(vnum AS VARCHAR), ' nan') ELSE tokenized END AS valkey FROM c3),
-         |c5 AS (SELECT *, row_number() OVER w AS rn, lead(valkey) OVER w AS next_key,
-         |        lead(rowid) OVER w IS NULL AS is_last
-         |       FROM c4 WINDOW w AS (PARTITION BY table_col_id ORDER BY vnum ASC NULLS LAST, tokenized ASC, rowid ASC))
-         |SELECT table_col_id, CAST(max(CASE WHEN is_numeric THEN 1 ELSE 0 END) AS INT) AS is_numeric,
-         |  min(CASE WHEN rn = 1 THEN rowid END) AS min_index,
-         |  count(*) AS n_rows,
-         |  CAST(sum(CASE WHEN NOT is_last AND (next_key IS DISTINCT FROM valkey) THEN 1 ELSE 0 END) AS BIGINT) AS ones
-         |FROM c5 GROUP BY table_col_id ORDER BY table_col_id""".stripMargin,
+    "cocoa_index_stats" -> cocoaStatsSql,
+
+    // The full-index projection (lengths, not arrays — the driver
+    // compares stringified frames, and array renderings differ between
+    // readers): every scalar derives from the SAME CTEs as the stats
+    // oracle; order_list and binary_list are one entry/char per row by
+    // construction, so both lengths are n_rows.
+    "cocoa_index_full" ->
+      s"""SELECT table_col_id, CAST(is_numeric AS BOOLEAN) AS is_numeric, min_index,
+         |  CAST(n_rows AS INT) AS order_len, CAST(n_rows AS INT) AS bin_len
+         |FROM ($cocoaStatsSql) ORDER BY table_col_id""".stripMargin,
 
     "lake_ingest" ->
       Seq("csv", "json", "tsv").map(f =>
