@@ -351,12 +351,14 @@ object PipelineQueries {
         .orderBy(col("score").desc, col("doc_id").asc)
         .limit(20)),
 
-    // content-defined chunking: shift-robust chunk boundaries
+    // content-defined chunking: shift-robust chunk boundaries, oracle-
+    // checked against a from-scratch recursive-CTE recompute
     "cdc_chunks" -> ((s, dir) =>
       TextAnalysis.cdcChunks(s, t(s, dir, "documents")).toDF()
         .orderBy("doc_id", "chunk_idx")),
 
     // ...and the shifted-duplicate pairs those chunks exist to catch
+    // (oracle-checked end to end over the same recompute)
     "cdc_dedup" -> ((s, dir) =>
       Dedup.cdcNearDup(t(s, dir, "documents"), 0.5)
         .select(col("id_1"), col("id_2"), col("common"), col("sz_1"), col("sz_2"),
@@ -472,6 +474,52 @@ object PipelineQueries {
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
   private val qualityWords = "string_split(lower(text), ' ')"
+
+  /** CDC chunking recomputed from scratch for the oracle, at the
+    * harness defaults (window 3, avgSize 16, minSize 4, maxSize 64).
+    * The window hash at a position is state-FREE (an FNV fold of the
+    * last 3 word hashes), so candidate cut positions precompute as
+    * `bpos`; only cut SELECTION is sequential (a candidate within
+    * minSize of the previous cut is skipped, shifting later chunks),
+    * and that chain is the recursive CTE: each step extends to the
+    * next candidate past minSize, clamped by maxSize and end-of-doc.
+    * Yields `chunks(doc, idx, s, e)` + `wh(doc, whs, n)`.
+    */
+  private def cdcCtes: String = {
+    def fnvStep(acc: String, word: String) =
+      s"((xor($acc, $word) * 1099511628211) % $M64)"
+    val winHash = Seq(2, 1, 0).foldLeft("CAST(14695981039346656037 AS HUGEINT)") {
+      (acc, off) =>
+        fnvStep(acc, if (off == 0) "whs[CAST(i AS INT)]" else s"whs[CAST(i AS INT)-$off]")
+    }
+    s"""docs0 AS (
+       |  SELECT CAST(doc_id AS BIGINT) AS doc,
+       |         [w FOR w IN string_split(lower(text), ' ') IF w <> ''] AS ws
+       |  FROM documents
+       |),
+       |wh AS (SELECT doc, [${fnvSql("w")} FOR w IN ws] AS whs, len(ws) AS n FROM docs0),
+       |bpos AS (
+       |  SELECT doc, i - 1 AS i
+       |  FROM wh, LATERAL (SELECT unnest(generate_series(3, CAST(n AS BIGINT))) AS i) g
+       |  WHERE ($winHash) % 16 = 0
+       |),
+       |chunks AS (
+       |  SELECT doc, 0 AS idx, CAST(0 AS BIGINT) AS s,
+       |    LEAST(coalesce((SELECT min(b.i) FROM bpos b WHERE b.doc = w.doc AND b.i >= 3), 1000000000),
+       |          63, n - 1) AS e
+       |  FROM wh w WHERE n > 0
+       |  UNION ALL
+       |  SELECT c.doc, idx + 1, e + 1,
+       |    LEAST(coalesce((SELECT min(b.i) FROM bpos b WHERE b.doc = c.doc AND b.i >= e + 1 + 3), 1000000000),
+       |          e + 64, w.n - 1)
+       |  FROM chunks c JOIN wh w USING (doc) WHERE e < w.n - 1
+       |)""".stripMargin
+  }
+
+  /** ×31-FNV fold of one chunk's word hashes (`s`..`e`, 0-based). */
+  private def cdcChunkFold: String =
+    s"""list_reduce(list_prepend(CAST(0 AS HUGEINT), whs[CAST(s AS INT)+1:CAST(e AS INT)+1]),
+       |              (a, f) -> (a * 31 + f) % $M64)""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "dedup_exact" ->
@@ -630,6 +678,47 @@ object PipelineQueries {
          |)
          |SELECT doc_id, ${toSigned64("r_u")} AS roll_fp
          |FROM rolled ORDER BY doc_id""".stripMargin,
+
+    // Content-defined chunking recomputed from scratch (see cdcCtes:
+    // state-free candidate positions + a recursive CTE for the
+    // sequential cut selection), chunk hashes signed to the Spark longs.
+    "cdc_chunks" ->
+      s"""WITH RECURSIVE
+         |$cdcCtes
+         |SELECT c.doc AS doc_id, CAST(idx AS INT) AS chunk_idx, CAST(s + 1 AS INT) AS start_word,
+         |  CAST(e - s + 1 AS INT) AS n_words,
+         |  ${toSigned64(cdcChunkFold)} AS chunk_hash
+         |FROM chunks c JOIN wh USING (doc)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // ...and the shifted-duplicate pairs over those chunks: distinct
+    // (doc, chunk-hash) sets, the df>65536 hot-chunk guard mirrored
+    // (vacuous at oracle scale, kept for faithfulness), containment =
+    // common / min(size) at tau 0.5.
+    "cdc_dedup" ->
+      s"""WITH RECURSIVE
+         |$cdcCtes,
+         |inv AS (
+         |  SELECT DISTINCT c.doc AS did, ${toSigned64(cdcChunkFold)} AS g
+         |  FROM chunks c JOIN wh USING (doc)
+         |),
+         |guarded AS (
+         |  SELECT * FROM inv WHERE g NOT IN (
+         |    SELECT g FROM inv GROUP BY g HAVING count(*) > 65536)
+         |),
+         |sizes AS (SELECT did, count(*) AS sz FROM guarded GROUP BY did),
+         |pairs AS (
+         |  SELECT a.did AS id_1, b.did AS id_2, count(*) AS common
+         |  FROM guarded a JOIN guarded b USING (g)
+         |  WHERE a.did < b.did GROUP BY 1, 2
+         |)
+         |SELECT id_1, id_2, common, s1.sz AS sz_1, s2.sz AS sz_2,
+         |  CAST(round(common::DOUBLE / least(s1.sz, s2.sz), 6) AS DECIMAL(10,6)) AS containment
+         |FROM pairs
+         |JOIN sizes s1 ON s1.did = id_1
+         |JOIN sizes s2 ON s2.did = id_2
+         |WHERE common::DOUBLE / least(s1.sz, s2.sz) >= 0.5
+         |ORDER BY id_1, id_2""".stripMargin,
 
     // SimHash near-dup canon recomputed by BRUTE FORCE: the Spark
     // side's 4×16-bit banding is exact for hamming ≤ 3 (pigeonhole:
