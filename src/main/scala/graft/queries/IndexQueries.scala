@@ -274,78 +274,25 @@ object IndexQueries {
          |ORDER BY tableid, rowid""".stripMargin,
 
     // A fully independent reimplementation of the reference-exact md5
-    // SimHash (maco/util.py:250): 3-gram features of the lowercased
-    // word-stripped name (whole remainder when shorter), one md5 per
-    // feature, bit i of the 128-bit digest voted +1/-1 across features,
-    // bit set on a strictly positive vote; the two unsigned halves
-    // reinterpreted as signed 64-bit to match the Spark longs.
+    // SimHash (maco/util.py:250), composed from the shared feature and
+    // vote CTEs in Q (one definition of the 3-gram/vote rules for all
+    // SimHash oracles).
     "simhash128_ref" ->
-      """WITH toks AS (
-        |  SELECT p_partkey AS k,
-        |         regexp_replace(lower(p_name), '[^a-z0-9_]+', '', 'g') AS t
-        |  FROM part
-        |),
-        |feats AS (
-        |  SELECT k, CASE WHEN length(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS f
-        |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i) g
-        |),
-        |votes AS (
-        |  SELECT k, i,
-        |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(f), CAST(32 - i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-        |  FROM feats, (SELECT unnest(generate_series(0, 127)) AS i) bb
-        |  GROUP BY k, i
-        |),
-        |num AS (
-        |  SELECT k,
-        |    SUM(CASE WHEN v > 0 AND i < 64 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE 0 END) AS lo_u,
-        |    SUM(CASE WHEN v > 0 AND i >= 64 THEN CAST(1 AS HUGEINT) << CAST(i - 64 AS INT) ELSE 0 END) AS hi_u
-        |  FROM votes GROUP BY k
-        |)
-        |SELECT k AS p_partkey,
-        |  CAST(CASE WHEN hi_u >= CAST(9223372036854775808 AS HUGEINT) THEN hi_u - CAST(18446744073709551616 AS HUGEINT) ELSE hi_u END AS BIGINT) AS sh128_hi,
-        |  CAST(CASE WHEN lo_u >= CAST(9223372036854775808 AS HUGEINT) THEN lo_u - CAST(18446744073709551616 AS HUGEINT) ELSE lo_u END AS BIGINT) AS sh128_lo
-        |FROM num ORDER BY p_partkey""".stripMargin,
+      s"""WITH ${simhashFeatsCtes("part", "p_partkey", "p_name")},
+         |$simhashNum128Ctes
+         |SELECT k AS p_partkey,
+         |  ${toSigned64("hi_u")} AS sh128_hi,
+         |  ${toSigned64("lo_u")} AS sh128_lo
+         |FROM num128 ORDER BY p_partkey""".stripMargin,
 
     // Both SimHash modes recomputed from scratch over the documents
-    // corpus: shared 3-gram features of the lowercased word-stripped
-    // text (whole remainder when shorter); the 64-bit mode votes the
+    // corpus, from the same shared CTEs: the 64-bit mode votes the
     // bits of an FNV-1a feature hash (HUGEINT fold), the 128-bit mode
     // votes the bits of the feature's md5 digest.
     "simhash_tokens" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id AS k, regexp_replace(lower(text), '[^a-z0-9_]+', '', 'g') AS t
-         |  FROM documents
-         |),
-         |feats AS (
-         |  SELECT k, CASE WHEN length(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS f
-         |  FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i) g
-         |),
-         |hashed AS (
-         |  SELECT k, f, md5(f) AS h128,
-         |    ${fnvSql("f")} AS h64
-         |  FROM feats
-         |),
-         |votes64 AS (
-         |  SELECT k, i, SUM(CASE WHEN (h64 >> CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM hashed, (SELECT unnest(generate_series(0, 63)) AS i) b
-         |  GROUP BY k, i
-         |),
-         |num64 AS (
-         |  SELECT k, SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS sh_u
-         |  FROM votes64 GROUP BY k
-         |),
-         |votes128 AS (
-         |  SELECT k, i,
-         |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h128, CAST(32 - i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
-         |  FROM hashed, (SELECT unnest(generate_series(0, 127)) AS i) b
-         |  GROUP BY k, i
-         |),
-         |num128 AS (
-         |  SELECT k,
-         |    SUM(CASE WHEN v > 0 AND i < 64 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS lo_u,
-         |    SUM(CASE WHEN v > 0 AND i >= 64 THEN CAST(1 AS HUGEINT) << CAST(i - 64 AS INT) ELSE CAST(0 AS HUGEINT) END) AS hi_u
-         |  FROM votes128 GROUP BY k
-         |)
+      s"""WITH ${simhashFeatsCtes("documents", "doc_id", "text")},
+         |$simhashNum64Ctes,
+         |$simhashNum128Ctes
          |SELECT a.k AS doc_id,
          |  ${toSigned64("sh_u")} AS sh,
          |  ${toSigned64("hi_u")} AS sh128_hi,

@@ -45,29 +45,59 @@ object Q {
   def toSigned64(u: String): String =
     s"CAST(CASE WHEN $u >= CAST(9223372036854775808 AS HUGEINT) THEN $u - $M64 ELSE $u END AS BIGINT)"
 
-  /** The 64-bit-FNV SimHash of `documents.text` as CTE text: yields
-    * `sh(did, sh_u)` with the UNSIGNED fingerprint (callers sign it
-    * with [[toSigned64]] or compare bit patterns directly).
+  /** SimHash feature CTEs — ONE definition of the 3-gram window over
+    * the lowercased word-stripped text (whole remainder when shorter),
+    * shared by every SimHash oracle so the feature rule can never
+    * silently diverge between them. Yields `feats0(k, f)`.
     */
-  def simhash64Ctes: String =
+  def simhashFeatsCtes(table: String, keyExpr: String, textExpr: String): String =
     s"""toks0 AS (
-       |  SELECT doc_id AS k, regexp_replace(lower(text), '[^a-z0-9_]+', '', 'g') AS t
-       |  FROM documents
+       |  SELECT $keyExpr AS k, regexp_replace(lower($textExpr), '[^a-z0-9_]+', '', 'g') AS t
+       |  FROM $table
        |),
        |feats0 AS (
        |  SELECT k, CASE WHEN length(t) <= 3 THEN t ELSE substr(t, CAST(i AS INT), 3) END AS f
        |  FROM toks0, LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 2, 1))) AS i) g
-       |),
-       |hashed0 AS (SELECT k, ${fnvSql("f")} AS h64 FROM feats0),
-       |votes0 AS (
+       |)""".stripMargin
+
+  /** The 64-bit FNV vote chain over `feats0` → `num64(k, sh_u)`
+    * (unsigned fingerprint; sign with [[toSigned64]]).
+    */
+  def simhashNum64Ctes: String =
+    s"""hashed64 AS (SELECT k, ${fnvSql("f")} AS h64 FROM feats0),
+       |votes64 AS (
        |  SELECT k, i, SUM(CASE WHEN (h64 >> CAST(i AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
-       |  FROM hashed0, (SELECT unnest(generate_series(0, 63)) AS i) b
+       |  FROM hashed64, (SELECT unnest(generate_series(0, 63)) AS i) b
        |  GROUP BY k, i
        |),
-       |sh AS (
-       |  SELECT k AS did, SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS sh_u
-       |  FROM votes0 GROUP BY k
+       |num64 AS (
+       |  SELECT k, SUM(CASE WHEN v > 0 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS sh_u
+       |  FROM votes64 GROUP BY k
        |)""".stripMargin
+
+  /** The 128-bit md5 vote chain over `feats0` → `num128(k, hi_u, lo_u)`. */
+  def simhashNum128Ctes: String =
+    s"""hashed128 AS (SELECT k, md5(f) AS h128 FROM feats0),
+       |votes128 AS (
+       |  SELECT k, i,
+       |    SUM(CASE WHEN ((strpos('0123456789abcdef', substr(h128, CAST(32 - i // 4 AS INT), 1)) - 1) >> (i % 4)) & 1 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM hashed128, (SELECT unnest(generate_series(0, 127)) AS i) b
+       |  GROUP BY k, i
+       |),
+       |num128 AS (
+       |  SELECT k,
+       |    SUM(CASE WHEN v > 0 AND i < 64 THEN CAST(1 AS HUGEINT) << CAST(i AS INT) ELSE CAST(0 AS HUGEINT) END) AS lo_u,
+       |    SUM(CASE WHEN v > 0 AND i >= 64 THEN CAST(1 AS HUGEINT) << CAST(i - 64 AS INT) ELSE CAST(0 AS HUGEINT) END) AS hi_u
+       |  FROM votes128 GROUP BY k
+       |)""".stripMargin
+
+  /** The 64-bit SimHash of `documents.text` → `sh(did, sh_u)` — the
+    * dedup_simhash oracle's base, composed from the shared pieces.
+    */
+  def simhash64Ctes: String =
+    s"""${simhashFeatsCtes("documents", "doc_id", "text")},
+       |$simhashNum64Ctes,
+       |sh AS (SELECT k AS did, sh_u FROM num64)""".stripMargin
 }
 
 /** Relational / analytic core — SURVEY.md §2.3.

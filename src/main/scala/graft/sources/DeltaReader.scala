@@ -44,7 +44,7 @@ object DeltaReader {
     * checkpoint `add` actions, and dropping them would break real
     * delta-spark readers of graft-written checkpoints.
     */
-  private[sources] case class AddFile(path: String, partitionValues: Map[String, String],
+  private[graft] case class AddFile(path: String, partitionValues: Map[String, String],
                                       size: Long = 0L, modificationTime: Long = 0L)
 
   /** The replayed log state at one version — what both the reader and
@@ -57,14 +57,15 @@ object DeltaReader {
     * replaying from that checkpoint would misinterpret the data it
     * gates.
     */
-  private[sources] case class Snapshot(version: Long, active: Seq[AddFile],
+  private[graft] case class Snapshot(version: Long, active: Seq[AddFile],
                                        schemaJson: String, partCols: Seq[String],
                                        minReader: Long,
                                        configuration: Map[String, String] = Map.empty,
                                        minWriter: Long = 2L,
                                        readerFeatures: Seq[String] = Nil,
                                        writerFeatures: Seq[String] = Nil,
-                                       txns: Map[String, Long] = Map.empty)
+                                       txns: Map[String, Long] = Map.empty,
+                                       metaId: Option[String] = None)
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
     * application/x-www-form-urlencoded rules turn a literal '+' in a
@@ -109,10 +110,26 @@ object DeltaReader {
     */
   def isDeltaTable(dir: String): Boolean = isDeltaTable(dir, new Configuration())
 
+  /** True when `_delta_log` holds at least one commit or checkpoint —
+    * distinguishes a live table from the EMPTY log directory a writer
+    * crash between mkdirs and its version-0 commit leaves behind
+    * (snapshot() on that state throws; a creating writer must treat
+    * it as absent and re-create, or the table is stuck forever).
+    */
+  def hasLogEntries(dir: String, conf: Configuration): Boolean = {
+    val log = new Path(dir, "_delta_log")
+    val fs = log.getFileSystem(conf)
+    try fs.listStatus(log).exists { st =>
+      val n = st.getPath.getName
+      n.matches("\\d{20}\\.json") ||
+        n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet")
+    } catch { case _: java.io.FileNotFoundException => false }
+  }
+
   /** Replay the log to the target version. Driver-side by design (see
     * scaladoc above); every FS touch goes through `fs`.
     */
-  private[sources] def snapshot(s: SparkSession, dir: String,
+  private[graft] def snapshot(s: SparkSession, dir: String,
                                 versionAsOf: Option[Long]): Snapshot = {
     val hconf = s.sessionState.newHadoopConf()
     val logPath = new Path(dir, "_delta_log")
@@ -155,6 +172,7 @@ object DeltaReader {
     var writerFeatures: Set[String] = Set.empty
     var configuration: Map[String, String] = Map.empty
     var txns: Map[String, Long] = Map.empty
+    var metaId: Option[String] = None
 
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log
@@ -197,6 +215,8 @@ object DeltaReader {
           partCols = md.getSeq[String](md.fieldIndex("partitionColumns"))
           if (mdFields("configuration") && !md.isNullAt(md.fieldIndex("configuration")))
             configuration = md.getMap[String, String](md.fieldIndex("configuration")).toMap
+          if (mdFields("id") && !md.isNullAt(md.fieldIndex("id")))
+            metaId = Some(md.getString(md.fieldIndex("id")))
         }
         if (cols("protocol") && !r.isNullAt(r.fieldIndex("protocol"))) {
           val pr = r.getStruct(r.fieldIndex("protocol"))
@@ -261,6 +281,7 @@ object DeltaReader {
           if (n.has("metaData")) {
             val md = n.get("metaData")
             schemaJson = Some(md.get("schemaString").asText())
+            metaId = Option(md.get("id")).filterNot(_.isNull).map(_.asText())
             partCols = Option(md.get("partitionColumns")).map { pcs =>
               (0 until pcs.size()).map(pcs.get(_).asText())
             }.getOrElse(Nil)
@@ -315,7 +336,7 @@ object DeltaReader {
     Snapshot(target, active.values.toSeq,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
-      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns)
+      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId)
   }
 
   /** Snapshot read at the latest version, or at `versionAsOf`.

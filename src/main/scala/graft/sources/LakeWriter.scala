@@ -103,8 +103,7 @@ object LakeWriter {
     * the table format itself.
     */
   def appendDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0,
-                  txn: Option[(String, Long)] = None): Unit = {
-    val spark = df.sparkSession
+                  txn: Option[(String, Long)] = None): Unit =
     // Replay the log before writing: the snapshot is both the version
     // counter (snapshot.version covers commits AND checkpoints, so
     // appends survive log retention) and the compatibility gate. An
@@ -114,7 +113,38 @@ object LakeWriter {
     // table that expects physical ones, or a commit that silently
     // violates writer features (constraints, generated columns) this
     // writer does not implement.
-    val snap = DeltaReader.snapshot(spark, dir, None)
+    appendDeltaWithSnapshot(df, dir, checkpointInterval, txn,
+      DeltaReader.snapshot(df.sparkSession, dir, None))
+
+  /** Every nested field path under `st` carrying `delta.invariants`
+    * metadata — PROTOCOL.md allows invariants on struct members, so a
+    * top-level-only scan would wave through exactly the unchecked
+    * writes the gate exists to refuse.
+    */
+  private def invariantFields(st: org.apache.spark.sql.types.StructType,
+                              prefix: String = ""): Seq[String] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    st.fields.toSeq.flatMap { f =>
+      val here = if (f.metadata.contains("delta.invariants")) Seq(prefix + f.name) else Nil
+      val below = f.dataType match {
+        case s: StructType => invariantFields(s, s"$prefix${f.name}.")
+        case ArrayType(s: StructType, _) => invariantFields(s, s"$prefix${f.name}.element.")
+        case MapType(_, s: StructType, _) => invariantFields(s, s"$prefix${f.name}.value.")
+        case _ => Nil
+      }
+      here ++ below
+    }
+  }
+
+  /** The append gate + commit against an already-replayed snapshot —
+    * the streaming sink takes ONE snapshot per micro-batch for both
+    * its txn-watermark check and the append, instead of replaying the
+    * log twice per batch.
+    */
+  private[graft] def appendDeltaWithSnapshot(df: DataFrame, dir: String,
+                                             checkpointInterval: Int,
+                                             txn: Option[(String, Long)],
+                                             snap: DeltaReader.Snapshot): Unit = {
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none",
       s"appendDelta: table uses column mapping mode '$cm' — appended parquet would " +
@@ -130,11 +160,12 @@ object LakeWriter {
         "enforce the table's declared constraints; refusing to write")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // column invariants live in schemaString field metadata and exist
-    // from writer version 2 up — a data check this writer doesn't run
-    val withInvariants = table.fields.filter(_.metadata.contains("delta.invariants"))
+    // column invariants live in schemaString field metadata (at ANY
+    // nesting depth) and exist from writer version 2 up — a data check
+    // this writer doesn't run
+    val withInvariants = invariantFields(table)
     require(withInvariants.isEmpty,
-      s"appendDelta: columns ${withInvariants.map(_.name).mkString(", ")} declare " +
+      s"appendDelta: columns ${withInvariants.mkString(", ")} declare " +
         "invariants this writer cannot enforce; refusing to write unchecked data")
     require(df.schema.length == table.length,
       s"appendDelta: appended schema has ${df.schema.length} columns, table has " +
@@ -176,9 +207,12 @@ object LakeWriter {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
-    fs.mkdirs(log)
     // stage the parquet files, then move them into the table root —
     // files only become visible through the commit that adds them.
+    // (_delta_log is created just before the commit write, AFTER the
+    // staging job: a crash mid-staging then leaves no log directory,
+    // so a creating writer's retry still sees "not a table" instead of
+    // an empty log it refuses to read.)
     // Partitioned tables stage through partitionBy, so the data files
     // land under col=value/ directories and (per Spark's layout) do
     // not contain the partition columns themselves; the reader
@@ -233,6 +267,7 @@ object LakeWriter {
       }.mkString("{", ",", "}")
       actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true}}"""
     }
+    fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
     // create-if-absent (overwrite = false) IS the commit arbitration: a
     // second writer racing to the same version must fail loudly here —
@@ -301,12 +336,20 @@ object LakeWriter {
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one compacted file, got ${part.length}")
       // destination keeps the partition directory so the layout stays
-      // hive-readable; the compact marker keeps the name unique. The
-      // directory part of `rel` is reused straight from the first
-      // removed file's add.path, which is ALREADY percent-encoded —
-      // encode only the (clean) file name, never the whole path twice.
+      // hive-readable. The directory part of `rel` is reused straight
+      // from the first removed file's add.path, which is ALREADY
+      // percent-encoded — encode only the (clean) file name, never the
+      // whole path twice. The random token makes the name unique PER
+      // ATTEMPT: two compactors racing to the same version would
+      // otherwise rename onto the same destination and the loser's
+      // earlier renames would be orphaned under a name a retry can
+      // never reclaim — with unique names the loser only loses the
+      // commit race (loud IllegalStateException below) and its files
+      // stay invisible, the same failed-writer debris VACUUM exists
+      // to sweep in real Delta deployments.
       val relDir = files.head.path.split('/').dropRight(1).mkString("/")
-      val destName = s"part-compact-${snap.version + 1}-g$i.parquet"
+      val attempt = java.util.UUID.randomUUID().toString.take(8)
+      val destName = s"part-compact-${snap.version + 1}-g$i-$attempt.parquet"
       val rel = if (relDir.isEmpty) destName else s"$relDir/$destName"
       val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
       if (rel.contains("/")) fs.mkdirs(dest.getParent)
@@ -379,7 +422,14 @@ object LakeWriter {
         if (snap.minReader >= 3) snap.readerFeatures else null,
         if (snap.minWriter >= 7) snap.writerFeatures else null), null, null, null) +:
       Row(null,
-        Row(java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString,
+        // the table's ACTUAL id from the replayed log — fabricating one
+        // from the dir string would change the table's identity the
+        // moment the checkpoint becomes the replay base (readers that
+        // track metaData.id, e.g. a streaming source, fail on the
+        // switch); the dir-derived UUID is only the fallback for a log
+        // whose metaData carried no id at all
+        Row(snap.metaId.getOrElse(
+            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString),
           Row("parquet", Map.empty[String, String]),
           snap.schemaJson, snap.partCols, snap.configuration),
         null, null) +:

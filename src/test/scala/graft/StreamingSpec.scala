@@ -276,41 +276,52 @@ class StreamingSpec extends SparkSpec {
     def rows = graft.sources.DeltaReader.read(spark, dir)
       .select("id", "v").as[(Long, String)].collect().toSet
     assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")))
-    // two versions: batch-0 create + batch-1 append, each carrying its txn
-    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "spec-sink") == 1L)
-    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "other-app") == -1L)
-    // a sink RETRY of an already-committed batch must be a no-op: feed
-    // the same batch ids through a fresh query checkpoint (batch ids
-    // restart at 0) — both replayed batches sit at or below the
-    // watermark, so nothing lands twice
+    // two versions: batch-0 create + batch-1 append, each carrying its
+    // txn under the CHECKPOINT-SCOPED app id (batch ids only mean
+    // anything within one checkpoint's offset log)
+    val scoped = graft.streaming.DeltaStream.scopedAppId("spec-sink", ckpt)
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, scoped) == 1L)
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "spec-sink") == -1L,
+      "the raw appId must not be the txn identity — an unscoped watermark would " +
+        "swallow a new checkpoint's restarted batch ids as replays")
+    // a sink RETRY of an already-committed batch is a no-op: same
+    // scoped identity, batch id at the watermark
+    graft.streaming.DeltaStream.commitBatch(
+      Seq((99L, "dup")).toDF("id", "v"), dir, scoped, batchId = 1L)
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      "a replayed batch id at/below the txn watermark must not land twice")
+    // ...while the NEXT batch id under the same identity appends
+    graft.streaming.DeltaStream.commitBatch(
+      Seq((4L, "d")).toDF("id", "v"), dir, scoped, batchId = 2L)
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+    // a FRESH checkpoint is a new identity: its restarted batch ids
+    // carry NEW data and must append, not vanish below the old
+    // watermark (the data-loss case unscoped appIds hit)
     val ckpt2 = java.nio.file.Files.createTempDirectory("graft_delta_ckpt2_").toString
     val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
     val q2 = graft.streaming.DeltaStream.writeDelta(
       mem2.toDF().toDF("id", "v"), dir, ckpt2, appId = "spec-sink")
-    mem2.addData((1L, "a"), (2L, "b"))
-    q2.processAllAvailable()
-    mem2.addData((3L, "c"))
+    mem2.addData((9L, "z"))
     q2.processAllAvailable()
     q2.stop()
-    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c")),
-      "replayed batch ids at/below the txn watermark must not duplicate rows")
-    // ...while a DIFFERENT appId with the same batch ids is a new
-    // application and appends normally
-    val ckpt3 = java.nio.file.Files.createTempDirectory("graft_delta_ckpt3_").toString
-    val mem3 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
-    val q3 = graft.streaming.DeltaStream.writeDelta(
-      mem3.toDF().toDF("id", "v"), dir, ckpt3, appId = "second-app")
-    mem3.addData((9L, "z"))
-    q3.processAllAvailable()
-    q3.stop()
-    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z")),
+      "a new checkpoint's batch 0 carries new data and must not be dropped")
     // the txn watermark survives checkpoint compaction + log retention
-    // (versions: 0 = batch-0 create, 1 = batch-1, 2 = second-app)
-    graft.sources.LakeWriter.checkpointDelta(spark, dir, 2L)
+    // (versions: 0/1 = stream, 2 = retry-skip test append, 3 = ckpt2 batch)
+    graft.sources.LakeWriter.checkpointDelta(spark, dir, 3L)
     val log = new java.io.File(dir, "_delta_log")
-    (0 to 2).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
-    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, "spec-sink") == 1L,
+    (0 to 3).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
+    assert(graft.sources.DeltaReader.lastTxnVersion(spark, dir, scoped) == 2L,
       "txn watermarks must survive checkpointing, or retention replays every batch")
-    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (9L, "z")))
+    assert(rows == Set((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (9L, "z")))
+    // a crash BETWEEN _delta_log creation and the version-0 commit
+    // leaves an empty log dir: the sink must take the create path, not
+    // wedge on "empty _delta_log" forever
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_delta_empty_").toString
+    new java.io.File(dir2, "_delta_log").mkdirs()
+    graft.streaming.DeltaStream.commitBatch(
+      Seq((1L, "a")).toDF("id", "v"), dir2, "recover-app", batchId = 0L)
+    assert(graft.sources.DeltaReader.read(spark, dir2)
+      .select("id", "v").as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 }
