@@ -6,8 +6,25 @@ import org.apache.spark.sql.expressions.Window
 
 /** Shared helpers for query modules. */
 object Q {
-  def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (reads as
+    // long nanos under spark.sql.legacy.parquet.nanosAsLong) and
+    // TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ) across testdata
+    // generations. Every consumer is written against long NANOS —
+    // integer-exact bucketing, gap arithmetic, as-of ranges — so
+    // normalize at the source: micros × 1000 loses nothing (session TZ
+    // is UTC, NTZ→LTZ is identity) and the DuckDB oracles, which read
+    // the same file as TIMESTAMP, stay untouched.
+    if (name != "events") df
+    else df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampNTZType) |
+           Some(org.apache.spark.sql.types.TimestampType) =>
+        df.withColumn("ts",
+          expr("unix_micros(CAST(ts AS TIMESTAMP_LTZ)) * 1000L"))
+      case _ => df
+    }
+  }
 
   /** Money arithmetic goes through decimal so sums are exact and
     * associative — identical under any shuffle/partial-agg order and in
