@@ -621,7 +621,8 @@ object Dedup {
     */
   def simhashNearDup(docs: DataFrame, maxHamming: Int = 3,
                      id: String = "doc_id", text: String = "text"): DataFrame = {
-    val fp = docs.select(col(id).as("did"), SimHash.simhashUdf(col(text)).as("sh"))
+    val fp = docs.select(col(id).as("did"),
+      graft.functions.XashKernel.simhashCol(col(text)).as("sh"))
     val banded = fp.select(col("did"), col("sh"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))

@@ -109,7 +109,7 @@ object IndexQueries {
     // per-bit digest votes; see oracles)
     "simhash_tokens" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(col("doc_id"), SimHash.simhashUdf(col("text")).as("sh"),
+        .select(col("doc_id"), graft.functions.XashKernel.simhashCol(col("text")).as("sh"),
           SimHash.simhash128Udf(col("text")).as("sh128"))
         .select(col("doc_id"), col("sh"),
           col("sh128._1").as("sh128_hi"), col("sh128._2").as("sh128_lo"))
