@@ -17,12 +17,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * checkpoints (both discovered by listing — `_last_checkpoint` is an
   * optimization hint, not required for correctness), partition
   * columns (types parsed from `metaData.schemaString`, a Spark
-  * StructType JSON), and time travel via `versionAsOf`. Refused
-  * LOUDLY rather than misread: `protocol.minReaderVersion > 1`
-  * (column mapping / deletion vectors change how data must be
-  * interpreted), a log whose retention cleaned commits below the
-  * replay base (a silent partial snapshot otherwise), and absolute
-  * `add.path` URIs (shallow clones / external files).
+  * StructType JSON), time travel via `versionAsOf`, column mapping
+  * (name mode), and deletion vectors (inline and sidecar: the
+  * roaring-bitmap row indexes anti-filter the scan through
+  * `_metadata.row_index`). Refused LOUDLY rather than misread:
+  * reader features beyond columnMapping/deletionVectors, a log whose
+  * retention cleaned commits below the replay base (a silent partial
+  * snapshot otherwise), and absolute `add.path` URIs (shallow clones
+  * / external files).
   *
   * All log access rides the Hadoop FileSystem API resolved from the
   * table path's scheme — a `java.io.File` walk would silently see no
@@ -39,13 +41,26 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object DeltaReader {
 
+  /** PROTOCOL.md `add.deletionVector` descriptor: which rows of the
+    * data file are deleted, stored as a serialized roaring bitmap
+    * either inline (`storageType` "i", base85 bytes in
+    * `pathOrInlineDv`) or in a sidecar `.bin` file ("u": base85 UUID
+    * suffix naming `deletion_vector_<uuid>.bin` under an optional
+    * random prefix; "p": absolute path). `offset` locates the DV
+    * inside a shared sidecar (one file may hold many DVs).
+    */
+  private[graft] case class DvDescriptor(storageType: String, pathOrInlineDv: String,
+                                         offset: Option[Int], sizeInBytes: Int,
+                                         cardinality: Long)
+
   /** `size`/`modificationTime` ride through the snapshot so the
     * checkpoint writer can emit them — the protocol REQUIRES them in
     * checkpoint `add` actions, and dropping them would break real
     * delta-spark readers of graft-written checkpoints.
     */
   private[graft] case class AddFile(path: String, partitionValues: Map[String, String],
-                                      size: Long = 0L, modificationTime: Long = 0L)
+                                      size: Long = 0L, modificationTime: Long = 0L,
+                                      dv: Option[DvDescriptor] = None)
 
   /** The replayed log state at one version — what both the reader and
     * the checkpoint writer need: the live add set plus table metadata
@@ -94,6 +109,129 @@ object DeltaReader {
     }
     flush(p.length)
     new String(out.toByteArray, "UTF-8")
+  }
+
+  /** RFC 1924 base85 — the alphabet PROTOCOL.md prescribes for
+    * deletion-vector UUIDs and inline bitmaps (NOT Ascii85, NOT Z85:
+    * both differ in character set). 5 chars decode to 4 bytes,
+    * most-significant digit first.
+    */
+  private val Base85Alphabet =
+    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+  private val Base85Rev: Array[Int] = {
+    val t = Array.fill(128)(-1)
+    Base85Alphabet.zipWithIndex.foreach { case (c, i) => t(c) = i }
+    t
+  }
+
+  private[graft] def base85Decode(enc: String): Array[Byte] = {
+    require(enc.length % 5 == 0,
+      s"base85 input length ${enc.length} is not a multiple of 5: '$enc'")
+    val out = new Array[Byte](enc.length / 5 * 4)
+    var i = 0; var o = 0
+    while (i < enc.length) {
+      var acc = 0L
+      var j = 0
+      while (j < 5) {
+        val c = enc.charAt(i + j)
+        val v = if (c < 128) Base85Rev(c) else -1
+        require(v >= 0, s"invalid base85 character '$c' in '$enc'")
+        acc = acc * 85 + v
+        j += 1
+      }
+      require(acc <= 0xFFFFFFFFL, s"base85 group overflows 32 bits in '$enc'")
+      out(o) = ((acc >>> 24) & 0xff).toByte; out(o + 1) = ((acc >>> 16) & 0xff).toByte
+      out(o + 2) = ((acc >>> 8) & 0xff).toByte; out(o + 3) = (acc & 0xff).toByte
+      i += 5; o += 4
+    }
+    out
+  }
+
+  private[graft] def base85Encode(bytes: Array[Byte]): String = {
+    require(bytes.length % 4 == 0, s"base85 input length ${bytes.length} not a multiple of 4")
+    val sb = new StringBuilder(bytes.length / 4 * 5)
+    var i = 0
+    while (i < bytes.length) {
+      var acc = ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+        ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+      val grp = new Array[Char](5)
+      var j = 4
+      while (j >= 0) { grp(j) = Base85Alphabet(((acc % 85)).toInt); acc /= 85; j -= 1 }
+      sb.appendAll(grp)
+      i += 4
+    }
+    sb.result()
+  }
+
+  /** Sidecar path for a "u"/"p" deletion vector: the last 20 chars of
+    * `pathOrInlineDv` are the base85 UUID, anything before them is the
+    * random directory prefix the writer scattered files under.
+    */
+  private[graft] def dvFilePath(tableDir: Path, d: DvDescriptor): Path = d.storageType match {
+    case "u" =>
+      require(d.pathOrInlineDv.length >= 20,
+        s"deletionVector pathOrInlineDv '${d.pathOrInlineDv}' shorter than a base85 UUID")
+      val prefix = d.pathOrInlineDv.dropRight(20)
+      val bb = java.nio.ByteBuffer.wrap(base85Decode(d.pathOrInlineDv.takeRight(20)))
+      val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+      val name = s"deletion_vector_$uuid.bin"
+      if (prefix.isEmpty) new Path(tableDir, name)
+      else new Path(new Path(tableDir, prefix), name)
+    case "p" => new Path(d.pathOrInlineDv)
+    case other => sys.error(s"deletionVector storageType '$other' has no file path")
+  }
+
+  /** Decode a serialized RoaringBitmapArray (PROTOCOL.md's portable
+    * form: magic 1681511377 as little-endian int32, little-endian
+    * int64 bitmap count, then per bitmap a little-endian int32 high
+    * key + a standard portable 32-bit roaring bitmap) into sorted row
+    * indexes.
+    */
+  private[graft] def decodeDvBitmap(bytes: Array[Byte], cardinality: Long): Array[Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val magic = Integer.reverseBytes(in.readInt())
+    require(magic == 1681511377,
+      s"deletion vector magic $magic != 1681511377 — not a portable RoaringBitmapArray")
+    val n = java.lang.Long.reverseBytes(in.readLong())
+    require(n >= 0 && n <= Int.MaxValue, s"implausible deletion-vector bitmap count $n")
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0L
+    while (i < n) {
+      val hi = Integer.reverseBytes(in.readInt()).toLong << 32
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      rb.deserialize(in)
+      val it = rb.getIntIterator
+      while (it.hasNext) out += (hi | (it.next() & 0xFFFFFFFFL))
+      i += 1
+    }
+    require(out.length == cardinality,
+      s"deletion vector cardinality ${out.length} != declared $cardinality — " +
+        "refusing a bitmap that disagrees with its descriptor")
+    out.toArray
+  }
+
+  /** Slice one DV out of a sidecar file's bytes and decode it: version
+    * byte 1 at offset 0, then at `offset` a big-endian int32 size, the
+    * serialized bitmap, and a big-endian CRC-32 of exactly those bytes.
+    */
+  private[graft] def decodeDvFromFile(content: Array[Byte], offset: Int, sizeInBytes: Int,
+                                      cardinality: Long): Array[Long] = {
+    require(content.length > 0 && content(0) == 1,
+      s"deletion vector file format version ${if (content.isEmpty) "?" else content(0)} != 1")
+    val bb = java.nio.ByteBuffer.wrap(content)
+    require(offset >= 1 && offset + 4 <= content.length,
+      s"deletion vector offset $offset out of bounds (${content.length} bytes)")
+    val size = bb.getInt(offset)
+    require(size == sizeInBytes,
+      s"deletion vector size $size at offset $offset != descriptor sizeInBytes $sizeInBytes")
+    require(offset + 8 + size <= content.length,
+      s"deletion vector data+checksum overruns the file (${content.length} bytes)")
+    val data = java.util.Arrays.copyOfRange(content, offset + 4, offset + 4 + size)
+    val crc = bb.getInt(offset + 4 + size)
+    val c = new java.util.zip.CRC32(); c.update(data)
+    require(c.getValue == (crc.toLong & 0xFFFFFFFFL),
+      s"deletion vector checksum mismatch at offset $offset — refusing corrupt deletes")
+    decodeDvBitmap(data, cardinality)
   }
 
   /** True when `dir` is a Delta table root (any Hadoop scheme). */
@@ -206,7 +344,18 @@ object DeltaReader {
           val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
             .map(_.toMap).getOrElse(Map.empty[String, String])
           val p = a.getString(a.fieldIndex("path"))
-          active(p) = AddFile(p, pv, optLong("size"), optLong("modificationTime"))
+          val dv = if (aFields("deletionVector") && !a.isNullAt(a.fieldIndex("deletionVector"))) {
+            val d = a.getStruct(a.fieldIndex("deletionVector"))
+            val dFields = d.schema.fieldNames.toSet
+            Some(DvDescriptor(
+              d.getString(d.fieldIndex("storageType")),
+              d.getString(d.fieldIndex("pathOrInlineDv")),
+              if (dFields("offset") && !d.isNullAt(d.fieldIndex("offset")))
+                Some(d.getAs[Number]("offset").intValue()) else None,
+              d.getAs[Number]("sizeInBytes").intValue(),
+              d.getAs[Number]("cardinality").longValue()))
+          } else None
+          active(p) = AddFile(p, pv, optLong("size"), optLong("modificationTime"), dv)
         }
         if (cols("metaData") && !r.isNullAt(r.fieldIndex("metaData"))) {
           val md = r.getStruct(r.fieldIndex("metaData"))
@@ -262,9 +411,15 @@ object DeltaReader {
           val n = om.readTree(line)
           if (n.has("add")) {
             val a = n.get("add")
-            require(!a.has("deletionVector") || a.get("deletionVector").isNull,
-              s"add action carries a deletion vector in $logPath — refusing to " +
-                "surface deleted rows as live data")
+            val dv = if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+              val d = a.get("deletionVector")
+              Some(DvDescriptor(
+                d.get("storageType").asText(),
+                d.get("pathOrInlineDv").asText(),
+                Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+                d.get("sizeInBytes").asInt(),
+                d.get("cardinality").asLong()))
+            } else None
             val pv = Option(a.get("partitionValues")).map { m =>
               val it = m.fields()
               val b = Map.newBuilder[String, String]
@@ -275,7 +430,7 @@ object DeltaReader {
             val pth = a.get("path").asText()
             def optLong(name: String): Long =
               if (a.has(name) && !a.get(name).isNull) a.get(name).asLong() else 0L
-            active(pth) = AddFile(pth, pv, optLong("size"), optLong("modificationTime"))
+            active(pth) = AddFile(pth, pv, optLong("size"), optLong("modificationTime"), dv)
           }
           if (n.has("remove")) active.remove(n.get("remove").get("path").asText())
           if (n.has("metaData")) {
@@ -324,10 +479,10 @@ object DeltaReader {
       require(readerFeatures.nonEmpty,
         s"Delta protocol minReaderVersion 3 with no readerFeatures in $logPath — " +
           "malformed table, refusing to guess its reader requirements")
-      val unsupported = readerFeatures -- Set("columnMapping")
+      val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
-          "(only columnMapping is implemented) — refusing to misread the table")
+          "(columnMapping and deletionVectors are implemented) — refusing to misread the table")
     }
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none" || cmMode == "name",
@@ -356,6 +511,79 @@ object DeltaReader {
   def lastTxnVersion(s: SparkSession, dir: String, appId: String): Long =
     snapshot(s, dir, None).txns.getOrElse(appId, -1L)
 
+  /** Strips scheme + authority off a file URI/path string, leaving the
+    * path component — `_metadata.file_path` ("file:///a/b"), binaryFile
+    * `path` ("file:/a/b") and Hadoop `Path.toUri.getPath` ("/a/b") all
+    * normalize to the same key, which is what the deletion-vector
+    * anti-join matches on.
+    */
+  private val SchemeAuthorityRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?"
+
+  /** The deleted (file, row-index) set of a snapshot as a DataFrame of
+    * `__dv_path` (normalized data-file path) and `__dv_ridx` — the
+    * anti-join side of a DV-carrying read. Decoding runs on EXECUTORS:
+    * sidecar files ride the binaryFile source (one row per `.bin`
+    * file, Hadoop conf handled by Spark), inline bitmaps ship as byte
+    * rows; only the KB-scale descriptors live on the driver, so a
+    * table with millions of deleted rows never materializes them
+    * driver-side.
+    */
+  private def deletedRowsDf(s: SparkSession, root: Path,
+                            fs: org.apache.hadoop.fs.FileSystem,
+                            withDv: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, explode, regexp_replace, udf}
+    def norm(p: Path): String = fs.makeQualified(p).toUri.getPath
+    // (dataPath, sidecarPath|null, offset, size, cardinality, inlineBytes|null)
+    val descs = withDv.map { f =>
+      val d = f.dv.get
+      val dataNorm = norm(new Path(root, percentDecode(f.path)))
+      d.storageType match {
+        case "i" =>
+          // padded to a 4-byte group boundary by the base85 encoding;
+          // sizeInBytes recovers the true length
+          val bytes = base85Decode(d.pathOrInlineDv)
+          require(bytes.length >= d.sizeInBytes,
+            s"inline deletion vector decodes to ${bytes.length} bytes < declared ${d.sizeInBytes}")
+          (dataNorm, null: String, -1, d.sizeInBytes, d.cardinality, bytes.take(d.sizeInBytes))
+        case "u" | "p" =>
+          val off = d.offset.getOrElse(sys.error(
+            s"file-backed deletionVector for ${f.path} carries no offset"))
+          (dataNorm, norm(dvFilePath(root, d)), off, d.sizeInBytes, d.cardinality,
+            null: Array[Byte])
+        case other =>
+          sys.error(s"unsupported deletionVector storageType '$other' for ${f.path} — " +
+            "refusing to surface deleted rows as live data")
+      }
+    }
+    val sliceUdf = udf { (content: Array[Byte], off: Int, sz: Int, card: Long) =>
+      decodeDvFromFile(content, off, sz, card)
+    }
+    val inlineUdf = udf { (bytes: Array[Byte], card: Long) =>
+      decodeDvBitmap(bytes, card)
+    }
+    import s.implicits._
+    val fileDescs = descs.filter(_._2 != null)
+    val fromFiles = if (fileDescs.isEmpty) None else {
+      val content = s.read.format("binaryFile")
+        .load(fileDescs.map(_._2).distinct: _*)
+        .select(regexp_replace(col("path"), SchemeAuthorityRe, "").as("__dvfile"),
+          col("content"))
+      val descDf = fileDescs.map { case (dp, dvp, off, sz, card, _) => (dp, dvp, off, sz, card) }
+        .toDF("__dv_path", "__dvfile", "off", "sz", "card")
+      Some(descDf.join(content, "__dvfile")
+        .select(col("__dv_path"),
+          explode(sliceUdf(col("content"), col("off"), col("sz"), col("card"))).as("__dv_ridx")))
+    }
+    val inlineDescs = descs.filter(_._6 != null)
+    val fromInline = if (inlineDescs.isEmpty) None else {
+      Some(inlineDescs.map { case (dp, _, _, _, card, bytes) => (dp, bytes, card) }
+        .toDF("__dv_path", "bytes", "card")
+        .select(col("__dv_path"),
+          explode(inlineUdf(col("bytes"), col("card"))).as("__dv_ridx")))
+    }
+    (fromFiles.toSeq ++ fromInline.toSeq).reduce(_ unionByName _)
+  }
+
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
@@ -377,10 +605,14 @@ object DeltaReader {
     if (snap.active.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
+    val hasDv = snap.active.exists(_.dv.isDefined)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+
     // one union branch per partition-value tuple: partition values come
     // from the LOG (authoritative per the spec), typed via schemaString
     val groups = snap.active.groupBy(_.partitionValues)
-    groups.map { case (pv, files) =>
+    val unioned = groups.map { case (pv, files) =>
       val paths = files.map { f =>
         require(!f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
           s"absolute add.path URI ${f.path} (shallow clone / external file) not supported — " +
@@ -388,16 +620,48 @@ object DeltaReader {
         new Path(dir, percentDecode(f.path)).toString
       }
       val base0 = s.read.schema(dataSchema).parquet(paths: _*)
-      val base = logicalByPhys.foldLeft(base0) { case (df, (phys, logical)) =>
-        if (phys == logical) df else df.withColumnRenamed(phys, logical)
-      }
+      // ONE atomic physical→logical projection, not a rename fold: after
+      // column renames/swaps on a legacy-upgraded name-mode table, one
+      // field's physical name may legally equal ANOTHER field's logical
+      // name, and a sequential rename would create a duplicate column
+      // mid-fold and fail on a readable table
+      val projection = logicalByPhys.map { case (phys, logical) =>
+        base0.col(s"`${phys.replace("`", "``")}`").as(logical)
+      } ++ (if (!hasDv) Nil else Seq(
+        // which file and which row this came from — the join key the
+        // deletion-vector anti-filter matches; stays inside the
+        // distributed scan (parquet's generated row_index), no UDF
+        org.apache.spark.sql.functions.regexp_replace(
+          base0.col("_metadata.file_path"),
+          SchemeAuthorityRe, "").as("__dv_path"),
+        base0.col("_metadata.row_index").as("__dv_ridx")))
+      val base = base0.select(projection.toIndexedSeq: _*)
       val withParts = partSchema.foldLeft(base) { (df, f) =>
         // physical key first (what a column-mapped log writes), logical
         // as the compatibility fallback
         val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull
         df.withColumn(f.name, lit(raw).cast(f.dataType))
       }
-      withParts.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      withParts.select((schema.fieldNames.map(col) ++
+        (if (hasDv) Seq(col("__dv_path"), col("__dv_ridx")) else Nil)).toIndexedSeq: _*)
     }.reduce(_ unionByName _)
+
+    if (!hasDv) unioned
+    else {
+      // anti-join away the deleted (file, row) pairs. The deleted set's
+      // size is KNOWN on the driver (descriptor cardinalities), so the
+      // broadcast decision is exact, not an estimate: typical DV loads
+      // (a few % of rows) broadcast; a pathological mass-delete falls
+      // back to a shuffle anti-join rather than OOMing the executors.
+      val deleted = deletedRowsDf(s, root, fs,
+        snap.active.filter(_.dv.isDefined))
+      val totalCardinality = snap.active.flatMap(_.dv).map(_.cardinality).sum
+      val joinSide =
+        if (totalCardinality <= 4000000L)
+          org.apache.spark.sql.functions.broadcast(deleted)
+        else deleted
+      unioned.join(joinSide, Seq("__dv_path", "__dv_ridx"), "left_anti")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
   }
 }

@@ -136,6 +136,32 @@ object LakeWriter {
     }
   }
 
+  /** Structural type compatibility for the append gate: equal shapes
+    * with nested StructField METADATA ignored (a table whose fields
+    * carry comments or invariant annotations must still accept data
+    * whose in-memory schema lacks them) and nested nullability allowed
+    * to be STRICTER on the appended side — a non-nullable array element
+    * is always safe to store in a nullable-element column. Plain
+    * `DataType` equality compares both, spuriously refusing legitimate
+    * appends.
+    */
+  private[graft] def typeCompatible(a: org.apache.spark.sql.types.DataType,
+                                    t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    (a, t) match {
+      case (as: StructType, ts: StructType) =>
+        as.length == ts.length && as.fields.zip(ts.fields).forall { case (af, tf) =>
+          af.name == tf.name && typeCompatible(af.dataType, tf.dataType) &&
+            (tf.nullable || !af.nullable)
+        }
+      case (ArrayType(ae, an), ArrayType(te, tn)) =>
+        typeCompatible(ae, te) && (tn || !an)
+      case (MapType(ak, av, an), MapType(tk, tv, tn)) =>
+        typeCompatible(ak, tk) && typeCompatible(av, tv) && (tn || !an)
+      case _ => a == t
+    }
+  }
+
   /** The append gate + commit against an already-replayed snapshot —
     * the streaming sink takes ONE snapshot per micro-batch for both
     * its txn-watermark check and the append, instead of replaying the
@@ -150,7 +176,10 @@ object LakeWriter {
       s"appendDelta: table uses column mapping mode '$cm' — appended parquet would " +
         "carry logical column names where the table's readers resolve physical ones; " +
         "refusing to write unreadable files")
-    val safeFeatures = Set("appendOnly", "invariants")
+    // deletionVectors is append-safe: the writer obligation it imposes
+    // (respect + rewrite DVs when modifying files) only binds writes
+    // that TOUCH existing files, and a pure append never does
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 ||
         (snap.minWriter == 7 && unsafe.isEmpty),
@@ -171,7 +200,7 @@ object LakeWriter {
       s"appendDelta: appended schema has ${df.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
     df.schema.fields.zip(table.fields).foreach { case (a, t) =>
-      require(a.name == t.name && a.dataType == t.dataType,
+      require(a.name == t.name && typeCompatible(a.dataType, t.dataType),
         s"appendDelta: schema mismatch at '${t.name}': appended " +
           s"${a.name}:${a.dataType.simpleString}, table declares ${t.dataType.simpleString}")
       require(t.nullable || !a.nullable,
@@ -316,6 +345,27 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
       "compactDelta: column-mapped tables not supported (rewritten files would " +
         "carry logical names readers can't resolve)")
+    // the SAME writer-version/feature gate as appendDeltaWithSnapshot:
+    // a dataChange=false rewrite still emits add/remove actions, and a
+    // table declaring writer version 3-6 or v7 features this writer
+    // cannot honor (rowTracking needs baseRowId on every add, CDF needs
+    // change files, …) would be silently violated for real delta-spark
+    // readers. appendOnly and invariants ARE safe here: the rewrite
+    // adds no rows and its removes carry dataChange=false, exactly the
+    // OPTIMIZE carve-out the protocol defines for append-only tables.
+    val compactSafe = Set("appendOnly", "invariants")
+    val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
+    // belt to the feature gate's braces: the rewrite below reads files
+    // RAW (spark.read.parquet, not DeltaReader.read), so folding a
+    // DV-carrying file would bake its deleted rows back into the table
+    require(snap.active.forall(_.dv.isEmpty),
+      "compactDelta: active files carry deletion vectors — a raw rewrite would " +
+        "resurrect their deleted rows; refusing")
+    require(snap.minWriter <= 2 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
+      s"compactDelta: table requires writer version ${snap.minWriter}" +
+        (if (compactUnsafe.nonEmpty) s" with features ${compactUnsafe.mkString(", ")}" else "") +
+        " — this writer implements version 2 semantics and cannot honor the " +
+        "table's declared writer requirements; refusing to rewrite")
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -379,6 +429,13 @@ object LakeWriter {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // a graft checkpoint that re-emitted a DV-carrying add WITHOUT its
+    // deletionVector descriptor would silently resurrect the deleted
+    // rows the moment the checkpoint becomes the replay base
+    val dvFiles = snap.active.filter(_.dv.isDefined)
+    require(dvFiles.isEmpty,
+      s"checkpointDelta: ${dvFiles.size} active files carry deletion vectors " +
+        "this checkpoint writer does not re-emit — refusing to resurrect deleted rows")
     // checkpoint actions carry every field PROTOCOL.md requires of them:
     // add needs size + modificationTime and metaData needs format +
     // configuration — graft's own reader copes without, but delta-spark

@@ -278,12 +278,12 @@ class DeltaReaderSpec extends SparkSpec {
     val (dir2, log2) = mkTable()
     val f2 = part(dir2, "part-0001.parquet", Seq((1L, "a")))
     commit(log2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""",
       meta("\"src\""), add(f2, "web")))
     val e2 = intercept[IllegalArgumentException] {
       DeltaReader.read(spark, dir2.getPath)
     }
-    assert(e2.getMessage.contains("deletionVectors"), e2.getMessage)
+    assert(e2.getMessage.contains("typeWidening"), e2.getMessage)
   }
 
   test("add.path decoding is RFC percent-decoding, not form-urlencoding") {
@@ -493,6 +493,153 @@ class DeltaReaderSpec extends SparkSpec {
     graft.sources.LakeWriter.checkpointDelta(spark, dir.getPath, 3L)
     (0 to 3).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
     assert(rows() == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")))
+  }
+
+  test("compactDelta applies the same writer gate as appendDelta") {
+    val s = spark
+    import s.implicits._
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def mkTwoFileTable(protocol: String): (java.io.File, java.io.File) = {
+      val (dir, log) = mkTable()
+      val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
+      val f2 = part(dir, "part-0002.parquet", Seq((2L, "b")))
+      commit(log, 0, Seq(
+        protocol,
+        s"""{"metaData":{"id":"cg","format":{"provider":"parquet","options":{}},"schemaString":${
+          om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{}}}""",
+        s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}""",
+        s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+      (dir, log)
+    }
+    // v7 with a feature whose contract a rewrite cannot honor
+    // (rowTracking requires baseRowId on every add action)
+    val (dir1, log1) = mkTwoFileTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""")
+    val e1 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.compactDelta(spark, dir1.getPath)
+    }
+    assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
+    assert(!new java.io.File(log1, f"${1L}%020d.json").isFile,
+      "a refused compaction must not commit")
+    // writer versions 3-6 declare legacy features this writer does not
+    // implement — refused wholesale
+    val (dir2, log2) = mkTwoFileTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.compactDelta(spark, dir2.getPath)
+    }
+    assert(e2.getMessage.contains("writer version 4"), e2.getMessage)
+    assert(!new java.io.File(log2, f"${1L}%020d.json").isFile)
+    // appendOnly IS compactable: no new rows, removes carry
+    // dataChange=false — the protocol's OPTIMIZE carve-out
+    val (dir3, log3) = mkTwoFileTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["appendOnly"]}}""")
+    graft.sources.LakeWriter.compactDelta(spark, dir3.getPath)
+    assert(new java.io.File(log3, f"${1L}%020d.json").isFile)
+    assert(DeltaReader.read(spark, dir3.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("column-mapping remap survives a physical/logical name swap") {
+    val s = spark
+    import s.implicits._
+    val (dir, log) = mkTable()
+    // legacy-upgraded table after a column SWAP: logical "id" kept
+    // physical name "v", logical "v" kept physical name "id" — each
+    // field's physical name equals the OTHER field's logical name, so a
+    // sequential rename fold would create a duplicate column mid-fold
+    val stage = new java.io.File(dir, "_stage_swap")
+    Seq((1L, "a"), (2L, "b")).toDF("v", "id").coalesce(1).write.parquet(stage.getPath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf.toPath, new java.io.File(dir, "part-swap.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    def fld(name: String, tpe: org.apache.spark.sql.types.DataType, phys: String, id: Int) =
+      StructField(name, tpe, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "v", 1), fld("v", StringType, "id", 2)))
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"cm-swap","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+      """{"add":{"path":"part-swap.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaReader.read(spark, dir.getPath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(df.select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
+  test("appendDelta tolerates nested metadata and stricter nullability, still refuses real mismatches") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.ArrayType
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    // the TABLE's nested fields carry metadata (a comment) and are
+    // maximally nullable — the shape delta-spark leaves after ALTER
+    // TABLE ... COMMENT
+    val tableSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType, containsNull = true)),
+      StructField("info", StructType(Seq(
+        StructField("x", LongType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putString("comment", "an annotated field").build()))))))
+    val (dir, log) = mkTable()
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"nm1","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(tableSchema.json)},"partitionColumns":[],"configuration":{}}}"""))
+    // the APPEND's in-memory schema has no metadata and is stricter
+    // (non-null array elements, non-null struct member) — legitimate
+    // data that plain DataType equality would spuriously refuse
+    val appendSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType, containsNull = false)),
+      StructField("info", StructType(Seq(
+        StructField("x", LongType, nullable = false))))))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Seq("a", "b"), Row(7L))), appendSchema)
+    graft.sources.LakeWriter.appendDelta(df, dir.getPath)
+    val back = DeltaReader.read(spark, dir.getPath).collect()
+    assert(back.length == 1 && back.head.getLong(0) == 1L &&
+      back.head.getSeq[String](1) == Seq("a", "b") &&
+      back.head.getStruct(2).getLong(0) == 7L, back.mkString(", "))
+    // a REAL nested type mismatch is still refused, naming the column
+    val badSchema = StructType(Seq(
+      StructField("id", LongType),
+      StructField("tags", ArrayType(StringType, containsNull = false)),
+      StructField("info", StructType(Seq(
+        StructField("x", StringType, nullable = false))))))
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(Row(2L, Seq("c"), Row("oops"))), badSchema)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(bad, dir.getPath)
+    }
+    assert(e.getMessage.contains("schema mismatch at 'info'"), e.getMessage)
+    // nested nullability LOOSER than the table's is refused too: a
+    // nullable struct member appended into a non-nullable table field
+    val strictTable = StructType(Seq(
+      StructField("id", LongType),
+      StructField("info", StructType(Seq(
+        StructField("x", LongType, nullable = false))))))
+    val (dir2, log2) = mkTable()
+    commit(log2, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"nm2","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(strictTable.json)},"partitionColumns":[],"configuration":{}}}"""))
+    val loose = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, Row(7L))),
+      StructType(Seq(
+        StructField("id", LongType),
+        StructField("info", StructType(Seq(
+          StructField("x", LongType, nullable = true)))))))
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.LakeWriter.appendDelta(loose, dir2.getPath)
+    }
+    assert(e2.getMessage.contains("schema mismatch at 'info'"), e2.getMessage)
   }
 
   test("checkpointDelta restates the table's protocol verbatim, not (1,2)") {
