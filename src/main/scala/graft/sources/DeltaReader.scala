@@ -264,6 +264,66 @@ object DeltaReader {
     } catch { case _: java.io.FileNotFoundException => false }
   }
 
+  /** One JSON `add` action → AddFile (shared by the full replay and
+    * the streaming tail's per-commit parse).
+    */
+  private def addFromJson(a: com.fasterxml.jackson.databind.JsonNode): AddFile = {
+    val dv = if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
+      val d = a.get("deletionVector")
+      Some(DvDescriptor(
+        d.get("storageType").asText(),
+        d.get("pathOrInlineDv").asText(),
+        Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
+        d.get("sizeInBytes").asInt(),
+        d.get("cardinality").asLong()))
+    } else None
+    val pv = Option(a.get("partitionValues")).map { m =>
+      val it = m.fields()
+      val b = Map.newBuilder[String, String]
+      while (it.hasNext) { val e = it.next(); b += e.getKey ->
+        (if (e.getValue.isNull) null else e.getValue.asText()) }
+      b.result()
+    }.getOrElse(Map.empty[String, String])
+    def optLong(name: String): Long =
+      if (a.has(name) && !a.get(name).isNull) a.get(name).asLong() else 0L
+    AddFile(a.get("path").asText(), pv, optLong("size"), optLong("modificationTime"), dv)
+  }
+
+  /** The adds and removes of ONE commit version, each with its
+    * `dataChange` flag — the unit the streaming tail source consumes.
+    * Refuses a version whose commit JSON was retention-cleaned: a
+    * checkpoint is a snapshot, not a change list, so those versions'
+    * changes are unrecoverable and pretending otherwise would silently
+    * drop data from the stream.
+    */
+  private[graft] def commitChanges(s: SparkSession, dir: String, version: Long)
+      : (Seq[(AddFile, Boolean)], Seq[(String, Boolean)]) = {
+    val hconf = s.sessionState.newHadoopConf()
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(hconf)
+    val p = new Path(logPath, f"$version%020d.json")
+    require(
+      try fs.getFileStatus(p).isFile
+      catch { case _: java.io.FileNotFoundException => false },
+      s"commit $version not present in $logPath (retention-cleaned?) — its changes " +
+        "are unrecoverable from a checkpoint; cannot tail this version")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val adds = Seq.newBuilder[(AddFile, Boolean)]
+    val removes = Seq.newBuilder[(String, Boolean)]
+    def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).foreach { line =>
+      val n = om.readTree(line)
+      if (n.has("add")) adds += addFromJson(n.get("add")) -> dataChange(n.get("add"))
+      if (n.has("remove"))
+        removes += n.get("remove").get("path").asText() -> dataChange(n.get("remove"))
+    } finally rd.close()
+    (adds.result(), removes.result())
+  }
+
   /** Replay the log to the target version. Driver-side by design (see
     * scaladoc above); every FS touch goes through `fs`.
     */
@@ -410,27 +470,8 @@ object DeltaReader {
           .filter(_.nonEmpty).foreach { line =>
           val n = om.readTree(line)
           if (n.has("add")) {
-            val a = n.get("add")
-            val dv = if (a.has("deletionVector") && !a.get("deletionVector").isNull) {
-              val d = a.get("deletionVector")
-              Some(DvDescriptor(
-                d.get("storageType").asText(),
-                d.get("pathOrInlineDv").asText(),
-                Option(d.get("offset")).filterNot(_.isNull).map(_.asInt()),
-                d.get("sizeInBytes").asInt(),
-                d.get("cardinality").asLong()))
-            } else None
-            val pv = Option(a.get("partitionValues")).map { m =>
-              val it = m.fields()
-              val b = Map.newBuilder[String, String]
-              while (it.hasNext) { val e = it.next(); b += e.getKey ->
-                (if (e.getValue.isNull) null else e.getValue.asText()) }
-              b.result()
-            }.getOrElse(Map.empty[String, String])
-            val pth = a.get("path").asText()
-            def optLong(name: String): Long =
-              if (a.has(name) && !a.get(name).isNull) a.get(name).asLong() else 0L
-            active(pth) = AddFile(pth, pv, optLong("size"), optLong("modificationTime"), dv)
+            val af = addFromJson(n.get("add"))
+            active(af.path) = af
           }
           if (n.has("remove")) active.remove(n.get("remove").get("path").asText())
           if (n.has("metaData")) {
@@ -586,6 +627,17 @@ object DeltaReader {
 
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
+    scanFiles(s, dir, snap, snap.active)
+  }
+
+  /** The distributed scan of `files` under `snap`'s metadata — the
+    * shared tail of the batch read (all active files) and the
+    * streaming tail source (one version's new adds): column-mapping
+    * remap, log-authoritative partition values, deletion-vector
+    * anti-filter.
+    */
+  private[graft] def scanFiles(s: SparkSession, dir: String,
+                               snap: Snapshot, files: Seq[AddFile]): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
     def physName(f: org.apache.spark.sql.types.StructField): String =
@@ -602,18 +654,18 @@ object DeltaReader {
       .map(f => physName(f) -> f.name)
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
 
-    if (snap.active.isEmpty)
+    if (files.isEmpty)
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-    val hasDv = snap.active.exists(_.dv.isDefined)
+    val hasDv = files.exists(_.dv.isDefined)
     val root = new Path(dir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
 
     // one union branch per partition-value tuple: partition values come
     // from the LOG (authoritative per the spec), typed via schemaString
-    val groups = snap.active.groupBy(_.partitionValues)
-    val unioned = groups.map { case (pv, files) =>
-      val paths = files.map { f =>
+    val groups = files.groupBy(_.partitionValues)
+    val unioned = groups.map { case (pv, group) =>
+      val paths = group.map { f =>
         require(!f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
           s"absolute add.path URI ${f.path} (shallow clone / external file) not supported — " +
             "refusing to misresolve it against the table root")
@@ -654,8 +706,8 @@ object DeltaReader {
       // (a few % of rows) broadcast; a pathological mass-delete falls
       // back to a shuffle anti-join rather than OOMing the executors.
       val deleted = deletedRowsDf(s, root, fs,
-        snap.active.filter(_.dv.isDefined))
-      val totalCardinality = snap.active.flatMap(_.dv).map(_.cardinality).sum
+        files.filter(_.dv.isDefined))
+      val totalCardinality = files.flatMap(_.dv).map(_.cardinality).sum
       val joinSide =
         if (totalCardinality <= 4000000L)
           org.apache.spark.sql.functions.broadcast(deleted)

@@ -425,6 +425,89 @@ object LakeWriter {
     try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
   }
 
+  /** Physical retention cleanup (the VACUUM maintenance op), with a
+    * VERSION horizon instead of real Delta's wall-clock one (graft's
+    * deterministic logs carry deletionTimestamp=0, so age is version
+    * depth here): every file still referenced by ANY version in
+    * [horizonVersion, latest] survives — including files that were
+    * tombstoned once and added back by a later commit — and everything
+    * else under the table root is deleted: compaction/delete
+    * tombstones older than the horizon AND orphaned debris from failed
+    * writers (the directory walk is what catches debris no log action
+    * references, exactly like real VACUUM).
+    *
+    * Time travel below the horizon refuses LOUDLY afterwards, by
+    * construction rather than by FileNotFoundException mid-scan: a
+    * checkpoint is ensured at the horizon, then the commits and
+    * checkpoints below it are removed, so a versionAsOf below the
+    * horizon fails the reader's existing not-present/partial-snapshot
+    * gates before any data file is touched.
+    *
+    * Scale: the driver-side work is the log replay of the retention
+    * window (bounded by checkpointInterval, the format's own design)
+    * plus one directory listing; data-file deletes are O(debris), not
+    * O(table). Returns the deleted paths (relative), sorted.
+    */
+  def vacuumDelta(spark: SparkSession, dir: String, horizonVersion: Long): Seq[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val latest = DeltaReader.snapshot(spark, dir, None)
+    require(horizonVersion >= 0 && horizonVersion <= latest.version,
+      s"vacuumDelta: horizon $horizonVersion outside [0, ${latest.version}]")
+    val referenced = scala.collection.mutable.Set.empty[String]
+    var dvSeen = false
+    (horizonVersion to latest.version).foreach { v =>
+      val sn = DeltaReader.snapshot(spark, dir, Some(v))
+      sn.active.foreach { a =>
+        referenced += DeltaReader.percentDecode(a.path)
+        a.dv.foreach { d =>
+          dvSeen = true
+          // keep referenced sidecars even though DV tables are refused
+          // below — cheap insurance should the gate ever loosen
+          if (d.storageType == "u") {
+            val p = DeltaReader.dvFilePath(root, d)
+            val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+            referenced += fs.makeQualified(p).toUri.getPath
+              .stripPrefix(rootUri).stripPrefix("/")
+          }
+        }
+      }
+    }
+    require(!dvSeen,
+      "vacuumDelta: table carries deletion vectors — the horizon checkpoint this " +
+        "cleanup rests on cannot re-emit them; refusing to resurrect deleted rows")
+    // the horizon must stay replayable WITHOUT the commits removed below
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val cpFile = new org.apache.hadoop.fs.Path(log, f"$horizonVersion%020d.checkpoint.parquet")
+    if (!fs.exists(cpFile)) checkpointDelta(spark, dir, horizonVersion)
+    // candidate files: everything under the root except _/. prefixed
+    // segments (_delta_log, staging dirs, hidden files)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
+      }
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    val deleted = walk(root).flatMap { p =>
+      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      if (referenced.contains(rel)) None
+      else { require(fs.delete(p, false), s"vacuumDelta: delete $p failed"); Some(rel) }
+    }
+    // log retention below the horizon: those versions' replay targets
+    // are gone, so a read there must refuse via the not-present gate,
+    // not die mid-scan on a missing file
+    fs.listStatus(log).foreach { st =>
+      val n = st.getPath.getName
+      val commitBelow = n.matches("\\d{20}\\.json") && n.take(20).toLong < horizonVersion
+      val cpBelow = n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") &&
+        n.take(20).toLong < horizonVersion
+      if (commitBelow || cpBelow) fs.delete(st.getPath, false)
+    }
+    deleted.sorted
+  }
+
   def checkpointDelta(spark: SparkSession, dir: String, version: Long): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

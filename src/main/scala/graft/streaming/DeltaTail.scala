@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.sources.DeltaReader
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Streaming SOURCE from the Delta table format — the read-side twin
+  * of [[DeltaStream]]'s sink: tail the `_delta_log` incrementally, one
+  * micro-batch per poll, each batch the distributed parquet scan of
+  * the `add` files committed since the checkpointed watermark.
+  *
+  * Change semantics (append-only tailing, no CDF):
+  *  - only `dataChange = true` adds are delivered — a compaction
+  *    commit (dataChange=false adds + removes) is pure layout movement
+  *    and contributes NOTHING to the stream, which is exactly why the
+  *    sink's compaction marks itself dataChange=false;
+  *  - a `dataChange = true` remove means rows were DELETED or
+  *    rewritten, which an append-only tail cannot represent — refused
+  *    loudly instead of silently streaming a wrong delta;
+  *  - versions whose commit JSON was retention-cleaned are refused
+  *    (checkpoints are snapshots, not change lists) — size the log
+  *    retention to the maximum expected consumer lag, exactly as real
+  *    Delta's `logRetentionDuration` contract demands.
+  *
+  * Delivery is at-least-once from this source's point of view (the
+  * watermark advances AFTER `process` returns) and exactly-once
+  * END-TO-END when the sink dedups on the batch version — e.g.
+  * [[DeltaStream.commitBatch]] with this source's version as the txn
+  * version, giving a Delta→Delta pipeline the same idempotence
+  * discipline on both ends.
+  *
+  * Scale: each poll's driver work is O(new versions) KB-scale JSON
+  * parses + one snapshot replay (bounded by checkpointInterval); the
+  * data path is the same distributed scan as the batch reader
+  * (column-mapping remap included). The initial batch is the full
+  * current snapshot — the same "initial snapshot then tail" shape as
+  * delta-spark's streaming source.
+  */
+object DeltaTail {
+
+  /** New rows committed in versions (fromVersion, toVersion]:
+    * dataChange=true adds only, scanned under `toVersion`'s metadata.
+    * Refuses dataChange=true removes (deletes need CDF, not a tail)
+    * and DV-carrying new adds (a file BORN with deleted rows is a
+    * rewrite product, not an append).
+    */
+  def changes(s: SparkSession, dir: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"changes: fromVersion $fromVersion > toVersion $toVersion")
+    val snap = DeltaReader.snapshot(s, dir, Some(toVersion))
+    val newAdds = ((fromVersion + 1) to toVersion).flatMap { v =>
+      val (adds, removes) = DeltaReader.commitChanges(s, dir, v)
+      val deletes = removes.filter(_._2)
+      require(deletes.isEmpty,
+        s"version $v of $dir removes ${deletes.size} files with dataChange=true " +
+          "(a delete/rewrite) — an append-only tail cannot represent it; " +
+          "refusing to stream a wrong delta")
+      adds.filter(_._2).map(_._1)
+    }
+    newAdds.foreach { a =>
+      require(a.dv.isEmpty,
+        s"version range ($fromVersion, $toVersion] adds ${a.path} carrying a deletion " +
+          "vector — a rewrite product, not an append; refusing to stream it")
+    }
+    DeltaReader.scanFiles(s, dir, snap, newAdds)
+  }
+
+  /** One micro-batch poll: deliver everything committed since the
+    * watermark in `checkpoint` to `process(batch, version)`, then
+    * advance the watermark. The FIRST poll delivers the full current
+    * snapshot (initial load), later polls the incremental changes;
+    * returns the delivered version, or None when there was nothing
+    * new. A poll that crashes inside `process` redelivers on retry —
+    * pair with a version-deduping sink for exactly-once.
+    */
+  def pollOnce(s: SparkSession, dir: String, checkpoint: String,
+               process: (DataFrame, Long) => Unit): Option[Long] = {
+    val hconf = s.sessionState.newHadoopConf()
+    val cpDir = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = cpDir.getFileSystem(hconf)
+    val wmFile = new org.apache.hadoop.fs.Path(cpDir, "delta_tail_version")
+    val watermark: Option[Long] =
+      if (!fs.exists(wmFile)) None
+      else {
+        val in = fs.open(wmFile)
+        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          "UTF-8").trim.toLong)
+        finally in.close()
+      }
+    val snap = DeltaReader.snapshot(s, dir, None)
+    val batch = watermark match {
+      case None =>
+        // initial load: the whole current snapshot as batch one
+        Some(DeltaReader.read(s, dir, Some(snap.version)) -> snap.version)
+      case Some(wm) if snap.version > wm =>
+        Some(changes(s, dir, wm, snap.version) -> snap.version)
+      case _ => None
+    }
+    batch.map { case (df, version) =>
+      process(df, version)
+      fs.mkdirs(cpDir)
+      val out = fs.create(wmFile, true)
+      try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      version
+    }
+  }
+
+  /** Drain every pending version: poll until quiescent. Returns the
+    * number of batches delivered — the Trigger.AvailableNow shape for
+    * tests and catch-up runs.
+    */
+  def drain(s: SparkSession, dir: String, checkpoint: String,
+            process: (DataFrame, Long) => Unit): Int = {
+    var n = 0
+    while (pollOnce(s, dir, checkpoint, process).isDefined) n += 1
+    n
+  }
+}

@@ -1,0 +1,93 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import graft.streaming.{DeltaStream, DeltaTail}
+import org.apache.spark.sql.DataFrame
+
+class DeltaTailSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  private def rows(df: DataFrame): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    df.select("id", "v").as[(Long, String)].collect().toSet
+  }
+
+  test("tail delivers the initial snapshot, then appends as batches, compactions as empty ones") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_tail_")
+    val cp = tmp("graft_tail_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), dir)
+    var seen = Vector.empty[(Long, Set[(Long, String)])]
+    def sink(df: DataFrame, v: Long): Unit = seen :+= (v, rows(df))
+
+    // batch 1: the full snapshot at poll time
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink) == Some(0L))
+    assert(seen == Vector((0L, Set((0L, "a")))))
+    // nothing new → no batch, watermark holds
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink).isEmpty)
+
+    // two appends → ONE catch-up batch carrying exactly the new rows
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v"), dir)
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v"), dir)
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink) == Some(2L))
+    assert(seen.last == (2L, Set((1L, "b"), (2L, "c"))))
+
+    // the union of delivered batches ≡ the batch read
+    assert(seen.flatMap(_._2).toSet == rows(DeltaReader.read(spark, dir)))
+
+    // a compaction commit is pure layout movement → an EMPTY batch
+    LakeWriter.compactDelta(spark, dir)
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink) == Some(3L))
+    assert(seen.last._2.isEmpty, seen.last.toString)
+  }
+
+  test("a dataChange=true remove (delete/rewrite) refuses loudly instead of streaming wrong") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_tail_rm_")
+    val cp = tmp("graft_tail_rm_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), dir)
+    assert(DeltaTail.pollOnce(spark, dir, cp, (_, _) => ()) == Some(0L))
+    // hand-write a delete commit: remove with dataChange=true
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val log = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.write(new java.io.File(log, f"${1L}%020d.json").toPath,
+      s"""{"remove":{"path":"${snap.active.head.path}","deletionTimestamp":1,"dataChange":true}}"""
+        .getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaTail.pollOnce(spark, dir, cp, (_, _) => ())
+    }
+    assert(e.getMessage.contains("dataChange=true"), e.getMessage)
+  }
+
+  test("tail into the Delta sink is exactly-once end-to-end across a watermark crash") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_tail_src_")
+    val mirror = tmp("graft_tail_mir_")
+    val cp = tmp("graft_tail_e2e_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v"), src)
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v"), src)
+    def sink(df: DataFrame, v: Long): Unit =
+      DeltaStream.commitBatch(df, mirror, "tail-mirror", v)
+    assert(DeltaTail.drain(spark, src, cp, sink) == 1)
+    assert(rows(DeltaReader.read(spark, mirror)) == rows(DeltaReader.read(spark, src)))
+
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v"), src)
+    assert(DeltaTail.drain(spark, src, cp, sink) == 1)
+    assert(rows(DeltaReader.read(spark, mirror)) == rows(DeltaReader.read(spark, src)))
+
+    // crash before the watermark write: the batch redelivers, the
+    // sink's txn watermark (version-scoped) drops it — exactly once
+    new java.io.File(cp, "delta_tail_version").delete()
+    assert(DeltaTail.drain(spark, src, cp, sink) == 1) // redelivered initial snapshot
+    assert(rows(DeltaReader.read(spark, mirror)) == rows(DeltaReader.read(spark, src)))
+    // and the mirror's version count did not grow (no duplicate append)
+    val mirrorSnap = DeltaReader.snapshot(spark, mirror, None)
+    assert(mirrorSnap.version == 1L, s"mirror grew to ${mirrorSnap.version}")
+  }
+}

@@ -1,0 +1,131 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+class DeltaVacuumSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("id", LongType), StructField("v", StringType)))
+  private val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+
+  private def metaLine =
+    s"""{"metaData":{"id":"vac1","format":{"provider":"parquet","options":{}},"schemaString":${
+      om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}"""
+
+  private def mkTable(): (java.io.File, java.io.File) = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_").toFile
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    (dir, log)
+  }
+
+  private def commit(log: java.io.File, version: Long, lines: Seq[String]): Unit =
+    java.nio.file.Files.write(new java.io.File(log, f"$version%020d.json").toPath,
+      lines.mkString("\n").getBytes("UTF-8"))
+
+  private def part(dir: java.io.File, name: String, rows: Seq[(Long, String)]): String = {
+    val s = spark
+    import s.implicits._
+    val stage = new java.io.File(dir, s"_stage_$name")
+    rows.toDF("id", "v").coalesce(1).write.parquet(stage.getPath)
+    val f = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(f.toPath, new java.io.File(dir, name).toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    name
+  }
+
+  private def add(p: String) =
+    s"""{"add":{"path":"$p","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+  private def remove(p: String) =
+    s"""{"remove":{"path":"$p","deletionTimestamp":0,"dataChange":false}}"""
+
+  private def rows(df: DataFrame): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    df.select("id", "v").as[(Long, String)].collect().toSet
+  }
+
+  test("vacuum deletes pre-horizon tombstones and debris, keeps the live table byte-identical") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a")))
+    val f1 = part(dir, "part-0001.parquet", Seq((1L, "b")))
+    val fc = part(dir, "part-compact.parquet", Seq((0L, "a"), (1L, "b")))
+    val f2 = part(dir, "part-0002.parquet", Seq((2L, "c")))
+    // an orphan no commit ever referenced (failed-writer debris) and a
+    // staging dir a racing writer is mid-flight on
+    part(dir, "orphan.parquet", Seq((9L, "x")))
+    val stage = new java.io.File(dir, "_stage_99")
+    stage.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stage, "part-x.parquet").toPath, Array[Byte](1))
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine, add(f0)))
+    commit(log, 1, Seq(add(f1)))
+    commit(log, 2, Seq(add(fc), remove(f0), remove(f1))) // the compaction shape
+    commit(log, 3, Seq(add(f2)))
+    val before = rows(DeltaReader.read(spark, dir.getPath))
+    assert(before == Set((0L, "a"), (1L, "b"), (2L, "c")))
+
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 2L)
+    assert(deleted.toSet == Set(f0, f1, "orphan.parquet"), deleted.mkString(", "))
+    assert(!new java.io.File(dir, f0).exists() && !new java.io.File(dir, f1).exists())
+    assert(new java.io.File(dir, fc).exists() && new java.io.File(dir, f2).exists())
+    assert(new java.io.File(stage, "part-x.parquet").exists(),
+      "vacuum must not touch staging directories")
+    // live reads are unchanged, at latest AND at every surviving version
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == before)
+    assert(rows(DeltaReader.read(spark, dir.getPath, Some(2L))) == Set((0L, "a"), (1L, "b")))
+    // time travel below the horizon refuses loudly (not FileNotFound)
+    val e = intercept[IllegalArgumentException] {
+      DeltaReader.read(spark, dir.getPath, Some(1L))
+    }
+    assert(e.getMessage.contains("not present") || e.getMessage.contains("partial snapshot"),
+      e.getMessage)
+    // an append after vacuum continues the version chain
+    val s = spark
+    import s.implicits._
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v"), dir.getPath)
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == before + ((3L, "d")))
+  }
+
+  test("a file tombstoned then added back by a later commit survives vacuum") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a")))
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine, add(f0)))
+    commit(log, 1, Seq(remove(f0)))
+    commit(log, 2, Seq(add(f0))) // added back — RESTORE-style commit
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 2L)
+    assert(deleted.isEmpty, deleted.mkString(", "))
+    assert(new java.io.File(dir, f0).exists())
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
+  }
+
+  test("vacuum refuses deletion-vector tables") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a"), (1L, "b")))
+    // minimal inline DV deleting row 1 (portable bitmap via the reader's
+    // own encoder helpers, exercised end-to-end in DeltaDvSpec)
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Integer.reverseBytes(1681511377))
+    out.writeLong(java.lang.Long.reverseBytes(1L))
+    out.writeInt(Integer.reverseBytes(0))
+    val rb = new org.roaringbitmap.RoaringBitmap(); rb.add(1); rb.serialize(out)
+    out.flush()
+    val data = bos.toByteArray
+    val padded = data ++ new Array[Byte]((4 - data.length % 4) % 4)
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${
+        DeltaReader.base85Encode(padded)}","sizeInBytes":${data.length},"cardinality":1}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.vacuumDelta(spark, dir.getPath, 0L)
+    }
+    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+  }
+}
