@@ -757,6 +757,24 @@ object PipelineQueries {
         | 224 AS out_w, 224 AS out_h, CAST(224*224*3 AS BIGINT) AS out_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // the stub features are deterministic per-row byte arithmetic, so
+    // they ARE SQL-expressible: byte values recovered from the blob's
+    // hex expansion (strpos is the portable hex-digit → int), spaces
+    // counted as U+0020 chars (a 0x20 byte occurs ONLY as the space
+    // character in UTF-8 — continuation/lead bytes all have the high
+    // bit set)
+    "multimodal_features" ->
+      """WITH b AS (SELECT doc_id, text, lower(hex(encode(text))) AS hx,
+        |             octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id, n AS n_bytes,
+        | CAST(round(coalesce(list_sum(
+        |     [(strpos('0123456789abcdef', substr(hx, 2*i-1, 1))-1)*16
+        |      + (strpos('0123456789abcdef', substr(hx, 2*i, 1))-1)
+        |      FOR i IN range(1, n+1)])::DOUBLE / nullif(n, 0), 0), 6)
+        |   AS DECIMAL(10,6)) AS mean_byte,
+        | CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces
+        |FROM b ORDER BY doc_id""".stripMargin,
+
     "contamination_check" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
         |sh AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(ws)-2, 0)+1),

@@ -96,6 +96,42 @@ object LakeWriter {
     commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn)
   }
 
+  /** Create a COLUMN-MAPPED (name mode) Delta table: logical names
+    * live only in `metaData.schemaString`, the parquet files and
+    * partition directories carry stable physical `col-<uuid>` names,
+    * and renames become metadata-only operations — the reason the mode
+    * exists. Physical names are deterministic per (table, column) so
+    * re-creates are reproducible. Protocol is the legacy column-mapping
+    * floor (2, 5), exactly what delta-spark stamps on upgraded tables.
+    */
+  def writeDeltaMapped(df: DataFrame, dir: String, checkpointInterval: Int = 0,
+                       partitionBy: Seq[String] = Nil,
+                       txn: Option[(String, Long)] = None): Unit = {
+    partitionBy.foreach(c => require(df.columns.contains(c),
+      s"writeDeltaMapped: partition column '$c' not in ${df.columns.mkString(", ")}"))
+    import org.apache.spark.sql.types.{MetadataBuilder, StructType}
+    val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("delta.columnMapping.id", i + 1L)
+        .putString("delta.columnMapping.physicalName",
+          s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#${f.name}".getBytes("UTF-8"))}")
+        .build())
+    }
+    val logical = StructType(fields)
+    val phys = fields.map(f =>
+      f.name -> f.metadata.getString("delta.columnMapping.physicalName")).toMap
+    val dfPhys = df.select(df.columns.map(c => df.col(c).as(phys(c))).toIndexedSeq: _*)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pcJson = partitionBy.map(om.writeValueAsString).mkString("[", ",", "]")
+    val metaLine =
+      s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":$pcJson,"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${fields.length}"}}}"""
+    commitDelta(dfPhys, dir, 0L, includeMeta = true, checkpointInterval,
+      partitionBy.map(phys), txn,
+      metaOverride = Some(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" -> metaLine))
+  }
+
   /** Append `df` to an existing Delta table as its next version —
     * readers at older versions (versionAsOf) are unaffected, the new
     * snapshot sees old + new files: the same add-only incremental
@@ -172,16 +208,17 @@ object LakeWriter {
                                              txn: Option[(String, Long)],
                                              snap: DeltaReader.Snapshot): Unit = {
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none",
-      s"appendDelta: table uses column mapping mode '$cm' — appended parquet would " +
-        "carry logical column names where the table's readers resolve physical ones; " +
-        "refusing to write unreadable files")
+    require(cm == "none" || cm == "name",
+      s"appendDelta: table uses column mapping mode '$cm' — id mode needs parquet " +
+        "field-id staging this writer does not produce; refusing to write unreadable files")
     // deletionVectors is append-safe: the writer obligation it imposes
     // (respect + rewrite DVs when modifying files) only binds writes
-    // that TOUCH existing files, and a pure append never does
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors")
+    // that TOUCH existing files, and a pure append never does.
+    // columnMapping is append-safe because the physical rename below
+    // stages parquet in the table's physical names.
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
-    require(snap.minWriter <= 2 ||
+    require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
       s"appendDelta: table requires writer version ${snap.minWriter}" +
         (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
@@ -189,6 +226,22 @@ object LakeWriter {
         "enforce the table's declared constraints; refusing to write")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // the legacy writer versions 3-5 are CUMULATIVE feature floors
+    // (3: check constraints, 4: generated columns + CDF, 5: column
+    // mapping); a pure append is legal on them exactly when none of the
+    // non-append obligations is actually declared: CHECK constraints
+    // live in configuration, generated columns in field metadata, and
+    // CDF derives pure-append change data from the add actions alone
+    if (snap.minWriter >= 3 && snap.minWriter <= 5) {
+      val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
+      require(constraints.isEmpty,
+        s"appendDelta: table declares CHECK constraints ${constraints.mkString(", ")} " +
+          "this writer cannot enforce; refusing to write unchecked data")
+      val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
+      require(generated.isEmpty,
+        s"appendDelta: columns ${generated.map(_.name).mkString(", ")} are generated " +
+          "columns this writer cannot compute; refusing to write")
+    }
     // column invariants live in schemaString field metadata (at ANY
     // nesting depth) and exist from writer version 2 up — a data check
     // this writer doesn't run
@@ -208,9 +261,24 @@ object LakeWriter {
           "non-nullable")
     }
     // appends to a partitioned table must partition the same way —
-    // the layout is table metadata, not a per-commit choice
-    commitDelta(df, dir, snap.version + 1, includeMeta = false, checkpointInterval,
-      snap.partCols, txn)
+    // the layout is table metadata, not a per-commit choice. On a
+    // column-mapped table the STAGED data and partition directories
+    // carry the physical names (what the table's readers resolve);
+    // the logical→physical projection is metadata-only.
+    val (staged, stagePartCols) =
+      if (cm == "none") (df, snap.partCols)
+      else {
+        val phys = table.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.physicalName"),
+            s"appendDelta: column mapping is 'name' but field '${f.name}' carries no " +
+              "physicalName metadata — malformed schemaString")
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+        }.toMap
+        (df.select(table.fieldNames.map(c => df.col(c).as(phys(c))).toIndexedSeq: _*),
+          snap.partCols.map(phys))
+      }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
+      stagePartCols, txn)
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -227,10 +295,17 @@ object LakeWriter {
     }
   }
 
+  /** `metaOverride` = (protocol line, metaData line) replaces the
+    * default version-(1,2) protocol and df-schema metaData when
+    * `includeMeta` — the column-mapping create path authors both
+    * itself (physical-name schemaString, mode=name configuration,
+    * reader/writer versions (2,5)).
+    */
   private[graft] def commitDelta(df: DataFrame, dir: String, version: Long,
                                  includeMeta: Boolean, checkpointInterval: Int,
                                  partCols: Seq[String] = Nil,
-                                 txn: Option[(String, Long)] = None): Unit = {
+                                 txn: Option[(String, Long)] = None,
+                                 metaOverride: Option[(String, String)] = None): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -279,10 +354,14 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val now = 0L // deterministic logs: modificationTime is informational
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (includeMeta) {
-      val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-      actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-      actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
+    if (includeMeta) metaOverride match {
+      case Some((protocolLine, metaLine)) =>
+        actions += protocolLine
+        actions += metaLine
+      case None =>
+        val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+        actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
     }
     // transaction identifier (PROTOCOL.md): records "this application
     // has committed up to here" in the SAME atomic commit as the data,

@@ -1,0 +1,181 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Column-mapping (name mode) WRITE interop: graft-created CM tables
+  * read back through the CM read path, appends to CM tables preserve
+  * the physical layout real readers resolve.
+  */
+class DeltaCmWriteSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  private def rows3(df: DataFrame): Set[(Long, String, String)] = {
+    val s = spark
+    import s.implicits._
+    df.select("id", "v", "src").as[(Long, String, String)].collect().toSet
+  }
+
+  test("writeDeltaMapped round-trips: logical schema out, physical names on disk") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cmw_")
+    LakeWriter.writeDeltaMapped(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), dir)
+    val back = DeltaReader.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(back.select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // the protocol is the legacy CM floor and the mode is declared
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.minReader == 2 && snap.minWriter == 5)
+    assert(snap.configuration("delta.columnMapping.mode") == "name")
+    // the parquet files on disk carry PHYSICAL col-<uuid> names — what
+    // a real CM reader resolves; logical names exist only in metadata
+    val dataFile = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val onDisk = spark.read.parquet(dataFile.getPath).schema.fieldNames
+    assert(onDisk.forall(_.startsWith("col-")), onDisk.mkString(", "))
+    // schemaString carries ids + physical names for every field
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    schema.fields.foreach { f =>
+      assert(f.metadata.contains("delta.columnMapping.id"), f.name)
+      assert(f.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    }
+
+    // append: new files must ALSO land with physical names
+    LakeWriter.appendDelta(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(DeltaReader.read(spark, dir).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length >= 2)
+    files.foreach { f =>
+      val names = spark.read.parquet(f.getPath).schema.fieldNames
+      assert(names.forall(_.startsWith("col-")), s"${f.getName}: ${names.mkString(", ")}")
+    }
+  }
+
+  test("partitioned CM table: physical partition directories, logical reads, appends") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cmw_part_")
+    LakeWriter.writeDeltaMapped(
+      Seq((1L, "a", "web"), (2L, "b", "book")).toDF("id", "v", "src"),
+      dir, partitionBy = Seq("src"))
+    // partition directories use the PHYSICAL name of src
+    val partDirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).filterNot(_.startsWith("_"))
+    assert(partDirs.nonEmpty && partDirs.forall(_.startsWith("col-")),
+      partDirs.mkString(", "))
+    val back = DeltaReader.read(spark, dir)
+    assert(back.schema.fieldNames.toSeq == Seq("id", "v", "src"))
+    assert(rows3(back) == Set((1L, "a", "web"), (2L, "b", "book")))
+    LakeWriter.appendDelta(Seq((3L, "c", "web")).toDF("id", "v", "src"), dir)
+    assert(rows3(DeltaReader.read(spark, dir)) ==
+      Set((1L, "a", "web"), (2L, "b", "book"), (3L, "c", "web")))
+    // time travel still works across the CM append
+    assert(rows3(DeltaReader.read(spark, dir, Some(0L))) ==
+      Set((1L, "a", "web"), (2L, "b", "book")))
+  }
+
+  test("append to a foreign-named CM fixture preserves ITS physical layout") {
+    val s = spark
+    import s.implicits._
+    // a CM table as delta-spark would leave it: physical names that are
+    // NOT graft's deterministic ones
+    val dir = java.nio.file.Files.createTempDirectory("graft_cmw_fix_").toFile
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    val stage = new java.io.File(dir, "_stage_fix")
+    Seq((1L, "a")).toDF("xA", "xB").coalesce(1).write.parquet(stage.getPath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf.toPath, new java.io.File(dir, "part-fix.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    def fld(name: String, tpe: org.apache.spark.sql.types.DataType, phys: String, id: Int) =
+      StructField(name, tpe, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "xA", 1), fld("v", StringType, "xB", 2)))
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    java.nio.file.Files.write(new java.io.File(log, f"${0L}%020d.json").toPath,
+      Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"cm-fix","format":{"provider":"parquet","options":{}},"schemaString":${
+          om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}""",
+        """{"add":{"path":"part-fix.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+      ).mkString("\n").getBytes("UTF-8"))
+    LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "v"), dir.getPath)
+    assert(DeltaReader.read(spark, dir.getPath).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    // the appended file resolves under the FIXTURE's physical names
+    val appended = new java.io.File(dir.getPath).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.getName != "part-fix.parquet")
+    assert(appended.length == 1)
+    assert(spark.read.parquet(appended.head.getPath).schema.fieldNames.toSeq ==
+      Seq("xA", "xB"))
+  }
+
+  test("CM table survives checkpoint + retention through its own written checkpoint") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cmw_cp_")
+    LakeWriter.writeDeltaMapped(Seq((1L, "a")).toDF("id", "v"), dir)
+    LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "v"), dir)
+    LakeWriter.checkpointDelta(spark, dir, 1L)
+    val log = new java.io.File(dir, "_delta_log")
+    (0 to 1).foreach(i => new java.io.File(log, f"$i%020d.json").delete())
+    val back = DeltaReader.read(spark, dir)
+    assert(back.select("id", "v").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b")))
+    // and the table still accepts appends from the checkpoint base
+    LakeWriter.appendDelta(Seq((3L, "c")).toDF("id", "v"), dir)
+    assert(DeltaReader.read(spark, dir).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("legacy writer gates: constraints and generated columns still refuse") {
+    val s = spark
+    import s.implicits._
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val plain = StructType(Seq(StructField("id", LongType), StructField("v", StringType)))
+    def mk(metaExtra: String, schema: StructType): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_cmw_gate_").toFile
+      val log = new java.io.File(dir, "_delta_log")
+      log.mkdirs()
+      java.nio.file.Files.write(new java.io.File(log, f"${0L}%020d.json").toPath,
+        Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+          s"""{"metaData":{"id":"g1","format":{"provider":"parquet","options":{}},"schemaString":${
+            om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{$metaExtra}}}"""
+        ).mkString("\n").getBytes("UTF-8"))
+      dir.getPath
+    }
+    // a CHECK constraint in configuration refuses
+    val d1 = mk(""""delta.constraints.positive":"id > 0"""", plain)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d1)
+    }
+    assert(e1.getMessage.contains("constraints"), e1.getMessage)
+    // a generated column refuses
+    val gen = StructType(Seq(
+      StructField("id", LongType),
+      StructField("v", StringType, nullable = true,
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "CAST(id AS STRING)").build())))
+    val d2 = mk("", gen)
+    val e2 = intercept[IllegalArgumentException] {
+      LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d2)
+    }
+    assert(e2.getMessage.contains("generated"), e2.getMessage)
+    // ...but a bare version-4 table with neither declared appends fine
+    val d3 = mk("", plain)
+    LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d3)
+    assert(DeltaReader.read(spark, d3).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
+  }
+}

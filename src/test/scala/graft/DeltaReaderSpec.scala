@@ -397,21 +397,22 @@ class DeltaReaderSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
-  test("appendDelta refuses column-mapped tables and unimplemented writer features") {
+  test("appendDelta refuses id-mode column mapping and unimplemented writer features") {
     val s = spark
     import s.implicits._
     val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-    // column mapping: appended parquet would carry logical names where
-    // readers resolve physical ones
+    // id-mode column mapping: resolution is by parquet field id, which
+    // this writer's staging does not produce (name mode appends ARE
+    // supported — DeltaCmWriteSpec)
     val (dir, log) = mkTable()
     commit(log, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
       s"""{"metaData":{"id":"cm3","format":{"provider":"parquet","options":{}},"schemaString":${
-        om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"}}}"""))
+        om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}"""))
     val e1 = intercept[IllegalArgumentException] {
       graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir.getPath)
     }
-    assert(e1.getMessage.contains("column mapping"), e1.getMessage)
+    assert(e1.getMessage.contains("columnMapping.mode 'id'"), e1.getMessage)
     // writer version 7 with a feature this writer cannot enforce
     val (dir2, log2) = mkTable()
     commit(log2, 0, Seq(
