@@ -44,6 +44,7 @@ object Profile {
       case "stress"     => stress(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
+      case "stress-delta" => stressDelta(spark, args.lift(1).map(_.toInt).getOrElse(10000))
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -266,6 +267,54 @@ object Profile {
     * plan width is O(groups), not O(tables) — the comparison number
     * that justifies the merged entry point.
     */
+  /** Delta log path at streaming-debt scale: n single-add commits
+    * (what a micro-batch sink leaves), snapshot/lastTxnVersion replay
+    * cost with NO checkpoint vs replaying from one at n-101 (interval
+    * ≈ 100) and one at n-1 — proves the driver-side component is
+    * bounded by checkpointInterval in practice, not just by design.
+    */
+  def stressDelta(spark: SparkSession, n: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_delta_").toFile
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    time(s"author_${n}_commits") {
+      (0 until n).foreach { v =>
+        val head = if (v > 0) Nil else Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+          s"""{"metaData":{"id":"stress","format":{"provider":"parquet","options":{}},"schemaString":${
+            om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""")
+        val lines = head ++ Seq(
+          s"""{"txn":{"appId":"sink","version":$v}}""",
+          s"""{"add":{"path":"part-$v.parquet","partitionValues":{},"size":100,"modificationTime":0,"dataChange":true}}""")
+        java.nio.file.Files.write(
+          new java.io.File(log, f"$v%020d.json").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
+    }
+    (1 to 3).foreach { i =>
+      time(s"snapshot_no_cp_$i")(DeltaReader.snapshot(spark, dir.getPath, None))
+    }
+    time("lastTxn_no_cp")(
+      println(s"  watermark = ${DeltaReader.lastTxnVersion(spark, dir.getPath, "sink")}"))
+    time("checkpoint_at_n-101")(
+      LakeWriter.checkpointDelta(spark, dir.getPath, (n - 101).toLong))
+    (1 to 3).foreach { i =>
+      time(s"snapshot_cp100_$i")(DeltaReader.snapshot(spark, dir.getPath, None))
+    }
+    time("checkpoint_at_n-1")(
+      LakeWriter.checkpointDelta(spark, dir.getPath, (n - 1).toLong))
+    (1 to 3).foreach { i =>
+      time(s"snapshot_cp0_$i")(DeltaReader.snapshot(spark, dir.getPath, None))
+    }
+    time("lastTxn_cp0")(
+      println(s"  watermark = ${DeltaReader.lastTxnVersion(spark, dir.getPath, "sink")}"))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   def stressMerged(spark: SparkSession, nTables: Int): Unit = {
     import graft.index.LakeIndexer
     import graft.sources.LakeReader
