@@ -210,6 +210,27 @@ object DeltaReader {
     out.toArray
   }
 
+  /** Serialize row indexes as PROTOCOL.md's portable
+    * RoaringBitmapArray — the exact inverse of [[decodeDvBitmap]];
+    * the write side of the DV story lives on it.
+    */
+  private[graft] def encodeDvBitmap(indexes: Seq[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(Integer.reverseBytes(1681511377))
+    val byKey = indexes.groupBy(i => (i >>> 32).toInt).toSeq.sortBy(_._1)
+    out.writeLong(java.lang.Long.reverseBytes(byKey.size.toLong))
+    byKey.foreach { case (k, vs) =>
+      out.writeInt(Integer.reverseBytes(k))
+      val rb = new org.roaringbitmap.RoaringBitmap()
+      vs.foreach(v => rb.add(v.toInt))
+      rb.runOptimize()
+      rb.serialize(out)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
   /** Slice one DV out of a sidecar file's bytes and decode it: version
     * byte 1 at offset 0, then at `offset` a big-endian int32 size, the
     * serialized bitmap, and a big-endian CRC-32 of exactly those bytes.
@@ -636,8 +657,15 @@ object DeltaReader {
     * remap, log-authoritative partition values, deletion-vector
     * anti-filter.
     */
+  /** `keepLineage = true` appends `__dv_path` (normalized file path)
+    * and `__dv_ridx` (row index) to the output — what the DELETE
+    * writer needs to turn a predicate match back into per-file row
+    * indexes. Lineage rows are post-DV-filter, so a second delete on
+    * an already-vectored file only sees its LIVE rows.
+    */
   private[graft] def scanFiles(s: SparkSession, dir: String,
-                               snap: Snapshot, files: Seq[AddFile]): DataFrame = {
+                               snap: Snapshot, files: Seq[AddFile],
+                               keepLineage: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
     def physName(f: org.apache.spark.sql.types.StructField): String =
@@ -654,10 +682,15 @@ object DeltaReader {
       .map(f => physName(f) -> f.name)
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
 
-    if (files.isEmpty)
-      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    if (files.isEmpty) {
+      val outSchema = if (!keepLineage) schema else StructType(schema.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("__dv_path", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__dv_ridx", org.apache.spark.sql.types.LongType)))
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    }
 
     val hasDv = files.exists(_.dv.isDefined)
+    val withMeta = hasDv || keepLineage
     val root = new Path(dir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
 
@@ -679,7 +712,7 @@ object DeltaReader {
       // mid-fold and fail on a readable table
       val projection = logicalByPhys.map { case (phys, logical) =>
         base0.col(s"`${phys.replace("`", "``")}`").as(logical)
-      } ++ (if (!hasDv) Nil else Seq(
+      } ++ (if (!withMeta) Nil else Seq(
         // which file and which row this came from — the join key the
         // deletion-vector anti-filter matches; stays inside the
         // distributed scan (parquet's generated row_index), no UDF
@@ -695,7 +728,7 @@ object DeltaReader {
         df.withColumn(f.name, lit(raw).cast(f.dataType))
       }
       withParts.select((schema.fieldNames.map(col) ++
-        (if (hasDv) Seq(col("__dv_path"), col("__dv_ridx")) else Nil)).toIndexedSeq: _*)
+        (if (withMeta) Seq(col("__dv_path"), col("__dv_ridx")) else Nil)).toIndexedSeq: _*)
     }.reduce(_ unionByName _)
 
     if (!hasDv) unioned
@@ -712,8 +745,9 @@ object DeltaReader {
         if (totalCardinality <= 4000000L)
           org.apache.spark.sql.functions.broadcast(deleted)
         else deleted
-      unioned.join(joinSide, Seq("__dv_path", "__dv_ridx"), "left_anti")
-        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      val filtered = unioned.join(joinSide, Seq("__dv_path", "__dv_ridx"), "left_anti")
+      if (keepLineage) filtered
+      else filtered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
   }
 }
