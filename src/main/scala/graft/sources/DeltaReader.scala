@@ -111,13 +111,15 @@ object DeltaReader {
     new String(out.toByteArray, "UTF-8")
   }
 
-  /** RFC 1924 base85 — the alphabet PROTOCOL.md prescribes for
-    * deletion-vector UUIDs and inline bitmaps (NOT Ascii85, NOT Z85:
-    * both differ in character set). 5 chars decode to 4 bytes,
-    * most-significant digit first.
+  /** Z85 base85 (ZeroMQ spec 32) — the alphabet real Delta writers
+    * (delta-spark Base85Codec, delta-rs) use for deletion-vector UUIDs
+    * and inline bitmaps; PROTOCOL.md's own example pathOrInlineDv
+    * (`ab^-aqEH.-t@S}K{vb[*k^` → d2c639aa-8816-431a-aaf6-d3fe2512ff61)
+    * contains '.' and '[', which RFC 1924's charset lacks. 5 chars
+    * decode to 4 bytes, most-significant digit first.
     */
   private val Base85Alphabet =
-    "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz!#$%&()*+-;<=>?@^_`{|}~"
+    "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ.-:+=^!/*?&<>()[]{}@%$#"
   private val Base85Rev: Array[Int] = {
     val t = Array.fill(128)(-1)
     Base85Alphabet.zipWithIndex.foreach { case (c, i) => t(c) = i }
@@ -581,6 +583,21 @@ object DeltaReader {
     */
   private val SchemeAuthorityRe = "^[a-zA-Z][a-zA-Z0-9+.\\-]*:(//[^/]*)?"
 
+  /** Decoded path component of a file URI string. `_metadata.file_path`
+    * and binaryFile `path` are URL-encoded URI strings (a space renders
+    * as %20) while the log-derived join side uses Hadoop's DECODED
+    * `toUri.getPath` — both keys must be the decoded form or a file
+    * under a directory with a space never matches and its deleted rows
+    * silently resurface. Literal '+' is protected first because
+    * `url_decode` is form-decoding (it would turn '+' into a space,
+    * which URI path encoding never produces). Stays in builtins so the
+    * scan projection keeps whole-stage codegen.
+    */
+  private def uriPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{regexp_replace, url_decode}
+    url_decode(regexp_replace(regexp_replace(c, SchemeAuthorityRe, ""), "\\+", "%2B"))
+  }
+
   /** The deleted (file, row-index) set of a snapshot as a DataFrame of
     * `__dv_path` (normalized data-file path) and `__dv_ridx` — the
     * anti-join side of a DV-carrying read. Decoding runs on EXECUTORS:
@@ -593,7 +610,7 @@ object DeltaReader {
   private def deletedRowsDf(s: SparkSession, root: Path,
                             fs: org.apache.hadoop.fs.FileSystem,
                             withDv: Seq[AddFile]): DataFrame = {
-    import org.apache.spark.sql.functions.{col, explode, regexp_replace, udf}
+    import org.apache.spark.sql.functions.{col, explode, udf}
     def norm(p: Path): String = fs.makeQualified(p).toUri.getPath
     // (dataPath, sidecarPath|null, offset, size, cardinality, inlineBytes|null)
     val descs = withDv.map { f =>
@@ -628,7 +645,7 @@ object DeltaReader {
     val fromFiles = if (fileDescs.isEmpty) None else {
       val content = s.read.format("binaryFile")
         .load(fileDescs.map(_._2).distinct: _*)
-        .select(regexp_replace(col("path"), SchemeAuthorityRe, "").as("__dvfile"),
+        .select(uriPathCol(col("path")).as("__dvfile"),
           col("content"))
       val descDf = fileDescs.map { case (dp, dvp, off, sz, card, _) => (dp, dvp, off, sz, card) }
         .toDF("__dv_path", "__dvfile", "off", "sz", "card")
@@ -716,9 +733,7 @@ object DeltaReader {
         // which file and which row this came from — the join key the
         // deletion-vector anti-filter matches; stays inside the
         // distributed scan (parquet's generated row_index), no UDF
-        org.apache.spark.sql.functions.regexp_replace(
-          base0.col("_metadata.file_path"),
-          SchemeAuthorityRe, "").as("__dv_path"),
+        uriPathCol(base0.col("_metadata.file_path")).as("__dv_path"),
         base0.col("_metadata.row_index").as("__dv_ridx")))
       val base = base0.select(projection.toIndexedSeq: _*)
       val withParts = partSchema.foldLeft(base) { (df, f) =>
@@ -738,11 +753,20 @@ object DeltaReader {
       // broadcast decision is exact, not an estimate: typical DV loads
       // (a few % of rows) broadcast; a pathological mass-delete falls
       // back to a shuffle anti-join rather than OOMing the executors.
-      val deleted = deletedRowsDf(s, root, fs,
-        files.filter(_.dv.isDefined))
-      val totalCardinality = files.flatMap(_.dv).map(_.cardinality).sum
+      val dvFiles = files.filter(_.dv.isDefined)
+      val deleted = deletedRowsDf(s, root, fs, dvFiles)
+      // size the broadcast decision in BYTES, not rows: each deleted row
+      // carries the full normalized path string + a long, so a row-count
+      // cutoff alone could broadcast hundreds of MB of path copies. The
+      // estimate is exact on cardinality (driver-known from descriptors)
+      // and conservative on width (qualified path length + 24B of
+      // long/object overhead); cap at 32 MB — past that, shuffle.
+      val rootLen = root.toString.length
+      val estBytes = dvFiles.map { f =>
+        f.dv.get.cardinality * (f.path.length + rootLen + 24L)
+      }.sum
       val joinSide =
-        if (totalCardinality <= 4000000L)
+        if (estBytes <= 32L * 1024 * 1024)
           org.apache.spark.sql.functions.broadcast(deleted)
         else deleted
       val filtered = unioned.join(joinSide, Seq("__dv_path", "__dv_ridx"), "left_anti")

@@ -216,9 +216,45 @@ class DeltaDvSpec extends SparkSpec {
     assert(e2.getMessage.contains("deletion"), e2.getMessage)
   }
 
-  test("base85 round-trips RFC 1924 and deletion bitmaps round-trip the portable format") {
+  test("DV anti-join matches files under directories with spaces and '+'") {
+    // table root with a space AND the data file under a subdirectory
+    // with a space + literal '+' (the shape of a partition dir like
+    // p=a b+c). _metadata.file_path and binaryFile.path URL-encode the
+    // space as %20; the log side percent-decodes — if the two key
+    // normalizations diverge, the anti-join removes nothing and the
+    // deleted rows silently reappear.
+    val base = java.nio.file.Files.createTempDirectory("graft_dv_sp_").toFile
+    val dir = new java.io.File(base, "tbl with space")
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val sub = new java.io.File(dir, "p=a b+c"); sub.mkdirs()
+    val f1 = part(sub, "part-0001.parquet", Seq((0L, "a"), (1L, "b"), (2L, "c")))
+    val f2 = part(sub, "part-0002.parquet", Seq((10L, "x"), (11L, "y")))
+    val uuid = java.util.UUID.fromString("99999999-8888-7777-6666-555555555555")
+    // sidecar under a plain random prefix (the only shape real writers
+    // produce) — the table root's space still rides into binaryFile.path
+    val pre = new java.io.File(dir, "ab"); pre.mkdirs()
+    val (encUuid, placed) = sidecar(pre, uuid, Seq(Seq(0L)))
+    commit(log, 0, Seq(dvProtocol, metaLine,
+      // inline DV → exercises the _metadata.file_path key
+      s"""{"add":{"path":"p=a%20b+c/$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,${inlineDvJson(Seq(1L))}}}""",
+      // sidecar DV on a table rooted at a space dir → binaryFile key too
+      s"""{"add":{"path":"p=a%20b+c/$f2","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":"ab$encUuid","offset":${placed.head._1},"sizeInBytes":${placed.head._2},"cardinality":1}}}"""))
+    assert(rows(DeltaReader.read(spark, dir.getPath)) ==
+      Set((0L, "a"), (2L, "c"), (11L, "y")))
+  }
+
+  test("base85 round-trips Z85 and deletion bitmaps round-trip the portable format") {
     val bytes = Array.tabulate(16)(i => (i * 17 + 3).toByte)
     assert(DeltaReader.base85Decode(DeltaReader.base85Encode(bytes)).toSeq == bytes.toSeq)
+    // Verbatim fixture from delta-io PROTOCOL.md ("Derived Fields"
+    // example): storageType "u", pathOrInlineDv with a 2-char random
+    // prefix ahead of the Z85 uuid. The documented expansion is
+    // ab/deletion_vector_d2c639aa-8816-431a-aaf6-d3fe2512ff61.bin —
+    // this only decodes under the Z85 charset, not RFC 1924.
+    val proto = DeltaReader.DvDescriptor("u", "ab^-aqEH.-t@S}K{vb[*k^", Some(4), 40, 6)
+    val p = DeltaReader.dvFilePath(new org.apache.hadoop.fs.Path("/tbl"), proto)
+    assert(p.toString ==
+      "/tbl/ab/deletion_vector_d2c639aa-8816-431a-aaf6-d3fe2512ff61.bin")
     // cross-word and high-bucket indexes survive (key > 0 exercises the
     // 64-bit bucket split)
     val idx = Seq(0L, 1L, 65535L, 65536L, (1L << 32) + 7L, (5L << 32) + 123L)
