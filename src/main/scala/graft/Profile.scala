@@ -45,6 +45,8 @@ object Profile {
       case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-delta" => stressDelta(spark, args.lift(1).map(_.toInt).getOrElse(10000))
+      case "stress-delta-files" =>
+        stressDeltaFiles(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -295,23 +297,105 @@ object Profile {
           lines.mkString("\n").getBytes("UTF-8"))
       }
     }
+    // .active.size forces the lazy file resolution — without it the
+    // timing would measure only the scalar replay
     (1 to 3).foreach { i =>
-      time(s"snapshot_no_cp_$i")(DeltaReader.snapshot(spark, dir.getPath, None))
+      time(s"snapshot_no_cp_$i")(DeltaReader.snapshot(spark, dir.getPath, None).active.size)
     }
     time("lastTxn_no_cp")(
       println(s"  watermark = ${DeltaReader.lastTxnVersion(spark, dir.getPath, "sink")}"))
     time("checkpoint_at_n-101")(
       LakeWriter.checkpointDelta(spark, dir.getPath, (n - 101).toLong))
     (1 to 3).foreach { i =>
-      time(s"snapshot_cp100_$i")(DeltaReader.snapshot(spark, dir.getPath, None))
+      time(s"snapshot_cp100_$i")(DeltaReader.snapshot(spark, dir.getPath, None).active.size)
     }
     time("checkpoint_at_n-1")(
       LakeWriter.checkpointDelta(spark, dir.getPath, (n - 1).toLong))
     (1 to 3).foreach { i =>
-      time(s"snapshot_cp0_$i")(DeltaReader.snapshot(spark, dir.getPath, None))
+      time(s"snapshot_cp0_$i")(DeltaReader.snapshot(spark, dir.getPath, None).active.size)
     }
     time("lastTxn_cp0")(
       println(s"  watermark = ${DeltaReader.lastTxnVersion(spark, dir.getPath, "sink")}"))
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** Snapshot resolution at FILE-COUNT scale (the 100-TB axis: a
+    * checkpoint with n add entries): proves the checkpoint is never
+    * collected wholesale — scalar-only snapshot access stays O(1) in
+    * file count, forcing `.active` pays exactly one distributed
+    * resolve + gated collect, and the maxSnapshotFiles gate refuses
+    * past its bound.
+    */
+  def stressDeltaFiles(spark: SparkSession, n: Int): Unit = {
+    import graft.sources.DeltaReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_dfiles_").toFile
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    time(s"author_checkpoint_${n}_adds") {
+      val adds = spark.range(0, n, 1, 32).selectExpr(
+        "named_struct('path', concat('part-', id, '.parquet'), " +
+          "'partitionValues', map('p', cast(id % 100 as string)), " +
+          "'size', 100L, 'modificationTime', 0L) AS add")
+      val scalars = spark.range(1).select(
+        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
+        struct(lit("stress-files").as("id"),
+          struct(lit("parquet").as("provider"),
+            map().cast("map<string,string>").as("options")).as("format"),
+          lit(schema.json).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns"),
+          map().cast("map<string,string>").as("configuration")).as("metaData"))
+      val stage = new java.io.File(dir, "_cp_stage")
+      adds.unionByName(scalars, allowMissingColumns = true)
+        .coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(log, "00000000000000000000.checkpoint.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    def usedMB: Long = {
+      System.gc()
+      (Runtime.getRuntime.totalMemory - Runtime.getRuntime.freeMemory) / (1024 * 1024)
+    }
+    (1 to 3).foreach { i =>
+      time(s"snapshot_scalars_$i") {
+        val sn = DeltaReader.snapshot(spark, dir.getPath, None)
+        require(sn.version == 0 && sn.txns.isEmpty)
+      }
+    }
+    println(s"[profile] heap_scalars_only          $usedMB MB")
+    (1 to 3).foreach { i =>
+      time(s"snapshot_active_$i") {
+        val k = DeltaReader.snapshot(spark, dir.getPath, None).active.size
+        require(k == n, s"resolved $k of $n adds")
+      }
+    }
+    println(s"[profile] heap_after_active          $usedMB MB")
+    // commit suffix on top of the huge checkpoint: the anti-join path
+    time("author_50_suffix_commits") {
+      (1 to 50).foreach { v =>
+        val lines = Seq(
+          s"""{"remove":{"path":"part-$v.parquet","deletionTimestamp":0,"dataChange":true}}""",
+          s"""{"add":{"path":"part-new-$v.parquet","partitionValues":{"p":"0"},"size":100,"modificationTime":0,"dataChange":true}}""")
+        java.nio.file.Files.write(new java.io.File(log, f"$v%020d.json").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
+    }
+    time("snapshot_active_suffix") {
+      val k = DeltaReader.snapshot(spark, dir.getPath, None).active.size
+      require(k == n, s"suffix-resolved $k, expected $n")
+    }
+    // the gate: a live set past maxSnapshotFiles refuses rather than
+    // silently eating driver heap
+    spark.conf.set("spark.graft.delta.maxSnapshotFiles", (n / 2).toString)
+    try {
+      DeltaReader.snapshot(spark, dir.getPath, None).active
+      println("[profile] GATE FAILED TO FIRE")
+    } catch {
+      case e: IllegalArgumentException =>
+        println(s"[profile] gate refused as designed: ${e.getMessage.linesIterator.next()}")
+    } finally spark.conf.unset("spark.graft.delta.maxSnapshotFiles")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 

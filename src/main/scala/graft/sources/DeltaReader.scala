@@ -31,9 +31,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `_delta_log` on hdfs:// or s3a:// and fall through to a raw
   * parquet read of staged files.
   *
-  * Scale: the log is driver-parsed, which is the design of the format
-  * itself (logs are KB-MB; Delta compacts them into checkpoints so
-  * readers never replay unbounded JSON); the DATA read stays a fully
+  * Scale: JSON commits are driver-parsed, which is the design of the
+  * format itself (the commit suffix past a checkpoint is bounded by
+  * checkpointInterval); the CHECKPOINT — O(live files), millions of
+  * entries on a 100-TB table — is never collected wholesale: its add
+  * entries stay a distributed DataFrame, the live set resolves via a
+  * broadcast anti-join against the (small) suffix, and only the final
+  * file list the scan needs reaches the driver, lazily and gated by
+  * `spark.graft.delta.maxSnapshotFiles`. The DATA read stays a fully
   * distributed parquet scan with pushdown and pruning, one union
   * branch per partition-value tuple (reference: the lake formats named
   * in the build brief; no reference-repo counterpart — MaCO reads raw
@@ -72,15 +77,24 @@ object DeltaReader {
     * replaying from that checkpoint would misinterpret the data it
     * gates.
     */
-  private[graft] case class Snapshot(version: Long, active: Seq[AddFile],
-                                       schemaJson: String, partCols: Seq[String],
-                                       minReader: Long,
-                                       configuration: Map[String, String] = Map.empty,
-                                       minWriter: Long = 2L,
-                                       readerFeatures: Seq[String] = Nil,
-                                       writerFeatures: Seq[String] = Nil,
-                                       txns: Map[String, Long] = Map.empty,
-                                       metaId: Option[String] = None)
+  private[graft] final class Snapshot(val version: Long,
+                                      activeThunk: () => Seq[AddFile],
+                                      val schemaJson: String, val partCols: Seq[String],
+                                      val minReader: Long,
+                                      val configuration: Map[String, String],
+                                      val minWriter: Long,
+                                      val readerFeatures: Seq[String],
+                                      val writerFeatures: Seq[String],
+                                      val txns: Map[String, Long],
+                                      val metaId: Option[String]) {
+    /** The resolved live add set. LAZY: forcing it runs the distributed
+      * last-writer-wins resolution over the checkpoint and collects the
+      * final file list (gated by `spark.graft.delta.maxSnapshotFiles`)
+      * to the driver — scalar-only consumers (txn watermarks, append
+      * gates, version discovery) never pay a per-file cost at all.
+      */
+    lazy val active: Seq[AddFile] = activeThunk()
+  }
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
     * application/x-www-form-urlencoded rules turn a literal '+' in a
@@ -321,6 +335,19 @@ object DeltaReader {
     */
   private[graft] def commitChanges(s: SparkSession, dir: String, version: Long)
       : (Seq[(AddFile, Boolean)], Seq[(String, Boolean)]) = {
+    val acts = commitActions(s, dir, version)
+    (acts.collect { case (Right(af), dc) => af -> dc },
+      acts.collect { case (Left(p), dc) => p -> dc })
+  }
+
+  /** One commit's file actions IN LINE ORDER — `Right(add)` /
+    * `Left(removedPath)` with the `dataChange` flag. Order matters to
+    * state folding: a remove+add of the same path in one commit (the
+    * shape of a DV rewrite) nets to the add only because the add comes
+    * later.
+    */
+  private[graft] def commitActions(s: SparkSession, dir: String, version: Long)
+      : Seq[(Either[String, AddFile], Boolean)] = {
     val hconf = s.sessionState.newHadoopConf()
     val logPath = new Path(dir, "_delta_log")
     val fs = logPath.getFileSystem(hconf)
@@ -331,8 +358,7 @@ object DeltaReader {
       s"commit $version not present in $logPath (retention-cleaned?) — its changes " +
         "are unrecoverable from a checkpoint; cannot tail this version")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val adds = Seq.newBuilder[(AddFile, Boolean)]
-    val removes = Seq.newBuilder[(String, Boolean)]
+    val acts = Seq.newBuilder[(Either[String, AddFile], Boolean)]
     def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
     val rd = new java.io.BufferedReader(
@@ -340,15 +366,17 @@ object DeltaReader {
     try Iterator.continually(rd.readLine()).takeWhile(_ != null)
       .filter(_.nonEmpty).foreach { line =>
       val n = om.readTree(line)
-      if (n.has("add")) adds += addFromJson(n.get("add")) -> dataChange(n.get("add"))
+      if (n.has("add")) acts += Right(addFromJson(n.get("add"))) -> dataChange(n.get("add"))
       if (n.has("remove"))
-        removes += n.get("remove").get("path").asText() -> dataChange(n.get("remove"))
+        acts += Left(n.get("remove").get("path").asText()) -> dataChange(n.get("remove"))
     } finally rd.close()
-    (adds.result(), removes.result())
+    acts.result()
   }
 
-  /** Replay the log to the target version. Driver-side by design (see
-    * scaladoc above); every FS touch goes through `fs`.
+  /** Replay the log to the target version: commit JSON driver-parsed
+    * (bounded by checkpointInterval), checkpoint adds distributed with
+    * lazy gated resolution (see class scaladoc); every FS touch goes
+    * through `fs`.
     */
   private[graft] def snapshot(s: SparkSession, dir: String,
                                 versionAsOf: Option[Long]): Snapshot = {
@@ -384,7 +412,12 @@ object DeltaReader {
         s"versionAsOf $v not present in $logPath")
     }
 
-    val active = scala.collection.mutable.LinkedHashMap.empty[String, AddFile]
+    // Last action per path in the post-checkpoint commit SUFFIX:
+    // Some(add) = live (re-)add, None = removed. The suffix is bounded
+    // by checkpointInterval, so this map stays small no matter how many
+    // live files the table has — the checkpoint's own add entries never
+    // come to the driver here (see the resolution thunk below).
+    val suffix = scala.collection.mutable.LinkedHashMap.empty[String, Option[AddFile]]
     var schemaJson: Option[String] = None
     var partCols: Seq[String] = Nil
     var minReader = 1L
@@ -396,7 +429,10 @@ object DeltaReader {
     var metaId: Option[String] = None
 
     // base: the newest checkpoint at or below the target version —
-    // exactly how a real Delta reader avoids replaying the full log
+    // exactly how a real Delta reader avoids replaying the full log.
+    // Its add entries are kept as a DATAFRAME (distributed), not
+    // collected: a 100-TB table's checkpoint holds millions of adds.
+    var cpAddsDf: Option[DataFrame] = None
     val base = checkpoints.filter(_._1 <= target).lastOption
     base.foreach { case (v, psAll) =>
       // both checkpoint forms may coexist at one version; a classic
@@ -416,30 +452,18 @@ object DeltaReader {
       }
       val cp = s.read.parquet(ps.map(_.toString): _*)
       val cols = cp.columns.toSet
-      val rows = cp.collect()
+      if (cols("add")) cpAddsDf = Some(checkpointAdds(cp))
+      // scalar actions (metaData/protocol/txn) are a handful of rows —
+      // ONE filtered-and-projected job collects them; the add entries
+      // above stay distributed until the lazy resolution below
+      val scalarCols = Seq("metaData", "protocol", "txn").filter(cols)
+      val rows =
+        if (scalarCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else cp.where(scalarCols.map(c => col(c).isNotNull)
+            .reduce(_ || _))
+          .select(scalarCols.map(col): _*).collect()
       rows.foreach { r =>
-        if (cols("add") && !r.isNullAt(r.fieldIndex("add"))) {
-          val a = r.getStruct(r.fieldIndex("add"))
-          val aFields = a.schema.fieldNames.toSet
-          def optLong(name: String): Long =
-            if (aFields(name) && !a.isNullAt(a.fieldIndex(name)))
-              a.getAs[Number](name).longValue() else 0L
-          val pv = Option(a.getMap[String, String](a.fieldIndex("partitionValues")))
-            .map(_.toMap).getOrElse(Map.empty[String, String])
-          val p = a.getString(a.fieldIndex("path"))
-          val dv = if (aFields("deletionVector") && !a.isNullAt(a.fieldIndex("deletionVector"))) {
-            val d = a.getStruct(a.fieldIndex("deletionVector"))
-            val dFields = d.schema.fieldNames.toSet
-            Some(DvDescriptor(
-              d.getString(d.fieldIndex("storageType")),
-              d.getString(d.fieldIndex("pathOrInlineDv")),
-              if (dFields("offset") && !d.isNullAt(d.fieldIndex("offset")))
-                Some(d.getAs[Number]("offset").intValue()) else None,
-              d.getAs[Number]("sizeInBytes").intValue(),
-              d.getAs[Number]("cardinality").longValue()))
-          } else None
-          active(p) = AddFile(p, pv, optLong("size"), optLong("modificationTime"), dv)
-        }
+        val cols = r.schema.fieldNames.toSet
         if (cols("metaData") && !r.isNullAt(r.fieldIndex("metaData"))) {
           val md = r.getStruct(r.fieldIndex("metaData"))
           val mdFields = md.schema.fieldNames.toSet
@@ -494,9 +518,9 @@ object DeltaReader {
           val n = om.readTree(line)
           if (n.has("add")) {
             val af = addFromJson(n.get("add"))
-            active(af.path) = af
+            suffix(af.path) = Some(af)
           }
-          if (n.has("remove")) active.remove(n.get("remove").get("path").asText())
+          if (n.has("remove")) suffix(n.get("remove").get("path").asText()) = None
           if (n.has("metaData")) {
             val md = n.get("metaData")
             schemaJson = Some(md.get("schemaString").asText())
@@ -552,10 +576,82 @@ object DeltaReader {
     require(cmMode == "none" || cmMode == "name",
       s"delta.columnMapping.mode '$cmMode' not supported (none/name only; id mode " +
         "needs parquet field-id resolution) — refusing to misread the table")
-    Snapshot(target, active.values.toSeq,
+    // Last-writer-wins resolution, exploiting that the commit suffix is
+    // SMALL (bounded by checkpointInterval) while the checkpoint may be
+    // huge: a checkpoint add survives iff NO later commit touched its
+    // path (broadcast anti-join, executed on executors); a touched path
+    // is governed by the suffix's final action for it. The final file
+    // list is what the scan needs on the driver anyway — its collect is
+    // gated by spark.graft.delta.maxSnapshotFiles.
+    val suffixFinal = suffix.toVector
+    val cpDf = cpAddsDf
+    val activeThunk: () => Seq[AddFile] = () => {
+      val survivors = suffixFinal.collect { case (_, Some(af)) => af }
+      cpDf match {
+        case None => survivors
+        case Some(adds) =>
+          import org.apache.spark.sql.functions.broadcast
+          import s.implicits._
+          val resolved =
+            if (suffixFinal.isEmpty) adds
+            else adds.join(broadcast(suffixFinal.map(_._1).toDF("path")),
+              Seq("path"), "left_anti")
+          val maxFiles = s.conf.getOption("spark.graft.delta.maxSnapshotFiles")
+            .map(_.toLong).getOrElse(4000000L)
+          val take = resolved.take(math.min(maxFiles, Int.MaxValue - 2L).toInt + 1)
+          require(take.length <= maxFiles,
+            s"snapshot at version $target has more than $maxFiles live files — " +
+              "each AddFile costs driver heap (path + partition values + DV " +
+              "descriptor); raise spark.graft.delta.maxSnapshotFiles only with " +
+              "driver memory to match")
+          val cpActive = take.iterator.map { r =>
+            val dv =
+              if (r.isNullAt(4)) None
+              else Some(DvDescriptor(r.getString(4), r.getString(5),
+                if (r.isNullAt(6)) None else Some(r.getInt(6)),
+                r.getInt(7), r.getLong(8)))
+            AddFile(r.getString(0),
+              Option(r.getMap[String, String](1)).map(_.toMap)
+                .getOrElse(Map.empty[String, String]),
+              if (r.isNullAt(2)) 0L else r.getLong(2),
+              if (r.isNullAt(3)) 0L else r.getLong(3), dv)
+          }.toVector
+          cpActive ++ survivors
+      }
+    }
+    new Snapshot(target, activeThunk,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
       minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId)
+  }
+
+  /** A checkpoint's `add` entries flattened to the resolution schema —
+    * field order is load-bearing for the collect above. Optional
+    * fields (size, modificationTime, deletionVector) may be absent in
+    * minimal or foreign checkpoints; they surface as typed nulls.
+    */
+  private def checkpointAdds(cp: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
+    val addT = cp.schema("add").dataType.asInstanceOf[StructType]
+    val af = addT.fieldNames.toSet
+    def opt(n: String, t: DataType) =
+      (if (af(n)) col(s"add.$n") else lit(null)).cast(t)
+    val dvT = if (af("deletionVector"))
+      Some(addT("deletionVector").dataType.asInstanceOf[StructType]) else None
+    def dvOpt(n: String, t: DataType) = (dvT match {
+      case Some(d) if d.fieldNames.contains(n) => col(s"add.deletionVector.$n")
+      case _ => lit(null)
+    }).cast(t)
+    cp.where(col("add").isNotNull).select(
+      col("add.path").cast(StringType).as("path"),
+      opt("partitionValues", MapType(StringType, StringType)).as("pv"),
+      opt("size", LongType).as("size"),
+      opt("modificationTime", LongType).as("mtime"),
+      dvOpt("storageType", StringType).as("dv_st"),
+      dvOpt("pathOrInlineDv", StringType).as("dv_p"),
+      dvOpt("offset", IntegerType).as("dv_off"),
+      dvOpt("sizeInBytes", IntegerType).as("dv_sz"),
+      dvOpt("cardinality", LongType).as("dv_card"))
   }
 
   /** Snapshot read at the latest version, or at `versionAsOf`.

@@ -522,10 +522,12 @@ object LakeWriter {
     * horizon fails the reader's existing not-present/partial-snapshot
     * gates before any data file is touched.
     *
-    * Scale: the driver-side work is the log replay of the retention
-    * window (bounded by checkpointInterval, the format's own design)
-    * plus one directory listing; data-file deletes are O(debris), not
-    * O(table). Returns the deleted paths (relative), sorted.
+    * Scale: the driver-side work is ONE snapshot replay at the horizon
+    * plus one linear walk of the window's commit JSONs (never a
+    * per-version re-replay — that would be O(window²) on a sparsely
+    * checkpointed table) plus one directory listing; data-file deletes
+    * are O(debris), not O(table). Returns the deleted paths (relative),
+    * sorted.
     */
   def vacuumDelta(spark: SparkSession, dir: String, horizonVersion: Long): Seq[String] = {
     val hconf = spark.sessionState.newHadoopConf()
@@ -536,21 +538,32 @@ object LakeWriter {
       s"vacuumDelta: horizon $horizonVersion outside [0, ${latest.version}]")
     val referenced = scala.collection.mutable.Set.empty[String]
     var dvSeen = false
-    (horizonVersion to latest.version).foreach { v =>
-      val sn = DeltaReader.snapshot(spark, dir, Some(v))
-      sn.active.foreach { a =>
-        referenced += DeltaReader.percentDecode(a.path)
-        a.dv.foreach { d =>
-          dvSeen = true
-          // keep referenced sidecars even though DV tables are refused
-          // below — cheap insurance should the gate ever loosen
-          if (d.storageType == "u") {
-            val p = DeltaReader.dvFilePath(root, d)
-            val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
-            referenced += fs.makeQualified(p).toUri.getPath
-              .stripPrefix(rootUri).stripPrefix("/")
-          }
+    def reference(a: DeltaReader.AddFile): Unit = {
+      referenced += DeltaReader.percentDecode(a.path)
+      a.dv.foreach { d =>
+        dvSeen = true
+        // keep referenced sidecars even though DV tables are refused
+        // below — cheap insurance should the gate ever loosen
+        if (d.storageType == "u") {
+          val p = DeltaReader.dvFilePath(root, d)
+          val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+          referenced += fs.makeQualified(p).toUri.getPath
+            .stripPrefix(rootUri).stripPrefix("/")
         }
+      }
+    }
+    // ONE snapshot replay at the horizon, then walk the window's
+    // commits once — a per-version snapshot() here would re-scan back
+    // to the nearest checkpoint each time, O(window²) log parsing on a
+    // sparsely-checkpointed table. "Live at ANY version in the window"
+    // is exactly (live at the horizon) ∪ (added by any window commit):
+    // a file is referenced the moment it is added, even if a later
+    // window commit removes it again.
+    DeltaReader.snapshot(spark, dir, Some(horizonVersion)).active.foreach(reference)
+    ((horizonVersion + 1) to latest.version).foreach { v =>
+      DeltaReader.commitActions(spark, dir, v).foreach {
+        case (Right(af), _) => reference(af)
+        case _ =>
       }
     }
     require(!dvSeen,

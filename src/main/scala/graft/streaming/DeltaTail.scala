@@ -72,8 +72,18 @@ object DeltaTail {
     * new. A poll that crashes inside `process` redelivers on retry —
     * pair with a version-deduping sink for exactly-once.
     */
+  /** `maxVersionsPerTrigger` caps how many log versions one poll
+    * delivers — a tail starting far behind a hot table catches up in
+    * bounded batches instead of one giant one (the rate-limit knob
+    * real delta-spark spells maxFilesPerTrigger). The initial snapshot
+    * batch is not splittable (it is one consistent version) and
+    * ignores the cap.
+    */
   def pollOnce(s: SparkSession, dir: String, checkpoint: String,
-               process: (DataFrame, Long) => Unit): Option[Long] = {
+               process: (DataFrame, Long) => Unit,
+               maxVersionsPerTrigger: Option[Int] = None): Option[Long] = {
+    maxVersionsPerTrigger.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger $m must be positive"))
     val hconf = s.sessionState.newHadoopConf()
     val cpDir = new org.apache.hadoop.fs.Path(checkpoint)
     val fs = cpDir.getFileSystem(hconf)
@@ -82,9 +92,16 @@ object DeltaTail {
       if (!fs.exists(wmFile)) None
       else {
         val in = fs.open(wmFile)
-        try Some(new String(org.apache.commons.io.IOUtils.toByteArray(in),
-          "UTF-8").trim.toLong)
+        val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
         finally in.close()
+        val t = raw.trim
+        // an unparseable watermark is OPERATOR-REPAIR territory, not a
+        // silent restart-from-scratch (which would redeliver the whole
+        // table into a sink that may not dedup the initial snapshot)
+        require(t.nonEmpty && t.forall(_.isDigit),
+          s"corrupt delta-tail watermark $wmFile (content: '$t') — repair or remove " +
+            "the file; removing restarts the tail from a full initial snapshot")
+        Some(t.toLong)
       }
     val snap = DeltaReader.snapshot(s, dir, None)
     val batch = watermark match {
@@ -92,14 +109,24 @@ object DeltaTail {
         // initial load: the whole current snapshot as batch one
         Some(DeltaReader.read(s, dir, Some(snap.version)) -> snap.version)
       case Some(wm) if snap.version > wm =>
-        Some(changes(s, dir, wm, snap.version) -> snap.version)
+        val to = maxVersionsPerTrigger.map(m => math.min(snap.version, wm + m))
+          .getOrElse(snap.version)
+        Some(changes(s, dir, wm, to) -> to)
       case _ => None
     }
     batch.map { case (df, version) =>
       process(df, version)
       fs.mkdirs(cpDir)
-      val out = fs.create(wmFile, true)
+      // write-then-rename: fs.create(wmFile, true) truncates in place,
+      // so a crash mid-write would leave an empty/partial watermark and
+      // wedge the stream instead of redelivering
+      val tmp = new org.apache.hadoop.fs.Path(cpDir,
+        s".delta_tail_version.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
       try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+      if (fs.exists(wmFile)) fs.delete(wmFile, false)
+      require(fs.rename(tmp, wmFile),
+        s"rename $tmp -> $wmFile failed; the tail will redeliver version $version")
       version
     }
   }
@@ -109,9 +136,10 @@ object DeltaTail {
     * tests and catch-up runs.
     */
   def drain(s: SparkSession, dir: String, checkpoint: String,
-            process: (DataFrame, Long) => Unit): Int = {
+            process: (DataFrame, Long) => Unit,
+            maxVersionsPerTrigger: Option[Int] = None): Int = {
     var n = 0
-    while (pollOnce(s, dir, checkpoint, process).isDefined) n += 1
+    while (pollOnce(s, dir, checkpoint, process, maxVersionsPerTrigger).isDefined) n += 1
     n
   }
 }

@@ -64,6 +64,59 @@ class DeltaTailSpec extends SparkSpec {
     assert(e.getMessage.contains("dataChange=true"), e.getMessage)
   }
 
+  test("maxVersionsPerTrigger bounds catch-up batches; drain equivalence unchanged") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_tail_rate_")
+    val cp = tmp("graft_tail_rate_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), dir)
+    var seen = Vector.empty[(Long, Set[(Long, String)])]
+    def sink(df: DataFrame, v: Long): Unit = seen :+= (v, rows(df))
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink, Some(2)) == Some(0L))
+
+    // five appends behind the watermark → capped polls advance it by
+    // at most 2 versions each, delivering exactly those versions' rows
+    (1L to 5L).foreach(i => LakeWriter.appendDelta(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink, Some(2)) == Some(2L))
+    assert(seen.last == (2L, Set((1L, "v1"), (2L, "v2"))))
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink, Some(2)) == Some(4L))
+    assert(seen.last == (4L, Set((3L, "v3"), (4L, "v4"))))
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink, Some(2)) == Some(5L))
+    assert(seen.last == (5L, Set((5L, "v5"))))
+    assert(DeltaTail.pollOnce(spark, dir, cp, sink, Some(2)).isEmpty)
+    // union of capped batches ≡ the batch read
+    assert(seen.flatMap(_._2).toSet == rows(DeltaReader.read(spark, dir)))
+
+    // capped drain on a fresh checkpoint: the initial snapshot is one
+    // consistent version and ignores the cap — one batch, full table
+    val cp2 = tmp("graft_tail_rate_cp2_")
+    var seen2 = Set.empty[(Long, String)]
+    assert(DeltaTail.drain(spark, dir, cp2, (df, _) => seen2 ++= rows(df), Some(1)) == 1)
+    assert(seen2 == rows(DeltaReader.read(spark, dir)))
+    // ...and a capped drain that starts BEHIND catches up one version
+    // per batch
+    (6L to 8L).foreach(i => LakeWriter.appendDelta(Seq((i, s"v$i")).toDF("id", "v"), dir))
+    assert(DeltaTail.drain(spark, dir, cp2, (df, _) => seen2 ++= rows(df), Some(1)) == 3)
+    assert(seen2 == rows(DeltaReader.read(spark, dir)))
+  }
+
+  test("a corrupt watermark file refuses loudly instead of redelivering from scratch") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_tail_wm_")
+    val cp = tmp("graft_tail_wm_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), dir)
+    assert(DeltaTail.pollOnce(spark, dir, cp, (_, _) => ()) == Some(0L))
+    // simulate a crash mid-write of a NON-atomic watermark (the shape
+    // the write-then-rename protocol prevents): empty file
+    java.nio.file.Files.write(
+      new java.io.File(cp, "delta_tail_version").toPath, Array.empty[Byte])
+    val e = intercept[IllegalArgumentException] {
+      DeltaTail.pollOnce(spark, dir, cp, (_, _) => ())
+    }
+    assert(e.getMessage.contains("delta_tail_version"), e.getMessage)
+  }
+
   test("tail into the Delta sink is exactly-once end-to-end across a watermark crash") {
     val s = spark
     import s.implicits._
