@@ -305,7 +305,8 @@ object LakeWriter {
                                  includeMeta: Boolean, checkpointInterval: Int,
                                  partCols: Seq[String] = Nil,
                                  txn: Option[(String, Long)] = None,
-                                 metaOverride: Option[(String, String)] = None): Unit = {
+                                 metaOverride: Option[(String, String)] = None,
+                                 extraActions: Seq[String] = Nil): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -369,6 +370,9 @@ object LakeWriter {
     txn.foreach { case (appId, v) =>
       actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},"version":$v}}"""
     }
+    // caller-authored actions (deleteWhere's removes) ride the SAME
+    // atomic commit as the adds staged above
+    actions ++= extraActions
     moved.foreach { case (rel, pv, size) =>
       val pvJson = pv.map { case (c, v) =>
         s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
@@ -502,6 +506,104 @@ object LakeWriter {
           s"${snap.version + 1}; re-read the table and retry the compaction", e)
     }
     try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** DELETE FROM the Delta table WHERE `predicate` (a SQL boolean
+    * expression over the table's LOGICAL columns) — copy-on-write, the
+    * protocol's baseline delete: every data file holding at least one
+    * matching live row is rewritten without its matching rows, and the
+    * rewrite commits atomically as dataChange=true removes + adds.
+    * SQL semantics: rows where the predicate is NULL survive, exactly
+    * like `DELETE FROM t WHERE p`.
+    *
+    * Composes with the rest of the table machinery: time travel below
+    * the delete still sees the deleted rows (tombstones keep the old
+    * files); [[vacuumDelta]] physically reclaims the rewritten files
+    * once the horizon passes the delete; [[graft.streaming.DeltaTail]]
+    * refuses the delete version loudly (its append-only contract).
+    * Deletion-vector tables are handled on the READ side: affected
+    * files rewrite their LIVE rows only and drop the DV; untouched
+    * files keep theirs.
+    *
+    * Scale: ONE distributed job finds affected files (predicate pushed
+    * into the scan; a partition-pruning predicate never reads
+    * non-matching partitions' data), one rewrites only those files'
+    * survivors; driver state is O(affected files), gated by the same
+    * maxSnapshotFiles bound as every snapshot. Returns the removed
+    * (rewritten) file paths as stored in the log, sorted; empty means
+    * nothing matched and NO commit was written.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"deleteWhere: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "deleteWhere: table declares delta.appendOnly=true — deletes are forbidden on it")
+    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "deleteWhere: table enables Change Data Feed — a delete must write change data " +
+        "files this writer does not produce; refusing to break CDF readers")
+    // same shape as the append gate: legacy writer versions pass when
+    // none of their non-delete obligations is declared (CHECK
+    // constraints and generated columns cannot be VIOLATED by removing
+    // rows, so only CDF — gated above — blocks legacy tables); v7
+    // tables must declare only features this rewrite preserves
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"deleteWhere: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val pred = expr(predicate)
+
+    // job 1: which files hold at least one matching LIVE row — the
+    // predicate rides into the distributed scan (pushdown + partition
+    // pruning via the per-partition union branches)
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, snap.active, keepLineage = true)
+    val matchedPaths = lineage.where(pred).select("__dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (matchedPaths.isEmpty) return Nil
+
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
+        DeltaReader.percentDecode(a.path))).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"deleteWhere: resolved ${affected.size} of ${matchedPaths.size} matched files " +
+        "back to log entries — path normalization bug, refusing to commit")
+
+    // job 2: rewrite ONLY the affected files' surviving rows (their
+    // DVs already applied by the scan). NULL-predicate rows survive.
+    val survivors = DeltaReader.scanFiles(spark, dir, snap, affected)
+      .where(not(coalesce(pred, lit(false))))
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val (staged, stagePartCols) =
+      if (cm == "none") (survivors, snap.partCols)
+      else {
+        val phys = table.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.physicalName"),
+            s"deleteWhere: column mapping is 'name' but field '${f.name}' carries no " +
+              "physicalName metadata — malformed schemaString")
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+        }.toMap
+        (survivors.select(
+          table.fieldNames.map(c => survivors.col(c).as(phys(c))).toIndexedSeq: _*),
+          snap.partCols.map(phys))
+      }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+    }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+    affected.map(_.path).sorted
   }
 
   /** Physical retention cleanup (the VACUUM maintenance op), with a
