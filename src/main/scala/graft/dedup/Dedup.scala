@@ -17,36 +17,14 @@ object Dedup {
   /** Word n-gram shingle set of a text column (distinct, first-occurrence
     * order; empty when the text has fewer than n words).
     *
-    * Compiled UDF: the equivalent transform/sequence/element_at chain is
-    * interpreted per element (higher-order functions don't codegen) and
-    * measured ~10s for 260k shingles — this does the same in <1s.
+    * Compiled StaticInvoke kernel ([[graft.functions.DedupKernel]]): the
+    * equivalent transform/sequence/element_at chain is interpreted per
+    * element (higher-order functions don't codegen) and measured ~10s
+    * for 260k shingles; the earlier Scala-UDF form boxed a row per call
+    * and broke whole-stage codegen on every dedup candidate projection.
     */
-  def shingles(text: Column, n: Int = 3): Column = shingleUdfs(n)(text)
-
-  private val shingleUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
-    (2 to 5).map(n => n -> udf { (s: String) =>
-      if (s == null) Array.empty[String]
-      else {
-        val ws = s.split(' ')
-        if (ws.length < n) Array.empty[String]
-        else {
-          val out = new scala.collection.mutable.LinkedHashSet[String]
-          val sb = new java.lang.StringBuilder
-          var i = 0
-          while (i <= ws.length - n) {
-            sb.setLength(0)
-            var j = 0
-            while (j < n) {
-              if (j > 0) sb.append(' ')
-              sb.append(ws(i + j)); j += 1
-            }
-            out += sb.toString
-            i += 1
-          }
-          out.toArray
-        }
-      }
-    }).toMap
+  def shingles(text: Column, n: Int = 3): Column =
+    graft.functions.DedupKernel.shinglesCol(text, n)
 
   /** 64-bit hashes of the distinct word n-gram shingles, WITHOUT
     * materializing the shingle strings: per-word FNV once, then an
@@ -54,64 +32,18 @@ object Dedup {
     * so skipping the string build removes the dominant allocation in
     * the inverted-index pass (measured ~2× at 200k docs). Collisions
     * (~n²/2⁶⁴ per pair) are the same risk the hashed-string join
-    * already carried.
+    * already carried. Codegen'd StaticInvoke kernel.
     */
-  def shingleHashes(text: Column, n: Int = 3): Column = shingleHashUdfs(n)(text)
-
-  private val shingleHashUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
-    (2 to 5).map(n => n -> udf { (s: String) =>
-      if (s == null) Array.empty[Long]
-      else {
-        val ws = s.split(' ')
-        if (ws.length < n) Array.empty[Long]
-        else {
-          val wh = new Array[Long](ws.length)
-          var i = 0
-          while (i < ws.length) { wh(i) = SimHash.fnv1a64(ws(i)); i += 1 }
-          val out = new scala.collection.mutable.LinkedHashSet[Long]
-          i = 0
-          while (i <= ws.length - n) {
-            var h = -3750763034362895579L // FNV-1a 64 offset basis
-            var j = 0
-            while (j < n) { h = (h ^ wh(i + j)) * 1099511628211L; j += 1 }
-            out += h
-            i += 1
-          }
-          out.toArray
-        }
-      }
-    }).toMap
+  def shingleHashes(text: Column, n: Int = 3): Column =
+    graft.functions.DedupKernel.shingleHashesCol(text, n)
 
   /** Positional word n-gram hashes: element i is the FNV fold of words
     * [i, i+n). Unlike [[shingleHashes]] every occurrence keeps its
     * position — duplicate-SPAN detection needs (gram, position), not
-    * the distinct set.
+    * the distinct set. Codegen'd StaticInvoke kernel.
     */
-  def positionalGramHashes(text: Column, n: Int): Column = posGramUdfs(n)(text)
-
-  private val posGramUdfs: Map[Int, org.apache.spark.sql.expressions.UserDefinedFunction] =
-    (2 to 12).map(n => n -> udf { (s: String) =>
-      if (s == null) Array.empty[Long]
-      else {
-        val ws = s.split(' ')
-        if (ws.length < n) Array.empty[Long]
-        else {
-          val wh = new Array[Long](ws.length)
-          var i = 0
-          while (i < ws.length) { wh(i) = SimHash.fnv1a64(ws(i)); i += 1 }
-          val out = new Array[Long](ws.length - n + 1)
-          i = 0
-          while (i <= ws.length - n) {
-            var h = -3750763034362895579L // FNV-1a 64 offset basis
-            var j = 0
-            while (j < n) { h = (h ^ wh(i + j)) * 1099511628211L; j += 1 }
-            out(i) = h
-            i += 1
-          }
-          out
-        }
-      }
-    }).toMap
+  def positionalGramHashes(text: Column, n: Int): Column =
+    graft.functions.DedupKernel.posGramHashesCol(text, n)
 
   /** Maximal duplicate word spans across document pairs — substring-
     * level exact dedup at word granularity (the span analysis of

@@ -43,9 +43,10 @@ object BloomHash {
 
   val rowHashUdf = udf((ts: Seq[String]) => rowHash(ts))
 
-  /** Column form yielding array<long> [hi, lo] (LakeIndexer contract). */
-  def rowHashCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val t = rowHashUdf(c)
-    org.apache.spark.sql.functions.array(t.getField("_1"), t.getField("_2"))
-  }
+  /** Column form yielding array<long> [hi, lo] (LakeIndexer contract) —
+    * delegates to the codegen'd [[XashKernel.bloomRowHashCol]] kernel;
+    * `rowHashUdf` remains only as the boxed reference form for specs.
+    */
+  def rowHashCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    XashKernel.bloomRowHashCol(c)
 }

@@ -134,8 +134,8 @@ object IndexQueries {
       val c = t(s, dir, "customer")
       val toks = array(c.columns.map(cn =>
         TextFunctions.cleanedText(coalesce(col(cn).cast("string"), lit("")))): _*)
-      c.select(col("c_custkey"), BloomHash.rowHashUdf(toks).as("bf"))
-        .select(col("c_custkey"), col("bf._1").as("bf_hi"), col("bf._2").as("bf_lo"))
+      c.select(col("c_custkey"), BloomHash.rowHashCol(toks).as("bf"))
+        .select(col("c_custkey"), col("bf")(0).as("bf_hi"), col("bf")(1).as("bf_lo"))
         .orderBy("c_custkey")
     })
   )
