@@ -47,6 +47,7 @@ object Profile {
       case "stress-delta" => stressDelta(spark, args.lift(1).map(_.toInt).getOrElse(10000))
       case "stress-delta-files" =>
         stressDeltaFiles(spark, args.lift(1).map(_.toInt).getOrElse(200000))
+      case "recall"     => annRecall(spark, sfDir)
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
@@ -397,6 +398,31 @@ object Profile {
         println(s"[profile] gate refused as designed: ${e.getMessage.linesIterator.next()}")
     } finally spark.conf.unset("spark.graft.delta.maxSnapshotFiles")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** recall@3 vs brute force for every approximate ANN variant across
+    * its tuning axis — the published curve a user choosing
+    * bits/nCells/nProbe reads (SURVEY §4c).
+    */
+  def annRecall(spark: SparkSession, dir: String): Unit = {
+    import graft.sim.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = emb.where(col("vec_id") < 100)
+    val exact = Similarity.bruteForceKnnBlocked(q, emb, 3)
+    exact.cache().count()
+    def r(name: String)(approx: => org.apache.spark.sql.DataFrame): Unit = {
+      val row = Similarity.recallAtK(approx.where(col("vec_id") < 100), exact)
+        .collect()(0)
+      println(f"[profile] recall $name%-22s ${row.getAs[Double]("recall")}%.4f")
+    }
+    Seq(4, 6, 8).foreach(b => r(s"lsh_bits$b")(Similarity.lshKnn(emb, 3, bits = b)))
+    Seq(8, 16, 32).foreach(c => r(s"ivf_cells$c")(Similarity.ivfKnn(emb, 3, nCells = c)))
+    Seq(4, 6, 8).foreach(b => r(s"pq_m8_bits$b")(Similarity.pqKnn(q, emb, 3, bits = b)))
+    r("pq_m16_bits4")(Similarity.pqKnn(q, emb, 3, m = 16))
+    Seq(2, 4, 8, 16).foreach(p =>
+      r(s"ivfpq_probe$p")(Similarity.ivfPqKnn(q, emb, 3, nProbe = p)))
+    r("ivfpq_p4_rerank32")(Similarity.ivfPqKnn(q, emb, 3, rerank = 32))
+    r("ivfpq_p8_rerank32")(Similarity.ivfPqKnn(q, emb, 3, nProbe = 8, rerank = 32))
   }
 
   def stressMerged(spark: SparkSession, nTables: Int): Unit = {

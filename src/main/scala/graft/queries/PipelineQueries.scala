@@ -194,6 +194,45 @@ object PipelineQueries {
         .select(col("vec_id"), col("rank"), col("neighbor_id"), dec6(col("cos")).as("cos"))
         .orderBy("vec_id", "rank")),
 
+    // Published recall@3 of each approximate ANN variant vs knn_brute
+    // on the same query set (vec_id < 100). The .where(recall >= bound)
+    // gate turns a silent recall collapse into ZERO rows — a red
+    // driver gate, not a green "it ran". Bounds are COLLAPSE detectors
+    // pinned below the measured sf0.01/sf0.1 values (lsh .020/.017 →
+    // .01; ivf .353/.200 → .15; pq .190/.120 → .08; ivfpq .187/.107 →
+    // .08); the full recall-vs-params curve lives in SURVEY §4c
+    // (`Profile recall`).
+    "knn_lsh_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceKnnBlocked(emb.where(col("vec_id") < 100), emb, 3)
+      val approx = Similarity.lshKnn(emb, 3).where(col("vec_id") < 100)
+      Similarity.recallAtK(approx, exact).where(col("recall") >= 0.01)
+    }),
+
+    "knn_ivf_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceKnnBlocked(emb.where(col("vec_id") < 100), emb, 3)
+      val approx = Similarity.ivfKnn(emb, 3, preAssigned = Some(embCells(s, dir)))
+        .where(col("vec_id") < 100)
+      Similarity.recallAtK(approx, exact).where(col("recall") >= 0.15)
+    }),
+
+    "knn_pq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 100)
+      val exact = Similarity.bruteForceKnnBlocked(q, emb, 3)
+      Similarity.recallAtK(Similarity.pqKnn(q, emb, 3), exact)
+        .where(col("recall") >= 0.08)
+    }),
+
+    "knn_ivfpq_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val q = emb.where(col("vec_id") < 100)
+      val exact = Similarity.bruteForceKnnBlocked(q, emb, 3)
+      Similarity.recallAtK(Similarity.ivfPqKnn(q, emb, 3), exact)
+        .where(col("recall") >= 0.08)
+    }),
+
     // Corpus-level n-gram statistics (LM-style frequency table).
     "ngram_freq" -> ((s, dir) => {
       val docs = t(s, dir, "documents")

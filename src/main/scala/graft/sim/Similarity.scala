@@ -655,6 +655,28 @@ object Similarity {
       .parquet(s"$path/codes/batch=$batchLabel")
   }
 
+  /** recall@k of an approximate knn result against the exact
+    * brute-force result over the same queries — the PUBLISHED quality
+    * number of the approx ANN family (a user choosing nProbe/bits reads
+    * this, and a silent recall collapse must not stay green). One
+    * output row: (n_queries, pairs, hits, recall). The harness rows
+    * wrap it with `.where(recall >= bound)`, so a collapse yields ZERO
+    * rows and fails the driver's rows>0 gate. One broadcast-sized join:
+    * both inputs are queries×k rows.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, id: String = "vec_id",
+                neighbor: String = "neighbor_id"): DataFrame = {
+    val e = exact.select(col(id), col(neighbor))
+    val a = approx.select(col(id), col(neighbor)).withColumn("__hit", lit(1L))
+    e.join(a, Seq(id, neighbor), "left")
+      .agg(
+        countDistinct(col(id)).as("n_queries"),
+        count(lit(1)).as("pairs"),
+        sum(coalesce(col("__hit"), lit(0L))).as("hits"))
+      .select(col("n_queries"), col("pairs"), col("hits"),
+        round(col("hits").cast("double") / col("pairs"), 6).as("recall"))
+  }
+
   /** Heap-select the k best pairs per key (custom TopKPerKey exec — no
     * partition sort), then rank the ≤k survivors with a window that only
     * touches keys·k rows.
