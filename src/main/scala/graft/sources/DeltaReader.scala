@@ -78,7 +78,7 @@ object DeltaReader {
     * gates.
     */
   private[graft] final class Snapshot(val version: Long,
-                                      activeThunk: () => Seq[AddFile],
+                                      resolve: Option[Map[String, String]] => Seq[AddFile],
                                       val schemaJson: String, val partCols: Seq[String],
                                       val minReader: Long,
                                       val configuration: Map[String, String],
@@ -93,7 +93,19 @@ object DeltaReader {
       * to the driver — scalar-only consumers (txn watermarks, append
       * gates, version discovery) never pay a per-file cost at all.
       */
-    lazy val active: Seq[AddFile] = activeThunk()
+    lazy val active: Seq[AddFile] = resolve(None)
+
+    /** The live adds whose log `partitionValues` carry EVERY (key,
+      * value) in `partition` — partition pruning applied INSIDE the
+      * distributed resolution, before the gated collect: the driver
+      * never materializes the other partitions' entries, and the
+      * maxSnapshotFiles gate applies to the PRUNED list (a partition
+      * read can succeed on a table whose full listing would refuse).
+      * Keys/values are the log's string form (physical keys on a
+      * column-mapped table); null partition values don't match.
+      */
+    def activeMatching(partition: Map[String, String]): Seq[AddFile] =
+      if (partition.isEmpty) active else resolve(Some(partition))
   }
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
@@ -585,25 +597,40 @@ object DeltaReader {
     // gated by spark.graft.delta.maxSnapshotFiles.
     val suffixFinal = suffix.toVector
     val cpDf = cpAddsDf
-    val activeThunk: () => Seq[AddFile] = () => {
-      val survivors = suffixFinal.collect { case (_, Some(af)) => af }
+    def matches(af: AddFile, p: Map[String, String]): Boolean =
+      p.forall { case (k, v) => af.partitionValues.get(k).contains(v) }
+    val resolveFn: Option[Map[String, String]] => Seq[AddFile] = { partition =>
+      val survivors = suffixFinal.collect {
+        case (_, Some(af)) if partition.forall(matches(af, _)) => af
+      }
       cpDf match {
         case None => survivors
         case Some(adds) =>
           import org.apache.spark.sql.functions.broadcast
           import s.implicits._
+          // partition pruning BEFORE the anti-join and the gated
+          // collect — the pushed map-key equality prunes inside the
+          // distributed resolve, so the driver only ever sees the
+          // matching partitions' entries
+          val pruned = partition match {
+            case None => adds
+            case Some(p) => p.foldLeft(adds) { case (df, (k, v)) =>
+              df.where(col("pv").getItem(k) === lit(v))
+            }
+          }
           val resolved =
-            if (suffixFinal.isEmpty) adds
-            else adds.join(broadcast(suffixFinal.map(_._1).toDF("path")),
+            if (suffixFinal.isEmpty) pruned
+            else pruned.join(broadcast(suffixFinal.map(_._1).toDF("path")),
               Seq("path"), "left_anti")
           val maxFiles = s.conf.getOption("spark.graft.delta.maxSnapshotFiles")
             .map(_.toLong).getOrElse(4000000L)
           val take = resolved.take(math.min(maxFiles, Int.MaxValue - 2L).toInt + 1)
           require(take.length <= maxFiles,
-            s"snapshot at version $target has more than $maxFiles live files — " +
-              "each AddFile costs driver heap (path + partition values + DV " +
+            s"snapshot at version $target has more than $maxFiles live files" +
+              partition.map(p => s" in partition $p").getOrElse("") +
+              " — each AddFile costs driver heap (path + partition values + DV " +
               "descriptor); raise spark.graft.delta.maxSnapshotFiles only with " +
-              "driver memory to match")
+              "driver memory to match, or prune with readPartition")
           val cpActive = take.iterator.map { r =>
             val dv =
               if (r.isNullAt(4)) None
@@ -619,7 +646,7 @@ object DeltaReader {
           cpActive ++ survivors
       }
     }
-    new Snapshot(target, activeThunk,
+    new Snapshot(target, resolveFn,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
       minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId)
@@ -762,6 +789,42 @@ object DeltaReader {
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
     scanFiles(s, dir, snap, snap.active)
+  }
+
+  /** Partition-pruned snapshot read: only files whose log
+    * `partitionValues` carry every (key, value) in `partition` are
+    * resolved, collected and scanned — on a 100-TB table the driver
+    * never materializes the other partitions' file entries (pruning
+    * happens inside the distributed resolution, and the
+    * maxSnapshotFiles gate applies to the pruned list). Keys/values
+    * are the log's string form — physical keys on a column-mapped
+    * table. Equality-only by design: it must evaluate identically on
+    * the driver (commit suffix) and in the resolve DataFrame, which
+    * rules out arbitrary expressions.
+    */
+  def readPartition(s: SparkSession, dir: String, partition: Map[String, String],
+                    versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(s, dir, versionAsOf)
+    // validate against the declared partition columns WITHOUT forcing
+    // the full file resolution (that would defeat the pruning); on a
+    // column-mapped table both the logical and physical spellings of a
+    // partition column are accepted, but matching is against the log's
+    // physical keys, so remap logical → physical here
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val physByLogical = schema.fields.filter(f => snap.partCols.contains(f.name))
+      .map(f => f.name -> (if (!mapped) f.name
+        else f.metadata.getString("delta.columnMapping.physicalName"))).toMap
+    val physSet = physByLogical.values.toSet
+    val unknown = partition.keySet.filterNot(k =>
+      physByLogical.contains(k) || physSet.contains(k))
+    require(unknown.isEmpty,
+      s"readPartition: ${unknown.mkString(", ")} not partition columns " +
+        s"(declared: ${snap.partCols.mkString(", ")})")
+    val physPartition = partition.map { case (k, v) =>
+      physByLogical.getOrElse(k, k) -> v
+    }
+    scanFiles(s, dir, snap, snap.activeMatching(physPartition))
   }
 
   /** The distributed scan of `files` under `snap`'s metadata — the

@@ -606,6 +606,108 @@ object LakeWriter {
     affected.map(_.path).sorted
   }
 
+  /** UPDATE the Delta table SET `set` WHERE `predicate` — copy-on-write
+    * like [[deleteWhere]]: files holding matching live rows are
+    * rewritten with the SET expressions applied to exactly the matching
+    * rows (NULL-predicate rows untouched, SQL semantics), committed
+    * atomically as dataChange=true removes + adds. `set` maps column
+    * name → SQL expression over the row's LOGICAL columns (the
+    * pre-update values, as in SQL UPDATE); updated values cast to the
+    * column's declared type. Updating a PARTITION column moves rows
+    * across partition directories through the same staging walk the
+    * partitioned append uses. Unlike delete, an update writes NEW
+    * values, so tables declaring CHECK constraints, column invariants
+    * or generated columns refuse (this writer cannot enforce them),
+    * as do append-only and CDF-enabled tables. Returns the rewritten
+    * (removed) file paths, sorted; empty = nothing matched, no commit.
+    */
+  def updateWhere(spark: SparkSession, dir: String, predicate: String,
+                  set: Map[String, String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
+    require(set.nonEmpty, "updateWhere: empty SET clause")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"updateWhere: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
+    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "updateWhere: table enables Change Data Feed — an update must write change data " +
+        "files this writer does not produce; refusing to break CDF readers")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"updateWhere: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
+    require(constraints.isEmpty,
+      s"updateWhere: table declares CHECK constraints ${constraints.mkString(", ")} " +
+        "this writer cannot enforce on the new values; refusing")
+    val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
+    require(generated.isEmpty,
+      s"updateWhere: columns ${generated.map(_.name).mkString(", ")} are generated " +
+        "columns this writer cannot recompute; refusing")
+    val withInvariants = invariantFields(table)
+    require(withInvariants.isEmpty,
+      s"updateWhere: columns ${withInvariants.mkString(", ")} declare invariants " +
+        "this writer cannot enforce on the new values; refusing")
+    val badCols = set.keySet -- table.fieldNames.toSet
+    require(badCols.isEmpty,
+      s"updateWhere: SET targets ${badCols.mkString(", ")} not in the table schema " +
+        s"(${table.fieldNames.mkString(", ")})")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val pred = expr(predicate)
+
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, snap.active, keepLineage = true)
+    val matchedPaths = lineage.where(pred).select("__dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (matchedPaths.isEmpty) return Nil
+
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
+        DeltaReader.percentDecode(a.path))).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"updateWhere: resolved ${affected.size} of ${matchedPaths.size} matched files " +
+        "back to log entries — path normalization bug, refusing to commit")
+
+    // rewrite the affected files: matching rows get the SET expressions
+    // (evaluated against the PRE-update row, all at once — a SET that
+    // references another updated column sees the old value, as SQL
+    // demands), everything else copies through
+    val src = DeltaReader.scanFiles(spark, dir, snap, affected)
+    val hit = coalesce(pred, lit(false))
+    val rewritten = src.select(table.fields.map { f =>
+      (set.get(f.name) match {
+        case Some(e) => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name))
+        case None => col(f.name)
+      }).as(f.name)
+    }.toIndexedSeq: _*)
+    val (staged, stagePartCols) =
+      if (cm == "none") (rewritten, snap.partCols)
+      else {
+        val phys = table.fields.map { f =>
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+        }.toMap
+        (rewritten.select(
+          table.fieldNames.map(c => rewritten.col(c).as(phys(c))).toIndexedSeq: _*),
+          snap.partCols.map(phys))
+      }
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+    }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+    affected.map(_.path).sorted
+  }
+
   /** Physical retention cleanup (the VACUUM maintenance op), with a
     * VERSION horizon instead of real Delta's wall-clock one (graft's
     * deterministic logs carry deletionTimestamp=0, so age is version
