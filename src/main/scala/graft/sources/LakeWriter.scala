@@ -606,6 +606,137 @@ object LakeWriter {
     affected.map(_.path).sorted
   }
 
+  /** MERGE INTO the Delta table from `source` on equality of `keyCols`
+    * — the default upsert (WHEN MATCHED THEN UPDATE SET *, WHEN NOT
+    * MATCHED THEN INSERT *): target rows whose key appears in the
+    * source are replaced by the source row, source rows with no target
+    * match are inserted; ONE atomic commit. Copy-on-write like
+    * [[deleteWhere]]/[[updateWhere]]: only target files holding a
+    * matched key are rewritten (their unmatched rows copy through),
+    * inserts stage as new files. Duplicate keys in the SOURCE refuse
+    * loudly (each matched target row must have ONE governing source
+    * row — the same ambiguity real MERGE rejects); duplicate keys in
+    * the TARGET each get replaced, preserving their multiplicity.
+    * `source` must carry the table's logical schema. Same write gates
+    * as [[updateWhere]] (new values: constraints/invariants/generated
+    * columns refuse; appendOnly/CDF refuse). Returns the rewritten
+    * (removed) file paths, sorted — empty with a pure-insert commit is
+    * normal when no key matched.
+    *
+    * Scale: the match probe is a distributed semi-join of the scan
+    * against the source's distinct keys; driver state is O(affected
+    * files); nothing source- or target-proportional lands on the
+    * driver.
+    */
+  def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
+                keyCols: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    require(keyCols.nonEmpty, "mergeInto: empty key column list")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"mergeInto: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "mergeInto: table declares delta.appendOnly=true — merges rewrite rows; refusing")
+    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "mergeInto: table enables Change Data Feed — a merge must write change data " +
+        "files this writer does not produce; refusing to break CDF readers")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"mergeInto: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
+    require(constraints.isEmpty,
+      s"mergeInto: table declares CHECK constraints ${constraints.mkString(", ")} " +
+        "this writer cannot enforce on merged values; refusing")
+    val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
+    require(generated.isEmpty,
+      s"mergeInto: columns ${generated.map(_.name).mkString(", ")} are generated " +
+        "columns this writer cannot recompute; refusing")
+    val withInvariants = invariantFields(table)
+    require(withInvariants.isEmpty,
+      s"mergeInto: columns ${withInvariants.mkString(", ")} declare invariants " +
+        "this writer cannot enforce on merged values; refusing")
+    require(source.schema.length == table.length,
+      s"mergeInto: source has ${source.schema.length} columns, table has " +
+        s"${table.length} (${table.fieldNames.mkString(", ")})")
+    source.schema.fields.zip(table.fields).foreach { case (a, t) =>
+      require(a.name == t.name && typeCompatible(a.dataType, t.dataType),
+        s"mergeInto: schema mismatch at '${t.name}': source " +
+          s"${a.name}:${a.dataType.simpleString}, table declares ${t.dataType.simpleString}")
+    }
+    val badKeys = keyCols.toSet -- table.fieldNames.toSet
+    require(badKeys.isEmpty,
+      s"mergeInto: key columns ${badKeys.mkString(", ")} not in the table schema")
+
+    // one governing source row per key, or the merge is ambiguous
+    val dupKeys = source.groupBy(keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      s"mergeInto: source carries duplicate keys (e.g. ${dupKeys.headOption
+        .map(_.toSeq.init.mkString("(", ", ", ")")).getOrElse("")}) — each matched " +
+        "target row must have exactly one governing source row; dedup the source first")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+
+    // which target files hold a matched key — distributed semi-join
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, snap.active, keepLineage = true)
+    val matchedPaths = lineage.join(srcKeys, keyCols, "left_semi")
+      .select("__dv_path").distinct().collect().map(_.getString(0)).toSet
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
+        DeltaReader.percentDecode(a.path))).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"mergeInto: resolved ${affected.size} of ${matchedPaths.size} matched files " +
+        "back to log entries — path normalization bug, refusing to commit")
+    // an empty source merges to nothing — no commit at all
+    if (matchedPaths.isEmpty && source.isEmpty) return Nil
+
+    // rewrite affected files: matched rows take the source row's values
+    val nonKey = table.fieldNames.filterNot(keyCols.contains).toSeq
+    val srcRen = source.select((keyCols.map(col) ++
+      nonKey.map(c => col(c).as(s"__s_$c")) :+ lit(1).as("__m")).toIndexedSeq: _*)
+    val affectedRows = DeltaReader.scanFiles(spark, dir, snap, affected)
+    val rewritten = affectedRows.join(srcRen, keyCols, "left")
+      .select(table.fields.map { f =>
+        (if (keyCols.contains(f.name)) col(f.name)
+         else when(col("__m").isNotNull, col(s"__s_${f.name}").cast(f.dataType))
+           .otherwise(col(f.name))).as(f.name)
+      }.toIndexedSeq: _*)
+    // inserts: source keys absent from the WHOLE live target
+    val tgtKeys = DeltaReader.scanFiles(spark, dir, snap, snap.active)
+      .select(keyCols.map(col): _*).distinct()
+    val inserts = source.join(tgtKeys, keyCols, "left_anti")
+      .select(table.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    val upserted = rewritten.unionByName(inserts)
+
+    val (staged, stagePartCols) =
+      if (cm == "none") (upserted, snap.partCols)
+      else {
+        val phys = table.fields.map { f =>
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+        }.toMap
+        (upserted.select(
+          table.fieldNames.map(c => upserted.col(c).as(phys(c))).toIndexedSeq: _*),
+          snap.partCols.map(phys))
+      }
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+    }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+    affected.map(_.path).sorted
+  }
+
   /** UPDATE the Delta table SET `set` WHERE `predicate` — copy-on-write
     * like [[deleteWhere]]: files holding matching live rows are
     * rewritten with the SET expressions applied to exactly the matching
