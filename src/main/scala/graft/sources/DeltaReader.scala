@@ -730,9 +730,9 @@ object DeltaReader {
     * table with millions of deleted rows never materializes them
     * driver-side.
     */
-  private def deletedRowsDf(s: SparkSession, root: Path,
-                            fs: org.apache.hadoop.fs.FileSystem,
-                            withDv: Seq[AddFile]): DataFrame = {
+  private[graft] def deletedRowsDf(s: SparkSession, root: Path,
+                                   fs: org.apache.hadoop.fs.FileSystem,
+                                   withDv: Seq[AddFile]): DataFrame = {
     import org.apache.spark.sql.functions.{col, explode, udf}
     def norm(p: Path): String = fs.makeQualified(p).toUri.getPath
     // (dataPath, sidecarPath|null, offset, size, cardinality, inlineBytes|null)

@@ -436,14 +436,13 @@ object LakeWriter {
     // readers. appendOnly and invariants ARE safe here: the rewrite
     // adds no rows and its removes carry dataChange=false, exactly the
     // OPTIMIZE carve-out the protocol defines for append-only tables.
-    val compactSafe = Set("appendOnly", "invariants")
+    // deletionVectors is honored, not refused: the fold below reads
+    // through the DV-applied scan, so a compacted file holds exactly
+    // its sources' LIVE rows and the descriptors are dropped with the
+    // removes — compaction IS the physical cleanup path for a table
+    // that accumulated deleteWhereDv debt
+    val compactSafe = Set("appendOnly", "invariants", "deletionVectors")
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
-    // belt to the feature gate's braces: the rewrite below reads files
-    // RAW (spark.read.parquet, not DeltaReader.read), so folding a
-    // DV-carrying file would bake its deleted rows back into the table
-    require(snap.active.forall(_.dv.isEmpty),
-      "compactDelta: active files carry deletion vectors — a raw rewrite would " +
-        "resurrect their deleted rows; refusing")
     require(snap.minWriter <= 2 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
       s"compactDelta: table requires writer version ${snap.minWriter}" +
         (if (compactUnsafe.nonEmpty) s" with features ${compactUnsafe.mkString(", ")}" else "") +
@@ -459,12 +458,14 @@ object LakeWriter {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     groups.toSeq.sortBy(_._2.head.path).zipWithIndex.foreach { case ((pv, files), i) =>
       // one coalesced rewrite per oversized partition; the data read
-      // is the distributed parquet scan of exactly that partition's
-      // files (no partition columns in the files, none added here)
-      val paths = files.map(f =>
-        new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(f.path)).toString)
+      // is the DV-applied distributed scan of exactly that partition's
+      // files — live rows only, so folding a DV-carrying file cannot
+      // resurrect its deleted rows. scanFiles re-attaches partition
+      // columns from the log; the staged files must NOT contain them
+      // (the layout keeps them directory-encoded), so drop them back
       val sub = new org.apache.hadoop.fs.Path(stage, s"g$i")
-      spark.read.parquet(paths: _*).coalesce(1).write.parquet(sub.toString)
+      DeltaReader.scanFiles(spark, dir, snap, files)
+        .drop(snap.partCols: _*).coalesce(1).write.parquet(sub.toString)
       val part = fs.listStatus(sub).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
       require(part.length == 1, s"expected one compacted file, got ${part.length}")
@@ -603,6 +604,181 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+    affected.map(_.path).sorted
+  }
+
+  /** DELETE rows matching `predicate` by writing DELETION VECTORS
+    * instead of rewriting files — the merge-on-read path PROTOCOL.md's
+    * `deletionVectors` feature exists for. [[deleteWhere]] (copy-on-
+    * write) re-stages every surviving row of every affected file: on a
+    * 100-TB table a targeted deletion (one user's rows, a bad crawl
+    * batch) rewrites terabytes to remove kilobytes. This operator's
+    * write cost is ∝ DELETED rows: each affected file keeps its bytes
+    * and gains a roaring-bitmap descriptor; one shared sidecar `.bin`
+    * (the reader's own verified format: version byte 1, per-DV
+    * big-endian size + bitmap + CRC-32) lands at the table root and
+    * the commit re-adds the files with their descriptors (remove+add
+    * of the same path in one commit — the add wins, the protocol's DV
+    * rewrite shape).
+    *
+    * Protocol: a table not yet declaring the feature is upgraded
+    * IN-COMMIT to (3,7) with `deletionVectors` added and the legacy
+    * writer obligations the table actually declares made explicit
+    * (appendOnly/invariants always — they are implied by writer v2 —
+    * plus checkConstraints/generatedColumns only when present, so the
+    * feature list never claims obligations the table doesn't have).
+    * Readers without DV support then refuse loudly instead of
+    * resurrecting deleted rows — exactly the protocol's intent.
+    *
+    * Semantics match [[deleteWhere]]: SQL null predicate rows survive,
+    * a no-match predicate writes NO commit (and no sidecar), already-
+    * deleted rows stay deleted (the new bitmap is the union of the
+    * file's existing DV and the new matches — the lineage scan is
+    * post-DV, so the two sets are disjoint by construction), time
+    * travel below the delete sees the old rows, and
+    * [[graft.streaming.DeltaTail]] refuses the version (dataChange
+    * removes). Column-mapped (name mode) tables work: the predicate
+    * binds to LOGICAL names through the scan, descriptors are
+    * path-keyed. A fully-deleted file keeps its (all-rows) DV rather
+    * than being dropped — without per-file row counts the writer
+    * cannot prove cardinality == numRecords, and a zero-live-row scan
+    * is correct either way. The maintenance ops compose: [[checkpointDelta]]
+    * re-emits descriptors, [[compactDelta]] folds DV'd files through
+    * the DV-applied scan (dropping the vectors — the physical-cleanup
+    * path once DV debt accumulates), and [[vacuumDelta]] keeps exactly
+    * the sidecars some window version still references.
+    *
+    * Scale: two distributed jobs (find matches, build bitmaps — both
+    * executor-side; existing sidecars decode via the binaryFile
+    * source). Driver state is O(affected files) descriptors plus their
+    * roaring-compressed bitmaps (KBs for targeted deletes; a mass
+    * delete belongs on [[deleteWhere]]). Returns the affected file
+    * paths as stored in the log, sorted; empty = nothing matched.
+    */
+  def deleteWhereDv(spark: SparkSession, dir: String, predicate: String): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, collect_list, expr}
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"deleteWhereDv: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
+    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "deleteWhereDv: table enables Change Data Feed — a delete must write change data " +
+        "files this writer does not produce; refusing to break CDF readers")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"deleteWhereDv: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a mutation whose obligations this writer cannot honor")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val pred = expr(predicate)
+
+    // job 1: matching LIVE rows' (file, physical row index) — the scan
+    // pushes the predicate down and the lineage is post-DV, so an
+    // already-deleted row can never re-match
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, snap.active, keepLineage = true)
+    val matched = lineage.where(pred).select(col("__dv_path"), col("__dv_ridx"))
+    val matchedPaths = matched.select("__dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (matchedPaths.isEmpty) return Nil
+
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
+        DeltaReader.percentDecode(a.path))).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"deleteWhereDv: resolved ${affected.size} of ${matchedPaths.size} matched files " +
+        "back to log entries — path normalization bug, refusing to commit")
+
+    // job 2: per-file bitmap = new matches ∪ the file's existing DV
+    // rows (a descriptor REPLACES its predecessor, so dropping the old
+    // rows would resurrect them); built and encoded on EXECUTORS
+    val withDv = affected.filter(_.dv.isDefined)
+    val allDel =
+      if (withDv.isEmpty) matched
+      else matched.unionByName(DeltaReader.deletedRowsDf(spark, root, fs, withDv))
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = allDel
+      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
+      .as[(String, Seq[Long])]
+      .map { case (p, rs) => (p, DeltaReader.encodeDvBitmap(rs), rs.size.toLong) }
+      .collect()
+
+    // one shared sidecar at the table root, every DV at its offset —
+    // the reader's decodeDvFromFile format exactly
+    val uuid = java.util.UUID.randomUUID()
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
+    val uuidEnc = DeltaReader.base85Encode(ub.array())
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeByte(1)
+    val placed: Map[String, (Int, Int, Long)] = perFile.sortBy(_._1).map {
+      case (p, data, card) =>
+        val off = bos.size()
+        dos.writeInt(data.length)
+        dos.write(data)
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        dos.writeInt(crc.getValue.toInt)
+        p -> ((off, data.length, card))
+    }.toMap
+    dos.flush()
+    val dvPath = new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin")
+    val dvOut = fs.create(dvPath, false)
+    try dvOut.write(bos.toByteArray) finally dvOut.close()
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    val declared = snap.minReader >= 3 && snap.readerFeatures.contains("deletionVectors") &&
+      snap.minWriter == 7 && snap.writerFeatures.contains("deletionVectors")
+    if (!declared) {
+      val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val legacy = scala.collection.mutable.Set("appendOnly", "invariants")
+      if (snap.minWriter >= 3 &&
+          snap.configuration.keys.exists(_.startsWith("delta.constraints.")))
+        legacy += "checkConstraints"
+      if (snap.minWriter >= 4 &&
+          table.fields.exists(_.metadata.contains("delta.generationExpression")))
+        legacy += "generatedColumns"
+      if (cm == "name") legacy += "columnMapping"
+      val rf = snap.readerFeatures.toSet ++
+        (if (cm == "name") Set("columnMapping") else Set.empty) + "deletionVectors"
+      val wf = snap.writerFeatures.toSet ++ legacy + "deletionVectors"
+      actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${jarr(rf)},"writerFeatures":${jarr(wf)}}}"""
+    }
+    val ordered = affected.sortBy(_.path)
+    ordered.foreach { a =>
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+    }
+    ordered.foreach { a =>
+      val (off, sz, card) = placed(absPath(a))
+      val pvJson = a.partitionValues.map { case (c0, v) =>
+        s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}}}"""
+    }
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
+    // same create-if-absent arbitration as commitDelta; a lost race
+    // leaves the sidecar as unreferenced debris (same class as a
+    // failed writer's staged files)
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"${snap.version + 1}; re-read the table and retry the delete", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
     affected.map(_.path).sorted
   }
 
@@ -872,13 +1048,13 @@ object LakeWriter {
     require(horizonVersion >= 0 && horizonVersion <= latest.version,
       s"vacuumDelta: horizon $horizonVersion outside [0, ${latest.version}]")
     val referenced = scala.collection.mutable.Set.empty[String]
-    var dvSeen = false
     def reference(a: DeltaReader.AddFile): Unit = {
       referenced += DeltaReader.percentDecode(a.path)
+      // a DV sidecar is live exactly as long as some window version's
+      // add references it; a sidecar only pre-horizon versions point
+      // at (a replaced descriptor, a failed delete's debris) is
+      // reclaimable like any other unreferenced file
       a.dv.foreach { d =>
-        dvSeen = true
-        // keep referenced sidecars even though DV tables are refused
-        // below — cheap insurance should the gate ever loosen
         if (d.storageType == "u") {
           val p = DeltaReader.dvFilePath(root, d)
           val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
@@ -901,9 +1077,6 @@ object LakeWriter {
         case _ =>
       }
     }
-    require(!dvSeen,
-      "vacuumDelta: table carries deletion vectors — the horizon checkpoint this " +
-        "cleanup rests on cannot re-emit them; refusing to resurrect deleted rows")
     // the horizon must stay replayable WITHOUT the commits removed below
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val cpFile = new org.apache.hadoop.fs.Path(log, f"$horizonVersion%020d.checkpoint.parquet")
@@ -939,13 +1112,6 @@ object LakeWriter {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
-    // a graft checkpoint that re-emitted a DV-carrying add WITHOUT its
-    // deletionVector descriptor would silently resurrect the deleted
-    // rows the moment the checkpoint becomes the replay base
-    val dvFiles = snap.active.filter(_.dv.isDefined)
-    require(dvFiles.isEmpty,
-      s"checkpointDelta: ${dvFiles.size} active files carry deletion vectors " +
-        "this checkpoint writer does not re-emit — refusing to resurrect deleted rows")
     // checkpoint actions carry every field PROTOCOL.md requires of them:
     // add needs size + modificationTime and metaData needs format +
     // configuration — graft's own reader copes without, but delta-spark
@@ -973,7 +1139,18 @@ object LakeWriter {
         StructField("partitionValues", MapType(StringType, StringType)),
         StructField("size", LongType),
         StructField("modificationTime", LongType),
-        StructField("dataChange", BooleanType)))),
+        StructField("dataChange", BooleanType),
+        // a checkpoint that re-emitted a DV-carrying add WITHOUT its
+        // descriptor would resurrect the deleted rows the moment it
+        // becomes the replay base — the descriptor rides along, in the
+        // field shapes real delta-spark checkpoints use (int32
+        // offset/sizeInBytes, int64 cardinality)
+        StructField("deletionVector", StructType(Seq(
+          StructField("storageType", StringType),
+          StructField("pathOrInlineDv", StringType),
+          StructField("offset", IntegerType),
+          StructField("sizeInBytes", IntegerType),
+          StructField("cardinality", LongType))))))),
       // transaction identifiers MUST survive checkpointing (PROTOCOL.md
       // checkpoint contents) or a streaming writer would replay every
       // batch after log retention cleans its watermark commit
@@ -1001,7 +1178,9 @@ object LakeWriter {
           snap.schemaJson, snap.partCols, snap.configuration),
         null, null) +:
       snap.active.map(a =>
-        Row(null, null, Row(a.path, a.partitionValues, a.size, a.modificationTime, true), null))) ++
+        Row(null, null, Row(a.path, a.partitionValues, a.size, a.modificationTime, true,
+          a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
+            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull), null))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
         Row(null, null, null, Row(appId, v))
       }

@@ -198,7 +198,7 @@ class DeltaDvSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir2.getPath)) == Set((0L, "a"), (1L, "b")))
   }
 
-  test("checkpoint and compaction refuse DV-carrying snapshots instead of resurrecting rows") {
+  test("checkpoint re-emits foreign inline DVs; compaction folds them without resurrection") {
     val (dir, log) = mkTable()
     val f1 = part(dir, "part-0001.parquet", Seq((0L, "a"), (1L, "b")))
     val f2 = part(dir, "part-0002.parquet", Seq((2L, "c")))
@@ -206,14 +206,17 @@ class DeltaDvSpec extends SparkSpec {
       s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,${inlineDvJson(Seq(0L))}}}""",
       s"""{"add":{"path":"$f2","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
     assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((1L, "b"), (2L, "c")))
-    val e1 = intercept[IllegalArgumentException] {
-      graft.sources.LakeWriter.checkpointDelta(spark, dir.getPath, 0L)
-    }
-    assert(e1.getMessage.contains("deletion vectors"), e1.getMessage)
-    val e2 = intercept[IllegalArgumentException] {
-      graft.sources.LakeWriter.compactDelta(spark, dir.getPath)
-    }
-    assert(e2.getMessage.contains("deletion"), e2.getMessage)
+    // checkpoint carries the inline descriptor: replaying FROM it (the
+    // commit removed) must still hide row 0
+    graft.sources.LakeWriter.checkpointDelta(spark, dir.getPath, 0L)
+    new java.io.File(log, f"${0L}%020d.json").delete()
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((1L, "b"), (2L, "c")))
+    // compaction folds the DV'd + plain file through the DV-applied
+    // scan: one file, no descriptors, same live rows
+    graft.sources.LakeWriter.compactDelta(spark, dir.getPath)
+    val snap = DeltaReader.snapshot(spark, dir.getPath, None)
+    assert(snap.active.size == 1 && snap.active.forall(_.dv.isEmpty))
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((1L, "b"), (2L, "c")))
   }
 
   test("DV anti-join matches files under directories with spaces and '+'") {

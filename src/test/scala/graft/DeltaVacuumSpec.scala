@@ -104,7 +104,7 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
   }
 
-  test("vacuum refuses deletion-vector tables") {
+  test("vacuum on a deletion-vector table keeps the DV view intact") {
     val (dir, log) = mkTable()
     val f0 = part(dir, "part-0000.parquet", Seq((0L, "a"), (1L, "b")))
     // minimal inline DV deleting row 1 (portable bitmap via the reader's
@@ -123,9 +123,13 @@ class DeltaVacuumSpec extends SparkSpec {
       metaLine,
       s"""{"add":{"path":"$f0","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"i","pathOrInlineDv":"${
         DeltaReader.base85Encode(padded)}","sizeInBytes":${data.length},"cardinality":1}}}"""))
-    val e = intercept[IllegalArgumentException] {
-      LakeWriter.vacuumDelta(spark, dir.getPath, 0L)
-    }
-    assert(e.getMessage.contains("deletion vectors"), e.getMessage)
+    // vacuum at the only version: nothing to reclaim, and the
+    // horizon checkpoint it writes must RE-EMIT the inline descriptor
+    // (a DV-less checkpoint would resurrect row 1 as the replay base)
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, 0L)
+    assert(deleted.isEmpty, deleted.mkString(", "))
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
+    val snap = DeltaReader.snapshot(spark, dir.getPath, None)
+    assert(snap.active.head.dv.exists(_.cardinality == 1L))
   }
 }
