@@ -18,7 +18,8 @@ object SparkEntry {
       (_root_.graft.queries.IndexQueries.queries, _root_.graft.queries.IndexQueries.oracles),
       (_root_.graft.queries.DiscoveryQueries.queries, _root_.graft.queries.DiscoveryQueries.oracles),
       (_root_.graft.queries.DupQueries.queries, _root_.graft.queries.DupQueries.oracles),
-      (_root_.graft.queries.PipelineQueries.queries, _root_.graft.queries.PipelineQueries.oracles)
+      (_root_.graft.queries.PipelineQueries.queries, _root_.graft.queries.PipelineQueries.oracles),
+      (_root_.graft.queries.DeltaQueries.queries, _root_.graft.queries.DeltaQueries.oracles)
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

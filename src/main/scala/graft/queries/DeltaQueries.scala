@@ -1,0 +1,140 @@
+package graft.queries
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Delta write-path harness rows — the mutation surface (DELETE /
+  * DV-DELETE / UPDATE / MERGE / time travel) checked against DuckDB
+  * oracles, not just specs. Each query builds a throwaway Delta table
+  * from a deterministic modulo-subset of `orders`, applies ONE
+  * mutation through the production writer, reads the table back
+  * through the production reader, and aggregates — so the oracle can
+  * express the post-mutation state as plain SQL over the same parquet.
+  *
+  * The temp table is fresh per invocation (bench runs every query
+  * twice; Verify once) and tiny by construction: the modulo filters
+  * keep the staged data at a fraction of `orders`, so the rows time
+  * the write machinery, not bulk IO.
+  */
+object DeltaQueries {
+  import Q._
+
+  /** Fresh table dir under java.io.tmpdir; the dir itself is the
+    * table root (DeltaReader refuses a pre-existing non-empty dir
+    * only via the log, so a unique path per call keeps runs isolated).
+    */
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dq_$tag").resolve("tbl")
+      .toAbsolutePath.toString
+
+  /** The shared result surface: per-status row count + exact money
+    * total (decimal inside, double on the result — SparkEntry's
+    * convention).
+    */
+  private def statusAgg(df: DataFrame): DataFrame =
+    df.groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+      .orderBy("o_orderstatus")
+
+  private val aggSql =
+    """SELECT o_orderstatus, COUNT(*) AS cnt,
+      | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // copy-on-write DELETE: half the files hold matching rows, their
+    // survivors rewrite, tombstones land, latest snapshot loses the rows
+    "delta_delete" -> ((s, dir) => {
+      val d = freshDir("del")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.deleteWhere(s, d, "o_orderkey % 3 = 0")
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
+    // deletion-vector DELETE: same table shape, but the delete writes
+    // DV sidecars instead of rewriting files; the read-side anti-join
+    // must drop exactly the marked rows
+    "delta_dv_delete" -> ((s, dir) => {
+      val d = freshDir("dvdel")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.deleteWhereDv(s, d, "o_orderkey % 3 = 1")
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
+    // copy-on-write UPDATE: matching rows take the SET expressions
+    // (exact binary doubling, so the double surface agrees with DuckDB
+    // bit-for-bit), non-matching rows in rewritten files copy through
+    "delta_update" -> ((s, dir) => {
+      val d = freshDir("upd")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.updateWhere(s, d, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
+    // MERGE INTO (upsert): keys 4-5 mod 10 match and take the source
+    // row (status 'M', price ×3 — exact in binary); keys 6-7 mod 10
+    // miss and insert; untouched target rows copy through
+    "delta_merge" -> ((s, dir) => {
+      val d = freshDir("mrg")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      val source = t(s, dir, "orders")
+        .where("o_orderkey % 10 >= 4 AND o_orderkey % 10 < 8")
+        .withColumn("o_orderstatus", lit("M"))
+        .withColumn("o_totalprice", col("o_totalprice") * 3)
+      LakeWriter.mergeInto(s, d, source, Seq("o_orderkey"))
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
+    // time travel: v0 = even keys, v1 appends odd keys; versionAsOf 0
+    // must reproduce exactly the even-key state
+    "delta_time_travel" -> ((s, dir) => {
+      val d = freshDir("tt")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 2 = 0").repartition(2), d)
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 2 = 1").repartition(2), d)
+      statusAgg(DeltaReader.read(s, d, versionAsOf = Some(0L)))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "delta_delete" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6 AND NOT (o_orderkey % 3 = 0)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_dv_delete" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6 AND NOT (o_orderkey % 3 = 1)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_update" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_merge" ->
+      s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 6),
+         | s AS (SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+         |              o_totalprice * 3 AS o_totalprice, o_orderdate, o_orderpriority
+         |       FROM orders WHERE o_orderkey % 10 >= 4 AND o_orderkey % 10 < 8),
+         | m AS (SELECT * FROM s
+         |       UNION ALL
+         |       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s))
+         |$aggSql
+         |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_time_travel" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 2 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+  )
+}
