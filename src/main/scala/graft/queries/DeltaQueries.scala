@@ -91,6 +91,17 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // RESTORE: delete then restore to v0 — the latest snapshot must
+    // reproduce the pre-delete state exactly, as a forward commit
+    "delta_restore" -> ((s, dir) => {
+      val d = freshDir("rst")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.deleteWhere(s, d, "o_orderkey % 3 = 0")
+      LakeWriter.restoreDelta(s, d, 0L)
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     // time travel: v0 = even keys, v1 appends odd keys; versionAsOf 0
     // must reproduce exactly the even-key state
     "delta_time_travel" -> ((s, dir) => {
@@ -131,6 +142,11 @@ object DeltaQueries {
          |       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s))
          |$aggSql
          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_restore" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_time_travel" ->
       s"""$aggSql

@@ -1108,6 +1108,123 @@ object LakeWriter {
     deleted.sorted
   }
 
+  /** RESTORE the Delta table to its state at `versionAsOf` — a NEW
+    * commit (latest+1) whose live set equals the old snapshot's:
+    * files added since the target version are tombstoned, files
+    * removed since (and still physically present — i.e. not vacuumed)
+    * are re-added, and a file whose deletion-vector descriptor changed
+    * re-adds with the OLD descriptor (an add replaces its
+    * predecessor's, so this also un-deletes DV'd rows). History above
+    * the target version is preserved: time travel into the
+    * pre-restore states keeps working, which is the reason RESTORE is
+    * a forward commit and not a log rewind.
+    *
+    * Refusals, all loud: a table whose current METADATA (schema,
+    * partition columns, configuration) differs from the target
+    * version's (restoring metadata is a schema change this writer
+    * won't silently apply); a vacuumed-away data file or DV sidecar
+    * the old snapshot needs; appendOnly tables (the tombstones are
+    * removes); CDF tables (a restore must write change data);
+    * unknown writer obligations (same gate as [[deleteWhere]]).
+    *
+    * Scale: driver state is the two snapshots' file lists (each gated
+    * by maxSnapshotFiles) and the diff is a set comparison on paths —
+    * no data file is read or written at all; RESTORE is metadata-only.
+    * Returns (readded, removed) log-relative paths, both sorted; both
+    * empty means the states already agree and NO commit was written.
+    */
+  def restoreDelta(spark: SparkSession, dir: String,
+                   versionAsOf: Long): (Seq[String], Seq[String]) = {
+    val cur = DeltaReader.snapshot(spark, dir, None)
+    require(versionAsOf >= 0 && versionAsOf <= cur.version,
+      s"restoreDelta: version $versionAsOf outside [0, ${cur.version}]")
+    val old = DeltaReader.snapshot(spark, dir, Some(versionAsOf))
+    require(cur.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "restoreDelta: table declares delta.appendOnly=true — a restore tombstones " +
+        "files added since the target version; refusing")
+    require(!cur.configuration.get("delta.enableChangeDataFeed").contains("true"),
+      "restoreDelta: table enables Change Data Feed — a restore must write change " +
+        "data files this writer does not produce; refusing to break CDF readers")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed")
+    val unsafe = cur.writerFeatures.filterNot(safeFeatures)
+    require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
+      s"restoreDelta: table requires writer version ${cur.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a mutation whose obligations this writer cannot honor")
+    // metadata must agree: RESTORE across a schema/partitioning/config
+    // change would have to re-emit the old metaData action, silently
+    // undoing a deliberate evolution — refuse and make the caller
+    // decide (parse-compare the schema so key order never matters)
+    require(org.apache.spark.sql.types.DataType.fromJson(old.schemaJson) ==
+        org.apache.spark.sql.types.DataType.fromJson(cur.schemaJson) &&
+        old.partCols == cur.partCols && old.configuration == cur.configuration,
+      s"restoreDelta: table metadata changed since version $versionAsOf " +
+        "(schema, partition columns or configuration differ) — this writer does " +
+        "not restore metadata; refusing")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+
+    val oldByPath = old.active.map(a => a.path -> a).toMap
+    val curByPath = cur.active.map(a => a.path -> a).toMap
+    require(oldByPath.size == old.active.size && curByPath.size == cur.active.size,
+      "restoreDelta: duplicate add paths in a snapshot — corrupt log, refusing")
+    val removes = cur.active.filterNot(a => oldByPath.contains(a.path))
+    // re-add: gone from the live set, OR present with a different DV
+    // descriptor (the old add's descriptor must win again)
+    val readds = old.active.filter(a => curByPath.get(a.path).forall(_.dv != a.dv))
+    if (removes.isEmpty && readds.isEmpty) return (Nil, Nil)
+
+    // every re-added data file and DV sidecar must still exist —
+    // vacuum past the target version legitimately deletes them, and a
+    // restore that commits dangling adds corrupts the table
+    readds.foreach { a =>
+      val p = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(a.path))
+      require(fs.exists(p),
+        s"restoreDelta: data file ${a.path} needed by version $versionAsOf no longer " +
+          "exists (vacuumed?) — cannot restore")
+      a.dv.foreach { d =>
+        if (d.storageType == "u") {
+          val dp = DeltaReader.dvFilePath(root, d)
+          require(fs.exists(dp),
+            s"restoreDelta: deletion-vector sidecar $dp needed by version " +
+              s"$versionAsOf no longer exists (vacuumed?) — cannot restore")
+        }
+      }
+    }
+
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def pvJson(a: DeltaReader.AddFile): String = a.partitionValues.map { case (c, v) =>
+      s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    def dvJson(d: DeltaReader.DvDescriptor): String = {
+      val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+      s""","deletionVector":{"storageType":${om.writeValueAsString(d.storageType)},""" +
+        s""""pathOrInlineDv":${om.writeValueAsString(d.pathOrInlineDv)},$off""" +
+        s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+    }
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    removes.sortBy(_.path).foreach { a =>
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+    }
+    readds.sortBy(_.path).foreach { a =>
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":${pvJson(a)},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}}}"""
+    }
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"${cur.version + 1}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"${cur.version + 1}; re-read the table and retry the restore", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    (readds.map(_.path).sorted, removes.map(_.path).sorted)
+  }
+
   def checkpointDelta(spark: SparkSession, dir: String, version: Long): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
