@@ -91,6 +91,22 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // Change Data Feed: an UPDATE on a CDF table writes pre+post
+    // images as change data; readChanges replays them per version
+    "delta_cdf" -> ((s, dir) => {
+      val d = freshDir("cdf")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      LakeWriter.updateWhere(s, d, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      DeltaReader.readChanges(s, d, 1L, 1L)
+        .groupBy(col("_change_type").as("change_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .orderBy("change_type")
+    }),
+
     // RESTORE: delete then restore to v0 — the latest snapshot must
     // reproduce the pre-delete state exactly, as a forward commit
     "delta_restore" -> ((s, dir) => {
@@ -142,6 +158,16 @@ object DeltaQueries {
          |       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s))
          |$aggSql
          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_cdf" ->
+      s"""WITH base AS (SELECT * FROM orders
+         |              WHERE o_orderkey % 10 < 6 AND o_orderstatus = 'F'),
+         | ch AS (SELECT 'update_preimage' AS change_type, o_totalprice FROM base
+         |        UNION ALL
+         |        SELECT 'update_postimage' AS change_type, o_totalprice * 2 FROM base)
+         |SELECT change_type, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         |FROM ch GROUP BY change_type ORDER BY change_type""".stripMargin,
 
     "delta_restore" ->
       s"""$aggSql

@@ -385,6 +385,137 @@ object DeltaReader {
     acts.result()
   }
 
+  /** One commit's `cdc` actions (change data files, PROTOCOL.md's
+    * Change Data Feed) as AddFile shapes — path/partitionValues/size;
+    * cdc files never carry deletion vectors.
+    */
+  private[graft] def commitCdc(s: SparkSession, dir: String, version: Long): Seq[AddFile] = {
+    val hconf = s.sessionState.newHadoopConf()
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(hconf)
+    val p = new Path(logPath, f"$version%020d.json")
+    require(
+      try fs.getFileStatus(p).isFile
+      catch { case _: java.io.FileNotFoundException => false },
+      s"commit $version not present in $logPath (retention-cleaned?) — its change " +
+        "data is unrecoverable; cannot read changes at this version")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = Seq.newBuilder[AddFile]
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).foreach { line =>
+      val n = om.readTree(line)
+      if (n.has("cdc")) out += addFromJson(n.get("cdc"))
+    } finally rd.close()
+    out.result()
+  }
+
+  /** Scan change data files: the table's data schema PLUS the
+    * `_change_type` column the writer stored in them; partition
+    * columns re-attach from the cdc actions' partitionValues, and a
+    * column-mapped table's physical names project back to logical —
+    * the same rules as [[scanFiles]], minus deletion vectors (cdc
+    * files never carry them).
+    */
+  private def readCdcFiles(s: SparkSession, dir: String, snap: Snapshot,
+                           files: Seq[AddFile]): DataFrame = {
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (!mapped) f.name
+      else f.metadata.getString("delta.columnMapping.physicalName")
+    val dataSchema = StructType(
+      schema.fields.filterNot(f => snap.partCols.contains(f.name))
+        .map(f => f.copy(name = physName(f))) :+
+        org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
+    val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
+      .map(f => physName(f) -> f.name) :+ ("_change_type" -> "_change_type")
+    val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
+    val outNames = schema.fieldNames :+ "_change_type"
+    files.groupBy(_.partitionValues).map { case (pv, group) =>
+      val paths = group.map(f => new Path(dir, percentDecode(f.path)).toString)
+      val base0 = s.read.schema(dataSchema).parquet(paths: _*)
+      val base = base0.select(logicalByPhys.map { case (phys, logical) =>
+        base0.col(s"`${phys.replace("`", "``")}`").as(logical)
+      }.toIndexedSeq: _*)
+      val withParts = partSchema.foldLeft(base) { (df, f) =>
+        val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull
+        df.withColumn(f.name, lit(raw).cast(f.dataType))
+      }
+      withParts.select(outNames.map(col).toIndexedSeq: _*)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Read the table's row-level CHANGES for versions [fromVersion,
+    * toVersion] — the Change Data Feed surface: the table's logical
+    * columns plus `_change_type` ('insert' | 'delete' |
+    * 'update_preimage' | 'update_postimage') and `_commit_version`.
+    *
+    * Per commit: if it carries `cdc` actions, they ARE the change set
+    * (the writer declared them complete — the protocol's rule).
+    * Otherwise the changes derive from the file actions alone exactly
+    * when that is sound: adds-only with dataChange=true → those files'
+    * rows as 'insert' (the append shape); removes-only with
+    * dataChange=true → the removed files' rows as 'delete' (resolved
+    * against the PREVIOUS version's snapshot for partition values, and
+    * only readable pre-vacuum); no dataChange actions at all →
+    * nothing (compaction/checkpoint shapes). A commit that mixes
+    * dataChange adds AND removes without cdc actions (a copy-on-write
+    * delete/update/merge written WITHOUT CDF enabled, or a DV rewrite)
+    * REFUSES loudly — its per-row changes are not derivable from file
+    * actions, and delta-spark refuses the same way.
+    *
+    * Scale: driver state is O(actions in the window); each version's
+    * rows scan distributed. The derivation for removes-only commits
+    * pays one snapshot replay at v-1 (rare shape; our own writers
+    * never produce it).
+    */
+  def readChanges(s: SparkSession, dir: String,
+                  fromVersion: Long, toVersion: Long): DataFrame = {
+    val latest = snapshot(s, dir, None)
+    require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest.version,
+      s"readChanges: range [$fromVersion, $toVersion] outside [0, ${latest.version}]")
+    val snapTo = if (toVersion == latest.version) latest else snapshot(s, dir, Some(toVersion))
+    val schema = DataType.fromJson(snapTo.schemaJson).asInstanceOf[StructType]
+    val outSchema = StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+    val perVersion: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
+      val cdc = commitCdc(s, dir, v)
+      if (cdc.nonEmpty)
+        Some(readCdcFiles(s, dir, snapTo, cdc).withColumn("_commit_version", lit(v)))
+      else {
+        val (adds, removes) = commitChanges(s, dir, v)
+        val addsDc = adds.collect { case (af, true) => af }
+        val remsDc = removes.collect { case (p, true) => p }
+        if (addsDc.nonEmpty && remsDc.isEmpty)
+          Some(scanFiles(s, dir, snapTo, addsDc)
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("_commit_version", lit(v)))
+        else if (remsDc.nonEmpty && addsDc.isEmpty) {
+          val prev = snapshot(s, dir, Some(v - 1))
+          val gone = remsDc.toSet
+          val removedFiles = prev.active.filter(a => gone.contains(a.path))
+          require(removedFiles.size == gone.size,
+            s"readChanges: version $v removes ${gone.size} paths but only " +
+              s"${removedFiles.size} resolve in version ${v - 1}'s snapshot — corrupt log")
+          Some(scanFiles(s, dir, snapTo, removedFiles)
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v)))
+        } else if (addsDc.isEmpty && remsDc.isEmpty) None
+        else throw new IllegalArgumentException(
+          s"readChanges: version $v rewrites files (dataChange adds AND removes) " +
+            "without change data files — its row-level changes are not derivable; " +
+            "enable delta.enableChangeDataFeed before mutating, or read versions " +
+            "around it")
+      }
+    }
+    if (perVersion.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    else perVersion.reduce(_ unionByName _)
+  }
+
   /** Replay the log to the target version: commit JSON driver-parsed
     * (bounded by checkpointInterval), checkpoint adds distributed with
     * lazy gated resolution (see class scaladoc); every FS touch goes

@@ -90,10 +90,12 @@ object LakeWriter {
     */
   def writeDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0,
                  partitionBy: Seq[String] = Nil,
-                 txn: Option[(String, Long)] = None): Unit = {
+                 txn: Option[(String, Long)] = None,
+                 configuration: Map[String, String] = Map.empty): Unit = {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
-    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn)
+    commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn,
+      configuration = configuration)
   }
 
   /** Create a COLUMN-MAPPED (name mode) Delta table: logical names
@@ -306,7 +308,8 @@ object LakeWriter {
                                  partCols: Seq[String] = Nil,
                                  txn: Option[(String, Long)] = None,
                                  metaOverride: Option[(String, String)] = None,
-                                 extraActions: Seq[String] = Nil): Unit = {
+                                 extraActions: Seq[String] = Nil,
+                                 configuration: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -361,8 +364,16 @@ object LakeWriter {
         actions += metaLine
       case None =>
         val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-        actions += """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
-        actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
+        // CDF's legacy writer floor is 4 (PROTOCOL.md): stamping it on
+        // the creating commit makes non-CDF-aware legacy writers refuse
+        // the table instead of committing changes without change data
+        val minWriter =
+          if (configuration.get("delta.enableChangeDataFeed").contains("true")) 4 else 2
+        val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+          s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+        }.mkString("{", ",", "}")
+        actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+        actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
     }
     // transaction identifier (PROTOCOL.md): records "this application
     // has committed up to here" in the SAME atomic commit as the data,
@@ -428,22 +439,23 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
       "compactDelta: column-mapped tables not supported (rewritten files would " +
         "carry logical names readers can't resolve)")
-    // the SAME writer-version/feature gate as appendDeltaWithSnapshot:
-    // a dataChange=false rewrite still emits add/remove actions, and a
-    // table declaring writer version 3-6 or v7 features this writer
-    // cannot honor (rowTracking needs baseRowId on every add, CDF needs
-    // change files, …) would be silently violated for real delta-spark
-    // readers. appendOnly and invariants ARE safe here: the rewrite
-    // adds no rows and its removes carry dataChange=false, exactly the
-    // OPTIMIZE carve-out the protocol defines for append-only tables.
-    // deletionVectors is honored, not refused: the fold below reads
-    // through the DV-applied scan, so a compacted file holds exactly
-    // its sources' LIVE rows and the descriptors are dropped with the
-    // removes — compaction IS the physical cleanup path for a table
-    // that accumulated deleteWhereDv debt
-    val compactSafe = Set("appendOnly", "invariants", "deletionVectors")
+    // writer-version/feature gate: a dataChange=false rewrite re-states
+    // EXISTING rows only, so every legacy obligation through writer v5
+    // holds by construction — CHECK constraints and invariants already
+    // passed on these rows, generated columns copy through, CDF readers
+    // skip dataChange=false commits entirely (the protocol's OPTIMIZE
+    // carve-out — no change files needed), and column mapping is gated
+    // separately above. v7 tables must declare only features this
+    // rewrite preserves (rowTracking, e.g., would need baseRowId on
+    // every add — refused). deletionVectors is honored, not refused:
+    // the fold below reads through the DV-applied scan, so a compacted
+    // file holds exactly its sources' LIVE rows and the descriptors are
+    // dropped with the removes — compaction IS the physical cleanup
+    // path for a table that accumulated deleteWhereDv debt
+    val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors")
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
-    require(snap.minWriter <= 2 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
       s"compactDelta: table requires writer version ${snap.minWriter}" +
         (if (compactUnsafe.nonEmpty) s" with features ${compactUnsafe.mkString(", ")}" else "") +
         " — this writer implements version 2 semantics and cannot honor the " +
@@ -534,6 +546,63 @@ object LakeWriter {
     * (rewritten) file paths as stored in the log, sorted; empty means
     * nothing matched and NO commit was written.
     */
+  /** Stage `df` (the table's PHYSICAL columns + `_change_type`) as
+    * change data files for commit `version`: parquet staged to a temp
+    * dir, moved under `_change_data/` (an underscore prefix, so normal
+    * table scans and VACUUM's data walk never see it), one `cdc`
+    * action JSON per file returned for the caller to put in the SAME
+    * atomic commit. cdc actions carry dataChange=false — they are not
+    * part of the table state (PROTOCOL.md) — and their presence tells
+    * a CDF reader the commit's change data is COMPLETE, so callers
+    * must include EVERY changed row (pre+post images for updates,
+    * inserted rows for merges). Partitioned tables stage partitionBy
+    * like data files; the cdc action's partitionValues come from the
+    * staged directory segments exactly as commitDelta's adds do.
+    */
+  private def stageCdc(df: DataFrame, dir: String, version: Long,
+                       partCols: Seq[String]): Seq[String] = {
+    val spark = df.sparkSession
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdc_$version")
+    if (partCols.isEmpty) df.write.parquet(stage.toString)
+    else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val stageUri = stage.toUri.getPath.stripSuffix("/")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val actions = walk(stage).sortBy(_.getPath.toString).map { st =>
+      val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+      val dest = new org.apache.hadoop.fs.Path(root, s"_change_data/$rel")
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+      val pv = rel.split('/').dropRight(1).map { seg =>
+        val eq = seg.indexOf('=')
+        require(eq > 0, s"unexpected staged partition segment '$seg' in $rel")
+        val c = seg.substring(0, eq)
+        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(eq + 1))
+        c -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+      }
+      val pvJson = pv.map { case (c, v) =>
+        s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      s"""{"cdc":{"path":"${percentEncode(s"_change_data/$rel")}","partitionValues":$pvJson,"size":${st.getLen},"dataChange":false}}"""
+    }
+    fs.delete(stage, true)
+    actions
+  }
+
+  /** True when the snapshot's table declares Change Data Feed — the
+    * mutation ops branch on it to stage cdc files in the same commit.
+    */
+  private def cdfEnabled(snap: DeltaReader.Snapshot): Boolean =
+    snap.configuration.get("delta.enableChangeDataFeed").contains("true")
+
   def deleteWhere(spark: SparkSession, dir: String, predicate: String): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val snap = DeltaReader.snapshot(spark, dir, None)
@@ -542,9 +611,6 @@ object LakeWriter {
       s"deleteWhere: column mapping mode '$cm' not supported")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhere: table declares delta.appendOnly=true — deletes are forbidden on it")
-    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
-      "deleteWhere: table enables Change Data Feed — a delete must write change data " +
-        "files this writer does not produce; refusing to break CDF readers")
     // same shape as the append gate: legacy writer versions pass when
     // none of their non-delete obligations is declared (CHECK
     // constraints and generated columns cannot be VIOLATED by removing
@@ -585,25 +651,37 @@ object LakeWriter {
       .where(not(coalesce(pred, lit(false))))
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"deleteWhere: column mapping is 'name' but field '${f.name}' carries no " +
+            "physicalName metadata — malformed schemaString")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
     val (staged, stagePartCols) =
       if (cm == "none") (survivors, snap.partCols)
+      else (survivors.select(
+        table.fieldNames.map(c => survivors.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+    // CDF: the deleted rows ARE the commit's change data — staged to
+    // _change_data in the table's physical layout, committed atomically
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
       else {
-        val phys = table.fields.map { f =>
-          require(f.metadata.contains("delta.columnMapping.physicalName"),
-            s"deleteWhere: column mapping is 'name' but field '${f.name}' carries no " +
-              "physicalName metadata — malformed schemaString")
-          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-        }.toMap
-        (survivors.select(
-          table.fieldNames.map(c => survivors.col(c).as(phys(c))).toIndexedSeq: _*),
-          snap.partCols.map(phys))
+        val deletedRows = DeltaReader.scanFiles(spark, dir, snap, affected)
+          .where(coalesce(pred, lit(false)))
+        val physCdc = deletedRows.select((table.fieldNames.map { c =>
+          deletedRows.col(c).as(phys.getOrElse(c, c))
+        } :+ lit("delete").as("_change_type")).toIndexedSeq: _*)
+        stageCdc(physCdc, dir, snap.version + 1, stagePartCols)
       }
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val removes = affected.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
-      checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+      checkpointInterval = 0, partCols = stagePartCols,
+      extraActions = removes ++ cdcActions)
     affected.map(_.path).sorted
   }
 
@@ -663,9 +741,6 @@ object LakeWriter {
       s"deleteWhereDv: column mapping mode '$cm' not supported")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
-    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
-      "deleteWhereDv: table enables Change Data Feed — a delete must write change data " +
-        "files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -683,10 +758,31 @@ object LakeWriter {
     // pushes the predicate down and the lineage is post-DV, so an
     // already-deleted row can never re-match
     val lineage = DeltaReader.scanFiles(spark, dir, snap, snap.active, keepLineage = true)
-    val matched = lineage.where(pred).select(col("__dv_path"), col("__dv_ridx"))
+    val matchedRows = lineage.where(pred)
+    val matched = matchedRows.select(col("__dv_path"), col("__dv_ridx"))
     val matchedPaths = matched.select("__dv_path").distinct()
       .collect().map(_.getString(0)).toSet
     if (matchedPaths.isEmpty) return Nil
+
+    // CDF: the newly-deleted rows are the commit's complete change data
+    // (rows already dead under an existing DV never re-match — the
+    // lineage scan is post-DV)
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        val phys: Map[String, String] =
+          if (cm == "none") Map.empty
+          else table.fields.map { f =>
+            f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+          }.toMap
+        val physCdc = matchedRows.select((table.fieldNames.map { c =>
+          matchedRows.col(c).as(phys.getOrElse(c, c))
+        } :+ org.apache.spark.sql.functions.lit("delete").as("_change_type")).toIndexedSeq: _*)
+        stageCdc(physCdc, dir, snap.version + 1,
+          if (cm == "none") snap.partCols else snap.partCols.map(phys))
+      }
 
     def absPath(a: DeltaReader.AddFile): String =
       fs.makeQualified(new org.apache.hadoop.fs.Path(root,
@@ -749,6 +845,7 @@ object LakeWriter {
       if (snap.minWriter >= 4 &&
           table.fields.exists(_.metadata.contains("delta.generationExpression")))
         legacy += "generatedColumns"
+      if (cdfEnabled(snap)) legacy += "changeDataFeed"
       if (cm == "name") legacy += "columnMapping"
       val rf = snap.readerFeatures.toSet ++
         (if (cm == "name") Set("columnMapping") else Set.empty) + "deletionVectors"
@@ -766,6 +863,7 @@ object LakeWriter {
       }.mkString("{", ",", "}")
       actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}}}"""
     }
+    actions ++= cdcActions
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
@@ -814,9 +912,6 @@ object LakeWriter {
       s"mergeInto: column mapping mode '$cm' not supported")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "mergeInto: table declares delta.appendOnly=true — merges rewrite rows; refusing")
-    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
-      "mergeInto: table enables Change Data Feed — a merge must write change data " +
-        "files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -882,7 +977,8 @@ object LakeWriter {
     val srcRen = source.select((keyCols.map(col) ++
       nonKey.map(c => col(c).as(s"__s_$c")) :+ lit(1).as("__m")).toIndexedSeq: _*)
     val affectedRows = DeltaReader.scanFiles(spark, dir, snap, affected)
-    val rewritten = affectedRows.join(srcRen, keyCols, "left")
+    val joined = affectedRows.join(srcRen, keyCols, "left")
+    val rewritten = joined
       .select(table.fields.map { f =>
         (if (keyCols.contains(f.name)) col(f.name)
          else when(col("__m").isNotNull, col(s"__s_${f.name}").cast(f.dataType))
@@ -895,21 +991,42 @@ object LakeWriter {
       .select(table.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     val upserted = rewritten.unionByName(inserts)
 
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
     val (staged, stagePartCols) =
       if (cm == "none") (upserted, snap.partCols)
+      else (upserted.select(
+        table.fieldNames.map(c => upserted.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+    // CDF: complete change data = each matched target row's pre- and
+    // post-image (target multiplicity — duplicate target keys each get
+    // their own pair) plus every inserted source row
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
       else {
-        val phys = table.fields.map { f =>
-          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-        }.toMap
-        (upserted.select(
-          table.fieldNames.map(c => upserted.col(c).as(phys(c))).toIndexedSeq: _*),
-          snap.partCols.map(phys))
+        val matched = joined.where(col("__m").isNotNull)
+        val pre = matched.select((table.fieldNames.map { c =>
+          col(c).as(phys.getOrElse(c, c))
+        } :+ lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
+        val post = matched.select((table.fields.map { f =>
+          (if (keyCols.contains(f.name)) col(f.name)
+           else col(s"__s_${f.name}").cast(f.dataType)).as(phys.getOrElse(f.name, f.name))
+        } :+ lit("update_postimage").as("_change_type")).toIndexedSeq: _*)
+        val ins = inserts.select((table.fieldNames.map { c =>
+          inserts.col(c).as(phys.getOrElse(c, c))
+        } :+ lit("insert").as("_change_type")).toIndexedSeq: _*)
+        stageCdc(pre.unionByName(post).unionByName(ins), dir, snap.version + 1,
+          stagePartCols)
       }
     val removes = affected.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
-      checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+      checkpointInterval = 0, partCols = stagePartCols,
+      extraActions = removes ++ cdcActions)
     affected.map(_.path).sorted
   }
 
@@ -938,9 +1055,6 @@ object LakeWriter {
       s"updateWhere: column mapping mode '$cm' not supported")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
-    require(!snap.configuration.get("delta.enableChangeDataFeed").contains("true"),
-      "updateWhere: table enables Change Data Feed — an update must write change data " +
-        "files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -997,21 +1111,40 @@ object LakeWriter {
         case None => col(f.name)
       }).as(f.name)
     }.toIndexedSeq: _*)
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
     val (staged, stagePartCols) =
       if (cm == "none") (rewritten, snap.partCols)
+      else (rewritten.select(
+        table.fieldNames.map(c => rewritten.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+    // CDF: complete change data = each updated row's pre-image AND
+    // post-image (both derived from the same pre-update scan, so the
+    // SET expressions see old values exactly as the rewrite does)
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
       else {
-        val phys = table.fields.map { f =>
-          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-        }.toMap
-        (rewritten.select(
-          table.fieldNames.map(c => rewritten.col(c).as(phys(c))).toIndexedSeq: _*),
-          snap.partCols.map(phys))
+        val matchedPre = src.where(hit)
+        val pre = matchedPre.select((table.fieldNames.map { c =>
+          matchedPre.col(c).as(phys.getOrElse(c, c))
+        } :+ lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
+        val post = matchedPre.select((table.fields.map { f =>
+          (set.get(f.name) match {
+            case Some(e) => expr(e).cast(f.dataType)
+            case None => col(f.name)
+          }).as(phys.getOrElse(f.name, f.name))
+        } :+ lit("update_postimage").as("_change_type")).toIndexedSeq: _*)
+        stageCdc(pre.unionByName(post), dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
-      checkpointInterval = 0, partCols = stagePartCols, extraActions = removes)
+      checkpointInterval = 0, partCols = stagePartCols,
+      extraActions = removes ++ cdcActions)
     affected.map(_.path).sorted
   }
 
@@ -1077,6 +1210,16 @@ object LakeWriter {
         case _ =>
       }
     }
+    // change data files (CDF): a cdc file is referenced ONLY by its own
+    // commit, so the live set is exactly the window's cdc actions —
+    // everything else under _change_data (whose commits fell below the
+    // horizon, or failed writers' debris) reclaims. The horizon version
+    // itself stays readable as a TABLE state via the checkpoint, but
+    // readChanges AT the horizon needs the commit json anyway, which
+    // survives; below it both are gone, consistently.
+    val cdcReferenced = (horizonVersion to latest.version).flatMap { v =>
+      DeltaReader.commitCdc(spark, dir, v).map(c => DeltaReader.percentDecode(c.path))
+    }.toSet
     // the horizon must stay replayable WITHOUT the commits removed below
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val cpFile = new org.apache.hadoop.fs.Path(log, f"$horizonVersion%020d.checkpoint.parquet")
@@ -1095,6 +1238,20 @@ object LakeWriter {
       if (referenced.contains(rel)) None
       else { require(fs.delete(p, false), s"vacuumDelta: delete $p failed"); Some(rel) }
     }
+    // _change_data sits under an underscore prefix the data walk skips
+    // — reclaim its unreferenced files explicitly
+    val cdcDir = new org.apache.hadoop.fs.Path(root, "_change_data")
+    def walkAll(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walkAll(st.getPath) else Seq(st.getPath)
+      }
+    val deletedCdc =
+      if (!fs.exists(cdcDir)) Nil
+      else walkAll(cdcDir).flatMap { p =>
+        val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+        if (cdcReferenced.contains(rel)) None
+        else { require(fs.delete(p, false), s"vacuumDelta: delete $p failed"); Some(rel) }
+      }
     // log retention below the horizon: those versions' replay targets
     // are gone, so a read there must refuse via the not-present gate,
     // not die mid-scan on a missing file
@@ -1105,7 +1262,7 @@ object LakeWriter {
         n.take(20).toLong < horizonVersion
       if (commitBelow || cpBelow) fs.delete(st.getPath, false)
     }
-    deleted.sorted
+    (deleted ++ deletedCdc).sorted
   }
 
   /** RESTORE the Delta table to its state at `versionAsOf` — a NEW

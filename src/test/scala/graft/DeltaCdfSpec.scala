@@ -1,0 +1,156 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+
+/** Change Data Feed: mutation ops write complete `cdc` change data in
+  * the same atomic commit on CDF-enabled tables; `readChanges` replays
+  * row-level changes per version — from cdc actions when present, by
+  * derivation for append/remove-only commits, and with a loud refusal
+  * for underivable rewrites.
+  */
+class DeltaCdfSpec extends SparkSpec {
+
+  private val CDF = Map("delta.enableChangeDataFeed" -> "true")
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  /** (id, v, _change_type, _commit_version) tuples. */
+  private def changes(df: DataFrame): Set[(Long, String, String, Long)] = {
+    val s = spark
+    import s.implicits._
+    df.select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+  }
+
+  private def rows(df: DataFrame): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    df.select("id", "v").as[(Long, String)].collect().toSet
+  }
+
+  test("delete/update/merge on a CDF table write complete change data; readChanges replays it") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1),
+      dir, configuration = CDF)                                              // v0
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v").coalesce(1), dir)  // v1
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 1").nonEmpty)            // v2
+    assert(LakeWriter.updateWhere(spark, dir, "id = 2", Map("v" -> "'C'")).nonEmpty) // v3
+    assert(LakeWriter.mergeInto(spark, dir,
+      Seq((3L, "D"), (4L, "e")).toDF("id", "v"), Seq("id")).nonEmpty)        // v4
+
+    // v0/v1 derive inserts from adds; v2-v4 come from cdc actions
+    assert(changes(DeltaReader.readChanges(spark, dir, 0L, 4L)) == Set(
+      (0L, "a", "insert", 0L), (1L, "b", "insert", 0L), (2L, "c", "insert", 0L),
+      (3L, "d", "insert", 1L),
+      (1L, "b", "delete", 2L),
+      (2L, "c", "update_preimage", 3L), (2L, "C", "update_postimage", 3L),
+      (3L, "d", "update_preimage", 4L), (3L, "D", "update_postimage", 4L),
+      (4L, "e", "insert", 4L)))
+    // subrange
+    assert(changes(DeltaReader.readChanges(spark, dir, 2L, 3L)) == Set(
+      (1L, "b", "delete", 2L),
+      (2L, "c", "update_preimage", 3L), (2L, "C", "update_postimage", 3L)))
+    // the table state is unaffected by CDF bookkeeping
+    assert(rows(DeltaReader.read(spark, dir)) ==
+      Set((0L, "a"), (2L, "C"), (3L, "D"), (4L, "e")))
+    // the CDF table's protocol declares the legacy CDF writer floor
+    assert(DeltaReader.snapshot(spark, dir, None).minWriter >= 4L)
+  }
+
+  test("non-CDF tables: appends derive inserts; rewrite commits refuse loudly") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_off_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir) // v0
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)           // v1
+    assert(changes(DeltaReader.readChanges(spark, dir, 0L, 1L)) == Set(
+      (0L, "a", "insert", 0L), (1L, "b", "insert", 0L), (2L, "c", "insert", 1L)))
+
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 1").nonEmpty)                     // v2
+    val e = intercept[IllegalArgumentException] {
+      DeltaReader.readChanges(spark, dir, 0L, 2L).count()
+    }
+    assert(e.getMessage.contains("not derivable"), e.getMessage)
+    // the clean prefix still reads
+    assert(changes(DeltaReader.readChanges(spark, dir, 1L, 1L)) ==
+      Set((2L, "c", "insert", 1L)))
+  }
+
+  test("deleteWhereDv on a CDF table writes cdc; the protocol upgrade keeps changeDataFeed") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_dv_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1),
+      dir, configuration = CDF)                                     // v0
+    assert(LakeWriter.deleteWhereDv(spark, dir, "id = 1").size == 1) // v1
+    assert(changes(DeltaReader.readChanges(spark, dir, 1L, 1L)) ==
+      Set((1L, "b", "delete", 1L)))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (2L, "c")))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.writerFeatures.contains("deletionVectors"))
+    assert(snap.writerFeatures.contains("changeDataFeed"))
+    // a second DV delete must not re-deliver already-dead rows as changes
+    assert(LakeWriter.deleteWhereDv(spark, dir, "id <= 1").size == 1) // v2: only id=0 matches
+    assert(changes(DeltaReader.readChanges(spark, dir, 2L, 2L)) ==
+      Set((0L, "a", "delete", 2L)))
+  }
+
+  test("partitioned CDF table: cdc files land under partition dirs and values re-attach") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_part_")
+    LakeWriter.writeDelta(
+      Seq((0L, "a", "x"), (1L, "b", "x"), (2L, "c", "y")).toDF("id", "v", "p"),
+      dir, partitionBy = Seq("p"), configuration = CDF)             // v0
+    assert(LakeWriter.deleteWhere(spark, dir, "p = 'x' AND id = 1").nonEmpty) // v1
+    val ch = DeltaReader.readChanges(spark, dir, 1L, 1L)
+    import s.implicits._
+    assert(ch.select("id", "v", "p", "_change_type").as[(Long, String, String, String)]
+      .collect().toSet == Set((1L, "b", "x", "delete")))
+    // the cdc parquet is partition-laid-out under _change_data
+    val cdc = new java.io.File(dir, "_change_data/p=x")
+    assert(cdc.isDirectory && cdc.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  test("vacuum reclaims cdc files below the horizon, keeps the window's") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_vac_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b"), (2L, "c")).toDF("id", "v").coalesce(1),
+      dir, configuration = CDF)                                     // v0
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 0").nonEmpty)   // v1: cdc A
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v").coalesce(1), dir) // v2
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 1").nonEmpty)   // v3: cdc B
+    def cdcFiles(): Set[String] = {
+      val d = new java.io.File(dir, "_change_data")
+      if (!d.isDirectory) Set.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+    }
+    assert(cdcFiles().size == 2)
+    val deleted = LakeWriter.vacuumDelta(spark, dir, 2L)
+    assert(deleted.exists(_.startsWith("_change_data/")), deleted.mkString(", "))
+    assert(cdcFiles().size == 1)
+    // the surviving window's change data still replays
+    assert(changes(DeltaReader.readChanges(spark, dir, 3L, 3L)) ==
+      Set((1L, "b", "delete", 3L)))
+  }
+
+  test("compaction is allowed on CDF tables and readChanges skips its commit") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_comp_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir,
+      configuration = CDF)                                          // v0
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir) // v1
+    LakeWriter.compactDelta(spark, dir, minFiles = 2)               // v2: dataChange=false
+    assert(DeltaReader.snapshot(spark, dir, None).version == 2L)
+    assert(DeltaReader.readChanges(spark, dir, 2L, 2L).count() == 0L)
+    assert(changes(DeltaReader.readChanges(spark, dir, 0L, 2L)) == Set(
+      (0L, "a", "insert", 0L), (1L, "b", "insert", 1L)))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b")))
+  }
+}

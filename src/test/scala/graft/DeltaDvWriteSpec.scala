@@ -263,7 +263,7 @@ class DeltaDvWriteSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (3L, "d")))
   }
 
-  test("append-only and CDF tables refuse deleteWhereDv loudly") {
+  test("append-only tables refuse deleteWhereDv loudly") {
     val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
@@ -280,11 +280,8 @@ class DeltaDvWriteSpec extends SparkSpec {
       LakeWriter.deleteWhereDv(spark, fixture(""""delta.appendOnly":"true""""), "id = 1")
     }
     assert(ao.getMessage.contains("appendOnly"), ao.getMessage)
-    val cdf = intercept[IllegalArgumentException] {
-      LakeWriter.deleteWhereDv(spark,
-        fixture(""""delta.enableChangeDataFeed":"true""""), "id = 1")
-    }
-    assert(cdf.getMessage.contains("Change Data Feed"), cdf.getMessage)
+    // CDF tables no longer refuse: deleteWhereDv writes change data in
+    // the same commit — covered end-to-end in DeltaCdfSpec
   }
 
   private def commitLines(log: java.io.File, version: Long, lines: Seq[String]): Unit =

@@ -522,15 +522,23 @@ class DeltaReaderSpec extends SparkSpec {
     assert(e1.getMessage.contains("rowTracking"), e1.getMessage)
     assert(!new java.io.File(log1, f"${1L}%020d.json").isFile,
       "a refused compaction must not commit")
-    // writer versions 3-6 declare legacy features this writer does not
-    // implement — refused wholesale
+    // legacy writer versions through 5 ARE compactable: a
+    // dataChange=false rewrite re-states existing rows, so CHECK
+    // constraints/generated columns/CDF obligations hold by
+    // construction (CDF readers skip the commit entirely)
     val (dir2, log2) = mkTwoFileTable(
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""")
+    graft.sources.LakeWriter.compactDelta(spark, dir2.getPath)
+    assert(new java.io.File(log2, f"${1L}%020d.json").isFile)
+    // v6 (identityColumns) stays refused — high-water-mark bookkeeping
+    // this writer does not implement
+    val (dir2b, log2b) = mkTwoFileTable(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":6}}""")
     val e2 = intercept[IllegalArgumentException] {
-      graft.sources.LakeWriter.compactDelta(spark, dir2.getPath)
+      graft.sources.LakeWriter.compactDelta(spark, dir2b.getPath)
     }
-    assert(e2.getMessage.contains("writer version 4"), e2.getMessage)
-    assert(!new java.io.File(log2, f"${1L}%020d.json").isFile)
+    assert(e2.getMessage.contains("writer version 6"), e2.getMessage)
+    assert(!new java.io.File(log2b, f"${1L}%020d.json").isFile)
     // appendOnly IS compactable: no new rows, removes carry
     // dataChange=false — the protocol's OPTIMIZE carve-out
     val (dir3, log3) = mkTwoFileTable(
