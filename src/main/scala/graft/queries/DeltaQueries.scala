@@ -91,6 +91,25 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // schema evolution: even keys land at v0 with the base schema,
+    // odd keys evolve-append a new o_bucket column at v1; the latest
+    // read null-fills the old rows
+    "delta_evolve" -> ((s, dir) => {
+      val d = freshDir("evo")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 2 = 0").repartition(2), d)
+      LakeWriter.appendDeltaEvolve(
+        t(s, dir, "orders").where("o_orderkey % 2 = 1")
+          .withColumn("o_bucket", expr("o_orderkey % 4")).repartition(2), d)
+      DeltaReader.read(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"),
+          count(col("o_bucket")).as("bucket_cnt"),
+          sum(col("o_bucket")).cast("long").as("bucket_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // Change Data Feed: an UPDATE on a CDF table writes pre+post
     // images as change data; readChanges replays them per version
     "delta_cdf" -> ((s, dir) => {
@@ -158,6 +177,13 @@ object DeltaQueries {
          |       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s))
          |$aggSql
          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_evolve" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+         | COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS bucket_cnt,
+         | CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 4 END) AS BIGINT) AS bucket_sum
+         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_cdf" ->
       s"""WITH base AS (SELECT * FROM orders

@@ -154,6 +154,130 @@ object LakeWriter {
     appendDeltaWithSnapshot(df, dir, checkpointInterval, txn,
       DeltaReader.snapshot(df.sparkSession, dir, None))
 
+  /** Re-state the table's CURRENT protocol verbatim as a commit line —
+    * what a metadata-updating commit must carry alongside its new
+    * metaData (emitting (1,2) would DOWNGRADE a feature table's
+    * declared requirements, the same trap checkpointDelta documents).
+    */
+  private def protocolJson(snap: DeltaReader.Snapshot): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Seq[String]): String =
+      xs.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val rf = if (snap.readerFeatures.nonEmpty)
+      s""","readerFeatures":${jarr(snap.readerFeatures)}""" else ""
+    val wf = if (snap.writerFeatures.nonEmpty)
+      s""","writerFeatures":${jarr(snap.writerFeatures)}""" else ""
+    s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":${snap.minWriter}$rf$wf}}"""
+  }
+
+  /** APPEND with SCHEMA EVOLUTION (delta-spark's mergeSchema=true):
+    * columns the table doesn't have yet are ADDED (appended after the
+    * existing fields, forced nullable — pre-evolution files simply
+    * lack them, and the schema-first scan reads those as null, which
+    * is the protocol's evolution model); table columns missing from
+    * `df` fill with nulls when the table declares them nullable
+    * (refused otherwise); common columns obey exactly [[appendDelta]]'s
+    * compatibility rules. When the schema actually changes, the commit
+    * carries the new `metaData` action (same table id — readers track
+    * identity by it) plus the CURRENT protocol restated verbatim; when
+    * it doesn't, this is a plain append. Time travel below the
+    * evolution replays the OLD schemaString, so historic reads keep
+    * their historic shape.
+    *
+    * Refusals: type changes on existing columns (this writer does not
+    * rewrite old files), dropping into a non-nullable hole, partition
+    * columns missing from `df`, column-mapped tables (new fields need
+    * physical-name + maxColumnId assignment — not yet implemented),
+    * and the same writer-obligation gates as [[appendDelta]].
+    */
+  def appendDeltaEvolve(df: DataFrame, dir: String, checkpointInterval: Int = 0,
+                        txn: Option[(String, Long)] = None): Unit = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.StructType
+    val spark = df.sparkSession
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none",
+      "appendDeltaEvolve: column-mapped tables need physical-name/maxColumnId " +
+        "assignment for new fields — not implemented; use appendDelta for " +
+        "schema-stable appends")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    val tableNames = table.fieldNames.toSet
+    // the same obligation gates as appendDeltaWithSnapshot — evolution
+    // is still an append, and the table's declared constraints bind it
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
+        (snap.minWriter == 7 && unsafe.isEmpty),
+      s"appendDeltaEvolve: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing")
+    if (snap.minWriter >= 3 && snap.minWriter <= 5) {
+      val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
+      require(constraints.isEmpty,
+        s"appendDeltaEvolve: CHECK constraints ${constraints.mkString(", ")} " +
+          "this writer cannot enforce; refusing")
+      val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
+      require(generated.isEmpty,
+        s"appendDeltaEvolve: generated columns ${generated.map(_.name).mkString(", ")} " +
+          "this writer cannot compute; refusing")
+    }
+    val withInvariants = invariantFields(table)
+    require(withInvariants.isEmpty,
+      s"appendDeltaEvolve: columns ${withInvariants.mkString(", ")} declare " +
+        "invariants this writer cannot enforce; refusing")
+
+    // common columns: appendDelta's exact compatibility rules
+    val dfByName = df.schema.fields.map(f => f.name -> f).toMap
+    table.fields.foreach { t =>
+      dfByName.get(t.name).foreach { a =>
+        require(typeCompatible(a.dataType, t.dataType),
+          s"appendDeltaEvolve: type mismatch at '${t.name}': appended " +
+            s"${a.dataType.simpleString}, table declares ${t.dataType.simpleString} — " +
+            "evolution adds columns, it does not change existing ones")
+        require(t.nullable || !a.nullable,
+          s"appendDeltaEvolve: column '${t.name}' may carry nulls but the table " +
+            "declares it non-nullable")
+      }
+    }
+    // holes: table columns absent from df — null-fill, nullable only
+    table.fields.filterNot(t => dfByName.contains(t.name)).foreach { t =>
+      require(t.nullable,
+        s"appendDeltaEvolve: table column '${t.name}' is non-nullable and missing " +
+          "from the appended data — cannot null-fill")
+      require(!snap.partCols.contains(t.name),
+        s"appendDeltaEvolve: partition column '${t.name}' missing from the appended " +
+          "data — every row needs a partition value")
+    }
+    // new columns: appended after the table's fields, forced nullable
+    val newFields = df.schema.fields.filterNot(f => tableNames.contains(f.name))
+      .map(_.copy(nullable = true))
+    val merged = StructType(table.fields ++ newFields)
+    val aligned = df.select(merged.fields.map { f =>
+      if (dfByName.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+    val schemaChanged = newFields.nonEmpty
+    if (!schemaChanged) {
+      appendDeltaWithSnapshot(aligned, dir, checkpointInterval, txn, snap)
+    } else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+      val confJson = snap.configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val id = snap.metaId.getOrElse(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
+      val metaLine =
+        s"""{"metaData":{"id":${om.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(merged.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+      commitDelta(aligned, dir, snap.version + 1, includeMeta = true,
+        checkpointInterval, partCols = snap.partCols, txn = txn,
+        metaOverride = Some((protocolJson(snap), metaLine)))
+    }
+  }
+
   /** Every nested field path under `st` carrying `delta.invariants`
     * metadata — PROTOCOL.md allows invariants on struct members, so a
     * top-level-only scan would wave through exactly the unchecked

@@ -1,0 +1,113 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+
+/** Schema-evolution appends (`LakeWriter.appendDeltaEvolve`): new
+  * columns append nullable, holes null-fill, historic versions keep
+  * their historic schema, and the refusal surface stays loud.
+  */
+class DeltaEvolveSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  test("a new column evolves the schema; old rows read null; time travel keeps the old shape") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir) // v0
+    LakeWriter.appendDeltaEvolve(
+      Seq((2L, "c", 10L), (3L, "d", 20L)).toDF("id", "v", "extra").coalesce(1), dir)  // v1
+
+    val latest = DeltaReader.read(spark, dir)
+    assert(latest.schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+    assert(latest.select("id", "v", "extra").as[(Long, String, Option[Long])]
+      .collect().toSet == Set((0L, "a", None), (1L, "b", None),
+        (2L, "c", Some(10L)), (3L, "d", Some(20L))))
+    // historic read replays the historic schemaString
+    val v0 = DeltaReader.read(spark, dir, Some(0L))
+    assert(v0.schema.fieldNames.toSeq == Seq("id", "v"))
+    assert(v0.as[(Long, String)].collect().toSet == Set((0L, "a"), (1L, "b")))
+    // checkpoint + replay keeps the merged schema
+    LakeWriter.checkpointDelta(spark, dir, 1L)
+    assert(DeltaReader.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "v", "extra"))
+  }
+
+  test("holes null-fill when nullable; strict appendDelta then needs the full arity") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_hole_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)       // v0
+    LakeWriter.appendDeltaEvolve(Seq(Tuple1(1L)).toDF("id").coalesce(1), dir)    // v1: v null-fills
+    assert(DeltaReader.read(spark, dir).select("id", "v")
+      .as[(Long, Option[String])].collect().toSet ==
+      Set((0L, Some("a")), (1L, None)))
+    // the schema did NOT change (no new columns): still (id, v)
+    assert(DeltaReader.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "v"))
+    // strict append still enforces exact arity on the merged schema
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.appendDelta(Seq(Tuple1(9L)).toDF("id").coalesce(1), dir)
+    }
+    assert(e.getMessage.contains("columns"), e.getMessage)
+  }
+
+  test("evolution refuses type changes, non-nullable holes, and missing partition columns") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_ref_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)
+    val e1 = intercept[IllegalArgumentException] {
+      LakeWriter.appendDeltaEvolve(Seq(("x", "b")).toDF("id", "v").coalesce(1), dir)
+    }
+    assert(e1.getMessage.contains("type mismatch"), e1.getMessage)
+
+    // non-nullable hole: build a table whose schemaString declares v
+    // non-nullable, then evolve-append without v
+    val dir2 = tmp("graft_evo_nn_")
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType,
+        nullable = false)))
+    val log2 = new java.io.File(dir2, "_delta_log"); log2.mkdirs()
+    java.nio.file.Files.write(new java.io.File(log2, "0" * 20 + ".json").toPath,
+      (s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""" + "\n" +
+        s"""{"metaData":{"id":"e","format":{"provider":"parquet","options":{}},"schemaString":${
+          om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""")
+        .getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      LakeWriter.appendDeltaEvolve(Seq(Tuple1(1L)).toDF("id").coalesce(1), dir2)
+    }
+    assert(e2.getMessage.contains("non-nullable"), e2.getMessage)
+
+    // partition column missing from the appended data
+    val dir3 = tmp("graft_evo_part_")
+    LakeWriter.writeDelta(Seq((0L, "a", "x")).toDF("id", "v", "p"), dir3,
+      partitionBy = Seq("p"))
+    val e3 = intercept[IllegalArgumentException] {
+      LakeWriter.appendDeltaEvolve(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir3)
+    }
+    assert(e3.getMessage.contains("partition column"), e3.getMessage)
+  }
+
+  test("evolution on a partitioned table keeps partitioning; successive evolutions stack") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_stack_")
+    LakeWriter.writeDelta(Seq((0L, "a", "x")).toDF("id", "v", "p"), dir,
+      partitionBy = Seq("p"))                                                  // v0
+    LakeWriter.appendDeltaEvolve(
+      Seq((1L, "b", "y", 1.5)).toDF("id", "v", "p", "w").coalesce(1), dir)     // v1: +w
+    LakeWriter.appendDeltaEvolve(
+      Seq((2L, "c", "x", 2.5, true)).toDF("id", "v", "p", "w", "f").coalesce(1), dir) // v2: +f
+    val df = DeltaReader.read(spark, dir)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v", "p", "w", "f"))
+    assert(df.select("id", "v", "p", "w", "f")
+      .as[(Long, String, String, Option[Double], Option[Boolean])].collect().toSet ==
+      Set((0L, "a", "x", None, None), (1L, "b", "y", Some(1.5), None),
+        (2L, "c", "x", Some(2.5), Some(true))))
+    // partition pruning still rides the log's partitionValues
+    assert(DeltaReader.readPartition(spark, dir, Map("p" -> "x"))
+      .select("id").as[Long].collect().toSet == Set(0L, 2L))
+  }
+}
