@@ -91,6 +91,17 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // Z-order compaction: layout-only rewrite (dataChange=false) —
+    // the read after OPTIMIZE ZORDER must reproduce the rows exactly
+    "delta_zorder" -> ((s, dir) => {
+      val d = freshDir("zo")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.compactDeltaZOrder(s, d, "o_custkey", "o_totalprice",
+        filesPerPartition = 4)
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     // schema evolution: even keys land at v0 with the base schema,
     // odd keys evolve-append a new o_bucket column at v1; the latest
     // read null-fills the old rows
@@ -177,6 +188,11 @@ object DeltaQueries {
          |       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s))
          |$aggSql
          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_zorder" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_evolve" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,

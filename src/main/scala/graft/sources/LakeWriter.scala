@@ -433,7 +433,8 @@ object LakeWriter {
                                  txn: Option[(String, Long)] = None,
                                  metaOverride: Option[(String, String)] = None,
                                  extraActions: Seq[String] = Nil,
-                                 configuration: Map[String, String] = Map.empty): Unit = {
+                                 configuration: Map[String, String] = Map.empty,
+                                 addDataChange: Boolean = true): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -512,7 +513,7 @@ object LakeWriter {
       val pvJson = pv.map { case (c, v) =>
         s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
-      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":true}}"""
+      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":$addDataChange}}"""
     }
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
@@ -1387,6 +1388,94 @@ object LakeWriter {
       if (commitBelow || cpBelow) fs.delete(st.getPath, false)
     }
     (deleted ++ deletedCdc).sorted
+  }
+
+  /** Z-ORDER compaction (OPTIMIZE ZORDER BY) for Delta tables: every
+    * partition's live rows rewrite into `filesPerPartition` files
+    * range-partitioned and sorted by the Morton interleave of `c1` and
+    * `c2`'s quantile buckets — the same curve [[writeZOrdered]] lays
+    * plain parquet with, carried by the table format. A commit of
+    * dataChange=false removes + adds: the snapshot's ROWS are
+    * untouched (streaming readers and CDF skip it) but min/max file
+    * stats become selective on BOTH columns, so a scan filtered on
+    * either prunes to O(matching files) instead of reading the table —
+    * at 100 TB this is the difference between a point lookup touching
+    * a handful of files and touching all of them.
+    *
+    * Same gates as [[compactDelta]] (column mapping refused; legacy
+    * writer obligations hold for a dataChange=false re-statement of
+    * existing rows; v7 tables must declare only preserved features).
+    * Deletion vectors fold through the DV-applied scan and drop, like
+    * compaction. Quantile bounds come from ONE approximate pass over
+    * the live table; the per-row z-value is a driver-broadcast bucket
+    * lookup (the bounds array is 255 doubles — constant size at any
+    * table size).
+    */
+  def compactDeltaZOrder(spark: SparkSession, dir: String, c1: String, c2: String,
+                         filesPerPartition: Int = 8): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx, udf}
+    require(filesPerPartition > 0, s"compactDeltaZOrder: filesPerPartition $filesPerPartition")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "compactDeltaZOrder: column-mapped tables not supported (rewritten files would " +
+        "carry logical names readers can't resolve)")
+    val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors")
+    val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
+      s"compactDeltaZOrder: table requires writer version ${snap.minWriter}" +
+        (if (compactUnsafe.nonEmpty) s" with features ${compactUnsafe.mkString(", ")}" else "") +
+        " — refusing to rewrite")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    Seq(c1, c2).foreach { c =>
+      require(table.fieldNames.contains(c),
+        s"compactDeltaZOrder: column '$c' not in ${table.fieldNames.mkString(", ")}")
+      require(!snap.partCols.contains(c),
+        s"compactDeltaZOrder: '$c' is a partition column — it already prunes via " +
+          "partitionValues; z-order the within-partition columns instead")
+    }
+    val active = snap.active
+    if (active.isEmpty) return
+
+    // quantile bounds: ONE approximate pass over the live table
+    val all = DeltaReader.scanFiles(spark, dir, snap, active)
+    val qs = (1 until 256).map(_ / 256.0)
+    val bounds = all.select(
+      percentile_approx(col(c1).cast("double"), lit(qs.toArray), lit(10000)),
+      percentile_approx(col(c2).cast("double"), lit(qs.toArray), lit(10000)))
+      .head()
+    val b1 = bounds.getSeq[Double](0).toArray
+    val b2 = bounds.getSeq[Double](1).toArray
+    def bucket(bs: Array[Double], v: Double): Int = {
+      val i = java.util.Arrays.binarySearch(bs, v)
+      if (i >= 0) i + 1 else -(i + 1)
+    }
+    val zUdf = udf { (x: java.lang.Double, y: java.lang.Double) =>
+      // nulls sort first: bucket 0 on the null side of the curve
+      val a = if (x == null) 0 else bucket(b1, x)
+      val b = if (y == null) 0 else bucket(b2, y)
+      var r = 0; var i = 0
+      while (i < 8) { r |= (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)); i += 1 }
+      r
+    }
+
+    // per-partition rewrite, unioned into ONE commit: each branch keeps
+    // its own range partitioning, and the partitionBy staging routes
+    // every task's rows to its partition directory
+    val staged = active.groupBy(_.partitionValues).map { case (_, files) =>
+      DeltaReader.scanFiles(spark, dir, snap, files)
+        .withColumn("__z", zUdf(col(c1).cast("double"), col(c2).cast("double")))
+        .repartitionByRange(filesPerPartition, col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z")
+    }.reduce(_ unionByName _)
+    val removes = active.sortBy(_.path).map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":false}}"""
+    }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval = 0, partCols = snap.partCols,
+      extraActions = removes, addDataChange = false)
   }
 
   /** RESTORE the Delta table to its state at `versionAsOf` — a NEW
