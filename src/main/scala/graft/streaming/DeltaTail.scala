@@ -142,4 +142,92 @@ object DeltaTail {
     while (pollOnce(s, dir, checkpoint, process, maxVersionsPerTrigger).isDefined) n += 1
     n
   }
+
+  private def readWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                            wmFile: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(wmFile)) None
+    else {
+      val in = fs.open(wmFile)
+      val raw = try new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
+      val t = raw.trim
+      require(t.nonEmpty && t.forall(_.isDigit),
+        s"corrupt delta-tail watermark $wmFile (content: '$t') — repair or remove " +
+          "the file; removing restarts the tail from its starting position")
+      Some(t.toLong)
+    }
+
+  private def writeWatermark(fs: org.apache.hadoop.fs.FileSystem,
+                             cpDir: org.apache.hadoop.fs.Path,
+                             wmFile: org.apache.hadoop.fs.Path, version: Long): Unit = {
+    fs.mkdirs(cpDir)
+    val tmp = new org.apache.hadoop.fs.Path(cpDir,
+      s".${wmFile.getName}.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+    if (fs.exists(wmFile)) fs.delete(wmFile, false)
+    require(fs.rename(tmp, wmFile),
+      s"rename $tmp -> $wmFile failed; the tail will redeliver version $version")
+  }
+
+  /** One CHANGE-FEED micro-batch poll — the streaming form of
+    * [[graft.sources.DeltaReader.readChanges]]: deliver the row-level
+    * changes of every version committed since the watermark (schema =
+    * table columns + `_change_type` + `_commit_version`), then advance
+    * the watermark with the same atomic write-then-rename discipline
+    * as [[pollOnce]]. Where the append-only tail REFUSES
+    * delete/update/merge versions, this tail streams them — the CDC
+    * consumer shape (sync a downstream store, invalidate caches,
+    * retrain on deltas).
+    *
+    * `startingVersion`: Some(v) makes the first poll deliver changes
+    * from version v (0 = the table's whole history as changes, the
+    * initial inserts included); None starts tailing AFTER the current
+    * version — the first poll just records the position and delivers
+    * nothing, delta-spark's default for a new CDF stream.
+    *
+    * At-least-once per poll, exactly-once end-to-end with a
+    * version-deduping sink — `_commit_version` rides IN the rows, so
+    * the sink can dedup without extra plumbing. Underivable commits
+    * (non-CDF rewrites) refuse loudly via readChanges; commits below
+    * log retention refuse via the commit-not-present gate. Uses its
+    * own watermark file, so a change tail and an append tail can share
+    * a checkpoint directory without clobbering each other.
+    */
+  def pollChangesOnce(s: SparkSession, dir: String, checkpoint: String,
+                      process: (DataFrame, Long) => Unit,
+                      startingVersion: Option[Long] = None,
+                      maxVersionsPerTrigger: Option[Int] = None): Option[Long] = {
+    maxVersionsPerTrigger.foreach(m => require(m > 0,
+      s"maxVersionsPerTrigger $m must be positive"))
+    val hconf = s.sessionState.newHadoopConf()
+    val cpDir = new org.apache.hadoop.fs.Path(checkpoint)
+    val fs = cpDir.getFileSystem(hconf)
+    val wmFile = new org.apache.hadoop.fs.Path(cpDir, "delta_tail_cdf_version")
+    val watermark = readWatermark(fs, wmFile)
+    val snap = graft.sources.DeltaReader.snapshot(s, dir, None)
+    val from: Long = watermark.map(_ + 1).orElse(startingVersion).getOrElse {
+      // start-from-now: record the position, deliver nothing
+      writeWatermark(fs, cpDir, wmFile, snap.version)
+      return None
+    }
+    if (from > snap.version) return None
+    val to = maxVersionsPerTrigger.map(m => math.min(snap.version, from + m - 1))
+      .getOrElse(snap.version)
+    val batch = DeltaReader.readChanges(s, dir, from, to)
+    process(batch, to)
+    writeWatermark(fs, cpDir, wmFile, to)
+    Some(to)
+  }
+
+  /** Drain the change feed until quiescent; returns batches delivered. */
+  def drainChanges(s: SparkSession, dir: String, checkpoint: String,
+                   process: (DataFrame, Long) => Unit,
+                   startingVersion: Option[Long] = None,
+                   maxVersionsPerTrigger: Option[Int] = None): Int = {
+    var n = 0
+    while (pollChangesOnce(s, dir, checkpoint, process, startingVersion,
+      maxVersionsPerTrigger).isDefined) n += 1
+    n
+  }
 }

@@ -139,6 +139,52 @@ class DeltaCdfSpec extends SparkSpec {
       Set((1L, "b", "delete", 3L)))
   }
 
+  test("the CDF streaming tail replays changes per version and survives resume") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_tail_")
+    val cp = tmp("graft_cdf_tail_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1),
+      dir, configuration = CDF)                                      // v0
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 0").nonEmpty)    // v1
+    assert(LakeWriter.updateWhere(spark, dir, "id = 1", Map("v" -> "'B'")).nonEmpty) // v2
+
+    // from-history start, one version per trigger: 3 batches, whose
+    // union equals the batch readChanges over the whole range
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    val batches = graft.streaming.DeltaTail.drainChanges(spark, dir, cp,
+      (df, _) => got ++= changes(df),
+      startingVersion = Some(0L), maxVersionsPerTrigger = Some(1))
+    assert(batches == 3, s"expected 3 single-version batches, got $batches")
+    assert(got.toSet == changes(DeltaReader.readChanges(spark, dir, 0L, 2L)))
+    // quiescent: nothing redelivers
+    assert(graft.streaming.DeltaTail.drainChanges(spark, dir, cp,
+      (_, _) => fail("no new versions — nothing must deliver")) == 0)
+    // new mutation → exactly its changes deliver on the next poll
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 1").nonEmpty)    // v3
+    val got2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    assert(graft.streaming.DeltaTail.drainChanges(spark, dir, cp,
+      (df, _) => got2 ++= changes(df)) == 1)
+    assert(got2.toSet == Set((1L, "B", "delete", 3L)))
+  }
+
+  test("the CDF tail's start-from-now mode skips history") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_now_")
+    val cp = tmp("graft_cdf_now_cp_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1),
+      dir, configuration = CDF)                                      // v0
+    // first poll records position, delivers nothing
+    assert(graft.streaming.DeltaTail.pollChangesOnce(spark, dir, cp,
+      (_, _) => fail("start-from-now must not deliver history")).isEmpty)
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 0").nonEmpty)    // v1
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    assert(graft.streaming.DeltaTail.pollChangesOnce(spark, dir, cp,
+      (df, _) => got ++= changes(df)).contains(1L))
+    assert(got.toSet == Set((0L, "a", "delete", 1L)))
+  }
+
   test("compaction is allowed on CDF tables and readChanges skips its commit") {
     val s = spark
     import s.implicits._
