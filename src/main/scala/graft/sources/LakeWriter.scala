@@ -190,11 +190,11 @@ object LakeWriter {
     * physical-name + maxColumnId assignment — not yet implemented),
     * and the same writer-obligation gates as [[appendDelta]].
     */
-  def appendDeltaEvolve(df: DataFrame, dir: String, checkpointInterval: Int = 0,
+  def appendDeltaEvolve(df0: DataFrame, dir: String, checkpointInterval: Int = 0,
                         txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
     import org.apache.spark.sql.types.StructType
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none",
@@ -206,27 +206,18 @@ object LakeWriter {
     val tableNames = table.fieldNames.toSet
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
+      "checkConstraints", "generatedColumns", "changeDataFeed")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
       s"appendDeltaEvolve: table requires writer version ${snap.minWriter}" +
         (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
         " — refusing")
-    if (snap.minWriter >= 3 && snap.minWriter <= 5) {
-      val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
-      require(constraints.isEmpty,
-        s"appendDeltaEvolve: CHECK constraints ${constraints.mkString(", ")} " +
-          "this writer cannot enforce; refusing")
-      val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
-      require(generated.isEmpty,
-        s"appendDeltaEvolve: generated columns ${generated.map(_.name).mkString(", ")} " +
-          "this writer cannot compute; refusing")
-    }
-    val withInvariants = invariantFields(table)
-    require(withInvariants.isEmpty,
-      s"appendDeltaEvolve: columns ${withInvariants.mkString(", ")} declare " +
-        "invariants this writer cannot enforce; refusing")
+    // obligations enforce on the PRE-alignment batch: omitted generated
+    // columns compute from their expressions (not null-fill), provided
+    // ones verify, constraints/invariants check in one pass
+    val df = enforceObligations(df0, snap, table, "appendDeltaEvolve")
 
     // common columns: appendDelta's exact compatibility rules
     val dfByName = df.schema.fields.map(f => f.name -> f).toMap
@@ -298,6 +289,107 @@ object LakeWriter {
     }
   }
 
+  /** (path, expression, enforceable) for every `delta.invariants`
+    * field: top-level and struct-nested invariants evaluate row-wise
+    * (the stored expression references the dotted path), but an
+    * invariant INSIDE an array/map element has no single row-wise
+    * expression — those stay refuse-territory. The metadata value is
+    * the protocol's `{"expression":{"expression":"<sql>"}}` wrapper,
+    * with a raw-string fallback for hand-built tables.
+    */
+  private def invariantExprs(st: org.apache.spark.sql.types.StructType,
+                             prefix: String = "",
+                             enforceable: Boolean = true): Seq[(String, String, Boolean)] = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    st.fields.toSeq.flatMap { f =>
+      val here = if (!f.metadata.contains("delta.invariants")) Nil else {
+        val raw = f.metadata.getString("delta.invariants")
+        val e =
+          try {
+            val n = om.readTree(raw)
+            if (n != null && n.has("expression") && n.get("expression").has("expression"))
+              n.get("expression").get("expression").asText()
+            else raw
+          } catch { case _: Exception => raw }
+        Seq((prefix + f.name, e, enforceable))
+      }
+      val below = f.dataType match {
+        case s: StructType => invariantExprs(s, s"$prefix${f.name}.", enforceable)
+        case ArrayType(s: StructType, _) =>
+          invariantExprs(s, s"$prefix${f.name}.element.", enforceable = false)
+        case MapType(_, s: StructType, _) =>
+          invariantExprs(s, s"$prefix${f.name}.value.", enforceable = false)
+        case _ => Nil
+      }
+      here ++ below
+    }
+  }
+
+  /** ENFORCE the table's declared write obligations on a batch of new
+    * values — the writer-protocol duties real delta-spark performs
+    * instead of refusing: CHECK constraints (`delta.constraints.*` in
+    * configuration; TRUE-or-NULL passes, FALSE refuses — SQL
+    * semantics), column invariants (field metadata; same rule), and
+    * generated columns (computed from their expression when the batch
+    * omits them, VERIFIED null-safe-equal when it provides them). All
+    * verifications run in ONE distributed aggregation over the batch;
+    * any violation refuses the whole write with the named check and
+    * its row count — a partial write of the passing rows would not be
+    * the caller's batch. Returns the batch with generated columns
+    * completed, in table column order when completion happened.
+    */
+  private[graft] def enforceObligations(df: DataFrame, snap: DeltaReader.Snapshot,
+                                        table: org.apache.spark.sql.types.StructType,
+                                        op: String): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, sum, when, not}
+    val constraints = snap.configuration.toSeq.sortBy(_._1).collect {
+      case (k, v) if k.startsWith("delta.constraints.") =>
+        (s"CHECK constraint '${k.stripPrefix("delta.constraints.")}' ($v)", v)
+    }
+    val invariants = invariantExprs(table)
+    val unenforceable = invariants.collect { case (p, _, false) => p }
+    require(unenforceable.isEmpty,
+      s"$op: columns ${unenforceable.mkString(", ")} declare invariants inside " +
+        "array/map elements — no row-wise enforcement exists; refusing")
+    val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
+    if (constraints.isEmpty && invariants.isEmpty && generated.isEmpty) return df
+
+    val present = df.columns.toSet
+    val completed0 = generated.filterNot(g => present.contains(g.name)).foldLeft(df) {
+      (d, g) => d.withColumn(g.name,
+        expr(g.metadata.getString("delta.generationExpression")).cast(g.dataType))
+    }
+    val completed =
+      if (completed0 eq df) df
+      else if (table.fieldNames.forall(completed0.columns.contains))
+        completed0.select(table.fieldNames.map(col).toIndexedSeq: _*)
+      else completed0
+
+    def failedCheck(e: String) =
+      // SQL CHECK semantics: TRUE and NULL pass, FALSE refuses
+      coalesce(expr(e).cast("boolean"), lit(true)) === lit(false)
+    val checks: Seq[(String, org.apache.spark.sql.Column)] =
+      constraints.map { case (label, e) => (label, failedCheck(e)) } ++
+        invariants.map { case (p, e, _) => (s"invariant on '$p' ($e)", failedCheck(e)) } ++
+        generated.filter(g => present.contains(g.name)).map { g =>
+          val e = g.metadata.getString("delta.generationExpression")
+          (s"generated column '${g.name}' ($e)",
+            not(col(g.name) <=> expr(e).cast(g.dataType)))
+        }
+    if (checks.nonEmpty) {
+      val aggCols = checks.zipWithIndex.map { case ((_, cond), i) =>
+        sum(when(cond, 1L).otherwise(0L)).as(s"__viol_$i")
+      }
+      val row = completed.agg(aggCols.head, aggCols.tail: _*).head()
+      checks.zipWithIndex.foreach { case ((label, _), i) =>
+        val n = if (row.isNullAt(i)) 0L else row.getLong(i) // null = empty batch
+        require(n == 0L, s"$op: $n row(s) violate $label — refusing to write")
+      }
+    }
+    completed
+  }
+
   /** Structural type compatibility for the append gate: equal shapes
     * with nested StructField METADATA ignored (a table whose fields
     * carry comments or invariant annotations must still accept data
@@ -329,7 +421,7 @@ object LakeWriter {
     * its txn-watermark check and the append, instead of replaying the
     * log twice per batch.
     */
-  private[graft] def appendDeltaWithSnapshot(df: DataFrame, dir: String,
+  private[graft] def appendDeltaWithSnapshot(df0: DataFrame, dir: String,
                                              checkpointInterval: Int,
                                              txn: Option[(String, Long)],
                                              snap: DeltaReader.Snapshot): Unit = {
@@ -341,8 +433,10 @@ object LakeWriter {
     // (respect + rewrite DVs when modifying files) only binds writes
     // that TOUCH existing files, and a pure append never does.
     // columnMapping is append-safe because the physical rename below
-    // stages parquet in the table's physical names.
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping")
+    // stages parquet in the table's physical names. checkConstraints /
+    // generatedColumns / invariants are ENFORCED below, not refused.
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "checkConstraints", "generatedColumns", "changeDataFeed")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
@@ -352,29 +446,12 @@ object LakeWriter {
         "enforce the table's declared constraints; refusing to write")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // the legacy writer versions 3-5 are CUMULATIVE feature floors
-    // (3: check constraints, 4: generated columns + CDF, 5: column
-    // mapping); a pure append is legal on them exactly when none of the
-    // non-append obligations is actually declared: CHECK constraints
-    // live in configuration, generated columns in field metadata, and
-    // CDF derives pure-append change data from the add actions alone
-    if (snap.minWriter >= 3 && snap.minWriter <= 5) {
-      val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
-      require(constraints.isEmpty,
-        s"appendDelta: table declares CHECK constraints ${constraints.mkString(", ")} " +
-          "this writer cannot enforce; refusing to write unchecked data")
-      val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
-      require(generated.isEmpty,
-        s"appendDelta: columns ${generated.map(_.name).mkString(", ")} are generated " +
-          "columns this writer cannot compute; refusing to write")
-    }
-    // column invariants live in schemaString field metadata (at ANY
-    // nesting depth) and exist from writer version 2 up — a data check
-    // this writer doesn't run
-    val withInvariants = invariantFields(table)
-    require(withInvariants.isEmpty,
-      s"appendDelta: columns ${withInvariants.mkString(", ")} declare " +
-        "invariants this writer cannot enforce; refusing to write unchecked data")
+    // the table's declared write obligations — CHECK constraints
+    // (configuration), column invariants (field metadata), generated
+    // columns (computed when omitted, verified when provided) — are
+    // ENFORCED on the batch in one distributed pass; a violation
+    // refuses the whole write with the named check
+    val df = enforceObligations(df0, snap, table, "appendDelta")
     require(df.schema.length == table.length,
       s"appendDelta: appended schema has ${df.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
@@ -742,7 +819,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed")
+      "changeDataFeed", "checkConstraints", "generatedColumns")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"deleteWhere: table requires writer version ${snap.minWriter}" +
@@ -867,7 +944,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed")
+      "changeDataFeed", "checkConstraints", "generatedColumns")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"deleteWhereDv: table requires writer version ${snap.minWriter}" +
@@ -1038,7 +1115,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "mergeInto: table declares delta.appendOnly=true — merges rewrite rows; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed")
+      "changeDataFeed", "checkConstraints", "generatedColumns")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"mergeInto: table requires writer version ${snap.minWriter}" +
@@ -1046,18 +1123,8 @@ object LakeWriter {
         " — refusing a rewrite whose obligations this writer cannot honor")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
-    require(constraints.isEmpty,
-      s"mergeInto: table declares CHECK constraints ${constraints.mkString(", ")} " +
-        "this writer cannot enforce on merged values; refusing")
-    val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
-    require(generated.isEmpty,
-      s"mergeInto: columns ${generated.map(_.name).mkString(", ")} are generated " +
-        "columns this writer cannot recompute; refusing")
-    val withInvariants = invariantFields(table)
-    require(withInvariants.isEmpty,
-      s"mergeInto: columns ${withInvariants.mkString(", ")} declare invariants " +
-        "this writer cannot enforce on merged values; refusing")
+    // CHECK constraints / invariants / generated columns are VERIFIED
+    // on the merged result before the commit (enforceObligations below)
     require(source.schema.length == table.length,
       s"mergeInto: source has ${source.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
@@ -1114,7 +1181,12 @@ object LakeWriter {
       .select(keyCols.map(col): _*).distinct()
     val inserts = source.join(tgtKeys, keyCols, "left_anti")
       .select(table.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    val upserted = rewritten.unionByName(inserts)
+    // every row this commit writes — matched rewrites, copied-through
+    // survivors, inserts — passes the table's declared checks, the
+    // same whole-write verification real delta-spark's invariant
+    // checker applies to a MERGE's physical plan
+    val upserted = enforceObligations(rewritten.unionByName(inserts), snap, table,
+      "mergeInto")
 
     val phys: Map[String, String] =
       if (cm == "none") Map.empty
@@ -1181,7 +1253,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed")
+      "changeDataFeed", "checkConstraints", "generatedColumns")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhere: table requires writer version ${snap.minWriter}" +
@@ -1189,18 +1261,8 @@ object LakeWriter {
         " — refusing a rewrite whose obligations this writer cannot honor")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val constraints = snap.configuration.keys.filter(_.startsWith("delta.constraints."))
-    require(constraints.isEmpty,
-      s"updateWhere: table declares CHECK constraints ${constraints.mkString(", ")} " +
-        "this writer cannot enforce on the new values; refusing")
-    val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
-    require(generated.isEmpty,
-      s"updateWhere: columns ${generated.map(_.name).mkString(", ")} are generated " +
-        "columns this writer cannot recompute; refusing")
-    val withInvariants = invariantFields(table)
-    require(withInvariants.isEmpty,
-      s"updateWhere: columns ${withInvariants.mkString(", ")} declare invariants " +
-        "this writer cannot enforce on the new values; refusing")
+    // CHECK constraints / invariants / generated columns are VERIFIED
+    // on the updated rows before the commit (enforceObligations below)
     val badCols = set.keySet -- table.fieldNames.toSet
     require(badCols.isEmpty,
       s"updateWhere: SET targets ${badCols.mkString(", ")} not in the table schema " +
@@ -1230,12 +1292,12 @@ object LakeWriter {
     // demands), everything else copies through
     val src = DeltaReader.scanFiles(spark, dir, snap, affected)
     val hit = coalesce(pred, lit(false))
-    val rewritten = src.select(table.fields.map { f =>
+    val rewritten = enforceObligations(src.select(table.fields.map { f =>
       (set.get(f.name) match {
         case Some(e) => when(hit, expr(e).cast(f.dataType)).otherwise(col(f.name))
         case None => col(f.name)
       }).as(f.name)
-    }.toIndexedSeq: _*)
+    }.toIndexedSeq: _*), snap, table, "updateWhere")
     val phys: Map[String, String] =
       if (cm == "none") Map.empty
       else table.fields.map { f =>
@@ -1516,7 +1578,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed")
+      "changeDataFeed", "checkConstraints", "generatedColumns")
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
       s"restoreDelta: table requires writer version ${cur.minWriter}" +

@@ -138,7 +138,7 @@ class DeltaCmWriteSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
-  test("legacy writer gates: constraints and generated columns still refuse") {
+  test("legacy writer obligations: constraints and generated columns ENFORCE on append") {
     val s = spark
     import s.implicits._
     val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
@@ -155,13 +155,20 @@ class DeltaCmWriteSpec extends SparkSpec {
         ).mkString("\n").getBytes("UTF-8"))
       dir.getPath
     }
-    // a CHECK constraint in configuration refuses
+    // a CHECK constraint in configuration ENFORCES: passing rows write,
+    // a violating batch refuses wholesale with the named check
     val d1 = mk(""""delta.constraints.positive":"id > 0"""", plain)
+    LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d1)
+    assert(DeltaReader.read(spark, d1).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "a")))
     val e1 = intercept[IllegalArgumentException] {
-      LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d1)
+      LakeWriter.appendDelta(Seq((0L, "z"), (2L, "b")).toDF("id", "v"), d1)
     }
-    assert(e1.getMessage.contains("constraints"), e1.getMessage)
-    // a generated column refuses
+    assert(e1.getMessage.contains("violate") &&
+      e1.getMessage.contains("positive"), e1.getMessage)
+    // the violating batch wrote NOTHING
+    assert(DeltaReader.read(spark, d1).count() == 1L)
+    // a generated column VERIFIES provided values...
     val gen = StructType(Seq(
       StructField("id", LongType),
       StructField("v", StringType, nullable = true,
@@ -171,11 +178,36 @@ class DeltaCmWriteSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d2)
     }
-    assert(e2.getMessage.contains("generated"), e2.getMessage)
+    assert(e2.getMessage.contains("generated column 'v'"), e2.getMessage)
+    LakeWriter.appendDelta(Seq((1L, "1")).toDF("id", "v"), d2)
+    // ...and COMPUTES omitted ones
+    LakeWriter.appendDelta(Seq(Tuple1(7L)).toDF("id"), d2)
+    assert(DeltaReader.read(spark, d2).select("id", "v")
+      .as[(Long, String)].collect().toSet == Set((1L, "1"), (7L, "7")))
     // ...but a bare version-4 table with neither declared appends fine
     val d3 = mk("", plain)
     LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), d3)
     assert(DeltaReader.read(spark, d3).select("id", "v")
       .as[(Long, String)].collect().toSet == Set((1L, "a")))
+    // UPDATE and MERGE verify the same obligations on their rewrites:
+    // an update that would break the CHECK constraint refuses atomically
+    val e3 = intercept[Exception] {
+      LakeWriter.updateWhere(spark, d1, "id = 1", Map("id" -> "-id"))
+    }
+    assert(e3.getMessage.contains("violate") || Option(e3.getCause).exists(
+      _.getMessage.contains("violate")), e3.getMessage)
+    assert(DeltaReader.read(spark, d1).select("id").as[Long].collect().toSet == Set(1L))
+    // a constraint-respecting update lands
+    assert(LakeWriter.updateWhere(spark, d1, "id = 1", Map("id" -> "id + 10")).nonEmpty)
+    assert(DeltaReader.read(spark, d1).select("id").as[Long].collect().toSet == Set(11L))
+    // merge: a violating source row refuses the whole merge
+    val e4 = intercept[Exception] {
+      LakeWriter.mergeInto(spark, d1, Seq((-5L, "x")).toDF("id", "v"), Seq("id"))
+    }
+    assert(e4.getMessage.contains("violate") || Option(e4.getCause).exists(
+      _.getMessage.contains("violate")), e4.getMessage)
+    assert(LakeWriter.mergeInto(spark, d1, Seq((5L, "x")).toDF("id", "v"), Seq("id")).isEmpty)
+    assert(DeltaReader.read(spark, d1).select("id").as[Long].collect().toSet ==
+      Set(5L, 11L))
   }
 }

@@ -416,13 +416,13 @@ class DeltaReaderSpec extends SparkSpec {
     // writer version 7 with a feature this writer cannot enforce
     val (dir2, log2) = mkTable()
     commit(log2, 0, Seq(
-      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["checkConstraints"]}}""",
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":["rowTracking"]}}""",
       s"""{"metaData":{"id":"wf1","format":{"provider":"parquet","options":{}},"schemaString":${
         om.writeValueAsString(dataSchema.json)},"partitionColumns":[],"configuration":{}}}"""))
     val e2 = intercept[IllegalArgumentException] {
       graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir2.getPath)
     }
-    assert(e2.getMessage.contains("checkConstraints"), e2.getMessage)
+    assert(e2.getMessage.contains("rowTracking"), e2.getMessage)
     // ...but version 7 carrying only append-safe features accepts
     val (dir3, log3) = mkTable()
     commit(log3, 0, Seq(
@@ -432,8 +432,9 @@ class DeltaReaderSpec extends SparkSpec {
     graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir3.getPath)
     assert(DeltaReader.read(spark, dir3.getPath)
       .select("id", "v").as[(Long, String)].collect().toSet == Set((1L, "a")))
-    // column invariants (legal from writer version 2) are a data check
-    // this writer doesn't run — refuse rather than write unchecked rows
+    // column invariants (legal from writer version 2) ENFORCE: a
+    // passing batch writes, a violating one refuses with the named
+    // invariant and writes nothing
     val invSchema = StructType(Seq(
       StructField("id", LongType, nullable = true,
         new org.apache.spark.sql.types.MetadataBuilder()
@@ -445,10 +446,13 @@ class DeltaReaderSpec extends SparkSpec {
       """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
       s"""{"metaData":{"id":"inv1","format":{"provider":"parquet","options":{}},"schemaString":${
         om.writeValueAsString(invSchema.json)},"partitionColumns":[],"configuration":{}}}"""))
+    graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir4.getPath)
     val e3 = intercept[IllegalArgumentException] {
-      graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir4.getPath)
+      graft.sources.LakeWriter.appendDelta(Seq((-1L, "z")).toDF("id", "v"), dir4.getPath)
     }
-    assert(e3.getMessage.contains("invariants"), e3.getMessage)
+    assert(e3.getMessage.contains("invariant on 'id'"), e3.getMessage)
+    assert(DeltaReader.read(spark, dir4.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet == Set((1L, "a")))
   }
 
   test("compactDelta folds small files per partition without changing data") {
