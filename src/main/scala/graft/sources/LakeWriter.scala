@@ -1176,10 +1176,15 @@ object LakeWriter {
          else when(col("__m").isNotNull, col(s"__s_${f.name}").cast(f.dataType))
            .otherwise(col(f.name))).as(f.name)
       }.toIndexedSeq: _*)
-    // inserts: source keys absent from the WHOLE live target
-    val tgtKeys = DeltaReader.scanFiles(spark, dir, snap, snap.active)
-      .select(keyCols.map(col): _*).distinct()
-    val inserts = source.join(tgtKeys, keyCols, "left_anti")
+    // inserts: source keys with no live target match. Any target row
+    // matching a source key lives in an AFFECTED file by construction
+    // (affected = files holding matched keys, from the semi-join
+    // above), so the probe scans the affected files only — O(affected),
+    // not a second full-table scan; on a 100-TB table a 10-row merge
+    // reads 10 files twice instead of the lake twice
+    val matchedKeys = affectedRows.join(srcRen.select(keyCols.map(col): _*),
+      keyCols, "left_semi").select(keyCols.map(col): _*).distinct()
+    val inserts = source.join(matchedKeys, keyCols, "left_anti")
       .select(table.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
     // every row this commit writes — matched rewrites, copied-through
     // survivors, inserts — passes the table's declared checks, the
