@@ -102,14 +102,25 @@ object Similarity {
     * O(1) as the corpus grows), then assign EVERY vector.
     * Output: (id, vec, cell, nrm).
     */
+  /** `nCells <= 0` selects AUTO cell count: corpus count / 256 (cells
+    * of ~256 vectors), clamped to [16, 4096]. Constant cell size is
+    * what keeps IVF ~linear as the corpus grows — a FIXED nCells means
+    * 10× rows = 10× cell membership = 100× within-cell pairs (the
+    * sf1 superlinear entry in SURVEY §5); the clamp's top end bounds
+    * the KMeans fit (k ≤ training-sample/24 at the default maxTrain).
+    */
+  def autoCells(n: Long): Int =
+    math.min(4096L, math.max(16L, n / 256L)).toInt
+
   def assignCells(emb: DataFrame, nCells: Int, seed: Long,
                   id: String = "vec_id", vec: String = "embedding",
                   maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
+    val k = if (nCells > 0) nCells else autoCells(emb.count())
     val toVec = udf((a: Array[Float]) =>
       org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
     val feat = emb.select(col(id), col(vec)).withColumn("fv", toVec(col(vec)))
     val model = new org.apache.spark.ml.clustering.KMeans()
-      .setK(nCells).setSeed(seed).setMaxIter(maxIter)
+      .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")
       .fit(feat.limit(maxTrain))
     model.transform(feat)
@@ -363,17 +374,18 @@ object Similarity {
               maxTrain: Int = 65536, maxIter: Int = 10): PqModel = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val k = if (nCells > 0) nCells else autoCells(corpus.count())
     val sample = corpus.select(col(vec)).limit(maxTrain).as[Array[Float]].collect()
     require(sample.nonEmpty, "trainPq: empty corpus")
     val dim = sample.head.length
     require(dim % m == 0, s"trainPq: dim $dim not divisible by m $m")
     val sub = dim / m
     val samplePts = sample.map(v => v.map(_.toDouble))
-    val centroids = lloyd(samplePts, nCells, maxIter)
+    val centroids = lloyd(samplePts, k, maxIter)
     val codebooks = Array.tabulate(m) { s =>
       lloyd(sample.map(v => Array.tabulate(sub)(j => v(s * sub + j).toDouble)), 1 << bits, maxIter)
     }
-    PqModel(nCells, m, bits, dim, centroids, codebooks)
+    PqModel(k, m, bits, dim, centroids, codebooks)
   }
 
   /** Distributed PQ encode: (cell, nid, codes, approx norm) — stays a

@@ -122,4 +122,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(filters.exists(f => f.contains("cell") && f.nonEmpty),
       s"expected a non-empty cell partition filter, got $filters in:\n$plan")
   }
+
+  test("nCells <= 0 selects auto cell count scaled to the corpus") {
+    import spark.implicits._
+    // the formula itself
+    assert(Similarity.autoCells(100L) == 16)        // floor
+    assert(Similarity.autoCells(256L * 64) == 64)   // ~256 vectors/cell
+    assert(Similarity.autoCells(10_000_000L) == 4096) // KMeans-bound cap
+    // auto mode threads through assignCells: a 2k-vector corpus gets
+    // 16 cells (floor), and the assignment covers every vector
+    val big = (0 until 2048).map { i =>
+      val v = Array.fill(8)(0f); v(i % 8) = 1f + (i % 5) * 0.1f
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val assigned = Similarity.assignCells(big, nCells = 0, seed = 42L)
+    assert(assigned.count() == 2048L)
+    assert(assigned.select("cell").distinct().count() <= 16L)
+  }
 }
