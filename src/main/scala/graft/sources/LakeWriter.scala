@@ -1105,7 +1105,8 @@ object LakeWriter {
     * driver.
     */
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
-                keyCols: Seq[String]): Seq[String] = {
+                keyCols: Seq[String],
+                txn: Option[(String, Long)] = None): Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, when}
     require(keyCols.nonEmpty, "mergeInto: empty key column list")
     val snap = DeltaReader.snapshot(spark, dir, None)
@@ -1227,7 +1228,7 @@ object LakeWriter {
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
-      checkpointInterval = 0, partCols = stagePartCols,
+      checkpointInterval = 0, partCols = stagePartCols, txn = txn,
       extraActions = removes ++ cdcActions)
     affected.map(_.path).sorted
   }

@@ -60,6 +60,51 @@ object DeltaStream {
     s"$appId-$scope"
   }
 
+  /** Streaming UPSERT sink: each micro-batch MERGEs into the table on
+    * `keyCols` (matched target rows replaced by the batch row,
+    * unmatched batch rows inserted) under the SAME txn exactly-once
+    * discipline as [[writeDelta]] — the CDC-apply shape: a change
+    * stream keyed by primary key lands as a continuously-upserted
+    * table instead of an append log. The batch must carry ONE row per
+    * key ([[graft.sources.LakeWriter.mergeInto]]'s ambiguity refusal)
+    * — aggregate to last-event-per-key upstream (e.g. a
+    * max_by/window), exactly as real MERGE demands. The first batch
+    * creates the table.
+    */
+  def upsertDelta(stream: DataFrame, dir: String, checkpoint: String,
+                  appId: String, keyCols: Seq[String],
+                  partitionBy: Seq[String] = Nil): StreamingQuery = {
+    val scoped = scopedAppId(appId, checkpoint)
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("update")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        upsertBatch(batch.toDF(), dir, scoped, batchId, keyCols, partitionBy)
+      }
+      .start()
+  }
+
+  /** One micro-batch's exactly-once MERGE — [[commitBatch]]'s
+    * arbitration with the append swapped for [[LakeWriter.mergeInto]].
+    */
+  private[graft] def upsertBatch(batch: DataFrame, dir: String, appId: String,
+                                 batchId: Long, keyCols: Seq[String],
+                                 partitionBy: Seq[String] = Nil): Unit = {
+    val s = batch.sparkSession
+    val hconf = s.sessionState.newHadoopConf()
+    val live = DeltaReader.isDeltaTable(dir, hconf) &&
+      DeltaReader.hasLogEntries(dir, hconf)
+    if (!live) {
+      LakeWriter.writeDelta(batch, dir, checkpointInterval = 0,
+        partitionBy, Some(appId -> batchId))
+    } else {
+      val snap = DeltaReader.snapshot(s, dir, None)
+      if (batchId > snap.txns.getOrElse(appId, -1L))
+        LakeWriter.mergeInto(s, dir, batch, keyCols, Some(appId -> batchId))
+      // else: replay of an already-committed batch — exactly-once skip
+    }
+  }
+
   /** One micro-batch's exactly-once commit — factored out of the
     * foreachBatch closure so the skip/append/create arbitration is
     * directly testable.

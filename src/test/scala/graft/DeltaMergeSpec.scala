@@ -98,4 +98,36 @@ class DeltaMergeSpec extends SparkSpec {
     assert(active.forall(a =>
       a.path.startsWith("p=" + a.partitionValues("p") + "/")), active.map(_.path))
   }
+
+  test("streaming upsert batches apply exactly once: create, merge, replay-skip") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_upsert_")
+    val appId = "cdc-apply"
+    // batch 0 creates the table
+    graft.streaming.DeltaStream.upsertBatch(
+      Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir, appId, 0L, Seq("id"))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b")))
+    // batch 1 merges: key 1 updates, key 2 inserts
+    graft.streaming.DeltaStream.upsertBatch(
+      Seq((1L, "B"), (2L, "c")).toDF("id", "v").coalesce(1), dir, appId, 1L, Seq("id"))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "B"), (2L, "c")))
+    val v = DeltaReader.snapshot(spark, dir, None).version
+    // a crash-replay of batch 1 with DIFFERENT content must be skipped
+    // (the watermark says it already committed)
+    graft.streaming.DeltaStream.upsertBatch(
+      Seq((1L, "WRONG")).toDF("id", "v").coalesce(1), dir, appId, 1L, Seq("id"))
+    assert(DeltaReader.snapshot(spark, dir, None).version == v)
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "B"), (2L, "c")))
+    // a later batch still applies
+    graft.streaming.DeltaStream.upsertBatch(
+      Seq((0L, "A2")).toDF("id", "v").coalesce(1), dir, appId, 2L, Seq("id"))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "A2"), (1L, "B"), (2L, "c")))
+    // and a duplicate-keyed batch refuses loudly (MERGE ambiguity)
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.DeltaStream.upsertBatch(
+        Seq((5L, "x"), (5L, "y")).toDF("id", "v").coalesce(1), dir, appId, 3L, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"), e.getMessage)
+  }
 }
