@@ -1,0 +1,138 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+
+/** Model-based randomized test of the Delta mutation surface: a seeded
+  * random sequence of append / copy-on-write delete / DV delete /
+  * update / merge / restore / compact / z-order / checkpoint ops runs
+  * against BOTH the real table and an in-memory Map[id -> v] model.
+  * After every committed version the latest read must equal the model;
+  * at the end every historical version must time-travel to its
+  * recorded state, and on a CDF table the change feed folded from
+  * version 0 must reconstruct every state — the invariant that makes
+  * CDC consumers sound.
+  */
+class DeltaModelSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  private def readState(dir: String): Map[Long, String] = {
+    val s = spark
+    import s.implicits._
+    DeltaReader.read(spark, dir).select("id", "v").as[(Long, String)]
+      .collect().toMap
+  }
+
+  private def readStateAt(dir: String, v: Long): Map[Long, String] = {
+    val s = spark
+    import s.implicits._
+    DeltaReader.read(spark, dir, Some(v)).select("id", "v").as[(Long, String)]
+      .collect().toMap
+  }
+
+  private def df(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("id", "v").coalesce(1)
+  }
+
+  /** Run one random scenario; returns (history by version, dir). */
+  private def runScenario(seed: Long, cdf: Boolean, ops: Int): (Vector[Map[Long, String]], String) = {
+    val rnd = new scala.util.Random(seed)
+    val dir = tmp(s"graft_model_${seed}_")
+    var nextId = 100L
+    def freshIds(n: Int): Seq[Long] = {
+      val ids = (nextId until nextId + n); nextId += n; ids
+    }
+    var model: Map[Long, String] = freshIds(8).map(i => i -> s"v$i").toMap
+    LakeWriter.writeDelta(df(model.toSeq), dir,
+      configuration = if (cdf) Map("delta.enableChangeDataFeed" -> "true") else Map.empty)
+    var history = Vector(model)
+    def version: Long = DeltaReader.snapshot(spark, dir, None).version
+    assert(version == 0L)
+
+    (1 to ops).foreach { _ =>
+      val before = version
+      rnd.nextInt(9) match {
+        case 0 => // append fresh rows
+          val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
+          LakeWriter.appendDelta(df(rows), dir)
+          model ++= rows
+        case 1 => // copy-on-write delete by modulus
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          LakeWriter.deleteWhere(spark, dir, s"id % $m = $r")
+          model = model.filterNot { case (id, _) => id % m == r }
+        case 2 => // DV delete by modulus
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          LakeWriter.deleteWhereDv(spark, dir, s"id % $m = $r")
+          model = model.filterNot { case (id, _) => id % m == r }
+        case 3 => // update: suffix matching rows' values
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          LakeWriter.updateWhere(spark, dir, s"id % $m = $r",
+            Map("v" -> "concat(v, 'u')"))
+          model = model.map { case (id, v) =>
+            id -> (if (id % m == r) v + "u" else v)
+          }
+        case 4 => // merge: update some existing keys + insert fresh ones
+          val existing = rnd.shuffle(model.keys.toSeq).take(rnd.nextInt(3))
+            .map(i => i -> s"m$i")
+          val inserted = freshIds(rnd.nextInt(3)).map(i => i -> s"m$i")
+          val src = existing ++ inserted
+          if (src.nonEmpty) {
+            LakeWriter.mergeInto(spark, dir, df(src), Seq("id"))
+            model ++= src
+          }
+        case 5 if !cdf && history.size > 1 => // restore to a random earlier version
+          val target = rnd.nextInt(history.size - 1)
+          LakeWriter.restoreDelta(spark, dir, target.toLong)
+          model = history(target)
+        case 6 => // compaction: layout only
+          LakeWriter.compactDelta(spark, dir, minFiles = 2)
+        case 7 => // z-order: layout only (two derived numeric axes)
+          if (model.nonEmpty)
+            LakeWriter.compactDeltaZOrder(spark, dir, "id", "id", filesPerPartition = 2)
+        case _ => // checkpoint at the current version
+          LakeWriter.checkpointDelta(spark, dir, before)
+      }
+      val after = version
+      assert(after == before || after == before + 1,
+        s"op advanced version $before -> $after")
+      if (after > before) history :+= model
+      assert(readState(dir) == model,
+        s"latest read diverged from the model at version $after (seed $seed)")
+    }
+    (history, dir)
+  }
+
+  test("random op sequences: latest always equals the model; every version time-travels") {
+    Seq(11L, 42L).foreach { seed =>
+      val (history, dir) = runScenario(seed, cdf = false, ops = 10)
+      history.zipWithIndex.foreach { case (state, v) =>
+        assert(readStateAt(dir, v.toLong) == state,
+          s"versionAsOf $v diverged (seed $seed)")
+      }
+    }
+  }
+
+  test("CDF: folding the change feed from version 0 reconstructs every state") {
+    val s = spark
+    import s.implicits._
+    val (history, dir) = runScenario(7L, cdf = true, ops = 10)
+    val changes = DeltaReader.readChanges(spark, dir, 0L, history.size - 1L)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect()
+    var state = Map.empty[Long, String]
+    history.indices.foreach { v =>
+      val cv = changes.filter(_._4 == v)
+      // removals first (delete + update_preimage), then arrivals —
+      // within one version the pairs are disjoint on (id) per op shape
+      cv.filter(c => c._3 == "delete" || c._3 == "update_preimage")
+        .foreach(c => state -= c._1)
+      cv.filter(c => c._3 == "insert" || c._3 == "update_postimage")
+        .foreach(c => state += (c._1 -> c._2))
+      assert(state == history(v),
+        s"change-feed fold diverged at version $v: $state vs ${history(v)}")
+    }
+  }
+}
