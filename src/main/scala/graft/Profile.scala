@@ -45,6 +45,8 @@ object Profile {
       case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-delta" => stressDelta(spark, args.lift(1).map(_.toInt).getOrElse(10000))
+      case "stress-delta-mutate" =>
+        stressDeltaMutate(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "stress-delta-files" =>
         stressDeltaFiles(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "recall"     => annRecall(spark, sfDir)
@@ -276,6 +278,71 @@ object Profile {
     * ≈ 100) and one at n-1 — proves the driver-side component is
     * bounded by checkpointInterval in practice, not just by design.
     */
+  /** Mutation-family stress at FILE-COUNT scale: a `files`-file table
+    * (tight per-file id ranges via repartitionByRange) takes a narrow
+    * copy-on-write delete, a narrow DV delete and a 10-key merge —
+    * each must touch O(matching files), not the table — plus a
+    * change-feed catch-up cost curve (cdc commits hand-authored over
+    * one shared cdc parquet, so the measurement isolates the
+    * per-version driver parse + plan cost, the thing that grows with
+    * consumer lag).
+    */
+  def stressDeltaMutate(spark: SparkSession, files: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_mutate_").toFile
+    val n = files * 100L
+    val df = spark.range(n).select(col("id"), concat(lit("v"), col("id")).as("v"))
+      .repartitionByRange(files, col("id"))
+    time(s"create_${files}_files")(LakeWriter.writeDelta(df, dir.getPath))
+    time("deleteWhere_narrow") {
+      val removed = LakeWriter.deleteWhere(spark, dir.getPath, "id >= 110 AND id < 160")
+      println(s"  rewrote ${removed.size} file(s)")
+    }
+    time("deleteWhereDv_narrow") {
+      val touched = LakeWriter.deleteWhereDv(spark, dir.getPath, "id >= 300 AND id < 360")
+      println(s"  DV'd ${touched.size} file(s)")
+    }
+    time("mergeInto_10_keys") {
+      val src = spark.range(10)
+        .select((col("id") * (n / 10) + 777).as("id"), lit("merged").as("v"))
+      val rewritten = LakeWriter.mergeInto(spark, dir.getPath, src, Seq("id"))
+      println(s"  rewrote ${rewritten.size} file(s)")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+
+    // change-feed catch-up: V cdc commits over one shared cdc parquet —
+    // readChanges builds one scan branch per version, so this curve is
+    // the driver cost a far-behind CDF tail pays per poll (and the
+    // reason maxVersionsPerTrigger exists)
+    Seq(64, 256).foreach { v =>
+      val d2 = java.nio.file.Files.createTempDirectory("graft_stress_cdf_").toFile
+      val log = new java.io.File(d2, "_delta_log"); log.mkdirs()
+      val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+      import spark.implicits._
+      Seq((1L, "x", "delete")).toDF("id", "v", "_change_type")
+        .coalesce(1).write.parquet(new java.io.File(d2, "_change_data/stage").getPath)
+      val cdcFile = new java.io.File(d2, "_change_data/stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      (0 until v).foreach { i =>
+        val head = if (i > 0) Nil else Seq(
+          """{"protocol":{"minReaderVersion":1,"minWriterVersion":4}}""",
+          s"""{"metaData":{"id":"cdf","format":{"provider":"parquet","options":{}},"schemaString":${
+            om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.enableChangeDataFeed":"true"}}}""")
+        val lines = head ++ Seq(
+          s"""{"cdc":{"path":"_change_data/stage/${cdcFile.getName}","partitionValues":{},"size":100,"dataChange":false}}""")
+        java.nio.file.Files.write(new java.io.File(log, f"$i%020d.json").toPath,
+          lines.mkString("\n").getBytes("UTF-8"))
+      }
+      time(s"readChanges_catchup_$v")(
+        println(s"  rows = ${DeltaReader.readChanges(spark, d2.getPath, 0L, v - 1L).count()}"))
+      org.apache.commons.io.FileUtils.deleteDirectory(d2)
+    }
+  }
+
   def stressDelta(spark: SparkSession, n: Int): Unit = {
     import graft.sources.{DeltaReader, LakeWriter}
     val dir = java.nio.file.Files.createTempDirectory("graft_stress_delta_").toFile

@@ -419,7 +419,7 @@ object DeltaReader {
     * files never carry them).
     */
   private def readCdcFiles(s: SparkSession, dir: String, snap: Snapshot,
-                           files: Seq[AddFile]): DataFrame = {
+                           files: Seq[AddFile], withPath: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
     def physName(f: org.apache.spark.sql.types.StructField): String =
@@ -432,13 +432,16 @@ object DeltaReader {
     val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
       .map(f => physName(f) -> f.name) :+ ("_change_type" -> "_change_type")
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
-    val outNames = schema.fieldNames :+ "_change_type"
+    val outNames = schema.fieldNames ++ Seq("_change_type") ++
+      (if (withPath) Seq("__chg_path") else Nil)
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       val paths = group.map(f => new Path(dir, percentDecode(f.path)).toString)
       val base0 = s.read.schema(dataSchema).parquet(paths: _*)
-      val base = base0.select(logicalByPhys.map { case (phys, logical) =>
+      val proj = logicalByPhys.map { case (phys, logical) =>
         base0.col(s"`${phys.replace("`", "``")}`").as(logical)
-      }.toIndexedSeq: _*)
+      } ++ (if (withPath)
+        Seq(uriPathCol(base0.col("_metadata.file_path")).as("__chg_path")) else Nil)
+      val base = base0.select(proj.toIndexedSeq: _*)
       val withParts = partSchema.foldLeft(base) { (df, f) =>
         val raw = pv.get(physName(f)).orElse(pv.get(f.name)).orNull
         df.withColumn(f.name, lit(raw).cast(f.dataType))
@@ -466,13 +469,18 @@ object DeltaReader {
     * REFUSES loudly — its per-row changes are not derivable from file
     * actions, and delta-spark refuses the same way.
     *
-    * Scale: driver state is O(actions in the window); each version's
-    * rows scan distributed. The derivation for removes-only commits
-    * pays one snapshot replay at v-1 (rare shape; our own writers
-    * never produce it).
+    * Scale: driver state is O(actions in the window), and the PLAN is
+    * O(1) in window size: all cdc files scan in one grouped pass and
+    * all derived-insert files in another, each joined (broadcast) to a
+    * tiny path→version map — a 10^4-version catch-up builds two scan
+    * branches, not 10^4 (measured: the per-version-branch plan cost
+    * was ~30 ms/version before this). The derivation for removes-only
+    * commits pays one snapshot replay at v-1 (rare shape; our own
+    * writers never produce it) and stays per-version.
     */
   def readChanges(s: SparkSession, dir: String,
                   fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
     val latest = snapshot(s, dir, None)
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest.version,
       s"readChanges: range [$fromVersion, $toVersion] outside [0, ${latest.version}]")
@@ -481,18 +489,25 @@ object DeltaReader {
     val outSchema = StructType(schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
-    val perVersion: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
+    val outCols = outSchema.fieldNames.map(col).toIndexedSeq
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    def normPath(p: String): String =
+      fs.makeQualified(new Path(root, percentDecode(p))).toUri.getPath
+
+    // classify the window on the driver — O(actions), no plan built yet
+    val cdcFiles = Seq.newBuilder[(AddFile, Long)]
+    val insertAdds = Seq.newBuilder[(AddFile, Long)]
+    val removeGroups = Seq.newBuilder[(Seq[AddFile], Long)]
+    (fromVersion to toVersion).foreach { v =>
       val cdc = commitCdc(s, dir, v)
-      if (cdc.nonEmpty)
-        Some(readCdcFiles(s, dir, snapTo, cdc).withColumn("_commit_version", lit(v)))
+      if (cdc.nonEmpty) cdc.foreach(c => cdcFiles += ((c, v)))
       else {
         val (adds, removes) = commitChanges(s, dir, v)
         val addsDc = adds.collect { case (af, true) => af }
         val remsDc = removes.collect { case (p, true) => p }
         if (addsDc.nonEmpty && remsDc.isEmpty)
-          Some(scanFiles(s, dir, snapTo, addsDc)
-            .withColumn("_change_type", lit("insert"))
-            .withColumn("_commit_version", lit(v)))
+          addsDc.foreach(a => insertAdds += ((a, v)))
         else if (remsDc.nonEmpty && addsDc.isEmpty) {
           val prev = snapshot(s, dir, Some(v - 1))
           val gone = remsDc.toSet
@@ -500,10 +515,8 @@ object DeltaReader {
           require(removedFiles.size == gone.size,
             s"readChanges: version $v removes ${gone.size} paths but only " +
               s"${removedFiles.size} resolve in version ${v - 1}'s snapshot — corrupt log")
-          Some(scanFiles(s, dir, snapTo, removedFiles)
-            .withColumn("_change_type", lit("delete"))
-            .withColumn("_commit_version", lit(v)))
-        } else if (addsDc.isEmpty && remsDc.isEmpty) None
+          removeGroups += ((removedFiles, v))
+        } else if (addsDc.isEmpty && remsDc.isEmpty) ()
         else throw new IllegalArgumentException(
           s"readChanges: version $v rewrites files (dataChange adds AND removes) " +
             "without change data files — its row-level changes are not derivable; " +
@@ -511,9 +524,40 @@ object DeltaReader {
             "around it")
       }
     }
-    if (perVersion.isEmpty)
+
+    def versionMap(pairs: Seq[(AddFile, Long)], key: String): DataFrame = {
+      import s.implicits._
+      pairs.map { case (f, v) => (normPath(f.path), v) }
+        .toDF(key, "_commit_version")
+    }
+    val parts = Seq.newBuilder[DataFrame]
+    val cdcPairs = cdcFiles.result()
+    if (cdcPairs.nonEmpty) {
+      // one grouped scan of the DISTINCT files; a file referenced by
+      // several commits (legal for the window) joins to each version
+      val distinctFiles = cdcPairs.map(_._1).distinctBy(f => (f.path, f.partitionValues))
+      parts += readCdcFiles(s, dir, snapTo, distinctFiles, withPath = true)
+        .join(broadcast(versionMap(cdcPairs, "__chg_path")), "__chg_path")
+        .select(outCols: _*)
+    }
+    val insPairs = insertAdds.result()
+    if (insPairs.nonEmpty) {
+      val distinctFiles = insPairs.map(_._1).distinctBy(f => (f.path, f.partitionValues))
+      parts += scanFiles(s, dir, snapTo, distinctFiles, keepLineage = true)
+        .withColumn("_change_type", lit("insert"))
+        .join(broadcast(versionMap(insPairs, "__dv_path")), "__dv_path")
+        .select(outCols: _*)
+    }
+    removeGroups.result().foreach { case (files, v) =>
+      parts += scanFiles(s, dir, snapTo, files)
+        .withColumn("_change_type", lit("delete"))
+        .withColumn("_commit_version", lit(v))
+        .select(outCols: _*)
+    }
+    val built = parts.result()
+    if (built.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
-    else perVersion.reduce(_ unionByName _)
+    else built.reduce(_ unionByName _)
   }
 
   /** Replay the log to the target version: commit JSON driver-parsed
