@@ -65,7 +65,8 @@ object DeltaReader {
     */
   private[graft] case class AddFile(path: String, partitionValues: Map[String, String],
                                       size: Long = 0L, modificationTime: Long = 0L,
-                                      dv: Option[DvDescriptor] = None)
+                                      dv: Option[DvDescriptor] = None,
+                                      stats: Option[String] = None)
 
   /** The replayed log state at one version — what both the reader and
     * the checkpoint writer need: the live add set plus table metadata
@@ -335,7 +336,12 @@ object DeltaReader {
     }.getOrElse(Map.empty[String, String])
     def optLong(name: String): Long =
       if (a.has(name) && !a.get(name).isNull) a.get(name).asLong() else 0L
-    AddFile(a.get("path").asText(), pv, optLong("size"), optLong("modificationTime"), dv)
+    val stats =
+      if (a.has("stats") && !a.get("stats").isNull && a.get("stats").asText().nonEmpty)
+        Some(a.get("stats").asText())
+      else None
+    AddFile(a.get("path").asText(), pv, optLong("size"), optLong("modificationTime"), dv,
+      stats)
   }
 
   /** The adds and removes of ONE commit version, each with its
@@ -816,7 +822,8 @@ object DeltaReader {
               Option(r.getMap[String, String](1)).map(_.toMap)
                 .getOrElse(Map.empty[String, String]),
               if (r.isNullAt(2)) 0L else r.getLong(2),
-              if (r.isNullAt(3)) 0L else r.getLong(3), dv)
+              if (r.isNullAt(3)) 0L else r.getLong(3), dv,
+              if (r.isNullAt(9)) None else Some(r.getString(9)))
           }.toVector
           cpActive ++ survivors
       }
@@ -853,7 +860,8 @@ object DeltaReader {
       dvOpt("pathOrInlineDv", StringType).as("dv_p"),
       dvOpt("offset", IntegerType).as("dv_off"),
       dvOpt("sizeInBytes", IntegerType).as("dv_sz"),
-      dvOpt("cardinality", LongType).as("dv_card"))
+      dvOpt("cardinality", LongType).as("dv_card"),
+      opt("stats", StringType).as("stats"))
   }
 
   /** Snapshot read at the latest version, or at `versionAsOf`.
@@ -865,6 +873,23 @@ object DeltaReader {
     * renames to the logical schema. Metadata-only remap: same
     * distributed scan, pushdown and pruning as the unmapped path.
     */
+  /** Predicate-filtered read with DATA SKIPPING: files whose
+    * stats/partition envelope cannot satisfy `predicate` are pruned on
+    * the driver WITHOUT being opened (add.stats, written from parquet
+    * footers at commit time — [[DeltaStats]]), then the predicate
+    * applies exactly on the distributed scan of the survivors. The
+    * result equals `read(...).where(predicate)`; the difference is the
+    * 100-TB cost profile: a narrow predicate on a clustered/z-ordered
+    * table touches O(matching files), not O(table).
+    */
+  def readWhere(s: SparkSession, dir: String, predicate: String,
+                versionAsOf: Option[Long] = None): DataFrame = {
+    val snap = snapshot(s, dir, versionAsOf)
+    val files = DeltaStats.prune(s, snap.active, predicate, snap)
+    scanFiles(s, dir, snap, files)
+      .where(org.apache.spark.sql.functions.expr(predicate))
+  }
+
   /** Highest `txn` version committed for `appId`, or -1 if none — the
     * idempotence watermark of PROTOCOL.md's transaction identifiers: a
     * streaming writer skips any batch id at or below it, so a batch

@@ -1,0 +1,351 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions._
+
+/** Per-file statistics — the `add.stats` JSON of the Delta protocol —
+  * written from the staged parquet FOOTERS at commit time and used for
+  * DATA SKIPPING: a predicate that cannot match a file's
+  * [min, max]/null-count envelope prunes the file WITHOUT opening it.
+  * At 100 TB this is the difference between a narrow DELETE's
+  * find-phase touching O(matching files) and touching every file in
+  * the table (file-open cost alone, even with parquet row-group
+  * pruning, is proportional to file count — measured in SURVEY §4).
+  *
+  * Stats cover top-level int/long/float/double/boolean/string columns
+  * (strings only when valid UTF-8; NaN-containing float/double
+  * chunks are skipped); `numRecords` and per-column `nullCount`
+  * always. Unknown shapes simply OMIT entries — the pruner treats a
+  * missing bound as "may match", so partial stats are always sound.
+  *
+  * The pruner is deliberately CONSERVATIVE three-valued logic over the
+  * parsed (unresolved) predicate tree: comparisons and IN against
+  * literals, IsNull/IsNotNull via null counts, AND/OR composition;
+  * anything else answers "may match". Partition columns evaluate
+  * against the add's partitionValues — so one pruner serves both
+  * partition pruning and stats skipping. String comparisons prune only
+  * when both sides are pure ASCII (Java's UTF-16 ordering and
+  * parquet's unsigned-byte ordering agree there; beyond it they may
+  * not, and a wrong prune is a wrong answer).
+  */
+object DeltaStats {
+
+  private val sharedOm = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  /** Footer-derived stats JSON for one staged parquet file, or None if
+    * the footer is unreadable (the add simply carries no stats).
+    */
+  def fileStats(path: Path, conf: Configuration): Option[String] =
+    try {
+      // local paths open via java.nio directly: the Hadoop
+      // LocalFileSystem route pays checksum-FS overhead and a shared
+      // lock that serializes concurrent footer reads (measured ~7.6 ms
+      // per footer vs sub-ms raw)
+      val uri = path.toUri
+      val in: org.apache.parquet.io.InputFile =
+        if (uri.getScheme == null || uri.getScheme == "file")
+          new org.apache.parquet.io.LocalInputFile(
+            java.nio.file.Paths.get(uri.getPath))
+        else org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf)
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = rdr.getFooter.getBlocks
+        val om = sharedOm
+        val root = om.createObjectNode()
+        var numRecords = 0L
+        val it0 = blocks.iterator()
+        while (it0.hasNext) numRecords += it0.next().getRowCount
+        root.put("numRecords", numRecords)
+        val minNode = om.createObjectNode()
+        val maxNode = om.createObjectNode()
+        val nullNode = om.createObjectNode()
+        // aggregate per column across row groups
+        case class Agg(var min: Any, var max: Any, var nulls: Long,
+                       var ok: Boolean, var hasValues: Boolean)
+        val aggs = scala.collection.mutable.LinkedHashMap.empty[String, Agg]
+        val bit = blocks.iterator()
+        while (bit.hasNext) {
+          val cit = bit.next().getColumns.iterator()
+          while (cit.hasNext) {
+            val c = cit.next()
+            val pathArr = c.getPath.toArray
+            if (pathArr.length == 1) {
+              val name = pathArr(0)
+              val agg = aggs.getOrElseUpdate(name, Agg(null, null, 0L, ok = true,
+                hasValues = false))
+              val st = c.getStatistics
+              if (st == null || st.isEmpty) agg.ok = false
+              else {
+                agg.nulls += st.getNumNulls
+                if (st.getNumNulls < 0) agg.ok = false
+                if (st.hasNonNullValue) {
+                  val (mn, mx) = statBounds(c, st)
+                  if (mn == null) agg.ok = false
+                  else {
+                    if (!agg.hasValues) { agg.min = mn; agg.max = mx; agg.hasValues = true }
+                    else {
+                      if (ordLt(mn, agg.min)) agg.min = mn
+                      if (ordLt(agg.max, mx)) agg.max = mx
+                    }
+                  }
+                }
+              }
+            }
+          }
+        }
+        aggs.foreach { case (name, a) =>
+          if (a.ok) {
+            nullNode.put(name, a.nulls)
+            if (a.hasValues) { putValue(minNode, name, a.min); putValue(maxNode, name, a.max) }
+          }
+        }
+        root.set[JsonNode]("minValues", minNode)
+        root.set[JsonNode]("maxValues", maxNode)
+        root.set[JsonNode]("nullCount", nullNode)
+        Some(om.writeValueAsString(root))
+      } finally rdr.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** (min, max) as Long / Double / Boolean / String, or (null, null)
+    * when the physical/logical type is one we don't prune on.
+    */
+  private def statBounds(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
+                         st: org.apache.parquet.column.statistics.Statistics[_]): (Any, Any) = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val pt = c.getPrimitiveType
+    pt.getPrimitiveTypeName match {
+      case INT32 if pt.getLogicalTypeAnnotation == null ||
+          pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+        (s.getMin.toLong, s.getMax.toLong)
+      case INT64 if pt.getLogicalTypeAnnotation == null ||
+          pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+        (s.getMin, s.getMax)
+      case FLOAT =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.FloatStatistics]
+        if (s.getMin.isNaN || s.getMax.isNaN) (null, null)
+        else (s.getMin.toDouble, s.getMax.toDouble)
+      case DOUBLE =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.DoubleStatistics]
+        if (s.getMin.isNaN || s.getMax.isNaN) (null, null)
+        else (s.getMin, s.getMax)
+      case BOOLEAN =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.BooleanStatistics]
+        (s.getMin, s.getMax)
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation] =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
+        try (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
+        catch { case scala.util.control.NonFatal(_) => (null, null) }
+      case _ => (null, null)
+    }
+  }
+
+  private def ordLt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long)       => x < y
+    case (x: Double, y: Double)   => x < y
+    case (x: Boolean, y: Boolean) => !x && y
+    case (x: String, y: String)   => x < y
+    case _                        => false
+  }
+
+  private def putValue(n: com.fasterxml.jackson.databind.node.ObjectNode,
+                       name: String, v: Any): Unit = v match {
+    case x: Long    => n.put(name, x)
+    case x: Double  => n.put(name, x)
+    case x: Boolean => n.put(name, x)
+    case x: String  => n.put(name, x)
+    case _          =>
+  }
+
+  // ---------- pruning ----------
+
+  private case class FileEnv(numRecords: Option[Long],
+                             min: Map[String, JsonNode],
+                             max: Map[String, JsonNode],
+                             nulls: Map[String, Long],
+                             pv: Map[String, String])
+
+  private def parseEnv(a: DeltaReader.AddFile,
+                       om: com.fasterxml.jackson.databind.ObjectMapper,
+                       logicalToPhys: Map[String, String]): FileEnv = {
+    def fields(n: JsonNode, name: String): Map[String, JsonNode] =
+      Option(n.get(name)).filterNot(_.isNull).map { m =>
+        val b = Map.newBuilder[String, JsonNode]
+        val it = m.fields()
+        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
+        b.result()
+      }.getOrElse(Map.empty)
+    val (nr, mn, mx, nc) = a.stats.flatMap { s =>
+      try {
+        val n = om.readTree(s)
+        Some((
+          Option(n.get("numRecords")).filterNot(_.isNull).map(_.asLong()),
+          fields(n, "minValues"), fields(n, "maxValues"),
+          fields(n, "nullCount").collect { case (k, v) if v.isNumber => k -> v.asLong() }))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse((None, Map.empty[String, JsonNode], Map.empty[String, JsonNode],
+      Map.empty[String, Long]))
+    // stats/pv keys are the file's PHYSICAL names; expose under LOGICAL
+    def remap[V](m: Map[String, V]): Map[String, V] =
+      if (logicalToPhys.isEmpty) m
+      else logicalToPhys.collect { case (lg, ph) if m.contains(ph) => lg -> m(ph) } ++
+        m.filterNot(kv => logicalToPhys.values.exists(_ == kv._1))
+    FileEnv(nr, remap(mn), remap(mx), remap(nc), remap(a.partitionValues))
+  }
+
+  private val ascii = (s: String) => s.forall(_ < 128)
+
+  /** Literal's external value: Long / Double / Boolean / String, or
+    * null when we don't prune on its type.
+    */
+  private def litValue(l: Literal): Any = l.value match {
+    case null => null
+    case v: org.apache.spark.unsafe.types.UTF8String =>
+      val s = v.toString; if (ascii(s)) s else null
+    case v: Int => v.toLong
+    case v: Long => v
+    case v: Short => v.toLong
+    case v: Byte => v.toLong
+    case v: Double => v
+    case v: Float => v.toDouble
+    case v: Boolean => v
+    case v: java.math.BigDecimal => v.doubleValue()
+    case v: org.apache.spark.sql.types.Decimal => v.toDouble
+    case _ => null
+  }
+
+  private def jsonValue(n: JsonNode): Any =
+    if (n.isIntegralNumber) n.asLong()
+    else if (n.isFloatingPointNumber) n.asDouble()
+    else if (n.isBoolean) n.asBoolean()
+    else if (n.isTextual) { val s = n.asText(); if (ascii(s)) s else null }
+    else null
+
+  /** Numeric-tolerant three-way compare; None = incomparable. */
+  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    case (null, _) | (_, null)    => None
+    case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
+    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
+    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
+    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+    case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
+    case (x: String, y: String)   => Some(x.compareTo(y))
+    case _                        => None
+  }
+
+  /** May ANY row of the file match `pred`? Conservative: unknown
+    * shapes, missing stats, incomparable types all answer true.
+    */
+  private def mayMatch(pred: Expression, env: FileEnv,
+                       partCols: Set[String]): Boolean = {
+    def attrName(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    // the column's (min, max) envelope, or None when unknown.
+    def bounds(c: String): Option[(Any, Any)] =
+      if (partCols.contains(c)) {
+        // a partition value is a single point; typed via the literal it
+        // meets — here as a raw string, coerced at comparison time
+        env.pv.get(c).filter(_ != null).map(v => (v, v))
+      } else for {
+        mn <- env.min.get(c).map(jsonValue) if mn != null
+        mx <- env.max.get(c).map(jsonValue) if mx != null
+      } yield (mn, mx)
+    // coerce a partition-value STRING bound to the literal's type
+    def coerce(bound: Any, lit: Any): Any = (bound, lit) match {
+      case (s: String, _: Long)    => try s.trim.toLong catch { case _: Exception => null }
+      case (s: String, _: Double)  => try s.trim.toDouble catch { case _: Exception => null }
+      case (s: String, _: Boolean) => try s.trim.toBoolean catch { case _: Exception => null }
+      case (b, _)                  => b
+    }
+    def cmpOp(attr: Expression, lit: Expression, op: String, flip: Boolean): Boolean = {
+      (attrName(attr), lit) match {
+        case (Some(c), l: Literal) =>
+          val v = litValue(l)
+          if (v == null) return true
+          bounds(c) match {
+            case None => true
+            case Some((mn0, mx0)) =>
+              val mn = coerce(mn0, v); val mx = coerce(mx0, v)
+              if (mn == null || mx == null) return true
+              val effOp = if (!flip) op else op match {
+                case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<=" case o => o
+              }
+              effOp match {
+                case "="  => cmp(mn, v).forall(_ <= 0) && cmp(v, mx).forall(_ <= 0)
+                case "<"  => cmp(mn, v).forall(_ < 0)   // any value below v?
+                case "<=" => cmp(mn, v).forall(_ <= 0)
+                case ">"  => cmp(mx, v).forall(_ > 0)
+                case ">=" => cmp(mx, v).forall(_ >= 0)
+                case _    => true
+              }
+          }
+        case _ => true
+      }
+    }
+    pred match {
+      case And(l, r) => mayMatch(l, env, partCols) && mayMatch(r, env, partCols)
+      case Or(l, r)  => mayMatch(l, env, partCols) || mayMatch(r, env, partCols)
+      case EqualTo(a, l: Literal)            => cmpOp(a, l, "=", flip = false)
+      case EqualTo(l: Literal, a)            => cmpOp(a, l, "=", flip = false)
+      case LessThan(a, l: Literal)           => cmpOp(a, l, "<", flip = false)
+      case LessThan(l: Literal, a)           => cmpOp(a, l, "<", flip = true)
+      case LessThanOrEqual(a, l: Literal)    => cmpOp(a, l, "<=", flip = false)
+      case LessThanOrEqual(l: Literal, a)    => cmpOp(a, l, "<=", flip = true)
+      case GreaterThan(a, l: Literal)        => cmpOp(a, l, ">", flip = false)
+      case GreaterThan(l: Literal, a)        => cmpOp(a, l, ">", flip = true)
+      case GreaterThanOrEqual(a, l: Literal) => cmpOp(a, l, ">=", flip = false)
+      case GreaterThanOrEqual(l: Literal, a) => cmpOp(a, l, ">=", flip = true)
+      case In(a, vs) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.exists(v => cmpOp(a, v.asInstanceOf[Literal], "=", flip = false))
+      case IsNull(a) => attrName(a) match {
+        case Some(c) if !partCols.contains(c) =>
+          env.nulls.get(c).forall(_ > 0L)
+        case Some(c) => env.pv.get(c).forall(_ == null)
+        case None => true
+      }
+      case IsNotNull(a) => attrName(a) match {
+        case Some(c) if !partCols.contains(c) =>
+          // prune only a provably all-null file
+          !((env.nulls.get(c), env.numRecords) match {
+            case (Some(n), Some(t)) => n == t && t > 0L
+            case _ => false
+          })
+        case Some(c) => env.pv.get(c).exists(_ != null)
+        case None => true
+      }
+      case _ => true
+    }
+  }
+
+  /** The subset of `files` whose stats/partition envelope may satisfy
+    * `predicate` — sound (never drops a matching file), driver-side,
+    * O(files × predicate size), zero file opens.
+    */
+  def prune(spark: SparkSession, files: Seq[DeltaReader.AddFile], predicate: String,
+            snap: DeltaReader.Snapshot): Seq[DeltaReader.AddFile] = {
+    val pred =
+      try spark.sessionState.sqlParser.parseExpression(predicate)
+      catch { case scala.util.control.NonFatal(_) => return files }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val logicalToPhys: Map[String, String] =
+      if (!mapped) Map.empty
+      else schema.fields.collect {
+        case f if f.metadata.contains("delta.columnMapping.physicalName") =>
+          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val partCols = snap.partCols.toSet
+    files.filter(a => mayMatch(pred, parseEnv(a, om, logicalToPhys), partCols))
+  }
+}
