@@ -873,6 +873,46 @@ object DeltaReader {
     * renames to the logical schema. Metadata-only remap: same
     * distributed scan, pushdown and pruning as the unmapped path.
     */
+  /** Table history (DESCRIBE HISTORY): one row per commit JSON still
+    * present in the log, newest first — (version, operation,
+    * readVersion, engineInfo), from the `commitInfo` action graft's
+    * writers stamp on every commit (CREATE TABLE / WRITE / DELETE /
+    * UPDATE / MERGE / OPTIMIZE / RESTORE). Commits without one
+    * (foreign or pre-provenance tables) surface with a null
+    * operation; versions cleaned by retention are simply absent —
+    * checkpoints are snapshots, not history.
+    */
+  def history(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hconf = s.sessionState.newHadoopConf()
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(hconf)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val versions = fs.listStatus(logPath).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+    val rows = versions.map { v =>
+      val p = new Path(logPath, f"$v%020d.json")
+      var op: Option[String] = None
+      var readVersion: Option[Long] = None
+      var engine: Option[String] = None
+      val rd = new java.io.BufferedReader(
+        new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).foreach { line =>
+        val n = om.readTree(line)
+        if (n.has("commitInfo")) {
+          val ci = n.get("commitInfo")
+          op = Option(ci.get("operation")).filterNot(_.isNull).map(_.asText())
+          readVersion = Option(ci.get("readVersion")).filterNot(_.isNull).map(_.asLong())
+          engine = Option(ci.get("engineInfo")).filterNot(_.isNull).map(_.asText())
+        }
+      } finally rd.close()
+      (v, op.orNull, readVersion.map(Long.box).orNull, engine.orNull)
+    }
+    rows.sortBy(-_._1)
+      .toDF("version", "operation", "readVersion", "engineInfo")
+  }
+
   /** Predicate-filtered read with DATA SKIPPING: files whose
     * stats/partition envelope cannot satisfy `predicate` are pruned on
     * the driver WITHOUT being opened (add.stats, written from parquet

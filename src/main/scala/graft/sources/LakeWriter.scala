@@ -95,7 +95,7 @@ object LakeWriter {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
     commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn,
-      configuration = configuration)
+      configuration = configuration, operation = "CREATE TABLE")
   }
 
   /** Create a COLUMN-MAPPED (name mode) Delta table: logical names
@@ -130,6 +130,7 @@ object LakeWriter {
         om.writeValueAsString(logical.json)},"partitionColumns":$pcJson,"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${fields.length}"}}}"""
     commitDelta(dfPhys, dir, 0L, includeMeta = true, checkpointInterval,
       partitionBy.map(phys), txn,
+      operation = "CREATE TABLE",
       metaOverride = Some(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" -> metaLine))
   }
@@ -265,7 +266,8 @@ object LakeWriter {
         s"""{"metaData":{"id":${om.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(merged.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
       commitDelta(aligned, dir, snap.version + 1, includeMeta = true,
         checkpointInterval, partCols = snap.partCols, txn = txn,
-        metaOverride = Some((protocolJson(snap), metaLine)))
+        metaOverride = Some((protocolJson(snap), metaLine)),
+        operation = "WRITE")
     }
   }
 
@@ -511,7 +513,8 @@ object LakeWriter {
                                  metaOverride: Option[(String, String)] = None,
                                  extraActions: Seq[String] = Nil,
                                  configuration: Map[String, String] = Map.empty,
-                                 addDataChange: Boolean = true): Unit = {
+                                 addDataChange: Boolean = true,
+                                 operation: String = "WRITE"): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -581,6 +584,11 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val now = 0L // deterministic logs: modificationTime is informational
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    // commitInfo leads the commit (delta-spark's layout): pure
+    // provenance — excluded from checkpoints, ignored by state folding,
+    // surfaced by DeltaReader.history. timestamp stays 0 like every
+    // informational field in graft's deterministic logs.
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":${om.writeValueAsString(operation)},"operationParameters":{},${if (version > 0) s""""readVersion":${version - 1},""" else ""}"engineInfo":"graft"}}"""
     if (includeMeta) metaOverride match {
       case Some((protocolLine, metaLine)) =>
         actions += protocolLine
@@ -692,6 +700,7 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val stage = new org.apache.hadoop.fs.Path(root, s"_compact_${snap.version + 1}")
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"OPTIMIZE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
     groups.toSeq.sortBy(_._2.head.path).zipWithIndex.foreach { case ((pv, files), i) =>
       // one coalesced rewrite per oversized partition; the data read
       // is the DV-applied distributed scan of exactly that partition's
@@ -908,7 +917,7 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
-      extraActions = removes ++ cdcActions)
+      extraActions = removes ++ cdcActions, operation = "DELETE")
     affected.map(_.path).sorted
   }
 
@@ -1062,6 +1071,7 @@ object LakeWriter {
     def jarr(xs: Iterable[String]): String =
       xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"DELETE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
     val declared = snap.minReader >= 3 && snap.readerFeatures.contains("deletionVectors") &&
       snap.minWriter == 7 && snap.writerFeatures.contains("deletionVectors")
     if (!declared) {
@@ -1273,7 +1283,7 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols, txn = txn,
-      extraActions = removes ++ cdcActions)
+      extraActions = removes ++ cdcActions, operation = "MERGE")
     affected.map(_.path).sorted
   }
 
@@ -1382,7 +1392,7 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
-      extraActions = removes ++ cdcActions)
+      extraActions = removes ++ cdcActions, operation = "UPDATE")
     affected.map(_.path).sorted
   }
 
@@ -1588,7 +1598,7 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = snap.partCols,
-      extraActions = removes, addDataChange = false)
+      extraActions = removes, addDataChange = false, operation = "OPTIMIZE")
   }
 
   /** RESTORE the Delta table to its state at `versionAsOf` — a NEW
@@ -1689,6 +1699,7 @@ object LakeWriter {
         s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
     }
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"RESTORE","operationParameters":{},"readVersion":${cur.version},"engineInfo":"graft"}}"""
     removes.sortBy(_.path).foreach { a =>
       actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
     }

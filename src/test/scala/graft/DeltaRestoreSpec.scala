@@ -122,4 +122,25 @@ class DeltaRestoreSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("appendOnly"))
   }
+
+  test("history surfaces each commit's operation, newest first") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_hist_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir) // v0
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)           // v1
+    LakeWriter.deleteWhere(spark, dir, "id = 0")                                      // v2
+    LakeWriter.updateWhere(spark, dir, "id = 1", Map("v" -> "'B'"))                   // v3
+    LakeWriter.mergeInto(spark, dir, Seq((5L, "e")).toDF("id", "v"), Seq("id"))       // v4
+    LakeWriter.compactDelta(spark, dir, minFiles = 2)                                 // v5
+    LakeWriter.restoreDelta(spark, dir, 1L)                                           // v6
+    val h = DeltaReader.history(spark, dir)
+      .select("version", "operation").as[(Long, String)].collect().toSeq
+    assert(h == Seq(6L -> "RESTORE", 5L -> "OPTIMIZE", 4L -> "MERGE", 3L -> "UPDATE",
+      2L -> "DELETE", 1L -> "WRITE", 0L -> "CREATE TABLE"), h.toString)
+    // readVersion chains each commit to its parent
+    val rv = DeltaReader.history(spark, dir)
+      .where("version = 6").select("readVersion").as[Long].head()
+    assert(rv == 5L)
+  }
 }
