@@ -475,11 +475,14 @@ class DeltaReaderSpec extends SparkSpec {
     assert(new java.io.File(log, f"${3L}%020d.json").isFile)
     assert(rows() == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")),
       "compaction must not change the table's rows")
-    // the commit is pure layout movement: every action dataChange=false
+    // the commit is pure layout movement: every FILE action
+    // dataChange=false, led by the OPTIMIZE provenance line
     val lines = java.nio.file.Files.readAllLines(
       new java.io.File(log, f"${3L}%020d.json").toPath)
-    assert(lines.size() == 3, s"1 add + 2 removes expected, got $lines")
-    lines.forEach(l => assert(l.contains("\"dataChange\":false"), l))
+    assert(lines.size() == 4, s"commitInfo + 1 add + 2 removes expected, got $lines")
+    assert(lines.get(0).contains("\"operation\":\"OPTIMIZE\""), lines.get(0))
+    lines.forEach(l => assert(l.contains("commitInfo") ||
+      l.contains("\"dataChange\":false"), l))
     // live file set: web folded to the single compacted file
     val webLive = DeltaReader.read(spark, dir.getPath)
       .where("src = 'web'").inputFiles
