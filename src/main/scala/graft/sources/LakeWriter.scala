@@ -155,6 +155,34 @@ object LakeWriter {
     appendDeltaWithSnapshot(df, dir, checkpointInterval, txn,
       DeltaReader.snapshot(df.sparkSession, dir, None))
 
+  /** Optimistic-concurrency retry: re-run `op` when it loses the
+    * create-if-absent commit race (the IllegalStateException every
+    * writer here throws when a concurrent writer wins its version).
+    * Retrying IS the documented recovery — each writer op begins with
+    * a fresh log replay, so the retry sees the winner's commit and
+    * targets the next version. SEMANTIC conflicts remain the caller's
+    * contract, exactly as with real Delta's OCC: a delete retried
+    * after a concurrent delete simply matches fewer (or no) rows; an
+    * append retried after a schema change hits the append gate. Ops
+    * that stage files before losing the race leave them as
+    * unreferenced debris for VACUUM, the same class as a crashed
+    * writer's. Throws the last conflict after `attempts` exhausted.
+    */
+  def retryOnConflict[T](attempts: Int = 3)(op: => T): T = {
+    require(attempts > 0, s"retryOnConflict: attempts $attempts must be positive")
+    var last: IllegalStateException = null
+    var i = 0
+    while (i < attempts) {
+      try return op
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("a concurrent writer won") =>
+          last = e; i += 1
+      }
+    }
+    throw last
+  }
+
   /** Re-state the table's CURRENT protocol verbatim as a commit line —
     * what a metadata-updating commit must carry alongside its new
     * metaData (emitting (1,2) would DOWNGRADE a feature table's

@@ -143,4 +143,53 @@ class DeltaRestoreSpec extends SparkSpec {
       .where("version = 6").select("readVersion").as[Long].head()
     assert(rv == 5L)
   }
+
+  test("retryOnConflict re-runs a writer that lost the commit race") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_retry_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir) // v0
+    // the op reads its snapshot, then a competitor commits the SAME
+    // next version before our commit lands — attempt 1 loses the
+    // create-if-absent race; the retry replays the log (sees the
+    // competitor) and lands at the version after it
+    var raced = false
+    LakeWriter.retryOnConflict(3) {
+      val snap = DeltaReader.snapshot(spark, dir, None)
+      if (!raced) {
+        raced = true
+        val log = new java.io.File(dir, "_delta_log")
+        java.nio.file.Files.write(
+          new java.io.File(log, f"${snap.version + 1}%020d.json").toPath,
+          """{"add":{"path":"competitor.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+            .getBytes("UTF-8"))
+        // the competitor's add needs a real (if trivial) file so later
+        // reads do not die on a missing path — reuse v0's parquet
+        val v0file = new java.io.File(dir).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.copy(v0file.toPath,
+          new java.io.File(dir, "competitor.parquet").toPath)
+      }
+      LakeWriter.appendDeltaWithSnapshot(
+        Seq((9L, "z")).toDF("id", "v").coalesce(1), dir, 0, None, snap)
+    }
+    assert(raced)
+    val latest = DeltaReader.snapshot(spark, dir, None)
+    assert(latest.version == 2L, s"retry must land AFTER the competitor, got ${latest.version}")
+    assert(DeltaReader.read(spark, dir).where("id = 9").count() == 1L)
+    // attempts exhausted -> the conflict surfaces
+    val e = intercept[IllegalStateException] {
+      LakeWriter.retryOnConflict(2) {
+        val snap = DeltaReader.snapshot(spark, dir, None)
+        val log = new java.io.File(dir, "_delta_log")
+        val f = new java.io.File(log, f"${snap.version + 1}%020d.json")
+        if (!f.isFile) java.nio.file.Files.write(f.toPath,
+          """{"add":{"path":"competitor.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+            .getBytes("UTF-8"))
+        LakeWriter.appendDeltaWithSnapshot(
+          Seq((7L, "q")).toDF("id", "v").coalesce(1), dir, 0, None, snap)
+      }
+    }
+    assert(e.getMessage.contains("a concurrent writer won"))
+  }
 }
