@@ -20,11 +20,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * StructType JSON), time travel via `versionAsOf`, column mapping
   * (name mode), and deletion vectors (inline and sidecar: the
   * roaring-bitmap row indexes anti-filter the scan through
-  * `_metadata.row_index`). Refused LOUDLY rather than misread:
-  * reader features beyond columnMapping/deletionVectors, a log whose
-  * retention cleaned commits below the replay base (a silent partial
-  * snapshot otherwise), and absolute `add.path` URIs (shallow clones
-  * / external files).
+  * `_metadata.row_index`), and absolute `add.path` URIs (what shallow
+  * clones and external files write — resolved as the URI they are
+  * rather than against the table root). Refused LOUDLY rather than
+  * misread: reader features beyond columnMapping/deletionVectors, and
+  * a log whose retention cleaned commits below the replay base (a
+  * silent partial snapshot otherwise).
   *
   * All log access rides the Hadoop FileSystem API resolved from the
   * table path's scheme — a `java.io.File` walk would silently see no
@@ -137,6 +138,23 @@ object DeltaReader {
     flush(p.length)
     new String(out.toByteArray, "UTF-8")
   }
+
+  /** An `add.path` that is a full URI rather than a table-root-relative
+    * path — what shallow clones and external files write (PROTOCOL.md:
+    * "a relative path ... or an absolute path").
+    */
+  private[graft] def isAbsoluteAddPath(p: String): Boolean =
+    p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")
+
+  /** Resolve an `add.path` to a concrete filesystem path: relative
+    * entries percent-decode and resolve against the table root;
+    * absolute entries parse as the URI they are (java.net.URI performs
+    * the percent-decoding, so both forms decode identically — a space
+    * stored as %20 round-trips either way).
+    */
+  private[graft] def resolveAddPath(root: Path, p: String): Path =
+    if (isAbsoluteAddPath(p)) new Path(new java.net.URI(p))
+    else new Path(root, percentDecode(p))
 
   /** Z85 base85 (ZeroMQ spec 32) — the alphabet real Delta writers
     * (delta-spark Base85Codec, delta-rs) use for deletion-vector UUIDs
@@ -441,7 +459,7 @@ object DeltaReader {
     val outNames = schema.fieldNames ++ Seq("_change_type") ++
       (if (withPath) Seq("__chg_path") else Nil)
     files.groupBy(_.partitionValues).map { case (pv, group) =>
-      val paths = group.map(f => new Path(dir, percentDecode(f.path)).toString)
+      val paths = group.map(f => resolveAddPath(new Path(dir), f.path).toString)
       val base0 = s.read.schema(dataSchema).parquet(paths: _*)
       val proj = logicalByPhys.map { case (phys, logical) =>
         base0.col(s"`${phys.replace("`", "``")}`").as(logical)
@@ -499,7 +517,7 @@ object DeltaReader {
     val root = new Path(dir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     def normPath(p: String): String =
-      fs.makeQualified(new Path(root, percentDecode(p))).toUri.getPath
+      fs.makeQualified(resolveAddPath(root, p)).toUri.getPath
 
     // classify the window on the driver — O(actions), no plan built yet
     val cdcFiles = Seq.newBuilder[(AddFile, Long)]
@@ -913,6 +931,34 @@ object DeltaReader {
       .toDF("version", "operation", "readVersion", "engineInfo")
   }
 
+  /** DESCRIBE DETAIL: one row of table-level facts — format, table id,
+    * location, current version, partition columns, live file count and
+    * total bytes, table properties, protocol versions and feature
+    * lists, and how many live files carry a deletion vector (the
+    * merge-on-read debt gauge an operator sizes compaction by).
+    *
+    * Scale: the scalar fields are O(1) (lazy snapshot, no file
+    * resolution); numFiles/sizeInBytes/numDeletionVectorFiles force
+    * the gated live-file list — same cost and same
+    * `maxSnapshotFiles` refusal as planning a scan, never more.
+    */
+  def detail(s: SparkSession, dir: String,
+             versionAsOf: Option[Long] = None): DataFrame = {
+    import s.implicits._
+    val snap = snapshot(s, dir, versionAsOf)
+    val files = snap.active
+    val location = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
+      .makeQualified(new Path(dir)).toUri.toString
+    Seq((
+      "delta", snap.metaId.orNull, location, snap.version,
+      snap.partCols, files.size.toLong, files.map(_.size).sum,
+      files.count(_.dv.isDefined).toLong, snap.configuration,
+      snap.minReader, snap.minWriter, snap.readerFeatures, snap.writerFeatures
+    )).toDF("format", "id", "location", "version", "partitionColumns",
+      "numFiles", "sizeInBytes", "numDeletionVectorFiles", "properties",
+      "minReaderVersion", "minWriterVersion", "readerFeatures", "writerFeatures")
+  }
+
   /** Predicate-filtered read with DATA SKIPPING: files whose
     * stats/partition envelope cannot satisfy `predicate` are pruned on
     * the driver WITHOUT being opened (add.stats, written from parquet
@@ -978,7 +1024,7 @@ object DeltaReader {
     // (dataPath, sidecarPath|null, offset, size, cardinality, inlineBytes|null)
     val descs = withDv.map { f =>
       val d = f.dv.get
-      val dataNorm = norm(new Path(root, percentDecode(f.path)))
+      val dataNorm = norm(resolveAddPath(root, f.path))
       d.storageType match {
         case "i" =>
           // padded to a 4-byte group boundary by the base85 encoding;
@@ -1114,12 +1160,9 @@ object DeltaReader {
     // from the LOG (authoritative per the spec), typed via schemaString
     val groups = files.groupBy(_.partitionValues)
     val unioned = groups.map { case (pv, group) =>
-      val paths = group.map { f =>
-        require(!f.path.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*"),
-          s"absolute add.path URI ${f.path} (shallow clone / external file) not supported — " +
-            "refusing to misresolve it against the table root")
-        new Path(dir, percentDecode(f.path)).toString
-      }
+      // absolute URIs (shallow clones / external files) resolve as the
+      // URI they are; relative entries against the table root
+      val paths = group.map(f => resolveAddPath(root, f.path).toString)
       val base0 = s.read.schema(dataSchema).parquet(paths: _*)
       // ONE atomic physical→logical projection, not a rename fold: after
       // column renames/swaps on a legacy-upgraded name-mode table, one

@@ -754,7 +754,20 @@ object LakeWriter {
       // commit race (loud IllegalStateException below) and its files
       // stay invisible, the same failed-writer debris VACUUM exists
       // to sweep in real Delta deployments.
-      val relDir = files.head.path.split('/').dropRight(1).mkString("/")
+      // a cloned table's absolute add.path carries the SOURCE's layout —
+      // rebuild the partition directory from the log's partitionValues
+      // (the authority anyway) instead of reusing a foreign URI's dirs;
+      // hive-escape for the on-disk segment, percent-encode for the log
+      // (the same double layering commitDelta's staging produces)
+      val relDir =
+        if (!DeltaReader.isAbsoluteAddPath(files.head.path))
+          files.head.path.split('/').dropRight(1).mkString("/")
+        else percentEncode(snap.partCols.map { c =>
+          val v = pv.get(c).orNull
+          val seg = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+          s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)}=$seg"
+        }.mkString("/"))
       val attempt = java.util.UUID.randomUUID().toString.take(8)
       val destName = s"part-compact-${snap.version + 1}-g$i-$attempt.parquet"
       val rel = if (relDir.isEmpty) destName else s"$relDir/$destName"
@@ -902,8 +915,7 @@ object LakeWriter {
     if (matchedPaths.isEmpty) return Nil
 
     def absPath(a: DeltaReader.AddFile): String =
-      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
-        DeltaReader.percentDecode(a.path))).toUri.getPath
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
     val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
     require(affected.size == matchedPaths.size,
       s"deleteWhere: resolved ${affected.size} of ${matchedPaths.size} matched files " +
@@ -1051,8 +1063,7 @@ object LakeWriter {
       }
 
     def absPath(a: DeltaReader.AddFile): String =
-      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
-        DeltaReader.percentDecode(a.path))).toUri.getPath
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
     val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
     require(affected.size == matchedPaths.size,
       s"deleteWhereDv: resolved ${affected.size} of ${matchedPaths.size} matched files " +
@@ -1238,8 +1249,7 @@ object LakeWriter {
     val matchedPaths = lineage.join(srcKeys, keyCols, "left_semi")
       .select("__dv_path").distinct().collect().map(_.getString(0)).toSet
     def absPath(a: DeltaReader.AddFile): String =
-      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
-        DeltaReader.percentDecode(a.path))).toUri.getPath
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
     val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
     require(affected.size == matchedPaths.size,
       s"mergeInto: resolved ${affected.size} of ${matchedPaths.size} matched files " +
@@ -1368,8 +1378,7 @@ object LakeWriter {
     if (matchedPaths.isEmpty) return Nil
 
     def absPath(a: DeltaReader.AddFile): String =
-      fs.makeQualified(new org.apache.hadoop.fs.Path(root,
-        DeltaReader.percentDecode(a.path))).toUri.getPath
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
     val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
     require(affected.size == matchedPaths.size,
       s"updateWhere: resolved ${affected.size} of ${matchedPaths.size} matched files " +
@@ -1457,8 +1466,20 @@ object LakeWriter {
     require(horizonVersion >= 0 && horizonVersion <= latest.version,
       s"vacuumDelta: horizon $horizonVersion outside [0, ${latest.version}]")
     val referenced = scala.collection.mutable.Set.empty[String]
+    val rootRel = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     def reference(a: DeltaReader.AddFile): Unit = {
-      referenced += DeltaReader.percentDecode(a.path)
+      if (!DeltaReader.isAbsoluteAddPath(a.path))
+        referenced += DeltaReader.percentDecode(a.path)
+      else {
+        // an absolute entry (shallow clone / external file): if it
+        // happens to live under THIS table's root, protect it by its
+        // root-relative form (the walk's key); outside the root the
+        // walk never visits it, so there is nothing to protect — and
+        // never anything to delete, which is the clone contract:
+        // vacuum on a clone must not touch source files
+        val abs = fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
+        if (abs.startsWith(rootRel + "/")) referenced += abs.stripPrefix(rootRel + "/")
+      }
       // a DV sidecar is live exactly as long as some window version's
       // add references it; a sidecar only pre-horizon versions point
       // at (a replaced descriptor, a failed delete's debris) is
@@ -1702,7 +1723,7 @@ object LakeWriter {
     // vacuum past the target version legitimately deletes them, and a
     // restore that commits dangling adds corrupts the table
     readds.foreach { a =>
-      val p = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(a.path))
+      val p = DeltaReader.resolveAddPath(root, a.path)
       require(fs.exists(p),
         s"restoreDelta: data file ${a.path} needed by version $versionAsOf no longer " +
           "exists (vacuumed?) — cannot restore")
@@ -1746,6 +1767,99 @@ object LakeWriter {
     }
     try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
     (readds.map(_.path).sorted, removes.map(_.path).sorted)
+  }
+
+  /** SHALLOW CLONE: create a NEW Delta table at `dstDir` whose
+    * version-0 live set is `srcDir`'s snapshot (latest, or
+    * `versionAsOf`), with every `add.path` written as the ABSOLUTE URI
+    * of the source data file — the protocol's own mechanism ("a
+    * relative path ... or an absolute path"), and exactly what
+    * delta-spark's CREATE TABLE ... SHALLOW CLONE emits. NO data file
+    * is read, copied, or written: clone cost is one metadata commit,
+    * O(live files) driver work, independent of table size — on a
+    * 100-TB table this is the difference between an instant
+    * dev/test/experiment fork and a day of copying.
+    *
+    * The clone is a fully independent table from the first commit:
+    * NEW table id (readers must never confuse the lineages), the
+    * source's schemaString / partitionColumns / configuration /
+    * protocol restated verbatim, and its own history — appends land
+    * relative files next to the absolute ones, copy-on-write mutations
+    * rewrite affected SOURCE files into clone-local files (the source
+    * is never touched), compaction folds absolute entries into local
+    * files, and vacuum on the clone never deletes outside its root
+    * (absolute references outside the table dir are not walked — the
+    * clone contract). Deletion-vector descriptors survive the clone:
+    * "u" (source-relative sidecar) rewrites to "p" with the sidecar's
+    * absolute path, inline "i" copies verbatim.
+    *
+    * Refusals, all loud: `dstDir` already holding a Delta log (clone
+    * never overwrites), and the source-version replay gates
+    * (maxSnapshotFiles, retention-cleaned versions) apply as on any
+    * read. The clone SHARES data files with the source: vacuuming the
+    * SOURCE can delete files the clone still references — the same
+    * documented hazard real shallow clones carry; deep-copy via
+    * `writeDelta(DeltaReader.read(...), ...)` when lifetimes must
+    * decouple.
+    */
+  def cloneDelta(spark: SparkSession, srcDir: String, dstDir: String,
+                 versionAsOf: Option[Long] = None): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val srcRoot = new org.apache.hadoop.fs.Path(srcDir)
+    val dstRoot = new org.apache.hadoop.fs.Path(dstDir)
+    val fs = dstRoot.getFileSystem(hconf)
+    require(!DeltaReader.hasLogEntries(dstDir, hconf),
+      s"cloneDelta: $dstDir already holds a Delta log — refusing to overwrite a table")
+    val snap = DeltaReader.snapshot(spark, srcDir, versionAsOf)
+    val srcFs = srcRoot.getFileSystem(hconf)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def absUri(p: String): String =
+      if (DeltaReader.isAbsoluteAddPath(p)) p // a clone of a clone keeps the origin
+      else srcFs.makeQualified(DeltaReader.resolveAddPath(srcRoot, p)).toUri.toString
+    def dvJson(d: DeltaReader.DvDescriptor): String = {
+      // sidecars stay in the SOURCE dir — rewrite "u" (relative to the
+      // source root, meaningless under the clone's) to "p" absolute
+      val rewritten = d.storageType match {
+        case "u" => DeltaReader.DvDescriptor("p",
+          srcFs.makeQualified(DeltaReader.dvFilePath(srcRoot, d)).toUri.toString,
+          d.offset, d.sizeInBytes, d.cardinality)
+        case _ => d
+      }
+      val off = rewritten.offset.map(o => s""""offset":$o,""").getOrElse("")
+      s""","deletionVector":{"storageType":${om.writeValueAsString(rewritten.storageType)},""" +
+        s""""pathOrInlineDv":${om.writeValueAsString(rewritten.pathOrInlineDv)},$off""" +
+        s""""sizeInBytes":${rewritten.sizeInBytes},"cardinality":${rewritten.cardinality}}"""
+    }
+    val files = snap.active
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"CLONE","operationParameters":{"source":${om.writeValueAsString(srcDir)},"sourceVersion":${snap.version}},"engineInfo":"graft"}}"""
+    actions += protocolJson(snap)
+    val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+    val confJson = snap.configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    // deterministic like every graft log: the id derives from the CLONE's
+    // path (a different id than any table commitDelta creates there would
+    // get, and than the source's — lineages must not be confusable)
+    actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(s"clone:$dstDir".getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(snap.schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+    files.sortBy(_.path).foreach { a =>
+      val pvJson = a.partitionValues.map { case (c, v) =>
+        s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+      actions += s"""{"add":{"path":${om.writeValueAsString(absUri(a.path))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson}}"""
+    }
+    val log = new org.apache.hadoop.fs.Path(dstRoot, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version 0; " +
+          "clone into a fresh directory", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    files.size
   }
 
   def checkpointDelta(spark: SparkSession, dir: String, version: Long): Unit = {
