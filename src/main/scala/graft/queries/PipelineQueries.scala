@@ -255,6 +255,28 @@ object PipelineQueries {
         .select(col("doc_id"), col("source"), col("n_words"), dec6(col("thr")).as("thr"))
         .orderBy("doc_id")),
 
+    // Composite Gopher rule battery. minStopHits=1: the synthetic
+    // vocabulary hits at most one Gopher stopword, and the harness
+    // wants a verdict that actually SPLITS the corpus (the word-count
+    // floor does, 277/500 at sf0.01).
+    "quality_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherRules(t(s, dir, "documents"), minStopHits = 1)
+        .orderBy("doc_id")),
+
+    // DSIR importance weights of every doc against the English subset
+    // as the target distribution.
+    "dsir_weights" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.importanceWeights(docs, docs.where(col("lang") === "en"))
+        .orderBy("doc_id")
+    }),
+
+    // Gumbel-top-k importance resample: the 100 most target-like docs.
+    "dsir_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.resample(docs, docs.where(col("lang") === "en"), k = 100)
+    }),
+
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -512,6 +534,27 @@ object PipelineQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** Shared DSIR recompute: hashed unigram+bigram buckets (md5 first 8
+    * hex digits mod 8192 — the exact hash `Dsir.bucketOf` uses), add-one
+    * smoothed target (lang='en') and raw bucket models, per-doc
+    * log-ratio sum. Ends with the `w` CTE open for the consumer query.
+    */
+  private val dsirWeightsSql =
+    """WITH ws AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+      |feats AS (SELECT doc_id, lang,
+      |  unnest(list_concat(w,
+      |    list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]))) AS f
+      |FROM ws),
+      |fb AS (SELECT doc_id, lang, ('0x'||substr(md5(f), 1, 8))::BIGINT % 8192 AS b FROM feats),
+      |tc AS (SELECT b, count(*) AS cnt FROM fb WHERE lang = 'en' GROUP BY b),
+      |rc AS (SELECT b, count(*) AS cnt FROM fb GROUP BY b),
+      |ratio AS (SELECT coalesce(tc.b, rc.b) AS b,
+      |  ln((coalesce(tc.cnt, 0) + 1.0) / ((SELECT sum(cnt) FROM tc) + 8192.0)) -
+      |  ln((coalesce(rc.cnt, 0) + 1.0) / ((SELECT sum(cnt) FROM rc) + 8192.0)) AS logratio
+      |FROM tc FULL OUTER JOIN rc ON tc.b = rc.b),
+      |w AS (SELECT doc_id, count(*) AS n_feats, round(sum(logratio), 6) AS logweight
+      |FROM fb JOIN ratio USING (b) GROUP BY doc_id)""".stripMargin
+
   private val qualityWords = "string_split(lower(text), ' ')"
 
   /** CDC chunking recomputed from scratch for the oracle, at the
@@ -680,6 +723,41 @@ object PipelineQueries {
         |t AS (SELECT source, quantile_cont(n_words, 0.5) AS thr FROM n GROUP BY source)
         |SELECT doc_id, source, n_words, CAST(round(thr, 6) AS DECIMAL(10,6)) AS thr
         |FROM n JOIN t USING (source) WHERE n_words >= thr ORDER BY doc_id""".stripMargin,
+
+    "quality_gopher" -> {
+      val stops = sqlList(Seq("the", "be", "to", "of", "and", "that", "have", "with"))
+      s"""WITH s AS (SELECT doc_id, text, $qualityWords AS ws,
+         |  string_split(text, chr(10)) AS ls FROM documents),
+         |m AS (SELECT doc_id,
+         |  CAST(len(ws) AS BIGINT) AS n_words,
+         |  (length(text) - len(ws) + 1)::DOUBLE / len(ws)::DOUBLE AS mwl,
+         |  len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))::DOUBLE / len(ws)::DOUBLE AS ar,
+         |  len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE / len(ws)::DOUBLE AS sr,
+         |  len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))::DOUBLE / len(ls)::DOUBLE AS br,
+         |  len(list_filter(ls, l -> regexp_matches(l, '\\.\\.\\.\\s*$$')))::DOUBLE / len(ls)::DOUBLE AS er,
+         |  CAST(len(list_filter($stops, s -> list_contains(ws, s))) AS BIGINT) AS stop_hits
+         |FROM s)
+         |SELECT doc_id, n_words,
+         |  CAST(round(mwl, 6) AS DECIMAL(10,6)) AS mean_word_len,
+         |  CAST(round(ar, 6) AS DECIMAL(10,6)) AS alpha_ratio,
+         |  CAST(round(sr, 6) AS DECIMAL(10,6)) AS symbol_ratio,
+         |  CAST(round(br, 6) AS DECIMAL(10,6)) AS bullet_ratio,
+         |  CAST(round(er, 6) AS DECIMAL(10,6)) AS ellipsis_ratio,
+         |  stop_hits,
+         |  CASE WHEN n_words BETWEEN 50 AND 100000 AND mwl BETWEEN 3 AND 10
+         |    AND ar > 0.8 AND sr < 0.1 AND br <= 0.9 AND er <= 0.3
+         |    AND stop_hits >= 1 THEN 1 ELSE 0 END AS passes
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "dsir_weights" -> (dsirWeightsSql + "\nSELECT doc_id, n_feats, logweight FROM w ORDER BY doc_id"),
+
+    "dsir_sample" -> (dsirWeightsSql +
+      """,
+        |g AS (SELECT doc_id, logweight,
+        |  round(logweight + -ln(-ln(((('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0))), 6) AS key
+        |FROM w)
+        |SELECT doc_id, logweight, key FROM g ORDER BY key DESC, doc_id LIMIT 100""".stripMargin),
 
     "token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens,

@@ -132,6 +132,59 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6).as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_words").cast("double"), 6).as("top_share"))
 
+  /** Composite rule-based quality gate (the Gopher rules, Rae et al.
+    * 2021 Table A1, the filter battery MassiveText/RefinedWeb-style
+    * pipelines run BEFORE any model-based scoring): word-count bounds,
+    * mean word length bounds, symbol-to-word ratio, alphabetic-word
+    * ratio, bullet-line and ellipsis-line shares, and required-stopword
+    * hits — one row per document with every signal EXPOSED (a pipeline
+    * tunes thresholds per corpus; a pass/fail-only view would hide the
+    * distribution) plus the conjunction verdict. Pure per-row
+    * expressions: no shuffle, no UDF, scales linearly.
+    * Output: (doc_id, n_words, mean_word_len, alpha_ratio,
+    * symbol_ratio, bullet_ratio, ellipsis_ratio, stop_hits, passes).
+    */
+  def gopherRules(docs: DataFrame, minWords: Int = 50, maxWords: Int = 100000,
+                  stops: Seq[String] = GopherStops, minStopHits: Int = 2,
+                  id: String = "doc_id", text: String = "text"): DataFrame = {
+    val ws = words(col(text))
+    val nWords = size(ws)
+    val lines = split(col(text), "\n")
+    val nLines = size(lines)
+    val stopHits = size(filter(array(stops.map(lit): _*),
+      s => array_contains(ws, s)))
+    val alphaWords = size(filter(ws, w => w.rlike("[a-z]")))
+    val symbolCount = regexp_count(col(text), lit("#|\\.\\.\\.")).cast("double")
+    val bulletLines = size(filter(lines, l => l.rlike("^\\s*[-*•]")))
+    val ellipsisLines = size(filter(lines, l => l.rlike("\\.\\.\\.\\s*$")))
+    def ratio6(c: Column): Column = round(c, 6).cast("decimal(10,6)")
+    val meanWordLen = (length(col(text)) - nWords + 1).cast("double") / nWords.cast("double")
+    val alphaRatio = alphaWords.cast("double") / nWords.cast("double")
+    val symbolRatio = symbolCount / nWords.cast("double")
+    val bulletRatio = bulletLines.cast("double") / nLines.cast("double")
+    val ellipsisRatio = ellipsisLines.cast("double") / nLines.cast("double")
+    docs.select(
+      col(id),
+      nWords.cast("long").as("n_words"),
+      ratio6(meanWordLen).as("mean_word_len"),
+      ratio6(alphaRatio).as("alpha_ratio"),
+      ratio6(symbolRatio).as("symbol_ratio"),
+      ratio6(bulletRatio).as("bullet_ratio"),
+      ratio6(ellipsisRatio).as("ellipsis_ratio"),
+      stopHits.cast("long").as("stop_hits"),
+      (nWords.between(minWords, maxWords) &&
+        meanWordLen.between(3.0, 10.0) &&
+        alphaRatio > 0.8 &&
+        symbolRatio < 0.1 &&
+        bulletRatio <= 0.9 &&
+        ellipsisRatio <= 0.3 &&
+        stopHits >= minStopHits).cast("int").as("passes"))
+  }
+
+  /** The Gopher required-stopword list, verbatim (Rae et al. 2021). */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** Cross-document boilerplate share: the fraction of a document's
     * distinct n-gram shingles that occur in more than `minDf` documents
     * corpus-wide (the C4/CCNet-style signal for template/boilerplate

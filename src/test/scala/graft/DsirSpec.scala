@@ -1,0 +1,64 @@
+package graft
+
+import graft.text.{Dsir, TextAnalysis}
+
+/** DSIR importance resampling and the Gopher rule battery. */
+class DsirSpec extends SparkSpec {
+
+  test("dsir upweights target-like documents and resamples them first") {
+    val s = spark
+    import s.implicits._
+    // target speaks "alpha beta"; raw mixes target-like and unlike docs
+    val target = (1 to 20).map(i => (100L + i, s"alpha beta alpha beta gamma $i"))
+      .toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha beta gamma one"),
+      (2L, "alpha beta gamma alpha beta two"),
+      (3L, "delta epsilon zeta eta theta iota"),
+      (4L, "kappa lambda mu nu xi omicron")
+    ).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(raw, target).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(1) > w(3) && w(1) > w(4) && w(2) > w(3),
+      s"target-like docs must outweigh unlike ones: $w")
+    val top2 = Dsir.resample(raw, target, k = 2).collect().map(_.getLong(0)).toSet
+    assert(top2 == Set(1L, 2L), s"resample must pick the target-like docs, got $top2")
+  }
+
+  test("dsir weights are deterministic and n_feats = 2*words - 1") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val r1 = Dsir.importanceWeights(docs, docs).collect()(0)
+    val r2 = Dsir.importanceWeights(docs, docs).collect()(0)
+    assert(r1.getLong(1) == 7) // 4 unigrams + 3 bigrams
+    assert(r1.getDouble(2) == r2.getDouble(2))
+    // identical corpora: every bucket ratio is 1 -> logweight 0
+    assert(math.abs(r1.getDouble(2)) < 1e-6)
+  }
+
+  test("gopher rules gate on each signal") {
+    val s = spark
+    import s.implicits._
+    val good = ("good words flow nicely here " * 12) + "the and of it"
+    val docs = Seq(
+      (1L, good),                                // passes
+      (2L, "too short"),                         // word-count floor
+      (3L, ("# # # " * 30) + good),              // symbol ratio
+      (4L, (1 to 70).map(_ => "ab").mkString(" ")) // mean word length < 3
+    ).toDF("doc_id", "text")
+    val byId = TextAnalysis.gopherRules(docs, minWords = 50, minStopHits = 2)
+      .collect().map(r => r.getLong(0) -> r.getInt(8)).toMap
+    assert(byId == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0), s"got $byId")
+  }
+
+  test("gopher bullet/ellipsis line shares use line structure") {
+    val s = spark
+    import s.implicits._
+    val bullets = (1 to 10).map(i => s"- item $i").mkString("\n")
+    val df = Seq((1L, bullets)).toDF("doc_id", "text")
+    val r = TextAnalysis.gopherRules(df).collect()(0)
+    assert(r.getDecimal(5).doubleValue() == 1.0) // bullet_ratio
+    assert(r.getInt(8) == 0)
+  }
+}
