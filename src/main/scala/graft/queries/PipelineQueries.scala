@@ -39,6 +39,20 @@ object PipelineQueries {
   private val spansCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
+  /** DSIR importance weights of the documents table against its
+    * English subset, fit once per (session, dir) — consumed by BOTH
+    * `dsir_weights` and `dsir_sample`.
+    */
+  private def dsirW(s: SparkSession, dir: String): DataFrame =
+    dsirCache.getOrElseUpdate((s, dir), {
+      val docs = t(s, dir, "documents")
+      graft.text.Dsir.importanceWeights(docs,
+        docs.where(org.apache.spark.sql.functions.col("lang") === "en")).cache()
+    })
+
+  private val dsirCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   /** Cell assignment of the embeddings table (nCells=16, seed=42) —
     * the coarse-quantizer index `knn_ivf` and `dedup_semantic` both
     * search; one KMeans fit + one assignment pass, shared like `cells`.
@@ -265,17 +279,13 @@ object PipelineQueries {
 
     // DSIR importance weights of every doc against the English subset
     // as the target distribution.
-    "dsir_weights" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.text.Dsir.importanceWeights(docs, docs.where(col("lang") === "en"))
-        .orderBy("doc_id")
-    }),
+    "dsir_weights" -> ((s, dir) => dsirW(s, dir).orderBy("doc_id")),
 
-    // Gumbel-top-k importance resample: the 100 most target-like docs.
-    "dsir_sample" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      graft.text.Dsir.resample(docs, docs.where(col("lang") === "en"), k = 100)
-    }),
+    // Gumbel-top-k importance resample: the 100 most target-like docs
+    // (the draw rides the CACHED weight fit — the expensive pass runs
+    // once per (session, dir), like jacPairs/docSpans).
+    "dsir_sample" -> ((s, dir) =>
+      graft.text.Dsir.resampleFromWeights(dsirW(s, dir), k = 100)),
 
     "token_count" -> ((s, dir) =>
       TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy("doc_id")),

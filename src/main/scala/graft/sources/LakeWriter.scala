@@ -98,6 +98,191 @@ object LakeWriter {
       configuration = configuration, operation = "CREATE TABLE")
   }
 
+  /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat
+    * or hive-partitioned col=value layout) into a Delta table IN
+    * PLACE — one metadata commit referencing the files where they
+    * already are, no data read beyond footers, no rewrite. This is the
+    * migration path for a 100-TB parquet lake: the alternative (read +
+    * writeDelta) costs a full copy of the table.
+    *
+    * `partitionCols` declares the hive layout's partition columns with
+    * their Spark SQL types, e.g. `Seq("region" -> "string")` — the
+    * directory's `col=value` strings are typed through
+    * `metaData.schemaString` exactly like any Delta read (Hive
+    * escaping and the `__HIVE_DEFAULT_PARTITION__` null marker
+    * honored). The data schema comes from the first file's footer
+    * (the convert contract: one schema across files — a mismatched
+    * file surfaces loudly at scan time, never silently).
+    *
+    * Every add carries footer-derived `stats`, so data skipping works
+    * from the first post-convert query. Refuses an existing Delta log
+    * (never clobbers a table) and a file whose directory layout does
+    * not match `partitionCols`. Returns the number of files converted.
+    */
+  def convertToDelta(spark: SparkSession, dir: String,
+                     partitionCols: Seq[(String, String)] = Nil): Int = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    require(!DeltaReader.hasLogEntries(dir, hconf),
+      s"convertToDelta: $dir already holds a Delta log — refusing to overwrite a table")
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n.startsWith("_") || n.startsWith(".")) Nil
+        else if (st.isDirectory) walk(st.getPath)
+        else if (n.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val files = walk(root).sortBy(_.getPath.toString)
+    require(files.nonEmpty, s"convertToDelta: no parquet files under $dir")
+    val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
+    val names = partitionCols.map(_._1)
+    val entries = files.map { st =>
+      val rel = fs.makeQualified(st.getPath).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")
+      val segs = rel.split('/').dropRight(1)
+      require(segs.length == names.length,
+        s"convertToDelta: '$rel' sits under ${segs.length} partition dirs but " +
+          s"${names.length} partition columns were declared")
+      val pv = segs.zip(names).map { case (seg, expect) =>
+        val eq = seg.indexOf('=')
+        require(eq > 0 && seg.substring(0, eq) == expect,
+          s"convertToDelta: segment '$seg' of '$rel' does not match declared " +
+            s"partition column '$expect'")
+        val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .unescapePathName(seg.substring(eq + 1))
+        expect -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
+      }.toSeq
+      (rel, pv, st.getLen)
+    }
+    // data schema from the first footer; partition columns appended
+    val dataSchema = spark.read.parquet(files.head.getPath.toString).schema
+    names.foreach(c => require(!dataSchema.fieldNames.contains(c),
+      s"convertToDelta: partition column '$c' also exists INSIDE the data files — " +
+        "ambiguous; hive layouts keep partition columns directory-only"))
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      dataSchema.fields ++ partitionCols.map { case (c, ddl) =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true)
+      })
+    // footer stats in a bounded pool — same as commitDelta's staging
+    val statsByPath: Map[String, Option[String]] = {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(1, files.size)))
+      try {
+        import scala.jdk.CollectionConverters._
+        pool.invokeAll(files.map { st =>
+          new java.util.concurrent.Callable[(String, Option[String])] {
+            def call(): (String, Option[String]) =
+              st.getPath.toString -> DeltaStats.fileStats(st.getPath, hconf)
+          }
+        }.asJava).asScala.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"CONVERT","operationParameters":{"numFiles":${files.size}},"engineInfo":"graft"}}"""
+    actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    val pcJson = names.map(om.writeValueAsString).mkString("[", ",", "]")
+    actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(tableSchema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
+    entries.zip(files).foreach { case ((rel, pv, size), st) =>
+      val pvJson = pv.map { case (c, v) =>
+        s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val statsJson = statsByPath(st.getPath.toString)
+        .map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":true$statsJson}}"""
+    }
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version 0", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    files.size
+  }
+
+  /** COPY INTO: idempotent FILE-LEVEL ingestion of external parquet
+    * files into an existing Delta table — the landing-zone loader.
+    * Each call loads only the source files no previous COPY INTO
+    * commit on this table has loaded (matched by fully-qualified URI)
+    * and records the loaded set in the commit's own
+    * `commitInfo.operationParameters.files` — state and data are ONE
+    * atomic commit, so a crash either loads a file with its record or
+    * neither, and a retried call re-derives the set from the log and
+    * skips clean. Returns the URIs actually loaded this call (empty =
+    * everything was already in, no commit written).
+    *
+    * Appends go through the full [[appendDelta]] discipline: schema
+    * compatibility, CHECK constraints / invariants / generated
+    * columns, column-mapping staging, partitioned layout.
+    *
+    * Scale + retention contract: dedup state is replayed from the
+    * log's commits (driver JSON parse, O(commits in retention) — the
+    * same class as DESCRIBE HISTORY); `vacuumDelta` cleaning commits
+    * below its horizon FORGETS their loaded-file sets, exactly the
+    * bounded-retention tracking window real COPY INTO implementations
+    * document. Re-presenting a file whose record was vacuumed loads it
+    * again — feed stable landing paths and vacuum horizons longer than
+    * the ingestion replay window.
+    */
+  def copyInto(spark: SparkSession, dir: String, sources: Seq[String],
+               checkpointInterval: Int = 0): Seq[String] = {
+    require(sources.nonEmpty, "copyInto: no source files given")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val qualified = sources.map { s0 =>
+      val p = new org.apache.hadoop.fs.Path(s0)
+      p.getFileSystem(hconf).makeQualified(p).toUri.toString
+    }.distinct
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val loaded = copyIntoLoaded(spark, dir)
+    val fresh = qualified.filterNot(loaded).sorted
+    if (fresh.isEmpty) return Nil
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val df = spark.read.parquet(fresh.map(u =>
+      new org.apache.hadoop.fs.Path(new java.net.URI(u)).toString): _*)
+    val params = s"""{"files":${fresh.map(om.writeValueAsString).mkString("[", ",", "]")}}"""
+    appendDeltaWithSnapshot(df, dir, checkpointInterval, txn = None, snap,
+      operation = "COPY INTO", operationParameters = params)
+    fresh
+  }
+
+  /** Every source URI a COPY INTO commit on this table has recorded —
+    * replayed from the retained commits' commitInfo lines.
+    */
+  private def copyIntoLoaded(spark: SparkSession, dir: String): Set[String] = {
+    val hconf = spark.sessionState.newHadoopConf()
+    val logPath = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(hconf)
+    if (!fs.exists(logPath)) return Set.empty
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val out = Set.newBuilder[String]
+    fs.listStatus(logPath).toSeq.map(_.getPath).filter(_.getName.matches("\\d{20}\\.json"))
+      .foreach { p =>
+        val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+          fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+        try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).foreach { line =>
+            val n = om.readTree(line)
+            if (n.has("commitInfo")) {
+              val ci = n.get("commitInfo")
+              if (Option(ci.get("operation")).exists(_.asText() == "COPY INTO")) {
+                val files = Option(ci.get("operationParameters")).map(_.get("files")).orNull
+                if (files != null && files.isArray) {
+                  val it = files.elements()
+                  while (it.hasNext) out += it.next().asText()
+                }
+              }
+            }
+          } finally rd.close()
+      }
+    out.result()
+  }
+
   /** Create a COLUMN-MAPPED (name mode) Delta table: logical names
     * live only in `metaData.schemaString`, the parquet files and
     * partition directories carry stable physical `col-<uuid>` names,
@@ -454,7 +639,9 @@ object LakeWriter {
   private[graft] def appendDeltaWithSnapshot(df0: DataFrame, dir: String,
                                              checkpointInterval: Int,
                                              txn: Option[(String, Long)],
-                                             snap: DeltaReader.Snapshot): Unit = {
+                                             snap: DeltaReader.Snapshot,
+                                             operation: String = "WRITE",
+                                             operationParameters: String = "{}"): Unit = {
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none" || cm == "name",
       s"appendDelta: table uses column mapping mode '$cm' — id mode needs parquet " +
@@ -511,7 +698,7 @@ object LakeWriter {
           snap.partCols.map(phys))
       }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
-      stagePartCols, txn)
+      stagePartCols, txn, operation = operation, operationParameters = operationParameters)
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -542,7 +729,8 @@ object LakeWriter {
                                  extraActions: Seq[String] = Nil,
                                  configuration: Map[String, String] = Map.empty,
                                  addDataChange: Boolean = true,
-                                 operation: String = "WRITE"): Unit = {
+                                 operation: String = "WRITE",
+                                 operationParameters: String = "{}"): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -616,7 +804,7 @@ object LakeWriter {
     // provenance — excluded from checkpoints, ignored by state folding,
     // surfaced by DeltaReader.history. timestamp stays 0 like every
     // informational field in graft's deterministic logs.
-    actions += s"""{"commitInfo":{"timestamp":0,"operation":${om.writeValueAsString(operation)},"operationParameters":{},${if (version > 0) s""""readVersion":${version - 1},""" else ""}"engineInfo":"graft"}}"""
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":${om.writeValueAsString(operation)},"operationParameters":$operationParameters,${if (version > 0) s""""readVersion":${version - 1},""" else ""}"engineInfo":"graft"}}"""
     if (includeMeta) metaOverride match {
       case Some((protocolLine, metaLine)) =>
         actions += protocolLine

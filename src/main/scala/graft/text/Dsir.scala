@@ -98,15 +98,22 @@ object Dsir {
     * the top-k only (ties broken by doc_id).
     */
   def resample(raw: DataFrame, target: DataFrame, k: Int, buckets: Int = 8192,
-               id: String = "doc_id", text: String = "text"): DataFrame = {
+               id: String = "doc_id", text: String = "text"): DataFrame =
+    resampleFromWeights(importanceWeights(raw, target, buckets, id, text), k, id)
+
+  /** The Gumbel-top-k rank applied to an ALREADY-computed (and
+    * possibly cached/persisted) `importanceWeights` result — weight
+    * fitting is the expensive pass, the draw is a per-row expression.
+    */
+  def resampleFromWeights(weights: DataFrame, k: Int,
+                          id: String = "doc_id"): DataFrame = {
     require(k > 0, s"dsir: k $k must be positive")
-    val w = importanceWeights(raw, target, buckets, id, text)
     // u in (0,1) from the first 8 md5 hex digits of the doc id —
     // never exactly 0 or 1, so the double log is finite
     val u = (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10).cast("double") + 0.5) /
       4294967296.0
     val gumbel = -log(-log(u))
-    w.select(col(id), col("logweight"),
+    weights.select(col(id), col("logweight"),
         round(col("logweight") + gumbel, 6).as("key"))
       .orderBy(col("key").desc, col(id))
       .limit(k)
