@@ -49,6 +49,10 @@ object Profile {
         stressDeltaMutate(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "stress-delta-files" =>
         stressDeltaFiles(spark, args.lift(1).map(_.toInt).getOrElse(200000))
+      case "stress-delta-clone" =>
+        stressDeltaClone(spark, args.lift(1).map(_.toInt).getOrElse(200000))
+      case "stress-convert" =>
+        stressConvert(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "recall"     => annRecall(spark, sfDir)
       case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
     }
@@ -465,6 +469,81 @@ object Profile {
         println(s"[profile] gate refused as designed: ${e.getMessage.linesIterator.next()}")
     } finally spark.conf.unset("spark.graft.delta.maxSnapshotFiles")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** Shallow clone + DESCRIBE DETAIL at checkpoint scale: author a
+    * synthetic n-add checkpoint (clone writes METADATA only, so the
+    * data files need not exist), then time cloneDelta / the clone's
+    * snapshot scalars / detail on both.
+    */
+  def stressDeltaClone(spark: SparkSession, n: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_clone_").toFile
+    val log = new java.io.File(dir, "_delta_log")
+    log.mkdirs()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType)))
+    time(s"author_checkpoint_${n}_adds") {
+      val adds = spark.range(0, n, 1, 32).selectExpr(
+        "named_struct('path', concat('part-', id, '.parquet'), " +
+          "'partitionValues', map('p', cast(id % 100 as string)), " +
+          "'size', 100L, 'modificationTime', 0L) AS add")
+      val scalars = spark.range(1).select(
+        struct(lit(1).as("minReaderVersion"), lit(2).as("minWriterVersion")).as("protocol"),
+        struct(lit("stress-clone").as("id"),
+          struct(lit("parquet").as("provider"),
+            map().cast("map<string,string>").as("options")).as("format"),
+          lit(schema.json).as("schemaString"),
+          array().cast("array<string>").as("partitionColumns"),
+          map().cast("map<string,string>").as("configuration")).as("metaData"))
+      val stage = new java.io.File(dir, "_cp_stage")
+      adds.unionByName(scalars, allowMissingColumns = true)
+        .coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(log, "00000000000000000000.checkpoint.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val cloneDir = new java.io.File(dir.getParentFile, dir.getName + "_clone").getPath
+    time(s"clone_${n}_files") {
+      val k = LakeWriter.cloneDelta(spark, dir.getPath, cloneDir)
+      require(k == n, s"cloned $k of $n")
+    }
+    (1 to 3).foreach { i =>
+      time(s"clone_snapshot_scalars_$i") {
+        require(DeltaReader.snapshot(spark, cloneDir, None).version == 0)
+      }
+    }
+    time(s"clone_detail_$n") {
+      val d = DeltaReader.detail(spark, cloneDir).collect()(0)
+      require(d.getAs[Long]("numFiles") == n)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(cloneDir))
+  }
+
+  /** convertToDelta at landing-zone scale: n real parquet files
+    * (footers must be read for stats), timed end-to-end, then the
+    * immediate post-convert pruned read.
+    */
+  def stressConvert(spark: SparkSession, n: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_conv_").toFile.getPath
+    time(s"write_${n}_files") {
+      spark.range(0, n * 10L, 1, n).selectExpr("id", "id * 2 AS v")
+        .write.mode("append").parquet(dir)
+    }
+    time(s"convert_${n}_files") {
+      val k = LakeWriter.convertToDelta(spark, dir)
+      require(k == n, s"converted $k of $n")
+    }
+    time("post_convert_pruned_read") {
+      require(DeltaReader.readWhere(spark, dir, s"id = ${n * 5L}").count() == 1)
+    }
+    time("post_convert_full_count") {
+      require(DeltaReader.read(spark, dir).count() == n * 10L)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
   /** recall@3 vs brute force for every approximate ANN variant across
