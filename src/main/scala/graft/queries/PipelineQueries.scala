@@ -293,6 +293,9 @@ object PipelineQueries {
     "text_scrub" -> ((s, dir) =>
       TextAnalysis.scrubPatterns(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "pii_signals" -> ((s, dir) =>
+      TextAnalysis.piiSignals(t(s, dir, "documents")).orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.bagFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -776,6 +779,19 @@ object PipelineQueries {
 
     "text_scrub" ->
       """SELECT doc_id, regexp_replace(text, '[0-9]+', '<NUM>', 'g') AS scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pii_signals" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+')) AS BIGINT) AS n_emails,
+        | CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_urls,
+        | CAST(len(regexp_extract_all(text, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ips,
+        | CAST(len(regexp_extract_all(text, '[0-9]{6,}')) AS BIGINT) AS n_digit_runs,
+        | regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |   '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z][a-zA-Z]+', '<EMAIL>', 'g'),
+        |   'https?://[^ ]+', '<URL>', 'g'),
+        |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+        |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->

@@ -208,6 +208,66 @@ object LakeWriter {
     files.size
   }
 
+  /** GENERATE symlink_format_manifest: the interop bridge to engines
+    * that read parquet-with-manifests but not the Delta log (Presto /
+    * Trino / Athena / Hive external tables). One text file per
+    * partition directory under `_symlink_format_manifest/`, each line
+    * the fully-qualified URI of a live data file at the CURRENT
+    * version — exactly delta-spark's `GENERATE symlink_format_manifest`
+    * layout. Re-running replaces the whole manifest tree (stale
+    * partition dirs from before a delete/compaction are removed, not
+    * left pointing at tombstoned files).
+    *
+    * Refuses DV-carrying snapshots loudly: a manifest can only point
+    * at whole files, and an external reader following it would
+    * resurrect deleted rows (delta-spark refuses the same way —
+    * compact first, which folds DVs away). Column-mapped tables
+    * refuse too: the manifest consumer reads physical parquet names
+    * with no log to map them back.
+    *
+    * Scale: O(live files) driver work and manifest bytes — the same
+    * class as planning a scan; data files are never read.
+    */
+  def generateManifest(spark: SparkSession, dir: String): Seq[String] = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+      "generateManifest: column-mapped tables not supported — manifest consumers " +
+        "cannot resolve physical column names")
+    val withDv = snap.active.count(_.dv.isDefined)
+    require(withDv == 0,
+      s"generateManifest: $withDv live files carry deletion vectors — a manifest " +
+        "reader would resurrect their deleted rows; run compactDelta first")
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val manifestRoot = new org.apache.hadoop.fs.Path(root, "_symlink_format_manifest")
+    if (fs.exists(manifestRoot)) fs.delete(manifestRoot, true)
+    val byPartDir = snap.active.groupBy { a =>
+      if (DeltaReader.isAbsoluteAddPath(a.path)) {
+        // partition dir from the log's values, like compactDelta
+        snap.partCols.map { c =>
+          val v = a.partitionValues.get(c).flatMap(Option(_)).orNull
+          val seg = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+          s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)}=$seg"
+        }.mkString("/")
+      } else DeltaReader.percentDecode(a.path).split('/').dropRight(1).mkString("/")
+    }
+    val written = byPartDir.toSeq.sortBy(_._1).map { case (partDir, files) =>
+      val mDir = if (partDir.isEmpty) manifestRoot
+        else new org.apache.hadoop.fs.Path(manifestRoot, partDir)
+      fs.mkdirs(mDir)
+      val mFile = new org.apache.hadoop.fs.Path(mDir, "manifest")
+      val lines = files.map { a =>
+        fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.toString
+      }.sorted
+      val out = fs.create(mFile, true)
+      try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+      (if (partDir.isEmpty) "manifest" else s"$partDir/manifest")
+    }
+    written.sorted
+  }
+
   /** COPY INTO: idempotent FILE-LEVEL ingestion of external parquet
     * files into an existing Delta table — the landing-zone loader.
     * Each call loads only the source files no previous COPY INTO

@@ -132,6 +132,40 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6).as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_words").cast("double"), 6).as("top_share"))
 
+  /** PII signal battery + layered redaction (the C4/CCNet-style
+    * pre-training scrub, richer than [[scrubPatterns]]'s digit-run
+    * shape): per-doc counts of emails, URLs, IPv4 literals and long
+    * digit runs, plus the text with each class masked in detection
+    * order (email → URL → IP → digit-run, so an email's digits are
+    * masked as <EMAIL>, not shredded into <NUM>). Counts are measured
+    * on the ORIGINAL text per class — they are audit signals, not
+    * post-scrub leftovers. Pure per-row regex expressions; patterns
+    * chosen to mean the same thing to Java regex and RE2 so the
+    * DuckDB oracle recomputes them verbatim.
+    * Output: (doc_id, n_emails, n_urls, n_ips, n_digit_runs, scrubbed).
+    */
+  def piiSignals(docs: DataFrame, minDigits: Int = 6,
+                 id: String = "doc_id", text: String = "text"): DataFrame = {
+    val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z][a-zA-Z]+"
+    val url = "https?://[^ ]+"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val digits = s"[0-9]{$minDigits,}"
+    val scrubbed =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col(text), email, "<EMAIL>"),
+            url, "<URL>"),
+          ip, "<IP>"),
+        digits, "<NUM>")
+    docs.select(col(id),
+      regexp_count(col(text), lit(email)).cast("long").as("n_emails"),
+      regexp_count(col(text), lit(url)).cast("long").as("n_urls"),
+      regexp_count(col(text), lit(ip)).cast("long").as("n_ips"),
+      regexp_count(col(text), lit(digits)).cast("long").as("n_digit_runs"),
+      scrubbed.as("scrubbed"))
+  }
+
   /** Composite rule-based quality gate (the Gopher rules, Rae et al.
     * 2021 Table A1, the filter battery MassiveText/RefinedWeb-style
     * pipelines run BEFORE any model-based scoring): word-count bounds,
