@@ -608,9 +608,12 @@ object DeltaReader {
     // are read together as one snapshot base; ignoring the multi-part
     // form would silently drop every file added at or before it when
     // retention has cleaned the pre-checkpoint commits
+    // classic, multi-part AND v2-manifest
+    // (NNN.checkpoint.<uniqueStr>.{json,parquet}) checkpoint names
     val checkpoints: Seq[(Long, Seq[Path])] = entries
       .filter(st => st.isFile &&
-        st.getPath.getName.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet"))
+        (st.getPath.getName.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") ||
+          st.getPath.getName.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)")))
       .map(_.getPath)
       .groupBy(_.getName.take(20).toLong)
       .map { case (v, ps) => v -> ps.sortBy(_.getName) }
@@ -644,29 +647,11 @@ object DeltaReader {
     // Its add entries are kept as a DATAFRAME (distributed), not
     // collected: a 100-TB table's checkpoint holds millions of adds.
     var cpAddsDf: Option[DataFrame] = None
-    val base = checkpoints.filter(_._1 <= target).lastOption
-    base.foreach { case (v, psAll) =>
-      // both checkpoint forms may coexist at one version; a classic
-      // single file is complete by itself, so prefer it — mixing the
-      // forms in one read would double-count adds and fail the
-      // multi-part completeness check on an intact table
-      val classic = psAll.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
-      val ps = if (classic.nonEmpty) classic else psAll
-      // a multi-part checkpoint names its part count — all parts must
-      // be present or the snapshot base is silently partial
-      val multi = "\\d{20}\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r
-      ps.head.getName match {
-        case multi(total) =>
-          require(ps.size == total.toInt,
-            s"checkpoint $v has ${ps.size} of $total parts in $logPath — refusing a partial snapshot")
-        case _ =>
-      }
-      val cp = s.read.parquet(ps.map(_.toString): _*)
+    // ONE filtered-and-projected job collects the scalar actions
+    // (metaData/protocol/txn) of a parquet checkpoint/manifest — the
+    // add entries never ride along
+    def ingestScalars(cp: DataFrame): Unit = {
       val cols = cp.columns.toSet
-      if (cols("add")) cpAddsDf = Some(checkpointAdds(cp))
-      // scalar actions (metaData/protocol/txn) are a handful of rows —
-      // ONE filtered-and-projected job collects them; the add entries
-      // above stay distributed until the lazy resolution below
       val scalarCols = Seq("metaData", "protocol", "txn").filter(cols)
       val rows =
         if (scalarCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
@@ -705,6 +690,132 @@ object DeltaReader {
           val tx = r.getStruct(r.fieldIndex("txn"))
           txns += tx.getString(tx.fieldIndex("appId")) ->
             tx.getAs[Number]("version").longValue()
+        }
+      }
+    }
+    val base = checkpoints.filter(_._1 <= target).lastOption
+    base.foreach { case (v, psAll) =>
+      // several checkpoint forms may coexist at one version; each
+      // complete form is a full snapshot by itself, so pick ONE —
+      // mixing forms in one read would double-count adds. Preference:
+      // classic single file, then a V2 manifest, then multi-part.
+      val classic = psAll.filter(_.getName.matches("\\d{20}\\.checkpoint\\.parquet"))
+      val v2 = psAll.filter(_.getName.matches(
+        "\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)")).sortBy(_.getName)
+      if (classic.nonEmpty || v2.isEmpty) {
+        val ps = if (classic.nonEmpty) classic else psAll
+        // a multi-part checkpoint names its part count — all parts must
+        // be present or the snapshot base is silently partial
+        val multi = "\\d{20}\\.checkpoint\\.\\d{10}\\.(\\d{10})\\.parquet".r
+        ps.head.getName match {
+          case multi(total) =>
+            require(ps.size == total.toInt,
+              s"checkpoint $v has ${ps.size} of $total parts in $logPath — refusing a partial snapshot")
+          case _ =>
+        }
+        val cp = s.read.parquet(ps.map(_.toString): _*)
+        if (cp.columns.contains("add")) cpAddsDf = Some(checkpointAdds(cp))
+        ingestScalars(cp)
+      } else {
+        // V2 spec checkpoint (reader feature `v2Checkpoints`):
+        // `<v>.checkpoint.<uniqueStr>.{json|parquet}` is a MANIFEST —
+        // non-file actions plus a `checkpointMetadata` (version
+        // verified) and optional `sidecar` actions naming parquet
+        // files under _delta_log/_sidecars/ that hold the add state.
+        // Several uniqueStrs may coexist (each complete): take the
+        // lexicographically first for determinism. File actions stay
+        // DISTRIBUTED: sidecars are a parquet scan; inline adds of a
+        // parquet manifest likewise. A JSON manifest is driver-parsed
+        // (the format puts bulk adds in sidecars for exactly this
+        // reason).
+        val mPath = v2.head
+        val sidecarDir = new Path(logPath, "_sidecars")
+        if (mPath.getName.endsWith(".parquet")) {
+          val mf = s.read.parquet(mPath.toString)
+          val cols = mf.columns.toSet
+          require(!cols("checkpointMetadata") || {
+            val cm = mf.where(col("checkpointMetadata").isNotNull)
+              .select("checkpointMetadata.version").collect()
+            cm.isEmpty || cm(0).getAs[Number](0).longValue() == v
+          }, s"v2 checkpoint ${mPath.getName} declares a different version than its " +
+            "file name — corrupt manifest, refusing")
+          val sidecars =
+            if (!cols("sidecar")) Nil
+            else mf.where(col("sidecar").isNotNull).select("sidecar.path")
+              .collect().map(r => new Path(sidecarDir, r.getString(0)).toString).toSeq
+          sidecars.foreach(p => require(fs.exists(new Path(p)),
+            s"v2 checkpoint sidecar $p missing — refusing a partial snapshot"))
+          val inline = if (cols("add")) Some(checkpointAdds(mf)) else None
+          val side =
+            if (sidecars.isEmpty) None
+            else Some(checkpointAdds(s.read.parquet(sidecars: _*)))
+          cpAddsDf = (inline, side) match {
+            case (Some(a), Some(b)) => Some(a.unionByName(b))
+            case (a, b) => a.orElse(b)
+          }
+          ingestScalars(mf)
+        } else {
+          // JSON manifest: same actions, one line each
+          val om0 = new com.fasterxml.jackson.databind.ObjectMapper()
+          val inline = Seq.newBuilder[AddFile]
+          val sidecars = Seq.newBuilder[String]
+          val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(mPath), java.nio.charset.StandardCharsets.UTF_8))
+          try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).foreach { line =>
+              val n = om0.readTree(line)
+              if (n.has("checkpointMetadata"))
+                require(n.get("checkpointMetadata").get("version").asLong() == v,
+                  s"v2 checkpoint ${mPath.getName} declares a different version than " +
+                    "its file name — corrupt manifest, refusing")
+              if (n.has("sidecar"))
+                sidecars += new Path(sidecarDir,
+                  n.get("sidecar").get("path").asText()).toString
+              if (n.has("add")) inline += addFromJson(n.get("add"))
+              if (n.has("metaData")) {
+                val md = n.get("metaData")
+                schemaJson = Some(md.get("schemaString").asText())
+                metaId = Option(md.get("id")).filterNot(_.isNull).map(_.asText())
+                partCols = Option(md.get("partitionColumns")).map { pcs =>
+                  (0 until pcs.size()).map(pcs.get(_).asText())
+                }.getOrElse(Nil)
+                configuration = Option(md.get("configuration")).filterNot(_.isNull).map { c =>
+                  val it = c.fields()
+                  val b = Map.newBuilder[String, String]
+                  while (it.hasNext) { val e = it.next(); b += e.getKey ->
+                    (if (e.getValue.isNull) null else e.getValue.asText()) }
+                  b.result()
+                }.getOrElse(Map.empty)
+              }
+              if (n.has("protocol")) {
+                val pr = n.get("protocol")
+                minReader = math.max(minReader, pr.get("minReaderVersion").asLong())
+                minWriter = math.max(minWriter, pr.get("minWriterVersion").asLong())
+                Option(pr.get("readerFeatures")).filterNot(_.isNull).foreach { fs0 =>
+                  readerFeatures = (0 until fs0.size()).map(fs0.get(_).asText()).toSet
+                }
+                Option(pr.get("writerFeatures")).filterNot(_.isNull).foreach { fs0 =>
+                  writerFeatures = (0 until fs0.size()).map(fs0.get(_).asText()).toSet
+                }
+              }
+              if (n.has("txn")) {
+                val tx = n.get("txn")
+                txns += tx.get("appId").asText() -> tx.get("version").asLong()
+              }
+            } finally rd.close()
+          val sidecarPaths = sidecars.result()
+          sidecarPaths.foreach(p => require(fs.exists(new Path(p)),
+            s"v2 checkpoint sidecar $p missing — refusing a partial snapshot"))
+          val side =
+            if (sidecarPaths.isEmpty) None
+            else Some(checkpointAdds(s.read.parquet(sidecarPaths: _*)))
+          val inlineAdds = inline.result()
+          val inlineDf =
+            if (inlineAdds.isEmpty) None else Some(addsAsResolveDf(s, inlineAdds))
+          cpAddsDf = (inlineDf, side) match {
+            case (Some(a), Some(b)) => Some(a.unionByName(b))
+            case (a, b) => a.orElse(b)
+          }
         }
       }
     }
@@ -778,7 +889,8 @@ object DeltaReader {
       require(readerFeatures.nonEmpty,
         s"Delta protocol minReaderVersion 3 with no readerFeatures in $logPath — " +
           "malformed table, refusing to guess its reader requirements")
-      val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors")
+      val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors",
+        "v2Checkpoints")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
           "(columnMapping and deletionVectors are implemented) — refusing to misread the table")
@@ -882,6 +994,29 @@ object DeltaReader {
       opt("stats", StringType).as("stats"))
   }
 
+  /** Driver-parsed AddFiles (a JSON v2-manifest's inline adds) lifted
+    * into the same 10-column layout [[checkpointAdds]] produces, so
+    * the lazy resolution path is ONE shape regardless of source.
+    */
+  private def addsAsResolveDf(s: SparkSession, adds: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType, StructField}
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("pv", MapType(StringType, StringType)),
+      StructField("size", LongType), StructField("mtime", LongType),
+      StructField("dv_st", StringType), StructField("dv_p", StringType),
+      StructField("dv_off", IntegerType), StructField("dv_sz", IntegerType),
+      StructField("dv_card", LongType), StructField("stats", StringType)))
+    val rows = adds.map { a =>
+      org.apache.spark.sql.Row(a.path, a.partitionValues, a.size, a.modificationTime,
+        a.dv.map(_.storageType).orNull, a.dv.map(_.pathOrInlineDv).orNull,
+        a.dv.flatMap(_.offset).map(Int.box).orNull,
+        a.dv.map(d => Int.box(d.sizeInBytes)).orNull,
+        a.dv.map(d => Long.box(d.cardinality)).orNull,
+        a.stats.orNull)
+    }
+    s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** Snapshot read at the latest version, or at `versionAsOf`.
     *
     * Column mapping (name mode): the parquet files carry PHYSICAL
@@ -958,6 +1093,40 @@ object DeltaReader {
       "numFiles", "sizeInBytes", "numDeletionVectorFiles", "properties",
       "minReaderVersion", "minWriterVersion", "readerFeatures", "writerFeatures")
   }
+
+  /** The version live at `timestampMillis` — delta-spark's
+    * `timestampAsOf` rule: the NEWEST commit whose log-file
+    * modification time is at or below the timestamp (commit content
+    * timestamps are informational; the file system clock is the
+    * protocol's time-travel authority). Refuses a timestamp older
+    * than the earliest RETAINED commit (its state is not
+    * reconstructible — retention cleaned it) rather than silently
+    * answering with a later state.
+    */
+  def versionAtTimestamp(s: SparkSession, dir: String, timestampMillis: Long): Long = {
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
+    val commits = fs.listStatus(logPath).toSeq
+      .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => st.getPath.getName.take(20).toLong -> st.getModificationTime)
+      .sortBy(_._1)
+    require(commits.nonEmpty, s"not a Delta table (no commits): $dir")
+    // timestamps must be read monotonically even if the clock wasn't:
+    // a commit can never be OLDER than its predecessor (delta-spark
+    // adjusts the same way), so time travel stays well-defined
+    val mono = commits.scanLeft((Long.MinValue, Long.MinValue)) {
+      case ((_, prevTs), (v, ts)) => (v, math.max(prevTs, ts))
+    }.drop(1)
+    require(mono.head._2 <= timestampMillis,
+      s"timestamp $timestampMillis predates the earliest retained commit " +
+        s"(version ${mono.head._1} at ${mono.head._2}) — that state is not " +
+        "reconstructible; refusing")
+    mono.takeWhile(_._2 <= timestampMillis).last._1
+  }
+
+  /** Time travel by wall clock: `read` at [[versionAtTimestamp]]. */
+  def readTimestamp(s: SparkSession, dir: String, timestampMillis: Long): DataFrame =
+    read(s, dir, Some(versionAtTimestamp(s, dir, timestampMillis)))
 
   /** Predicate-filtered read with DATA SKIPPING: files whose
     * stats/partition envelope cannot satisfy `predicate` are pruned on

@@ -1,0 +1,179 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit, struct}
+
+/** V2 spec checkpoints (reader feature `v2Checkpoints`): manifest +
+  * sidecar replay, JSON and parquet manifest forms, refusals, and
+  * coexistence preference.
+  */
+class DeltaV2CheckpointSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  private def rows(df: DataFrame): Set[(Long, String)] = {
+    val s = spark
+    import s.implicits._
+    df.select("id", "v").as[(Long, String)].collect().toSet
+  }
+
+  /** Build a two-version table, write its classic checkpoint at v1,
+    * then return (dir, classic checkpoint file).
+    */
+  private def mkTable(): (String, java.io.File) = {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_v2cp_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.checkpointDelta(spark, dir, 1L)
+    (dir, new java.io.File(dir, "_delta_log/00000000000000000001.checkpoint.parquet"))
+  }
+
+  /** Split the classic checkpoint into a v2 manifest (scalars +
+    * checkpointMetadata + sidecar pointer) and one sidecar holding the
+    * adds; optionally delete the classic file and the commit JSONs so
+    * the v2 path is the ONLY way to read.
+    */
+  private def toV2(dir: String, classic: java.io.File, manifestVersion: Long = 1L,
+                   json: Boolean = false): Unit = {
+    val log = new java.io.File(dir, "_delta_log")
+    val sidecars = new java.io.File(log, "_sidecars")
+    sidecars.mkdirs()
+    val cp = spark.read.parquet(classic.getPath)
+    // sidecar: the add entries
+    val stage = new java.io.File(dir, "_v2stage")
+    cp.where(col("add").isNotNull).select(col("add"))
+      .coalesce(1).write.parquet(stage.getPath)
+    val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(sidecars, "sc-1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    if (!json) {
+      // parquet manifest: scalar rows + checkpointMetadata + sidecar
+      val scalars = cp.where(col("metaData").isNotNull || col("protocol").isNotNull)
+        .select(col("metaData"), col("protocol"))
+        .withColumn("checkpointMetadata",
+          lit(null).cast("struct<version:bigint>"))
+        .withColumn("sidecar",
+          lit(null).cast("struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"))
+      val extra = spark.range(1).select(
+        lit(null).cast(scalars.schema("metaData").dataType).as("metaData"),
+        lit(null).cast(scalars.schema("protocol").dataType).as("protocol"),
+        struct(lit(manifestVersion).as("version")).as("checkpointMetadata"),
+        struct(lit("sc-1.parquet").as("path"), lit(1L).as("sizeInBytes"),
+          lit(0L).as("modificationTime")).as("sidecar"))
+      val stage2 = new java.io.File(dir, "_v2stage2")
+      scalars.unionByName(extra).coalesce(1).write.parquet(stage2.getPath)
+      val p2 = stage2.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(p2.toPath,
+        new java.io.File(log, "00000000000000000001.checkpoint.abc-123.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage2)
+    } else {
+      // JSON manifest: one action per line, scalars driver-readable
+      val md = cp.where(col("metaData").isNotNull)
+        .select("metaData.id", "metaData.schemaString").collect()(0)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val lines = Seq(
+        s"""{"checkpointMetadata":{"version":$manifestVersion}}""",
+        s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+        s"""{"metaData":{"id":"${md.getString(0)}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(md.getString(1))},"partitionColumns":[],"configuration":{}}}""",
+        s"""{"sidecar":{"path":"sc-1.parquet","sizeInBytes":1,"modificationTime":0}}""")
+      java.nio.file.Files.write(
+        new java.io.File(log, "00000000000000000001.checkpoint.json-1fx.json").toPath,
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+  }
+
+  private def dropPreV2(dir: String, classic: java.io.File): Unit = {
+    val log = new java.io.File(dir, "_delta_log")
+    classic.delete()
+    new java.io.File(log, "00000000000000000000.json").delete()
+    new java.io.File(log, "00000000000000000001.json").delete()
+  }
+
+  test("parquet v2 manifest + sidecar is a complete replay base") {
+    val (dir, classic) = mkTable()
+    toV2(dir, classic)
+    dropPreV2(dir, classic)
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+    // scalar consumers ride the manifest too
+    assert(DeltaReader.snapshot(spark, dir, None).version == 1L)
+    // and the table stays writable on top of the v2 base
+    val s = spark
+    import s.implicits._
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v").coalesce(1), dir)
+    assert(rows(DeltaReader.read(spark, dir)) ==
+      Set((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")))
+  }
+
+  test("json v2 manifest + sidecar is a complete replay base") {
+    val (dir, classic) = mkTable()
+    toV2(dir, classic, json = true)
+    dropPreV2(dir, classic)
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
+  test("classic is preferred when both forms coexist") {
+    val (dir, classic) = mkTable()
+    // v2 with a DANGLING sidecar pointer: if the reader chose v2 it
+    // would refuse — a green read proves the classic won
+    toV2(dir, classic)
+    new java.io.File(dir, "_delta_log/_sidecars/sc-1.parquet").delete()
+    new java.io.File(dir, "_delta_log/00000000000000000000.json").delete()
+    new java.io.File(dir, "_delta_log/00000000000000000001.json").delete()
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
+  test("version mismatch and missing sidecar refuse loudly") {
+    val (dir, classic) = mkTable()
+    toV2(dir, classic, manifestVersion = 7L)
+    dropPreV2(dir, classic)
+    val e = intercept[IllegalArgumentException](DeltaReader.read(spark, dir))
+    assert(e.getMessage.contains("different version"))
+
+    val (dir2, classic2) = mkTable()
+    toV2(dir2, classic2)
+    dropPreV2(dir2, classic2)
+    new java.io.File(dir2, "_delta_log/_sidecars/sc-1.parquet").delete()
+    val e2 = intercept[IllegalArgumentException](DeltaReader.read(spark, dir2))
+    assert(e2.getMessage.contains("sidecar"))
+  }
+
+  test("timestampAsOf resolves by commit-file mtime, monotonic, refusing the pre-history") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_tsasof_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)
+    val log = new java.io.File(dir, "_delta_log")
+    def setM(v: Long, ts: Long): Unit =
+      new java.io.File(log, f"$v%020d.json").setLastModified(ts)
+    setM(0L, 1000L); setM(1L, 2000L); setM(2L, 3000L)
+    assert(DeltaReader.versionAtTimestamp(spark, dir, 1000L) == 0L)
+    assert(DeltaReader.versionAtTimestamp(spark, dir, 2500L) == 1L)
+    assert(DeltaReader.versionAtTimestamp(spark, dir, 99999L) == 2L)
+    assert(rows(DeltaReader.readTimestamp(spark, dir, 2500L)) == Set((0L, "a"), (1L, "b")))
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.versionAtTimestamp(spark, dir, 999L))
+    assert(e.getMessage.contains("predates"))
+    // a clock that ran BACKWARDS between commits reads monotonically
+    setM(1L, 500L)
+    assert(DeltaReader.versionAtTimestamp(spark, dir, 1500L) == 1L)
+  }
+
+  test("a protocol declaring the v2Checkpoints reader feature is accepted") {
+    val s = spark
+    import s.implicits._
+    val (dir, classic) = mkTable()
+    // upgrade the protocol in a new commit to (3,7) with v2Checkpoints
+    val log = new java.io.File(dir, "_delta_log")
+    java.nio.file.Files.write(new java.io.File(log, "00000000000000000002.json").toPath,
+      ("""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoints"],"writerFeatures":["v2Checkpoints"]}}""" + "\n")
+        .getBytes("UTF-8"))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+}
