@@ -468,6 +468,15 @@ object Profile {
       case e: IllegalArgumentException =>
         println(s"[profile] gate refused as designed: ${e.getMessage.linesIterator.next()}")
     } finally spark.conf.unset("spark.graft.delta.maxSnapshotFiles")
+    // checkpoint AUTHORSHIP at the same scale: the add rows flow
+    // checkpoint-scan → suffix anti-join → parquet write entirely on
+    // executors (Snapshot.activeDf) — no driver file list at any size
+    time(s"checkpoint_author_multipart_$n") {
+      graft.sources.LakeWriter.checkpointDelta(spark, dir.getPath, 50L, parts = 4)
+    }
+    time("snapshot_scalars_from_authored_cp") {
+      require(DeltaReader.snapshot(spark, dir.getPath, None).version == 50)
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 

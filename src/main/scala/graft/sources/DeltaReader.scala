@@ -88,7 +88,32 @@ object DeltaReader {
                                       val readerFeatures: Seq[String],
                                       val writerFeatures: Seq[String],
                                       val txns: Map[String, Long],
-                                      val metaId: Option[String]) {
+                                      val metaId: Option[String],
+                                      cpAdds: Option[DataFrame] = None,
+                                      suffixFinal: Seq[(String, Option[AddFile])] = Nil) {
+
+    /** The live add set as a DISTRIBUTED DataFrame in the 10-column
+      * resolve shape — never collected: the checkpoint's adds stay a
+      * scan, the (small) commit suffix anti-joins them away and its
+      * own survivors union in. The checkpoint WRITER consumes this, so
+      * authoring a checkpoint of a multi-million-file table costs no
+      * driver memory at all (the read side's gated `active` is for
+      * scan planning, which needs the list on the driver anyway).
+      */
+    def activeDf(s: SparkSession): DataFrame = {
+      import org.apache.spark.sql.functions.broadcast
+      import s.implicits._
+      val survivors = suffixFinal.collect { case (_, Some(af)) => af }
+      val sfxDf = if (survivors.isEmpty) None else Some(addsAsResolveDf(s, survivors))
+      val cpLive = cpAdds.map { adds =>
+        if (suffixFinal.isEmpty) adds
+        else adds.join(broadcast(suffixFinal.map(_._1).toDF("path")), Seq("path"), "left_anti")
+      }
+      (cpLive, sfxDf) match {
+        case (Some(a), Some(b)) => a.unionByName(b)
+        case (a, b) => a.orElse(b).getOrElse(addsAsResolveDf(s, Nil))
+      }
+    }
     /** The resolved live add set. LAZY: forcing it runs the distributed
       * last-writer-wins resolution over the checkpoint and collects the
       * final file list (gated by `spark.graft.delta.maxSnapshotFiles`)
@@ -961,7 +986,8 @@ object DeltaReader {
     new Snapshot(target, resolveFn,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
-      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId)
+      minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId,
+      cpAddsDf, suffixFinal)
   }
 
   /** A checkpoint's `add` entries flattened to the resolution schema —

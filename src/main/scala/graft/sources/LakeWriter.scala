@@ -2119,9 +2119,11 @@ object LakeWriter {
     files.size
   }
 
-  def checkpointDelta(spark: SparkSession, dir: String, version: Long): Unit = {
+  def checkpointDelta(spark: SparkSession, dir: String, version: Long,
+                      parts: Int = 1): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
+    require(parts >= 1, s"checkpointDelta: parts $parts must be >= 1")
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
     // checkpoint actions carry every field PROTOCOL.md requires of them:
     // add needs size + modificationTime and metaData needs format +
@@ -2172,7 +2174,7 @@ object LakeWriter {
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
         StructField("version", LongType))))))
-    val rows =
+    val scalarRows =
       // protocol is restated VERBATIM from the replayed log — writing
       // (1,2) here would downgrade a column-mapping table's declared
       // requirements and make a real reader misinterpret the data the
@@ -2192,35 +2194,71 @@ object LakeWriter {
           Row("parquet", Map.empty[String, String]),
           snap.schemaJson, snap.partCols, snap.configuration),
         null, null) +:
-      snap.active.map(a =>
-        Row(null, null, Row(a.path, a.partitionValues, a.size, a.modificationTime, true,
-          a.dv.map(d => Row(d.storageType, d.pathOrInlineDv,
-            d.offset.map(Int.box).orNull, d.sizeInBytes, d.cardinality)).orNull,
-          a.stats.orNull), null))) ++
       snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
         Row(null, null, null, Row(appId, v))
-      }
+      })
+    // the ADD rows stay a DISTRIBUTED plan end to end: the replayed
+    // live set (checkpoint scan ∪ commit suffix, anti-joined) projects
+    // into the checkpoint's add struct and writes through executors —
+    // authoring a checkpoint of a multi-million-file table never
+    // materializes the file list on the driver (the previous
+    // snap.active form did, the write-side twin of r8's replay fix)
+    import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l, struct => st, when}
+    val addT = schema("add").dataType
+    val addsDf = snap.activeDf(spark).select(
+      l(null).cast(schema("protocol").dataType).as("protocol"),
+      l(null).cast(schema("metaData").dataType).as("metaData"),
+      st(
+        c("path"),
+        cls(c("pv"), org.apache.spark.sql.functions.map())
+          .as("partitionValues"),
+        cls(c("size"), l(0L)).as("size"),
+        cls(c("mtime"), l(0L)).as("modificationTime"),
+        l(true).as("dataChange"),
+        when(c("dv_st").isNotNull, st(
+          c("dv_st").as("storageType"), c("dv_p").as("pathOrInlineDv"),
+          c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
+          c("dv_card").as("cardinality"))).as("deletionVector"),
+        c("stats")).cast(addT).as("add"),
+      l(null).cast(schema("txn").dataType).as("txn"))
+    val scalarsDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(scalarRows, 1), schema)
+    val full = scalarsDf.unionByName(addsDf)
     val hconf = spark.sessionState.newHadoopConf()
     val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
     val fs = log.getFileSystem(hconf)
     // Spark writes a directory; the spec wants ONE file named
-    // NNN.checkpoint.parquet — write to a scratch dir, rename the
-    // single part file into place, then publish _last_checkpoint.
+    // NNN.checkpoint.parquet (or K multi-part files) — write to a
+    // scratch dir, rename into place, then publish _last_checkpoint.
     // Order matters for crash safety: the hint is written only after
     // the checkpoint file exists (a reader ignores a missing hint but
     // would fail on a hinted-but-absent checkpoint).
     val scratch = new org.apache.hadoop.fs.Path(log, s"_cp_stage_$version")
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
-      .coalesce(1).write.parquet(scratch.toString)
+    (if (parts <= 1) full.coalesce(1) else full.repartition(parts))
+      .write.parquet(scratch.toString)
     val part = fs.listStatus(scratch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-    require(part.length == 1, s"expected one checkpoint part file, got ${part.length}")
-    val dest = new org.apache.hadoop.fs.Path(log, f"$version%020d.checkpoint.parquet")
-    require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest failed")
+      .sortBy(_.getName)
+    if (parts <= 1) {
+      require(part.length == 1, s"expected one checkpoint part file, got ${part.length}")
+      val dest = new org.apache.hadoop.fs.Path(log, f"$version%020d.checkpoint.parquet")
+      require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest failed")
+    } else {
+      // multi-part form: NNN.checkpoint.PPPPPPPPPP.QQQQQQQQQQ.parquet,
+      // part numbers 1-based, total = what the writer produced (empty
+      // partitions still write a part file, so this equals `parts`)
+      val total = part.length
+      part.zipWithIndex.foreach { case (p, i) =>
+        val dest = new org.apache.hadoop.fs.Path(log,
+          f"$version%020d.checkpoint.${i + 1}%010d.$total%010d.parquet")
+        require(fs.rename(p, dest), s"rename $p -> $dest failed")
+      }
+    }
     fs.delete(scratch, true)
+    val nActions = scalarRows.size + snap.activeDf(spark).count()
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
-    try out.write(s"""{"version":$version,"size":${rows.size}}""".getBytes("UTF-8"))
+    try out.write(s"""{"version":$version,"size":$nActions}""".getBytes("UTF-8"))
     finally out.close()
   }
 

@@ -142,6 +142,31 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     assert(e2.getMessage.contains("sidecar"))
   }
 
+  test("multi-part checkpoint WRITING: distributed authorship, full replay, txn survival") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_mpcp_")
+    LakeWriter.writeDelta((0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(4), dir, txn = Some(("app-x", 7L)))
+    LakeWriter.appendDelta(Seq((100L, "z")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.checkpointDelta(spark, dir, 1L, parts = 3)
+    val log = new java.io.File(dir, "_delta_log")
+    val mp = log.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.\\d{10}\\.\\d{10}\\.parquet")).sorted
+    assert(mp.length == 3 && mp.forall(_.contains("0000000003")))
+    // drop the commits: the multi-part checkpoint must be the complete base
+    new java.io.File(log, "00000000000000000000.json").delete()
+    new java.io.File(log, "00000000000000000001.json").delete()
+    val expect = ((0L until 20L).map(i => (i, s"v$i")) :+ ((100L, "z"))).toSet
+    assert(rows(DeltaReader.read(spark, dir)) == expect)
+    // the streaming watermark survives through the multi-part base
+    assert(DeltaReader.lastTxnVersion(spark, dir, "app-x") == 7L)
+    // losing a part refuses instead of replaying a partial snapshot
+    new java.io.File(log, mp.head).delete()
+    val e = intercept[IllegalArgumentException](DeltaReader.read(spark, dir))
+    assert(e.getMessage.contains("parts"))
+  }
+
   test("timestampAsOf resolves by commit-file mtime, monotonic, refusing the pre-history") {
     val s = spark
     import s.implicits._
