@@ -98,6 +98,161 @@ object LakeWriter {
       configuration = configuration, operation = "CREATE TABLE")
   }
 
+  /** One metadata-only ALTER commit: commitInfo + the (possibly
+    * upgraded) protocol restated + the new metaData, same table id,
+    * create-if-absent arbitration. No data file is touched — ALTERs
+    * are version bumps, and time travel below them replays the old
+    * metadata (historic reads keep their historic shape).
+    */
+  private def commitAlter(spark: SparkSession, dir: String,
+                          snap: DeltaReader.Snapshot, schemaJson: String,
+                          partCols: Seq[String], configuration: Map[String, String],
+                          operation: String,
+                          protocolOverride: Option[String] = None): Unit = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+    val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    val actions = Seq(
+      s"""{"commitInfo":{"timestamp":0,"operation":${om.writeValueAsString(operation)},"operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}""",
+      protocolOverride.getOrElse(protocolJson(snap)),
+      s"""{"metaData":{"id":"${snap.metaId.getOrElse(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson}}""")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"${snap.version + 1}; re-read the table and retry", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  private def tableSchema(snap: DeltaReader.Snapshot): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  /** ALTER TABLE ADD COLUMNS: append nullable columns as a
+    * metadata-only commit — existing files simply lack them and the
+    * schema-first scan reads null (the protocol's evolution model,
+    * the same rule [[appendDeltaEvolve]] uses when an APPEND carries
+    * the new columns; this is the pure-DDL form). On column-mapped
+    * tables the new fields get fresh physical names and field ids and
+    * `delta.columnMapping.maxColumnId` advances — the reason the mode
+    * makes ADD COLUMN safe on a 100-TB table: zero files rewritten.
+    */
+  def alterAddColumns(spark: SparkSession, dir: String,
+                      cols: Seq[(String, String)]): Unit = {
+    require(cols.nonEmpty, "alterAddColumns: no columns given")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val table = tableSchema(snap)
+    cols.foreach { case (n, _) =>
+      require(!table.fieldNames.contains(n),
+        s"alterAddColumns: column '$n' already exists")
+    }
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    val newFields = cols.zipWithIndex.map { case ((n, ddl), i) =>
+      val base = org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true)
+      if (cm == "none") base
+      else base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putLong("delta.columnMapping.id", maxId + i + 1)
+        .putString("delta.columnMapping.physicalName",
+          s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#$n".getBytes("UTF-8"))}")
+        .build())
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(table.fields ++ newFields)
+    val newConf =
+      if (cm == "none") snap.configuration
+      else snap.configuration + ("delta.columnMapping.maxColumnId" ->
+        (maxId + cols.size).toString)
+    commitAlter(spark, dir, snap, newSchema.json, snap.partCols, newConf,
+      "ADD COLUMNS")
+  }
+
+  /** ALTER TABLE RENAME COLUMN — column-mapped (name mode) tables
+    * only, where a rename is what the mode EXISTS for: the parquet
+    * files carry stable physical names, so the logical rename is one
+    * metadata commit and zero rewritten bytes. Partition columns
+    * rename too (metaData.partitionColumns holds logical names; the
+    * directories carry physical ones and never move). Non-CM tables
+    * refuse: their files carry the logical name, and a metadata-only
+    * rename would silently read nulls forever.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name",
+      "renameColumn: table is not column-mapped (name mode) — a metadata-only " +
+        "rename needs stable physical names; rewrite via read + writeDeltaMapped")
+    val table = tableSchema(snap)
+    require(table.fieldNames.contains(from), s"renameColumn: no column '$from'")
+    require(!table.fieldNames.contains(to), s"renameColumn: column '$to' already exists")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      table.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val newPartCols = snap.partCols.map(c => if (c == from) to else c)
+    commitAlter(spark, dir, snap, newSchema.json, newPartCols, snap.configuration,
+      "RENAME COLUMN")
+  }
+
+  /** ALTER TABLE DROP COLUMN — column-mapped tables only (the data
+    * files keep the physical column; the schema-first scan simply
+    * stops projecting it — zero rewritten bytes, and time travel
+    * below the drop still reads it). Refuses partition columns and
+    * dropping the last column.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name",
+      "dropColumn: table is not column-mapped (name mode) — physical files carry " +
+        "the logical name; a metadata-only drop needs column mapping")
+    val table = tableSchema(snap)
+    require(table.fieldNames.contains(name), s"dropColumn: no column '$name'")
+    require(!snap.partCols.contains(name),
+      s"dropColumn: '$name' is a partition column — the layout depends on it")
+    require(table.fields.length > 1, "dropColumn: cannot drop the last column")
+    val newSchema = org.apache.spark.sql.types.StructType(
+      table.fields.filterNot(_.name == name))
+    commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
+      "DROP COLUMNS")
+  }
+
+  /** ALTER TABLE SET/UNSET TBLPROPERTIES. Enabling Change Data Feed
+    * bumps the protocol to its legacy writer floor (1,4) in the same
+    * commit — later mutations must write change data and legacy
+    * writers that can't must refuse the table. Changing
+    * `delta.columnMapping.mode` refuses: mode transitions re-key
+    * every file's columns and are a rewrite, not a property.
+    */
+  def alterProperties(spark: SparkSession, dir: String,
+                      set: Map[String, String],
+                      unset: Seq[String] = Nil): Unit = {
+    require(set.nonEmpty || unset.nonEmpty, "alterProperties: nothing to change")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cur = snap.configuration
+    set.get("delta.columnMapping.mode").foreach { m =>
+      require(cur.getOrElse("delta.columnMapping.mode", "none") == m,
+        "alterProperties: changing delta.columnMapping.mode re-keys every file's " +
+          "columns — a rewrite, not a property change; refusing")
+    }
+    unset.foreach(k => require(!k.startsWith("delta.columnMapping"),
+      s"alterProperties: unsetting '$k' would orphan the mapped schema; refusing"))
+    val newConf = (cur ++ set) -- unset
+    val enablingCdf = set.get("delta.enableChangeDataFeed").contains("true") &&
+      !cur.get("delta.enableChangeDataFeed").contains("true")
+    val protocolOverride =
+      if (enablingCdf && snap.minWriter < 4 && snap.minWriter != 7)
+        Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":4}}""")
+      else None
+    commitAlter(spark, dir, snap, snap.schemaJson, snap.partCols, newConf,
+      "SET TBLPROPERTIES", protocolOverride)
+  }
+
   /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat
     * or hive-partitioned col=value layout) into a Delta table IN
     * PLACE — one metadata commit referencing the files where they

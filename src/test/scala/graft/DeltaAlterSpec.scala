@@ -1,0 +1,123 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.functions.col
+
+/** The ALTER TABLE family: ADD COLUMNS, RENAME COLUMN, DROP COLUMN,
+  * SET TBLPROPERTIES — all metadata-only commits.
+  */
+class DeltaAlterSpec extends SparkSpec {
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  test("addColumns null-fills old files, appends carry the new shape, history keeps the old") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_add_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.alterAddColumns(spark, dir, Seq("score" -> "double", "tag" -> "string"))
+
+    val got = DeltaReader.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "v", "score", "tag"))
+    assert(got.where(col("score").isNull && col("tag").isNull).count() == 1)
+    // time travel below the ALTER keeps the historic shape
+    assert(DeltaReader.read(spark, dir, Some(0L)).columns.toSeq == Seq("id", "v"))
+    // appends must now carry the widened schema
+    LakeWriter.appendDelta(
+      Seq((1L, "b", java.lang.Double.valueOf(0.5), "x")).toDF("id", "v", "score", "tag")
+        .coalesce(1), dir)
+    assert(DeltaReader.read(spark, dir).where(col("score") === 0.5).count() == 1)
+    // duplicate refuses
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.alterAddColumns(spark, dir, Seq("v" -> "string")))
+    assert(e.getMessage.contains("already exists"))
+  }
+
+  test("addColumns on a column-mapped table assigns fresh field ids and physical names") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_addcm_")
+    LakeWriter.writeDeltaMapped(Seq((0L, "a")).toDF("id", "v"), dir)
+    LakeWriter.alterAddColumns(spark, dir, Seq("score" -> "double"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "3")
+    val f = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("score")
+    assert(f.metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(f.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(DeltaReader.read(spark, dir).columns.toSeq == Seq("id", "v", "score"))
+  }
+
+  test("renameColumn on CM tables is metadata-only; non-CM refuses") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_ren_")
+    LakeWriter.writeDeltaMapped(Seq((0L, "a"), (1L, "b")).toDF("id", "v"), dir)
+    val filesBefore = DeltaReader.snapshot(spark, dir, None).active.map(_.path).toSet
+    LakeWriter.renameColumn(spark, dir, "v", "value")
+    assert(DeltaReader.read(spark, dir).columns.toSeq == Seq("id", "value"))
+    assert(DeltaReader.read(spark, dir).where(col("value") === "a").count() == 1)
+    // zero files rewritten — the point of the mode
+    assert(DeltaReader.snapshot(spark, dir, None).active.map(_.path).toSet == filesBefore)
+    // time travel below the rename shows the old name
+    assert(DeltaReader.read(spark, dir, Some(0L)).columns.toSeq == Seq("id", "v"))
+
+    val plain = tmp("graft_alter_ren_plain_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), plain)
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.renameColumn(spark, plain, "v", "value"))
+    assert(e.getMessage.contains("not column-mapped"))
+  }
+
+  test("dropColumn hides the column at latest, keeps it under time travel") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_drop_")
+    LakeWriter.writeDeltaMapped(Seq((0L, "a", 1.5)).toDF("id", "v", "score"), dir)
+    LakeWriter.dropColumn(spark, dir, "score")
+    assert(DeltaReader.read(spark, dir).columns.toSeq == Seq("id", "v"))
+    assert(DeltaReader.read(spark, dir, Some(0L)).columns.toSeq == Seq("id", "v", "score"))
+    val e = intercept[IllegalArgumentException](LakeWriter.dropColumn(spark, dir, "nope"))
+    assert(e.getMessage.contains("no column"))
+  }
+
+  test("alterProperties merges/unsets; enabling CDF bumps the writer floor; CM mode change refuses") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_props_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true", "graft.note" -> "x"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.configuration("delta.enableChangeDataFeed") == "true")
+    assert(snap.minWriter == 4L)
+    // the CDF obligation binds: a delete now writes change data, and
+    // readChanges replays it
+    LakeWriter.deleteWhere(spark, dir, "id = 0")
+    val ch = DeltaReader.readChanges(spark, dir, snap.version + 1, snap.version + 1)
+    assert(ch.where(col("_change_type") === "delete").count() == 1)
+
+    LakeWriter.alterProperties(spark, dir, Map.empty, unset = Seq("graft.note"))
+    assert(!DeltaReader.snapshot(spark, dir, None).configuration.contains("graft.note"))
+
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "name")))
+    assert(e.getMessage.contains("rewrite"))
+  }
+
+  test("appendOnly enabled via alterProperties is enforced by mutations") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_ao_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.alterProperties(spark, dir, Map("delta.appendOnly" -> "true"))
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.deleteWhere(spark, dir, "id = 0"))
+    assert(e.getMessage.toLowerCase.contains("appendonly") ||
+      e.getMessage.contains("append-only"))
+    // appends still work
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir)
+    assert(DeltaReader.read(spark, dir).count() == 2)
+  }
+}
