@@ -629,10 +629,8 @@ object LakeWriter {
     val spark = df0.sparkSession
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none",
-      "appendDeltaEvolve: column-mapped tables need physical-name/maxColumnId " +
-        "assignment for new fields — not implemented; use appendDelta for " +
-        "schema-stable appends")
+    require(cm == "none" || cm == "name",
+      s"appendDeltaEvolve: column mapping mode '$cm' not supported (none/name only)")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[StructType]
     val tableNames = table.fieldNames.toSet
@@ -673,9 +671,27 @@ object LakeWriter {
         s"appendDeltaEvolve: partition column '${t.name}' missing from the appended " +
           "data — every row needs a partition value")
     }
-    // new columns: appended after the table's fields, forced nullable
+    // new columns: appended after the table's fields, forced nullable.
+    // On a column-mapped table each gets a fresh physical name + field
+    // id and maxColumnId advances — the same assignment
+    // [[alterAddColumns]] makes (zero files rewritten either way).
+    val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
     val newFields = df.schema.fields.filterNot(f => tableNames.contains(f.name))
-      .map(_.copy(nullable = true))
+      .zipWithIndex.map { case (f0, i) =>
+        val f = f0.copy(nullable = true)
+        if (cm == "none") f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", maxId + i + 1)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#${f.name}".getBytes("UTF-8"))}")
+          .build())
+      }
+    val newConf =
+      if (cm == "none" || newFields.isEmpty) snap.configuration
+      else snap.configuration + ("delta.columnMapping.maxColumnId" ->
+        (maxId + newFields.length).toString)
     val merged = StructType(table.fields ++ newFields)
     val aligned = df.select(merged.fields.map { f =>
       if (dfByName.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -688,15 +704,29 @@ object LakeWriter {
     } else {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-      val confJson = snap.configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+      val confJson = newConf.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val id = snap.metaId.getOrElse(
         java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
       val metaLine =
         s"""{"metaData":{"id":${om.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(merged.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
-      commitDelta(aligned, dir, snap.version + 1, includeMeta = true,
-        checkpointInterval, partCols = snap.partCols, txn = txn,
+      // CM tables stage parquet + partition dirs under PHYSICAL names
+      // (what the table's readers resolve), exactly like appendDelta
+      val (staged, stagePartCols) =
+        if (cm == "none") (aligned, snap.partCols)
+        else {
+          val phys = merged.fields.map { f =>
+            require(f.metadata.contains("delta.columnMapping.physicalName"),
+              s"appendDeltaEvolve: field '${f.name}' carries no physicalName metadata")
+            f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+          }.toMap
+          (aligned.select(merged.fieldNames.map(c =>
+            aligned.col(c).as(phys(c))).toIndexedSeq: _*),
+            snap.partCols.map(phys))
+        }
+      commitDelta(staged, dir, snap.version + 1, includeMeta = true,
+        checkpointInterval, partCols = stagePartCols, txn = txn,
         metaOverride = Some((protocolJson(snap), metaLine)),
         operation = "WRITE")
     }
@@ -2413,7 +2443,10 @@ object LakeWriter {
     val nActions = scalarRows.size + snap.activeDf(spark).count()
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
-    try out.write(s"""{"version":$version,"size":$nActions}""".getBytes("UTF-8"))
+    // multi-part hints carry "parts" (delta-spark's form) so real
+    // readers know how many files complete the checkpoint
+    val partsField = if (parts <= 1) "" else s""","parts":${part.length}"""
+    try out.write(s"""{"version":$version,"size":$nActions$partsField}""".getBytes("UTF-8"))
     finally out.close()
   }
 

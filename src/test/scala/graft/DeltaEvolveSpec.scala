@@ -110,4 +110,29 @@ class DeltaEvolveSpec extends SparkSpec {
     assert(DeltaReader.readPartition(spark, dir, Map("p" -> "x"))
       .select("id").as[Long].collect().toSet == Set(0L, 2L))
   }
+
+  test("evolution on a COLUMN-MAPPED table assigns physical names and stays readable") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_cm_")
+    LakeWriter.writeDeltaMapped(Seq((0L, "a")).toDF("id", "v"), dir)
+    LakeWriter.appendDeltaEvolve(
+      Seq((1L, "b", 1.5)).toDF("id", "v", "score").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "3")
+    val f = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("score")
+    assert(f.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    // the staged parquet carries PHYSICAL names — the logical read maps back
+    val got = DeltaReader.read(spark, dir)
+    assert(got.columns.toSeq == Seq("id", "v", "score"))
+    import org.apache.spark.sql.functions.col
+    assert(got.where(col("score") === 1.5).count() == 1)
+    assert(got.where(col("score").isNull).count() == 1) // v0's file null-fills
+    // schema-stable CM appends still work on the evolved table
+    LakeWriter.appendDelta(
+      Seq((2L, "c", java.lang.Double.valueOf(2.5))).toDF("id", "v", "score")
+        .coalesce(1), dir)
+    assert(DeltaReader.read(spark, dir).count() == 3)
+  }
 }
