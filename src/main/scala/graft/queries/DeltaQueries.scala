@@ -148,6 +148,49 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // SHALLOW CLONE: fork the table, mutate the CLONE, read both —
+    // the clone shows the post-delete state through absolute add.path
+    // entries, the source must be bit-identically untouched
+    "delta_clone" -> ((s, dir) => {
+      val d = freshDir("cl")
+      val d2 = freshDir("cl2")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.cloneDelta(s, d, d2)
+      LakeWriter.deleteWhere(s, d2, "o_orderkey % 3 = 0")
+      statusAgg(DeltaReader.read(s, d2)).withColumn("side", lit("clone"))
+        .unionByName(statusAgg(DeltaReader.read(s, d)).withColumn("side", lit("source")))
+        .orderBy("side", "o_orderstatus")
+    }),
+
+    // CONVERT TO DELTA: plain parquet converted in place, then a
+    // first-class append on the converted table
+    "delta_convert" -> ((s, dir) => {
+      val d = freshDir("cv")
+      t(s, dir, "orders").where("o_orderkey % 10 < 3").repartition(2)
+        .write.mode("append").parquet(d)
+      LakeWriter.convertToDelta(s, d)
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 = 7").repartition(1), d)
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
+    // ALTER ADD COLUMNS + UPDATE into the new column: old rows
+    // null-fill, updated rows carry the computed value
+    "delta_alter" -> ((s, dir) => {
+      val d = freshDir("alt")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.alterAddColumns(s, d, Seq("score" -> "double"))
+      LakeWriter.updateWhere(s, d, "o_orderkey % 2 = 0",
+        Map("score" -> "CAST(o_orderkey % 5 AS DOUBLE)"))
+      DeltaReader.read(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"),
+          sum(col("score")).cast("double").as("score_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     // time travel: v0 = even keys, v1 appends odd keys; versionAsOf 0
     // must reproduce exactly the even-key state
     "delta_time_travel" -> ((s, dir) => {
@@ -219,6 +262,30 @@ object DeltaQueries {
     "delta_time_travel" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 2 = 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_clone" ->
+      s"""WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 < 6),
+         | pair AS (
+         |   SELECT 'clone' AS side, o_orderstatus, o_totalprice FROM base
+         |   WHERE NOT (o_orderkey % 3 = 0)
+         |   UNION ALL
+         |   SELECT 'source' AS side, o_orderstatus, o_totalprice FROM base)
+         |SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+         | side
+         |FROM pair GROUP BY side, o_orderstatus ORDER BY side, o_orderstatus""".stripMargin,
+
+    "delta_convert" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 3 OR o_orderkey % 10 = 7
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_alter" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+         | CAST(SUM(CASE WHEN o_orderkey % 2 = 0 THEN CAST(o_orderkey % 5 AS DOUBLE) END) AS DOUBLE) AS score_sum
+         |FROM orders WHERE o_orderkey % 10 < 6
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
   )
 }

@@ -105,6 +105,7 @@ object PipelineQueries {
       Future(docSpans(s, dir).count()),
       Future(embCells(s, dir).count()),
       Future(contamSpans(s, dir).count()),
+      Future(dsirW(s, dir).count()),
       Future(bpeMerges(s, dir)))), Duration.Inf)
   }
 
