@@ -2309,6 +2309,13 @@ object LakeWriter {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     require(parts >= 1, s"checkpointDelta: parts $parts must be >= 1")
+    // idempotent: a checkpoint of this version (any form) is already a
+    // complete snapshot — re-authoring would race readers replaying it
+    val log0 = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs0 = log0.getFileSystem(spark.sessionState.newHadoopConf())
+    val cpPrefix = f"$version%020d.checkpoint"
+    if (fs0.exists(log0) &&
+        fs0.listStatus(log0).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
     // checkpoint actions carry every field PROTOCOL.md requires of them:
     // add needs size + modificationTime and metaData needs format +

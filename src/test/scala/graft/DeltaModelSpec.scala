@@ -52,9 +52,10 @@ class DeltaModelSpec extends SparkSpec {
     def version: Long = DeltaReader.snapshot(spark, dir, None).version
     assert(version == 0L)
 
+    var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(9) match {
+      rnd.nextInt(12) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -85,15 +86,33 @@ class DeltaModelSpec extends SparkSpec {
           }
         case 5 if !cdf && history.size > 1 => // restore to a random earlier version
           val target = rnd.nextInt(history.size - 1)
-          LakeWriter.restoreDelta(spark, dir, target.toLong)
-          model = history(target)
+          // an ALTER since the target makes metadata differ — the
+          // refusal is the contract, and it must refuse BEFORE
+          // committing (version and state unchanged)
+          try {
+            LakeWriter.restoreDelta(spark, dir, target.toLong)
+            model = history(target)
+          } catch {
+            case e: IllegalArgumentException if e.getMessage.contains("metadata changed") =>
+          }
         case 6 => // compaction: layout only
           LakeWriter.compactDelta(spark, dir, minFiles = 2)
         case 7 => // z-order: layout only (two derived numeric axes)
           if (model.nonEmpty)
             LakeWriter.compactDeltaZOrder(spark, dir, "id", "id", filesPerPartition = 2)
-        case _ => // checkpoint at the current version
+        case 8 => // checkpoint at the current version
           LakeWriter.checkpointDelta(spark, dir, before)
+        case 9 => // ALTER properties: metadata-only version bump
+          LakeWriter.alterProperties(spark, dir,
+            Map("graft.note" -> s"n${rnd.nextInt(1000)}"))
+        case 10 => // MULTI-PART checkpoint: same replay, K files
+          LakeWriter.checkpointDelta(spark, dir, before, parts = 2)
+        case _ => // shallow clone: the fork must equal the model NOW
+          cloneCount += 1
+          val cl = tmp(s"graft_model_cl_${seed}_${cloneCount}_") + "/t"
+          LakeWriter.cloneDelta(spark, dir, cl)
+          assert(readState(cl) == model,
+            s"clone diverged from the model at version $before (seed $seed)")
       }
       val after = version
       assert(after == before || after == before + 1,
