@@ -643,11 +643,20 @@ object DeltaReader {
       .groupBy(_.getName.take(20).toLong)
       .map { case (v, ps) => v -> ps.sortBy(_.getName) }
       .toSeq.sortBy(_._1)
+    // a compaction file's END version is a reachable state even after
+    // the covered commits were retention-cleaned (its reconciled
+    // actions ARE versions x..y); intermediate versions inside a
+    // cleaned range are not
+    val compactedEnds = entries
+      .filter(st => st.isFile &&
+        st.getPath.getName.matches("\\d{20}\\.\\d{20}\\.compacted\\.json"))
+      .map(_.getPath.getName.slice(21, 41).toLong)
     val target = versionAsOf.getOrElse(
-      (commits.map(_._1) ++ checkpoints.map(_._1)).maxOption.getOrElse(
+      (commits.map(_._1) ++ checkpoints.map(_._1) ++ compactedEnds).maxOption.getOrElse(
         sys.error(s"empty _delta_log: $dir")))
     versionAsOf.foreach { v =>
-      require(commits.exists(_._1 == v) || checkpoints.exists(_._1 == v),
+      require(commits.exists(_._1 == v) || checkpoints.exists(_._1 == v) ||
+          compactedEnds.contains(v),
         s"versionAsOf $v not present in $logPath")
     }
 
@@ -845,18 +854,43 @@ object DeltaReader {
       }
     }
 
-    // replay JSON commits (base, target] in version order; action order
-    // inside a commit is preserved by per-line parsing. The chain must
-    // be CONTIGUOUS from the base: a gap means log retention cleaned
-    // commits this replay needs — a silent partial snapshot otherwise
+    // replay (base, target] in version order; action order inside a
+    // segment is preserved by per-line parsing. The chain must be
+    // CONTIGUOUS from the base: a gap means log retention cleaned
+    // commits this replay needs — a silent partial snapshot otherwise.
+    // LOG COMPACTION files (`<x>.<y>.compacted.json`, PROTOCOL.md)
+    // substitute for the whole range [x, y] when fully inside the
+    // window — the reconciled actions replace x..y's commit JSONs, so
+    // a long suffix reads as a few files and retention may clean the
+    // covered commits without breaking replay.
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val replay = commits.filter { case (v, _) => v > base.map(_._1).getOrElse(-1L) && v <= target }
-    val expected = (base.map(_._1).getOrElse(-1L) + 1) to target
-    require(replay.map(_._1) == expected,
-      s"commit chain ${replay.map(_._1)} does not cover $expected in $logPath " +
-        "(log cleaned past the newest usable checkpoint?) — refusing a partial snapshot")
-    replay
-      .foreach { case (_, p) =>
+    val compactedFiles: Seq[(Long, Long, Path)] = entries
+      .filter(st => st.isFile &&
+        st.getPath.getName.matches("\\d{20}\\.\\d{20}\\.compacted\\.json"))
+      .map { st =>
+        val n = st.getPath.getName
+        (n.take(20).toLong, n.slice(21, 41).toLong, st.getPath)
+      }.sortBy(_._1)
+    val commitByV = commits.toMap
+    val baseV = base.map(_._1).getOrElse(-1L)
+    val segs = Seq.newBuilder[Path]
+    var vcur = baseV + 1
+    while (vcur <= target) {
+      val cov = compactedFiles.filter(c => c._1 == vcur && c._2 <= target)
+      if (cov.nonEmpty) {
+        val best = cov.maxBy(_._2)
+        segs += best._3
+        vcur = best._2 + 1
+      } else commitByV.get(vcur) match {
+        case Some(p) => segs += p; vcur += 1
+        case None => throw new IllegalArgumentException(
+          s"commit $vcur missing and no compaction file covers it — the chain " +
+            s"(${baseV + 1} to $target) is not reconstructible in $logPath " +
+            "(log cleaned past the newest usable checkpoint?); refusing a partial snapshot")
+      }
+    }
+    segs.result()
+      .foreach { p =>
         val in = fs.open(p)
         val rd = new java.io.BufferedReader(
           new java.io.InputStreamReader(in, java.nio.charset.StandardCharsets.UTF_8))

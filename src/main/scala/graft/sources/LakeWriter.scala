@@ -363,6 +363,66 @@ object LakeWriter {
     files.size
   }
 
+  /** LOG COMPACTION (PROTOCOL.md `<x>.<y>.compacted.json`): reconcile
+    * the commit range [fromVersion, toVersion] into one file — per
+    * path the FINAL file action (verbatim line, so DV descriptors and
+    * stats survive byte-identically), the last metaData/protocol and
+    * the latest txn per appId; commitInfo/cdc stay per-version (a
+    * compaction file is state, not history). Readers substitute it
+    * for the whole range during replay, so a long commit suffix reads
+    * as a few files and retention may clean the covered commits
+    * WITHOUT breaking snapshot reconstruction (time travel to
+    * versions INSIDE a cleaned range refuses — only the range's end
+    * state is preserved; readChanges/DeltaTail over cleaned versions
+    * refuse per their existing contracts).
+    *
+    * This is the driver-JSON-parse reliever for hot tables: a
+    * streaming sink at 10^4 commits/day makes every cold replay
+    * re-parse the whole suffix; compacting 100-commit windows cuts
+    * that 100×, without the (heavier) checkpoint write. Refuses a
+    * range with a missing commit (no partial reconciliations) and an
+    * already-existing output (create-if-absent, like every commit).
+    */
+  def compactLog(spark: SparkSession, dir: String,
+                 fromVersion: Long, toVersion: Long): String = {
+    require(0 <= fromVersion && fromVersion < toVersion,
+      s"compactLog: bad range [$fromVersion, $toVersion]")
+    val hconf = spark.sessionState.newHadoopConf()
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(hconf)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var metaLine: Option[String] = None
+    var protoLine: Option[String] = None
+    val fileFinal = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    val txnLatest = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    (fromVersion to toVersion).foreach { v =>
+      val p = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
+      require(fs.exists(p),
+        s"compactLog: commit $v missing — refusing a partial reconciliation")
+      val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+        fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+      try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).foreach { line =>
+          val n = om.readTree(line)
+          if (n.has("add")) fileFinal(n.get("add").get("path").asText()) = line
+          if (n.has("remove")) fileFinal(n.get("remove").get("path").asText()) = line
+          if (n.has("metaData")) metaLine = Some(line)
+          if (n.has("protocol")) protoLine = Some(line)
+          if (n.has("txn")) txnLatest(n.get("txn").get("appId").asText()) = line
+        } finally rd.close()
+    }
+    val name = f"$fromVersion%020d.$toVersion%020d.compacted.json"
+    val outPath = new org.apache.hadoop.fs.Path(log, name)
+    val actions = protoLine.toSeq ++ metaLine.toSeq ++ txnLatest.values ++ fileFinal.values
+    val out = try fs.create(outPath, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"compactLog: $outPath already exists — the range is already compacted", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    name
+  }
+
   /** GENERATE symlink_format_manifest: the interop bridge to engines
     * that read parquet-with-manifests but not the Delta log (Presto /
     * Trino / Athena / Hive external tables). One text file per
@@ -1993,7 +2053,11 @@ object LakeWriter {
       val commitBelow = n.matches("\\d{20}\\.json") && n.take(20).toLong < horizonVersion
       val cpBelow = n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") &&
         n.take(20).toLong < horizonVersion
-      if (commitBelow || cpBelow) fs.delete(st.getPath, false)
+      // a log-compaction file whose whole range fell below the horizon
+      // serves no replay the horizon checkpoint doesn't
+      val compactedBelow = n.matches("\\d{20}\\.\\d{20}\\.compacted\\.json") &&
+        n.slice(21, 41).toLong < horizonVersion
+      if (commitBelow || cpBelow || compactedBelow) fs.delete(st.getPath, false)
     }
     (deleted ++ deletedCdc).sorted
   }
