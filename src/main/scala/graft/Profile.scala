@@ -376,6 +376,14 @@ object Profile {
     }
     time("lastTxn_no_cp")(
       println(s"  watermark = ${DeltaReader.lastTxnVersion(spark, dir.getPath, "sink")}"))
+    // LOG COMPACTION instead of a checkpoint: the commit suffix folds
+    // into one reconciled JSON, and replay substitutes it
+    time(s"compact_log_0_to_${n - 101}")(
+      LakeWriter.compactLog(spark, dir.getPath, 0L, (n - 101).toLong))
+    (1 to 3).foreach { i =>
+      time(s"snapshot_logcompacted_$i")(
+        DeltaReader.snapshot(spark, dir.getPath, None).active.size)
+    }
     time("checkpoint_at_n-101")(
       LakeWriter.checkpointDelta(spark, dir.getPath, (n - 101).toLong))
     (1 to 3).foreach { i =>
