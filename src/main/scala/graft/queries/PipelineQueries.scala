@@ -297,6 +297,12 @@ object PipelineQueries {
     "pii_signals" -> ((s, dir) =>
       TextAnalysis.piiSignals(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // C4-style corpus-wide exact line dedup (single-line docs here, so
+    // it degenerates to whole-doc exact dedup keeping first occurrence
+    // — the oracle proves the positional machinery either way)
+    "line_dedup" -> ((s, dir) =>
+      TextAnalysis.lineDedup(t(s, dir, "documents")).orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.bagFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -794,6 +800,19 @@ object PipelineQueries {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "line_dedup" ->
+      """WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),
+        |l AS (SELECT doc_id, ls, CAST(unnest(range(1, len(ls) + 1)) AS BIGINT) AS i FROM l0),
+        |e AS (SELECT doc_id, i - 1 AS pos, ls[i] AS line, trim(lower(ls[i])) AS norm,
+        |             doc_id * 1000000000 + (i - 1) AS ord FROM l),
+        |k AS (SELECT *, (norm = '' OR ord = min(ord) OVER (PARTITION BY norm)) AS keep FROM e)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  array_to_string(list_transform(
+        |    list_sort(list({'pos': pos, 'line': line}) FILTER (WHERE keep)),
+        |    x -> x.line), chr(10)) AS text_clean
+        |FROM k GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "doc_fingerprint" ->
       s"""SELECT doc_id,

@@ -132,6 +132,39 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6).as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_words").cast("double"), 6).as("top_share"))
 
+  /** Corpus-wide exact LINE deduplication (the C4 discipline: a line
+    * seen anywhere before is dropped — boilerplate navigation, cookie
+    * banners and licence footers repeat VERBATIM across pages, and
+    * line granularity catches them where document-level dedup cannot).
+    * The canonical occurrence of each distinct non-blank normalized
+    * line (trim+lower) is its (doc_id, position)-minimal one; every
+    * other occurrence is removed and the documents are rebuilt in
+    * original line order. Blank lines are structure, not content —
+    * always kept. ONE window exchange on the normalized line; the
+    * rebuild is a per-doc sort of surviving positions, no second
+    * corpus pass.
+    * Output: (doc_id, n_lines, n_kept, text_clean).
+    */
+  def lineDedup(docs: DataFrame, id: String = "doc_id", text: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(id), posexplode(split(col(text), "\n")).as(Seq("pos", "line")))
+      .withColumn("norm", trim(lower(col("line"))))
+      // composite (doc_id, pos) ordering as ONE comparable key so the
+      // SQL oracle's arg-min agrees bit-for-bit (positions < 10^9)
+      .withColumn("ord", col(id).cast("long") * 1000000000L + col("pos"))
+    val w = Window.partitionBy("norm")
+    lines
+      .withColumn("keep",
+        col("norm") === "" || col("ord") === min(col("ord")).over(w))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("pos"), col("line"))))),
+          e => e.getField("line")), "\n").as("text_clean"))
+  }
+
   /** PII signal battery + layered redaction (the C4/CCNet-style
     * pre-training scrub, richer than [[scrubPatterns]]'s digit-run
     * shape): per-doc counts of emails, URLs, IPv4 literals and long

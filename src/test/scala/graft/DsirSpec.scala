@@ -52,6 +52,24 @@ class DsirSpec extends SparkSpec {
     assert(byId == Map(1L -> 1, 2L -> 0, 3L -> 0, 4L -> 0), s"got $byId")
   }
 
+  test("lineDedup drops repeated lines corpus-wide, keeps first occurrences and blanks") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "alpha\ncookie banner\nbeta"),
+      (2L, "cookie banner\ngamma\n\ndelta"),
+      (3L, "COOKIE BANNER  \nunique")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 3L, "alpha\ncookie banner\nbeta")))
+    // the banner's canonical occurrence is (1, pos 1); doc 2 loses it
+    // but keeps its BLANK line (structure, not content)
+    assert(got(2L) == ((4L, 3L, "gamma\n\ndelta")))
+    // normalization (trim + lower) matches the banner variant too
+    assert(got(3L) == ((2L, 1L, "unique")))
+  }
+
   test("gopher bullet/ellipsis line shares use line structure") {
     val s = spark
     import s.implicits._
