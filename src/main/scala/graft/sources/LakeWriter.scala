@@ -1190,7 +1190,9 @@ object LakeWriter {
     * at which retention may physically delete them is an operator
     * decision, exactly as the protocol intends.
     */
-  def compactDelta(spark: SparkSession, dir: String, minFiles: Int = 2): Unit = {
+  def compactDelta(spark: SparkSession, dir: String, minFiles: Int = 2,
+                   targetFileBytes: Long = 1L << 30): Unit = {
+    require(targetFileBytes > 0, s"compactDelta: targetFileBytes $targetFileBytes")
     val snap = DeltaReader.snapshot(spark, dir, None)
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
       "compactDelta: column-mapped tables not supported (rewritten files would " +
@@ -1233,11 +1235,21 @@ object LakeWriter {
       // columns from the log; the staged files must NOT contain them
       // (the layout keeps them directory-encoded), so drop them back
       val sub = new org.apache.hadoop.fs.Path(stage, s"g$i")
-      DeltaReader.scanFiles(spark, dir, snap, files)
-        .drop(snap.partCols: _*).coalesce(1).write.parquet(sub.toString)
+      // a 100-TB partition must NOT fold into one giant file: bound
+      // output size by targetFileBytes (ceil of the group's live
+      // bytes), so compaction converges on ~target-sized files
+      // instead of growing monotonically with partition size
+      val groupBytes = files.map(_.size).sum
+      val outFiles = math.max(1L,
+        (groupBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val scan = DeltaReader.scanFiles(spark, dir, snap, files)
+        .drop(snap.partCols: _*)
+      (if (outFiles == 1) scan.coalesce(1) else scan.repartition(outFiles))
+        .write.parquet(sub.toString)
       val part = fs.listStatus(sub).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-      require(part.length == 1, s"expected one compacted file, got ${part.length}")
+        .sortBy(_.getName)
+      require(part.nonEmpty, "compaction wrote no files")
       // destination keeps the partition directory so the layout stays
       // hive-readable. The directory part of `rel` is reused straight
       // from the first removed file's add.path, which is ALREADY
@@ -1265,16 +1277,18 @@ object LakeWriter {
           s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)}=$seg"
         }.mkString("/"))
       val attempt = java.util.UUID.randomUUID().toString.take(8)
-      val destName = s"part-compact-${snap.version + 1}-g$i-$attempt.parquet"
-      val rel = if (relDir.isEmpty) destName else s"$relDir/$destName"
-      val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
-      if (rel.contains("/")) fs.mkdirs(dest.getParent)
-      val size = fs.getFileStatus(part.head).getLen
-      require(fs.rename(part.head, dest), s"rename ${part.head} -> $dest failed")
       val pvJson = pv.toSeq.sortBy(_._1).map { case (c, v) =>
         s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
-      actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false}}"""
+      part.zipWithIndex.foreach { case (pf, j) =>
+        val destName = s"part-compact-${snap.version + 1}-g$i-$j-$attempt.parquet"
+        val rel = if (relDir.isEmpty) destName else s"$relDir/$destName"
+        val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
+        if (rel.contains("/")) fs.mkdirs(dest.getParent)
+        val size = fs.getFileStatus(pf).getLen
+        require(fs.rename(pf, dest), s"rename $pf -> $dest failed")
+        actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false}}"""
+      }
       files.foreach { f =>
         actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"dataChange":false}}"""
       }

@@ -503,6 +503,27 @@ class DeltaReaderSpec extends SparkSpec {
     assert(rows() == Set((1L, "a", "web"), (2L, "b", "web"), (3L, "c", "book")))
   }
 
+  test("compactDelta bounds output file size by targetFileBytes") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_cptsz_").toFile
+    graft.sources.LakeWriter.writeDelta(
+      (0L until 500L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4), dir.getPath)
+    graft.sources.LakeWriter.appendDelta(
+      (500L until 1000L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4), dir.getPath)
+    val before = DeltaReader.snapshot(spark, dir.getPath, None)
+    assert(before.active.size == 8)
+    // a tiny target forces the fold to SPLIT instead of one giant file
+    graft.sources.LakeWriter.compactDelta(spark, dir.getPath, minFiles = 2,
+      targetFileBytes = before.active.map(_.size).sum / 3)
+    val after = DeltaReader.snapshot(spark, dir.getPath, None)
+    assert(after.active.size >= 3 && after.active.size < 8,
+      s"expected a bounded multi-file fold, got ${after.active.size}")
+    assert(after.active.forall(_.path.contains("part-compact-")))
+    assert(DeltaReader.read(spark, dir.getPath).select("id").as[Long].collect().toSet ==
+      (0L until 1000L).toSet)
+  }
+
   test("compactDelta applies the same writer gate as appendDelta") {
     val s = spark
     import s.implicits._
