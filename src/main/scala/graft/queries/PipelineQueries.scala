@@ -303,6 +303,9 @@ object PipelineQueries {
     "line_dedup" -> ((s, dir) =>
       TextAnalysis.lineDedup(t(s, dir, "documents")).orderBy("doc_id")),
 
+    "gopher_repetition" -> ((s, dir) =>
+      TextAnalysis.gopherRepetition(t(s, dir, "documents")).orderBy("doc_id")),
+
     "doc_fingerprint" -> ((s, dir) =>
       TextAnalysis.bagFingerprint(t(s, dir, "documents")).orderBy("doc_id")),
 
@@ -800,6 +803,49 @@ object PipelineQueries {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "gopher_repetition" -> {
+      // one gram CTE pair per n, generated — the SAME formulas as the
+      // Spark plan, recomputed from scratch
+      val gramCtes = (2 to 10).map { n =>
+        s"""g$n AS (SELECT doc_id, chars, g, count(*) AS c FROM (
+           |  SELECT doc_id, chars,
+           |    array_to_string(list_slice(ws, i, i + $n - 1), ' ') AS g
+           |  FROM (SELECT doc_id, chars, ws,
+           |          CAST(unnest(range(1, greatest(len(ws) - $n + 1, 0) + 1)) AS BIGINT) AS i
+           |        FROM b)) GROUP BY doc_id, chars, g),
+           |gn$n AS (SELECT doc_id,
+           |  max(c * length(g))::DOUBLE / any_value(chars) AS top,
+           |  sum(CASE WHEN c > 1 THEN (c - 1) * length(g) ELSE 0 END)::DOUBLE / any_value(chars) AS dup
+           |FROM g$n GROUP BY doc_id)""".stripMargin
+      }.mkString(",\n")
+      val topSel = (2 to 4).map(n =>
+        s"CAST(round(coalesce(gn$n.top, 0), 6) AS DECIMAL(10,6)) AS top_${n}gram_char_frac")
+      val dupSel = (5 to 10).map(n =>
+        s"CAST(round(coalesce(gn$n.dup, 0), 6) AS DECIMAL(10,6)) AS dup_${n}gram_char_frac")
+      val joins = (2 to 10).map(n => s"LEFT JOIN gn$n ON gn$n.doc_id = d.doc_id")
+        .mkString("\n")
+      s"""WITH b AS (SELECT doc_id, text, length(text)::DOUBLE AS chars,
+         |           string_split(lower(text), ' ') AS ws FROM documents),
+         |lines0 AS (SELECT doc_id, chars, trim(lower(l)) AS norm, length(l)::DOUBLE AS llen
+         |           FROM (SELECT doc_id, chars,
+         |                   unnest(string_split(text, chr(10))) AS l FROM b)),
+         |lg AS (SELECT doc_id, chars, norm, count(*) AS c, sum(llen) AS sl, min(llen) AS ml
+         |       FROM lines0 WHERE norm <> '' GROUP BY doc_id, chars, norm),
+         |lf AS (SELECT doc_id,
+         |  CAST(round(sum(c - 1)::DOUBLE / sum(c)::DOUBLE, 6) AS DECIMAL(10,6)) AS dup_line_frac,
+         |  CAST(round(sum(sl - ml) / any_value(chars), 6) AS DECIMAL(10,6)) AS dup_line_char_frac
+         |FROM lg GROUP BY doc_id),
+         |$gramCtes
+         |SELECT d.doc_id,
+         |  coalesce(lf.dup_line_frac, CAST(0 AS DECIMAL(10,6))) AS dup_line_frac,
+         |  coalesce(lf.dup_line_char_frac, CAST(0 AS DECIMAL(10,6))) AS dup_line_char_frac,
+         |  ${(topSel ++ dupSel).mkString(",\n  ")}
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN lf ON lf.doc_id = d.doc_id
+         |$joins
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "line_dedup" ->
       """WITH l0 AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents),

@@ -132,6 +132,88 @@ object TextAnalysis {
         round(col("n_distinct").cast("double") / col("n_words").cast("double"), 6).as("distinct_ratio"),
         round(col("top_cnt").cast("double") / col("n_words").cast("double"), 6).as("top_share"))
 
+  /** The Gopher REPETITION battery (Rae et al. 2021 Table A1's other
+    * half — [[gopherRules]] covers the structural rules): per-document
+    * duplicate-line fraction and duplicate-line CHARACTER fraction,
+    * the character share of the single most frequent word {2,3,4}-gram,
+    * and the character share of duplicated word {5..10}-grams. One
+    * relational pass per signal family: lines and all nine gram sizes
+    * explode once each, count within (doc, gram), and fold back to one
+    * row per document — per-doc work only, no corpus-wide state.
+    *
+    * Deliberate deviation (documented, deterministic): the duplicated
+    * n-gram char share counts every occurrence BEYOND THE FIRST at
+    * full gram length without de-overlapping occurrences — Gopher's
+    * exact overlap accounting needs positional sweep-line state per
+    * doc; this shares its fixed points (0 when nothing repeats, large
+    * when much does) and is reproducible in SQL.
+    * Output: (doc_id, dup_line_frac, dup_line_char_frac,
+    * top_{2,3,4}gram_char_frac, dup_{5..10}gram_char_frac) as
+    * decimal(10,6).
+    */
+  def gopherRepetition(docs: DataFrame, id: String = "doc_id",
+                       text: String = "text"): DataFrame = {
+    def r6(c: Column): Column = round(c, 6).cast("decimal(10,6)")
+    val base = docs.select(col(id), col(text).as("__t"),
+      length(col(text)).cast("double").as("__chars"))
+
+    // line family: duplicate occurrences of a (trimmed, lowered) line
+    val lines = base
+      .select(col(id), col("__chars"), explode(split(col("__t"), "\n")).as("line"))
+      .select(col(id), col("__chars"), trim(lower(col("line"))).as("norm"),
+        length(col("line")).cast("double").as("llen"))
+      .where(col("norm") =!= "")
+      .groupBy(col(id), col("__chars"), col("norm"))
+      // duplicate chars = all occurrences' chars minus the (shortest —
+      // a deterministic canonical when raw lengths differ under one
+      // normalized form) kept occurrence
+      .agg(count(lit(1)).as("c"), sum(col("llen")).as("sl"), min(col("llen")).as("ml"))
+      .groupBy(col(id), col("__chars"))
+      .agg(sum(col("c")).as("n_lines"),
+        sum(col("c") - 1).as("dup_lines"),
+        sum(col("sl") - col("ml")).as("dup_line_chars"))
+      .select(col(id),
+        r6(col("dup_lines").cast("double") / col("n_lines").cast("double"))
+          .as("dup_line_frac"),
+        r6(col("dup_line_chars") / col("__chars")).as("dup_line_char_frac"))
+
+    // gram families: per n, grams of the lowered space-split words
+    val ws = split(lower(col("__t")), " ")
+    def gramsOfN(n: Int): DataFrame = {
+      val len = size(ws) - (n - 1)
+      // sequence(1, 0) DESCENDS in Spark — short docs need an explicit
+      // empty gram list, not a [1, 0] index pair
+      val grams = when(len >= 1,
+        transform(sequence(lit(1), len), i => concat_ws(" ", slice(ws, i, lit(n)))))
+        .otherwise(array().cast("array<string>"))
+      base.select(col(id), col("__chars"), lit(n).as("n"),
+          explode(grams).as("g"))
+        .groupBy(col(id), col("__chars"), col("n"), col("g"))
+        .agg(count(lit(1)).as("c"))
+    }
+    val allGrams = (2 to 10).map(gramsOfN).reduce(_ unionByName _)
+    val perDocN = allGrams
+      .groupBy(col(id), col("__chars"), col("n"))
+      .agg(max(col("c") * length(col("g"))).as("top_chars"),
+        sum(when(col("c") > 1, (col("c") - 1) * length(col("g")))
+          .otherwise(0L)).as("dup_chars"))
+    val aggExprs: Seq[Column] =
+      (2 to 4).map(n => r6(coalesce(max(when(col("n") === n,
+        col("top_chars").cast("double") / col("__chars"))), lit(0.0)))
+        .as(s"top_${n}gram_char_frac")) ++
+      (5 to 10).map(n => r6(coalesce(max(when(col("n") === n,
+        col("dup_chars").cast("double") / col("__chars"))), lit(0.0)))
+        .as(s"dup_${n}gram_char_frac"))
+    val gramCols = perDocN.groupBy(col(id)).agg(aggExprs.head, aggExprs.tail: _*)
+
+    val outCols = Seq("dup_line_frac", "dup_line_char_frac") ++
+      (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    lines.join(gramCols, Seq(id), "full_outer")
+      .select(col(id) +: outCols.map(c =>
+        coalesce(col(c), lit(0).cast("decimal(10,6)")).as(c)): _*)
+  }
+
   /** Corpus-wide exact LINE deduplication (the C4 discipline: a line
     * seen anywhere before is dropped — boilerplate navigation, cookie
     * banners and licence footers repeat VERBATIM across pages, and

@@ -70,6 +70,31 @@ class DsirSpec extends SparkSpec {
     assert(got(3L) == ((2L, 1L, "unique")))
   }
 
+  test("gopher repetition battery: dup lines, top n-gram and dup n-gram char shares") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "a b c d e a b c d e x"), // repeated 5-gram + repeated 2-grams
+      (2L, "x\ny\nx\nx"),            // line 'x' three times
+      (3L, "all words unique here")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRepetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    def d(r: org.apache.spark.sql.Row, c: String): Double =
+      r.getDecimal(r.fieldIndex(c)).doubleValue()
+    // doc 1: len 21; top 2-gram 'a b' ×2 -> 6/21; dup 5-gram
+    // 'a b c d e' second occurrence -> 9/21
+    assert(math.abs(d(got(1L), "top_2gram_char_frac") - 6.0 / 21) < 1e-6)
+    assert(math.abs(d(got(1L), "dup_5gram_char_frac") - 9.0 / 21) < 1e-6)
+    assert(d(got(1L), "dup_line_frac") == 0.0) // one line, no dups
+    // doc 2: 4 lines, 'x' ×3 -> dup_line_frac 2/4; dup chars 2/7
+    assert(math.abs(d(got(2L), "dup_line_frac") - 0.5) < 1e-6)
+    assert(math.abs(d(got(2L), "dup_line_char_frac") - 2.0 / 7) < 1e-6)
+    // doc 3: nothing repeats
+    assert(d(got(3L), "dup_5gram_char_frac") == 0.0)
+    assert(d(got(3L), "dup_line_frac") == 0.0)
+  }
+
   test("gopher bullet/ellipsis line shares use line structure") {
     val s = spark
     import s.implicits._
