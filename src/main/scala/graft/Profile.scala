@@ -54,7 +54,9 @@ object Profile {
       case "stress-convert" =>
         stressConvert(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "recall"     => annRecall(spark, sfDir)
-      case q            => time(q)(SparkEntry.queries(q)(spark, sfDir).count())
+      case q            =>
+        time(s"${q}_pass1")(SparkEntry.queries(q)(spark, sfDir).count())
+        time(s"${q}_pass2")(SparkEntry.queries(q)(spark, sfDir).count())
     }
     spark.stop()
   }

@@ -68,6 +68,16 @@ class DsirSpec extends SparkSpec {
     assert(got(2L) == ((4L, 3L, "gamma\n\ndelta")))
     // normalization (trim + lower) matches the banner variant too
     assert(got(3L) == ((2L, 1L, "unique")))
+
+    // paragraph granularity: the same machinery over "\n\n" units
+    val paras = Seq(
+      (1L, "intro text\n\nshared footer"),
+      (2L, "other body\n\nshared footer")
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.lineDedup(paras, sep = "\n\n").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(p(1L) == "intro text\n\nshared footer")
+    assert(p(2L) == "other body")
   }
 
   test("gopher repetition battery: dup lines, top n-gram and dup n-gram char shares") {
