@@ -557,6 +557,79 @@ object PipelineQueries {
 
   private def sqlList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
+  /** From-scratch SQL recompute of BPE TRAINING and ENCODING — the
+    * rows-only-by-assumption family turned oracle-checked. The merge
+    * loop unrolls into 64 generated CTE steps (pair counts → argmax
+    * with the count-desc/left/right tie-break → one left-to-right
+    * merge pass); the merge pass itself is a `list_reduce` string fold
+    * whose accumulator carries the output segmentation joined by an
+    * out-of-alphabet separator (folding against the OUTPUT's last
+    * symbol resolves overlap runs exactly like the left-to-right
+    * scan: "aaa" + (a,a) → [aa, a]). Encoding unrolls the
+    * lowest-rank-first fixpoint to `bpeEncodeIters` steps (≥ max word
+    * length − 1, corpus words are ≤ 8 chars). Every CTE is
+    * MATERIALIZED — DuckDB inlines CTEs by default and each step
+    * references its predecessor twice, which would make the expansion
+    * exponential in merge count.
+    */
+  private val bpeMergeSteps = 64
+  private val bpeEncodeIters = 12
+  private val bpeSep = "chr(30)"
+
+  private def bpeOraclePrefix: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """wc AS MATERIALIZED (SELECT word, count(*) AS cnt FROM (
+      |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+      | WHERE length(word) > 0 GROUP BY word)""".stripMargin
+    ctes += """seg0 AS MATERIALIZED (SELECT word, cnt,
+      |  list_transform(range(1, length(word) + 1), i -> word[i]) AS syms
+      | FROM (SELECT word, cnt FROM wc ORDER BY cnt DESC, word LIMIT 65536))""".stripMargin
+    (0 until bpeMergeSteps).foreach { k =>
+      ctes += s"""p$k AS MATERIALIZED (SELECT syms[j] AS l, syms[j+1] AS r, sum(cnt) AS pc
+        | FROM seg$k, unnest(range(1, len(syms))) AS t(j) GROUP BY 1, 2)""".stripMargin
+      ctes += s"""m$k AS MATERIALIZED (SELECT l, r FROM p$k ORDER BY pc DESC, l, r LIMIT 1)"""
+      ctes += s"""seg${k + 1} AS MATERIALIZED (SELECT word, cnt,
+        |  string_split(list_reduce(syms, (acc, x) -> CASE
+        |    WHEN x = m$k.r AND (acc = m$k.l OR ends_with(acc, $bpeSep || m$k.l))
+        |    THEN acc[1:length(acc)-length(m$k.l)] || m$k.l || m$k.r
+        |    ELSE acc || $bpeSep || x END), $bpeSep) AS syms
+        | FROM seg$k, m$k)""".stripMargin
+    }
+    ctes += "mg AS MATERIALIZED (" +
+      (0 until bpeMergeSteps).map(k => s"SELECT $k AS rank, l, r FROM m$k")
+        .mkString(" UNION ALL ") + ")"
+    ctes.result().mkString(",\n")
+  }
+
+  /** The encode continuation: per distinct word, `bpeEncodeIters`
+    * unrolled iterations of "merge the lowest-rank adjacent pair".
+    */
+  private def bpeEncodeCtes: String = {
+    val ctes = Seq.newBuilder[String]
+    ctes += """w0 AS MATERIALIZED (SELECT word,
+      |  list_transform(range(1, length(word) + 1), i -> word[i]) AS syms FROM wc)""".stripMargin
+    (0 until bpeEncodeIters).foreach { k =>
+      ctes += s"""c$k AS MATERIALIZED (SELECT word, l, r, rank,
+        |   row_number() OVER (PARTITION BY word ORDER BY rank) AS rn
+        | FROM (SELECT w.word, w.syms, s.a, s.b FROM w$k w,
+        |         unnest(range(1, len(syms))) AS t(j),
+        |         LATERAL (SELECT w.syms[j] AS a, w.syms[j+1] AS b) s) q
+        | JOIN mg ON mg.l = q.a AND mg.r = q.b)""".stripMargin
+      ctes += s"""w${k + 1} AS MATERIALIZED (SELECT w.word,
+        |  CASE WHEN b.word IS NULL THEN w.syms ELSE
+        |    string_split(list_reduce(w.syms, (acc, x) -> CASE
+        |      WHEN x = b.r AND (acc = b.l OR ends_with(acc, $bpeSep || b.l))
+        |      THEN acc[1:length(acc)-length(b.l)] || b.l || b.r
+        |      ELSE acc || $bpeSep || x END), $bpeSep) END AS syms
+        | FROM w$k w LEFT JOIN (SELECT word, l, r FROM c$k WHERE rn = 1) b USING (word))""".stripMargin
+    }
+    ctes += s"enc AS MATERIALIZED (SELECT word, syms FROM w$bpeEncodeIters)"
+    ctes += """dw AS MATERIALIZED (SELECT doc_id, i, ws[i] AS word FROM (
+      |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ws
+      |  FROM documents), unnest(range(1, len(ws) + 1)) AS t(i))""".stripMargin
+    ctes.result().mkString(",\n")
+  }
+
   /** Shared DSIR recompute: hashed unigram+bigram buckets (md5 first 8
     * hex digits mod 8192 — the exact hash `Dsir.bucketOf` uses), add-one
     * smoothed target (lang='en') and raw bucket models, per-doc
@@ -803,6 +876,42 @@ object PipelineQueries {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "bpe_merges" -> (s"WITH $bpeOraclePrefix\n" +
+      (0 until bpeMergeSteps).map(k =>
+        s"""SELECT $k AS rank, l AS "left", r AS "right" FROM m$k""")
+        .mkString(" UNION ALL ") + "\nORDER BY rank"),
+
+    "bpe_encode" -> (s"WITH $bpeOraclePrefix,\n$bpeEncodeCtes\n" +
+      """SELECT d.doc_id,
+        |  CAST(coalesce(j.n_words, 0) AS INT) AS n_words,
+        |  CAST(coalesce(j.n_tokens, 0) AS INT) AS n_tokens,
+        |  coalesce(j.segmented, '') AS segmented
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_words, sum(len(e.syms)) AS n_tokens,
+        |    string_agg(array_to_string(e.syms, '|'), '|' ORDER BY i) AS segmented
+        |  FROM dw JOIN enc e USING (word) GROUP BY doc_id) j USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "bpe_encode_ids" -> (s"WITH $bpeOraclePrefix,\n$bpeEncodeCtes,\n" +
+      """alpha AS MATERIALIZED (SELECT c, row_number() OVER (ORDER BY c) - 1 AS tid FROM (
+        |  SELECT DISTINCT unnest(list_transform(range(1, length(word) + 1), i -> word[i])) AS c
+        |  FROM seg0)),
+        |voc AS MATERIALIZED (
+        |  SELECT c AS tok, tid FROM alpha
+        |  UNION ALL
+        |  SELECT l || r AS tok, (SELECT count(*) FROM alpha) + rank AS tid FROM mg),
+        |toks AS MATERIALIZED (SELECT dw.doc_id, dw.i, t.k, e.syms[t.k] AS tok
+        | FROM dw JOIN enc e USING (word), unnest(range(1, len(e.syms) + 1)) AS t(k))
+        |SELECT d.doc_id, CAST(coalesce(j.n_tokens, 0) AS INT) AS n_tokens,
+        |  coalesce(j.ids_str, '') AS ids_str
+        |FROM (SELECT DISTINCT doc_id FROM documents) d
+        |LEFT JOIN (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    string_agg(CAST(coalesce(v.tid, -1) AS VARCHAR), '|' ORDER BY i, k) AS ids_str
+        |  FROM toks LEFT JOIN voc v ON v.tok = toks.tok GROUP BY doc_id) j USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin),
 
     "gopher_repetition" -> {
       // one gram CTE pair per n, generated — the SAME formulas as the
