@@ -2382,6 +2382,22 @@ object LakeWriter {
     files.size
   }
 
+  /** RESTORE TO TIMESTAMP — [[restoreDelta]] at the version
+    * [[DeltaReader.versionAtTimestamp]] resolves (delta-spark's
+    * RESTORE ... TO TIMESTAMP AS OF).
+    */
+  def restoreDeltaTimestamp(spark: SparkSession, dir: String,
+                            timestampMillis: Long): (Seq[String], Seq[String]) =
+    restoreDelta(spark, dir, DeltaReader.versionAtTimestamp(spark, dir, timestampMillis))
+
+  /** SHALLOW CLONE at a timestamp — [[cloneDelta]] of the source
+    * version live at `timestampMillis`.
+    */
+  def cloneDeltaTimestamp(spark: SparkSession, srcDir: String, dstDir: String,
+                          timestampMillis: Long): Int =
+    cloneDelta(spark, srcDir, dstDir,
+      Some(DeltaReader.versionAtTimestamp(spark, srcDir, timestampMillis)))
+
   def checkpointDelta(spark: SparkSession, dir: String, version: Long,
                       parts: Int = 1): Unit = {
     import org.apache.spark.sql.Row

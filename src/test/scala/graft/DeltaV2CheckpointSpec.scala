@@ -188,6 +188,13 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     // a clock that ran BACKWARDS between commits reads monotonically
     setM(1L, 500L)
     assert(DeltaReader.versionAtTimestamp(spark, dir, 1500L) == 1L)
+
+    // the timestamp forms of CLONE and RESTORE ride the same resolution
+    val cl = tmp("graft_tsasof_cl_") + "/t"
+    LakeWriter.cloneDeltaTimestamp(spark, dir, cl, 2500L)
+    assert(rows(DeltaReader.read(spark, cl)) == Set((0L, "a"), (1L, "b")))
+    LakeWriter.restoreDeltaTimestamp(spark, dir, 2500L)
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b")))
   }
 
   test("a protocol declaring the v2Checkpoints reader feature is accepted") {

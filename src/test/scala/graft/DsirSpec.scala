@@ -1,6 +1,7 @@
 package graft
 
 import graft.text.{Dsir, TextAnalysis}
+import org.apache.spark.sql.functions.col
 
 /** DSIR importance resampling and the Gopher rule battery. */
 class DsirSpec extends SparkSpec {
@@ -103,6 +104,34 @@ class DsirSpec extends SparkSpec {
     // doc 3: nothing repeats
     assert(d(got(3L), "dup_5gram_char_frac") == 0.0)
     assert(d(got(3L), "dup_line_frac") == 0.0)
+  }
+
+  test("lineDedup laws: idempotent, and kept lines = distinct norms + blanks") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocabLines = Vector("alpha beta", "shared banner", "gamma", "  SHARED BANNER",
+      "", "delta eps", "zeta")
+    val docs = (1L to 30L).map { i =>
+      (i, Seq.fill(1 + rnd.nextInt(6))(vocabLines(rnd.nextInt(vocabLines.size)))
+        .mkString("\n"))
+    }.toDF("doc_id", "text")
+    val once = TextAnalysis.lineDedup(docs)
+    // law 1: kept = distinct non-blank normalized lines + blank lines
+    val lines = docs.select(col("doc_id"),
+      org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(col("text"), "\n")).as("l"))
+    val blanks = lines.where(org.apache.spark.sql.functions.trim(col("l")) === "").count()
+    val distinctNorms = lines
+      .select(org.apache.spark.sql.functions.trim(
+        org.apache.spark.sql.functions.lower(col("l"))).as("n"))
+      .where(col("n") =!= "").distinct().count()
+    val kept = once.agg(org.apache.spark.sql.functions.sum("n_kept")).head().getLong(0)
+    assert(kept == blanks + distinctNorms, s"$kept vs $blanks + $distinctNorms")
+    // law 2: idempotence — a second pass keeps everything
+    val again = TextAnalysis.lineDedup(
+      once.select(col("doc_id"), col("text_clean").as("text")))
+    assert(again.where(col("n_kept") =!= col("n_lines")).count() == 0)
   }
 
   test("gopher bullet/ellipsis line shares use line structure") {
