@@ -2382,6 +2382,49 @@ object LakeWriter {
     files.size
   }
 
+  /** UPGRADE the table protocol (delta-spark's
+    * `upgradeTableProtocol`/`addFeatureSupport`): one commit carrying
+    * the new `protocol` action — versions may only go UP, declared
+    * features are never dropped, and version-7/3 forms must list
+    * their features explicitly (the feature-table shape). Writing a
+    * feature this library cannot honor is allowed — that is what an
+    * upgrade IS — and every graft writer gate then refuses its own
+    * writes against it, exactly the protection the protocol intends.
+    */
+  def upgradeProtocol(spark: SparkSession, dir: String,
+                      minReader: Int, minWriter: Int,
+                      readerFeatures: Seq[String] = Nil,
+                      writerFeatures: Seq[String] = Nil): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(minReader >= snap.minReader && minWriter >= snap.minWriter,
+      s"upgradeProtocol: ($minReader, $minWriter) would DOWNGRADE the table's " +
+        s"(${snap.minReader}, ${snap.minWriter}) — readers depending on the declared " +
+        "requirements would misread the data; refusing")
+    val rf = (snap.readerFeatures ++ readerFeatures).distinct.sorted
+    val wf = (snap.writerFeatures ++ writerFeatures).distinct.sorted
+    require(minReader < 3 || rf.nonEmpty || minWriter < 7,
+      "upgradeProtocol: version-3 readers and version-7 writers declare their " +
+        "features explicitly — pass the feature lists")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Seq[String]) = xs.map(om.writeValueAsString).mkString("[", ",", "]")
+    val rfJson = if (minReader >= 3) s""","readerFeatures":${jarr(rf)}""" else ""
+    val wfJson = if (minWriter >= 7) s""","writerFeatures":${jarr(wf)}""" else ""
+    val actions = Seq(
+      s"""{"commitInfo":{"timestamp":0,"operation":"UPGRADE PROTOCOL","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}""",
+      s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":$minWriter$rfJson$wfJson}}""")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "_delta_log"), f"${snap.version + 1}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"${snap.version + 1}; re-read and retry", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   /** RESTORE TO TIMESTAMP — [[restoreDelta]] at the version
     * [[DeltaReader.versionAtTimestamp]] resolves (delta-spark's
     * RESTORE ... TO TIMESTAMP AS OF).

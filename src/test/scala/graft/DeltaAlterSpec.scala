@@ -106,6 +106,33 @@ class DeltaAlterSpec extends SparkSpec {
     assert(e.getMessage.contains("rewrite"))
   }
 
+  test("upgradeProtocol: versions only rise, features never drop, gates then bind") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_up_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.upgradeProtocol(spark, dir, 1, 4) // CDF writer floor
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.minWriter == 4L)
+    // downgrade refuses
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.upgradeProtocol(spark, dir, 1, 2))
+    assert(e.getMessage.contains("DOWNGRADE"))
+    // upgrade to the feature-table form with a feature graft reads
+    LakeWriter.upgradeProtocol(spark, dir, 3, 7,
+      readerFeatures = Seq("deletionVectors"), writerFeatures = Seq("deletionVectors"))
+    val snap2 = DeltaReader.snapshot(spark, dir, None)
+    assert(snap2.minReader == 3L && snap2.readerFeatures == Seq("deletionVectors"))
+    assert(DeltaReader.read(spark, dir).count() == 1) // still readable
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir)
+    // an upgrade adding a writer feature graft cannot honor makes
+    // graft's OWN writers refuse — the protection upgrades exist for
+    LakeWriter.upgradeProtocol(spark, dir, 3, 7, writerFeatures = Seq("rowTracking"))
+    val e2 = intercept[IllegalArgumentException](
+      LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir))
+    assert(e2.getMessage.contains("rowTracking"))
+  }
+
   test("appendOnly enabled via alterProperties is enforced by mutations") {
     val s = spark
     import s.implicits._
