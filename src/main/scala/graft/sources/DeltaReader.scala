@@ -876,7 +876,10 @@ object DeltaReader {
     val segs = Seq.newBuilder[Path]
     var vcur = baseV + 1
     while (vcur <= target) {
-      val cov = compactedFiles.filter(c => c._1 == vcur && c._2 <= target)
+      // a range STARTING at or before vcur serves too (straddling the
+      // checkpoint base): its actions are final-per-path, so the ones
+      // the base already reflects reapply idempotently
+      val cov = compactedFiles.filter(c => c._1 <= vcur && c._2 >= vcur && c._2 <= target)
       if (cov.nonEmpty) {
         val best = cov.maxBy(_._2)
         segs += best._3

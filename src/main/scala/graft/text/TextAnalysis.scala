@@ -215,7 +215,11 @@ object TextAnalysis {
     val outCols = Seq("dup_line_frac", "dup_line_char_frac") ++
       (2 to 4).map(n => s"top_${n}gram_char_frac") ++
       (5 to 10).map(n => s"dup_${n}gram_char_frac")
-    lines.join(gramCols, Seq(id), "full_outer")
+    // spine = EVERY input doc: one with only blank lines and no 2-gram
+    // would otherwise vanish from both aggregate sides
+    docs.select(col(id)).distinct()
+      .join(lines, Seq(id), "left")
+      .join(gramCols, Seq(id), "left")
       .select(col(id) +: outCols.map(c =>
         coalesce(col(c), lit(0).cast("decimal(10,6)")).as(c)): _*)
   }

@@ -64,6 +64,21 @@ class DeltaLogCompactSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir)) == full)
   }
 
+  test("a compacted range STRADDLING the checkpoint base replays idempotently") {
+    val dir = mkTable()
+    // checkpoint INSIDE the compacted range, then clean everything the
+    // checkpoint + straddling compaction can reconstruct without
+    LakeWriter.compactLog(spark, dir, 0L, 3L)
+    LakeWriter.checkpointDelta(spark, dir, 2L)
+    val log = new java.io.File(dir, "_delta_log")
+    (0L to 3L).foreach(v => new java.io.File(log, f"$v%020d.json").delete())
+    // replay = checkpoint@2 + compacted [0,3] applied on top (final
+    // actions at or below 2 reapply idempotently; version 3's append
+    // comes from the same file)
+    assert(rows(DeltaReader.read(spark, dir)) == full)
+    assert(DeltaReader.lastTxnVersion(spark, dir, "app-x") == 9L)
+  }
+
   test("refusals: missing commit in range, duplicate compaction, interior gap") {
     val dir = mkTable()
     val log = new java.io.File(dir, "_delta_log")

@@ -87,7 +87,8 @@ class DsirSpec extends SparkSpec {
     val docs = Seq(
       (1L, "a b c d e a b c d e x"), // repeated 5-gram + repeated 2-grams
       (2L, "x\ny\nx\nx"),            // line 'x' three times
-      (3L, "all words unique here")
+      (3L, "all words unique here"),
+      (4L, "\n \n")                  // blank-only: must still get a row
     ).toDF("doc_id", "text")
     val got = TextAnalysis.gopherRepetition(docs).collect()
       .map(r => r.getLong(0) -> r).toMap
@@ -104,6 +105,8 @@ class DsirSpec extends SparkSpec {
     // doc 3: nothing repeats
     assert(d(got(3L), "dup_5gram_char_frac") == 0.0)
     assert(d(got(3L), "dup_line_frac") == 0.0)
+    // doc 4: blank-only, everything zero but the row exists
+    assert(got.contains(4L) && d(got(4L), "dup_line_frac") == 0.0)
   }
 
   test("lineDedup laws: idempotent, and kept lines = distinct norms + blanks") {
