@@ -2402,9 +2402,12 @@ object LakeWriter {
         "requirements would misread the data; refusing")
     val rf = (snap.readerFeatures ++ readerFeatures).distinct.sorted
     val wf = (snap.writerFeatures ++ writerFeatures).distinct.sorted
-    require(minReader < 3 || rf.nonEmpty || minWriter < 7,
-      "upgradeProtocol: version-3 readers and version-7 writers declare their " +
-        "features explicitly — pass the feature lists")
+    require(minReader < 3 || minWriter >= 7,
+      "upgradeProtocol: reader version 3 is the feature-table form and requires " +
+        "writer version 7 (PROTOCOL.md) — a (3, <7) protocol is not a valid table")
+    require(minReader < 3 || rf.nonEmpty || wf.nonEmpty,
+      "upgradeProtocol: the (3, 7) feature-table form declares its features " +
+        "explicitly — pass the feature lists")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def jarr(xs: Seq[String]) = xs.map(om.writeValueAsString).mkString("[", ",", "]")
     val rfJson = if (minReader >= 3) s""","readerFeatures":${jarr(rf)}""" else ""
