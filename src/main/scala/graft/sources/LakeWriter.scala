@@ -2597,6 +2597,132 @@ object LakeWriter {
     finally out.close()
   }
 
+  /** Write a V2-SPEC checkpoint (reader feature `v2Checkpoints`' file
+    * shape, which [[graft.sources.DeltaReader]] also reads): the file
+    * state lands as `sidecarParts` parquet SIDECARS under
+    * `_delta_log/_sidecars/` — written through the same distributed
+    * [[DeltaReader.Snapshot.activeDf]] plan as the classic multi-part
+    * form, no driver file list — and a small MANIFEST
+    * (`<v>.checkpoint.<uniqueStr>.parquet`) carries the scalar
+    * actions, the `checkpointMetadata` (version verified at read) and
+    * one `sidecar` pointer per part. This is the form newer
+    * delta-spark writes by default; producing it closes the v2 interop
+    * loop the reader opened. Idempotent like [[checkpointDelta]]
+    * (any existing checkpoint form at `version` wins).
+    */
+  def checkpointDeltaV2(spark: SparkSession, dir: String, version: Long,
+                        sidecarParts: Int = 1): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    require(sidecarParts >= 1, s"checkpointDeltaV2: sidecarParts $sidecarParts")
+    val hconf = spark.sessionState.newHadoopConf()
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(hconf)
+    val cpPrefix = f"$version%020d.checkpoint"
+    if (fs.exists(log) &&
+        fs.listStatus(log).exists(_.getPath.getName.startsWith(cpPrefix))) return
+    val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    val addT = StructType(Seq(
+      StructField("path", StringType),
+      StructField("partitionValues", MapType(StringType, StringType)),
+      StructField("size", LongType),
+      StructField("modificationTime", LongType),
+      StructField("dataChange", BooleanType),
+      StructField("deletionVector", StructType(Seq(
+        StructField("storageType", StringType),
+        StructField("pathOrInlineDv", StringType),
+        StructField("offset", IntegerType),
+        StructField("sizeInBytes", IntegerType),
+        StructField("cardinality", LongType)))),
+      StructField("stats", StringType)))
+    // sidecars: the distributed live-set plan, one `add` column
+    import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l, struct => st, when}
+    val addsDf = snap.activeDf(spark).select(
+      st(
+        c("path"),
+        cls(c("pv"), org.apache.spark.sql.functions.map()).as("partitionValues"),
+        cls(c("size"), l(0L)).as("size"),
+        cls(c("mtime"), l(0L)).as("modificationTime"),
+        l(true).as("dataChange"),
+        when(c("dv_st").isNotNull, st(
+          c("dv_st").as("storageType"), c("dv_p").as("pathOrInlineDv"),
+          c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
+          c("dv_card").as("cardinality"))).as("deletionVector"),
+        c("stats")).cast(addT).as("add"))
+    val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
+    fs.mkdirs(sidecarDir)
+    val scratch = new org.apache.hadoop.fs.Path(log, s"_cpv2_stage_$version")
+    (if (sidecarParts <= 1) addsDf.coalesce(1) else addsDf.repartition(sidecarParts))
+      .write.parquet(scratch.toString)
+    val parts = fs.listStatus(scratch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    val uid = java.util.UUID.nameUUIDFromBytes(s"$dir#v2cp#$version".getBytes("UTF-8"))
+    val sidecars = parts.zipWithIndex.map { case (p, i) =>
+      val name = s"$uid-$i.parquet"
+      val dest = new org.apache.hadoop.fs.Path(sidecarDir, name)
+      val size = fs.getFileStatus(p).getLen
+      require(fs.rename(p, dest), s"rename $p -> $dest failed")
+      (name, size)
+    }
+    fs.delete(scratch, true)
+    // manifest: scalar actions + checkpointMetadata + sidecar pointers
+    val mSchema = StructType(Seq(
+      StructField("protocol", StructType(Seq(
+        StructField("minReaderVersion", IntegerType),
+        StructField("minWriterVersion", IntegerType),
+        StructField("readerFeatures", ArrayType(StringType)),
+        StructField("writerFeatures", ArrayType(StringType))))),
+      StructField("metaData", StructType(Seq(
+        StructField("id", StringType),
+        StructField("format", StructType(Seq(
+          StructField("provider", StringType),
+          StructField("options", MapType(StringType, StringType))))),
+        StructField("schemaString", StringType),
+        StructField("partitionColumns", ArrayType(StringType)),
+        StructField("configuration", MapType(StringType, StringType))))),
+      StructField("txn", StructType(Seq(
+        StructField("appId", StringType),
+        StructField("version", LongType)))),
+      StructField("checkpointMetadata", StructType(Seq(
+        StructField("version", LongType)))),
+      StructField("sidecar", StructType(Seq(
+        StructField("path", StringType),
+        StructField("sizeInBytes", LongType),
+        StructField("modificationTime", LongType))))))
+    val mRows =
+      (Row(Row(snap.minReader.toInt, snap.minWriter.toInt,
+        if (snap.minReader >= 3) snap.readerFeatures else null,
+        if (snap.minWriter >= 7) snap.writerFeatures else null),
+        null, null, null, null) +:
+      Row(null,
+        Row(snap.metaId.getOrElse(
+            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString),
+          Row("parquet", Map.empty[String, String]),
+          snap.schemaJson, snap.partCols, snap.configuration),
+        null, null, null) +:
+      Row(null, null, null, Row(version), null) +:
+      snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
+        Row(null, null, Row(appId, v), null, null)
+      }) ++ sidecars.map { case (name, size) =>
+        Row(null, null, null, null, Row(name, size, 0L))
+      }
+    val mScratch = new org.apache.hadoop.fs.Path(log, s"_cpv2m_stage_$version")
+    spark.createDataFrame(spark.sparkContext.parallelize(mRows.toSeq, 1), mSchema)
+      .coalesce(1).write.parquet(mScratch.toString)
+    val mPart = fs.listStatus(mScratch).map(_.getPath)
+      .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+    require(mPart.length == 1, s"expected one manifest file, got ${mPart.length}")
+    val mDest = new org.apache.hadoop.fs.Path(log,
+      f"$version%020d.checkpoint.$uid.parquet")
+    require(fs.rename(mPart.head, mDest), s"rename ${mPart.head} -> $mDest failed")
+    fs.delete(mScratch, true)
+    val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
+    val out = fs.create(hint, true)
+    try out.write(s"""{"version":$version,"size":${mRows.size}}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Bucketed table layout — the CO-LOCATED JOIN mechanism: both sides
     * hash-bucketed by the join key into the same bucket count join
     * with NO exchange at all (each task reads matching bucket files

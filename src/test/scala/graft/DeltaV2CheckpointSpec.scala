@@ -142,6 +142,32 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     assert(e2.getMessage.contains("sidecar"))
   }
 
+  test("v2 checkpoint WRITING: graft-authored manifest + sidecars replay end to end") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_v2w_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir,
+      txn = Some(("app-w", 3L)))
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.checkpointDeltaV2(spark, dir, 1L, sidecarParts = 2)
+    val log = new java.io.File(dir, "_delta_log")
+    assert(log.listFiles().exists(_.getName.matches(
+      "\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.parquet")))
+    assert(new java.io.File(log, "_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 2)
+    // the authored v2 checkpoint is the complete replay base
+    (0L to 1L).foreach(v => new java.io.File(log, f"$v%020d.json").delete())
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+    assert(DeltaReader.lastTxnVersion(spark, dir, "app-w") == 3L)
+    // idempotent: a classic request at the same version is a no-op
+    LakeWriter.checkpointDelta(spark, dir, 1L)
+    assert(!new java.io.File(log, "00000000000000000001.checkpoint.parquet").exists())
+    // and the table keeps working on top
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v").coalesce(1), dir)
+    assert(rows(DeltaReader.read(spark, dir)) ==
+      Set((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")))
+  }
+
   test("multi-part checkpoint WRITING: distributed authorship, full replay, txn survival") {
     val s = spark
     import s.implicits._
