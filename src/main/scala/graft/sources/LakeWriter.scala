@@ -2065,13 +2065,45 @@ object LakeWriter {
     fs.listStatus(log).foreach { st =>
       val n = st.getPath.getName
       val commitBelow = n.matches("\\d{20}\\.json") && n.take(20).toLong < horizonVersion
-      val cpBelow = n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") &&
+      val cpBelow = (n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") ||
+        n.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)")) &&
         n.take(20).toLong < horizonVersion
       // a log-compaction file whose whole range fell below the horizon
       // serves no replay the horizon checkpoint doesn't
       val compactedBelow = n.matches("\\d{20}\\.\\d{20}\\.compacted\\.json") &&
         n.slice(21, 41).toLong < horizonVersion
       if (commitBelow || cpBelow || compactedBelow) fs.delete(st.getPath, false)
+    }
+    // v2-checkpoint SIDECARS live under _delta_log/_sidecars and are
+    // referenced only by their manifests: once every manifest naming a
+    // sidecar is reclaimed above, the sidecar is debris. Collect the
+    // survivors' references (manifests are small scalar files) and
+    // sweep the rest.
+    val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
+    if (fs.exists(sidecarDir)) {
+      val liveManifests = fs.listStatus(log).map(_.getPath)
+        .filter(_.getName.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)"))
+      val referencedSidecars = liveManifests.flatMap { m =>
+        if (m.getName.endsWith(".parquet")) {
+          val mf = spark.read.parquet(m.toString)
+          if (!mf.columns.contains("sidecar")) Nil
+          else mf.where(org.apache.spark.sql.functions.col("sidecar").isNotNull)
+            .select("sidecar.path").collect().map(_.getString(0)).toSeq
+        } else {
+          val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+          val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(m), java.nio.charset.StandardCharsets.UTF_8))
+          try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+            .filter(_.nonEmpty).flatMap { line =>
+              val node = om2.readTree(line)
+              if (node.has("sidecar")) Seq(node.get("sidecar").get("path").asText()) else Nil
+            }.toList finally rd.close()
+        }
+      }.toSet
+      fs.listStatus(sidecarDir).foreach { st =>
+        if (!referencedSidecars.contains(st.getPath.getName))
+          fs.delete(st.getPath, false)
+      }
     }
     (deleted ++ deletedCdc).sorted
   }

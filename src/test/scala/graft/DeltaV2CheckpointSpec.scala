@@ -168,6 +168,26 @@ class DeltaV2CheckpointSpec extends SparkSpec {
       Set((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")))
   }
 
+  test("vacuum reclaims below-horizon v2 manifests and their orphaned sidecars") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_v2vac_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.checkpointDeltaV2(spark, dir, 0L)
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.checkpointDeltaV2(spark, dir, 2L)
+    LakeWriter.vacuumDelta(spark, dir, 2L)
+    val log = new java.io.File(dir, "_delta_log")
+    val manifests = log.listFiles().map(_.getName)
+      .filter(_.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.parquet"))
+    assert(manifests.length == 1 && manifests.head.startsWith("00000000000000000002"))
+    // the v0 manifest's sidecar is gone, v2's survives
+    assert(new java.io.File(log, "_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet")) == 1)
+    assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
   test("multi-part checkpoint WRITING: distributed authorship, full replay, txn survival") {
     val s = spark
     import s.implicits._
