@@ -430,6 +430,16 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_bigrams"), dec6(col("logprob")).as("logprob"))
         .orderBy("doc_id")),
 
+    // ...and the trigram stupid-backoff gate: candidate docs scored
+    // under an LM fit on the ENGLISH subset (backoff paths live for
+    // the other languages)
+    "text_logprob3" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.text.Search.trigramLogProb(docs, docs.where(col("lang") === "en"))
+        .select(col("doc_id"), col("n_trigrams"), dec6(col("logprob")).as("logprob"))
+        .orderBy("doc_id")
+    }),
+
     "bm25_search" -> ((s, dir) =>
       graft.text.Search.bm25(t(s, dir, "documents"), Seq("data", "spark", "index"))
         .orderBy(col("score").desc, col("doc_id").asc)
@@ -1194,6 +1204,35 @@ object PipelineQueries {
         |  CAST(round(avg(ln(cnt / total)), 6) AS DECIMAL(10,6)) AS logprob
         |FROM w JOIN c USING (word), t
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "text_logprob3" ->
+      """WITH lmw AS (SELECT string_split(lower(text), ' ') AS ws FROM documents WHERE lang = 'en'),
+        |lmt AS (SELECT ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |        FROM lmw, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |n3 AS (SELECT a, b, c, CAST(count(*) AS DOUBLE) AS n3 FROM lmt GROUP BY 1, 2, 3),
+        |n2ab AS (SELECT a, b, sum(n3) AS n2ab FROM n3 GROUP BY 1, 2),
+        |n2bc AS (SELECT b AS b2, c AS c2, sum(n3) AS n2bc FROM n3 GROUP BY 1, 2),
+        |n1 AS (SELECT w, CAST(count(*) AS DOUBLE) AS n1 FROM (
+        |  SELECT unnest(ws) AS w FROM lmw) GROUP BY 1),
+        |ntot AS (SELECT CAST(sum(n1) AS DOUBLE) AS ntot FROM n1),
+        |dw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |dt AS (SELECT doc_id, ws[i] AS a, ws[i+1] AS b, ws[i+2] AS c
+        |       FROM dw, unnest(range(1, len(ws) - 1)) AS t(i) WHERE len(ws) >= 3),
+        |sc AS (SELECT doc_id,
+        |  CASE WHEN n3.n3 IS NOT NULL THEN ln(n3.n3 / n2ab.n2ab)
+        |       WHEN n2bc.n2bc IS NOT NULL THEN ln(0.4 * n2bc.n2bc / nb.n1)
+        |       WHEN nc.n1 IS NOT NULL THEN ln(0.16 * nc.n1 / ntot.ntot)
+        |       ELSE ln(0.16 / ntot.ntot) END AS s
+        |FROM dt
+        |LEFT JOIN n3 USING (a, b, c)
+        |LEFT JOIN n2ab USING (a, b)
+        |LEFT JOIN n2bc ON n2bc.b2 = dt.b AND n2bc.c2 = dt.c
+        |LEFT JOIN n1 nb ON nb.w = dt.b
+        |LEFT JOIN n1 nc ON nc.w = dt.c
+        |CROSS JOIN ntot)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(round(avg(s), 6) AS DECIMAL(10,6)) AS logprob
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "text_logprob2" ->
       """WITH wl AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -93,6 +93,60 @@ object Search {
       .where(ts.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
       .select(col(id), round(score, 6).as("score"))
+  }
+
+  /** TRIGRAM LM scoring with STUPID BACKOFF (Brants et al. 2007 — the
+    * CCNet/CC-Net-style perplexity gate): each transition scores
+    * S(c | a b) = n3/n2(a,b) when the trigram is in the LM,
+    * else α·n2(b,c)/n1(b), else α²·n1(c)/N, else the α²·1/N OOV
+    * floor. Unlike [[bigramLogProb]], the LM fits on a SEPARATE
+    * corpus (`lm`) — scoring a candidate pool under a trusted-corpus
+    * LM is the published filtering recipe, and it keeps the backoff
+    * paths live instead of self-corpus-trivial.
+    *
+    * Plan: three count tables from one lm tokenize (n3 and its two
+    * marginals — vocabulary-sized, broadcastable), per-doc trigrams
+    * from the array zip, LEFT joins + one CASE per transition, one
+    * grouped avg. Docs with <3 words have no transitions and are
+    * excluded. Output: (doc_id, n_trigrams, logprob).
+    */
+  def trigramLogProb(docs: DataFrame, lm: DataFrame, alpha: Double = 0.4,
+                     id: String = "doc_id", text: String = "text"): DataFrame = {
+    def tris(df: DataFrame, keep: Seq[Column]): DataFrame = df
+      .select(keep :+ words(text).as("ws"): _*)
+      .where(size(col("ws")) >= 3)
+      .select(keep ++ Seq(explode(arrays_zip(
+        slice(col("ws"), lit(1), size(col("ws")) - 2).as("a"),
+        slice(col("ws"), lit(2), size(col("ws")) - 2).as("b"),
+        slice(col("ws"), lit(3), size(col("ws")) - 2).as("c"))).as("t")): _*)
+      .select(keep ++ Seq(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c")): _*)
+    val lmTri = tris(lm, Nil)
+    val n3 = lmTri.groupBy("a", "b", "c").agg(count(lit(1)).cast("double").as("n3"))
+    val n2ab = n3.groupBy("a", "b").agg(sum("n3").as("n2ab"))
+    val n2bc = n3.groupBy(col("b").as("b2"), col("c").as("c2"))
+      .agg(sum("n3").as("n2bc"))
+    val n1 = lm.select(explode(words(text)).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("double").as("n1"))
+    val nTot = lm.select(explode(words(text)).as("w"))
+      .agg(count(lit(1)).cast("double").as("ntot"))
+    val dt = tris(docs, Seq(col(id)))
+    val a2 = alpha * alpha
+    val scored = dt
+      .join(n3, Seq("a", "b", "c"), "left")
+      .join(n2ab, Seq("a", "b"), "left")
+      .join(n2bc, dt("b") === n2bc("b2") && dt("c") === n2bc("c2"), "left")
+      .join(n1.withColumnRenamed("w", "__wb").withColumnRenamed("n1", "n1b"),
+        dt("b") === col("__wb"), "left")
+      .join(n1.withColumnRenamed("w", "__wc").withColumnRenamed("n1", "n1c"),
+        dt("c") === col("__wc"), "left")
+      .crossJoin(broadcast(nTot))
+      .select(col(id),
+        when(col("n3").isNotNull, log(col("n3") / col("n2ab")))
+          .when(col("n2bc").isNotNull, log(lit(alpha) * col("n2bc") / col("n1b")))
+          .when(col("n1c").isNotNull, log(lit(a2) * col("n1c") / col("ntot")))
+          .otherwise(log(lit(a2) / col("ntot"))).as("s"))
+    scored.groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"), avg(col("s")).as("logprob"))
   }
 
   /** Bigram-LM quality proxy — the step up from [[unigramLogProb]]:

@@ -137,6 +137,23 @@ class DsirSpec extends SparkSpec {
     assert(again.where(col("n_kept") =!= col("n_lines")).count() == 0)
   }
 
+  test("trigram stupid-backoff: LM-matching docs outscore OOV; backoff paths fire") {
+    val s = spark
+    import s.implicits._
+    val lm = Seq((100L, "the cat sat on the mat the cat ran")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "the cat sat on the mat"), // all trigrams in the LM
+      (2L, "the cat ran on the mat"), // 'cat ran on' backs off to bigram/unigram
+      (3L, "zq qz zz xq qq xx")       // fully OOV: the floor, finite score
+    ).toDF("doc_id", "text")
+    val got = graft.text.Search.trigramLogProb(docs, lm).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(1L) > got(2L) && got(2L) > got(3L), s"got $got")
+    assert(!got(3L).isNaN && !got(3L).isInfinite)
+    // the in-LM doc's transitions are all seen: score = mean ln(n3/n2)
+    assert(got(1L) > math.log(0.4), s"seen trigrams must not pay backoff: ${got(1L)}")
+  }
+
   test("gopher bullet/ellipsis line shares use line structure") {
     val s = spark
     import s.implicits._
