@@ -18,8 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
   * already-running session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.injections.foreach(ext.injectFunction)
+    // Planner surface: the top-k heap operator and the optimizer rule
+    // that rewrites the row_number()<=k window idiom onto it.
+    ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+  }
 }
 
 object GraftExtensions {
@@ -69,7 +74,10 @@ object GraftExtensions {
   )
 
   /** Register into a live session (equivalent to the extension). */
-  def register(spark: SparkSession): Unit = injections.foreach { case (id, fi, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+  def register(spark: SparkSession): Unit = {
+    injections.foreach { case (id, fi, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
+    graft.plans.TopKRewriteRule.install(spark)
   }
 }

@@ -11,7 +11,8 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def tune(b: SparkSession.Builder): SparkSession.Builder =
-    b.config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    b.config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -31,6 +31,30 @@ object Sampling {
     df.where(hexBucket(key) < rateCol)
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement via the
+    * Gumbel-top-k trick (the generic form of `Dsir.resampleFromWeights`,
+    * for ANY positive weight column — quality scores, lengths, domain
+    * priors): ranking by ln(w) + Gumbel(id) draws k rows from
+    * p(i) ∝ w_i without replacement, and the Gumbel noise is a pure
+    * function of md5(id) — reproducible across runs, engines and
+    * retries, never `rand()`. The whole plan is one per-row projection
+    * + a global top-k (TakeOrderedAndProject — per-partition k-heaps,
+    * no full sort). Rows with weight <= 0 have probability 0 and are
+    * filtered. Output: (id, weight, key) for the k picks, key rounded
+    * to 6 decimals, ties broken by id.
+    */
+  def weightedSample(df: DataFrame, id: String, weight: Column, k: Int): DataFrame = {
+    require(k > 0, s"weightedSample: k $k must be positive")
+    val u = (conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10).cast("double") + 0.5) /
+      4294967296.0
+    val gumbel = -log(-log(u))
+    val w = weight.cast("double")
+    df.where(w > 0)
+      .select(col(id), w.as("weight"), round(log(w) + gumbel, 6).as("key"))
+      .orderBy(col("key").desc, col(id))
+      .limit(k)
+  }
+
   /** Temperature-flattened mixing sample (the multilingual/source
     * balancing rule LLM pipelines use, e.g. α = 0.3 in mBERT/XLM-R
     * sampling): stratum s gets a quota ∝ n_s^α of `targetN` rows —

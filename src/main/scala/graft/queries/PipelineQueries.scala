@@ -5,7 +5,7 @@ import graft.functions.TextFunctions
 import graft.ml.FeatureEval
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
-import graft.text.TextAnalysis
+import graft.text.{TextAnalysis, WebCuration}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -296,6 +296,62 @@ object PipelineQueries {
 
     "pii_signals" -> ((s, dir) =>
       TextAnalysis.piiSignals(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // web-curation battery (WebCuration): the harness wraps the corpus
+    // in deterministically-constructed HTML / damaged unicode / messy
+    // URLs (both engines build the IDENTICAL input expression — the
+    // delta_* throwaway-table discipline applied to strings), then runs
+    // the production extractor; the oracle recomputes extraction from
+    // scratch via each operator's published SQL twin.
+    "html_extract" -> ((s, dir) => {
+      val d = col("doc_id").cast("string")
+      val html = concat(
+        lit("<html><head><title> Doc "), col("source"), lit(" #"), d,
+        lit(" </title><style>p { color: red }</style></head><body>"),
+        lit("<!-- hidden --><script>var x = 1 < 2;</script><h1>"), col("source"),
+        lit("</h1><p>"), col("text"),
+        lit("</p><p>&lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt; A&nbsp;B</p>"),
+        lit("<a href=\"l1\">x</a>"),
+        when(col("doc_id") % 2 === 0, lit("<A HREF='l2'>y</A>")).otherwise(lit("")),
+        lit("</body></html>"))
+      WebCuration.htmlExtract(
+        t(s, dir, "documents").select(col("doc_id"), html.as("html")))
+        .orderBy("doc_id")
+    }),
+
+    "unicode_clean" -> ((s, dir) => {
+      // damage injected per doc: a DECOMPOSED e+U+0301 (NFC composes
+      // it), a mojibake digraph (U+00C3 U+00A9), a control char U+0001,
+      // a replacement char U+FFFD -- escape-authored here and
+      // chr()-authored in the oracle so no raw invisible byte rides in
+      // either source file
+      val damaged = concat(col("text"),
+        lit(" e\u0301clair"),
+        when(col("doc_id") % 3 === 0, lit(" caf\u00c3\u00a9")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit("\u0001")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\ufffd")).otherwise(lit("")))
+      WebCuration.unicodeClean(
+        t(s, dir, "documents").select(col("doc_id"), damaged.as("text")))
+        .orderBy("doc_id")
+    }),
+
+    "url_normalize" -> ((s, dir) => {
+      val url = concat(
+        lit("HTTPS://WWW.Example"), (col("doc_id") % 3).cast("string"),
+        lit(".COM:443/Path/"), (col("doc_id") % 10).cast("string"),
+        when(col("doc_id") % 2 === 0, lit("?utm_source=feed&b=2&a=1"))
+          .otherwise(lit("?b=2&utm_campaign=x&a=1#frag")))
+      WebCuration.urlDedup(
+        t(s, dir, "documents").select(col("doc_id"), url.as("url")))
+        .orderBy("doc_id")
+    }),
+
+    "weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        t(s, dir, "documents"), "doc_id", col("n_chars"), 100)),
+
+    "corpus_report" -> ((s, dir) =>
+      TextAnalysis.corpusReport(t(s, dir, "documents")).orderBy("source")),
 
     // C4-style corpus-wide exact line dedup (single-line docs here, so
     // it degenerates to whole-doc exact dedup keeping first occurrence
@@ -886,6 +942,57 @@ object PipelineQueries {
         |   '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
         |   '[0-9]{6,}', '<NUM>', 'g') AS scrubbed
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "html_extract" -> (
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title> Doc ' || source || ' #' || CAST(doc_id AS VARCHAR) ||
+        |  ' </title><style>p { color: red }</style></head><body>' ||
+        |  '<!-- hidden --><script>var x = 1 < 2;</script><h1>' || source ||
+        |  '</h1><p>' || text ||
+        |  '</p><p>&lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt; A&nbsp;B</p>' ||
+        |  '<a href="l1">x</a>' ||
+        |  CASE WHEN doc_id % 2 = 0 THEN '<A HREF=''l2''>y</A>' ELSE '' END ||
+        |  '</body></html>' AS html
+        |FROM documents)
+        |""".stripMargin +
+      graft.text.WebCuration.htmlExtractSql("h") + "\nORDER BY doc_id"),
+
+    "unicode_clean" -> (
+      """WITH u AS (SELECT doc_id,
+        |  text || ' e' || chr(769) || 'clair' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' caf' || chr(195) || chr(169) ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN chr(1) ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN chr(65533) ELSE '' END AS text
+        |FROM documents)
+        |""".stripMargin +
+      graft.text.WebCuration.unicodeCleanSql("u") + "\nORDER BY doc_id"),
+
+    "url_normalize" -> (
+      s"""WITH u AS (SELECT doc_id,
+         |  'HTTPS://WWW.Example' || CAST(doc_id % 3 AS VARCHAR) ||
+         |  '.COM:443/Path/' || CAST(doc_id % 10 AS VARCHAR) ||
+         |  CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'
+         |       ELSE '?b=2&utm_campaign=x&a=1#frag' END AS url
+         |FROM documents),
+         |c AS (SELECT doc_id, url, ${graft.text.WebCuration.urlNormalizeSql("url")} AS canon FROM u)
+         |SELECT doc_id, url, canon,
+         |  doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
+         |FROM c ORDER BY doc_id""".stripMargin),
+
+    "corpus_report" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        | CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+        | CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+        | CAST(round(CAST(SUM(len(string_split(text, ' '))) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(10,6)) AS avg_words,
+        | COUNT(DISTINCT lang) AS n_langs,
+        | MIN(length(text)) AS min_chars, MAX(length(text)) AS max_chars
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "weighted_sample" ->
+      """SELECT doc_id, CAST(n_chars AS DOUBLE) AS weight,
+        |  round(ln(CAST(n_chars AS DOUBLE)) + -ln(-ln(((('0x'||substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 0.5) / 4294967296.0))), 6) AS key
+        |FROM documents WHERE n_chars > 0
+        |ORDER BY key DESC, doc_id LIMIT 100""".stripMargin,
 
     "bpe_merges" -> (s"WITH $bpeOraclePrefix\n" +
       (0 until bpeMergeSteps).map(k =>

@@ -195,6 +195,43 @@ object Relational {
         .orderBy("n_name", "rk")
     }),
 
+    // Link-graph analytics over the customer→supplier trade graph
+    // (edges: customer bought from supplier, via orders⋈lineitem;
+    // +100000 keeps the two key spaces disjoint). PageRank state is
+    // decimal-exact per iteration, so the unrolled-CTE DuckDB oracle
+    // matches bit-for-bit — see GraphOps for the determinism argument.
+    "graph_pagerank" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      graft.graph.GraphOps.pagerank(e, iterations = 3).orderBy("node")
+    }),
+
+    "graph_degrees" -> ((s, dir) => {
+      val e = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 100000L).as("dst"))
+      graft.graph.GraphOps.degrees(e).orderBy("node")
+    }),
+
+    // The top-k idiom users actually WRITE — row_number, filter, drop
+    // the rank. Under graft sessions (spark.sql.extensions =
+    // graft.GraftExtensions) TopKRewriteRule replans this onto the
+    // bounded-heap TopKPerKey operator: no per-partition sort, same
+    // rows. Plan shape is pinned by TopKRewriteSpec; THIS row proves
+    // result parity against DuckDB's window plan through the driver.
+    "topk_rewrite" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .drop("rn")
+        .select(col("o_custkey"), col("o_orderkey"),
+          dec(col("o_totalprice")).as("totalprice"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     "q_antijoin" -> ((s, dir) => {
       val c = t(s, dir, "customer")
       val o = t(s, dir, "orders").where(col("o_orderstatus") === "P")
@@ -379,6 +416,27 @@ object Relational {
          |  FROM customer) ranked, nation
          |WHERE rk <= 3 AND c_nationkey = n_nationkey
          |ORDER BY n_name, rk""".stripMargin,
+
+    "graph_pagerank" -> graft.graph.GraphOps.pagerankSql(
+      "SELECT o_custkey AS src, l_suppkey + 100000 AS dst FROM orders " +
+        "JOIN lineitem ON o_orderkey = l_orderkey", 3),
+
+    "graph_degrees" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 100000 AS dst
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |o AS (SELECT src AS node, COUNT(*) AS out_deg FROM e GROUP BY src),
+        |i AS (SELECT dst AS node, COUNT(*) AS in_deg FROM e GROUP BY dst)
+        |SELECT COALESCE(o.node, i.node) AS node,
+        |  COALESCE(out_deg, 0) AS out_deg, COALESCE(in_deg, 0) AS in_deg
+        |FROM o FULL OUTER JOIN i ON o.node = i.node ORDER BY node""".stripMargin,
+
+    "topk_rewrite" ->
+      s"""SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice FROM (
+         |  SELECT o_custkey, o_orderkey, o_totalprice,
+         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+         |  FROM orders) x
+         |WHERE rn <= 2
+         |ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_antijoin" ->
       s"""SELECT c_custkey, c_name FROM customer

@@ -355,6 +355,25 @@ object TextAnalysis {
     * shingle table is tiny (df > minDf) so it broadcasts.
     * Output: (doc_id, n_shingles, n_hot, hot_share).
     */
+  /** Per-stratum corpus data card (the summary a dataset release ships
+    * and a pipeline operator watches between stages): doc/char/word
+    * totals, mean words, language spread, length extrema — ONE grouped
+    * aggregation pass, all counts exact longs so the numbers are
+    * engine- and shuffle-order-independent.
+    */
+  def corpusReport(docs: DataFrame, stratum: String = "source",
+                   langCol: String = "lang", text: String = "text"): DataFrame = {
+    val ws = size(split(col(text), " ")).cast("long")
+    docs.groupBy(col(stratum)).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(col(text)).cast("long")).as("n_chars"),
+      sum(ws).as("n_words"),
+      round(sum(ws).cast("double") / count(lit(1)), 6).cast("decimal(10,6)").as("avg_words"),
+      countDistinct(col(langCol)).as("n_langs"),
+      min(length(col(text))).as("min_chars"),
+      max(length(col(text))).as("max_chars"))
+  }
+
   def boilerplateShare(docs: DataFrame, n: Int = 3, minDf: Long = 5,
                        id: String = "doc_id", text: String = "text"): DataFrame = {
     val inv = docs
