@@ -123,6 +123,33 @@ object DeltaQueries {
 
     // Change Data Feed: an UPDATE on a CDF table writes pre+post
     // images as change data; readChanges replays them per version
+    // INCREMENTAL VIEW MAINTENANCE: a per-status SUM/COUNT view
+    // maintained from the change feed — initial materialization at v0,
+    // then two incremental refreshes fold the update (v1) and the
+    // delete+append (v2, v3) WITHOUT rescanning the table. The 'P'
+    // group is deleted whole, so its view row must vanish (count
+    // reaches zero), and the oracle recomputes the final state from
+    // scratch — equality proves delta-folding ≡ full aggregation.
+    "delta_ivm" -> ((s, dir) => {
+      val d = freshDir("ivm")
+      val state = freshDir("ivmst")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      val keys = Seq("o_orderstatus")
+      val value = col("o_totalprice")
+      graft.streaming.ViewMaintain.maintain(s, d, state, keys, value)
+      LakeWriter.updateWhere(s, d, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      graft.streaming.ViewMaintain.maintain(s, d, state, keys, value)
+      LakeWriter.deleteWhere(s, d, "o_orderstatus = 'P'")
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 8").repartition(2), d)
+      graft.streaming.ViewMaintain.maintain(s, d, state, keys, value)
+      graft.streaming.ViewMaintain.readView(s, state)
+        .orderBy("o_orderstatus")
+    }),
+
     "delta_cdf" -> ((s, dir) => {
       val d = freshDir("cdf")
       LakeWriter.writeDelta(
@@ -243,6 +270,20 @@ object DeltaQueries {
          | COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS bucket_cnt,
          | CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 4 END) AS BIGINT) AS bucket_sum
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_ivm" ->
+      s"""WITH upd AS (SELECT o_orderstatus,
+         |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS p
+         |  FROM orders WHERE o_orderkey % 10 < 6),
+         | del AS (SELECT * FROM upd WHERE o_orderstatus <> 'P'),
+         | fin AS (SELECT * FROM del UNION ALL
+         |   SELECT o_orderstatus, o_totalprice AS p FROM orders
+         |   WHERE o_orderkey % 10 >= 8)
+         |SELECT o_orderstatus,
+         | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS view_sum,
+         | COUNT(*) AS view_cnt
+         |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_cdf" ->
       s"""WITH base AS (SELECT * FROM orders
