@@ -353,6 +353,26 @@ object PipelineQueries {
     "corpus_report" -> ((s, dir) =>
       TextAnalysis.corpusReport(t(s, dir, "documents")).orderBy("source")),
 
+    // Theta-sketch distinct-set algebra: pairwise vocabulary overlap
+    // across all sources from ONE scan. At harness vocabulary size the
+    // sketches stay in exact mode, so the DuckDB oracle can recompute
+    // the same matrix with exact distinct joins — the estimates must
+    // MATCH, proving the sketch path end-to-end.
+    "source_overlap" -> ((s, dir) =>
+      graft.ops.Sketches.distinctOverlap(
+        t(s, dir, "documents").select(col("source"),
+          explode(split(col("text"), " ")).as("w")),
+        "source", col("w"))
+        .orderBy("src_a", "src_b")),
+
+    // KLL quantile profile per source (rows-only: KLL compaction is
+    // randomized by design above k values; SketchesSpec pins the exact
+    // regime and the error bound)
+    "quantile_sketch" -> ((s, dir) =>
+      graft.ops.Sketches.groupQuantiles(t(s, dir, "documents"),
+        Seq("source"), col("n_chars"), Seq(0.1, 0.5, 0.9))
+        .orderBy("source")),
+
     // C4-style corpus-wide exact line dedup (single-line docs here, so
     // it degenerates to whole-doc exact dedup keeping first occurrence
     // — the oracle proves the positional machinery either way)
@@ -978,6 +998,21 @@ object PipelineQueries {
          |SELECT doc_id, url, canon,
          |  doc_id = min(doc_id) OVER (PARTITION BY canon) AS keep
          |FROM c ORDER BY doc_id""".stripMargin),
+
+    "source_overlap" ->
+      """WITH tok AS (SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w FROM documents),
+        |cnt AS (SELECT source, COUNT(*) AS n FROM tok GROUP BY source),
+        |pair AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+        |         FROM tok a JOIN tok b ON a.w = b.w AND a.source < b.source
+        |         GROUP BY a.source, b.source)
+        |SELECT ca.source AS src_a, cb.source AS src_b, ca.n AS n_a, cb.n AS n_b,
+        |  COALESCE(p.inter, 0) AS inter,
+        |  ca.n + cb.n - COALESCE(p.inter, 0) AS uni,
+        |  CAST(round(CAST(COALESCE(p.inter, 0) AS DOUBLE) /
+        |    (ca.n + cb.n - COALESCE(p.inter, 0)), 6) AS DECIMAL(10,6)) AS jaccard
+        |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
+        |LEFT JOIN pair p ON p.src_a = ca.source AND p.src_b = cb.source
+        |ORDER BY src_a, src_b""".stripMargin,
 
     "corpus_report" ->
       """SELECT source, COUNT(*) AS n_docs,
