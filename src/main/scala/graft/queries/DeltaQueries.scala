@@ -123,6 +123,29 @@ object DeltaQueries {
 
     // Change Data Feed: an UPDATE on a CDF table writes pre+post
     // images as change data; readChanges replays them per version
+    // ROW TRACKING: enable+backfill (ids 0..n-1), a DV delete (the
+    // id-STABLE delete — survivors keep identities), then an append
+    // (fresh ids extend the sequence). The id VALUES depend on file
+    // packing, but the invariants don't: row count, id uniqueness
+    // (n_ids = n_rows), the max id (backfill count + append count - 1,
+    // unaffected by the DV delete), and exactly two distinct
+    // defaultRowCommitVersions (backfill v1 carried through the DV
+    // re-add, append v3) — all derivable by the oracle from counts.
+    "delta_row_tracking" -> ((s, dir) => {
+      val d = freshDir("rt")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.enableRowTracking(s, d)
+      LakeWriter.deleteWhereDv(s, d, "o_orderkey % 7 = 0")
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 8").repartition(2), d)
+      DeltaReader.readWithRowIds(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("_row_id")).as("n_ids"),
+        max(col("_row_id")).as("max_id"),
+        countDistinct(col("_row_commit_version")).as("n_versions"))
+    }),
+
     // INCREMENTAL VIEW MAINTENANCE: a per-status SUM/COUNT view
     // maintained from the change feed — initial materialization at v0,
     // then two incremental refreshes fold the update (v1) and the
@@ -270,6 +293,15 @@ object DeltaQueries {
          | COUNT(CASE WHEN o_orderkey % 2 = 1 THEN 1 END) AS bucket_cnt,
          | CAST(SUM(CASE WHEN o_orderkey % 2 = 1 THEN o_orderkey % 4 END) AS BIGINT) AS bucket_sum
          |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_row_tracking" ->
+      s"""WITH a AS (SELECT COUNT(*) AS n0 FROM orders WHERE o_orderkey % 10 < 6),
+         | s AS (SELECT COUNT(*) AS ns FROM orders
+         |       WHERE o_orderkey % 10 < 6 AND o_orderkey % 7 <> 0),
+         | b AS (SELECT COUNT(*) AS nb FROM orders WHERE o_orderkey % 10 >= 8)
+         |SELECT s.ns + b.nb AS n_rows, s.ns + b.nb AS n_ids,
+         |  a.n0 + b.nb - 1 AS max_id, CAST(2 AS BIGINT) AS n_versions
+         |FROM a, s, b""".stripMargin,
 
     "delta_ivm" ->
       s"""WITH upd AS (SELECT o_orderstatus,

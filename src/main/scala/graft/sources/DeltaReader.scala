@@ -67,7 +67,9 @@ object DeltaReader {
   private[graft] case class AddFile(path: String, partitionValues: Map[String, String],
                                       size: Long = 0L, modificationTime: Long = 0L,
                                       dv: Option[DvDescriptor] = None,
-                                      stats: Option[String] = None)
+                                      stats: Option[String] = None,
+                                      baseRowId: Option[Long] = None,
+                                      defaultRowCommitVersion: Option[Long] = None)
 
   /** The replayed log state at one version — what both the reader and
     * the checkpoint writer need: the live add set plus table metadata
@@ -89,6 +91,7 @@ object DeltaReader {
                                       val writerFeatures: Seq[String],
                                       val txns: Map[String, Long],
                                       val metaId: Option[String],
+                                      val domainMetadata: Map[String, String] = Map.empty,
                                       cpAdds: Option[DataFrame] = None,
                                       suffixFinal: Seq[(String, Option[AddFile])] = Nil) {
 
@@ -383,8 +386,10 @@ object DeltaReader {
       if (a.has("stats") && !a.get("stats").isNull && a.get("stats").asText().nonEmpty)
         Some(a.get("stats").asText())
       else None
+    def optLongOpt(name: String): Option[Long] =
+      if (a.has(name) && !a.get(name).isNull) Some(a.get(name).asLong()) else None
     AddFile(a.get("path").asText(), pv, optLong("size"), optLong("modificationTime"), dv,
-      stats)
+      stats, optLongOpt("baseRowId"), optLongOpt("defaultRowCommitVersion"))
   }
 
   /** The adds and removes of ONE commit version, each with its
@@ -675,6 +680,11 @@ object DeltaReader {
     var configuration: Map[String, String] = Map.empty
     var txns: Map[String, Long] = Map.empty
     var metaId: Option[String] = None
+    // domain → configuration (JSON string), last-writer-wins per
+    // domain; removed=true deletes the domain (PROTOCOL.md domain
+    // metadata — the row-tracking high watermark lives in
+    // `delta.rowTracking`)
+    var domainMeta: Map[String, String] = Map.empty
 
     // base: the newest checkpoint at or below the target version —
     // exactly how a real Delta reader avoids replaying the full log.
@@ -686,7 +696,7 @@ object DeltaReader {
     // add entries never ride along
     def ingestScalars(cp: DataFrame): Unit = {
       val cols = cp.columns.toSet
-      val scalarCols = Seq("metaData", "protocol", "txn").filter(cols)
+      val scalarCols = Seq("metaData", "protocol", "txn", "domainMetadata").filter(cols)
       val rows =
         if (scalarCols.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else cp.where(scalarCols.map(c => col(c).isNotNull)
@@ -724,6 +734,14 @@ object DeltaReader {
           val tx = r.getStruct(r.fieldIndex("txn"))
           txns += tx.getString(tx.fieldIndex("appId")) ->
             tx.getAs[Number]("version").longValue()
+        }
+        if (cols("domainMetadata") && !r.isNullAt(r.fieldIndex("domainMetadata"))) {
+          val dm = r.getStruct(r.fieldIndex("domainMetadata"))
+          val domain = dm.getString(dm.fieldIndex("domain"))
+          val removed = !dm.isNullAt(dm.fieldIndex("removed")) &&
+            dm.getBoolean(dm.fieldIndex("removed"))
+          if (removed) domainMeta -= domain
+          else domainMeta += domain -> dm.getString(dm.fieldIndex("configuration"))
         }
       }
     }
@@ -836,6 +854,12 @@ object DeltaReader {
                 val tx = n.get("txn")
                 txns += tx.get("appId").asText() -> tx.get("version").asLong()
               }
+              if (n.has("domainMetadata")) {
+                val dm = n.get("domainMetadata")
+                val domain = dm.get("domain").asText()
+                if (dm.has("removed") && dm.get("removed").asBoolean()) domainMeta -= domain
+                else domainMeta += domain -> dm.get("configuration").asText()
+              }
             } finally rd.close()
           val sidecarPaths = sidecars.result()
           sidecarPaths.foreach(p => require(fs.exists(new Path(p)),
@@ -937,6 +961,12 @@ object DeltaReader {
             // the idempotence watermark a streaming writer consults
             txns += tx.get("appId").asText() -> tx.get("version").asLong()
           }
+          if (n.has("domainMetadata")) {
+            val dm = n.get("domainMetadata")
+            val domain = dm.get("domain").asText()
+            if (dm.has("removed") && dm.get("removed").asBoolean()) domainMeta -= domain
+            else domainMeta += domain -> dm.get("configuration").asText()
+          }
         } finally rd.close()
       }
 
@@ -1015,7 +1045,9 @@ object DeltaReader {
                 .getOrElse(Map.empty[String, String]),
               if (r.isNullAt(2)) 0L else r.getLong(2),
               if (r.isNullAt(3)) 0L else r.getLong(3), dv,
-              if (r.isNullAt(9)) None else Some(r.getString(9)))
+              if (r.isNullAt(9)) None else Some(r.getString(9)),
+              if (r.isNullAt(10)) None else Some(r.getLong(10)),
+              if (r.isNullAt(11)) None else Some(r.getLong(11)))
           }.toVector
           cpActive ++ survivors
       }
@@ -1024,7 +1056,7 @@ object DeltaReader {
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
       minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId,
-      cpAddsDf, suffixFinal)
+      domainMeta, cpAddsDf, suffixFinal)
   }
 
   /** A checkpoint's `add` entries flattened to the resolution schema —
@@ -1054,7 +1086,9 @@ object DeltaReader {
       dvOpt("offset", IntegerType).as("dv_off"),
       dvOpt("sizeInBytes", IntegerType).as("dv_sz"),
       dvOpt("cardinality", LongType).as("dv_card"),
-      opt("stats", StringType).as("stats"))
+      opt("stats", StringType).as("stats"),
+      opt("baseRowId", LongType).as("brid"),
+      opt("defaultRowCommitVersion", LongType).as("drcv"))
   }
 
   /** Driver-parsed AddFiles (a JSON v2-manifest's inline adds) lifted
@@ -1068,14 +1102,17 @@ object DeltaReader {
       StructField("size", LongType), StructField("mtime", LongType),
       StructField("dv_st", StringType), StructField("dv_p", StringType),
       StructField("dv_off", IntegerType), StructField("dv_sz", IntegerType),
-      StructField("dv_card", LongType), StructField("stats", StringType)))
+      StructField("dv_card", LongType), StructField("stats", StringType),
+      StructField("brid", LongType), StructField("drcv", LongType)))
     val rows = adds.map { a =>
       org.apache.spark.sql.Row(a.path, a.partitionValues, a.size, a.modificationTime,
         a.dv.map(_.storageType).orNull, a.dv.map(_.pathOrInlineDv).orNull,
         a.dv.flatMap(_.offset).map(Int.box).orNull,
         a.dv.map(d => Int.box(d.sizeInBytes)).orNull,
         a.dv.map(d => Long.box(d.cardinality)).orNull,
-        a.stats.orNull)
+        a.stats.orNull,
+        a.baseRowId.map(Long.box).orNull,
+        a.defaultRowCommitVersion.map(Long.box).orNull)
     }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }
@@ -1307,6 +1344,45 @@ object DeltaReader {
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
     scanFiles(s, dir, snap, snap.active)
+  }
+
+  /** Read a ROW-TRACKING table with its row identities: the table
+    * columns plus `_row_id` (= the file's `baseRowId` + the row's
+    * parquet row_index — the protocol's id derivation when no
+    * materialized column exists, which graft never writes) and
+    * `_row_commit_version` (the add's defaultRowCommitVersion). Stable
+    * across appends, merge-on-read DV deletes and restores; a
+    * copy-on-write rewrite re-identifies the rows it rewrites (the
+    * non-preserving profile — see [[graft.sources.RowTracking]]).
+    * The id map is one (path, baseRowId, version) row per LIVE file —
+    * bounded by the already-gated snapshot list — broadcast into the
+    * scan; everything else stays the shared distributed pushdown scan.
+    */
+  def readWithRowIds(s: SparkSession, dir: String,
+                     versionAsOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import s.implicits._
+    val snap = snapshot(s, dir, versionAsOf)
+    require(snap.writerFeatures.contains("rowTracking"),
+      s"table at $dir does not declare the rowTracking feature — run " +
+        "LakeWriter.enableRowTracking first")
+    val files = snap.active
+    files.find(_.baseRowId.isEmpty).foreach(a => throw new IllegalArgumentException(
+      s"rowTracking declared but live file ${a.path} carries no baseRowId — " +
+        "the enableRowTracking backfill is missing (or a restore rewound below " +
+        "enablement); refusing to fabricate row identities"))
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val idMap = files.map(a =>
+      (fs.makeQualified(resolveAddPath(root, a.path)).toUri.getPath,
+        a.baseRowId.get, a.defaultRowCommitVersion.getOrElse(-1L)))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    scanFiles(s, dir, snap, files, keepLineage = true)
+      .join(broadcast(idMap.toDF("__rt_path", "__rt_base", "__rt_ver")),
+        col("__dv_path") === col("__rt_path"))
+      .select((schema.fieldNames.map(col) :+
+        (col("__rt_base") + col("__dv_ridx")).as("_row_id") :+
+        col("__rt_ver").as("_row_commit_version")).toIndexedSeq: _*)
   }
 
   /** Partition-pruned snapshot read: only files whose log

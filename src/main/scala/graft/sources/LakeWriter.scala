@@ -697,7 +697,8 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed")
+      "checkConstraints", "generatedColumns", "changeDataFeed") ++
+      RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
@@ -788,7 +789,7 @@ object LakeWriter {
       commitDelta(staged, dir, snap.version + 1, includeMeta = true,
         checkpointInterval, partCols = stagePartCols, txn = txn,
         metaOverride = Some((protocolJson(snap), metaLine)),
-        operation = "WRITE")
+        operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap))
     }
   }
 
@@ -961,7 +962,8 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed")
+      "checkConstraints", "generatedColumns", "changeDataFeed") ++
+      RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1006,7 +1008,8 @@ object LakeWriter {
           snap.partCols.map(phys))
       }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
-      stagePartCols, txn, operation = operation, operationParameters = operationParameters)
+      stagePartCols, txn, operation = operation, operationParameters = operationParameters,
+      rowIdBase = RowTracking.rowIdBase(snap))
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -1038,7 +1041,8 @@ object LakeWriter {
                                  configuration: Map[String, String] = Map.empty,
                                  addDataChange: Boolean = true,
                                  operation: String = "WRITE",
-                                 operationParameters: String = "{}"): Unit = {
+                                 operationParameters: String = "{}",
+                                 rowIdBase: Option[Long] = None): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -1139,12 +1143,27 @@ object LakeWriter {
     // caller-authored actions (deleteWhere's removes) ride the SAME
     // atomic commit as the adds staged above
     actions ++= extraActions
+    // row tracking: each add consumes numRecords fresh ids (from the
+    // footer stats just computed), assigned in the staged files' sorted
+    // order; the advanced watermark commits ATOMICALLY with the adds
+    var nextRowId = rowIdBase
     moved.foreach { case (rel, pv, size, stats) =>
       val pvJson = pv.map { case (c, v) =>
         s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":$addDataChange$statsJson}}"""
+      val rtJson = nextRowId.map { base =>
+        val nr = stats.map(s => om.readTree(s).get("numRecords").asLong()).getOrElse(
+          throw new IllegalArgumentException(
+            s"rowTracking: staged file $rel produced no footer stats, so its row " +
+              "count is unknown — cannot assign baseRowId; refusing the commit"))
+        nextRowId = Some(base + nr)
+        s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
+      }.getOrElse("")
+      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":$addDataChange$statsJson$rtJson}}"""
+    }
+    rowIdBase.foreach { base =>
+      actions += RowTracking.watermarkAction(nextRowId.getOrElse(base) - 1)
     }
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
@@ -1401,7 +1420,8 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"deleteWhere: table requires writer version ${snap.minWriter}" +
@@ -1467,7 +1487,8 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
-      extraActions = removes ++ cdcActions, operation = "DELETE")
+      extraActions = removes ++ cdcActions, operation = "DELETE",
+      rowIdBase = RowTracking.rowIdBase(snap))
     affected.map(_.path).sorted
   }
 
@@ -1528,7 +1549,8 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"deleteWhereDv: table requires writer version ${snap.minWriter}" +
@@ -1650,7 +1672,7 @@ object LakeWriter {
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson${RowTracking.carryJson(a)}}}"""
     }
     actions ++= cdcActions
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
@@ -1703,7 +1725,8 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "mergeInto: table declares delta.appendOnly=true — merges rewrite rows; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"mergeInto: table requires writer version ${snap.minWriter}" +
@@ -1831,7 +1854,8 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols, txn = txn,
-      extraActions = removes ++ cdcActions, operation = "MERGE")
+      extraActions = removes ++ cdcActions, operation = "MERGE",
+      rowIdBase = RowTracking.rowIdBase(snap))
     affected.map(_.path).sorted
   }
 
@@ -1861,7 +1885,8 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhere: table requires writer version ${snap.minWriter}" +
@@ -1939,7 +1964,8 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
-      extraActions = removes ++ cdcActions, operation = "UPDATE")
+      extraActions = removes ++ cdcActions, operation = "UPDATE",
+      rowIdBase = RowTracking.rowIdBase(snap))
     affected.map(_.path).sorted
   }
 
@@ -2234,7 +2260,8 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
       s"restoreDelta: table requires writer version ${cur.minWriter}" +
@@ -2300,7 +2327,7 @@ object LakeWriter {
     }
     readds.sortBy(_.path).foreach { a =>
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":${pvJson(a)},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":${pvJson(a)},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson${RowTracking.carryJson(a)}}}"""
     }
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
@@ -2388,12 +2415,18 @@ object LakeWriter {
     // path (a different id than any table commitDelta creates there would
     // get, and than the source's — lineages must not be confusable)
     actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(s"clone:$dstDir".getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(snap.schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+    // domain metadata carries into the clone (the row-tracking high
+    // watermark especially — without it, appends to a tracked clone
+    // would re-issue ids the cloned files already own)
+    snap.domainMetadata.toSeq.sortBy(_._1).foreach { case (domain, conf) =>
+      actions += s"""{"domainMetadata":{"domain":${om.writeValueAsString(domain)},"configuration":${om.writeValueAsString(conf)},"removed":false}}"""
+    }
     files.sortBy(_.path).foreach { a =>
       val pvJson = a.partitionValues.map { case (c, v) =>
         s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(absUri(a.path))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(absUri(a.path))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson${RowTracking.carryJson(a)}}}"""
     }
     val log = new org.apache.hadoop.fs.Path(dstRoot, "_delta_log")
     fs.mkdirs(log)
@@ -2423,6 +2456,130 @@ object LakeWriter {
     * upgrade IS — and every graft writer gate then refuses its own
     * writes against it, exactly the protection the protocol intends.
     */
+  /** Enable ROW TRACKING on an existing table (PROTOCOL.md row
+    * tracking, graft's non-preserving writer profile — see
+    * [[RowTracking]]): ONE commit upgrades the protocol to writer v7
+    * with `rowTracking` + `domainMetadata` declared (legacy obligations
+    * made explicit, the same discipline as the DV upgrade), re-adds
+    * every live file with an assigned `baseRowId` (dataChange=false —
+    * ids are metadata, not a byte of data moves at any table size),
+    * stamps `delta.enableRowTracking=true`, and establishes the
+    * `delta.rowTracking` high watermark. After this, every
+    * create/append/rewrite commit assigns fresh ids and advances the
+    * watermark atomically; `DeltaReader.readWithRowIds` exposes
+    * `_row_id` / `_row_commit_version`. Requires numRecords stats on
+    * every live file (graft always writes them; compact a foreign
+    * stats-less table through graft first). Idempotent.
+    */
+  def enableRowTracking(spark: SparkSession, dir: String): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    if (RowTracking.enabled(snap) && RowTracking.watermark(snap).isDefined) return
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val files = snap.active.sortBy(_.path)
+    def numRecords(a: DeltaReader.AddFile): Long =
+      a.stats.flatMap(st => Option(om.readTree(st).get("numRecords")).map(_.asLong()))
+        .getOrElse(throw new IllegalArgumentException(
+          s"enableRowTracking: live file ${a.path} carries no numRecords stats — " +
+            "row-id backfill needs exact per-file row counts; rewrite the table " +
+            "through graft (compactDelta) first"))
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"ENABLE ROW TRACKING","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    // protocol: (minReader, 7) + the two features, legacy obligations explicit
+    locally {
+      val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val legacy = scala.collection.mutable.Set("appendOnly", "invariants")
+      if (snap.minWriter >= 3 &&
+          snap.configuration.keys.exists(_.startsWith("delta.constraints.")))
+        legacy += "checkConstraints"
+      if (snap.minWriter >= 4 &&
+          table.fields.exists(_.metadata.contains("delta.generationExpression")))
+        legacy += "generatedColumns"
+      if (cdfEnabled(snap)) legacy += "changeDataFeed"
+      if (cm == "name") legacy += "columnMapping"
+      val wf = snap.writerFeatures.toSet ++ legacy ++ RowTracking.Features
+      val rdr = math.max(snap.minReader, if (snap.minReader >= 3) 3 else snap.minReader)
+      val rfJson = if (rdr >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}""" else ""
+      actions += s"""{"protocol":{"minReaderVersion":$rdr,"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}"""
+    }
+    // metaData restated with delta.enableRowTracking in the configuration
+    locally {
+      val conf = snap.configuration + ("delta.enableRowTracking" -> "true")
+      val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+      actions += s"""{"metaData":{"id":"${snap.metaId.getOrElse(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(snap.schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+    }
+    // backfill: re-add every live file with its id range (last writer
+    // wins per path — no removes needed; dataChange=false, metadata only)
+    var next = 0L
+    val backfillVersion = snap.version + 1
+    files.foreach { a =>
+      val pvJson = a.partitionValues.map { case (c0, v) =>
+        s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val statsJson = a.stats.map(st => s""","stats":${om.writeValueAsString(st)}""").getOrElse("")
+      val dvJson = a.dv.map { d =>
+        val off = d.offset.map(o => s""""offset":$o,""").getOrElse("")
+        s""","deletionVector":{"storageType":${om.writeValueAsString(d.storageType)},""" +
+          s""""pathOrInlineDv":${om.writeValueAsString(d.pathOrInlineDv)},$off""" +
+          s""""sizeInBytes":${d.sizeInBytes},"cardinality":${d.cardinality}}"""
+      }.getOrElse("")
+      val base = next
+      next += numRecords(a)
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":false$dvJson$statsJson,"baseRowId":$base,"defaultRowCommitVersion":$backfillVersion}}"""
+    }
+    actions += RowTracking.watermarkAction(next - 1)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    val commit = new org.apache.hadoop.fs.Path(log, f"$backfillVersion%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"$backfillVersion; re-read and retry enableRowTracking", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
+  /** SET (or remove) a DOMAIN METADATA entry (PROTOCOL.md): one
+    * metadata-only commit; the table must already declare the
+    * `domainMetadata` writer feature (enableRowTracking does, or
+    * upgradeProtocol adds it). `delta.*` system domains are refused
+    * except through their owning operations — hand-editing the
+    * row-tracking watermark would corrupt id assignment.
+    */
+  def setDomainMetadata(spark: SparkSession, dir: String, domain: String,
+                        configuration: String, removed: Boolean = false): Unit = {
+    require(!domain.startsWith("delta."),
+      s"domain '$domain' is system-owned — delta.* domains are maintained by " +
+        "their owning operations (enableRowTracking etc.), not set directly")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    require(snap.writerFeatures.contains("domainMetadata"),
+      "table does not declare the domainMetadata writer feature — " +
+        "upgradeProtocol(minWriter = 7, writerFeatures = Seq(\"domainMetadata\")) first")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val actions = Seq(
+      s"""{"commitInfo":{"timestamp":0,"operation":"SET DOMAIN METADATA","operationParameters":{"domain":${om.writeValueAsString(domain)}},"readVersion":${snap.version},"engineInfo":"graft"}}""",
+      s"""{"domainMetadata":{"domain":${om.writeValueAsString(domain)},"configuration":${om.writeValueAsString(configuration)},"removed":$removed}}""")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "_delta_log"), f"${snap.version + 1}%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won; retry", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+  }
+
   def upgradeProtocol(spark: SparkSession, dir: String,
                       minReader: Int, minWriter: Int,
                       readerFeatures: Seq[String] = Nil,
@@ -2531,13 +2688,26 @@ object LakeWriter {
         // data-skipping stats survive checkpointing or every pruned
         // operation degrades to full scans once the checkpoint becomes
         // the replay base
-        StructField("stats", StringType)))),
+        StructField("stats", StringType),
+        // row-tracking identities survive checkpointing (PROTOCOL.md:
+        // baseRowId/defaultRowCommitVersion are checkpoint add fields)
+        // or every row would silently change identity when the
+        // checkpoint became the replay base
+        StructField("baseRowId", LongType),
+        StructField("defaultRowCommitVersion", LongType)))),
       // transaction identifiers MUST survive checkpointing (PROTOCOL.md
       // checkpoint contents) or a streaming writer would replay every
       // batch after log retention cleans its watermark commit
       StructField("txn", StructType(Seq(
         StructField("appId", StringType),
-        StructField("version", LongType))))))
+        StructField("version", LongType)))),
+      // domain metadata survives checkpointing (PROTOCOL.md checkpoint
+      // contents) — the row-tracking high watermark lives here, and a
+      // foreign domain dropped at checkpoint time would be lost forever
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val scalarRows =
       // protocol is restated VERBATIM from the replayed log — writing
       // (1,2) here would downgrade a column-mapping table's declared
@@ -2545,7 +2715,7 @@ object LakeWriter {
       // versions gate
       (Row(Row(snap.minReader.toInt, snap.minWriter.toInt,
         if (snap.minReader >= 3) snap.readerFeatures else null,
-        if (snap.minWriter >= 7) snap.writerFeatures else null), null, null, null) +:
+        if (snap.minWriter >= 7) snap.writerFeatures else null), null, null, null, null) +:
       Row(null,
         // the table's ACTUAL id from the replayed log — fabricating one
         // from the dir string would change the table's identity the
@@ -2557,10 +2727,13 @@ object LakeWriter {
             java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString),
           Row("parquet", Map.empty[String, String]),
           snap.schemaJson, snap.partCols, snap.configuration),
-        null, null) +:
+        null, null, null) +:
       snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
-        Row(null, null, null, Row(appId, v))
-      })
+        Row(null, null, null, Row(appId, v), null)
+      }) ++
+      snap.domainMetadata.toSeq.sortBy(_._1).map { case (domain, conf) =>
+        Row(null, null, null, null, Row(domain, conf, false))
+      }
     // the ADD rows stay a DISTRIBUTED plan end to end: the replayed
     // live set (checkpoint scan ∪ commit suffix, anti-joined) projects
     // into the checkpoint's add struct and writes through executors —
@@ -2583,8 +2756,10 @@ object LakeWriter {
           c("dv_st").as("storageType"), c("dv_p").as("pathOrInlineDv"),
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
-        c("stats")).cast(addT).as("add"),
-      l(null).cast(schema("txn").dataType).as("txn"))
+        c("stats"), c("brid").as("baseRowId"),
+        c("drcv").as("defaultRowCommitVersion")).cast(addT).as("add"),
+      l(null).cast(schema("txn").dataType).as("txn"),
+      l(null).cast(schema("domainMetadata").dataType).as("domainMetadata"))
     val scalarsDf = spark.createDataFrame(
       spark.sparkContext.parallelize(scalarRows, 1), schema)
     val full = scalarsDf.unionByName(addsDf)
@@ -2666,7 +2841,9 @@ object LakeWriter {
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
         StructField("cardinality", LongType)))),
-      StructField("stats", StringType)))
+      StructField("stats", StringType),
+      StructField("baseRowId", LongType),
+      StructField("defaultRowCommitVersion", LongType)))
     // sidecars: the distributed live-set plan, one `add` column
     import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l, struct => st, when}
     val addsDf = snap.activeDf(spark).select(
@@ -2680,7 +2857,8 @@ object LakeWriter {
           c("dv_st").as("storageType"), c("dv_p").as("pathOrInlineDv"),
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
-        c("stats")).cast(addT).as("add"))
+        c("stats"), c("brid").as("baseRowId"),
+        c("drcv").as("defaultRowCommitVersion")).cast(addT).as("add"))
     val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
     fs.mkdirs(sidecarDir)
     val scratch = new org.apache.hadoop.fs.Path(log, s"_cpv2_stage_$version")
@@ -2721,23 +2899,29 @@ object LakeWriter {
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
-        StructField("modificationTime", LongType))))))
+        StructField("modificationTime", LongType)))),
+      StructField("domainMetadata", StructType(Seq(
+        StructField("domain", StringType),
+        StructField("configuration", StringType),
+        StructField("removed", BooleanType))))))
     val mRows =
       (Row(Row(snap.minReader.toInt, snap.minWriter.toInt,
         if (snap.minReader >= 3) snap.readerFeatures else null,
         if (snap.minWriter >= 7) snap.writerFeatures else null),
-        null, null, null, null) +:
+        null, null, null, null, null) +:
       Row(null,
         Row(snap.metaId.getOrElse(
             java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString),
           Row("parquet", Map.empty[String, String]),
           snap.schemaJson, snap.partCols, snap.configuration),
-        null, null, null) +:
-      Row(null, null, null, Row(version), null) +:
+        null, null, null, null) +:
+      Row(null, null, null, Row(version), null, null) +:
       snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
-        Row(null, null, Row(appId, v), null, null)
+        Row(null, null, Row(appId, v), null, null, null)
       }) ++ sidecars.map { case (name, size) =>
-        Row(null, null, null, null, Row(name, size, 0L))
+        Row(null, null, null, null, Row(name, size, 0L), null)
+      } ++ snap.domainMetadata.toSeq.sortBy(_._1).map { case (domain, conf) =>
+        Row(null, null, null, null, null, Row(domain, conf, false))
       }
     val mScratch = new org.apache.hadoop.fs.Path(log, s"_cpv2m_stage_$version")
     spark.createDataFrame(spark.sparkContext.parallelize(mRows.toSeq, 1), mSchema)
