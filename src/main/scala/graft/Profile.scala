@@ -54,6 +54,10 @@ object Profile {
       case "stress-convert" =>
         stressConvert(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "recall"     => annRecall(spark, sfDir)
+      case "stress-graph" =>
+        stressGraph(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
+      case "stress-topk" =>
+        stressTopk(spark, args.lift(1).map(_.toInt).getOrElse(5000000))
       case q            =>
         time(s"${q}_pass1")(SparkEntry.queries(q)(spark, sfDir).count())
         time(s"${q}_pass2")(SparkEntry.queries(q)(spark, sfDir).count())
@@ -651,5 +655,45 @@ object Profile {
   def dupTables(spark: SparkSession, dir: String): Unit = {
     time("dup_tables")(SparkEntry.queries("dup_tables")(spark, dir).count())
     time("dup_tables_again")(SparkEntry.queries("dup_tables")(spark, dir).count())
+  }
+
+  /** PageRank at edge scale: a synthetic power-law-ish directed graph
+    * (hub skew via the modulo square), timing the edge prep and each
+    * phase of the iterative loop. The per-iteration cost is ONE
+    * edges⋈ranks shuffle + one groupBy — the number that must stay
+    * linear as the graph grows.
+    */
+  def stressGraph(spark: SparkSession, nEdges: Int): Unit = {
+    val e = spark.range(0, nEdges, 1, 32).selectExpr(
+      "pmod(hash(id), 200000) AS src",
+      // quadratic skew: low dst ids collect disproportionate in-degree
+      "pmod(CAST(hash(id + 7) AS BIGINT) * pmod(hash(id + 7), 447), 200000) + 200000 AS dst")
+    time(s"pagerank_3it_${nEdges}_edges")(
+      graft.graph.GraphOps.pagerank(e, iterations = 3).count())
+    time(s"pagerank_10it_${nEdges}_edges")(
+      graft.graph.GraphOps.pagerank(e, iterations = 10).count())
+    time("degrees")(graft.graph.GraphOps.degrees(e).count())
+  }
+
+  /** The TopK rewrite's measured win: the row_number window idiom vs
+    * the auto-rewritten heap plan on a many-keys corpus (k·keys ≪ rows,
+    * the regime the operator exists for).
+    */
+  def stressTopk(spark: SparkSession, nRows: Int): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = spark.range(0, nRows, 1, 32).selectExpr(
+      "pmod(hash(id), 100000) AS k", "id AS v", "hash(id, 1) AS o").cache()
+    time(s"materialize_${nRows}_rows")(df.count())
+    def idiom = df.withColumn("rn", row_number().over(
+        Window.partitionBy("k").orderBy(col("o"), col("v"))))
+      .where(col("rn") <= 5).drop("rn")
+    spark.conf.set("spark.graft.topkRewrite.enabled", "false")
+    time("window_sort_topk")(idiom.count())
+    time("window_sort_topk_2")(idiom.count())
+    spark.conf.set("spark.graft.topkRewrite.enabled", "true")
+    time("heap_rewrite_topk")(idiom.count())
+    time("heap_rewrite_topk_2")(idiom.count())
+    df.unpersist()
   }
 }

@@ -158,6 +158,16 @@ object Sketches {
   def thetaEstimate(bytes: Array[Byte]): Double =
     CompactSketch.heapify(Memory.wrap(bytes)).getEstimate
 
+  /** |A \ B| from two serialized sketches (exact while both are in
+    * exact mode) — "how many of today's documents are NEW vs the
+    * corpus" without touching either side's rows again.
+    */
+  def thetaANotB(a: Array[Byte], b: Array[Byte]): Double = {
+    val op = SetOperation.builder().buildANotB()
+    op.aNotB(CompactSketch.heapify(Memory.wrap(a)),
+      CompactSketch.heapify(Memory.wrap(b))).getEstimate
+  }
+
   /** Cross-stratum distinct-overlap matrix: ONE scan builds a Theta
     * sketch of `value`'s distinct set per stratum; the
     * stratum-count-bounded sketch list (KBs each — the documented

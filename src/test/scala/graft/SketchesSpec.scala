@@ -45,6 +45,40 @@ class SketchesSpec extends SparkSpec {
       ("b", "c", 30L, 10L, 0L, 40L)))
   }
 
+  test("sketches are mergeable THROUGH persistence: two sketched batches ≡ one pass") {
+    // the profile-once-query-many claim, made concrete: sketch two
+    // batches separately, round-trip the sketches through parquet,
+    // merge — the folded answer must match sketching everything at once
+    val batch1 = (1 to 500).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val batch2 = (400 to 900).map(i => ("g", i.toDouble)).toDF("g", "v")
+    val dir = java.nio.file.Files.createTempDirectory("graft_sk").toString
+    batch1.groupBy("g").agg(Sketches.kllSketch(col("v")).as("sk"),
+        Sketches.thetaSketch(col("v")).as("th"))
+      .unionByName(batch2.groupBy("g").agg(Sketches.kllSketch(col("v")).as("sk"),
+        Sketches.thetaSketch(col("v")).as("th")))
+      .write.parquet(s"$dir/sketches")
+    val persisted = spark.read.parquet(s"$dir/sketches").collect()
+    // KLL: merge the two persisted sketches driver-side
+    val merged = org.apache.datasketches.kll.KllDoublesSketch.newHeapInstance(200)
+    persisted.foreach(r => merged.merge(
+      org.apache.datasketches.kll.KllDoublesSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("sk")))))
+    assert(merged.getN == 1001L) // 500 + 501 values (overlap values still count)
+    assert(merged.getQuantile(0.0) == 1.0 && merged.getQuantile(1.0) == 900.0)
+    // Theta: distinct union across the persisted batches is exact here
+    val u = org.apache.datasketches.theta.SetOperation.builder().buildUnion()
+    persisted.foreach(r => u.union(
+      org.apache.datasketches.theta.CompactSketch.heapify(
+        org.apache.datasketches.memory.Memory.wrap(r.getAs[Array[Byte]]("th")))))
+    assert(math.round(u.getResult.getEstimate) == 900L)
+    // A\B: batch2 brought exactly 401 new values (501..900 plus none below)
+    val ths = persisted.map(_.getAs[Array[Byte]]("th"))
+    val diff = Sketches.thetaANotB(ths(1), ths(0))
+    val diff2 = Sketches.thetaANotB(ths(0), ths(1))
+    assert(Set(math.round(diff), math.round(diff2)) == Set(400L, 399L),
+      s"one direction is 900-500=400 new, the other 500-101=399: $diff / $diff2")
+  }
+
   test("theta: canonical under repartitioning, error-bounded past capacity") {
     val n = 60000 // far past 2^12 nominal entries
     val rows = (1 to n).map(i => ("a", s"v$i")) ++
