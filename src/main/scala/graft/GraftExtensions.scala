@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // that rewrites the row_number()<=k window idiom onto it.
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
+    GraftExtensions.tableInjections.foreach(ext.injectTableFunction)
   }
 }
 
@@ -73,10 +74,25 @@ object GraftExtensions {
           args, returnNullable = false))
   )
 
+  /** SQL table-valued functions: Delta tables queryable from pure SQL
+    * (`SELECT * FROM graft_delta('/path')`), resolved at analysis time
+    * into the reader's full distributed plan.
+    */
+  val tableInjections: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = Seq(
+    (FunctionIdentifier("graft_delta"), info("graft_delta"),
+      (args: Seq[Expression]) => GraftTableFunctions.deltaPlan(args)),
+    (FunctionIdentifier("graft_delta_changes"), info("graft_delta_changes"),
+      (args: Seq[Expression]) => GraftTableFunctions.deltaChangesPlan(args))
+  )
+
   /** Register into a live session (equivalent to the extension). */
   def register(spark: SparkSession): Unit = {
     injections.foreach { case (id, fi, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, fi, builder)
+    }
+    tableInjections.foreach { case (id, fi, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, fi, builder)
     }
     graft.plans.TopKRewriteRule.install(spark)
   }

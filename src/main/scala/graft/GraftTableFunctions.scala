@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL TABLE-VALUED functions over the graft Delta reader — the
+  * surface a SQL-only user queries a Delta table with, no DataFrame
+  * code and no connector jar:
+  *
+  *   SELECT * FROM graft_delta('/lake/events')
+  *   SELECT * FROM graft_delta('/lake/events', 3)          -- versionAsOf
+  *   SELECT * FROM graft_delta_changes('/lake/events', 1, 5) -- CDF window
+  *
+  * Injected through `spark.sql.extensions=graft.GraftExtensions`
+  * (`injectTableFunction`): the builder resolves at ANALYSIS time into
+  * the reader's analyzed plan, so everything downstream — pushdown,
+  * partition pruning, the DV anti-join, column mapping — is the same
+  * distributed scan the DataFrame API gets. Arguments must be literals
+  * (the plan is built during analysis, before any row exists to
+  * evaluate an expression against).
+  */
+object GraftTableFunctions {
+
+  private def strArg(args: Seq[Expression], i: Int, fn: String): String =
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be a STRING literal (the plan is built at " +
+          s"analysis time), got $other")
+    }
+
+  private def longArg(args: Seq[Expression], i: Int, fn: String): Long =
+    args(i) match {
+      case Literal(v: Int, IntegerType) => v.toLong
+      case Literal(v: Long, LongType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INTEGER literal, got $other")
+    }
+
+  /** graft_delta(path[, versionAsOf]) */
+  def deltaPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      s"graft_delta(path[, versionAsOf]) takes 1-2 arguments, got ${args.size}")
+    val path = strArg(args, 0, "graft_delta")
+    val version = if (args.size == 2) Some(longArg(args, 1, "graft_delta")) else None
+    val spark = SparkSession.active
+    graft.sources.DeltaReader.read(spark, path, version).queryExecution.analyzed
+  }
+
+  /** graft_delta_changes(path, fromVersion, toVersion) — the CDF window
+    * as a table: the table columns + _change_type + _commit_version.
+    */
+  def deltaChangesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 3,
+      s"graft_delta_changes(path, fromVersion, toVersion) takes 3 arguments, got ${args.size}")
+    val path = strArg(args, 0, "graft_delta_changes")
+    val from = longArg(args, 1, "graft_delta_changes")
+    val to = longArg(args, 2, "graft_delta_changes")
+    val spark = SparkSession.active
+    graft.sources.DeltaReader.readChanges(spark, path, from, to).queryExecution.analyzed
+  }
+}

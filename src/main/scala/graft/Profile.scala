@@ -646,7 +646,9 @@ object Profile {
   def explainPlans(spark: SparkSession, dir: String): Unit = {
     for (q <- Seq("q6_filter", "q5_multijoin", "q3_join", "mate_single", "dedup_jaccard",
         "tfidf_topk", "bm25_search", "cell_index_merged",
-        "dsir_weights", "line_dedup", "quality_gopher", "pii_signals")) {
+        "dsir_weights", "line_dedup", "quality_gopher", "pii_signals",
+        "topk_rewrite", "html_extract", "url_normalize", "weighted_sample",
+        "source_overlap", "corpus_report", "graph_degrees")) {
       println(s"==== $q ====")
       SparkEntry.queries(q)(spark, dir).explain("formatted")
     }

@@ -167,6 +167,37 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(e5.getMessage.contains("rowTracking"))
   }
 
+  test("fuzz: random mutation sequences never break id uniqueness or the watermark bound") {
+    val d = freshDir("fz")
+    LakeWriter.writeDelta(base.repartition(2), d)
+    LakeWriter.enableRowTracking(spark, d)
+    val rnd = new scala.util.Random(4242)
+    var nextKey = 1000L
+    (1 to 12).foreach { step =>
+      rnd.nextInt(6) match {
+        case 0 => LakeWriter.appendDelta(
+          (0 until 5).map(i => { nextKey += 1; (nextKey, s"a$i", i % 4) })
+            .toDF("id", "v", "k"), d)
+        case 1 => LakeWriter.deleteWhere(spark, d, s"id % 11 = ${rnd.nextInt(11)}")
+        case 2 => LakeWriter.deleteWhereDv(spark, d, s"id % 13 = ${rnd.nextInt(13)}")
+        case 3 => LakeWriter.updateWhere(spark, d, s"id % 7 = ${rnd.nextInt(7)}",
+          Map("v" -> s"'u$step'"))
+        case 4 => LakeWriter.mergeInto(spark, d,
+          { nextKey += 1; Seq((nextKey, "m", 0), (3L, s"m$step", 1)) }
+            .toDF("id", "v", "k"), Seq("id"))
+        case 5 =>
+          val snap = DeltaReader.snapshot(spark, d, None)
+          LakeWriter.checkpointDelta(spark, d, snap.version)
+      }
+      val ids = DeltaReader.readWithRowIds(spark, d)
+        .select("_row_id").collect().map(_.getLong(0))
+      assert(ids.distinct.length == ids.length,
+        s"step $step: duplicate row ids after a mutation")
+      if (ids.nonEmpty) assert(ids.max <= wmOf(d),
+        s"step $step: id ${ids.max} above watermark ${wmOf(d)}")
+    }
+  }
+
   test("generic domain metadata: set/remove, checkpoint survival, system-domain guard") {
     val d = freshDir("dm")
     LakeWriter.writeDelta(base, d)

@@ -43,6 +43,40 @@ class ExtensionsSpec extends SparkSpec {
     assert(r2.getAs[scala.collection.Seq[Double]]("ts").toSeq == Seq(6.0, 2.0, 1.0))
   }
 
+  test("graft_delta table functions: SQL-only Delta reads, time travel, CDF window") {
+    import spark.implicits._
+    GraftExtensions.register(spark)
+    val dir = java.nio.file.Files.createTempDirectory("graft_tvf").resolve("t")
+      .toAbsolutePath.toString
+    graft.sources.LakeWriter.writeDelta(
+      (1 to 20).map(i => (i.toLong, s"v$i")).toDF("id", "v"), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    graft.sources.LakeWriter.deleteWhere(spark, dir, "id % 2 = 0")
+    // latest snapshot through pure SQL
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_delta('$dir')")
+      .head().getLong(0) == 10L)
+    // time travel + aggregation over the TVF
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM graft_delta('$dir', 0) WHERE id > 15")
+      .head().getLong(0) == 5L)
+    // the CDF window as a table
+    val ch = spark.sql(
+      s"""SELECT _change_type, count(*) AS c
+         |FROM graft_delta_changes('$dir', 1, 1) GROUP BY 1""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 10L))
+    // joins against ordinary relations work (it is just a plan)
+    val joined = spark.sql(
+      s"""SELECT count(*) AS c FROM graft_delta('$dir') a
+         |JOIN graft_delta('$dir', 0) b ON a.id = b.id""".stripMargin)
+      .head().getLong(0)
+    assert(joined == 10L)
+    // non-literal arguments refuse with the analysis-time explanation
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM graft_delta(repeat('x', 2))").collect())
+    assert(e.getMessage.contains("literal"), e.getMessage)
+  }
+
   test("kernels run inside whole-stage codegen") {
     GraftExtensions.register(spark)
     val df = spark.read.parquet(s"${sf()}/documents.parquet")
