@@ -55,6 +55,14 @@ case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
     val orderLocal = order
     val partLocal = partitionExprs
     val childOutput = child.output
+    // The heap map has NO spill path: its bound is keys-per-partition·k,
+    // and the KEYS dimension is unbounded by any plan-time check. Turn
+    // the would-be executor OOM into an actionable failure at a
+    // configurable entry budget — the error names the fix (window plan
+    // spills; disable the rewrite or raise the budget with memory to
+    // match).
+    val maxEntries = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString("spark.graft.topk.maxHeapEntries", "16000000").toLong
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(partLocal, childOutput)
       // "best first" comparator; the heap keeps the WORST kept row on top
@@ -69,6 +77,14 @@ case class TopKPerKeyExec(k: Int, partitionExprs: Seq[Expression],
         if (heap == null) {
           heap = new java.util.PriorityQueue[InternalRow](kLocal + 1, worstFirst)
           heaps.put(key.copy(), heap)
+          if (heaps.size.toLong * kLocal > maxEntries)
+            throw new IllegalStateException(
+              s"TopKPerKey: ${heaps.size} keys x k=$kLocal exceeds " +
+                s"spark.graft.topk.maxHeapEntries=$maxEntries in one partition — " +
+                "the bounded-heap operator holds keys*k rows with no spill path. " +
+                "For this key cardinality use the window plan " +
+                "(spark.graft.topkRewrite.enabled=false) or raise the budget " +
+                "with executor memory to match")
         }
         if (heap.size < kLocal) heap.add(row.copy())
         else if (better.compare(row, heap.peek()) < 0) {

@@ -79,6 +79,22 @@ class TopKRewriteSpec extends SparkSpec {
     }
   }
 
+  test("heap entry budget turns the no-spill OOM into an actionable error") {
+    withConf("spark.graft.topk.maxHeapEntries", "30") {
+      // ~1500 distinct keys x k=3 blows a 30-entry budget immediately
+      val e = intercept[org.apache.spark.SparkException] {
+        cust.withColumn("rn", row_number().over(
+            Window.partitionBy("c_custkey").orderBy(col("c_acctbal"))))
+          .where(col("rn") <= 3).drop("rn").count()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("maxHeapEntries"), msg)
+      assert(msg.contains("topkRewrite.enabled=false"), msg)
+    }
+    // and the budget is generous by default: the same query passes
+    assert(idiom(3).count() > 0)
+  }
+
   test("SQL-surface form rewrites too") {
     cust.createOrReplaceTempView("cust_tkr")
     val df = spark.sql(

@@ -35,6 +35,34 @@ class WebCurationSpec extends SparkSpec {
     assert(canon("  not a url  ") == "not a url")
   }
 
+  test("urlNormalize is IDEMPOTENT over a generated vector set") {
+    // if canonicalization weren't a fixpoint, URL dedup applied at two
+    // different pipeline stages would key the same page differently
+    val hosts = Seq("EXAMPLE.com", "www.a.org", "a.b.co:443", "x.io:8080")
+    val paths = Seq("", "/", "/P/q", "/P/q/")
+    val queries = Seq("", "?utm_source=f", "?b=2&a=1", "?b=2&utm_c=x&a=1", "?fbclid")
+    val frags = Seq("", "#s")
+    val urls = for {
+      h <- hosts; p <- paths; q <- queries; f <- frags
+      s <- Seq("http://", "HTTPS://")
+    } yield s + h + p + q + f
+    val df = urls.toDF("url")
+    val once = df.select(WebCuration.urlNormalize(col("url")).as("c"))
+    val twice = once.select(WebCuration.urlNormalize(col("c")).as("c2"))
+    val pairs = once.collect().map(_.getString(0))
+      .zip(twice.collect().map(_.getString(0)))
+    val broken = pairs.filter { case (a, b) => a != b }
+    assert(broken.isEmpty, s"non-idempotent canon: ${broken.take(5).toSeq}")
+  }
+
+  test("htmlExtract on tag-free text is whitespace normalization") {
+    val out = WebCuration.htmlExtract(
+      Seq((1L, "plain  text\nwith   spaces")).toDF("doc_id", "html")).head()
+    assert(out.getAs[String]("text") == "plain text with spaces")
+    assert(out.getAs[String]("title") == "")
+    assert(out.getAs[Long]("n_links") == 0L)
+  }
+
   test("urlDedup keeps the id-minimal doc per canonical url") {
     val docs = Seq(
       (1L, "http://www.A.com/p?b=2&a=1"),
