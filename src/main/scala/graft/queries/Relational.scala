@@ -195,6 +195,13 @@ object Relational {
         .orderBy("n_name", "rk")
     }),
 
+    // Gap-filled hourly resample of the event stream: every bucket in
+    // each event_type's span exists — zeros + filled flags for empty
+    // hours, LOCF for "previous reading still holds" metrics
+    "ts_gapfill" -> ((s, dir) =>
+      graft.ops.TimeSeries.gapFill(t(s, dir, "events"), "event_type", "ts",
+        col("value")).orderBy("event_type", "bucket_start")),
+
     // Link-graph analytics over the customer→supplier trade graph
     // (edges: customer bought from supplier, via orders⋈lineitem;
     // +100000 keeps the two key spaces disjoint). PageRank state is
@@ -416,6 +423,24 @@ object Relational {
          |  FROM customer) ranked, nation
          |WHERE rk <= 3 AND c_nationkey = n_nationkey
          |ORDER BY n_name, rk""".stripMargin,
+
+    "ts_gapfill" ->
+      s"""WITH a AS (
+         |  SELECT event_type, CAST(epoch(date_trunc('hour', ts)) AS BIGINT) // 3600 AS b,
+         |    COUNT(*) AS cnt, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS sum_value
+         |  FROM events GROUP BY 1, 2),
+         |s AS (SELECT event_type, MIN(b) AS b0, MAX(b) AS b1 FROM a GROUP BY 1),
+         |g AS (SELECT s.event_type, unnest(generate_series(s.b0, s.b1)) AS b FROM s),
+         |j AS (SELECT g.event_type, g.b, a.cnt, a.sum_value
+         |      FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.b = a.b)
+         |SELECT event_type, b * 3600 AS bucket_start,
+         |  COALESCE(cnt, 0) AS cnt,
+         |  CAST(COALESCE(sum_value, 0) AS DECIMAL(28,2)) AS sum_value,
+         |  cnt IS NULL AS filled,
+         |  CAST(last_value(sum_value IGNORE NULLS) OVER (
+         |    PARTITION BY event_type ORDER BY b
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(28,2)) AS locf_sum
+         |FROM j ORDER BY event_type, bucket_start""".stripMargin,
 
     "graph_pagerank" -> graft.graph.GraphOps.pagerankSql(
       "SELECT o_custkey AS src, l_suppkey + 100000 AS dst FROM orders " +

@@ -342,4 +342,25 @@ class OpsSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("error bound"))
   }
+
+  test("gapFill: dense span, zero+flag fills, LOCF with leading-gap null") {
+    import spark.implicits._
+    val h = 3600L * 1000 * 1000 * 1000 // hour in nanos
+    // key a: observations in hours 2, 5 (gap 3-4); key b: hour 1 only
+    val events = Seq(
+      ("a", 2 * h + 5L, 10.0), ("a", 2 * h + 9L, 2.5), ("a", 5 * h, 7.0),
+      ("b", 1 * h + 1L, 4.0)).toDF("k", "ts", "value")
+    val out = graft.ops.TimeSeries.gapFill(events, "k", "ts",
+        org.apache.spark.sql.functions.col("value"))
+      .orderBy("k", "bucket_start").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getDecimal(3)).map(_.doubleValue), r.getBoolean(4),
+        Option(r.getDecimal(5)).map(_.doubleValue)))
+    assert(out.toSeq == Seq(
+      ("a", 2 * 3600L, 2L, Some(12.5), false, Some(12.5)),
+      ("a", 3 * 3600L, 0L, Some(0.0), true, Some(12.5)),
+      ("a", 4 * 3600L, 0L, Some(0.0), true, Some(12.5)),
+      ("a", 5 * 3600L, 1L, Some(7.0), false, Some(7.0)),
+      ("b", 1 * 3600L, 1L, Some(4.0), false, Some(4.0))))
+  }
 }

@@ -1,0 +1,66 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter, TableMaintenance}
+import org.apache.spark.sql.functions._
+
+/** The housekeeping policy decides correctly; the ops it delegates to
+  * have their own specs.
+  */
+class TableMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_tm_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  test("append debt → compact + checkpoint + vacuum; second call all-skips") {
+    val d = freshDir("a")
+    LakeWriter.writeDelta((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .coalesce(1), d)
+    // 30 single-file appends: small-file debt + commit debt + version debt
+    (11 to 40).foreach(i =>
+      LakeWriter.appendDelta(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), d))
+    val filesBefore = DeltaReader.snapshot(spark, d, None).active.size
+    assert(filesBefore == 31)
+    val r = TableMaintenance.maintainTable(spark, d,
+      compactMinFiles = 8, checkpointEvery = 10, retainVersions = 5)
+    assert(r.compacted && r.compactSkipReason.isEmpty)
+    assert(r.checkpointed.contains(31L)) // 30 appends + compaction commit
+    // nothing reclaimable YET: every pre-horizon file is still
+    // referenced by an in-window (pre-compaction) version — vacuum
+    // correctly keeps them
+    assert(r.vacuumed == 0, r.toString)
+    val after = DeltaReader.snapshot(spark, d, None)
+    assert(after.active.size < filesBefore / 3, s"still ${after.active.size} files")
+    assert(DeltaReader.read(spark, d).count() == 40L)
+    // push the horizon past the compaction: its tombstones fall out of
+    // every retained version and the NEXT pass reclaims them
+    (41 to 47).foreach(i =>
+      LakeWriter.appendDelta(Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), d))
+    val r2 = TableMaintenance.maintainTable(spark, d,
+      compactMinFiles = 20, checkpointEvery = 10, retainVersions = 5)
+    assert(r2.vacuumed > 0, s"compaction tombstones below the horizon: $r2")
+    assert(DeltaReader.read(spark, d).count() == 47L)
+    // idempotent: nothing left to do
+    val r3 = TableMaintenance.maintainTable(spark, d,
+      compactMinFiles = 20, checkpointEvery = 10, retainVersions = 5)
+    assert(!r3.compacted && r3.checkpointed.isEmpty && r3.vacuumed == 0, r3.toString)
+  }
+
+  test("row-tracked tables skip compaction WITH the reason, rest still runs") {
+    val d = freshDir("rt")
+    LakeWriter.writeDelta((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(10), d)
+    LakeWriter.enableRowTracking(spark, d)
+    (1 to 12).foreach(i =>
+      LakeWriter.appendDelta(Seq((100L + i, "x")).toDF("id", "v").coalesce(1), d))
+    val r = TableMaintenance.maintainTable(spark, d,
+      compactMinFiles = 4, checkpointEvery = 5, retainVersions = 50)
+    assert(!r.compacted && r.compactSkipReason.exists(_.contains("row-tracked")))
+    assert(r.checkpointed.isDefined, "checkpointing still applies")
+    // the table stays fully readable with stable ids
+    val ids = DeltaReader.readWithRowIds(spark, d).select("_row_id")
+      .collect().map(_.getLong(0))
+    assert(ids.distinct.length == ids.length && ids.length == 22)
+  }
+}
