@@ -195,6 +195,19 @@ object Relational {
         .orderBy("n_name", "rk")
     }),
 
+    // Cohort retention matrix: users bucketed by first-activity day,
+    // distinct-counted per (cohort, day offset)
+    "cohort_retention" -> ((s, dir) =>
+      graft.ops.EventAnalytics.cohortRetention(t(s, dir, "events"))
+        .orderBy("cohort_day", "day_offset")),
+
+    // First-touch ordered funnel view→click→purchase, 7-day max gap
+    // between consecutive stages
+    "event_funnel" -> ((s, dir) =>
+      graft.ops.EventAnalytics.funnel(t(s, dir, "events"),
+        Seq("view", "click", "purchase"), 7L * 86400 * 1000 * 1000 * 1000)
+        .orderBy("stage")),
+
     // Gap-filled hourly resample of the event stream: every bucket in
     // each event_type's span exists — zeros + filled flags for empty
     // hours, LOCF for "previous reading still holds" metrics
@@ -423,6 +436,31 @@ object Relational {
          |  FROM customer) ranked, nation
          |WHERE rk <= 3 AND c_nationkey = n_nationkey
          |ORDER BY n_name, rk""".stripMargin,
+
+    "cohort_retention" ->
+      s"""WITH d AS (SELECT user_id,
+         |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day FROM events),
+         |f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+         |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+         |  COUNT(DISTINCT d.user_id) AS n_users
+         |FROM d JOIN f ON d.user_id = f.user_id
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "event_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_us(ts) * 1000 AS tn FROM events),
+         |s1 AS (SELECT user_id, MIN(tn) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+         |s2 AS (SELECT e.user_id, MIN(e.tn) AS t FROM e JOIN s1 ON e.user_id = s1.user_id
+         |       WHERE e.event_type = 'click' AND e.tn > s1.t
+         |         AND e.tn <= s1.t + 604800000000000 GROUP BY 1),
+         |s3 AS (SELECT e.user_id, MIN(e.tn) AS t FROM e JOIN s2 ON e.user_id = s2.user_id
+         |       WHERE e.event_type = 'purchase' AND e.tn > s2.t
+         |         AND e.tn <= s2.t + 604800000000000 GROUP BY 1)
+         |SELECT * FROM (
+         |  SELECT 1 AS stage, 'view' AS event_type, (SELECT COUNT(*) FROM s1) AS users
+         |  UNION ALL
+         |  SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+         |  UNION ALL
+         |  SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)) ORDER BY stage""".stripMargin,
 
     "ts_gapfill" ->
       s"""WITH a AS (

@@ -363,4 +363,40 @@ class OpsSpec extends SparkSpec {
       ("a", 5 * 3600L, 1L, Some(7.0), false, Some(7.0)),
       ("b", 1 * 3600L, 1L, Some(4.0), false, Some(4.0))))
   }
+
+  test("funnel: ordering and gap semantics on a hand-built vector") {
+    import spark.implicits._
+    val m = 60L * 1000 * 1000 * 1000 // a minute in nanos
+    val events = Seq(
+      // u1 converts fully: view@1m, click@2m, purchase@3m
+      (1L, "view", 1 * m), (1L, "click", 2 * m), (1L, "purchase", 3 * m),
+      // u2 clicked BEFORE viewing: order violation, stops at view
+      (2L, "click", 1 * m), (2L, "view", 2 * m),
+      // u3 clicked past the gap: stops at view
+      (3L, "view", 1 * m), (3L, "click", 20 * m),
+      // u4 never viewed: not in the funnel at all
+      (4L, "click", 1 * m), (4L, "purchase", 2 * m),
+      // u5: first click in-gap, purchase measured from the CLICK time
+      (5L, "view", 1 * m), (5L, "click", 5 * m), (5L, "purchase", 30 * m)
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.ops.EventAnalytics.funnel(events,
+        Seq("view", "click", "purchase"), 10 * m)
+      .orderBy("stage").collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)),
+      out.toSeq.toString)
+  }
+
+  test("cohortRetention: offsets measured from each user's first day") {
+    import spark.implicits._
+    val d = 86400L * 1000 * 1000 * 1000
+    val events = Seq(
+      (1L, 0 * d), (1L, 2 * d),          // cohort 0, offsets 0 and 2
+      (2L, 0 * d + 5L), (2L, 1 * d),     // cohort 0, offsets 0 and 1
+      (3L, 2 * d), (3L, 2 * d + 7L)      // cohort 2, offset 0 (twice -> once)
+    ).toDF("user_id", "ts")
+    val out = graft.ops.EventAnalytics.cohortRetention(events)
+      .orderBy("cohort_day", "day_offset").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
+  }
 }
