@@ -365,12 +365,15 @@ object PipelineQueries {
         "source", col("w"))
         .orderBy("src_a", "src_b")),
 
-    // KLL quantile profile per source (rows-only: KLL compaction is
-    // randomized by design above k values; SketchesSpec pins the exact
-    // regime and the error bound)
+    // KLL quantile profile per source. k=1024 keeps every per-source
+    // sketch in EXACT mode at the correctness scale factors (25 and
+    // 250 docs/source), where the inclusive KLL quantile IS the
+    // ceil(q*n)-th order statistic — exactly DuckDB's quantile_disc —
+    // so the row is oracle-checked; the randomized estimation regime
+    // past k stays spec-bounded (SketchesSpec)
     "quantile_sketch" -> ((s, dir) =>
       graft.ops.Sketches.groupQuantiles(t(s, dir, "documents"),
-        Seq("source"), col("n_chars"), Seq(0.1, 0.5, 0.9))
+        Seq("source"), col("n_chars"), Seq(0.1, 0.5, 0.9), k = 1024)
         .orderBy("source")),
 
     // C4-style corpus-wide exact line dedup (single-line docs here, so
@@ -1013,6 +1016,13 @@ object PipelineQueries {
         |FROM cnt ca JOIN cnt cb ON ca.source < cb.source
         |LEFT JOIN pair p ON p.src_a = ca.source AND p.src_b = cb.source
         |ORDER BY src_a, src_b""".stripMargin,
+
+    "quantile_sketch" ->
+      """SELECT source, COUNT(*) AS n,
+        | CAST(quantile_disc(n_chars, 0.1) AS DOUBLE) AS q_10,
+        | CAST(quantile_disc(n_chars, 0.5) AS DOUBLE) AS q_50,
+        | CAST(quantile_disc(n_chars, 0.9) AS DOUBLE) AS q_90
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     "corpus_report" ->
       """SELECT source, COUNT(*) AS n_docs,
