@@ -83,7 +83,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_delta"), info("graft_delta"),
       (args: Seq[Expression]) => GraftTableFunctions.deltaPlan(args)),
     (FunctionIdentifier("graft_delta_changes"), info("graft_delta_changes"),
-      (args: Seq[Expression]) => GraftTableFunctions.deltaChangesPlan(args))
+      (args: Seq[Expression]) => GraftTableFunctions.deltaChangesPlan(args)),
+    (FunctionIdentifier("graft_delta_rows"), info("graft_delta_rows"),
+      (args: Seq[Expression]) => GraftTableFunctions.deltaRowsPlan(args))
   )
 
   /** Register into a live session (equivalent to the extension). */

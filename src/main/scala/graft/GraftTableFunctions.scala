@@ -50,6 +50,16 @@ object GraftTableFunctions {
     graft.sources.DeltaReader.read(spark, path, version).queryExecution.analyzed
   }
 
+  /** graft_delta_rows(path) — a ROW-TRACKING table with its identities:
+    * the table columns + _row_id + _row_commit_version.
+    */
+  def deltaRowsPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1, s"graft_delta_rows(path) takes 1 argument, got ${args.size}")
+    val path = strArg(args, 0, "graft_delta_rows")
+    val spark = SparkSession.active
+    graft.sources.DeltaReader.readWithRowIds(spark, path).queryExecution.analyzed
+  }
+
   /** graft_delta_changes(path, fromVersion, toVersion) — the CDF window
     * as a table: the table columns + _change_type + _commit_version.
     */

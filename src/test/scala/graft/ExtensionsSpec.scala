@@ -75,6 +75,12 @@ class ExtensionsSpec extends SparkSpec {
     val e = intercept[Exception](
       spark.sql("SELECT * FROM graft_delta(repeat('x', 2))").collect())
     assert(e.getMessage.contains("literal"), e.getMessage)
+    // row-tracked reads from SQL
+    graft.sources.LakeWriter.enableRowTracking(spark, dir)
+    val rid = spark.sql(
+      s"SELECT count(DISTINCT _row_id) AS c, max(_row_commit_version) AS v " +
+        s"FROM graft_delta_rows('$dir')").head()
+    assert(rid.getLong(0) == 10L)
   }
 
   test("kernels run inside whole-stage codegen") {
