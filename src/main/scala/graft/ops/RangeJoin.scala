@@ -37,4 +37,36 @@ object RangeJoin {
       .where(col(pointCol) >= col(startCol) && col(pointCol) <= col(endCol))
       .drop("__bin")
   }
+
+  /** INTERVAL × INTERVAL overlap self-join on `keys`: pairs
+    * (id_a < id_b) whose [lo, hi] ranges intersect (inclusive). Binned
+    * like [[pointInInterval]], with the interval×interval wrinkle that
+    * an overlapping pair shares MANY bins — each pair is kept only in
+    * the bin holding the overlap's START (`greatest(lo_a, lo_b)`), so
+    * every pair reports exactly once WITHOUT a distinct/shuffle dedup.
+    * Output: keys, id_a, id_b, lo_a, hi_a, lo_b, hi_b, overlap_start,
+    * overlap_end. Cost: |intervals|·(span/binWidth) replication into
+    * one equi-join — never the per-key cartesian the naive BETWEEN
+    * self-join plans.
+    */
+  def intervalSelfOverlap(df: DataFrame, keys: Seq[String], id: String,
+                          lo: String, hi: String, binWidth: Long): DataFrame = {
+    require(binWidth > 0, s"binWidth ($binWidth) must be positive")
+    def binned(suffix: String) = {
+      val renamed = df.select((keys.map(col) ++
+        Seq(col(id).as(s"id$suffix"), col(lo).as(s"lo$suffix"),
+          col(hi).as(s"hi$suffix"))): _*)
+      renamed.withColumn("__bin",
+        explode(sequence(expr(s"lo$suffix DIV ${binWidth}L"),
+          expr(s"hi$suffix DIV ${binWidth}L"))))
+    }
+    binned("_a").join(binned("_b"), keys :+ "__bin")
+      .where(col("id_a") < col("id_b") &&
+        col("lo_a") <= col("hi_b") && col("lo_b") <= col("hi_a") &&
+        col("__bin") === expr(s"greatest(lo_a, lo_b) DIV ${binWidth}L"))
+      .select((keys.map(col) ++ Seq(col("id_a"), col("id_b"),
+        col("lo_a"), col("hi_a"), col("lo_b"), col("hi_b"),
+        greatest(col("lo_a"), col("lo_b")).as("overlap_start"),
+        least(col("hi_a"), col("hi_b")).as("overlap_end"))): _*)
+  }
 }

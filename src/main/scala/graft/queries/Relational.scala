@@ -195,6 +195,19 @@ object Relational {
         .orderBy("n_name", "rk")
     }),
 
+    // Interval-overlap self-join: per-day per-user activity spans,
+    // concurrent-user pairs via the binned equi-join (hour bins;
+    // exactly-once per pair via the overlap-start-bin rule)
+    "interval_overlap" -> ((s, dir) => {
+      val day = expr("ts DIV 86400000000000L")
+      val iv = t(s, dir, "events")
+        .groupBy(col("user_id"), day.as("day"))
+        .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+      graft.ops.RangeJoin.intervalSelfOverlap(iv, Seq("day"), "user_id",
+        "lo", "hi", 3600L * 1000 * 1000 * 1000)
+        .orderBy("day", "id_a", "id_b")
+    }),
+
     // Cohort retention matrix: users bucketed by first-activity day,
     // distinct-counted per (cohort, day offset)
     "cohort_retention" -> ((s, dir) =>
@@ -436,6 +449,18 @@ object Relational {
          |  FROM customer) ranked, nation
          |WHERE rk <= 3 AND c_nationkey = n_nationkey
          |ORDER BY n_name, rk""".stripMargin,
+
+    "interval_overlap" ->
+      s"""WITH i AS (SELECT user_id,
+         |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         |  MIN(epoch_us(ts) * 1000) AS lo, MAX(epoch_us(ts) * 1000) AS hi
+         |  FROM events GROUP BY 1, 2)
+         |SELECT a.day, a.user_id AS id_a, b.user_id AS id_b,
+         |  a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
+         |  greatest(a.lo, b.lo) AS overlap_start, least(a.hi, b.hi) AS overlap_end
+         |FROM i a JOIN i b ON a.day = b.day AND a.user_id < b.user_id
+         |  AND a.lo <= b.hi AND b.lo <= a.hi
+         |ORDER BY a.day, id_a, id_b""".stripMargin,
 
     "cohort_retention" ->
       s"""WITH d AS (SELECT user_id,

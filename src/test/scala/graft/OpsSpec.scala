@@ -399,4 +399,20 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(out.toSeq == Seq((0L, 0L, 2L), (0L, 1L, 1L), (0L, 2L, 1L), (2L, 0L, 1L)))
   }
+
+  test("intervalSelfOverlap: exactly-once across shared bins, inclusive endpoints") {
+    import spark.implicits._
+    val iv = Seq(
+      (1L, "k", 0L, 250L),    // spans bins 0,1,2 with binWidth=100
+      (2L, "k", 90L, 210L),   // overlaps 1 across bins 0,1,2 -> ONE row
+      (3L, "k", 250L, 260L),  // touches 1 exactly at 250 (inclusive)
+      (4L, "k", 400L, 500L),  // overlaps nobody
+      (5L, "x", 0L, 1000L)    // different key: never paired
+    ).toDF("id", "k", "lo", "hi")
+    val out = graft.ops.RangeJoin.intervalSelfOverlap(iv, Seq("k"), "id", "lo", "hi", 100L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("overlap_start"), r.getAs[Long]("overlap_end")))
+    assert(out.toSeq == Seq((1L, 2L, 90L, 210L), (1L, 3L, 250L, 250L)))
+  }
 }
