@@ -196,15 +196,19 @@ object Relational {
     }),
 
     // Interval-overlap self-join: per-day per-user activity spans,
-    // concurrent-user pairs via the binned equi-join (hour bins;
-    // exactly-once per pair via the overlap-start-bin rule)
+    // concurrent-user pairs via the binned equi-join, exactly-once per
+    // pair via the overlap-start-bin rule. binWidth follows the
+    // operator's own guidance (~the interval span): these spans cover
+    // most of their day, so DAY bins give 1 bin/interval — hour bins
+    // measured 24x the candidate volume for identical output (6.0s vs
+    // ~0.6s at sf0.1)
     "interval_overlap" -> ((s, dir) => {
       val day = expr("ts DIV 86400000000000L")
       val iv = t(s, dir, "events")
         .groupBy(col("user_id"), day.as("day"))
         .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       graft.ops.RangeJoin.intervalSelfOverlap(iv, Seq("day"), "user_id",
-        "lo", "hi", 3600L * 1000 * 1000 * 1000)
+        "lo", "hi", 86400L * 1000 * 1000 * 1000)
         .orderBy("day", "id_a", "id_b")
     }),
 
