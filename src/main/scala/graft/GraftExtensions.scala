@@ -25,6 +25,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => graft.plans.TopKStrategy)
     ext.injectOptimizerRule(_ => graft.plans.TopKRewriteRule)
     GraftExtensions.tableInjections.foreach(ext.injectTableFunction)
+    // SQL DML on graft Delta tables (DELETE/UPDATE/MERGE against
+    // graft_delta.`path`) — parse with Spark's grammar, rewrite the
+    // catalyst DML plan onto the production writers. Parser injection
+    // only applies to sessions BUILT with these extensions (all graft
+    // entry points set spark.sql.extensions); register() on a live
+    // session cannot swap the parser.
+    ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
   }
 }
 

@@ -58,6 +58,8 @@ object Profile {
         stressGraph(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-topk" =>
         stressTopk(spark, args.lift(1).map(_.toInt).getOrElse(5000000))
+      case "stress-funnel" =>
+        stressFunnel(spark, args.lift(1).map(_.toInt).getOrElse(10))
       case q            =>
         time(s"${q}_pass1")(SparkEntry.queries(q)(spark, sfDir).count())
         time(s"${q}_pass2")(SparkEntry.queries(q)(spark, sfDir).count())
@@ -588,8 +590,9 @@ object Profile {
     Seq(8, 16, 32).foreach(c => r(s"ivf_cells$c")(Similarity.ivfKnn(emb, 3, nCells = c)))
     Seq(4, 6, 8).foreach(b => r(s"pq_m8_bits$b")(Similarity.pqKnn(q, emb, 3, bits = b)))
     r("pq_m16_bits4")(Similarity.pqKnn(q, emb, 3, m = 16))
+    // rerank = 0 isolates the ADC-only curve (rerank defaults to 32)
     Seq(2, 4, 8, 16).foreach(p =>
-      r(s"ivfpq_probe$p")(Similarity.ivfPqKnn(q, emb, 3, nProbe = p)))
+      r(s"ivfpq_probe$p")(Similarity.ivfPqKnn(q, emb, 3, nProbe = p, rerank = 0)))
     r("ivfpq_p4_rerank32")(Similarity.ivfPqKnn(q, emb, 3, rerank = 32))
     r("ivfpq_p8_rerank32")(Similarity.ivfPqKnn(q, emb, 3, nProbe = 8, rerank = 32))
   }
@@ -697,5 +700,45 @@ object Profile {
     time("heap_rewrite_topk")(idiom.count())
     time("heap_rewrite_topk_2")(idiom.count())
     df.unpersist()
+  }
+
+  /** Stage-count linearity of EventAnalytics.funnel: per-stage
+    * localCheckpoints truncate lineage, so jobs and wall time must grow
+    * ~linearly in K (the naive per-stage count() lineage re-runs stages
+    * 1..i-1 for every stage i — K(K+1)/2 aggregate passes). Runs the
+    * same funnel at K/2 and K and prints the job-count ratio (linear ⇒
+    * ≈2.0, quadratic ⇒ ≈4.0); every user converts every stage, so the
+    * shrinking-set effect cannot mask the lineage shape.
+    */
+  def stressFunnel(spark: SparkSession, k: Int): Unit = {
+    require(k >= 4 && k % 2 == 0, s"stress-funnel: need an even K >= 4, got $k")
+    val users = 200000L
+    def run(stages: Int): Long = {
+      val ev = spark.range(0, users * stages, 1, 32)
+        .selectExpr(s"id % ${users}L AS user_id", s"id DIV ${users}L AS s")
+        .selectExpr("user_id", "s * 1000000000L + user_id AS ts",
+          "concat('s', s + 1) AS event_type")
+      val names = (1 to stages).map(i => s"s$i")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val rows = time(s"funnel_K$stages")(
+        graft.ops.EventAnalytics.funnel(ev, names, 10L * 1000 * 1000 * 1000)
+          .collect())
+      Thread.sleep(500) // listener bus drain
+      spark.sparkContext.removeSparkListener(listener)
+      require(rows.length == stages && rows.forall(_.getLong(2) == users),
+        s"funnel_K$stages: expected $stages stages x $users users, got " +
+          rows.map(r => (r.getInt(0), r.getLong(2))).mkString(","))
+      jobs.get().toLong
+    }
+    val jHalf = run(k / 2)
+    val jFull = run(k)
+    println(f"[profile] jobs K=${k / 2}: $jHalf, K=$k: $jFull, " +
+      f"ratio ${jFull.toDouble / jHalf}%.2f (linear => ~2.0, quadratic => ~4.0)")
   }
 }

@@ -43,9 +43,19 @@ object BloomPrune {
     }
     val bf = small.select(xxhash64(smallKeys.map(col): _*).as("__h"))
       .stat.bloomFilter("__h", expectedKeys, fpp)
-    val bc = big.sparkSession.sparkContext.broadcast(bf)
-    val might = udf((v: Long) => bc.value.mightContainLong(v))
+    // probe with Spark's native BloomFilterMightContain (the expression
+    // behind the runtime bloom-join rewrite): the serialized filter is
+    // a binary literal deserialized once per task, and the per-row
+    // probe stays inside whole-stage codegen — no boxed-Long UDF on
+    // the big side's hot path
+    val ser = new java.io.ByteArrayOutputStream()
+    bf.writeTo(ser)
+    val probe = org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(ser.toByteArray,
+        org.apache.spark.sql.types.BinaryType),
+      org.apache.spark.sql.GraftColumnBridge.expression(
+        xxhash64(bigKeys.map(col): _*)))
     big.where(bigKeys.map(col(_).isNotNull).reduce(_ && _) &&
-      might(xxhash64(bigKeys.map(col): _*)))
+      org.apache.spark.sql.GraftColumnBridge.column(probe))
   }
 }

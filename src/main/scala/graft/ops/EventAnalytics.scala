@@ -49,14 +49,22 @@ object EventAnalytics {
     require(maxGapNanos > 0, s"funnel: maxGapNanos $maxGapNanos")
     val spark = events.sparkSession
     import spark.implicits._
+    // Each stage's conversion table is localCheckpointed: stage i+1's
+    // plan starts from stage i's MATERIALIZED (user, t) rows, not its
+    // lineage, so K stages cost K scans of `events` + K tiny
+    // checkpoints — not the K(K+1)/2 chained re-executions the naive
+    // per-stage count() lineage would run (each checkpoint is
+    // user-count-sized, the progressively shrinking side of the join).
     var conv = events.where(col(typeCol) === stages.head)
       .groupBy(col(user)).agg(min(col(tsNanos)).as("__t"))
+      .localCheckpoint()
     var out = Seq((1, stages.head, conv.count()))
     stages.zipWithIndex.drop(1).foreach { case (st, i) =>
       conv = events.where(col(typeCol) === st)
         .join(conv, user)
         .where(col(tsNanos) > col("__t") && col(tsNanos) <= col("__t") + maxGapNanos)
         .groupBy(col(user)).agg(min(col(tsNanos)).as("__t"))
+        .localCheckpoint()
       out = out :+ ((i + 1, st, conv.count()))
     }
     out.toDF("stage", "event_type", "users")

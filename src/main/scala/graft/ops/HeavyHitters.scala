@@ -75,10 +75,13 @@ object HeavyHitters {
     val candidates = merged.getFrequentItems(minCount, ErrorType.NO_FALSE_NEGATIVES)
       .map(_.getItem)
 
-    // pass 2: exact verify — only candidate occurrences reach the shuffle
-    val candSet = spark.sparkContext.broadcast(candidates.toSet)
-    val isCand = udf((k: String) => candSet.value.contains(k))
-    occurrences.where(isCand(col("key")))
+    // pass 2: exact verify — only candidate occurrences reach the
+    // shuffle. The candidate set is sketch-capacity-bounded, so the
+    // prefilter is a broadcast hash semi-join (whole-stage codegen'd),
+    // not a per-row set-lookup UDF.
+    import spark.implicits._
+    val candDf = broadcast(candidates.toSeq.toDF("key"))
+    occurrences.join(candDf, Seq("key"), "left_semi")
       .groupBy("key").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
   }

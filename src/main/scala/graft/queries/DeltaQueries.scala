@@ -45,11 +45,14 @@ object DeltaQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // copy-on-write DELETE: half the files hold matching rows, their
     // survivors rewrite, tombstones land, latest snapshot loses the rows
+    // driven through the SQL DML surface (the injected parser routes
+    // the statement to LakeWriter.deleteWhere) — the oracle row now
+    // proves the SQL path end-to-end, not just the DataFrame API
     "delta_delete" -> ((s, dir) => {
       val d = freshDir("del")
       LakeWriter.writeDelta(
         t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
-      LakeWriter.deleteWhere(s, d, "o_orderkey % 3 = 0")
+      s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 3 = 0")
       statusAgg(DeltaReader.read(s, d))
     }),
 
@@ -67,12 +70,13 @@ object DeltaQueries {
     // copy-on-write UPDATE: matching rows take the SET expressions
     // (exact binary doubling, so the double surface agrees with DuckDB
     // bit-for-bit), non-matching rows in rewritten files copy through
+    // driven through SQL (routes to LakeWriter.updateWhere)
     "delta_update" -> ((s, dir) => {
       val d = freshDir("upd")
       LakeWriter.writeDelta(
         t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
-      LakeWriter.updateWhere(s, d, "o_orderstatus = 'F'",
-        Map("o_totalprice" -> "o_totalprice * 2"))
+      s.sql(s"UPDATE graft_delta.`$d` SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'F'")
       statusAgg(DeltaReader.read(s, d))
     }),
 
@@ -87,7 +91,14 @@ object DeltaQueries {
         .where("o_orderkey % 10 >= 4 AND o_orderkey % 10 < 8")
         .withColumn("o_orderstatus", lit("M"))
         .withColumn("o_totalprice", col("o_totalprice") * 3)
-      LakeWriter.mergeInto(s, d, source, Seq("o_orderkey"))
+      // driven through SQL (routes to LakeWriter.mergeInto on the
+      // ON-clause key); the source rides in as a temp view
+      source.createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO graft_delta.`$d` AS t USING graft_merge_src AS src
+           |ON t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       statusAgg(DeltaReader.read(s, d))
     }),
 
@@ -170,6 +181,69 @@ object DeltaQueries {
         t(s, dir, "orders").where("o_orderkey % 10 >= 8").repartition(2), d)
       graft.streaming.ViewMaintain.maintain(s, d, state, keys, value)
       graft.streaming.ViewMaintain.readView(s, state)
+        .orderBy("o_orderstatus")
+    }),
+
+    // The REGISTERED streaming source, end-to-end: the same table and
+    // mutations as delta_ivm, but the view state is folded from
+    // `spark.readStream.format("graft-delta")` CDF batches (whole
+    // history from version 0, rate-limited to 2 versions/trigger so
+    // the fold crosses several real micro-batches). Each batch's
+    // signed per-key delta is a distributed aggregation; the folded
+    // state is status-count-sized (bounded by the key domain). The
+    // oracle recomputes the final aggregate from scratch — equality
+    // proves streamed-CDF-folding ≡ full aggregation, through the
+    // standard readStream API instead of the poll loop.
+    "delta_stream_source" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val d = freshDir("gds")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      LakeWriter.updateWhere(s, d, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      LakeWriter.deleteWhere(s, d, "o_orderstatus = 'P'")
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 8").repartition(2), d)
+      val state = scala.collection.mutable.Map
+        .empty[String, (java.math.BigDecimal, Long)]
+      val q = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "2")
+        .load(d)
+        .writeStream
+        .option("checkpointLocation", freshDir("gdscp"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1))
+            .when(col("_change_type").isin("delete", "update_preimage"), lit(-1))
+          b.select(col("o_orderstatus"),
+              (sign * col("o_totalprice").cast("decimal(18,2)")).as("dv"),
+              sign.cast("long").as("dc"))
+            .groupBy("o_orderstatus")
+            .agg(sum(col("dv")).cast("decimal(28,2)").as("ds"), sum(col("dc")).as("dcnt"))
+            .collect().foreach { r =>
+              val k = r.getString(0)
+              val (s0, c0) = state.getOrElse(k, (java.math.BigDecimal.ZERO, 0L))
+              state(k) = (s0.add(r.getDecimal(1)), c0 + r.getLong(2))
+            }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("o_orderstatus",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("view_sum",
+          org.apache.spark.sql.types.DecimalType(28, 2)),
+        org.apache.spark.sql.types.StructField("view_cnt",
+          org.apache.spark.sql.types.LongType)))
+      val rows = state.toSeq.filter(_._2._2 != 0L).sortBy(_._1).map {
+        case (k, (sm, c)) => org.apache.spark.sql.Row(k, sm.setScale(2), c)
+      }
+      s.createDataFrame(new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
         .orderBy("o_orderstatus")
     }),
 
@@ -304,6 +378,22 @@ object DeltaQueries {
          |FROM a, s, b""".stripMargin,
 
     "delta_ivm" ->
+      s"""WITH upd AS (SELECT o_orderstatus,
+         |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+         |         ELSE o_totalprice END AS p
+         |  FROM orders WHERE o_orderkey % 10 < 6),
+         | del AS (SELECT * FROM upd WHERE o_orderstatus <> 'P'),
+         | fin AS (SELECT * FROM del UNION ALL
+         |   SELECT o_orderstatus, o_totalprice AS p FROM orders
+         |   WHERE o_orderkey % 10 >= 8)
+         |SELECT o_orderstatus,
+         | CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DECIMAL(28,2)) AS view_sum,
+         | COUNT(*) AS view_cnt
+         |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    // same final state as delta_ivm: streamed-CDF folding must equal
+    // the from-scratch aggregate
+    "delta_stream_source" ->
       s"""WITH upd AS (SELECT o_orderstatus,
          |    CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
          |         ELSE o_totalprice END AS p

@@ -214,9 +214,9 @@ object PipelineQueries {
     // gate turns a silent recall collapse into ZERO rows — a red
     // driver gate, not a green "it ran". Bounds are COLLAPSE detectors
     // pinned below the measured sf0.01/sf0.1 values (lsh .020/.017 →
-    // .01; ivf .353/.200 → .15; pq .190/.120 → .08; ivfpq .187/.107 →
-    // .08); the full recall-vs-params curve lives in SURVEY §4c
-    // (`Profile recall`).
+    // .01; ivf .353/.200 → .15; pq .190/.120 → .08; ivfpq ~.44 at the
+    // rerank=32 default → .35); the full recall-vs-params curve lives
+    // in SURVEY §4c (`Profile recall`).
     "knn_lsh_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val exact = Similarity.bruteForceKnnBlocked(emb.where(col("vec_id") < 100), emb, 3)
@@ -240,12 +240,16 @@ object PipelineQueries {
         .where(col("recall") >= 0.08)
     }),
 
+    // rerank now defaults ON in ivfPqKnn (32-candidate exact re-rank:
+    // measured 0.107 → ~0.44 recall@3 at sf0.01) — the gate rises with
+    // it; still a collapse detector below the measured value, not a
+    // quality target.
     "knn_ivfpq_recall" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       val q = emb.where(col("vec_id") < 100)
       val exact = Similarity.bruteForceKnnBlocked(q, emb, 3)
       Similarity.recallAtK(Similarity.ivfPqKnn(q, emb, 3), exact)
-        .where(col("recall") >= 0.08)
+        .where(col("recall") >= 0.35)
     }),
 
     // Corpus-level n-gram statistics (LM-style frequency table).

@@ -195,21 +195,24 @@ object Relational {
         .orderBy("n_name", "rk")
     }),
 
-    // Interval-overlap self-join: per-day per-user activity spans,
-    // concurrent-user pairs via the binned equi-join, exactly-once per
-    // pair via the overlap-start-bin rule. binWidth follows the
-    // operator's own guidance (~the interval span): these spans cover
-    // most of their day, so DAY bins give 1 bin/interval — hour bins
-    // measured 24x the candidate volume for identical output (6.0s vs
-    // ~0.6s at sf0.1)
+    // Interval-overlap self-join: per-WEEK per-user activity spans
+    // (avg ~5 days at sf0.01, so nearly every interval crosses
+    // multiple day bins), concurrent-user pairs via the binned
+    // equi-join, exactly-once per pair via the overlap-start-bin rule —
+    // this harness exercises the multi-bin dedup (`__bin ===
+    // greatest(lo_a,lo_b) DIV w`) against the DuckDB BETWEEN
+    // recompute, not just the single-bin degenerate case (the r9 row
+    // binned per (user, day) so every span sat in exactly one bin).
+    // binWidth = 1 day on ~5-day spans is ~5x replication — the
+    // operator's own O(1)x-replication guidance.
     "interval_overlap" -> ((s, dir) => {
-      val day = expr("ts DIV 86400000000000L")
+      val wk = expr("ts DIV 604800000000000L")
       val iv = t(s, dir, "events")
-        .groupBy(col("user_id"), day.as("day"))
+        .groupBy(col("user_id"), wk.as("wk"))
         .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
-      graft.ops.RangeJoin.intervalSelfOverlap(iv, Seq("day"), "user_id",
+      graft.ops.RangeJoin.intervalSelfOverlap(iv, Seq("wk"), "user_id",
         "lo", "hi", 86400L * 1000 * 1000 * 1000)
-        .orderBy("day", "id_a", "id_b")
+        .orderBy("wk", "id_a", "id_b")
     }),
 
     // Cohort retention matrix: users bucketed by first-activity day,
@@ -456,15 +459,15 @@ object Relational {
 
     "interval_overlap" ->
       s"""WITH i AS (SELECT user_id,
-         |  CAST(epoch(date_trunc('day', ts)) AS BIGINT) // 86400 AS day,
+         |  epoch_us(ts) * 1000 // 604800000000000 AS wk,
          |  MIN(epoch_us(ts) * 1000) AS lo, MAX(epoch_us(ts) * 1000) AS hi
          |  FROM events GROUP BY 1, 2)
-         |SELECT a.day, a.user_id AS id_a, b.user_id AS id_b,
+         |SELECT a.wk, a.user_id AS id_a, b.user_id AS id_b,
          |  a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
          |  greatest(a.lo, b.lo) AS overlap_start, least(a.hi, b.hi) AS overlap_end
-         |FROM i a JOIN i b ON a.day = b.day AND a.user_id < b.user_id
+         |FROM i a JOIN i b ON a.wk = b.wk AND a.user_id < b.user_id
          |  AND a.lo <= b.hi AND b.lo <= a.hi
-         |ORDER BY a.day, id_a, id_b""".stripMargin,
+         |ORDER BY a.wk, id_a, id_b""".stripMargin,
 
     "cohort_retention" ->
       s"""WITH d AS (SELECT user_id,

@@ -341,6 +341,14 @@ object Similarity {
     * With every cell probed and `rerank` ≥ the corpus this recovers
     * [[bruteForceKnn]] exactly (spec-pinned).
     *
+    * rerank DEFAULTS ON (32): on the bench corpus it lifts recall@3
+    * from 0.107 (ADC estimates alone — 4-bit plain-PQ distances are
+    * too coarse to order true neighbors) to ~0.44, for one extra
+    * queries×32-row join against the corpus — marginal next to the
+    * probed-cell scan. Pass rerank = 0 only when the ADC estimate
+    * itself is the product (e.g. bulk scoring where rank order within
+    * the shortlist does not matter).
+    *
     * Output: (vec_id, rank, neighbor_id, cos) — cos is the ADC
     * estimate, or the exact cosine when re-ranked.
     */
@@ -348,7 +356,7 @@ object Similarity {
                m: Int = 8, bits: Int = 4, nProbe: Int = 4, seed: Long = 42L,
                id: String = "vec_id", vec: String = "embedding",
                maxTrain: Int = 65536, maxIter: Int = 10,
-               rerank: Int = 0): DataFrame = {
+               rerank: Int = 32): DataFrame = {
     val model = trainPq(corpus, nCells, m, bits, vec, maxTrain, maxIter)
     val codes = encodePq(corpus, model, id, vec)
     ivfPqSearch(queries, codes, model, k, nProbe, rerank,

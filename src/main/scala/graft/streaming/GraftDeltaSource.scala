@@ -1,0 +1,231 @@
+package graft.streaming
+
+import graft.sources.DeltaReader
+import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+/** Registered Structured Streaming source for graft Delta tables:
+  *
+  *   spark.readStream.format("graft-delta").load(dir)          // append tail
+  *   spark.readStream.format("graft-delta")
+  *     .option("readChangeFeed", "true")
+  *     .option("startingVersion", "0").load(dir)                // CDF tail
+  *
+  * This is the V1 `Source` + `SupportsAdmissionControl` shape Spark's
+  * own file source uses (and the delta-io connector's public design):
+  * offsets are LOG VERSIONS, each micro-batch the distributed scan of
+  * the versions in (start, end], and the engine's offset log supplies
+  * the exactly-once replay discipline — the same versioned-batch
+  * semantics as [[DeltaTail]], now composable with the engine's
+  * watermarks, stateful operators ([[EventStreams]]) and sinks through
+  * the standard API instead of a poll/drain loop.
+  *
+  * Modes (same contracts as the poll API, refusals included):
+  *  - APPEND (default): batch 1 is the full snapshot at the stream's
+  *    start version (one consistent version — not splittable, rate cap
+  *    does not apply); later batches deliver dataChange=true adds via
+  *    [[DeltaTail.changes]], which refuses delete/rewrite versions
+  *    loudly instead of streaming a wrong delta.
+  *  - CDF (`readChangeFeed=true`): batches are row-level changes
+  *    (table columns + `_change_type` + `_commit_version`) via
+  *    [[DeltaReader.readChanges]]. `startingVersion` = v streams
+  *    history from v (0 = whole history); absent = start AFTER the
+  *    current version (first batch empty, the delta-spark default).
+  *
+  * `maxVersionsPerTrigger` caps versions per batch through the
+  * admission-control API, so the cap holds across restarts (the
+  * engine hands latestOffset the restart position — the V1 getOffset
+  * path cannot see it, which is exactly why this source implements
+  * SupportsAdmissionControl rather than leaving catch-up batches
+  * unbounded).
+  *
+  * Schema is pinned at stream start: a mid-stream schema evolution
+  * fails the batch loudly (restart the stream to adopt it) rather
+  * than silently projecting new columns away.
+  *
+  * Scale: per-trigger driver work is one log listing + O(new
+  * versions) KB-scale JSON parses; the data path is the same
+  * distributed parquet scan as the batch reader. Nothing table-sized
+  * touches the driver.
+  */
+class GraftDeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-delta"
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty, "graft-delta: the table defines its schema; " +
+      "drop the user-specified schema")
+    val opts = GraftDeltaSource.Options(parameters)
+    (shortName(), GraftDeltaSource.sourceSchema(
+      sqlContext.sparkSession, opts.path, opts.cdf))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new GraftDeltaSource(sqlContext.sparkSession, GraftDeltaSource.Options(parameters))
+}
+
+/** Version offset: `{"version":N}` = everything up to and including
+  * log version N has been delivered.
+  */
+case class GraftDeltaSourceOffset(version: Long) extends OffsetV1 {
+  override def json: String = s"""{"version":$version}"""
+}
+
+object GraftDeltaSourceOffset {
+  private val VersionRe = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+
+  /** Version of ANY offset representation the engine can hand back:
+    * our own class, the engine's SerializedOffset (restart path), or a
+    * V2 offset — all carry the same json.
+    */
+  def versionOf(o: AnyRef): Long = o match {
+    case g: GraftDeltaSourceOffset => g.version
+    case v1: OffsetV1 => parse(v1.json)
+    case v2: OffsetV2 => parse(v2.json)
+    case other => parse(String.valueOf(other))
+  }
+
+  private def parse(json: String): Long = json.trim match {
+    case VersionRe(v) => v.toLong
+    case other => throw new IllegalArgumentException(
+      s"graft-delta: unparseable offset '$other' — expected {\"version\":N}")
+  }
+}
+
+object GraftDeltaSource {
+  /** Parsed, case-insensitive reader options. */
+  final case class Options(raw: Map[String, String]) {
+    private val lower = raw.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path: String = lower.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta: .load(path) is required"))
+    val cdf: Boolean = lower.get("readchangefeed").exists(_.toBoolean)
+    val startingVersion: Option[Long] = lower.get("startingversion").map { v =>
+      require(cdf, "graft-delta: startingVersion is a readChangeFeed option " +
+        "(the append tail always starts from the current snapshot)")
+      val n = v.toLong
+      require(n >= 0, s"graft-delta: startingVersion $n must be >= 0")
+      n
+    }
+    val maxVersionsPerTrigger: Option[Int] = lower.get("maxversionspertrigger").map { v =>
+      val n = v.toInt
+      require(n > 0, s"graft-delta: maxVersionsPerTrigger $n must be positive")
+      n
+    }
+  }
+
+  private[streaming] def sourceSchema(spark: SparkSession, dir: String,
+                                      cdf: Boolean): StructType = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val base = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    if (!cdf) base
+    else StructType(base.fields ++ Seq(StructField("_change_type", StringType),
+      StructField("_commit_version", LongType)))
+  }
+
+  /** A custom read limit the engine passes back verbatim — versions,
+    * not rows/files, are this source's admission unit.
+    */
+  final case class MaxVersions(n: Int) extends ReadLimit
+}
+
+class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
+    extends Source with SupportsAdmissionControl with SupportsTriggerAvailableNow {
+
+  import GraftDeltaSource._
+
+  override val schema: StructType = sourceSchema(spark, opts.path, opts.cdf)
+
+  // Trigger.AvailableNow: everything at or below this version counts as
+  // "available now"; set once when the trigger starts, so a writer
+  // racing the drain cannot keep the stream alive forever.
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(DeltaReader.snapshot(spark, opts.path, None).version)
+
+  override def getDefaultReadLimit: ReadLimit =
+    opts.maxVersionsPerTrigger.map(MaxVersions(_): ReadLimit)
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): OffsetV2 =
+    // append mode's "position before the initial snapshot" and CDF's
+    // "position before startingVersion" have no version number — the
+    // engine models them as a null start, which getBatch/latestOffset
+    // already handle; nothing meaningful to return here.
+    throw new UnsupportedOperationException(
+      "graft-delta drives offsets through latestOffset(start, limit)")
+
+  override def getOffset: Option[OffsetV1] =
+    // the engine prefers the admission-control path for sources that
+    // implement it; this fallback is the uncapped form
+    Option(latestOffset(null, ReadLimit.allAvailable()))
+      .map(o => GraftDeltaSourceOffset(GraftDeltaSourceOffset.versionOf(o)))
+
+  override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val snapV = DeltaReader.snapshot(spark, opts.path, None).version
+    val latest = availableNowCap.fold(snapV)(math.min(_, snapV))
+    val start = Option(startOffset).map(GraftDeltaSourceOffset.versionOf)
+    val cap = limit match {
+      case MaxVersions(n) => n.toLong
+      case _ => Long.MaxValue
+    }
+    val end = start match {
+      case None =>
+        if (opts.cdf) opts.startingVersion match {
+          // history replay from sv: rate cap applies from sv-1
+          case Some(sv) => math.min(latest, math.min(sv - 1 + cap, Long.MaxValue))
+          // start-after-current: first batch just records the position
+          case None => latest
+        }
+        // append mode: the initial snapshot is ONE consistent version —
+        // not splittable, the cap intentionally does not apply
+        else latest
+      case Some(s) => math.min(latest, if (cap == Long.MaxValue) latest else s + cap)
+    }
+    if (start.exists(_ >= end)) startOffset else GraftDeltaSourceOffset(end)
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val endV = GraftDeltaSourceOffset.versionOf(end)
+    val startV = start.map(GraftDeltaSourceOffset.versionOf)
+    val df = (startV, opts.cdf) match {
+      case (None, false) =>
+        DeltaReader.read(spark, opts.path, Some(endV))
+      case (Some(s), false) =>
+        DeltaTail.changes(spark, opts.path, s, endV)
+      case (None, true) => opts.startingVersion match {
+        case Some(sv) if sv <= endV => DeltaReader.readChanges(spark, opts.path, sv, endV)
+        case _ => emptyBatch // start-after-current (or nothing at sv yet)
+      }
+      case (Some(s), true) =>
+        if (s >= endV) emptyBatch
+        else DeltaReader.readChanges(spark, opts.path, s + 1, endV)
+    }
+    val got = df.schema.map(f => (f.name, f.dataType))
+    val want = schema.map(f => (f.name, f.dataType))
+    require(got == want,
+      s"graft-delta: table schema changed mid-stream for ${opts.path} " +
+        s"(stream pinned ${want.mkString(",")}, version $endV scans ${got.mkString(",")}) " +
+        "— restart the stream to adopt the evolved schema")
+    GraftColumnBridge.asStreaming(df)
+  }
+
+  private def emptyBatch: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      schema)
+
+  override def commit(end: OffsetV1): Unit = () // retention governs the log
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"GraftDeltaSource[${opts.path}, cdf=${opts.cdf}]"
+}

@@ -54,8 +54,12 @@ object ViewMaintain {
     wm match {
       case Some(w) if w >= v => None
       case None =>
-        // initial materialization: one full aggregate of the snapshot
-        val full = DeltaReader.read(s, srcDir)
+        // initial materialization: one full aggregate of the snapshot,
+        // PINNED to the version recorded as the watermark — a commit
+        // landing between snapshot() and plan execution must not leak
+        // into state labeled v (it would be double-applied by the next
+        // incremental refresh of versions (v, v'])
+        val full = DeltaReader.read(s, srcDir, versionAsOf = Some(v))
           .groupBy(keys.map(col): _*)
           .agg(sum(value.cast("decimal(18,2)")).cast(dec).as("view_sum"),
             count(lit(1)).as("view_cnt"))
@@ -114,13 +118,6 @@ object ViewMaintain {
                          v: Long): Unit = {
     view.write.mode("overwrite")
       .parquet(new Path(stateRoot, s"state_v$v").toString)
-    // garbage-collect superseded states BEFORE the watermark moves (a
-    // crash here leaves extra state dirs, never a missing current one)
-    val keep = s"state_v$v"
-    if (fs.exists(stateRoot)) fs.listStatus(stateRoot).foreach { st =>
-      val n = st.getPath.getName
-      if (n.startsWith("state_v") && n != keep) fs.delete(st.getPath, true)
-    }
     val tmp = new Path(stateRoot, s".$WmName.tmp")
     val out = fs.create(tmp, true)
     out.write(v.toString.getBytes("UTF-8"))
@@ -129,12 +126,45 @@ object ViewMaintain {
       fs.delete(wmFile, false)
       require(fs.rename(tmp, wmFile), s"ivm: cannot advance watermark $wmFile")
     }
+    // garbage-collect superseded states only AFTER the watermark points
+    // at the new one: a crash anywhere in writeState then leaves, at
+    // worst, an extra stale state dir (cleaned by the next successful
+    // writeState) — never a watermark referencing a deleted directory
+    val keep = s"state_v$v"
+    if (fs.exists(stateRoot)) fs.listStatus(stateRoot).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("state_v") && n != keep) fs.delete(st.getPath, true)
+    }
   }
 
+  /** The maintained watermark. When the file is ABSENT but completed
+    * state dirs exist (crash inside the delete-then-rename fallback of
+    * writeState), recover from the newest state_v* dir that finished
+    * its parquet commit (`_SUCCESS` present — a torn state write never
+    * has one) and rewrite the file, instead of transiently refusing
+    * reads and forcing a full re-materialization.
+    */
   private def readWatermark(fs: org.apache.hadoop.fs.FileSystem,
                             wmFile: Path): Option[Long] =
-    if (!fs.exists(wmFile)) None
-    else {
+    if (!fs.exists(wmFile)) {
+      val stateRoot = wmFile.getParent
+      val recovered =
+        if (!fs.exists(stateRoot)) None
+        else fs.listStatus(stateRoot).iterator.map(_.getPath)
+          .filter(p => p.getName.startsWith("state_v") &&
+            p.getName.stripPrefix("state_v").forall(_.isDigit) &&
+            fs.exists(new Path(p, "_SUCCESS")))
+          .map(_.getName.stripPrefix("state_v").toLong)
+          .foldLeft(Option.empty[Long])((m, x) => Some(m.fold(x)(math.max(_, x))))
+      recovered.foreach { v =>
+        val tmp = new Path(stateRoot, s".$WmName.tmp")
+        val out = fs.create(tmp, true)
+        out.write(v.toString.getBytes("UTF-8"))
+        out.close()
+        require(fs.rename(tmp, wmFile), s"ivm: cannot recover watermark $wmFile")
+      }
+      recovered
+    } else {
       val in = fs.open(wmFile)
       val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()

@@ -11,4 +11,17 @@ object GraftColumnBridge {
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** Re-wrap a batch DataFrame's physical plan as a STREAMING
+    * DataFrame (isStreaming = true) — what a V1 streaming `Source`
+    * must return from getBatch (MicroBatchExecution asserts it). The
+    * plan is not executed here; `toRdd` only plans, the streaming
+    * batch triggers execution.
+    */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = true)
+  }
 }

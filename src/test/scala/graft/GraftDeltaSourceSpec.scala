@@ -1,0 +1,149 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The registered "graft-delta" streaming source: stream ≡ batch
+  * across restarts, rate limiting through admission control, CDF mode,
+  * and the append tail's loud refusal of delete versions.
+  */
+class GraftDeltaSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_gds_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  private def base: DataFrame =
+    (1 to 40).map(i => (i.toLong, Seq("a", "b", "c", "d")(i % 4), i * 1.5))
+      .toDF("id", "k", "v")
+
+  /** Drain the stream with Trigger.AvailableNow into a collector;
+    * returns (rows, batches-with-data).
+    */
+  private def drain(dir: String, checkpoint: String,
+                    options: Map[String, String] = Map.empty): (Seq[Seq[Any]], Int) = {
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val batches = new java.util.concurrent.atomic.AtomicInteger
+    var reader = spark.readStream.format("graft-delta")
+    options.foreach { case (k, v) => reader = reader.option(k, v) }
+    val q = reader.load(dir).writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.collect().map(_.toSeq.toVector)
+        if (got.nonEmpty) batches.incrementAndGet()
+        rows.synchronized { rows ++= got }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    (rows.toSeq, batches.get())
+  }
+
+  private def batchRows(dir: String): Seq[Seq[Any]] =
+    DeltaReader.read(spark, dir).collect().map(_.toSeq.toVector).toSeq
+
+  test("append tail: initial snapshot then incremental appends, across restarts") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base.repartition(3), d)
+    LakeWriter.appendDelta((100 to 110).map(i => (i.toLong, "e", 1.0)).toDF("id", "k", "v"), d)
+
+    val (first, _) = drain(d, cp)
+    assert(first.toSet == batchRows(d).toSet, "initial drain must equal the batch read")
+    assert(first.size == batchRows(d).size)
+
+    // restart with the SAME checkpoint: nothing new -> nothing delivered
+    val (again, nb) = drain(d, cp)
+    assert(again.isEmpty && nb == 0, "a drained stream redelivers nothing")
+
+    // two more appends, restart: ONLY the new rows arrive
+    LakeWriter.appendDelta((200 to 205).map(i => (i.toLong, "f", 2.0)).toDF("id", "k", "v"), d)
+    LakeWriter.appendDelta((300 to 302).map(i => (i.toLong, "g", 3.0)).toDF("id", "k", "v"), d)
+    val (inc, _) = drain(d, cp)
+    assert(inc.size == 9) // 6 'f' rows + 3 'g' rows
+    assert((first ++ inc).toSet == batchRows(d).toSet,
+      "snapshot + streamed increments must equal the final batch read")
+  }
+
+  test("maxVersionsPerTrigger caps catch-up batches (admission control survives restart)") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base, d)
+    val (_, _) = drain(d, cp) // consume the initial snapshot (v0)
+    (1 to 6).foreach(i => LakeWriter.appendDelta(
+      Seq((1000L + i, "z", i.toDouble)).toDF("id", "k", "v"), d))
+    // 6 pending versions, 2 per trigger -> exactly 3 data batches
+    val (inc, nb) = drain(d, cp, Map("maxVersionsPerTrigger" -> "2"))
+    assert(inc.size == 6)
+    assert(nb == 3, s"6 versions at 2/trigger must take 3 batches, took $nb")
+  }
+
+  test("append tail refuses a delete version loudly") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base, d)
+    drain(d, cp)
+    LakeWriter.deleteWhere(spark, d, "k = 'a'")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(d, cp)
+    }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg.contains("append-only tail cannot represent"),
+      s"refusal must name the contract, got: $msg")
+  }
+
+  test("CDF mode streams the change history; startingVersion=0 replays everything") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base, d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    LakeWriter.updateWhere(spark, d, "k = 'a'", Map("v" -> "v * 2"))
+    LakeWriter.deleteWhere(spark, d, "k = 'b'")
+    val v = DeltaReader.read(spark, d) // force a replay so the table is at v2
+    assert(v.count() > 0)
+
+    val (got, _) = drain(d, cp,
+      Map("readChangeFeed" -> "true", "startingVersion" -> "0"))
+    val want = DeltaReader.readChanges(spark, d, 0L, 2L)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(got.toSet == want.toSet && got.size == want.size,
+      "streamed CDF must equal the batch change feed")
+
+    // incremental: one more delete, same checkpoint -> only v3's changes
+    LakeWriter.deleteWhere(spark, d, "k = 'c'")
+    val (inc, _) = drain(d, cp, Map("readChangeFeed" -> "true", "startingVersion" -> "0"))
+    val want3 = DeltaReader.readChanges(spark, d, 3L, 3L)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(inc.toSet == want3.toSet && inc.size == want3.size)
+  }
+
+  test("CDF without startingVersion starts after the current version") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base, d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    LakeWriter.updateWhere(spark, d, "k = 'a'", Map("v" -> "v * 2"))
+    // first drain records the position (v1), delivers nothing
+    val (got, _) = drain(d, cp, Map("readChangeFeed" -> "true"))
+    assert(got.isEmpty, "start-after-current must deliver no history")
+    // a new commit then streams
+    LakeWriter.deleteWhere(spark, d, "k = 'd'")
+    val (inc, _) = drain(d, cp, Map("readChangeFeed" -> "true"))
+    val want = DeltaReader.readChanges(spark, d, 2L, 2L)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(inc.toSet == want.toSet && inc.nonEmpty)
+  }
+
+  test("source schema matches the batch reader's (and CDF adds the change columns)") {
+    val d = freshDir("t")
+    LakeWriter.writeDelta(base, d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val stream = spark.readStream.format("graft-delta").load(d)
+    assert(stream.isStreaming)
+    assert(stream.schema.map(f => (f.name, f.dataType)) ==
+      DeltaReader.read(spark, d).schema.map(f => (f.name, f.dataType)))
+    val cdf = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").load(d)
+    assert(cdf.schema.fieldNames.takeRight(2).toSeq ==
+      Seq("_change_type", "_commit_version"))
+  }
+}

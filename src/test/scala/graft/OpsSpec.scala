@@ -415,4 +415,22 @@ class OpsSpec extends SparkSpec {
         r.getAs[Long]("overlap_start"), r.getAs[Long]("overlap_end")))
     assert(out.toSeq == Seq((1L, 2L, 90L, 210L), (1L, 3L, 250L, 250L)))
   }
+
+  test("interval_overlap harness intervals genuinely cross day bins") {
+    // the oracle row only proves the multi-bin exactly-once rule if the
+    // harness's intervals actually span multiple bins — pin that here
+    // (the r9 harness binned per (user, day), so every span was
+    // single-bin and the dedup rule went unexercised in the oracle)
+    import org.apache.spark.sql.functions._
+    val day = 86400L * 1000 * 1000 * 1000
+    val iv = graft.queries.Q.t(spark, sf(), "events")
+      .groupBy(col("user_id"), expr("ts DIV 604800000000000L").as("wk"))
+      .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+    val spans = iv.agg(
+      count(lit(1)).as("n"),
+      sum(when(expr(s"hi DIV ${day}L") > expr(s"lo DIV ${day}L"), 1L)
+        .otherwise(0L)).as("multi")).head()
+    assert(spans.getLong(1) * 2 > spans.getLong(0),
+      s"harness must be dominated by multi-bin spans, got ${spans.getLong(1)}/${spans.getLong(0)}")
+  }
 }

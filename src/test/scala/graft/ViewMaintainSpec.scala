@@ -62,24 +62,51 @@ class ViewMaintainSpec extends SparkSpec {
     LakeWriter.deleteWhere(spark, d, "id % 2 = 0")
     ViewMaintain.maintain(spark, d, st, Seq("k"), col("v"))
     val expected = view(st)
-    // simulate the crash between state write and watermark advance:
-    // rewind the watermark to the pre-delete version and refresh again
+    // reconstruct the exact torn state a crash between state write and
+    // watermark rename leaves (GC runs only AFTER the rename, so the
+    // old state_v0 dir is still present at the crash point): state_v1
+    // fully written + state_v0 intact + watermark at 0. Replaying must
+    // overwrite state_v1 with the same content, not double-apply.
     val wm = new org.apache.hadoop.fs.Path(st, "ivm_version")
     val fs = wm.getFileSystem(spark.sessionState.newHadoopConf())
-    // keep the CURRENT state dir (v1) but claim we only maintained v0 —
-    // exactly the torn state a crash leaves is state_v1 present +
-    // watermark at 0; replaying must overwrite state_v1 with the same
-    // content, not double-apply
     val out = fs.create(wm, true)
     out.write("0".getBytes("UTF-8")); out.close()
-    // the v0 state dir was GC'd after v1 landed; restore it by
-    // recomputing the v0 view the same way the initial step did
     val v0 = graft.sources.DeltaReader.read(spark, d, versionAsOf = Some(0L))
       .groupBy("k").agg(sum(col("v").cast("decimal(18,2)")).cast("decimal(28,2)").as("view_sum"),
         count(lit(1)).as("view_cnt"))
     v0.write.mode("overwrite").parquet(s"$st/state_v0")
     assert(ViewMaintain.maintain(spark, d, st, Seq("k"), col("v")) == 1)
     assert(view(st) == expected, "replay must be idempotent")
+    assert(view(st) == fullAgg(d))
+  }
+
+  test("missing watermark recovers from the newest completed state dir") {
+    val d = freshDir("t")
+    val st = freshDir("s")
+    LakeWriter.writeDelta(base, d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    ViewMaintain.maintain(spark, d, st, Seq("k"), col("v"))
+    LakeWriter.deleteWhere(spark, d, "id % 2 = 0")
+    ViewMaintain.maintain(spark, d, st, Seq("k"), col("v"))
+    val expected = view(st)
+    // crash inside writeState's delete-then-rename fallback: watermark
+    // file gone, state_v1 fully committed (_SUCCESS present)
+    val wm = new org.apache.hadoop.fs.Path(st, "ivm_version")
+    val fs = wm.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(wm, false)
+    assert(ViewMaintain.maintainedVersion(spark, st).contains(1L),
+      "watermark must recover from state_v1, not restart from scratch")
+    assert(view(st) == expected)
+    // a torn (no _SUCCESS) newer state dir must NOT win the recovery
+    fs.delete(wm, false)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(st, "state_v9"))
+    assert(ViewMaintain.maintainedVersion(spark, st).contains(1L),
+      "recovery must ignore state dirs without a completed parquet commit")
+    fs.delete(new org.apache.hadoop.fs.Path(st, "state_v9"), true)
+    // and maintenance proceeds normally after recovery
+    LakeWriter.appendDelta(
+      (200 to 205).map(i => (i.toLong, "e", 1.0)).toDF("id", "k", "v"), d)
+    assert(ViewMaintain.maintain(spark, d, st, Seq("k"), col("v")) == 1)
     assert(view(st) == fullAgg(d))
   }
 
