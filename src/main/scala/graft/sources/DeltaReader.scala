@@ -1366,7 +1366,19 @@ object DeltaReader {
     require(snap.writerFeatures.contains("rowTracking"),
       s"table at $dir does not declare the rowTracking feature — run " +
         "LakeWriter.enableRowTracking first")
-    val files = snap.active
+    scanFilesWithRowIds(s, dir, snap, snap.active)
+  }
+
+  /** The id-carrying scan of `files`: table columns + `_row_id` +
+    * `_row_commit_version` — factored from [[readWithRowIds]] so
+    * id-preserving rewrites (compactDelta) can re-materialize exactly
+    * what the reader would derive.
+    */
+  private[graft] def scanFilesWithRowIds(s: SparkSession, dir: String,
+                                         snap: Snapshot,
+                                         files: Seq[AddFile]): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    import s.implicits._
     files.find(_.baseRowId.isEmpty).foreach(a => throw new IllegalArgumentException(
       s"rowTracking declared but live file ${a.path} carries no baseRowId — " +
         "the enableRowTracking backfill is missing (or a restore rewound below " +
@@ -1377,12 +1389,30 @@ object DeltaReader {
       (fs.makeQualified(resolveAddPath(root, a.path)).toUri.getPath,
         a.baseRowId.get, a.defaultRowCommitVersion.getOrElse(-1L)))
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    scanFiles(s, dir, snap, files, keepLineage = true)
+    // preserved profile: a file written by an id-preserving rewrite
+    // (compactDelta on a tracked table) stores each row's identity in
+    // the MATERIALIZED physical columns, which win over the fresh
+    // baseRowId + row_index derivation; pre-rewrite files read them as
+    // null and fall through to the derived form
+    val mat = graft.sources.RowTracking.materializedCols(snap)
+    val extraPhys = mat.toSeq.flatMap { case (idc, vc) => Seq(
+      org.apache.spark.sql.types.StructField(idc, org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(vc, org.apache.spark.sql.types.LongType))
+    }
+    val joined = scanFiles(s, dir, snap, files, keepLineage = true, extraPhys = extraPhys)
       .join(broadcast(idMap.toDF("__rt_path", "__rt_base", "__rt_ver")),
         col("__dv_path") === col("__rt_path"))
-      .select((schema.fieldNames.map(col) :+
-        (col("__rt_base") + col("__dv_ridx")).as("_row_id") :+
-        col("__rt_ver").as("_row_commit_version")).toIndexedSeq: _*)
+    val (idExpr, verExpr) = mat match {
+      case Some((idc, vc)) =>
+        (org.apache.spark.sql.functions.coalesce(col(s"`$idc`"),
+          col("__rt_base") + col("__dv_ridx")),
+          org.apache.spark.sql.functions.coalesce(col(s"`$vc`"), col("__rt_ver")))
+      case None =>
+        (col("__rt_base") + col("__dv_ridx"), col("__rt_ver"))
+    }
+    joined.select((schema.fieldNames.map(col) :+
+      idExpr.as("_row_id") :+
+      verExpr.as("_row_commit_version")).toIndexedSeq: _*)
   }
 
   /** Partition-pruned snapshot read: only files whose log
@@ -1433,9 +1463,17 @@ object DeltaReader {
     * indexes. Lineage rows are post-DV-filter, so a second delete on
     * an already-vectored file only sees its LIVE rows.
     */
+  /** `extraPhys`: additional PHYSICAL parquet columns to surface —
+    * columns outside the logical schema (the materialized row-id
+    * columns a preserving rewrite stores). Files lacking them read as
+    * null, which is exactly the reader contract: null means "derive
+    * from baseRowId + row_index".
+    */
   private[graft] def scanFiles(s: SparkSession, dir: String,
                                snap: Snapshot, files: Seq[AddFile],
-                               keepLineage: Boolean = false): DataFrame = {
+                               keepLineage: Boolean = false,
+                               extraPhys: Seq[org.apache.spark.sql.types.StructField] = Nil)
+      : DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
     val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
     def physName(f: org.apache.spark.sql.types.StructField): String =
@@ -1447,15 +1485,17 @@ object DeltaReader {
         f.metadata.getString("delta.columnMapping.physicalName")
       }
     val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name))
-      .map(f => f.copy(name = physName(f))))
+      .map(f => f.copy(name = physName(f))) ++ extraPhys.map(_.copy(nullable = true)))
     val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
       .map(f => physName(f) -> f.name)
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
 
     if (files.isEmpty) {
-      val outSchema = if (!keepLineage) schema else StructType(schema.fields ++ Seq(
-        org.apache.spark.sql.types.StructField("__dv_path", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__dv_ridx", org.apache.spark.sql.types.LongType)))
+      val outSchema = StructType(schema.fields ++
+        extraPhys.map(_.copy(nullable = true)) ++
+        (if (!keepLineage) Nil else Seq(
+          org.apache.spark.sql.types.StructField("__dv_path", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("__dv_ridx", org.apache.spark.sql.types.LongType))))
       return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
     }
 
@@ -1479,7 +1519,8 @@ object DeltaReader {
       // mid-fold and fail on a readable table
       val projection = logicalByPhys.map { case (phys, logical) =>
         base0.col(s"`${phys.replace("`", "``")}`").as(logical)
-      } ++ (if (!withMeta) Nil else Seq(
+      } ++ extraPhys.map(f => base0.col(s"`${f.name.replace("`", "``")}`")) ++
+        (if (!withMeta) Nil else Seq(
         // which file and which row this came from — the join key the
         // deletion-vector anti-filter matches; stays inside the
         // distributed scan (parquet's generated row_index), no UDF
@@ -1493,6 +1534,7 @@ object DeltaReader {
         df.withColumn(f.name, lit(raw).cast(f.dataType))
       }
       withParts.select((schema.fieldNames.map(col) ++
+        extraPhys.map(f => col(s"`${f.name.replace("`", "``")}`")) ++
         (if (withMeta) Seq(col("__dv_path"), col("__dv_ridx")) else Nil)).toIndexedSeq: _*)
     }.reduce(_ unionByName _)
 
@@ -1521,7 +1563,8 @@ object DeltaReader {
         else deleted
       val filtered = unioned.join(joinSide, Seq("__dv_path", "__dv_ridx"), "left_anti")
       if (keepLineage) filtered
-      else filtered.select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      else filtered.select((schema.fieldNames.map(col) ++
+        extraPhys.map(f => col(s"`${f.name.replace("`", "``")}`"))).toIndexedSeq: _*)
     }
   }
 }

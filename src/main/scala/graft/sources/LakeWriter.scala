@@ -621,15 +621,21 @@ object LakeWriter {
   /** Optimistic-concurrency retry: re-run `op` when it loses the
     * create-if-absent commit race (the IllegalStateException every
     * writer here throws when a concurrent writer wins its version).
-    * Retrying IS the documented recovery — each writer op begins with
-    * a fresh log replay, so the retry sees the winner's commit and
-    * targets the next version. SEMANTIC conflicts remain the caller's
-    * contract, exactly as with real Delta's OCC: a delete retried
-    * after a concurrent delete simply matches fewer (or no) rows; an
-    * append retried after a schema change hits the append gate. Ops
-    * that stage files before losing the race leave them as
-    * unreferenced debris for VACUUM, the same class as a crashed
-    * writer's. Throws the last conflict after `attempts` exhausted.
+    *
+    * PURE APPENDS rarely reach here: commitDelta's append-rebase path
+    * re-targets the same staged files at the next free version when
+    * the winner's commits carry only file actions (the common
+    * concurrent-append/delete case commits with zero re-execution);
+    * this retry is the fallback for metadata-class conflicts and for
+    * every op that READS table state (delete/update/merge/compact),
+    * where re-running from a fresh log replay is the only correct
+    * recovery. SEMANTIC conflicts remain the caller's contract,
+    * exactly as with real Delta's OCC: a delete retried after a
+    * concurrent delete simply matches fewer (or no) rows; an append
+    * retried after a schema change hits the append gate. Ops that
+    * stage files before losing the race leave them as unreferenced
+    * debris for VACUUM, the same class as a crashed writer's. Throws
+    * the last conflict after `attempts` exhausted.
     */
   def retryOnConflict[T](attempts: Int = 3)(op: => T): T = {
     require(attempts > 0, s"retryOnConflict: attempts $attempts must be positive")
@@ -1111,6 +1117,10 @@ object LakeWriter {
     fs.delete(stage, true)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val now = 0L // deterministic logs: modificationTime is informational
+    // the action list is a FUNCTION of the commit version (commitInfo
+    // readVersion, row-tracking defaultRowCommitVersion) so the rebase
+    // loop below can re-render the same staged files at a later version
+    def render(version: Long): Seq[String] = {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     // commitInfo leads the commit (delta-spark's layout): pure
     // provenance — excluded from checkpoints, ignored by state folding,
@@ -1165,21 +1175,84 @@ object LakeWriter {
     rowIdBase.foreach { base =>
       actions += RowTracking.watermarkAction(nextRowId.getOrElse(base) - 1)
     }
+    actions.toSeq
+    }
     fs.mkdirs(log)
-    val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
     // create-if-absent (overwrite = false) IS the commit arbitration: a
     // second writer racing to the same version must fail loudly here —
     // an overwrite would silently replace the winner's committed
-    // actions with this writer's, orphaning its data files
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version $version; " +
-          "re-read the table and retry the append", e)
+    // actions with this writer's, orphaning its data files.
+    //
+    // APPEND REBASE (real Delta's OCC conflict check, the cheap half):
+    // a PURE append — no metadata/protocol change, no extra actions,
+    // no txn identifier, no row-id assignment — reads nothing from the
+    // table except its metadata, protocol and row-id watermark. If
+    // every winner commit since our target carries ONLY file actions
+    // (add/remove/cdc/commitInfo), that read set is untouched: the
+    // same staged files re-commit at the next free version WITHOUT
+    // re-running the op (no re-stage, no re-scan). Any metaData /
+    // protocol / domainMetadata / txn action in a winner invalidates
+    // the read set -> the original loud conflict, and the caller's
+    // retryOnConflict re-runs from a fresh snapshot.
+    val rebaseable = !includeMeta && extraActions.isEmpty && txn.isEmpty &&
+      rowIdBase.isEmpty
+    var v = version
+    var committed = false
+    while (!committed) {
+      val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
+      val created =
+        try Right(fs.create(commit, false))
+        catch { case e: java.io.IOException => Left(e) }
+      created match {
+        case Right(out) =>
+          try out.write(render(v).mkString("\n").getBytes("UTF-8")) finally out.close()
+          committed = true
+        case Left(e) =>
+          val newest = newestCommitVersion(fs, log)
+          if (!rebaseable || newest < v)
+            throw new IllegalStateException(
+              s"Delta commit $commit already exists — a concurrent writer won version $v; " +
+                "re-read the table and retry the append", e)
+          val conflicts = (v to newest).flatMap(w => appendConflicts(fs, log, w))
+          if (conflicts.nonEmpty)
+            throw new IllegalStateException(
+              s"Delta commit $commit already exists — a concurrent writer won version $v " +
+                s"and its commit conflicts with this append (${conflicts.mkString("; ")}); " +
+                "re-read the table and retry the append", e)
+          v = newest + 1
+      }
     }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
-    if (checkpointInterval > 0 && version > 0 && version % checkpointInterval == 0)
-      checkpointDelta(spark, dir, version)
+    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+      checkpointDelta(spark, dir, v)
+  }
+
+  /** Newest committed version in the log (-1 if none). */
+  private def newestCommitVersion(fs: org.apache.hadoop.fs.FileSystem,
+                                  log: org.apache.hadoop.fs.Path): Long =
+    fs.listStatus(log).iterator.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong)
+      .foldLeft(-1L)(math.max)
+
+  /** Winner-commit actions that invalidate a pure append's read set
+    * (metadata, protocol, domain metadata — the row-id watermark rides
+    * there — and transaction identifiers, whose per-app ordering a
+    * blind rebase could violate). File actions are benign: an append
+    * adds fresh files and reads none, so concurrent adds AND removes
+    * are disjoint from it by construction.
+    */
+  private def appendConflicts(fs: org.apache.hadoop.fs.FileSystem,
+                              log: org.apache.hadoop.fs.Path, v: Long): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).flatMap { line =>
+        val root = om.readTree(line)
+        Seq("metaData", "protocol", "domainMetadata", "txn").filter(root.has)
+          .map(kind => s"version $v carries $kind")
+      }.toSeq
+    finally rd.close()
   }
 
   /** Write a classic single-file checkpoint at `version`: the replayed
@@ -1228,9 +1301,19 @@ object LakeWriter {
     // the fold below reads through the DV-applied scan, so a compacted
     // file holds exactly its sources' LIVE rows and the descriptors are
     // dropped with the removes — compaction IS the physical cleanup
-    // path for a table that accumulated deleteWhereDv debt
+    // path for a table that accumulated deleteWhereDv debt.
+    //
+    // PRESERVED row-tracking profile: a tracked table with an
+    // established watermark AND configured materialized-column names
+    // can compact — the rewrite stores every surviving row's identity
+    // in the materialized physical columns (readers prefer them over
+    // the new files' fresh baseRowId + index), so ids survive the
+    // layout change. Tracked tables missing the materialized-name
+    // configs (enabled by an older writer) still refuse.
+    val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors")
+      "generatedColumns", "changeDataFeed", "deletionVectors") ++
+      (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
       s"compactDelta: table requires writer version ${snap.minWriter}" +
@@ -1244,6 +1327,19 @@ object LakeWriter {
     if (groups.isEmpty) return
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val stage = new org.apache.hadoop.fs.Path(root, s"_compact_${snap.version + 1}")
+    val matCols = if (rt) RowTracking.materializedCols(snap) else None
+    matCols.foreach { case (idc, vc) =>
+      val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Seq(idc, vc).foreach(c => require(!table.fieldNames.contains(c),
+        s"compactDelta: materialized row-id column name '$c' collides with a " +
+          "table column — repair the table configuration"))
+    }
+    // fresh baseRowIds for the compacted files (the materialized
+    // columns carry the PRESERVED ids; the base ids exist to satisfy
+    // the every-add-has-a-baseRowId invariant and are shadowed row by
+    // row), watermark advanced in the same commit
+    var nextRowId = if (rt) RowTracking.watermark(snap).get + 1 else 0L
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"OPTIMIZE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
     groups.toSeq.sortBy(_._2.head.path).zipWithIndex.foreach { case ((pv, files), i) =>
@@ -1261,8 +1357,19 @@ object LakeWriter {
       val groupBytes = files.map(_.size).sum
       val outFiles = math.max(1L,
         (groupBytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val scan = DeltaReader.scanFiles(spark, dir, snap, files)
-        .drop(snap.partCols: _*)
+      // preserved profile: the group scans WITH effective row ids
+      // (materialized-or-derived, same rule as the reader) and writes
+      // them back under the materialized column names
+      val scan = matCols match {
+        case Some((idc, vc)) =>
+          DeltaReader.scanFilesWithRowIds(spark, dir, snap, files)
+            .withColumnRenamed("_row_id", idc)
+            .withColumnRenamed("_row_commit_version", vc)
+            .drop(snap.partCols: _*)
+        case None =>
+          DeltaReader.scanFiles(spark, dir, snap, files)
+            .drop(snap.partCols: _*)
+      }
       (if (outFiles == 1) scan.coalesce(1) else scan.repartition(outFiles))
         .write.parquet(sub.toString)
       val part = fs.listStatus(sub).map(_.getPath)
@@ -1305,13 +1412,26 @@ object LakeWriter {
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
         val size = fs.getFileStatus(pf).getLen
+        // every add in a tracked table carries a (fresh, shadowed)
+        // baseRowId range — footer numRecords sizes it exactly
+        val rtJson = if (!rt) "" else {
+          val stats = graft.sources.DeltaStats.fileStats(pf, hconf)
+          val nr = stats.map(st => om.readTree(st).get("numRecords").asLong())
+            .getOrElse(throw new IllegalArgumentException(
+              s"compactDelta: rewritten file $pf produced no footer stats — " +
+                "cannot assign baseRowId on a tracked table; refusing"))
+          val base = nextRowId
+          nextRowId += nr
+          s""","baseRowId":$base,"defaultRowCommitVersion":${snap.version + 1}"""
+        }
         require(fs.rename(pf, dest), s"rename $pf -> $dest failed")
-        actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false}}"""
+        actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false$rtJson}}"""
       }
       files.foreach { f =>
         actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"dataChange":false}}"""
       }
     }
+    if (rt) actions += RowTracking.watermarkAction(nextRowId - 1)
     fs.delete(stage, true)
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
@@ -2475,6 +2595,14 @@ object LakeWriter {
     val snap = DeltaReader.snapshot(spark, dir, None)
     if (RowTracking.enabled(snap) && RowTracking.watermark(snap).isDefined) return
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    locally {
+      val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      Seq(RowTracking.DefaultRowIdCol, RowTracking.DefaultRowVerCol).foreach(c =>
+        require(!table.fieldNames.contains(c),
+          s"enableRowTracking: table column '$c' collides with the materialized " +
+            "row-identity column name the preserved profile writes — rename it first"))
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val files = snap.active.sortBy(_.path)
     def numRecords(a: DeltaReader.AddFile): Long =
@@ -2505,9 +2633,16 @@ object LakeWriter {
       val rfJson = if (rdr >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}""" else ""
       actions += s"""{"protocol":{"minReaderVersion":$rdr,"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}"""
     }
-    // metaData restated with delta.enableRowTracking in the configuration
+    // metaData restated with delta.enableRowTracking in the
+    // configuration, plus the MATERIALIZED identity column names the
+    // preserved profile rewrites through (compactDelta stores each
+    // surviving row's id under them; readers prefer them over
+    // baseRowId + row_index)
     locally {
-      val conf = snap.configuration + ("delta.enableRowTracking" -> "true")
+      val conf = snap.configuration +
+        ("delta.enableRowTracking" -> "true") +
+        (RowTracking.RowIdColConf -> RowTracking.DefaultRowIdCol) +
+        (RowTracking.RowVerColConf -> RowTracking.DefaultRowVerCol)
       val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")

@@ -5,20 +5,53 @@ package graft.sources
   * high watermark lives in the `delta.rowTracking` DOMAIN METADATA,
   * advanced in the same atomic commit as the adds that consume ids.
   *
-  * graft's implementation is the protocol's NON-PRESERVING writer
-  * profile: creates/appends and copy-on-write rewrites assign FRESH
-  * baseRowIds (a rewritten row legally becomes a new row when the
-  * writer does not materialize row-id columns — delta-spark's
+  * Row-CHANGING writes follow the protocol's NON-PRESERVING profile:
+  * creates/appends and copy-on-write rewrites assign FRESH baseRowIds
+  * (a rewritten row legally becomes a new row — delta-spark's
   * delta.rowTracking.preserved=false semantics); merge-on-read DV
   * deletes keep files in place, so surviving rows KEEP their ids —
   * which is why `deleteWhereDv` is the id-stable delete on a tracked
-  * table. dataChange=false rewrites (OPTIMIZE / Z-ORDER) MUST preserve
-  * ids, which requires materialized columns — those ops refuse tracked
-  * tables loudly rather than silently re-identify every row.
+  * table.
+  *
+  * dataChange=false rewrites MUST preserve ids. compactDelta
+  * implements the PRESERVED profile for them: it stores every
+  * surviving row's id/commit-version in the materialized columns
+  * named by [[RowIdColConf]]/[[RowVerColConf]] (readers prefer them
+  * over baseRowId + row_index), so a tracked table CAN pay down its
+  * small-file debt. Z-ORDER still refuses tracked tables, and so does
+  * compaction when the materialized names are not configured (a table
+  * enabled by an older writer) — loud refusal beats silently
+  * re-identifying every row.
   */
 private[graft] object RowTracking {
   val Domain = "delta.rowTracking"
   val Features: Set[String] = Set("rowTracking", "domainMetadata")
+
+  /** Table-config keys naming the MATERIALIZED row-identity columns
+    * (delta-spark's preserved-profile mechanism): a preserving rewrite
+    * stores each surviving row's id/commit-version as physical parquet
+    * columns under these names — outside the logical schema — and
+    * readers prefer them over baseRowId + row_index. Set by
+    * [[LakeWriter.enableRowTracking]]; their absence (a table enabled
+    * by an older writer) keeps preservation-requiring rewrites refusing.
+    */
+  val RowIdColConf = "delta.rowTracking.materializedRowIdColumnName"
+  val RowVerColConf = "delta.rowTracking.materializedRowCommitVersionColumnName"
+  val DefaultRowIdCol = "_graft_row_id"
+  val DefaultRowVerCol = "_graft_row_commit_version"
+
+  /** The configured materialized column names, when both are present. */
+  def materializedCols(snap: DeltaReader.Snapshot): Option[(String, String)] =
+    for {
+      idc <- snap.configuration.get(RowIdColConf)
+      vc <- snap.configuration.get(RowVerColConf)
+    } yield (idc, vc)
+
+  /** True when the table can run id-PRESERVING rewrites: tracking on,
+    * watermark established, materialized column names configured.
+    */
+  def preservedProfileReady(snap: DeltaReader.Snapshot): Boolean =
+    enabled(snap) && watermark(snap).isDefined && materializedCols(snap).isDefined
 
   def enabled(snap: DeltaReader.Snapshot): Boolean =
     snap.writerFeatures.contains("rowTracking")

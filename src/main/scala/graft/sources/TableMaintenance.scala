@@ -48,9 +48,11 @@ object TableMaintenance {
       if (!wantsCompact) (false, None)
       else if (cm != "none")
         (false, Some("column-mapped table — compaction would stage logical names"))
-      else if (tracked)
-        (false, Some("row-tracked table — a dataChange=false rewrite must preserve " +
-          "row ids, which needs materialized columns this writer does not produce"))
+      else if (tracked && !RowTracking.preservedProfileReady(snap0))
+        (false, Some("row-tracked table without the preserved profile " +
+          "(no watermark or no materialized-column names configured) — a " +
+          "dataChange=false rewrite would re-identify rows; run " +
+          "enableRowTracking on a graft session to configure preservation"))
       else {
         LakeWriter.compactDelta(spark, dir, compactMinFiles, targetFileBytes)
         (true, None)

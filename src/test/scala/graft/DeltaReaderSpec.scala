@@ -211,24 +211,33 @@ class DeltaReaderSpec extends SparkSpec {
     assert(rows == ((0 to 5).map(i => (i.toLong, s"v$i")).toSet + ((99L, "v99"))))
   }
 
-  test("two writers racing to one commit version: the second fails loudly, not silently") {
+  test("two writers racing to one commit version: pure appends rebase, others fail loudly") {
     val s = spark
     import s.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_delta_race_").toFile
     graft.sources.LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), dir.getPath)
     graft.sources.LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v"), dir.getPath)
-    // a concurrent writer already committed version 1 — a second commit
-    // to the same version must throw (an overwrite would orphan the
-    // winner's files), and the loser's staged data must not leak into
-    // the table root as live files
-    val e = intercept[IllegalStateException] {
-      graft.sources.LakeWriter.commitDelta(Seq((2L, "c")).toDF("id", "v"),
-        dir.getPath, 1L, includeMeta = false, checkpointInterval = 0)
-    }
-    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    // a concurrent writer already committed version 1 — a PURE append
+    // targeting it rebases onto version 2 (the winner carried only file
+    // actions, so the loser's read set is intact; never an overwrite)
+    graft.sources.LakeWriter.commitDelta(Seq((2L, "c")).toDF("id", "v"),
+      dir.getPath, 1L, includeMeta = false, checkpointInterval = 0)
+    assert(graft.sources.DeltaReader.snapshot(spark, dir.getPath, None).version == 2L)
     val rows = graft.sources.DeltaReader.read(spark, dir.getPath)
       .select("id", "v").as[(Long, String)].collect().toSet
-    assert(rows == Set((0L, "a"), (1L, "b")))
+    assert(rows == Set((0L, "a"), (1L, "b"), (2L, "c")))
+    // a txn-carrying commit must NOT rebase (per-app version ordering):
+    // the race stays a loud failure and the loser's staged data never
+    // becomes live
+    val e = intercept[IllegalStateException] {
+      graft.sources.LakeWriter.commitDelta(Seq((3L, "d")).toDF("id", "v"),
+        dir.getPath, 1L, includeMeta = false, checkpointInterval = 0,
+        txn = Some(("app", 1L)))
+    }
+    assert(e.getMessage.contains("concurrent writer"), e.getMessage)
+    val rows2 = graft.sources.DeltaReader.read(spark, dir.getPath)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    assert(rows2 == Set((0L, "a"), (1L, "b"), (2L, "c")))
   }
 
   test("delta column mapping (name mode): physical parquet names remap to the logical schema") {

@@ -177,19 +177,24 @@ class DeltaRestoreSpec extends SparkSpec {
     val latest = DeltaReader.snapshot(spark, dir, None)
     assert(latest.version == 2L, s"retry must land AFTER the competitor, got ${latest.version}")
     assert(DeltaReader.read(spark, dir).where("id = 9").count() == 1L)
-    // attempts exhausted -> the conflict surfaces
+    // attempts exhausted -> the conflict surfaces. The competitor must
+    // carry a REBASE-UNSAFE action (a txn identifier here): a pure-add
+    // competitor no longer conflicts at all — the append rebases past
+    // it without re-running (OccRebaseSpec pins that path).
     val e = intercept[IllegalStateException] {
       LakeWriter.retryOnConflict(2) {
         val snap = DeltaReader.snapshot(spark, dir, None)
         val log = new java.io.File(dir, "_delta_log")
         val f = new java.io.File(log, f"${snap.version + 1}%020d.json")
         if (!f.isFile) java.nio.file.Files.write(f.toPath,
-          """{"add":{"path":"competitor.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+          ("""{"txn":{"appId":"competitor","version":1}}""" + "\n" +
+            """{"add":{"path":"competitor.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}""")
             .getBytes("UTF-8"))
         LakeWriter.appendDeltaWithSnapshot(
           Seq((7L, "q")).toDF("id", "v").coalesce(1), dir, 0, None, snap)
       }
     }
     assert(e.getMessage.contains("a concurrent writer won"))
+    assert(e.getMessage.contains("txn"), e.getMessage)
   }
 }

@@ -138,12 +138,41 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(cloneRows.values.map(_._1).toSeq.distinct.size == cloneRows.size)
   }
 
-  test("preservation-requiring rewrites refuse; half-enabled tables refuse loudly") {
+  test("compaction preserves every surviving row's id (preserved profile)") {
+    val d = freshDir("pp")
+    LakeWriter.writeDelta(base.repartition(4), d)
+    LakeWriter.enableRowTracking(spark, d)
+    // id-stable DV delete, then an append (fresh ids) — a mixed table
+    LakeWriter.deleteWhereDv(spark, d, "id % 5 = 0")
+    LakeWriter.appendDelta(base.limit(3).selectExpr("id + 500 AS id", "v", "k")
+      .repartition(2), d)
+    def idMap() = DeltaReader.readWithRowIds(spark, d)
+      .select("_row_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = idMap()
+    val filesBefore = DeltaReader.snapshot(spark, d, None).active.size
+    LakeWriter.compactDelta(spark, d, minFiles = 2)
+    val after = idMap()
+    assert(after == before,
+      "compaction must preserve _row_id for every surviving row")
+    val snap = DeltaReader.snapshot(spark, d, None)
+    assert(snap.active.size < filesBefore, "compaction must reduce file count")
+    assert(snap.active.forall(_.dv.isEmpty), "compaction folds DVs away")
+    // a SECOND compaction round-trips the materialized columns (the
+    // rewrite must read materialized ids, not re-derive from base+idx)
+    LakeWriter.appendDelta(base.limit(2).selectExpr("id + 600 AS id", "v", "k"), d)
+    val mid = idMap()
+    LakeWriter.compactDelta(spark, d, minFiles = 2)
+    assert(idMap() == mid, "re-compaction must keep preserved ids stable")
+    // ids stay unique and the watermark bounds them
+    val wm = graft.sources.RowTracking.watermark(snap).get
+    assert(after.keySet.size == after.size && after.keySet.forall(_ <= wm))
+  }
+
+  test("z-order still refuses tracked tables; half-enabled tables refuse loudly") {
     val d = freshDir("rf")
     LakeWriter.writeDelta(base.repartition(3), d)
     LakeWriter.enableRowTracking(spark, d)
-    val e1 = intercept[IllegalArgumentException](LakeWriter.compactDelta(spark, d))
-    assert(e1.getMessage.contains("rowTracking"))
     val e2 = intercept[IllegalArgumentException](
       LakeWriter.compactDeltaZOrder(spark, d, "id", "k"))
     assert(e2.getMessage.contains("rowTracking"))

@@ -1,0 +1,82 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OCC semantic conflict detection: a pure append that loses the
+  * version race REBASES onto the next version without re-running when
+  * the winner's commits carry only file actions; metadata-class
+  * winners still force the loud conflict + retryOnConflict re-run.
+  */
+class OccRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_occ_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  private def rows(lo: Int, hi: Int, k: String): DataFrame =
+    (lo to hi).map(i => (i.toLong, k, i * 1.0)).toDF("id", "k", "v")
+
+  test("non-conflicting concurrent append commits by rebase, no re-execution") {
+    val d = freshDir("r")
+    LakeWriter.writeDelta(rows(1, 10, "a"), d)
+    // loser reads the snapshot at v0...
+    val stale = DeltaReader.snapshot(spark, d, None)
+    assert(stale.version == 0L)
+    // ...then two winners commit v1 and v2 (one a delete — file
+    // actions only, still benign for an append)
+    LakeWriter.appendDelta(rows(11, 20, "b"), d)
+    LakeWriter.deleteWhere(spark, d, "id <= 2")
+    // the loser's append targets v1, finds it (and v2) taken, and must
+    // rebase to v3 WITHOUT throwing — same staged files, no re-run
+    LakeWriter.appendDeltaWithSnapshot(rows(21, 25, "c"), d,
+      checkpointInterval = 0, txn = None, snap = stale)
+    val snap = DeltaReader.snapshot(spark, d, None)
+    assert(snap.version == 3L, s"rebase must land at v3, got ${snap.version}")
+    val got = DeltaReader.read(spark, d).orderBy("id").select("id")
+      .as[Long].collect().toSeq
+    assert(got == ((3L to 25L): Seq[Long]), s"got $got")
+  }
+
+  test("metadata-class winner forces the conflict; retryOnConflict re-runs once") {
+    val d = freshDir("c")
+    LakeWriter.writeDelta(rows(1, 10, "a"), d)
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.alterProperties(spark, d, Map("graft.test.marker" -> "1"))
+    // direct stale append: the winner carries metaData -> loud conflict
+    val e = intercept[IllegalStateException] {
+      LakeWriter.appendDeltaWithSnapshot(rows(11, 15, "b"), d,
+        checkpointInterval = 0, txn = None, snap = stale)
+    }
+    assert(e.getMessage.contains("a concurrent writer won"))
+    assert(e.getMessage.contains("metaData"),
+      s"conflict must name the invalidating action, got: ${e.getMessage}")
+    // the documented recovery: retryOnConflict re-runs from a fresh
+    // snapshot — exactly one re-execution
+    var runs = 0
+    var first = true
+    LakeWriter.retryOnConflict() {
+      runs += 1
+      val snap = if (first) { first = false; stale }
+        else DeltaReader.snapshot(spark, d, None)
+      LakeWriter.appendDeltaWithSnapshot(rows(11, 15, "b"), d,
+        checkpointInterval = 0, txn = None, snap = snap)
+    }
+    assert(runs == 2, s"expected stale run + one retry, got $runs")
+    assert(DeltaReader.read(spark, d).count() == 15)
+  }
+
+  test("txn-carrying appends never rebase (per-app version ordering)") {
+    val d = freshDir("t")
+    LakeWriter.writeDelta(rows(1, 5, "a"), d)
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.appendDelta(rows(6, 8, "b"), d)
+    val e = intercept[IllegalStateException] {
+      LakeWriter.appendDeltaWithSnapshot(rows(9, 9, "c"), d,
+        checkpointInterval = 0, txn = Some(("app", 1L)), snap = stale)
+    }
+    assert(e.getMessage.contains("a concurrent writer won"))
+  }
+}

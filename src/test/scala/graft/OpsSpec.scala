@@ -96,13 +96,23 @@ class OpsSpec extends SparkSpec {
 
   test("bloom semi-filter prunes non-matching rows and never drops matches") {
     import spark.implicits._
-    val big = (0L until 20000L).map(i => (i, s"v$i")).toDF("k", "v")
+    // spark.range, not a LocalRelation: ConvertToLocalRelation would
+    // evaluate the probe at optimization time and hide it from the
+    // physical plan this test asserts on
+    val big = spark.range(0L, 20000L).selectExpr("id AS k", "concat('v', id) AS v")
     val small = (0L until 20000L by 100L).map(k => (k, s"d$k")).toDF("k", "name")
     val pruned = graft.ops.BloomPrune.semiFilter(big, small, "k", "k", expectedKeys = 1000)
     val joinedPruned = pruned.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
     val joinedPlain = big.join(small, Seq("k")).orderBy("k").collect().map(_.toSeq).toSeq
     assert(joinedPruned == joinedPlain)           // no false negatives
     assert(pruned.count() < big.count() / 10)     // most non-matches pruned
+    // the probe is the native might_contain expression, codegen'd —
+    // no boxed-Long ScalaUDF on the big side's hot path
+    val physical = pruned.queryExecution.executedPlan.toString
+    assert(!physical.contains("ScalaUDF") && !physical.contains("BatchEvalPython"),
+      s"semiFilter probe must stay native, plan:\n$physical")
+    assert(physical.contains("might_contain") || physical.contains("BloomFilterMightContain"),
+      "probe must be the BloomFilterMightContain expression")
   }
 
   test("binned range join equals the naive BETWEEN join") {

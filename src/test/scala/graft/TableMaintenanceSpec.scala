@@ -47,20 +47,35 @@ class TableMaintenanceSpec extends SparkSpec {
     assert(!r3.compacted && r3.checkpointed.isEmpty && r3.vacuumed == 0, r3.toString)
   }
 
-  test("row-tracked tables skip compaction WITH the reason, rest still runs") {
+  test("preserved-profile tracked tables compact with stable ids; unready ones skip") {
     val d = freshDir("rt")
     LakeWriter.writeDelta((1 to 10).map(i => (i.toLong, s"v$i")).toDF("id", "v")
       .repartition(10), d)
     LakeWriter.enableRowTracking(spark, d)
     (1 to 12).foreach(i =>
       LakeWriter.appendDelta(Seq((100L + i, "x")).toDF("id", "v").coalesce(1), d))
+    def idMap() = DeltaReader.readWithRowIds(spark, d).select("id", "_row_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = idMap()
+    // enableRowTracking configured the materialized columns, so the
+    // nightly policy compacts the small-file debt WITH ids preserved
     val r = TableMaintenance.maintainTable(spark, d,
       compactMinFiles = 4, checkpointEvery = 5, retainVersions = 50)
-    assert(!r.compacted && r.compactSkipReason.exists(_.contains("row-tracked")))
+    assert(r.compacted && r.compactSkipReason.isEmpty, r.toString)
     assert(r.checkpointed.isDefined, "checkpointing still applies")
-    // the table stays fully readable with stable ids
-    val ids = DeltaReader.readWithRowIds(spark, d).select("_row_id")
-      .collect().map(_.getLong(0))
-    assert(ids.distinct.length == ids.length && ids.length == 22)
+    assert(idMap() == before, "maintenance must preserve every row id")
+    assert(before.size == 22)
+
+    // a foreign half-enabled table (feature declared, no watermark or
+    // materialized-column configs) still skips, naming the reason
+    val d2 = freshDir("rt2")
+    LakeWriter.writeDelta((1 to 12).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+      .repartition(6), d2)
+    LakeWriter.upgradeProtocol(spark, d2, 1, 7,
+      writerFeatures = Seq("rowTracking", "domainMetadata"))
+    val r2 = TableMaintenance.maintainTable(spark, d2,
+      compactMinFiles = 4, checkpointEvery = 50, retainVersions = 50)
+    assert(!r2.compacted &&
+      r2.compactSkipReason.exists(_.contains("preserved profile")), r2.toString)
   }
 }
