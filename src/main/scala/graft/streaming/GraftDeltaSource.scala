@@ -1,10 +1,11 @@
 package graft.streaming
 
 import graft.sources.DeltaReader
-import org.apache.spark.sql.{DataFrame, GraftColumnBridge, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, GraftColumnBridge, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
-import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Registered Structured Streaming source for graft Delta tables:
@@ -51,9 +52,40 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * distributed parquet scan as the batch reader. Nothing table-sized
   * touches the driver.
   */
-class GraftDeltaSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-delta"
+
+  /** The SINK side: `df.writeStream.format("graft-delta").start(dir)`
+    * — [[DeltaStream.commitBatch]]'s exactly-once txn discipline
+    * behind the standard API. Append mode appends each micro-batch;
+    * `option("mergeKeys", "k1,k2")` switches to the keyed upsert
+    * ([[DeltaStream.upsertBatch]] — the CDC-apply shape, Update mode
+    * allowed). The txn identity scopes by the query checkpoint exactly
+    * as DeltaStream documents; `option("txnAppId", ...)` overrides the
+    * app id.
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException("graft-delta sink: .start(path) is required"))
+    val checkpoint = lower.getOrElse("checkpointlocation",
+      throw new IllegalArgumentException(
+        "graft-delta sink: checkpointLocation is required — the exactly-once txn " +
+          "identity scopes by it"))
+    val mergeKeys = lower.get("mergekeys").map(_.split(',').map(_.trim).toSeq)
+      .filter(_.nonEmpty)
+    require(outputMode == OutputMode.Append() || mergeKeys.isDefined,
+      s"graft-delta sink: output mode $outputMode needs mergeKeys (the append sink " +
+        "is append-mode only; updates land via the keyed upsert)")
+    val appId = DeltaStream.scopedAppId(
+      lower.getOrElse("txnappid", "graft-delta-sink"), checkpoint)
+    val interval = lower.get("checkpointinterval").map(_.toInt).getOrElse(0)
+    new GraftDeltaSink(path, appId, interval, partitionColumns, mergeKeys)
+  }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
@@ -69,6 +101,30 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with DataSourceRegis
                             schema: Option[StructType], providerName: String,
                             parameters: Map[String, String]): Source =
     new GraftDeltaSource(sqlContext.sparkSession, GraftDeltaSource.Options(parameters))
+}
+
+/** The registered sink: each micro-batch lands through the
+  * exactly-once txn arbitration ([[DeltaStream.commitBatch]] /
+  * [[DeltaStream.upsertBatch]]) — a batch at or below the table's
+  * replayed txn watermark is a redelivery and skips, so restarts and
+  * retries never double-append. addBatch's DataFrame carries streaming
+  * lineage; it re-wraps as a plain batch plan (the ForeachBatchSink
+  * pattern) before hitting the writers.
+  */
+class GraftDeltaSink(path: String, appId: String, checkpointInterval: Int,
+                     partitionBy: Seq[String], mergeKeys: Option[Seq[String]])
+    extends Sink {
+  override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
+    val batch = GraftColumnBridge.asBatch(data.toDF())
+    mergeKeys match {
+      case Some(keys) =>
+        DeltaStream.upsertBatch(batch, path, appId, batchId, keys, partitionBy)
+      case None =>
+        DeltaStream.commitBatch(batch, path, appId, batchId, checkpointInterval,
+          partitionBy)
+    }
+  }
+  override def toString: String = s"GraftDeltaSink[$path]"
 }
 
 /** Version offset: `{"version":N}` = everything up to and including

@@ -24,4 +24,17 @@ object GraftColumnBridge {
       df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
       df.schema, isStreaming = true)
   }
+
+  /** The inverse, for a V1 streaming `Sink.addBatch`: re-wrap the
+    * micro-batch's incremental execution as a plain BATCH DataFrame so
+    * ordinary writers can plan actions over it (the ForeachBatchSink
+    * pattern — addBatch's df carries streaming lineage a batch writer
+    * would refuse).
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cs = df.sparkSession.asInstanceOf[classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.toRdd,
+      df.schema, isStreaming = false)
+  }
 }

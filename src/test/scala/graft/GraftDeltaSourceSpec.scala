@@ -133,6 +133,57 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(inc.toSet == want.toSet && inc.nonEmpty)
   }
 
+  test("registered sink: Delta-to-Delta mirror, exactly-once across redelivery") {
+    val src = freshDir("src"); val dst = freshDir("dst"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base.repartition(2), src)
+    def mirror(): Unit = {
+      val q = spark.readStream.format("graft-delta").load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    mirror()
+    assert(batchRows(dst).toSet == batchRows(src).toSet)
+    // restart with the same checkpoint: nothing new, nothing duplicated
+    mirror()
+    assert(batchRows(dst).size == batchRows(src).size)
+    // two appends to the source stream through to the mirror
+    LakeWriter.appendDelta((50 to 55).map(i => (i.toLong, "e", 1.0)).toDF("id", "k", "v"), src)
+    LakeWriter.appendDelta((60 to 62).map(i => (i.toLong, "f", 2.0)).toDF("id", "k", "v"), src)
+    mirror()
+    assert(batchRows(dst).toSet == batchRows(src).toSet)
+    // simulate a REDELIVERY (crash after sink commit, before the query
+    // checkpoint advanced): replaying an already-committed batch id
+    // must skip, not double-append
+    val before = batchRows(dst).size
+    val scoped = graft.streaming.DeltaStream.scopedAppId("graft-delta-sink", cp)
+    graft.streaming.DeltaStream.commitBatch(
+      (60 to 62).map(i => (i.toLong, "f", 2.0)).toDF("id", "k", "v"), dst, scoped, 0L)
+    assert(batchRows(dst).size == before, "batch 0 is below the txn watermark — must skip")
+  }
+
+  test("registered sink upserts with mergeKeys (CDC-apply shape)") {
+    val dst = freshDir("dst"); val cp = freshDir("cp")
+    val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val q = mem.toDF().toDF("id", "k", "v")
+      .writeStream.format("graft-delta")
+      .option("checkpointLocation", cp)
+      .option("mergeKeys", "id")
+      .start(dst)
+    mem.addData((1L, "a", 1.0), (2L, "b", 2.0))
+    q.processAllAvailable()
+    mem.addData((2L, "B", 20.0), (3L, "c", 3.0)) // update id=2, insert id=3
+    q.processAllAvailable()
+    q.stop()
+    val got = DeltaReader.read(spark, dst).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(got == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
+  }
+
   test("source schema matches the batch reader's (and CDF adds the change columns)") {
     val d = freshDir("t")
     LakeWriter.writeDelta(base, d,
