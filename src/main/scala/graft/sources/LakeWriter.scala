@@ -2283,13 +2283,19 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
       "compactDeltaZOrder: column-mapped tables not supported (rewritten files would " +
         "carry logical names readers can't resolve)")
+    // the same PRESERVED row-tracking profile as compactDelta: ready
+    // tracked tables z-order with every surviving id materialized;
+    // half-configured ones refuse
+    val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors")
+      "generatedColumns", "changeDataFeed", "deletionVectors") ++
+      (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
       s"compactDeltaZOrder: table requires writer version ${snap.minWriter}" +
         (if (compactUnsafe.nonEmpty) s" with features ${compactUnsafe.mkString(", ")}" else "") +
         " — refusing to rewrite")
+    val matCols = if (rt) RowTracking.materializedCols(snap) else None
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     Seq(c1, c2).foreach { c =>
@@ -2328,7 +2334,17 @@ object LakeWriter {
     // its own range partitioning, and the partitionBy staging routes
     // every task's rows to its partition directory
     val staged = active.groupBy(_.partitionValues).map { case (_, files) =>
-      DeltaReader.scanFiles(spark, dir, snap, files)
+      val scan = matCols match {
+        case Some((idc, vc)) =>
+          // carry each surviving row's EFFECTIVE id through the
+          // rewrite as materialized columns (readers prefer them over
+          // the new files' fresh baseRowIds)
+          DeltaReader.scanFilesWithRowIds(spark, dir, snap, files)
+            .withColumnRenamed("_row_id", idc)
+            .withColumnRenamed("_row_commit_version", vc)
+        case None => DeltaReader.scanFiles(spark, dir, snap, files)
+      }
+      scan
         .withColumn("__z", zUdf(col(c1).cast("double"), col(c2).cast("double")))
         .repartitionByRange(filesPerPartition, col("__z"))
         .sortWithinPartitions("__z")
@@ -2339,7 +2355,8 @@ object LakeWriter {
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = snap.partCols,
-      extraActions = removes, addDataChange = false, operation = "OPTIMIZE")
+      extraActions = removes, addDataChange = false, operation = "OPTIMIZE",
+      rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None)
   }
 
   /** RESTORE the Delta table to its state at `versionAsOf` — a NEW

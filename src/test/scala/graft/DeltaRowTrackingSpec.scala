@@ -169,13 +169,16 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(after.keySet.size == after.size && after.keySet.forall(_ <= wm))
   }
 
-  test("z-order still refuses tracked tables; half-enabled tables refuse loudly") {
+  test("z-order preserves ids on ready tables; half-enabled tables refuse loudly") {
     val d = freshDir("rf")
     LakeWriter.writeDelta(base.repartition(3), d)
     LakeWriter.enableRowTracking(spark, d)
-    val e2 = intercept[IllegalArgumentException](
-      LakeWriter.compactDeltaZOrder(spark, d, "id", "k"))
-    assert(e2.getMessage.contains("rowTracking"))
+    val before = DeltaReader.readWithRowIds(spark, d).select("_row_id", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    LakeWriter.compactDeltaZOrder(spark, d, "id", "k", filesPerPartition = 2)
+    val after = DeltaReader.readWithRowIds(spark, d).select("_row_id", "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(after == before, "z-order must preserve every surviving row's id")
     // feature declared but no backfill/watermark (the foreign
     // half-enabled shape): writes and id reads both refuse, naming it
     val d2 = freshDir("hf")
