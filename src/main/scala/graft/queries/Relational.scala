@@ -204,10 +204,17 @@ object Relational {
     // recompute, not just the single-bin degenerate case (the r9 row
     // binned per (user, day) so every span sat in exactly one bin).
     // binWidth = 1 day on ~5-day spans is ~5x replication — the
-    // operator's own O(1)x-replication guidance.
+    // operator's own O(1)x-replication guidance. The user subset
+    // (user_id % 4 = 1) bounds the OUTPUT: all users overlap all
+    // users within a week, so the pair count is quadratic in the
+    // cohort — unfiltered, 10x data meant 100x rows (562M at sf1,
+    // 105s of pure result volume); the subset keeps the answer
+    // non-trivial (~3.4k pairs at sf0.01) with output growth ~
+    // input growth on the key-shifted sf1 corpus.
     "interval_overlap" -> ((s, dir) => {
       val wk = expr("ts DIV 604800000000000L")
       val iv = t(s, dir, "events")
+        .where(col("user_id") % 4 === 1)
         .groupBy(col("user_id"), wk.as("wk"))
         .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
       graft.ops.RangeJoin.intervalSelfOverlap(iv, Seq("wk"), "user_id",
@@ -461,7 +468,7 @@ object Relational {
       s"""WITH i AS (SELECT user_id,
          |  epoch_us(ts) * 1000 // 604800000000000 AS wk,
          |  MIN(epoch_us(ts) * 1000) AS lo, MAX(epoch_us(ts) * 1000) AS hi
-         |  FROM events GROUP BY 1, 2)
+         |  FROM events WHERE user_id % 4 = 1 GROUP BY 1, 2)
          |SELECT a.wk, a.user_id AS id_a, b.user_id AS id_b,
          |  a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
          |  greatest(a.lo, b.lo) AS overlap_start, least(a.hi, b.hi) AS overlap_end

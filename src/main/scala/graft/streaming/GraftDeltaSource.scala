@@ -237,7 +237,9 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       case None =>
         if (opts.cdf) opts.startingVersion match {
           // history replay from sv: rate cap applies from sv-1
-          case Some(sv) => math.min(latest, math.min(sv - 1 + cap, Long.MaxValue))
+          // (guard the uncapped case — sv - 1 + Long.MaxValue wraps)
+          case Some(sv) =>
+            if (cap == Long.MaxValue) latest else math.min(latest, sv - 1 + cap)
           // start-after-current: first batch just records the position
           case None => latest
         }
@@ -275,6 +277,12 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
   }
 
   private def emptyBatch: DataFrame =
+    // deliberately NOT wrapped via asStreaming: Spark 4's microbatch
+    // engine accepts a plain empty batch relation here, and an
+    // isStreaming-marked LogicalRDD over an already-planned empty
+    // frame trips the batch-execution checker instead (measured —
+    // the opposite of the non-empty paths, which the engine grafts
+    // in place of the streaming relation before planning)
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       schema)
 

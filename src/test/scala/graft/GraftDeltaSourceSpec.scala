@@ -115,6 +115,13 @@ class GraftDeltaSourceSpec extends SparkSpec {
     val want3 = DeltaReader.readChanges(spark, d, 3L, 3L)
       .collect().map(_.toSeq.toVector).toSeq
     assert(inc.toSet == want3.toSet && inc.size == want3.size)
+    // mid-history start with NO rate cap (regression: sv - 1 +
+    // Long.MaxValue must not wrap into a negative end offset)
+    val (mid, _) = drain(d, freshDir("cp2"),
+      Map("readChangeFeed" -> "true", "startingVersion" -> "2"))
+    val want23 = DeltaReader.readChanges(spark, d, 2L, 3L)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(mid.toSet == want23.toSet && mid.size == want23.size)
   }
 
   test("CDF without startingVersion starts after the current version") {
