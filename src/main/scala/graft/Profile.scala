@@ -60,6 +60,8 @@ object Profile {
         stressTopk(spark, args.lift(1).map(_.toInt).getOrElse(5000000))
       case "stress-funnel" =>
         stressFunnel(spark, args.lift(1).map(_.toInt).getOrElse(10))
+      case "stress-stream" =>
+        stressStream(spark, args.lift(1).map(_.toInt).getOrElse(50))
       case q            =>
         time(s"${q}_pass1")(SparkEntry.queries(q)(spark, sfDir).count())
         time(s"${q}_pass2")(SparkEntry.queries(q)(spark, sfDir).count())
@@ -700,6 +702,63 @@ object Profile {
     time("heap_rewrite_topk")(idiom.count())
     time("heap_rewrite_topk_2")(idiom.count())
     df.unpersist()
+  }
+
+  /** Catch-up throughput of the registered "graft-delta" streaming
+    * source: a table with `versions` commits, drained cold through
+    * `readStream` (Trigger.AvailableNow) two ways. Snapshot mode
+    * collapses all committed versions into one consistent first batch
+    * (one snapshot replay + one distributed scan — NOT per-version
+    * work), so its wall time is the floor. CDF replay from v0 with
+    * `maxVersionsPerTrigger`=10 walks the history in capped batches
+    * (ceil(versions/10) triggers); per-batch driver cost should be
+    * flat KB-scale JSON parses, so the two drains bound the range a
+    * restarted consumer pays between "resume near head" and "replay
+    * everything version-wise".
+    */
+  def stressStream(spark: SparkSession, versions: Int): Unit = {
+    import graft.sources.LakeWriter
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_stream")
+      .resolve("t").toAbsolutePath.toString
+    val rowsPerVersion = 20000L
+    time(s"build_${versions}_versions") {
+      LakeWriter.writeDelta(
+        spark.range(0, rowsPerVersion, 1, 4).selectExpr("id", "id * 2 AS v"), dir,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      (1 until versions).foreach { i =>
+        LakeWriter.appendDelta(
+          spark.range(i * rowsPerVersion, (i + 1) * rowsPerVersion, 1, 4)
+            .selectExpr("id", "id * 2 AS v"), dir)
+      }
+    }
+    def drain(label: String, opts: Map[String, String], expectBatches: Int): Unit = {
+      val cp = java.nio.file.Files.createTempDirectory("graft_stress_cp")
+        .toAbsolutePath.toString
+      val n = new java.util.concurrent.atomic.AtomicLong
+      val batches = new java.util.concurrent.atomic.AtomicInteger
+      time(s"drain_$label") {
+        var reader = spark.readStream.format("graft-delta")
+        opts.foreach { case (k, v) => reader = reader.option(k, v) }
+        val q = reader.load(dir).writeStream
+          .option("checkpointLocation", cp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            n.addAndGet(df.count()); batches.incrementAndGet(); ()
+          }
+          .start()
+        q.awaitTermination()
+      }
+      println(s"[profile] $label: ${n.get()} rows in ${batches.get()} batches " +
+        s"(expect ${versions * rowsPerVersion} rows / ~$expectBatches batches)")
+      require(n.get() == versions * rowsPerVersion, s"lost rows: ${n.get()}")
+      require(batches.get() == expectBatches,
+        s"$label: ${batches.get()} batches, expected $expectBatches")
+    }
+    drain("snapshot", Map.empty, expectBatches = 1)
+    drain("cdf_replay_cap=10",
+      Map("readChangeFeed" -> "true", "startingVersion" -> "0",
+        "maxVersionsPerTrigger" -> "10"),
+      expectBatches = (versions + 9) / 10)
   }
 
   /** Stage-count linearity of EventAnalytics.funnel: per-stage
