@@ -20,6 +20,8 @@ import org.apache.spark.sql.types.StructType
   *     ON t.id = s.id
   *     WHEN MATCHED THEN UPDATE SET *
   *     WHEN NOT MATCHED THEN INSERT *
+  *   INSERT INTO graft_delta.`/d` SELECT ...            -- append
+  *   INSERT OVERWRITE graft_delta.`/d` SELECT ...       -- atomic truncate-and-load
   *
   * Spark's own grammar already parses these statements into catalyst
   * DML plans (DeleteFromTable / UpdateTable / MergeIntoTable) — they
@@ -121,6 +123,17 @@ object GraftSqlDml {
         case other => refuse(s"ON clause term '${other.sql}' is not t.col = s.col")
       }
       GraftMergeCommand(path, source, keys)
+    case i @ InsertIntoStatement(GraftTarget(path, _), partitionSpec,
+        userSpecifiedCols, query, overwrite, ifPartitionNotExists, byName) =>
+      def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+        s"graft_delta INSERT supports exactly: INSERT [OVERWRITE] [BY NAME] " +
+          "with a full-width row set (optionally naming ALL table columns); " +
+          s"$why. Statement: ${i.simpleString(5)}")
+      if (partitionSpec.nonEmpty)
+        refuse("PARTITION clauses are not supported — the table's own declared " +
+          "partitioning governs layout")
+      if (ifPartitionNotExists) refuse("IF NOT EXISTS is not supported")
+      GraftInsertCommand(path, query, userSpecifiedCols, overwrite, byName)
     case other => other
   }
 
@@ -174,6 +187,62 @@ case class GraftUpdateCommand(path: String, predicate: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     LakeWriter.updateWhere(spark, path, predicate, sets.toMap)
+    Seq.empty
+  }
+}
+
+/** `INSERT [OVERWRITE] INTO graft_delta.`path` [(cols)] [BY NAME]
+  * SELECT ...` — append routes to [[LakeWriter.appendDelta]], OVERWRITE
+  * to the atomic truncate-and-load [[LakeWriter.overwriteDelta]]; both
+  * get the writers' obligation enforcement, OCC commits and CDF
+  * staging. Column alignment follows Spark SQL's own INSERT rules:
+  * positional by default (source names ignored — renamed to the table's
+  * columns in order), by name under `BY NAME` or an explicit column
+  * list; a column list must name EVERY table column (partial-width
+  * inserts would silently null-fill — refused loudly instead).
+  */
+case class GraftInsertCommand(path: String, source: LogicalPlan,
+                              userCols: Seq[String], overwrite: Boolean,
+                              byName: Boolean)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val tableCols = graft.sources.DeltaReader.snapshot(spark, path, None) match {
+      case snap => org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[StructType].fieldNames.toSeq
+    }
+    val src = GraftColumnBridge.ofRows(spark, source)
+    def refuse(why: String): Nothing = throw new UnsupportedOperationException(
+      s"graft_delta INSERT into $path: $why (table columns: " +
+        s"${tableCols.mkString(", ")}; source columns: " +
+        s"${src.columns.mkString(", ")})")
+    val aligned =
+      if (userCols.nonEmpty) {
+        // INSERT INTO t (a, b, c): the list names ALL table columns in
+        // the SOURCE's positional order; realign to table order by name
+        if (userCols.length != src.columns.length)
+          refuse(s"column list names ${userCols.length} columns but the source " +
+            s"produces ${src.columns.length}")
+        val missing = tableCols.filterNot(t => userCols.exists(_.equalsIgnoreCase(t)))
+        if (missing.nonEmpty)
+          refuse(s"column list omits ${missing.mkString(", ")} — partial-width " +
+            "inserts are not supported")
+        val renamed = src.toDF(userCols: _*)
+        renamed.select(tableCols.map(renamed.col): _*)
+      } else if (byName) {
+        val missing = tableCols.filterNot(t => src.columns.exists(_.equalsIgnoreCase(t)))
+        if (missing.nonEmpty)
+          refuse(s"BY NAME source lacks ${missing.mkString(", ")}")
+        src.select(tableCols.map(src.col): _*)
+      } else {
+        // positional: Spark SQL semantics — source names are ignored
+        if (src.columns.length != tableCols.length)
+          refuse(s"source produces ${src.columns.length} columns, table has " +
+            s"${tableCols.length}")
+        src.toDF(tableCols: _*)
+      }
+    if (overwrite) LakeWriter.overwriteDelta(aligned, path)
+    else LakeWriter.appendDelta(aligned, path)
     Seq.empty
   }
 }

@@ -317,6 +317,24 @@ object DeltaQueries {
 
     // time travel: v0 = even keys, v1 appends odd keys; versionAsOf 0
     // must reproduce exactly the even-key state
+    // INSERT OVERWRITE (atomic truncate-and-load) then INSERT INTO
+    // (append), both through the SQL DML surface on a CDF table — the
+    // overwrite stages its table-sized complete change data in the
+    // same commit; final state = overwrite slice + appended slice
+    "delta_overwrite" -> ((s, dir) => {
+      val d = freshDir("ovw")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      t(s, dir, "orders").where("o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8")
+        .createOrReplaceTempView("graft_ovw_src")
+      s.sql(s"INSERT OVERWRITE graft_delta.`$d` SELECT * FROM graft_ovw_src")
+      t(s, dir, "orders").where("o_orderkey % 10 >= 8")
+        .createOrReplaceTempView("graft_ins_src")
+      s.sql(s"INSERT INTO graft_delta.`$d` SELECT * FROM graft_ins_src")
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     "delta_time_travel" -> ((s, dir) => {
       val d = freshDir("tt")
       LakeWriter.writeDelta(
@@ -355,6 +373,11 @@ object DeltaQueries {
          |       SELECT * FROM t WHERE o_orderkey NOT IN (SELECT o_orderkey FROM s))
          |$aggSql
          |FROM m GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_overwrite" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 >= 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_zorder" ->
       s"""$aggSql

@@ -799,6 +799,110 @@ object LakeWriter {
     }
   }
 
+  /** INSERT OVERWRITE — atomically replace the table's ENTIRE live
+    * contents with `df` in ONE commit: dataChange=true removes for
+    * every live file + adds for the staged batch, so readers see the
+    * old table or the new one, never an empty or mixed state (the
+    * non-atomic delete-then-append alternative exposes both). The
+    * truncate-and-load pattern every periodic full-refresh pipeline
+    * uses.
+    *
+    * The new batch obeys exactly [[appendDelta]]'s contract: schema
+    * compatibility by position-free name/type/nullability match,
+    * obligations (CHECK constraints / invariants / generated columns)
+    * enforced in one distributed pass, column-mapped tables staged
+    * under physical names, partitioned tables staged in the table's
+    * declared layout. Row-tracked tables assign fresh ids (overwrite
+    * is a row-CHANGING write — the protocol's non-preserving profile
+    * legally re-identifies every row it rewrites).
+    *
+    * Composes: time travel below the overwrite sees the old contents
+    * (tombstones keep the files until [[vacuumDelta]]); RESTORE
+    * rewinds across it; [[graft.streaming.DeltaTail]] and the
+    * registered streaming source refuse the version loudly
+    * (dataChange removes — their append-only contract). On a CDF
+    * table the commit stages its COMPLETE change data — every old
+    * live row as `delete`, every new row as `insert` — which is by
+    * definition table-sized: a table refreshed by overwrite pays one
+    * extra scan + change-data write per refresh, so only enable CDF
+    * on one when downstream actually folds the feed.
+    *
+    * Scale: one distributed scan of the old table (CDF tables only),
+    * one staging write of the new batch; driver state is O(live
+    * files) remove actions — the same maxSnapshotFiles-gated bound as
+    * every snapshot. appendOnly tables refuse (an overwrite removes
+    * rows).
+    */
+  def overwriteDelta(df0: DataFrame, dir: String, checkpointInterval: Int = 0,
+                     txn: Option[(String, Long)] = None): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = df0.sparkSession
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"overwriteDelta: column mapping mode '$cm' not supported (none/name only)")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
+        "every existing row; forbidden on it")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"overwriteDelta: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val df = enforceObligations(df0, snap, table, "overwriteDelta")
+    require(df.schema.length == table.length,
+      s"overwriteDelta: batch has ${df.schema.length} columns, table has " +
+        s"${table.length} (${table.fieldNames.mkString(", ")})")
+    df.schema.fields.zip(table.fields).foreach { case (a, t) =>
+      require(a.name == t.name && typeCompatible(a.dataType, t.dataType),
+        s"overwriteDelta: schema mismatch at '${t.name}': batch " +
+          s"${a.name}:${a.dataType.simpleString}, table declares ${t.dataType.simpleString}")
+      require(t.nullable || !a.nullable,
+        s"overwriteDelta: column '${a.name}' may carry nulls but the table declares " +
+          "it non-nullable")
+    }
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"overwriteDelta: column mapping is 'name' but field '${f.name}' carries no " +
+            "physicalName metadata — malformed schemaString")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val (staged, stagePartCols) =
+      if (cm == "none") (df, snap.partCols)
+      else (df.select(table.fieldNames.map(c => df.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        val inserts = staged.withColumn("_change_type", lit("insert"))
+        val all =
+          if (snap.active.isEmpty) inserts
+          else {
+            val oldRows = DeltaReader.scanFiles(spark, dir, snap, snap.active)
+            oldRows.select((table.fieldNames.map { c =>
+              oldRows.col(c).as(phys.getOrElse(c, c))
+            } :+ lit("delete").as("_change_type")).toIndexedSeq: _*)
+              .unionByName(inserts)
+          }
+        stageCdc(all, dir, snap.version + 1, stagePartCols)
+      }
+    val removes = snap.active.map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+    }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval, partCols = stagePartCols, txn = txn,
+      extraActions = removes ++ cdcActions, operation = "WRITE",
+      operationParameters = """{"mode":"Overwrite"}""",
+      rowIdBase = RowTracking.rowIdBase(snap))
+  }
+
   /** Every nested field path under `st` carrying `delta.invariants`
     * metadata — PROTOCOL.md allows invariants on struct members, so a
     * top-level-only scan would wave through exactly the unchecked

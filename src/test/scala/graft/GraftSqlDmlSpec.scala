@@ -91,4 +91,69 @@ class GraftSqlDmlSpec extends SparkSpec {
     }
     assert(!e3.getMessage.contains("graft"))
   }
+
+  test("INSERT INTO appends positionally — source column names are ignored") {
+    GraftExtensions.register(spark)
+    val d = freshDir("ins")
+    LakeWriter.writeDelta(base, d)
+    spark.sql(s"INSERT INTO graft_delta.`$d` " +
+      "SELECT CAST(x AS BIGINT), 'q', CAST(7.5 AS DOUBLE) FROM VALUES (200), (201) AS s(x)")
+    val out = DeltaReader.read(spark, d)
+    assert(out.count() == 32)
+    assert(out.where(col("id") === 200L && col("k") === "q" && col("v") === 7.5).count() == 1)
+    // full-width column list in a different order realigns by name
+    spark.sql(s"INSERT INTO graft_delta.`$d` (v, id, k) " +
+      "SELECT CAST(1.25 AS DOUBLE), CAST(300 AS BIGINT), 'w'")
+    assert(DeltaReader.read(spark, d)
+      .where(col("id") === 300L && col("k") === "w" && col("v") === 1.25).count() == 1)
+    // BY NAME matches columns by name regardless of position
+    spark.sql(s"INSERT INTO graft_delta.`$d` BY NAME " +
+      "SELECT 'y' AS k, CAST(2.5 AS DOUBLE) AS v, CAST(400 AS BIGINT) AS id")
+    assert(DeltaReader.read(spark, d)
+      .where(col("id") === 400L && col("k") === "y" && col("v") === 2.5).count() == 1)
+  }
+
+  test("INSERT OVERWRITE atomically replaces the table; history and CDF intact") {
+    GraftExtensions.register(spark)
+    val d = freshDir("ovw")
+    LakeWriter.writeDelta(base, d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    spark.sql(s"INSERT OVERWRITE graft_delta.`$d` " +
+      "SELECT CAST(x AS BIGINT), 'n', CAST(x * 1.0 AS DOUBLE) FROM VALUES (1), (2), (3) AS s(x)")
+    val out = DeltaReader.read(spark, d)
+    assert(out.count() == 3 && out.where(col("k") === "n").count() == 3)
+    // ONE commit: version went 0 -> 1, and time travel below it sees the old table
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0)).count() == 30)
+    // the overwrite's change feed is complete: 30 deletes + 3 inserts
+    val ch = spark.sql(s"SELECT _change_type, count(*) AS n " +
+      s"FROM graft_delta_changes('$d', 1, 1) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 30L, "insert" -> 3L))
+  }
+
+  test("INSERT refusals: partial column list, width mismatch, PARTITION clause") {
+    GraftExtensions.register(spark)
+    val d = freshDir("insref")
+    LakeWriter.writeDelta(base, d)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT INTO graft_delta.`$d` (id, k) SELECT CAST(1 AS BIGINT), 'a'")
+    }
+    assert(e.getMessage.contains("partial-width"))
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT INTO graft_delta.`$d` SELECT CAST(1 AS BIGINT), 'a'")
+    }
+    assert(e2.getMessage.contains("table has 3"))
+    val e3 = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT INTO graft_delta.`$d` PARTITION (k = 'a') " +
+        "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE)")
+    }
+    assert(e3.getMessage.contains("PARTITION"))
+    // appendOnly tables refuse OVERWRITE through the same gate as the API
+    val d2 = freshDir("insao")
+    LakeWriter.writeDelta(base, d2, configuration = Map("delta.appendOnly" -> "true"))
+    val e4 = intercept[IllegalArgumentException] {
+      spark.sql(s"INSERT OVERWRITE graft_delta.`$d2` SELECT * FROM graft_delta('$d2')")
+    }
+    assert(e4.getMessage.contains("appendOnly"))
+  }
 }
