@@ -92,7 +92,11 @@ object GraftExtensions {
     (FunctionIdentifier("graft_delta_changes"), info("graft_delta_changes"),
       (args: Seq[Expression]) => GraftTableFunctions.deltaChangesPlan(args)),
     (FunctionIdentifier("graft_delta_rows"), info("graft_delta_rows"),
-      (args: Seq[Expression]) => GraftTableFunctions.deltaRowsPlan(args))
+      (args: Seq[Expression]) => GraftTableFunctions.deltaRowsPlan(args)),
+    (FunctionIdentifier("graft_delta_history"), info("graft_delta_history"),
+      (args: Seq[Expression]) => GraftTableFunctions.deltaHistoryPlan(args)),
+    (FunctionIdentifier("graft_delta_detail"), info("graft_delta_detail"),
+      (args: Seq[Expression]) => GraftTableFunctions.deltaDetailPlan(args))
   )
 
   /** Register into a live session (equivalent to the extension). */

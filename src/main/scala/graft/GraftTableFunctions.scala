@@ -60,6 +60,31 @@ object GraftTableFunctions {
     graft.sources.DeltaReader.readWithRowIds(spark, path).queryExecution.analyzed
   }
 
+  /** graft_delta_history(path) — DESCRIBE HISTORY as a table: one row
+    * per surviving log commit, newest first (version, operation,
+    * readVersion, engineInfo; nulls for foreign commits).
+    */
+  def deltaHistoryPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.size == 1,
+      s"graft_delta_history(path) takes 1 argument, got ${args.size}")
+    val path = strArg(args, 0, "graft_delta_history")
+    val spark = SparkSession.active
+    graft.sources.DeltaReader.history(spark, path).queryExecution.analyzed
+  }
+
+  /** graft_delta_detail(path[, versionAsOf]) — DESCRIBE DETAIL as a
+    * one-row table (format, id, location, version, partitionColumns,
+    * numFiles, sizeInBytes, properties, protocol).
+    */
+  def deltaDetailPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      s"graft_delta_detail(path[, versionAsOf]) takes 1-2 arguments, got ${args.size}")
+    val path = strArg(args, 0, "graft_delta_detail")
+    val version = if (args.size == 2) Some(longArg(args, 1, "graft_delta_detail")) else None
+    val spark = SparkSession.active
+    graft.sources.DeltaReader.detail(spark, path, version).queryExecution.analyzed
+  }
+
   /** graft_delta_changes(path, fromVersion, toVersion) — the CDF window
     * as a table: the table columns + _change_type + _commit_version.
     */

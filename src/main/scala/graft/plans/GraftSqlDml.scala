@@ -3,10 +3,11 @@ package graft.plans
 import graft.sources.LakeWriter
 import org.apache.spark.sql.{GraftColumnBridge, Row, SparkSession}
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
-import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedIdentifier, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression}
 import org.apache.spark.sql.catalyst.parser.{ParameterContext, ParserInterface}
 import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.types.StructType
 
@@ -35,12 +36,21 @@ import org.apache.spark.sql.types.StructType
   * refusals as the DataFrame API, because it IS the DataFrame API.
   * Every other statement passes through untouched.
   *
-  * MERGE supports exactly the writer's upsert contract: an
-  * equality-conjunction ON clause (the key columns), `WHEN MATCHED
-  * THEN UPDATE SET *`, `WHEN NOT MATCHED THEN INSERT *`. Any other
-  * merge shape (conditional clauses, column-wise SET, DELETE actions,
-  * NOT MATCHED BY SOURCE) refuses loudly with the supported form —
-  * never a silently-different merge.
+  * MERGE supports the full clause grammar over an equality-conjunction
+  * ON clause (the key columns): `WHEN MATCHED [AND c] THEN UPDATE SET *
+  * | SET col = expr, ... | DELETE`, `WHEN NOT MATCHED [AND c] THEN
+  * INSERT * | (cols) VALUES (exprs)`, and `WHEN NOT MATCHED BY SOURCE
+  * [AND c] THEN UPDATE ... | DELETE` — translated onto
+  * [[LakeWriter.mergeIntoClauses]]'s `t`/`s` namespaces (clause
+  * references must be alias-qualified; first-match-wins order is the
+  * engine's own). Non-equality ON terms and WITH SCHEMA EVOLUTION
+  * refuse loudly with the supported form — never a silently-different
+  * merge.
+  *
+  * Table-service statements Spark's grammar lacks (OPTIMIZE / VACUUM /
+  * RESTORE / SHALLOW CLONE) pre-parse before delegation; CREATE
+  * [OR REPLACE] TABLE ... AS SELECT rewrites onto
+  * writeDelta/overwriteDelta ([[GraftCtasCommand]]).
   *
   * Alias hygiene: `DELETE FROM graft_delta.`/d` AS t WHERE t.k = 1`
   * strips the `t.` qualifier before handing the predicate to the
@@ -51,11 +61,13 @@ import org.apache.spark.sql.types.StructType
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlDml.rewrite(delegate.parsePlan(sqlText))
+    GraftSqlDml.parseMaintenance(sqlText)
+      .getOrElse(GraftSqlDml.rewrite(delegate.parsePlan(sqlText)))
 
   override def parsePlanWithParameters(sqlText: String,
                                        context: ParameterContext): LogicalPlan =
-    GraftSqlDml.rewrite(delegate.parsePlanWithParameters(sqlText, context))
+    GraftSqlDml.parseMaintenance(sqlText)
+      .getOrElse(GraftSqlDml.rewrite(delegate.parsePlanWithParameters(sqlText, context)))
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =
@@ -75,6 +87,56 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 }
 
 object GraftSqlDml {
+
+  /** The two table-service statements Spark's grammar does not know —
+    * parsed here BEFORE delegation (the DeltaSqlParser pattern):
+    *
+    *   OPTIMIZE graft_delta.`/d` [ZORDER BY (c1, c2)]
+    *   VACUUM graft_delta.`/d` RETAIN <n> VERSIONS
+    *
+    * OPTIMIZE routes to the small-file compaction (Z-ORDER variant to
+    * the Morton-clustered rewrite); VACUUM's retention is VERSION-based
+    * (keep the newest n versions' files — graft logs carry
+    * deterministic zero timestamps, so an hours-based RETAIN would be
+    * meaningless here; the version form is also what the engine's
+    * vacuumDelta takes). A statement that starts like one of these and
+    * names graft_delta but doesn't match the supported form refuses
+    * loudly with it; OPTIMIZE/VACUUM over other tables delegate (and
+    * fail Spark's own parse — pass-through, not capture).
+    */
+  def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
+    val t = sqlText.trim.stripSuffix(";").trim
+    val optimizeRe =
+      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
+    val vacuumRe =
+      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS$""".r
+    val restoreRe =
+      """(?is)^RESTORE\s+(?:TABLE\s+)?graft_delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
+    val cloneRe =
+      """(?is)^CREATE\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+graft_delta\s*\.\s*`([^`]+)`\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$""".r
+    t match {
+      case optimizeRe(path, c1, c2) =>
+        Some(GraftOptimizeCommand(path,
+          if (c1 == null) None else Some((c1, c2))))
+      case vacuumRe(path, n) =>
+        Some(GraftVacuumCommand(path, n.toLong))
+      case restoreRe(path, v) =>
+        Some(GraftRestoreCommand(path, v.toLong))
+      case cloneRe(dst, src, v) =>
+        Some(GraftCloneCommand(src, dst,
+          if (v == null) None else Some(v.toLong)))
+      case _ if t.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE)\\s.*graft_delta.*") ||
+          t.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*graft_delta.*") =>
+        throw new UnsupportedOperationException(
+          "graft_delta maintenance supports exactly: OPTIMIZE graft_delta.`path` " +
+            "[ZORDER BY (c1, c2)]; VACUUM graft_delta.`path` RETAIN <n> VERSIONS " +
+            "(version-based retention — graft logs carry no wall clock); " +
+            "RESTORE [TABLE] graft_delta.`path` TO VERSION AS OF <v>; " +
+            "CREATE TABLE graft_delta.`dst` SHALLOW CLONE graft_delta.`src` " +
+            s"[VERSION AS OF <v>]. Statement: $t")
+      case _ => None
+    }
+  }
 
   /** The graft table target: `graft_delta`.`<path>`, optionally under
     * an alias. Returns (path, alias).
@@ -103,18 +165,57 @@ object GraftSqlDml {
     case m @ MergeIntoTable(GraftTarget(path, tAlias), source, onCond,
         matched, notMatched, bySource, withSchemaEvolution) =>
       def refuse(why: String): Nothing = throw new UnsupportedOperationException(
-        s"graft_delta MERGE supports exactly: equality-conjunction ON + " +
-          "WHEN MATCHED THEN UPDATE SET * + WHEN NOT MATCHED THEN INSERT * " +
-          s"(the writer's upsert contract); $why. Statement: ${m.simpleString(5)}")
+        s"graft_delta MERGE supports: equality-conjunction ON; WHEN MATCHED [AND c] " +
+          "THEN UPDATE SET * | SET col = expr, ... | DELETE; WHEN NOT MATCHED [AND c] " +
+          "THEN INSERT * | (cols) VALUES (exprs); WHEN NOT MATCHED BY SOURCE [AND c] " +
+          s"THEN UPDATE SET ... | DELETE; $why. Statement: ${m.simpleString(5)}")
       if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
-      if (bySource.nonEmpty) refuse("NOT MATCHED BY SOURCE is not supported")
-      matched match {
-        case Seq(UpdateStarAction(None)) => ()
-        case other => refuse(s"unsupported matched actions $other")
+      // the source's declared alias (or bare relation name) — clause
+      // expressions rewrite onto the engine's `t`/`s` struct namespaces
+      val sAlias: Option[String] = source match {
+        case SubqueryAlias(id, _) => Some(id.name)
+        case u: UnresolvedRelation => Some(u.multipartIdentifier.last)
+        case _ => None
       }
-      notMatched match {
-        case Seq(InsertStarAction(None)) => ()
-        case other => refuse(s"unsupported not-matched actions $other")
+      def clauseSql(e: Expression): String = e.transform {
+        case attr: UnresolvedAttribute if attr.nameParts.length > 1 &&
+            tAlias.exists(attr.nameParts.head.equalsIgnoreCase) =>
+          UnresolvedAttribute("t" +: attr.nameParts.tail)
+        case attr: UnresolvedAttribute if attr.nameParts.length > 1 &&
+            sAlias.exists(attr.nameParts.head.equalsIgnoreCase) =>
+          UnresolvedAttribute("s" +: attr.nameParts.tail)
+        case attr: UnresolvedAttribute if attr.nameParts.length == 1 ||
+            !Seq("t", "s").contains(attr.nameParts.head.toLowerCase) =>
+          refuse(s"clause reference '${attr.sql}' must be qualified with the " +
+            "statement's target/source alias (both rows are in scope)")
+      }.sql
+      def sets(assigns: Seq[Assignment]): Map[String, String] =
+        assigns.map(a => columnName(a.key, tAlias) -> clauseSql(a.value)).toMap
+      val mClauses = matched.map {
+        case UpdateStarAction(cond) =>
+          graft.sources.MergeClause(cond.map(clauseSql), graft.sources.MergeUpdateAll)
+        case UpdateAction(cond, assigns, _) =>
+          graft.sources.MergeClause(cond.map(clauseSql),
+            graft.sources.MergeUpdate(sets(assigns)))
+        case DeleteAction(cond) =>
+          graft.sources.MergeClause(cond.map(clauseSql), graft.sources.MergeDelete)
+        case other => refuse(s"unsupported matched action $other")
+      }
+      val nmClauses = notMatched.map {
+        case InsertStarAction(cond) =>
+          graft.sources.MergeClause(cond.map(clauseSql), graft.sources.MergeInsertAll)
+        case InsertAction(cond, assigns) =>
+          graft.sources.MergeClause(cond.map(clauseSql),
+            graft.sources.MergeInsert(sets(assigns)))
+        case other => refuse(s"unsupported not-matched action $other")
+      }
+      val bsClauses = bySource.map {
+        case UpdateAction(cond, assigns, _) =>
+          graft.sources.MergeClause(cond.map(clauseSql),
+            graft.sources.MergeUpdate(sets(assigns)))
+        case DeleteAction(cond) =>
+          graft.sources.MergeClause(cond.map(clauseSql), graft.sources.MergeDelete)
+        case other => refuse(s"unsupported not-matched-by-source action $other")
       }
       val keys = conjuncts(onCond).map {
         case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
@@ -122,7 +223,7 @@ object GraftSqlDml {
           a.nameParts.last
         case other => refuse(s"ON clause term '${other.sql}' is not t.col = s.col")
       }
-      GraftMergeCommand(path, source, keys)
+      GraftMergeCommand(path, source, keys, mClauses, nmClauses, bsClauses)
     case i @ InsertIntoStatement(GraftTarget(path, _), partitionSpec,
         userSpecifiedCols, query, overwrite, ifPartitionNotExists, byName) =>
       def refuse(why: String): Nothing = throw new UnsupportedOperationException(
@@ -134,8 +235,60 @@ object GraftSqlDml {
           "partitioning governs layout")
       if (ifPartitionNotExists) refuse("IF NOT EXISTS is not supported")
       GraftInsertCommand(path, query, userSpecifiedCols, overwrite, byName)
+    case ctas: CreateTableAsSelect =>
+      ctasPath(ctas.name) match {
+        case Some(path) =>
+          GraftCtasCommand(path, ctas.query,
+            ctasPartCols(ctas.partitioning, "CREATE TABLE ... AS SELECT"),
+            ctasProperties(ctas.tableSpec, "CREATE TABLE ... AS SELECT"),
+            replace = false, ifNotExists = ctas.ignoreIfExists)
+        case None => ctas
+      }
+    case rtas: ReplaceTableAsSelect =>
+      ctasPath(rtas.name) match {
+        case Some(path) =>
+          GraftCtasCommand(path, rtas.query,
+            ctasPartCols(rtas.partitioning, "REPLACE TABLE ... AS SELECT"),
+            ctasProperties(rtas.tableSpec, "REPLACE TABLE ... AS SELECT"),
+            replace = true, ifNotExists = false, orCreate = rtas.orCreate)
+        case None => rtas
+      }
     case other => other
   }
+
+  private def ctasPath(name: LogicalPlan): Option[String] = name match {
+    case UnresolvedIdentifier(Seq(cat, path), _)
+        if cat.equalsIgnoreCase("graft_delta") => Some(path)
+    case _ => None
+  }
+
+  private def ctasPartCols(partitioning: Seq[Transform], stmt: String): Seq[String] =
+    partitioning.map { t =>
+      // the Scala case classes (IdentityTransform) are private[sql];
+      // the public connector interface identifies the shape by name
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else throw new UnsupportedOperationException(
+        s"graft_delta $stmt: only PARTITIONED BY (col, ...) identity partitioning " +
+          s"is supported (the table format's hive layout), got transform '$t'")
+    }
+
+  private def ctasProperties(spec: TableSpecBase, stmt: String): Map[String, String] =
+    spec match {
+      case u: UnresolvedTableSpec =>
+        u.provider.foreach { p =>
+          require(p.equalsIgnoreCase("delta") || p.equalsIgnoreCase("parquet"),
+            s"graft_delta $stmt: USING '$p' — the target IS a graft Delta table " +
+              "(omit USING or say delta)")
+        }
+        require(u.location.isEmpty,
+          s"graft_delta $stmt: LOCATION is the graft_delta.`path` name itself — " +
+            "a second location is ambiguous")
+        u.properties
+      case other => throw new UnsupportedOperationException(
+        s"graft_delta $stmt: unsupported table spec $other")
+    }
 
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
@@ -247,15 +400,128 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
   }
 }
 
-/** `MERGE INTO graft_delta.`path` USING ... ON keys...` — the source
-  * sub-plan resolves lazily at run time (it may itself read graft
-  * TVFs), then routes to the writer's keyed upsert.
+/** `MERGE INTO graft_delta.`path` USING ... ON keys ...` with the full
+  * clause grammar — the source sub-plan resolves lazily at run time
+  * (it may itself read graft TVFs), then routes to the writer's
+  * general clause engine [[LakeWriter.mergeIntoClauses]] (of which the
+  * classic two-star upsert is the special case).
   */
-case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String])
+case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String],
+                             matched: Seq[graft.sources.MergeClause],
+                             notMatched: Seq[graft.sources.MergeClause],
+                             bySource: Seq[graft.sources.MergeClause])
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeWriter.mergeInto(spark, path, GraftColumnBridge.ofRows(spark, source), keys)
+    LakeWriter.mergeIntoClauses(spark, path, GraftColumnBridge.ofRows(spark, source),
+      keys, matched, notMatched, bySource)
+    Seq.empty
+  }
+}
+
+/** `OPTIMIZE graft_delta.`path` [ZORDER BY (c1, c2)]` — small-file
+  * compaction / Morton-clustered rewrite through the production
+  * maintenance ops (dataChange=false commits, row-tracking preserved
+  * profile, DV folding — everything the DataFrame API does).
+  */
+case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    zorder match {
+      case Some((c1, c2)) => LakeWriter.compactDeltaZOrder(spark, path, c1, c2)
+      case None => LakeWriter.compactDelta(spark, path)
+    }
+    Seq.empty
+  }
+}
+
+/** `VACUUM graft_delta.`path` RETAIN <n> VERSIONS` — physical
+  * retention cleanup keeping the files any of the newest n versions
+  * references (horizon = latest - n + 1, clamped at 0). Version-based
+  * because graft's deterministic logs carry no wall clock.
+  */
+case class GraftVacuumCommand(path: String, retainVersions: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(retainVersions >= 1,
+      s"VACUUM graft_delta: RETAIN $retainVersions VERSIONS must keep at least the " +
+        "latest version")
+    val latest = graft.sources.DeltaReader.snapshot(spark, path, None).version
+    LakeWriter.vacuumDelta(spark, path, math.max(latest - retainVersions + 1, 0L))
+    Seq.empty
+  }
+}
+
+/** `RESTORE [TABLE] graft_delta.`path` TO VERSION AS OF <v>` — the
+  * forward rewind commit (metadata-only, pre-restore history stays
+  * time-travelable), via [[LakeWriter.restoreDelta]] with all its
+  * refusals (metadata changes, vacuumed files, appendOnly, CDF).
+  */
+case class GraftRestoreCommand(path: String, version: Long)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.restoreDelta(spark, path, version)
+    Seq.empty
+  }
+}
+
+/** `CREATE TABLE graft_delta.`dst` SHALLOW CLONE graft_delta.`src`
+  * [VERSION AS OF <v>]` — a zero-copy metadata clone referencing the
+  * source's data files, via [[LakeWriter.cloneDelta]].
+  */
+case class GraftCloneCommand(srcPath: String, dstPath: String,
+                             version: Option[Long])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.cloneDelta(spark, srcPath, dstPath, version)
+    Seq.empty
+  }
+}
+
+/** `CREATE [OR REPLACE] TABLE graft_delta.`path` [PARTITIONED BY ...]
+  * [TBLPROPERTIES ...] AS SELECT ...` — create routes to writeDelta
+  * (version-0 commit with the declared layout and configuration);
+  * REPLACE of an existing table routes to the atomic truncate-and-load
+  * [[LakeWriter.overwriteDelta]], which keeps history and the table's
+  * existing metadata — so a schema- or layout-changing REPLACE refuses
+  * loudly instead of silently re-authoring what readers rely on.
+  */
+case class GraftCtasCommand(path: String, query: LogicalPlan,
+                            partCols: Seq[String],
+                            properties: Map[String, String],
+                            replace: Boolean, ifNotExists: Boolean,
+                            orCreate: Boolean = false)
+    extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(query)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val exists = fs.exists(new org.apache.hadoop.fs.Path(root, "_delta_log"))
+    if (exists && !replace) {
+      if (ifNotExists) return Seq.empty
+      throw new IllegalStateException(
+        s"graft_delta CTAS: table $path already exists — use IF NOT EXISTS to " +
+          "no-op or CREATE OR REPLACE to atomically swap contents")
+    }
+    if (!exists && replace && !orCreate)
+      throw new IllegalStateException(
+        s"graft_delta REPLACE TABLE: no table at $path — use CREATE OR REPLACE")
+    val df = GraftColumnBridge.ofRows(spark, query)
+    if (exists) {
+      val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+      require(partCols.isEmpty || partCols == snap.partCols,
+        s"graft_delta REPLACE TABLE: declared partitioning (${partCols.mkString(", ")}) " +
+          s"differs from the table's (${snap.partCols.mkString(", ")}) — a REPLACE " +
+          "keeps the table's metadata; drop the clause or recreate the table")
+      require(properties.isEmpty,
+        "graft_delta REPLACE TABLE: TBLPROPERTIES on an existing table are not " +
+          "re-authored by REPLACE (its contents swap atomically, its metadata stays); " +
+          "drop the clause")
+      LakeWriter.overwriteDelta(df, path)
+    } else {
+      LakeWriter.writeDelta(df, path, partitionBy = partCols,
+        configuration = properties)
+    }
     Seq.empty
   }
 }

@@ -108,8 +108,9 @@ object DeltaQueries {
       val d = freshDir("zo")
       LakeWriter.writeDelta(
         t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
-      LakeWriter.compactDeltaZOrder(s, d, "o_custkey", "o_totalprice",
-        filesPerPartition = 4)
+      // driven through the SQL maintenance statement (routes to
+      // compactDeltaZOrder; default filesPerPartition)
+      s.sql(s"OPTIMIZE graft_delta.`$d` ZORDER BY (o_custkey, o_totalprice)")
       statusAgg(DeltaReader.read(s, d))
     }),
 
@@ -323,9 +324,13 @@ object DeltaQueries {
     // same commit; final state = overwrite slice + appended slice
     "delta_overwrite" -> ((s, dir) => {
       val d = freshDir("ovw")
-      LakeWriter.writeDelta(
-        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d,
-        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      // table born through SQL CTAS (routes to writeDelta with the
+      // declared properties), then mutated through SQL INSERTs
+      t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4)
+        .createOrReplaceTempView("graft_ovw_base")
+      s.sql(s"CREATE TABLE graft_delta.`$d` " +
+        "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true') " +
+        "AS SELECT * FROM graft_ovw_base")
       t(s, dir, "orders").where("o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8")
         .createOrReplaceTempView("graft_ovw_src")
       s.sql(s"INSERT OVERWRITE graft_delta.`$d` SELECT * FROM graft_ovw_src")

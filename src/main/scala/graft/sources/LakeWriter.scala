@@ -2,6 +2,30 @@ package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 
+/** One WHEN clause of a general MERGE (see
+  * [[LakeWriter.mergeIntoClauses]]): an optional SQL condition over
+  * the `t` (target) and `s` (source) struct namespaces, and the action
+  * taken by the first clause in its group whose condition holds.
+  */
+final case class MergeClause(condition: Option[String], action: MergeClauseAction)
+
+sealed trait MergeClauseAction
+/** WHEN MATCHED THEN UPDATE SET * — every column takes the source's. */
+case object MergeUpdateAll extends MergeClauseAction
+/** UPDATE SET col = <sql over t.*, s.*> for the listed columns; the
+  * rest keep the target's value. WHEN NOT MATCHED BY SOURCE updates
+  * may reference `t` only (`s` is null there by construction).
+  */
+final case class MergeUpdate(sets: Map[String, String]) extends MergeClauseAction
+/** WHEN [NOT] MATCHED [BY SOURCE] THEN DELETE. */
+case object MergeDelete extends MergeClauseAction
+/** WHEN NOT MATCHED THEN INSERT * — source must carry every column. */
+case object MergeInsertAll extends MergeClauseAction
+/** INSERT (cols) VALUES (<sql over s.*>); unlisted nullable columns
+  * take null, unlisted non-nullable columns refuse.
+  */
+final case class MergeInsert(values: Map[String, String]) extends MergeClauseAction
+
 /** Lake-side sinks. The layout choices are the query accelerators:
   * directory partitioning turns equality/range predicates on the
   * partition column into file-listing pruning (no footer reads at
@@ -1940,26 +1964,13 @@ object LakeWriter {
   def mergeInto(spark: SparkSession, dir: String, source: DataFrame,
                 keyCols: Seq[String],
                 txn: Option[(String, Long)] = None): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, lit, when}
     require(keyCols.nonEmpty, "mergeInto: empty key column list")
+    // the strict historical contract: the source carries EXACTLY the
+    // table's schema (the general engine below only requires key
+    // columns + whatever the clauses reference)
     val snap = DeltaReader.snapshot(spark, dir, None)
-    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"mergeInto: column mapping mode '$cm' not supported")
-    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
-      "mergeInto: table declares delta.appendOnly=true — merges rewrite rows; refusing")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
-      RowTracking.safeExtra(snap)
-    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
-    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
-      s"mergeInto: table requires writer version ${snap.minWriter}" +
-        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
-        " — refusing a rewrite whose obligations this writer cannot honor")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    // CHECK constraints / invariants / generated columns are VERIFIED
-    // on the merged result before the commit (enforceObligations below)
     require(source.schema.length == table.length,
       s"mergeInto: source has ${source.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
@@ -1968,80 +1979,283 @@ object LakeWriter {
         s"mergeInto: schema mismatch at '${t.name}': source " +
           s"${a.name}:${a.dataType.simpleString}, table declares ${t.dataType.simpleString}")
     }
+    // the default upsert IS the two-star special case of the general
+    // clause engine — one implementation, one set of gates
+    mergeIntoClauses(spark, dir, source, keyCols,
+      matched = Seq(MergeClause(None, MergeUpdateAll)),
+      notMatched = Seq(MergeClause(None, MergeInsertAll)),
+      notMatchedBySource = Nil, txn = txn)
+  }
+
+  /** The GENERAL MERGE — conditional multi-clause semantics over the
+    * same copy-on-write machinery as [[mergeInto]]:
+    *
+    *   WHEN MATCHED [AND cond] THEN UPDATE SET * | SET c = expr, ... | DELETE
+    *   WHEN NOT MATCHED [AND cond] THEN INSERT * | (cols) VALUES (exprs)
+    *   WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE ... | DELETE
+    *
+    * Conditions and expressions are SQL over two struct namespaces:
+    * `t` (the target row) and `s` (the source row) — e.g.
+    * `"s.op = 'D'"`, `"t.v + s.v"`. Within each group, clauses apply
+    * FIRST-MATCH-WINS in declaration order (SQL's rule); a row no
+    * clause claims copies through (matched / by-source) or is dropped
+    * (not-matched source rows). An unconditioned clause must be last
+    * in its group — later clauses would be unreachable. This is the
+    * CDC-apply shape: `WHEN MATCHED AND s.op='D' THEN DELETE, WHEN
+    * MATCHED THEN UPDATE SET *, WHEN NOT MATCHED AND s.op!='D' THEN
+    * INSERT *` folds a change stream in one commit. The source needs
+    * only the key columns plus whatever the clauses reference — NOT
+    * the full table schema (UPDATE SET * / INSERT * do require every
+    * table column on the source).
+    *
+    * Semantics shared with [[mergeInto]]: duplicate SOURCE keys refuse
+    * when any MATCHED clause exists (ambiguous governing row; an
+    * insert-only merge legally inserts duplicates), duplicate TARGET
+    * keys each get the clause verdict, SQL null conditions don't
+    * apply, one atomic commit, CDF tables stage their complete change
+    * data (pre/post images for updates, delete rows, inserts — copied-
+    * through rows excluded), obligations verified on every written
+    * row, same writer gates.
+    *
+    * Scale: without BY SOURCE clauses, only files holding matched keys
+    * rewrite (single-key merges stats-prune candidates by the source's
+    * key range first) and an insert-only merge rewrites NOTHING (the
+    * probe scans matched files, inserts stage as new files). WHEN NOT
+    * MATCHED BY SOURCE inspects every live target row BY DEFINITION —
+    * those merges rewrite the table and are priced accordingly.
+    * Returns the rewritten (removed) file paths, sorted.
+    */
+  def mergeIntoClauses(spark: SparkSession, dir: String, source: DataFrame,
+                       keyCols: Seq[String],
+                       matched: Seq[MergeClause],
+                       notMatched: Seq[MergeClause],
+                       notMatchedBySource: Seq[MergeClause] = Nil,
+                       txn: Option[(String, Long)] = None): Seq[String] = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, expr, lit, struct, when}
+    require(keyCols.nonEmpty, "mergeIntoClauses: empty key column list")
+    require(matched.nonEmpty || notMatched.nonEmpty || notMatchedBySource.nonEmpty,
+      "mergeIntoClauses: no clauses — the merge would do nothing")
+    matched.foreach(_.action match {
+      case MergeUpdateAll | MergeDelete | _: MergeUpdate => ()
+      case a => throw new IllegalArgumentException(
+        s"mergeIntoClauses: WHEN MATCHED supports UPDATE/DELETE, got $a")
+    })
+    notMatched.foreach(_.action match {
+      case MergeInsertAll | _: MergeInsert => ()
+      case a => throw new IllegalArgumentException(
+        s"mergeIntoClauses: WHEN NOT MATCHED supports only INSERT, got $a")
+    })
+    notMatchedBySource.foreach(_.action match {
+      case MergeDelete | _: MergeUpdate => ()
+      case a => throw new IllegalArgumentException(
+        s"mergeIntoClauses: WHEN NOT MATCHED BY SOURCE supports UPDATE/DELETE " +
+          s"(there is no source row to insert), got $a")
+    })
+    Seq("WHEN MATCHED" -> matched, "WHEN NOT MATCHED" -> notMatched,
+      "WHEN NOT MATCHED BY SOURCE" -> notMatchedBySource).foreach { case (g, cs) =>
+      cs.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        require(c.condition.nonEmpty,
+          s"mergeIntoClauses: $g clause ${i + 1} has no condition but is not last " +
+            "in its group — the clauses after it are unreachable")
+      }
+    }
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"mergeIntoClauses: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
+        "refusing")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"mergeIntoClauses: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     val badKeys = keyCols.toSet -- table.fieldNames.toSet
     require(badKeys.isEmpty,
-      s"mergeInto: key columns ${badKeys.mkString(", ")} not in the table schema")
+      s"mergeIntoClauses: key columns ${badKeys.mkString(", ")} not in the table schema")
+    val badSrcKeys = keyCols.toSet -- source.columns.toSet
+    require(badSrcKeys.isEmpty,
+      s"mergeIntoClauses: key columns ${badSrcKeys.mkString(", ")} not in the source " +
+        s"(${source.columns.mkString(", ")})")
+    val starActions = matched.exists(_.action == MergeUpdateAll) ||
+      notMatched.exists(_.action == MergeInsertAll)
+    if (starActions) {
+      val missing = table.fieldNames.filterNot(source.columns.contains)
+      require(missing.isEmpty,
+        s"mergeIntoClauses: UPDATE SET * / INSERT * need every table column on the " +
+          s"source; missing ${missing.mkString(", ")}")
+    }
+    val updateTargets = (matched ++ notMatchedBySource).flatMap(_.action match {
+      case MergeUpdate(sets) => sets.keys
+      case _ => Nil
+    }) ++ notMatched.flatMap(_.action match {
+      case MergeInsert(values) => values.keys
+      case _ => Nil
+    })
+    val badTargets = updateTargets.toSet -- table.fieldNames.toSet
+    require(badTargets.isEmpty,
+      s"mergeIntoClauses: SET/INSERT targets ${badTargets.mkString(", ")} not in the " +
+        s"table schema (${table.fieldNames.mkString(", ")})")
 
-    // one governing source row per key, or the merge is ambiguous
-    val dupKeys = source.groupBy(keyCols.map(col): _*)
-      .count().where(col("count") > 1).limit(1).collect()
-    require(dupKeys.isEmpty,
-      s"mergeInto: source carries duplicate keys (e.g. ${dupKeys.headOption
-        .map(_.toSeq.init.mkString("(", ", ", ")")).getOrElse("")}) — each matched " +
-        "target row must have exactly one governing source row; dedup the source first")
+    if (matched.nonEmpty) {
+      val dupKeys = source.groupBy(keyCols.map(col): _*)
+        .count().where(col("count") > 1).limit(1).collect()
+      require(dupKeys.isEmpty,
+        s"mergeIntoClauses: source carries duplicate keys (e.g. ${dupKeys.headOption
+          .map(_.toSeq.init.mkString("(", ", ", ")")).getOrElse("")}) — each matched " +
+          "target row must have exactly one governing source row; dedup the source first")
+    }
 
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
-
-    // which target files hold a matched key — distributed semi-join.
-    // Single-key merges first prune by the source's key RANGE against
-    // file stats: one tiny agg over the source buys skipping every
-    // target file whose key envelope cannot intersect it (a 10-key
-    // merge into a range-laid 100-TB table opens ~10 files, not all)
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
-    val keyCandidates =
-      if (keyCols.size != 1) snap.active
-      else {
-        val k = keyCols.head
-        val r = source.agg(org.apache.spark.sql.functions.min(col(k)),
-          org.apache.spark.sql.functions.max(col(k))).head()
-        (r.get(0), r.get(1)) match {
-          case (mn: Number, mx: Number) =>
-            DeltaStats.prune(spark, snap.active, s"$k >= $mn AND $k <= $mx", snap)
-          case _ => snap.active
-        }
-      }
-    val lineage = DeltaReader.scanFiles(spark, dir, snap, keyCandidates, keepLineage = true)
-    val matchedPaths = lineage.join(srcKeys, keyCols, "left_semi")
-      .select("__dv_path").distinct().collect().map(_.getString(0)).toSet
     def absPath(a: DeltaReader.AddFile): String =
       fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
-    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
-    require(affected.size == matchedPaths.size,
-      s"mergeInto: resolved ${affected.size} of ${matchedPaths.size} matched files " +
-        "back to log entries — path normalization bug, refusing to commit")
-    // an empty source merges to nothing — no commit at all
-    if (matchedPaths.isEmpty && source.isEmpty) return Nil
 
-    // rewrite affected files: matched rows take the source row's values
-    val nonKey = table.fieldNames.filterNot(keyCols.contains).toSeq
-    val srcRen = source.select((keyCols.map(col) ++
-      nonKey.map(c => col(c).as(s"__s_$c")) :+ lit(1).as("__m")).toIndexedSeq: _*)
-    val affectedRows = DeltaReader.scanFiles(spark, dir, snap, affected)
-    val joined = affectedRows.join(srcRen, keyCols, "left")
-    val rewritten = joined
-      .select(table.fields.map { f =>
-        (if (keyCols.contains(f.name)) col(f.name)
-         else when(col("__m").isNotNull, col(s"__s_${f.name}").cast(f.dataType))
-           .otherwise(col(f.name))).as(f.name)
-      }.toIndexedSeq: _*)
-    // inserts: source keys with no live target match. Any target row
-    // matching a source key lives in an AFFECTED file by construction
-    // (affected = files holding matched keys, from the semi-join
-    // above), so the probe scans the affected files only — O(affected),
-    // not a second full-table scan; on a 100-TB table a 10-row merge
-    // reads 10 files twice instead of the lake twice
-    val matchedKeys = affectedRows.join(srcRen.select(keyCols.map(col): _*),
-      keyCols, "left_semi").select(keyCols.map(col): _*).distinct()
-    val inserts = source.join(matchedKeys, keyCols, "left_anti")
-      .select(table.fields.map(f => col(f.name).cast(f.dataType).as(f.name)).toIndexedSeq: _*)
-    // every row this commit writes — matched rewrites, copied-through
-    // survivors, inserts — passes the table's declared checks, the
-    // same whole-write verification real delta-spark's invariant
-    // checker applies to a MERGE's physical plan
-    val upserted = enforceObligations(rewritten.unionByName(inserts), snap, table,
-      "mergeInto")
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // BY SOURCE clauses inspect every live target row — the whole
+    // table is affected by definition. Otherwise only files holding a
+    // matched key (single-key merges stats-prune by the source range).
+    val affected =
+      if (notMatchedBySource.nonEmpty) snap.active
+      else {
+        val keyCandidates =
+          if (keyCols.size != 1) snap.active
+          else {
+            val k = keyCols.head
+            val r = source.agg(org.apache.spark.sql.functions.min(col(k)),
+              org.apache.spark.sql.functions.max(col(k))).head()
+            (r.get(0), r.get(1)) match {
+              case (mn: Number, mx: Number) =>
+                DeltaStats.prune(spark, snap.active, s"$k >= $mn AND $k <= $mx", snap)
+              case _ => snap.active
+            }
+          }
+        val lineage = DeltaReader.scanFiles(spark, dir, snap, keyCandidates,
+          keepLineage = true)
+        val matchedPaths = lineage.join(srcKeys, keyCols, "left_semi")
+          .select("__dv_path").distinct().collect().map(_.getString(0)).toSet
+        val got = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+        require(got.size == matchedPaths.size,
+          s"mergeIntoClauses: resolved ${got.size} of ${matchedPaths.size} matched " +
+            "files back to log entries — path normalization bug, refusing to commit")
+        got
+      }
+    // a merge that touches no file and can insert nothing writes NO commit
+    if (affected.isEmpty && (notMatched.isEmpty || source.isEmpty)) return Nil
+    // matched/by-source clauses rewrite the affected files; an
+    // insert-only merge leaves them in place (the scan below is only
+    // the insert probe)
+    val rewriteNeeded = matched.nonEmpty || notMatchedBySource.nonEmpty
+
+    val affectedRows =
+      if (affected.isEmpty) null
+      else DeltaReader.scanFiles(spark, dir, snap, affected)
+    val srcStruct = source.select((keyCols.map(col) :+
+      struct(source.columns.map(col).toIndexedSeq: _*).as("__s") :+
+      lit(1).as("__m")).toIndexedSeq: _*)
+
+    def condCol(c: MergeClause): Column = c.condition.map(expr).getOrElse(lit(true))
+    val mIdx = matched.zipWithIndex
+    val bIdx = notMatchedBySource.zipWithIndex.map { case (c, j) => (c, 1000 + j) }
+    val deleteCodes = (mIdx ++ bIdx).collect {
+      case (MergeClause(_, MergeDelete), code) => code
+    }
+    val updIdx = (mIdx ++ bIdx).collect {
+      case (c @ MergeClause(_, MergeUpdateAll | _: MergeUpdate), code) => (c, code)
+    }
+    def tField(f: org.apache.spark.sql.types.StructField): Column =
+      col("t").getField(f.name)
+    def updValue(action: MergeClauseAction,
+                 f: org.apache.spark.sql.types.StructField): Option[Column] =
+      action match {
+        case MergeUpdateAll => Some(col("s").getField(f.name).cast(f.dataType))
+        case MergeUpdate(sets) => sets.get(f.name).map(expr(_).cast(f.dataType))
+        case _ => None
+      }
+
+    val (rewritten, cdcRewrite) =
+      if (!rewriteNeeded || affected.isEmpty) (null: DataFrame, null: DataFrame)
+      else {
+        val joinedRaw = affectedRows.join(srcStruct, keyCols.toSeq, "left")
+        val whens = mIdx.map { case (c, i) =>
+          (col("__m").isNotNull && condCol(c), lit(i))
+        } ++ bIdx.map { case (c, code) =>
+          (col("__m").isNull && condCol(c), lit(code))
+        }
+        val joined = joinedRaw.select(
+          struct(table.fieldNames.map(joinedRaw.col(_)).toIndexedSeq: _*).as("t"),
+          col("__s").as("s"), col("__m"))
+        val actCol = whens.foldLeft(Option.empty[Column]) { case (acc, (p, v)) =>
+          Some(acc.map(_.when(p, v)).getOrElse(when(p, v)))
+        }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
+        val withAct = joined.withColumn("__act", actCol)
+        def resultCol(f: org.apache.spark.sql.types.StructField): Column =
+          updIdx.foldLeft(tField(f)) { case (acc, (c, code)) =>
+            updValue(c.action, f).map(v => when(col("__act") === code, v).otherwise(acc))
+              .getOrElse(acc)
+          }
+        val kept =
+          if (deleteCodes.isEmpty) withAct
+          else withAct.where(!col("__act").isin(deleteCodes: _*))
+        val out = kept.select(table.fields.map(f => resultCol(f).as(f.name))
+          .toIndexedSeq: _*)
+        (out, withAct)
+      }
+
+    // insert probe: source keys with no LIVE target match (any match
+    // lives in an affected file by construction when BY SOURCE is off;
+    // with it on, affected = all files)
+    val inserts =
+      if (notMatched.isEmpty) null
+      else {
+        val matchedKeys =
+          if (affected.isEmpty) srcKeys.limit(0)
+          else affectedRows.join(srcKeys, keyCols.toSeq, "left_semi")
+            .select(keyCols.map(col): _*).distinct()
+        val cand = source.join(matchedKeys, keyCols.toSeq, "left_anti")
+          .select(struct(source.columns.map(col).toIndexedSeq: _*).as("s"))
+        val iWhens = notMatched.zipWithIndex.map { case (c, i) => (condCol(c), lit(i)) }
+        val iAct = iWhens.foldLeft(Option.empty[Column]) { case (acc, (p, v)) =>
+          Some(acc.map(_.when(p, v)).getOrElse(when(p, v)))
+        }.map(_.otherwise(lit(-1))).get
+        val ikept = cand.withColumn("__iact", iAct).where(col("__iact") >= 0)
+        def insValue(f: org.apache.spark.sql.types.StructField): Column =
+          notMatched.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+            case (acc, (c, i)) =>
+              val v = c.action match {
+                case MergeInsertAll => col("s").getField(f.name).cast(f.dataType)
+                case MergeInsert(values) => values.get(f.name)
+                  .map(expr(_).cast(f.dataType)).getOrElse {
+                    require(f.nullable,
+                      s"mergeIntoClauses: INSERT clause ${i + 1} omits non-nullable " +
+                        s"column '${f.name}' — list it or make it nullable")
+                    lit(null).cast(f.dataType)
+                  }
+                case _ => acc
+              }
+              when(col("__iact") === i, v).otherwise(acc)
+          }
+        ikept.select(table.fields.map(f => insValue(f).as(f.name)).toIndexedSeq: _*)
+      }
+
+    val written = (Option(rewritten), Option(inserts)) match {
+      case (Some(r), Some(i)) => r.unionByName(i)
+      case (Some(r), None) => r
+      case (None, Some(i)) => i
+      case (None, None) => return Nil
+    }
+    // an insert-only merge where every source row matched (or every
+    // clause filtered) writes nothing — no commit
+    if (!rewriteNeeded && written.isEmpty) return Nil
+    val checked = enforceObligations(written, snap, table, "mergeIntoClauses")
 
     val phys: Map[String, String] =
       if (cm == "none") Map.empty
@@ -2049,38 +2263,50 @@ object LakeWriter {
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
     val (staged, stagePartCols) =
-      if (cm == "none") (upserted, snap.partCols)
-      else (upserted.select(
-        table.fieldNames.map(c => upserted.col(c).as(phys(c))).toIndexedSeq: _*),
+      if (cm == "none") (checked, snap.partCols)
+      else (checked.select(
+        table.fieldNames.map(c => checked.col(c).as(phys(c))).toIndexedSeq: _*),
         snap.partCols.map(phys))
-    // CDF: complete change data = each matched target row's pre- and
-    // post-image (target multiplicity — duplicate target keys each get
-    // their own pair) plus every inserted source row
     val cdcActions =
       if (!cdfEnabled(snap)) Nil
       else {
-        val matched = joined.where(col("__m").isNotNull)
-        val pre = matched.select((table.fieldNames.map { c =>
-          col(c).as(phys.getOrElse(c, c))
-        } :+ lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
-        val post = matched.select((table.fields.map { f =>
-          (if (keyCols.contains(f.name)) col(f.name)
-           else col(s"__s_${f.name}").cast(f.dataType)).as(phys.getOrElse(f.name, f.name))
-        } :+ lit("update_postimage").as("_change_type")).toIndexedSeq: _*)
-        val ins = inserts.select((table.fieldNames.map { c =>
-          inserts.col(c).as(phys.getOrElse(c, c))
-        } :+ lit("insert").as("_change_type")).toIndexedSeq: _*)
-        stageCdc(pre.unionByName(post).unionByName(ins), dir, snap.version + 1,
-          stagePartCols)
+        val updCodes = updIdx.map(_._2)
+        def img(df: DataFrame, cols: Seq[Column], kind: String): DataFrame =
+          df.select((table.fields.zip(cols).map { case (f, c) =>
+            c.as(phys.getOrElse(f.name, f.name))
+          } :+ lit(kind).as("_change_type")).toIndexedSeq: _*)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        if (cdcRewrite != null) {
+          if (updCodes.nonEmpty) {
+            val upd = cdcRewrite.where(col("__act").isin(updCodes: _*))
+            parts += img(upd, table.fields.toSeq.map(tField), "update_preimage")
+            parts += img(upd, table.fields.toSeq.map { f =>
+              updIdx.foldLeft(tField(f)) { case (acc, (c, code)) =>
+                updValue(c.action, f).map(v =>
+                  when(col("__act") === code, v).otherwise(acc)).getOrElse(acc)
+              }
+            }, "update_postimage")
+          }
+          if (deleteCodes.nonEmpty) {
+            val del = cdcRewrite.where(col("__act").isin(deleteCodes: _*))
+            parts += img(del, table.fields.toSeq.map(tField), "delete")
+          }
+        }
+        if (inserts != null)
+          parts += img(inserts, table.fieldNames.toSeq.map(inserts.col), "insert")
+        parts.reduceOption(_.unionByName(_))
+          .map(stageCdc(_, dir, snap.version + 1, stagePartCols))
+          .getOrElse(Nil)
       }
-    val removes = affected.map { a =>
+    val removesFiles = if (rewriteNeeded) affected else Nil
+    val removes = removesFiles.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols, txn = txn,
       extraActions = removes ++ cdcActions, operation = "MERGE",
       rowIdBase = RowTracking.rowIdBase(snap))
-    affected.map(_.path).sorted
+    removesFiles.map(_.path).sorted
   }
 
   /** UPDATE the Delta table SET `set` WHERE `predicate` — copy-on-write

@@ -66,16 +66,49 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(out.where(col("id") === 101L && col("v") === 999.0).count() == 1)
   }
 
+  test("general SQL MERGE: conditional clauses, DELETE actions, BY SOURCE") {
+    GraftExtensions.register(spark)
+    val d = freshDir("gmrg")
+    LakeWriter.writeDelta(base, d)
+    // CDC apply through pure SQL: delete 'D' rows, update the rest,
+    // insert non-deletes that miss; sync-delete rows absent from the
+    // source would need BY SOURCE (below)
+    Seq((1L, 0.0, "D"), (2L, 555.0, "U"), (100L, 9.0, "I"))
+      .toDF("id", "v", "op").createOrReplaceTempView("graft_cdc_src")
+    spark.sql(
+      s"""MERGE INTO graft_delta.`$d` AS t USING graft_cdc_src AS s
+         |ON t.id = s.id
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v + t.v
+         |WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (id, k, v) VALUES (s.id, 'new', s.v)
+         |""".stripMargin)
+    val out = DeltaReader.read(spark, d).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getDouble(2)))).toMap
+    assert(!out.contains(1L))
+    assert(out(2L)._2 == 555.0 + 2.0) // base v for id 2 is 2*1.0
+    assert(out(100L) == ("new", 9.0))
+    assert(out.size == 30)
+    // BY SOURCE: delete every target row the source doesn't cover
+    Seq(2L, 100L).toDF("id").createOrReplaceTempView("graft_keep_src")
+    spark.sql(
+      s"""MERGE INTO graft_delta.`$d` AS t USING graft_keep_src AS s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(DeltaReader.read(spark, d).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(2L, 100L))
+    // unqualified clause references refuse loudly
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(
+        s"""MERGE INTO graft_delta.`$d` AS t USING graft_cdc_src AS s
+           |ON t.id = s.id
+           |WHEN MATCHED AND op = 'D' THEN DELETE""".stripMargin)
+    }
+    assert(e.getMessage.contains("qualified"))
+  }
+
   test("unsupported merge shapes refuse loudly; non-graft DML passes through") {
     val d = freshDir("ref")
     LakeWriter.writeDelta(base, d)
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql(
-        s"""MERGE INTO graft_delta.`$d` AS t USING (SELECT 1L AS id) AS s
-           |ON t.id = s.id
-           |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
-    assert(e.getMessage.contains("upsert contract"))
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(
         s"""MERGE INTO graft_delta.`$d` AS t USING (SELECT 1L AS id) AS s
@@ -155,5 +188,100 @@ class GraftSqlDmlSpec extends SparkSpec {
       spark.sql(s"INSERT OVERWRITE graft_delta.`$d2` SELECT * FROM graft_delta('$d2')")
     }
     assert(e4.getMessage.contains("appendOnly"))
+  }
+
+  test("CTAS creates a partitioned table with properties; IF NOT EXISTS no-ops") {
+    GraftExtensions.register(spark)
+    val d = freshDir("ctas")
+    base.createOrReplaceTempView("graft_ctas_src")
+    spark.sql(s"CREATE TABLE graft_delta.`$d` PARTITIONED BY (k) " +
+      "TBLPROPERTIES ('delta.enableChangeDataFeed' = 'true') " +
+      "AS SELECT * FROM graft_ctas_src")
+    assert(DeltaReader.read(spark, d).count() == 30)
+    // partitioning and properties landed in the table metadata
+    val det = spark.sql(s"SELECT partitionColumns, properties FROM graft_delta_detail('$d')")
+      .head()
+    assert(det.getSeq[String](0) == Seq("k"))
+    assert(det.getMap[String, String](1).get("delta.enableChangeDataFeed").contains("true"))
+    // duplicate create refuses; IF NOT EXISTS no-ops
+    val e = intercept[IllegalStateException] {
+      spark.sql(s"CREATE TABLE graft_delta.`$d` AS SELECT * FROM graft_ctas_src")
+    }
+    assert(e.getMessage.contains("already exists"))
+    spark.sql(s"CREATE TABLE IF NOT EXISTS graft_delta.`$d` AS SELECT * FROM graft_ctas_src")
+    assert(DeltaReader.read(spark, d).count() == 30)
+  }
+
+  test("CREATE OR REPLACE swaps contents atomically and keeps history") {
+    GraftExtensions.register(spark)
+    val d = freshDir("rtas")
+    base.createOrReplaceTempView("graft_rtas_src")
+    spark.sql(s"CREATE TABLE graft_delta.`$d` AS SELECT * FROM graft_rtas_src")
+    spark.sql(s"CREATE OR REPLACE TABLE graft_delta.`$d` " +
+      "AS SELECT * FROM graft_rtas_src WHERE k = 'a'")
+    assert(DeltaReader.read(spark, d).count() == 10)
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0)).count() == 30)
+    // metadata-changing REPLACE shapes refuse loudly
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"CREATE OR REPLACE TABLE graft_delta.`$d` PARTITIONED BY (k) " +
+        "AS SELECT * FROM graft_rtas_src")
+    }
+    assert(e.getMessage.contains("partitioning"))
+    // plain REPLACE of a missing table refuses; OR REPLACE creates
+    val d2 = freshDir("rtas2")
+    val e2 = intercept[IllegalStateException] {
+      spark.sql(s"REPLACE TABLE graft_delta.`$d2` AS SELECT * FROM graft_rtas_src")
+    }
+    assert(e2.getMessage.contains("CREATE OR REPLACE"))
+  }
+
+  test("OPTIMIZE and VACUUM statements route to the maintenance ops") {
+    GraftExtensions.register(spark)
+    val d = freshDir("opt")
+    LakeWriter.writeDelta(base.repartition(6), d)
+    LakeWriter.appendDelta(base.repartition(6), d)
+    val before = spark.sql(s"SELECT numFiles FROM graft_delta_detail('$d')")
+      .head().getLong(0)
+    spark.sql(s"OPTIMIZE graft_delta.`$d`")
+    val after = spark.sql(s"SELECT numFiles FROM graft_delta_detail('$d')")
+      .head().getLong(0)
+    assert(after < before && DeltaReader.read(spark, d).count() == 60)
+    // ZORDER variant: rows intact, layout-only commit
+    spark.sql(s"OPTIMIZE graft_delta.`$d` ZORDER BY (id, v)")
+    assert(DeltaReader.read(spark, d).count() == 60)
+    // VACUUM RETAIN 1 VERSIONS reclaims the pre-optimize files: time
+    // travel to v0 now refuses, latest still reads
+    spark.sql(s"VACUUM graft_delta.`$d` RETAIN 1 VERSIONS")
+    assert(DeltaReader.read(spark, d).count() == 60)
+    intercept[Exception] { DeltaReader.read(spark, d, versionAsOf = Some(0)).count() }
+    // history TVF sees the operations chain, newest first
+    val ops = spark.sql(s"SELECT operation FROM graft_delta_history('$d')")
+      .collect().map(_.getString(0))
+    assert(ops.head == "OPTIMIZE" || ops.contains("OPTIMIZE"))
+    // malformed maintenance against graft_delta refuses with the form
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"VACUUM graft_delta.`$d` RETAIN 3 HOURS")
+    }
+    assert(e.getMessage.contains("RETAIN <n> VERSIONS"))
+  }
+
+  test("RESTORE and SHALLOW CLONE statements route to the table services") {
+    GraftExtensions.register(spark)
+    val d = freshDir("rst")
+    LakeWriter.writeDelta(base, d)
+    spark.sql(s"DELETE FROM graft_delta.`$d` WHERE k = 'a'")
+    assert(DeltaReader.read(spark, d).count() == 20)
+    spark.sql(s"RESTORE TABLE graft_delta.`$d` TO VERSION AS OF 0")
+    assert(DeltaReader.read(spark, d).count() == 30)
+    // clone the pre-restore state by version, zero-copy
+    val c = freshDir("cln")
+    spark.sql(s"CREATE TABLE graft_delta.`$c` SHALLOW CLONE graft_delta.`$d` " +
+      "VERSION AS OF 1")
+    assert(DeltaReader.read(spark, c).count() == 20)
+    // malformed RESTORE refuses with the supported form
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"RESTORE TABLE graft_delta.`$d` TO TIMESTAMP AS OF '2020-01-01'")
+    }
+    assert(e.getMessage.contains("TO VERSION AS OF"))
   }
 }
