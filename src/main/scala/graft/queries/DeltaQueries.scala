@@ -102,6 +102,26 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // the GENERAL MERGE (CDC apply) through the SQL clause grammar:
+    // op D deletes matched rows, other matched rows take a column-wise
+    // SET, non-D misses insert — one atomic commit, first-match-wins
+    "delta_merge_cdc" -> ((s, dir) => {
+      val d = freshDir("mcdc")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      t(s, dir, "orders").where("o_orderkey % 4 = 1")
+        .withColumn("op", expr(
+          "CASE WHEN o_orderkey % 3 = 0 THEN 'D' WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END"))
+        .createOrReplaceTempView("graft_cdc_changes")
+      s.sql(
+        s"""MERGE INTO graft_delta.`$d` AS t USING graft_cdc_changes AS s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.op = 'D' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET o_totalprice = s.o_totalprice * 2
+           |WHEN NOT MATCHED AND s.op != 'D' THEN INSERT *""".stripMargin)
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     // Z-order compaction: layout-only rewrite (dataChange=false) —
     // the read after OPTIMIZE ZORDER must reproduce the rows exactly
     "delta_zorder" -> ((s, dir) => {
@@ -383,6 +403,23 @@ object DeltaQueries {
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 >= 6
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_merge_cdc" ->
+      s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 6),
+         | s AS (SELECT *, CASE WHEN o_orderkey % 3 = 0 THEN 'D'
+         |                     WHEN o_orderkey % 2 = 0 THEN 'U' ELSE 'I' END AS op
+         |       FROM orders WHERE o_orderkey % 4 = 1),
+         | m AS (SELECT t.o_orderkey, t.o_orderstatus,
+         |              CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice * 2
+         |                   ELSE t.o_totalprice END AS o_totalprice,
+         |              COALESCE(s.op = 'D', FALSE) AS del
+         |       FROM t LEFT JOIN s ON t.o_orderkey = s.o_orderkey),
+         | res AS (SELECT o_orderstatus, o_totalprice FROM m WHERE NOT del
+         |         UNION ALL
+         |         SELECT o_orderstatus, o_totalprice FROM s
+         |         WHERE op <> 'D' AND o_orderkey NOT IN (SELECT o_orderkey FROM t))
+         |$aggSql
+         |FROM res GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_zorder" ->
       s"""$aggSql
