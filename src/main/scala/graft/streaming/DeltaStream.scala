@@ -105,6 +105,74 @@ object DeltaStream {
     }
   }
 
+  /** One micro-batch's exactly-once CDC APPLY — the Delta→Delta
+    * replication fold: the batch is a CHANGE-FEED slice (the rows
+    * `readStream.format("graft-delta").option("readChangeFeed","true")`
+    * delivers, `_change_type` + `_commit_version` riding along), and
+    * the target applies it as one clause merge per batch:
+    *
+    *  1. preimages drop (the postimage carries the row's new value);
+    *  2. per key, the LAST change governs — max by (`_commit_version`,
+    *     liveness), so a delete-then-reinsert within the batch lands
+    *     as the reinsert and an update-then-delete as the delete (a
+    *     key must be change-unique WITHIN one source commit, which
+    *     key-unique tables guarantee);
+    *  3. `WHEN MATCHED AND s._change_type = 'delete' THEN DELETE;
+    *     WHEN MATCHED THEN UPDATE SET *; WHEN NOT MATCHED AND
+    *     s._change_type != 'delete' THEN INSERT *` — a delete for an
+    *     absent key is a no-op, exactly the idempotence replication
+    *     needs when the feed starts mid-history.
+    *
+    * The first batch CREATES the target from its surviving rows
+    * (meta columns stripped); the txn watermark gives the same
+    * exactly-once restart discipline as the other batch modes. Work
+    * per batch ∝ changed keys' files, not target size — the same
+    * cost shape as [[graft.streaming.ViewMaintain]], applied to a
+    * full-fidelity table copy instead of an aggregate.
+    */
+  private[graft] def applyCdcBatch(batch: DataFrame, dir: String, appId: String,
+                                   batchId: Long, keyCols: Seq[String],
+                                   partitionBy: Seq[String] = Nil): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, max_by, struct, when}
+    val meta = Seq("_change_type", "_commit_version")
+    val missing = meta.filterNot(batch.columns.contains)
+    require(missing.isEmpty,
+      s"cdcApply expects a change-feed stream (readChangeFeed=true) — the batch " +
+        s"lacks ${missing.mkString(", ")}")
+    val s = batch.sparkSession
+    val dataCols = batch.columns.filterNot(c => meta.contains(c)).toSeq
+    val changes = batch.where(col("_change_type") =!= "update_preimage")
+    val latest = changes.groupBy(keyCols.map(col): _*)
+      .agg(max_by(
+        struct((dataCols :+ "_change_type").map(col).toIndexedSeq: _*),
+        struct(col("_commit_version"),
+          when(col("_change_type") === "delete", lit(0)).otherwise(lit(1))))
+        .as("__last"))
+      .select("__last.*")
+    val hconf = s.sessionState.newHadoopConf()
+    val live = DeltaReader.isDeltaTable(dir, hconf) &&
+      DeltaReader.hasLogEntries(dir, hconf)
+    if (!live) {
+      LakeWriter.writeDelta(
+        latest.where(col("_change_type") =!= "delete")
+          .select(dataCols.map(col): _*),
+        dir, checkpointInterval = 0, partitionBy, Some(appId -> batchId))
+    } else {
+      val snap = DeltaReader.snapshot(s, dir, None)
+      if (batchId > snap.txns.getOrElse(appId, -1L))
+        LakeWriter.mergeIntoClauses(s, dir, latest, keyCols,
+          matched = Seq(
+            graft.sources.MergeClause(Some("s._change_type = 'delete'"),
+              graft.sources.MergeDelete),
+            graft.sources.MergeClause(None, graft.sources.MergeUpdateAll)),
+          notMatched = Seq(
+            graft.sources.MergeClause(Some("s._change_type != 'delete'"),
+              graft.sources.MergeInsertAll)),
+          notMatchedBySource = Nil, txn = Some(appId -> batchId))
+      // else: replay of an already-committed batch — exactly-once skip
+    }
+  }
+
   /** One micro-batch's exactly-once commit — factored out of the
     * foreachBatch closure so the skip/append/create arbitration is
     * directly testable.

@@ -61,9 +61,14 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
     * — [[DeltaStream.commitBatch]]'s exactly-once txn discipline
     * behind the standard API. Append mode appends each micro-batch;
     * `option("mergeKeys", "k1,k2")` switches to the keyed upsert
-    * ([[DeltaStream.upsertBatch]] — the CDC-apply shape, Update mode
-    * allowed). The txn identity scopes by the query checkpoint exactly
-    * as DeltaStream documents; `option("txnAppId", ...)` overrides the
+    * ([[DeltaStream.upsertBatch]], Update mode allowed); adding
+    * `option("cdcApply", "true")` folds a CHANGE-FEED stream instead
+    * ([[DeltaStream.applyCdcBatch]]) — so full Delta→Delta replication
+    * is `readStream.format("graft-delta").option("readChangeFeed",
+    * "true") → writeStream.format("graft-delta").option("mergeKeys",
+    * ...).option("cdcApply", "true")`, exactly-once on both ends. The
+    * txn identity scopes by the query checkpoint exactly as
+    * DeltaStream documents; `option("txnAppId", ...)` overrides the
     * app id.
     */
   override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
@@ -81,10 +86,13 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
     require(outputMode == OutputMode.Append() || mergeKeys.isDefined,
       s"graft-delta sink: output mode $outputMode needs mergeKeys (the append sink " +
         "is append-mode only; updates land via the keyed upsert)")
+    val cdcApply = lower.get("cdcapply").exists(_.toBoolean)
+    require(!cdcApply || mergeKeys.isDefined,
+      "graft-delta sink: cdcApply folds a change feed by key — mergeKeys is required")
     val appId = DeltaStream.scopedAppId(
       lower.getOrElse("txnappid", "graft-delta-sink"), checkpoint)
     val interval = lower.get("checkpointinterval").map(_.toInt).getOrElse(0)
-    new GraftDeltaSink(path, appId, interval, partitionColumns, mergeKeys)
+    new GraftDeltaSink(path, appId, interval, partitionColumns, mergeKeys, cdcApply)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -112,14 +120,17 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
   * pattern) before hitting the writers.
   */
 class GraftDeltaSink(path: String, appId: String, checkpointInterval: Int,
-                     partitionBy: Seq[String], mergeKeys: Option[Seq[String]])
+                     partitionBy: Seq[String], mergeKeys: Option[Seq[String]],
+                     cdcApply: Boolean = false)
     extends Sink {
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val batch = GraftColumnBridge.asBatch(data.toDF())
-    mergeKeys match {
-      case Some(keys) =>
+    (mergeKeys, cdcApply) match {
+      case (Some(keys), true) =>
+        DeltaStream.applyCdcBatch(batch, path, appId, batchId, keys, partitionBy)
+      case (Some(keys), false) =>
         DeltaStream.upsertBatch(batch, path, appId, batchId, keys, partitionBy)
-      case None =>
+      case _ =>
         DeltaStream.commitBatch(batch, path, appId, batchId, checkpointInterval,
           partitionBy)
     }

@@ -191,6 +191,43 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(got == Seq((1L, "a", 1.0), (2L, "B", 20.0), (3L, "c", 3.0)))
   }
 
+  test("cdcApply sink: full Delta-to-Delta replication through the change feed") {
+    val src = freshDir("rsrc"); val dst = freshDir("rdst"); val cp = freshDir("rcp")
+    LakeWriter.writeDelta(base.repartition(2), src,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    LakeWriter.updateWhere(spark, src, "k = 'a'", Map("v" -> "v * 10"))
+    LakeWriter.deleteWhere(spark, src, "id % 7 = 0")
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "id").option("cdcApply", "true")
+        .trigger(Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    replicate()
+    assert(batchRows(dst).toSet == batchRows(src).toSet)
+    // more churn: delete + update + append, replicated incrementally
+    LakeWriter.deleteWhere(spark, src, "k = 'b'")
+    LakeWriter.appendDelta((200 to 203).map(i => (i.toLong, "z", 5.0))
+      .toDF("id", "k", "v"), src)
+    LakeWriter.updateWhere(spark, src, "id = 200", Map("v" -> "99.0"))
+    replicate()
+    assert(batchRows(dst).toSet == batchRows(src).toSet)
+    // restart with nothing new: no duplicates, no changes
+    replicate()
+    assert(batchRows(dst).toSet == batchRows(src).toSet)
+    // update-then-delete of one key within ONE batch lands as the delete
+    LakeWriter.updateWhere(spark, src, "id = 201", Map("v" -> "1000.0"))
+    LakeWriter.deleteWhere(spark, src, "id = 201")
+    replicate()
+    assert(batchRows(dst).toSet == batchRows(src).toSet)
+    assert(!batchRows(dst).exists(_.head == 201L))
+  }
+
   test("source schema matches the batch reader's (and CDF adds the change columns)") {
     val d = freshDir("t")
     LakeWriter.writeDelta(base, d,
