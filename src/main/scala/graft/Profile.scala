@@ -323,6 +323,30 @@ object Profile {
       val rewritten = LakeWriter.mergeInto(spark, dir.getPath, src, Seq("id"))
       println(s"  rewrote ${rewritten.size} file(s)")
     }
+    // clause merge (CDC apply): work ∝ files holding the touched keys,
+    // not table size — the replication fold's per-batch cost shape
+    time("mergeClauses_cdc_20_keys") {
+      import graft.sources.{MergeClause, MergeDelete, MergeInsert, MergeUpdate}
+      val src = spark.range(20).select(
+        (col("id") * (n / 20) + 555).as("id"), lit("cdc").as("v"),
+        when(col("id") % 2 === 0, lit("D")).otherwise(lit("U")).as("op"))
+      val rewritten = LakeWriter.mergeIntoClauses(spark, dir.getPath, src, Seq("id"),
+        matched = Seq(MergeClause(Some("s.op = 'D'"), MergeDelete),
+          MergeClause(None, MergeUpdate(Map("v" -> "s.v")))),
+        notMatched = Seq(MergeClause(Some("s.op != 'D'"),
+          MergeInsert(Map("id" -> "s.id", "v" -> "s.v")))))
+      println(s"  rewrote ${rewritten.size} file(s)")
+    }
+    // insert-only merge must stage new files WITHOUT rewriting any
+    time("mergeClauses_insert_only") {
+      import graft.sources.{MergeClause, MergeInsertAll}
+      val src = spark.range(50)
+        .select((col("id") + n + 1000000L).as("id"), lit("new").as("v"))
+      val rewritten = LakeWriter.mergeIntoClauses(spark, dir.getPath, src, Seq("id"),
+        matched = Nil, notMatched = Seq(MergeClause(None, MergeInsertAll)))
+      require(rewritten.isEmpty, s"insert-only merge rewrote ${rewritten.size} files")
+      println(s"  rewrote 0 file(s), as required")
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
 
     // change-feed catch-up: V cdc commits over one shared cdc parquet —
