@@ -253,7 +253,43 @@ object GraftSqlDml {
             replace = true, ifNotExists = false, orCreate = rtas.orCreate)
         case None => rtas
       }
+    // the ALTER TABLE family — routed to the metadata-commit writers
+    case AddColumns(GraftAlterTarget(path), cols) =>
+      val simple = cols.map { c =>
+        if (c.path.nonEmpty || c.name.length != 1 || c.position.nonEmpty ||
+            c.default.nonEmpty)
+          throw new UnsupportedOperationException(
+            "graft_delta ALTER TABLE ADD COLUMNS supports top-level columns without " +
+              s"FIRST/AFTER position or DEFAULT, got $c")
+        c.name.head -> c.dataType.sql
+      }
+      GraftAlterAddColumnsCommand(path, simple)
+    case RenameColumn(GraftAlterTarget(path), col, newName) =>
+      require(col.name.length == 1,
+        s"graft_delta ALTER TABLE RENAME COLUMN: '${col.name.mkString(".")}' — only " +
+          "top-level columns rename")
+      GraftAlterRenameColumnCommand(path, col.name.head, newName)
+    case DropColumns(GraftAlterTarget(path), cols, _) =>
+      cols.foreach(c => require(c.name.length == 1,
+        s"graft_delta ALTER TABLE DROP COLUMN: '${c.name.mkString(".")}' — only " +
+          "top-level columns drop"))
+      GraftAlterDropColumnsCommand(path, cols.map(_.name.head))
+    case SetTableProperties(GraftAlterTarget(path), props) =>
+      GraftAlterPropertiesCommand(path, props, Nil)
+    case UnsetTableProperties(GraftAlterTarget(path), keys, _) =>
+      GraftAlterPropertiesCommand(path, Map.empty, keys)
     case other => other
+  }
+
+  /** ALTER TABLE statements wrap their target as `UnresolvedTable`. */
+  private object GraftAlterTarget {
+    def unapply(plan: LogicalPlan): Option[String] = plan match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if u.multipartIdentifier.length == 2 &&
+            u.multipartIdentifier.head.equalsIgnoreCase("graft_delta") =>
+        Some(u.multipartIdentifier(1))
+      case _ => None
+    }
   }
 
   private def ctasPath(name: LogicalPlan): Option[String] = name match {
@@ -449,6 +485,40 @@ case class GraftVacuumCommand(path: String, retainVersions: Long)
     val latest = graft.sources.DeltaReader.snapshot(spark, path, None).version
     LakeWriter.vacuumDelta(spark, path, math.max(latest - retainVersions + 1, 0L))
     Seq.empty
+  }
+}
+
+/** The ALTER TABLE family — each a metadata-only commit through the
+  * production writers, with all their gates (CM physical-name
+  * assignment on rename, nullability/feature refusals, protocol
+  * restatement).
+  */
+case class GraftAlterAddColumnsCommand(path: String, cols: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.alterAddColumns(spark, path, cols); Seq.empty
+  }
+}
+
+case class GraftAlterRenameColumnCommand(path: String, from: String, to: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.renameColumn(spark, path, from, to); Seq.empty
+  }
+}
+
+case class GraftAlterDropColumnsCommand(path: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    cols.foreach(LakeWriter.dropColumn(spark, path, _)); Seq.empty
+  }
+}
+
+case class GraftAlterPropertiesCommand(path: String, set: Map[String, String],
+                                       unset: Seq[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.alterProperties(spark, path, set, unset); Seq.empty
   }
 }
 

@@ -326,9 +326,10 @@ object DeltaQueries {
       val d = freshDir("alt")
       LakeWriter.writeDelta(
         t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
-      LakeWriter.alterAddColumns(s, d, Seq("score" -> "double"))
-      LakeWriter.updateWhere(s, d, "o_orderkey % 2 = 0",
-        Map("score" -> "CAST(o_orderkey % 5 AS DOUBLE)"))
+      // driven through SQL (routes to alterAddColumns / updateWhere)
+      s.sql(s"ALTER TABLE graft_delta.`$d` ADD COLUMNS (score DOUBLE)")
+      s.sql(s"UPDATE graft_delta.`$d` SET score = CAST(o_orderkey % 5 AS DOUBLE) " +
+        "WHERE o_orderkey % 2 = 0")
       DeltaReader.read(s, d).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"),

@@ -265,6 +265,41 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("RETAIN <n> VERSIONS"))
   }
 
+  test("ALTER TABLE family routes to the metadata-commit writers") {
+    GraftExtensions.register(spark)
+    val d = freshDir("alter")
+    LakeWriter.writeDelta(base, d)
+    spark.sql(s"ALTER TABLE graft_delta.`$d` ADD COLUMNS (score DOUBLE, tag STRING)")
+    val out = DeltaReader.read(spark, d)
+    assert(out.columns.toSeq == Seq("id", "k", "v", "score", "tag"))
+    assert(out.where(col("score").isNull).count() == 30) // old files read null
+    spark.sql(s"ALTER TABLE graft_delta.`$d` SET TBLPROPERTIES " +
+      "('delta.appendOnly' = 'true', 'graft.note' = 'x')")
+    val props = spark.sql(s"SELECT properties FROM graft_delta_detail('$d')")
+      .head().getMap[String, String](0)
+    assert(props.get("delta.appendOnly").contains("true") && props.get("graft.note").contains("x"))
+    spark.sql(s"ALTER TABLE graft_delta.`$d` UNSET TBLPROPERTIES ('delta.appendOnly')")
+    assert(!spark.sql(s"SELECT properties FROM graft_delta_detail('$d')")
+      .head().getMap[String, String](0).contains("delta.appendOnly"))
+    // rename needs column mapping — a CM table renames metadata-only
+    val cm = freshDir("altercm")
+    LakeWriter.writeDeltaMapped(base, cm)
+    spark.sql(s"ALTER TABLE graft_delta.`$cm` RENAME COLUMN v TO value")
+    assert(DeltaReader.read(spark, cm).columns.toSeq == Seq("id", "k", "value"))
+    spark.sql(s"ALTER TABLE graft_delta.`$cm` DROP COLUMN value")
+    assert(DeltaReader.read(spark, cm).columns.toSeq == Seq("id", "k"))
+    // positioned ADD COLUMNS refuses with the supported form
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"ALTER TABLE graft_delta.`$d` ADD COLUMNS (early INT FIRST)")
+    }
+    assert(e.getMessage.contains("FIRST/AFTER"))
+    // non-graft ALTER passes through to Spark's own resolution
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("ALTER TABLE no_such_table ADD COLUMNS (x INT)")
+    }
+    assert(!e2.getMessage.contains("graft"))
+  }
+
   test("RESTORE and SHALLOW CLONE statements route to the table services") {
     GraftExtensions.register(spark)
     val d = freshDir("rst")
