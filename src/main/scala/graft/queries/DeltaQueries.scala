@@ -102,6 +102,35 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // full Delta→Delta REPLICATION: a CDF source table (delete +
+    // update + append churn) streamed through the registered
+    // readStream CDF source into the cdcApply clause-merge sink; the
+    // REPLICA is aggregated, the oracle recomputes the SOURCE's final
+    // state — replica ≡ source is the whole point
+    "delta_replicate" -> ((s, dir) => {
+      val src = freshDir("repsrc"); val dst = freshDir("repdst")
+      val cp = freshDir("repcp")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), src,
+        configuration = Map("delta.enableChangeDataFeed" -> "true"))
+      LakeWriter.deleteWhere(s, src, "o_orderkey % 3 = 0")
+      LakeWriter.updateWhere(s, src, "o_orderstatus = 'F'",
+        Map("o_totalprice" -> "o_totalprice * 2"))
+      LakeWriter.appendDelta(
+        t(s, dir, "orders")
+          .where("o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8").repartition(2), src)
+      val q = s.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "o_orderkey").option("cdcApply", "true")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+      statusAgg(DeltaReader.read(s, dst))
+    }),
+
     // the GENERAL MERGE (CDC apply) through the SQL clause grammar:
     // op D deletes matched rows, other matched rows take a column-wise
     // SET, non-D misses insert — one atomic commit, first-match-wins
@@ -404,6 +433,20 @@ object DeltaQueries {
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 >= 6
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_replicate" ->
+      s"""WITH t1 AS (SELECT * FROM orders
+         |            WHERE o_orderkey % 10 < 6 AND NOT (o_orderkey % 3 = 0)),
+         | t2 AS (SELECT o_orderstatus,
+         |               CASE WHEN o_orderstatus = 'F' THEN o_totalprice * 2
+         |                    ELSE o_totalprice END AS o_totalprice
+         |        FROM t1),
+         | fin AS (SELECT * FROM t2
+         |         UNION ALL
+         |         SELECT o_orderstatus, o_totalprice FROM orders
+         |         WHERE o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8)
+         |$aggSql
+         |FROM fin GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_merge_cdc" ->
       s"""WITH t AS (SELECT * FROM orders WHERE o_orderkey % 10 < 6),

@@ -2319,10 +2319,13 @@ object LakeWriter {
     * column's declared type. Updating a PARTITION column moves rows
     * across partition directories through the same staging walk the
     * partitioned append uses. Unlike delete, an update writes NEW
-    * values, so tables declaring CHECK constraints, column invariants
-    * or generated columns refuse (this writer cannot enforce them),
-    * as do append-only and CDF-enabled tables. Returns the rewritten
-    * (removed) file paths, sorted; empty = nothing matched, no commit.
+    * values, so the table's declared CHECK constraints, column
+    * invariants and generated columns are VERIFIED on the rewritten
+    * rows in one distributed pass before the commit (enforceObligations
+    * — a violation refuses the whole update); append-only tables
+    * refuse, CDF-enabled tables stage their complete pre/post change
+    * data in the same commit. Returns the rewritten (removed) file
+    * paths, sorted; empty = nothing matched, no commit.
     */
   def updateWhere(spark: SparkSession, dir: String, predicate: String,
                   set: Map[String, String]): Seq[String] = {
