@@ -107,7 +107,7 @@ object GraftSqlDml {
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     val t = sqlText.trim.stripSuffix(";").trim
     val optimizeRe =
-      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
+      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
     val vacuumRe =
       """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS$""".r
     val restoreRe =
@@ -115,9 +115,10 @@ object GraftSqlDml {
     val cloneRe =
       """(?is)^CREATE\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+graft_delta\s*\.\s*`([^`]+)`\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$""".r
     t match {
-      case optimizeRe(path, c1, c2) =>
+      case optimizeRe(path, where, c1, c2) =>
         Some(GraftOptimizeCommand(path,
-          if (c1 == null) None else Some((c1, c2))))
+          if (c1 == null) None else Some((c1, c2)),
+          Option(where).map(_.trim)))
       case vacuumRe(path, n) =>
         Some(GraftVacuumCommand(path, n.toLong))
       case restoreRe(path, v) =>
@@ -278,6 +279,26 @@ object GraftSqlDml {
       GraftAlterPropertiesCommand(path, props, Nil)
     case UnsetTableProperties(GraftAlterTarget(path), keys, _) =>
       GraftAlterPropertiesCommand(path, Map.empty, keys)
+    // ADD CONSTRAINT ... CHECK parses to AddCheckConstraint whose
+    // child is a violation-filter over the relation — we extract path
+    // and condition and do our own validation scan (the filter's
+    // relation can't resolve without a catalog anyway)
+    case acc: AddCheckConstraint =>
+      val target = acc.child.collectFirst {
+        case r @ (_: UnresolvedRelation | _: SubqueryAlias) => r
+      }
+      target.flatMap(GraftTarget.unapply(_).map(_._1)) match {
+        case Some(path) =>
+          GraftAddConstraintCommand(path,
+            acc.checkConstraint.userProvidedName, acc.checkConstraint.condition)
+        case None => acc
+      }
+    case AddConstraint(GraftAlterTarget(path), c) =>
+      throw new UnsupportedOperationException(
+        "graft_delta ALTER TABLE ADD CONSTRAINT supports CHECK constraints " +
+          s"(enforced on every subsequent write), got $c for $path")
+    case DropConstraint(GraftAlterTarget(path), name, _, _) =>
+      GraftAlterPropertiesCommand(path, Map.empty, Seq(s"delta.constraints.$name"))
     case other => other
   }
 
@@ -455,17 +476,22 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String
   }
 }
 
-/** `OPTIMIZE graft_delta.`path` [ZORDER BY (c1, c2)]` — small-file
-  * compaction / Morton-clustered rewrite through the production
-  * maintenance ops (dataChange=false commits, row-tracking preserved
-  * profile, DV folding — everything the DataFrame API does).
+/** `OPTIMIZE graft_delta.`path` [WHERE partPred] [ZORDER BY (c1, c2)]`
+  * — small-file compaction / Morton-clustered rewrite through the
+  * production maintenance ops (dataChange=false commits, row-tracking
+  * preserved profile, DV folding — everything the DataFrame API does).
+  * WHERE scopes the rewrite to matching PARTITIONS (predicates over
+  * non-partition columns refuse) — the form a 100-TB table's nightly
+  * maintenance actually runs.
   */
-case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)])
+case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
+                                where: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     zorder match {
-      case Some((c1, c2)) => LakeWriter.compactDeltaZOrder(spark, path, c1, c2)
-      case None => LakeWriter.compactDelta(spark, path)
+      case Some((c1, c2)) =>
+        LakeWriter.compactDeltaZOrder(spark, path, c1, c2, where = where)
+      case None => LakeWriter.compactDelta(spark, path, where = where)
     }
     Seq.empty
   }
@@ -519,6 +545,30 @@ case class GraftAlterPropertiesCommand(path: String, set: Map[String, String],
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     LakeWriter.alterProperties(spark, path, set, unset); Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft_delta.`path` ADD CONSTRAINT name CHECK (cond)` —
+  * existing rows are VALIDATED first (one distributed scan; any
+  * violation refuses with the count — a table must never declare a
+  * constraint its rows break), then the `delta.constraints.name`
+  * property commits with the writer-version floor bumped so legacy
+  * writers can't append unchecked rows. Every subsequent write
+  * enforces it through the writers' obligation pass.
+  */
+case class GraftAddConstraintCommand(path: String, name: String, condition: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val violations = graft.sources.DeltaReader.read(spark, path)
+      .where(not(coalesce(expr(condition).cast("boolean"), lit(true)))).count()
+    require(violations == 0,
+      s"ADD CONSTRAINT $name: $violations existing row(s) violate ($condition); " +
+        "fix the data first — a constraint the table already breaks would lie to " +
+        "every reader")
+    LakeWriter.alterProperties(spark, path,
+      Map(s"delta.constraints.$name" -> condition))
+    Seq.empty
   }
 }
 

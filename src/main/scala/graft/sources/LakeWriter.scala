@@ -269,9 +269,14 @@ object LakeWriter {
     val newConf = (cur ++ set) -- unset
     val enablingCdf = set.get("delta.enableChangeDataFeed").contains("true") &&
       !cur.get("delta.enableChangeDataFeed").contains("true")
+    // CHECK constraints bind writers from version 3 (PROTOCOL.md) —
+    // stamping one on a v2 table without the floor would let legacy
+    // writers append unchecked rows
+    val addingConstraint = set.keys.exists(_.startsWith("delta.constraints."))
+    val floor = Seq(if (enablingCdf) 4 else 0, if (addingConstraint) 3 else 0).max
     val protocolOverride =
-      if (enablingCdf && snap.minWriter < 4 && snap.minWriter != 7)
-        Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":4}}""")
+      if (floor > 0 && snap.minWriter < floor && snap.minWriter != 7)
+        Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":$floor}}""")
       else None
     commitAlter(spark, dir, snap, snap.schemaJson, snap.partCols, newConf,
       "SET TBLPROPERTIES", protocolOverride)
@@ -1410,8 +1415,50 @@ object LakeWriter {
     * at which retention may physically delete them is an operator
     * decision, exactly as the protocol intends.
     */
+  /** Scope a maintenance rewrite to the partitions matching `where` —
+    * the predicate may reference PARTITION columns only (a data-column
+    * predicate cannot scope whole files; stats-based skipping belongs
+    * to reads). Partition strings cast to their declared types, then
+    * one tiny local-relation filter picks the matching groups — at
+    * 100 TB this is what makes OPTIMIZE usable at all: you compact
+    * yesterday's partitions nightly, never the whole table.
+    */
+  private def partitionScope(spark: SparkSession, snap: DeltaReader.Snapshot,
+                             files: Seq[DeltaReader.AddFile], where: String,
+                             op: String): Seq[DeltaReader.AddFile] = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    require(snap.partCols.nonEmpty,
+      s"$op: WHERE scopes partitions, but the table is unpartitioned — drop the clause")
+    val refs = spark.sessionState.sqlParser.parseExpression(where).collect {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+        a.nameParts.mkString(".")
+    }.distinct
+    val bad = refs.filterNot(r => snap.partCols.exists(_.equalsIgnoreCase(r)))
+    require(bad.isEmpty,
+      s"$op: WHERE may reference only partition columns (${snap.partCols.mkString(", ")})" +
+        s"; got ${bad.mkString(", ")}")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    val typeFor = table.fields.map(f => f.name -> f.dataType).toMap
+    val keys = files.map(_.partitionValues).distinct.zipWithIndex
+    val schema = StructType(StructField("__i", IntegerType) +:
+      snap.partCols.map(c => StructField(c, StringType)))
+    val rows = keys.map { case (pv, i) =>
+      org.apache.spark.sql.Row.fromSeq(i +: snap.partCols.map(c => pv.getOrElse(c, null)))
+    }
+    import scala.jdk.CollectionConverters._
+    val typed = spark.createDataFrame(rows.asJava, schema)
+      .select((col("__i") +: snap.partCols.map(c =>
+        col(c).cast(typeFor(c)).as(c))).toIndexedSeq: _*)
+    val keep = typed.where(expr(where)).select("__i").collect().map(_.getInt(0)).toSet
+    val keptPv = keys.collect { case (pv, i) if keep(i) => pv }.toSet
+    files.filter(f => keptPv(f.partitionValues))
+  }
+
   def compactDelta(spark: SparkSession, dir: String, minFiles: Int = 2,
-                   targetFileBytes: Long = 1L << 30): Unit = {
+                   targetFileBytes: Long = 1L << 30,
+                   where: Option[String] = None): Unit = {
     require(targetFileBytes > 0, s"compactDelta: targetFileBytes $targetFileBytes")
     val snap = DeltaReader.snapshot(spark, dir, None)
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
@@ -1451,7 +1498,9 @@ object LakeWriter {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
-    val groups = snap.active.groupBy(_.partitionValues).filter(_._2.size >= minFiles)
+    val scopedActive = where.map(partitionScope(spark, snap, snap.active, _,
+      "compactDelta")).getOrElse(snap.active)
+    val groups = scopedActive.groupBy(_.partitionValues).filter(_._2.size >= minFiles)
     if (groups.isEmpty) return
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val stage = new org.apache.hadoop.fs.Path(root, s"_compact_${snap.version + 1}")
@@ -2609,7 +2658,8 @@ object LakeWriter {
     * table size).
     */
   def compactDeltaZOrder(spark: SparkSession, dir: String, c1: String, c2: String,
-                         filesPerPartition: Int = 8): Unit = {
+                         filesPerPartition: Int = 8,
+                         where: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{col, lit, percentile_approx, udf}
     require(filesPerPartition > 0, s"compactDeltaZOrder: filesPerPartition $filesPerPartition")
     val snap = DeltaReader.snapshot(spark, dir, None)
@@ -2638,10 +2688,11 @@ object LakeWriter {
         s"compactDeltaZOrder: '$c' is a partition column — it already prunes via " +
           "partitionValues; z-order the within-partition columns instead")
     }
-    val active = snap.active
+    val active = where.map(partitionScope(spark, snap, snap.active, _,
+      "compactDeltaZOrder")).getOrElse(snap.active)
     if (active.isEmpty) return
 
-    // quantile bounds: ONE approximate pass over the live table
+    // quantile bounds: ONE approximate pass over the (scoped) live table
     val all = DeltaReader.scanFiles(spark, dir, snap, active)
     val qs = (1 until 256).map(_ / 256.0)
     val bounds = all.select(

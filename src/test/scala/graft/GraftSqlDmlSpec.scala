@@ -300,6 +300,66 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(!e2.getMessage.contains("graft"))
   }
 
+  test("partition-scoped OPTIMIZE WHERE compacts only matching partitions") {
+    GraftExtensions.register(spark)
+    val d = freshDir("optw")
+    LakeWriter.writeDelta(base.repartition(4), d, partitionBy = Seq("k"))
+    LakeWriter.appendDelta(base.repartition(4), d)
+    def filesPer: Map[String, Int] = DeltaReader.snapshot(spark, d, None).active
+      .groupBy(_.partitionValues("k")).view.mapValues(_.size).toMap
+    val before = filesPer
+    assert(before.values.forall(_ >= 2))
+    spark.sql(s"OPTIMIZE graft_delta.`$d` WHERE k = 'a'")
+    val after = filesPer
+    assert(after("a") == 1)
+    assert(after("b") == before("b") && after("c") == before("c"))
+    assert(DeltaReader.read(spark, d).count() == 60)
+    // scoped ZORDER runs on the matching partition only
+    spark.sql(s"OPTIMIZE graft_delta.`$d` WHERE k = 'b' ZORDER BY (id, v)")
+    assert(filesPer.apply("c") == before("c"))
+    assert(DeltaReader.read(spark, d).count() == 60)
+    // a data-column WHERE refuses — stats skipping belongs to reads
+    val e = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE graft_delta.`$d` WHERE v > 1.0")
+    }
+    assert(e.getMessage.contains("partition columns"))
+    // unpartitioned tables refuse the clause
+    val d2 = freshDir("optw2")
+    LakeWriter.writeDelta(base.repartition(3), d2)
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"OPTIMIZE graft_delta.`$d2` WHERE k = 'a'")
+    }
+    assert(e2.getMessage.contains("unpartitioned"))
+  }
+
+  test("ADD CONSTRAINT validates existing rows, then binds every write") {
+    GraftExtensions.register(spark)
+    val d = freshDir("chk")
+    LakeWriter.writeDelta(base, d)
+    spark.sql(s"ALTER TABLE graft_delta.`$d` ADD CONSTRAINT v_pos CHECK (v > 0)")
+    // the property landed and the writer floor rose past legacy v2
+    val det = spark.sql(s"SELECT properties, minWriterVersion FROM graft_delta_detail('$d')")
+      .head()
+    assert(det.getMap[String, String](0).get("delta.constraints.v_pos").contains("v > 0"))
+    assert(det.getLong(1) >= 3)
+    // subsequent writes enforce it — through SQL INSERT too
+    val e = intercept[Exception] {
+      spark.sql(s"INSERT INTO graft_delta.`$d` SELECT CAST(999 AS BIGINT), 'x', " +
+        "CAST(-5.0 AS DOUBLE)")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    // a constraint existing rows violate refuses with the count
+    val e2 = intercept[IllegalArgumentException] {
+      spark.sql(s"ALTER TABLE graft_delta.`$d` ADD CONSTRAINT big CHECK (v > 100)")
+    }
+    assert(e2.getMessage.contains("violate"))
+    // DROP CONSTRAINT unsets; the insert then lands
+    spark.sql(s"ALTER TABLE graft_delta.`$d` DROP CONSTRAINT v_pos")
+    spark.sql(s"INSERT INTO graft_delta.`$d` SELECT CAST(999 AS BIGINT), 'x', " +
+      "CAST(-5.0 AS DOUBLE)")
+    assert(DeltaReader.read(spark, d).where(col("id") === 999L).count() == 1)
+  }
+
   test("RESTORE and SHALLOW CLONE statements route to the table services") {
     GraftExtensions.register(spark)
     val d = freshDir("rst")
