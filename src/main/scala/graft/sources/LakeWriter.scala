@@ -1181,7 +1181,8 @@ object LakeWriter {
                                  addDataChange: Boolean = true,
                                  operation: String = "WRITE",
                                  operationParameters: String = "{}",
-                                 rowIdBase: Option[Long] = None): Unit = {
+                                 rowIdBase: Option[Long] = None,
+                                 rebase: Option[(DeltaReader.Snapshot, String, Set[String])] = None): Unit = {
     val spark = df.sparkSession
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -1327,8 +1328,23 @@ object LakeWriter {
     // protocol / domainMetadata / txn action in a winner invalidates
     // the read set -> the original loud conflict, and the caller's
     // retryOnConflict re-runs from a fresh snapshot.
-    val rebaseable = !includeMeta && extraActions.isEmpty && txn.isEmpty &&
+    // MUTATION REBASE (the second tier, r10): a predicate mutation
+    // (delete/update) read exactly (a) table metadata/protocol/
+    // watermark and (b) the files it rewrites plus the certainty that
+    // NO OTHER live file holds predicate-matching rows. A winner whose
+    // commits carry only file actions, whose removes are DISJOINT from
+    // our rewrite set, and whose dataChange adds CANNOT hold matching
+    // rows (the same conservative three-valued stats/partition pruner
+    // reads use — may-match counts as conflict) left that read set
+    // intact: re-commit the same staged rewrite at the next free
+    // version with zero re-execution. Anything else -> the loud
+    // conflict, and retryOnConflict re-runs from a fresh snapshot —
+    // exactly real Delta's WriteSerializable discipline, evaluated
+    // file-level.
+    val appendShape = !includeMeta && extraActions.isEmpty && txn.isEmpty &&
       rowIdBase.isEmpty
+    val mutationShape = rebase.isDefined && !includeMeta && txn.isEmpty
+    val rebaseable = appendShape || mutationShape
     var v = version
     var committed = false
     while (!committed) {
@@ -1345,13 +1361,20 @@ object LakeWriter {
           if (!rebaseable || newest < v)
             throw new IllegalStateException(
               s"Delta commit $commit already exists — a concurrent writer won version $v; " +
-                "re-read the table and retry the append", e)
-          val conflicts = (v to newest).flatMap(w => appendConflicts(fs, log, w))
+                "re-read the table and retry the operation", e)
+          val conflicts = (v to newest).flatMap { w =>
+            val base = appendConflicts(fs, log, w)
+            if (base.nonEmpty || rebase.isEmpty) base
+            else {
+              val (snap, pred, readSet) = rebase.get
+              mutationConflicts(spark, fs, log, w, snap, pred, readSet)
+            }
+          }
           if (conflicts.nonEmpty)
             throw new IllegalStateException(
               s"Delta commit $commit already exists — a concurrent writer won version $v " +
-                s"and its commit conflicts with this append (${conflicts.mkString("; ")}); " +
-                "re-read the table and retry the append", e)
+                s"and its commit conflicts with this operation (${conflicts.mkString("; ")}); " +
+                "re-read the table and retry", e)
           v = newest + 1
       }
     }
@@ -1386,6 +1409,64 @@ object LakeWriter {
           .map(kind => s"version $v carries $kind")
       }.toSeq
     finally rd.close()
+  }
+
+  /** Winner-commit file actions that invalidate a predicate mutation's
+    * read set (the mutation-rebase check — only consulted AFTER
+    * [[appendConflicts]] found no metadata-class action): a remove of
+    * a file the mutation rewrites is a write-write conflict, and a
+    * dataChange add whose stats/partition envelope MAY hold
+    * predicate-matching rows invalidates the find phase (those rows
+    * did not exist when it ran). May-match counts as conflict — the
+    * same conservative three-valued pruner reads skip files with.
+    */
+  private def mutationConflicts(spark: SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                log: org.apache.hadoop.fs.Path, w: Long,
+                                snap: DeltaReader.Snapshot, predicate: String,
+                                readFiles: Set[String]): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = new org.apache.hadoop.fs.Path(log, f"$w%020d.json")
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    val (removedHits, newAdds) =
+      try {
+        val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+        val adds = scala.collection.mutable.ArrayBuffer.empty[DeltaReader.AddFile]
+        Iterator.continually(rd.readLine()).takeWhile(_ != null)
+          .filter(_.nonEmpty).foreach { line =>
+            val root = om.readTree(line)
+            if (root.has("remove")) {
+              val path = root.get("remove").get("path").asText()
+              if (readFiles.contains(path)) removed += path
+            }
+            if (root.has("add")) {
+              val a = root.get("add")
+              if (a.get("dataChange") != null && a.get("dataChange").asBoolean()) {
+                val pv = Option(a.get("partitionValues")).map { n =>
+                  import scala.jdk.CollectionConverters._
+                  n.fields().asScala.map { e =>
+                    e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+                  }.toMap
+                }.getOrElse(Map.empty[String, String])
+                adds += DeltaReader.AddFile(a.get("path").asText(), pv,
+                  stats = Option(a.get("stats")).filterNot(_.isNull).map(_.asText()))
+              }
+            }
+          }
+        (removed.toSeq, adds.toSeq)
+      } finally rd.close()
+    val removeConf = removedHits.map(p0 =>
+      s"version $w removed '$p0', which this mutation rewrites")
+    val addConf =
+      if (newAdds.isEmpty) Nil
+      else {
+        val mayMatch = DeltaStats.prune(spark, newAdds, predicate, snap)
+        if (mayMatch.isEmpty) Nil
+        else Seq(s"version $w added ${mayMatch.size} file(s) that may hold rows " +
+          s"matching ($predicate)")
+      }
+    removeConf ++ addConf
   }
 
   /** Write a classic single-file checkpoint at `version`: the replayed
@@ -1703,9 +1784,16 @@ object LakeWriter {
   private def cdfEnabled(snap: DeltaReader.Snapshot): Boolean =
     snap.configuration.get("delta.enableChangeDataFeed").contains("true")
 
-  def deleteWhere(spark: SparkSession, dir: String, predicate: String): Seq[String] = {
+  def deleteWhere(spark: SparkSession, dir: String, predicate: String): Seq[String] =
+    deleteWhereWithSnapshot(spark, dir, predicate, DeltaReader.snapshot(spark, dir, None))
+
+  /** [[deleteWhere]] against a caller-supplied snapshot — the seam the
+    * OCC spec uses to stage a mutation against stale state and prove
+    * the rebase/conflict verdicts (appendDeltaWithSnapshot's pattern).
+    */
+  private[graft] def deleteWhereWithSnapshot(spark: SparkSession, dir: String,
+      predicate: String, snap: DeltaReader.Snapshot): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
-    val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none" || cm == "name",
       s"deleteWhere: column mapping mode '$cm' not supported")
@@ -1785,7 +1873,8 @@ object LakeWriter {
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
       extraActions = removes ++ cdcActions, operation = "DELETE",
-      rowIdBase = RowTracking.rowIdBase(snap))
+      rowIdBase = RowTracking.rowIdBase(snap),
+      rebase = Some((snap, predicate, affected.map(_.path).toSet)))
     affected.map(_.path).sorted
   }
 
@@ -2377,10 +2466,16 @@ object LakeWriter {
     * paths, sorted; empty = nothing matched, no commit.
     */
   def updateWhere(spark: SparkSession, dir: String, predicate: String,
-                  set: Map[String, String]): Seq[String] = {
+                  set: Map[String, String]): Seq[String] =
+    updateWhereWithSnapshot(spark, dir, predicate, set,
+      DeltaReader.snapshot(spark, dir, None))
+
+  /** [[updateWhere]] against a caller-supplied snapshot (OCC seam). */
+  private[graft] def updateWhereWithSnapshot(spark: SparkSession, dir: String,
+      predicate: String, set: Map[String, String],
+      snap: DeltaReader.Snapshot): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(set.nonEmpty, "updateWhere: empty SET clause")
-    val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none" || cm == "name",
       s"updateWhere: column mapping mode '$cm' not supported")
@@ -2467,7 +2562,8 @@ object LakeWriter {
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
       extraActions = removes ++ cdcActions, operation = "UPDATE",
-      rowIdBase = RowTracking.rowIdBase(snap))
+      rowIdBase = RowTracking.rowIdBase(snap),
+      rebase = Some((snap, predicate, affected.map(_.path).toSet)))
     affected.map(_.path).sorted
   }
 

@@ -79,4 +79,69 @@ class OccRebaseSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("a concurrent writer won"))
   }
+
+  test("mutation rebase: a stale delete lands past a provably-disjoint append") {
+    val d = freshDir("md")
+    // id-sorted files so add.stats give tight min/max envelopes
+    LakeWriter.writeDelta(rows(1, 100, "a").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), d)
+    val stale = DeltaReader.snapshot(spark, d, None)
+    // the winner appends ids 1000+, provably outside the delete's
+    // predicate by the stats envelope — the loser must rebase to v2
+    // with no exception and no re-run
+    LakeWriter.appendDelta(rows(1000, 1010, "w")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id"), d)
+    val removed = LakeWriter.deleteWhereWithSnapshot(spark, d, "id <= 10", stale)
+    assert(removed.nonEmpty)
+    val snap = DeltaReader.snapshot(spark, d, None)
+    assert(snap.version == 2L, s"rebase must land at v2, got ${snap.version}")
+    val got = DeltaReader.read(spark, d)
+    assert(got.count() == 90 + 11)
+    assert(got.where(col("id") <= 10).count() == 0)
+    assert(got.where(col("id") >= 1000).count() == 11)
+  }
+
+  test("mutation rebase refuses when the winner may hold matching rows or touched our files") {
+    // winner appends rows INSIDE the predicate envelope -> loud conflict
+    val d = freshDir("mc")
+    LakeWriter.writeDelta(rows(1, 100, "a").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), d)
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.appendDelta(rows(5, 6, "w"), d)
+    val e = intercept[IllegalStateException] {
+      LakeWriter.deleteWhereWithSnapshot(spark, d, "id <= 10", stale)
+    }
+    assert(e.getMessage.contains("may hold rows matching"))
+    // winner rewrote one of the files this mutation rewrites -> conflict
+    val d2 = freshDir("mw")
+    LakeWriter.writeDelta(rows(1, 100, "a").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), d2)
+    val stale2 = DeltaReader.snapshot(spark, d2, None)
+    LakeWriter.deleteWhere(spark, d2, "id = 3") // rewrites the low file
+    val e2 = intercept[IllegalStateException] {
+      LakeWriter.deleteWhereWithSnapshot(spark, d2, "id <= 10", stale2)
+    }
+    assert(e2.getMessage.contains("which this mutation rewrites"))
+    // the documented recovery works: retryOnConflict re-runs fresh
+    LakeWriter.retryOnConflict() {
+      LakeWriter.deleteWhere(spark, d2, "id <= 10")
+    }
+    assert(DeltaReader.read(spark, d2).where(col("id") <= 10).count() == 0)
+  }
+
+  test("stale update rebases past a disjoint append; values land correctly") {
+    val d = freshDir("mu")
+    LakeWriter.writeDelta(rows(1, 100, "a").repartitionByRange(4, col("id"))
+      .sortWithinPartitions("id"), d)
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.appendDelta(rows(1000, 1002, "w")
+      .repartitionByRange(1, col("id")).sortWithinPartitions("id"), d)
+    LakeWriter.updateWhereWithSnapshot(spark, d, "id <= 5",
+      Map("v" -> "v * 10"), stale)
+    assert(DeltaReader.snapshot(spark, d, None).version == 2L)
+    val got = DeltaReader.read(spark, d)
+    assert(got.where(col("id") === 3L).head().getDouble(2) == 30.0)
+    assert(got.where(col("id") === 1000L).head().getDouble(2) == 1000.0)
+    assert(got.count() == 103)
+  }
 }
