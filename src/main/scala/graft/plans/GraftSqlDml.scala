@@ -231,11 +231,14 @@ object GraftSqlDml {
         s"graft_delta INSERT supports exactly: INSERT [OVERWRITE] [BY NAME] " +
           "with a full-width row set (optionally naming ALL table columns); " +
           s"$why. Statement: ${i.simpleString(5)}")
-      if (partitionSpec.nonEmpty)
-        refuse("PARTITION clauses are not supported — the table's own declared " +
-          "partitioning governs layout")
+      val static = partitionSpec.collect { case (k, Some(v)) => k -> v }
+      if (partitionSpec.size != static.size)
+        refuse("dynamic PARTITION columns are not supported — give every listed " +
+          "partition column a value or drop the clause")
+      if (static.nonEmpty && (userSpecifiedCols.nonEmpty || byName))
+        refuse("PARTITION (col = value) composes with the positional form only")
       if (ifPartitionNotExists) refuse("IF NOT EXISTS is not supported")
-      GraftInsertCommand(path, query, userSpecifiedCols, overwrite, byName)
+      GraftInsertCommand(path, query, userSpecifiedCols, overwrite, byName, static)
     case ctas: CreateTableAsSelect =>
       ctasPath(ctas.name) match {
         case Some(path) =>
@@ -413,19 +416,51 @@ case class GraftUpdateCommand(path: String, predicate: String,
   */
 case class GraftInsertCommand(path: String, source: LogicalPlan,
                               userCols: Seq[String], overwrite: Boolean,
-                              byName: Boolean)
+                              byName: Boolean,
+                              partitionSpec: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    val tableCols = graft.sources.DeltaReader.snapshot(spark, path, None) match {
-      case snap => org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-        .asInstanceOf[StructType].fieldNames.toSeq
-    }
+    import org.apache.spark.sql.functions.{expr, lit}
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+    val tableSchema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    val tableCols = tableSchema.fieldNames.toSeq
     val src = GraftColumnBridge.ofRows(spark, source)
     def refuse(why: String): Nothing = throw new UnsupportedOperationException(
       s"graft_delta INSERT into $path: $why (table columns: " +
         s"${tableCols.mkString(", ")}; source columns: " +
         s"${src.columns.mkString(", ")})")
+    if (partitionSpec.nonEmpty) {
+      // static partition form: PARTITION (dt = 'x') supplies those
+      // columns as literals, the SELECT supplies the rest positionally;
+      // OVERWRITE replaces exactly that partition window atomically
+      // (overwriteWhere), plain INSERT appends into it
+      val badKeys = partitionSpec.keys.filterNot(k =>
+        snap.partCols.exists(_.equalsIgnoreCase(k)))
+      if (badKeys.nonEmpty)
+        refuse(s"PARTITION names ${badKeys.mkString(", ")}, but the table " +
+          s"partitions by (${snap.partCols.mkString(", ")})")
+      val rest = tableCols.filterNot(c =>
+        partitionSpec.keys.exists(_.equalsIgnoreCase(c)))
+      if (src.columns.length != rest.length)
+        refuse(s"with PARTITION (${partitionSpec.keys.mkString(", ")}) the source " +
+          s"must produce the remaining ${rest.length} columns, got ${src.columns.length}")
+      val typeOf = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+      val withParts = partitionSpec.foldLeft(src.toDF(rest: _*)) { case (d, (k, v)) =>
+        val name = tableCols.find(_.equalsIgnoreCase(k)).get
+        d.withColumn(name, lit(v).cast(typeOf(name)))
+      }
+      val aligned = withParts.select(tableCols.map(withParts.col): _*)
+      if (overwrite) {
+        val pred = partitionSpec.map { case (k, v) =>
+          val name = tableCols.find(_.equalsIgnoreCase(k)).get
+          s"$name = CAST('${v.replace("'", "''")}' AS ${typeOf(name).sql})"
+        }.mkString(" AND ")
+        LakeWriter.overwriteWhere(aligned, path, pred)
+      } else LakeWriter.appendDelta(aligned, path)
+      return Seq.empty
+    }
     val aligned =
       if (userCols.nonEmpty) {
         // INSERT INTO t (a, b, c): the list names ALL table columns in

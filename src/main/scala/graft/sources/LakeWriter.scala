@@ -828,6 +828,131 @@ object LakeWriter {
     }
   }
 
+  /** REPLACE WHERE — atomically overwrite exactly the rows matching
+    * `predicate` with `df` in ONE commit (delta-spark's replaceWhere):
+    * files holding matching live rows rewrite to their NON-matching
+    * survivors, the matching rows drop, and the new batch stages as
+    * fresh adds — the daily-partition-reload idiom (`INSERT OVERWRITE
+    * ... PARTITION (dt='x')` routes here with the partition equality
+    * as the predicate). EVERY new row must satisfy the predicate
+    * (verified in one distributed pass before the commit — rows
+    * outside it would silently survive the next replace of the same
+    * window; delta-spark refuses identically). The new batch gets
+    * appendDelta's full contract (obligations, schema compatibility,
+    * CM physical staging, declared partition layout, fresh row ids);
+    * CDF tables stage complete change data (matching rows as delete +
+    * new rows as insert). A partition-equality predicate never reads
+    * non-matching partitions (stats/partition pruning in the find
+    * phase), and the commit is mutation-REBASEABLE: losing a race to
+    * a winner provably disjoint from both the rewrite set and the
+    * predicate re-commits without re-running. Returns the rewritten
+    * (removed) file paths, sorted.
+    */
+  def overwriteWhere(df0: DataFrame, dir: String, predicate: String,
+                     txn: Option[(String, Long)] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
+    val spark = df0.sparkSession
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"overwriteWhere: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
+        "rows; forbidden on it")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      RowTracking.safeExtra(snap)
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"overwriteWhere: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val df = enforceObligations(df0, snap, table, "overwriteWhere")
+    require(df.schema.length == table.length,
+      s"overwriteWhere: batch has ${df.schema.length} columns, table has " +
+        s"${table.length} (${table.fieldNames.mkString(", ")})")
+    df.schema.fields.zip(table.fields).foreach { case (a, t) =>
+      require(a.name == t.name && typeCompatible(a.dataType, t.dataType),
+        s"overwriteWhere: schema mismatch at '${t.name}': batch " +
+          s"${a.name}:${a.dataType.simpleString}, table declares ${t.dataType.simpleString}")
+      require(t.nullable || !a.nullable,
+        s"overwriteWhere: column '${a.name}' may carry nulls but the table declares " +
+          "it non-nullable")
+    }
+    val pred = expr(predicate)
+    // every new row must land INSIDE the replaced window
+    val outside = df.where(not(coalesce(pred, lit(false)))).limit(1).collect()
+    require(outside.isEmpty,
+      s"overwriteWhere: the batch carries rows NOT matching ($predicate) — e.g. " +
+        s"${outside.headOption.map(_.toString).getOrElse("")}; they would silently " +
+        "survive the next replace of this window. Filter the batch or widen the " +
+        "predicate")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val candidates = DeltaStats.prune(spark, snap.active, predicate, snap)
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, candidates, keepLineage = true)
+    val matchedPaths = lineage.where(pred).select("__dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"overwriteWhere: resolved ${affected.size} of ${matchedPaths.size} matched " +
+        "files back to log entries — path normalization bug, refusing to commit")
+
+    val survivors =
+      if (affected.isEmpty) null
+      else DeltaReader.scanFiles(spark, dir, snap, affected)
+        .where(not(coalesce(pred, lit(false))))
+    val replaced = Option(survivors).map(_.unionByName(df)).getOrElse(df)
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"overwriteWhere: column mapping is 'name' but field '${f.name}' carries " +
+            "no physicalName metadata — malformed schemaString")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val (staged, stagePartCols) =
+      if (cm == "none") (replaced, snap.partCols)
+      else (replaced.select(
+        table.fieldNames.map(c => replaced.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        val inserts = df.select((table.fieldNames.map { c =>
+          df.col(c).as(phys.getOrElse(c, c))
+        } :+ lit("insert").as("_change_type")).toIndexedSeq: _*)
+        val all =
+          if (affected.isEmpty) inserts
+          else {
+            val deleted = DeltaReader.scanFiles(spark, dir, snap, affected)
+              .where(coalesce(pred, lit(false)))
+            deleted.select((table.fieldNames.map { c =>
+              deleted.col(c).as(phys.getOrElse(c, c))
+            } :+ lit("delete").as("_change_type")).toIndexedSeq: _*)
+              .unionByName(inserts)
+          }
+        stageCdc(all, dir, snap.version + 1, stagePartCols)
+      }
+    val removes = affected.map { a =>
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+    }
+    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval = 0, partCols = stagePartCols, txn = txn,
+      extraActions = removes ++ cdcActions, operation = "WRITE",
+      operationParameters =
+        s"""{"mode":"Overwrite","predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
+      rowIdBase = RowTracking.rowIdBase(snap),
+      rebase = Some((snap, predicate, affected.map(_.path).toSet)))
+    affected.map(_.path).sorted
+  }
+
   /** INSERT OVERWRITE — atomically replace the table's ENTIRE live
     * contents with `df` in ONE commit: dataChange=true removes for
     * every live file + adds for the staged batch, so readers see the

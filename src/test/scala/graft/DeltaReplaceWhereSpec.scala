@@ -1,0 +1,92 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** REPLACE WHERE — the atomic partition-window overwrite
+  * (overwriteWhere) and its SQL static-partition INSERT form.
+  */
+class DeltaReplaceWhereSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_rw_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  private def base: DataFrame =
+    (1 to 30).map(i => (i.toLong, Seq("a", "b", "c")(i % 3), i * 1.0))
+      .toDF("id", "k", "v")
+
+  test("overwriteWhere replaces exactly the matching window in one commit") {
+    val d = freshDir("api")
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"),
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val fresh = Seq((100L, "a", 1.0), (101L, "a", 2.0)).toDF("id", "k", "v")
+    val removed = LakeWriter.overwriteWhere(fresh, d, "k = 'a'")
+    assert(removed.nonEmpty)
+    val out = DeltaReader.read(spark, d)
+    assert(out.where(col("k") === "a").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(100L, 101L))
+    assert(out.where(col("k") =!= "a").count() == 20) // other partitions untouched
+    // ONE commit; time travel below it sees the old window
+    assert(DeltaReader.snapshot(spark, d, None).version == 1L)
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0))
+      .where(col("k") === "a").count() == 10)
+    // complete change data: 10 deletes + 2 inserts
+    val ch = DeltaReader.readChanges(spark, d, 1, 1)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 10L, "insert" -> 2L))
+  }
+
+  test("a batch carrying rows outside the predicate refuses loudly") {
+    val d = freshDir("out")
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"))
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.overwriteWhere(
+        Seq((100L, "a", 1.0), (200L, "b", 2.0)).toDF("id", "k", "v"), d, "k = 'a'")
+    }
+    assert(e.getMessage.contains("NOT matching"))
+    // nothing committed
+    assert(DeltaReader.snapshot(spark, d, None).version == 0L)
+  }
+
+  test("non-partition predicates replace row-level windows too") {
+    val d = freshDir("row")
+    LakeWriter.writeDelta(base, d)
+    LakeWriter.overwriteWhere(
+      Seq((5L, "mid", 0.0)).toDF("id", "k", "v"), d, "id >= 4 AND id <= 6")
+    val out = DeltaReader.read(spark, d)
+    assert(out.count() == 28) // 30 - 3 replaced + 1 new
+    assert(out.where(col("id") === 5L).head().getString(1) == "mid")
+    assert(out.where(col("id") === 4L || col("id") === 6L).count() == 0)
+  }
+
+  test("SQL: INSERT OVERWRITE PARTITION replaces one partition; INSERT INTO appends") {
+    GraftExtensions.register(spark)
+    val d = freshDir("sql")
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"))
+    spark.sql(s"INSERT OVERWRITE graft_delta.`$d` PARTITION (k = 'b') " +
+      "SELECT CAST(500 AS BIGINT), CAST(9.0 AS DOUBLE)")
+    val out = DeltaReader.read(spark, d)
+    assert(out.where(col("k") === "b").collect().map(_.getLong(0)).toSeq == Seq(500L))
+    assert(out.where(col("k") =!= "b").count() == 20)
+    // plain INSERT INTO the partition appends
+    spark.sql(s"INSERT INTO graft_delta.`$d` PARTITION (k = 'b') " +
+      "SELECT CAST(501 AS BIGINT), CAST(10.0 AS DOUBLE)")
+    assert(DeltaReader.read(spark, d).where(col("k") === "b").count() == 2)
+    // dynamic partition spec refuses naming the form
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT OVERWRITE graft_delta.`$d` PARTITION (k) " +
+        "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), 'z'")
+    }
+    assert(e.getMessage.contains("dynamic"))
+    // naming a non-partition column refuses
+    val e2 = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT OVERWRITE graft_delta.`$d` PARTITION (id = '1') " +
+        "SELECT 'b', CAST(1.0 AS DOUBLE)")
+    }
+    assert(e2.getMessage.contains("partitions by"))
+  }
+}
