@@ -232,13 +232,15 @@ object GraftSqlDml {
           "with a full-width row set (optionally naming ALL table columns); " +
           s"$why. Statement: ${i.simpleString(5)}")
       val static = partitionSpec.collect { case (k, Some(v)) => k -> v }
-      if (partitionSpec.size != static.size)
-        refuse("dynamic PARTITION columns are not supported — give every listed " +
-          "partition column a value or drop the clause")
-      if (static.nonEmpty && (userSpecifiedCols.nonEmpty || byName))
-        refuse("PARTITION (col = value) composes with the positional form only")
+      val dynamic = partitionSpec.collect { case (k, None) => k }.toSeq
+      if (dynamic.nonEmpty && !overwrite)
+        refuse("dynamic PARTITION columns only compose with OVERWRITE (for a plain " +
+          "INSERT just include the column in the SELECT)")
+      if (partitionSpec.nonEmpty && (userSpecifiedCols.nonEmpty || byName))
+        refuse("PARTITION clauses compose with the positional form only")
       if (ifPartitionNotExists) refuse("IF NOT EXISTS is not supported")
-      GraftInsertCommand(path, query, userSpecifiedCols, overwrite, byName, static)
+      GraftInsertCommand(path, query, userSpecifiedCols, overwrite, byName,
+        static, dynamic)
     case ctas: CreateTableAsSelect =>
       ctasPath(ctas.name) match {
         case Some(path) =>
@@ -417,11 +419,12 @@ case class GraftUpdateCommand(path: String, predicate: String,
 case class GraftInsertCommand(path: String, source: LogicalPlan,
                               userCols: Seq[String], overwrite: Boolean,
                               byName: Boolean,
-                              partitionSpec: Map[String, String] = Map.empty)
+                              partitionSpec: Map[String, String] = Map.empty,
+                              dynamicCols: Seq[String] = Nil)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.{expr, lit}
+    import org.apache.spark.sql.functions.lit
     val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
     val tableSchema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[StructType]
@@ -431,33 +434,61 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
       s"graft_delta INSERT into $path: $why (table columns: " +
         s"${tableCols.mkString(", ")}; source columns: " +
         s"${src.columns.mkString(", ")})")
-    if (partitionSpec.nonEmpty) {
-      // static partition form: PARTITION (dt = 'x') supplies those
-      // columns as literals, the SELECT supplies the rest positionally;
-      // OVERWRITE replaces exactly that partition window atomically
-      // (overwriteWhere), plain INSERT appends into it
-      val badKeys = partitionSpec.keys.filterNot(k =>
+    if (partitionSpec.nonEmpty || dynamicCols.nonEmpty) {
+      // the PARTITION forms: static columns (dt = 'x') inject as
+      // literals; dynamic columns (Hive order: LAST in the SELECT)
+      // come from the source. OVERWRITE replaces exactly the written
+      // window — the static conjunction plus, for dynamic columns,
+      // the batch's own distinct partition tuples — atomically via
+      // overwriteWhere; plain INSERT appends into it.
+      val badKeys = (partitionSpec.keys ++ dynamicCols).filterNot(k =>
         snap.partCols.exists(_.equalsIgnoreCase(k)))
       if (badKeys.nonEmpty)
         refuse(s"PARTITION names ${badKeys.mkString(", ")}, but the table " +
           s"partitions by (${snap.partCols.mkString(", ")})")
+      val dynNames = dynamicCols.map(k => tableCols.find(_.equalsIgnoreCase(k)).get)
       val rest = tableCols.filterNot(c =>
-        partitionSpec.keys.exists(_.equalsIgnoreCase(c)))
-      if (src.columns.length != rest.length)
-        refuse(s"with PARTITION (${partitionSpec.keys.mkString(", ")}) the source " +
-          s"must produce the remaining ${rest.length} columns, got ${src.columns.length}")
+        partitionSpec.keys.exists(_.equalsIgnoreCase(c)) ||
+          dynNames.exists(_.equalsIgnoreCase(c)))
+      if (src.columns.length != rest.length + dynNames.length)
+        refuse(s"with this PARTITION clause the source must produce the " +
+          s"${rest.length} non-partition columns then the ${dynNames.length} " +
+          s"dynamic partition column(s), got ${src.columns.length}")
       val typeOf = tableSchema.fields.map(f => f.name -> f.dataType).toMap
-      val withParts = partitionSpec.foldLeft(src.toDF(rest: _*)) { case (d, (k, v)) =>
+      val renamed = src.toDF((rest ++ dynNames): _*)
+      val withParts = partitionSpec.foldLeft(renamed) { case (d, (k, v)) =>
         val name = tableCols.find(_.equalsIgnoreCase(k)).get
         d.withColumn(name, lit(v).cast(typeOf(name)))
       }
-      val aligned = withParts.select(tableCols.map(withParts.col): _*)
+      val aligned0 = withParts.select(tableCols.map(withParts.col): _*)
+      val aligned = dynNames.foldLeft(aligned0) { (d, n) =>
+        d.withColumn(n, d.col(n).cast(typeOf(n)))
+      }
       if (overwrite) {
-        val pred = partitionSpec.map { case (k, v) =>
-          val name = tableCols.find(_.equalsIgnoreCase(k)).get
-          s"$name = CAST('${v.replace("'", "''")}' AS ${typeOf(name).sql})"
-        }.mkString(" AND ")
-        LakeWriter.overwriteWhere(aligned, path, pred)
+        def sqlLit(name: String, v: String): String =
+          if (v == null) s"$name IS NULL"
+          else s"$name = CAST('${v.replace("'", "''")}' AS ${typeOf(name).sql})"
+        val staticPred = partitionSpec.map { case (k, v) =>
+          sqlLit(tableCols.find(_.equalsIgnoreCase(k)).get, v)
+        }.toSeq
+        val dynPred =
+          if (dynNames.isEmpty) Nil
+          else {
+            // the replaced window = the batch's own partition tuples;
+            // bounded so the predicate (and the find phase) stays sane
+            val tuples = aligned.select(dynNames.map(aligned.col): _*)
+              .distinct().limit(10001).collect()
+            if (tuples.isEmpty) return Seq.empty // empty batch: no-op
+            if (tuples.length > 10000)
+              refuse("dynamic OVERWRITE would replace >10000 partitions in one " +
+                "statement — split the load or use INSERT OVERWRITE without PARTITION")
+            Seq(tuples.map { r =>
+              dynNames.zipWithIndex.map { case (n, i) =>
+                sqlLit(n, Option(r.get(i)).map(_.toString).orNull)
+              }.mkString("(", " AND ", ")")
+            }.mkString("(", " OR ", ")"))
+          }
+        LakeWriter.overwriteWhere(aligned, path, (staticPred ++ dynPred).mkString(" AND "))
       } else LakeWriter.appendDelta(aligned, path)
       return Seq.empty
     }

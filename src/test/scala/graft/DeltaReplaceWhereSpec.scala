@@ -76,17 +76,31 @@ class DeltaReplaceWhereSpec extends SparkSpec {
     spark.sql(s"INSERT INTO graft_delta.`$d` PARTITION (k = 'b') " +
       "SELECT CAST(501 AS BIGINT), CAST(10.0 AS DOUBLE)")
     assert(DeltaReader.read(spark, d).where(col("k") === "b").count() == 2)
-    // dynamic partition spec refuses naming the form
-    val e = intercept[UnsupportedOperationException] {
-      spark.sql(s"INSERT OVERWRITE graft_delta.`$d` PARTITION (k) " +
-        "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), 'z'")
-    }
-    assert(e.getMessage.contains("dynamic"))
     // naming a non-partition column refuses
     val e2 = intercept[UnsupportedOperationException] {
       spark.sql(s"INSERT OVERWRITE graft_delta.`$d` PARTITION (id = '1') " +
         "SELECT 'b', CAST(1.0 AS DOUBLE)")
     }
     assert(e2.getMessage.contains("partitions by"))
+  }
+
+  test("dynamic partition OVERWRITE replaces exactly the batch's partitions") {
+    GraftExtensions.register(spark)
+    val d = freshDir("dyn")
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"))
+    // batch carries partitions a and c (dynamic column LAST, Hive order)
+    spark.sql(s"INSERT OVERWRITE graft_delta.`$d` PARTITION (k) " +
+      "SELECT CAST(x AS BIGINT), CAST(0.5 AS DOUBLE), p " +
+      "FROM VALUES (600, 'a'), (601, 'c') AS s(x, p)")
+    val out = DeltaReader.read(spark, d)
+    assert(out.where(col("k") === "a").collect().map(_.getLong(0)).toSeq == Seq(600L))
+    assert(out.where(col("k") === "c").collect().map(_.getLong(0)).toSeq == Seq(601L))
+    assert(out.where(col("k") === "b").count() == 10) // untouched partition
+    // dynamic with a plain INSERT refuses (just include the column)
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"INSERT INTO graft_delta.`$d` PARTITION (k) " +
+        "SELECT CAST(1 AS BIGINT), CAST(1.0 AS DOUBLE), 'z'")
+    }
+    assert(e.getMessage.contains("OVERWRITE"))
   }
 }
