@@ -96,7 +96,9 @@ object GraftExtensions {
     (FunctionIdentifier("graft_delta_history"), info("graft_delta_history"),
       (args: Seq[Expression]) => GraftTableFunctions.deltaHistoryPlan(args)),
     (FunctionIdentifier("graft_delta_detail"), info("graft_delta_detail"),
-      (args: Seq[Expression]) => GraftTableFunctions.deltaDetailPlan(args))
+      (args: Seq[Expression]) => GraftTableFunctions.deltaDetailPlan(args)),
+    (FunctionIdentifier("graft_delta_files"), info("graft_delta_files"),
+      (args: Seq[Expression]) => GraftTableFunctions.deltaFilesPlan(args))
   )
 
   /** Register into a live session (equivalent to the extension). */

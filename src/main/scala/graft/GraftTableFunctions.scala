@@ -85,6 +85,33 @@ object GraftTableFunctions {
     graft.sources.DeltaReader.detail(spark, path, version).queryExecution.analyzed
   }
 
+  /** graft_delta_files(path[, versionAsOf]) — the live file inventory
+    * as a table: one row per add (path, partitionValues, size,
+    * numRecords from add.stats, deletion-vector cardinality) — the
+    * ops-debugging surface behind OPTIMIZE/VACUUM decisions. Driver
+    * state is the snapshot's add list, the same maxSnapshotFiles-gated
+    * bound every snapshot read carries.
+    */
+  def deltaFilesPlan(args: Seq[Expression]): LogicalPlan = {
+    require(args.nonEmpty && args.size <= 2,
+      s"graft_delta_files(path[, versionAsOf]) takes 1-2 arguments, got ${args.size}")
+    val path = strArg(args, 0, "graft_delta_files")
+    val version = if (args.size == 2) Some(longArg(args, 1, "graft_delta_files")) else None
+    val spark = SparkSession.active
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, version)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    import spark.implicits._
+    snap.active.map { a =>
+      val numRecords = a.stats.flatMap { s =>
+        try Option(om.readTree(s).get("numRecords")).map(_.asLong)
+        catch { case _: Exception => None }
+      }
+      (graft.sources.DeltaReader.percentDecode(a.path), a.partitionValues,
+        a.size, numRecords, a.dv.map(_.cardinality))
+    }.toDF("path", "partitionValues", "size", "numRecords", "dvCardinality")
+      .queryExecution.analyzed
+  }
+
   /** graft_delta_changes(path, fromVersion, toVersion) — the CDF window
     * as a table: the table columns + _change_type + _commit_version.
     */

@@ -109,7 +109,7 @@ object GraftSqlDml {
     val optimizeRe =
       """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
     val vacuumRe =
-      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS$""".r
+      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?$""".r
     val restoreRe =
       """(?is)^RESTORE\s+(?:TABLE\s+)?graft_delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
     val cloneRe =
@@ -119,8 +119,8 @@ object GraftSqlDml {
         Some(GraftOptimizeCommand(path,
           if (c1 == null) None else Some((c1, c2)),
           Option(where).map(_.trim)))
-      case vacuumRe(path, n) =>
-        Some(GraftVacuumCommand(path, n.toLong))
+      case vacuumRe(path, n, dry) =>
+        Some(GraftVacuumCommand(path, n.toLong, dryRun = dry != null))
       case restoreRe(path, v) =>
         Some(GraftRestoreCommand(path, v.toLong))
       case cloneRe(dst, src, v) =>
@@ -563,20 +563,29 @@ case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
   }
 }
 
-/** `VACUUM graft_delta.`path` RETAIN <n> VERSIONS` — physical
-  * retention cleanup keeping the files any of the newest n versions
-  * references (horizon = latest - n + 1, clamped at 0). Version-based
-  * because graft's deterministic logs carry no wall clock.
+/** `VACUUM graft_delta.`path` RETAIN <n> VERSIONS [DRY RUN]` —
+  * physical retention cleanup keeping the files any of the newest n
+  * versions references (horizon = latest - n + 1, clamped at 0).
+  * Version-based because graft's deterministic logs carry no wall
+  * clock. DRY RUN computes and RETURNS the reclaimable paths (one
+  * `path` row each) with zero side effects — the look-before-you-leap
+  * an operator wants before an irreversible delete.
   */
-case class GraftVacuumCommand(path: String, retainVersions: Long)
+case class GraftVacuumCommand(path: String, retainVersions: Long,
+                              dryRun: Boolean = false)
     extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    if (!dryRun) Nil
+    else Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "path", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
     require(retainVersions >= 1,
       s"VACUUM graft_delta: RETAIN $retainVersions VERSIONS must keep at least the " +
         "latest version")
     val latest = graft.sources.DeltaReader.snapshot(spark, path, None).version
-    LakeWriter.vacuumDelta(spark, path, math.max(latest - retainVersions + 1, 0L))
-    Seq.empty
+    val deleted = LakeWriter.vacuumDelta(spark, path,
+      math.max(latest - retainVersions + 1, 0L), dryRun = dryRun)
+    if (dryRun) deleted.sorted.map(Row(_)) else Seq.empty
   }
 }
 

@@ -2717,7 +2717,8 @@ object LakeWriter {
     * are O(debris), not O(table). Returns the deleted paths (relative),
     * sorted.
     */
-  def vacuumDelta(spark: SparkSession, dir: String, horizonVersion: Long): Seq[String] = {
+  def vacuumDelta(spark: SparkSession, dir: String, horizonVersion: Long,
+                  dryRun: Boolean = false): Seq[String] = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -2779,7 +2780,7 @@ object LakeWriter {
     // the horizon must stay replayable WITHOUT the commits removed below
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val cpFile = new org.apache.hadoop.fs.Path(log, f"$horizonVersion%020d.checkpoint.parquet")
-    if (!fs.exists(cpFile)) checkpointDelta(spark, dir, horizonVersion)
+    if (!dryRun && !fs.exists(cpFile)) checkpointDelta(spark, dir, horizonVersion)
     // candidate files: everything under the root except _/. prefixed
     // segments (_delta_log, staging dirs, hidden files)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
@@ -2792,7 +2793,10 @@ object LakeWriter {
     val deleted = walk(root).flatMap { p =>
       val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       if (referenced.contains(rel)) None
-      else { require(fs.delete(p, false), s"vacuumDelta: delete $p failed"); Some(rel) }
+      else {
+        if (!dryRun) require(fs.delete(p, false), s"vacuumDelta: delete $p failed")
+        Some(rel)
+      }
     }
     // _change_data sits under an underscore prefix the data walk skips
     // — reclaim its unreferenced files explicitly
@@ -2806,12 +2810,15 @@ object LakeWriter {
       else walkAll(cdcDir).flatMap { p =>
         val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
         if (cdcReferenced.contains(rel)) None
-        else { require(fs.delete(p, false), s"vacuumDelta: delete $p failed"); Some(rel) }
+        else {
+          if (!dryRun) require(fs.delete(p, false), s"vacuumDelta: delete $p failed")
+          Some(rel)
+        }
       }
     // log retention below the horizon: those versions' replay targets
     // are gone, so a read there must refuse via the not-present gate,
     // not die mid-scan on a missing file
-    fs.listStatus(log).foreach { st =>
+    if (!dryRun) fs.listStatus(log).foreach { st =>
       val n = st.getPath.getName
       val commitBelow = n.matches("\\d{20}\\.json") && n.take(20).toLong < horizonVersion
       val cpBelow = (n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") ||
@@ -2829,7 +2836,7 @@ object LakeWriter {
     // survivors' references (manifests are small scalar files) and
     // sweep the rest.
     val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
-    if (fs.exists(sidecarDir)) {
+    if (!dryRun && fs.exists(sidecarDir)) {
       val liveManifests = fs.listStatus(log).map(_.getPath)
         .filter(_.getName.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)"))
       val referencedSidecars = liveManifests.flatMap { m =>

@@ -360,6 +360,28 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(DeltaReader.read(spark, d).where(col("id") === 999L).count() == 1)
   }
 
+  test("VACUUM DRY RUN lists reclaimable files without touching them; files TVF") {
+    GraftExtensions.register(spark)
+    val d = freshDir("dry")
+    LakeWriter.writeDelta(base.repartition(3), d)
+    spark.sql(s"DELETE FROM graft_delta.`$d` WHERE k = 'a'")
+    // the files TVF inventories the live adds with their stats
+    val files = spark.sql(s"SELECT path, size, numRecords FROM graft_delta_files('$d')")
+      .collect()
+    assert(files.nonEmpty && files.forall(_.getLong(1) > 0))
+    assert(files.map(_.getLong(2)).sum == 20) // post-delete live rows
+    // DRY RUN returns the delete's tombstoned files, removes nothing
+    val wouldGo = spark.sql(s"VACUUM graft_delta.`$d` RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(wouldGo.nonEmpty)
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0)).count() == 30,
+      "dry run must not reclaim anything — v0 still time-travels")
+    // the real vacuum then reclaims exactly that list
+    spark.sql(s"VACUUM graft_delta.`$d` RETAIN 1 VERSIONS")
+    intercept[Exception] { DeltaReader.read(spark, d, versionAsOf = Some(0)).count() }
+    assert(DeltaReader.read(spark, d).count() == 20)
+  }
+
   test("RESTORE and SHALLOW CLONE statements route to the table services") {
     GraftExtensions.register(spark)
     val d = freshDir("rst")
