@@ -36,12 +36,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    history from v (0 = whole history); absent = start AFTER the
   *    current version (first batch empty, the delta-spark default).
   *
-  * `maxVersionsPerTrigger` caps versions per batch through the
-  * admission-control API, so the cap holds across restarts (the
-  * engine hands latestOffset the restart position — the V1 getOffset
-  * path cannot see it, which is exactly why this source implements
-  * SupportsAdmissionControl rather than leaving catch-up batches
-  * unbounded).
+  * `maxVersionsPerTrigger` caps versions per batch and
+  * `maxBytesPerTrigger` caps the admitted versions' summed add sizes
+  * (soft: one version always admits; an over-sized commit rides
+  * alone) — both through the admission-control API, so the caps hold
+  * across restarts (the engine hands latestOffset the restart
+  * position — the V1 getOffset path cannot see it, which is exactly
+  * why this source implements SupportsAdmissionControl rather than
+  * leaving catch-up batches unbounded).
   *
   * Schema is pinned at stream start: a mid-stream schema evolution
   * fails the batch loudly (restart the stream to adopt it) rather
@@ -185,6 +187,11 @@ object GraftDeltaSource {
       require(n > 0, s"graft-delta: maxVersionsPerTrigger $n must be positive")
       n
     }
+    val maxBytesPerTrigger: Option[Long] = lower.get("maxbytespertrigger").map { v =>
+      val n = v.toLong
+      require(n > 0, s"graft-delta: maxBytesPerTrigger $n must be positive")
+      n
+    }
   }
 
   private[streaming] def sourceSchema(spark: SparkSession, dir: String,
@@ -197,10 +204,16 @@ object GraftDeltaSource {
       StructField("_commit_version", LongType)))
   }
 
-  /** A custom read limit the engine passes back verbatim — versions,
-    * not rows/files, are this source's admission unit.
+  /** A custom read limit the engine passes back verbatim — versions
+    * (and optionally their staged BYTES) are this source's admission
+    * units: `maxVersionsPerTrigger` bounds commit count,
+    * `maxBytesPerTrigger` bounds the sum of the admitted versions'
+    * add sizes (a soft cap, delta-spark style: at least one version
+    * always admits so the stream makes progress, and a single
+    * over-sized commit rides alone).
     */
-  final case class MaxVersions(n: Int) extends ReadLimit
+  final case class MaxVersions(versions: Option[Int], bytes: Option[Long])
+      extends ReadLimit
 }
 
 class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
@@ -219,8 +232,9 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     availableNowCap = Some(DeltaReader.snapshot(spark, opts.path, None).version)
 
   override def getDefaultReadLimit: ReadLimit =
-    opts.maxVersionsPerTrigger.map(MaxVersions(_): ReadLimit)
-      .getOrElse(ReadLimit.allAvailable())
+    if (opts.maxVersionsPerTrigger.isEmpty && opts.maxBytesPerTrigger.isEmpty)
+      ReadLimit.allAvailable()
+    else MaxVersions(opts.maxVersionsPerTrigger, opts.maxBytesPerTrigger)
 
   override def initialOffset(): OffsetV2 =
     // append mode's "position before the initial snapshot" and CDF's
@@ -240,24 +254,46 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     val snapV = DeltaReader.snapshot(spark, opts.path, None).version
     val latest = availableNowCap.fold(snapV)(math.min(_, snapV))
     val start = Option(startOffset).map(GraftDeltaSourceOffset.versionOf)
-    val cap = limit match {
-      case MaxVersions(n) => n.toLong
-      case _ => Long.MaxValue
+    val (capV, capB) = limit match {
+      case MaxVersions(v, b) => (v.map(_.toLong).getOrElse(Long.MaxValue), b)
+      case _ => (Long.MaxValue, None)
+    }
+    // admit versions (s, end]: the count cap bounds how many, the
+    // bytes cap additionally walks the commits summing their add sizes
+    // (KB-scale JSON parses, the same cost class as the tail itself)
+    // and stops BEFORE the version that would overflow — always
+    // admitting at least one so the stream progresses
+    def admitted(s: Long): Long = {
+      val vEnd =
+        if (capV == Long.MaxValue) latest else math.min(latest, s + capV)
+      capB match {
+        case None => vEnd
+        case Some(budget) =>
+          var end = s
+          var acc = 0L
+          var full = false
+          while (!full && end < vEnd) {
+            val nb = DeltaReader.commitActions(spark, opts.path, end + 1).collect {
+              case (Right(af), _) => af.size
+            }.sum
+            if (end > s && acc + nb > budget) full = true
+            else { end += 1; acc += nb }
+          }
+          end
+      }
     }
     val end = start match {
       case None =>
         if (opts.cdf) opts.startingVersion match {
-          // history replay from sv: rate cap applies from sv-1
-          // (guard the uncapped case — sv - 1 + Long.MaxValue wraps)
-          case Some(sv) =>
-            if (cap == Long.MaxValue) latest else math.min(latest, sv - 1 + cap)
+          // history replay from sv: rate caps apply from sv-1
+          case Some(sv) => admitted(sv - 1)
           // start-after-current: first batch just records the position
           case None => latest
         }
         // append mode: the initial snapshot is ONE consistent version —
-        // not splittable, the cap intentionally does not apply
+        // not splittable, the caps intentionally do not apply
         else latest
-      case Some(s) => math.min(latest, if (cap == Long.MaxValue) latest else s + cap)
+      case Some(s) => admitted(s)
     }
     if (start.exists(_ >= end)) startOffset else GraftDeltaSourceOffset(end)
   }

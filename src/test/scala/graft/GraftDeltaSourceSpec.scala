@@ -80,6 +80,30 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(nb == 3, s"6 versions at 2/trigger must take 3 batches, took $nb")
   }
 
+  test("maxBytesPerTrigger admits whole versions up to the byte budget") {
+    val d = freshDir("tb"); val cp = freshDir("cpb")
+    LakeWriter.writeDelta(base, d)
+    val (_, _) = drain(d, cp) // consume the initial snapshot (v0)
+    (1 to 6).foreach(i => LakeWriter.appendDelta(
+      Seq((2000L + i, "z", i.toDouble)).toDF("id", "k", "v"), d))
+    // every appended commit stages one small file of similar size;
+    // a budget of ~2 files per trigger must take 3 data batches
+    val perVersion = DeltaReader.snapshot(spark, d, None).active
+      .filter(_.path.contains("part-")).map(_.size).max
+    val (inc, nb) = drain(d, cp,
+      Map("maxBytesPerTrigger" -> (perVersion * 2 + 10).toString))
+    assert(inc.size == 6)
+    assert(nb == 3, s"6 single-file versions at ~2 files of budget must take 3 " +
+      s"batches, took $nb")
+    // a budget SMALLER than one commit still progresses: one version
+    // per trigger, 6 batches
+    (1 to 3).foreach(i => LakeWriter.appendDelta(
+      Seq((3000L + i, "z", i.toDouble)).toDF("id", "k", "v"), d))
+    val (inc2, nb2) = drain(d, cp, Map("maxBytesPerTrigger" -> "1"))
+    assert(inc2.size == 3 && nb2 == 3,
+      s"3 versions at a sub-file budget must ride one per batch, took $nb2")
+  }
+
   test("append tail refuses a delete version loudly") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base, d)
