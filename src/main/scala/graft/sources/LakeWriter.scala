@@ -2367,7 +2367,13 @@ object LakeWriter {
       s"mergeIntoClauses: SET/INSERT targets ${badTargets.mkString(", ")} not in the " +
         s"table schema (${table.fieldNames.mkString(", ")})")
 
-    if (matched.nonEmpty) {
+    // any clause that REWRITES target rows (matched or by-source) joins
+    // target × source on the keys — a duplicate source key would
+    // multiply its matched target rows through that join (even a pure
+    // BY SOURCE merge copies matched rows through it), so duplicates
+    // refuse; only insert-only merges (anti-join probe, no row join)
+    // legally insert duplicate-keyed rows
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
       val dupKeys = source.groupBy(keyCols.map(col): _*)
         .count().where(col("count") > 1).limit(1).collect()
       require(dupKeys.isEmpty,

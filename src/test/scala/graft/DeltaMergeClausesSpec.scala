@@ -141,6 +141,14 @@ class DeltaMergeClausesSpec extends SparkSpec {
         matched = Seq(MergeClause(None, MergeUpdateAll)), notMatched = Nil)
     }
     assert(e4.getMessage.contains("duplicate keys"))
+    // ...and with ONLY a BY SOURCE clause: the row join still happens
+    // (matched rows copy through it), so duplicates would multiply them
+    val e4b = intercept[IllegalArgumentException] {
+      LakeWriter.mergeIntoClauses(spark, d, dup, Seq("id"),
+        matched = Nil, notMatched = Nil,
+        notMatchedBySource = Seq(MergeClause(None, MergeDelete)))
+    }
+    assert(e4b.getMessage.contains("duplicate keys"))
     // INSERT omitting a non-nullable column refuses at build time
     val d2 = freshDir("refnn")
     LakeWriter.writeDelta(
