@@ -77,17 +77,10 @@ object LakeWriter {
       .head()
     val b1 = bounds.getSeq[Double](0).toArray
     val b2 = bounds.getSeq[Double](1).toArray
-    def bucket(bs: Array[Double], v: Double): Int = {
-      val i = java.util.Arrays.binarySearch(bs, v)
-      if (i >= 0) i + 1 else -(i + 1)
-    }
-    val zUdf = udf { (x: Double, y: Double) =>
-      val a = bucket(b1, x); val b = bucket(b2, y)
-      var r = 0; var i = 0
-      while (i < 8) { r |= (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)); i += 1 }
-      r
-    }
-    df.withColumn("__z", zUdf(df.col(c1).cast("double"), df.col(c2).cast("double")))
+    // the Morton rank is a codegen kernel (ZOrderKernel.mortonCol) —
+    // the rewrite is data-sized, so no boxed UDF on it
+    df.withColumn("__z", graft.functions.ZOrderKernel.mortonCol(
+        df.col(c1).cast("double"), df.col(c2).cast("double"), b1, b2))
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions("__z")
       .drop("__z")
@@ -2935,18 +2928,9 @@ object LakeWriter {
       .head()
     val b1 = bounds.getSeq[Double](0).toArray
     val b2 = bounds.getSeq[Double](1).toArray
-    def bucket(bs: Array[Double], v: Double): Int = {
-      val i = java.util.Arrays.binarySearch(bs, v)
-      if (i >= 0) i + 1 else -(i + 1)
-    }
-    val zUdf = udf { (x: java.lang.Double, y: java.lang.Double) =>
-      // nulls sort first: bucket 0 on the null side of the curve
-      val a = if (x == null) 0 else bucket(b1, x)
-      val b = if (y == null) 0 else bucket(b2, y)
-      var r = 0; var i = 0
-      while (i < 8) { r |= (((a >> i) & 1) << (2 * i + 1)) | (((b >> i) & 1) << (2 * i)); i += 1 }
-      r
-    }
+    // the Morton rank is a codegen kernel (nulls take bucket 0 — the
+    // null side of the curve); the rewrite reads every row of every
+    // file, so no boxed UDF on it
 
     // per-partition rewrite, unioned into ONE commit: each branch keeps
     // its own range partitioning, and the partitionBy staging routes
@@ -2963,7 +2947,8 @@ object LakeWriter {
         case None => DeltaReader.scanFiles(spark, dir, snap, files)
       }
       scan
-        .withColumn("__z", zUdf(col(c1).cast("double"), col(c2).cast("double")))
+        .withColumn("__z", graft.functions.ZOrderKernel.mortonCol(
+          col(c1).cast("double"), col(c2).cast("double"), b1, b2))
         .repartitionByRange(filesPerPartition, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
