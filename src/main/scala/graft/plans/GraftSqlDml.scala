@@ -114,6 +114,10 @@ object GraftSqlDml {
       """(?is)^RESTORE\s+(?:TABLE\s+)?graft_delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
     val cloneRe =
       """(?is)^CREATE\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+graft_delta\s*\.\s*`([^`]+)`\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$""".r
+    val convertRe =
+      """(?is)^CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\))?$""".r
+    val manifestRe =
+      """(?is)^GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`$""".r
     t match {
       case optimizeRe(path, where, c1, c2) =>
         Some(GraftOptimizeCommand(path,
@@ -126,15 +130,30 @@ object GraftSqlDml {
       case cloneRe(dst, src, v) =>
         Some(GraftCloneCommand(src, dst,
           if (v == null) None else Some(v.toLong)))
+      case convertRe(path, parts) =>
+        val partPairs = Option(parts).map(_.split(',').toSeq.map { p =>
+          p.trim.split("\\s+") match {
+            case Array(n, t) => n -> t
+            case other => throw new UnsupportedOperationException(
+              s"CONVERT TO DELTA: PARTITIONED BY entries are 'name type', got " +
+                s"'${other.mkString(" ")}'")
+          }
+        }).getOrElse(Nil)
+        Some(GraftConvertCommand(path, partPairs))
+      case manifestRe(path) =>
+        Some(GraftManifestCommand(path))
       case _ if t.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE)\\s.*graft_delta.*") ||
-          t.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*graft_delta.*") =>
+          t.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*graft_delta.*") ||
+          t.matches("(?is)^(CONVERT\\s+TO\\s+DELTA|GENERATE)\\s.*(graft_delta|parquet\\s*\\.).*") =>
         throw new UnsupportedOperationException(
           "graft_delta maintenance supports exactly: OPTIMIZE graft_delta.`path` " +
-            "[ZORDER BY (c1, c2)]; VACUUM graft_delta.`path` RETAIN <n> VERSIONS " +
-            "(version-based retention — graft logs carry no wall clock); " +
-            "RESTORE [TABLE] graft_delta.`path` TO VERSION AS OF <v>; " +
-            "CREATE TABLE graft_delta.`dst` SHALLOW CLONE graft_delta.`src` " +
-            s"[VERSION AS OF <v>]. Statement: $t")
+            "[WHERE partPred] [ZORDER BY (c1, c2)]; VACUUM graft_delta.`path` " +
+            "RETAIN <n> VERSIONS [DRY RUN] (version-based retention — graft logs " +
+            "carry no wall clock); RESTORE [TABLE] graft_delta.`path` TO VERSION " +
+            "AS OF <v>; CREATE TABLE graft_delta.`dst` SHALLOW CLONE " +
+            "graft_delta.`src` [VERSION AS OF <v>]; CONVERT TO DELTA " +
+            "parquet.`path` [PARTITIONED BY (name type, ...)]; GENERATE " +
+            s"symlink_format_manifest FOR TABLE graft_delta.`path`. Statement: $t")
       case _ => None
     }
   }
@@ -671,6 +690,31 @@ case class GraftCloneCommand(srcPath: String, dstPath: String,
     LakeWriter.cloneDelta(spark, srcPath, dstPath, version)
     Seq.empty
   }
+}
+
+/** `CONVERT TO DELTA parquet.`path` [PARTITIONED BY (name type, ...)]`
+  * — in-place migration of a plain parquet directory into a Delta
+  * table (no data rewrite), via [[LakeWriter.convertToDelta]].
+  */
+case class GraftConvertCommand(path: String, partitionCols: Seq[(String, String)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.convertToDelta(spark, path, partitionCols)
+    Seq.empty
+  }
+}
+
+/** `GENERATE symlink_format_manifest FOR TABLE graft_delta.`path`` —
+  * Presto/Trino symlink manifests for the current snapshot, via
+  * [[LakeWriter.generateManifest]]; returns one row per manifest file.
+  */
+case class GraftManifestCommand(path: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
+    Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
+      "manifest", org.apache.spark.sql.types.StringType, nullable = false)())
+  override def run(spark: SparkSession): Seq[Row] =
+    LakeWriter.generateManifest(spark, path).sorted.map(Row(_))
 }
 
 /** `CREATE [OR REPLACE] TABLE graft_delta.`path` [PARTITIONED BY ...]

@@ -382,6 +382,27 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(DeltaReader.read(spark, d).count() == 20)
   }
 
+  test("CONVERT TO DELTA and GENERATE manifest statements") {
+    GraftExtensions.register(spark)
+    // a plain parquet directory converts in place, then reads as Delta
+    val raw = java.nio.file.Files.createTempDirectory("graft_cvt").resolve("t")
+      .toAbsolutePath.toString
+    base.repartition(2).write.parquet(raw)
+    spark.sql(s"CONVERT TO DELTA parquet.`$raw`")
+    assert(DeltaReader.read(spark, raw).count() == 30)
+    // manifest generation returns the manifest paths as rows
+    val manifests = spark.sql(
+      s"GENERATE symlink_format_manifest FOR TABLE graft_delta.`$raw`")
+      .collect().map(_.getString(0))
+    assert(manifests.toSeq == Seq("manifest")) // unpartitioned: one root manifest
+    assert(new java.io.File(raw, "_symlink_format_manifest/manifest").exists())
+    // malformed forms refuse naming the supported ones
+    val e = intercept[UnsupportedOperationException] {
+      spark.sql(s"CONVERT TO DELTA graft_delta.`$raw`")
+    }
+    assert(e.getMessage.contains("CONVERT TO DELTA parquet.`path`"))
+  }
+
   test("RESTORE and SHALLOW CLONE statements route to the table services") {
     GraftExtensions.register(spark)
     val d = freshDir("rst")
