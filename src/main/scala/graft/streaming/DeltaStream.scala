@@ -179,7 +179,8 @@ object DeltaStream {
     */
   private[graft] def commitBatch(batch: DataFrame, dir: String, appId: String,
                                  batchId: Long, checkpointInterval: Int = 0,
-                                 partitionBy: Seq[String] = Nil): Unit = {
+                                 partitionBy: Seq[String] = Nil,
+                                 mergeSchema: Boolean = false): Unit = {
     val s = batch.sparkSession
     val hconf = s.sessionState.newHadoopConf()
     val live = DeltaReader.isDeltaTable(dir, hconf) &&
@@ -189,9 +190,18 @@ object DeltaStream {
         partitionBy, Some(appId -> batchId))
     } else {
       val snap = DeltaReader.snapshot(s, dir, None)
-      if (batchId > snap.txns.getOrElse(appId, -1L))
-        LakeWriter.appendDeltaWithSnapshot(batch, dir, checkpointInterval,
-          Some(appId -> batchId), snap)
+      if (batchId > snap.txns.getOrElse(appId, -1L)) {
+        // mergeSchema: a RESTARTED query whose stream gained columns
+        // evolves the table instead of hitting the append gate (a
+        // stream's schema is fixed within one query — evolution is the
+        // across-restart story, exactly delta-spark's sink option)
+        if (mergeSchema)
+          LakeWriter.appendDeltaEvolve(batch, dir, checkpointInterval,
+            Some(appId -> batchId))
+        else
+          LakeWriter.appendDeltaWithSnapshot(batch, dir, checkpointInterval,
+            Some(appId -> batchId), snap)
+      }
       // else: replay of an already-committed batch — exactly-once skip
     }
   }

@@ -91,10 +91,15 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
     val cdcApply = lower.get("cdcapply").exists(_.toBoolean)
     require(!cdcApply || mergeKeys.isDefined,
       "graft-delta sink: cdcApply folds a change feed by key — mergeKeys is required")
+    val mergeSchema = lower.get("mergeschema").exists(_.toBoolean)
+    require(!mergeSchema || mergeKeys.isEmpty,
+      "graft-delta sink: mergeSchema composes with the append sink only (the keyed " +
+        "upsert and cdcApply require the table's exact schema)")
     val appId = DeltaStream.scopedAppId(
       lower.getOrElse("txnappid", "graft-delta-sink"), checkpoint)
     val interval = lower.get("checkpointinterval").map(_.toInt).getOrElse(0)
-    new GraftDeltaSink(path, appId, interval, partitionColumns, mergeKeys, cdcApply)
+    new GraftDeltaSink(path, appId, interval, partitionColumns, mergeKeys, cdcApply,
+      mergeSchema)
   }
 
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
@@ -123,7 +128,7 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
   */
 class GraftDeltaSink(path: String, appId: String, checkpointInterval: Int,
                      partitionBy: Seq[String], mergeKeys: Option[Seq[String]],
-                     cdcApply: Boolean = false)
+                     cdcApply: Boolean = false, mergeSchema: Boolean = false)
     extends Sink {
   override def addBatch(batchId: Long, data: Dataset[Row]): Unit = {
     val batch = GraftColumnBridge.asBatch(data.toDF())
@@ -134,7 +139,7 @@ class GraftDeltaSink(path: String, appId: String, checkpointInterval: Int,
         DeltaStream.upsertBatch(batch, path, appId, batchId, keys, partitionBy)
       case _ =>
         DeltaStream.commitBatch(batch, path, appId, batchId, checkpointInterval,
-          partitionBy)
+          partitionBy, mergeSchema)
     }
   }
   override def toString: String = s"GraftDeltaSink[$path]"

@@ -252,6 +252,37 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(!batchRows(dst).exists(_.head == 201L))
   }
 
+  test("mergeSchema sink: a restarted query with a wider stream evolves the table") {
+    val dst = freshDir("ms"); val cp = freshDir("mscp")
+    val s = spark
+    implicit val sqlCtx = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = mem.toDF().toDF("id", "k").writeStream.format("graft-delta")
+      .option("checkpointLocation", cp).start(dst)
+    mem.addData((1L, "a")); q.processAllAvailable(); q.stop()
+    // restart with a WIDER stream: without mergeSchema the append gate
+    // refuses; with it the table evolves and old rows read null
+    val mem2 = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, Double)]
+    val cp2 = freshDir("mscp2")
+    val q2bad = mem2.toDF().toDF("id", "k", "score").writeStream.format("graft-delta")
+      .option("checkpointLocation", cp2).start(dst)
+    mem2.addData((2L, "b", 2.0))
+    val eb = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2bad.processAllAvailable()
+    }
+    assert(eb.getMessage.contains("appendDelta") || eb.getMessage.contains("columns"))
+    q2bad.stop()
+    // a fresh checkpoint replays the MemoryStream from its start, so
+    // both rows 2 and 3 land through the evolving sink
+    val cp3 = freshDir("mscp3")
+    val q2 = mem2.toDF().toDF("id", "k", "score").writeStream.format("graft-delta")
+      .option("checkpointLocation", cp3).option("mergeSchema", "true").start(dst)
+    mem2.addData((3L, "c", 3.0)); q2.processAllAvailable(); q2.stop()
+    val out = DeltaReader.read(spark, dst).orderBy("id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(out.head.isNullAt(2) && out.last.getDouble(2) == 3.0)
+  }
+
   test("source schema matches the batch reader's (and CDF adds the change columns)") {
     val d = freshDir("t")
     LakeWriter.writeDelta(base, d,
