@@ -1,10 +1,11 @@
 package graft
 
-import graft.sources.{DeltaReader, LakeWriter}
+import graft.sources.{DeltaReader, LakeWriter, MergeClause, MergeDelete, MergeInsert, MergeUpdate}
 
 /** Model-based randomized test of the Delta mutation surface: a seeded
   * random sequence of append / copy-on-write delete / DV delete /
-  * update / merge / restore / compact / z-order / checkpoint ops runs
+  * update / merge / clause-merge (CDC apply) / full overwrite /
+  * REPLACE WHERE / restore / compact / z-order / checkpoint ops runs
   * against BOTH the real table and an in-memory Map[id -> v] model.
   * After every committed version the latest read must equal the model;
   * at the end every historical version must time-travel to its
@@ -55,7 +56,7 @@ class DeltaModelSpec extends SparkSpec {
     var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(12) match {
+      rnd.nextInt(15) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -107,6 +108,38 @@ class DeltaModelSpec extends SparkSpec {
             Map("graft.note" -> s"n${rnd.nextInt(1000)}"))
         case 10 => // MULTI-PART checkpoint: same replay, K files
           LakeWriter.checkpointDelta(spark, dir, before, parts = 2)
+        case 12 => // atomic full overwrite (truncate-and-load)
+          val rows = freshIds(2 + rnd.nextInt(4)).map(i => i -> s"o$i")
+          LakeWriter.overwriteDelta(df(rows), dir)
+          model = rows.toMap
+        case 13 => // REPLACE WHERE: re-value a modulus window in place
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          val replacement = model.keys.filter(_ % m == r).toSeq.sorted
+            .map(i => i -> s"r$i")
+          if (replacement.nonEmpty) {
+            LakeWriter.overwriteWhere(df(replacement), dir, s"id % $m = $r")
+            model = model.filterNot { case (id, _) => id % m == r } ++ replacement
+          }
+        case 14 => // clause merge (CDC apply): D deletes, U updates, I inserts
+          val keys = rnd.shuffle(model.keys.toSeq)
+          val dels = keys.take(rnd.nextInt(2)).map(i => (i, s"x$i", "D"))
+          val upds = keys.drop(2).take(rnd.nextInt(2)).map(i => (i, s"c$i", "U"))
+          val ins = freshIds(rnd.nextInt(2)).map(i => (i, s"c$i", "I"))
+          val changes = dels ++ upds ++ ins
+          if (changes.nonEmpty) {
+            val s0 = spark
+            import s0.implicits._
+            LakeWriter.mergeIntoClauses(spark, dir,
+              changes.toDF("id", "v", "op").coalesce(1), Seq("id"),
+              matched = Seq(
+                MergeClause(Some("s.op = 'D'"), MergeDelete),
+                MergeClause(None, MergeUpdate(Map("v" -> "s.v")))),
+              notMatched = Seq(
+                MergeClause(Some("s.op != 'D'"),
+                  MergeInsert(Map("id" -> "s.id", "v" -> "s.v")))))
+            model = model -- dels.map(_._1) ++
+              (upds ++ ins).map(c => c._1 -> c._2)
+          }
         case _ => // shallow clone: the fork must equal the model NOW
           cloneCount += 1
           val cl = tmp(s"graft_model_cl_${seed}_${cloneCount}_") + "/t"
@@ -125,8 +158,8 @@ class DeltaModelSpec extends SparkSpec {
   }
 
   test("random op sequences: latest always equals the model; every version time-travels") {
-    Seq(11L, 42L).foreach { seed =>
-      val (history, dir) = runScenario(seed, cdf = false, ops = 10)
+    Seq(11L, 42L, 99L).foreach { seed =>
+      val (history, dir) = runScenario(seed, cdf = false, ops = 14)
       history.zipWithIndex.foreach { case (state, v) =>
         assert(readStateAt(dir, v.toLong) == state,
           s"versionAsOf $v diverged (seed $seed)")
@@ -137,7 +170,7 @@ class DeltaModelSpec extends SparkSpec {
   test("CDF: folding the change feed from version 0 reconstructs every state") {
     val s = spark
     import s.implicits._
-    val (history, dir) = runScenario(7L, cdf = true, ops = 10)
+    val (history, dir) = runScenario(7L, cdf = true, ops = 14)
     val changes = DeltaReader.readChanges(spark, dir, 0L, history.size - 1L)
       .select("id", "v", "_change_type", "_commit_version")
       .as[(Long, String, String, Long)].collect()
