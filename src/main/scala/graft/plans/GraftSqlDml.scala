@@ -323,6 +323,8 @@ object GraftSqlDml {
           s"(enforced on every subsequent write), got $c for $path")
     case DropConstraint(GraftAlterTarget(path), name, _, _) =>
       GraftAlterPropertiesCommand(path, Map.empty, Seq(s"delta.constraints.$name"))
+    case TruncateTable(GraftAlterTarget(path)) =>
+      GraftTruncateCommand(path)
     case other => other
   }
 
@@ -688,6 +690,23 @@ case class GraftCloneCommand(srcPath: String, dstPath: String,
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     LakeWriter.cloneDelta(spark, srcPath, dstPath, version)
+    Seq.empty
+  }
+}
+
+/** `TRUNCATE TABLE graft_delta.`path`` — one atomic empty overwrite:
+  * every live file tombstones, history stays time-travelable, CDF
+  * tables stage the complete delete set ([[LakeWriter.overwriteDelta]]
+  * with an empty batch in the table's own schema).
+  */
+case class GraftTruncateCommand(path: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+    LakeWriter.overwriteDelta(empty, path)
     Seq.empty
   }
 }

@@ -382,6 +382,24 @@ class GraftSqlDmlSpec extends SparkSpec {
     assert(DeltaReader.read(spark, d).count() == 20)
   }
 
+  test("TRUNCATE TABLE empties the table atomically, history intact") {
+    GraftExtensions.register(spark)
+    val d = freshDir("trunc")
+    LakeWriter.writeDelta(base, d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    spark.sql(s"TRUNCATE TABLE graft_delta.`$d`")
+    assert(DeltaReader.read(spark, d).count() == 0)
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0)).count() == 30)
+    // the truncate's change feed is the complete delete set
+    val ch = spark.sql(s"SELECT count(*) FROM graft_delta_changes('$d', 1, 1) " +
+      "WHERE _change_type = 'delete'").head().getLong(0)
+    assert(ch == 30)
+    // and the table accepts inserts again
+    spark.sql(s"INSERT INTO graft_delta.`$d` SELECT CAST(1 AS BIGINT), 'a', " +
+      "CAST(1.0 AS DOUBLE)")
+    assert(DeltaReader.read(spark, d).count() == 1)
+  }
+
   test("CONVERT TO DELTA and GENERATE manifest statements") {
     GraftExtensions.register(spark)
     // a plain parquet directory converts in place, then reads as Delta
