@@ -29,7 +29,11 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    start version (one consistent version — not splittable, rate cap
   *    does not apply); later batches deliver dataChange=true adds via
   *    [[DeltaTail.changes]], which refuses delete/rewrite versions
-  *    loudly instead of streaming a wrong delta.
+  *    loudly instead of streaming a wrong delta. With
+  *    `startingVersion` = v the snapshot is SKIPPED and the stream
+  *    tails adds from version v (rate caps apply from the first
+  *    batch) — joining a huge table's stream without scanning its
+  *    history.
   *  - CDF (`readChangeFeed=true`): batches are row-level changes
   *    (table columns + `_change_type` + `_commit_version`) via
   *    [[DeltaReader.readChanges]]. `startingVersion` = v streams
@@ -180,9 +184,13 @@ object GraftDeltaSource {
     val path: String = lower.getOrElse("path",
       throw new IllegalArgumentException("graft-delta: .load(path) is required"))
     val cdf: Boolean = lower.get("readchangefeed").exists(_.toBoolean)
+    // CDF mode: replay row-level changes from this version. APPEND
+    // mode (r10): SKIP the initial snapshot and tail the dataChange
+    // adds from this version instead — the delta-spark option for
+    // joining a huge table's stream without scanning its history
+    // (rate caps apply from the first batch, unlike the unsplittable
+    // snapshot).
     val startingVersion: Option[Long] = lower.get("startingversion").map { v =>
-      require(cdf, "graft-delta: startingVersion is a readChangeFeed option " +
-        "(the append tail always starts from the current snapshot)")
       val n = v.toLong
       require(n >= 0, s"graft-delta: startingVersion $n must be >= 0")
       n
@@ -288,16 +296,16 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       }
     }
     val end = start match {
-      case None =>
-        if (opts.cdf) opts.startingVersion match {
-          // history replay from sv: rate caps apply from sv-1
-          case Some(sv) => admitted(sv - 1)
-          // start-after-current: first batch just records the position
-          case None => latest
-        }
-        // append mode: the initial snapshot is ONE consistent version —
-        // not splittable, the caps intentionally do not apply
-        else latest
+      case None => opts.startingVersion match {
+        // replay from sv (CDF rows or append-mode add tailing): the
+        // rate caps apply from sv-1 — these are version tails, not
+        // the unsplittable snapshot
+        case Some(sv) => admitted(sv - 1)
+        // CDF start-after-current: first batch just records the
+        // position; append mode: the initial snapshot is ONE
+        // consistent version — not splittable, caps don't apply
+        case None => latest
+      }
       case Some(s) => admitted(s)
     }
     if (start.exists(_ >= end)) startOffset else GraftDeltaSourceOffset(end)
@@ -307,8 +315,13 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     val endV = GraftDeltaSourceOffset.versionOf(end)
     val startV = start.map(GraftDeltaSourceOffset.versionOf)
     val df = (startV, opts.cdf) match {
-      case (None, false) =>
-        DeltaReader.read(spark, opts.path, Some(endV))
+      case (None, false) => opts.startingVersion match {
+        // skip-snapshot tailing: the first batch is the adds of
+        // versions [sv, end] through the shared append-tail path
+        case Some(sv) if sv <= endV => DeltaTail.changes(spark, opts.path, sv - 1, endV)
+        case Some(_) => emptyBatch
+        case None => DeltaReader.read(spark, opts.path, Some(endV))
+      }
       case (Some(s), false) =>
         DeltaTail.changes(spark, opts.path, s, endV)
       case (None, true) => opts.startingVersion match {

@@ -80,6 +80,22 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(nb == 3, s"6 versions at 2/trigger must take 3 batches, took $nb")
   }
 
+  test("append-mode startingVersion skips the snapshot and tails adds from v") {
+    val d = freshDir("sv"); val cp = freshDir("svcp")
+    LakeWriter.writeDelta(base, d) // v0: 30 rows — must NOT be delivered
+    (1 to 3).foreach(i => LakeWriter.appendDelta(
+      Seq((5000L + i, "z", i.toDouble)).toDF("id", "k", "v"), d))
+    // start at v2: versions 2 and 3 only, capped at one per trigger
+    val (rows, nb) = drain(d, cp,
+      Map("startingVersion" -> "2", "maxVersionsPerTrigger" -> "1"))
+    assert(rows.map(_.head).toSet == Set(5002L, 5003L))
+    assert(nb == 2, s"2 versions at 1/trigger must take 2 batches, took $nb")
+    // continuation stays incremental
+    LakeWriter.appendDelta(Seq((5010L, "z", 0.0)).toDF("id", "k", "v"), d)
+    val (more, _) = drain(d, cp, Map("startingVersion" -> "2"))
+    assert(more.map(_.head).toSeq == Seq(5010L))
+  }
+
   test("maxBytesPerTrigger admits whole versions up to the byte budget") {
     val d = freshDir("tb"); val cp = freshDir("cpb")
     LakeWriter.writeDelta(base, d)
