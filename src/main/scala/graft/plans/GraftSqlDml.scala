@@ -47,10 +47,14 @@ import org.apache.spark.sql.types.StructType
   * refuse loudly with the supported form — never a silently-different
   * merge.
   *
-  * Table-service statements Spark's grammar lacks (OPTIMIZE / VACUUM /
-  * RESTORE / SHALLOW CLONE) pre-parse before delegation; CREATE
-  * [OR REPLACE] TABLE ... AS SELECT rewrites onto
-  * writeDelta/overwriteDelta ([[GraftCtasCommand]]).
+  * Table-service statements Spark's grammar lacks (OPTIMIZE [WHERE]
+  * [ZORDER BY] / VACUUM RETAIN [DRY RUN] / RESTORE / SHALLOW CLONE /
+  * CONVERT TO DELTA / GENERATE symlink_format_manifest) pre-parse
+  * before delegation; CREATE [OR REPLACE] TABLE ... AS SELECT,
+  * TRUNCATE TABLE, the ALTER TABLE family (columns, properties,
+  * CHECK constraints) and the INSERT PARTITION forms (static window
+  * replace, dynamic partition overwrite) rewrite from their parsed
+  * catalyst plans onto the production writers.
   *
   * Alias hygiene: `DELETE FROM graft_delta.`/d` AS t WHERE t.k = 1`
   * strips the `t.` qualifier before handing the predicate to the
