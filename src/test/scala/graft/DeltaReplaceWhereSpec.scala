@@ -84,6 +84,40 @@ class DeltaReplaceWhereSpec extends SparkSpec {
     assert(e2.getMessage.contains("partitions by"))
   }
 
+  test("column-mapped tables: full overwrite and REPLACE WHERE stage physical names") {
+    val d = freshDir("cm")
+    LakeWriter.writeDeltaMapped(base, d)
+    LakeWriter.overwriteWhere(Seq((500L, "a", 5.0)).toDF("id", "k", "v"), d, "k = 'a'")
+    val out = DeltaReader.read(spark, d)
+    assert(out.where(col("k") === "a").collect().map(_.getLong(0)).toSeq == Seq(500L))
+    assert(out.count() == 21)
+    LakeWriter.overwriteDelta(Seq((900L, "x", 9.0)).toDF("id", "k", "v"), d)
+    assert(DeltaReader.read(spark, d).collect().map(_.getLong(0)).toSeq == Seq(900L))
+    // the physical files carry col-<uuid> names, not logical ones —
+    // a real CM reader resolves them; time travel still works
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0)).count() == 30)
+  }
+
+  test("ZOrderKernel bucket ranks match Arrays.binarySearch insertion points") {
+    val rnd = new scala.util.Random(7)
+    val bounds = Array.tabulate(255)(i => i * 2.0)
+    val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(bounds)
+    (0 until 1000).foreach { _ =>
+      val v = rnd.nextDouble() * 600 - 50
+      val viaJava = {
+        val i = java.util.Arrays.binarySearch(bounds, v)
+        if (i >= 0) i + 1 else -(i + 1)
+      }
+      // morton(a, a) with identical bounds interleaves the SAME rank
+      // on both axes — recover it from the even bits to compare
+      val m = graft.functions.ZOrderKernel.morton(v, v, arr, arr)
+      var rank = 0
+      (0 until 8).foreach(i => rank |= ((m >> (2 * i)) & 1) << i)
+      assert(rank == (viaJava & 0xff),
+        s"bucket($v): kernel $rank vs binarySearch ${viaJava & 0xff}")
+    }
+  }
+
   test("dynamic partition OVERWRITE replaces exactly the batch's partitions") {
     GraftExtensions.register(spark)
     val d = freshDir("dyn")
