@@ -2044,6 +2044,37 @@ object LakeWriter {
     * delete belongs on [[deleteWhere]]). Returns the affected file
     * paths as stored in the log, sorted; empty = nothing matched.
     */
+  /** The (3,7) deletionVectors protocol restatement a DV commit must
+    * carry on a table not yet declaring the feature — legacy writer
+    * obligations the table ACTUALLY declares made explicit, never a
+    * claim of obligations it doesn't have. None when already declared.
+    */
+  private def dvFeatureUpgrade(snap: DeltaReader.Snapshot, cm: String): Option[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val declared = snap.minReader >= 3 && snap.readerFeatures.contains("deletionVectors") &&
+      snap.minWriter == 7 && snap.writerFeatures.contains("deletionVectors")
+    if (declared) None
+    else {
+      val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val legacy = scala.collection.mutable.Set("appendOnly", "invariants")
+      if (snap.minWriter >= 3 &&
+          snap.configuration.keys.exists(_.startsWith("delta.constraints.")))
+        legacy += "checkConstraints"
+      if (snap.minWriter >= 4 &&
+          table.fields.exists(_.metadata.contains("delta.generationExpression")))
+        legacy += "generatedColumns"
+      if (cdfEnabled(snap)) legacy += "changeDataFeed"
+      if (cm == "name") legacy += "columnMapping"
+      val rf = snap.readerFeatures.toSet ++
+        (if (cm == "name") Set("columnMapping") else Set.empty) + "deletionVectors"
+      val wf = snap.writerFeatures.toSet ++ legacy + "deletionVectors"
+      Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${jarr(rf)},"writerFeatures":${jarr(wf)}}}""")
+    }
+  }
+
   def deleteWhereDv(spark: SparkSession, dir: String, predicate: String): Seq[String] = {
     import org.apache.spark.sql.functions.{col, collect_list, expr}
     val snap = DeltaReader.snapshot(spark, dir, None)
@@ -2143,29 +2174,9 @@ object LakeWriter {
     try dvOut.write(bos.toByteArray) finally dvOut.close()
 
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def jarr(xs: Iterable[String]): String =
-      xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"DELETE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
-    val declared = snap.minReader >= 3 && snap.readerFeatures.contains("deletionVectors") &&
-      snap.minWriter == 7 && snap.writerFeatures.contains("deletionVectors")
-    if (!declared) {
-      val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      val legacy = scala.collection.mutable.Set("appendOnly", "invariants")
-      if (snap.minWriter >= 3 &&
-          snap.configuration.keys.exists(_.startsWith("delta.constraints.")))
-        legacy += "checkConstraints"
-      if (snap.minWriter >= 4 &&
-          table.fields.exists(_.metadata.contains("delta.generationExpression")))
-        legacy += "generatedColumns"
-      if (cdfEnabled(snap)) legacy += "changeDataFeed"
-      if (cm == "name") legacy += "columnMapping"
-      val rf = snap.readerFeatures.toSet ++
-        (if (cm == "name") Set("columnMapping") else Set.empty) + "deletionVectors"
-      val wf = snap.writerFeatures.toSet ++ legacy + "deletionVectors"
-      actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${jarr(rf)},"writerFeatures":${jarr(wf)}}}"""
-    }
+    dvFeatureUpgrade(snap, cm).foreach(actions += _)
     val ordered = affected.sortBy(_.path)
     ordered.foreach { a =>
       actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
@@ -2190,6 +2201,211 @@ object LakeWriter {
       throw new IllegalStateException(
         s"Delta commit $commit already exists — a concurrent writer won version " +
           s"${snap.version + 1}; re-read the table and retry the delete", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    affected.map(_.path).sorted
+  }
+
+  /** UPDATE via MERGE-ON-READ (deletion vectors): matched rows are
+    * DV-marked dead IN PLACE and their UPDATED versions stage as new
+    * small files — ONE atomic commit whose write cost is ∝ UPDATED
+    * rows, not the affected files' sizes. [[updateWhere]]'s
+    * copy-on-write rewrites whole files to change kilobytes; on a
+    * 100-TB table a targeted update (one user's consent flag, a bad
+    * crawl batch's score) belongs here, with OPTIMIZE folding the DV
+    * debt later — exactly deleteWhereDv's division of labor applied
+    * to updates.
+    *
+    * Semantics match [[updateWhere]]: SET expressions evaluate
+    * against the PRE-update row and cast to declared types,
+    * NULL-predicate rows untouched, new values verify against the
+    * table's declared obligations before the commit, CDF tables stage
+    * complete pre/post images, a no-match predicate writes NO commit.
+    * The protocol upgrade, bitmap-union-with-existing-DV discipline
+    * and shared sidecar layout are deleteWhereDv's. Updated rows land
+    * under fresh `part-updv-*` files (partition-laid-out; a SET that
+    * moves rows across partitions stages them under their NEW
+    * directories). Row-tracked tables refuse — fresh-id assignment
+    * belongs to the copy-on-write path ([[updateWhere]]), which
+    * preserves/assigns identities correctly.
+    *
+    * Scale: the find phase is stats-pruned like every predicate
+    * mutation; bitmaps build on executors; driver state is O(affected
+    * files). Returns the DV'd file paths, sorted.
+    */
+  def updateWhereDv(spark: SparkSession, dir: String, predicate: String,
+                    set: Map[String, String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, collect_list, expr, lit}
+    require(set.nonEmpty, "updateWhereDv: empty SET clause")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"updateWhereDv: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "updateWhereDv: table declares delta.appendOnly=true — updates are forbidden")
+    require(!snap.writerFeatures.contains("rowTracking"),
+      "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
+        "id assignment inside the DV commit is not implemented; refusing")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed", "checkConstraints", "generatedColumns")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"updateWhereDv: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a mutation whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val badCols = set.keySet -- table.fieldNames.toSet
+    require(badCols.isEmpty,
+      s"updateWhereDv: SET targets ${badCols.mkString(", ")} not in the table schema " +
+        s"(${table.fieldNames.mkString(", ")})")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val pred = expr(predicate)
+
+    // find phase: matching LIVE rows' (file, row index) + full columns
+    val candidates = DeltaStats.prune(spark, snap.active, predicate, snap)
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, candidates, keepLineage = true)
+    val matchedRows = lineage.where(pred)
+    val matched = matchedRows.select(col("__dv_path"), col("__dv_ridx"))
+    val matchedPaths = matched.select("__dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    if (matchedPaths.isEmpty) return Nil
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"updateWhereDv: resolved ${affected.size} of ${matchedPaths.size} matched " +
+        "files back to log entries — path normalization bug, refusing to commit")
+
+    // the updated rows — SET over the pre-update values, obligations
+    // verified, CM physical naming, declared partition layout
+    val updated0 = matchedRows.select(table.fields.map { f =>
+      set.get(f.name).map(e => expr(e).cast(f.dataType)).getOrElse(col(f.name))
+        .as(f.name)
+    }.toIndexedSeq: _*)
+    val updated = enforceObligations(updated0, snap, table, "updateWhereDv")
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val (stagedDf, stagePartCols) =
+      if (cm == "none") (updated, snap.partCols)
+      else (updated.select(
+        table.fieldNames.map(c => updated.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+
+    // CDF: complete pre/post images of exactly the matched rows
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        val pre = matchedRows.select((table.fieldNames.map { c =>
+          matchedRows.col(c).as(phys.getOrElse(c, c))
+        } :+ lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
+        val post = stagedDf.withColumn("_change_type", lit("update_postimage"))
+          .select((table.fieldNames.map(c => col(phys.getOrElse(c, c))) :+
+            col("_change_type")).toIndexedSeq: _*)
+        stageCdc(pre.unionByName(post), dir, snap.version + 1, stagePartCols)
+      }
+
+    // DV bitmaps: new matches ∪ each file's existing DV rows,
+    // executor-built, one shared sidecar (deleteWhereDv's layout)
+    val withDv = affected.filter(_.dv.isDefined)
+    val allDel =
+      if (withDv.isEmpty) matched
+      else matched.unionByName(DeltaReader.deletedRowsDf(spark, root, fs, withDv))
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = allDel
+      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
+      .as[(String, Seq[Long])]
+      .map { case (p, rs) => (p, DeltaReader.encodeDvBitmap(rs), rs.size.toLong) }
+      .collect()
+    val uuid = java.util.UUID.randomUUID()
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
+    val uuidEnc = DeltaReader.base85Encode(ub.array())
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeByte(1)
+    val placed: Map[String, (Int, Int, Long)] = perFile.sortBy(_._1).map {
+      case (p, data, card) =>
+        val off = bos.size()
+        dos.writeInt(data.length)
+        dos.write(data)
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        dos.writeInt(crc.getValue.toInt)
+        p -> ((off, data.length, card))
+    }.toMap
+    dos.flush()
+    val dvPath = new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin")
+    val dvOut = fs.create(dvPath, false)
+    try dvOut.write(bos.toByteArray) finally dvOut.close()
+
+    // stage the updated rows as new data files (stageCdc's walk, into
+    // the table root, with footer stats like every add)
+    val version = snap.version + 1
+    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_updv_$version")
+    if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
+    else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val stageUri = stage.toUri.getPath.stripSuffix("/")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
+      case (st, i) =>
+        val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+        val relDir = rel0.split('/').dropRight(1).mkString("/")
+        val name = s"part-updv-$version-$i.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val stats = DeltaStats.fileStats(st.getPath, hconf)
+        val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
+        if (rel.contains("/")) fs.mkdirs(dest.getParent)
+        require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+        val pvJson = relDir.split('/').filter(_.nonEmpty).map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"unexpected staged partition segment '$seg' in $rel")
+          val c = seg.substring(0, eq)
+          val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(eq + 1))
+          s"${om.writeValueAsString(c)}:${if (raw == "__HIVE_DEFAULT_PARTITION__") "null"
+            else om.writeValueAsString(raw)}"
+        }.mkString("{", ",", "}")
+        val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+        s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":${fs.getFileStatus(dest).getLen},"modificationTime":0,"dataChange":true$statsJson}}"""
+    }
+    fs.delete(stage, true)
+
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"UPDATE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    dvFeatureUpgrade(snap, cm).foreach(actions += _)
+    val ordered = affected.sortBy(_.path)
+    ordered.foreach { a =>
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+    }
+    ordered.foreach { a =>
+      val (off, sz, card) = placed(absPath(a))
+      val pvJson = a.partitionValues.map { case (c0, v) =>
+        s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson}}"""
+    }
+    actions ++= newAdds
+    actions ++= cdcActions
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"$version; re-read the table and retry the update", e)
     }
     try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
     affected.map(_.path).sorted

@@ -1,0 +1,98 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** updateWhereDv — merge-on-read UPDATE: matched rows DV'd dead in
+  * place, updated versions staged as new small files, one atomic
+  * commit, write cost ∝ updated rows.
+  */
+class DeltaDvUpdateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_dvu_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  private def base: DataFrame =
+    (1 to 30).map(i => (i.toLong, Seq("a", "b", "c")(i % 3), i * 1.0))
+      .toDF("id", "k", "v")
+
+  test("targeted update DVs the old rows in place and stages only the new ones") {
+    val d = freshDir("t")
+    LakeWriter.writeDelta(base.repartition(3), d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val before = DeltaReader.snapshot(spark, d, None).active.map(_.path).toSet
+    val touched = LakeWriter.updateWhereDv(spark, d, "id <= 3", Map("v" -> "v * 100"))
+    assert(touched.nonEmpty)
+    val snap = DeltaReader.snapshot(spark, d, None)
+    // every pre-update file is still live (no rewrite); the touched
+    // ones carry DVs; the only new files are the small part-updv adds
+    assert(before.subsetOf(snap.active.map(_.path).toSet))
+    assert(snap.active.filter(a => touched.contains(a.path)).forall(_.dv.isDefined))
+    val newFiles = snap.active.map(_.path).filterNot(before)
+    assert(newFiles.nonEmpty && newFiles.forall(_.contains("part-updv-")))
+    // values: updated rows doubled, the rest untouched, count stable
+    val out = DeltaReader.read(spark, d)
+    assert(out.count() == 30)
+    assert(out.where(col("id") === 2L).head().getDouble(2) == 200.0)
+    assert(out.where(col("id") === 10L).head().getDouble(2) == 10.0)
+    // time travel below the update sees the old values
+    assert(DeltaReader.read(spark, d, versionAsOf = Some(0))
+      .where(col("id") === 2L).head().getDouble(2) == 2.0)
+    // CDF: complete pre/post images for exactly the matched rows
+    val ch = DeltaReader.readChanges(spark, d, 1, 1)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("update_preimage" -> 3L, "update_postimage" -> 3L))
+    // a second DV update on the same file UNIONS the bitmaps
+    LakeWriter.updateWhereDv(spark, d, "id = 4", Map("v" -> "0.0 - v"))
+    val out2 = DeltaReader.read(spark, d)
+    assert(out2.count() == 30)
+    assert(out2.where(col("id") === 4L).head().getDouble(2) == -4.0)
+    assert(out2.where(col("id") === 2L).head().getDouble(2) == 200.0)
+    // OPTIMIZE folds the DV debt away with every row preserved
+    LakeWriter.compactDelta(spark, d, minFiles = 1)
+    val folded = DeltaReader.read(spark, d)
+    assert(folded.count() == 30)
+    assert(folded.where(col("id") === 4L).head().getDouble(2) == -4.0)
+    assert(DeltaReader.snapshot(spark, d, None).active.forall(_.dv.isEmpty))
+  }
+
+  test("partition-moving SET stages rows under their new directories") {
+    val d = freshDir("pm")
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"))
+    LakeWriter.updateWhereDv(spark, d, "id = 3", Map("k" -> "'z'"))
+    val out = DeltaReader.read(spark, d)
+    assert(out.where(col("k") === "z").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    assert(out.count() == 30)
+    val moved = DeltaReader.snapshot(spark, d, None).active
+      .filter(_.path.contains("part-updv-"))
+    assert(moved.nonEmpty && moved.forall(_.partitionValues("k") == "z"))
+  }
+
+  test("refusals and the no-match no-commit rule") {
+    val d = freshDir("ref")
+    LakeWriter.writeDelta(base, d)
+    val v0 = DeltaReader.snapshot(spark, d, None).version
+    assert(LakeWriter.updateWhereDv(spark, d, "id > 10000", Map("v" -> "0.0")).isEmpty)
+    assert(DeltaReader.snapshot(spark, d, None).version == v0)
+    // row-tracked tables refuse toward the copy-on-write path
+    val d2 = freshDir("rt")
+    LakeWriter.writeDelta(base, d2)
+    LakeWriter.enableRowTracking(spark, d2)
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.updateWhereDv(spark, d2, "id = 1", Map("v" -> "0.0"))
+    }
+    assert(e.getMessage.contains("updateWhere"))
+    // obligations still bind: a CHECK-violating new value refuses
+    val d3 = freshDir("chk")
+    LakeWriter.writeDelta(base, d3,
+      configuration = Map("delta.constraints.v_pos" -> "v > 0"))
+    val e2 = intercept[Exception] {
+      LakeWriter.updateWhereDv(spark, d3, "id = 1", Map("v" -> "-5.0"))
+    }
+    assert(e2.getMessage.contains("v_pos"))
+  }
+}
