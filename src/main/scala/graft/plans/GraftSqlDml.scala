@@ -412,11 +412,26 @@ object GraftSqlDml {
   }
 }
 
+/** Tables declaring `delta.enableDeletionVectors=true` mutate
+  * MERGE-ON-READ by default (delta-spark's own selector) — DV marks
+  * instead of file rewrites; everything else stays copy-on-write.
+  * Row-tracked tables always take copy-on-write (the id-correct path).
+  */
+private object GraftDmlMode {
+  def mergeOnRead(spark: SparkSession, path: String): Boolean = {
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+    snap.configuration.get("delta.enableDeletionVectors").contains("true") &&
+      !snap.writerFeatures.contains("rowTracking")
+  }
+}
+
 /** `DELETE FROM graft_delta.`path` WHERE ...` */
 case class GraftDeleteCommand(path: String, predicate: String)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeWriter.deleteWhere(spark, path, predicate)
+    if (GraftDmlMode.mergeOnRead(spark, path))
+      LakeWriter.deleteWhereDv(spark, path, predicate)
+    else LakeWriter.deleteWhere(spark, path, predicate)
     Seq.empty
   }
 }
@@ -426,7 +441,9 @@ case class GraftUpdateCommand(path: String, predicate: String,
                               sets: Seq[(String, String)])
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeWriter.updateWhere(spark, path, predicate, sets.toMap)
+    if (GraftDmlMode.mergeOnRead(spark, path))
+      LakeWriter.updateWhereDv(spark, path, predicate, sets.toMap)
+    else LakeWriter.updateWhere(spark, path, predicate, sets.toMap)
     Seq.empty
   }
 }

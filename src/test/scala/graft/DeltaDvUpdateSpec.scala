@@ -72,6 +72,23 @@ class DeltaDvUpdateSpec extends SparkSpec {
     assert(moved.nonEmpty && moved.forall(_.partitionValues("k") == "z"))
   }
 
+  test("SQL DELETE/UPDATE go merge-on-read on delta.enableDeletionVectors tables") {
+    GraftExtensions.register(spark)
+    val d = freshDir("sqlmor")
+    LakeWriter.writeDelta(base.repartition(2), d,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    val before = DeltaReader.snapshot(spark, d, None).active.map(_.path).toSet
+    spark.sql(s"DELETE FROM graft_delta.`$d` WHERE id = 7")
+    spark.sql(s"UPDATE graft_delta.`$d` SET v = 0.0 WHERE id = 8")
+    val snap = DeltaReader.snapshot(spark, d, None)
+    // the original files were never rewritten — DV marks carry both ops
+    assert(before.subsetOf(snap.active.map(_.path).toSet))
+    assert(snap.active.exists(_.dv.isDefined))
+    val out = DeltaReader.read(spark, d)
+    assert(out.count() == 29)
+    assert(out.where(col("id") === 8L).head().getDouble(2) == 0.0)
+  }
+
   test("refusals and the no-match no-commit rule") {
     val d = freshDir("ref")
     LakeWriter.writeDelta(base, d)
