@@ -317,6 +317,11 @@ object Profile {
       val touched = LakeWriter.deleteWhereDv(spark, dir.getPath, "id >= 300 AND id < 360")
       println(s"  DV'd ${touched.size} file(s)")
     }
+    time("updateWhereDv_narrow") {
+      val touched = LakeWriter.updateWhereDv(spark, dir.getPath,
+        "id >= 500 AND id < 560", Map("v" -> "concat(v, '!')"))
+      println(s"  DV'd ${touched.size} file(s), updated rows staged fresh")
+    }
     time("mergeInto_10_keys") {
       val src = spark.range(10)
         .select((col("id") * (n / 10) + 777).as("id"), lit("merged").as("v"))

@@ -56,7 +56,7 @@ class DeltaModelSpec extends SparkSpec {
     var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(15) match {
+      rnd.nextInt(16) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -139,6 +139,13 @@ class DeltaModelSpec extends SparkSpec {
                   MergeInsert(Map("id" -> "s.id", "v" -> "s.v")))))
             model = model -- dels.map(_._1) ++
               (upds ++ ins).map(c => c._1 -> c._2)
+          }
+        case 15 => // merge-on-read update: DV the old rows, stage the new
+          val m = 2 + rnd.nextInt(3); val r = rnd.nextInt(m)
+          LakeWriter.updateWhereDv(spark, dir, s"id % $m = $r",
+            Map("v" -> "concat(v, 'd')"))
+          model = model.map { case (id, v) =>
+            id -> (if (id % m == r) v + "d" else v)
           }
         case _ => // shallow clone: the fork must equal the model NOW
           cloneCount += 1
