@@ -2411,6 +2411,248 @@ object LakeWriter {
     affected.map(_.path).sorted
   }
 
+  /** CDC APPLY via MERGE-ON-READ — the replication fold with
+    * deletion-vector economics: `changes` is a KEY-UNIQUE batch of the
+    * table's columns plus `_change_type` ('delete' kills the key,
+    * anything else upserts its values). Matched target rows — update
+    * victims and deletes alike — are DV-marked dead IN PLACE; the
+    * updated versions and the inserts stage as fresh `part-cdc-*`
+    * files; ONE atomic commit with complete CDF change data. Write
+    * cost ∝ CHANGED rows: a replication batch touching 100 keys on a
+    * 100-TB table writes kilobytes of bitmap + the 100 new rows,
+    * where the copy-on-write fold ([[mergeIntoClauses]]) rewrites
+    * every file holding a matched key. The streaming cdcApply sink
+    * routes here automatically when the target declares
+    * `delta.enableDeletionVectors=true`.
+    *
+    * Same contracts as the DV family: protocol upgrade in-commit,
+    * bitmap union with existing DVs, shared sidecar, obligations
+    * verified on every staged row, a delete for an absent key no-ops,
+    * an all-absent batch with no live rows still commits its inserts,
+    * row-tracked tables refuse toward the copy-on-write fold. Find
+    * phase stats-prunes by the batch's key range (single-key) before
+    * the semi-join. Returns the DV'd file paths, sorted.
+    */
+  def applyCdcDv(spark: SparkSession, dir: String, changes: DataFrame,
+                 keyCols: Seq[String],
+                 txn: Option[(String, Long)] = None): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, collect_list, lit}
+    require(keyCols.nonEmpty, "applyCdcDv: empty key column list")
+    require(changes.columns.contains("_change_type"),
+      "applyCdcDv: the batch must carry _change_type ('delete' or upsert)")
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "none" || cm == "name",
+      s"applyCdcDv: column mapping mode '$cm' not supported")
+    require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
+      "applyCdcDv: table declares delta.appendOnly=true — CDC deletes are forbidden")
+    require(!snap.writerFeatures.contains("rowTracking"),
+      "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
+        "id assignment inside the DV commit is not implemented; refusing")
+    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+      "changeDataFeed", "checkConstraints", "generatedColumns")
+    val unsafe = snap.writerFeatures.filterNot(safeFeatures)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"applyCdcDv: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a mutation whose obligations this writer cannot honor")
+    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val missing = table.fieldNames.filterNot(changes.columns.contains)
+    require(missing.isEmpty,
+      s"applyCdcDv: the batch lacks table columns ${missing.mkString(", ")}")
+    val dupKeys = changes.groupBy(keyCols.map(col): _*)
+      .count().where(col("count") > 1).limit(1).collect()
+    require(dupKeys.isEmpty,
+      "applyCdcDv: the batch carries duplicate keys — fold to the last change per " +
+        "key first (the cdcApply sink does)")
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+
+    // find phase: live rows whose key appears in the batch — stats
+    // prune by the batch's key range first, then the semi-join
+    val srcKeys = changes.select(keyCols.map(col): _*).distinct()
+    val candidates =
+      if (keyCols.size != 1) snap.active
+      else {
+        val k = keyCols.head
+        val r = changes.agg(org.apache.spark.sql.functions.min(col(k)),
+          org.apache.spark.sql.functions.max(col(k))).head()
+        (r.get(0), r.get(1)) match {
+          case (mn: Number, mx: Number) =>
+            DeltaStats.prune(spark, snap.active, s"$k >= $mn AND $k <= $mx", snap)
+          case _ => snap.active
+        }
+      }
+    val lineage = DeltaReader.scanFiles(spark, dir, snap, candidates, keepLineage = true)
+    val srcRen = changes.select((keyCols.map(col) ++
+      table.fieldNames.filterNot(keyCols.contains).map(c => col(c).as(s"__s_$c")) :+
+      col("_change_type").as("__op")).toIndexedSeq: _*)
+    val joined = lineage.join(srcRen, keyCols.toSeq, "inner")
+    val matched = joined.select(col("__dv_path"), col("__dv_ridx"))
+    val matchedPaths = matched.select("__dv_path").distinct()
+      .collect().map(_.getString(0)).toSet
+    def absPath(a: DeltaReader.AddFile): String =
+      fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
+    val affected = snap.active.filter(a => matchedPaths.contains(absPath(a)))
+    require(affected.size == matchedPaths.size,
+      s"applyCdcDv: resolved ${affected.size} of ${matchedPaths.size} matched files " +
+        "back to log entries — path normalization bug, refusing to commit")
+
+    // the staged rows: updated versions of matched upserts + inserts
+    // of unmatched non-deletes
+    def srcVal(f: org.apache.spark.sql.types.StructField,
+               from: DataFrame): org.apache.spark.sql.Column =
+      (if (keyCols.contains(f.name)) from.col(f.name)
+       else from.col(s"__s_${f.name}")).cast(f.dataType).as(f.name)
+    val updatedRows = joined.where(col("__op") =!= "delete")
+      .select(table.fields.map(f => srcVal(f, joined)).toIndexedSeq: _*)
+    val matchedKeys = joined.select(keyCols.map(col): _*).distinct()
+    val insertsRen = srcRen.join(matchedKeys, keyCols.toSeq, "left_anti")
+      .where(col("__op") =!= "delete")
+    val inserts = insertsRen
+      .select(table.fields.map(f => srcVal(f, insertsRen)).toIndexedSeq: _*)
+    val written = enforceObligations(updatedRows.unionByName(inserts), snap, table,
+      "applyCdcDv")
+    if (affected.isEmpty && written.isEmpty) return Nil
+
+    val phys: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
+    val (stagedDf, stagePartCols) =
+      if (cm == "none") (written, snap.partCols)
+      else (written.select(
+        table.fieldNames.map(c => written.col(c).as(phys(c))).toIndexedSeq: _*),
+        snap.partCols.map(phys))
+
+    // CDF: deletes' preimages, updates' pre/post, inserts — complete
+    val cdcActions =
+      if (!cdfEnabled(snap)) Nil
+      else {
+        def img(df: DataFrame, kind: String): DataFrame =
+          df.select((table.fieldNames.map { c =>
+            df.col(c).as(phys.getOrElse(c, c))
+          } :+ lit(kind).as("_change_type")).toIndexedSeq: _*)
+        val delPre = img(joined.where(col("__op") === "delete"), "delete")
+        val updPre = img(joined.where(col("__op") =!= "delete"), "update_preimage")
+        val updPost = updatedRows
+          .select((table.fieldNames.map(c => updatedRows.col(c).as(phys.getOrElse(c, c))) :+
+            lit("update_postimage").as("_change_type")).toIndexedSeq: _*)
+        val ins = inserts
+          .select((table.fieldNames.map(c => inserts.col(c).as(phys.getOrElse(c, c))) :+
+            lit("insert").as("_change_type")).toIndexedSeq: _*)
+        stageCdc(delPre.unionByName(updPre).unionByName(updPost).unionByName(ins),
+          dir, snap.version + 1, stagePartCols)
+      }
+
+    // DV bitmaps over every matched row (update victims + deletes),
+    // unioned with existing DVs — deleteWhereDv's exact layout
+    val withDv = affected.filter(_.dv.isDefined)
+    val allDel =
+      if (withDv.isEmpty) matched
+      else matched.unionByName(DeltaReader.deletedRowsDf(spark, root, fs, withDv))
+    import spark.implicits._
+    val perFile: Array[(String, Array[Byte], Long)] = allDel
+      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
+      .as[(String, Seq[Long])]
+      .map { case (p, rs) => (p, DeltaReader.encodeDvBitmap(rs), rs.size.toLong) }
+      .collect()
+    val uuid = java.util.UUID.randomUUID()
+    val ub = java.nio.ByteBuffer.allocate(16)
+    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
+    val uuidEnc = DeltaReader.base85Encode(ub.array())
+    val bos = new java.io.ByteArrayOutputStream()
+    val dos = new java.io.DataOutputStream(bos)
+    dos.writeByte(1)
+    val placed: Map[String, (Int, Int, Long)] = perFile.sortBy(_._1).map {
+      case (p, data, card) =>
+        val off = bos.size()
+        dos.writeInt(data.length)
+        dos.write(data)
+        val crc = new java.util.zip.CRC32(); crc.update(data)
+        dos.writeInt(crc.getValue.toInt)
+        p -> ((off, data.length, card))
+    }.toMap
+    dos.flush()
+    if (perFile.nonEmpty) {
+      val dvPath = new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin")
+      val dvOut = fs.create(dvPath, false)
+      try dvOut.write(bos.toByteArray) finally dvOut.close()
+    }
+
+    // stage the new rows (updateWhereDv's walk)
+    val version = snap.version + 1
+    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdcdv_$version")
+    if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
+    else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
+      }
+    val stageUri = stage.toUri.getPath.stripSuffix("/")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
+      case (st, i) =>
+        val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
+        val relDir = rel0.split('/').dropRight(1).mkString("/")
+        val name = s"part-cdc-$version-$i.parquet"
+        val rel = if (relDir.isEmpty) name else s"$relDir/$name"
+        val stats = DeltaStats.fileStats(st.getPath, hconf)
+        val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
+        if (rel.contains("/")) fs.mkdirs(dest.getParent)
+        require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
+        val pvJson = relDir.split('/').filter(_.nonEmpty).map { seg =>
+          val eq = seg.indexOf('=')
+          require(eq > 0, s"unexpected staged partition segment '$seg' in $rel")
+          val c = seg.substring(0, eq)
+          val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(seg.substring(eq + 1))
+          s"${om.writeValueAsString(c)}:${if (raw == "__HIVE_DEFAULT_PARTITION__") "null"
+            else om.writeValueAsString(raw)}"
+        }.mkString("{", ",", "}")
+        val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+        s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":${fs.getFileStatus(dest).getLen},"modificationTime":0,"dataChange":true$statsJson}}"""
+    }
+    fs.delete(stage, true)
+
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"MERGE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    if (perFile.nonEmpty) dvFeatureUpgrade(snap, cm).foreach(actions += _)
+    txn.foreach { case (appId, v) =>
+      actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},"version":$v}}"""
+    }
+    val ordered = affected.sortBy(_.path)
+    ordered.foreach { a =>
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+    }
+    ordered.foreach { a =>
+      val (off, sz, card) = placed(absPath(a))
+      val pvJson = a.partitionValues.map { case (c0, v) =>
+        s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson}}"""
+    }
+    actions ++= newAdds
+    actions ++= cdcActions
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
+    val out = try fs.create(commit, false)
+    catch { case e: java.io.IOException =>
+      throw new IllegalStateException(
+        s"Delta commit $commit already exists — a concurrent writer won version " +
+          s"$version; re-read the table and retry the CDC apply", e)
+    }
+    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    affected.map(_.path).sorted
+  }
+
   /** MERGE INTO the Delta table from `source` on equality of `keyCols`
     * — the default upsert (WHEN MATCHED THEN UPDATE SET *, WHEN NOT
     * MATCHED THEN INSERT *): target rows whose key appears in the

@@ -159,16 +159,26 @@ object DeltaStream {
         dir, checkpointInterval = 0, partitionBy, Some(appId -> batchId))
     } else {
       val snap = DeltaReader.snapshot(s, dir, None)
-      if (batchId > snap.txns.getOrElse(appId, -1L))
-        LakeWriter.mergeIntoClauses(s, dir, latest, keyCols,
-          matched = Seq(
-            graft.sources.MergeClause(Some("s._change_type = 'delete'"),
-              graft.sources.MergeDelete),
-            graft.sources.MergeClause(None, graft.sources.MergeUpdateAll)),
-          notMatched = Seq(
-            graft.sources.MergeClause(Some("s._change_type != 'delete'"),
-              graft.sources.MergeInsertAll)),
-          notMatchedBySource = Nil, txn = Some(appId -> batchId))
+      if (batchId > snap.txns.getOrElse(appId, -1L)) {
+        // a target declaring enableDeletionVectors folds MERGE-ON-READ:
+        // matched rows DV'd in place, only the changed rows staged —
+        // replication batches never rewrite target files
+        val mor = snap.configuration.get("delta.enableDeletionVectors")
+          .contains("true") && !snap.writerFeatures.contains("rowTracking")
+        if (mor)
+          LakeWriter.applyCdcDv(s, dir, latest, keyCols,
+            txn = Some(appId -> batchId))
+        else
+          LakeWriter.mergeIntoClauses(s, dir, latest, keyCols,
+            matched = Seq(
+              graft.sources.MergeClause(Some("s._change_type = 'delete'"),
+                graft.sources.MergeDelete),
+              graft.sources.MergeClause(None, graft.sources.MergeUpdateAll)),
+            notMatched = Seq(
+              graft.sources.MergeClause(Some("s._change_type != 'delete'"),
+                graft.sources.MergeInsertAll)),
+            notMatchedBySource = Nil, txn = Some(appId -> batchId))
+      }
       // else: replay of an already-committed batch — exactly-once skip
     }
   }

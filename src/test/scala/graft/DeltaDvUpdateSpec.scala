@@ -89,6 +89,68 @@ class DeltaDvUpdateSpec extends SparkSpec {
     assert(out.where(col("id") === 8L).head().getDouble(2) == 0.0)
   }
 
+  test("applyCdcDv folds a change batch without rewriting target files") {
+    val d = freshDir("cdc")
+    LakeWriter.writeDelta(base.repartition(3), d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val before = DeltaReader.snapshot(spark, d, None).active.map(_.path).toSet
+    // delete id 1, update id 2, insert 100, delete of absent 101 no-ops
+    val changes = Seq(
+      (1L, "a", 0.0, "delete"), (2L, "b", 222.0, "update_postimage"),
+      (100L, "n", 9.0, "insert"), (101L, "x", 0.0, "delete")
+    ).toDF("id", "k", "v", "_change_type")
+    val touched = LakeWriter.applyCdcDv(spark, d, changes, Seq("id"))
+    assert(touched.nonEmpty)
+    val snap = DeltaReader.snapshot(spark, d, None)
+    assert(before.subsetOf(snap.active.map(_.path).toSet), "no target file rewritten")
+    assert(snap.active.exists(a => a.path.contains("part-cdc-")))
+    val out = DeltaReader.read(spark, d).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+    assert(!out.contains(1L) && !out.contains(101L))
+    assert(out(2L) == ("b", 222.0))
+    assert(out(100L) == ("n", 9.0))
+    assert(out.size == 30) // 30 - 1 deleted + 1 inserted
+    // complete change data in the one commit
+    val ch = DeltaReader.readChanges(spark, d, 1, 1)
+      .groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ch == Map("delete" -> 1L, "update_preimage" -> 1L,
+      "update_postimage" -> 1L, "insert" -> 1L))
+  }
+
+  test("the streaming cdcApply sink goes merge-on-read on DV-declaring targets") {
+    val src = freshDir("msrc"); val dst = freshDir("mdst"); val cp = freshDir("mcp")
+    LakeWriter.writeDelta(base.repartition(2), src,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    def replicate(): Unit = {
+      val q = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+        .load(src)
+        .writeStream.format("graft-delta")
+        .option("checkpointLocation", cp)
+        .option("mergeKeys", "id").option("cdcApply", "true")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(dst)
+      q.awaitTermination()
+    }
+    replicate() // first batch creates the replica (plain files)
+    // declare DVs on the REPLICA: subsequent folds go merge-on-read
+    LakeWriter.alterProperties(spark, dst,
+      Map("delta.enableDeletionVectors" -> "true"))
+    val filesBefore = DeltaReader.snapshot(spark, dst, None).active.map(_.path).toSet
+    LakeWriter.deleteWhere(spark, src, "id % 5 = 0")
+    LakeWriter.updateWhere(spark, src, "id = 7", Map("v" -> "777.0"))
+    replicate()
+    val snap = DeltaReader.snapshot(spark, dst, None)
+    assert(filesBefore.subsetOf(snap.active.map(_.path).toSet),
+      "MOR fold must not rewrite replica files")
+    assert(snap.active.exists(_.dv.isDefined))
+    // replica ≡ source
+    val a = DeltaReader.read(spark, dst).orderBy("id").collect().map(_.toSeq).toSeq
+    val b = DeltaReader.read(spark, src).orderBy("id").collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("refusals and the no-match no-commit rule") {
     val d = freshDir("ref")
     LakeWriter.writeDelta(base, d)
