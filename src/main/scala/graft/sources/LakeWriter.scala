@@ -1120,6 +1120,21 @@ object LakeWriter {
     * the caller's batch. Returns the batch with generated columns
     * completed, in table column order when completion happened.
     */
+  /** Logical→physical column-name map for a name-mode table; empty
+    * when `cm` is "none". Refuses loudly — naming the op and the
+    * field — on a malformed schemaString whose field lacks
+    * physicalName metadata, instead of a bare NoSuchElementException.
+    */
+  private[graft] def physNameMap(table: org.apache.spark.sql.types.StructType,
+                                 cm: String, op: String): Map[String, String] =
+    if (cm == "none") Map.empty
+    else table.fields.map { f =>
+      require(f.metadata.contains("delta.columnMapping.physicalName"),
+        s"$op: field '${f.name}' carries no delta.columnMapping.physicalName " +
+          "metadata — malformed schemaString for a name-mode table")
+      f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+    }.toMap
+
   private[graft] def enforceObligations(df: DataFrame, snap: DeltaReader.Snapshot,
                                         table: org.apache.spark.sql.types.StructType,
                                         op: String): DataFrame = {
@@ -1316,7 +1331,13 @@ object LakeWriter {
     // land under col=value/ directories and (per Spark's layout) do
     // not contain the partition columns themselves; the reader
     // re-attaches them from add.partitionValues.
-    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_$version")
+    // writer-unique staging: concurrent writers may legitimately race
+    // toward the SAME next version (the rebase path re-commits one of
+    // them at version+1), so the staging dir must never be shared — a
+    // version-keyed name would collide in ErrorIfExists or let one
+    // writer's cleanup delete(stage) sweep the other's in-flight files
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s"_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     if (partCols.isEmpty) df.write.parquet(stage.toString)
     else df.write.partitionBy(partCols: _*).parquet(stage.toString)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -1864,7 +1885,9 @@ object LakeWriter {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
-    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdc_$version")
+    // writer-unique (see commitDelta's staging comment)
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s"_stage_cdc_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     if (partCols.isEmpty) df.write.parquet(stage.toString)
     else df.write.partitionBy(partCols: _*).parquet(stage.toString)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -2037,12 +2060,15 @@ object LakeWriter {
     * path once DV debt accumulates), and [[vacuumDelta]] keeps exactly
     * the sidecars some window version still references.
     *
-    * Scale: two distributed jobs (find matches, build bitmaps — both
-    * executor-side; existing sidecars decode via the binaryFile
-    * source). Driver state is O(affected files) descriptors plus their
-    * roaring-compressed bitmaps (KBs for targeted deletes; a mass
-    * delete belongs on [[deleteWhere]]). Returns the affected file
-    * paths as stored in the log, sorted; empty = nothing matched.
+    * Scale: two distributed jobs (find matches, build AND WRITE
+    * bitmaps — both executor-side; [[writeDvSidecars]] authors the
+    * sidecar files from the executors, so no bitmap bytes ever land
+    * on the driver). Driver state is O(affected files) descriptors
+    * only — a mass scattered delete is driver-safe here; the
+    * copy-on-write [[deleteWhere]] remains the physical-cleanup
+    * choice when most of a file dies anyway. Returns the affected
+    * file paths as stored in the log, sorted; empty = nothing
+    * matched.
     */
   /** The (3,7) deletionVectors protocol restatement a DV commit must
     * carry on a table not yet declaring the feature — legacy writer
@@ -2075,8 +2101,100 @@ object LakeWriter {
     }
   }
 
+  /** Serializable Hadoop-configuration carrier: `Configuration` is a
+    * Hadoop Writable but not java-serializable, so tasks that touch
+    * the filesystem directly (the executor-side sidecar writers)
+    * ship it through this wrapper. Same shape as Spark's own
+    * (private) SerializableConfiguration.
+    */
+  private[graft] final class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** One file's deletion vector, as placed inside an executor-written
+    * sidecar: the sidecar's base85 UUID reference (the add action's
+    * `pathOrInlineDv`), the DV's byte offset, its serialized size and
+    * its cardinality. Everything the commit's descriptor needs —
+    * and nothing bitmap-sized.
+    */
+  private[graft] final case class DvPlacement(uuidEnc: String, offset: Int,
+                                              sizeInBytes: Int, cardinality: Long)
+
+  /** Author deletion-vector sidecars ON EXECUTORS. `allDel` carries
+    * one row per dead (`__dv_path`, `__dv_ridx`); the rows group by
+    * file (one shuffle on the file path), then each non-empty task
+    * partition encodes its files' roaring bitmaps and streams them
+    * into ONE sidecar it creates itself (`deletion_vector_<uuid>.bin`
+    * at the table root — the protocol allows any number of sidecars
+    * per commit, and the reader already decodes shared files at
+    * offsets). Only the (path → placement) descriptors return to the
+    * driver: driver memory is O(affected files), never ∝ deleted
+    * rows, which is what makes a broad scattered DELETE on a 100-TB
+    * `enableDeletionVectors` table safe to auto-route here. A retried
+    * task re-creates under a FRESH UUID, so the create-if-absent
+    * never collides; the superseded attempt's sidecar is unreferenced
+    * debris, the same class as a failed writer's staged files (VACUUM
+    * keeps only referenced sidecars). Sidecar count is bounded by the
+    * shuffle partition count, not the file count.
+    */
+  private[graft] def writeDvSidecars(spark: SparkSession,
+      root: org.apache.hadoop.fs.Path,
+      allDel: DataFrame): Map[String, DvPlacement] = {
+    import org.apache.spark.sql.functions.{col, collect_list}
+    import spark.implicits._
+    val rootStr = root.toString
+    val hconfB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val descriptors: Array[(String, String, Int, Int, Long)] = allDel
+      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
+      .as[(String, Seq[Long])]
+      .mapPartitions { it =>
+        if (!it.hasNext) Iterator.empty
+        else {
+          val uuid = java.util.UUID.randomUUID()
+          val ub = java.nio.ByteBuffer.allocate(16)
+          ub.putLong(uuid.getMostSignificantBits)
+          ub.putLong(uuid.getLeastSignificantBits)
+          val uuidEnc = DeltaReader.base85Encode(ub.array())
+          val rootP = new org.apache.hadoop.fs.Path(rootStr)
+          val fs = rootP.getFileSystem(hconfB.value.value)
+          val dvPath = new org.apache.hadoop.fs.Path(rootP, s"deletion_vector_$uuid.bin")
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(dvPath, false), 1 << 16))
+          val res = scala.collection.mutable.ArrayBuffer
+            .empty[(String, String, Int, Int, Long)]
+          try {
+            out.writeByte(1)
+            var offset = 1
+            it.foreach { case (p, rs) =>
+              val data = DeltaReader.encodeDvBitmap(rs)
+              out.writeInt(data.length)
+              out.write(data)
+              val crc = new java.util.zip.CRC32(); crc.update(data)
+              out.writeInt(crc.getValue.toInt)
+              res += ((p, uuidEnc, offset, data.length, rs.size.toLong))
+              offset += 4 + data.length + 4
+            }
+          } finally out.close()
+          res.iterator
+        }
+      }.collect()
+    descriptors.map { case (p, u, off, sz, card) =>
+      p -> DvPlacement(u, off, sz, card)
+    }.toMap
+  }
+
   def deleteWhereDv(spark: SparkSession, dir: String, predicate: String): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, collect_list, expr}
+    import org.apache.spark.sql.functions.{col, expr}
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cm == "none" || cm == "name",
@@ -2117,11 +2235,7 @@ object LakeWriter {
       else {
         val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
-        val phys: Map[String, String] =
-          if (cm == "none") Map.empty
-          else table.fields.map { f =>
-            f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-          }.toMap
+        val phys = physNameMap(table, cm, "deleteWhereDv")
         val physCdc = matchedRows.select((table.fieldNames.map { c =>
           matchedRows.col(c).as(phys.getOrElse(c, c))
         } :+ org.apache.spark.sql.functions.lit("delete").as("_change_type")).toIndexedSeq: _*)
@@ -2138,40 +2252,13 @@ object LakeWriter {
 
     // job 2: per-file bitmap = new matches ∪ the file's existing DV
     // rows (a descriptor REPLACES its predecessor, so dropping the old
-    // rows would resurrect them); built and encoded on EXECUTORS
+    // rows would resurrect them); built, encoded AND written to
+    // sidecars on EXECUTORS — only descriptors reach the driver
     val withDv = affected.filter(_.dv.isDefined)
     val allDel =
       if (withDv.isEmpty) matched
       else matched.unionByName(DeltaReader.deletedRowsDf(spark, root, fs, withDv))
-    import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = allDel
-      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
-      .as[(String, Seq[Long])]
-      .map { case (p, rs) => (p, DeltaReader.encodeDvBitmap(rs), rs.size.toLong) }
-      .collect()
-
-    // one shared sidecar at the table root, every DV at its offset —
-    // the reader's decodeDvFromFile format exactly
-    val uuid = java.util.UUID.randomUUID()
-    val ub = java.nio.ByteBuffer.allocate(16)
-    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
-    val uuidEnc = DeltaReader.base85Encode(ub.array())
-    val bos = new java.io.ByteArrayOutputStream()
-    val dos = new java.io.DataOutputStream(bos)
-    dos.writeByte(1)
-    val placed: Map[String, (Int, Int, Long)] = perFile.sortBy(_._1).map {
-      case (p, data, card) =>
-        val off = bos.size()
-        dos.writeInt(data.length)
-        dos.write(data)
-        val crc = new java.util.zip.CRC32(); crc.update(data)
-        dos.writeInt(crc.getValue.toInt)
-        p -> ((off, data.length, card))
-    }.toMap
-    dos.flush()
-    val dvPath = new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin")
-    val dvOut = fs.create(dvPath, false)
-    try dvOut.write(bos.toByteArray) finally dvOut.close()
+    val placed = writeDvSidecars(spark, root, allDel)
 
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -2182,12 +2269,12 @@ object LakeWriter {
       actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
     }
     ordered.foreach { a =>
-      val (off, sz, card) = placed(absPath(a))
+      val pl = placed(absPath(a))
       val pvJson = a.partitionValues.map { case (c0, v) =>
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson${RowTracking.carryJson(a)}}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${RowTracking.carryJson(a)}}}"""
     }
     actions ++= cdcActions
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
@@ -2235,7 +2322,7 @@ object LakeWriter {
     */
   def updateWhereDv(spark: SparkSession, dir: String, predicate: String,
                     set: Map[String, String]): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, collect_list, expr, lit}
+    import org.apache.spark.sql.functions.{col, expr, lit}
     require(set.nonEmpty, "updateWhereDv: empty SET clause")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -2287,11 +2374,7 @@ object LakeWriter {
         .as(f.name)
     }.toIndexedSeq: _*)
     val updated = enforceObligations(updated0, snap, table, "updateWhereDv")
-    val phys: Map[String, String] =
-      if (cm == "none") Map.empty
-      else table.fields.map { f =>
-        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-      }.toMap
+    val phys = physNameMap(table, cm, "updateWhereDv")
     val (stagedDf, stagePartCols) =
       if (cm == "none") (updated, snap.partCols)
       else (updated.select(
@@ -2311,43 +2394,23 @@ object LakeWriter {
         stageCdc(pre.unionByName(post), dir, snap.version + 1, stagePartCols)
       }
 
-    // DV bitmaps: new matches ∪ each file's existing DV rows,
-    // executor-built, one shared sidecar (deleteWhereDv's layout)
+    // DV bitmaps: new matches ∪ each file's existing DV rows —
+    // executor-built AND executor-written ([[writeDvSidecars]]);
+    // descriptors only on the driver
     val withDv = affected.filter(_.dv.isDefined)
     val allDel =
       if (withDv.isEmpty) matched
       else matched.unionByName(DeltaReader.deletedRowsDf(spark, root, fs, withDv))
-    import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = allDel
-      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
-      .as[(String, Seq[Long])]
-      .map { case (p, rs) => (p, DeltaReader.encodeDvBitmap(rs), rs.size.toLong) }
-      .collect()
-    val uuid = java.util.UUID.randomUUID()
-    val ub = java.nio.ByteBuffer.allocate(16)
-    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
-    val uuidEnc = DeltaReader.base85Encode(ub.array())
-    val bos = new java.io.ByteArrayOutputStream()
-    val dos = new java.io.DataOutputStream(bos)
-    dos.writeByte(1)
-    val placed: Map[String, (Int, Int, Long)] = perFile.sortBy(_._1).map {
-      case (p, data, card) =>
-        val off = bos.size()
-        dos.writeInt(data.length)
-        dos.write(data)
-        val crc = new java.util.zip.CRC32(); crc.update(data)
-        dos.writeInt(crc.getValue.toInt)
-        p -> ((off, data.length, card))
-    }.toMap
-    dos.flush()
-    val dvPath = new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin")
-    val dvOut = fs.create(dvPath, false)
-    try dvOut.write(bos.toByteArray) finally dvOut.close()
+    val placed = writeDvSidecars(spark, root, allDel)
 
     // stage the updated rows as new data files (stageCdc's walk, into
     // the table root, with footer stats like every add)
     val version = snap.version + 1
-    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_updv_$version")
+    // writer-unique stage dir AND rename token (see commitDelta's
+    // staging comment): the renamed part-updv names must not collide
+    // between two writers racing the same version either
+    val wtok = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_updv_${version}_$wtok")
     if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
     else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -2361,7 +2424,7 @@ object LakeWriter {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
         val relDir = rel0.split('/').dropRight(1).mkString("/")
-        val name = s"part-updv-$version-$i.parquet"
+        val name = s"part-updv-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf)
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
@@ -2389,12 +2452,12 @@ object LakeWriter {
       actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
     }
     ordered.foreach { a =>
-      val (off, sz, card) = placed(absPath(a))
+      val pl = placed(absPath(a))
       val pvJson = a.partitionValues.map { case (c0, v) =>
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson}}"""
     }
     actions ++= newAdds
     actions ++= cdcActions
@@ -2436,7 +2499,7 @@ object LakeWriter {
   def applyCdcDv(spark: SparkSession, dir: String, changes: DataFrame,
                  keyCols: Seq[String],
                  txn: Option[(String, Long)] = None): Seq[String] = {
-    import org.apache.spark.sql.functions.{col, collect_list, lit}
+    import org.apache.spark.sql.functions.{col, lit}
     require(keyCols.nonEmpty, "applyCdcDv: empty key column list")
     require(changes.columns.contains("_change_type"),
       "applyCdcDv: the batch must carry _change_type ('delete' or upsert)")
@@ -2518,11 +2581,7 @@ object LakeWriter {
       "applyCdcDv")
     if (affected.isEmpty && written.isEmpty) return Nil
 
-    val phys: Map[String, String] =
-      if (cm == "none") Map.empty
-      else table.fields.map { f =>
-        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-      }.toMap
+    val phys = physNameMap(table, cm, "applyCdcDv")
     val (stagedDf, stagePartCols) =
       if (cm == "none") (written, snap.partCols)
       else (written.select(
@@ -2550,43 +2609,20 @@ object LakeWriter {
       }
 
     // DV bitmaps over every matched row (update victims + deletes),
-    // unioned with existing DVs — deleteWhereDv's exact layout
+    // unioned with existing DVs — executor-built AND executor-written
+    // ([[writeDvSidecars]]); an all-insert batch with no matches
+    // writes no sidecar (empty input → zero tasks emit)
     val withDv = affected.filter(_.dv.isDefined)
     val allDel =
       if (withDv.isEmpty) matched
       else matched.unionByName(DeltaReader.deletedRowsDf(spark, root, fs, withDv))
-    import spark.implicits._
-    val perFile: Array[(String, Array[Byte], Long)] = allDel
-      .groupBy("__dv_path").agg(collect_list(col("__dv_ridx")).as("ridx"))
-      .as[(String, Seq[Long])]
-      .map { case (p, rs) => (p, DeltaReader.encodeDvBitmap(rs), rs.size.toLong) }
-      .collect()
-    val uuid = java.util.UUID.randomUUID()
-    val ub = java.nio.ByteBuffer.allocate(16)
-    ub.putLong(uuid.getMostSignificantBits); ub.putLong(uuid.getLeastSignificantBits)
-    val uuidEnc = DeltaReader.base85Encode(ub.array())
-    val bos = new java.io.ByteArrayOutputStream()
-    val dos = new java.io.DataOutputStream(bos)
-    dos.writeByte(1)
-    val placed: Map[String, (Int, Int, Long)] = perFile.sortBy(_._1).map {
-      case (p, data, card) =>
-        val off = bos.size()
-        dos.writeInt(data.length)
-        dos.write(data)
-        val crc = new java.util.zip.CRC32(); crc.update(data)
-        dos.writeInt(crc.getValue.toInt)
-        p -> ((off, data.length, card))
-    }.toMap
-    dos.flush()
-    if (perFile.nonEmpty) {
-      val dvPath = new org.apache.hadoop.fs.Path(root, s"deletion_vector_$uuid.bin")
-      val dvOut = fs.create(dvPath, false)
-      try dvOut.write(bos.toByteArray) finally dvOut.close()
-    }
+    val placed = writeDvSidecars(spark, root, allDel)
 
     // stage the new rows (updateWhereDv's walk)
     val version = snap.version + 1
-    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdcdv_$version")
+    // writer-unique stage dir and rename token (commitDelta's comment)
+    val wtok = java.util.UUID.randomUUID().toString.take(8)
+    val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdcdv_${version}_$wtok")
     if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
     else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
@@ -2600,7 +2636,7 @@ object LakeWriter {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
         val relDir = rel0.split('/').dropRight(1).mkString("/")
-        val name = s"part-cdc-$version-$i.parquet"
+        val name = s"part-cdc-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf)
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
@@ -2622,7 +2658,7 @@ object LakeWriter {
 
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"MERGE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
-    if (perFile.nonEmpty) dvFeatureUpgrade(snap, cm).foreach(actions += _)
+    if (placed.nonEmpty) dvFeatureUpgrade(snap, cm).foreach(actions += _)
     txn.foreach { case (appId, v) =>
       actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},"version":$v}}"""
     }
@@ -2631,12 +2667,12 @@ object LakeWriter {
       actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
     }
     ordered.foreach { a =>
-      val (off, sz, card) = placed(absPath(a))
+      val pl = placed(absPath(a))
       val pvJson = a.partitionValues.map { case (c0, v) =>
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(uuidEnc)},"offset":$off,"sizeInBytes":$sz,"cardinality":$card}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson}}"""
     }
     actions ++= newAdds
     actions ++= cdcActions
@@ -2977,11 +3013,7 @@ object LakeWriter {
     if (!rewriteNeeded && written.isEmpty) return Nil
     val checked = enforceObligations(written, snap, table, "mergeIntoClauses")
 
-    val phys: Map[String, String] =
-      if (cm == "none") Map.empty
-      else table.fields.map { f =>
-        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-      }.toMap
+    val phys = physNameMap(table, cm, "mergeIntoClauses")
     val (staged, stagePartCols) =
       if (cm == "none") (checked, snap.partCols)
       else (checked.select(
@@ -3110,11 +3142,7 @@ object LakeWriter {
         case None => col(f.name)
       }).as(f.name)
     }.toIndexedSeq: _*), snap, table, "updateWhere")
-    val phys: Map[String, String] =
-      if (cm == "none") Map.empty
-      else table.fields.map { f =>
-        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-      }.toMap
+    val phys = physNameMap(table, cm, "updateWhere")
     val (staged, stagePartCols) =
       if (cm == "none") (rewritten, snap.partCols)
       else (rewritten.select(
@@ -3985,7 +4013,8 @@ object LakeWriter {
     // Order matters for crash safety: the hint is written only after
     // the checkpoint file exists (a reader ignores a missing hint but
     // would fail on a hinted-but-absent checkpoint).
-    val scratch = new org.apache.hadoop.fs.Path(log, s"_cp_stage_$version")
+    val scratch = new org.apache.hadoop.fs.Path(log,
+      s"_cp_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     (if (parts <= 1) full.coalesce(1) else full.repartition(parts))
       .write.parquet(scratch.toString)
     val part = fs.listStatus(scratch).map(_.getPath)
@@ -4074,7 +4103,8 @@ object LakeWriter {
         c("drcv").as("defaultRowCommitVersion")).cast(addT).as("add"))
     val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
     fs.mkdirs(sidecarDir)
-    val scratch = new org.apache.hadoop.fs.Path(log, s"_cpv2_stage_$version")
+    val scratch = new org.apache.hadoop.fs.Path(log,
+      s"_cpv2_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     (if (sidecarParts <= 1) addsDf.coalesce(1) else addsDf.repartition(sidecarParts))
       .write.parquet(scratch.toString)
     val parts = fs.listStatus(scratch).map(_.getPath)
@@ -4136,7 +4166,8 @@ object LakeWriter {
       } ++ snap.domainMetadata.toSeq.sortBy(_._1).map { case (domain, conf) =>
         Row(null, null, null, null, null, Row(domain, conf, false))
       }
-    val mScratch = new org.apache.hadoop.fs.Path(log, s"_cpv2m_stage_$version")
+    val mScratch = new org.apache.hadoop.fs.Path(log,
+      s"_cpv2m_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     spark.createDataFrame(spark.sparkContext.parallelize(mRows.toSeq, 1), mSchema)
       .coalesce(1).write.parquet(mScratch.toString)
     val mPart = fs.listStatus(mScratch).map(_.getPath)
