@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // entry points set spark.sql.extensions); register() on a live
     // session cannot swap the parser.
     ext.injectParser((_, delegate) => new graft.plans.GraftSqlParser(delegate))
+    // Catalog reads: a GraftTable relation resolved through the V2
+    // catalog (spark.sql.catalog.<name> = graft.catalog.GraftCatalog)
+    // substitutes to the production DeltaReader plan at analysis time.
+    ext.injectResolutionRule(session => new graft.catalog.GraftCatalogScanRule(session))
   }
 }
 

@@ -1,0 +1,348 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** A V2 `TableCatalog` over graft Delta tables, backed by a catalog
+  * root DIRECTORY: table `graft.db.t` lives at `<root>/db/t` (a
+  * namespace is a directory, a table is a directory holding a
+  * `_delta_log`). Register it like any Spark catalog:
+  *
+  *   spark.sql.catalog.graft       = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.root  = /lake/catalog
+  *
+  * and the whole existing surface becomes NAME-addressed:
+  * `CREATE TABLE graft.db.t (...)`, `SELECT * FROM graft.db.t`
+  * (incl. `VERSION AS OF`), `spark.table("graft.db.t")`,
+  * `INSERT/DELETE/UPDATE/MERGE/OPTIMIZE/VACUUM ... graft.db.t` (the
+  * GraftSqlDml rewrites resolve names through [[GraftCatalogPaths]]),
+  * `SHOW TABLES IN graft.db`, `DESCRIBE`, the ALTER family, `DROP
+  * TABLE`. Real pipelines name tables; the name→directory mapping
+  * means a lake reorganization is one `renameTable`/namespace move,
+  * not a rewrite of every query's path literal.
+  *
+  * EXTERNAL tables (`CREATE TABLE ... LOCATION '/elsewhere'`) are a
+  * one-line pointer file `_graft_location` under the catalog
+  * directory; everything else reads/writes the pointed-at dir.
+  * `DROP TABLE` on an external table removes the pointer only (the
+  * data belongs to its location); on a managed table it removes the
+  * directory.
+  *
+  * Reads: [[GraftTable]] deliberately declares NO DSv2 scan
+  * capability. The analyzer rule [[GraftCatalogScanRule]] (injected
+  * by GraftExtensions) replaces the relation with the production
+  * DeltaReader plan — the same distributed scan, DV anti-join,
+  * column mapping and stats pruning every other entry point gets —
+  * so there is exactly ONE read implementation. A session without
+  * the extensions refuses the scan loudly instead of reading a
+  * second-class path.
+  *
+  * Scale: every catalog operation is metadata-only (directory
+  * listing + log replay through DeltaReader.snapshot); nothing here
+  * touches data files.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var root: Path = _
+
+  private def spark: SparkSession = SparkSession.active
+  private def fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      s"GraftCatalog '$name' needs a root directory: set spark.sql.catalog.$name.root")
+    root = new Path(r)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(namespace: Array[String]): Path = {
+    require(namespace.length == 1,
+      s"GraftCatalog namespaces are single-level (graft.db.t), got " +
+        s"'${namespace.mkString(".")}'")
+    new Path(root, namespace.head)
+  }
+
+  private def tableDir(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+
+  /** The directory queries actually read/write: the catalog dir
+    * itself for a managed table, the pointed-at dir for an external
+    * one.
+    */
+  private def dataDir(ident: Identifier): Path =
+    GraftCatalogPaths.resolveDataDir(fs, tableDir(ident))
+
+  private def isTable(dir: Path): Boolean =
+    fs.exists(new Path(dir, "_delta_log")) ||
+      fs.exists(new Path(dir, GraftCatalogPaths.PointerFile))
+
+  // ---- tables ----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).filter(_.isDirectory).map(_.getPath)
+      .filter(isTable)
+      .map(d => Identifier.of(namespace, d.getName))
+      .sortBy(_.name())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    ident.namespace().length == 1 && isTable(tableDir(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    GraftTable(spark, ident, dataDir(ident).toString, versionAsOf = None)
+  }
+
+  /** `SELECT ... VERSION AS OF v` — time travel through the same
+    * snapshot machinery as the path API.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new UnsupportedOperationException(
+        s"GraftCatalog time travel takes a numeric version, got '$version'")
+    }
+    GraftTable(spark, ident, dataDir(ident).toString, versionAsOf = Some(v))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val ns = nsPath(ident.namespace())
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace())
+    val partCols = partitions.map { t =>
+      if (t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1)
+        t.references.head.fieldNames.head
+      else throw new UnsupportedOperationException(
+        s"GraftCatalog: only PARTITIONED BY (col, ...) identity partitioning is " +
+          s"supported (the table format's hive layout), got transform '$t'")
+    }.toSeq
+    val props = properties.asScala.toMap
+    props.get(TableCatalog.PROP_PROVIDER).foreach { p =>
+      require(p.equalsIgnoreCase("delta") || p.equalsIgnoreCase("parquet"),
+        s"GraftCatalog: USING '$p' — tables here ARE graft Delta tables " +
+          "(omit USING or say delta)")
+    }
+    val reserved = Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+      TableCatalog.PROP_OWNER, TableCatalog.PROP_COMMENT, TableCatalog.PROP_EXTERNAL,
+      TableCatalog.PROP_IS_MANAGED_LOCATION, TableCatalog.PROP_TABLE_TYPE,
+      TableCatalog.PROP_COLLATION, "option.path", "path")
+    val configuration = props.filterNot { case (k, _) => reserved.contains(k) }
+    val catDir = tableDir(ident)
+    val (target, adoptExisting) = props.get(TableCatalog.PROP_LOCATION) match {
+      case Some(loc) =>
+        // external: pointer file under the catalog dir, data elsewhere.
+        // A location already holding a Delta table is ADOPTED (the
+        // delta-spark convention) — the declared schema must match
+        // the log's, the log stays authoritative.
+        fs.mkdirs(catDir)
+        val out = fs.create(new Path(catDir, GraftCatalogPaths.PointerFile), false)
+        try out.write(loc.getBytes("UTF-8")) finally out.close()
+        (loc, fs.exists(new Path(new Path(loc), "_delta_log")))
+      case None => (catDir.toString, false)
+    }
+    if (adoptExisting) {
+      val snap = graft.sources.DeltaReader.snapshot(spark, target, None)
+      val logSchema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[StructType]
+      require(schema.isEmpty || schema.fieldNames.sameElements(logSchema.fieldNames),
+        s"GraftCatalog: CREATE TABLE at existing Delta location $target declares " +
+          s"columns (${schema.fieldNames.mkString(", ")}) but the log says " +
+          s"(${logSchema.fieldNames.mkString(", ")}) — the log is authoritative; " +
+          "declare matching columns or none")
+    } else {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      graft.sources.LakeWriter.writeDelta(empty, target, partitionBy = partCols,
+        configuration = configuration)
+    }
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dataDir(ident).toString
+    val w = graft.sources.LakeWriter
+    // fold property changes into ONE metadata commit; column changes
+    // commit one-by-one (each is its own schema evolution)
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value()
+    }.toMap
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property()
+    }
+    changes.foreach {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames().length == 1 && a.position() == null,
+          s"GraftCatalog ALTER ADD COLUMN: top-level columns without FIRST/AFTER, " +
+            s"got ${a.fieldNames().mkString(".")}")
+        w.alterAddColumns(spark, dir, Seq(a.fieldNames().head -> a.dataType().sql))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames().length == 1,
+          s"GraftCatalog ALTER RENAME COLUMN: top-level only, got " +
+            s"${r.fieldNames().mkString(".")}")
+        w.renameColumn(spark, dir, r.fieldNames().head, r.newName())
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames().length == 1,
+          s"GraftCatalog ALTER DROP COLUMN: top-level only, got " +
+            s"${d.fieldNames().mkString(".")}")
+        w.dropColumn(spark, dir, d.fieldNames().head)
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog alterTable supports SET/UNSET TBLPROPERTIES, ADD/RENAME/DROP " +
+          s"COLUMN; got $other")
+    }
+    if (sets.nonEmpty || unsets.nonEmpty) w.alterProperties(spark, dir, sets, unsets)
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    if (!tableExists(ident)) false
+    else {
+      // external: drop the pointer, keep the data; managed: drop all
+      fs.delete(tableDir(ident), true)
+    }
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    val ns = nsPath(newIdent.namespace())
+    if (!fs.exists(ns)) throw new NoSuchNamespaceException(newIdent.namespace())
+    require(fs.rename(tableDir(oldIdent), tableDir(newIdent)),
+      s"GraftCatalog: rename ${tableDir(oldIdent)} -> ${tableDir(newIdent)} failed")
+  }
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = {
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).filter(_.isDirectory)
+      .map(st => Array(st.getPath.getName)).sortBy(_.head)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.length == 1 && fs.exists(nsPath(namespace))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION -> nsPath(namespace).toString).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace)) throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "GraftCatalog namespaces carry no mutable metadata (a namespace IS a directory)")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    if (!cascade && fs.listStatus(p).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(p, true)
+  }
+}
+
+/** The catalog's table handle: pure metadata (name, schema from the
+  * log's schemaString, hive partitioning, table configuration).
+  * Declares NO scan/write capability on purpose — reads substitute
+  * the DeltaReader plan via [[GraftCatalogScanRule]], writes go
+  * through the SQL DML rewrites onto LakeWriter. One engine, many
+  * front doors.
+  */
+final case class GraftTable(spark: SparkSession, ident: Identifier, path: String,
+                            versionAsOf: Option[Long]) extends Table {
+  private lazy val snap = graft.sources.DeltaReader.snapshot(spark, path, versionAsOf)
+
+  override def name(): String = ident.toString
+
+  override def schema(): StructType = {
+    // logical names: strip the column-mapping physical metadata the
+    // log carries — a catalog user sees the names they query with
+    val raw = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    StructType(raw.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+  }
+
+  override def partitioning(): Array[Transform] =
+    snap.partCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
+  override def properties(): util.Map[String, String] =
+    (snap.configuration ++ Map(
+      TableCatalog.PROP_PROVIDER -> "graft-delta",
+      TableCatalog.PROP_LOCATION -> path,
+      "version" -> snap.version.toString)).asJava
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.Collections.emptySet()
+}
+
+/** Name→directory resolution shared by the catalog, the SQL DML
+  * rewrites and the streaming source: `graft.db.t` →
+  * `<spark.sql.catalog.graft.root>/db/t`, following the external
+  * `_graft_location` pointer when present.
+  */
+object GraftCatalogPaths {
+  val PointerFile = "_graft_location"
+
+  private[catalog] def resolveDataDir(fs: org.apache.hadoop.fs.FileSystem,
+                                      catDir: Path): Path = {
+    val ptr = new Path(catDir, PointerFile)
+    if (!fs.exists(ptr)) catDir
+    else {
+      val in = fs.open(ptr)
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](4096)
+        var n = in.read(buf)
+        while (n > 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        new Path(bytes.toString("UTF-8").trim)
+      } finally in.close()
+    }
+  }
+
+  /** The table directory for `<catalog>.<db>.<table>`, or None when
+    * no such catalog root is configured (the caller leaves the plan
+    * to Spark).
+    */
+  def tablePath(spark: SparkSession, catalog: String, db: String,
+                table: String): Option[String] =
+    spark.conf.getOption(s"spark.sql.catalog.$catalog")
+      .filter(_ == classOf[GraftCatalog].getName)
+      .flatMap(_ => spark.conf.getOption(s"spark.sql.catalog.$catalog.root"))
+      .map { r =>
+        val catDir = new Path(new Path(r, db), table)
+        val fs = catDir.getFileSystem(spark.sessionState.newHadoopConf())
+        resolveDataDir(fs, catDir).toString
+      }
+}

@@ -108,8 +108,31 @@ object GraftSqlDml {
     * loudly with it; OPTIMIZE/VACUUM over other tables delegate (and
     * fail Spark's own parse — pass-through, not capture).
     */
+  /** Catalog names in maintenance statements: `<cat>.<db>.<t>` where
+    * `<cat>` registers a GraftCatalog normalizes to the path-literal
+    * form `graft_delta.`<dir>`` BEFORE the maintenance regexes run,
+    * so `OPTIMIZE graft.db.t ZORDER BY (a, b)` and friends work by
+    * name. Names under unknown catalogs pass through unchanged (and
+    * hit the existing loud refusals / Spark's own parse errors).
+    */
+  private def normalizeNamedTargets(t: String): String = {
+    val named = """(?<![\w`.])(\w+)\s*\.\s*(\w+)\s*\.\s*(\w+)(?![\w`.])""".r
+    named.replaceAllIn(t, m =>
+      graft.catalog.GraftCatalogPaths.tablePath(SparkSession.active,
+        m.group(1), m.group(2), m.group(3)) match {
+        case Some(p) =>
+          java.util.regex.Matcher.quoteReplacement(s"graft_delta.`$p`")
+        case None => java.util.regex.Matcher.quoteReplacement(m.matched)
+      })
+  }
+
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
-    val t = sqlText.trim.stripSuffix(";").trim
+    val t0 = sqlText.trim.stripSuffix(";").trim
+    val t =
+      if (t0.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE|GENERATE|CONVERT)\\b.*") ||
+          t0.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*"))
+        normalizeNamedTargets(t0)
+      else t0
     val optimizeRe =
       """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
     val vacuumRe =
@@ -162,8 +185,11 @@ object GraftSqlDml {
     }
   }
 
-  /** The graft table target: `graft_delta`.`<path>`, optionally under
-    * an alias. Returns (path, alias).
+  /** The graft table target — either the path-literal two-part name
+    * `graft_delta`.`<path>` or a catalog three-part name
+    * `<cat>.<db>.<t>` where `<cat>` is a registered
+    * [[graft.catalog.GraftCatalog]] — optionally under an alias.
+    * Returns (resolved directory, alias).
     */
   private object GraftTarget {
     def unapply(plan: LogicalPlan): Option[(String, Option[String])] = plan match {
@@ -173,6 +199,10 @@ object GraftSqlDml {
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("graft_delta") =>
         Some((u.multipartIdentifier(1), None))
+      case u: UnresolvedRelation if u.multipartIdentifier.length == 3 =>
+        val Seq(cat, db, t) = u.multipartIdentifier
+        graft.catalog.GraftCatalogPaths.tablePath(SparkSession.active, cat, db, t)
+          .map(p => (p, None))
       case _ => None
     }
   }
@@ -332,13 +362,19 @@ object GraftSqlDml {
     case other => other
   }
 
-  /** ALTER TABLE statements wrap their target as `UnresolvedTable`. */
+  /** ALTER TABLE statements wrap their target as `UnresolvedTable`;
+    * catalog three-part names resolve like [[GraftTarget]].
+    */
   private object GraftAlterTarget {
     def unapply(plan: LogicalPlan): Option[String] = plan match {
       case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
           if u.multipartIdentifier.length == 2 &&
             u.multipartIdentifier.head.equalsIgnoreCase("graft_delta") =>
         Some(u.multipartIdentifier(1))
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable
+          if u.multipartIdentifier.length == 3 =>
+        val Seq(cat, db, t) = u.multipartIdentifier
+        graft.catalog.GraftCatalogPaths.tablePath(SparkSession.active, cat, db, t)
       case _ => None
     }
   }
@@ -346,6 +382,10 @@ object GraftSqlDml {
   private def ctasPath(name: LogicalPlan): Option[String] = name match {
     case UnresolvedIdentifier(Seq(cat, path), _)
         if cat.equalsIgnoreCase("graft_delta") => Some(path)
+    case UnresolvedIdentifier(Seq(cat, db, t), _) =>
+      // CTAS may target a not-yet-existing catalog table: the name
+      // resolves to <root>/db/t regardless of existence
+      graft.catalog.GraftCatalogPaths.tablePath(SparkSession.active, cat, db, t)
     case _ => None
   }
 
@@ -476,6 +516,21 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
       s"graft_delta INSERT into $path: $why (table columns: " +
         s"${tableCols.mkString(", ")}; source columns: " +
         s"${src.columns.mkString(", ")})")
+    // store assignment: a source column whose type safely WIDENS to
+    // the declared type upcasts (INT literal into a BIGINT column —
+    // the everyday `INSERT ... VALUES (1, ...)`); a lossy or senseless
+    // mismatch still refuses via the writer's schema gate
+    def upcast(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      val declared = tableSchema.fields.map(f => f.name -> f.dataType).toMap
+      df.select(df.schema.fields.map { f =>
+        val want = declared(f.name)
+        if (f.dataType == want) df.col(f.name)
+        else if (org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(f.dataType, want) ||
+            org.apache.spark.sql.catalyst.expressions.Cast.canANSIStoreAssign(f.dataType, want))
+          df.col(f.name).cast(want).as(f.name)
+        else df.col(f.name)
+      }.toIndexedSeq: _*)
+    }
     if (partitionSpec.nonEmpty || dynamicCols.nonEmpty) {
       // the PARTITION forms: static columns (dt = 'x') inject as
       // literals; dynamic columns (Hive order: LAST in the SELECT)
@@ -502,10 +557,10 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
         val name = tableCols.find(_.equalsIgnoreCase(k)).get
         d.withColumn(name, lit(v).cast(typeOf(name)))
       }
-      val aligned0 = withParts.select(tableCols.map(withParts.col): _*)
-      val aligned = dynNames.foldLeft(aligned0) { (d, n) =>
+      val aligned1 = withParts.select(tableCols.map(withParts.col): _*)
+      val aligned = upcast(dynNames.foldLeft(aligned1) { (d, n) =>
         d.withColumn(n, d.col(n).cast(typeOf(n)))
-      }
+      })
       if (overwrite) {
         def sqlLit(name: String, v: String): String =
           if (v == null) s"$name IS NULL"
@@ -534,7 +589,7 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
       } else LakeWriter.appendDelta(aligned, path)
       return Seq.empty
     }
-    val aligned =
+    val aligned = upcast(
       if (userCols.nonEmpty) {
         // INSERT INTO t (a, b, c): the list names ALL table columns in
         // the SOURCE's positional order; realign to table order by name
@@ -558,7 +613,7 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
           refuse(s"source produces ${src.columns.length} columns, table has " +
             s"${tableCols.length}")
         src.toDF(tableCols: _*)
-      }
+      })
     if (overwrite) LakeWriter.overwriteDelta(aligned, path)
     else LakeWriter.appendDelta(aligned, path)
     Seq.empty

@@ -56,6 +56,33 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // the V2 TableCatalog surface end-to-end BY NAME: the table is
+    // created under the catalog root, mutated through name-addressed
+    // SQL DML (DELETE then UPDATE — both resolve graft.db.t through
+    // GraftCatalogPaths onto the same production writers), and read
+    // back through spark.table + the catalog scan rule. The catalog
+    // registers once per JVM (catalog instances pin their root at
+    // initialize); each invocation gets a fresh table NAME, which is
+    // the isolation a catalog user actually has
+    "delta_catalog" -> ((s, dir) => {
+      val root = s.conf.getOption("spark.sql.catalog.graft.root").getOrElse {
+        val r = java.nio.file.Files.createTempDirectory("graft_dq_cat_")
+          .toAbsolutePath.toString
+        s.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.graft.root", r)
+        r
+      }
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.bench")
+      val tbl = s"orders_${java.util.UUID.randomUUID().toString.take(8)}"
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4),
+        s"$root/bench/$tbl")
+      s.sql(s"DELETE FROM graft.bench.$tbl WHERE o_orderkey % 3 = 2")
+      s.sql(s"UPDATE graft.bench.$tbl SET o_totalprice = o_totalprice * 2 " +
+        "WHERE o_orderstatus = 'O'")
+      statusAgg(s.table(s"graft.bench.$tbl"))
+    }),
+
     // deletion-vector DELETE: same table shape, but the delete writes
     // DV sidecars instead of rewriting files; the read-side anti-join
     // must drop exactly the marked rows
@@ -401,6 +428,13 @@ object DeltaQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "delta_catalog" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
+         |                    ELSE o_totalprice END AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         |FROM orders WHERE o_orderkey % 10 < 6 AND NOT (o_orderkey % 3 = 2)
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "delta_delete" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6 AND NOT (o_orderkey % 3 = 0)

@@ -81,8 +81,21 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
     val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val path = lower.getOrElse("path",
-      throw new IllegalArgumentException("graft-delta sink: .start(path) is required"))
+    val path = lower.get("table") match {
+      case Some(name) => name.split('.') match {
+        case Array(cat, db, t) =>
+          graft.catalog.GraftCatalogPaths
+            .tablePath(sqlContext.sparkSession, cat, db, t)
+            .getOrElse(throw new IllegalArgumentException(
+              s"graft-delta sink: table '$name' — spark.sql.catalog.$cat is not a " +
+                "registered GraftCatalog with a root"))
+        case _ => throw new IllegalArgumentException(
+          s"graft-delta sink: table '$name' must be <catalog>.<db>.<table>")
+      }
+      case None => lower.getOrElse("path",
+        throw new IllegalArgumentException(
+          "graft-delta sink: .start(path) or .option(\"table\", \"cat.db.t\") is required"))
+    }
     val checkpoint = lower.getOrElse("checkpointlocation",
       throw new IllegalArgumentException(
         "graft-delta sink: checkpointLocation is required — the exactly-once txn " +
@@ -181,8 +194,25 @@ object GraftDeltaSource {
   /** Parsed, case-insensitive reader options. */
   final case class Options(raw: Map[String, String]) {
     private val lower = raw.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
-    val path: String = lower.getOrElse("path",
-      throw new IllegalArgumentException("graft-delta: .load(path) is required"))
+    // name-based streaming: .option("table", "graft.db.t") resolves
+    // through the V2 catalog root exactly like the SQL surface
+    val path: String = lower.get("table") match {
+      case Some(name) =>
+        name.split('.') match {
+          case Array(cat, db, t) =>
+            graft.catalog.GraftCatalogPaths
+              .tablePath(org.apache.spark.sql.SparkSession.active, cat, db, t)
+              .getOrElse(throw new IllegalArgumentException(
+                s"graft-delta: table '$name' — spark.sql.catalog.$cat is not a " +
+                  "registered GraftCatalog with a root"))
+          case _ => throw new IllegalArgumentException(
+            s"graft-delta: table '$name' must be a three-part catalog name " +
+              "(<catalog>.<db>.<table>)")
+        }
+      case None => lower.getOrElse("path",
+        throw new IllegalArgumentException(
+          "graft-delta: .load(path) or .option(\"table\", \"cat.db.t\") is required"))
+    }
     val cdf: Boolean = lower.get("readchangefeed").exists(_.toBoolean)
     // CDF mode: replay row-level changes from this version. APPEND
     // mode (r10): SKIP the initial snapshot and tail the dataChange
