@@ -108,6 +108,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(spark, ident, dataDir(ident).toString, versionAsOf = None)
   }
 
+  /** `SELECT ... TIMESTAMP AS OF ts` — the analyzer hands micros since
+    * epoch; meaningful on in-commit-timestamp tables (the log carries
+    * wall-clock time), resolved through the same versionAtTimestamp as
+    * the path API (which falls back to log-file mtime on unstamped
+    * tables).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = dataDir(ident).toString
+    val v = graft.sources.DeltaReader.versionAtTimestamp(spark, dir,
+      timestampMicros / 1000L)
+    GraftTable(spark, ident, dir, versionAsOf = Some(v))
+  }
+
   /** `SELECT ... VERSION AS OF v` — time travel through the same
     * snapshot machinery as the path API.
     */

@@ -43,7 +43,17 @@ object FeatureEval {
     // for PFI: each feature's evaluation permutes only its own column.
     val withId = graft.sources.LakeReader.withDenseRowId(base, "__id").cache()
     val n = withId.count()
-    val perm = udf((i: Long) => FeatureEval.feistelPermute(i, n, seed))
+    // codegen'd Feistel kernel (StaticInvoke) — the permutation is pure
+    // per-row arithmetic and stays inside whole-stage codegen; the
+    // boxed-UDF form broke the codegen span for every feature's join
+    def perm(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.GraftColumnBridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke(
+          FeatureEval.getClass, org.apache.spark.sql.types.LongType, "feistelPermute",
+          Seq(org.apache.spark.sql.GraftColumnBridge.expression(c),
+            org.apache.spark.sql.catalyst.expressions.Literal(n),
+            org.apache.spark.sql.catalyst.expressions.Literal(seed)),
+          returnNullable = false))
     val vals = withId.select((col("__id").as("__pid") +: features.map(col)): _*)
     val rows = features.map { f =>
       val permuted = withId.withColumn("__pid", perm(col("__id"))).drop(f)

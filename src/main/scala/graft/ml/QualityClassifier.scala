@@ -46,9 +46,9 @@ object QualityClassifier {
   def score(model: LogisticRegressionModel, docs: DataFrame, threshold: Double = 0.5,
             id: String = "doc_id", text: String = "text"): DataFrame = {
     val numFeatures = model.numFeatures
-    val probOf = udf((v: org.apache.spark.ml.linalg.Vector) => v(1))
     model.transform(featurize(docs, text, numFeatures))
-      .select(col(id), probOf(col("probability")).as("quality_prob"))
+      .select(col(id), org.apache.spark.ml.functions.vector_to_array(col("probability"))
+        .getItem(1).as("quality_prob"))
       .withColumn("keep", col("quality_prob") >= threshold)
   }
 

@@ -43,7 +43,8 @@ import org.apache.spark.sql.types.StructType
   * [AND c] THEN UPDATE ... | DELETE` — translated onto
   * [[LakeWriter.mergeIntoClauses]]'s `t`/`s` namespaces (clause
   * references must be alias-qualified; first-match-wins order is the
-  * engine's own). Non-equality ON terms and WITH SCHEMA EVOLUTION
+  * engine's own). WITH SCHEMA EVOLUTION evolves the table with the
+  * source's new columns in the merge commit; non-equality ON terms
   * refuse loudly with the supported form — never a silently-different
   * merge.
   *
@@ -136,9 +137,11 @@ object GraftSqlDml {
     val optimizeRe =
       """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
     val vacuumRe =
-      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?$""".r
+      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?$""".r
     val restoreRe =
       """(?is)^RESTORE\s+(?:TABLE\s+)?graft_delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
+    val restoreTsRe =
+      """(?is)^RESTORE\s+(?:TABLE\s+)?graft_delta\s*\.\s*`([^`]+)`\s+TO\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'$""".r
     val cloneRe =
       """(?is)^CREATE\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`\s+SHALLOW\s+CLONE\s+graft_delta\s*\.\s*`([^`]+)`\s*(?:VERSION\s+AS\s+OF\s+(\d+))?$""".r
     val convertRe =
@@ -150,10 +153,13 @@ object GraftSqlDml {
         Some(GraftOptimizeCommand(path,
           if (c1 == null) None else Some((c1, c2)),
           Option(where).map(_.trim)))
-      case vacuumRe(path, n, dry) =>
-        Some(GraftVacuumCommand(path, n.toLong, dryRun = dry != null))
+      case vacuumRe(path, n, unit, dry) =>
+        Some(GraftVacuumCommand(path, n.toLong,
+          hours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null))
       case restoreRe(path, v) =>
         Some(GraftRestoreCommand(path, v.toLong))
+      case restoreTsRe(path, ts) =>
+        Some(GraftRestoreTimestampCommand(path, ts))
       case cloneRe(dst, src, v) =>
         Some(GraftCloneCommand(src, dst,
           if (v == null) None else Some(v.toLong)))
@@ -223,7 +229,8 @@ object GraftSqlDml {
           "THEN UPDATE SET * | SET col = expr, ... | DELETE; WHEN NOT MATCHED [AND c] " +
           "THEN INSERT * | (cols) VALUES (exprs); WHEN NOT MATCHED BY SOURCE [AND c] " +
           s"THEN UPDATE SET ... | DELETE; $why. Statement: ${m.simpleString(5)}")
-      if (withSchemaEvolution) refuse("WITH SCHEMA EVOLUTION is not supported")
+      // WITH SCHEMA EVOLUTION passes through to the clause engine —
+      // new source columns evolve the table schema in the merge commit
       // the source's declared alias (or bare relation name) — clause
       // expressions rewrite onto the engine's `t`/`s` struct namespaces
       val sAlias: Option[String] = source match {
@@ -277,7 +284,8 @@ object GraftSqlDml {
           a.nameParts.last
         case other => refuse(s"ON clause term '${other.sql}' is not t.col = s.col")
       }
-      GraftMergeCommand(path, source, keys, mClauses, nmClauses, bsClauses)
+      GraftMergeCommand(path, source, keys, mClauses, nmClauses, bsClauses,
+        schemaEvolution = withSchemaEvolution)
     case i @ InsertIntoStatement(GraftTarget(path, _), partitionSpec,
         userSpecifiedCols, query, overwrite, ifPartitionNotExists, byName) =>
       def refuse(why: String): Nothing = throw new UnsupportedOperationException(
@@ -319,7 +327,9 @@ object GraftSqlDml {
             c.default.nonEmpty)
           throw new UnsupportedOperationException(
             "graft_delta ALTER TABLE ADD COLUMNS supports top-level columns without " +
-              s"FIRST/AFTER position or DEFAULT, got $c")
+              "FIRST/AFTER position or DEFAULT (a default that rewrites history does " +
+              "not exist in the protocol — ADD the column, then ALTER COLUMN ... SET " +
+              s"DEFAULT for future writes), got $c")
         c.name.head -> c.dataType.sql
       }
       GraftAlterAddColumnsCommand(path, simple)
@@ -333,6 +343,16 @@ object GraftSqlDml {
         s"graft_delta ALTER TABLE DROP COLUMN: '${c.name.mkString(".")}' — only " +
           "top-level columns drop"))
       GraftAlterDropColumnsCommand(path, cols.map(_.name.head))
+    case ac @ AlterColumns(GraftAlterTarget(path), specs) =>
+      specs.foreach { sp =>
+        require(sp.column.name.length == 1 && sp.newDataType.isEmpty &&
+            sp.newNullability.isEmpty && sp.newComment.isEmpty && sp.newPosition.isEmpty,
+          s"graft_delta ALTER COLUMN supports SET DEFAULT / DROP DEFAULT on " +
+            s"top-level columns only, got ${ac.simpleString(5)}")
+      }
+      GraftAlterColumnDefaultCommand(path, specs.map { sp =>
+        sp.column.name.head -> sp.newDefaultExpression.map(_.originalSQL)
+      })
     case SetTableProperties(GraftAlterTarget(path), props) =>
       GraftAlterPropertiesCommand(path, props, Nil)
     case UnsetTableProperties(GraftAlterTarget(path), keys, _) =>
@@ -581,7 +601,16 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
                 "statement — split the load or use INSERT OVERWRITE without PARTITION")
             Seq(tuples.map { r =>
               dynNames.zipWithIndex.map { case (n, i) =>
-                sqlLit(n, Option(r.get(i)).map(_.toString).orNull)
+                // typed literals, not string round-trips: a timestamp
+                // or scientific-notation double rendered via toString
+                // + CAST could mismatch the staged rows and replace
+                // the wrong window; Literal.sql renders exactly
+                Option(r.get(i)) match {
+                  case None => s"$n IS NULL"
+                  case Some(v) =>
+                    s"$n = ${GraftColumnBridge.expression(
+                      org.apache.spark.sql.functions.lit(v)).sql}"
+                }
               }.mkString("(", " AND ", ")")
             }.mkString("(", " OR ", ")"))
           }
@@ -596,12 +625,22 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
         if (userCols.length != src.columns.length)
           refuse(s"column list names ${userCols.length} columns but the source " +
             s"produces ${src.columns.length}")
+        val defaulted = tableSchema.fields
+          .filter(_.metadata.contains("CURRENT_DEFAULT")).map(_.name).toSet
         val missing = tableCols.filterNot(t => userCols.exists(_.equalsIgnoreCase(t)))
-        if (missing.nonEmpty)
-          refuse(s"column list omits ${missing.mkString(", ")} — partial-width " +
-            "inserts are not supported")
+        val missingNoDefault = missing.filterNot(defaulted)
+        if (missingNoDefault.nonEmpty)
+          refuse(s"column list omits ${missingNoDefault.mkString(", ")} — only " +
+            "columns with a declared DEFAULT may be omitted (partial-width inserts " +
+            "would silently null-fill)")
         val renamed = src.toDF(userCols: _*)
-        renamed.select(tableCols.map(renamed.col): _*)
+        // omitted DEFAULTed columns take their declared constant
+        val filled = missing.foldLeft(renamed) { (d, c) =>
+          val f = tableSchema.fields.find(_.name == c).get
+          d.withColumn(c, org.apache.spark.sql.functions
+            .expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))
+        }
+        filled.select(tableCols.map(filled.col): _*)
       } else if (byName) {
         val missing = tableCols.filterNot(t => src.columns.exists(_.equalsIgnoreCase(t)))
         if (missing.nonEmpty)
@@ -629,12 +668,13 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
 case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String],
                              matched: Seq[graft.sources.MergeClause],
                              notMatched: Seq[graft.sources.MergeClause],
-                             bySource: Seq[graft.sources.MergeClause])
+                             bySource: Seq[graft.sources.MergeClause],
+                             schemaEvolution: Boolean = false)
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     LakeWriter.mergeIntoClauses(spark, path, GraftColumnBridge.ofRows(spark, source),
-      keys, matched, notMatched, bySource)
+      keys, matched, notMatched, bySource, schemaEvolution = schemaEvolution)
     Seq.empty
   }
 }
@@ -668,21 +708,70 @@ case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
   * `path` row each) with zero side effects — the look-before-you-leap
   * an operator wants before an irreversible delete.
   */
-case class GraftVacuumCommand(path: String, retainVersions: Long,
-                              dryRun: Boolean = false)
+case class GraftVacuumCommand(path: String, retain: Long,
+                              hours: Boolean = false, dryRun: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     if (!dryRun) Nil
     else Seq(org.apache.spark.sql.catalyst.expressions.AttributeReference(
       "path", org.apache.spark.sql.types.StringType, nullable = false)())
   override def run(spark: SparkSession): Seq[Row] = {
-    require(retainVersions >= 1,
-      s"VACUUM graft_delta: RETAIN $retainVersions VERSIONS must keep at least the " +
-        "latest version")
-    val latest = graft.sources.DeltaReader.snapshot(spark, path, None).version
-    val deleted = LakeWriter.vacuumDelta(spark, path,
-      math.max(latest - retainVersions + 1, 0L), dryRun = dryRun)
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+    val latest = snap.version
+    val horizon =
+      if (!hours) {
+        require(retain >= 1,
+          s"VACUUM graft_delta: RETAIN $retain VERSIONS must keep at least the " +
+            "latest version")
+        math.max(latest - retain + 1, 0L)
+      } else {
+        // the HOURS form needs wall-clock commits: only a table that
+        // declares in-commit timestamps carries them — everywhere else
+        // graft logs are deterministically zero and an hours horizon
+        // would be meaningless
+        require(LakeWriter.ictEnabled(snap.configuration),
+          "VACUUM graft_delta: RETAIN n HOURS needs wall-clock commit times — " +
+            "this table does not declare delta.enableInCommitTimestamps=true; " +
+            "use the RETAIN n VERSIONS form (graft logs are deterministic by default)")
+        val cutoff = System.currentTimeMillis() - retain * 3600L * 1000L
+        // keep every version stamped at or after the cutoff; the
+        // horizon is the OLDEST such version (or the latest when all
+        // are older — VACUUM always keeps the current state)
+        math.max(0L, LakeWriter.ictHorizonVersion(spark, path, latest, cutoff))
+      }
+    val deleted = LakeWriter.vacuumDelta(spark, path, horizon, dryRun = dryRun)
     if (dryRun) deleted.sorted.map(Row(_)) else Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr | DROP DEFAULT`
+  * — routes to [[LakeWriter.alterColumnDefault]] (the
+  * allowColumnDefaults writer feature).
+  */
+case class GraftAlterColumnDefaultCommand(path: String,
+                                          defaults: Seq[(String, Option[String])])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    defaults.foreach { case (c, d) => LakeWriter.alterColumnDefault(spark, path, c, d) }
+    Seq.empty
+  }
+}
+
+/** `RESTORE graft_delta.`path` TO TIMESTAMP AS OF 'ts'` — only
+  * meaningful on in-commit-timestamp tables, where the log itself
+  * carries wall-clock time.
+  */
+case class GraftRestoreTimestampCommand(path: String, ts: String)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+    require(LakeWriter.ictEnabled(snap.configuration),
+      "RESTORE ... TO TIMESTAMP AS OF needs wall-clock commit times — this table " +
+        "does not declare delta.enableInCommitTimestamps=true; use TO VERSION AS OF " +
+        "(graft logs are deterministic by default)")
+    val millis = java.sql.Timestamp.valueOf(ts.replace("T", " ")).getTime
+    LakeWriter.restoreDeltaTimestamp(spark, path, millis)
+    Seq.empty
   }
 }
 

@@ -115,10 +115,16 @@ object Similarity {
   def assignCells(emb: DataFrame, nCells: Int, seed: Long,
                   id: String = "vec_id", vec: String = "embedding",
                   maxIter: Int = 5, maxTrain: Int = 100000): DataFrame = {
-    val k = if (nCells > 0) nCells else autoCells(emb.count())
-    val toVec = udf((a: Array[Float]) =>
-      org.apache.spark.ml.linalg.Vectors.dense(a.map(_.toDouble)))
-    val feat = emb.select(col(id), col(vec)).withColumn("fv", toVec(col(vec)))
+    // corpus size for autoCells: catalog/file statistics when the plan
+    // carries an exact row count (a metadata lookup), one count action
+    // only as the fallback — at 100 TB a full scan for one scalar is
+    // the wrong price, and the clamp only needs the magnitude anyway
+    val k =
+      if (nCells > 0) nCells
+      else autoCells(emb.queryExecution.optimizedPlan.stats.rowCount
+        .map(_.toLong).getOrElse(emb.count()))
+    val feat = emb.select(col(id), col(vec))
+      .withColumn("fv", org.apache.spark.ml.functions.array_to_vector(col(vec)))
     val model = new org.apache.spark.ml.clustering.KMeans()
       .setK(k).setSeed(seed).setMaxIter(maxIter)
       .setFeaturesCol("fv").setPredictionCol("cell")

@@ -1203,12 +1203,40 @@ object DeltaReader {
     * reconstructible — retention cleaned it) rather than silently
     * answering with a later state.
     */
+  /** One commit's `inCommitTimestamp` (leading commitInfo action),
+    * None when the commit file is absent (log-compacted/cleaned) or
+    * carries no stamp.
+    */
+  private[graft] def commitIct(fs: org.apache.hadoop.fs.FileSystem, log: Path,
+                               version: Long): Option[Long] = {
+    val p = new Path(log, f"$version%020d.json")
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val first =
+      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
+      finally in.close()
+    if (first == null) None
+    else {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val node = om.readTree(first)
+      Option(node.get("commitInfo")).flatMap(ci =>
+        Option(ci.get("inCommitTimestamp")).map(_.asLong()))
+    }
+  }
+
   def versionAtTimestamp(s: SparkSession, dir: String, timestampMillis: Long): Long = {
     val logPath = new Path(dir, "_delta_log")
     val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
     val commits = fs.listStatus(logPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
-      .map(st => st.getPath.getName.take(20).toLong -> st.getModificationTime)
+      .map { st =>
+        val v = st.getPath.getName.take(20).toLong
+        // in-commit timestamps (when the table stamped the commit)
+        // are authoritative — the log itself carries time and survives
+        // file copies/moves that reset mtime; unstamped commits fall
+        // back to the log file's mtime as before
+        v -> commitIct(fs, logPath, v).getOrElse(st.getModificationTime)
+      }
       .sortBy(_._1)
     require(commits.nonEmpty, s"not a Delta table (no commits): $dir")
     // timestamps must be read monotonically even if the clock wasn't:

@@ -105,6 +105,75 @@ object LakeWriter {
     * which is exactly the unbounded-log failure the format's
     * checkpoints exist to prevent.
     */
+  /** IN-COMMIT TIMESTAMPS (the protocol's `inCommitTimestamp` writer
+    * feature): graft logs are deterministic by default — every
+    * informational timestamp is 0, which makes results reproducible
+    * but leaves `timestampAsOf` and hour-based retention meaningless
+    * on graft-authored tables. A table declaring
+    * `delta.enableInCommitTimestamps=true` opts into wall-clock
+    * commits: every commit's leading commitInfo carries a MONOTONE
+    * `inCommitTimestamp` (max of the wall clock and the predecessor's
+    * stamp + 1 — a commit is never older than its parent even when
+    * the clock runs backwards), audits/retention get real time, and
+    * the deterministic default stays untouched for everyone else.
+    */
+  private[graft] def ictEnabled(conf: Map[String, String]): Boolean =
+    conf.get("delta.enableInCommitTimestamps").contains("true")
+
+  /** The next commit's monotone stamp: wall clock, floored by the
+    * predecessor's ICT + 1. A missing predecessor commit (version 0,
+    * or a log-compacted/cleaned file) falls back to the wall clock —
+    * documented: retention that removes the newest commit cannot
+    * happen, so the floor is only ever absent at the log's trimmed
+    * tail where monotonicity has no witness either.
+    */
+  private[graft] def nextIct(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                             log: org.apache.hadoop.fs.Path, prevVersion: Long): Long = {
+    val prev =
+      if (prevVersion < 0) -1L
+      else DeltaReader.commitIct(fs, log, prevVersion).getOrElse(-1L)
+    math.max(System.currentTimeMillis(), prev + 1)
+  }
+
+  /** Stamp a rendered commit's leading commitInfo with the table's
+    * in-commit timestamp; identity when the table doesn't declare the
+    * feature or the content is already stamped (callers that must
+    * know the exact value — the ALTER enablement commit — pre-stamp).
+    */
+  private[graft] def ictStampContent(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, commitPath: org.apache.hadoop.fs.Path,
+      conf: Map[String, String], content: Array[Byte]): Array[Byte] = {
+    if (!ictEnabled(conf)) return content
+    val text = new String(content, "UTF-8")
+    val prefix = """{"commitInfo":{"""
+    if (!text.startsWith(prefix) || text.startsWith(prefix + "\"inCommitTimestamp\":"))
+      return content
+    val version = commitPath.getName.take(20).toLong
+    // the ENABLEMENT commit's stamp must equal the provenance the
+    // protocol records in its configuration — take it from there
+    val t = conf.get("delta.inCommitTimestampEnablementVersion")
+      .filter(_.toLong == version)
+      .flatMap(_ => conf.get("delta.inCommitTimestampEnablementTimestamp").map(_.toLong))
+      .getOrElse(nextIct(spark, fs, commitPath.getParent, version - 1))
+    (prefix + s""""inCommitTimestamp":$t,""" + text.stripPrefix(prefix)).getBytes("UTF-8")
+  }
+
+  /** Oldest retained version stamped at or after `cutoffMillis` — the
+    * VACUUM RETAIN n HOURS horizon on an in-commit-timestamp table.
+    * When every retained commit is older than the cutoff the latest
+    * version is the horizon (vacuum always keeps the current state);
+    * unstamped commits (pre-enablement) count as older-than-cutoff.
+    */
+  private[graft] def ictHorizonVersion(spark: SparkSession, dir: String,
+                                       latest: Long, cutoffMillis: Long): Long = {
+    val log = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val versions = fs.listStatus(log).toSeq.map(_.getPath.getName)
+      .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+    versions.find(v => DeltaReader.commitIct(fs, log, v).exists(_ >= cutoffMillis))
+      .getOrElse(latest)
+  }
+
   def writeDelta(df: DataFrame, dir: String, checkpointInterval: Int = 0,
                  partitionBy: Seq[String] = Nil,
                  txn: Option[(String, Long)] = None,
@@ -140,13 +209,81 @@ object LakeWriter {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"${snap.version + 1}; re-read the table and retry", e)
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${snap.version + 1}; re-read the table and retry",
+      ictConf = configuration)
+  }
+
+  /** Protocol restatement that ADDS one writer feature: minWriter 7
+    * with the feature plus the legacy obligations the table actually
+    * declares (never obligations it doesn't have). None when already
+    * declared.
+    */
+  private[graft] def protocolWithWriterFeature(snap: DeltaReader.Snapshot,
+                                               feature: String): Option[String] = {
+    if (snap.minWriter == 7 && snap.writerFeatures.contains(feature)) return None
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val conf = snap.configuration
+    val legacy = Set("appendOnly", "invariants") ++
+      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
+      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty) ++
+      (if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+        Set("columnMapping") else Set.empty)
+    val wf = snap.writerFeatures.toSet ++ legacy + feature
+    val rfJson =
+      if (snap.minReader >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}"""
+      else ""
+    Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}""")
+  }
+
+  /** ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT —
+    * the `allowColumnDefaults` writer feature. The default must be a
+    * CONSTANT expression castable to the column's type; it is recorded
+    * in the field's metadata (Spark's own CURRENT_DEFAULT key, which
+    * delta-spark also uses) and applies to FUTURE writes that omit the
+    * column — INSERT column lists, appends, MERGE insert clauses.
+    * Existing rows are untouched and read what they stored; like
+    * delta-spark, `ADD COLUMN ... DEFAULT` stays refused (add the
+    * column, then set its default — a default that rewrites history
+    * does not exist in the protocol).
+    */
+  def alterColumnDefault(spark: SparkSession, dir: String, colName: String,
+                         default: Option[String]): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val table = tableSchema(snap)
+    val f = table.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"alterColumnDefault: column '$colName' not in (${table.fieldNames.mkString(", ")})"))
+    default.foreach { d =>
+      val parsed = spark.sessionState.sqlParser.parseExpression(d)
+      require(parsed.references.isEmpty,
+        s"alterColumnDefault: DEFAULT '$d' references columns " +
+          s"(${parsed.references.map(_.name).mkString(", ")}) — defaults must be " +
+          "constant expressions (they evaluate with no row in scope)")
+      // prove it evaluates and casts NOW — a malformed default must
+      // refuse at ALTER time, not poison every future insert
+      spark.range(1).select(org.apache.spark.sql.functions.expr(d).cast(f.dataType)).head()
     }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    val newField = default match {
+      case Some(d) => f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).putString("CURRENT_DEFAULT", d).build())
+      case None =>
+        require(f.metadata.contains("CURRENT_DEFAULT"),
+          s"alterColumnDefault: column '$colName' has no default to drop")
+        val mb = new org.apache.spark.sql.types.MetadataBuilder().withMetadata(f.metadata)
+        mb.remove("CURRENT_DEFAULT")
+        f.copy(metadata = mb.build())
+    }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      table.fields.map(x => if (x.name == colName) newField else x))
+    commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
+      "ALTER COLUMN",
+      if (default.isDefined) protocolWithWriterFeature(snap, "allowColumnDefaults")
+      else None)
   }
 
   private def tableSchema(snap: DeltaReader.Snapshot): org.apache.spark.sql.types.StructType =
@@ -259,18 +396,50 @@ object LakeWriter {
     }
     unset.foreach(k => require(!k.startsWith("delta.columnMapping"),
       s"alterProperties: unsetting '$k' would orphan the mapped schema; refusing"))
-    val newConf = (cur ++ set) -- unset
+    val newConf0 = (cur ++ set) -- unset
     val enablingCdf = set.get("delta.enableChangeDataFeed").contains("true") &&
       !cur.get("delta.enableChangeDataFeed").contains("true")
     // CHECK constraints bind writers from version 3 (PROTOCOL.md) —
     // stamping one on a v2 table without the floor would let legacy
     // writers append unchecked rows
     val addingConstraint = set.keys.exists(_.startsWith("delta.constraints."))
+    // enabling IN-COMMIT TIMESTAMPS mid-life: writer feature + the
+    // enablement provenance the protocol requires (from which version
+    // timestamps are authoritative, and that commit's own stamp —
+    // ictStampContent reads it back so they agree to the millisecond)
+    val enablingIct = set.get("delta.enableInCommitTimestamps").contains("true") &&
+      !cur.get("delta.enableInCommitTimestamps").contains("true")
+    val (newConf, ictProtocol) =
+      if (!enablingIct) (newConf0, None)
+      else {
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+        val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+        val t = nextIct(spark, fs, log, snap.version)
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        def jarr(xs: Iterable[String]): String =
+          xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+        val legacy = Set("appendOnly", "invariants") ++
+          (if (cdfEnabled(snap) || enablingCdf) Set("changeDataFeed") else Set.empty) ++
+          (if (cur.keys.exists(_.startsWith("delta.constraints.")) || addingConstraint)
+            Set("checkConstraints") else Set.empty) ++
+          (if (cur.getOrElse("delta.columnMapping.mode", "none") != "none")
+            Set("columnMapping") else Set.empty)
+        val wf = snap.writerFeatures.toSet ++ legacy + "inCommitTimestamp"
+        val rfJson =
+          if (snap.minReader >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}"""
+          else ""
+        (newConf0 ++ Map(
+          "delta.inCommitTimestampEnablementVersion" -> (snap.version + 1).toString,
+          "delta.inCommitTimestampEnablementTimestamp" -> t.toString),
+          Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}"""))
+      }
     val floor = Seq(if (enablingCdf) 4 else 0, if (addingConstraint) 3 else 0).max
-    val protocolOverride =
+    val protocolOverride = ictProtocol.orElse {
       if (floor > 0 && snap.minWriter < floor && snap.minWriter != 7)
         Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":$floor}}""")
       else None
+    }
     commitAlter(spark, dir, snap, snap.schemaJson, snap.partCols, newConf,
       "SET TBLPROPERTIES", protocolOverride)
   }
@@ -373,12 +542,8 @@ object LakeWriter {
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version 0", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"), "a concurrent writer won version 0")
     // same giant-commit fold as cloneDelta: a 100-TB conversion's
     // version-0 commit would re-parse on the driver at every replay
     if (files.size >= 10000) checkpointDelta(spark, dir, 0L)
@@ -710,6 +875,55 @@ object LakeWriter {
     * physical-name + maxColumnId assignment — not yet implemented),
     * and the same writer-obligation gates as [[appendDelta]].
     */
+  /** Schema EVOLUTION: merge `incoming` fields not yet in the table
+    * into the schema — appended after the existing fields, forced
+    * nullable (old rows have no value). On a column-mapped table each
+    * new field gets a fresh deterministic physical name + field id and
+    * `maxColumnId` advances — the assignment [[alterAddColumns]]
+    * makes. Returns (merged schema, new configuration); identical
+    * schema back when nothing is new.
+    */
+  private[graft] def evolveSchema(dir: String, snap: DeltaReader.Snapshot,
+      table: org.apache.spark.sql.types.StructType, cm: String,
+      incoming: Seq[org.apache.spark.sql.types.StructField])
+      : (org.apache.spark.sql.types.StructType, Map[String, String]) = {
+    val tableNames = table.fieldNames.toSet
+    val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    val newFields = incoming.filterNot(f => tableNames.contains(f.name))
+      .zipWithIndex.map { case (f0, i) =>
+        val f = f0.copy(nullable = true)
+        if (cm == "none") f
+        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("delta.columnMapping.id", maxId + i + 1)
+          .putString("delta.columnMapping.physicalName",
+            s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#${f.name}".getBytes("UTF-8"))}")
+          .build())
+      }
+    val newConf =
+      if (cm == "none" || newFields.isEmpty) snap.configuration
+      else snap.configuration + ("delta.columnMapping.maxColumnId" ->
+        (maxId + newFields.length).toString)
+    (org.apache.spark.sql.types.StructType(table.fields ++ newFields), newConf)
+  }
+
+  /** The metaData action restating the table under an evolved schema
+    * and configuration (same id, partitioning, format).
+    */
+  private[graft] def metaLineFor(dir: String, snap: DeltaReader.Snapshot,
+      schema: org.apache.spark.sql.types.StructType,
+      conf: Map[String, String]): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+    val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    val id = snap.metaId.getOrElse(
+      java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
+    s"""{"metaData":{"id":${om.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schema.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+  }
+
   def appendDeltaEvolve(df0: DataFrame, dir: String, checkpointInterval: Int = 0,
                         txn: Option[(String, Long)] = None): Unit = {
     import org.apache.spark.sql.functions.{col, lit}
@@ -725,7 +939,7 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed") ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -760,46 +974,19 @@ object LakeWriter {
         s"appendDeltaEvolve: partition column '${t.name}' missing from the appended " +
           "data — every row needs a partition value")
     }
-    // new columns: appended after the table's fields, forced nullable.
-    // On a column-mapped table each gets a fresh physical name + field
-    // id and maxColumnId advances — the same assignment
-    // [[alterAddColumns]] makes (zero files rewritten either way).
-    val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
-      .map(_.toLong).getOrElse(0L)
-    val newFields = df.schema.fields.filterNot(f => tableNames.contains(f.name))
-      .zipWithIndex.map { case (f0, i) =>
-        val f = f0.copy(nullable = true)
-        if (cm == "none") f
-        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-          .withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", maxId + i + 1)
-          .putString("delta.columnMapping.physicalName",
-            s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#${f.name}".getBytes("UTF-8"))}")
-          .build())
-      }
-    val newConf =
-      if (cm == "none" || newFields.isEmpty) snap.configuration
-      else snap.configuration + ("delta.columnMapping.maxColumnId" ->
-        (maxId + newFields.length).toString)
-    val merged = StructType(table.fields ++ newFields)
+    // new columns: appended after the table's fields, forced nullable;
+    // CM gets fresh physical names/ids ([[evolveSchema]])
+    val (merged, newConf) = evolveSchema(dir, snap, table, cm, df.schema.fields.toSeq)
+    val schemaGrew = merged.length > table.length
     val aligned = df.select(merged.fields.map { f =>
       if (dfByName.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
 
-    val schemaChanged = newFields.nonEmpty
-    if (!schemaChanged) {
+    if (!schemaGrew) {
       appendDeltaWithSnapshot(aligned, dir, checkpointInterval, txn, snap)
     } else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-      val confJson = newConf.toSeq.sortBy(_._1).map { case (k, v) =>
-        s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
-      }.mkString("{", ",", "}")
-      val id = snap.metaId.getOrElse(
-        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
-      val metaLine =
-        s"""{"metaData":{"id":${om.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(merged.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+      val metaLine = metaLineFor(dir, snap, merged, newConf)
       // CM tables stage parquet + partition dirs under PHYSICAL names
       // (what the table's readers resolve), exactly like appendDelta
       val (staged, stagePartCols) =
@@ -817,7 +1004,8 @@ object LakeWriter {
       commitDelta(staged, dir, snap.version + 1, includeMeta = true,
         checkpointInterval, partCols = stagePartCols, txn = txn,
         metaOverride = Some((protocolJson(snap), metaLine)),
-        operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap))
+        operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap),
+        ictConf = snap.configuration)
     }
   }
 
@@ -853,7 +1041,7 @@ object LakeWriter {
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -942,7 +1130,8 @@ object LakeWriter {
       operationParameters =
         s"""{"mode":"Overwrite","predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
-      rebase = Some((snap, predicate, affected.map(_.path).toSet)))
+      rebase = Some((snap, predicate, affected.map(_.path).toSet)),
+      ictConf = snap.configuration)
     affected.map(_.path).sorted
   }
 
@@ -992,7 +1181,7 @@ object LakeWriter {
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1047,7 +1236,7 @@ object LakeWriter {
       checkpointInterval, partCols = stagePartCols, txn = txn,
       extraActions = removes ++ cdcActions, operation = "WRITE",
       operationParameters = """{"mode":"Overwrite"}""",
-      rowIdBase = RowTracking.rowIdBase(snap))
+      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration)
   }
 
   /** Every nested field path under `st` carrying `delta.invariants`
@@ -1149,13 +1338,25 @@ object LakeWriter {
       s"$op: columns ${unenforceable.mkString(", ")} declare invariants inside " +
         "array/map elements — no row-wise enforcement exists; refusing")
     val generated = table.fields.filter(_.metadata.contains("delta.generationExpression"))
-    if (constraints.isEmpty && invariants.isEmpty && generated.isEmpty) return df
+    val defaulted = table.fields.filter(f =>
+      f.metadata.contains("CURRENT_DEFAULT") &&
+        !f.metadata.contains("delta.generationExpression"))
+    if (constraints.isEmpty && invariants.isEmpty && generated.isEmpty &&
+        defaulted.isEmpty) return df
 
     val present = df.columns.toSet
-    val completed0 = generated.filterNot(g => present.contains(g.name)).foldLeft(df) {
-      (d, g) => d.withColumn(g.name,
-        expr(g.metadata.getString("delta.generationExpression")).cast(g.dataType))
+    // omitted DEFAULTed columns take their declared constant (the
+    // allowColumnDefaults contract); omitted GENERATED columns compute
+    // from their expressions — both before the width/constraint gates
+    val withDefaults = defaulted.filterNot(f => present.contains(f.name)).foldLeft(df) {
+      (d, f) => d.withColumn(f.name,
+        expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))
     }
+    val completed0 = generated.filterNot(g => present.contains(g.name))
+      .foldLeft(withDefaults) {
+        (d, g) => d.withColumn(g.name,
+          expr(g.metadata.getString("delta.generationExpression")).cast(g.dataType))
+      }
     val completed =
       if (completed0 eq df) df
       else if (table.fieldNames.forall(completed0.columns.contains))
@@ -1234,7 +1435,7 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed") ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1281,7 +1482,7 @@ object LakeWriter {
       }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
       stagePartCols, txn, operation = operation, operationParameters = operationParameters,
-      rowIdBase = RowTracking.rowIdBase(snap))
+      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration)
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -1315,8 +1516,14 @@ object LakeWriter {
                                  operation: String = "WRITE",
                                  operationParameters: String = "{}",
                                  rowIdBase: Option[Long] = None,
-                                 rebase: Option[(DeltaReader.Snapshot, String, Set[String])] = None): Unit = {
+                                 rebase: Option[(DeltaReader.Snapshot, String, Set[String])] = None,
+                                 ictConf: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
+    // fail FAST on a store that can't arbitrate commits: before any
+    // staging work, before the log directory exists — a refused create
+    // must leave "not a table", not a half-created one
+    val logStore = GraftLogStore.resolve(spark)
+    GraftLogStore.requireAtomic(logStore)
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -1409,12 +1616,21 @@ object LakeWriter {
         // CDF's legacy writer floor is 4 (PROTOCOL.md): stamping it on
         // the creating commit makes non-CDF-aware legacy writers refuse
         // the table instead of committing changes without change data
-        val minWriter =
-          if (configuration.get("delta.enableChangeDataFeed").contains("true")) 4 else 2
+        val cdfCreate = configuration.get("delta.enableChangeDataFeed").contains("true")
+        val minWriter = if (cdfCreate) 4 else 2
         val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
         }.mkString("{", ",", "}")
-        actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+        // inCommitTimestamp is a writer-version-7 FEATURE: a creating
+        // table that opts in declares v7 with the feature plus the
+        // legacy obligations v7 makes explicit
+        if (ictEnabled(configuration)) {
+          val wf = (Seq("appendOnly", "inCommitTimestamp", "invariants") ++
+            (if (cdfCreate) Seq("changeDataFeed") else Nil)).sorted
+            .map(om.writeValueAsString).mkString("[", ",", "]")
+          actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
+        } else
+          actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
         actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
     }
     // transaction identifier (PROTOCOL.md): records "this application
@@ -1488,33 +1704,31 @@ object LakeWriter {
     var committed = false
     while (!committed) {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
-      val created =
-        try Right(fs.create(commit, false))
-        catch { case e: java.io.IOException => Left(e) }
-      created match {
-        case Right(out) =>
-          try out.write(render(v).mkString("\n").getBytes("UTF-8")) finally out.close()
-          committed = true
-        case Left(e) =>
-          val newest = newestCommitVersion(fs, log)
-          if (!rebaseable || newest < v)
-            throw new IllegalStateException(
-              s"Delta commit $commit already exists — a concurrent writer won version $v; " +
-                "re-read the table and retry the operation", e)
-          val conflicts = (v to newest).flatMap { w =>
-            val base = appendConflicts(fs, log, w)
-            if (base.nonEmpty || rebase.isEmpty) base
-            else {
-              val (snap, pred, readSet) = rebase.get
-              mutationConflicts(spark, fs, log, w, snap, pred, readSet)
-            }
+      val effIctConf = if (ictEnabled(ictConf)) ictConf else configuration
+      val won = logStore.writeIfAbsent(fs, commit, ictStampContent(spark, fs, commit,
+        effIctConf, render(v).mkString("\n").getBytes("UTF-8")))
+      if (won) committed = true
+      else {
+        val e = new java.io.IOException(s"commit $commit already exists")
+        val newest = newestCommitVersion(fs, log)
+        if (!rebaseable || newest < v)
+          throw new IllegalStateException(
+            s"Delta commit $commit already exists — a concurrent writer won version $v; " +
+              "re-read the table and retry the operation", e)
+        val conflicts = (v to newest).flatMap { w =>
+          val base = appendConflicts(fs, log, w)
+          if (base.nonEmpty || rebase.isEmpty) base
+          else {
+            val (snap, pred, readSet) = rebase.get
+            mutationConflicts(spark, fs, log, w, snap, pred, readSet)
           }
-          if (conflicts.nonEmpty)
-            throw new IllegalStateException(
-              s"Delta commit $commit already exists — a concurrent writer won version $v " +
-                s"and its commit conflicts with this operation (${conflicts.mkString("; ")}); " +
-                "re-read the table and retry", e)
-          v = newest + 1
+        }
+        if (conflicts.nonEmpty)
+          throw new IllegalStateException(
+            s"Delta commit $commit already exists — a concurrent writer won version $v " +
+              s"and its commit conflicts with this operation (${conflicts.mkString("; ")}); " +
+              "re-read the table and retry", e)
+        v = newest + 1
       }
     }
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
@@ -1832,13 +2046,10 @@ object LakeWriter {
     fs.delete(stage, true)
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"${snap.version + 1}; re-read the table and retry the compaction", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${snap.version + 1}; re-read the table and retry the compaction",
+      ictConf = snap.configuration)
   }
 
   /** DELETE FROM the Delta table WHERE `predicate` (a SQL boolean
@@ -1946,7 +2157,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2015,7 +2226,8 @@ object LakeWriter {
       checkpointInterval = 0, partCols = stagePartCols,
       extraActions = removes ++ cdcActions, operation = "DELETE",
       rowIdBase = RowTracking.rowIdBase(snap),
-      rebase = Some((snap, predicate, affected.map(_.path).toSet)))
+      rebase = Some((snap, predicate, affected.map(_.path).toSet)),
+      ictConf = snap.configuration)
     affected.map(_.path).sorted
   }
 
@@ -2202,7 +2414,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2283,13 +2495,10 @@ object LakeWriter {
     // same create-if-absent arbitration as commitDelta; a lost race
     // leaves the sidecar as unreferenced debris (same class as a
     // failed writer's staged files)
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"${snap.version + 1}; re-read the table and retry the delete", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${snap.version + 1}; re-read the table and retry the delete",
+      ictConf = snap.configuration)
     affected.map(_.path).sorted
   }
 
@@ -2334,7 +2543,7 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhereDv: table requires writer version ${snap.minWriter}" +
@@ -2464,13 +2673,10 @@ object LakeWriter {
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"$version; re-read the table and retry the update", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version $version; re-read the table and retry the update",
+      ictConf = snap.configuration)
     affected.map(_.path).sorted
   }
 
@@ -2513,7 +2719,7 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns")
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults")
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"applyCdcDv: table requires writer version ${snap.minWriter}" +
@@ -2679,13 +2885,10 @@ object LakeWriter {
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"$version; re-read the table and retry the CDC apply", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version $version; re-read the table and retry the CDC apply",
+      ictConf = snap.configuration)
     affected.map(_.path).sorted
   }
 
@@ -2780,7 +2983,8 @@ object LakeWriter {
                        matched: Seq[MergeClause],
                        notMatched: Seq[MergeClause],
                        notMatchedBySource: Seq[MergeClause] = Nil,
-                       txn: Option[(String, Long)] = None): Seq[String] = {
+                       txn: Option[(String, Long)] = None,
+                       schemaEvolution: Boolean = false): Seq[String] = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions.{col, expr, lit, struct, when}
     require(keyCols.nonEmpty, "mergeIntoClauses: empty key column list")
@@ -2818,15 +3022,26 @@ object LakeWriter {
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"mergeIntoClauses: table requires writer version ${snap.minWriter}" +
         (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
         " — refusing a rewrite whose obligations this writer cannot honor")
-    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+    val table0 = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    // WITH SCHEMA EVOLUTION: source columns the table lacks become new
+    // (nullable) table columns in the SAME commit — target rows read
+    // null for them, the merge's values land, and the commit restates
+    // metaData with the merged schema ([[evolveSchema]]'s discipline;
+    // appendDeltaEvolve is the append-side twin). Off by default: an
+    // unexpected source column is usually a bug, and delta-spark also
+    // gates this behind the explicit WITH SCHEMA EVOLUTION clause.
+    val (table, evolvedConf) =
+      if (!schemaEvolution) (table0, snap.configuration)
+      else evolveSchema(dir, snap, table0, cm, source.schema.fields.toSeq)
+    val schemaGrew = table.length > table0.length
     val badKeys = keyCols.toSet -- table.fieldNames.toSet
     require(badKeys.isEmpty,
       s"mergeIntoClauses: key columns ${badKeys.mkString(", ")} not in the table schema")
@@ -2913,7 +3128,13 @@ object LakeWriter {
 
     val affectedRows =
       if (affected.isEmpty) null
-      else DeltaReader.scanFiles(spark, dir, snap, affected)
+      else {
+        val scan = DeltaReader.scanFiles(spark, dir, snap, affected)
+        if (!schemaGrew) scan
+        else table.fields.drop(table0.length).foldLeft(scan) { (d, f) =>
+          d.withColumn(f.name, lit(null).cast(f.dataType))
+        }
+      }
     val srcStruct = source.select((keyCols.map(col) :+
       struct(source.columns.map(col).toIndexedSeq: _*).as("__s") :+
       lit(1).as("__m")).toIndexedSeq: _*)
@@ -2990,10 +3211,15 @@ object LakeWriter {
                 case MergeInsertAll => col("s").getField(f.name).cast(f.dataType)
                 case MergeInsert(values) => values.get(f.name)
                   .map(expr(_).cast(f.dataType)).getOrElse {
-                    require(f.nullable,
-                      s"mergeIntoClauses: INSERT clause ${i + 1} omits non-nullable " +
-                        s"column '${f.name}' — list it or make it nullable")
-                    lit(null).cast(f.dataType)
+                    if (f.metadata.contains("CURRENT_DEFAULT"))
+                      expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType)
+                    else {
+                      require(f.nullable,
+                        s"mergeIntoClauses: INSERT clause ${i + 1} omits non-nullable " +
+                          s"column '${f.name}' — list it, give it a DEFAULT, or make " +
+                          "it nullable")
+                      lit(null).cast(f.dataType)
+                    }
                   }
                 case _ => acc
               }
@@ -3054,10 +3280,13 @@ object LakeWriter {
     val removes = removesFiles.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
     }
-    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
+    commitDelta(staged, dir, snap.version + 1, includeMeta = schemaGrew,
       checkpointInterval = 0, partCols = stagePartCols, txn = txn,
+      metaOverride =
+        if (!schemaGrew) None
+        else Some((protocolJson(snap), metaLineFor(dir, snap, table, evolvedConf))),
       extraActions = removes ++ cdcActions, operation = "MERGE",
-      rowIdBase = RowTracking.rowIdBase(snap))
+      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration)
     removesFiles.map(_.path).sorted
   }
 
@@ -3096,7 +3325,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3173,7 +3402,8 @@ object LakeWriter {
       checkpointInterval = 0, partCols = stagePartCols,
       extraActions = removes ++ cdcActions, operation = "UPDATE",
       rowIdBase = RowTracking.rowIdBase(snap),
-      rebase = Some((snap, predicate, affected.map(_.path).toSet)))
+      rebase = Some((snap, predicate, affected.map(_.path).toSet)),
+      ictConf = snap.configuration)
     affected.map(_.path).sorted
   }
 
@@ -3445,7 +3675,8 @@ object LakeWriter {
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = snap.partCols,
       extraActions = removes, addDataChange = false, operation = "OPTIMIZE",
-      rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None)
+      rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None,
+      ictConf = snap.configuration)
   }
 
   /** RESTORE the Delta table to its state at `versionAsOf` — a NEW
@@ -3486,7 +3717,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
       RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
@@ -3558,13 +3789,10 @@ object LakeWriter {
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"${cur.version + 1}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"${cur.version + 1}; re-read the table and retry the restore", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${cur.version + 1}; re-read the table and retry the restore",
+      ictConf = cur.configuration)
     (readds.map(_.path).sorted, removes.map(_.path).sorted)
   }
 
@@ -3657,13 +3885,10 @@ object LakeWriter {
     val log = new org.apache.hadoop.fs.Path(dstRoot, "_delta_log")
     fs.mkdirs(log)
     val commit = new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version 0; " +
-          "clone into a fresh directory", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      "a concurrent writer won version 0; clone into a fresh directory",
+      ictConf = snap.configuration)
     // a big clone's version-0 commit is one JSON file with `files`
     // add lines, and commit JSON parses on the DRIVER at every replay
     // (the format's design assumes commits are small) — fold it into a
@@ -3780,13 +4005,10 @@ object LakeWriter {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     val commit = new org.apache.hadoop.fs.Path(log, f"$backfillVersion%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"$backfillVersion; re-read and retry enableRowTracking", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version $backfillVersion; re-read and retry enableRowTracking",
+      ictConf = snap.configuration)
   }
 
   /** SET (or remove) a DOMAIN METADATA entry (PROTOCOL.md): one
@@ -3813,12 +4035,9 @@ object LakeWriter {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val commit = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(root, "_delta_log"), f"${snap.version + 1}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won; retry", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"), "a concurrent writer won; retry",
+      ictConf = snap.configuration)
   }
 
   def upgradeProtocol(spark: SparkSession, dir: String,
@@ -3849,13 +4068,10 @@ object LakeWriter {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val commit = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(root, "_delta_log"), f"${snap.version + 1}%020d.json")
-    val out = try fs.create(commit, false)
-    catch { case e: java.io.IOException =>
-      throw new IllegalStateException(
-        s"Delta commit $commit already exists — a concurrent writer won version " +
-          s"${snap.version + 1}; re-read and retry", e)
-    }
-    try out.write(actions.mkString("\n").getBytes("UTF-8")) finally out.close()
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${snap.version + 1}; re-read and retry",
+      ictConf = snap.configuration)
   }
 
   /** RESTORE TO TIMESTAMP — [[restoreDelta]] at the version

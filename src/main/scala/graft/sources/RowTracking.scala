@@ -18,10 +18,12 @@ package graft.sources
   * surviving row's id/commit-version in the materialized columns
   * named by [[RowIdColConf]]/[[RowVerColConf]] (readers prefer them
   * over baseRowId + row_index), so a tracked table CAN pay down its
-  * small-file debt. Z-ORDER still refuses tracked tables, and so does
-  * compaction when the materialized names are not configured (a table
-  * enabled by an older writer) — loud refusal beats silently
-  * re-identifying every row.
+  * small-file debt. Both OPTIMIZE and Z-ORDER run the preserved
+  * profile on tracked tables (compactDelta and compactDeltaZOrder
+  * share it); only a HALF-configured table — tracking enabled but the
+  * materialized column names absent (an older writer's enablement) —
+  * refuses, loudly, because a rewrite there would silently
+  * re-identify every row.
   */
 private[graft] object RowTracking {
   val Domain = "delta.rowTracking"

@@ -258,11 +258,12 @@ class GraftSqlDmlSpec extends SparkSpec {
     val ops = spark.sql(s"SELECT operation FROM graft_delta_history('$d')")
       .collect().map(_.getString(0))
     assert(ops.head == "OPTIMIZE" || ops.contains("OPTIMIZE"))
-    // malformed maintenance against graft_delta refuses with the form
-    val e = intercept[UnsupportedOperationException] {
+    // the HOURS form needs wall-clock commits: a non-ICT table
+    // refuses naming the reason (DeltaIctSpec proves the working form)
+    val e = intercept[IllegalArgumentException] {
       spark.sql(s"VACUUM graft_delta.`$d` RETAIN 3 HOURS")
     }
-    assert(e.getMessage.contains("RETAIN <n> VERSIONS"))
+    assert(e.getMessage.contains("delta.enableInCommitTimestamps"))
   }
 
   test("ALTER TABLE family routes to the metadata-commit writers") {
@@ -434,10 +435,11 @@ class GraftSqlDmlSpec extends SparkSpec {
     spark.sql(s"CREATE TABLE graft_delta.`$c` SHALLOW CLONE graft_delta.`$d` " +
       "VERSION AS OF 1")
     assert(DeltaReader.read(spark, c).count() == 20)
-    // malformed RESTORE refuses with the supported form
-    val e = intercept[UnsupportedOperationException] {
+    // timestamp RESTORE needs wall-clock commits: a non-ICT table
+    // refuses naming the reason (DeltaIctSpec proves the working form)
+    val e = intercept[IllegalArgumentException] {
       spark.sql(s"RESTORE TABLE graft_delta.`$d` TO TIMESTAMP AS OF '2020-01-01'")
     }
-    assert(e.getMessage.contains("TO VERSION AS OF"))
+    assert(e.getMessage.contains("delta.enableInCommitTimestamps"))
   }
 }
