@@ -1148,6 +1148,7 @@ object DeltaReader {
       var op: Option[String] = None
       var readVersion: Option[Long] = None
       var engine: Option[String] = None
+      var ict: Option[Long] = None
       val rd = new java.io.BufferedReader(
         new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
       try Iterator.continually(rd.readLine()).takeWhile(_ != null)
@@ -1158,12 +1159,14 @@ object DeltaReader {
           op = Option(ci.get("operation")).filterNot(_.isNull).map(_.asText())
           readVersion = Option(ci.get("readVersion")).filterNot(_.isNull).map(_.asLong())
           engine = Option(ci.get("engineInfo")).filterNot(_.isNull).map(_.asText())
+          ict = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong())
         }
       } finally rd.close()
-      (v, op.orNull, readVersion.map(Long.box).orNull, engine.orNull)
+      (v, op.orNull, readVersion.map(Long.box).orNull, engine.orNull,
+        ict.map(Long.box).orNull)
     }
     rows.sortBy(-_._1)
-      .toDF("version", "operation", "readVersion", "engineInfo")
+      .toDF("version", "operation", "readVersion", "engineInfo", "timestamp")
   }
 
   /** DESCRIBE DETAIL: one row of table-level facts — format, table id,

@@ -69,6 +69,19 @@ class DeltaIctSpec extends SparkSpec {
     assert(stamps.map(_._2) == stamps.map(_._2).sorted)
   }
 
+  test("history surfaces the stamp as `timestamp`; null when unstamped") {
+    val d = freshDir("hist")
+    LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "s"), d,
+      configuration = Map("delta.enableInCommitTimestamps" -> "true"))
+    LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "s"), d)
+    val h = DeltaReader.history(spark, d)
+      .select("version", "timestamp").as[(Long, Long)].collect().toMap
+    assert(h == icts(d).toMap, h.toString)
+    val d2 = freshDir("hist2")
+    LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "s"), d2)
+    assert(DeltaReader.history(spark, d2).where("timestamp IS NOT NULL").count() == 0)
+  }
+
   test("timestamp time travel resolves through the log's own stamps") {
     val d = freshDir("tt")
     LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "s"), d,
