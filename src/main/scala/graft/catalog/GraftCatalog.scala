@@ -68,6 +68,43 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
+  /** CREATE TABLE may declare IDENTITY / GENERATED columns and column
+    * DEFAULTs — the analyzer gates the syntax on these capabilities
+    * and hands the specs to [[createTable]] as field metadata, which
+    * [[translateColumnMetadata]] converts to the table format's keys.
+    */
+  override def capabilities(): util.Set[TableCatalogCapability] =
+    util.EnumSet.of(
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
+  /** Spark's CREATE-time column-spec metadata → the Delta protocol's:
+    * `identity.*` → `delta.identity.*` ([[graft.sources.IdentityColumns]]),
+    * `generationExpression` → `delta.generationExpression` (what the
+    * writers' enforceObligations computes/verifies), `CURRENT_DEFAULT`
+    * kept as-is (delta-spark's own key; `EXISTS_DEFAULT` dropped — a
+    * created table has no pre-existing rows for it to back-fill).
+    */
+  private def translateColumnMetadata(schema: StructType): StructType = {
+    import org.apache.spark.sql.types.MetadataBuilder
+    StructType(graft.sources.IdentityColumns.translateCreate(schema).fields.map { f =>
+      var m = f.metadata
+      if (m.contains("generationExpression")) {
+        val mb = new MetadataBuilder().withMetadata(m)
+          .putString("delta.generationExpression", m.getString("generationExpression"))
+        mb.remove("generationExpression")
+        m = mb.build()
+      }
+      if (m.contains("EXISTS_DEFAULT")) {
+        val mb = new MetadataBuilder().withMetadata(m)
+        mb.remove("EXISTS_DEFAULT")
+        m = mb.build()
+      }
+      if (m eq f.metadata) f else f.copy(metadata = m)
+    })
+  }
+
   private def nsPath(namespace: Array[String]): Path = {
     require(namespace.length == 1,
       s"GraftCatalog namespaces are single-level (graft.db.t), got " +
@@ -134,6 +171,39 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     GraftTable(spark, ident, dataDir(ident).toString, versionAsOf = Some(v))
   }
 
+  /** The V2-Column create: Spark's DEFAULT Column→StructField
+    * conversion keeps comments and DEFAULTs but silently DROPS
+    * identity specs and generation expressions — a catalog declaring
+    * those capabilities must read them off the [[Column]]s itself.
+    * Re-encoded here under Spark's own metadata keys, which
+    * [[translateColumnMetadata]] then converts to the protocol's.
+    */
+  override def createTable(ident: Identifier,
+                           columns: Array[org.apache.spark.sql.connector.catalog.Column],
+                           partitions: Array[Transform],
+                           properties: util.Map[String, String]): Table = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructField}
+    val schema = StructType(columns.map { c =>
+      val mb = new MetadataBuilder().withMetadata(
+        Option(c.metadataInJSON()).map(Metadata.fromJson).getOrElse(Metadata.empty))
+      Option(c.comment()).foreach(mb.putString("comment", _))
+      Option(c.defaultValue()).foreach { dv =>
+        require(dv.getSql != null,
+          s"GraftCatalog: column '${c.name()}' declares a DEFAULT without SQL text")
+        mb.putString("CURRENT_DEFAULT", dv.getSql)
+      }
+      Option(c.generationExpression()).foreach(
+        mb.putString("generationExpression", _))
+      Option(c.identityColumnSpec()).foreach { s =>
+        mb.putLong("identity.start", s.getStart)
+        mb.putLong("identity.step", s.getStep)
+        mb.putBoolean("identity.allowExplicitInsert", s.isAllowExplicitInsert)
+      }
+      StructField(c.name(), c.dataType(), c.nullable(), mb.build())
+    })
+    createTable(ident, schema, partitions, properties)
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -182,8 +252,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"(${logSchema.fieldNames.mkString(", ")}) — the log is authoritative; " +
           "declare matching columns or none")
     } else {
+      val declared = translateColumnMetadata(schema)
+      graft.sources.IdentityColumns.validate(declared, partCols,
+        "GraftCatalog.createTable")
       val empty = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       graft.sources.LakeWriter.writeDelta(empty, target, partitionBy = partCols,
         configuration = configuration)
     }

@@ -604,12 +604,14 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
                 // typed literals, not string round-trips: a timestamp
                 // or scientific-notation double rendered via toString
                 // + CAST could mismatch the staged rows and replace
-                // the wrong window; Literal.sql renders exactly
+                // the wrong window; Literal.sql renders exactly (a
+                // Column's lazy node renders as an unresolved
+                // `columnnodeexpression` call — build the Literal
+                // directly)
                 Option(r.get(i)) match {
                   case None => s"$n IS NULL"
                   case Some(v) =>
-                    s"$n = ${GraftColumnBridge.expression(
-                      org.apache.spark.sql.functions.lit(v)).sql}"
+                    s"$n = ${org.apache.spark.sql.catalyst.expressions.Literal(v).sql}"
                 }
               }.mkString("(", " AND ", ")")
             }.mkString("(", " OR ", ")"))
@@ -627,25 +629,36 @@ case class GraftInsertCommand(path: String, source: LogicalPlan,
             s"produces ${src.columns.length}")
         val defaulted = tableSchema.fields
           .filter(_.metadata.contains("CURRENT_DEFAULT")).map(_.name).toSet
+        // identity columns are omissible too: they stay OUT of the
+        // batch and appendDelta/overwrite GENERATES them
+        val identityCols = tableSchema.fields
+          .filter(_.metadata.contains(
+            graft.sources.IdentityColumns.StartKey)).map(_.name).toSet
         val missing = tableCols.filterNot(t => userCols.exists(_.equalsIgnoreCase(t)))
-        val missingNoDefault = missing.filterNot(defaulted)
+        val missingNoDefault = missing.filterNot(defaulted ++ identityCols)
         if (missingNoDefault.nonEmpty)
           refuse(s"column list omits ${missingNoDefault.mkString(", ")} — only " +
-            "columns with a declared DEFAULT may be omitted (partial-width inserts " +
-            "would silently null-fill)")
+            "columns with a declared DEFAULT or GENERATED identity may be omitted " +
+            "(partial-width inserts would silently null-fill)")
         val renamed = src.toDF(userCols: _*)
-        // omitted DEFAULTed columns take their declared constant
-        val filled = missing.foldLeft(renamed) { (d, c) =>
+        // omitted DEFAULTed columns take their declared constant;
+        // omitted identity columns stay absent (generated downstream)
+        val filled = missing.filterNot(identityCols).foldLeft(renamed) { (d, c) =>
           val f = tableSchema.fields.find(_.name == c).get
           d.withColumn(c, org.apache.spark.sql.functions
             .expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType))
         }
-        filled.select(tableCols.map(filled.col): _*)
+        filled.select(tableCols.filter(filled.columns.contains).map(filled.col): _*)
       } else if (byName) {
-        val missing = tableCols.filterNot(t => src.columns.exists(_.equalsIgnoreCase(t)))
+        val identityCols = tableSchema.fields
+          .filter(_.metadata.contains(
+            graft.sources.IdentityColumns.StartKey)).map(_.name).toSet
+        val missing = tableCols.filterNot(t =>
+          src.columns.exists(_.equalsIgnoreCase(t)) || identityCols(t))
         if (missing.nonEmpty)
           refuse(s"BY NAME source lacks ${missing.mkString(", ")}")
-        src.select(tableCols.map(src.col): _*)
+        src.select(tableCols.filter(t =>
+          src.columns.exists(_.equalsIgnoreCase(t))).map(src.col): _*)
       } else {
         // positional: Spark SQL semantics — source names are ignored
         if (src.columns.length != tableCols.length)

@@ -180,8 +180,13 @@ object LakeWriter {
                  configuration: Map[String, String] = Map.empty): Unit = {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
+    IdentityColumns.validate(df.schema, partitionBy, "writeDelta")
     commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn,
-      configuration = configuration, operation = "CREATE TABLE")
+      configuration = configuration, operation = "CREATE TABLE",
+      // CREATE with rows seeds the watermark from whatever the batch
+      // carries (the creator defines the table's initial content); the
+      // metaData this commit renders is patched in place
+      identity = IdentityColumns.advanceOf(df.schema, Map.empty).map(adv => (adv, None)))
   }
 
   /** One metadata-only ALTER commit: commitInfo + the (possibly
@@ -761,6 +766,9 @@ object LakeWriter {
                        txn: Option[(String, Long)] = None): Unit = {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDeltaMapped: partition column '$c' not in ${df.columns.mkString(", ")}"))
+    require(!IdentityColumns.hasIdentity(df.schema),
+      "writeDeltaMapped: identity columns on a column-mapped CREATE are not " +
+        "supported — create the identity table unmapped")
     import org.apache.spark.sql.types.{MetadataBuilder, StructType}
     val fields = df.schema.fields.zipWithIndex.map { case (f, i) =>
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
@@ -939,7 +947,7 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults") ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -966,7 +974,9 @@ object LakeWriter {
       }
     }
     // holes: table columns absent from df — null-fill, nullable only
-    table.fields.filterNot(t => dfByName.contains(t.name)).foreach { t =>
+    // (identity holes are generated instead, below)
+    table.fields.filterNot(t => dfByName.contains(t.name) ||
+        t.metadata.contains(IdentityColumns.StartKey)).foreach { t =>
       require(t.nullable,
         s"appendDeltaEvolve: table column '${t.name}' is non-nullable and missing " +
           "from the appended data — cannot null-fill")
@@ -978,14 +988,20 @@ object LakeWriter {
     // CM gets fresh physical names/ids ([[evolveSchema]])
     val (merged, newConf) = evolveSchema(dir, snap, table, cm, df.schema.fields.toSeq)
     val schemaGrew = merged.length > table.length
-    val aligned = df.select(merged.fields.map { f =>
+    // absent IDENTITY columns are GENERATED holes, not null-fill:
+    // leave them out here; appendDeltaWithSnapshot (or the completion
+    // below on the grew path) generates them
+    val idHoles = IdentityColumns.specs(merged).map(_.name)
+      .filterNot(dfByName.contains).toSet
+    val aligned0 = df.select(merged.fields.filterNot(f => idHoles(f.name)).map { f =>
       if (dfByName.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
 
     if (!schemaGrew) {
-      appendDeltaWithSnapshot(aligned, dir, checkpointInterval, txn, snap)
+      appendDeltaWithSnapshot(aligned0, dir, checkpointInterval, txn, snap)
     } else {
+      val aligned = IdentityColumns.complete(aligned0, merged, "appendDeltaEvolve")
       val metaLine = metaLineFor(dir, snap, merged, newConf)
       // CM tables stage parquet + partition dirs under PHYSICAL names
       // (what the table's readers resolve), exactly like appendDelta
@@ -1005,7 +1021,9 @@ object LakeWriter {
         checkpointInterval, partCols = stagePartCols, txn = txn,
         metaOverride = Some((protocolJson(snap), metaLine)),
         operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap),
-        ictConf = snap.configuration)
+        ictConf = snap.configuration,
+        identity = IdentityColumns.advanceOf(merged,
+          physNameMap(merged, cm, "appendDeltaEvolve")).map(adv => (adv, None)))
     }
   }
 
@@ -1041,7 +1059,7 @@ object LakeWriter {
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1050,7 +1068,9 @@ object LakeWriter {
         " — refusing a rewrite whose obligations this writer cannot honor")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val df = enforceObligations(df0, snap, table, "overwriteWhere")
+    val df = enforceObligations(
+      IdentityColumns.complete(df0, table, "overwriteWhere"), snap, table,
+      "overwriteWhere")
     require(df.schema.length == table.length,
       s"overwriteWhere: batch has ${df.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
@@ -1131,7 +1151,9 @@ object LakeWriter {
         s"""{"mode":"Overwrite","predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
-      ictConf = snap.configuration)
+      ictConf = snap.configuration,
+      identity = IdentityColumns.advanceOf(table, phys).map(adv =>
+        (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))))
     affected.map(_.path).sorted
   }
 
@@ -1181,7 +1203,7 @@ object LakeWriter {
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1190,7 +1212,9 @@ object LakeWriter {
         " — refusing a rewrite whose obligations this writer cannot honor")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val df = enforceObligations(df0, snap, table, "overwriteDelta")
+    val df = enforceObligations(
+      IdentityColumns.complete(df0, table, "overwriteDelta"), snap, table,
+      "overwriteDelta")
     require(df.schema.length == table.length,
       s"overwriteDelta: batch has ${df.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
@@ -1236,7 +1260,11 @@ object LakeWriter {
       checkpointInterval, partCols = stagePartCols, txn = txn,
       extraActions = removes ++ cdcActions, operation = "WRITE",
       operationParameters = """{"mode":"Overwrite"}""",
-      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration)
+      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
+      // the watermark NEVER rewinds on overwrite: replaced rows' ids
+      // stay burned (a rewound mark would re-mint them)
+      identity = IdentityColumns.advanceOf(table, phys).map(adv =>
+        (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))))
   }
 
   /** Every nested field path under `st` carrying `delta.invariants`
@@ -1435,7 +1463,7 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults") ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1451,7 +1479,11 @@ object LakeWriter {
     // columns (computed when omitted, verified when provided) — are
     // ENFORCED on the batch in one distributed pass; a violation
     // refuses the whole write with the named check
-    val df = enforceObligations(df0, snap, table, "appendDelta")
+    // identity columns first (an omitted one is GENERATED here, an
+    // explicit one gated on BY DEFAULT), then the declared obligations
+    // — a CHECK constraint may reference the identity value
+    val df = enforceObligations(
+      IdentityColumns.complete(df0, table, "appendDelta"), snap, table, "appendDelta")
     require(df.schema.length == table.length,
       s"appendDelta: appended schema has ${df.schema.length} columns, table has " +
         s"${table.length} (${table.fieldNames.mkString(", ")})")
@@ -1468,21 +1500,24 @@ object LakeWriter {
     // column-mapped table the STAGED data and partition directories
     // carry the physical names (what the table's readers resolve);
     // the logical→physical projection is metadata-only.
+    val physByLogical: Map[String, String] =
+      if (cm == "none") Map.empty
+      else table.fields.map { f =>
+        require(f.metadata.contains("delta.columnMapping.physicalName"),
+          s"appendDelta: column mapping is 'name' but field '${f.name}' carries no " +
+            "physicalName metadata — malformed schemaString")
+        f.name -> f.metadata.getString("delta.columnMapping.physicalName")
+      }.toMap
     val (staged, stagePartCols) =
       if (cm == "none") (df, snap.partCols)
-      else {
-        val phys = table.fields.map { f =>
-          require(f.metadata.contains("delta.columnMapping.physicalName"),
-            s"appendDelta: column mapping is 'name' but field '${f.name}' carries no " +
-              "physicalName metadata — malformed schemaString")
-          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-        }.toMap
-        (df.select(table.fieldNames.map(c => df.col(c).as(phys(c))).toIndexedSeq: _*),
-          snap.partCols.map(phys))
-      }
+      else (df.select(table.fieldNames.map(c =>
+        df.col(c).as(physByLogical(c))).toIndexedSeq: _*),
+        snap.partCols.map(physByLogical))
     commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
       stagePartCols, txn, operation = operation, operationParameters = operationParameters,
-      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration)
+      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
+      identity = IdentityColumns.advanceOf(table, physByLogical).map(adv =>
+        (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))))
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -1517,7 +1552,8 @@ object LakeWriter {
                                  operationParameters: String = "{}",
                                  rowIdBase: Option[Long] = None,
                                  rebase: Option[(DeltaReader.Snapshot, String, Set[String])] = None,
-                                 ictConf: Map[String, String] = Map.empty): Unit = {
+                                 ictConf: Map[String, String] = Map.empty,
+                                 identity: Option[(IdentityColumns.Advance, Option[String])] = None): Unit = {
     val spark = df.sparkSession
     // fail FAST on a store that can't arbitrate commits: before any
     // staging work, before the log directory exists — a refused create
@@ -1595,6 +1631,17 @@ object LakeWriter {
         (rel, pv, st.getLen, stats)
       }
     fs.delete(stage, true)
+    // identity watermark advance — derived from the footer stats just
+    // computed (zero extra jobs); a changed watermark restates
+    // metaData in this commit and disqualifies the append rebase
+    // (two writers generating from one base would mint equal ids)
+    val idWm: Map[String, Long] = identity.map { case (adv, _) =>
+      IdentityColumns.newWatermarks(adv, moved.map(_._4), "commitDelta")
+    }.getOrElse(Map.empty)
+    val idMetaAppend: Option[String] = identity.collect {
+      case (_, Some(metaBase)) if idWm.nonEmpty =>
+        IdentityColumns.patchMetaLine(metaBase, idWm)
+    }
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val now = 0L // deterministic logs: modificationTime is informational
     // the action list is a FUNCTION of the commit version (commitInfo
@@ -1610,7 +1657,7 @@ object LakeWriter {
     if (includeMeta) metaOverride match {
       case Some((protocolLine, metaLine)) =>
         actions += protocolLine
-        actions += metaLine
+        actions += IdentityColumns.patchMetaLine(metaLine, idWm)
       case None =>
         val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
         // CDF's legacy writer floor is 4 (PROTOCOL.md): stamping it on
@@ -1621,18 +1668,33 @@ object LakeWriter {
         val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
         }.mkString("{", ",", "}")
-        // inCommitTimestamp is a writer-version-7 FEATURE: a creating
-        // table that opts in declares v7 with the feature plus the
-        // legacy obligations v7 makes explicit
-        if (ictEnabled(configuration)) {
-          val wf = (Seq("appendOnly", "inCommitTimestamp", "invariants") ++
+        // writer-version-7 FEATURES a creating table can declare:
+        // in-commit timestamps (configuration), identity / generated /
+        // DEFAULTed columns (field metadata). Any of them lifts the
+        // protocol to v7 with the feature plus the legacy obligations
+        // v7 makes explicit; none keeps the legacy version.
+        val v7Features =
+          (if (ictEnabled(configuration)) Seq("inCommitTimestamp") else Nil) ++
+          (if (IdentityColumns.hasIdentity(df.schema)) Seq(IdentityColumns.Feature) else Nil) ++
+          (if (df.schema.fields.exists(_.metadata.contains("delta.generationExpression")))
+            Seq("generatedColumns") else Nil) ++
+          (if (df.schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT")))
+            Seq("allowColumnDefaults") else Nil)
+        if (v7Features.nonEmpty) {
+          val wf = (Seq("appendOnly", "invariants") ++ v7Features ++
             (if (cdfCreate) Seq("changeDataFeed") else Nil)).sorted
             .map(om.writeValueAsString).mkString("[", ",", "]")
           actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
         } else
           actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
-        actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(df.schema.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+        actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(
+          IdentityColumns.patchSchema(df.schema, idWm).json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
     }
+    // an advanced identity watermark restates metaData atomically with
+    // the adds whose values it covers (mutation commits pass the
+    // current metaData as the base; the create path patches its own
+    // render above)
+    if (!includeMeta) idMetaAppend.foreach(actions += _)
     // transaction identifier (PROTOCOL.md): records "this application
     // has committed up to here" in the SAME atomic commit as the data,
     // so a streaming batch and its watermark can never diverge
@@ -1697,7 +1759,7 @@ object LakeWriter {
     // exactly real Delta's WriteSerializable discipline, evaluated
     // file-level.
     val appendShape = !includeMeta && extraActions.isEmpty && txn.isEmpty &&
-      rowIdBase.isEmpty
+      rowIdBase.isEmpty && idWm.isEmpty
     val mutationShape = rebase.isDefined && !includeMeta && txn.isEmpty
     val rebaseable = appendShape || mutationShape
     var v = version
@@ -1921,7 +1983,7 @@ object LakeWriter {
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors") ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", IdentityColumns.Feature) ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
@@ -2157,7 +2219,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2414,7 +2476,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2543,7 +2605,7 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults")
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhereDv: table requires writer version ${snap.minWriter}" +
@@ -2551,6 +2613,7 @@ object LakeWriter {
         " — refusing a mutation whose obligations this writer cannot honor")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
+    IdentityColumns.refuseUpdates(table, set.keySet, "updateWhereDv")
     val badCols = set.keySet -- table.fieldNames.toSet
     require(badCols.isEmpty,
       s"updateWhereDv: SET targets ${badCols.mkString(", ")} not in the table schema " +
@@ -2719,7 +2782,7 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults")
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"applyCdcDv: table requires writer version ${snap.minWriter}" +
@@ -2838,6 +2901,7 @@ object LakeWriter {
       }
     val stageUri = stage.toUri.getPath.stripSuffix("/")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val newAddStats = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
     val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
@@ -2845,6 +2909,7 @@ object LakeWriter {
         val name = s"part-cdc-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf)
+        newAddStats += stats
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
@@ -2864,6 +2929,15 @@ object LakeWriter {
 
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"MERGE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    // identity tables: the change stream's values land VERBATIM
+    // (replication semantics — the source minted them), but the
+    // watermark still advances past them in the same commit so a
+    // replica taking direct appends later never re-mints an id
+    IdentityColumns.advanceOf(table, phys).foreach { adv =>
+      val wm = IdentityColumns.newWatermarks(adv, newAddStats.toSeq, "applyCdcDv")
+      if (wm.nonEmpty) actions += IdentityColumns.patchMetaLine(
+        metaLineFor(dir, snap, table, snap.configuration), wm)
+    }
     if (placed.nonEmpty) dvFeatureUpgrade(snap, cm).foreach(actions += _)
     txn.foreach { case (appId, v) =>
       actions += s"""{"txn":{"appId":${om.writeValueAsString(appId)},"version":$v}}"""
@@ -3022,7 +3096,7 @@ object LakeWriter {
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3052,7 +3126,10 @@ object LakeWriter {
     val starActions = matched.exists(_.action == MergeUpdateAll) ||
       notMatched.exists(_.action == MergeInsertAll)
     if (starActions) {
+      // identity columns are exempt: INSERT * generates them when the
+      // source lacks them, UPDATE SET * never assigns them
       val missing = table.fieldNames.filterNot(source.columns.contains)
+        .filterNot(IdentityColumns.specs(table).map(_.name).toSet)
       require(missing.isEmpty,
         s"mergeIntoClauses: UPDATE SET * / INSERT * need every table column on the " +
           s"source; missing ${missing.mkString(", ")}")
@@ -3068,6 +3145,30 @@ object LakeWriter {
     require(badTargets.isEmpty,
       s"mergeIntoClauses: SET/INSERT targets ${badTargets.mkString(", ")} not in the " +
         s"table schema (${table.fieldNames.mkString(", ")})")
+    // identity columns: UPDATE never touches them — explicit SET
+    // refuses and SET * skips them (the matched row keeps its value,
+    // delta-spark's star semantics). INSERT generates omitted ones
+    // (INSERT * counts as omitting when the source lacks the column);
+    // providing one explicitly needs GENERATED BY DEFAULT.
+    val idSpecs = IdentityColumns.specs(table)
+    val idCols = idSpecs.map(_.name).toSet
+    if (idSpecs.nonEmpty) {
+      IdentityColumns.refuseUpdates(table,
+        (matched ++ notMatchedBySource).flatMap(_.action match {
+          case MergeUpdate(sets) => sets.keys
+          case _ => Nil
+        }), "mergeIntoClauses")
+      val explicit = idSpecs.filter(s =>
+        notMatched.exists(_.action match {
+          case MergeInsertAll => source.columns.contains(s.name)
+          case MergeInsert(values) => values.contains(s.name)
+          case _ => false
+        })).filterNot(_.allowExplicit)
+      require(explicit.isEmpty,
+        s"mergeIntoClauses: ${explicit.map(_.name).mkString(", ")} " +
+          "is GENERATED ALWAYS AS IDENTITY — INSERT clauses cannot provide it " +
+          "(declare it GENERATED BY DEFAULT to allow explicit values)")
+    }
 
     // any clause that REWRITES target rows (matched or by-source) joins
     // target × source on the keys — a duplicate source key would
@@ -3153,7 +3254,9 @@ object LakeWriter {
     def updValue(action: MergeClauseAction,
                  f: org.apache.spark.sql.types.StructField): Option[Column] =
       action match {
-        case MergeUpdateAll => Some(col("s").getField(f.name).cast(f.dataType))
+        case MergeUpdateAll =>
+          if (idCols(f.name)) None // identity: the matched row keeps its value
+          else Some(col("s").getField(f.name).cast(f.dataType))
         case MergeUpdate(sets) => sets.get(f.name).map(expr(_).cast(f.dataType))
         case _ => None
       }
@@ -3204,14 +3307,22 @@ object LakeWriter {
           Some(acc.map(_.when(p, v)).getOrElse(when(p, v)))
         }.map(_.otherwise(lit(-1))).get
         val ikept = cand.withColumn("__iact", iAct).where(col("__iact") >= 0)
-        def insValue(f: org.apache.spark.sql.types.StructField): Column =
-          notMatched.zipWithIndex.foldLeft(lit(null).cast(f.dataType)) {
+        def insValue(f: org.apache.spark.sql.types.StructField): Column = {
+          // identity columns generate for every inserted row a clause
+          // does not explicitly provide (distributed, see
+          // [[IdentityColumns.genExpr]]); anything else starts null
+          val base = idSpecs.find(_.name == f.name)
+            .map(IdentityColumns.genExpr).getOrElse(lit(null).cast(f.dataType))
+          notMatched.zipWithIndex.foldLeft(base) {
             case (acc, (c, i)) =>
               val v = c.action match {
-                case MergeInsertAll => col("s").getField(f.name).cast(f.dataType)
+                case MergeInsertAll =>
+                  if (idCols(f.name) && !source.columns.contains(f.name)) acc
+                  else col("s").getField(f.name).cast(f.dataType)
                 case MergeInsert(values) => values.get(f.name)
                   .map(expr(_).cast(f.dataType)).getOrElse {
-                    if (f.metadata.contains("CURRENT_DEFAULT"))
+                    if (idCols(f.name)) acc // omitted identity: generated
+                    else if (f.metadata.contains("CURRENT_DEFAULT"))
                       expr(f.metadata.getString("CURRENT_DEFAULT")).cast(f.dataType)
                     else {
                       require(f.nullable,
@@ -3225,6 +3336,7 @@ object LakeWriter {
               }
               when(col("__iact") === i, v).otherwise(acc)
           }
+        }
         ikept.select(table.fields.map(f => insValue(f).as(f.name)).toIndexedSeq: _*)
       }
 
@@ -3286,7 +3398,9 @@ object LakeWriter {
         if (!schemaGrew) None
         else Some((protocolJson(snap), metaLineFor(dir, snap, table, evolvedConf))),
       extraActions = removes ++ cdcActions, operation = "MERGE",
-      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration)
+      rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
+      identity = IdentityColumns.advanceOf(table, phys).map(adv =>
+        (adv, Some(metaLineFor(dir, snap, table, evolvedConf)))))
     removesFiles.map(_.path).sorted
   }
 
@@ -3325,7 +3439,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3336,6 +3450,7 @@ object LakeWriter {
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     // CHECK constraints / invariants / generated columns are VERIFIED
     // on the updated rows before the commit (enforceObligations below)
+    IdentityColumns.refuseUpdates(table, set.keySet, "updateWhere")
     val badCols = set.keySet -- table.fieldNames.toSet
     require(badCols.isEmpty,
       s"updateWhere: SET targets ${badCols.mkString(", ")} not in the table schema " +
@@ -3614,7 +3729,7 @@ object LakeWriter {
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors") ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", IdentityColumns.Feature) ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
@@ -3717,7 +3832,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults") ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
       RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
