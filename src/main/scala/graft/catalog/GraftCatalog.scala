@@ -210,14 +210,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val ns = nsPath(ident.namespace())
     if (!fs.exists(ns)) throw new NoSuchNamespaceException(ident.namespace())
-    val partCols = partitions.map { t =>
-      if (t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1)
-        t.references.head.fieldNames.head
-      else throw new UnsupportedOperationException(
-        s"GraftCatalog: only PARTITIONED BY (col, ...) identity partitioning is " +
-          s"supported (the table format's hive layout), got transform '$t'")
-    }.toSeq
+    // PARTITIONED BY (hive layout) and CLUSTER BY (the `clustering`
+    // writer feature + delta.clustering domain) arrive as transforms;
+    // Spark's grammar already forbids declaring both
+    val clusterCols = partitions.collect {
+      case c: org.apache.spark.sql.connector.expressions.ClusterByTransform =>
+        c.columnNames.map { r =>
+          require(r.fieldNames.length == 1,
+            s"GraftCatalog: CLUSTER BY on nested field " +
+              s"'${r.fieldNames.mkString(".")}' — top-level columns only")
+          r.fieldNames.head
+        }.toSeq
+    }.flatten.toSeq
+    val partCols = partitions.filterNot(
+      _.isInstanceOf[org.apache.spark.sql.connector.expressions.ClusterByTransform])
+      .map { t =>
+        if (t.name == "identity" && t.references.length == 1 &&
+            t.references.head.fieldNames.length == 1)
+          t.references.head.fieldNames.head
+        else throw new UnsupportedOperationException(
+          s"GraftCatalog: only PARTITIONED BY (col, ...) identity partitioning and " +
+            s"CLUSTER BY (col, ...) are supported, got transform '$t'")
+      }.toSeq
     val props = properties.asScala.toMap
     props.get(TableCatalog.PROP_PROVIDER).foreach { p =>
       require(p.equalsIgnoreCase("delta") || p.equalsIgnoreCase("parquet"),
@@ -255,10 +269,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val declared = translateColumnMetadata(schema)
       graft.sources.IdentityColumns.validate(declared, partCols,
         "GraftCatalog.createTable")
+      if (clusterCols.nonEmpty)
+        graft.sources.Clustering.validate(declared, partCols, clusterCols,
+          "GraftCatalog.createTable")
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       graft.sources.LakeWriter.writeDelta(empty, target, partitionBy = partCols,
         configuration = configuration)
+      if (clusterCols.nonEmpty)
+        graft.sources.LakeWriter.clusterBy(spark, target, clusterCols)
     }
     loadTable(ident)
   }
@@ -292,6 +311,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"GraftCatalog ALTER DROP COLUMN: top-level only, got " +
             s"${d.fieldNames().mkString(".")}")
         w.dropColumn(spark, dir, d.fieldNames().head)
+      case cb: TableChange.ClusterBy =>
+        // ALTER TABLE t CLUSTER BY (cols) / CLUSTER BY NONE (empty) —
+        // one domain-metadata commit, no rewrite (the next OPTIMIZE
+        // lays files out the new way)
+        w.clusterBy(spark, dir, cb.clusteringColumns().toSeq.map { r =>
+          require(r.fieldNames().length == 1,
+            s"GraftCatalog ALTER CLUSTER BY: nested field " +
+              s"'${r.fieldNames().mkString(".")}' — top-level columns only")
+          r.fieldNames().head
+        })
       case other => throw new UnsupportedOperationException(
         s"GraftCatalog alterTable supports SET/UNSET TBLPROPERTIES, ADD/RENAME/DROP " +
           s"COLUMN; got $other")
@@ -380,9 +409,15 @@ final case class GraftTable(spark: SparkSession, ident: Identifier, path: String
     StructType(raw.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
   }
 
-  override def partitioning(): Array[Transform] =
-    snap.partCols.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.{ClusterByTransform, Expressions}
+    val cluster = graft.sources.Clustering.columnsOf(snap)
+    if (cluster.nonEmpty)
+      // clustered tables are unpartitioned by protocol — surface the
+      // CLUSTER BY declaration where DESCRIBE shows layout
+      Array(ClusterByTransform(cluster.map(c => Expressions.column(c))))
+    else snap.partCols.map(c => Expressions.identity(c)).toArray
+  }
 
   override def properties(): util.Map[String, String] =
     (snap.configuration ++ Map(

@@ -65,4 +65,79 @@ object ZOrderKernel {
         Literal.create(b1, ArrayType(DoubleType, containsNull = false)),
         Literal.create(b2, ArrayType(DoubleType, containsNull = false))),
       propagateNull = false, returnNullable = false))
+
+  // ---- N-dimensional variant (clustered-table OPTIMIZE, 1..4 cols) ----
+
+  /** The value's quantile-bucket rank (null → bucket 0), one dimension
+    * of the interleave below; same insertion-point semantics as
+    * [[morton]].
+    */
+  def rank(x: java.lang.Double, bs: ArrayData): Int =
+    if (x == null) 0 else bucket(bs, x.doubleValue())
+
+  /** A string's FIRST-8-BYTES big-endian value as a double: preserves
+    * lexicographic order on the prefix (unsigned byte compare IS
+    * UTF-8 code-point order), so the numeric quantile machinery ranks
+    * string columns with no separate string kernel or driver-side
+    * sample pass — strings sharing an 8-byte prefix tie into the same
+    * bucket, which a 255-bucket rank cannot distinguish anyway.
+    */
+  def prefixRank(s: org.apache.spark.unsafe.types.UTF8String): Double = {
+    if (s == null) return 0d
+    val b = s.getBytes
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      v = (v << 8) | (if (i < b.length) (b(i) & 0xffL) else 0L)
+      i += 1
+    }
+    // unsigned 64 → order-preserving double: flip the sign bit into a
+    // signed long (order kept), then widen
+    (v ^ Long.MinValue).toDouble
+  }
+
+  /** Bit-interleave of up to four 8-bit ranks (unused dimensions pass
+    * 0 and contribute nothing): rank i's bit j lands at position
+    * j*k + (k-1-i), so every dimension advances the curve at the same
+    * granularity. Long-valued — 4 dims × 8 bits needs 32 unsigned
+    * bits.
+    */
+  def interleave(k: Int, a: Int, b: Int, c: Int, d: Int): Long = {
+    var r = 0L
+    var j = 0
+    while (j < 8) {
+      r |= ((a >> j) & 1L) << (j * k + (k - 1))
+      if (k > 1) r |= ((b >> j) & 1L) << (j * k + (k - 2))
+      if (k > 2) r |= ((c >> j) & 1L) << (j * k + (k - 3))
+      if (k > 3) r |= ((d >> j) & 1L) << (j * k + (k - 4))
+      j += 1
+    }
+    r
+  }
+
+  /** rank(x) with the bound array as a literal, codegen'd. */
+  def rankCol(x: Column, bounds: Array[Double]): Column =
+    GraftColumnBridge.column(StaticInvoke(
+      ZOrderKernel.getClass, IntegerType, "rank",
+      Seq(exprOf(x),
+        Literal.create(bounds, ArrayType(DoubleType, containsNull = false))),
+      propagateNull = false, returnNullable = false))
+
+  /** prefixRank(s), codegen'd (null → 0 = the curve's null side). */
+  def prefixRankCol(s: Column): Column =
+    GraftColumnBridge.column(StaticInvoke(
+      ZOrderKernel.getClass, DoubleType, "prefixRank",
+      Seq(exprOf(s)), propagateNull = false, returnNullable = false))
+
+  /** interleave of 1..4 rank columns, codegen'd. */
+  def interleaveCol(ranks: Seq[Column]): Column = {
+    require(ranks.nonEmpty && ranks.size <= 4,
+      s"interleaveCol takes 1..4 rank columns, got ${ranks.size}")
+    val padded = ranks.map(exprOf) ++
+      Seq.fill(4 - ranks.size)(Literal(0): Expression)
+    GraftColumnBridge.column(StaticInvoke(
+      ZOrderKernel.getClass, org.apache.spark.sql.types.LongType, "interleave",
+      Literal(ranks.size) +: padded,
+      propagateNull = false, returnNullable = false))
+  }
 }

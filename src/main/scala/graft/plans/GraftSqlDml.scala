@@ -704,9 +704,20 @@ case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
                                 where: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
+    val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
+    val cluster = graft.sources.Clustering.columnsOf(snap)
     zorder match {
       case Some((c1, c2)) =>
+        // a clustered table's layout is its CLUSTER BY declaration —
+        // a one-off ZORDER would silently fight it (delta-spark's rule)
+        require(cluster.isEmpty,
+          s"OPTIMIZE ... ZORDER BY on a clustered table (CLUSTER BY " +
+            s"${cluster.mkString(", ")}) — plain OPTIMIZE clusters by the " +
+            "declared columns; ALTER TABLE ... CLUSTER BY to change them")
         LakeWriter.compactDeltaZOrder(spark, path, c1, c2, where = where)
+      case None if cluster.nonEmpty =>
+        // clustered-table OPTIMIZE: re-layout along the declared columns
+        LakeWriter.compactDeltaCluster(spark, path, cluster, where = where)
       case None => LakeWriter.compactDelta(spark, path, where = where)
     }
     Seq.empty

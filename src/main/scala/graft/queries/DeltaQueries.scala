@@ -190,6 +190,20 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // clustered table (liquid clustering's format shape): CLUSTER BY
+    // declared as domain metadata, then plain OPTIMIZE re-layouts
+    // along the 3-column curve (string + money + key — exercises the
+    // prefix-rank string dimension and the k=3 interleave). Layout-only
+    // (dataChange=false): the read must reproduce the rows exactly
+    "delta_cluster" -> ((s, dir) => {
+      val d = freshDir("cl")
+      val src = t(s, dir, "orders").where("o_orderkey % 10 < 7")
+      LakeWriter.writeDelta(src.repartition(4), d)
+      LakeWriter.clusterBy(s, d, Seq("o_orderpriority", "o_totalprice", "o_custkey"))
+      s.sql(s"OPTIMIZE graft_delta.`$d`")
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     // schema evolution: even keys land at v0 with the base schema,
     // odd keys evolve-append a new o_bucket column at v1; the latest
     // read null-fills the old rows
@@ -502,6 +516,11 @@ object DeltaQueries {
     "delta_zorder" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_cluster" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 7
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_evolve" ->

@@ -226,8 +226,15 @@ object LakeWriter {
     * declared.
     */
   private[graft] def protocolWithWriterFeature(snap: DeltaReader.Snapshot,
-                                               feature: String): Option[String] = {
-    if (snap.minWriter == 7 && snap.writerFeatures.contains(feature)) return None
+                                               feature: String): Option[String] =
+    protocolWithWriterFeatures(snap, Set(feature))
+
+  /** Same, adding a SET of writer features at once (a feature and its
+    * prerequisite, e.g. clustering + domainMetadata).
+    */
+  private[graft] def protocolWithWriterFeatures(snap: DeltaReader.Snapshot,
+                                                features: Set[String]): Option[String] = {
+    if (snap.minWriter == 7 && features.subsetOf(snap.writerFeatures.toSet)) return None
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def jarr(xs: Iterable[String]): String =
       xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
@@ -238,7 +245,7 @@ object LakeWriter {
        else Set.empty) ++
       (if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
         Set("columnMapping") else Set.empty)
-    val wf = snap.writerFeatures.toSet ++ legacy + feature
+    val wf = snap.writerFeatures.toSet ++ legacy ++ features
     val rfJson =
       if (snap.minReader >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}"""
       else ""
@@ -948,7 +955,7 @@ object LakeWriter {
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1060,7 +1067,7 @@ object LakeWriter {
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"overwriteWhere: table requires writer version ${snap.minWriter}" +
@@ -1204,7 +1211,7 @@ object LakeWriter {
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"overwriteDelta: table requires writer version ${snap.minWriter}" +
@@ -1464,7 +1471,7 @@ object LakeWriter {
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
         (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1984,6 +1991,7 @@ object LakeWriter {
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", IdentityColumns.Feature) ++
+      Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
@@ -2220,7 +2228,7 @@ object LakeWriter {
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"deleteWhere: table requires writer version ${snap.minWriter}" +
@@ -2477,7 +2485,7 @@ object LakeWriter {
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"deleteWhereDv: table requires writer version ${snap.minWriter}" +
@@ -2605,7 +2613,8 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature)
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhereDv: table requires writer version ${snap.minWriter}" +
@@ -2782,7 +2791,8 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature)
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"applyCdcDv: table requires writer version ${snap.minWriter}" +
@@ -3097,7 +3107,7 @@ object LakeWriter {
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"mergeIntoClauses: table requires writer version ${snap.minWriter}" +
@@ -3440,7 +3450,7 @@ object LakeWriter {
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(snap)
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhere: table requires writer version ${snap.minWriter}" +
@@ -3717,51 +3727,100 @@ object LakeWriter {
     */
   def compactDeltaZOrder(spark: SparkSession, dir: String, c1: String, c2: String,
                          filesPerPartition: Int = 8,
-                         where: Option[String] = None): Unit = {
-    import org.apache.spark.sql.functions.{col, lit, percentile_approx, udf}
-    require(filesPerPartition > 0, s"compactDeltaZOrder: filesPerPartition $filesPerPartition")
+                         where: Option[String] = None): Unit =
+    compactDeltaCluster(spark, dir, Seq(c1, c2), filesPerPartition, where,
+      op = "compactDeltaZOrder")
+
+  /** The multi-dimensional re-layout behind both OPTIMIZE ZORDER BY
+    * (exactly 2 columns, [[compactDeltaZOrder]]) and clustered-table
+    * OPTIMIZE (the 1..4 columns `CLUSTER BY` declared, [[clusterBy]]):
+    * every partition's live rows rewrite into `filesPerPartition`
+    * files range-partitioned and sorted along the interleave of each
+    * column's quantile-bucket rank. One column sorts on its rank
+    * directly (a plain range layout — no interleave to dilute it).
+    *
+    * Column ranking is type-aware and STAYS one approximate pass:
+    * numerics cast to double; date/timestamp columns rank on their
+    * epoch value; string columns rank on their first-8-bytes
+    * big-endian value ([[graft.functions.ZOrderKernel.prefixRank]]) —
+    * order-preserving on the prefix, so the same percentile_approx
+    * machinery covers them with no driver-side sample pass and no
+    * per-row boxing. The per-row curve value is a codegen kernel over
+    * driver-broadcast bound arrays (255 doubles per column — constant
+    * size at any table size); nulls take bucket 0, the curve's NULLS
+    * FIRST side.
+    *
+    * Same gates as [[compactDelta]]: dataChange=false, column mapping
+    * refused (rewritten files would carry logical names), row-tracked
+    * tables rewrite through the preserved id profile, DVs fold through
+    * the applied scan and drop.
+    */
+  def compactDeltaCluster(spark: SparkSession, dir: String, cols: Seq[String],
+                          filesPerPartition: Int = 8,
+                          where: Option[String] = None,
+                          op: String = "compactDeltaCluster"): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, percentile_approx}
+    import org.apache.spark.sql.types._
+    require(filesPerPartition > 0, s"$op: filesPerPartition $filesPerPartition")
+    require(cols.nonEmpty && cols.size <= Clustering.MaxCols,
+      s"$op: takes 1..${Clustering.MaxCols} columns, got ${cols.size}")
     val snap = DeltaReader.snapshot(spark, dir, None)
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-      "compactDeltaZOrder: column-mapped tables not supported (rewritten files would " +
+      s"$op: column-mapped tables not supported (rewritten files would " +
         "carry logical names readers can't resolve)")
     // the same PRESERVED row-tracking profile as compactDelta: ready
-    // tracked tables z-order with every surviving id materialized;
+    // tracked tables re-layout with every surviving id materialized;
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", IdentityColumns.Feature) ++
+      Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && compactUnsafe.isEmpty),
-      s"compactDeltaZOrder: table requires writer version ${snap.minWriter}" +
+      s"$op: table requires writer version ${snap.minWriter}" +
         (if (compactUnsafe.nonEmpty) s" with features ${compactUnsafe.mkString(", ")}" else "") +
         " — refusing to rewrite")
     val matCols = if (rt) RowTracking.materializedCols(snap) else None
-    val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    Seq(c1, c2).foreach { c =>
+    val table = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    cols.foreach { c =>
       require(table.fieldNames.contains(c),
-        s"compactDeltaZOrder: column '$c' not in ${table.fieldNames.mkString(", ")}")
+        s"$op: column '$c' not in ${table.fieldNames.mkString(", ")}")
       require(!snap.partCols.contains(c),
-        s"compactDeltaZOrder: '$c' is a partition column — it already prunes via " +
-          "partitionValues; z-order the within-partition columns instead")
+        s"$op: '$c' is a partition column — it already prunes via " +
+          "partitionValues; lay out the within-partition columns instead")
     }
-    val active = where.map(partitionScope(spark, snap, snap.active, _,
-      "compactDeltaZOrder")).getOrElse(snap.active)
+    // the rankable double for each column (the curve's dimension)
+    def rankDouble(c: String): org.apache.spark.sql.Column = table(c).dataType match {
+      case StringType => graft.functions.ZOrderKernel.prefixRankCol(col(c))
+      case DateType | TimestampNTZType => col(c).cast("timestamp_ltz").cast("double")
+      case TimestampType | _: NumericType => col(c).cast("double")
+      case dt => throw new IllegalArgumentException(
+        s"$op: column '$c' has type ${dt.simpleString} — the curve ranks numeric, " +
+          "string, date and timestamp columns only")
+    }
+    val active = where.map(partitionScope(spark, snap, snap.active, _, op))
+      .getOrElse(snap.active)
     if (active.isEmpty) return
 
-    // quantile bounds: ONE approximate pass over the (scoped) live table
     val all = DeltaReader.scanFiles(spark, dir, snap, active)
-    val qs = (1 until 256).map(_ / 256.0)
-    val bounds = all.select(
-      percentile_approx(col(c1).cast("double"), lit(qs.toArray), lit(10000)),
-      percentile_approx(col(c2).cast("double"), lit(qs.toArray), lit(10000)))
-      .head()
-    val b1 = bounds.getSeq[Double](0).toArray
-    val b2 = bounds.getSeq[Double](1).toArray
-    // the Morton rank is a codegen kernel (nulls take bucket 0 — the
-    // null side of the curve); the rewrite reads every row of every
-    // file, so no boxed UDF on it
+    // the per-row curve value: one column sorts on its rank double
+    // directly (continuous — 255 buckets would only coarsen it);
+    // 2..4 interleave their 8-bit quantile-bucket ranks, from ONE
+    // approximate bounds pass over the (scoped) live table
+    val zOf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Column =
+      if (cols.size == 1) { _ => rankDouble(cols.head) }
+      else {
+        val qs = (1 until 256).map(_ / 256.0)
+        val boundsRow = all.select(cols.map(c =>
+          percentile_approx(rankDouble(c), lit(qs.toArray), lit(10000))): _*).head()
+        val bounds = cols.indices.map(i =>
+          Option(boundsRow.getSeq[Double](i)).map(_.toArray).getOrElse(Array.empty[Double]))
+        _ => graft.functions.ZOrderKernel.interleaveCol(
+          cols.zipWithIndex.map { case (c, i) =>
+            graft.functions.ZOrderKernel.rankCol(rankDouble(c), bounds(i))
+          })
+      }
 
     // per-partition rewrite, unioned into ONE commit: each branch keeps
     // its own range partitioning, and the partitionBy staging routes
@@ -3778,8 +3837,7 @@ object LakeWriter {
         case None => DeltaReader.scanFiles(spark, dir, snap, files)
       }
       scan
-        .withColumn("__z", graft.functions.ZOrderKernel.mortonCol(
-          col(c1).cast("double"), col(c2).cast("double"), b1, b2))
+        .withColumn("__z", zOf(scan))
         .repartitionByRange(filesPerPartition, col("__z"))
         .sortWithinPartitions("__z")
         .drop("__z")
@@ -3791,6 +3849,48 @@ object LakeWriter {
       checkpointInterval = 0, partCols = snap.partCols,
       extraActions = removes, addDataChange = false, operation = "OPTIMIZE",
       rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None,
+      ictConf = snap.configuration)
+  }
+
+  /** `ALTER TABLE t CLUSTER BY (cols...)` / `CLUSTER BY NONE` (empty
+    * `cols`): ONE metadata commit that declares the protocol's
+    * `clustering` writer feature (upgrading to the feature-table form
+    * if needed) and writes the clustering columns into the
+    * `delta.clustering` domain ([[Clustering]]). No data file moves —
+    * re-keying the layout of a 100-TB table is this commit plus
+    * incremental OPTIMIZE, never an atomic rewrite. CLUSTER BY NONE
+    * removes the domain (the declared feature stays, as an already-met
+    * obligation).
+    */
+  def clusterBy(spark: SparkSession, dir: String, cols: Seq[String]): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val table = tableSchema(snap)
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"CLUSTER BY","operationParameters":{"clusteringColumns":${om.writeValueAsString(cols.mkString(","))}},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    if (cols.isEmpty) {
+      // CLUSTER BY NONE: nothing to do unless a declaration exists
+      if (!Clustering.isClustered(snap)) return
+      actions += Clustering.domainAction(Nil)
+    } else {
+      Clustering.validate(table, snap.partCols, cols, "clusterBy")
+      protocolWithWriterFeatures(snap, Clustering.Features).foreach(actions += _)
+      // the domain stores PHYSICAL names (what the files' stats carry)
+      val phys = cols.map { c =>
+        val f = table(c)
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else c
+      }
+      actions += Clustering.domainAction(phys)
+    }
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "_delta_log"), f"${snap.version + 1}%020d.json")
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${snap.version + 1}; re-read and retry CLUSTER BY",
       ictConf = snap.configuration)
   }
 
@@ -3833,7 +3933,7 @@ object LakeWriter {
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
-      RowTracking.safeExtra(cur)
+      Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
       s"restoreDelta: table requires writer version ${cur.minWriter}" +
