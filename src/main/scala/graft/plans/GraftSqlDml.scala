@@ -130,8 +130,9 @@ object GraftSqlDml {
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = {
     val t0 = sqlText.trim.stripSuffix(";").trim
     val t =
-      if (t0.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE|GENERATE|CONVERT)\\b.*") ||
-          t0.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*"))
+      if (t0.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE|GENERATE|CONVERT|REORG)\\b.*") ||
+          t0.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*") ||
+          t0.matches("(?is)^ALTER\\s+TABLE\\s.*DROP\\s+FEATURE\\s.*"))
         normalizeNamedTargets(t0)
       else t0
     val optimizeRe =
@@ -148,7 +149,15 @@ object GraftSqlDml {
       """(?is)^CONVERT\s+TO\s+DELTA\s+parquet\s*\.\s*`([^`]+)`\s*(?:PARTITIONED\s+BY\s*\(([^)]+)\))?$""".r
     val manifestRe =
       """(?is)^GENERATE\s+symlink_format_manifest\s+FOR\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`$""".r
+    val reorgRe =
+      """(?is)^REORG\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?\s+APPLY\s*\(\s*PURGE\s*\)$""".r
+    val dropFeatureRe =
+      """(?is)^ALTER\s+TABLE\s+graft_delta\s*\.\s*`([^`]+)`\s+DROP\s+FEATURE\s+`?(\w+)`?(\s+TRUNCATE\s+HISTORY)?$""".r
     t match {
+      case reorgRe(path, where) =>
+        Some(GraftReorgCommand(path, Option(where).map(_.trim)))
+      case dropFeatureRe(path, feature, trunc) =>
+        Some(GraftDropFeatureCommand(path, feature, trunc != null))
       case optimizeRe(path, where, c1, c2) =>
         Some(GraftOptimizeCommand(path,
           if (c1 == null) None else Some((c1, c2)),
@@ -175,7 +184,8 @@ object GraftSqlDml {
         Some(GraftConvertCommand(path, partPairs))
       case manifestRe(path) =>
         Some(GraftManifestCommand(path))
-      case _ if t.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE)\\s.*graft_delta.*") ||
+      case _ if t.matches("(?is)^(OPTIMIZE|VACUUM|RESTORE|REORG)\\s.*graft_delta.*") ||
+          t.matches("(?is)^ALTER\\s+TABLE\\s.*graft_delta.*DROP\\s+FEATURE\\s.*") ||
           t.matches("(?is)^CREATE\\s+TABLE\\s.*SHALLOW\\s+CLONE\\s.*graft_delta.*") ||
           t.matches("(?is)^(CONVERT\\s+TO\\s+DELTA|GENERATE)\\s.*(graft_delta|parquet\\s*\\.).*") =>
         throw new UnsupportedOperationException(
@@ -186,7 +196,10 @@ object GraftSqlDml {
             "AS OF <v>; CREATE TABLE graft_delta.`dst` SHALLOW CLONE " +
             "graft_delta.`src` [VERSION AS OF <v>]; CONVERT TO DELTA " +
             "parquet.`path` [PARTITIONED BY (name type, ...)]; GENERATE " +
-            s"symlink_format_manifest FOR TABLE graft_delta.`path`. Statement: $t")
+            "symlink_format_manifest FOR TABLE graft_delta.`path`; REORG TABLE " +
+            "graft_delta.`path` [WHERE partPred] APPLY (PURGE); ALTER TABLE " +
+            "graft_delta.`path` DROP FEATURE <name> [TRUNCATE HISTORY]. " +
+            s"Statement: $t")
       case _ => None
     }
   }
@@ -720,6 +733,32 @@ case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
         LakeWriter.compactDeltaCluster(spark, path, cluster, where = where)
       case None => LakeWriter.compactDelta(spark, path, where = where)
     }
+    Seq.empty
+  }
+}
+
+/** `REORG TABLE graft_delta.`path` [WHERE partPred] APPLY (PURGE)` —
+  * materialize deletion-vector debt by rewriting exactly the DV-
+  * carrying files (cost ∝ DV debt); the prerequisite for DROP FEATURE
+  * deletionVectors.
+  */
+case class GraftReorgCommand(path: String, where: Option[String])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.reorgPurge(spark, path, where)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE graft_delta.`path` DROP FEATURE f [TRUNCATE HISTORY]`
+  * — protocol downgrade once the feature leaves no trace
+  * ([[LakeWriter.dropFeature]]'s per-feature checks).
+  */
+case class GraftDropFeatureCommand(path: String, feature: String,
+                                   truncateHistory: Boolean)
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    LakeWriter.dropFeature(spark, path, feature, truncateHistory)
     Seq.empty
   }
 }

@@ -190,6 +190,23 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // REORG APPLY (PURGE) + DROP FEATURE: a DV-delete campaign, its
+    // debt materialized (only DV'd files rewrite), the protocol
+    // DOWNGRADED past the feature (checkpointed history), then a
+    // copy-on-write delete on the downgraded table — the read must
+    // equal both deletes applied
+    "delta_reorg" -> ((s, dir) => {
+      val d = freshDir("ro")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d,
+        configuration = Map("delta.enableDeletionVectors" -> "true"))
+      s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 7 = 0") // routes to DVs
+      s.sql(s"REORG TABLE graft_delta.`$d` APPLY (PURGE)")
+      s.sql(s"ALTER TABLE graft_delta.`$d` DROP FEATURE deletionVectors TRUNCATE HISTORY")
+      s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 11 = 0") // copy-on-write now
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     // clustered table (liquid clustering's format shape): CLUSTER BY
     // declared as domain metadata, then plain OPTIMIZE re-layouts
     // along the 3-column curve (string + money + key — exercises the
@@ -516,6 +533,12 @@ object DeltaQueries {
     "delta_zorder" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_reorg" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6
+         | AND o_orderkey % 7 <> 0 AND o_orderkey % 11 <> 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_cluster" ->

@@ -946,14 +946,19 @@ object DeltaReader {
           }
           if (n.has("protocol")) {
             val pr = n.get("protocol")
-            minReader = math.max(minReader, pr.get("minReaderVersion").asLong())
-            minWriter = math.max(minWriter, pr.get("minWriterVersion").asLong())
+            // the LATEST protocol action wins ENTIRELY (PROTOCOL.md) —
+            // replacement, not upgrade-merge, so DROP FEATURE's
+            // downgrade restatement takes effect; an action below the
+            // feature-table thresholds carries no feature lists, which
+            // MEANS none
+            minReader = pr.get("minReaderVersion").asLong()
+            minWriter = pr.get("minWriterVersion").asLong()
             readerFeatures = Option(pr.get("readerFeatures")).filterNot(_.isNull).map { fs0 =>
               (0 until fs0.size()).map(fs0.get(_).asText()).toSet
-            }.getOrElse(readerFeatures)
+            }.getOrElse(Set.empty)
             writerFeatures = Option(pr.get("writerFeatures")).filterNot(_.isNull).map { fs0 =>
               (0 until fs0.size()).map(fs0.get(_).asText()).toSet
-            }.getOrElse(writerFeatures)
+            }.getOrElse(Set.empty)
           }
           if (n.has("txn")) {
             val tx = n.get("txn")

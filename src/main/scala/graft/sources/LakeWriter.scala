@@ -1961,7 +1961,9 @@ object LakeWriter {
 
   def compactDelta(spark: SparkSession, dir: String, minFiles: Int = 2,
                    targetFileBytes: Long = 1L << 30,
-                   where: Option[String] = None): Unit = {
+                   where: Option[String] = None,
+                   dvOnly: Boolean = false,
+                   operation: String = "OPTIMIZE"): Unit = {
     require(targetFileBytes > 0, s"compactDelta: targetFileBytes $targetFileBytes")
     val snap = DeltaReader.snapshot(spark, dir, None)
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
@@ -2004,10 +2006,16 @@ object LakeWriter {
     val fs = root.getFileSystem(hconf)
     val scopedActive = where.map(partitionScope(spark, snap, snap.active, _,
       "compactDelta")).getOrElse(snap.active)
-    val groups = scopedActive.groupBy(_.partitionValues).filter(_._2.size >= minFiles)
+    // REORG ... APPLY (PURGE): rewrite ONLY the files carrying
+    // deletion vectors (materialize their deletes into clean files) —
+    // cost ∝ DV debt, not table size; the orphaned sidecars fall to
+    // VACUUM once their last referencing version ages out
+    val candidates = if (dvOnly) scopedActive.filter(_.dv.nonEmpty) else scopedActive
+    val groups = candidates.groupBy(_.partitionValues).filter(_._2.size >= minFiles)
     if (groups.isEmpty) return
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val stage = new org.apache.hadoop.fs.Path(root, s"_compact_${snap.version + 1}")
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s"_compact_${snap.version + 1}_${java.util.UUID.randomUUID().toString.take(8)}")
     val matCols = if (rt) RowTracking.materializedCols(snap) else None
     matCols.foreach { case (idc, vc) =>
       val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
@@ -2022,7 +2030,7 @@ object LakeWriter {
     // row), watermark advanced in the same commit
     var nextRowId = if (rt) RowTracking.watermark(snap).get + 1 else 0L
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
-    actions += s"""{"commitInfo":{"timestamp":0,"operation":"OPTIMIZE","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(operation)},"operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
     groups.toSeq.sortBy(_._2.head.path).zipWithIndex.foreach { case ((pv, files), i) =>
       // one coalesced rewrite per oversized partition; the data read
       // is the DV-applied distributed scan of exactly that partition's
@@ -2120,6 +2128,109 @@ object LakeWriter {
       actions.mkString("\n").getBytes("UTF-8"),
       s"a concurrent writer won version ${snap.version + 1}; re-read the table and retry the compaction",
       ictConf = snap.configuration)
+  }
+
+  /** `REORG TABLE ... APPLY (PURGE)` — materialize deletion-vector
+    * debt: rewrite ONLY the live files that carry a DV (their
+    * DV-applied survivors become clean files, dataChange=false), so a
+    * later [[dropFeature]]("deletionVectors") finds no trace. Cost is
+    * ∝ DV'd files, never table size — the purge a 100-TB table runs
+    * after a merge-on-read campaign touches exactly the files that
+    * campaign marked. `where` scopes to partitions like OPTIMIZE.
+    * No-op (no commit) when nothing carries a DV.
+    */
+  def reorgPurge(spark: SparkSession, dir: String,
+                 where: Option[String] = None): Unit =
+    compactDelta(spark, dir, minFiles = 1, where = where, dvOnly = true,
+      operation = "REORG")
+
+  /** `ALTER TABLE ... DROP FEATURE f [TRUNCATE HISTORY]` — the
+    * protocol DOWNGRADE path (the one direction [[upgradeProtocol]]
+    * refuses): restate the protocol WITHOUT `f` once the table carries
+    * no trace of it. Supported:
+    *
+    *  - `deletionVectors` (reader+writer): refuses while any live file
+    *    carries a DV ([[reorgPurge]] first) or the enablement config is
+    *    still set — and, because HISTORICAL versions still hold DV
+    *    actions a downgraded foreign reader would misread, requires
+    *    `truncateHistory = true`, which authors a CLASSIC CHECKPOINT at
+    *    the drop commit so replay from it never crosses a DV action
+    *    (graft's stand-in for the protocol's checkpoint-protection
+    *    dance; time travel below the drop stays readable to graft,
+    *    which always understands DVs).
+    *  - `clustering` (writer-only): drops the `delta.clustering`
+    *    domain in the same commit when present; no reader impact, no
+    *    history truncation needed.
+    *
+    * Anything else refuses loudly — dropping a feature whose trace
+    * this writer cannot verify absent (rowTracking's materialized ids,
+    * identity watermarks, CM physical names) would corrupt the table's
+    * contract.
+    */
+  def dropFeature(spark: SparkSession, dir: String, feature: String,
+                  truncateHistory: Boolean = false): Unit = {
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    require(snap.minWriter == 7,
+      s"dropFeature: table's protocol (${snap.minReader}, ${snap.minWriter}) is the " +
+        "legacy form — it declares no feature list to drop from")
+    require(snap.writerFeatures.contains(feature) ||
+      snap.readerFeatures.contains(feature),
+      s"dropFeature: table does not declare '$feature' (writer: " +
+        s"${snap.writerFeatures.mkString(", ")}; reader: " +
+        s"${snap.readerFeatures.mkString(", ")})")
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"DROP FEATURE","operationParameters":{"feature":${om.writeValueAsString(feature)}},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    var restateConf: Option[Map[String, String]] = None
+    feature match {
+      case "deletionVectors" =>
+        val dvd = snap.active.count(_.dv.nonEmpty)
+        require(dvd == 0,
+          s"dropFeature(deletionVectors): $dvd live file(s) still carry deletion " +
+            "vectors — REORG TABLE ... APPLY (PURGE) first")
+        require(truncateHistory,
+          "dropFeature(deletionVectors): historical versions hold DV actions a " +
+            "downgraded reader would misread — pass truncateHistory=true (SQL: " +
+            "DROP FEATURE deletionVectors TRUNCATE HISTORY) to checkpoint past them")
+        if (snap.configuration.get("delta.enableDeletionVectors").contains("true"))
+          restateConf = Some(snap.configuration - "delta.enableDeletionVectors")
+      case "clustering" =>
+        if (Clustering.isClustered(snap)) actions += Clustering.domainAction(Nil)
+      case other => throw new IllegalArgumentException(
+        s"dropFeature: '$other' is not droppable by this writer — only " +
+          "deletionVectors and clustering have verifiable no-trace checks")
+    }
+    val rf = snap.readerFeatures.filterNot(_ == feature).distinct.sorted
+    val wf = snap.writerFeatures.filterNot(_ == feature).distinct.sorted
+    // reader version falls out of the remaining reader features
+    val minReader =
+      if (rf.nonEmpty) 3
+      else if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none") 2
+      else 1
+    val rfJson = if (minReader >= 3) s""","readerFeatures":${jarr(rf)}""" else ""
+    actions += s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}"""
+    restateConf.foreach { conf =>
+      val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
+        s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+      }.mkString("{", ",", "}")
+      val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+      actions += s"""{"metaData":{"id":"${snap.metaId.getOrElse(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(snap.schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+    }
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val commit = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(root, "_delta_log"), f"${snap.version + 1}%020d.json")
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version ${snap.version + 1}; re-read and retry DROP FEATURE",
+      ictConf = snap.configuration)
+    // the truncate-history stand-in: a full checkpoint AT the drop
+    // version — replay from it never crosses the dropped feature's
+    // historical actions
+    if (truncateHistory) checkpointDelta(spark, dir, snap.version + 1)
   }
 
   /** DELETE FROM the Delta table WHERE `predicate` (a SQL boolean
