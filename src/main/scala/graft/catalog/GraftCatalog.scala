@@ -311,6 +311,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"GraftCatalog ALTER DROP COLUMN: top-level only, got " +
             s"${d.fieldNames().mkString(".")}")
         w.dropColumn(spark, dir, d.fieldNames().head)
+      case ut: TableChange.UpdateColumnType =>
+        require(ut.fieldNames().length == 1,
+          s"GraftCatalog ALTER COLUMN TYPE: top-level only, got " +
+            s"${ut.fieldNames().mkString(".")}")
+        w.widenColumnType(spark, dir, ut.fieldNames().head, ut.newDataType())
       case cb: TableChange.ClusterBy =>
         // ALTER TABLE t CLUSTER BY (cols) / CLUSTER BY NONE (empty) —
         // one domain-metadata commit, no rewrite (the next OPTIMIZE

@@ -356,12 +356,25 @@ object GraftSqlDml {
         s"graft_delta ALTER TABLE DROP COLUMN: '${c.name.mkString(".")}' — only " +
           "top-level columns drop"))
       GraftAlterDropColumnsCommand(path, cols.map(_.name.head))
+    case ac @ AlterColumns(GraftAlterTarget(path), specs)
+        if specs.forall(sp => sp.newDataType.nonEmpty) =>
+      // ALTER COLUMN c TYPE <wider> — the typeWidening feature
+      specs.foreach { sp =>
+        require(sp.column.name.length == 1 && sp.newNullability.isEmpty &&
+            sp.newComment.isEmpty && sp.newPosition.isEmpty &&
+            sp.newDefaultExpression.isEmpty,
+          s"graft_delta ALTER COLUMN ... TYPE changes the type only, got " +
+            s"${ac.simpleString(5)}")
+      }
+      GraftAlterColumnTypeCommand(path, specs.map { sp =>
+        sp.column.name.head -> sp.newDataType.get
+      })
     case ac @ AlterColumns(GraftAlterTarget(path), specs) =>
       specs.foreach { sp =>
         require(sp.column.name.length == 1 && sp.newDataType.isEmpty &&
             sp.newNullability.isEmpty && sp.newComment.isEmpty && sp.newPosition.isEmpty,
-          s"graft_delta ALTER COLUMN supports SET DEFAULT / DROP DEFAULT on " +
-            s"top-level columns only, got ${ac.simpleString(5)}")
+          s"graft_delta ALTER COLUMN supports TYPE <wider> or SET DEFAULT / DROP " +
+            s"DEFAULT on top-level columns only, got ${ac.simpleString(5)}")
       }
       GraftAlterColumnDefaultCommand(path, specs.map { sp =>
         sp.column.name.head -> sp.newDefaultExpression.map(_.originalSQL)
@@ -804,6 +817,19 @@ case class GraftVacuumCommand(path: String, retain: Long,
       }
     val deleted = LakeWriter.vacuumDelta(spark, path, horizon, dryRun = dryRun)
     if (dryRun) deleted.sorted.map(Row(_)) else Seq.empty
+  }
+}
+
+/** `ALTER TABLE ... ALTER COLUMN c TYPE <wider>` — routes to
+  * [[LakeWriter.widenColumnType]] (the typeWidening reader+writer
+  * feature; one metadata commit, zero rewritten bytes).
+  */
+case class GraftAlterColumnTypeCommand(path: String,
+                                       types: Seq[(String, org.apache.spark.sql.types.DataType)])
+    extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    types.foreach { case (c, t) => LakeWriter.widenColumnType(spark, path, c, t) }
+    Seq.empty
   }
 }
 

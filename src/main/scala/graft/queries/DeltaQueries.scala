@@ -190,6 +190,26 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // TYPE WIDENING: the table starts with an INT key column (narrow
+    // parquet files), widens to BIGINT via SQL (one metadata commit),
+    // then appends native-BIGINT rows — the aggregate reads int and
+    // long files through ONE declared schema, up-cast by the reader
+    "delta_widen" -> ((s, dir) => {
+      val d = freshDir("wd")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 5")
+          .withColumn("o_custkey", col("o_custkey").cast("int")).repartition(3), d)
+      s.sql(s"ALTER TABLE graft_delta.`$d` ALTER COLUMN o_custkey TYPE BIGINT")
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 IN (5, 6)").repartition(2), d)
+      DeltaReader.read(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_custkey")).cast("long").as("cust_sum"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // REORG APPLY (PURGE) + DROP FEATURE: a DV-delete campaign, its
     // debt materialized (only DV'd files rewrite), the protocol
     // DOWNGRADED past the feature (checkpointed history), then a
@@ -533,6 +553,13 @@ object DeltaQueries {
     "delta_zorder" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_widen" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         |FROM orders WHERE o_orderkey % 10 < 7
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_reorg" ->

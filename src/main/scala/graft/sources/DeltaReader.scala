@@ -987,10 +987,11 @@ object DeltaReader {
         s"Delta protocol minReaderVersion 3 with no readerFeatures in $logPath — " +
           "malformed table, refusing to guess its reader requirements")
       val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors",
-        "v2Checkpoints")
+        "v2Checkpoints", "typeWidening")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
-          "(columnMapping and deletionVectors are implemented) — refusing to misread the table")
+          "(columnMapping, deletionVectors, v2Checkpoints and typeWidening are " +
+          "implemented) — refusing to misread the table")
     }
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none" || cmMode == "name",

@@ -342,6 +342,90 @@ object LakeWriter {
       "ADD COLUMNS")
   }
 
+  /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the protocol's
+    * `typeWidening` reader+writer feature: ONE metadata commit changes
+    * the column's declared type along the spec's widening lattice
+    * (byte→short→int→long, any of those →double or →decimal with
+    * enough integral digits, float→double, date→timestamp_ntz,
+    * decimal precision/scale growth that never loses digits). Zero
+    * bytes rewrite at ANY table size: existing files keep their narrow
+    * parquet type and every reader up-casts through the declared
+    * schema (Spark 4's parquet readers do this natively in both the
+    * vectorized and parquet-mr paths — verified for every lattice
+    * edge in DeltaTypeWideningSpec); the field's `delta.typeChanges`
+    * metadata records each hop (`fromType`/`toType`, the protocol
+    * shape), so other engines know narrow-typed files are legitimate.
+    *
+    * Refusals: narrowing or cross-family changes (the lattice is the
+    * whole contract), partition columns (partitionValues parse by the
+    * declared type — a silent re-type would re-route directories),
+    * identity columns (the protocol pins them to BIGINT).
+    */
+  def widenColumnType(spark: SparkSession, dir: String, colName: String,
+                      to: org.apache.spark.sql.types.DataType): Unit = {
+    import org.apache.spark.sql.types._
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val table = tableSchema(snap)
+    val f = table.fields.find(_.name == colName).getOrElse(
+      throw new IllegalArgumentException(
+        s"widenColumnType: column '$colName' not in (${table.fieldNames.mkString(", ")})"))
+    require(!snap.partCols.contains(colName),
+      s"widenColumnType: '$colName' is a partition column — partitionValues parse " +
+        "by the declared type; refusing a silent directory re-route")
+    require(!f.metadata.contains(IdentityColumns.StartKey),
+      s"widenColumnType: '$colName' is an identity column — the protocol pins " +
+        "identity columns to BIGINT")
+    def widens(from: DataType, t: DataType): Boolean = (from, t) match {
+      case (a, b) if a == b => false
+      case (ByteType, ShortType | IntegerType | LongType | DoubleType) => true
+      case (ShortType, IntegerType | LongType | DoubleType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (DateType, TimestampNTZType) => true
+      case (ByteType | ShortType | IntegerType, d: DecimalType) =>
+        d.precision - d.scale >= 10
+      case (LongType, d: DecimalType) => d.precision - d.scale >= 20
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+      case _ => false
+    }
+    require(widens(f.dataType, to),
+      s"widenColumnType: ${f.dataType.simpleString} → ${to.simpleString} is not a " +
+        "widening the protocol allows (byte→short→int→long, integrals→double/" +
+        "decimal, float→double, date→timestamp_ntz, decimal growth)")
+    def protoName(dt: DataType): String = dt.json.stripPrefix("\"").stripSuffix("\"")
+    // append this hop to the field's recorded type-change history
+    val prior =
+      if (f.metadata.contains("delta.typeChanges"))
+        f.metadata.getMetadataArray("delta.typeChanges").toSeq
+      else Nil
+    val hop = new MetadataBuilder()
+      .putString("fromType", protoName(f.dataType))
+      .putString("toType", protoName(to)).build()
+    val newField = f.copy(dataType = to,
+      metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putMetadataArray("delta.typeChanges", (prior :+ hop).toArray).build())
+    val newSchema = StructType(table.fields.map(x =>
+      if (x.name == colName) newField else x))
+    // reader+writer feature: minReader 3 / minWriter 7, existing
+    // features and legacy obligations preserved
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val conf = snap.configuration
+    val legacyR = if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      Set("columnMapping") else Set.empty[String]
+    val legacyW = Set("appendOnly", "invariants") ++ legacyR ++
+      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
+      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty)
+    val proto = s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${
+      jarr(snap.readerFeatures.toSet ++ legacyR + "typeWidening")},"writerFeatures":${
+      jarr(snap.writerFeatures.toSet ++ legacyW + "typeWidening")}}}"""
+    commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
+      "ALTER COLUMN TYPE", protocolOverride = Some(proto))
+  }
+
   /** ALTER TABLE RENAME COLUMN — column-mapped (name mode) tables
     * only, where a rename is what the mode EXISTS for: the parquet
     * files carry stable physical names, so the logical rename is one
@@ -954,7 +1038,7 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1066,7 +1150,7 @@ object LakeWriter {
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1210,7 +1294,7 @@ object LakeWriter {
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1470,7 +1554,7 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1992,7 +2076,7 @@ object LakeWriter {
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -2338,7 +2422,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2595,7 +2679,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2724,7 +2808,7 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2902,7 +2986,7 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3217,7 +3301,7 @@ object LakeWriter {
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3560,7 +3644,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3884,7 +3968,7 @@ object LakeWriter {
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -4043,7 +4127,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),

@@ -12,13 +12,18 @@ import org.apache.spark.sql.functions._
 class GraftCatalogSpec extends SparkSpec {
   import spark.implicits._
 
-  private lazy val root: String = {
-    val r = java.nio.file.Files.createTempDirectory("graft_catalog_")
-      .toAbsolutePath.toString
-    spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.graft.root", r)
-    r
-  }
+  // the catalog instance pins its root at initialize (once per JVM) —
+  // reuse an already-registered root; a spec that re-set the conf
+  // AFTER another suite instantiated the catalog would resolve names
+  // through the conf while the catalog reads its pinned root
+  private lazy val root: String =
+    spark.conf.getOption("spark.sql.catalog.graft.root").getOrElse {
+      val r = java.nio.file.Files.createTempDirectory("graft_catalog_")
+        .toAbsolutePath.toString
+      spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      r
+    }
 
   private def ensureDb(db: String): Unit = {
     root // force catalog registration
