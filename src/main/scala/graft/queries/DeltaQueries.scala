@@ -190,6 +190,28 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // VARIANT column: semi-structured JSON built from orders rows,
+    // stored as the protocol's variantType, mutated, then extracted
+    // back to typed values — the aggregate must equal the raw columns
+    "delta_variant" -> ((s, dir) => {
+      val d = freshDir("var")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 5")
+          .selectExpr("o_orderkey", "o_orderstatus",
+            "parse_json(concat('{\"price\":', " +
+              "cast(cast(o_totalprice as decimal(18,2)) as string), " +
+              "',\"cust\":', o_custkey, '}')) as v")
+          .repartition(3), d)
+      s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 7 = 0")
+      DeltaReader.read(s, d)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("variant_get(v, '$.cust', 'long')")).as("cust_sum"),
+          sum(expr("variant_get(v, '$.price', 'decimal(18,2)')"))
+            .cast("decimal(18,2)").as("total"))
+        .orderBy("o_orderstatus")
+    }),
+
     // TYPE WIDENING: the table starts with an INT key column (narrow
     // parquet files), widens to BIGINT via SQL (one metadata commit),
     // then appends native-BIGINT rows — the aggregate reads int and
@@ -553,6 +575,13 @@ object DeltaQueries {
     "delta_zorder" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_variant" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(o_custkey) AS BIGINT) AS cust_sum,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+         |FROM orders WHERE o_orderkey % 10 < 5 AND o_orderkey % 7 <> 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_widen" ->

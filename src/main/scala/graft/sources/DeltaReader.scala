@@ -987,7 +987,7 @@ object DeltaReader {
         s"Delta protocol minReaderVersion 3 with no readerFeatures in $logPath — " +
           "malformed table, refusing to guess its reader requirements")
       val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors",
-        "v2Checkpoints", "typeWidening")
+        "v2Checkpoints", "typeWidening", "variantType")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
           "(columnMapping, deletionVectors, v2Checkpoints and typeWidening are " +

@@ -298,6 +298,20 @@ object LakeWriter {
       else None)
   }
 
+  /** VARIANT anywhere in a type tree — the shape that requires the
+    * protocol's `variantType` reader+writer feature.
+    */
+  private[graft] def hasVariant(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: VariantType => true
+      case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+      case a: ArrayType => hasVariant(a.elementType)
+      case m: MapType => hasVariant(m.keyType) || hasVariant(m.valueType)
+      case _ => false
+    }
+  }
+
   private def tableSchema(snap: DeltaReader.Snapshot): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -338,8 +352,36 @@ object LakeWriter {
       if (cm == "none") snap.configuration
       else snap.configuration + ("delta.columnMapping.maxColumnId" ->
         (maxId + cols.size).toString)
+    // an added VARIANT column changes what READERS must understand —
+    // the upgrade rides the same commit as the schema change
+    val protoOverride =
+      if (!newFields.exists(f => hasVariant(f.dataType)) ||
+          snap.readerFeatures.contains("variantType")) None
+      else Some(protocolWithReaderWriterFeature(snap, "variantType"))
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, newConf,
-      "ADD COLUMNS")
+      "ADD COLUMNS", protocolOverride = protoOverride)
+  }
+
+  /** Protocol restated in the (3, 7) feature form with ONE
+    * reader+writer feature added, legacy obligations made explicit —
+    * the upgrade a schema change that affects READERS rides in its own
+    * commit (variant columns, type widening).
+    */
+  private def protocolWithReaderWriterFeature(snap: DeltaReader.Snapshot,
+                                              feature: String): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def jarr(xs: Iterable[String]): String =
+      xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+    val conf = snap.configuration
+    val legacyR = if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+      Set("columnMapping") else Set.empty[String]
+    val legacyW = Set("appendOnly", "invariants") ++ legacyR ++
+      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
+      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty)
+    s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${
+      jarr(snap.readerFeatures.toSet ++ legacyR + feature)},"writerFeatures":${
+      jarr(snap.writerFeatures.toSet ++ legacyW + feature)}}}"""
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the protocol's
@@ -409,21 +451,9 @@ object LakeWriter {
       if (x.name == colName) newField else x))
     // reader+writer feature: minReader 3 / minWriter 7, existing
     // features and legacy obligations preserved
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    def jarr(xs: Iterable[String]): String =
-      xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
-    val conf = snap.configuration
-    val legacyR = if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
-      Set("columnMapping") else Set.empty[String]
-    val legacyW = Set("appendOnly", "invariants") ++ legacyR ++
-      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
-      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
-       else Set.empty)
-    val proto = s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${
-      jarr(snap.readerFeatures.toSet ++ legacyR + "typeWidening")},"writerFeatures":${
-      jarr(snap.writerFeatures.toSet ++ legacyW + "typeWidening")}}}"""
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
-      "ALTER COLUMN TYPE", protocolOverride = Some(proto))
+      "ALTER COLUMN TYPE",
+      protocolOverride = Some(protocolWithReaderWriterFeature(snap, "typeWidening")))
   }
 
   /** ALTER TABLE RENAME COLUMN — column-mapped (name mode) tables
@@ -1038,7 +1068,7 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1108,9 +1138,16 @@ object LakeWriter {
             aligned.col(c).as(phys(c))).toIndexedSeq: _*),
             snap.partCols.map(phys))
         }
+      // an evolution that INTRODUCES variant upgrades the protocol in
+      // the same commit (readers must understand the new column)
+      val protoLine =
+        if (merged.fields.exists(f => hasVariant(f.dataType)) &&
+            !snap.readerFeatures.contains("variantType"))
+          protocolWithReaderWriterFeature(snap, "variantType")
+        else protocolJson(snap)
       commitDelta(staged, dir, snap.version + 1, includeMeta = true,
         checkpointInterval, partCols = stagePartCols, txn = txn,
-        metaOverride = Some((protocolJson(snap), metaLine)),
+        metaOverride = Some((protoLine, metaLine)),
         operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap),
         ictConf = snap.configuration,
         identity = IdentityColumns.advanceOf(merged,
@@ -1150,7 +1187,7 @@ object LakeWriter {
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1294,7 +1331,7 @@ object LakeWriter {
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1554,7 +1591,7 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1770,12 +1807,19 @@ object LakeWriter {
           (if (df.schema.fields.exists(_.metadata.contains("delta.generationExpression")))
             Seq("generatedColumns") else Nil) ++
           (if (df.schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT")))
-            Seq("allowColumnDefaults") else Nil)
+            Seq("allowColumnDefaults") else Nil) ++
+          // VARIANT anywhere in the schema is a READER-visible shape:
+          // the protocol's variantType feature, minReader 3 — a reader
+          // that doesn't know variant would misread the binary pair
+          (if (hasVariant(df.schema)) Seq("variantType") else Nil)
         if (v7Features.nonEmpty) {
           val wf = (Seq("appendOnly", "invariants") ++ v7Features ++
             (if (cdfCreate) Seq("changeDataFeed") else Nil)).sorted
             .map(om.writeValueAsString).mkString("[", ",", "]")
-          actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
+          if (hasVariant(df.schema))
+            actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""
+          else
+            actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
         } else
           actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
         actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(
@@ -2076,7 +2120,7 @@ object LakeWriter {
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -2422,7 +2466,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2679,7 +2723,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2808,7 +2852,7 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -2986,7 +3030,7 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3301,7 +3345,7 @@ object LakeWriter {
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3644,7 +3688,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3968,7 +4012,7 @@ object LakeWriter {
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -4127,7 +4171,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
