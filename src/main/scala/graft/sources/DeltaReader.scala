@@ -475,13 +475,25 @@ object DeltaReader {
   private def readCdcFiles(s: SparkSession, dir: String, snap: Snapshot,
                            files: Seq[AddFile], withPath: Boolean = false): DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped = cmMode != "none"
     def physName(f: org.apache.spark.sql.types.StructField): String =
       if (!mapped) f.name
       else f.metadata.getString("delta.columnMapping.physicalName")
+    // id mode: change-data files resolve by parquet field id like data
+    // files ([[scanFiles]]); _change_type carries no id and matches by
+    // its (protocol-fixed) name
+    def withFieldId(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField =
+      if (cmMode != "id") f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata)
+        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+        .build())
+    if (cmMode == "id") s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partCols.contains(f.name))
-        .map(f => f.copy(name = physName(f))) :+
+        .map(f => withFieldId(f.copy(name = physName(f)))) :+
         org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
     val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
       .map(f => physName(f) -> f.name) :+ ("_change_type" -> "_change_type")
@@ -994,9 +1006,9 @@ object DeltaReader {
           "implemented) — refusing to misread the table")
     }
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cmMode == "none" || cmMode == "name",
-      s"delta.columnMapping.mode '$cmMode' not supported (none/name only; id mode " +
-        "needs parquet field-id resolution) — refusing to misread the table")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"delta.columnMapping.mode '$cmMode' not supported (none/name/id) — " +
+        "refusing to misread the table")
     // Last-writer-wins resolution, exploiting that the commit suffix is
     // SMALL (bounded by checkpointInterval) while the checkpoint may be
     // huge: a checkpoint add survives iff NO later commit touched its
@@ -1472,7 +1484,7 @@ object DeltaReader {
     // partition column are accepted, but matching is against the log's
     // physical keys, so remap logical → physical here
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none"
     val physByLogical = schema.fields.filter(f => snap.partCols.contains(f.name))
       .map(f => f.name -> (if (!mapped) f.name
         else f.metadata.getString("delta.columnMapping.physicalName"))).toMap
@@ -1512,17 +1524,36 @@ object DeltaReader {
                                extraPhys: Seq[org.apache.spark.sql.types.StructField] = Nil)
       : DataFrame = {
     val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
-    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val mapped = cmMode != "none"
     def physName(f: org.apache.spark.sql.types.StructField): String =
       if (!mapped) f.name
       else {
         require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"column mapping is 'name' but field '${f.name}' carries no " +
+          s"column mapping is '$cmMode' but field '${f.name}' carries no " +
             "delta.columnMapping.physicalName metadata — malformed schemaString")
         f.metadata.getString("delta.columnMapping.physicalName")
       }
+    // id mode: the parquet FIELD IDS are authoritative, not the names
+    // the files happen to carry — attach the protocol's column id as
+    // parquet.field.id so Spark's readers resolve by id (the physical
+    // name stays as the projection handle on our side)
+    def withFieldId(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.types.StructField =
+      if (cmMode != "id") f
+      else {
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"column mapping is 'id' but field '${f.name}' carries no " +
+            "delta.columnMapping.id metadata — malformed schemaString")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+      }
+    if (cmMode == "id") s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
     val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name))
-      .map(f => f.copy(name = physName(f))) ++ extraPhys.map(_.copy(nullable = true)))
+      .map(f => withFieldId(f.copy(name = physName(f)))) ++
+      extraPhys.map(_.copy(nullable = true)))
     val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
       .map(f => physName(f) -> f.name)
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))

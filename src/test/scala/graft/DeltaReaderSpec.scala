@@ -271,28 +271,64 @@ class DeltaReaderSpec extends SparkSpec {
     assert(collected(df) == Set((1L, "a", "web"), (2L, "b", "web")))
   }
 
-  test("column mapping id mode and non-columnMapping v3 features stay refused") {
+  test("column mapping ID mode resolves by parquet field id, not by name") {
+    import org.apache.spark.sql.types._
     val (dir, log) = mkTable()
-    val f1 = part(dir, "part-0001.parquet", Seq((1L, "a")))
+    // the parquet file carries DECOY column names — only the field ids
+    // line up with the log's columnMapping ids, so a name-resolving
+    // reader would null-fill and a field-id reader gets the values
+    val fileSchema = StructType(Seq(
+      StructField("decoy_a", LongType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()),
+      StructField("decoy_b", StringType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 2L).build())))
+    val stage = new java.io.File(dir, "_stage_idmode")
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(7L, "x"),
+        org.apache.spark.sql.Row(8L, "y")), 1), fileSchema)
+      .coalesce(1).write.parquet(stage.getPath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf.toPath,
+      new java.io.File(dir, "part-idmode.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    def fld(n: String, t: String, phys: String, id: Long) =
+      StructField(n, DataType.fromDDL(t).asInstanceOf[DataType], nullable = true,
+        new MetadataBuilder().putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", "long", "col-phys-a", 1), fld("v", "string", "col-phys-b", 2)))
     val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
     commit(log, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
-      s"""{"metaData":{"id":"cm2","format":{"provider":"parquet","options":{}},"schemaString":${
-        om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id"}}}""",
-      s"""{"add":{"path":"$f1","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
-    val e1 = intercept[IllegalArgumentException] {
-      DeltaReader.read(spark, dir.getPath)
+      s"""{"metaData":{"id":"cmid","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+      """{"add":{"path":"part-idmode.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+    val df = DeltaReader.read(spark, dir.getPath)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((7L, "x"), (8L, "y")), got.toString)
+    // id-mode WRITES stay refused (graft stages name-resolved parquet)
+    val s2 = spark
+    locally {
+      import s2.implicits._
+      val e = intercept[IllegalArgumentException] {
+        graft.sources.LakeWriter.deleteWhere(spark, dir.getPath, "id = 7")
+      }
+      assert(e.getMessage.contains("mode 'id' not supported"), e.getMessage)
     }
-    assert(e1.getMessage.contains("columnMapping.mode"), e1.getMessage)
+  }
+
+  test("unknown v3 reader features stay refused") {
     val (dir2, log2) = mkTable()
     val f2 = part(dir2, "part-0001.parquet", Seq((1L, "a")))
     commit(log2, 0, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["typeWidening"]}}""",
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["someFutureFeature"]}}""",
       meta("\"src\""), add(f2, "web")))
     val e2 = intercept[IllegalArgumentException] {
       DeltaReader.read(spark, dir2.getPath)
     }
-    assert(e2.getMessage.contains("typeWidening"), e2.getMessage)
+    assert(e2.getMessage.contains("someFutureFeature"), e2.getMessage)
   }
 
   test("add.path decoding is RFC percent-decoding, not form-urlencoding") {
@@ -421,7 +457,7 @@ class DeltaReaderSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir.getPath)
     }
-    assert(e1.getMessage.contains("columnMapping.mode 'id'"), e1.getMessage)
+    assert(e1.getMessage.contains("mode 'id'"), e1.getMessage)
     // writer version 7 with a feature this writer cannot enforce
     val (dir2, log2) = mkTable()
     commit(log2, 0, Seq(
