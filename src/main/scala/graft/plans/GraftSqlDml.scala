@@ -136,7 +136,7 @@ object GraftSqlDml {
         normalizeNamedTargets(t0)
       else t0
     val optimizeRe =
-      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?$""".r
+      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)|\s+(FULL))?$""".r
     val vacuumRe =
       """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?$""".r
     val restoreRe =
@@ -158,10 +158,10 @@ object GraftSqlDml {
         Some(GraftReorgCommand(path, Option(where).map(_.trim)))
       case dropFeatureRe(path, feature, trunc) =>
         Some(GraftDropFeatureCommand(path, feature, trunc != null))
-      case optimizeRe(path, where, c1, c2) =>
+      case optimizeRe(path, where, c1, c2, full) =>
         Some(GraftOptimizeCommand(path,
           if (c1 == null) None else Some((c1, c2)),
-          Option(where).map(_.trim)))
+          Option(where).map(_.trim), full = full != null))
       case vacuumRe(path, n, unit, dry) =>
         Some(GraftVacuumCommand(path, n.toLong,
           hours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null))
@@ -727,7 +727,8 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String
   * maintenance actually runs.
   */
 case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
-                                where: Option[String] = None)
+                                where: Option[String] = None,
+                                full: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
@@ -742,9 +743,16 @@ case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
             "declared columns; ALTER TABLE ... CLUSTER BY to change them")
         LakeWriter.compactDeltaZOrder(spark, path, c1, c2, where = where)
       case None if cluster.nonEmpty =>
-        // clustered-table OPTIMIZE: re-layout along the declared columns
-        LakeWriter.compactDeltaCluster(spark, path, cluster, where = where)
-      case None => LakeWriter.compactDelta(spark, path, where = where)
+        // clustered-table OPTIMIZE: INCREMENTAL re-layout along the
+        // declared columns (only unclustered files rewrite); FULL
+        // re-layouts every live file into one cube
+        LakeWriter.compactDeltaCluster(spark, path, cluster, where = where,
+          full = full)
+      case None =>
+        require(!full,
+          "OPTIMIZE ... FULL applies to clustered tables (it forces a full " +
+            "re-layout along the CLUSTER BY columns); this table declares none")
+        LakeWriter.compactDelta(spark, path, where = where)
     }
     Seq.empty
   }

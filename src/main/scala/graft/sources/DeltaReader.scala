@@ -69,7 +69,8 @@ object DeltaReader {
                                       dv: Option[DvDescriptor] = None,
                                       stats: Option[String] = None,
                                       baseRowId: Option[Long] = None,
-                                      defaultRowCommitVersion: Option[Long] = None)
+                                      defaultRowCommitVersion: Option[Long] = None,
+                                      clusteringProvider: Option[String] = None)
 
   /** The replayed log state at one version — what both the reader and
     * the checkpoint writer need: the live add set plus table metadata
@@ -389,7 +390,9 @@ object DeltaReader {
     def optLongOpt(name: String): Option[Long] =
       if (a.has(name) && !a.get(name).isNull) Some(a.get(name).asLong()) else None
     AddFile(a.get("path").asText(), pv, optLong("size"), optLong("modificationTime"), dv,
-      stats, optLongOpt("baseRowId"), optLongOpt("defaultRowCommitVersion"))
+      stats, optLongOpt("baseRowId"), optLongOpt("defaultRowCommitVersion"),
+      if (a.has("clusteringProvider") && !a.get("clusteringProvider").isNull)
+        Some(a.get("clusteringProvider").asText()) else None)
   }
 
   /** The adds and removes of ONE commit version, each with its
@@ -1065,7 +1068,8 @@ object DeltaReader {
               if (r.isNullAt(3)) 0L else r.getLong(3), dv,
               if (r.isNullAt(9)) None else Some(r.getString(9)),
               if (r.isNullAt(10)) None else Some(r.getLong(10)),
-              if (r.isNullAt(11)) None else Some(r.getLong(11)))
+              if (r.isNullAt(11)) None else Some(r.getLong(11)),
+              if (r.isNullAt(12)) None else Some(r.getString(12)))
           }.toVector
           cpActive ++ survivors
       }
@@ -1106,7 +1110,8 @@ object DeltaReader {
       dvOpt("cardinality", LongType).as("dv_card"),
       opt("stats", StringType).as("stats"),
       opt("baseRowId", LongType).as("brid"),
-      opt("defaultRowCommitVersion", LongType).as("drcv"))
+      opt("defaultRowCommitVersion", LongType).as("drcv"),
+      opt("clusteringProvider", StringType).as("clp"))
   }
 
   /** Driver-parsed AddFiles (a JSON v2-manifest's inline adds) lifted
@@ -1121,7 +1126,8 @@ object DeltaReader {
       StructField("dv_st", StringType), StructField("dv_p", StringType),
       StructField("dv_off", IntegerType), StructField("dv_sz", IntegerType),
       StructField("dv_card", LongType), StructField("stats", StringType),
-      StructField("brid", LongType), StructField("drcv", LongType)))
+      StructField("brid", LongType), StructField("drcv", LongType),
+      StructField("clp", StringType)))
     val rows = adds.map { a =>
       org.apache.spark.sql.Row(a.path, a.partitionValues, a.size, a.modificationTime,
         a.dv.map(_.storageType).orNull, a.dv.map(_.pathOrInlineDv).orNull,
@@ -1130,7 +1136,8 @@ object DeltaReader {
         a.dv.map(d => Long.box(d.cardinality)).orNull,
         a.stats.orNull,
         a.baseRowId.map(Long.box).orNull,
-        a.defaultRowCommitVersion.map(Long.box).orNull)
+        a.defaultRowCommitVersion.map(Long.box).orNull,
+        a.clusteringProvider.orNull)
     }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
   }

@@ -298,6 +298,16 @@ object LakeWriter {
       else None)
   }
 
+  /** Carry an existing add's `clusteringProvider` through a re-add
+    * (DV commits, RESTORE, clone, row-tracking backfill) — losing it
+    * would make the next incremental clustering pass re-layout files
+    * that are already on the curve.
+    */
+  private[graft] def clpCarry(a: DeltaReader.AddFile): String =
+    a.clusteringProvider.map(p =>
+      s""","clusteringProvider":${new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(p)}""").getOrElse("")
+
   /** VARIANT anywhere in a type tree — the shape that requires the
     * protocol's `variantType` reader+writer feature.
     */
@@ -1681,7 +1691,8 @@ object LakeWriter {
                                  rowIdBase: Option[Long] = None,
                                  rebase: Option[(DeltaReader.Snapshot, String, Set[String])] = None,
                                  ictConf: Map[String, String] = Map.empty,
-                                 identity: Option[(IdentityColumns.Advance, Option[String])] = None): Unit = {
+                                 identity: Option[(IdentityColumns.Advance, Option[String])] = None,
+                                 clusteringProvider: Option[String] = None): Unit = {
     val spark = df.sparkSession
     // fail FAST on a store that can't arbitrate commits: before any
     // staging work, before the log directory exists — a refused create
@@ -1856,7 +1867,9 @@ object LakeWriter {
         nextRowId = Some(base + nr)
         s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
       }.getOrElse("")
-      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":$addDataChange$statsJson$rtJson}}"""
+      val clpJson = clusteringProvider
+        .map(p => s""","clusteringProvider":${om.writeValueAsString(p)}""").getOrElse("")
+      actions += s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":$size,"modificationTime":$now,"dataChange":$addDataChange$statsJson$rtJson$clpJson}}"""
     }
     rowIdBase.foreach { base =>
       actions += RowTracking.watermarkAction(nextRowId.getOrElse(base) - 1)
@@ -2795,7 +2808,7 @@ object LakeWriter {
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${RowTracking.carryJson(a)}}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${RowTracking.carryJson(a)}${clpCarry(a)}}}"""
     }
     actions ++= cdcActions
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
@@ -2977,7 +2990,7 @@ object LakeWriter {
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${clpCarry(a)}}}"""
     }
     actions ++= newAdds
     actions ++= cdcActions
@@ -3201,7 +3214,7 @@ object LakeWriter {
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${clpCarry(a)}}}"""
     }
     actions ++= newAdds
     actions ++= cdcActions
@@ -3997,7 +4010,8 @@ object LakeWriter {
   def compactDeltaCluster(spark: SparkSession, dir: String, cols: Seq[String],
                           filesPerPartition: Int = 8,
                           where: Option[String] = None,
-                          op: String = "compactDeltaCluster"): Unit = {
+                          op: String = "compactDeltaCluster",
+                          full: Boolean = false): Unit = {
     import org.apache.spark.sql.functions.{col, lit, percentile_approx}
     import org.apache.spark.sql.types._
     require(filesPerPartition > 0, s"$op: filesPerPartition $filesPerPartition")
@@ -4038,11 +4052,24 @@ object LakeWriter {
         s"$op: column '$c' has type ${dt.simpleString} — the curve ranks numeric, " +
           "string, date and timestamp columns only")
     }
-    val active = where.map(partitionScope(spark, snap, snap.active, _, op))
+    val scoped = where.map(partitionScope(spark, snap, snap.active, _, op))
       .getOrElse(snap.active)
+    // INCREMENTAL by default (the 100-TB economics of clustering):
+    // only files not already laid on the declared curve rewrite — each
+    // OPTIMIZE folds the new appends into their own internally-sorted
+    // cube (cost ∝ new data), every cube's min/max stays selective, and
+    // `full` (OPTIMIZE ... FULL / ZORDER) re-layouts everything into
+    // one cube. Adds from a cluster pass are tagged with the add
+    // action's `clusteringProvider` field so the NEXT pass knows them.
+    val zorder = op == "compactDeltaZOrder"
+    val active =
+      if (full || zorder) scoped
+      else scoped.filterNot(_.clusteringProvider.contains("liquid"))
     if (active.isEmpty) return
 
-    val all = DeltaReader.scanFiles(spark, dir, snap, active)
+    // quantile bounds over the WHOLE scoped live set — new files join
+    // the SAME curve the existing cubes were laid on
+    val all = DeltaReader.scanFiles(spark, dir, snap, scoped)
     // the per-row curve value: one column sorts on its rank double
     // directly (continuous — 255 buckets would only coarsen it);
     // 2..4 interleave their 8-bit quantile-bucket ranks, from ONE
@@ -4088,7 +4115,8 @@ object LakeWriter {
       checkpointInterval = 0, partCols = snap.partCols,
       extraActions = removes, addDataChange = false, operation = "OPTIMIZE",
       rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None,
-      ictConf = snap.configuration)
+      ictConf = snap.configuration,
+      clusteringProvider = if (zorder) None else Some("liquid"))
   }
 
   /** `ALTER TABLE t CLUSTER BY (cols...)` / `CLUSTER BY NONE` (empty
@@ -4238,7 +4266,7 @@ object LakeWriter {
     }
     readds.sortBy(_.path).foreach { a =>
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":${pvJson(a)},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson${RowTracking.carryJson(a)}}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":${pvJson(a)},"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson${RowTracking.carryJson(a)}${clpCarry(a)}}}"""
     }
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
@@ -4334,7 +4362,7 @@ object LakeWriter {
         s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(absUri(a.path))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson${RowTracking.carryJson(a)}}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(absUri(a.path))},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true${a.dv.map(dvJson).getOrElse("")}$statsJson${RowTracking.carryJson(a)}${clpCarry(a)}}}"""
     }
     val log = new org.apache.hadoop.fs.Path(dstRoot, "_delta_log")
     fs.mkdirs(log)
@@ -4452,7 +4480,7 @@ object LakeWriter {
       }.getOrElse("")
       val base = next
       next += numRecords(a)
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":false$dvJson$statsJson,"baseRowId":$base,"defaultRowCommitVersion":$backfillVersion}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":false$dvJson$statsJson${clpCarry(a)},"baseRowId":$base,"defaultRowCommitVersion":$backfillVersion}}"""
     }
     actions += RowTracking.watermarkAction(next - 1)
     val root = new org.apache.hadoop.fs.Path(dir)
@@ -4605,7 +4633,10 @@ object LakeWriter {
         // or every row would silently change identity when the
         // checkpoint became the replay base
         StructField("baseRowId", LongType),
-        StructField("defaultRowCommitVersion", LongType)))),
+        StructField("defaultRowCommitVersion", LongType),
+        // clustered-layout provenance survives checkpointing or the
+        // next incremental OPTIMIZE re-layouts the whole table
+        StructField("clusteringProvider", StringType)))),
       // transaction identifiers MUST survive checkpointing (PROTOCOL.md
       // checkpoint contents) or a streaming writer would replay every
       // batch after log retention cleans its watermark commit
@@ -4668,7 +4699,8 @@ object LakeWriter {
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
         c("stats"), c("brid").as("baseRowId"),
-        c("drcv").as("defaultRowCommitVersion")).cast(addT).as("add"),
+        c("drcv").as("defaultRowCommitVersion"),
+        c("clp").as("clusteringProvider")).cast(addT).as("add"),
       l(null).cast(schema("txn").dataType).as("txn"),
       l(null).cast(schema("domainMetadata").dataType).as("domainMetadata"))
     val scalarsDf = spark.createDataFrame(
@@ -4755,7 +4787,8 @@ object LakeWriter {
         StructField("cardinality", LongType)))),
       StructField("stats", StringType),
       StructField("baseRowId", LongType),
-      StructField("defaultRowCommitVersion", LongType)))
+      StructField("defaultRowCommitVersion", LongType),
+      StructField("clusteringProvider", StringType)))
     // sidecars: the distributed live-set plan, one `add` column
     import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l, struct => st, when}
     val addsDf = snap.activeDf(spark).select(
@@ -4770,7 +4803,8 @@ object LakeWriter {
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
         c("stats"), c("brid").as("baseRowId"),
-        c("drcv").as("defaultRowCommitVersion")).cast(addT).as("add"))
+        c("drcv").as("defaultRowCommitVersion"),
+        c("clp").as("clusteringProvider")).cast(addT).as("add"))
     val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
     fs.mkdirs(sidecarDir)
     val scratch = new org.apache.hadoop.fs.Path(log,

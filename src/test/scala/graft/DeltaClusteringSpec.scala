@@ -176,6 +176,46 @@ class DeltaClusteringSpec extends SparkSpec {
     assert(e5.getMessage.contains("1..4"), e5.getMessage)
   }
 
+  test("incremental OPTIMIZE: clustered cubes never rewrite; FULL re-layouts everything") {
+    val dir = freshDir("inc")
+    LakeWriter.writeDelta(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))), dir)
+    LakeWriter.clusterBy(spark, dir, Seq("x"))
+    LakeWriter.appendDelta(spark.range(0, 300).toDF("x").repartition(3), dir)
+    spark.sql(s"OPTIMIZE graft_delta.`$dir`")
+    val cube1 = DeltaReader.snapshot(spark, dir, None).active
+    assert(cube1.nonEmpty && cube1.forall(_.clusteringProvider.contains("liquid")),
+      cube1.map(a => a.path -> a.clusteringProvider).toString)
+    // a checkpoint becomes the replay base and must preserve provenance
+    LakeWriter.checkpointDelta(spark, dir, DeltaReader.snapshot(spark, dir, None).version)
+    LakeWriter.appendDelta(spark.range(300, 600).toDF("x").repartition(3), dir)
+    spark.sql(s"OPTIMIZE graft_delta.`$dir`")
+    val snap2 = DeltaReader.snapshot(spark, dir, None)
+    // cube1's files were NOT rewritten — incremental cost ∝ new data
+    assert(cube1.map(_.path).toSet.subsetOf(snap2.active.map(_.path).toSet),
+      "incremental OPTIMIZE rewrote an already-clustered cube")
+    assert(snap2.active.forall(_.clusteringProvider.contains("liquid")))
+    // nothing new → OPTIMIZE is a no-op (no commit)
+    spark.sql(s"OPTIMIZE graft_delta.`$dir`")
+    assert(DeltaReader.snapshot(spark, dir, None).version == snap2.version)
+    // FULL re-layouts every live file into a fresh cube
+    spark.sql(s"OPTIMIZE graft_delta.`$dir` FULL")
+    val snap3 = DeltaReader.snapshot(spark, dir, None)
+    assert(snap3.active.map(_.path).toSet.intersect(
+      snap2.active.map(_.path).toSet).isEmpty, "FULL kept an old cube")
+    assert(DeltaReader.read(spark, dir).count() == 600)
+    // FULL on an unclustered table refuses
+    val plain = freshDir("plain")
+    LakeWriter.writeDelta(spark.range(0, 10).toDF("x"), plain)
+    val e = intercept[Exception] {
+      spark.sql(s"OPTIMIZE graft_delta.`$plain` FULL")
+    }
+    assert(e.getMessage.contains("clustered tables"), e.getMessage)
+  }
+
   test("mutations stay available on clustered tables and preserve the declaration") {
     val dir = freshDir("mut")
     LakeWriter.writeDelta(spark.range(0, 100)
