@@ -4067,9 +4067,13 @@ object LakeWriter {
       else scoped.filterNot(_.clusteringProvider.contains("liquid"))
     if (active.isEmpty) return
 
-    // quantile bounds over the WHOLE scoped live set — new files join
-    // the SAME curve the existing cubes were laid on
-    val all = DeltaReader.scanFiles(spark, dir, snap, scoped)
+    // quantile bounds from the REWRITTEN files only: an incremental
+    // pass must not pay a whole-table scan for one bounds row (at
+    // 100 TB that alone defeats the ∝-new-data economics). Each cube
+    // is internally sorted by a curve over its own value distribution;
+    // per-file min/max selectivity — the thing scans prune with —
+    // holds per cube regardless of which pass's bounds sorted it.
+    val all = DeltaReader.scanFiles(spark, dir, snap, active)
     // the per-row curve value: one column sorts on its rank double
     // directly (continuous — 255 buckets would only coarsen it);
     // 2..4 interleave their 8-bit quantile-bucket ranks, from ONE
