@@ -49,6 +49,8 @@ object Profile {
         stressDeltaMutate(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "stress-dv-scatter" =>
         stressDvScatter(spark, args.lift(1).map(_.toInt).getOrElse(2000))
+      case "stress-cluster" =>
+        stressCluster(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta-files" =>
         stressDeltaFiles(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-delta-clone" =>
@@ -312,6 +314,51 @@ object Profile {
     * and after (post-GC) plus the commit wall time; the survivors
     * count and a spot predicate verify the delete's correctness.
     */
+  /** Incremental clustering economics: a big clustered base (one FULL
+    * layout), then a SMALL append + OPTIMIZE — the incremental pass
+    * must scan/rewrite only the appended files, so its wall time
+    * tracks the append size, not the base size (the nightly-OPTIMIZE
+    * cost model of a 100-TB clustered table). Prints both times and
+    * the rewritten-file counts; fails if the incremental pass touched
+    * any base cube file.
+    */
+  def stressCluster(spark: SparkSession, baseRows: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_cluster_").toFile
+    LakeWriter.writeDelta(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))),
+      dir.getPath)
+    LakeWriter.clusterBy(spark, dir.getPath, Seq("k", "v"))
+    LakeWriter.appendDelta(spark.range(baseRows)
+      .select(col("id").as("k"), (lit(baseRows.toLong) - col("id")).as("v"))
+      .repartition(16), dir.getPath)
+    time(s"full_layout_${baseRows}_rows") {
+      LakeWriter.compactDeltaCluster(spark, dir.getPath, Seq("k", "v"),
+        filesPerPartition = 16, full = true)
+    }
+    val base = DeltaReader.snapshot(spark, dir.getPath, None).active.map(_.path).toSet
+    val appendRows = math.max(baseRows / 100, 1000)
+    LakeWriter.appendDelta(spark.range(baseRows, baseRows + appendRows)
+      .select(col("id").as("k"), (lit(baseRows.toLong) - col("id")).as("v"))
+      .repartition(4), dir.getPath)
+    time(s"incremental_optimize_${appendRows}_new_rows") {
+      LakeWriter.compactDeltaCluster(spark, dir.getPath, Seq("k", "v"),
+        filesPerPartition = 4)
+    }
+    val after = DeltaReader.snapshot(spark, dir.getPath, None).active
+    require(base.subsetOf(after.map(_.path).toSet),
+      "incremental OPTIMIZE rewrote a base cube file")
+    println(s"  base cubes untouched: ${base.size} file(s); incremental cube: " +
+      s"${after.count(a => !base.contains(a.path))} file(s)")
+    val cnt = DeltaReader.read(spark, dir.getPath).count()
+    require(cnt == baseRows.toLong + appendRows, s"row drift: $cnt")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   def stressDvScatter(spark: SparkSession, files: Int): Unit = {
     import graft.sources.{DeltaReader, LakeWriter}
     import org.apache.spark.sql.functions._
