@@ -77,7 +77,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     util.EnumSet.of(
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
       TableCatalogCapability.SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
-      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+      TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE,
+      TableCatalogCapability.SUPPORT_TABLE_CONSTRAINT)
+
+  /** CREATE TABLE ... (cols, CONSTRAINT nm CHECK (expr)): CHECK
+    * constraints fold into the table configuration as the format's
+    * `delta.constraints.<name>` keys (the creating commit declares the
+    * writer floor; every write enforces them); PK/FK/UNIQUE refuse —
+    * the format has no enforced shape for them and an unenforced
+    * declaration would lie to readers.
+    */
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    import org.apache.spark.sql.connector.catalog.constraints.Check
+    val props = new util.HashMap[String, String](info.properties())
+    info.constraints().foreach {
+      case c: Check =>
+        require(c.predicateSql() != null && c.predicateSql().nonEmpty,
+          s"GraftCatalog: CHECK constraint '${c.name()}' carries no SQL predicate")
+        props.put(s"delta.constraints.${c.name()}", c.predicateSql())
+      case other => throw new UnsupportedOperationException(
+        s"GraftCatalog: only CHECK constraints are enforced by the format; " +
+          s"got ${other.toDDL} — declare it as documentation elsewhere")
+    }
+    createTable(ident, info.columns(), info.partitions(), props)
+  }
 
   /** Spark's CREATE-time column-spec metadata → the Delta protocol's:
     * `identity.*` → `delta.identity.*` ([[graft.sources.IdentityColumns]]),

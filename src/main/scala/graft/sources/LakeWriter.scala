@@ -181,6 +181,17 @@ object LakeWriter {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
     IdentityColumns.validate(df.schema, partitionBy, "writeDelta")
+    // CREATE-time CHECK constraints bind the creating batch too — a
+    // violating row admitted at version 0 would lie to every reader
+    configuration.foreach { case (k, cond) =>
+      if (k.startsWith("delta.constraints.") && !df.isEmpty) {
+        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+        val bad = df.where(not(coalesce(expr(cond).cast("boolean"), lit(true))))
+          .limit(1).count()
+        require(bad == 0, s"writeDelta: the creating batch violates CHECK " +
+          s"constraint ${k.stripPrefix("delta.constraints.")} ($cond)")
+      }
+    }
     commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn,
       configuration = configuration, operation = "CREATE TABLE",
       // CREATE with rows seeds the watermark from whatever the batch
@@ -1803,7 +1814,13 @@ object LakeWriter {
         // the creating commit makes non-CDF-aware legacy writers refuse
         // the table instead of committing changes without change data
         val cdfCreate = configuration.get("delta.enableChangeDataFeed").contains("true")
-        val minWriter = if (cdfCreate) 4 else 2
+        // legacy floors: CDF = 4, CHECK constraints = 3 (PROTOCOL.md) —
+        // a creating commit that under-declared either would let legacy
+        // writers append unchecked/changeless rows
+        val constraintsCreate =
+          configuration.keys.exists(_.startsWith("delta.constraints."))
+        val minWriter = Seq(2, if (cdfCreate) 4 else 2,
+          if (constraintsCreate) 3 else 2).max
         val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
         }.mkString("{", ",", "}")
@@ -1825,7 +1842,8 @@ object LakeWriter {
           (if (hasVariant(df.schema)) Seq("variantType") else Nil)
         if (v7Features.nonEmpty) {
           val wf = (Seq("appendOnly", "invariants") ++ v7Features ++
-            (if (cdfCreate) Seq("changeDataFeed") else Nil)).sorted
+            (if (cdfCreate) Seq("changeDataFeed") else Nil) ++
+            (if (constraintsCreate) Seq("checkConstraints") else Nil)).sorted
             .map(om.writeValueAsString).mkString("[", ",", "]")
           if (hasVariant(df.schema))
             actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""

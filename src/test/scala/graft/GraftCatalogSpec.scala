@@ -153,4 +153,20 @@ class GraftCatalogSpec extends SparkSpec {
     assert(snap.partCols == Seq("k"))
     assert(spark.table("graft.db8.p").where("k = 'x'").count() == 1)
   }
+
+  test("CREATE TABLE with CHECK constraint declares the floor and enforces from the first write") {
+    ensureDb("db10")
+    spark.sql("CREATE TABLE graft.db10.c (id BIGINT, qty BIGINT, " +
+      "CONSTRAINT qty_pos CHECK (qty > 0))")
+    val snap = DeltaReader.snapshot(spark, s"$root/db10/c", None)
+    assert(snap.configuration.get("delta.constraints.qty_pos").exists(_.contains("qty")),
+      snap.configuration.toString)
+    assert(snap.minWriter >= 3, s"constraint floor not declared: ${snap.minWriter}")
+    spark.sql("INSERT INTO graft.db10.c VALUES (1, 5)")
+    val e = intercept[Exception] {
+      spark.sql("INSERT INTO graft.db10.c VALUES (2, -1)")
+    }
+    assert(e.getMessage.contains("qty_pos"), e.getMessage)
+    assert(spark.table("graft.db10.c").count() == 1)
+  }
 }
