@@ -4162,6 +4162,12 @@ object LakeWriter {
       if (!Clustering.isClustered(snap)) return
       actions += Clustering.domainAction(Nil)
     } else {
+      // the maintenance op stages logical-named parquet — a CM table's
+      // declaration would be unmaintainable; refuse at declaration
+      // time, not at the first OPTIMIZE
+      require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+        "clusterBy: column-mapped tables not supported (the clustered OPTIMIZE " +
+          "rewrite would stage logical names readers can't resolve)")
       Clustering.validate(table, snap.partCols, cols, "clusterBy")
       protocolWithWriterFeatures(snap, Clustering.Features).foreach(actions += _)
       // the domain stores PHYSICAL names (what the files' stats carry)
