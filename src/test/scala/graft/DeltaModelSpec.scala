@@ -5,7 +5,9 @@ import graft.sources.{DeltaReader, LakeWriter, MergeClause, MergeDelete, MergeIn
 /** Model-based randomized test of the Delta mutation surface: a seeded
   * random sequence of append / copy-on-write delete / DV delete /
   * update / merge / clause-merge (CDC apply) / full overwrite /
-  * REPLACE WHERE / restore / compact / z-order / checkpoint ops runs
+  * REPLACE WHERE / restore / compact / z-order / REORG PURGE /
+  * cluster-declare + incremental OPTIMIZE / CLUSTER BY NONE /
+  * checkpoint ops runs
   * against BOTH the real table and an in-memory Map[id -> v] model.
   * After every committed version the latest read must equal the model;
   * at the end every historical version must time-travel to its
@@ -56,7 +58,7 @@ class DeltaModelSpec extends SparkSpec {
     var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(16) match {
+      rnd.nextInt(19) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -147,6 +149,16 @@ class DeltaModelSpec extends SparkSpec {
           model = model.map { case (id, v) =>
             id -> (if (id % m == r) v + "d" else v)
           }
+        case 16 => // REORG APPLY (PURGE): DV debt materialized, layout only
+          LakeWriter.reorgPurge(spark, dir)
+        case 17 => // clustered layout: declare once, then INCREMENTAL optimize
+          val snap = DeltaReader.snapshot(spark, dir, None)
+          if (graft.sources.Clustering.isClustered(snap))
+            LakeWriter.compactDeltaCluster(spark, dir, Seq("id"),
+              filesPerPartition = 2)
+          else LakeWriter.clusterBy(spark, dir, Seq("id"))
+        case 18 => // CLUSTER BY NONE: declaration removed, rows untouched
+          LakeWriter.clusterBy(spark, dir, Nil)
         case _ => // shallow clone: the fork must equal the model NOW
           cloneCount += 1
           val cl = tmp(s"graft_model_cl_${seed}_${cloneCount}_") + "/t"
