@@ -292,9 +292,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       val declared = translateColumnMetadata(schema)
       graft.sources.IdentityColumns.validate(declared, partCols,
         "GraftCatalog.createTable")
-      if (clusterCols.nonEmpty)
+      if (clusterCols.nonEmpty) {
         graft.sources.Clustering.validate(declared, partCols, clusterCols,
           "GraftCatalog.createTable")
+        // validated BEFORE the creating commit: a post-create refusal
+        // would orphan the table behind a failed DDL statement
+        require(configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
+          "GraftCatalog.createTable: CLUSTER BY on a column-mapped table is not " +
+            "supported (the clustered OPTIMIZE rewrite would stage logical names " +
+            "readers can't resolve)")
+      }
       val empty = spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
       graft.sources.LakeWriter.writeDelta(empty, target, partitionBy = partCols,
@@ -341,8 +348,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         w.widenColumnType(spark, dir, ut.fieldNames().head, ut.newDataType())
       case cb: TableChange.ClusterBy =>
         // ALTER TABLE t CLUSTER BY (cols) / CLUSTER BY NONE (empty) —
-        // one domain-metadata commit, no rewrite (the next OPTIMIZE
-        // lays files out the new way)
+        // one domain-metadata commit, no rewrite (incremental OPTIMIZE
+        // lays NEW data by the new columns; OPTIMIZE FULL re-keys
+        // history — delta-spark's own re-key semantics)
         w.clusterBy(spark, dir, cb.clusteringColumns().toSeq.map { r =>
           require(r.fieldNames().length == 1,
             s"GraftCatalog ALTER CLUSTER BY: nested field " +

@@ -81,9 +81,12 @@ object ZOrderKernel {
     * string columns with no separate string kernel or driver-side
     * sample pass — strings sharing an 8-byte prefix tie into the same
     * bucket, which a 255-bucket rank cannot distinguish anyway.
+    * Null strings rank -∞: below every real value, so they take
+    * bucket 0 / sort first — the SAME null side numeric columns get
+    * (0.0 would be the sign-flipped range's midpoint, not its floor).
     */
   def prefixRank(s: org.apache.spark.unsafe.types.UTF8String): Double = {
-    if (s == null) return 0d
+    if (s == null) return Double.NegativeInfinity
     val b = s.getBytes
     var v = 0L
     var i = 0

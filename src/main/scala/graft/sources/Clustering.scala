@@ -16,10 +16,14 @@ import org.apache.spark.sql.types.StructType
   *
   * Unlike hive partitioning the declaration is CHEAPLY MUTABLE:
   * `ALTER TABLE t CLUSTER BY (other, cols)` is one domain-metadata
-  * commit (no rewrite); the next OPTIMIZE lays files out the new way.
-  * That is the operational point of clustering over partitioning —
-  * re-keying a 100-TB table's layout is a metadata change plus
-  * incremental maintenance, not an atomic full rewrite.
+  * commit (no rewrite). OPTIMIZE is INCREMENTAL: it lays NEW (and
+  * DV-carrying) files by the current columns and leaves existing
+  * cubes where they are — after a re-key, history keeps its old
+  * layout until `OPTIMIZE ... FULL` rewrites it (delta-spark's own
+  * re-key semantics). That is the operational point over
+  * partitioning: re-keying a 100-TB table is a metadata change plus
+  * incremental maintenance, with the full rewrite an explicit,
+  * separately-priced decision.
   *
   * The protocol requires clustered tables to be UNPARTITIONED (the
   * two layouts compete for the directory structure); both the CREATE

@@ -489,11 +489,16 @@ object DeltaReader {
     def withFieldId(f: org.apache.spark.sql.types.StructField)
         : org.apache.spark.sql.types.StructField =
       if (cmMode != "id") f
-      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .withMetadata(f.metadata)
-        .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-        .build())
-    if (cmMode == "id") s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      else {
+        require(f.metadata.contains("delta.columnMapping.id"),
+          s"column mapping is 'id' but field '${f.name}' carries no " +
+            "delta.columnMapping.id metadata — malformed schemaString")
+        f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build())
+      }
+    if (cmMode == "id") enableFieldIdReads(s)
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partCols.contains(f.name))
         .map(f => withFieldId(f.copy(name = physName(f)))) :+
@@ -1086,6 +1091,26 @@ object DeltaReader {
     * fields (size, modificationTime, deletionVector) may be absent in
     * minimal or foreign checkpoints; they surface as typed nulls.
     */
+  /** id-mode scans need Spark's parquet field-id resolution. The
+    * switch is a SESSION conf (the scan is lazy, so a scoped
+    * save-and-restore cannot work): an UNSET session turns it on —
+    * only schemas that carry `parquet.field.id` metadata are affected,
+    * i.e. exactly the id-mode scans built here — while a session that
+    * EXPLICITLY set it false (e.g. to ignore a dataset's stale ids)
+    * refuses loudly instead of being silently overridden.
+    */
+  private def enableFieldIdReads(s: SparkSession): Unit = {
+    val k = "spark.sql.parquet.fieldId.read.enabled"
+    // contains() sees only EXPLICIT settings (getOption surfaces the
+    // registered default, which is false)
+    val explicitlyOff = s.sessionState.conf.contains(k) &&
+      s.conf.get(k) == "false"
+    require(!explicitlyOff,
+      s"column mapping 'id' resolves by parquet field id, which needs $k=true — " +
+        "this session explicitly sets it false; unset it to read id-mode tables")
+    s.conf.set(k, "true")
+  }
+
   private def checkpointAdds(cp: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.{IntegerType, LongType, MapType, StringType}
     val addT = cp.schema("add").dataType.asInstanceOf[StructType]
@@ -1557,7 +1582,7 @@ object DeltaReader {
           .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
           .build())
       }
-    if (cmMode == "id") s.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    if (cmMode == "id") enableFieldIdReads(s)
     val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name))
       .map(f => withFieldId(f.copy(name = physName(f)))) ++
       extraPhys.map(_.copy(nullable = true)))

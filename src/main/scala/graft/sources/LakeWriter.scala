@@ -182,14 +182,20 @@ object LakeWriter {
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
     IdentityColumns.validate(df.schema, partitionBy, "writeDelta")
     // CREATE-time CHECK constraints bind the creating batch too — a
-    // violating row admitted at version 0 would lie to every reader
-    configuration.foreach { case (k, cond) =>
-      if (k.startsWith("delta.constraints.") && !df.isEmpty) {
-        import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-        val bad = df.where(not(coalesce(expr(cond).cast("boolean"), lit(true))))
-          .limit(1).count()
-        require(bad == 0, s"writeDelta: the creating batch violates CHECK " +
-          s"constraint ${k.stripPrefix("delta.constraints.")} ($cond)")
+    // violating row admitted at version 0 would lie to every reader.
+    // ONE combined pass over the batch (per-constraint re-checks only
+    // on the failure path, to name the violated constraint)
+    locally {
+      import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+      val checks = configuration.toSeq.filter(_._1.startsWith("delta.constraints."))
+      def violates(cond: String) = not(coalesce(expr(cond).cast("boolean"), lit(true)))
+      if (checks.nonEmpty &&
+          !df.where(checks.map(c => violates(c._2)).reduce(_ || _)).isEmpty) {
+        checks.foreach { case (k, cond) =>
+          require(df.where(violates(cond)).isEmpty,
+            s"writeDelta: the creating batch violates CHECK constraint " +
+              s"${k.stripPrefix("delta.constraints.")} ($cond)")
+        }
       }
     }
     commitDelta(df, dir, 0L, includeMeta = true, checkpointInterval, partitionBy, txn,
@@ -249,18 +255,31 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def jarr(xs: Iterable[String]): String =
       xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
-    val conf = snap.configuration
-    val legacy = Set("appendOnly", "invariants") ++
-      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
-      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
-       else Set.empty) ++
-      (if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
-        Set("columnMapping") else Set.empty)
-    val wf = snap.writerFeatures.toSet ++ legacy ++ features
+    val wf = snap.writerFeatures.toSet ++ legacyObligations(snap) ++ features
     val rfJson =
       if (snap.minReader >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}"""
       else ""
     Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}""")
+  }
+
+  /** EVERY legacy obligation the table actually declares, made
+    * explicit when a protocol restates to the (*, 7) feature form — a
+    * feature list that DROPPED one (generated columns, identity,
+    * constraints, CDF, CM) would license a v7 writer to violate it.
+    */
+  private def legacyObligations(snap: DeltaReader.Snapshot): Set[String] = {
+    val conf = snap.configuration
+    val table = tableSchema(snap)
+    Set("appendOnly", "invariants") ++
+      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
+      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
+       else Set.empty) ++
+      (if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
+        Set("columnMapping") else Set.empty) ++
+      (if (table.fields.exists(_.metadata.contains("delta.generationExpression")))
+        Set("generatedColumns") else Set.empty) ++
+      (if (IdentityColumns.hasIdentity(table)) Set(IdentityColumns.Feature)
+       else Set.empty)
   }
 
   /** ALTER TABLE ... ALTER COLUMN c SET DEFAULT expr / DROP DEFAULT —
@@ -393,16 +412,12 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def jarr(xs: Iterable[String]): String =
       xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
-    val conf = snap.configuration
-    val legacyR = if (conf.getOrElse("delta.columnMapping.mode", "none") != "none")
-      Set("columnMapping") else Set.empty[String]
-    val legacyW = Set("appendOnly", "invariants") ++ legacyR ++
-      (if (cdfEnabled(snap)) Set("changeDataFeed") else Set.empty) ++
-      (if (conf.keys.exists(_.startsWith("delta.constraints."))) Set("checkConstraints")
-       else Set.empty)
+    val legacyR =
+      if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+        Set("columnMapping") else Set.empty[String]
     s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${
       jarr(snap.readerFeatures.toSet ++ legacyR + feature)},"writerFeatures":${
-      jarr(snap.writerFeatures.toSet ++ legacyW + feature)}}}"""
+      jarr(snap.writerFeatures.toSet ++ legacyObligations(snap) + feature)}}}"""
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the protocol's
@@ -4080,9 +4095,14 @@ object LakeWriter {
     // one cube. Adds from a cluster pass are tagged with the add
     // action's `clusteringProvider` field so the NEXT pass knows them.
     val zorder = op == "compactDeltaZOrder"
+    // a liquid cube that has since gained a DV rejoins the candidates:
+    // the incremental pass folds its delete debt and re-lays the
+    // survivors (otherwise plain OPTIMIZE would never clear MOR debt
+    // on clustered files)
     val active =
       if (full || zorder) scoped
-      else scoped.filterNot(_.clusteringProvider.contains("liquid"))
+      else scoped.filterNot(a =>
+        a.clusteringProvider.contains("liquid") && a.dv.isEmpty)
     if (active.isEmpty) return
 
     // quantile bounds from the REWRITTEN files only: an incremental
