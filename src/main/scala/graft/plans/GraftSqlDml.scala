@@ -96,7 +96,7 @@ object GraftSqlDml {
   /** The two table-service statements Spark's grammar does not know —
     * parsed here BEFORE delegation (the DeltaSqlParser pattern):
     *
-    *   OPTIMIZE graft_delta.`/d` [ZORDER BY (c1, c2)]
+    *   OPTIMIZE graft_delta.`/d` [ZORDER BY (c1..c4)] [FULL]
     *   VACUUM graft_delta.`/d` RETAIN <n> VERSIONS
     *
     * OPTIMIZE routes to the small-file compaction (Z-ORDER variant to
@@ -136,7 +136,7 @@ object GraftSqlDml {
         normalizeNamedTargets(t0)
       else t0
     val optimizeRe =
-      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(\s*(\w+)\s*,\s*(\w+)\s*\)|\s+(FULL))?$""".r
+      """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+(FULL))?$""".r
     val vacuumRe =
       """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?$""".r
     val restoreRe =
@@ -158,9 +158,10 @@ object GraftSqlDml {
         Some(GraftReorgCommand(path, Option(where).map(_.trim)))
       case dropFeatureRe(path, feature, trunc) =>
         Some(GraftDropFeatureCommand(path, feature, trunc != null))
-      case optimizeRe(path, where, c1, c2, full) =>
+      case optimizeRe(path, where, zcols, full) =>
         Some(GraftOptimizeCommand(path,
-          if (c1 == null) None else Some((c1, c2)),
+          if (zcols == null) Nil
+          else zcols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
           Option(where).map(_.trim), full = full != null))
       case vacuumRe(path, n, unit, dry) =>
         Some(GraftVacuumCommand(path, n.toLong,
@@ -190,7 +191,7 @@ object GraftSqlDml {
           t.matches("(?is)^(CONVERT\\s+TO\\s+DELTA|GENERATE)\\s.*(graft_delta|parquet\\s*\\.).*") =>
         throw new UnsupportedOperationException(
           "graft_delta maintenance supports exactly: OPTIMIZE graft_delta.`path` " +
-            "[WHERE partPred] [ZORDER BY (c1, c2)]; VACUUM graft_delta.`path` " +
+            "[WHERE partPred] [ZORDER BY (cols...)] [FULL]; VACUUM graft_delta.`path` " +
             "RETAIN <n> VERSIONS [DRY RUN] (version-based retention — graft logs " +
             "carry no wall clock); RESTORE [TABLE] graft_delta.`path` TO VERSION " +
             "AS OF <v>; CREATE TABLE graft_delta.`dst` SHALLOW CLONE " +
@@ -718,7 +719,7 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String
   }
 }
 
-/** `OPTIMIZE graft_delta.`path` [WHERE partPred] [ZORDER BY (c1, c2)]`
+/** `OPTIMIZE graft_delta.`path` [WHERE partPred] [ZORDER BY (1..4 cols) | FULL]`
   * — small-file compaction / Morton-clustered rewrite through the
   * production maintenance ops (dataChange=false commits, row-tracking
   * preserved profile, DV folding — everything the DataFrame API does).
@@ -726,33 +727,35 @@ case class GraftMergeCommand(path: String, source: LogicalPlan, keys: Seq[String
   * non-partition columns refuse) — the form a 100-TB table's nightly
   * maintenance actually runs.
   */
-case class GraftOptimizeCommand(path: String, zorder: Option[(String, String)],
+case class GraftOptimizeCommand(path: String, zorder: Seq[String],
                                 where: Option[String] = None,
                                 full: Boolean = false)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
     val cluster = graft.sources.Clustering.columnsOf(snap)
-    zorder match {
-      case Some((c1, c2)) =>
-        // a clustered table's layout is its CLUSTER BY declaration —
-        // a one-off ZORDER would silently fight it (delta-spark's rule)
-        require(cluster.isEmpty,
-          s"OPTIMIZE ... ZORDER BY on a clustered table (CLUSTER BY " +
-            s"${cluster.mkString(", ")}) — plain OPTIMIZE clusters by the " +
-            "declared columns; ALTER TABLE ... CLUSTER BY to change them")
-        LakeWriter.compactDeltaZOrder(spark, path, c1, c2, where = where)
-      case None if cluster.nonEmpty =>
-        // clustered-table OPTIMIZE: INCREMENTAL re-layout along the
-        // declared columns (only unclustered files rewrite); FULL
-        // re-layouts every live file into one cube
-        LakeWriter.compactDeltaCluster(spark, path, cluster, where = where,
-          full = full)
-      case None =>
-        require(!full,
-          "OPTIMIZE ... FULL applies to clustered tables (it forces a full " +
-            "re-layout along the CLUSTER BY columns); this table declares none")
-        LakeWriter.compactDelta(spark, path, where = where)
+    if (zorder.nonEmpty) {
+      // a clustered table's layout is its CLUSTER BY declaration —
+      // a one-off ZORDER would silently fight it (delta-spark's rule)
+      require(cluster.isEmpty,
+        s"OPTIMIZE ... ZORDER BY on a clustered table (CLUSTER BY " +
+          s"${cluster.mkString(", ")}) — plain OPTIMIZE clusters by the " +
+          "declared columns; ALTER TABLE ... CLUSTER BY to change them")
+      // 1..4 columns, the generalized curve; ZORDER is always a FULL
+      // re-layout of the scoped live set (it declares nothing)
+      LakeWriter.compactDeltaCluster(spark, path, zorder, where = where,
+        op = "compactDeltaZOrder")
+    } else if (cluster.nonEmpty) {
+      // clustered-table OPTIMIZE: INCREMENTAL re-layout along the
+      // declared columns (only unclustered files rewrite); FULL
+      // re-layouts every live file into one cube
+      LakeWriter.compactDeltaCluster(spark, path, cluster, where = where,
+        full = full)
+    } else {
+      require(!full,
+        "OPTIMIZE ... FULL applies to clustered tables (it forces a full " +
+          "re-layout along the CLUSTER BY columns); this table declares none")
+      LakeWriter.compactDelta(spark, path, where = where)
     }
     Seq.empty
   }

@@ -4017,7 +4017,7 @@ object LakeWriter {
       op = "compactDeltaZOrder")
 
   /** The multi-dimensional re-layout behind both OPTIMIZE ZORDER BY
-    * (exactly 2 columns, [[compactDeltaZOrder]]) and clustered-table
+    * (1..4 columns from SQL; [[compactDeltaZOrder]] keeps the 2-col API) and clustered-table
     * OPTIMIZE (the 1..4 columns `CLUSTER BY` declared, [[clusterBy]]):
     * every partition's live rows rewrite into `filesPerPartition`
     * files range-partitioned and sorted along the interleave of each
