@@ -67,12 +67,14 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     GraftSqlDml.parseMaintenance(sqlText)
-      .getOrElse(GraftSqlDml.rewrite(delegate.parsePlan(sqlText)))
+      .getOrElse(GraftSqlDml.rewrite(delegate.parsePlan(
+        GraftSqlDml.preprocess(sqlText))))
 
   override def parsePlanWithParameters(sqlText: String,
                                        context: ParameterContext): LogicalPlan =
     GraftSqlDml.parseMaintenance(sqlText)
-      .getOrElse(GraftSqlDml.rewrite(delegate.parsePlanWithParameters(sqlText, context)))
+      .getOrElse(GraftSqlDml.rewrite(delegate.parsePlanWithParameters(
+        GraftSqlDml.preprocess(sqlText), context)))
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parseExpression(sqlText: String): Expression =
@@ -125,6 +127,28 @@ object GraftSqlDml {
           java.util.regex.Matcher.quoteReplacement(s"graft_delta.`$p`")
         case None => java.util.regex.Matcher.quoteReplacement(m.matched)
       })
+  }
+
+  /** Statement sugar delegated as TEXT: `DESCRIBE HISTORY t` /
+    * `DESCRIBE DETAIL t` rewrite onto their table-valued twins
+    * (`graft_delta_history` / `graft_delta_detail`), so the familiar
+    * delta-spark spelling and the TVF are the SAME plan — catalog
+    * names normalize to the path form first. Everything else passes
+    * through verbatim.
+    */
+  def preprocess(sqlText: String): String = {
+    val t0 = sqlText.trim.stripSuffix(";").trim
+    if (!t0.matches("(?is)^DESC(RIBE)?\\s+(HISTORY|DETAIL)\\b.*")) return sqlText
+    val t = normalizeNamedTargets(t0)
+    val descRe =
+      """(?is)^DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft_delta\s*\.\s*`([^`]+)`$""".r
+    t match {
+      case descRe(kind, path) =>
+        val fn = if (kind.equalsIgnoreCase("HISTORY")) "graft_delta_history"
+          else "graft_delta_detail"
+        s"SELECT * FROM $fn('${path.replace("'", "''")}')"
+      case _ => sqlText
+    }
   }
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = {

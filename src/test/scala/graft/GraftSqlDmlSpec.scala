@@ -258,6 +258,13 @@ class GraftSqlDmlSpec extends SparkSpec {
     val ops = spark.sql(s"SELECT operation FROM graft_delta_history('$d')")
       .collect().map(_.getString(0))
     assert(ops.head == "OPTIMIZE" || ops.contains("OPTIMIZE"))
+    // DESCRIBE HISTORY / DETAIL are statement sugar over the SAME TVFs
+    val ops2 = spark.sql(s"DESCRIBE HISTORY graft_delta.`$d`")
+      .select("operation").collect().map(_.getString(0))
+    assert(ops2.toSeq == ops.toSeq)
+    assert(spark.sql(s"DESC DETAIL graft_delta.`$d`")
+      .select("numFiles").head().getLong(0) ==
+      spark.sql(s"SELECT numFiles FROM graft_delta_detail('$d')").head().getLong(0))
     // the HOURS form needs wall-clock commits: a non-ICT table
     // refuses naming the reason (DeltaIctSpec proves the working form)
     val e = intercept[IllegalArgumentException] {
