@@ -154,6 +154,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.table("graft.db8.p").where("k = 'x'").count() == 1)
   }
 
+  test("DESCRIBE, SHOW TBLPROPERTIES and SHOW CREATE-adjacent surfaces read the log") {
+    ensureDb("db11")
+    spark.sql("CREATE TABLE graft.db11.d (id BIGINT, v STRING) " +
+      "TBLPROPERTIES ('delta.appendOnly' = 'false', 'team' = 'data')")
+    val desc = spark.sql("DESCRIBE TABLE graft.db11.d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("id").contains("bigint") && desc.get("v").contains("string"), desc)
+    val props = spark.sql("SHOW TBLPROPERTIES graft.db11.d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("team").contains("data"), props.toString)
+    spark.sql("ALTER TABLE graft.db11.d SET TBLPROPERTIES ('team' = 'ml')")
+    val props2 = spark.sql("SHOW TBLPROPERTIES graft.db11.d")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props2.get("team").contains("ml"), props2.toString)
+    // clustering surfaces in DESCRIBE's partitioning section
+    spark.sql("CREATE TABLE graft.db11.dc (a BIGINT, b BIGINT) CLUSTER BY (a, b)")
+    val descC = spark.sql("DESCRIBE TABLE graft.db11.dc").collect()
+      .map(_.getString(0))
+    assert(descC.exists(_.toLowerCase.contains("clustering")), descC.mkString("|"))
+  }
+
   test("CREATE TABLE with CHECK constraint declares the floor and enforces from the first write") {
     ensureDb("db10")
     spark.sql("CREATE TABLE graft.db10.c (id BIGINT, qty BIGINT, " +
