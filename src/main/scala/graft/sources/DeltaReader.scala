@@ -634,10 +634,74 @@ object DeltaReader {
     else built.reduce(_ unionByName _)
   }
 
+  /** Process-wide snapshot cache. A session running N queries against
+    * one table must not pay N× (commit-suffix JSON parse + checkpoint
+    * DataFrame setup + the gated `active` collect) — real delta-spark
+    * caches Snapshot per (log, version) for the same reason. Entries
+    * are validated by a FINGERPRINT of the `_delta_log` listing
+    * (names + lengths + mtimes, `_sidecars` included), so the cache is
+    * correct by construction against every way the log can change —
+    * graft commits, foreign writers, checkpoints, log compaction,
+    * VACUUM's retention cleaning, even a test fixture deleting commit
+    * files in place — with no invalidation hooks to miss: any listing
+    * change is a miss and a fresh replay. The validation probe costs
+    * one `listStatus` the replay needed anyway; what the hit skips is
+    * all parsing, DataFrame construction and (via the Snapshot's lazy
+    * `active`) the distributed resolve + gated collect.
+    *
+    * Keys carry the SparkSession identity: a Snapshot holds DataFrames
+    * bound to the session that built it, so entries never cross
+    * sessions. Bounded LRU (`spark.graft.delta.snapshotCache.maxEntries`,
+    * default 32 — each entry may pin up to a maxSnapshotFiles-gated
+    * file list, the same driver-heap class one in-flight query holds);
+    * `spark.graft.delta.snapshotCache.enabled=false` bypasses entirely.
+    */
+  private[graft] object SnapshotCache {
+    final case class Key(session: Int, logDir: String, version: Long)
+    @volatile private var maxEntries = 32
+    private val entries = new java.util.LinkedHashMap[Key, (Long, Snapshot)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[Key, (Long, Snapshot)]): Boolean =
+        size() > maxEntries
+    }
+    def get(key: Key, fingerprint: Long): Option[Snapshot] = entries.synchronized {
+      Option(entries.get(key)).collect { case (fp, snap) if fp == fingerprint => snap }
+    }
+    def put(key: Key, fingerprint: Long, snap: Snapshot, max: Int): Unit =
+      entries.synchronized {
+        maxEntries = max
+        entries.put(key, (fingerprint, snap))
+      }
+    private[graft] def clear(): Unit = entries.synchronized(entries.clear())
+  }
+
+  /** Counts ACTUAL log replays (cache misses) — the spec's evidence
+    * that N repeated reads at one version replay once.
+    */
+  private[graft] val replayCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** 64-bit FNV-1a over the sorted (name, length, mtime) triples of
+    * the log listing plus the `_sidecars` listing when present — any
+    * file appearing, disappearing or changing shape in the log
+    * directory changes the fingerprint.
+    */
+  private def logFingerprint(fs: org.apache.hadoop.fs.FileSystem,
+                             entries: Seq[org.apache.hadoop.fs.FileStatus]): Long = {
+    var h = 0xcbf29ce484222325L
+    def mix(x: Long): Unit = { h ^= x; h *= 0x100000001b3L }
+    def mixStr(str: String): Unit = { str.foreach(c => mix(c.toLong)); mix(-1L) }
+    val sidecars = entries.find(st => st.isDirectory && st.getPath.getName == "_sidecars")
+      .map(st => fs.listStatus(st.getPath).toSeq).getOrElse(Nil)
+    (entries ++ sidecars).sortBy(_.getPath.toString).foreach { st =>
+      mixStr(st.getPath.getName); mix(st.getLen); mix(st.getModificationTime)
+    }
+    h
+  }
+
   /** Replay the log to the target version: commit JSON driver-parsed
     * (bounded by checkpointInterval), checkpoint adds distributed with
     * lazy gated resolution (see class scaladoc); every FS touch goes
-    * through `fs`.
+    * through `fs`. Resolved snapshots are served from [[SnapshotCache]]
+    * while the log listing is byte-for-byte unchanged.
     */
   private[graft] def snapshot(s: SparkSession, dir: String,
                                 versionAsOf: Option[Long]): Snapshot = {
@@ -684,6 +748,19 @@ object DeltaReader {
           compactedEnds.contains(v),
         s"versionAsOf $v not present in $logPath")
     }
+
+    // cache lookup: key on the RESOLVED version (a latest-read and an
+    // explicit versionAsOf at the same version share one entry),
+    // validated by the listing fingerprint computed above the replay
+    val cacheOn = s.conf.get("spark.graft.delta.snapshotCache.enabled", "true").toBoolean
+    val fingerprint = if (cacheOn) logFingerprint(fs, entries) else 0L
+    val cacheKey = SnapshotCache.Key(System.identityHashCode(s),
+      fs.makeQualified(logPath).toString, target)
+    if (cacheOn) {
+      val hit = SnapshotCache.get(cacheKey, fingerprint)
+      if (hit.isDefined) return hit.get
+    }
+    replayCounter.incrementAndGet()
 
     // Last action per path in the post-checkpoint commit SUFFIX:
     // Some(add) = live (re-)add, None = removed. The suffix is bounded
@@ -1079,11 +1156,14 @@ object DeltaReader {
           cpActive ++ survivors
       }
     }
-    new Snapshot(target, resolveFn,
+    val snap = new Snapshot(target, resolveFn,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
       minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId,
       domainMeta, cpAddsDf, suffixFinal)
+    if (cacheOn) SnapshotCache.put(cacheKey, fingerprint, snap,
+      s.conf.get("spark.graft.delta.snapshotCache.maxEntries", "32").toInt)
+    snap
   }
 
   /** A checkpoint's `add` entries flattened to the resolution schema —

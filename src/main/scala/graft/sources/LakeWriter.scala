@@ -3838,9 +3838,17 @@ object LakeWriter {
     * Scale: the driver-side work is ONE snapshot replay at the horizon
     * plus one linear walk of the window's commit JSONs (never a
     * per-version re-replay — that would be O(window²) on a sparsely
-    * checkpointed table) plus one directory listing; data-file deletes
-    * are O(debris), not O(table). Returns the deleted paths (relative),
-    * sorted.
+    * checkpointed table) plus one TOP-LEVEL directory listing; the
+    * recursive candidate walk, the referenced-set filter and the
+    * orphan deletes all run distributed (one executor task per
+    * top-level subtree, the referenced set broadcast), so reclaim
+    * wall-time divides by executor-thread count instead of
+    * serializing ~50 ms object-store delete RPCs on the driver.
+    * Driver memory stays O(debris) — only the deleted rel paths (the
+    * return value) come back. Log-retention cleaning below the
+    * horizon stays a driver loop: it is bounded by the retained
+    * commit window, the same class as DESCRIBE HISTORY. Returns the
+    * deleted paths (relative), sorted.
     */
   def vacuumDelta(spark: SparkSession, dir: String, horizonVersion: Long,
                   dryRun: Boolean = false): Seq[String] = {
@@ -3907,39 +3915,43 @@ object LakeWriter {
     val cpFile = new org.apache.hadoop.fs.Path(log, f"$horizonVersion%020d.checkpoint.parquet")
     if (!dryRun && !fs.exists(cpFile)) checkpointDelta(spark, dir, horizonVersion)
     // candidate files: everything under the root except _/. prefixed
-    // segments (_delta_log, staging dirs, hidden files)
-    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        val n = st.getPath.getName
-        if (n.startsWith("_") || n.startsWith(".")) Nil
-        else if (st.isDirectory) walk(st.getPath) else Seq(st.getPath)
-      }
+    // segments (_delta_log, staging dirs, hidden files). The walk,
+    // the referenced-set filter AND the orphan deletes all run ON
+    // EXECUTORS — one task per top-level subtree (partition
+    // directories, the natural sharding of a partitioned table), the
+    // referenced set a broadcast (bounded by the same
+    // maxSnapshotFiles gate as the snapshot resolve) — so the driver
+    // never walks the table and never issues per-file delete RPCs:
+    // at object-store latencies (~50 ms/op) a driver-sequential
+    // reclaim of a few million orphans is days of wall-time, while
+    // this is (files / executor-threads) ops. Only the orphan rel
+    // paths (the return value, O(debris)) come back. Root-level
+    // plain files (an unpartitioned table's layout) are filtered
+    // against the in-memory listing and deleted through the same
+    // batched helper.
     val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
-    val deleted = walk(root).flatMap { p =>
-      val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      if (referenced.contains(rel)) None
-      else {
-        if (!dryRun) require(fs.delete(p, false), s"vacuumDelta: delete $p failed")
-        Some(rel)
+    val top = fs.listStatus(root).toSeq
+      .filterNot { st =>
+        val n = st.getPath.getName
+        n.startsWith("_") || n.startsWith(".")
       }
-    }
+    val (topDirs, topFiles) = top.partition(_.isDirectory)
+    val rootOrphans = topFiles
+      .map(st => fs.makeQualified(st.getPath).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/"))
+      .filterNot(referenced)
+    if (!dryRun) vacuumDeleteMany(spark, root, rootOrphans)
+    val subOrphans = vacuumReclaimSubtrees(spark, root.toString,
+      topDirs.map(_.getPath.toString), referenced.toSet, skipHidden = true, dryRun)
+    val deleted = rootOrphans ++ subOrphans
     // _change_data sits under an underscore prefix the data walk skips
-    // — reclaim its unreferenced files explicitly
+    // — reclaim its unreferenced files explicitly (same distributed
+    // machinery, hidden names included inside it)
     val cdcDir = new org.apache.hadoop.fs.Path(root, "_change_data")
-    def walkAll(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-      fs.listStatus(p).toSeq.flatMap { st =>
-        if (st.isDirectory) walkAll(st.getPath) else Seq(st.getPath)
-      }
     val deletedCdc =
       if (!fs.exists(cdcDir)) Nil
-      else walkAll(cdcDir).flatMap { p =>
-        val rel = fs.makeQualified(p).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-        if (cdcReferenced.contains(rel)) None
-        else {
-          if (!dryRun) require(fs.delete(p, false), s"vacuumDelta: delete $p failed")
-          Some(rel)
-        }
-      }
+      else vacuumReclaimSubtrees(spark, root.toString, Seq(cdcDir.toString),
+        cdcReferenced, skipHidden = false, dryRun)
     // log retention below the horizon: those versions' replay targets
     // are gone, so a read there must refuse via the not-present gate,
     // not die mid-scan on a missing file
@@ -3987,6 +3999,74 @@ object LakeWriter {
       }
     }
     (deleted ++ deletedCdc).sorted
+  }
+
+  /** VACUUM's distributed subtree reclaim: each seed directory walks,
+    * filters against the broadcast `referenced` set and deletes its
+    * orphans inside ONE executor task; only the orphan rel paths (the
+    * O(debris) return value) come back to the driver. Deletes are
+    * idempotent per task retry: a path the walk listed but a superseded
+    * attempt already removed counts as deleted, not as failure.
+    */
+  private def vacuumReclaimSubtrees(spark: SparkSession, rootStr: String,
+                                    dirs: Seq[String], referenced: Set[String],
+                                    skipHidden: Boolean, dryRun: Boolean): Seq[String] = {
+    if (dirs.isEmpty) return Nil
+    val hconfB = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val refB = spark.sparkContext.broadcast(referenced)
+    val slices = math.min(dirs.size, math.max(1, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(dirs, slices).flatMap { d =>
+      val rootP = new org.apache.hadoop.fs.Path(rootStr)
+      val efs = rootP.getFileSystem(hconfB.value.value)
+      val rootRel = efs.makeQualified(rootP).toUri.getPath.stripSuffix("/")
+      val ref = refB.value
+      def walk(p: org.apache.hadoop.fs.Path): Iterator[org.apache.hadoop.fs.Path] =
+        efs.listStatus(p).iterator.flatMap { st =>
+          val n = st.getPath.getName
+          if (skipHidden && (n.startsWith("_") || n.startsWith("."))) Iterator.empty
+          else if (st.isDirectory) walk(st.getPath)
+          else Iterator.single(st.getPath)
+        }
+      walk(new org.apache.hadoop.fs.Path(d)).flatMap { p =>
+        val rel = efs.makeQualified(p).toUri.getPath.stripPrefix(rootRel).stripPrefix("/")
+        if (ref.contains(rel)) None
+        else {
+          if (!dryRun) require(efs.delete(p, false) || !efs.exists(p),
+            s"vacuumDelta: delete $p failed")
+          Some(rel)
+        }
+      }
+    }.collect().toSeq
+  }
+
+  /** Delete root-relative paths: a short list deletes inline (no job
+    * scheduling for the common few-orphans vacuum), a long one fans
+    * out across executors.
+    */
+  private def vacuumDeleteMany(spark: SparkSession, root: org.apache.hadoop.fs.Path,
+                               rels: Seq[String]): Unit = {
+    if (rels.isEmpty) return
+    if (rels.size < 64) {
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      rels.foreach { rel =>
+        val p = new org.apache.hadoop.fs.Path(root, rel)
+        require(fs.delete(p, false) || !fs.exists(p), s"vacuumDelta: delete $p failed")
+      }
+    } else {
+      val hconfB = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      val rootStr = root.toString
+      val slices = math.min(rels.size, math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(rels, slices).foreachPartition { it =>
+        val rootP = new org.apache.hadoop.fs.Path(rootStr)
+        val efs = rootP.getFileSystem(hconfB.value.value)
+        it.foreach { rel =>
+          val p = new org.apache.hadoop.fs.Path(rootP, rel)
+          require(efs.delete(p, false) || !efs.exists(p), s"vacuumDelta: delete $p failed")
+        }
+      }
+    }
   }
 
   /** Z-ORDER compaction (OPTIMIZE ZORDER BY) for Delta tables: every

@@ -104,6 +104,49 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
   }
 
+  test("distributed reclaim: partitioned table with debris in partition dirs, DRY RUN first") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_part_").toFile.getPath
+    val df = (0L until 40L).map(i => (i, s"p${i % 4}")).toDF("id", "p")
+    LakeWriter.writeDelta(df, dir, partitionBy = Seq("p"))
+    // a rewrite creates pre-horizon tombstones inside every partition dir
+    LakeWriter.compactDelta(spark, dir)
+    // failed-writer debris inside two partition subtrees
+    Seq("p=p0", "p=p3").foreach { pd =>
+      java.nio.file.Files.write(
+        new java.io.File(new java.io.File(dir, pd), "debris.parquet").toPath,
+        Array[Byte](1, 2, 3))
+    }
+    val before = DeltaReader.read(spark, dir).select("id").as[Long].collect().toSet
+    assert(before == (0L until 40L).toSet)
+    // DRY RUN names the candidates and touches nothing
+    val planned = LakeWriter.vacuumDelta(spark, dir, horizonVersion = 1L, dryRun = true)
+    assert(planned.count(_.endsWith("debris.parquet")) == 2, planned.mkString(", "))
+    assert(planned.size > 2, "the compaction's tombstoned originals must be candidates too")
+    planned.foreach(rel => assert(new java.io.File(dir, rel).exists(),
+      s"DRY RUN must not delete $rel"))
+    // the real pass deletes exactly the planned set, across partition subtrees
+    val deleted = LakeWriter.vacuumDelta(spark, dir, horizonVersion = 1L)
+    assert(deleted.sorted == planned.sorted)
+    deleted.foreach(rel => assert(!new java.io.File(dir, rel).exists(), rel))
+    assert(DeltaReader.read(spark, dir).select("id").as[Long].collect().toSet == before)
+  }
+
+  test("distributed delete path handles >64 root-level orphans") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_many_").toFile.getPath
+    LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "v"), dir)
+    val orphans = (0 until 100).map(i => f"orphan_$i%03d.parquet")
+    orphans.foreach(n => java.nio.file.Files.write(
+      new java.io.File(dir, n).toPath, Array[Byte](1)))
+    val deleted = LakeWriter.vacuumDelta(spark, dir, horizonVersion = 0L)
+    assert(deleted.toSet == orphans.toSet, deleted.take(5).mkString(", "))
+    orphans.foreach(n => assert(!new java.io.File(dir, n).exists(), n))
+    assert(rows(DeltaReader.read(spark, dir)) == Set((1L, "a")))
+  }
+
   test("vacuum on a deletion-vector table keeps the DV view intact") {
     val (dir, log) = mkTable()
     val f0 = part(dir, "part-0000.parquet", Seq((0L, "a"), (1L, "b")))
