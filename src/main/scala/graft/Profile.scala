@@ -49,6 +49,8 @@ object Profile {
         stressDeltaMutate(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "stress-dv-scatter" =>
         stressDvScatter(spark, args.lift(1).map(_.toInt).getOrElse(2000))
+      case "stress-vacuum" =>
+        stressVacuum(spark, args.lift(1).map(_.toInt).getOrElse(100000))
       case "stress-cluster" =>
         stressCluster(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta-files" =>
@@ -356,6 +358,57 @@ object Profile {
       s"${after.count(a => !base.contains(a.path))} file(s)")
     val cnt = DeltaReader.read(spark, dir.getPath).count()
     require(cnt == baseRows.toLong + appendRows, s"row drift: $cnt")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** VACUUM's distributed reclaim at file counts a driver loop cannot
+    * survive: a live partitioned table plus `nOrphans` failed-writer
+    * debris files scattered across its partition directories, then
+    * DRY RUN (the walk + filter) and the real reclaim, both
+    * distributed. Run twice — GRAFT_EXTRA_CONF="spark.master=local[2]"
+    * vs the default local[32] — to see the reclaim phase scale with
+    * executor-thread count.
+    */
+  def stressVacuum(spark: SparkSession, nOrphans: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    import org.apache.spark.sql.functions._
+    val parts = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_vacuum_").toFile
+    time(s"create_live_table_${parts}_partitions") {
+      LakeWriter.writeDelta(
+        spark.range(parts * 2000L)
+          .select(col("id"), (col("id") % parts).cast("string").as("p"))
+          .repartition(parts * 2), dir.getPath, partitionBy = Seq("p"))
+    }
+    val liveCount = DeltaReader.snapshot(spark, dir.getPath, None).active.size
+    // debris written FROM EXECUTORS into the partition dirs — the
+    // shape a fleet of crashed writers leaves behind
+    val rootStr = dir.getPath
+    time(s"scatter_${nOrphans}_orphans") {
+      spark.range(nOrphans.toLong).repartition(64).foreachPartition {
+        it: Iterator[java.lang.Long] =>
+          it.foreach { i =>
+            val f = new java.io.File(
+              new java.io.File(rootStr, s"p=${i % parts}"), f"orphan_$i%08d.parquet")
+            val out = new java.io.FileOutputStream(f)
+            try out.write(1) finally out.close()
+          }
+      }
+    }
+    val planned = time(s"vacuum_dry_run_${nOrphans}_candidates") {
+      LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 0L, dryRun = true)
+    }
+    require(planned.size == nOrphans, s"expected $nOrphans candidates, got ${planned.size}")
+    val deleted = time(s"vacuum_reclaim_${nOrphans}_orphans") {
+      LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 0L)
+    }
+    require(deleted.size == nOrphans, s"expected $nOrphans deleted, got ${deleted.size}")
+    val after = DeltaReader.snapshot(spark, dir.getPath, None).active.size
+    require(after == liveCount, s"live files drifted: $liveCount -> $after")
+    val cnt = DeltaReader.read(spark, dir.getPath).count()
+    require(cnt == parts * 2000L, s"row drift: $cnt")
+    println(s"  reclaimed $nOrphans orphans across $parts partition dirs; " +
+      s"$liveCount live files untouched")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 

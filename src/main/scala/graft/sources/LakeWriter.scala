@@ -1753,6 +1753,15 @@ object LakeWriter {
         if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) Seq(st) else Nil
       }
+    // write-time file sizing (`delta.autoOptimize.optimizeWrite`): the
+    // staged partitions coalesce toward delta.targetFileSize BEFORE
+    // the commit, so many-task writes and tiny streaming batches don't
+    // mint a small-file-per-task debt that only scheduled OPTIMIZE
+    // clears. Cost is one extra pass over the BATCH (never the table);
+    // sizing reads the real staged byte counts, not an estimate.
+    val sizingConf = if (ictConf.nonEmpty) ictConf else configuration
+    if (sizingConf.get("delta.autoOptimize.optimizeWrite").contains("true"))
+      optimizeWriteFold(spark, fs, stage, walk(stage), targetFileSizeOf(sizingConf))
     val stageUri = stage.toUri.getPath.stripSuffix("/")
     val staged = walk(stage).sortBy(_.getPath.toString)
     // footer-derived add.stats BEFORE the move (metadata-only read of
@@ -1976,6 +1985,95 @@ object LakeWriter {
     }
     if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
       checkpointDelta(spark, dir, v)
+    // post-commit small-file maintenance (`delta.autoOptimize.autoCompact`):
+    // once a partition accumulates minNumFiles sub-threshold files, a
+    // follow-up OPTIMIZE-shaped commit folds exactly those — gated on
+    // dataChange commits so maintenance rewrites never re-trigger it
+    if (addDataChange && sizingConf.get("delta.autoOptimize.autoCompact").contains("true"))
+      autoCompactMaybe(spark, dir, sizingConf)
+  }
+
+  /** `delta.targetFileSize` in bytes (default 1 GiB) — the sizing knob
+    * optimizeWrite coalesces toward and autoCompact counts debt
+    * against (a file under half of it is "small").
+    */
+  private def targetFileSizeOf(conf: Map[String, String]): Long = {
+    val t = conf.get("delta.targetFileSize").map(_.trim.toLong).getOrElse(1L << 30)
+    require(t > 0, s"delta.targetFileSize must be positive, got $t")
+    t
+  }
+
+  /** optimizeWrite's staged-partition coalesce: each staged directory
+    * whose file count exceeds ceil(bytes/target) rewrites to exactly
+    * that many files, in place under the staging dir (the commit then
+    * moves and stats them like any staged file). Groups rewrite
+    * concurrently from a bounded driver pool — same shape as the
+    * footer-stats pool; each group's read lists LEAF files explicitly,
+    * so no partition-type inference can reinterpret `col=value`
+    * directory names.
+    */
+  private def optimizeWriteFold(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
+                                stage: org.apache.hadoop.fs.Path,
+                                staged: Seq[org.apache.hadoop.fs.FileStatus],
+                                target: Long): Unit = {
+    val groups = staged.groupBy(_.getPath.getParent).filter { case (_, fsts) =>
+      val total = fsts.map(_.getLen).sum
+      fsts.size > math.max(1L, (total + target - 1) / target)
+    }
+    if (groups.isEmpty) return
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, groups.size))
+    try {
+      import scala.jdk.CollectionConverters._
+      pool.invokeAll(groups.toSeq.map { case (parent, fsts) =>
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            val total = fsts.map(_.getLen).sum
+            val n = math.max(1L, (total + target - 1) / target).toInt
+            val tmp = new org.apache.hadoop.fs.Path(stage,
+              s".ow_${java.util.UUID.randomUUID().toString.take(8)}")
+            val in = spark.read.parquet(fsts.map(_.getPath.toString): _*)
+            (if (n == 1) in.coalesce(1) else in.repartition(n))
+              .write.parquet(tmp.toString)
+            val outs = fs.listStatus(tmp).map(_.getPath)
+              .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+            require(outs.nonEmpty, "optimizeWrite fold wrote no files")
+            fsts.foreach(st => require(fs.delete(st.getPath, false),
+              s"optimizeWrite: delete ${st.getPath} failed"))
+            outs.foreach(o => require(fs.rename(o, new org.apache.hadoop.fs.Path(parent, o.getName)),
+              s"optimizeWrite: rename $o failed"))
+            fs.delete(tmp, true)
+          }
+        }
+      }.asJava).asScala.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
+  /** autoCompact's trigger: when any partition holds >= minNumFiles
+    * files under target/2, fold exactly the small files
+    * ([[compactDelta]] with the `smallerThan` candidate filter — cost
+    * ∝ debt, converged partitions untouched). Tables whose column
+    * mapping or writer features compactDelta would refuse skip
+    * silently: the APPEND already committed, and failing it
+    * retroactively for optional maintenance would be a lie.
+    */
+  private def autoCompactMaybe(spark: SparkSession, dir: String,
+                               conf: Map[String, String]): Unit = {
+    val target = targetFileSizeOf(conf)
+    val minN = spark.conf.get("spark.graft.delta.autoCompact.minNumFiles", "32").toInt
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none") return
+    val rt = RowTracking.preservedProfileReady(snap)
+    val safe = Set("appendOnly", "invariants", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening",
+      "variantType", IdentityColumns.Feature) ++ Clustering.Features ++
+      (if (rt) RowTracking.Features else Set.empty[String])
+    if (snap.minWriter > 5 &&
+      !(snap.minWriter == 7 && snap.writerFeatures.forall(safe))) return
+    val debt = snap.active.filter(_.size < target / 2).groupBy(_.partitionValues)
+    if (debt.values.exists(_.size >= minN))
+      compactDelta(spark, dir, minFiles = minN, targetFileBytes = target,
+        operation = "auto compact", smallerThan = Some(target / 2))
   }
 
   /** Newest committed version in the log (-1 if none). */
@@ -2137,7 +2235,8 @@ object LakeWriter {
                    targetFileBytes: Long = 1L << 30,
                    where: Option[String] = None,
                    dvOnly: Boolean = false,
-                   operation: String = "OPTIMIZE"): Unit = {
+                   operation: String = "OPTIMIZE",
+                   smallerThan: Option[Long] = None): Unit = {
     require(targetFileBytes > 0, s"compactDelta: targetFileBytes $targetFileBytes")
     val snap = DeltaReader.snapshot(spark, dir, None)
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
@@ -2184,7 +2283,13 @@ object LakeWriter {
     // deletion vectors (materialize their deletes into clean files) —
     // cost ∝ DV debt, not table size; the orphaned sidecars fall to
     // VACUUM once their last referencing version ages out
-    val candidates = if (dvOnly) scopedActive.filter(_.dv.nonEmpty) else scopedActive
+    val candidates0 = if (dvOnly) scopedActive.filter(_.dv.nonEmpty) else scopedActive
+    // `smallerThan` (the autoCompact path): only sub-threshold files
+    // are candidates, so a converged partition of target-sized files
+    // never re-folds — rewrite cost stays ∝ small-file DEBT, never
+    // ∝ partition size
+    val candidates = smallerThan.map(t => candidates0.filter(_.size < t))
+      .getOrElse(candidates0)
     val groups = candidates.groupBy(_.partitionValues).filter(_._2.size >= minFiles)
     if (groups.isEmpty) return
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -4124,7 +4229,8 @@ object LakeWriter {
                           filesPerPartition: Int = 8,
                           where: Option[String] = None,
                           op: String = "compactDeltaCluster",
-                          full: Boolean = false): Unit = {
+                          full: Boolean = false,
+                          targetFileBytes: Long = 1L << 30): Unit = {
     import org.apache.spark.sql.functions.{col, lit, percentile_approx}
     import org.apache.spark.sql.types._
     require(filesPerPartition > 0, s"$op: filesPerPartition $filesPerPartition")
@@ -4181,8 +4287,32 @@ object LakeWriter {
     // on clustered files)
     val active =
       if (full || zorder) scoped
-      else scoped.filterNot(a =>
-        a.clusteringProvider.contains("liquid") && a.dv.isEmpty)
+      else {
+        val (settled, fresh) = scoped.partition(a =>
+          a.clusteringProvider.contains("liquid") && a.dv.isEmpty)
+        // SMALL-CUBE FOLDING: without it, K incremental passes leave K
+        // overlapping cubes and range pruning degrades until an
+        // explicit FULL. Sub-target liquid files rejoin candidates on
+        // an LSM-style tiered schedule — greedy smallest-first, a file
+        // folds only while its size fits inside the pass's running
+        // rewrite budget (new bytes + already-folded bytes). Equal
+        // appends then fold like a binary counter: cube count stays
+        // O(log(table/append)) while per-pass cost stays amortized
+        // ∝ new data — a cube much larger than the recent appends is
+        // settled and never rewrites (until the appends grow to its
+        // scale, when rewriting it IS proportional work). Files at or
+        // above targetFileBytes/2 are permanently settled regardless.
+        var running = fresh.map(_.size).sum
+        val folded = Seq.newBuilder[DeltaReader.AddFile]
+        val foldable = settled.filter(_.size < targetFileBytes / 2).sortBy(_.size)
+        var i = 0
+        while (i < foldable.size && foldable(i).size <= running) {
+          running += foldable(i).size
+          folded += foldable(i)
+          i += 1
+        }
+        fresh ++ folded.result()
+      }
     if (active.isEmpty) return
 
     // quantile bounds from the REWRITTEN files only: an incremental
