@@ -657,7 +657,13 @@ object DeltaReader {
     * `spark.graft.delta.snapshotCache.enabled=false` bypasses entirely.
     */
   private[graft] object SnapshotCache {
-    final case class Key(session: Int, logDir: String, version: Long)
+    /** `maxFiles` is part of the key because the gated resolve's
+      * REFUSAL behavior is a function of it: a session that tightens
+      * spark.graft.delta.maxSnapshotFiles must see a fresh resolve
+      * that enforces the new gate, not a list materialized under the
+      * old one.
+      */
+    final case class Key(session: Int, logDir: String, version: Long, maxFiles: Long)
     @volatile private var maxEntries = 32
     private val entries = new java.util.LinkedHashMap[Key, (Long, Snapshot)](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Key, (Long, Snapshot)]): Boolean =
@@ -755,7 +761,8 @@ object DeltaReader {
     val cacheOn = s.conf.get("spark.graft.delta.snapshotCache.enabled", "true").toBoolean
     val fingerprint = if (cacheOn) logFingerprint(fs, entries) else 0L
     val cacheKey = SnapshotCache.Key(System.identityHashCode(s),
-      fs.makeQualified(logPath).toString, target)
+      fs.makeQualified(logPath).toString, target,
+      s.conf.getOption("spark.graft.delta.maxSnapshotFiles").map(_.toLong).getOrElse(4000000L))
     if (cacheOn) {
       val hit = SnapshotCache.get(cacheKey, fingerprint)
       if (hit.isDefined) return hit.get
