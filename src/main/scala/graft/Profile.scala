@@ -51,6 +51,8 @@ object Profile {
         stressDvScatter(spark, args.lift(1).map(_.toInt).getOrElse(2000))
       case "stress-vacuum" =>
         stressVacuum(spark, args.lift(1).map(_.toInt).getOrElse(100000))
+      case "stress-snapshot-cache" =>
+        stressSnapshotCache(spark, args.lift(1).map(_.toInt).getOrElse(40))
       case "stress-cluster" =>
         stressCluster(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta-files" =>
@@ -358,6 +360,36 @@ object Profile {
       s"${after.count(a => !base.contains(a.path))} file(s)")
     val cnt = DeltaReader.read(spark, dir.getPath).count()
     require(cnt == baseRows.toLong + appendRows, s"row drift: $cnt")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** The snapshot cache's per-query win: a session analyzing N queries
+    * against one table pays the log replay (commit-suffix JSON parse +
+    * checkpoint DataFrame setup) once, not N times. Measures 100 plan
+    * constructions with the cache on vs off against a table with a
+    * checkpoint base and a `commits`-deep suffix.
+    */
+  def stressSnapshotCache(spark: SparkSession, commits: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_snapcache_").toFile
+    LakeWriter.writeDelta(spark.range(0, 10000)
+      .select(col("id"), (col("id") % 7).as("m")).coalesce(2), dir.getPath)
+    LakeWriter.checkpointDelta(spark, dir.getPath, 0L)
+    (1 to commits).foreach { k =>
+      LakeWriter.appendDelta(spark.range(k * 10000L, k * 10000L + 100)
+        .select(col("id"), (col("id") % 7).as("m")).coalesce(1), dir.getPath)
+    }
+    def plans(n: Int): Unit =
+      (1 to n).foreach(_ => DeltaReader.read(spark, dir.getPath).queryExecution.analyzed)
+    plans(3) // warm both paths' class loading
+    val r0 = DeltaReader.replayCounter.get()
+    time(s"100_plan_builds_cache_on_${commits}_commit_suffix") { plans(100) }
+    val hits = 100 - (DeltaReader.replayCounter.get() - r0)
+    spark.conf.set("spark.graft.delta.snapshotCache.enabled", "false")
+    try time(s"100_plan_builds_cache_off_${commits}_commit_suffix") { plans(100) }
+    finally spark.conf.unset("spark.graft.delta.snapshotCache.enabled")
+    println(s"  cache served $hits/100 snapshot resolutions without a replay")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 

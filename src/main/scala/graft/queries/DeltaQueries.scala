@@ -263,6 +263,29 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // WRITE-TIME FILE SIZING: optimizeWrite folds each batch's 8 task
+    // files to one staged add, autoCompact folds the accumulating
+    // per-batch debt once it reaches minNumFiles — after a create + 4
+    // tiny appends the table holds a BOUNDED file count (required
+    // loudly) and exactly the union of the batches' rows
+    "delta_sizing" -> ((s, dir) => {
+      val d = freshDir("sz")
+      val src = t(s, dir, "orders").where("o_orderkey % 10 < 6")
+      s.conf.set("spark.graft.delta.autoCompact.minNumFiles", "4")
+      try {
+        LakeWriter.writeDelta(src.where("o_orderkey % 5 = 0").repartition(8), d,
+          configuration = Map(
+            "delta.autoOptimize.optimizeWrite" -> "true",
+            "delta.autoOptimize.autoCompact" -> "true"))
+        (1 to 4).foreach { k =>
+          LakeWriter.appendDelta(src.where(s"o_orderkey % 5 = $k").repartition(8), d)
+        }
+        val n = DeltaReader.snapshot(s, d, None).active.size
+        require(n <= 4, s"write-time sizing failed to bound the file count: $n live files")
+        statusAgg(DeltaReader.read(s, d))
+      } finally s.conf.unset("spark.graft.delta.autoCompact.minNumFiles")
+    }),
+
     // schema evolution: even keys land at v0 with the base schema,
     // odd keys evolve-append a new o_bucket column at v1; the latest
     // read null-fills the old rows
@@ -600,6 +623,11 @@ object DeltaQueries {
     "delta_cluster" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 7
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_sizing" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_evolve" ->

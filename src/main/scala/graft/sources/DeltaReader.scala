@@ -137,6 +137,16 @@ object DeltaReader {
       */
     def activeMatching(partition: Map[String, String]): Seq[AddFile] =
       if (partition.isEmpty) active else resolve(Some(partition))
+
+    /** Memo for the plain full-table scan DataFrame ([[DeltaReader.read]]):
+      * a Snapshot is immutable and (via the cache) shared across a
+      * session's queries, so the scan plan — whose construction pays a
+      * per-file-listing InMemoryFileIndex setup — is built once per
+      * (table, version), not once per query. DataFrame plans are
+      * immutable; reuse across queries is exactly what a cached
+      * DataFrame already does.
+      */
+    private[graft] var fullScanMemo: Option[DataFrame] = None
   }
 
   /** RFC 2396 percent-decoding of `add.path` — NOT URLDecoder, whose
@@ -1511,7 +1521,13 @@ object DeltaReader {
 
   def read(s: SparkSession, dir: String, versionAsOf: Option[Long] = None): DataFrame = {
     val snap = snapshot(s, dir, versionAsOf)
-    scanFiles(s, dir, snap, snap.active)
+    snap.synchronized {
+      snap.fullScanMemo.getOrElse {
+        val df = scanFiles(s, dir, snap, snap.active)
+        snap.fullScanMemo = Some(df)
+        df
+      }
+    }
   }
 
   /** Read a ROW-TRACKING table with its row identities: the table
