@@ -36,10 +36,23 @@ object DeltaStats {
 
   private val sharedOm = new com.fasterxml.jackson.databind.ObjectMapper()
 
+  /** `delta.dataSkippingNumIndexedCols` (delta-spark's knob, default
+    * 32): per-column stats cover only the first N top-level columns in
+    * schema order; -1 means all. The point is WIDE tables at scale —
+    * add.stats JSON rides in every commit, checkpoint and snapshot
+    * resolve, so a 2000-column table indexing everything pays
+    * ~60× the metadata bytes of the default for columns nobody
+    * filters on. A missing column's stats read as "may match"
+    * (pruning stays sound), and `numRecords` is always written.
+    */
+  def indexedColsOf(tableConf: Map[String, String]): Int =
+    tableConf.get("delta.dataSkippingNumIndexedCols").map(_.trim.toInt).getOrElse(32)
+
   /** Footer-derived stats JSON for one staged parquet file, or None if
     * the footer is unreadable (the add simply carries no stats).
     */
-  def fileStats(path: Path, conf: Configuration): Option[String] =
+  def fileStats(path: Path, conf: Configuration,
+                numIndexedCols: Int = 32): Option[String] =
     try {
       // local paths open via java.nio directly: the Hadoop
       // LocalFileSystem route pays checksum-FS overhead and a shared
@@ -54,6 +67,13 @@ object DeltaStats {
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = rdr.getFooter.getBlocks
+        // the indexed prefix, in footer-schema (= staged table) order
+        import scala.jdk.CollectionConverters._
+        val topLevel = rdr.getFooter.getFileMetaData.getSchema.getFields
+          .asScala.map(_.getName)
+        val indexed: String => Boolean =
+          if (numIndexedCols < 0) _ => true
+          else topLevel.take(numIndexedCols).toSet
         val om = sharedOm
         val root = om.createObjectNode()
         var numRecords = 0L
@@ -73,7 +93,7 @@ object DeltaStats {
           while (cit.hasNext) {
             val c = cit.next()
             val pathArr = c.getPath.toArray
-            if (pathArr.length == 1) {
+            if (pathArr.length == 1 && indexed(pathArr(0))) {
               val name = pathArr(0)
               val agg = aggs.getOrElseUpdate(name, Agg(null, null, 0L, ok = true,
                 hasValues = false))

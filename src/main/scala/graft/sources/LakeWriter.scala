@@ -1778,7 +1778,8 @@ object LakeWriter {
         pool.invokeAll(staged.map { st =>
           new java.util.concurrent.Callable[(String, Option[String])] {
             def call(): (String, Option[String]) =
-              st.getPath.toString -> graft.sources.DeltaStats.fileStats(st.getPath, hconf)
+              st.getPath.toString -> graft.sources.DeltaStats.fileStats(st.getPath, hconf,
+                graft.sources.DeltaStats.indexedColsOf(sizingConf))
           }
         }.asJava).asScala.map(_.get()).toMap
       } finally pool.shutdown()
@@ -2318,31 +2319,59 @@ object LakeWriter {
       // columns from the log; the staged files must NOT contain them
       // (the layout keeps them directory-encoded), so drop them back
       val sub = new org.apache.hadoop.fs.Path(stage, s"g$i")
-      // a 100-TB partition must NOT fold into one giant file: bound
-      // output size by targetFileBytes (ceil of the group's live
-      // bytes), so compaction converges on ~target-sized files
-      // instead of growing monotonically with partition size
-      val groupBytes = files.map(_.size).sum
-      val outFiles = math.max(1L,
-        (groupBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      // a 100-TB partition must NOT fold into one giant file: BIN-PACK
+      // the group's files into bins of ≤ targetFileBytes (greedy, in
+      // the group's path order — write order, so time/range locality
+      // in the inputs carries into the bins' min/max envelopes), one
+      // output file per bin. Each bin rewrites as its own coalesce(1)
+      // job, jobs submitted CONCURRENTLY from a bounded driver pool
+      // (delta-spark's own OPTIMIZE shape) — ZERO exchanges anywhere:
+      // real OPTIMIZE concatenates files, it never pays a network
+      // shuffle of every folded byte the way a repartition rewrite
+      // would (at 100 TB the shuffle IS the cost), and a shuffle
+      // would additionally randomize the per-file stats envelopes
+      // data skipping lives off. (A union of coalesce(1) branches is
+      // NOT equivalent: the optimizer collapses it to one partition.)
+      val bins = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[DeltaReader.AddFile])
+      var binBytes = 0L
+      files.sortBy(_.path).foreach { f =>
+        if (bins.last.nonEmpty && binBytes + f.size > targetFileBytes) {
+          bins += scala.collection.mutable.ArrayBuffer.empty[DeltaReader.AddFile]
+          binBytes = 0L
+        }
+        bins.last += f
+        binBytes += f.size
+      }
       // preserved profile: the group scans WITH effective row ids
       // (materialized-or-derived, same rule as the reader) and writes
       // them back under the materialized column names
-      val scan = matCols match {
+      def scanOf(fsub: Seq[DeltaReader.AddFile]) = matCols match {
         case Some((idc, vc)) =>
-          DeltaReader.scanFilesWithRowIds(spark, dir, snap, files)
+          DeltaReader.scanFilesWithRowIds(spark, dir, snap, fsub)
             .withColumnRenamed("_row_id", idc)
             .withColumnRenamed("_row_commit_version", vc)
             .drop(snap.partCols: _*)
         case None =>
-          DeltaReader.scanFiles(spark, dir, snap, files)
+          DeltaReader.scanFiles(spark, dir, snap, fsub)
             .drop(snap.partCols: _*)
       }
-      (if (outFiles == 1) scan.coalesce(1) else scan.repartition(outFiles))
-        .write.parquet(sub.toString)
-      val part = fs.listStatus(sub).map(_.getPath)
+      locally {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(8, bins.size))
+        try {
+          import scala.jdk.CollectionConverters._
+          pool.invokeAll(bins.toSeq.zipWithIndex.map { case (b, j) =>
+            new java.util.concurrent.Callable[Unit] {
+              def call(): Unit = scanOf(b.toSeq).coalesce(1)
+                .write.parquet(new org.apache.hadoop.fs.Path(sub, s"b$j").toString)
+            }
+          }.asJava).asScala.foreach(_.get())
+        } finally pool.shutdown()
+      }
+      val part = fs.listStatus(sub).flatMap(d => fs.listStatus(d.getPath)).map(_.getPath)
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .sortBy(_.getName)
+        .sortBy(_.toString)
       require(part.nonEmpty, "compaction wrote no files")
       // destination keeps the partition directory so the layout stays
       // hive-readable. The directory part of `rel` is reused straight
@@ -2380,10 +2409,17 @@ object LakeWriter {
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
         val size = fs.getFileStatus(pf).getLen
+        // footer stats for the COMPACTED file — without them OPTIMIZE
+        // would silently destroy data skipping on everything it
+        // rewrites (the add replaces a stats-carrying one), and the
+        // very tables big enough to need compaction are the ones
+        // whose narrow mutations live off the pruning
+        val stats = graft.sources.DeltaStats.fileStats(pf, hconf,
+          graft.sources.DeltaStats.indexedColsOf(snap.configuration))
+        val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
         // every add in a tracked table carries a (fresh, shadowed)
         // baseRowId range — footer numRecords sizes it exactly
         val rtJson = if (!rt) "" else {
-          val stats = graft.sources.DeltaStats.fileStats(pf, hconf)
           val nr = stats.map(st => om.readTree(st).get("numRecords").asLong())
             .getOrElse(throw new IllegalArgumentException(
               s"compactDelta: rewritten file $pf produced no footer stats — " +
@@ -2393,7 +2429,7 @@ object LakeWriter {
           s""","baseRowId":$base,"defaultRowCommitVersion":${snap.version + 1}"""
         }
         require(fs.rename(pf, dest), s"rename $pf -> $dest failed")
-        actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false$rtJson}}"""
+        actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false$statsJson$rtJson}}"""
       }
       files.foreach { f =>
         actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"dataChange":false}}"""
@@ -3097,7 +3133,8 @@ object LakeWriter {
         val relDir = rel0.split('/').dropRight(1).mkString("/")
         val name = s"part-updv-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-        val stats = DeltaStats.fileStats(st.getPath, hconf)
+        val stats = DeltaStats.fileStats(st.getPath, hconf,
+          DeltaStats.indexedColsOf(snap.configuration))
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
@@ -3308,7 +3345,8 @@ object LakeWriter {
         val relDir = rel0.split('/').dropRight(1).mkString("/")
         val name = s"part-cdc-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
-        val stats = DeltaStats.fileStats(st.getPath, hconf)
+        val stats = DeltaStats.fileStats(st.getPath, hconf,
+          DeltaStats.indexedColsOf(snap.configuration))
         newAddStats += stats
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)

@@ -1,0 +1,81 @@
+package graft
+
+import graft.sources.{DeltaReader, DeltaStats, LakeWriter}
+import org.apache.spark.sql.functions._
+
+/** Wide-table stats economics (`delta.dataSkippingNumIndexedCols`,
+  * delta-spark's knob) and OPTIMIZE's stats preservation: add.stats
+  * JSON rides in every commit/checkpoint/resolve, so wide tables cap
+  * the indexed column prefix — and a compaction rewrite must re-emit
+  * stats or it silently destroys data skipping on the files it folds.
+  */
+class DeltaStatsCapSpec extends SparkSpec {
+
+  private val om = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toFile.getPath
+
+  private def wide(n: Int) = {
+    val cols = (0 until n).map(i => expr(s"id * ${i + 1}").as(s"c$i"))
+    spark.range(0, 100).select(cols: _*).coalesce(1)
+  }
+
+  private def minCols(dir: String): Set[String] = {
+    val a = DeltaReader.snapshot(spark, dir, None).active.head
+    val mv = om.readTree(a.stats.get).get("minValues")
+    val it = mv.fieldNames(); val b = Set.newBuilder[String]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  test("stats index the first 32 columns by default; the property tightens or lifts the cap") {
+    val d32 = tmp("graft_statscap_d_")
+    LakeWriter.writeDelta(wide(40), d32)
+    val defCols = minCols(d32)
+    assert(defCols.size == 32 && defCols.contains("c0") && defCols.contains("c31") &&
+      !defCols.contains("c32"), defCols.toSeq.sorted.mkString(", "))
+
+    val d8 = tmp("graft_statscap_8_")
+    LakeWriter.writeDelta(wide(40), d8,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "8"))
+    assert(minCols(d8) == (0 until 8).map(i => s"c$i").toSet)
+
+    val dAll = tmp("graft_statscap_all_")
+    LakeWriter.writeDelta(wide(40), dAll,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "-1"))
+    assert(minCols(dAll).size == 40)
+
+    // numRecords always present; a predicate on an UNINDEXED column
+    // still answers exactly (missing stats read as may-match)
+    val a = DeltaReader.snapshot(spark, d8, None).active.head
+    assert(om.readTree(a.stats.get).get("numRecords").asLong() == 100L)
+    assert(DeltaReader.readWhere(spark, d8, "c35 = 360").count() ==
+      DeltaReader.read(spark, d8).where("c35 = 360").count())
+  }
+
+  test("OPTIMIZE re-emits footer stats on compacted files; skipping still prunes") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_statscap_opt_")
+    LakeWriter.writeDelta(spark.range(0, 100).toDF("id")
+      .repartitionByRange(2, col("id")), dir)
+    LakeWriter.appendDelta(spark.range(100, 400).toDF("id")
+      .repartitionByRange(6, col("id")), dir)
+    LakeWriter.compactDelta(spark, dir, minFiles = 2, targetFileBytes = 2000L)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.active.size > 1 && snap.active.size < 8,
+      s"expected a multi-bin fold, got ${snap.active.size} files")
+    snap.active.foreach { a =>
+      assert(a.stats.isDefined, s"compacted add ${a.path} lost its stats")
+      val n = om.readTree(a.stats.get)
+      assert(n.get("minValues").has("id") && n.get("numRecords").asLong() > 0L)
+    }
+    // pruning on the compacted layout: a point predicate reads fewer
+    // files than the table holds, and exactly the right rows
+    val hit = DeltaReader.readWhere(spark, dir, "id = 250")
+    assert(hit.as[Long].collect().toSeq == Seq(250L))
+    assert(hit.inputFiles.length < snap.active.size,
+      s"no pruning: ${hit.inputFiles.length} of ${snap.active.size} files read")
+  }
+}
