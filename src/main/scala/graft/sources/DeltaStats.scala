@@ -52,7 +52,8 @@ object DeltaStats {
     * the footer is unreadable (the add simply carries no stats).
     */
   def fileStats(path: Path, conf: Configuration,
-                numIndexedCols: Int = 32): Option[String] =
+                numIndexedCols: Int = 32,
+                alwaysInclude: Set[String] = Set.empty): Option[String] =
     try {
       // local paths open via java.nio directly: the Hadoop
       // LocalFileSystem route pays checksum-FS overhead and a shared
@@ -71,9 +72,14 @@ object DeltaStats {
         import scala.jdk.CollectionConverters._
         val topLevel = rdr.getFooter.getFileMetaData.getSchema.getFields
           .asScala.map(_.getName)
+        // `alwaysInclude` rides over the cap: identity watermark
+        // advance is DERIVED from these stats, so the identity
+        // column's bounds must exist no matter where it sits in a
+        // wide schema (a capped-away identity column would refuse
+        // every append)
         val indexed: String => Boolean =
           if (numIndexedCols < 0) _ => true
-          else topLevel.take(numIndexedCols).toSet
+          else topLevel.take(numIndexedCols).toSet ++ alwaysInclude
         val om = sharedOm
         val root = om.createObjectNode()
         var numRecords = 0L

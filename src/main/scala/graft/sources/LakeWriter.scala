@@ -1779,7 +1779,9 @@ object LakeWriter {
           new java.util.concurrent.Callable[(String, Option[String])] {
             def call(): (String, Option[String]) =
               st.getPath.toString -> graft.sources.DeltaStats.fileStats(st.getPath, hconf,
-                graft.sources.DeltaStats.indexedColsOf(sizingConf))
+                graft.sources.DeltaStats.indexedColsOf(sizingConf),
+                // identity watermark bounds must survive the cap
+                identity.map(_._1.cols.map(_._2).toSet).getOrElse(Set.empty))
           }
         }.asJava).asScala.map(_.get()).toMap
       } finally pool.shutdown()

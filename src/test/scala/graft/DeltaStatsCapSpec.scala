@@ -54,6 +54,35 @@ class DeltaStatsCapSpec extends SparkSpec {
       DeltaReader.read(spark, d8).where("c35 = 360").count())
   }
 
+  test("an identity column beyond the cap still gets stats (watermark advance survives)") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    import graft.sources.IdentityColumns
+    val dir = tmp("graft_statscap_id_")
+    // 40 payload columns, the identity column LAST — position 41, far
+    // past the default 32-column stats prefix
+    val fields = (0 until 40).map(i => StructField(s"c$i", StringType)) :+
+      StructField("rid", LongType, nullable = true, new MetadataBuilder()
+        .putLong(IdentityColumns.StartKey, 1L)
+        .putLong(IdentityColumns.StepKey, 1L)
+        .putBoolean(IdentityColumns.ExplicitKey, false).build())
+    LakeWriter.writeDelta(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields)), dir)
+    val batch = spark.range(0, 10).select(
+      (0 until 40).map(i => expr(s"concat('v', id * $i)").as(s"c$i")): _*)
+    LakeWriter.appendDelta(batch, dir)
+    LakeWriter.appendDelta(batch, dir) // would refuse if the cap ate the rid bounds
+    val s2 = spark
+    import s2.implicits._
+    val rids = DeltaReader.read(spark, dir).select("rid").as[Long].collect()
+    assert(rids.length == 20 && rids.distinct.length == 20, "duplicate identity values")
+    // skip the creating commit's empty file — assert on a data add
+    val a = DeltaReader.snapshot(spark, dir, None).active
+      .find(x => om.readTree(x.stats.get).get("numRecords").asLong() > 0L).get
+    val mv = om.readTree(a.stats.get).get("minValues")
+    assert(mv.has("rid"), "identity column bounds must ride over the stats cap")
+    assert(!mv.has("c35"), "the cap still applies to ordinary columns")
+  }
+
   test("OPTIMIZE re-emits footer stats on compacted files; skipping still prunes") {
     val s = spark
     import s.implicits._
