@@ -99,7 +99,7 @@ object GraftSqlDml {
     * parsed here BEFORE delegation (the DeltaSqlParser pattern):
     *
     *   OPTIMIZE graft_delta.`/d` [ZORDER BY (c1..c4)] [FULL]
-    *   VACUUM graft_delta.`/d` RETAIN <n> VERSIONS
+    *   VACUUM graft_delta.`/d` [LITE] RETAIN <n> VERSIONS [DRY RUN]
     *
     * OPTIMIZE routes to the small-file compaction (Z-ORDER variant to
     * the Morton-clustered rewrite); VACUUM's retention is VERSION-based
@@ -162,7 +162,7 @@ object GraftSqlDml {
     val optimizeRe =
       """(?is)^OPTIMIZE\s+graft_delta\s*\.\s*`([^`]+)`(?:\s+WHERE\s+(.+?))?(?:\s+ZORDER\s+BY\s*\(([^)]+)\)|\s+(FULL))?$""".r
     val vacuumRe =
-      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?$""".r
+      """(?is)^VACUUM\s+graft_delta\s*\.\s*`([^`]+)`(\s+LITE)?\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?$""".r
     val restoreRe =
       """(?is)^RESTORE\s+(?:TABLE\s+)?graft_delta\s*\.\s*`([^`]+)`\s+TO\s+VERSION\s+AS\s+OF\s+(\d+)$""".r
     val restoreTsRe =
@@ -187,9 +187,10 @@ object GraftSqlDml {
           if (zcols == null) Nil
           else zcols.split(',').toSeq.map(_.trim).filter(_.nonEmpty),
           Option(where).map(_.trim), full = full != null))
-      case vacuumRe(path, n, unit, dry) =>
+      case vacuumRe(path, liteKw, n, unit, dry) =>
         Some(GraftVacuumCommand(path, n.toLong,
-          hours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null))
+          hours = unit.equalsIgnoreCase("HOURS"), dryRun = dry != null,
+          lite = liteKw != null))
       case restoreRe(path, v) =>
         Some(GraftRestoreCommand(path, v.toLong))
       case restoreTsRe(path, ts) =>
@@ -820,7 +821,8 @@ case class GraftDropFeatureCommand(path: String, feature: String,
   * an operator wants before an irreversible delete.
   */
 case class GraftVacuumCommand(path: String, retain: Long,
-                              hours: Boolean = false, dryRun: Boolean = false)
+                              hours: Boolean = false, dryRun: Boolean = false,
+                              lite: Boolean = false)
     extends LeafRunnableCommand {
   override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] =
     if (!dryRun) Nil
@@ -850,7 +852,8 @@ case class GraftVacuumCommand(path: String, retain: Long,
         // are older — VACUUM always keeps the current state)
         math.max(0L, LakeWriter.ictHorizonVersion(spark, path, latest, cutoff))
       }
-    val deleted = LakeWriter.vacuumDelta(spark, path, horizon, dryRun = dryRun)
+    val deleted = LakeWriter.vacuumDelta(spark, path, horizon, dryRun = dryRun,
+      lite = lite)
     if (dryRun) deleted.sorted.map(Row(_)) else Seq.empty
   }
 }

@@ -3994,9 +3994,22 @@ object LakeWriter {
     * horizon stays a driver loop: it is bounded by the retained
     * commit window, the same class as DESCRIBE HISTORY. Returns the
     * deleted paths (relative), sorted.
+    *
+    * LITE mode (`lite = true`, delta 4.x's `VACUUM ... LITE`): the
+    * candidate set comes from the LOG instead of a filesystem
+    * listing — remove tombstones and superseded DV-sidecar references
+    * in the retained commits below the horizon, plus their change
+    * data files. Cost is O(retained log), independent of table file
+    * count: the nightly reclaim a 100-TB table runs between FULL
+    * passes, since a billion-file listing (even distributed) costs
+    * real money on an object store while the log names exactly what
+    * retention freed. By construction LITE cannot see failed-writer
+    * DEBRIS (files no log action names) — FULL vacuum remains the
+    * periodic deep clean. Same referenced-set protection, DRY RUN,
+    * horizon checkpoint and log-retention cleaning as FULL.
     */
   def vacuumDelta(spark: SparkSession, dir: String, horizonVersion: Long,
-                  dryRun: Boolean = false): Seq[String] = {
+                  dryRun: Boolean = false, lite: Boolean = false): Seq[String] = {
     val hconf = spark.sessionState.newHadoopConf()
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(hconf)
@@ -4075,28 +4088,69 @@ object LakeWriter {
     // against the in-memory listing and deleted through the same
     // batched helper.
     val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
-    val top = fs.listStatus(root).toSeq
-      .filterNot { st =>
-        val n = st.getPath.getName
-        n.startsWith("_") || n.startsWith(".")
+    val (deleted, deletedCdc) = if (lite) {
+      // LOG-driven candidates: remove tombstones, DV-sidecar
+      // references and change data files named by ANY retained
+      // commit — the referenced-set filter below (horizon snapshot ∪
+      // window adds ∪ window cdc) spares everything still live, so
+      // this is exactly FULL's reclaim set minus unnamed debris. No
+      // filesystem listing of the table at all — O(retained log).
+      // Compacted-range removes whose commit JSONs were already
+      // cleaned are invisible here; FULL vacuum covers them,
+      // documented.
+      val belowVersions = fs.listStatus(log).toSeq.map(_.getPath.getName)
+        .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+      val cand = Seq.newBuilder[String]
+      val cdcCand = Seq.newBuilder[String]
+      def relUnderRoot(p: String): Option[String] =
+        if (!DeltaReader.isAbsoluteAddPath(p)) Some(DeltaReader.percentDecode(p))
+        else {
+          // absolute entries (clones/external): reclaim only under
+          // THIS root — a clone's vacuum must never touch source files
+          val abs = fs.makeQualified(DeltaReader.resolveAddPath(root, p)).toUri.getPath
+          if (abs.startsWith(rootUri + "/")) Some(abs.stripPrefix(rootUri + "/")) else None
+        }
+      belowVersions.foreach { v =>
+        val (adds, removes) = DeltaReader.commitChanges(spark, dir, v)
+        removes.foreach { case (p, _) => relUnderRoot(p).foreach(cand += _) }
+        adds.foreach { case (af, _) =>
+          af.dv.filter(_.storageType == "u").foreach { d =>
+            val p = DeltaReader.dvFilePath(root, d)
+            cand += fs.makeQualified(p).toUri.getPath
+              .stripPrefix(rootUri).stripPrefix("/")
+          }
+        }
+        DeltaReader.commitCdc(spark, dir, v).foreach(c =>
+          cdcCand += DeltaReader.percentDecode(c.path))
       }
-    val (topDirs, topFiles) = top.partition(_.isDirectory)
-    val rootOrphans = topFiles
-      .map(st => fs.makeQualified(st.getPath).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/"))
-      .filterNot(referenced)
-    if (!dryRun) vacuumDeleteMany(spark, root, rootOrphans)
-    val subOrphans = vacuumReclaimSubtrees(spark, root.toString,
-      topDirs.map(_.getPath.toString), referenced.toSet, skipHidden = true, dryRun)
-    val deleted = rootOrphans ++ subOrphans
-    // _change_data sits under an underscore prefix the data walk skips
-    // — reclaim its unreferenced files explicitly (same distributed
-    // machinery, hidden names included inside it)
-    val cdcDir = new org.apache.hadoop.fs.Path(root, "_change_data")
-    val deletedCdc =
-      if (!fs.exists(cdcDir)) Nil
-      else vacuumReclaimSubtrees(spark, root.toString, Seq(cdcDir.toString),
-        cdcReferenced, skipHidden = false, dryRun)
+      (vacuumLiteReclaim(spark, root,
+        cand.result().distinct.filterNot(referenced), dryRun),
+        vacuumLiteReclaim(spark, root,
+          cdcCand.result().distinct.filterNot(cdcReferenced), dryRun))
+    } else {
+      val top = fs.listStatus(root).toSeq
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n.startsWith("_") || n.startsWith(".")
+        }
+      val (topDirs, topFiles) = top.partition(_.isDirectory)
+      val rootOrphans = topFiles
+        .map(st => fs.makeQualified(st.getPath).toUri.getPath
+          .stripPrefix(rootUri).stripPrefix("/"))
+        .filterNot(referenced)
+      if (!dryRun) vacuumDeleteMany(spark, root, rootOrphans)
+      val subOrphans = vacuumReclaimSubtrees(spark, root.toString,
+        topDirs.map(_.getPath.toString), referenced.toSet, skipHidden = true, dryRun)
+      // _change_data sits under an underscore prefix the data walk
+      // skips — reclaim its unreferenced files explicitly (same
+      // distributed machinery, hidden names included inside it)
+      val cdcDir = new org.apache.hadoop.fs.Path(root, "_change_data")
+      val cdcOrphans =
+        if (!fs.exists(cdcDir)) Nil
+        else vacuumReclaimSubtrees(spark, root.toString, Seq(cdcDir.toString),
+          cdcReferenced, skipHidden = false, dryRun)
+      (rootOrphans ++ subOrphans, cdcOrphans)
+    }
     // log retention below the horizon: those versions' replay targets
     // are gone, so a read there must refuse via the not-present gate,
     // not die mid-scan on a missing file
@@ -4183,6 +4237,42 @@ object LakeWriter {
         }
       }
     }.collect().toSeq
+  }
+
+  /** LITE vacuum's reclaim of log-named candidates: keep only the
+    * paths that still EXIST (an earlier vacuum may have reclaimed a
+    * tombstone already — the log still names it), delete them unless
+    * DRY RUN, and return the rel paths. Small lists run inline; large
+    * ones fan out across executors, exists-check and delete in the
+    * same task.
+    */
+  private def vacuumLiteReclaim(spark: SparkSession, root: org.apache.hadoop.fs.Path,
+                                rels: Seq[String], dryRun: Boolean): Seq[String] = {
+    if (rels.isEmpty) return Nil
+    if (rels.size < 64) {
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      rels.filter { rel =>
+        val p = new org.apache.hadoop.fs.Path(root, rel)
+        val present = fs.exists(p)
+        if (present && !dryRun)
+          require(fs.delete(p, false) || !fs.exists(p), s"vacuumDelta: delete $p failed")
+        present
+      }
+    } else {
+      val hconfB = spark.sparkContext.broadcast(
+        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+      val rootStr = root.toString
+      val slices = math.min(rels.size, math.max(1, spark.sparkContext.defaultParallelism))
+      spark.sparkContext.parallelize(rels, slices).filter { rel =>
+        val rootP = new org.apache.hadoop.fs.Path(rootStr)
+        val efs = rootP.getFileSystem(hconfB.value.value)
+        val p = new org.apache.hadoop.fs.Path(rootP, rel)
+        val present = efs.exists(p)
+        if (present && !dryRun)
+          require(efs.delete(p, false) || !efs.exists(p), s"vacuumDelta: delete $p failed")
+        present
+      }.collect().toSeq
+    }
   }
 
   /** Delete root-relative paths: a short list deletes inline (no job

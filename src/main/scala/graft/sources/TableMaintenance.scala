@@ -30,11 +30,16 @@ object TableMaintenance {
         s"checkpointed=$checkpointed, vacuumedFiles=$vacuumed)"
   }
 
+  /** `vacuumLite = true` runs the O(retained-log) reclaim instead of
+    * the filesystem listing — the nightly cadence for huge tables
+    * (pair with a periodic FULL pass for failed-writer debris).
+    */
   def maintainTable(spark: SparkSession, dir: String,
                     compactMinFiles: Int = 8,
                     targetFileBytes: Long = 1L << 30,
                     checkpointEvery: Int = 10,
-                    retainVersions: Int = 20): Report = {
+                    retainVersions: Int = 20,
+                    vacuumLite: Boolean = false): Report = {
     require(compactMinFiles >= 2 && checkpointEvery >= 1 && retainVersions >= 1,
       s"maintainTable: bad policy ($compactMinFiles, $checkpointEvery, $retainVersions)")
     val snap0 = DeltaReader.snapshot(spark, dir, None)
@@ -77,7 +82,10 @@ object TableMaintenance {
 
     // 3. vacuum below the retention horizon
     val horizon = snap1.version - retainVersions
-    val vacuumed = if (horizon > 0) LakeWriter.vacuumDelta(spark, dir, horizon).size else 0
+    val vacuumed =
+      if (horizon > 0)
+        LakeWriter.vacuumDelta(spark, dir, horizon, lite = vacuumLite).size
+      else 0
 
     Report(compacted, skipReason, checkpointed, vacuumed)
   }

@@ -147,6 +147,70 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir)) == Set((1L, "a")))
   }
 
+  test("VACUUM LITE reclaims from the log alone: tombstones + cdc yes, debris no") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a")))
+    val f1 = part(dir, "part-0001.parquet", Seq((1L, "b")))
+    val fc = part(dir, "part-compact.parquet", Seq((0L, "a"), (1L, "b")))
+    part(dir, "orphan.parquet", Seq((9L, "x"))) // debris no log action names
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine, add(f0)))
+    commit(log, 1, Seq(add(f1)))
+    commit(log, 2, Seq(add(fc), remove(f0), remove(f1)))
+    commit(log, 3, Seq(add("part-0003.parquet")))
+    part(dir, "part-0003.parquet", Seq((2L, "c")))
+    val before = rows(DeltaReader.read(spark, dir.getPath))
+
+    // DRY RUN names exactly the log-visible candidates; debris is NOT one
+    val planned = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 3L,
+      dryRun = true, lite = true)
+    assert(planned.toSet == Set(f0, f1), planned.mkString(", "))
+    assert(new java.io.File(dir, f0).exists(), "DRY RUN must not delete")
+
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 3L,
+      lite = true)
+    assert(deleted.toSet == Set(f0, f1), deleted.mkString(", "))
+    assert(!new java.io.File(dir, f0).exists() && !new java.io.File(dir, f1).exists())
+    assert(new java.io.File(dir, "orphan.parquet").exists(),
+      "LITE must not touch files the log never named — that's FULL's job")
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == before)
+    // a later FULL pass sweeps the debris
+    val full = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 3L)
+    assert(full.contains("orphan.parquet"), full.mkString(", "))
+  }
+
+  test("VACUUM LITE spares tombstoned-then-readded files and is idempotent") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a")))
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine, add(f0)))
+    commit(log, 1, Seq(remove(f0)))
+    commit(log, 2, Seq(add(f0))) // RESTORE-style re-add
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, 2L, lite = true)
+    assert(deleted.isEmpty, deleted.mkString(", "))
+    assert(new java.io.File(dir, f0).exists())
+    // idempotent: a second LITE at the same horizon finds nothing
+    assert(LakeWriter.vacuumDelta(spark, dir.getPath, 2L, lite = true).isEmpty)
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
+  }
+
+  test("SQL VACUUM ... LITE routes and returns DRY RUN candidates") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_vac_sql_lite_").toFile.getPath
+    LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "v").coalesce(1), dir)
+    LakeWriter.compactDelta(spark, dir) // tombstones the two originals
+    val planned = spark.sql(s"VACUUM graft_delta.`$dir` LITE RETAIN 1 VERSIONS DRY RUN")
+      .collect().map(_.getString(0))
+    assert(planned.length == 2, planned.mkString(", "))
+    spark.sql(s"VACUUM graft_delta.`$dir` LITE RETAIN 1 VERSIONS")
+    planned.foreach(rel => assert(!new java.io.File(dir, rel).exists(), rel))
+    assert(DeltaReader.read(spark, dir).count() == 2)
+  }
+
   test("vacuum on a deletion-vector table keeps the DV view intact") {
     val (dir, log) = mkTable()
     val f0 = part(dir, "part-0000.parquet", Seq((0L, "a"), (1L, "b")))
