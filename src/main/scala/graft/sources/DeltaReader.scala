@@ -667,13 +667,19 @@ object DeltaReader {
     * `spark.graft.delta.snapshotCache.enabled=false` bypasses entirely.
     */
   private[graft] object SnapshotCache {
-    /** `maxFiles` is part of the key because the gated resolve's
+    /** The SESSION rides in the key by reference (SparkSession keeps
+      * AnyRef equality): a cached Snapshot's DataFrames are bound to
+      * the session that built them, and keying by any derived integer
+      * (an identity hash, say) could collide two live sessions into
+      * one entry — handing one of them plans bound to the other.
+      * `maxFiles` is part of the key because the gated resolve's
       * REFUSAL behavior is a function of it: a session that tightens
       * spark.graft.delta.maxSnapshotFiles must see a fresh resolve
       * that enforces the new gate, not a list materialized under the
       * old one.
       */
-    final case class Key(session: Int, logDir: String, version: Long, maxFiles: Long)
+    final case class Key(session: SparkSession, logDir: String,
+                         version: Long, maxFiles: Long)
     @volatile private var maxEntries = 32
     private val entries = new java.util.LinkedHashMap[Key, (Long, Snapshot)](16, 0.75f, true) {
       override def removeEldestEntry(e: java.util.Map.Entry[Key, (Long, Snapshot)]): Boolean =
@@ -685,6 +691,13 @@ object DeltaReader {
     def put(key: Key, fingerprint: Long, snap: Snapshot, max: Int): Unit =
       entries.synchronized {
         maxEntries = max
+        // a stopped session's entries can never hit again (its plans
+        // are unusable) — sweep them so they stop pinning the session
+        // and its DataFrames until LRU displacement
+        val it = entries.keySet().iterator()
+        while (it.hasNext) {
+          if (it.next().session.sparkContext.isStopped) it.remove()
+        }
         entries.put(key, (fingerprint, snap))
       }
     private[graft] def clear(): Unit = entries.synchronized(entries.clear())
@@ -770,7 +783,7 @@ object DeltaReader {
     // validated by the listing fingerprint computed above the replay
     val cacheOn = s.conf.get("spark.graft.delta.snapshotCache.enabled", "true").toBoolean
     val fingerprint = if (cacheOn) logFingerprint(fs, entries) else 0L
-    val cacheKey = SnapshotCache.Key(System.identityHashCode(s),
+    val cacheKey = SnapshotCache.Key(s,
       fs.makeQualified(logPath).toString, target,
       s.conf.getOption("spark.graft.delta.maxSnapshotFiles").map(_.toLong).getOrElse(4000000L))
     if (cacheOn) {

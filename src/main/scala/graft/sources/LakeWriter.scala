@@ -1759,8 +1759,14 @@ object LakeWriter {
     // mint a small-file-per-task debt that only scheduled OPTIMIZE
     // clears. Cost is one extra pass over the BATCH (never the table);
     // sizing reads the real staged byte counts, not an estimate.
+    // Gated on dataChange commits: maintenance rewrites
+    // (compactDeltaCluster's OPTIMIZE/ZORDER, dataChange=false) stage
+    // a deliberately-laid-out file set the fold would scramble — a
+    // curve layout folded by size would lose the very envelopes it
+    // was built for, while still carrying clusteringProvider tags.
     val sizingConf = if (ictConf.nonEmpty) ictConf else configuration
-    if (sizingConf.get("delta.autoOptimize.optimizeWrite").contains("true"))
+    if (addDataChange &&
+        sizingConf.get("delta.autoOptimize.optimizeWrite").contains("true"))
       optimizeWriteFold(spark, fs, stage, walk(stage), targetFileSizeOf(sizingConf))
     val stageUri = stage.toUri.getPath.stripSuffix("/")
     val staged = walk(stage).sortBy(_.getPath.toString)
@@ -1991,9 +1997,24 @@ object LakeWriter {
     // post-commit small-file maintenance (`delta.autoOptimize.autoCompact`):
     // once a partition accumulates minNumFiles sub-threshold files, a
     // follow-up OPTIMIZE-shaped commit folds exactly those — gated on
-    // dataChange commits so maintenance rewrites never re-trigger it
-    if (addDataChange && sizingConf.get("delta.autoOptimize.autoCompact").contains("true"))
-      autoCompactMaybe(spark, dir, sizingConf)
+    // dataChange commits so maintenance rewrites never re-trigger it,
+    // and on THIS commit having added a sub-threshold file at all
+    // (a commit of target-sized files cannot create new debt, so it
+    // skips the snapshot probe entirely). The fold is best-effort by
+    // contract: the APPEND above is durably committed, so a lost
+    // OPTIMIZE race (a concurrent writer winning the next version) or
+    // any other maintenance failure must not fail the caller
+    // retroactively — it logs and leaves the debt for the next
+    // trigger.
+    if (addDataChange && sizingConf.get("delta.autoOptimize.autoCompact").contains("true")
+        && moved.exists(_._3 < targetFileSizeOf(sizingConf) / 2)) {
+      try autoCompactMaybe(spark, dir, sizingConf)
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"autoCompact after commit $v of $dir skipped: ${e.getMessage}")
+      }
+    }
   }
 
   /** `delta.targetFileSize` in bytes (default 1 GiB) — the sizing knob
@@ -2006,37 +2027,47 @@ object LakeWriter {
     t
   }
 
-  /** optimizeWrite's staged-partition coalesce: each staged directory
-    * whose file count exceeds ceil(bytes/target) rewrites to exactly
-    * that many files, in place under the staging dir (the commit then
-    * moves and stats them like any staged file). Groups rewrite
-    * concurrently from a bounded driver pool — same shape as the
-    * footer-stats pool; each group's read lists LEAF files explicitly,
-    * so no partition-type inference can reinterpret `col=value`
-    * directory names.
+  /** optimizeWrite's staged-partition fold: within each staged
+    * directory, files BIN-PACK into bins of ≤ target bytes (greedy in
+    * task order — compactDelta's shape) and each oversized bin
+    * rewrites as ONE coalesce(1) job, jobs submitted concurrently
+    * from a bounded driver pool. No shuffle anywhere: a repartition
+    * fold would pay a network exchange of the batch AND spread
+    * range-local rows round-robin across outputs, widening every
+    * folded file's stats envelope to the whole batch. Each bin's read
+    * lists LEAF files explicitly, so no partition-type inference can
+    * reinterpret `col=value` directory names; single-file bins are
+    * left in place untouched.
     */
   private def optimizeWriteFold(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                                 stage: org.apache.hadoop.fs.Path,
                                 staged: Seq[org.apache.hadoop.fs.FileStatus],
                                 target: Long): Unit = {
-    val groups = staged.groupBy(_.getPath.getParent).filter { case (_, fsts) =>
-      val total = fsts.map(_.getLen).sum
-      fsts.size > math.max(1L, (total + target - 1) / target)
+    val folds = staged.groupBy(_.getPath.getParent).toSeq.flatMap { case (parent, fsts) =>
+      val bins = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus])
+      var binBytes = 0L
+      fsts.sortBy(_.getPath.getName).foreach { st =>
+        if (bins.last.nonEmpty && binBytes + st.getLen > target) {
+          bins += scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus]
+          binBytes = 0L
+        }
+        bins.last += st
+        binBytes += st.getLen
+      }
+      bins.toSeq.filter(_.size > 1).map(b => parent -> b.toSeq)
     }
-    if (groups.isEmpty) return
+    if (folds.isEmpty) return
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(8, groups.size))
+      math.min(8, folds.size))
     try {
       import scala.jdk.CollectionConverters._
-      pool.invokeAll(groups.toSeq.map { case (parent, fsts) =>
+      pool.invokeAll(folds.map { case (parent, fsts) =>
         new java.util.concurrent.Callable[Unit] {
           def call(): Unit = {
-            val total = fsts.map(_.getLen).sum
-            val n = math.max(1L, (total + target - 1) / target).toInt
             val tmp = new org.apache.hadoop.fs.Path(stage,
               s".ow_${java.util.UUID.randomUUID().toString.take(8)}")
-            val in = spark.read.parquet(fsts.map(_.getPath.toString): _*)
-            (if (n == 1) in.coalesce(1) else in.repartition(n))
+            spark.read.parquet(fsts.map(_.getPath.toString): _*).coalesce(1)
               .write.parquet(tmp.toString)
             val outs = fs.listStatus(tmp).map(_.getPath)
               .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -4034,13 +4065,17 @@ object LakeWriter {
       // a DV sidecar is live exactly as long as some window version's
       // add references it; a sidecar only pre-horizon versions point
       // at (a replaced descriptor, a failed delete's debris) is
-      // reclaimable like any other unreferenced file
+      // reclaimable like any other unreferenced file. BOTH sidecar
+      // forms protect: "u" (UUID-named under the root — what graft
+      // writes) and "p" (explicit path, protocol-legal from foreign
+      // writers) when it resolves under THIS root — deleting a live
+      // "p" sidecar would resurrect its deleted rows on the next read
       a.dv.foreach { d =>
-        if (d.storageType == "u") {
+        if (d.storageType == "u" || d.storageType == "p") {
           val p = DeltaReader.dvFilePath(root, d)
-          val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
-          referenced += fs.makeQualified(p).toUri.getPath
-            .stripPrefix(rootUri).stripPrefix("/")
+          val abs = fs.makeQualified(p).toUri.getPath
+          if (abs.startsWith(rootRel + "/"))
+            referenced += abs.stripPrefix(rootRel + "/")
         }
       }
     }
@@ -4090,16 +4125,20 @@ object LakeWriter {
     val rootUri = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
     val (deleted, deletedCdc) = if (lite) {
       // LOG-driven candidates: remove tombstones, DV-sidecar
-      // references and change data files named by ANY retained
-      // commit — the referenced-set filter below (horizon snapshot ∪
-      // window adds ∪ window cdc) spares everything still live, so
-      // this is exactly FULL's reclaim set minus unnamed debris. No
-      // filesystem listing of the table at all — O(retained log).
+      // references and change data files named by the retained
+      // commits AT or BELOW the horizon (a file removed/replaced
+      // above it was live at the horizon or window-added, so it is in
+      // the referenced set by construction — parsing those commits
+      // again would only re-derive spared candidates). The
+      // referenced/cdcReferenced filters below make this exactly
+      // FULL's reclaim set minus unnamed debris. No filesystem
+      // listing of the table at all — O(retained log ≤ horizon).
       // Compacted-range removes whose commit JSONs were already
       // cleaned are invisible here; FULL vacuum covers them,
       // documented.
-      val belowVersions = fs.listStatus(log).toSeq.map(_.getPath.getName)
-        .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+      val candidateVersions = fs.listStatus(log).toSeq.map(_.getPath.getName)
+        .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong)
+        .filter(_ <= horizonVersion).sorted
       val cand = Seq.newBuilder[String]
       val cdcCand = Seq.newBuilder[String]
       def relUnderRoot(p: String): Option[String] =
@@ -4110,23 +4149,23 @@ object LakeWriter {
           val abs = fs.makeQualified(DeltaReader.resolveAddPath(root, p)).toUri.getPath
           if (abs.startsWith(rootUri + "/")) Some(abs.stripPrefix(rootUri + "/")) else None
         }
-      belowVersions.foreach { v =>
+      candidateVersions.foreach { v =>
         val (adds, removes) = DeltaReader.commitChanges(spark, dir, v)
         removes.foreach { case (p, _) => relUnderRoot(p).foreach(cand += _) }
         adds.foreach { case (af, _) =>
-          af.dv.filter(_.storageType == "u").foreach { d =>
+          af.dv.filter(d => d.storageType == "u" || d.storageType == "p").foreach { d =>
             val p = DeltaReader.dvFilePath(root, d)
-            cand += fs.makeQualified(p).toUri.getPath
-              .stripPrefix(rootUri).stripPrefix("/")
+            val abs = fs.makeQualified(p).toUri.getPath
+            if (abs.startsWith(rootUri + "/")) cand += abs.stripPrefix(rootUri + "/")
           }
         }
         DeltaReader.commitCdc(spark, dir, v).foreach(c =>
           cdcCand += DeltaReader.percentDecode(c.path))
       }
-      (vacuumLiteReclaim(spark, root,
-        cand.result().distinct.filterNot(referenced), dryRun),
-        vacuumLiteReclaim(spark, root,
-          cdcCand.result().distinct.filterNot(cdcReferenced), dryRun))
+      (vacuumReclaimPaths(spark, root,
+        cand.result().distinct.filterNot(referenced), dryRun, checkExists = true),
+        vacuumReclaimPaths(spark, root,
+          cdcCand.result().distinct.filterNot(cdcReferenced), dryRun, checkExists = true))
     } else {
       val top = fs.listStatus(root).toSeq
         .filterNot { st =>
@@ -4138,7 +4177,8 @@ object LakeWriter {
         .map(st => fs.makeQualified(st.getPath).toUri.getPath
           .stripPrefix(rootUri).stripPrefix("/"))
         .filterNot(referenced)
-      if (!dryRun) vacuumDeleteMany(spark, root, rootOrphans)
+      if (!dryRun) vacuumReclaimPaths(spark, root, rootOrphans, dryRun = false,
+        checkExists = false)
       val subOrphans = vacuumReclaimSubtrees(spark, root.toString,
         topDirs.map(_.getPath.toString), referenced.toSet, skipHidden = true, dryRun)
       // _change_data sits under an underscore prefix the data walk
@@ -4239,21 +4279,23 @@ object LakeWriter {
     }.collect().toSeq
   }
 
-  /** LITE vacuum's reclaim of log-named candidates: keep only the
-    * paths that still EXIST (an earlier vacuum may have reclaimed a
-    * tombstone already — the log still names it), delete them unless
-    * DRY RUN, and return the rel paths. Small lists run inline; large
-    * ones fan out across executors, exists-check and delete in the
-    * same task.
+  /** Vacuum's reclaim fan-out over root-relative paths: a short list
+    * runs inline (no job scheduling for the common few-orphans pass),
+    * a long one fans out across executors. `checkExists` is LITE's
+    * mode — log-named candidates may predate an earlier reclaim, so
+    * only the paths that still exist count (and return); a
+    * listing-derived caller skips the extra exists RPC. Deletes are
+    * idempotent per task retry and skipped entirely under DRY RUN.
     */
-  private def vacuumLiteReclaim(spark: SparkSession, root: org.apache.hadoop.fs.Path,
-                                rels: Seq[String], dryRun: Boolean): Seq[String] = {
+  private def vacuumReclaimPaths(spark: SparkSession, root: org.apache.hadoop.fs.Path,
+                                 rels: Seq[String], dryRun: Boolean,
+                                 checkExists: Boolean): Seq[String] = {
     if (rels.isEmpty) return Nil
     if (rels.size < 64) {
       val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
       rels.filter { rel =>
         val p = new org.apache.hadoop.fs.Path(root, rel)
-        val present = fs.exists(p)
+        val present = !checkExists || fs.exists(p)
         if (present && !dryRun)
           require(fs.delete(p, false) || !fs.exists(p), s"vacuumDelta: delete $p failed")
         present
@@ -4267,40 +4309,11 @@ object LakeWriter {
         val rootP = new org.apache.hadoop.fs.Path(rootStr)
         val efs = rootP.getFileSystem(hconfB.value.value)
         val p = new org.apache.hadoop.fs.Path(rootP, rel)
-        val present = efs.exists(p)
+        val present = !checkExists || efs.exists(p)
         if (present && !dryRun)
           require(efs.delete(p, false) || !efs.exists(p), s"vacuumDelta: delete $p failed")
         present
       }.collect().toSeq
-    }
-  }
-
-  /** Delete root-relative paths: a short list deletes inline (no job
-    * scheduling for the common few-orphans vacuum), a long one fans
-    * out across executors.
-    */
-  private def vacuumDeleteMany(spark: SparkSession, root: org.apache.hadoop.fs.Path,
-                               rels: Seq[String]): Unit = {
-    if (rels.isEmpty) return
-    if (rels.size < 64) {
-      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
-      rels.foreach { rel =>
-        val p = new org.apache.hadoop.fs.Path(root, rel)
-        require(fs.delete(p, false) || !fs.exists(p), s"vacuumDelta: delete $p failed")
-      }
-    } else {
-      val hconfB = spark.sparkContext.broadcast(
-        new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
-      val rootStr = root.toString
-      val slices = math.min(rels.size, math.max(1, spark.sparkContext.defaultParallelism))
-      spark.sparkContext.parallelize(rels, slices).foreachPartition { it =>
-        val rootP = new org.apache.hadoop.fs.Path(rootStr)
-        val efs = rootP.getFileSystem(hconfB.value.value)
-        it.foreach { rel =>
-          val p = new org.apache.hadoop.fs.Path(rootP, rel)
-          require(efs.delete(p, false) || !efs.exists(p), s"vacuumDelta: delete $p failed")
-        }
-      }
     }
   }
 
@@ -4360,7 +4373,7 @@ object LakeWriter {
                           where: Option[String] = None,
                           op: String = "compactDeltaCluster",
                           full: Boolean = false,
-                          targetFileBytes: Long = 1L << 30): Unit = {
+                          targetFileBytes: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.{col, lit, percentile_approx}
     import org.apache.spark.sql.types._
     require(filesPerPartition > 0, s"$op: filesPerPartition $filesPerPartition")
@@ -4432,9 +4445,13 @@ object LakeWriter {
         // settled and never rewrites (until the appends grow to its
         // scale, when rewriting it IS proportional work). Files at or
         // above targetFileBytes/2 are permanently settled regardless.
+        // the settled threshold honors the table's own
+        // delta.targetFileSize unless the caller overrides — the same
+        // knob optimizeWrite/autoCompact size against
+        val target = targetFileBytes.getOrElse(targetFileSizeOf(snap.configuration))
         var running = fresh.map(_.size).sum
         val folded = Seq.newBuilder[DeltaReader.AddFile]
-        val foldable = settled.filter(_.size < targetFileBytes / 2).sortBy(_.size)
+        val foldable = settled.filter(_.size < target / 2).sortBy(_.size)
         var i = 0
         while (i < foldable.size && foldable(i).size <= running) {
           running += foldable(i).size

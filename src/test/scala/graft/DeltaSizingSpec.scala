@@ -95,6 +95,28 @@ class DeltaSizingSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.delta.autoCompact.minNumFiles")
   }
 
+  test("optimizeWrite never scrambles maintenance layouts: cluster OPTIMIZE keeps its files") {
+    import graft.sources.Clustering
+    val dir = fresh("cl")
+    LakeWriter.writeDelta(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.LongType)))), dir,
+      configuration = Map("delta.autoOptimize.optimizeWrite" -> "true"))
+    LakeWriter.clusterBy(spark, dir, Seq("x"))
+    LakeWriter.appendDelta(spark.range(0, 1000).toDF("x").repartition(4), dir)
+    // the append itself folded (optimizeWrite) — but the clustered
+    // re-layout is dataChange=false maintenance: its 4 range-laid
+    // files must survive as written, NOT re-coalesce into one
+    LakeWriter.compactDeltaCluster(spark, dir, Seq("x"), filesPerPartition = 4)
+    val files = liveFiles(dir)
+    assert(files.size == 4,
+      s"optimizeWrite folded a clustered layout: ${files.size} files")
+    assert(files.forall(_.clusteringProvider.contains("liquid")))
+    assert(DeltaReader.read(spark, dir).count() == 1000)
+  }
+
   test("without the properties, many tiny appends keep their per-batch files") {
     val dir = fresh("off")
     LakeWriter.writeDelta(spark.range(0, 10).toDF("id").coalesce(1), dir)

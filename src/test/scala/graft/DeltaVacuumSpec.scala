@@ -211,6 +211,45 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(DeltaReader.read(spark, dir).count() == 2)
   }
 
+  test("a live storageType 'p' DV sidecar under the root survives vacuum (FULL and LITE)") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a"), (1L, "b")))
+    // portable bitmap deleting row 1, laid out as a sidecar FILE:
+    // version byte 1, then at offset 1: big-endian size + data + CRC
+    val bos = new java.io.ByteArrayOutputStream()
+    val payload = new java.io.DataOutputStream(bos)
+    payload.writeInt(Integer.reverseBytes(1681511377))
+    payload.writeLong(java.lang.Long.reverseBytes(1L))
+    payload.writeInt(Integer.reverseBytes(0))
+    val rb = new org.roaringbitmap.RoaringBitmap(); rb.add(1); rb.serialize(payload)
+    payload.flush()
+    val data = bos.toByteArray
+    val fileBytes = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(fileBytes)
+    out.writeByte(1)
+    out.writeInt(data.length)
+    out.write(data)
+    val crc = new java.util.zip.CRC32(); crc.update(data)
+    out.writeInt(crc.getValue.toInt)
+    out.flush()
+    val pdv = new java.io.File(dir, "pdv.bin")
+    java.nio.file.Files.write(pdv.toPath, fileBytes.toByteArray)
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+      metaLine,
+      s"""{"add":{"path":"$f0","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"deletionVector":{"storageType":"p","pathOrInlineDv":"${pdv.getPath}","offset":1,"sizeInBytes":${data.length},"cardinality":1}}}"""))
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
+    // FULL: the walk lists pdv.bin; the referenced set must protect it
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, 0L)
+    assert(deleted.isEmpty, deleted.mkString(", "))
+    assert(pdv.exists(), "vacuum deleted a LIVE 'p'-type deletion vector")
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")),
+      "deleted rows resurrected after vacuum")
+    // LITE at the same horizon: nothing named reclaimable either
+    assert(LakeWriter.vacuumDelta(spark, dir.getPath, 0L, lite = true).isEmpty)
+    assert(pdv.exists())
+  }
+
   test("vacuum on a deletion-vector table keeps the DV view intact") {
     val (dir, log) = mkTable()
     val f0 = part(dir, "part-0000.parquet", Seq((0L, "a"), (1L, "b")))
