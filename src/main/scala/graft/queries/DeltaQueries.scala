@@ -263,6 +263,26 @@ object DeltaQueries {
       statusAgg(DeltaReader.read(s, d))
     }),
 
+    // TABLE MAINTENANCE end-to-end: a mutated table runs the nightly
+    // policy (compaction + checkpoint cadence + LITE vacuum — the
+    // log-driven reclaim) and the post-maintenance read must equal the
+    // plain recompute; the reclaim is REQUIRED to have freed the
+    // rewrite's tombstones (files, not a no-op pass)
+    "delta_maintenance" -> ((s, dir) => {
+      val d = freshDir("mnt")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(6), d)
+      s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 7 = 0")
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 8").repartition(2), d)
+      val report = graft.sources.TableMaintenance.maintainTable(s, d,
+        compactMinFiles = 2, checkpointEvery = 2, retainVersions = 1,
+        vacuumLite = true)
+      require(report.compacted, s"maintenance skipped compaction: $report")
+      require(report.vacuumed > 0, s"LITE vacuum reclaimed nothing: $report")
+      statusAgg(DeltaReader.read(s, d))
+    }),
+
     // WRITE-TIME FILE SIZING: optimizeWrite folds each batch's 8 task
     // files to one staged add, autoCompact folds the accumulating
     // per-batch debt once it reaches minNumFiles — after a create + 4
@@ -628,6 +648,12 @@ object DeltaQueries {
     "delta_sizing" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_maintenance" ->
+      s"""$aggSql
+         |FROM orders WHERE (o_orderkey % 10 < 6 AND o_orderkey % 7 <> 0)
+         |   OR o_orderkey % 10 >= 8
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_evolve" ->
