@@ -180,10 +180,14 @@ object DeltaReader {
 
   /** An `add.path` that is a full URI rather than a table-root-relative
     * path — what shallow clones and external files write (PROTOCOL.md:
-    * "a relative path ... or an absolute path").
+    * "a relative path ... or an absolute path"). Any scheme-colon
+    * prefix counts (delta-spark resolves through java.net.URI, where
+    * single-slash `file:/tmp/x` is as absolute as `file:///tmp/x`);
+    * graft's own relative entries percent-encode ':' so they can never
+    * false-positive here.
     */
   private[graft] def isAbsoluteAddPath(p: String): Boolean =
-    p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*://.*")
+    p.matches("^[a-zA-Z][a-zA-Z0-9+.-]*:.*")
 
   /** Resolve an `add.path` to a concrete filesystem path: relative
     * entries percent-decode and resolve against the table root;

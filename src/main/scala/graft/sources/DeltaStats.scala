@@ -27,10 +27,19 @@ import org.apache.spark.sql.catalyst.expressions._
   * literals, IsNull/IsNotNull via null counts, AND/OR composition;
   * anything else answers "may match". Partition columns evaluate
   * against the add's partitionValues — so one pruner serves both
-  * partition pruning and stats skipping. String comparisons prune only
-  * when both sides are pure ASCII (Java's UTF-16 ordering and
-  * parquet's unsigned-byte ordering agree there; beyond it they may
-  * not, and a wrong prune is a wrong answer).
+  * partition pruning and stats skipping. String comparisons use CODE
+  * POINT order throughout — identical to UTF-8 unsigned-byte order
+  * (parquet's footer comparator for UTF8 columns) and to Spark's own
+  * UTF8String ordering, but NOT to java.lang.String.compareTo, whose
+  * UTF-16 code-unit order sorts [U+E000, U+FFFF] above supplementary
+  * characters; compareTo here would wrongly prune files for exactly
+  * the international corpora that need skipping most. String bounds
+  * are TRUNCATED at write time (delta-spark's rule): min keeps a
+  * 32-code-point prefix (≤ every value by the prefix property), max
+  * truncates then increments the last incrementable code point
+  * skipping the surrogate gap (≥ every value), so the stored envelope
+  * only ever WIDENS and the three-valued pruner stays sound at the
+  * truncation boundary with no extra cases.
   */
 object DeltaStats {
 
@@ -126,7 +135,21 @@ object DeltaStats {
         aggs.foreach { case (name, a) =>
           if (a.ok) {
             nullNode.put(name, a.nulls)
-            if (a.hasValues) { putValue(minNode, name, a.min); putValue(maxNode, name, a.max) }
+            if (a.hasValues) (a.min, a.max) match {
+              // string bounds truncate (metadata bloat: add.stats JSON
+              // rides in every commit, checkpoint and snapshot
+              // resolve — a 1 MB document column must not). An
+              // unincrementable max (all prefix code points at
+              // U+10FFFF) omits BOTH bounds: the pruner needs the
+              // two-sided envelope, and a lone min would read as an
+              // exact bound
+              case (mn: String, mx: String) =>
+                truncateMaxString(mx, stringPrefixLen).foreach { tmx =>
+                  putValue(minNode, name, prefixCodePoints(mn, stringPrefixLen))
+                  putValue(maxNode, name, tmx)
+                }
+              case (mn, mx) => putValue(minNode, name, mn); putValue(maxNode, name, mx)
+            }
           }
         }
         root.set[JsonNode]("minValues", minNode)
@@ -177,8 +200,60 @@ object DeltaStats {
     case (x: Long, y: Long)       => x < y
     case (x: Double, y: Double)   => x < y
     case (x: Boolean, y: Boolean) => !x && y
-    case (x: String, y: String)   => x < y
+    case (x: String, y: String)   => codePointCompare(x, y) < 0
     case _                        => false
+  }
+
+  /** delta-spark's DATA_SKIPPING_STRING_PREFIX_LENGTH. */
+  private[graft] val stringPrefixLen = 32
+
+  /** Code-point order — identical to UTF-8 unsigned-byte order (the
+    * parquet footer comparator these bounds come from) and to Spark's
+    * UTF8String ordering; String.compareTo is NOT (UTF-16 code units
+    * sort [U+E000, U+FFFF] above supplementary characters).
+    */
+  private[graft] def codePointCompare(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** The first `n` code points of `s` — a lower bound for `s` by the
+    * prefix property, so sound as a (possibly widened) stats min.
+    */
+  private[graft] def prefixCodePoints(s: String, n: Int): String = {
+    var i = 0; var cnt = 0
+    while (i < s.length && cnt < n) { i += Character.charCount(s.codePointAt(i)); cnt += 1 }
+    if (i >= s.length) s else s.substring(0, i)
+  }
+
+  /** A string ≥ `s` of at most `n` code points: `s` itself when it
+    * fits, else the n-prefix with its last incrementable code point
+    * bumped (skipping the surrogate gap U+D800–U+DFFF, which no valid
+    * string contains) and the tail dropped — delta-spark's
+    * increment-after-truncate upper bound. None when every prefix code
+    * point is already U+10FFFF (no finite upper bound at this length).
+    */
+  private[graft] def truncateMaxString(s: String, n: Int): Option[String] = {
+    val p = prefixCodePoints(s, n)
+    if (p.length == s.length) return Some(s)
+    val cps = p.codePoints().toArray
+    var k = cps.length - 1
+    while (k >= 0) {
+      var c = cps(k) + 1
+      if (c == Character.MIN_SURROGATE) c = 0xE000
+      if (c <= Character.MAX_CODE_POINT) {
+        val out = java.util.Arrays.copyOf(cps, k + 1)
+        out(k) = c
+        return Some(new String(out, 0, k + 1))
+      }
+      k -= 1
+    }
+    None
   }
 
   private def putValue(n: com.fasterxml.jackson.databind.node.ObjectNode,
@@ -226,15 +301,12 @@ object DeltaStats {
     FileEnv(nr, remap(mn), remap(mx), remap(nc), remap(a.partitionValues))
   }
 
-  private val ascii = (s: String) => s.forall(_ < 128)
-
   /** Literal's external value: Long / Double / Boolean / String, or
     * null when we don't prune on its type.
     */
   private def litValue(l: Literal): Any = l.value match {
     case null => null
-    case v: org.apache.spark.unsafe.types.UTF8String =>
-      val s = v.toString; if (ascii(s)) s else null
+    case v: org.apache.spark.unsafe.types.UTF8String => v.toString
     case v: Int => v.toLong
     case v: Long => v
     case v: Short => v.toLong
@@ -251,7 +323,7 @@ object DeltaStats {
     if (n.isIntegralNumber) n.asLong()
     else if (n.isFloatingPointNumber) n.asDouble()
     else if (n.isBoolean) n.asBoolean()
-    else if (n.isTextual) { val s = n.asText(); if (ascii(s)) s else null }
+    else if (n.isTextual) n.asText()
     else null
 
   /** Numeric-tolerant three-way compare; None = incomparable. */
@@ -262,7 +334,7 @@ object DeltaStats {
     case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
     case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
-    case (x: String, y: String)   => Some(x.compareTo(y))
+    case (x: String, y: String)   => Some(codePointCompare(x, y))
     case _                        => None
   }
 

@@ -2022,9 +2022,37 @@ object LakeWriter {
     * against (a file under half of it is "small").
     */
   private def targetFileSizeOf(conf: Map[String, String]): Long = {
-    val t = conf.get("delta.targetFileSize").map(_.trim.toLong).getOrElse(1L << 30)
+    // delta-spark stores the property as a byte string (parsed with
+    // byteStringAsBytes) — plain digits OR digits with a binary unit
+    // suffix ("100mb", "1g"); a foreign table using the suffixed form
+    // must compact, not throw
+    val t = conf.get("delta.targetFileSize").map(parseByteString).getOrElse(1L << 30)
     require(t > 0, s"delta.targetFileSize must be positive, got $t")
     t
+  }
+
+  private val byteStringRe = "(?i)^([0-9]+)\\s*([a-z]*)$".r
+
+  /** `byteStringAsBytes` semantics: digits plus an optional
+    * case-insensitive binary suffix (b, k/kb, m/mb, g/gb, t/tb, p/pb).
+    */
+  private[graft] def parseByteString(s: String): Long = {
+    s.trim match {
+      case byteStringRe(num, suf) =>
+        val mult = suf.toLowerCase match {
+          case "" | "b"  => 1L
+          case "k" | "kb" => 1L << 10
+          case "m" | "mb" => 1L << 20
+          case "g" | "gb" => 1L << 30
+          case "t" | "tb" => 1L << 40
+          case "p" | "pb" => 1L << 50
+          case o => throw new IllegalArgumentException(
+            s"delta.targetFileSize: unknown byte suffix '$o' in '$s'")
+        }
+        java.lang.Math.multiplyExact(num.toLong, mult)
+      case o => throw new IllegalArgumentException(
+        s"delta.targetFileSize: unparseable byte string '$o'")
+    }
   }
 
   /** optimizeWrite's staged-partition fold: within each staged
@@ -3359,6 +3387,13 @@ object LakeWriter {
 
     // stage the new rows (updateWhereDv's walk)
     val version = snap.version + 1
+    // identity watermark bounds must survive the stats cap here too
+    // (commitDelta's alwaysInclude handling): newWatermarks below
+    // refuses the commit when the identity column's bounds are absent
+    // and the file is not all-null, so a capped-away identity column
+    // would fail every CDC apply on a wide identity table
+    val idAdv = IdentityColumns.advanceOf(table, phys)
+    val idStatCols = idAdv.map(_.cols.map(_._2).toSet).getOrElse(Set.empty)
     // writer-unique stage dir and rename token (commitDelta's comment)
     val wtok = java.util.UUID.randomUUID().toString.take(8)
     val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdcdv_${version}_$wtok")
@@ -3379,7 +3414,7 @@ object LakeWriter {
         val name = s"part-cdc-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf,
-          DeltaStats.indexedColsOf(snap.configuration))
+          DeltaStats.indexedColsOf(snap.configuration), idStatCols)
         newAddStats += stats
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
@@ -3404,7 +3439,7 @@ object LakeWriter {
     // (replication semantics — the source minted them), but the
     // watermark still advances past them in the same commit so a
     // replica taking direct appends later never re-mints an id
-    IdentityColumns.advanceOf(table, phys).foreach { adv =>
+    idAdv.foreach { adv =>
       val wm = IdentityColumns.newWatermarks(adv, newAddStats.toSeq, "applyCdcDv")
       if (wm.nonEmpty) actions += IdentityColumns.patchMetaLine(
         metaLineFor(dir, snap, table, snap.configuration), wm)
@@ -4049,19 +4084,26 @@ object LakeWriter {
       s"vacuumDelta: horizon $horizonVersion outside [0, ${latest.version}]")
     val referenced = scala.collection.mutable.Set.empty[String]
     val rootRel = fs.makeQualified(root).toUri.getPath.stripSuffix("/")
-    def reference(a: DeltaReader.AddFile): Unit = {
-      if (!DeltaReader.isAbsoluteAddPath(a.path))
-        referenced += DeltaReader.percentDecode(a.path)
+    // the under-THIS-root relative form of a log path, or None when it
+    // resolves outside the root. An absolute entry (shallow clone /
+    // external file) living under the root is protected/reclaimed by
+    // its root-relative form (the walk's key); outside the root the
+    // walk never visits it, so there is nothing to protect — and never
+    // anything to delete, which is the clone contract: vacuum on a
+    // clone must not touch source files. "Absolute" means a URI scheme
+    // OR a leading slash: a scheme-less absolute child handed verbatim
+    // to new Path(root, rel) would itself resolve ABSOLUTE — exactly
+    // the shape that must never escape the root.
+    def relUnderRoot(p: String): Option[String] = {
+      val dec = DeltaReader.percentDecode(p)
+      if (!DeltaReader.isAbsoluteAddPath(p) && !dec.startsWith("/")) Some(dec)
       else {
-        // an absolute entry (shallow clone / external file): if it
-        // happens to live under THIS table's root, protect it by its
-        // root-relative form (the walk's key); outside the root the
-        // walk never visits it, so there is nothing to protect — and
-        // never anything to delete, which is the clone contract:
-        // vacuum on a clone must not touch source files
-        val abs = fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
-        if (abs.startsWith(rootRel + "/")) referenced += abs.stripPrefix(rootRel + "/")
+        val abs = fs.makeQualified(DeltaReader.resolveAddPath(root, p)).toUri.getPath
+        if (abs.startsWith(rootRel + "/")) Some(abs.stripPrefix(rootRel + "/")) else None
       }
+    }
+    def reference(a: DeltaReader.AddFile): Unit = {
+      relUnderRoot(a.path).foreach(referenced += _)
       // a DV sidecar is live exactly as long as some window version's
       // add references it; a sidecar only pre-horizon versions point
       // at (a replaced descriptor, a failed delete's debris) is
@@ -4100,8 +4142,13 @@ object LakeWriter {
     // itself stays readable as a TABLE state via the checkpoint, but
     // readChanges AT the horizon needs the commit json anyway, which
     // survives; below it both are gone, consistently.
+    // referenced cdc paths normalize exactly like reclaim candidates
+    // (root-relative when they resolve under THIS root) so an
+    // absolute-under-root cdc entry from a foreign writer still spares
+    // its file from the reclaim's filterNot below; outside-root
+    // entries drop on BOTH sides, consistently
     val cdcReferenced = (horizonVersion to latest.version).flatMap { v =>
-      DeltaReader.commitCdc(spark, dir, v).map(c => DeltaReader.percentDecode(c.path))
+      DeltaReader.commitCdc(spark, dir, v).flatMap(c => relUnderRoot(c.path))
     }.toSet
     // the horizon must stay replayable WITHOUT the commits removed below
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
@@ -4141,14 +4188,8 @@ object LakeWriter {
         .filter(_ <= horizonVersion).sorted
       val cand = Seq.newBuilder[String]
       val cdcCand = Seq.newBuilder[String]
-      def relUnderRoot(p: String): Option[String] =
-        if (!DeltaReader.isAbsoluteAddPath(p)) Some(DeltaReader.percentDecode(p))
-        else {
-          // absolute entries (clones/external): reclaim only under
-          // THIS root — a clone's vacuum must never touch source files
-          val abs = fs.makeQualified(DeltaReader.resolveAddPath(root, p)).toUri.getPath
-          if (abs.startsWith(rootUri + "/")) Some(abs.stripPrefix(rootUri + "/")) else None
-        }
+      // every candidate routes through the outer relUnderRoot guard:
+      // reclaim only under THIS root (the clone contract)
       candidateVersions.foreach { v =>
         val (adds, removes) = DeltaReader.commitChanges(spark, dir, v)
         removes.foreach { case (p, _) => relUnderRoot(p).foreach(cand += _) }
@@ -4159,8 +4200,12 @@ object LakeWriter {
             if (abs.startsWith(rootUri + "/")) cand += abs.stripPrefix(rootUri + "/")
           }
         }
+        // same under-THIS-root guard as removes: a protocol-legal
+        // absolute cdc.path from a foreign writer must never become an
+        // absolute child of new Path(root, rel) and delete a file
+        // outside the table root (e.g. a clone source's change data)
         DeltaReader.commitCdc(spark, dir, v).foreach(c =>
-          cdcCand += DeltaReader.percentDecode(c.path))
+          relUnderRoot(c.path).foreach(cdcCand += _))
       }
       (vacuumReclaimPaths(spark, root,
         cand.result().distinct.filterNot(referenced), dryRun, checkExists = true),

@@ -56,6 +56,30 @@ class DeltaSizingSpec extends SparkSpec {
     assert(DeltaReader.read(spark, dir).count() == 4000)
   }
 
+  test("delta.targetFileSize accepts unit-suffixed byte strings (byteStringAsBytes)") {
+    // the parser delta-spark's property values route through
+    assert(LakeWriter.parseByteString("65536") == 65536L)
+    assert(LakeWriter.parseByteString("64kb") == 65536L)
+    assert(LakeWriter.parseByteString(" 100MB ") == 100L << 20)
+    assert(LakeWriter.parseByteString("1g") == 1L << 30)
+    assert(LakeWriter.parseByteString("2b") == 2L)
+    intercept[IllegalArgumentException](LakeWriter.parseByteString("100xb"))
+    intercept[IllegalArgumentException](LakeWriter.parseByteString("mb"))
+    // end-to-end: a foreign table storing the suffixed form must
+    // compact toward it, not throw NumberFormatException
+    val dir = fresh("suffix")
+    LakeWriter.writeDelta(
+      spark.range(0, 4000).select(col("id"), md5(col("id").cast("string")).as("pay"))
+        .repartition(16),
+      dir,
+      configuration = Map(
+        "delta.autoOptimize.optimizeWrite" -> "true",
+        "delta.targetFileSize" -> "64kb"))
+    val files = liveFiles(dir)
+    assert(files.size > 1 && files.size < 16, s"got ${files.size}")
+    assert(DeltaReader.read(spark, dir).count() == 4000)
+  }
+
   test("optimizeWrite folds per partition directory and keeps partition values") {
     val dir = fresh("part")
     LakeWriter.writeDelta(

@@ -83,6 +83,37 @@ class DeltaStatsCapSpec extends SparkSpec {
     assert(!mv.has("c35"), "the cap still applies to ordinary columns")
   }
 
+  test("applyCdcDv on a wide identity table: watermark bounds survive the stats cap") {
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    import graft.sources.IdentityColumns
+    val dir = tmp("graft_statscap_cdc_")
+    val fields = (0 until 40).map(i => StructField(s"c$i", StringType)) :+
+      StructField("rid", LongType, nullable = true, new MetadataBuilder()
+        .putLong(IdentityColumns.StartKey, 1L)
+        .putLong(IdentityColumns.StepKey, 1L)
+        .putBoolean(IdentityColumns.ExplicitKey, false).build())
+    LakeWriter.writeDelta(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields)), dir)
+    // the CDC-replication path stages its own adds (applyCdcDv, not
+    // commitDelta's append) — its stats must ALSO carry the identity
+    // column over the 32-column cap or newWatermarks refuses the commit
+    val changes = spark.range(0, 5).select(
+      ((0 until 40).map(i => expr(s"concat('n', id * ${i + 1})").as(s"c$i")) :+
+        (col("id") + 100L).as("rid") :+
+        expr("'insert'").as("_change_type")): _*)
+    LakeWriter.applyCdcDv(spark, dir, changes, Seq("c0"))
+    // the watermark advanced past the replicated ids: a direct append
+    // after replication must mint FRESH ids, never re-mint 100..104
+    LakeWriter.appendDelta(spark.range(0, 5).select(
+      (0 until 40).map(i => expr(s"concat('v', id * ${i + 1})").as(s"c$i")): _*), dir)
+    val s2 = spark
+    import s2.implicits._
+    val rids = DeltaReader.read(spark, dir).select("rid").as[Long].collect()
+    assert(rids.length == 10 && rids.distinct.length == 10,
+      s"duplicate identity values: ${rids.sorted.mkString(", ")}")
+    assert(rids.count(_ > 104L) == 5, rids.sorted.mkString(", "))
+  }
+
   test("OPTIMIZE re-emits footer stats on compacted files; skipping still prunes") {
     val s = spark
     import s.implicits._
@@ -106,5 +137,90 @@ class DeltaStatsCapSpec extends SparkSpec {
     assert(hit.as[Long].collect().toSeq == Seq(250L))
     assert(hit.inputFiles.length < snap.active.size,
       s"no pruning: ${hit.inputFiles.length} of ${snap.active.size} files read")
+  }
+
+  test("code-point helpers: ordering, prefix, increment-after-truncate") {
+    val astral = new String(Character.toChars(0x10000)) // U+10000 "𐀀"
+    // UTF-16 code units sort U+FFFF ABOVE supplementary characters;
+    // code-point order (= UTF-8 byte order = Spark's UTF8String order)
+    // sorts it below — the whole reason compareTo can't prune
+    assert("￿".compareTo(astral) > 0)
+    assert(DeltaStats.codePointCompare("￿", astral) < 0)
+    assert(DeltaStats.codePointCompare("ab", "ab") == 0)
+    assert(DeltaStats.codePointCompare("ab", "abc") < 0)
+    // prefix counts CODE POINTS, not chars (an astral cp is 2 chars)
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(DeltaStats.prefixCodePoints(emoji * 40, 32) == emoji * 32)
+    assert(DeltaStats.prefixCodePoints("short", 32) == "short")
+    // a string that fits is its own upper bound
+    assert(DeltaStats.truncateMaxString("ab", 32).contains("ab"))
+    // plain increment of the last kept code point, tail dropped
+    assert(DeltaStats.truncateMaxString("ab" + "z" * 40, 3).contains("ab{"))
+    // incrementing U+D7FF must skip the surrogate gap to U+E000
+    assert(DeltaStats.truncateMaxString("a퟿XYZ", 2).contains("a"))
+    // an unincrementable tail carries into the previous code point
+    val maxCp = new String(Character.toChars(Character.MAX_CODE_POINT))
+    assert(DeltaStats.truncateMaxString("a" + maxCp + "tail", 2).contains("b"))
+    // all prefix code points at U+10FFFF: no finite bound at this length
+    assert(DeltaStats.truncateMaxString(maxCp * 3 + "tail", 3).isEmpty)
+  }
+
+  test("non-ASCII string skipping: CJK / accents / astral prune and never false-negative") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_statscap_utf8_")
+    val astral1 = new String(Character.toChars(0x10400)) + "x"
+    val astral2 = new String(Character.toChars(0x1F600))
+    // four single-file appends with disjoint code-point ranges:
+    // ASCII < accents < CJK < astral
+    val groups = Seq(
+      Seq("apple", "berry"),
+      Seq("café", "naïve"),
+      Seq("中文", "漢字"),
+      Seq(astral1, astral2))
+    LakeWriter.writeDelta(groups.head.toDF("s").coalesce(1), dir)
+    groups.tail.foreach(g => LakeWriter.appendDelta(g.toDF("s").coalesce(1), dir))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.active.size == 4)
+    snap.active.foreach { a =>
+      val n = om.readTree(a.stats.get)
+      assert(n.get("minValues").has("s") && n.get("maxValues").has("s"),
+        s"string bounds missing on ${a.path}")
+    }
+    // point predicates keep exactly the one file whose envelope matches
+    assert(DeltaStats.prune(spark, snap.active, "s = '中文'", snap).size == 1)
+    assert(DeltaStats.prune(spark, snap.active, "s = 'naïve'", snap).size == 1)
+    // the astral boundary: only the astral file holds values above
+    // U+FFFF — compareTo ordering would have pruned it (false negative)
+    val above = DeltaStats.prune(spark, snap.active, "s > '￿'", snap)
+    assert(above.size == 1, above.map(_.path).mkString(", "))
+    // no false negatives: readWhere ≡ read().where on boundary predicates
+    Seq(s"s = 'café'", "s > '￿'", "s >= '一'", "s < 'é'",
+        s"s = '$astral2'").foreach { p =>
+      val pruned = DeltaReader.readWhere(spark, dir, p).as[String].collect().sorted.toSeq
+      val full = DeltaReader.read(spark, dir).where(p).as[String].collect().sorted.toSeq
+      assert(pruned == full, s"$p: $pruned vs $full")
+    }
+  }
+
+  test("string bounds truncate at 32 code points; pruner stays sound at the boundary") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_statscap_trunc_")
+    val base = "中" * 32
+    LakeWriter.writeDelta(Seq(base + "aaa", base + "zzz").toDF("s").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val n = om.readTree(snap.active.head.stats.get)
+    // min: the 32-cp prefix; max: prefix with last code point bumped
+    assert(n.get("minValues").get("s").asText() == base)
+    assert(n.get("maxValues").get("s").asText() == "中" * 31 + "丮")
+    // inside the widened envelope: may-match, file read, rows exact
+    assert(DeltaStats.prune(spark, snap.active, s"s = '${base}mmm'", snap).size == 1)
+    // clearly outside: pruned, and the unpruned read agrees (0 rows)
+    assert(DeltaStats.prune(spark, snap.active, "s = '香'", snap).isEmpty)
+    Seq(s"s = '${base}zzz'", s"s = '${base}mmm'", "s = '香'").foreach { p =>
+      assert(DeltaReader.readWhere(spark, dir, p).count() ==
+        DeltaReader.read(spark, dir).where(p).count(), p)
+    }
   }
 }

@@ -106,11 +106,16 @@ class DeltaStatsSpec extends SparkSpec {
     val snap = DeltaReader.snapshot(spark, dir, None)
     assert(snap.active.forall(_.stats.isDefined))
 
-    // non-ASCII strings: stats may exist, but pruning must keep the file
+    // non-ASCII strings prune in code-point order: 'zzz' sorts BELOW
+    // the file's ['ábc', 'żółw'] envelope (z = U+007A < á = U+00E1),
+    // so the file skips — while a value inside the envelope keeps it
     val dir2 = tmp("graft_stats_uni_")
     LakeWriter.writeDelta(Seq((0L, "żółw"), (1L, "ábc")).toDF("id", "v")
       .coalesce(1), dir2)
     val snap2 = DeltaReader.snapshot(spark, dir2, None)
-    assert(DeltaStats.prune(spark, snap2.active, "v = 'zzz'", snap2).size == 1)
+    assert(DeltaStats.prune(spark, snap2.active, "v = 'zzz'", snap2).isEmpty)
+    assert(DeltaStats.prune(spark, snap2.active, "v = 'émil'", snap2).size == 1)
+    assert(DeltaReader.readWhere(spark, dir2, "v = 'zzz'").count() ==
+      DeltaReader.read(spark, dir2).where("v = 'zzz'").count())
   }
 }

@@ -180,6 +180,45 @@ class DeltaVacuumSpec extends SparkSpec {
     assert(full.contains("orphan.parquet"), full.mkString(", "))
   }
 
+  test("VACUUM never follows an absolute log path outside the table root (FULL and LITE)") {
+    val (dir, log) = mkTable()
+    val f0 = part(dir, "part-0000.parquet", Seq((0L, "a")))
+    // a foreign writer's files living OUTSIDE this table's root —
+    // protocol-legal absolute entries (e.g. a clone source's data and
+    // change data), in BOTH absolute spellings: URI scheme and
+    // scheme-less leading slash (the shape new Path(root, rel) would
+    // resolve absolute)
+    val outside = java.nio.file.Files.createTempDirectory("graft_vac_outside_").toFile
+    val extCdc = new java.io.File(outside, "cdc-ext.parquet")
+    val extData = new java.io.File(outside, "data-ext.parquet")
+    java.nio.file.Files.write(extCdc.toPath, Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(extData.toPath, Array[Byte](4, 5, 6))
+    // plus a root-relative cdc file that IS genuinely reclaimable
+    val cdcDir = new java.io.File(dir, "_change_data"); cdcDir.mkdirs()
+    java.nio.file.Files.write(new java.io.File(cdcDir, "cdc-0.parquet").toPath, Array[Byte](1))
+    def cdc(p: String) =
+      s"""{"cdc":{"path":"$p","partitionValues":{},"size":1,"dataChange":false}}"""
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      metaLine, add(f0),
+      cdc("_change_data/cdc-0.parquet"),
+      cdc(s"file:${extCdc.getAbsolutePath}"),
+      remove(extData.getAbsolutePath)))
+    commit(log, 1, Seq(add(f0)))
+    Seq(true, false).foreach { lite =>
+      val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 1L,
+        dryRun = true, lite = lite)
+      assert(deleted.forall(p => !p.startsWith("/") && !p.contains(outside.getName)),
+        s"lite=$lite planned an outside-root delete: ${deleted.mkString(", ")}")
+    }
+    val deleted = LakeWriter.vacuumDelta(spark, dir.getPath, horizonVersion = 1L,
+      lite = true)
+    assert(deleted.toSet == Set("_change_data/cdc-0.parquet"), deleted.mkString(", "))
+    assert(extCdc.exists() && extData.exists(),
+      "vacuum escaped the table root — the clone contract is broken")
+    assert(rows(DeltaReader.read(spark, dir.getPath)) == Set((0L, "a")))
+  }
+
   test("VACUUM LITE spares tombstoned-then-readded files and is idempotent") {
     val (dir, log) = mkTable()
     val f0 = part(dir, "part-0000.parquet", Seq((0L, "a")))
