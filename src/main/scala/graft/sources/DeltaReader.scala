@@ -423,6 +423,103 @@ object DeltaReader {
       acts.collect { case (Left(p), dc) => p -> dc })
   }
 
+  /** One commit file's parsed content — everything the history family
+    * (DESCRIBE HISTORY, readChanges/CDF tail, in-commit-timestamp
+    * reads, VACUUM LITE's candidate scan) consumes. Parsed ONCE per
+    * commit-file identity via [[CommitParseCache]].
+    */
+  private[graft] final case class CommitParse(
+      fileActions: Seq[(Either[String, AddFile], Boolean)],
+      cdc: Seq[AddFile],
+      operation: Option[String], readVersion: Option[Long],
+      engineInfo: Option[String], ict: Option[Long])
+
+  /** Process-wide per-commit parse memo, validated by the commit
+    * FILE's own (length, mtime) — deliberately NOT the snapshot
+    * cache's whole-listing fingerprint: a new commit appearing in the
+    * log must not invalidate parses of older, immutable ones (that
+    * would make every DESCRIBE HISTORY after an append O(retained
+    * log) again — the exact tax this memo removes). Commit JSONs never
+    * change in place once committed (ICT stamping happens at write
+    * time; log compaction and retention DELETE files, never edit), so
+    * the per-file identity check is exact; the getFileStatus it needs
+    * is the same presence probe the uncached readers already paid.
+    * Entries are pure values (no DataFrames, no session binding), so
+    * one bounded LRU serves every session in the JVM.
+    */
+  private[graft] object CommitParseCache {
+    final case class Key(log: String, version: Long)
+    private val maxEntries = 256
+    private val entries =
+      new java.util.LinkedHashMap[Key, (Long, Long, CommitParse)](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[Key, (Long, Long, CommitParse)]): Boolean =
+          size() > maxEntries
+      }
+    def get(key: Key, len: Long, mtime: Long): Option[CommitParse] = entries.synchronized {
+      Option(entries.get(key)).collect { case (l, m, cp) if l == len && m == mtime => cp }
+    }
+    def put(key: Key, len: Long, mtime: Long, cp: CommitParse): Unit =
+      entries.synchronized { entries.put(key, (len, mtime, cp)); () }
+    private[graft] def clear(): Unit = entries.synchronized(entries.clear())
+  }
+
+  /** Counts ACTUAL commit-file parses (memo misses) — the spec's
+    * evidence that N DESCRIBE HISTORY / readChanges calls parse each
+    * retained commit once.
+    */
+  private[graft] val commitParseCounter = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def parseCommitFile(fs: org.apache.hadoop.fs.FileSystem, p: Path): CommitParse = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val acts = Seq.newBuilder[(Either[String, AddFile], Boolean)]
+    val cdc = Seq.newBuilder[AddFile]
+    var op: Option[String] = None
+    var readVersion: Option[Long] = None
+    var engine: Option[String] = None
+    var ict: Option[Long] = None
+    def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
+      !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
+    val rd = new java.io.BufferedReader(
+      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).foreach { line =>
+        val n = om.readTree(line)
+        if (n.has("add")) acts += Right(addFromJson(n.get("add"))) -> dataChange(n.get("add"))
+        if (n.has("remove"))
+          acts += Left(n.get("remove").get("path").asText()) -> dataChange(n.get("remove"))
+        if (n.has("cdc")) cdc += addFromJson(n.get("cdc"))
+        if (n.has("commitInfo")) {
+          val ci = n.get("commitInfo")
+          op = Option(ci.get("operation")).filterNot(_.isNull).map(_.asText())
+          readVersion = Option(ci.get("readVersion")).filterNot(_.isNull).map(_.asLong())
+          engine = Option(ci.get("engineInfo")).filterNot(_.isNull).map(_.asText())
+          ict = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong())
+        }
+      } finally rd.close()
+    CommitParse(acts.result(), cdc.result(), op, readVersion, engine, ict)
+  }
+
+  /** The memoized parse of commit `version`, or None when its file is
+    * absent (retention-cleaned / log-compacted).
+    */
+  private[graft] def parsedCommit(fs: org.apache.hadoop.fs.FileSystem, logPath: Path,
+                                  version: Long): Option[CommitParse] = {
+    val p = new Path(logPath, f"$version%020d.json")
+    val st =
+      try Some(fs.getFileStatus(p)).filter(_.isFile)
+      catch { case _: java.io.FileNotFoundException => None }
+    st.map { s0 =>
+      val key = CommitParseCache.Key(fs.makeQualified(logPath).toString, version)
+      CommitParseCache.get(key, s0.getLen, s0.getModificationTime).getOrElse {
+        commitParseCounter.incrementAndGet()
+        val cp = parseCommitFile(fs, p)
+        CommitParseCache.put(key, s0.getLen, s0.getModificationTime, cp)
+        cp
+      }
+    }
+  }
+
   /** One commit's file actions IN LINE ORDER — `Right(add)` /
     * `Left(removedPath)` with the `dataChange` flag. Order matters to
     * state folding: a remove+add of the same path in one commit (the
@@ -434,26 +531,9 @@ object DeltaReader {
     val hconf = s.sessionState.newHadoopConf()
     val logPath = new Path(dir, "_delta_log")
     val fs = logPath.getFileSystem(hconf)
-    val p = new Path(logPath, f"$version%020d.json")
-    require(
-      try fs.getFileStatus(p).isFile
-      catch { case _: java.io.FileNotFoundException => false },
+    parsedCommit(fs, logPath, version).getOrElse(throw new IllegalArgumentException(
       s"commit $version not present in $logPath (retention-cleaned?) — its changes " +
-        "are unrecoverable from a checkpoint; cannot tail this version")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val acts = Seq.newBuilder[(Either[String, AddFile], Boolean)]
-    def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
-      !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
-    val rd = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
-    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
-      .filter(_.nonEmpty).foreach { line =>
-      val n = om.readTree(line)
-      if (n.has("add")) acts += Right(addFromJson(n.get("add"))) -> dataChange(n.get("add"))
-      if (n.has("remove"))
-        acts += Left(n.get("remove").get("path").asText()) -> dataChange(n.get("remove"))
-    } finally rd.close()
-    acts.result()
+        "are unrecoverable from a checkpoint; cannot tail this version")).fileActions
   }
 
   /** One commit's `cdc` actions (change data files, PROTOCOL.md's
@@ -464,22 +544,9 @@ object DeltaReader {
     val hconf = s.sessionState.newHadoopConf()
     val logPath = new Path(dir, "_delta_log")
     val fs = logPath.getFileSystem(hconf)
-    val p = new Path(logPath, f"$version%020d.json")
-    require(
-      try fs.getFileStatus(p).isFile
-      catch { case _: java.io.FileNotFoundException => false },
+    parsedCommit(fs, logPath, version).getOrElse(throw new IllegalArgumentException(
       s"commit $version not present in $logPath (retention-cleaned?) — its change " +
-        "data is unrecoverable; cannot read changes at this version")
-    val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val out = Seq.newBuilder[AddFile]
-    val rd = new java.io.BufferedReader(
-      new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
-    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
-      .filter(_.nonEmpty).foreach { line =>
-      val n = om.readTree(line)
-      if (n.has("cdc")) out += addFromJson(n.get("cdc"))
-    } finally rd.close()
-    out.result()
+        "data is unrecoverable; cannot read changes at this version")).cdc
   }
 
   /** Scan change data files: the table's data schema PLUS the
@@ -541,7 +608,9 @@ object DeltaReader {
   /** Read the table's row-level CHANGES for versions [fromVersion,
     * toVersion] — the Change Data Feed surface: the table's logical
     * columns plus `_change_type` ('insert' | 'delete' |
-    * 'update_preimage' | 'update_postimage') and `_commit_version`.
+    * 'update_preimage' | 'update_postimage'), `_commit_version` and
+    * `_commit_timestamp` (in-commit timestamp when stamped, else
+    * monotone-adjusted commit-file mtime — delta-spark's CDF triple).
     *
     * Per commit: if it carries `cdc` actions, they ARE the change set
     * (the writer declared them complete — the protocol's rule).
@@ -576,12 +645,33 @@ object DeltaReader {
     val schema = DataType.fromJson(snapTo.schemaJson).asInstanceOf[StructType]
     val outSchema = StructType(schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType)))
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
     val outCols = outSchema.fieldNames.map(col).toIndexedSeq
     val root = new Path(dir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
     def normPath(p: String): String =
       fs.makeQualified(resolveAddPath(root, p)).toUri.getPath
+    // `_commit_timestamp` per window version: the in-commit timestamp
+    // when the table stamped it (authoritative — survives file
+    // copies/moves that reset mtime), else the commit file's mtime,
+    // adjusted MONOTONE over the retained chain exactly like
+    // [[versionAtTimestamp]] — CDF consumers ordering by it must never
+    // see a commit older than its predecessor
+    val tsByVersion: Map[Long, Long] = {
+      val log = new Path(root, "_delta_log")
+      fs.listStatus(log).toSeq
+        .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
+        .map { st =>
+          val v = st.getPath.getName.take(20).toLong
+          v -> commitIct(fs, log, v).getOrElse(st.getModificationTime)
+        }
+        .filter(_._1 <= toVersion)
+        .sortBy(_._1)
+        .scanLeft((Long.MinValue, Long.MinValue)) {
+          case ((_, prev), (v, ts)) => (v, math.max(prev, ts))
+        }.drop(1).toMap
+    }
 
     // classify the window on the driver — O(actions), no plan built yet
     val cdcFiles = Seq.newBuilder[(AddFile, Long)]
@@ -615,8 +705,11 @@ object DeltaReader {
 
     def versionMap(pairs: Seq[(AddFile, Long)], key: String): DataFrame = {
       import s.implicits._
-      pairs.map { case (f, v) => (normPath(f.path), v) }
-        .toDF(key, "_commit_version")
+      pairs.map { case (f, v) => (normPath(f.path), v, tsByVersion(v)) }
+        .toDF(key, "_commit_version", "__ct_ms")
+        .withColumn("_commit_timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(col("__ct_ms")))
+        .drop("__ct_ms")
     }
     val parts = Seq.newBuilder[DataFrame]
     val cdcPairs = cdcFiles.result()
@@ -640,6 +733,8 @@ object DeltaReader {
       parts += scanFiles(s, dir, snapTo, files)
         .withColumn("_change_type", lit("delete"))
         .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp",
+          org.apache.spark.sql.functions.timestamp_millis(lit(tsByVersion(v))))
         .select(outCols: _*)
     }
     val built = parts.result()
@@ -1117,12 +1212,17 @@ object DeltaReader {
       require(readerFeatures.nonEmpty,
         s"Delta protocol minReaderVersion 3 with no readerFeatures in $logPath — " +
           "malformed table, refusing to guess its reader requirements")
+      // vacuumProtocolCheck mandates that VACUUM implementations
+      // consult the protocol before reclaiming — graft's vacuum
+      // resolves the snapshot through this very gate, so the
+      // obligation holds by construction and the feature is pure
+      // interop breadth
       val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors",
-        "v2Checkpoints", "typeWidening", "variantType")
+        "v2Checkpoints", "typeWidening", "variantType", "vacuumProtocolCheck")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
-          "(columnMapping, deletionVectors, v2Checkpoints and typeWidening are " +
-          "implemented) — refusing to misread the table")
+          "(columnMapping, deletionVectors, v2Checkpoints, typeWidening and " +
+          "vacuumProtocolCheck are implemented) — refusing to misread the table")
     }
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none" || cmMode == "name" || cmMode == "id",
@@ -1307,27 +1407,14 @@ object DeltaReader {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val versions = fs.listStatus(logPath).toSeq.map(_.getPath.getName)
       .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
-    val rows = versions.map { v =>
-      val p = new Path(logPath, f"$v%020d.json")
-      var op: Option[String] = None
-      var readVersion: Option[Long] = None
-      var engine: Option[String] = None
-      var ict: Option[Long] = None
-      val rd = new java.io.BufferedReader(
-        new java.io.InputStreamReader(fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
-      try Iterator.continually(rd.readLine()).takeWhile(_ != null)
-        .filter(_.nonEmpty).foreach { line =>
-        val n = om.readTree(line)
-        if (n.has("commitInfo")) {
-          val ci = n.get("commitInfo")
-          op = Option(ci.get("operation")).filterNot(_.isNull).map(_.asText())
-          readVersion = Option(ci.get("readVersion")).filterNot(_.isNull).map(_.asLong())
-          engine = Option(ci.get("engineInfo")).filterNot(_.isNull).map(_.asText())
-          ict = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong())
-        }
-      } finally rd.close()
-      (v, op.orNull, readVersion.map(Long.box).orNull, engine.orNull,
-        ict.map(Long.box).orNull)
+    val rows = versions.flatMap { v =>
+      // memoized: N DESCRIBE HISTORY calls parse each retained commit
+      // once; a commit deleted between the listing and the parse
+      // (racing retention) just drops from the answer
+      parsedCommit(fs, logPath, v).map { cp =>
+        (v, cp.operation.orNull, cp.readVersion.map(Long.box).orNull,
+          cp.engineInfo.orNull, cp.ict.map(Long.box).orNull)
+      }
     }
     rows.sortBy(-_._1)
       .toDF("version", "operation", "readVersion", "engineInfo", "timestamp")
@@ -1375,21 +1462,8 @@ object DeltaReader {
     * carries no stamp.
     */
   private[graft] def commitIct(fs: org.apache.hadoop.fs.FileSystem, log: Path,
-                               version: Long): Option[Long] = {
-    val p = new Path(log, f"$version%020d.json")
-    if (!fs.exists(p)) return None
-    val in = fs.open(p)
-    val first =
-      try new java.io.BufferedReader(new java.io.InputStreamReader(in, "UTF-8")).readLine()
-      finally in.close()
-    if (first == null) None
-    else {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val node = om.readTree(first)
-      Option(node.get("commitInfo")).flatMap(ci =>
-        Option(ci.get("inCommitTimestamp")).map(_.asLong()))
-    }
-  }
+                               version: Long): Option[Long] =
+    parsedCommit(fs, log, version).flatMap(_.ict)
 
   def versionAtTimestamp(s: SparkSession, dir: String, timestampMillis: Long): Long = {
     val logPath = new Path(dir, "_delta_log")

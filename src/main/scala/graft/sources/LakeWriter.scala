@@ -1103,7 +1103,7 @@ object LakeWriter {
     val tableNames = table.fieldNames.toSet
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -1222,7 +1222,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -1366,7 +1366,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -1626,7 +1626,7 @@ object LakeWriter {
     // columnMapping is append-safe because the physical rename below
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -1960,7 +1960,28 @@ object LakeWriter {
     val appendShape = !includeMeta && extraActions.isEmpty && txn.isEmpty &&
       rowIdBase.isEmpty && idWm.isEmpty
     val mutationShape = rebase.isDefined && !includeMeta && txn.isEmpty
-    val rebaseable = appendShape || mutationShape
+    // MAINTENANCE REBASE (the third tier, r13): a dataChange=false
+    // layout rewrite (z-order / clustering OPTIMIZE through this
+    // funnel) read only (a) table metadata/protocol and (b) the live
+    // files it removes. A winner carrying only file actions whose
+    // removes are DISJOINT from ours left that read set intact: its
+    // fresh rows live in files this rewrite never touches, and it
+    // cannot have deleted rows out of our inputs (every graft DV add
+    // pairs with a remove of the same path, so merge-on-read deletes
+    // surface in the remove overlap too) — re-commit the same staged
+    // rewrite at the next free version with zero re-execution.
+    // Row-tracked rewrites stay excluded (rowIdBase carries a
+    // version-dependent watermark and defaultRowCommitVersion).
+    val maintenanceShape = !includeMeta && txn.isEmpty && !addDataChange &&
+      rebase.isEmpty && rowIdBase.isEmpty && idWm.isEmpty &&
+      extraActions.nonEmpty && extraActions.forall(_.startsWith("""{"remove":"""))
+    val maintRemoves: Set[String] =
+      if (!maintenanceShape) Set.empty
+      else {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper()
+        extraActions.map(l => om.readTree(l).get("remove").get("path").asText()).toSet
+      }
+    val rebaseable = appendShape || mutationShape || maintenanceShape
     var v = version
     var committed = false
     while (!committed) {
@@ -1978,10 +1999,13 @@ object LakeWriter {
               "re-read the table and retry the operation", e)
         val conflicts = (v to newest).flatMap { w =>
           val base = appendConflicts(fs, log, w)
-          if (base.nonEmpty || rebase.isEmpty) base
-          else {
-            val (snap, pred, readSet) = rebase.get
-            mutationConflicts(spark, fs, log, w, snap, pred, readSet)
+          if (base.nonEmpty) base
+          else rebase match {
+            case Some((snap, pred, readSet)) =>
+              mutationConflicts(spark, fs, log, w, snap, pred, readSet)
+            case None if maintenanceShape =>
+              maintenanceRemoveConflicts(fs, log, w, maintRemoves)
+            case None => base
           }
         }
         if (conflicts.nonEmpty)
@@ -2167,6 +2191,31 @@ object LakeWriter {
     finally rd.close()
   }
 
+  /** Winner-commit removes that invalidate a maintenance rewrite's
+    * read set (the maintenance-rebase check — only consulted AFTER
+    * [[appendConflicts]] found no metadata-class action): a remove of
+    * a file this rewrite folds means its rows were deleted or re-laid
+    * out by the winner, and re-committing the staged rewrite would
+    * resurrect them. Winner ADDS are benign for a layout rewrite —
+    * fresh rows live in files it never touches.
+    */
+  private def maintenanceRemoveConflicts(fs: org.apache.hadoop.fs.FileSystem,
+                                         log: org.apache.hadoop.fs.Path, w: Long,
+                                         removes: Set[String]): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val p = new org.apache.hadoop.fs.Path(log, f"$w%020d.json")
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+      fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+    try Iterator.continually(rd.readLine()).takeWhile(_ != null)
+      .filter(_.nonEmpty).flatMap { line =>
+        val root = om.readTree(line)
+        Option(root.get("remove")).map(_.get("path").asText())
+          .filter(removes.contains)
+          .map(p0 => s"version $w removed '$p0', which this rewrite folds")
+      }.toSeq
+    finally rd.close()
+  }
+
   /** Winner-commit file actions that invalidate a predicate mutation's
     * read set (the mutation-rebase check — only consulted AFTER
     * [[appendConflicts]] found no metadata-class action): a remove of
@@ -2298,9 +2347,11 @@ object LakeWriter {
                    where: Option[String] = None,
                    dvOnly: Boolean = false,
                    operation: String = "OPTIMIZE",
-                   smallerThan: Option[Long] = None): Unit = {
+                   smallerThan: Option[Long] = None,
+                   snapOverride: Option[DeltaReader.Snapshot] = None): Unit = {
     require(targetFileBytes > 0, s"compactDelta: targetFileBytes $targetFileBytes")
-    val snap = DeltaReader.snapshot(spark, dir, None)
+    // snapOverride = OCC test seam (appendDeltaWithSnapshot's pattern)
+    val snap = snapOverride.getOrElse(DeltaReader.snapshot(spark, dir, None))
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
       "compactDelta: column-mapped tables not supported (rewritten files would " +
         "carry logical names readers can't resolve)")
@@ -2326,7 +2377,7 @@ object LakeWriter {
     // layout change. Tracked tables missing the materialized-name
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
-    val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
+    val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
@@ -2499,11 +2550,42 @@ object LakeWriter {
     if (rt) actions += RowTracking.watermarkAction(nextRowId - 1)
     fs.delete(stage, true)
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
-    val commit = new org.apache.hadoop.fs.Path(log, f"${snap.version + 1}%020d.json")
-    GraftLogStore.commitOrThrow(spark, fs, commit,
-      actions.mkString("\n").getBytes("UTF-8"),
-      s"a concurrent writer won version ${snap.version + 1}; re-read the table and retry the compaction",
-      ictConf = snap.configuration)
+    // MAINTENANCE REBASE (commitDelta's third tier, same argument): a
+    // losing compaction whose winners carried only file actions
+    // disjoint from its removes re-commits the SAME staged rewrite at
+    // the next free version — no re-read, no re-write of the folded
+    // bytes (at 100 TB the rewrite IS the cost; a nightly OPTIMIZE
+    // racing routine appends must not start over per append). A winner
+    // that removed a folded input (delete, DV, competing rewrite)
+    // forces the loud conflict as before. Row-tracked rewrites carry a
+    // version-dependent watermark + defaultRowCommitVersion and stay
+    // on the throw path.
+    val store = GraftLogStore.resolve(spark)
+    GraftLogStore.requireAtomic(store)
+    val content = actions.mkString("\n").getBytes("UTF-8")
+    val foldRemoves = groups.valuesIterator.flatten.map(_.path).toSet
+    var v = snap.version + 1
+    var committed = false
+    while (!committed) {
+      val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
+      if (store.writeIfAbsent(fs, commit,
+          ictStampContent(spark, fs, commit, snap.configuration, content))) committed = true
+      else {
+        def refuse(extra: String): Nothing = throw new IllegalStateException(
+          s"Delta commit $commit already exists — a concurrent writer won version $v" +
+            extra + "; re-read the table and retry the compaction")
+        val newest = newestCommitVersion(fs, log)
+        if (rt || newest < v) refuse("")
+        val conflicts = (v to newest).flatMap { w =>
+          val base = appendConflicts(fs, log, w)
+          if (base.nonEmpty) base
+          else maintenanceRemoveConflicts(fs, log, w, foldRemoves)
+        }
+        if (conflicts.nonEmpty)
+          refuse(s" and its commit conflicts with this rewrite (${conflicts.mkString("; ")})")
+        v = newest + 1
+      }
+    }
   }
 
   /** `REORG TABLE ... APPLY (PURGE)` — materialize deletion-vector
@@ -2574,9 +2656,14 @@ object LakeWriter {
           restateConf = Some(snap.configuration - "delta.enableDeletionVectors")
       case "clustering" =>
         if (Clustering.isClustered(snap)) actions += Clustering.domainAction(Nil)
+      case "vacuumProtocolCheck" =>
+        // mandates vacuum-time protocol checks only — no trace in data
+        // files, actions or configuration, so the drop is always clean
+        ()
       case other => throw new IllegalArgumentException(
         s"dropFeature: '$other' is not droppable by this writer — only " +
-          "deletionVectors and clustering have verifiable no-trace checks")
+          "deletionVectors, clustering and vacuumProtocolCheck have verifiable " +
+          "no-trace checks")
     }
     val rf = snap.readerFeatures.filterNot(_ == feature).distinct.sorted
     val wf = snap.writerFeatures.filterNot(_ == feature).distinct.sorted
@@ -2713,7 +2800,7 @@ object LakeWriter {
     // constraints and generated columns cannot be VIOLATED by removing
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -2970,7 +3057,7 @@ object LakeWriter {
       s"deleteWhereDv: column mapping mode '$cm' not supported")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -3099,7 +3186,7 @@ object LakeWriter {
     require(!snap.writerFeatures.contains("rowTracking"),
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -3278,7 +3365,7 @@ object LakeWriter {
     require(!snap.writerFeatures.contains("rowTracking"),
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -3601,7 +3688,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -3944,7 +4031,7 @@ object LakeWriter {
       s"updateWhere: column mapping mode '$cm' not supported")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -4418,13 +4505,17 @@ object LakeWriter {
                           where: Option[String] = None,
                           op: String = "compactDeltaCluster",
                           full: Boolean = false,
-                          targetFileBytes: Option[Long] = None): Unit = {
+                          targetFileBytes: Option[Long] = None,
+                          snapOverride: Option[DeltaReader.Snapshot] = None): Unit = {
     import org.apache.spark.sql.functions.{col, lit, percentile_approx}
     import org.apache.spark.sql.types._
     require(filesPerPartition > 0, s"$op: filesPerPartition $filesPerPartition")
     require(cols.nonEmpty && cols.size <= Clustering.MaxCols,
       s"$op: takes 1..${Clustering.MaxCols} columns, got ${cols.size}")
-    val snap = DeltaReader.snapshot(spark, dir, None)
+    // snapOverride = OCC test seam (appendDeltaWithSnapshot's pattern):
+    // commit from a deliberately stale snapshot to exercise the
+    // maintenance-rebase tier deterministically
+    val snap = snapOverride.getOrElse(DeltaReader.snapshot(spark, dir, None))
     require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
       s"$op: column-mapped tables not supported (rewritten files would " +
         "carry logical names readers can't resolve)")
@@ -4432,7 +4523,7 @@ object LakeWriter {
     // tracked tables re-layout with every surviving id materialized;
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
-    val compactSafe = Set("appendOnly", "invariants", "checkConstraints",
+    val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
@@ -4648,7 +4739,7 @@ object LakeWriter {
     require(!cur.configuration.get("delta.enableChangeDataFeed").contains("true"),
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
-    val safeFeatures = Set("appendOnly", "invariants", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)

@@ -134,8 +134,10 @@ object DeltaStream {
                                    batchId: Long, keyCols: Seq[String],
                                    partitionBy: Seq[String] = Nil): Unit = {
     import org.apache.spark.sql.functions.{col, lit, max_by, struct, when}
-    val meta = Seq("_change_type", "_commit_version")
-    val missing = meta.filterNot(batch.columns.contains)
+    // _commit_timestamp is CDF bookkeeping too (never replica data),
+    // but only the first two are required — the fold keys on them
+    val meta = Seq("_change_type", "_commit_version", "_commit_timestamp")
+    val missing = meta.take(2).filterNot(batch.columns.contains)
     require(missing.isEmpty,
       s"cdcApply expects a change-feed stream (readChangeFeed=true) — the batch " +
         s"lacks ${missing.mkString(", ")}")

@@ -244,7 +244,8 @@ object GraftDeltaSource {
       .asInstanceOf[StructType]
     if (!cdf) base
     else StructType(base.fields ++ Seq(StructField("_change_type", StringType),
-      StructField("_commit_version", LongType)))
+      StructField("_commit_version", LongType),
+      StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
   }
 
   /** A custom read limit the engine passes back verbatim — versions

@@ -2,6 +2,7 @@ package graft
 
 import graft.sources.{DeltaReader, LakeWriter}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, unix_millis}
 
 /** Change Data Feed: mutation ops write complete `cdc` change data in
   * the same atomic commit on CDF-enabled tables; `readChanges` replays
@@ -59,6 +60,46 @@ class DeltaCdfSpec extends SparkSpec {
       Set((0L, "a"), (2L, "C"), (3L, "D"), (4L, "e")))
     // the CDF table's protocol declares the legacy CDF writer floor
     assert(DeltaReader.snapshot(spark, dir, None).minWriter >= 4L)
+  }
+
+  test("_commit_timestamp rides every derivation path and honors in-commit timestamps") {
+    val s = spark
+    import s.implicits._
+    // ICT table: the stamp IN the commit is authoritative for CDF time
+    val dir = tmp("graft_cdf_ts_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir,
+      configuration = CDF + ("delta.enableInCommitTimestamps" -> "true"))     // v0
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)   // v1
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 1").nonEmpty)             // v2 (cdc)
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val icts = (0L to 2L).map(v =>
+      v -> DeltaReader.commitIct(fs, log, v).get).toMap
+    val got = DeltaReader.readChanges(spark, dir, 0L, 2L)
+      .select(col("_commit_version"), unix_millis(col("_commit_timestamp")))
+      .as[(Long, Long)].collect().toSet
+    // derived adds (v0, v1) and cdc actions (v2) all carry the ICT
+    assert(got == icts.toSet, s"$got vs $icts")
+
+    // derived removes: a removes-only commit (a foreign writer's
+    // whole-file drop); its rows must still carry a timestamp, and
+    // the per-version series must be monotone
+    val dir2 = tmp("graft_cdf_ts_rm_")
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v").coalesce(1), dir2)   // v0
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v").coalesce(1), dir2)  // v1
+    val victim = DeltaReader.snapshot(spark, dir2, None).active
+      .find(a => a.stats.exists(_.contains("\"id\":1"))).get
+    java.nio.file.Files.write(                                                // v2: removes-only
+      java.nio.file.Paths.get(dir2, "_delta_log", "0" * 18 + "02.json"),
+      (s"""{"commitInfo":{"timestamp":0,"operation":"DELETE","operationParameters":{},"readVersion":1,"engineInfo":"ext"}}""" +
+        "\n" + s"""{"remove":{"path":"${victim.path}","deletionTimestamp":0,"dataChange":true}}""").getBytes("UTF-8"))
+    val series = DeltaReader.readChanges(spark, dir2, 0L, 2L)
+      .select(col("_commit_version"), col("_commit_timestamp").cast("long"))
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(series.map(_._1) == Seq(0L, 1L, 2L))
+    assert(series.forall(_._2 > 0L), series.mkString(", "))
+    assert(series.sliding(2).forall(p => p.head._2 <= p.last._2),
+      s"non-monotone CDF timestamps: $series")
   }
 
   test("non-CDF tables: appends derive inserts; rewrite commits refuse loudly") {

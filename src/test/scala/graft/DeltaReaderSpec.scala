@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.DeltaReader
+import graft.sources.{DeltaReader, LakeWriter}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
@@ -329,6 +329,41 @@ class DeltaReaderSpec extends SparkSpec {
       DeltaReader.read(spark, dir2.getPath)
     }
     assert(e2.getMessage.contains("someFutureFeature"), e2.getMessage)
+  }
+
+  test("vacuumProtocolCheck: foreign tables read; upgrade declares; vacuum and drop honor it") {
+    val s = spark
+    import s.implicits._
+    // a foreign table declaring the (3,7) feature reads green — the
+    // feature mandates nothing graft's vacuum doesn't already do
+    // (snapshot resolve through the full protocol gate)
+    val (dir2, log2) = mkTable()
+    val f2 = part(dir2, "part-0001.parquet", Seq((1L, "a")))
+    commit(log2, 0, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["vacuumProtocolCheck"],"writerFeatures":["vacuumProtocolCheck"]}}""",
+      meta("\"src\""), add(f2, "web")))
+    assert(DeltaReader.read(spark, dir2.getPath).count() == 1L)
+    // appends and vacuum work on it (the feature is writer-safe)
+    LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "v")
+      .withColumn("src", org.apache.spark.sql.functions.lit("web")), dir2.getPath)
+    assert(LakeWriter.vacuumDelta(spark, dir2.getPath, horizonVersion = 1L).isEmpty)
+    assert(DeltaReader.read(spark, dir2.getPath).count() == 2L)
+
+    // declare on request via upgradeProtocol; DROP FEATURE removes it
+    val d = java.nio.file.Files.createTempDirectory("graft_vpc_").resolve("t").toString
+    LakeWriter.writeDelta(Seq((1L, "x")).toDF("id", "v"), d)
+    LakeWriter.upgradeProtocol(spark, d, 3, 7,
+      readerFeatures = Seq("vacuumProtocolCheck"),
+      writerFeatures = Seq("vacuumProtocolCheck"))
+    val up = DeltaReader.snapshot(spark, d, None)
+    assert(up.readerFeatures.contains("vacuumProtocolCheck") &&
+      up.writerFeatures.contains("vacuumProtocolCheck"))
+    LakeWriter.dropFeature(spark, d, "vacuumProtocolCheck")
+    val down = DeltaReader.snapshot(spark, d, None)
+    assert(!down.readerFeatures.contains("vacuumProtocolCheck") &&
+      !down.writerFeatures.contains("vacuumProtocolCheck"))
+    assert(down.minReader == 1L, s"reader version must fall back, got ${down.minReader}")
+    assert(DeltaReader.read(spark, d).count() == 1L)
   }
 
   test("add.path decoding is RFC percent-decoding, not form-urlencoding") {

@@ -309,7 +309,7 @@ class GraftDeltaSourceSpec extends SparkSpec {
       DeltaReader.read(spark, d).schema.map(f => (f.name, f.dataType)))
     val cdf = spark.readStream.format("graft-delta")
       .option("readChangeFeed", "true").load(d)
-    assert(cdf.schema.fieldNames.takeRight(2).toSeq ==
-      Seq("_change_type", "_commit_version"))
+    assert(cdf.schema.fieldNames.takeRight(3).toSeq ==
+      Seq("_change_type", "_commit_version", "_commit_timestamp"))
   }
 }

@@ -144,4 +144,44 @@ class OccRebaseSpec extends SparkSpec {
     assert(got.where(col("id") === 1000L).head().getDouble(2) == 1000.0)
     assert(got.count() == 103)
   }
+
+  test("maintenance rebase: a stale OPTIMIZE lands past a disjoint append, no re-run") {
+    val d = freshDir("mo")
+    LakeWriter.writeDelta(rows(1, 10, "a").repartition(4), d)   // v0: 4 files
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.appendDelta(rows(11, 20, "b"), d)                // v1: the winner
+    // the loser's compaction targets v1, finds it taken, and re-commits
+    // the SAME staged rewrite at v2 — no conflict, no re-execution
+    LakeWriter.compactDelta(spark, d, minFiles = 2, snapOverride = Some(stale))
+    val snap = DeltaReader.snapshot(spark, d, None)
+    assert(snap.version == 2L, s"rebase must land at v2, got ${snap.version}")
+    assert(DeltaReader.read(spark, d).select("id").as[Long].collect().toSet ==
+      (1L to 20L).toSet)
+    // the fold really happened: v0's four files are gone from the live set
+    assert(snap.active.count(_.path.contains("part-compact-")) >= 1)
+  }
+
+  test("maintenance rebase refuses when the winner removed a folded input") {
+    val d = freshDir("moc")
+    LakeWriter.writeDelta(rows(1, 10, "a").repartition(4), d)
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.deleteWhere(spark, d, "id <= 3")  // rewrites (removes) input files
+    val e = intercept[IllegalStateException] {
+      LakeWriter.compactDelta(spark, d, minFiles = 2, snapOverride = Some(stale))
+    }
+    assert(e.getMessage.contains("which this rewrite folds"), e.getMessage)
+    assert(DeltaReader.read(spark, d).count() == 7)
+  }
+
+  test("z-order rebase rides the commit funnel's maintenance tier") {
+    val d = freshDir("moz")
+    LakeWriter.writeDelta(rows(1, 100, "a").repartition(4), d)  // v0
+    val stale = DeltaReader.snapshot(spark, d, None)
+    LakeWriter.appendDelta(rows(101, 110, "b"), d)              // v1: the winner
+    LakeWriter.compactDeltaCluster(spark, d, Seq("id"), filesPerPartition = 2,
+      op = "compactDeltaZOrder", full = true, snapOverride = Some(stale))
+    assert(DeltaReader.snapshot(spark, d, None).version == 2L)
+    assert(DeltaReader.read(spark, d).select("id").as[Long].collect().toSet ==
+      (1L to 110L).toSet)
+  }
 }

@@ -89,4 +89,46 @@ class SnapshotCacheSpec extends SparkSpec {
       assert(replays == r0 + 2, "with the cache off every snapshot call replays")
     } finally spark.conf.unset("spark.graft.delta.snapshotCache.enabled")
   }
+
+  test("commit-parse memo: repeated history/CDF reads parse each retained commit once") {
+    val s = spark
+    import s.implicits._
+    def parses: Long = DeltaReader.commitParseCounter.get()
+    val dir = mkTable(Seq((1L, "a")))
+    (2 to 5).foreach(i => LakeWriter.appendDelta(Seq((i.toLong, "x")).toDF("id", "v"), dir))
+
+    assert(DeltaReader.history(spark, dir).count() == 5L)
+    val afterFirst = parses
+    (1 to 4).foreach(_ => assert(DeltaReader.history(spark, dir).count() == 5L))
+    assert(parses == afterFirst,
+      s"repeated DESCRIBE HISTORY must hit the memo ($afterFirst -> $parses)")
+
+    // CDF replay over the same commits: file/cdc actions come from the
+    // SAME parse pass history populated — zero new parses
+    assert(DeltaReader.readChanges(spark, dir, 0L, 4L).count() == 5L)
+    assert(parses == afterFirst,
+      s"readChanges over memoized commits must not re-parse ($afterFirst -> $parses)")
+
+    // a new commit parses exactly once more on the next history call
+    LakeWriter.appendDelta(Seq((6L, "y")).toDF("id", "v"), dir)
+    assert(DeltaReader.history(spark, dir).count() == 6L)
+    val afterAppend = parses
+    assert(afterAppend >= afterFirst + 1,
+      "the new commit must parse (history sees 6 versions)")
+    assert(DeltaReader.history(spark, dir).count() == 6L)
+    assert(parses == afterAppend, "old entries must survive the append")
+
+    // overwriting a commit file in place (adversarial fixture edit)
+    // changes its identity and forces a fresh parse
+    val v0 = new java.io.File(dir, "_delta_log/" + "0" * 20 + ".json")
+    val edited = new String(java.nio.file.Files.readAllBytes(v0.toPath), "UTF-8")
+      .replace(""""operation":"CREATE TABLE"""", """"operation":"EDITED FIXTURE"""")
+    java.nio.file.Files.write(v0.toPath, edited.getBytes("UTF-8"))
+    // the direct edit invalidates Hadoop LocalFileSystem's checksum sidecar
+    new java.io.File(v0.getParentFile, s".${v0.getName}.crc").delete()
+    val ops = DeltaReader.history(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(ops(0L) == "EDITED FIXTURE",
+      s"an edited commit file must re-parse, got ${ops(0L)}")
+  }
 }
