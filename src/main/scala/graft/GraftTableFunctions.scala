@@ -112,16 +112,47 @@ object GraftTableFunctions {
       .queryExecution.analyzed
   }
 
-  /** graft_delta_changes(path, fromVersion, toVersion) — the CDF window
-    * as a table: the table columns + _change_type + _commit_version.
+  /** graft_delta_changes(path, fromVersion, toVersion) — the CDF
+    * window as a table: the table columns + _change_type +
+    * _commit_version + _commit_timestamp. Like delta-spark's
+    * table_changes, the bounds may instead be TIMESTAMP STRINGS
+    * ('2026-08-15 12:00:00' or epoch-millis-as-string is NOT
+    * ambiguous: versions are numeric literals), resolved on the same
+    * monotone commit-timestamp series as timestampAsOf.
     */
   def deltaChangesPlan(args: Seq[Expression]): LogicalPlan = {
     require(args.size == 3,
-      s"graft_delta_changes(path, fromVersion, toVersion) takes 3 arguments, got ${args.size}")
+      s"graft_delta_changes(path, from, to) takes 3 arguments, got ${args.size}")
     val path = strArg(args, 0, "graft_delta_changes")
-    val from = longArg(args, 1, "graft_delta_changes")
-    val to = longArg(args, 2, "graft_delta_changes")
     val spark = SparkSession.active
-    graft.sources.DeltaReader.readChanges(spark, path, from, to).queryExecution.analyzed
+    def isString(i: Int) = args(i) match {
+      case Literal(_, org.apache.spark.sql.types.StringType) => true
+      case _ => false
+    }
+    if (isString(1) || isString(2)) {
+      require(isString(1) && isString(2),
+        "graft_delta_changes: mixed version/timestamp bounds — pass both as " +
+          "versions (numbers) or both as timestamp strings")
+      def ts(i: Int): Long = {
+        val t = strArg(args, i, "graft_delta_changes").trim
+        try java.sql.Timestamp.valueOf(t).getTime
+        catch {
+          case _: IllegalArgumentException =>
+            try java.time.Instant.parse(t).toEpochMilli
+            catch {
+              case _: java.time.format.DateTimeParseException =>
+                throw new IllegalArgumentException(
+                  s"graft_delta_changes: unparseable timestamp '$t' — use " +
+                    "'yyyy-MM-dd HH:mm:ss[.fff]' or an ISO-8601 instant")
+            }
+        }
+      }
+      graft.sources.DeltaReader.readChangesTimestamp(spark, path, ts(1), ts(2))
+        .queryExecution.analyzed
+    } else {
+      val from = longArg(args, 1, "graft_delta_changes")
+      val to = longArg(args, 2, "graft_delta_changes")
+      graft.sources.DeltaReader.readChanges(spark, path, from, to).queryExecution.analyzed
+    }
   }
 }

@@ -658,20 +658,8 @@ object DeltaReader {
     // adjusted MONOTONE over the retained chain exactly like
     // [[versionAtTimestamp]] — CDF consumers ordering by it must never
     // see a commit older than its predecessor
-    val tsByVersion: Map[Long, Long] = {
-      val log = new Path(root, "_delta_log")
-      fs.listStatus(log).toSeq
-        .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
-        .map { st =>
-          val v = st.getPath.getName.take(20).toLong
-          v -> commitIct(fs, log, v).getOrElse(st.getModificationTime)
-        }
-        .filter(_._1 <= toVersion)
-        .sortBy(_._1)
-        .scanLeft((Long.MinValue, Long.MinValue)) {
-          case ((_, prev), (v, ts)) => (v, math.max(prev, ts))
-        }.drop(1).toMap
-    }
+    val tsByVersion: Map[Long, Long] =
+      commitTimestamps(fs, new Path(root, "_delta_log"), toVersion).toMap
 
     // classify the window on the driver — O(actions), no plan built yet
     val cdcFiles = Seq.newBuilder[(AddFile, Long)]
@@ -1465,32 +1453,79 @@ object DeltaReader {
                                version: Long): Option[Long] =
     parsedCommit(fs, log, version).flatMap(_.ict)
 
-  def versionAtTimestamp(s: SparkSession, dir: String, timestampMillis: Long): Long = {
-    val logPath = new Path(dir, "_delta_log")
-    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
-    val commits = fs.listStatus(logPath).toSeq
+  /** The MONOTONE (version, timestampMillis) series of the retained
+    * commit chain at or below `uptoVersion`: in-commit timestamps
+    * (when the table stamped the commit) are authoritative — the log
+    * itself carries time and survives file copies/moves that reset
+    * mtime; unstamped commits fall back to the log file's mtime —
+    * then floored by the predecessor's stamp, since a commit can never
+    * be OLDER than its parent even when the clock ran backwards
+    * (delta-spark adjusts the same way). Every timestamp consumer
+    * ([[versionAtTimestamp]], CDF's `_commit_timestamp`,
+    * [[readChangesTimestamp]]) reads this one series, so they can
+    * never disagree; commit parses ride the [[CommitParseCache]].
+    */
+  private[graft] def commitTimestamps(fs: org.apache.hadoop.fs.FileSystem,
+                                      logPath: Path,
+                                      uptoVersion: Long): Seq[(Long, Long)] =
+    fs.listStatus(logPath).toSeq
       .filter(st => st.isFile && st.getPath.getName.matches("\\d{20}\\.json"))
       .map { st =>
         val v = st.getPath.getName.take(20).toLong
-        // in-commit timestamps (when the table stamped the commit)
-        // are authoritative — the log itself carries time and survives
-        // file copies/moves that reset mtime; unstamped commits fall
-        // back to the log file's mtime as before
         v -> commitIct(fs, logPath, v).getOrElse(st.getModificationTime)
       }
+      .filter(_._1 <= uptoVersion)
       .sortBy(_._1)
-    require(commits.nonEmpty, s"not a Delta table (no commits): $dir")
-    // timestamps must be read monotonically even if the clock wasn't:
-    // a commit can never be OLDER than its predecessor (delta-spark
-    // adjusts the same way), so time travel stays well-defined
-    val mono = commits.scanLeft((Long.MinValue, Long.MinValue)) {
-      case ((_, prevTs), (v, ts)) => (v, math.max(prevTs, ts))
-    }.drop(1)
+      .scanLeft((Long.MinValue, Long.MinValue)) {
+        case ((_, prevTs), (v, ts)) => (v, math.max(prevTs, ts))
+      }.drop(1)
+
+  def versionAtTimestamp(s: SparkSession, dir: String, timestampMillis: Long): Long = {
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
+    val mono = commitTimestamps(fs, logPath, Long.MaxValue)
+    require(mono.nonEmpty, s"not a Delta table (no commits): $dir")
     require(mono.head._2 <= timestampMillis,
       s"timestamp $timestampMillis predates the earliest retained commit " +
         s"(version ${mono.head._1} at ${mono.head._2}) — that state is not " +
         "reconstructible; refusing")
     mono.takeWhile(_._2 <= timestampMillis).last._1
+  }
+
+  /** CDF by WALL CLOCK — delta-spark's `startingTimestamp` /
+    * `endingTimestamp` batch semantics composed over
+    * [[readChanges]]: the window is [first version stamped at or
+    * after `fromMillis`, last version stamped at or before
+    * `toMillis`], read off the same monotone series as
+    * `timestampAsOf` and the rows' own `_commit_timestamp`. Refuses
+    * loudly when the range selects nothing: a start beyond the
+    * newest commit, an end before the earliest retained one, or a
+    * start-after-end window — answering "empty" there would silently
+    * hide changes the caller asked for.
+    */
+  def readChangesTimestamp(s: SparkSession, dir: String,
+                           fromMillis: Long, toMillis: Long): DataFrame = {
+    require(fromMillis <= toMillis,
+      s"readChangesTimestamp: from $fromMillis > to $toMillis")
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
+    val mono = commitTimestamps(fs, logPath, Long.MaxValue)
+    require(mono.nonEmpty, s"not a Delta table (no commits): $dir")
+    val from = mono.find(_._2 >= fromMillis).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"readChangesTimestamp: no commit at or after $fromMillis " +
+          s"(newest is version ${mono.last._1} at ${mono.last._2}); refusing " +
+          "to answer an empty window as if it were history"))
+    val upto = mono.takeWhile(_._2 <= toMillis)
+    require(upto.nonEmpty,
+      s"readChangesTimestamp: $toMillis predates the earliest retained commit " +
+        s"(version ${mono.head._1} at ${mono.head._2}) — that window is not " +
+        "reconstructible; refusing")
+    val to = upto.last._1
+    require(from <= to,
+      s"readChangesTimestamp: the range [$fromMillis, $toMillis] falls between " +
+        s"commits (resolved versions $from > $to) — no commit is stamped inside it")
+    readChanges(s, dir, from, to)
   }
 
   /** Time travel by wall clock: `read` at [[versionAtTimestamp]]. */

@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.catalog.{GraftCdfTable, GraftPathTable}
 import graft.sources.DeltaReader
 import org.apache.spark.sql.{DataFrame, Dataset, GraftColumnBridge, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
@@ -35,10 +36,14 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    batch) — joining a huge table's stream without scanning its
   *    history.
   *  - CDF (`readChangeFeed=true`): batches are row-level changes
-  *    (table columns + `_change_type` + `_commit_version`) via
-  *    [[DeltaReader.readChanges]]. `startingVersion` = v streams
-  *    history from v (0 = whole history); absent = start AFTER the
-  *    current version (first batch empty, the delta-spark default).
+  *    (table columns + `_change_type` + `_commit_version` +
+  *    `_commit_timestamp`) via [[DeltaReader.readChanges]].
+  *    `startingVersion` = v streams history from v (0 = whole
+  *    history); `startingTimestamp` resolves once at stream start on
+  *    the monotone commit-timestamp series (first version stamped at
+  *    or after it; beyond the newest commit = start after current);
+  *    absent = start AFTER the current version (first batch empty,
+  *    the delta-spark default).
   *
   * `maxVersionsPerTrigger` caps versions per batch and
   * `maxBytesPerTrigger` caps the admitted versions' summed add sizes
@@ -59,9 +64,109 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * touches the driver.
   */
 class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvider
-    with DataSourceRegister {
+    with DataSourceRegister
+    with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-delta"
+
+  // ---- the BATCH front door: spark.read.format("graft-delta") ----
+  // The V2 TableProvider surface returns the same metadata-only table
+  // handles the catalog uses ([[graft.catalog.GraftPathTable]] /
+  // [[graft.catalog.GraftCdfTable]]); GraftCatalogScanRule splices the
+  // one production DeltaReader plan in during analysis, so every front
+  // door (catalog names, TVFs, format loads, streams) reads through
+  // the same engine. Streaming is untouched: these handles declare no
+  // streaming capability, so readStream/writeStream fall back to the
+  // V1 Stream{Source,Sink}Provider paths above.
+  override def supportsExternalMetadata(): Boolean = false
+
+  override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : StructType = {
+    import scala.jdk.CollectionConverters._
+    // DataStreamWriter probes getTable BEFORE the sink's first batch
+    // creates the table — answer an empty schema there (the handle
+    // lacks STREAMING_WRITE, so the engine falls straight back to the
+    // V1 sink); a batch READ of a missing table still refuses loudly
+    // when the scan rule builds the real reader plan
+    val opts = GraftDeltaSource.Options(options.asScala.toMap)
+    val hconf = SparkSession.active.sessionState.newHadoopConf()
+    if (!DeltaReader.isDeltaTable(opts.path, hconf)) new StructType()
+    else batchTable(options).schema()
+  }
+
+  override def getTable(schema: StructType,
+                        partitioning: Array[org.apache.spark.sql.connector.expressions.Transform],
+                        properties: java.util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.Table =
+    batchTable(new org.apache.spark.sql.util.CaseInsensitiveStringMap(properties))
+
+  /** Batch option resolution — delta-spark's read options: plain /
+    * `versionAsOf` / `timestampAsOf` loads, and `readChangeFeed=true`
+    * with `startingVersion`|`startingTimestamp` (required) and
+    * `endingVersion`|`endingTimestamp` (default: the current version).
+    * Timestamps resolve ONCE at load on the same monotone series as
+    * time travel.
+    */
+  private def batchTable(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.catalog.Table = {
+    import scala.jdk.CollectionConverters._
+    val spark = SparkSession.active
+    val opts = GraftDeltaSource.Options(options.asScala.toMap)
+    val lower = options.asScala.toMap.map {
+      case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
+    }
+    val versionAsOf = lower.get("versionasof").map(_.trim.toLong)
+    val tsAsOf = lower.get("timestampasof")
+      .map(GraftDeltaSource.parseTimestampMillis(_, "timestampAsOf"))
+    require(versionAsOf.isEmpty || tsAsOf.isEmpty,
+      "graft-delta: versionAsOf and timestampAsOf are mutually exclusive")
+    if (!opts.cdf) {
+      // stream-legal, batch-illegal options refuse in the SCAN RULE
+      // (this probe also runs for streams, which then fall back to
+      // the V1 source and legitimately use them)
+      val batchIllegal =
+        if (opts.startingVersion.isEmpty && opts.startingTimestampMillis.isEmpty) None
+        else Some("graft-delta: startingVersion/startingTimestamp on a batch read " +
+          "need readChangeFeed=true (they are CDF-window or streaming options) — " +
+          "use versionAsOf for time travel")
+      GraftPathTable(spark, opts.path,
+        versionAsOf.orElse(tsAsOf.map(DeltaReader.versionAtTimestamp(spark, opts.path, _))),
+        batchIllegal)
+    } else {
+      require(versionAsOf.isEmpty && tsAsOf.isEmpty,
+        "graft-delta: readChangeFeed composes with startingVersion/" +
+          "startingTimestamp and endingVersion/endingTimestamp, not versionAsOf")
+      val latest = DeltaReader.snapshot(spark, opts.path, None).version
+      val logPath = new org.apache.hadoop.fs.Path(opts.path, "_delta_log")
+      val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+      lazy val mono = DeltaReader.commitTimestamps(fs, logPath, Long.MaxValue)
+      // a startingTimestamp beyond the newest commit is STREAM-legal
+      // (start after current) — defer the batch refusal to the rule
+      val (from, fromErr) = (opts.startingVersion, opts.startingTimestampMillis) match {
+        case (Some(v), _) => (Some(v), None)
+        case (None, None) => (None, None)
+        case (None, Some(t)) => mono.find(_._2 >= t) match {
+          case Some((v, _)) => (Some(v), None)
+          case None => (None, Some(
+            s"graft-delta: no commit at or after startingTimestamp $t " +
+              s"(newest is version ${mono.last._1} at ${mono.last._2})"))
+        }
+      }
+      val endingVersion = lower.get("endingversion").map(_.trim.toLong)
+      val endingTs = lower.get("endingtimestamp")
+        .map(GraftDeltaSource.parseTimestampMillis(_, "endingTimestamp"))
+      require(endingVersion.isEmpty || endingTs.isEmpty,
+        "graft-delta: endingVersion and endingTimestamp are mutually exclusive")
+      val to = endingVersion.orElse(endingTs.map { t =>
+        val upto = mono.takeWhile(_._2 <= t)
+        require(upto.nonEmpty,
+          s"graft-delta: endingTimestamp $t predates the earliest retained commit " +
+            s"(version ${mono.head._1} at ${mono.head._2})")
+        upto.last._1
+      }).getOrElse(latest)
+      GraftCdfTable(spark, opts.path, from, to, fromErr)
+    }
+  }
 
   /** The SINK side: `df.writeStream.format("graft-delta").start(dir)`
     * — [[DeltaStream.commitBatch]]'s exactly-once txn discipline
@@ -225,6 +330,14 @@ object GraftDeltaSource {
       require(n >= 0, s"graft-delta: startingVersion $n must be >= 0")
       n
     }
+    // delta-spark's startingTimestamp: epoch millis, a SQL timestamp
+    // ("2026-08-15 12:00:00", session-local like timestampAsOf), or an
+    // ISO instant. Resolved ONCE at stream start against the same
+    // monotone commit-timestamp series as time travel.
+    val startingTimestampMillis: Option[Long] =
+      lower.get("startingtimestamp").map(GraftDeltaSource.parseTimestampMillis(_, "startingTimestamp"))
+    require(startingVersion.isEmpty || startingTimestampMillis.isEmpty,
+      "graft-delta: startingVersion and startingTimestamp are mutually exclusive")
     val maxVersionsPerTrigger: Option[Int] = lower.get("maxversionspertrigger").map { v =>
       val n = v.toInt
       require(n > 0, s"graft-delta: maxVersionsPerTrigger $n must be positive")
@@ -237,8 +350,27 @@ object GraftDeltaSource {
     }
   }
 
-  private[streaming] def sourceSchema(spark: SparkSession, dir: String,
-                                      cdf: Boolean): StructType = {
+  /** Timestamp option value: epoch millis, a SQL timestamp
+    * ("2026-08-15 12:00:00"), or an ISO-8601 instant.
+    */
+  private[graft] def parseTimestampMillis(v: String, what: String): Long = {
+    val t = v.trim
+    if (t.matches("\\d+")) t.toLong
+    else try java.sql.Timestamp.valueOf(t).getTime
+    catch {
+      case _: IllegalArgumentException =>
+        try java.time.Instant.parse(t).toEpochMilli
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            throw new IllegalArgumentException(
+              s"graft-delta: unparseable $what '$v' — pass epoch millis, " +
+                "'yyyy-MM-dd HH:mm:ss[.fff]' or an ISO-8601 instant")
+        }
+    }
+  }
+
+  private[graft] def sourceSchema(spark: SparkSession, dir: String,
+                                  cdf: Boolean): StructType = {
     val snap = DeltaReader.snapshot(spark, dir, None)
     val base = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[StructType]
@@ -266,6 +398,21 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
   import GraftDeltaSource._
 
   override val schema: StructType = sourceSchema(spark, opts.path, opts.cdf)
+
+  // startingTimestamp resolves to a starting VERSION exactly once, at
+  // stream construction (delta-spark's rule): the first version
+  // stamped at or after the timestamp on the monotone series time
+  // travel uses, or latest+1 when the timestamp is beyond the newest
+  // commit — the stream then tails only future commits. After the
+  // first batch the checkpoint offset governs; this never re-resolves.
+  private val startingVersion: Option[Long] =
+    opts.startingVersion.orElse(opts.startingTimestampMillis.map { ts =>
+      val logPath = new org.apache.hadoop.fs.Path(opts.path, "_delta_log")
+      val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
+      val mono = DeltaReader.commitTimestamps(fs, logPath, Long.MaxValue)
+      require(mono.nonEmpty, s"graft-delta: not a Delta table (no commits): ${opts.path}")
+      mono.find(_._2 >= ts).map(_._1).getOrElse(mono.last._1 + 1)
+    })
 
   // Trigger.AvailableNow: everything at or below this version counts as
   // "available now"; set once when the trigger starts, so a writer
@@ -327,7 +474,7 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       }
     }
     val end = start match {
-      case None => opts.startingVersion match {
+      case None => startingVersion match {
         // replay from sv (CDF rows or append-mode add tailing): the
         // rate caps apply from sv-1 — these are version tails, not
         // the unsplittable snapshot
@@ -346,7 +493,7 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     val endV = GraftDeltaSourceOffset.versionOf(end)
     val startV = start.map(GraftDeltaSourceOffset.versionOf)
     val df = (startV, opts.cdf) match {
-      case (None, false) => opts.startingVersion match {
+      case (None, false) => startingVersion match {
         // skip-snapshot tailing: the first batch is the adds of
         // versions [sv, end] through the shared append-tail path
         case Some(sv) if sv <= endV => DeltaTail.changes(spark, opts.path, sv - 1, endV)
@@ -355,7 +502,7 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       }
       case (Some(s), false) =>
         DeltaTail.changes(spark, opts.path, s, endV)
-      case (None, true) => opts.startingVersion match {
+      case (None, true) => startingVersion match {
         case Some(sv) if sv <= endV => DeltaReader.readChanges(spark, opts.path, sv, endV)
         case _ => emptyBatch // start-after-current (or nothing at sv yet)
       }

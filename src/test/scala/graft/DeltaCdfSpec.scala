@@ -102,6 +102,48 @@ class DeltaCdfSpec extends SparkSpec {
       s"non-monotone CDF timestamps: $series")
   }
 
+  test("readChangesTimestamp windows resolve on the ICT series; out-of-range refuses") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_tsr_")
+    LakeWriter.writeDelta(Seq((0L, "a"), (1L, "b")).toDF("id", "v").coalesce(1), dir,
+      configuration = CDF + ("delta.enableInCommitTimestamps" -> "true"))     // v0
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v").coalesce(1), dir)   // v1
+    assert(LakeWriter.deleteWhere(spark, dir, "id = 1").nonEmpty)             // v2
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val ts = (0L to 2L).map(v => v -> DeltaReader.commitIct(fs, log, v).get).toMap
+    def same(a: org.apache.spark.sql.DataFrame, b: org.apache.spark.sql.DataFrame) =
+      assert(changes(a) == changes(b))
+    // exact window bounds
+    same(DeltaReader.readChangesTimestamp(spark, dir, ts(1L), ts(2L)),
+      DeltaReader.readChanges(spark, dir, 1L, 2L))
+    same(DeltaReader.readChangesTimestamp(spark, dir, ts(0L), ts(2L)),
+      DeltaReader.readChanges(spark, dir, 0L, 2L))
+    // a from between stamps rounds UP to the next commit; a to between
+    // stamps rounds DOWN — delta-spark's CDC rule
+    if (ts(1L) > ts(0L) + 1 && ts(2L) > ts(1L) + 1)
+      same(DeltaReader.readChangesTimestamp(spark, dir, ts(0L) + 1, ts(2L) - 1),
+        DeltaReader.readChanges(spark, dir, 1L, 1L))
+    // the TVF accepts the same window as timestamp strings
+    val f = new java.sql.Timestamp(ts(1L)).toString
+    val t2 = new java.sql.Timestamp(ts(2L)).toString
+    val tvf = spark.sql(
+      s"SELECT count(*) AS n FROM graft_delta_changes('$dir', '$f', '$t2')")
+      .head().getLong(0)
+    assert(tvf == DeltaReader.readChanges(spark, dir, 1L, 2L).count())
+    // refusals: a start beyond the newest commit, an end before the
+    // earliest retained one
+    val e1 = intercept[IllegalArgumentException] {
+      DeltaReader.readChangesTimestamp(spark, dir, ts(2L) + 1000000L, ts(2L) + 2000000L)
+    }
+    assert(e1.getMessage.contains("no commit at or after"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      DeltaReader.readChangesTimestamp(spark, dir, 0L, ts(0L) - 1)
+    }
+    assert(e2.getMessage.contains("predates"), e2.getMessage)
+  }
+
   test("non-CDF tables: appends derive inserts; rewrite commits refuse loudly") {
     val s = spark
     import s.implicits._

@@ -164,6 +164,103 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(mid.toSet == want23.toSet && mid.size == want23.size)
   }
 
+  test("batch format reads: plain, time travel, CDF windows — one engine, pruning intact") {
+    val d = freshDir("fmt")
+    LakeWriter.writeDelta(base.repartitionByRange(4, col("id")), d,
+      configuration = Map(
+        "delta.enableChangeDataFeed" -> "true",
+        "delta.enableInCommitTimestamps" -> "true"))                  // v0
+    LakeWriter.updateWhere(spark, d, "k = 'a'", Map("v" -> "v * 2"))  // v1
+    LakeWriter.deleteWhere(spark, d, "k = 'b'")                       // v2
+
+    def rows(df: DataFrame) = df.collect().map(_.toSeq.toVector).toSet
+    // plain load ≡ the production reader
+    assert(rows(spark.read.format("graft-delta").load(d)) ==
+      rows(DeltaReader.read(spark, d)))
+    // time travel by version and by the ICT stamp
+    assert(rows(spark.read.format("graft-delta").option("versionAsOf", "0").load(d)) ==
+      rows(DeltaReader.read(spark, d, Some(0L))))
+    val log = new org.apache.hadoop.fs.Path(d, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val ts1 = DeltaReader.commitIct(fs, log, 1L).get
+    assert(rows(spark.read.format("graft-delta")
+      .option("timestampAsOf", ts1.toString).load(d)) ==
+      rows(DeltaReader.read(spark, d, Some(1L))))
+    // CDF window by versions and by timestamp (ending defaults to latest)
+    assert(rows(spark.read.format("graft-delta").option("readChangeFeed", "true")
+      .option("startingVersion", "1").option("endingVersion", "2").load(d)) ==
+      rows(DeltaReader.readChanges(spark, d, 1L, 2L)))
+    assert(rows(spark.read.format("graft-delta").option("readChangeFeed", "true")
+      .option("startingTimestamp", ts1.toString).load(d)) ==
+      rows(DeltaReader.readChanges(spark, d, 1L, 2L)))
+    // the splice serves the REAL reader: predicates reach the parquet
+    // scan (PushedFilters), not a Row-RDD shim
+    val narrow = spark.read.format("graft-delta").load(d).where("id = 7")
+    assert(narrow.count() == 1L)
+    val plan = narrow.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("id"),
+      s"format reads must push predicates into the scan:\n$plan")
+    // refusals: CDF batch without a start; versionAsOf on a CDF read;
+    // streaming start options on a plain batch read (analyzer
+    // exceptions may arrive wrapped — match on the message)
+    def refuses(msg: String)(body: => Any): Unit = {
+      val e = intercept[Exception](body)
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains(msg)), s"got: $e")
+    }
+    refuses("requires startingVersion or startingTimestamp") {
+      spark.read.format("graft-delta").option("readChangeFeed", "true").load(d).count()
+    }
+    refuses("not versionAsOf") {
+      spark.read.format("graft-delta").option("readChangeFeed", "true")
+        .option("versionAsOf", "0").load(d).count()
+    }
+    refuses("need readChangeFeed=true") {
+      spark.read.format("graft-delta").option("startingVersion", "0").load(d).count()
+    }
+  }
+
+  test("CDF startingTimestamp resolves once on the ICT series; future starts after current") {
+    val d = freshDir("ts")
+    LakeWriter.writeDelta(base, d, configuration = Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.enableInCommitTimestamps" -> "true"))
+    LakeWriter.updateWhere(spark, d, "k = 'a'", Map("v" -> "v * 2"))   // v1
+    LakeWriter.deleteWhere(spark, d, "k = 'b'")                        // v2
+    val log = new org.apache.hadoop.fs.Path(d, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val ts1 = DeltaReader.commitIct(fs, log, 1L).get
+    val (got, _) = drain(d, freshDir("cpts"),
+      Map("readChangeFeed" -> "true", "startingTimestamp" -> ts1.toString))
+    val want = DeltaReader.readChanges(spark, d, 1L, 2L)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(got.toSet == want.toSet && got.size == want.size,
+      "startingTimestamp must replay from the first commit stamped at or after it")
+
+    // a timestamp beyond the newest commit starts AFTER the current
+    // version: the first drain records the position and delivers
+    // nothing, a later mutation streams
+    val cp2 = freshDir("cpts2")
+    val far = (ts1 + 31536000000L).toString
+    val (none, _) = drain(d, cp2,
+      Map("readChangeFeed" -> "true", "startingTimestamp" -> far))
+    assert(none.isEmpty, s"future startingTimestamp must deliver nothing, got $none")
+    LakeWriter.deleteWhere(spark, d, "k = 'c'")                        // v3
+    val (late, _) = drain(d, cp2,
+      Map("readChangeFeed" -> "true", "startingTimestamp" -> far))
+    val want3 = DeltaReader.readChanges(spark, d, 3L, 3L)
+      .collect().map(_.toSeq.toVector).toSeq
+    assert(late.toSet == want3.toSet && late.size == want3.size)
+
+    // the two start options are mutually exclusive
+    intercept[IllegalArgumentException] {
+      graft.streaming.GraftDeltaSource.Options(
+        Map("path" -> d, "startingVersion" -> "0", "startingTimestamp" -> "123"))
+        .startingTimestampMillis
+    }
+  }
+
   test("CDF without startingVersion starts after the current version") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base, d,
