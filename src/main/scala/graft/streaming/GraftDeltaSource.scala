@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.catalog.{GraftCdfTable, GraftPathTable}
-import graft.sources.DeltaReader
+import graft.sources.{DeltaReader, LakeWriter}
 import org.apache.spark.sql.{DataFrame, Dataset, GraftColumnBridge, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{Offset => OffsetV2, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
@@ -65,9 +65,86 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider
     with org.apache.spark.sql.connector.catalog.TableProvider {
 
   override def shortName(): String = "graft-delta"
+
+  /** The batch WRITE front door —
+    * `df.write.format("graft-delta")[.partitionBy(...)][.mode(...)].save(path)`
+    * — delta-spark's save modes onto the production writers: default
+    * ErrorIfExists creates (refusing an existing table), Ignore no-ops
+    * on one, Append creates-or-appends, Overwrite replaces the table —
+    * or, with `option("replaceWhere", predicate)`, just the matching
+    * rows. `delta.*` options at CREATE become table configuration
+    * (original key case preserved — configuration keys are contracts).
+    * The engine reaches this V1 path because the provider's V2 tables
+    * declare no write capability; every mode lands on LakeWriter's one
+    * commit funnel, so obligations, identity, CDF and sizing behave
+    * exactly as the API calls they alias.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val opts = GraftDeltaSource.Options(parameters)
+    val path = opts.path
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val hconf = sqlContext.sparkSession.sessionState.newHadoopConf()
+    val exists = DeltaReader.isDeltaTable(path, hconf) &&
+      DeltaReader.hasLogEntries(path, hconf)
+    // DataFrameWriter.partitionBy rides the V1 path as a JSON-encoded
+    // option (Spark's own __partition_columns contract)
+    val partitionBy: Seq[String] = lower.get("__partition_columns").map { js =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(js)
+      (0 until n.size()).map(n.get(_).asText())
+    }.getOrElse(Nil)
+    // the V1 option map reaches us through CaseInsensitiveMap, which
+    // iterates LOWERCASED keys — but delta.* configuration keys are
+    // case-sensitive contracts, so restore the canonical spelling for
+    // every key this engine honors (an unknown delta key passes
+    // through lowercased: better stored than dropped)
+    val canonicalDeltaKeys = Seq(
+      "delta.appendOnly", "delta.autoOptimize.autoCompact",
+      "delta.autoOptimize.optimizeWrite", "delta.columnMapping.mode",
+      "delta.dataSkippingNumIndexedCols", "delta.enableChangeDataFeed",
+      "delta.enableDeletionVectors", "delta.enableInCommitTimestamps",
+      "delta.enableRowTracking", "delta.targetFileSize",
+      "delta.rowTracking.materializedRowIdColumnName",
+      "delta.rowTracking.materializedRowCommitVersionColumnName")
+      .map(k => k.toLowerCase(java.util.Locale.ROOT) -> k).toMap
+    val configuration = parameters.collect {
+      case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("delta.") =>
+        val lk = k.toLowerCase(java.util.Locale.ROOT)
+        canonicalDeltaKeys.getOrElse(lk, k) -> v
+    }
+    val replaceWhere = lower.get("replacewhere")
+    require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
+      s"graft-delta: replaceWhere needs mode overwrite, got $mode")
+    def create(): Unit =
+      LakeWriter.writeDelta(data, path, partitionBy = partitionBy,
+        configuration = configuration)
+    mode match {
+      case SaveMode.ErrorIfExists =>
+        require(!exists,
+          s"graft-delta: $path is already a Delta table — use mode append or overwrite")
+        create()
+      case SaveMode.Ignore => if (!exists) create()
+      case SaveMode.Append => if (!exists) create() else LakeWriter.appendDelta(data, path)
+      case SaveMode.Overwrite =>
+        if (!exists) create()
+        else replaceWhere match {
+          case Some(p) => LakeWriter.overwriteWhere(data, path, p)
+          case None => LakeWriter.overwriteDelta(data, path)
+        }
+    }
+    val sqlc = sqlContext
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: SQLContext = sqlc
+      override def schema: StructType = data.schema
+    }
+  }
 
   // ---- the BATCH front door: spark.read.format("graft-delta") ----
   // The V2 TableProvider surface returns the same metadata-only table

@@ -221,6 +221,48 @@ class GraftDeltaSourceSpec extends SparkSpec {
     }
   }
 
+  test("batch format writes: save modes, partitionBy, replaceWhere, delta.* options") {
+    val d = freshDir("fw")
+    base.write.format("graft-delta").partitionBy("k").save(d)
+    val snap0 = DeltaReader.snapshot(spark, d, None)
+    assert(snap0.partCols == Seq("k"), snap0.partCols.mkString(", "))
+    def ids(dir: String) = DeltaReader.read(spark, dir).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(d) == (1L to 40L).toSet)
+    // default ErrorIfExists refuses a second save
+    val e = intercept[Exception](base.write.format("graft-delta").save(d))
+    assert(e.getMessage.contains("already a Delta table"), e.getMessage)
+    // Ignore no-ops on an existing table
+    (100 to 110).map(i => (i.toLong, "z", 0.0)).toDF("id", "k", "v")
+      .write.format("graft-delta").mode("ignore").save(d)
+    assert(ids(d) == (1L to 40L).toSet)
+    // Append lands through the production appendDelta (gates included)
+    (41 to 50).map(i => (i.toLong, "a", i * 1.5)).toDF("id", "k", "v")
+      .write.format("graft-delta").mode("append").save(d)
+    assert(ids(d) == (1L to 50L).toSet)
+    // replaceWhere swaps exactly the matching slice
+    val repl = Seq((1000L, "a", 0.0)).toDF("id", "k", "v")
+    repl.write.format("graft-delta").mode("overwrite")
+      .option("replaceWhere", "k = 'a'").save(d)
+    val after = DeltaReader.read(spark, d)
+    assert(after.where("k = 'a'").count() == 1L)
+    // survivors: base rows 1..40 whose k != 'a' (the 41..50 append was
+    // all-'a', so replaceWhere consumed it entirely)
+    assert(after.where("k != 'a'").collect().map(_.getLong(0)).toSet ==
+      (1L to 40L).filterNot(_ % 4 == 0).toSet)
+    // full overwrite replaces the table state
+    base.write.format("graft-delta").mode("overwrite").save(d)
+    assert(ids(d) == (1L to 40L).toSet)
+    // delta.* options at CREATE become configuration, case preserved
+    val d2 = freshDir("fw2")
+    base.write.format("graft-delta").option("delta.appendOnly", "true").save(d2)
+    assert(DeltaReader.snapshot(spark, d2, None)
+      .configuration.get("delta.appendOnly").contains("true"))
+    // round-trip: the write door's table reads back through the read door
+    assert(ids(d) == spark.read.format("graft-delta").load(d)
+      .select("id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("CDF startingTimestamp resolves once on the ICT series; future starts after current") {
     val d = freshDir("ts")
     LakeWriter.writeDelta(base, d, configuration = Map(
