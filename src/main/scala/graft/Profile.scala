@@ -53,6 +53,8 @@ object Profile {
         stressVacuum(spark, args.lift(1).map(_.toInt).getOrElse(100000))
       case "stress-snapshot-cache" =>
         stressSnapshotCache(spark, args.lift(1).map(_.toInt).getOrElse(40))
+      case "stress-history-memo" =>
+        stressHistoryMemo(spark, args.lift(1).map(_.toInt).getOrElse(300))
       case "stress-cluster" =>
         stressCluster(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta-files" =>
@@ -390,6 +392,51 @@ object Profile {
     try time(s"100_plan_builds_cache_off_${commits}_commit_suffix") { plans(100) }
     finally spark.conf.unset("spark.graft.delta.snapshotCache.enabled")
     println(s"  cache served $hits/100 snapshot resolutions without a replay")
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** The commit-parse memo's effect on the history family: DESCRIBE
+    * HISTORY and CDF plan builds over an N-commit retained log,
+    * repeated — the first touch parses each commit once, every further
+    * call is O(listing). "Off" is simulated by clearing the memo
+    * between calls (entries are pure values; there is nothing a kill
+    * switch would protect against that the per-file identity
+    * validation doesn't).
+    */
+  def stressHistoryMemo(spark: SparkSession, commits: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_histmemo_").toFile
+    time(s"build_${commits}_commit_log") {
+      LakeWriter.writeDelta(spark.range(0, 1000).toDF("id").coalesce(1), dir.getPath)
+      (1 to commits).foreach { k =>
+        LakeWriter.appendDelta(
+          spark.range(k * 1000L, k * 1000L + 50).toDF("id").coalesce(1), dir.getPath)
+      }
+    }
+    def hist(n: Int): Unit =
+      (1 to n).foreach(_ => DeltaReader.history(spark, dir.getPath).count())
+    hist(2) // warm class loading + the memo
+    val p0 = DeltaReader.commitParseCounter.get()
+    time(s"50_describe_history_memo_on_${commits}_commits") { hist(50) }
+    val parsed = DeltaReader.commitParseCounter.get() - p0
+    time(s"50_describe_history_memo_cleared_${commits}_commits") {
+      (1 to 50).foreach { _ =>
+        DeltaReader.CommitParseCache.clear()
+        DeltaReader.history(spark, dir.getPath).count()
+      }
+    }
+    println(s"  memo-on run parsed $parsed commit files across 50 calls")
+    // CDF catch-up plan builds ride the same memo (file/cdc actions
+    // and per-version timestamps come from the parses history did)
+    DeltaReader.CommitParseCache.clear()
+    time(s"cdf_plan_build_cold_${commits}_commits") {
+      DeltaReader.readChanges(spark, dir.getPath, 0L, commits.toLong)
+        .queryExecution.analyzed
+    }
+    time(s"cdf_plan_build_warm_${commits}_commits") {
+      DeltaReader.readChanges(spark, dir.getPath, 0L, commits.toLong)
+        .queryExecution.analyzed
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
   }
 

@@ -449,7 +449,11 @@ object DeltaReader {
     */
   private[graft] object CommitParseCache {
     final case class Key(log: String, version: Long)
-    private val maxEntries = 256
+    // sized ABOVE a typical retained log (checkpoint-bounded replay
+    // suffix plus retention window): an in-version-order walk over a
+    // log larger than the LRU would evict every entry before its next
+    // use and degrade to zero hits
+    private val maxEntries = 1024
     private val entries =
       new java.util.LinkedHashMap[Key, (Long, Long, CommitParse)](16, 0.75f, true) {
         override def removeEldestEntry(
