@@ -57,12 +57,24 @@ object DeltaStats {
   def indexedColsOf(tableConf: Map[String, String]): Int =
     tableConf.get("delta.dataSkippingNumIndexedCols").map(_.trim.toInt).getOrElse(32)
 
+  /** `delta.dataSkippingStatsColumns` (delta-spark's explicit form): a
+    * comma-separated column list that REPLACES the first-N prefix rule
+    * when present — the wide-table answer when the columns people
+    * filter on (source, lang, quality) sit past position 32 and
+    * indexing a 2000-column prefix to reach them would be absurd.
+    * None = use the numIndexedCols prefix.
+    */
+  def statsColumnsOf(tableConf: Map[String, String]): Option[Set[String]] =
+    tableConf.get("delta.dataSkippingStatsColumns")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+
   /** Footer-derived stats JSON for one staged parquet file, or None if
     * the footer is unreadable (the add simply carries no stats).
     */
   def fileStats(path: Path, conf: Configuration,
                 numIndexedCols: Int = 32,
-                alwaysInclude: Set[String] = Set.empty): Option[String] =
+                alwaysInclude: Set[String] = Set.empty,
+                statsColumns: Option[Set[String]] = None): Option[String] =
     try {
       // local paths open via java.nio directly: the Hadoop
       // LocalFileSystem route pays checksum-FS overhead and a shared
@@ -86,9 +98,15 @@ object DeltaStats {
         // column's bounds must exist no matter where it sits in a
         // wide schema (a capped-away identity column would refuse
         // every append)
-        val indexed: String => Boolean =
-          if (numIndexedCols < 0) _ => true
-          else topLevel.take(numIndexedCols).toSet ++ alwaysInclude
+        val indexed: String => Boolean = statsColumns match {
+          // the explicit list REPLACES the prefix rule (delta-spark's
+          // dataSkippingStatsColumns precedence); identity columns
+          // still ride over it — their watermark needs the bounds
+          case Some(cols) => cols ++ alwaysInclude
+          case None =>
+            if (numIndexedCols < 0) _ => true
+            else topLevel.take(numIndexedCols).toSet ++ alwaysInclude
+        }
         val om = sharedOm
         val root = om.createObjectNode()
         var numRecords = 0L

@@ -1787,7 +1787,8 @@ object LakeWriter {
               st.getPath.toString -> graft.sources.DeltaStats.fileStats(st.getPath, hconf,
                 graft.sources.DeltaStats.indexedColsOf(sizingConf),
                 // identity watermark bounds must survive the cap
-                identity.map(_._1.cols.map(_._2).toSet).getOrElse(Set.empty))
+                identity.map(_._1.cols.map(_._2).toSet).getOrElse(Set.empty),
+                graft.sources.DeltaStats.statsColumnsOf(sizingConf))
           }
         }.asJava).asScala.map(_.get()).toMap
       } finally pool.shutdown()
@@ -2016,7 +2017,16 @@ object LakeWriter {
         v = newest + 1
       }
     }
-    if (checkpointInterval > 0 && v > 0 && v % checkpointInterval == 0)
+    // checkpoint cadence: the caller's explicit interval wins, else the
+    // TABLE's own `delta.checkpointInterval` property (delta-spark's
+    // knob) keeps the replay suffix bounded for every writer without
+    // each call site having to plumb an interval — on a 100-TB table
+    // written by many jobs, an unbounded commit suffix is a driver-side
+    // replay tax every reader pays until someone checkpoints
+    val effInterval =
+      if (checkpointInterval > 0) checkpointInterval
+      else sizingConf.get("delta.checkpointInterval").map(_.trim.toInt).getOrElse(0)
+    if (effInterval > 0 && v > 0 && v % effInterval == 0)
       checkpointDelta(spark, dir, v)
     // post-commit small-file maintenance (`delta.autoOptimize.autoCompact`):
     // once a partition accumulates minNumFiles sub-threshold files, a
@@ -2527,7 +2537,8 @@ object LakeWriter {
         // very tables big enough to need compaction are the ones
         // whose narrow mutations live off the pruning
         val stats = graft.sources.DeltaStats.fileStats(pf, hconf,
-          graft.sources.DeltaStats.indexedColsOf(snap.configuration))
+          graft.sources.DeltaStats.indexedColsOf(snap.configuration),
+          statsColumns = graft.sources.DeltaStats.statsColumnsOf(snap.configuration))
         val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
         // every add in a tracked table carries a (fresh, shadowed)
         // baseRowId range — footer numRecords sizes it exactly
@@ -3282,7 +3293,8 @@ object LakeWriter {
         val name = s"part-updv-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf,
-          DeltaStats.indexedColsOf(snap.configuration))
+          DeltaStats.indexedColsOf(snap.configuration),
+          statsColumns = DeltaStats.statsColumnsOf(snap.configuration))
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
@@ -3501,7 +3513,8 @@ object LakeWriter {
         val name = s"part-cdc-$version-$wtok-$i.parquet"
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf,
-          DeltaStats.indexedColsOf(snap.configuration), idStatCols)
+          DeltaStats.indexedColsOf(snap.configuration), idStatCols,
+          DeltaStats.statsColumnsOf(snap.configuration))
         newAddStats += stats
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)

@@ -331,6 +331,25 @@ class DeltaReaderSpec extends SparkSpec {
     assert(e2.getMessage.contains("someFutureFeature"), e2.getMessage)
   }
 
+  test("delta.checkpointInterval property drives the commit funnel's checkpoint cadence") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_delta_cpprop_").toFile
+    // no caller-side interval anywhere — the TABLE property bounds the
+    // replay suffix for every writer
+    LakeWriter.writeDelta(Seq((0L, "v0")).toDF("id", "v"), dir.getPath,
+      configuration = Map("delta.checkpointInterval" -> "4"))
+    (1 to 9).foreach { i =>
+      LakeWriter.appendDelta(Seq((i.toLong, s"v$i")).toDF("id", "v"), dir.getPath)
+    }
+    val log = new java.io.File(dir, "_delta_log")
+    assert(new java.io.File(log, f"${4L}%020d.checkpoint.parquet").isFile)
+    assert(new java.io.File(log, f"${8L}%020d.checkpoint.parquet").isFile)
+    // replay THROUGH the property-driven checkpoint: clean a covered commit
+    assert(new java.io.File(log, "0" * 20 + ".json").delete())
+    assert(DeltaReader.read(spark, dir.getPath).count() == 10L)
+  }
+
   test("vacuumProtocolCheck: foreign tables read; upgrade declares; vacuum and drop honor it") {
     val s = spark
     import s.implicits._

@@ -83,6 +83,47 @@ class DeltaStatsCapSpec extends SparkSpec {
     assert(!mv.has("c35"), "the cap still applies to ordinary columns")
   }
 
+  test("delta.dataSkippingStatsColumns replaces the prefix rule with an explicit list") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_statscap_cols_")
+    // the columns people filter on sit far past the 32-column prefix —
+    // the explicit list indexes exactly them and nothing else
+    LakeWriter.writeDelta(wide(40), dir,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "c35, c5"))
+    assert(minCols(dir) == Set("c5", "c35"), minCols(dir).toSeq.sorted.mkString(", "))
+    // appends inherit the list from the table configuration
+    LakeWriter.appendDelta(wide(40), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    snap.active.foreach { a =>
+      val mv = om.readTree(a.stats.get).get("minValues")
+      assert(mv.has("c35") && !mv.has("c0"), a.path)
+    }
+    // skipping answers exactly on listed AND unlisted columns
+    Seq("c35 = 360", "c0 = 50").foreach { p =>
+      assert(DeltaReader.readWhere(spark, dir, p).count() ==
+        DeltaReader.read(spark, dir).where(p).count(), p)
+    }
+    // identity columns still ride over an explicit list that omits them
+    import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
+    import graft.sources.IdentityColumns
+    val dir2 = tmp("graft_statscap_cols_id_")
+    val fields = (0 until 4).map(i => StructField(s"c$i", StringType)) :+
+      StructField("rid", LongType, nullable = true, new MetadataBuilder()
+        .putLong(IdentityColumns.StartKey, 1L)
+        .putLong(IdentityColumns.StepKey, 1L)
+        .putBoolean(IdentityColumns.ExplicitKey, false).build())
+    LakeWriter.writeDelta(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(fields)), dir2,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "c1"))
+    val batch = spark.range(0, 5).select(
+      (0 until 4).map(i => expr(s"concat('v', id * $i)").as(s"c$i")): _*)
+    LakeWriter.appendDelta(batch, dir2)
+    LakeWriter.appendDelta(batch, dir2) // would refuse if the list ate rid bounds
+    val rids = DeltaReader.read(spark, dir2).select("rid").as[Long].collect()
+    assert(rids.length == 10 && rids.distinct.length == 10)
+  }
+
   test("applyCdcDv on a wide identity table: watermark bounds survive the stats cap") {
     import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
     import graft.sources.IdentityColumns
