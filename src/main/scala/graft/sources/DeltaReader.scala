@@ -1399,13 +1399,19 @@ object DeltaReader {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val versions = fs.listStatus(logPath).toSeq.map(_.getPath.getName)
       .filter(_.matches("\\d{20}\\.json")).map(_.take(20).toLong).sorted
+    // `timestamp` reads off the SAME monotone series as timestampAsOf
+    // and CDF's _commit_timestamp (ICT when stamped, else commit-file
+    // mtime, floored by the predecessor) — DESCRIBE HISTORY, time
+    // travel and the change feed must never disagree about when a
+    // version happened
+    val mono = commitTimestamps(fs, logPath, Long.MaxValue).toMap
     val rows = versions.flatMap { v =>
       // memoized: N DESCRIBE HISTORY calls parse each retained commit
       // once; a commit deleted between the listing and the parse
       // (racing retention) just drops from the answer
       parsedCommit(fs, logPath, v).map { cp =>
         (v, cp.operation.orNull, cp.readVersion.map(Long.box).orNull,
-          cp.engineInfo.orNull, cp.ict.map(Long.box).orNull)
+          cp.engineInfo.orNull, mono.get(v).map(Long.box).orNull)
       }
     }
     rows.sortBy(-_._1)

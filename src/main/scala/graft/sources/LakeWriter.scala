@@ -2051,6 +2051,31 @@ object LakeWriter {
     }
   }
 
+  /** The `delta.checkpointInterval` TABLE-property cadence for commits
+    * outside [[commitDelta]]'s own loop — called by
+    * [[GraftLogStore.commitOrThrow]] after every successful commit and
+    * by compactDelta's rebase loop. Best-effort (the commit is already
+    * durable); no-op unless the table declares the property and the
+    * just-won version sits on the cadence.
+    */
+  private[graft] def maybeCheckpointAtProperty(spark: SparkSession,
+      commitPath: org.apache.hadoop.fs.Path, conf: Map[String, String]): Unit = {
+    val name = commitPath.getName
+    if (!name.matches("\\d{20}\\.json")) return
+    conf.get("delta.checkpointInterval").map(_.trim.toInt).filter(_ > 0).foreach { n =>
+      val v = name.take(20).toLong
+      if (v > 0 && v % n == 0) {
+        val dir = commitPath.getParent.getParent.toString
+        try checkpointDelta(spark, dir, v)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"property-cadence checkpoint at $v of $dir skipped: ${e.getMessage}")
+        }
+      }
+    }
+  }
+
   /** `delta.targetFileSize` in bytes (default 1 GiB) — the sizing knob
     * optimizeWrite coalesces toward and autoCompact counts debt
     * against (a file under half of it is "small").
@@ -2580,8 +2605,10 @@ object LakeWriter {
     while (!committed) {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
       if (store.writeIfAbsent(fs, commit,
-          ictStampContent(spark, fs, commit, snap.configuration, content))) committed = true
-      else {
+          ictStampContent(spark, fs, commit, snap.configuration, content))) {
+        committed = true
+        maybeCheckpointAtProperty(spark, commit, snap.configuration)
+      } else {
         def refuse(extra: String): Nothing = throw new IllegalStateException(
           s"Delta commit $commit already exists — a concurrent writer won version $v" +
             extra + "; re-read the table and retry the compaction")

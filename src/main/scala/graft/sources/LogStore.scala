@@ -125,6 +125,13 @@ object GraftLogStore {
     if (!store.writeIfAbsent(fs, path, stamped))
       throw new IllegalStateException(
         s"Delta commit $path already exists — a concurrent writer won; $retryHint")
+    // `delta.checkpointInterval` cadence rides EVERY commit through
+    // this funnel (mutations, DV ops, merges, protocol changes), not
+    // just appends — a mutation-heavy table must bound its replay
+    // suffix too. Best-effort by contract: the commit above is
+    // durable, so a failed checkpoint must not fail the op
+    // retroactively (the next commit on the cadence retries).
+    LakeWriter.maybeCheckpointAtProperty(spark, path, ictConf)
   }
 
   def requireAtomic(store: GraftLogStore): Unit =

@@ -69,7 +69,7 @@ class DeltaIctSpec extends SparkSpec {
     assert(stamps.map(_._2) == stamps.map(_._2).sorted)
   }
 
-  test("history surfaces the stamp as `timestamp`; null when unstamped") {
+  test("history surfaces the stamp as `timestamp`; monotone mtime when unstamped") {
     val d = freshDir("hist")
     LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "s"), d,
       configuration = Map("delta.enableInCommitTimestamps" -> "true"))
@@ -77,9 +77,18 @@ class DeltaIctSpec extends SparkSpec {
     val h = DeltaReader.history(spark, d)
       .select("version", "timestamp").as[(Long, Long)].collect().toMap
     assert(h == icts(d).toMap, h.toString)
+    // unstamped tables: the commit-file mtime on the SAME monotone
+    // series time travel and CDF's _commit_timestamp use — DESCRIBE
+    // HISTORY must never disagree with them about when a version was
     val d2 = freshDir("hist2")
     LakeWriter.writeDelta(Seq((1L, "a")).toDF("id", "s"), d2)
-    assert(DeltaReader.history(spark, d2).where("timestamp IS NOT NULL").count() == 0)
+    LakeWriter.appendDelta(Seq((2L, "b")).toDF("id", "s"), d2)
+    val h2 = DeltaReader.history(spark, d2)
+      .select("version", "timestamp").as[(Long, Long)].collect().sortBy(_._1)
+    assert(h2.map(_._1).toSeq == Seq(0L, 1L) && h2.forall(_._2 > 0L), h2.mkString(", "))
+    assert(h2(0)._2 <= h2(1)._2, "history timestamps must be monotone")
+    assert(DeltaReader.versionAtTimestamp(spark, d2, h2(1)._2) == 1L,
+      "history and timestampAsOf must read the same series")
   }
 
   test("timestamp time travel resolves through the log's own stamps") {

@@ -348,6 +348,14 @@ class DeltaReaderSpec extends SparkSpec {
     // replay THROUGH the property-driven checkpoint: clean a covered commit
     assert(new java.io.File(log, "0" * 20 + ".json").delete())
     assert(DeltaReader.read(spark, dir.getPath).count() == 10L)
+    // the cadence rides MUTATION commits too (the commitOrThrow funnel,
+    // not just appends): a merge-on-read delete landing on v12
+    LakeWriter.appendDelta(Seq((10L, "v10")).toDF("id", "v"), dir.getPath) // v10
+    LakeWriter.appendDelta(Seq((11L, "v11")).toDF("id", "v"), dir.getPath) // v11
+    assert(LakeWriter.deleteWhereDv(spark, dir.getPath, "id = 3").nonEmpty) // v12
+    assert(new java.io.File(log, f"${12L}%020d.checkpoint.parquet").isFile,
+      "delta.checkpointInterval must checkpoint mutation commits on the cadence")
+    assert(DeltaReader.read(spark, dir.getPath).count() == 11L)
   }
 
   test("vacuumProtocolCheck: foreign tables read; upgrade declares; vacuum and drop honor it") {
