@@ -518,7 +518,14 @@ object DeltaReader {
       CommitParseCache.get(key, s0.getLen, s0.getModificationTime).getOrElse {
         commitParseCounter.incrementAndGet()
         val cp = parseCommitFile(fs, p)
-        CommitParseCache.put(key, s0.getLen, s0.getModificationTime, cp)
+        // giant commits (a 100k-file overwrite's multi-MB JSON) parse
+        // but never pin: 1024 such entries would be a driver-heap
+        // hazard the memo's O(new commits) promise doesn't need —
+        // history-family hot paths touch ordinary append/mutation
+        // commits, and the rare giant re-parses at the same cost the
+        // uncached readers always paid
+        if (s0.getLen <= (4L << 20))
+          CommitParseCache.put(key, s0.getLen, s0.getModificationTime, cp)
         cp
       }
     }
