@@ -1217,7 +1217,7 @@ object DeltaReader {
       // obligation holds by construction and the feature is pure
       // interop breadth
       val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors",
-        "v2Checkpoints", "typeWidening", "variantType", "vacuumProtocolCheck")
+        "v2Checkpoints", "typeWidening", "variantType", "timestampNtz", "vacuumProtocolCheck")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
           "(columnMapping, deletionVectors, v2Checkpoints, typeWidening and " +

@@ -352,6 +352,36 @@ object LakeWriter {
     }
   }
 
+  /** TIMESTAMP_NTZ anywhere in a type tree — the shape that requires
+    * the protocol's `timestampNtz` reader+writer feature: the physical
+    * parquet column is isAdjustedToUTC=false, and a reader unaware of
+    * the feature would interpret those wall-clock values as UTC
+    * instants (a silent timezone-sized shift in every row), so the
+    * protocol gates the TYPE behind minReader 3.
+    */
+  private[graft] def hasNtz(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case TimestampNTZType => true
+      case s: StructType => s.fields.exists(f => hasNtz(f.dataType))
+      case a: ArrayType => hasNtz(a.elementType)
+      case m: MapType => hasNtz(m.keyType) || hasNtz(m.valueType)
+      case _ => false
+    }
+  }
+
+  /** The reader+writer features a schema's TYPES demand that `snap`
+    * does not already declare — variant and NTZ columns are the two
+    * reader-visible shapes a schema change can introduce, and BOTH can
+    * arrive in one ALTER/evolution.
+    */
+  private def typeFeaturesNeeded(snap: DeltaReader.Snapshot,
+                                 dts: Iterable[org.apache.spark.sql.types.DataType]): Seq[String] =
+    (if (dts.exists(hasVariant) && !snap.readerFeatures.contains("variantType"))
+      Seq("variantType") else Nil) ++
+    (if (dts.exists(hasNtz) && !snap.readerFeatures.contains("timestampNtz"))
+      Seq("timestampNtz") else Nil)
+
   private def tableSchema(snap: DeltaReader.Snapshot): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -392,23 +422,24 @@ object LakeWriter {
       if (cm == "none") snap.configuration
       else snap.configuration + ("delta.columnMapping.maxColumnId" ->
         (maxId + cols.size).toString)
-    // an added VARIANT column changes what READERS must understand —
-    // the upgrade rides the same commit as the schema change
+    // an added VARIANT or TIMESTAMP_NTZ column changes what READERS
+    // must understand — the upgrade rides the same commit as the
+    // schema change
+    val typeFeats = typeFeaturesNeeded(snap, newFields.map(_.dataType))
     val protoOverride =
-      if (!newFields.exists(f => hasVariant(f.dataType)) ||
-          snap.readerFeatures.contains("variantType")) None
-      else Some(protocolWithReaderWriterFeature(snap, "variantType"))
+      if (typeFeats.isEmpty) None
+      else Some(protocolWithReaderWriterFeature(snap, typeFeats: _*))
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, newConf,
       "ADD COLUMNS", protocolOverride = protoOverride)
   }
 
-  /** Protocol restated in the (3, 7) feature form with ONE
-    * reader+writer feature added, legacy obligations made explicit —
+  /** Protocol restated in the (3, 7) feature form with one or more
+    * reader+writer features added, legacy obligations made explicit —
     * the upgrade a schema change that affects READERS rides in its own
-    * commit (variant columns, type widening).
+    * commit (variant / NTZ columns, type widening).
     */
   private def protocolWithReaderWriterFeature(snap: DeltaReader.Snapshot,
-                                              feature: String): String = {
+                                              features: String*): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def jarr(xs: Iterable[String]): String =
       xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
@@ -416,8 +447,8 @@ object LakeWriter {
       if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
         Set("columnMapping") else Set.empty[String]
     s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${
-      jarr(snap.readerFeatures.toSet ++ legacyR + feature)},"writerFeatures":${
-      jarr(snap.writerFeatures.toSet ++ legacyObligations(snap) + feature)}}}"""
+      jarr(snap.readerFeatures.toSet ++ legacyR ++ features)},"writerFeatures":${
+      jarr(snap.writerFeatures.toSet ++ legacyObligations(snap) ++ features)}}}"""
   }
 
   /** `ALTER TABLE t ALTER COLUMN c TYPE <wider>` — the protocol's
@@ -486,10 +517,12 @@ object LakeWriter {
     val newSchema = StructType(table.fields.map(x =>
       if (x.name == colName) newField else x))
     // reader+writer feature: minReader 3 / minWriter 7, existing
-    // features and legacy obligations preserved
+    // features and legacy obligations preserved; the date→NTZ edge
+    // introduces a second reader-visible shape in the same commit
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
       "ALTER COLUMN TYPE",
-      protocolOverride = Some(protocolWithReaderWriterFeature(snap, "typeWidening")))
+      protocolOverride = Some(protocolWithReaderWriterFeature(snap,
+        "typeWidening" +: typeFeaturesNeeded(snap, Seq(to)): _*)))
   }
 
   /** ALTER TABLE RENAME COLUMN — column-mapped (name mode) tables
@@ -690,7 +723,17 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"CONVERT","operationParameters":{"numFiles":${files.size}},"engineInfo":"graft"}}"""
-    actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+    // NTZ (and in principle variant) columns in the converted files are
+    // reader-visible shapes — the creating protocol must gate them or a
+    // feature-unaware reader shifts every wall-clock value to UTC
+    val convRw = (if (hasVariant(tableSchema)) Seq("variantType") else Nil) ++
+      (if (hasNtz(tableSchema)) Seq("timestampNtz") else Nil)
+    if (convRw.nonEmpty) {
+      val fj = (Seq("appendOnly", "invariants") ++ convRw).sorted
+        .map(om.writeValueAsString).mkString("[", ",", "]")
+      actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${convRw.sorted.map(om.writeValueAsString).mkString("[", ",", "]")},"writerFeatures":$fj}}"""
+    } else
+      actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
     val pcJson = names.map(om.writeValueAsString).mkString("[", ",", "]")
     actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(tableSchema.json)},"partitionColumns":$pcJson,"configuration":{}}}"""
     entries.zip(files).foreach { case ((rel, pv, size), st) =>
@@ -943,11 +986,22 @@ object LakeWriter {
     val metaLine =
       s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${
         om.writeValueAsString(logical.json)},"partitionColumns":$pcJson,"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"${fields.length}"}}}"""
+    // variant/NTZ columns lift the CM create to the (3,7) feature form
+    // — minReader 2 has no way to declare the type features
+    val cmRw = (if (hasVariant(logical)) Seq("variantType") else Nil) ++
+      (if (hasNtz(logical)) Seq("timestampNtz") else Nil)
+    val protoLine =
+      if (cmRw.isEmpty) """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}"""
+      else {
+        val rfj = ("columnMapping" +: cmRw).sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+        val wfj = (Seq("appendOnly", "invariants", "columnMapping") ++ cmRw).sorted
+          .map(om.writeValueAsString).mkString("[", ",", "]")
+        s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rfj,"writerFeatures":$wfj}}"""
+      }
     commitDelta(dfPhys, dir, 0L, includeMeta = true, checkpointInterval,
       partitionBy.map(phys), txn,
       operation = "CREATE TABLE",
-      metaOverride = Some(
-        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""" -> metaLine))
+      metaOverride = Some(protoLine -> metaLine))
   }
 
   /** Append `df` to an existing Delta table as its next version —
@@ -1104,7 +1158,7 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1174,12 +1228,13 @@ object LakeWriter {
             aligned.col(c).as(phys(c))).toIndexedSeq: _*),
             snap.partCols.map(phys))
         }
-      // an evolution that INTRODUCES variant upgrades the protocol in
-      // the same commit (readers must understand the new column)
+      // an evolution that INTRODUCES variant or NTZ upgrades the
+      // protocol in the same commit (readers must understand the new
+      // column)
+      val evolveFeats = typeFeaturesNeeded(snap, merged.fields.map(_.dataType))
       val protoLine =
-        if (merged.fields.exists(f => hasVariant(f.dataType)) &&
-            !snap.readerFeatures.contains("variantType"))
-          protocolWithReaderWriterFeature(snap, "variantType")
+        if (evolveFeats.nonEmpty)
+          protocolWithReaderWriterFeature(snap, evolveFeats: _*)
         else protocolJson(snap)
       commitDelta(staged, dir, snap.version + 1, includeMeta = true,
         checkpointInterval, partCols = stagePartCols, txn = txn,
@@ -1223,7 +1278,7 @@ object LakeWriter {
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1367,7 +1422,7 @@ object LakeWriter {
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1627,7 +1682,7 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1870,17 +1925,21 @@ object LakeWriter {
             Seq("generatedColumns") else Nil) ++
           (if (df.schema.fields.exists(_.metadata.contains("CURRENT_DEFAULT")))
             Seq("allowColumnDefaults") else Nil) ++
-          // VARIANT anywhere in the schema is a READER-visible shape:
-          // the protocol's variantType feature, minReader 3 — a reader
-          // that doesn't know variant would misread the binary pair
-          (if (hasVariant(df.schema)) Seq("variantType") else Nil)
+          // VARIANT / TIMESTAMP_NTZ anywhere in the schema are
+          // READER-visible shapes: reader+writer features, minReader 3
+          // — a reader that doesn't know them would misread the binary
+          // pair / shift wall-clock values to UTC instants
+          (if (hasVariant(df.schema)) Seq("variantType") else Nil) ++
+          (if (hasNtz(df.schema)) Seq("timestampNtz") else Nil)
+        val rwCreate = v7Features.filter(f =>
+          f == "variantType" || f == "timestampNtz")
         if (v7Features.nonEmpty) {
           val wf = (Seq("appendOnly", "invariants") ++ v7Features ++
             (if (cdfCreate) Seq("changeDataFeed") else Nil) ++
             (if (constraintsCreate) Seq("checkConstraints") else Nil)).sorted
             .map(om.writeValueAsString).mkString("[", ",", "]")
-          if (hasVariant(df.schema))
-            actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType"],"writerFeatures":$wf}}"""
+          if (rwCreate.nonEmpty)
+            actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rwCreate.sorted.map(om.writeValueAsString).mkString("[", ",", "]")},"writerFeatures":$wf}}"""
           else
             actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
         } else
@@ -2187,7 +2246,7 @@ object LakeWriter {
     val rt = RowTracking.preservedProfileReady(snap)
     val safe = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening",
-      "variantType", IdentityColumns.Feature) ++ Clustering.Features ++
+      "variantType", "timestampNtz", IdentityColumns.Feature) ++ Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     if (snap.minWriter > 5 &&
       !(snap.minWriter == 7 && snap.writerFeatures.forall(safe))) return
@@ -2413,7 +2472,7 @@ object LakeWriter {
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -2698,10 +2757,18 @@ object LakeWriter {
         // mandates vacuum-time protocol checks only — no trace in data
         // files, actions or configuration, so the drop is always clean
         ()
+      case "timestampNtz" =>
+        require(!hasNtz(tableSchema(snap)),
+          "dropFeature(timestampNtz): the current schema still carries a " +
+            "TIMESTAMP_NTZ column — drop or widen it away first")
+        require(truncateHistory,
+          "dropFeature(timestampNtz): historical versions may declare NTZ " +
+            "schemas a downgraded reader would misread as UTC instants — pass " +
+            "truncateHistory=true to checkpoint past them")
       case other => throw new IllegalArgumentException(
         s"dropFeature: '$other' is not droppable by this writer — only " +
-          "deletionVectors, clustering and vacuumProtocolCheck have verifiable " +
-          "no-trace checks")
+          "deletionVectors, clustering, vacuumProtocolCheck and timestampNtz " +
+          "have verifiable no-trace checks")
     }
     val rf = snap.readerFeatures.filterNot(_ == feature).distinct.sorted
     val wf = snap.writerFeatures.filterNot(_ == feature).distinct.sorted
@@ -2839,7 +2906,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3096,7 +3163,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3225,7 +3292,7 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3405,7 +3472,7 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3729,7 +3796,7 @@ object LakeWriter {
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -4072,7 +4139,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -4564,7 +4631,7 @@ object LakeWriter {
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -4780,7 +4847,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
