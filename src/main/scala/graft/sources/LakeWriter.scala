@@ -571,12 +571,57 @@ object LakeWriter {
       "DROP COLUMNS")
   }
 
+  /** Feature names a `delta.feature.<name>=supported` TBLPROPERTIES
+    * declaration may introduce, split by protocol class. Features with
+    * an OWNING operation (row tracking's backfill, clustering's layout
+    * domain) are deliberately absent — declaring the bare feature would
+    * produce a table claiming semantics no commit materialized.
+    */
+  private[graft] val DeclarableReaderWriter: Set[String] = Set(
+    "columnMapping", "deletionVectors", "v2Checkpoints", "typeWidening",
+    "variantType", "timestampNtz", "vacuumProtocolCheck")
+  private[graft] val DeclarableWriterOnly: Set[String] = Set(
+    "appendOnly", "invariants", "checkConstraints", "generatedColumns",
+    "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults",
+    IdentityColumns.Feature, "domainMetadata")
+
+  /** Split a configuration map into (kept properties, declared feature
+    * names) — delta-spark's `delta.feature.<name>=supported` spelling.
+    * The keys are CONSUMED: they lift the protocol in the same commit
+    * and are never persisted in `metaData.configuration`. A name this
+    * writer cannot honor refuses loudly (committing it would declare
+    * obligations no graft mutation enforces).
+    */
+  private[graft] def splitFeatureProperties(conf: Map[String, String],
+                                            op: String): (Map[String, String], Set[String]) = {
+    val (featKeys, rest) = conf.partition(_._1.startsWith("delta.feature."))
+    val feats = featKeys.map { case (k, v) =>
+      val name = k.stripPrefix("delta.feature.")
+      require(v == "supported" || v == "enabled",
+        s"$op: '$k' must be 'supported' (got '$v') — the property declares a " +
+          "protocol feature, it has no other values")
+      if (name == "rowTracking" || name == "clustering")
+        throw new IllegalArgumentException(
+          s"$op: feature '$name' is declared by its owning operation " +
+            "(enableRowTracking / CLUSTER BY), not a bare property — the feature " +
+            "without its materialized state would misdescribe the table")
+      require(DeclarableReaderWriter(name) || DeclarableWriterOnly(name),
+        s"$op: feature '$name' is not supported by this writer — declaring it " +
+          "would advertise obligations no mutation here enforces; supported: " +
+          (DeclarableReaderWriter ++ DeclarableWriterOnly).toSeq.sorted.mkString(", "))
+      name
+    }.toSet
+    (rest, feats)
+  }
+
   /** ALTER TABLE SET/UNSET TBLPROPERTIES. Enabling Change Data Feed
     * bumps the protocol to its legacy writer floor (1,4) in the same
     * commit — later mutations must write change data and legacy
     * writers that can't must refuse the table. Changing
     * `delta.columnMapping.mode` refuses: mode transitions re-key
     * every file's columns and are a rewrite, not a property.
+    * `delta.feature.<name>=supported` keys are consumed into a
+    * protocol upgrade riding the same commit.
     */
   def alterProperties(spark: SparkSession, dir: String,
                       set: Map[String, String],
@@ -584,6 +629,7 @@ object LakeWriter {
     require(set.nonEmpty || unset.nonEmpty, "alterProperties: nothing to change")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cur = snap.configuration
+    val (setP, featsDeclared) = splitFeatureProperties(set, "alterProperties")
     set.get("delta.columnMapping.mode").foreach { m =>
       require(cur.getOrElse("delta.columnMapping.mode", "none") == m,
         "alterProperties: changing delta.columnMapping.mode re-keys every file's " +
@@ -591,7 +637,7 @@ object LakeWriter {
     }
     unset.foreach(k => require(!k.startsWith("delta.columnMapping"),
       s"alterProperties: unsetting '$k' would orphan the mapped schema; refusing"))
-    val newConf0 = (cur ++ set) -- unset
+    val newConf0 = (cur ++ setP) -- unset
     val enablingCdf = set.get("delta.enableChangeDataFeed").contains("true") &&
       !cur.get("delta.enableChangeDataFeed").contains("true")
     // CHECK constraints bind writers from version 3 (PROTOCOL.md) —
@@ -611,30 +657,43 @@ object LakeWriter {
         val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
         val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
         val t = nextIct(spark, fs, log, snap.version)
+        (newConf0 ++ Map(
+          "delta.inCommitTimestampEnablementVersion" -> (snap.version + 1).toString,
+          "delta.inCommitTimestampEnablementTimestamp" -> t.toString), Some(()))
+      }
+    // ONE unified protocol override: declared features and/or ICT
+    // enablement lift to the v7 feature form (legacy obligations made
+    // explicit; a declared reader+writer feature lifts minReader to 3
+    // and materializes the legacy reader features beside it); a bare
+    // CDF/constraint enablement on a legacy table keeps the legacy
+    // floor delta-spark would stamp
+    val floor = Seq(if (enablingCdf) 4 else 0, if (addingConstraint) 3 else 0).max
+    val protocolOverride =
+      if (featsDeclared.nonEmpty || ictProtocol.nonEmpty) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         def jarr(xs: Iterable[String]): String =
-          xs.toSeq.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
+          xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
         val legacy = Set("appendOnly", "invariants") ++
           (if (cdfEnabled(snap) || enablingCdf) Set("changeDataFeed") else Set.empty) ++
           (if (cur.keys.exists(_.startsWith("delta.constraints.")) || addingConstraint)
             Set("checkConstraints") else Set.empty) ++
           (if (cur.getOrElse("delta.columnMapping.mode", "none") != "none")
             Set("columnMapping") else Set.empty)
-        val wf = snap.writerFeatures.toSet ++ legacy + "inCommitTimestamp"
+        val wf = snap.writerFeatures.toSet ++ legacy ++ featsDeclared ++
+          (if (ictProtocol.nonEmpty) Set("inCommitTimestamp") else Set.empty)
+        val rw = featsDeclared.intersect(DeclarableReaderWriter)
+        val minReader = if (rw.nonEmpty) 3 else snap.minReader
+        val legacyR =
+          if (cur.getOrElse("delta.columnMapping.mode", "none") != "none")
+            Set("columnMapping") else Set.empty[String]
         val rfJson =
-          if (snap.minReader >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}"""
+          if (minReader >= 3)
+            s""","readerFeatures":${jarr(snap.readerFeatures.toSet ++ rw ++ legacyR)}"""
           else ""
-        (newConf0 ++ Map(
-          "delta.inCommitTimestampEnablementVersion" -> (snap.version + 1).toString,
-          "delta.inCommitTimestampEnablementTimestamp" -> t.toString),
-          Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}"""))
-      }
-    val floor = Seq(if (enablingCdf) 4 else 0, if (addingConstraint) 3 else 0).max
-    val protocolOverride = ictProtocol.orElse {
-      if (floor > 0 && snap.minWriter < floor && snap.minWriter != 7)
+        Some(s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}""")
+      } else if (floor > 0 && snap.minWriter < floor && snap.minWriter != 7)
         Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":$floor}}""")
       else None
-    }
     commitAlter(spark, dir, snap, snap.schemaJson, snap.partCols, newConf,
       "SET TBLPROPERTIES", protocolOverride)
   }
@@ -1158,7 +1217,7 @@ object LakeWriter {
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1278,7 +1337,7 @@ object LakeWriter {
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1422,7 +1481,7 @@ object LakeWriter {
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -1682,7 +1741,7 @@ object LakeWriter {
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 2 || (snap.minWriter >= 3 && snap.minWriter <= 5) ||
@@ -1899,6 +1958,10 @@ object LakeWriter {
         actions += IdentityColumns.patchMetaLine(metaLine, idWm)
       case None =>
         val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
+        // delta.feature.<name>=supported keys CONSUME into the creating
+        // protocol — they never persist as configuration
+        val (confKept, featsCreate) =
+          splitFeatureProperties(configuration, "CREATE TABLE")
         // CDF's legacy writer floor is 4 (PROTOCOL.md): stamping it on
         // the creating commit makes non-CDF-aware legacy writers refuse
         // the table instead of committing changes without change data
@@ -1910,15 +1973,16 @@ object LakeWriter {
           configuration.keys.exists(_.startsWith("delta.constraints."))
         val minWriter = Seq(2, if (cdfCreate) 4 else 2,
           if (constraintsCreate) 3 else 2).max
-        val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+        val confJson = confKept.toSeq.sortBy(_._1).map { case (k, v) =>
           s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
         }.mkString("{", ",", "}")
         // writer-version-7 FEATURES a creating table can declare:
         // in-commit timestamps (configuration), identity / generated /
-        // DEFAULTed columns (field metadata). Any of them lifts the
-        // protocol to v7 with the feature plus the legacy obligations
-        // v7 makes explicit; none keeps the legacy version.
-        val v7Features =
+        // DEFAULTed columns (field metadata), explicit delta.feature.*
+        // declarations. Any of them lifts the protocol to v7 with the
+        // feature plus the legacy obligations v7 makes explicit; none
+        // keeps the legacy version.
+        val v7Features = featsCreate.toSeq ++
           (if (ictEnabled(configuration)) Seq("inCommitTimestamp") else Nil) ++
           (if (IdentityColumns.hasIdentity(df.schema)) Seq(IdentityColumns.Feature) else Nil) ++
           (if (df.schema.fields.exists(_.metadata.contains("delta.generationExpression")))
@@ -1931,12 +1995,12 @@ object LakeWriter {
           // pair / shift wall-clock values to UTC instants
           (if (hasVariant(df.schema)) Seq("variantType") else Nil) ++
           (if (hasNtz(df.schema)) Seq("timestampNtz") else Nil)
-        val rwCreate = v7Features.filter(f =>
-          f == "variantType" || f == "timestampNtz")
+        val rwCreate = v7Features.distinct.filter(DeclarableReaderWriter)
         if (v7Features.nonEmpty) {
           val wf = (Seq("appendOnly", "invariants") ++ v7Features ++
             (if (cdfCreate) Seq("changeDataFeed") else Nil) ++
-            (if (constraintsCreate) Seq("checkConstraints") else Nil)).sorted
+            (if (constraintsCreate) Seq("checkConstraints") else Nil))
+            .distinct.sorted
             .map(om.writeValueAsString).mkString("[", ",", "]")
           if (rwCreate.nonEmpty)
             actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rwCreate.sorted.map(om.writeValueAsString).mkString("[", ",", "]")},"writerFeatures":$wf}}"""
@@ -2246,7 +2310,7 @@ object LakeWriter {
     val rt = RowTracking.preservedProfileReady(snap)
     val safe = Set("appendOnly", "invariants", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening",
-      "variantType", "timestampNtz", IdentityColumns.Feature) ++ Clustering.Features ++
+      "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++ Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     if (snap.minWriter > 5 &&
       !(snap.minWriter == 7 && snap.writerFeatures.forall(safe))) return
@@ -2472,7 +2536,7 @@ object LakeWriter {
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -2906,7 +2970,7 @@ object LakeWriter {
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3163,7 +3227,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3292,7 +3356,7 @@ object LakeWriter {
       "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3472,7 +3536,7 @@ object LakeWriter {
       "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
         "id assignment inside the DV commit is not implemented; refusing")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -3796,7 +3860,7 @@ object LakeWriter {
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -4139,7 +4203,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
@@ -4631,7 +4695,7 @@ object LakeWriter {
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -4847,7 +4911,7 @@ object LakeWriter {
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
-      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", IdentityColumns.Feature) ++
+      "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
     require(cur.minWriter <= 5 || (cur.minWriter == 7 && unsafe.isEmpty),
@@ -5233,6 +5297,16 @@ object LakeWriter {
     if (fs0.exists(log0) &&
         fs0.listStatus(log0).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // a v2Checkpoints table (declared feature or
+    // delta.checkpointPolicy=v2) obligates the v2 file shape — route
+    // to the v2 author HERE so every cadence site (commit-interval
+    // loop, property cadence, nightly maintenance, truncate-history)
+    // honors the obligation without knowing about it
+    if (snap.readerFeatures.contains("v2Checkpoints") ||
+        snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
+      checkpointDeltaV2(spark, dir, version, sidecarParts = parts)
+      return
+    }
     // checkpoint actions carry every field PROTOCOL.md requires of them:
     // add needs size + modificationTime and metaData needs format +
     // configuration — graft's own reader copes without, but delta-spark

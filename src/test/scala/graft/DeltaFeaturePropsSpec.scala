@@ -1,0 +1,126 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+
+/** `delta.feature.<name>=supported` TBLPROPERTIES — delta-spark's SQL
+  * spelling for declaring a protocol feature. The keys are CONSUMED at
+  * commit time: they lift the protocol in the same commit and never
+  * persist in `metaData.configuration`; a reader+writer feature lifts
+  * minReader to 3 with the legacy reader features materialized beside
+  * it; names this writer cannot honor refuse loudly. Also pins the
+  * checkpoint-cadence obligation the declaration creates: a
+  * v2Checkpoints table (feature or `delta.checkpointPolicy=v2`) gets
+  * V2-shape checkpoints from the CLASSIC author's every call site.
+  */
+class DeltaFeaturePropsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_featprops_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  test("ALTER declaring a reader+writer feature lifts to (3,7); key consumed") {
+    val dir = tmp("rw")
+    LakeWriter.writeDelta(spark.range(4).toDF("k"), dir)
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.feature.deletionVectors" -> "supported", "team" -> "ml"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.minReader == 3 && snap.minWriter == 7)
+    assert(snap.readerFeatures.contains("deletionVectors") &&
+      snap.writerFeatures.contains("deletionVectors"))
+    assert(!snap.configuration.keys.exists(_.startsWith("delta.feature.")))
+    assert(snap.configuration.get("team").contains("ml"))
+    // the lifted table still mutates: DV delete exercises the feature
+    LakeWriter.deleteWhereDv(spark, dir, "k = 2")
+    assert(DeltaReader.read(spark, dir).select($"k").as[Long].collect().toSet
+      == Set(0L, 1L, 3L))
+  }
+
+  test("writer-only feature keeps minReader; create-time declaration lands on v7") {
+    val alt = tmp("wo")
+    LakeWriter.writeDelta(spark.range(2).toDF("k"), alt)
+    LakeWriter.alterProperties(spark, alt,
+      Map("delta.feature.generatedColumns" -> "supported"))
+    val sa = DeltaReader.snapshot(spark, alt, None)
+    assert(sa.minReader == 1 && sa.minWriter == 7)
+    assert(sa.writerFeatures.contains("generatedColumns"))
+    LakeWriter.appendDelta(spark.range(2, 4).toDF("k"), alt)
+    assert(DeltaReader.read(spark, alt).count() == 4L)
+
+    val cre = tmp("create")
+    LakeWriter.writeDelta(spark.range(3).toDF("k"), cre,
+      configuration = Map("delta.feature.timestampNtz" -> "supported",
+        "owner" -> "etl"))
+    val sc = DeltaReader.snapshot(spark, cre, None)
+    assert(sc.minReader == 3 && sc.readerFeatures.contains("timestampNtz"))
+    assert(!sc.configuration.keys.exists(_.startsWith("delta.feature.")))
+    assert(sc.configuration.get("owner").contains("etl"))
+  }
+
+  test("unknown, owned and malformed declarations refuse loudly") {
+    val dir = tmp("bad")
+    LakeWriter.writeDelta(spark.range(2).toDF("k"), dir)
+    val unknown = intercept[IllegalArgumentException] {
+      LakeWriter.alterProperties(spark, dir,
+        Map("delta.feature.icebergCompatV2" -> "supported"))
+    }
+    assert(unknown.getMessage.contains("not supported by this writer"))
+    val owned = intercept[IllegalArgumentException] {
+      LakeWriter.alterProperties(spark, dir,
+        Map("delta.feature.rowTracking" -> "supported"))
+    }
+    assert(owned.getMessage.contains("owning operation"))
+    val value = intercept[IllegalArgumentException] {
+      LakeWriter.alterProperties(spark, dir,
+        Map("delta.feature.deletionVectors" -> "off"))
+    }
+    assert(value.getMessage.contains("'supported'"))
+    // nothing committed by the refusals
+    assert(DeltaReader.snapshot(spark, dir, None).version == 0L)
+  }
+
+  test("feature declaration composes with ICT enablement in one ALTER") {
+    val dir = tmp("ict")
+    LakeWriter.writeDelta(spark.range(2).toDF("k"), dir)
+    LakeWriter.alterProperties(spark, dir, Map(
+      "delta.enableInCommitTimestamps" -> "true",
+      "delta.feature.typeWidening" -> "supported"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.writerFeatures.contains("inCommitTimestamp") &&
+      snap.writerFeatures.contains("typeWidening"))
+    assert(snap.readerFeatures.contains("typeWidening") && snap.minReader == 3)
+    assert(snap.configuration.contains("delta.inCommitTimestampEnablementVersion"))
+    assert(!snap.configuration.keys.exists(_.startsWith("delta.feature.")))
+  }
+
+  test("v2Checkpoints obligation: classic author routes to the v2 shape") {
+    val dir = tmp("v2cp")
+    LakeWriter.writeDelta(spark.range(4).toDF("k"), dir)
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.feature.v2Checkpoints" -> "supported"))
+    LakeWriter.appendDelta(spark.range(4, 8).toDF("k"), dir)
+    val v = DeltaReader.snapshot(spark, dir, None).version
+    LakeWriter.checkpointDelta(spark, dir, v)
+    val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val names = fs.listStatus(log).map(_.getPath.getName).toSeq
+    // v2 shape: a uniqueStr manifest + _sidecars, never <v>.checkpoint.parquet
+    assert(!names.contains(f"$v%020d.checkpoint.parquet"), names.toString)
+    assert(names.exists(n => n.startsWith(f"$v%020d.checkpoint.") &&
+      n.endsWith(".parquet")), names.toString)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(log, "_sidecars")))
+    // replay from the v2 checkpoint round-trips
+    assert(DeltaReader.read(spark, dir).count() == 8L)
+
+    val pol = tmp("policy")
+    LakeWriter.writeDelta(spark.range(3).toDF("k"), pol,
+      configuration = Map("delta.checkpointPolicy" -> "v2"))
+    LakeWriter.appendDelta(spark.range(3, 6).toDF("k"), pol)
+    LakeWriter.checkpointDelta(spark, pol, 1L)
+    val logP = new org.apache.hadoop.fs.Path(pol, "_delta_log")
+    val fsP = logP.getFileSystem(spark.sessionState.newHadoopConf())
+    val namesP = fsP.listStatus(logP).map(_.getPath.getName).toSeq
+    assert(!namesP.contains(f"${1L}%020d.checkpoint.parquet"), namesP.toString)
+    assert(DeltaReader.read(spark, pol).count() == 6L)
+  }
+}
