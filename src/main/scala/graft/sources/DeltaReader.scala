@@ -432,7 +432,8 @@ object DeltaReader {
       fileActions: Seq[(Either[String, AddFile], Boolean)],
       cdc: Seq[AddFile],
       operation: Option[String], readVersion: Option[Long],
-      engineInfo: Option[String], ict: Option[Long])
+      engineInfo: Option[String], ict: Option[Long],
+      metrics: Map[String, String] = Map.empty)
 
   /** Process-wide per-commit parse memo, validated by the commit
     * FILE's own (length, mtime) — deliberately NOT the snapshot
@@ -482,6 +483,7 @@ object DeltaReader {
     var readVersion: Option[Long] = None
     var engine: Option[String] = None
     var ict: Option[Long] = None
+    var metrics: Map[String, String] = Map.empty
     def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
     val rd = new java.io.BufferedReader(
@@ -499,9 +501,14 @@ object DeltaReader {
           readVersion = Option(ci.get("readVersion")).filterNot(_.isNull).map(_.asLong())
           engine = Option(ci.get("engineInfo")).filterNot(_.isNull).map(_.asText())
           ict = Option(ci.get("inCommitTimestamp")).filterNot(_.isNull).map(_.asLong())
+          Option(ci.get("operationMetrics")).filterNot(_.isNull).foreach { mn =>
+            val b = Map.newBuilder[String, String]
+            mn.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
+            metrics = b.result()
+          }
         }
       } finally rd.close()
-    CommitParse(acts.result(), cdc.result(), op, readVersion, engine, ict)
+    CommitParse(acts.result(), cdc.result(), op, readVersion, engine, ict, metrics)
   }
 
   /** The memoized parse of commit `version`, or None when its file is
@@ -1418,11 +1425,12 @@ object DeltaReader {
       // (racing retention) just drops from the answer
       parsedCommit(fs, logPath, v).map { cp =>
         (v, cp.operation.orNull, cp.readVersion.map(Long.box).orNull,
-          cp.engineInfo.orNull, mono.get(v).map(Long.box).orNull)
+          cp.engineInfo.orNull, mono.get(v).map(Long.box).orNull, cp.metrics)
       }
     }
     rows.sortBy(-_._1)
-      .toDF("version", "operation", "readVersion", "engineInfo", "timestamp")
+      .toDF("version", "operation", "readVersion", "engineInfo", "timestamp",
+        "operationMetrics")
   }
 
   /** DESCRIBE DETAIL: one row of table-level facts — format, table id,

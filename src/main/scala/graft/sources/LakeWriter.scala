@@ -158,6 +158,53 @@ object LakeWriter {
     (prefix + s""""inCommitTimestamp":$t,""" + text.stripPrefix(prefix)).getBytes("UTF-8")
   }
 
+  /** Inject delta-spark-shaped `operationMetrics` into a commit's
+    * commitInfo line, derived from the commit's OWN file actions:
+    * numAddedFiles / numAddedBytes, numRemovedFiles, numCdcFiles /
+    * numCdcBytes, and numOutputRows when every add carries footer
+    * stats (values rendered as strings — delta-spark's wire shape, so
+    * DESCRIBE HISTORY reads identically on both engines). Runs once on
+    * the bytes the writer just rendered (same order of work as
+    * rendering them); metadata-only commits stay untouched. Skips
+    * commits that already carry metrics (a rebase re-render passes
+    * through twice).
+    */
+  private[graft] def injectOperationMetrics(content: Array[Byte]): Array[Byte] = {
+    val text = new String(content, "UTF-8")
+    val prefix = """{"commitInfo":{"""
+    if (!text.startsWith(prefix) || text.contains("\"operationMetrics\":")) return content
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var addN = 0L; var addB = 0L; var remN = 0L; var cdcN = 0L; var cdcB = 0L
+    var rows = 0L; var rowsKnown = true
+    text.linesIterator.foreach { line =>
+      // graft renders one action per line with the action name first —
+      // the startsWith guard keeps the scan O(actions), not O(bytes²)
+      if (line.startsWith("""{"add"""")) {
+        val a = om.readTree(line).get("add")
+        addN += 1
+        if (a.has("size") && !a.get("size").isNull) addB += a.get("size").asLong()
+        val st = if (a.has("stats") && !a.get("stats").isNull) a.get("stats").asText() else null
+        val nr = if (st == null) null else om.readTree(st).get("numRecords")
+        if (nr == null || nr.isNull) rowsKnown = false else rows += nr.asLong()
+      } else if (line.startsWith("""{"remove"""")) remN += 1
+      else if (line.startsWith("""{"cdc"""")) {
+        val c = om.readTree(line).get("cdc")
+        cdcN += 1
+        if (c.has("size") && !c.get("size").isNull) cdcB += c.get("size").asLong()
+      }
+    }
+    if (addN == 0 && remN == 0 && cdcN == 0) return content
+    val m = Seq.newBuilder[(String, String)]
+    if (addN > 0) { m += "numAddedFiles" -> addN.toString; m += "numAddedBytes" -> addB.toString }
+    if (remN > 0) m += "numRemovedFiles" -> remN.toString
+    if (cdcN > 0) { m += "numCdcFiles" -> cdcN.toString; m += "numCdcBytes" -> cdcB.toString }
+    if (addN > 0 && rowsKnown) m += "numOutputRows" -> rows.toString
+    val json = m.result().map { case (k, v) =>
+      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
+    }.mkString("{", ",", "}")
+    (prefix + s""""operationMetrics":$json,""" + text.stripPrefix(prefix)).getBytes("UTF-8")
+  }
+
   /** Oldest retained version stamped at or after `cutoffMillis` — the
     * VACUUM RETAIN n HOURS horizon on an in-commit-timestamp table.
     * When every retained commit is older than the cutoff the latest
@@ -2112,7 +2159,7 @@ object LakeWriter {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
       val effIctConf = if (ictEnabled(ictConf)) ictConf else configuration
       val won = logStore.writeIfAbsent(fs, commit, ictStampContent(spark, fs, commit,
-        effIctConf, render(v).mkString("\n").getBytes("UTF-8")))
+        effIctConf, injectOperationMetrics(render(v).mkString("\n").getBytes("UTF-8"))))
       if (won) committed = true
       else {
         val e = new java.io.IOException(s"commit $commit already exists")
@@ -2197,6 +2244,109 @@ object LakeWriter {
         }
       }
     }
+  }
+
+  /** `interval N <unit>` duration strings (delta-spark's
+    * CalendarInterval spellings for retention properties) in
+    * milliseconds. Units that don't have a fixed millisecond width
+    * (month, year) refuse — a retention boundary must be a point in
+    * time, not a calendar question.
+    */
+  private[graft] def parseDuration(s: String, key: String): Long = {
+    val re = "(?i)^\\s*interval\\s+(\\d+)\\s+(millisecond|second|minute|hour|day|week)s?\\s*$".r
+    s match {
+      case re(n, unit) =>
+        val ms = unit.toLowerCase match {
+          case "millisecond" => 1L
+          case "second" => 1000L
+          case "minute" => 60000L
+          case "hour" => 3600000L
+          case "day" => 86400000L
+          case "week" => 7L * 86400000L
+        }
+        n.toLong * ms
+      case _ => throw new IllegalArgumentException(
+        s"$key: cannot parse duration '$s' — use 'interval N <unit>' with unit " +
+          "millisecond/second/minute/hour/day/week")
+    }
+  }
+
+  /** Metadata cleanup — delete the EXPIRED LOG PREFIX at a checkpoint
+    * boundary (delta-spark's `delta.enableExpiredLogCleanup`, default
+    * on, with `delta.logRetentionDuration`, default interval 30 days;
+    * runs best-effort after every checkpoint). A 100-TB table that
+    * commits every minute writes half a million log files a year —
+    * without cleanup the `_delta_log` listing itself becomes the
+    * bottleneck of every snapshot, and no VACUUM touches it.
+    *
+    * Chooses the LARGEST complete-checkpoint version k such that every
+    * commit json below k is older than the cutoff, then deletes all
+    * log files with version < k: commit jsons, checkpoint files
+    * (classic, multi-part, v2 manifests — shared `_sidecars` stay put;
+    * orphaned sidecars fall to the vacuum sweep), and log compactions
+    * ending below k. Anything at or above k is untouched, so state at
+    * any retained version still reconstructs from k's checkpoint plus
+    * the retained suffix; history, CDF, the ICT horizon and time
+    * travel now start at k, and a read below k refuses loudly (the
+    * retention contract). Returns the deleted names, sorted.
+    */
+  def cleanExpiredLogs(spark: SparkSession, dir: String,
+                       nowMillis: Option[Long] = None): Seq[String] =
+    cleanExpiredLogsWithConf(spark, dir,
+      DeltaReader.snapshot(spark, dir, None).configuration, nowMillis)
+
+  /** [[cleanExpiredLogs]] against a caller-supplied configuration —
+    * the checkpoint authors pass the snapshot they already hold, so
+    * the post-checkpoint hook never pays a fresh replay just to read
+    * two properties.
+    */
+  private[graft] def cleanExpiredLogsWithConf(spark: SparkSession, dir: String,
+      conf: Map[String, String], nowMillis: Option[Long] = None): Seq[String] = {
+    val log = new org.apache.hadoop.fs.Path(new org.apache.hadoop.fs.Path(dir), "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(log)) return Nil
+    if (conf.get("delta.enableExpiredLogCleanup").contains("false")) return Nil
+    val retention = parseDuration(
+      conf.getOrElse("delta.logRetentionDuration", "interval 30 days"),
+      "delta.logRetentionDuration")
+    val cutoff = nowMillis.getOrElse(System.currentTimeMillis()) - retention
+    val entries = fs.listStatus(log).toSeq.filter(_.isFile)
+    val commits = entries
+      .filter(_.getPath.getName.matches("\\d{20}\\.json"))
+      .map(st => st.getPath.getName.take(20).toLong -> st)
+    if (commits.isEmpty) return Nil
+    // complete checkpoint versions: classic single file, v2 manifest,
+    // or a multi-part set whose distinct part numbers cover 1..total
+    val MultiRe = "(\\d{20})\\.checkpoint\\.(\\d{10})\\.(\\d{10})\\.parquet".r
+    val completeCp: Seq[Long] = entries.map(_.getPath.getName)
+      .filter(n => n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet") ||
+        n.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)"))
+      .groupBy(_.take(20).toLong)
+      .collect { case (v, names) if {
+          val classicOrV2 = names.exists(n =>
+            n.matches("\\d{20}\\.checkpoint\\.parquet") ||
+              (n.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)") &&
+                !MultiRe.pattern.matcher(n).matches()))
+          val parts = names.collect { case MultiRe(_, p, t) => (p.toInt, t.toInt) }
+          classicOrV2 || (parts.nonEmpty && parts.map(_._2).distinct.size == 1 &&
+            parts.map(_._1).distinct.size == parts.head._2)
+        } => v }
+      .toSeq.sorted
+    val k = completeCp
+      .filter(k0 => commits.forall { case (v, st) =>
+        v >= k0 || st.getModificationTime < cutoff })
+      .maxOption.getOrElse(return Nil)
+    val victims = entries.filter { st =>
+      val n = st.getPath.getName
+      if (n.matches("\\d{20}\\.json") || n.matches("\\d{20}\\.checkpoint([._].*)?\\.parquet") ||
+          n.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.json"))
+        n.take(20).toLong < k
+      else if (n.matches("\\d{20}\\.\\d{20}\\.compacted\\.json"))
+        n.slice(21, 41).toLong < k
+      else false
+    }
+    victims.foreach(st => fs.delete(st.getPath, false))
+    victims.map(_.getPath.getName).sorted
   }
 
   /** `delta.targetFileSize` in bytes (default 1 GiB) — the sizing knob
@@ -2728,7 +2878,8 @@ object LakeWriter {
     while (!committed) {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
       if (store.writeIfAbsent(fs, commit,
-          ictStampContent(spark, fs, commit, snap.configuration, content))) {
+          ictStampContent(spark, fs, commit, snap.configuration,
+            injectOperationMetrics(content)))) {
         committed = true
         maybeCheckpointAtProperty(spark, commit, snap.configuration)
       } else {
@@ -5468,6 +5619,14 @@ object LakeWriter {
     val partsField = if (parts <= 1) "" else s""","parts":${part.length}"""
     try out.write(s"""{"version":$version,"size":$nActions$partsField}""".getBytes("UTF-8"))
     finally out.close()
+    // metadata cleanup rides every checkpoint (delta-spark's cadence):
+    // best-effort — the checkpoint above is durable either way
+    try { cleanExpiredLogsWithConf(spark, dir, snap.configuration); () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"expired-log cleanup after checkpoint $version of $dir skipped: ${e.getMessage}")
+    }
   }
 
   /** Write a V2-SPEC checkpoint (reader feature `v2Checkpoints`' file
@@ -5607,6 +5766,12 @@ object LakeWriter {
     val out = fs.create(hint, true)
     try out.write(s"""{"version":$version,"size":${mRows.size}}""".getBytes("UTF-8"))
     finally out.close()
+    try { cleanExpiredLogsWithConf(spark, dir, snap.configuration); () }
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"expired-log cleanup after v2 checkpoint $version of $dir skipped: ${e.getMessage}")
+    }
   }
 
   /** Bucketed table layout — the CO-LOCATED JOIN mechanism: both sides

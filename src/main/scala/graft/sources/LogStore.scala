@@ -121,7 +121,8 @@ object GraftLogStore {
                     ictConf: Map[String, String] = Map.empty): Unit = {
     val store = resolve(spark)
     requireAtomic(store)
-    val stamped = LakeWriter.ictStampContent(spark, fs, path, ictConf, content)
+    val stamped = LakeWriter.ictStampContent(spark, fs, path, ictConf,
+      LakeWriter.injectOperationMetrics(content))
     if (!store.writeIfAbsent(fs, path, stamped))
       throw new IllegalStateException(
         s"Delta commit $path already exists — a concurrent writer won; $retryHint")

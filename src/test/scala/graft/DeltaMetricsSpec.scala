@@ -1,0 +1,70 @@
+package graft
+
+import graft.sources.{DeltaReader, LakeWriter}
+import org.apache.spark.sql.functions._
+
+/** commitInfo `operationMetrics` — delta-spark's DESCRIBE HISTORY
+  * observability surface, derived centrally on the commit funnel from
+  * the commit's own file actions (values as strings, the wire shape
+  * delta-spark writes): numAddedFiles/numAddedBytes, numRemovedFiles,
+  * numCdcFiles/numCdcBytes, and numOutputRows whenever every add
+  * carries footer stats. Metadata-only commits carry none.
+  */
+class DeltaMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_metrics_$tag").resolve("t")
+      .toAbsolutePath.toString
+
+  private def metricsAt(dir: String, v: Long): Map[String, String] =
+    DeltaReader.history(spark, dir)
+      .where(col("version") === v)
+      .select(col("operationMetrics"))
+      .as[Map[String, String]].head()
+
+  test("create, append, delete, compaction and metadata commits meter correctly") {
+    val dir = tmp("battery")
+    LakeWriter.writeDelta(spark.range(10).toDF("k").repartition(2), dir)
+    val m0 = metricsAt(dir, 0L)
+    assert(m0("numAddedFiles").toLong == 2L, m0.toString)
+    assert(m0("numAddedBytes").toLong > 0L)
+    assert(m0("numOutputRows").toLong == 10L)
+    assert(!m0.contains("numRemovedFiles"))
+
+    LakeWriter.appendDelta(spark.range(10, 15).toDF("k").repartition(1), dir)
+    val m1 = metricsAt(dir, 1L)
+    assert(m1("numAddedFiles").toLong == 1L && m1("numOutputRows").toLong == 5L)
+
+    LakeWriter.deleteWhere(spark, dir, "k < 3")
+    val m2 = metricsAt(dir, 2L)
+    assert(m2("numRemovedFiles").toLong >= 1L, m2.toString)
+
+    LakeWriter.compactDelta(spark, dir, minFiles = 1)
+    val v = DeltaReader.snapshot(spark, dir, None).version
+    val m3 = metricsAt(dir, v)
+    assert(m3("numRemovedFiles").toLong >= 2L && m3("numAddedFiles").toLong >= 1L,
+      m3.toString)
+
+    LakeWriter.alterProperties(spark, dir, Map("team" -> "ml"))
+    val m4 = metricsAt(dir, v + 1)
+    assert(m4.isEmpty, m4.toString)
+  }
+
+  test("CDF mutations meter change files; ICT stamping coexists") {
+    val dir = tmp("cdf")
+    LakeWriter.writeDelta(spark.range(8).toDF("k"), dir)
+    LakeWriter.alterProperties(spark, dir, Map(
+      "delta.enableChangeDataFeed" -> "true",
+      "delta.enableInCommitTimestamps" -> "true"))
+    LakeWriter.updateWhere(spark, dir, "k = 4", Map("k" -> "400"))
+    val v = DeltaReader.snapshot(spark, dir, None).version
+    val m = metricsAt(dir, v)
+    assert(m("numCdcFiles").toLong >= 1L && m("numCdcBytes").toLong > 0L, m.toString)
+    assert(m("numAddedFiles").toLong >= 1L && m("numRemovedFiles").toLong >= 1L)
+    // the same commit is ICT-stamped — injection did not displace it
+    val hist = DeltaReader.history(spark, dir)
+      .where(col("version") === v).select(col("timestamp")).as[Long].head()
+    assert(hist > 0L)
+  }
+}
