@@ -15,7 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    sink's compaction marks itself dataChange=false;
   *  - a `dataChange = true` remove means rows were DELETED or
   *    rewritten, which an append-only tail cannot represent — refused
-  *    loudly instead of silently streaming a wrong delta;
+  *    loudly instead of silently streaming a wrong delta, unless the
+  *    caller opted into `ignoreDeletes` (skip delete-only versions —
+  *    the partition-boundary retention case) or `skipChangeCommits`
+  *    (skip every changing version), delta-spark's mutation-tolerance
+  *    options;
   *  - versions whose commit JSON was retention-cleaned are refused
   *    (checkpoints are snapshots, not change lists) — size the log
   *    retention to the maximum expected consumer lag, exactly as real
@@ -41,20 +45,37 @@ object DeltaTail {
     * dataChange=true adds only, scanned under `toVersion`'s metadata.
     * Refuses dataChange=true removes (deletes need CDF, not a tail)
     * and DV-carrying new adds (a file BORN with deleted rows is a
-    * rewrite product, not an append).
+    * rewrite product, not an append) — unless the caller opted into
+    * delta-spark's mutation tolerance:
+    *  - `ignoreDeletes` skips DELETE-ONLY versions (removes, no adds —
+    *    the retention/GDPR case: rows leave the table but nothing is
+    *    rewritten, so the tail's append semantics stay exact for the
+    *    surviving data);
+    *  - `skipChangeCommits` skips ENTIRE versions that remove data
+    *    (updates/merges/rewrites too) — the stream delivers only
+    *    pure-append commits, the documented contract for tailing a
+    *    table that mutates.
     */
-  def changes(s: SparkSession, dir: String, fromVersion: Long, toVersion: Long): DataFrame = {
+  def changes(s: SparkSession, dir: String, fromVersion: Long, toVersion: Long,
+              ignoreDeletes: Boolean = false,
+              skipChangeCommits: Boolean = false): DataFrame = {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val snap = DeltaReader.snapshot(s, dir, Some(toVersion))
     val newAdds = ((fromVersion + 1) to toVersion).flatMap { v =>
       val (adds, removes) = DeltaReader.commitChanges(s, dir, v)
       val deletes = removes.filter(_._2)
-      require(deletes.isEmpty,
-        s"version $v of $dir removes ${deletes.size} files with dataChange=true " +
-          "(a delete/rewrite) — an append-only tail cannot represent it; " +
-          "refusing to stream a wrong delta")
-      adds.filter(_._2).map(_._1)
+      val dcAdds = adds.filter(_._2)
+      if (deletes.nonEmpty && skipChangeCommits) Nil
+      else if (deletes.nonEmpty && ignoreDeletes && dcAdds.isEmpty) Nil
+      else {
+        require(deletes.isEmpty,
+          s"version $v of $dir removes ${deletes.size} files with dataChange=true " +
+            "(a delete/rewrite) — an append-only tail cannot represent it; " +
+            "refusing to stream a wrong delta (option ignoreDeletes skips " +
+            "delete-only versions; skipChangeCommits skips every changing version)")
+        dcAdds.map(_._1)
+      }
     }
     newAdds.foreach { a =>
       require(a.dv.isEmpty,

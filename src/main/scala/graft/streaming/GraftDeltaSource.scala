@@ -425,6 +425,16 @@ object GraftDeltaSource {
       require(n > 0, s"graft-delta: maxBytesPerTrigger $n must be positive")
       n
     }
+    // mutation tolerance for the append tail (delta-spark's options):
+    // ignoreDeletes skips delete-only versions, skipChangeCommits skips
+    // every version that removes data. CDF mode refuses them — the
+    // change feed REPRESENTS those versions instead of skipping them.
+    val ignoreDeletes: Boolean = lower.get("ignoredeletes").exists(_.toBoolean)
+    val skipChangeCommits: Boolean = lower.get("skipchangecommits").exists(_.toBoolean)
+    require(!cdf || (!ignoreDeletes && !skipChangeCommits),
+      "graft-delta: ignoreDeletes/skipChangeCommits are append-tail options — " +
+        "a readChangeFeed stream represents deletes and updates as change rows " +
+        "instead of skipping them")
   }
 
   /** Timestamp option value: epoch millis, a SQL timestamp
@@ -573,12 +583,14 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       case (None, false) => startingVersion match {
         // skip-snapshot tailing: the first batch is the adds of
         // versions [sv, end] through the shared append-tail path
-        case Some(sv) if sv <= endV => DeltaTail.changes(spark, opts.path, sv - 1, endV)
+        case Some(sv) if sv <= endV => DeltaTail.changes(spark, opts.path, sv - 1, endV,
+          opts.ignoreDeletes, opts.skipChangeCommits)
         case Some(_) => emptyBatch
         case None => DeltaReader.read(spark, opts.path, Some(endV))
       }
       case (Some(s), false) =>
-        DeltaTail.changes(spark, opts.path, s, endV)
+        DeltaTail.changes(spark, opts.path, s, endV,
+          opts.ignoreDeletes, opts.skipChangeCommits)
       case (None, true) => startingVersion match {
         case Some(sv) if sv <= endV => DeltaReader.readChanges(spark, opts.path, sv, endV)
         case _ => emptyBatch // start-after-current (or nothing at sv yet)

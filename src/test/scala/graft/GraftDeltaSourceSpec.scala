@@ -133,6 +133,46 @@ class GraftDeltaSourceSpec extends SparkSpec {
       s"refusal must name the contract, got: $msg")
   }
 
+  test("ignoreDeletes skips delete-only versions; rewrites still refuse") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    // partitioned by k: a whole-partition delete drops files without
+    // rewriting survivors — the delete-only shape ignoreDeletes is FOR
+    // (delta-spark's partition-boundary contract); a scattered delete
+    // rewrites files and must still refuse
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"))
+    drain(d, cp, Map("ignoreDeletes" -> "true"))
+    LakeWriter.deleteWhere(spark, d, "k = 'a'")
+    LakeWriter.appendDelta((500 to 503).map(i => (i.toLong, "z", 9.0)).toDF("id", "k", "v"), d)
+    val (inc, _) = drain(d, cp, Map("ignoreDeletes" -> "true"))
+    assert(inc.map(_.head).toSet == (500L to 503L).toSet, inc.toString)
+    // an UPDATE rewrites rows — delete-only tolerance must not hide it
+    LakeWriter.updateWhere(spark, d, "k = 'b'", Map("v" -> "v * 2"))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(d, cp, Map("ignoreDeletes" -> "true"))
+    }
+    val msg = Option(e.getCause).fold(e.getMessage)(_.getMessage)
+    assert(msg.contains("append-only tail cannot represent"), msg)
+  }
+
+  test("skipChangeCommits skips every changing version; appends still flow") {
+    val d = freshDir("t"); val cp = freshDir("cp")
+    LakeWriter.writeDelta(base.repartition(4), d)
+    drain(d, cp, Map("skipChangeCommits" -> "true"))
+    LakeWriter.deleteWhere(spark, d, "k = 'a'")
+    LakeWriter.updateWhere(spark, d, "k = 'b'", Map("v" -> "v * 2"))
+    LakeWriter.appendDelta((600 to 602).map(i => (i.toLong, "y", 7.0)).toDF("id", "k", "v"), d)
+    val (inc, _) = drain(d, cp, Map("skipChangeCommits" -> "true"))
+    assert(inc.map(_.head).toSet == (600L to 602L).toSet, inc.toString)
+    // CDF mode refuses the append-tail options loudly
+    val e = intercept[Exception] {
+      drain(d, freshDir("cp2"), Map("readChangeFeed" -> "true",
+        "startingVersion" -> "0", "skipChangeCommits" -> "true"))
+    }
+    def rootMsg(t: Throwable): String =
+      Option(t.getCause).map(rootMsg).getOrElse(t.getMessage)
+    assert(rootMsg(e).contains("append-tail options"), rootMsg(e))
+  }
+
   test("CDF mode streams the change history; startingVersion=0 replays everything") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base, d,
