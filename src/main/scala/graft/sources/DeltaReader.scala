@@ -433,7 +433,8 @@ object DeltaReader {
       cdc: Seq[AddFile],
       operation: Option[String], readVersion: Option[Long],
       engineInfo: Option[String], ict: Option[Long],
-      metrics: Map[String, String] = Map.empty)
+      metrics: Map[String, String] = Map.empty,
+      params: Map[String, String] = Map.empty)
 
   /** Process-wide per-commit parse memo, validated by the commit
     * FILE's own (length, mtime) — deliberately NOT the snapshot
@@ -484,6 +485,7 @@ object DeltaReader {
     var engine: Option[String] = None
     var ict: Option[Long] = None
     var metrics: Map[String, String] = Map.empty
+    var params: Map[String, String] = Map.empty
     def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
     val rd = new java.io.BufferedReader(
@@ -506,9 +508,16 @@ object DeltaReader {
             mn.fields().forEachRemaining(e => b += e.getKey -> e.getValue.asText())
             metrics = b.result()
           }
+          Option(ci.get("operationParameters")).filterNot(_.isNull).foreach { pn =>
+            val b = Map.newBuilder[String, String]
+            pn.fields().forEachRemaining(e => b += e.getKey ->
+              (if (e.getValue.isTextual) e.getValue.asText() else e.getValue.toString))
+            params = b.result()
+          }
         }
       } finally rd.close()
-    CommitParse(acts.result(), cdc.result(), op, readVersion, engine, ict, metrics)
+    CommitParse(acts.result(), cdc.result(), op, readVersion, engine, ict, metrics,
+      params)
   }
 
   /** The memoized parse of commit `version`, or None when its file is
@@ -1425,12 +1434,13 @@ object DeltaReader {
       // (racing retention) just drops from the answer
       parsedCommit(fs, logPath, v).map { cp =>
         (v, cp.operation.orNull, cp.readVersion.map(Long.box).orNull,
-          cp.engineInfo.orNull, mono.get(v).map(Long.box).orNull, cp.metrics)
+          cp.engineInfo.orNull, mono.get(v).map(Long.box).orNull, cp.params,
+          cp.metrics)
       }
     }
     rows.sortBy(-_._1)
       .toDF("version", "operation", "readVersion", "engineInfo", "timestamp",
-        "operationMetrics")
+        "operationParameters", "operationMetrics")
   }
 
   /** DESCRIBE DETAIL: one row of table-level facts — format, table id,

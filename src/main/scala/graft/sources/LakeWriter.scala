@@ -676,7 +676,24 @@ object LakeWriter {
     require(set.nonEmpty || unset.nonEmpty, "alterProperties: nothing to change")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cur = snap.configuration
-    val (setP, featsDeclared) = splitFeatureProperties(set, "alterProperties")
+    val (setP0, featsDeclared) = splitFeatureProperties(set, "alterProperties")
+    // delta.minReaderVersion / delta.minWriterVersion are CONSUMED
+    // protocol-upgrade requests (delta-spark's documented upgrade
+    // spelling), never stored configuration
+    val reqMinReader = setP0.get("delta.minReaderVersion").map(_.trim.toInt)
+    val reqMinWriter = setP0.get("delta.minWriterVersion").map(_.trim.toInt)
+    val setP = setP0 -- Seq("delta.minReaderVersion", "delta.minWriterVersion")
+    reqMinReader.foreach { r =>
+      require(r >= snap.minReader && r <= 3,
+        s"alterProperties: delta.minReaderVersion $r must be in " +
+          s"[${snap.minReader} (current — no downgrades), 3]")
+      require(r < 3 || reqMinWriter.contains(7) || snap.minWriter == 7,
+        "alterProperties: minReaderVersion 3 is the feature-table form and " +
+          "requires minWriterVersion 7 (PROTOCOL.md)")
+    }
+    reqMinWriter.foreach(w => require(w >= snap.minWriter && w <= 7,
+      s"alterProperties: delta.minWriterVersion $w must be in " +
+        s"[${snap.minWriter} (current — no downgrades), 7]"))
     set.get("delta.columnMapping.mode").foreach { m =>
       require(cur.getOrElse("delta.columnMapping.mode", "none") == m,
         "alterProperties: changing delta.columnMapping.mode re-keys every file's " +
@@ -716,7 +733,8 @@ object LakeWriter {
     // floor delta-spark would stamp
     val floor = Seq(if (enablingCdf) 4 else 0, if (addingConstraint) 3 else 0).max
     val protocolOverride =
-      if (featsDeclared.nonEmpty || ictProtocol.nonEmpty) {
+      if (featsDeclared.nonEmpty || ictProtocol.nonEmpty ||
+          reqMinWriter.contains(7) || reqMinReader.contains(3)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         def jarr(xs: Iterable[String]): String =
           xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")
@@ -729,18 +747,32 @@ object LakeWriter {
         val wf = snap.writerFeatures.toSet ++ legacy ++ featsDeclared ++
           (if (ictProtocol.nonEmpty) Set("inCommitTimestamp") else Set.empty)
         val rw = featsDeclared.intersect(DeclarableReaderWriter)
-        val minReader = if (rw.nonEmpty) 3 else snap.minReader
+        val minReader =
+          if (rw.nonEmpty || reqMinReader.contains(3)) 3 else snap.minReader
         val legacyR =
           if (cur.getOrElse("delta.columnMapping.mode", "none") != "none")
             Set("columnMapping") else Set.empty[String]
+        val rfAll = snap.readerFeatures.toSet ++ rw ++ legacyR
+        require(minReader < 3 || rfAll.nonEmpty,
+          "alterProperties: minReaderVersion 3 with NO reader features would be a " +
+            "malformed table (the feature form declares its reader requirements " +
+            "explicitly) — declare one via delta.feature.<name>=supported")
         val rfJson =
-          if (minReader >= 3)
-            s""","readerFeatures":${jarr(snap.readerFeatures.toSet ++ rw ++ legacyR)}"""
-          else ""
+          if (minReader >= 3) s""","readerFeatures":${jarr(rfAll)}""" else ""
         Some(s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}""")
-      } else if (floor > 0 && snap.minWriter < floor && snap.minWriter != 7)
-        Some(s"""{"protocol":{"minReaderVersion":${snap.minReader},"minWriterVersion":$floor}}""")
-      else None
+      } else if (snap.minWriter == 7) None
+      else {
+        // legacy-version lifts: a requested legacy writer/reader bump
+        // and/or the CDF/constraint enablement floor, whichever is
+        // higher; nothing to lift -> no protocol action
+        val newW: Long = Seq(snap.minWriter,
+          if (floor > 0) floor.toLong else 0L,
+          reqMinWriter.map(_.toLong).getOrElse(0L)).max
+        val newR: Long = math.max(snap.minReader,
+          reqMinReader.map(_.toLong).getOrElse(0L))
+        if (newW == snap.minWriter && newR == snap.minReader) None
+        else Some(s"""{"protocol":{"minReaderVersion":$newR,"minWriterVersion":$newW}}""")
+      }
     commitAlter(spark, dir, snap, snap.schemaJson, snap.partCols, newConf,
       "SET TBLPROPERTIES", protocolOverride)
   }
@@ -2006,9 +2038,17 @@ object LakeWriter {
       case None =>
         val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
         // delta.feature.<name>=supported keys CONSUME into the creating
-        // protocol — they never persist as configuration
-        val (confKept, featsCreate) =
+        // protocol — they never persist as configuration; so do the
+        // delta.minReaderVersion / delta.minWriterVersion requests
+        val (confKept0, featsCreate) =
           splitFeatureProperties(configuration, "CREATE TABLE")
+        val reqMinReader = confKept0.get("delta.minReaderVersion").map(_.trim.toInt)
+        val reqMinWriter = confKept0.get("delta.minWriterVersion").map(_.trim.toInt)
+        reqMinReader.foreach(r => require(r >= 1 && r <= 3,
+          s"CREATE TABLE: delta.minReaderVersion $r must be in [1, 3]"))
+        reqMinWriter.foreach(w => require(w >= 1 && w <= 7,
+          s"CREATE TABLE: delta.minWriterVersion $w must be in [1, 7]"))
+        val confKept = confKept0 -- Seq("delta.minReaderVersion", "delta.minWriterVersion")
         // CDF's legacy writer floor is 4 (PROTOCOL.md): stamping it on
         // the creating commit makes non-CDF-aware legacy writers refuse
         // the table instead of committing changes without change data
@@ -2043,7 +2083,11 @@ object LakeWriter {
           (if (hasVariant(df.schema)) Seq("variantType") else Nil) ++
           (if (hasNtz(df.schema)) Seq("timestampNtz") else Nil)
         val rwCreate = v7Features.distinct.filter(DeclarableReaderWriter)
-        if (v7Features.nonEmpty) {
+        require(!reqMinReader.contains(3) || rwCreate.nonEmpty,
+          "CREATE TABLE: delta.minReaderVersion=3 with NO reader features would " +
+            "be a malformed table — declare one via delta.feature.<name>=supported " +
+            "or use a schema that requires one")
+        if (v7Features.nonEmpty || reqMinWriter.contains(7)) {
           val wf = (Seq("appendOnly", "invariants") ++ v7Features ++
             (if (cdfCreate) Seq("changeDataFeed") else Nil) ++
             (if (constraintsCreate) Seq("checkConstraints") else Nil))
@@ -2052,9 +2096,9 @@ object LakeWriter {
           if (rwCreate.nonEmpty)
             actions += s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${rwCreate.sorted.map(om.writeValueAsString).mkString("[", ",", "]")},"writerFeatures":$wf}}"""
           else
-            actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":7,"writerFeatures":$wf}}"""
+            actions += s"""{"protocol":{"minReaderVersion":${reqMinReader.getOrElse(1)},"minWriterVersion":7,"writerFeatures":$wf}}"""
         } else
-          actions += s"""{"protocol":{"minReaderVersion":1,"minWriterVersion":$minWriter}}"""
+          actions += s"""{"protocol":{"minReaderVersion":${reqMinReader.getOrElse(1)},"minWriterVersion":${(minWriter +: reqMinWriter.toSeq).max}}}"""
         actions += s"""{"metaData":{"id":"${java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8"))}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(
           IdentityColumns.patchSchema(df.schema, idWm).json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
     }
@@ -3189,6 +3233,7 @@ object LakeWriter {
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
       extraActions = removes ++ cdcActions, operation = "DELETE",
+      operationParameters = s"""{"predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
       ictConf = snap.configuration)
@@ -4431,6 +4476,7 @@ object LakeWriter {
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
       extraActions = removes ++ cdcActions, operation = "UPDATE",
+      operationParameters = s"""{"predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
       ictConf = snap.configuration)

@@ -93,6 +93,43 @@ class DeltaFeaturePropsSpec extends SparkSpec {
     assert(!snap.configuration.keys.exists(_.startsWith("delta.feature.")))
   }
 
+  test("delta.minReaderVersion / delta.minWriterVersion upgrade requests consume") {
+    // legacy lift
+    val leg = tmp("legacy")
+    LakeWriter.writeDelta(spark.range(2).toDF("k"), leg)
+    LakeWriter.alterProperties(spark, leg, Map("delta.minWriterVersion" -> "5"))
+    val sl = DeltaReader.snapshot(spark, leg, None)
+    assert(sl.minReader == 1 && sl.minWriter == 5)
+    assert(!sl.configuration.contains("delta.minWriterVersion"))
+    LakeWriter.appendDelta(spark.range(2, 4).toDF("k"), leg)
+    assert(DeltaReader.read(spark, leg).count() == 4L)
+
+    // v7 lift materializes legacy obligations
+    LakeWriter.alterProperties(spark, leg, Map("delta.minWriterVersion" -> "7"))
+    val s7 = DeltaReader.snapshot(spark, leg, None)
+    assert(s7.minWriter == 7 && s7.writerFeatures.contains("appendOnly") &&
+      s7.writerFeatures.contains("invariants"))
+
+    // downgrade refusal and the malformed (3, no-features) refusal
+    val down = intercept[IllegalArgumentException] {
+      LakeWriter.alterProperties(spark, leg, Map("delta.minWriterVersion" -> "2"))
+    }
+    assert(down.getMessage.contains("no downgrades"), down.getMessage)
+    val noRf = intercept[IllegalArgumentException] {
+      LakeWriter.alterProperties(spark, leg, Map(
+        "delta.minReaderVersion" -> "3", "delta.minWriterVersion" -> "7"))
+    }
+    assert(noRf.getMessage.contains("NO reader features"), noRf.getMessage)
+
+    // create-time request
+    val cre = tmp("create7")
+    LakeWriter.writeDelta(spark.range(3).toDF("k"), cre,
+      configuration = Map("delta.minWriterVersion" -> "7"))
+    val sc = DeltaReader.snapshot(spark, cre, None)
+    assert(sc.minWriter == 7 && sc.writerFeatures.contains("appendOnly"))
+    assert(!sc.configuration.contains("delta.minWriterVersion"))
+  }
+
   test("v2Checkpoints obligation: classic author routes to the v2 shape") {
     val dir = tmp("v2cp")
     LakeWriter.writeDelta(spark.range(4).toDF("k"), dir)

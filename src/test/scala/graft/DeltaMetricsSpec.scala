@@ -51,6 +51,21 @@ class DeltaMetricsSpec extends SparkSpec {
     assert(m4.isEmpty, m4.toString)
   }
 
+  test("operationParameters surface in history: DELETE/UPDATE record their predicate") {
+    val dir = tmp("params")
+    LakeWriter.writeDelta(spark.range(10).toDF("k"), dir)
+    LakeWriter.deleteWhere(spark, dir, "k = 7")
+    LakeWriter.updateWhere(spark, dir, "k = 3", Map("k" -> "300"))
+    val rows = DeltaReader.history(spark, dir)
+      .select(col("version"), col("operation"), col("operationParameters"))
+      .as[(Long, String, Map[String, String])].collect()
+      .map { case (v, op, p) => v -> ((op, p)) }.toMap
+    assert(rows(1L)._1 == "DELETE" && rows(1L)._2.get("predicate").contains("k = 7"),
+      rows(1L).toString)
+    assert(rows(2L)._1 == "UPDATE" && rows(2L)._2.get("predicate").contains("k = 3"),
+      rows(2L).toString)
+  }
+
   test("CDF mutations meter change files; ICT stamping coexists") {
     val dir = tmp("cdf")
     LakeWriter.writeDelta(spark.range(8).toDF("k"), dir)
