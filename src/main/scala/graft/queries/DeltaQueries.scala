@@ -564,10 +564,92 @@ object DeltaQueries {
       LakeWriter.appendDelta(
         t(s, dir, "orders").where("o_orderkey % 2 = 1").repartition(2), d)
       statusAgg(DeltaReader.read(s, d, versionAsOf = Some(0L)))
+    }),
+
+    // TIMESTAMP_NTZ end-to-end: orders' NTZ o_orderdate round-trips
+    // through a Delta table that must DECLARE the timestampNtz feature
+    // (required loudly), and the wall-clock rendering of every value
+    // must equal DuckDB's reading of the raw parquet — a UTC shift
+    // anywhere in the write/stat/read path would move month buckets
+    "delta_ntz" -> ((s, dir) => {
+      val d = freshDir("ntz")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(3), d)
+      val snap = DeltaReader.snapshot(s, d, None)
+      require(snap.readerFeatures.contains("timestampNtz"),
+        s"NTZ table must declare the feature, got ${snap.readerFeatures}")
+      DeltaReader.read(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .orderBy("ym")
+    }),
+
+    // operationMetrics end-to-end: the funnel's metering must agree
+    // with the data — summed numOutputRows across the two write
+    // commits equals the recomputed row count, file counts positive
+    "delta_metrics" -> ((s, dir) => {
+      import s.implicits._
+      val d = freshDir("met")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 3").repartition(2), d)
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 3 AND o_orderkey % 10 < 6")
+          .repartition(2), d)
+      val m = DeltaReader.history(s, d)
+        .select(col("version"), col("operationMetrics"))
+        .as[(Long, Map[String, String])].collect().toMap
+      require(m.keySet == Set(0L, 1L), s"expected versions 0,1: ${m.keySet}")
+      m.values.foreach(mm => require(mm("numAddedFiles").toLong > 0 &&
+        mm("numAddedBytes").toLong > 0, s"unmetered commit: $mm"))
+      val metered = m.values.map(_("numOutputRows").toLong).sum
+      Seq((2L, metered)).toDF("commits", "metered_rows")
+    }),
+
+    // expired-log cleanup end-to-end: 5 versions, checkpoint at 2,
+    // versions 0-1 aged past retention — cleanup must delete exactly
+    // those two commit jsons (required loudly), history starts at the
+    // boundary, and the table's DATA is untouched by the metadata
+    // cleanup (the aggregate equals the plain recompute)
+    "delta_logclean" -> ((s, dir) => {
+      import s.implicits._
+      val d = freshDir("lc")
+      val src = t(s, dir, "orders").where("o_orderkey % 10 < 6")
+      LakeWriter.writeDelta(src.where("o_orderkey % 5 = 0").repartition(2), d)
+      (1 to 4).foreach(k =>
+        LakeWriter.appendDelta(src.where(s"o_orderkey % 5 = $k").repartition(2), d))
+      LakeWriter.checkpointDelta(s, d, 2L)
+      val log = new org.apache.hadoop.fs.Path(d, "_delta_log")
+      val fs = log.getFileSystem(s.sessionState.newHadoopConf())
+      (0L to 1L).foreach { v =>
+        fs.setTimes(new org.apache.hadoop.fs.Path(log, f"$v%020d.json"),
+          System.currentTimeMillis() - 40L * 86400000L, -1)
+      }
+      val deleted = LakeWriter.cleanExpiredLogs(s, d)
+      require(deleted == (0L to 1L).map(v => f"$v%020d.json"),
+        s"cleanup must delete exactly the aged prefix, got $deleted")
+      val hv = DeltaReader.history(s, d).select($"version").as[Long].collect().toSet
+      require(hv == Set(2L, 3L, 4L), s"history must start at the boundary: $hv")
+      statusAgg(DeltaReader.read(s, d))
     })
   )
 
   def oracles: Map[String, String] = Map(
+    "delta_ntz" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders WHERE o_orderkey % 10 < 6
+        |GROUP BY ym ORDER BY ym""".stripMargin,
+
+    "delta_metrics" ->
+      """SELECT CAST(2 AS BIGINT) AS commits, CAST(COUNT(*) AS BIGINT) AS metered_rows
+        |FROM orders WHERE o_orderkey % 10 < 6""".stripMargin,
+
+    "delta_logclean" ->
+      s"""$aggSql
+         |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
     "delta_catalog" ->
       s"""SELECT o_orderstatus, COUNT(*) AS cnt,
          | CAST(SUM(CAST(CASE WHEN o_orderstatus = 'O' THEN o_totalprice * 2
