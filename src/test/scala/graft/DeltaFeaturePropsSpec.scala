@@ -93,6 +93,26 @@ class DeltaFeaturePropsSpec extends SparkSpec {
     assert(!snap.configuration.keys.exists(_.startsWith("delta.feature.")))
   }
 
+  test("the SQL spelling works end-to-end through the catalog") {
+    val root = spark.conf.getOption("spark.sql.catalog.graft.root").getOrElse {
+      val r = java.nio.file.Files.createTempDirectory("graft_featprops_cat_")
+        .toAbsolutePath.toString
+      spark.conf.set("spark.sql.catalog.graft", "graft.catalog.GraftCatalog")
+      spark.conf.set("spark.sql.catalog.graft.root", r)
+      r
+    }
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graft.fpdb")
+    spark.sql("CREATE TABLE graft.fpdb.t (k BIGINT)")
+    spark.sql("INSERT INTO graft.fpdb.t VALUES (1), (2)")
+    spark.sql("ALTER TABLE graft.fpdb.t SET TBLPROPERTIES (" +
+      "'delta.feature.typeWidening' = 'supported')")
+    val dir = s"$root/fpdb/t"
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.readerFeatures.contains("typeWidening") && snap.minReader == 3)
+    assert(!snap.configuration.keys.exists(_.startsWith("delta.feature.")))
+    assert(spark.sql("SELECT count(*) FROM graft.fpdb.t").head().getLong(0) == 2L)
+  }
+
   test("delta.minReaderVersion / delta.minWriterVersion upgrade requests consume") {
     // legacy lift
     val leg = tmp("legacy")
