@@ -63,6 +63,8 @@ object Profile {
         stressDeltaClone(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-convert" =>
         stressConvert(spark, args.lift(1).map(_.toInt).getOrElse(2000))
+      case "stress-logclean" =>
+        stressLogClean(spark, args.lift(1).map(_.toInt).getOrElse(20000))
       case "recall"     => annRecall(spark, sfDir)
       case "stress-graph" =>
         stressGraph(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
@@ -813,6 +815,57 @@ object Profile {
     * (footers must be read for stats), timed end-to-end, then the
     * immediate post-convert pruned read.
     */
+  /** Retention cleanup at commit-count scale: a fabricated log of `n`
+    * one-add commits, a checkpoint at the head, every commit below it
+    * aged past retention — ONE cleanExpiredLogs call must delete all
+    * `n` (executor-parallel above the 64-victim inline threshold; a
+    * year of minute-commits is ~500k files, where driver-sequential
+    * deletes at object-store latency would stall the checkpoint hook
+    * for half an hour), and the head checkpoint + json must still
+    * reconstruct the full state.
+    */
+  def stressLogClean(spark: SparkSession, n: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = java.nio.file.Files.createTempDirectory("graft_stress_logclean_").toFile
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val schemaJson = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType))).json
+    time(s"author_${n}_commit_log") {
+      def write(name: String, s: String): Unit = {
+        val w = new java.io.FileWriter(new java.io.File(log, name))
+        try w.write(s) finally w.close()
+      }
+      write(f"${0L}%020d.json",
+        s"""{"commitInfo":{"timestamp":0,"operation":"CREATE TABLE","operationParameters":{},"engineInfo":"graft"}}
+           |{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}
+           |{"metaData":{"id":"stress-logclean","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schemaJson)},"partitionColumns":[],"configuration":{}}}""".stripMargin)
+      (1 to n).foreach { v =>
+        write(f"$v%020d.json",
+          s"""{"commitInfo":{"timestamp":0,"operation":"WRITE","operationParameters":{},"readVersion":${v - 1},"engineInfo":"graft"}}
+             |{"add":{"path":"part-$v.parquet","partitionValues":{},"size":100,"modificationTime":0,"dataChange":true,"stats":"{\\"numRecords\\":1}"}}""".stripMargin)
+      }
+    }
+    // the checkpoint's own cleanup hook is a no-op here (files fresh)
+    time(s"checkpoint_at_$n") { LakeWriter.checkpointDelta(spark, dir.getPath, n) }
+    val old = System.currentTimeMillis() - 40L * 86400000L
+    time(s"age_${n}_commits") {
+      (0 until n).foreach(v =>
+        new java.io.File(log, f"$v%020d.json").setLastModified(old))
+    }
+    time(s"clean_${n}_expired_commits") {
+      val deleted = LakeWriter.cleanExpiredLogs(spark, dir.getPath)
+      require(deleted.size == n, s"expected $n deletions, got ${deleted.size}")
+    }
+    time("post_clean_snapshot") {
+      val sn = DeltaReader.snapshot(spark, dir.getPath, None)
+      require(sn.version == n, s"version ${sn.version}")
+      require(sn.active.size == n, s"active ${sn.active.size}")
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
   def stressConvert(spark: SparkSession, n: Int): Unit = {
     import graft.sources.{DeltaReader, LakeWriter}
     val dir = java.nio.file.Files.createTempDirectory("graft_stress_conv_").toFile.getPath

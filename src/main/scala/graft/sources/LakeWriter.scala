@@ -2389,7 +2389,12 @@ object LakeWriter {
         n.slice(21, 41).toLong < k
       else false
     }
-    victims.foreach(st => fs.delete(st.getPath, false))
+    // the vacuum reclaim path: inline under 64 victims, executor-
+    // parallel above — a year of minute-commits is ~500k files, and
+    // driver-sequential deletes at object-store latency would turn the
+    // "best-effort after checkpoint" hook into a half-hour stall
+    vacuumReclaimPaths(spark, log, victims.map(_.getPath.getName),
+      dryRun = false, checkExists = false)
     victims.map(_.getPath.getName).sorted
   }
 
