@@ -57,6 +57,13 @@ class DeltaLogCleanSpec extends SparkSpec {
     // history starts at the boundary
     val hv = DeltaReader.history(spark, dir).select($"version").as[Long].collect().toSet
     assert(hv == Set(4L, 5L, 6L), hv.toString)
+    // CDF below the boundary refuses loudly — changes are
+    // unrecoverable from a checkpoint, never silently skipped
+    val e = intercept[IllegalArgumentException] {
+      DeltaReader.readChanges(spark, dir, 1L, 6L).count()
+    }
+    assert(e.getMessage.contains("retention-cleaned"), e.getMessage)
+    assert(DeltaReader.readChanges(spark, dir, 5L, 6L).count() > 0)
   }
 
   test("a young commit below the checkpoint blocks the whole prefix") {
