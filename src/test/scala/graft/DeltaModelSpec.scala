@@ -7,7 +7,9 @@ import graft.sources.{DeltaReader, LakeWriter, MergeClause, MergeDelete, MergeIn
   * update / merge / clause-merge (CDC apply) / full overwrite /
   * REPLACE WHERE / restore / compact / z-order / REORG PURGE /
   * cluster-declare + incremental OPTIMIZE / CLUSTER BY NONE /
-  * checkpoint ops runs
+  * checkpoint / delta.feature.* declaration (incl. v2Checkpoints,
+  * which re-routes later checkpoint ops to the v2 shape mid-run) /
+  * protocol-version lift ops runs
   * against BOTH the real table and an in-memory Map[id -> v] model.
   * After every committed version the latest read must equal the model;
   * at the end every historical version must time-travel to its
@@ -58,7 +60,7 @@ class DeltaModelSpec extends SparkSpec {
     var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(19) match {
+      rnd.nextInt(21) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -159,6 +161,17 @@ class DeltaModelSpec extends SparkSpec {
           else LakeWriter.clusterBy(spark, dir, Seq("id"))
         case 18 => // CLUSTER BY NONE: declaration removed, rows untouched
           LakeWriter.clusterBy(spark, dir, Nil)
+        case 19 => // declare a protocol feature (r13): metadata-only,
+          // data and every later op must be unaffected — including
+          // v2Checkpoints, which re-routes every later checkpoint op
+          // to the v2 file shape mid-scenario
+          val feat = Seq("typeWidening", "vacuumProtocolCheck",
+            "v2Checkpoints", "invariants")(rnd.nextInt(4))
+          LakeWriter.alterProperties(spark, dir,
+            Map(s"delta.feature.$feat" -> "supported"))
+        case 20 => // protocol-version lift via the consumed property
+          LakeWriter.alterProperties(spark, dir,
+            Map("delta.minWriterVersion" -> "7"))
         case _ => // shallow clone: the fork must equal the model NOW
           cloneCount += 1
           val cl = tmp(s"graft_model_cl_${seed}_${cloneCount}_") + "/t"
