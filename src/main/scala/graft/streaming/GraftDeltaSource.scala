@@ -105,14 +105,22 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
     // case-sensitive contracts, so restore the canonical spelling for
     // every key this engine honors (an unknown delta key passes
     // through lowercased: better stored than dropped)
-    val canonicalDeltaKeys = Seq(
+    val canonicalDeltaKeys = (Seq(
       "delta.appendOnly", "delta.autoOptimize.autoCompact",
       "delta.autoOptimize.optimizeWrite", "delta.columnMapping.mode",
-      "delta.dataSkippingNumIndexedCols", "delta.enableChangeDataFeed",
+      "delta.dataSkippingNumIndexedCols", "delta.dataSkippingStatsColumns",
+      "delta.enableChangeDataFeed",
       "delta.enableDeletionVectors", "delta.enableInCommitTimestamps",
+      "delta.enableExpiredLogCleanup", "delta.logRetentionDuration",
+      "delta.checkpointInterval", "delta.checkpointPolicy",
       "delta.enableRowTracking", "delta.targetFileSize",
+      "delta.minReaderVersion", "delta.minWriterVersion",
       "delta.rowTracking.materializedRowIdColumnName",
-      "delta.rowTracking.materializedRowCommitVersionColumnName")
+      "delta.rowTracking.materializedRowCommitVersionColumnName") ++
+      // delta.feature.<name> is CONSUMED at create — restore the
+      // case-sensitive feature name or the declaration refuses
+      (LakeWriter.DeclarableReaderWriter ++ LakeWriter.DeclarableWriterOnly)
+        .map(f => s"delta.feature.$f"))
       .map(k => k.toLowerCase(java.util.Locale.ROOT) -> k).toMap
     val configuration = parameters.collect {
       case (k, v) if k.toLowerCase(java.util.Locale.ROOT).startsWith("delta.") =>

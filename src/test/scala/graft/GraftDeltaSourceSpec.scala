@@ -298,6 +298,18 @@ class GraftDeltaSourceSpec extends SparkSpec {
     base.write.format("graft-delta").option("delta.appendOnly", "true").save(d2)
     assert(DeltaReader.snapshot(spark, d2, None)
       .configuration.get("delta.appendOnly").contains("true"))
+    // delta.feature.* / delta.minWriterVersion options survive the V1
+    // lowercasing and CONSUME into the creating protocol
+    val d3 = freshDir("fw3")
+    base.write.format("graft-delta")
+      .option("delta.feature.typeWidening", "supported")
+      .option("delta.minWriterVersion", "7").save(d3)
+    val s3 = DeltaReader.snapshot(spark, d3, None)
+    assert(s3.minWriter == 7 && s3.readerFeatures.contains("typeWidening"),
+      s"${s3.minReader}/${s3.minWriter} rf=${s3.readerFeatures}")
+    assert(!s3.configuration.keys.exists(k =>
+      k.toLowerCase.startsWith("delta.feature.") ||
+        k.toLowerCase == "delta.minwriterversion"), s3.configuration.toString)
     // round-trip: the write door's table reads back through the read door
     assert(ids(d) == spark.read.format("graft-delta").load(d)
       .select("id").collect().map(_.getLong(0)).toSet)
