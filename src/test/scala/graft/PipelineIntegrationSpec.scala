@@ -84,5 +84,33 @@ class PipelineIntegrationSpec extends SparkSpec {
     val r2 = spark.read.parquet(s"$shards/run2").orderBy("doc_id").collect().toSeq
     assert(r1 == r2, "same seed must ship bit-identical shards")
     assert(r1.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 3L, 4L))
+
+    // a DOWNSTREAM consumer streams the governed corpus and must
+    // survive the data-removal DELETE (skipChangeCommits — r13): the
+    // stream delivers the snapshot + later appends and skips the
+    // removal version instead of dying, so one governance action
+    // doesn't kill every training-shard pipeline below it
+    val cp = tmp("graft_e2e_streamcp_")
+    import org.apache.spark.sql.streaming.Trigger
+    def drainIds(): Set[Long] = {
+      val got = scala.collection.mutable.Set.empty[Long]
+      val q = spark.readStream.format("graft-delta")
+        .option("skipChangeCommits", "true").load(corpus)
+        .writeStream.option("checkpointLocation", cp)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= df.select("doc_id").collect().map(_.getLong(0))
+          }
+          ()
+        }.start()
+      q.awaitTermination(); got.toSet
+    }
+    assert(drainIds() == Set(1L, 3L, 4L, 5L), "initial snapshot (post-delete)")
+    val f3 = landFile("b3", Seq(mkDoc(6L, goodBody + " delta")))
+    assert(LakeWriter.copyInto(spark, corpus, Seq(f3)).size == 1)
+    assert(LakeWriter.deleteWhere(spark, corpus, "doc_id = 5").nonEmpty)
+    assert(drainIds() == Set(6L),
+      "restart delivers the append and skips the removal version")
   }
 }
