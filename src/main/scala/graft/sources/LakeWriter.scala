@@ -734,7 +734,12 @@ object LakeWriter {
     val floor = Seq(if (enablingCdf) 4 else 0, if (addingConstraint) 3 else 0).max
     val protocolOverride =
       if (featsDeclared.nonEmpty || ictProtocol.nonEmpty ||
-          reqMinWriter.contains(7) || reqMinReader.contains(3)) {
+          reqMinWriter.contains(7) || reqMinReader.contains(3) ||
+          // enabling CDF / a first constraint on an ALREADY-v7 table
+          // must add the feature to writerFeatures — a v7 list that
+          // omits changeDataFeed would license a foreign v7 writer to
+          // commit changeless mutations
+          ((enablingCdf || addingConstraint) && snap.minWriter == 7)) {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         def jarr(xs: Iterable[String]): String =
           xs.toSeq.distinct.sorted.map(om.writeValueAsString).mkString("[", ",", "]")

@@ -150,6 +150,23 @@ class DeltaFeaturePropsSpec extends SparkSpec {
     assert(!sc.configuration.contains("delta.minWriterVersion"))
   }
 
+  test("enabling CDF on an already-v7 table adds changeDataFeed to writerFeatures") {
+    val dir = tmp("cdf7")
+    LakeWriter.writeDelta(spark.range(3).toDF("k"), dir,
+      configuration = Map("delta.minWriterVersion" -> "7"))
+    assert(DeltaReader.snapshot(spark, dir, None).minWriter == 7)
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.writerFeatures.contains("changeDataFeed"), snap.writerFeatures.toString)
+    // and the table actually writes change data now
+    LakeWriter.deleteWhere(spark, dir, "k = 1")
+    val v = DeltaReader.snapshot(spark, dir, None).version
+    assert(DeltaReader.readChanges(spark, dir, v, v)
+      .where(org.apache.spark.sql.functions.col("_change_type") === "delete")
+      .count() == 1L)
+  }
+
   test("v2Checkpoints obligation: classic author routes to the v2 shape") {
     val dir = tmp("v2cp")
     LakeWriter.writeDelta(spark.range(4).toDF("k"), dir)
