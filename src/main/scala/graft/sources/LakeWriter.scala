@@ -2377,8 +2377,10 @@ object LakeWriter {
               (n.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.(json|parquet)") &&
                 !MultiRe.pattern.matcher(n).matches()))
           val parts = names.collect { case MultiRe(_, p, t) => (p.toInt, t.toInt) }
+          // complete = part numbers are EXACTLY 1..total (a corrupt
+          // {1,3}-of-2 set must never anchor a deletion boundary)
           classicOrV2 || (parts.nonEmpty && parts.map(_._2).distinct.size == 1 &&
-            parts.map(_._1).distinct.size == parts.head._2)
+            parts.map(_._1).toSet == (1 to parts.head._2).toSet)
         } => v }
       .toSeq.sorted
     val k = completeCp
