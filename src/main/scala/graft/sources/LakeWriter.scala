@@ -146,7 +146,11 @@ object LakeWriter {
     if (!ictEnabled(conf)) return content
     val text = new String(content, "UTF-8")
     val prefix = """{"commitInfo":{"""
-    if (!text.startsWith(prefix) || text.startsWith(prefix + "\"inCommitTimestamp\":"))
+    // already-stamped check reads the whole commitInfo LINE, not the
+    // prefix position — operationMetrics injection may legitimately
+    // sit in front of an existing stamp
+    if (!text.startsWith(prefix) ||
+        text.linesIterator.next().contains("\"inCommitTimestamp\":"))
       return content
     val version = commitPath.getName.take(20).toLong
     // the ENABLEMENT commit's stamp must equal the provenance the
