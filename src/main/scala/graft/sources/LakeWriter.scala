@@ -2305,8 +2305,12 @@ object LakeWriter {
     * (month, year) refuse — a retention boundary must be a point in
     * time, not a calendar question.
     */
-  private[graft] def parseDuration(s: String, key: String): Long = {
+  private[graft] def parseDuration(s0: String, key: String): Long = {
     val re = "(?i)^\\s*interval\\s+(\\d+)\\s+(millisecond|second|minute|hour|day|week)s?\\s*$".r
+    // delta-spark prepends the keyword when absent ("30 days" and
+    // "interval 30 days" are the same property value)
+    val s = if (s0.trim.toLowerCase(java.util.Locale.ROOT).startsWith("interval")) s0
+            else s"interval ${s0.trim}"
     s match {
       case re(n, unit) =>
         val ms = unit.toLowerCase match {
@@ -2319,7 +2323,7 @@ object LakeWriter {
         }
         n.toLong * ms
       case _ => throw new IllegalArgumentException(
-        s"$key: cannot parse duration '$s' — use 'interval N <unit>' with unit " +
+        s"$key: cannot parse duration '$s0' — use 'interval N <unit>' with unit " +
           "millisecond/second/minute/hour/day/week")
     }
   }

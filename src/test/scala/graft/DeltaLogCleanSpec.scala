@@ -117,6 +117,11 @@ class DeltaLogCleanSpec extends SparkSpec {
       LakeWriter.cleanExpiredLogs(spark, bad)
     }
     assert(e.getMessage.contains("interval N <unit>"), e.getMessage)
+    // the keyword-less spelling is accepted (delta-spark prepends it)
+    val bare = tmp("bare")
+    LakeWriter.writeDelta(spark.range(2).toDF("k"), bare,
+      configuration = Map("delta.logRetentionDuration" -> "30 days"))
+    assert(LakeWriter.cleanExpiredLogs(spark, bare).isEmpty) // young, parses fine
 
     val v2 = tmp("v2")
     LakeWriter.writeDelta(spark.range(4).toDF("k"), v2)
