@@ -47,11 +47,18 @@ final case class GraftPathTable(spark: SparkSession, path: String,
   private lazy val snap = graft.sources.DeltaReader.snapshot(spark, path, versionAsOf)
   override def name(): String = s"graft-delta.`$path`" +
     versionAsOf.map(v => s"@v$v").getOrElse("")
-  override def schema(): StructType = {
-    val raw = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-      .asInstanceOf[StructType]
-    StructType(raw.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
-  }
+  override def schema(): StructType =
+    try {
+      val raw = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[StructType]
+      StructType(raw.fields.map(_.copy(metadata = org.apache.spark.sql.types.Metadata.empty)))
+    } catch {
+      // a handle carrying a deferred refusal (e.g. a missing table)
+      // answers an empty schema so load()'s analysis reaches the scan
+      // rule, which throws the REAL message; a healthy handle's
+      // resolution failure still surfaces as-is
+      case scala.util.control.NonFatal(_) if batchIllegal.isDefined => new StructType()
+    }
   override def partitioning(): Array[Transform] = Array.empty
   override def properties(): util.Map[String, String] = util.Collections.emptyMap()
 }

@@ -68,6 +68,30 @@ object DeltaStats {
     tableConf.get("delta.dataSkippingStatsColumns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
+  /** Refuse a `delta.dataSkippingStatsColumns` list naming columns the
+    * schema doesn't have (delta-spark validates too) — a misspelled
+    * entry otherwise silently collects NO stats for the column the
+    * user explicitly asked to index, quietly disabling the skipping
+    * they configured. Names resolve against top-level fields or
+    * dotted struct-leaf paths (the nested-stats key shape).
+    */
+  def validateStatsColumns(tableConf: Map[String, String],
+                           schema: org.apache.spark.sql.types.StructType,
+                           what: String): Unit =
+    statsColumnsOf(tableConf).foreach(_.foreach { name =>
+      def resolves(parts: List[String],
+                   dt: org.apache.spark.sql.types.DataType): Boolean = (parts, dt) match {
+        case (Nil, _) => true
+        case (h :: t, st: org.apache.spark.sql.types.StructType) =>
+          st.fields.find(_.name == h).exists(f => resolves(t, f.dataType))
+        case _ => false
+      }
+      require(resolves(name.split('.').toList, schema),
+        s"$what: delta.dataSkippingStatsColumns names '$name' which is not a " +
+          s"column of the table schema (${schema.fieldNames.mkString(", ")}) — " +
+          "stats for it would silently never be collected")
+    })
+
   /** Footer-derived stats JSON for one staged parquet file, or None if
     * the footer is unreadable (the add simply carries no stats).
     */

@@ -166,18 +166,32 @@ object LakeWriter {
     * commitInfo line, derived from the commit's OWN file actions:
     * numAddedFiles / numAddedBytes, numRemovedFiles, numCdcFiles /
     * numCdcBytes, and numOutputRows when every add carries footer
-    * stats (values rendered as strings — delta-spark's wire shape, so
-    * DESCRIBE HISTORY reads identically on both engines). Runs once on
+    * stats (values rendered as strings — delta-spark's wire shape).
+    * Beside the uniform vocabulary, per-operation ALIASES delta-spark
+    * consumers key on ride along where the quantity is file-derivable:
+    * WRITE-family commits add numFiles/numOutputBytes, MERGE adds
+    * numTargetFilesAdded/numTargetFilesRemoved, DELETE/UPDATE add
+    * numAddedChangeFiles. Row-level metrics delta-spark computes
+    * inside its command execution (numDeletedRows, numCopiedRows) are
+    * NOT derivable from file actions and are deliberately absent — a
+    * DESCRIBE HISTORY consumer gets the file/byte/output-row story on
+    * both engines, not the per-command row accounting. Runs once on
     * the bytes the writer just rendered (same order of work as
     * rendering them); metadata-only commits stay untouched. Skips
-    * commits that already carry metrics (a rebase re-render passes
-    * through twice).
+    * commits whose commitInfo already carries metrics (a rebase
+    * re-render passes through twice) — scoped to the FIRST line, so
+    * an action or parameter value containing the literal elsewhere
+    * cannot suppress injection.
     */
   private[graft] def injectOperationMetrics(content: Array[Byte]): Array[Byte] = {
     val text = new String(content, "UTF-8")
     val prefix = """{"commitInfo":{"""
-    if (!text.startsWith(prefix) || text.contains("\"operationMetrics\":")) return content
+    if (!text.startsWith(prefix) ||
+        text.linesIterator.next().contains("\"operationMetrics\":")) return content
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val operation =
+      Option(om.readTree(text.linesIterator.next()).get("commitInfo"))
+        .flatMap(ci => Option(ci.get("operation"))).map(_.asText()).getOrElse("")
     var addN = 0L; var addB = 0L; var remN = 0L; var cdcN = 0L; var cdcB = 0L
     var rows = 0L; var rowsKnown = true
     text.linesIterator.foreach { line =>
@@ -203,6 +217,19 @@ object LakeWriter {
     if (remN > 0) m += "numRemovedFiles" -> remN.toString
     if (cdcN > 0) { m += "numCdcFiles" -> cdcN.toString; m += "numCdcBytes" -> cdcB.toString }
     if (addN > 0 && rowsKnown) m += "numOutputRows" -> rows.toString
+    // delta-spark's per-operation names (same derived quantities)
+    operation match {
+      case "WRITE" | "CREATE TABLE" | "CREATE TABLE AS SELECT" |
+           "REPLACE TABLE AS SELECT" | "COPY INTO" | "STREAMING UPDATE" if addN > 0 =>
+        m += "numFiles" -> addN.toString; m += "numOutputBytes" -> addB.toString
+      case "MERGE" =>
+        if (addN > 0) m += "numTargetFilesAdded" -> addN.toString
+        if (remN > 0) m += "numTargetFilesRemoved" -> remN.toString
+        if (cdcN > 0) m += "numTargetChangeFilesAdded" -> cdcN.toString
+      case "DELETE" | "UPDATE" if cdcN > 0 =>
+        m += "numAddedChangeFiles" -> cdcN.toString
+      case _ =>
+    }
     val json = m.result().map { case (k, v) =>
       s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
     }.mkString("{", ",", "}")
@@ -232,6 +259,7 @@ object LakeWriter {
     partitionBy.foreach(c => require(df.columns.contains(c),
       s"writeDelta: partition column '$c' not in ${df.columns.mkString(", ")}"))
     IdentityColumns.validate(df.schema, partitionBy, "writeDelta")
+    DeltaStats.validateStatsColumns(configuration, df.schema, "writeDelta")
     // CREATE-time CHECK constraints bind the creating batch too — a
     // violating row admitted at version 0 would lie to every reader.
     // ONE combined pass over the batch (per-constraint re-checks only
@@ -705,6 +733,9 @@ object LakeWriter {
     }
     unset.foreach(k => require(!k.startsWith("delta.columnMapping"),
       s"alterProperties: unsetting '$k' would orphan the mapped schema; refusing"))
+    DeltaStats.validateStatsColumns(setP,
+      org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType], "alterProperties")
     val newConf0 = (cur ++ setP) -- unset
     val enablingCdf = set.get("delta.enableChangeDataFeed").contains("true") &&
       !cur.get("delta.enableChangeDataFeed").contains("true")

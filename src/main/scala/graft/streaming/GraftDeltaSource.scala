@@ -130,6 +130,19 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
     val replaceWhere = lower.get("replacewhere")
     require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
       s"graft-delta: replaceWhere needs mode overwrite, got $mode")
+    // an EXISTING table's layout is a contract: a caller-specified
+    // partitionBy that differs from it must refuse (delta-spark's
+    // rule), not silently lay data out by the table's scheme
+    if (exists && partitionBy.nonEmpty &&
+        (mode == SaveMode.Append || mode == SaveMode.Overwrite)) {
+      val tablePc =
+        DeltaReader.snapshot(sqlContext.sparkSession, path, None).partCols
+      require(tablePc == partitionBy,
+        s"graft-delta: partitionBy(${partitionBy.mkString(", ")}) does not match " +
+          s"the table's partitioning (${if (tablePc.isEmpty) "unpartitioned"
+            else tablePc.mkString(", ")}) at $path — drop partitionBy to use " +
+          "the table's layout (repartitioning an existing table is a rewrite)")
+    }
     def create(): Unit =
       LakeWriter.writeDelta(data, path, partitionBy = partitionBy,
         configuration = configuration)
@@ -168,11 +181,14 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
   override def inferSchema(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
       : StructType = {
     import scala.jdk.CollectionConverters._
-    // DataStreamWriter probes getTable BEFORE the sink's first batch
-    // creates the table — answer an empty schema there (the handle
-    // lacks STREAMING_WRITE, so the engine falls straight back to the
-    // V1 sink); a batch READ of a missing table still refuses loudly
-    // when the scan rule builds the real reader plan
+    // DataStreamWriter (and DataFrameWriter) probe getTable BEFORE the
+    // first write creates the table — answer an empty schema there
+    // (the handle lacks STREAMING_WRITE/BATCH_WRITE, so the engine
+    // falls straight back to the V1 sink / CreatableRelationProvider).
+    // A batch READ of a missing table still refuses at load():
+    // getTable carries the refusal as `batchIllegal`, which the scan
+    // rule throws during load()'s analysis (delta-spark's eager
+    // refusal), never lazily at first action.
     val opts = GraftDeltaSource.Options(options.asScala.toMap)
     val hconf = SparkSession.active.sessionState.newHadoopConf()
     if (!DeltaReader.isDeltaTable(opts.path, hconf)) new StructType()
@@ -197,6 +213,15 @@ class GraftDeltaSourceProvider extends StreamSourceProvider with StreamSinkProvi
     import scala.jdk.CollectionConverters._
     val spark = SparkSession.active
     val opts = GraftDeltaSource.Options(options.asScala.toMap)
+    // a missing table: the WRITE paths never read this handle (they
+    // fall back on the missing write capability), so a handle reaching
+    // the scan rule IS a batch read of a missing table — refuse at
+    // load()'s analysis, not at first action
+    if (!DeltaReader.isDeltaTable(opts.path,
+        spark.sessionState.newHadoopConf()))
+      return GraftPathTable(spark, opts.path, None, Some(
+        s"graft-delta: ${opts.path} is not a Delta table (no _delta_log) — " +
+          "create it first or check the path"))
     val lower = options.asScala.toMap.map {
       case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v
     }

@@ -66,6 +66,43 @@ class DeltaMetricsSpec extends SparkSpec {
       rows(2L).toString)
   }
 
+  test("per-operation aliases: WRITE carries numFiles/numOutputBytes, UPDATE carries numAddedChangeFiles, MERGE the target trio") {
+    val dir = tmp("alias")
+    LakeWriter.writeDelta(spark.range(10).toDF("k").repartition(2), dir,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    val m0 = metricsAt(dir, 0L)
+    // delta-spark's WRITE vocabulary beside the uniform one, same values
+    assert(m0("numFiles") == m0("numAddedFiles"), m0.toString)
+    assert(m0("numOutputBytes") == m0("numAddedBytes"), m0.toString)
+    LakeWriter.appendDelta(spark.range(10, 15).toDF("k"), dir)
+    assert(metricsAt(dir, 1L).contains("numFiles"))
+    LakeWriter.updateWhere(spark, dir, "k = 4", Map("k" -> "400"))
+    val mu = metricsAt(dir, 2L)
+    assert(mu("numAddedChangeFiles") == mu("numCdcFiles"), mu.toString)
+    assert(!mu.contains("numFiles"), s"UPDATE must not claim WRITE's numFiles: $mu")
+    LakeWriter.mergeInto(spark, dir, spark.range(12, 20).toDF("k"), Seq("k"))
+    val mm = metricsAt(dir, 3L)
+    assert(mm("numTargetFilesAdded") == mm("numAddedFiles"), mm.toString)
+    assert(mm.get("numTargetFilesRemoved") == mm.get("numRemovedFiles"), mm.toString)
+  }
+
+  test("already-carrying guard scopes to the commitInfo line: a parameter VALUE containing the literal does not suppress injection") {
+    // a commit whose operationParameters value embeds the literal
+    // "operationMetrics": — only the FIRST line may veto injection
+    val body = ("""{"commitInfo":{"timestamp":0,"operation":"WRITE",""" +
+      """"operationParameters":{"note":"{\"operationMetrics\":{}}"},"engineInfo":"graft"}}""" + "\n" +
+      """{"add":{"path":"p.parquet","partitionValues":{},"size":10,""" +
+      """"modificationTime":1,"dataChange":true,"stats":"{\"numRecords\":3}"}}""" + "\n")
+      .getBytes("UTF-8")
+    val out = new String(LakeWriter.injectOperationMetrics(body), "UTF-8")
+    assert(out.linesIterator.next().contains("\"operationMetrics\":"),
+      s"injection suppressed by a value match: ${out.linesIterator.next()}")
+    assert(out.contains("\"numOutputRows\":\"3\""), out)
+    // and a commitInfo that DOES carry metrics stays untouched
+    val stamped = LakeWriter.injectOperationMetrics(out.getBytes("UTF-8"))
+    assert(new String(stamped, "UTF-8") == out)
+  }
+
   test("CDF mutations meter change files; ICT stamping coexists") {
     val dir = tmp("cdf")
     LakeWriter.writeDelta(spark.range(8).toDF("k"), dir)

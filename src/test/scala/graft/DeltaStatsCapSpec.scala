@@ -124,6 +124,25 @@ class DeltaStatsCapSpec extends SparkSpec {
     assert(rids.length == 10 && rids.distinct.length == 10)
   }
 
+  test("delta.dataSkippingStatsColumns naming an unknown column refuses at CREATE and ALTER") {
+    val d = tmp("graft_statscap_v_")
+    val e = intercept[Exception] {
+      LakeWriter.writeDelta(wide(4), d,
+        configuration = Map("delta.dataSkippingStatsColumns" -> "c1, cXX"))
+    }
+    assert(e.getMessage.contains("cXX"), e.getMessage)
+    LakeWriter.writeDelta(wide(4), d,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "c1,c3"))
+    assert(minCols(d) == Set("c1", "c3"))
+    val e2 = intercept[Exception] {
+      LakeWriter.alterProperties(spark, d,
+        Map("delta.dataSkippingStatsColumns" -> "c2,nope"))
+    }
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+    LakeWriter.alterProperties(spark, d,
+      Map("delta.dataSkippingStatsColumns" -> "c2"))
+  }
+
   test("applyCdcDv on a wide identity table: watermark bounds survive the stats cap") {
     import org.apache.spark.sql.types.{LongType, MetadataBuilder, StringType, StructField, StructType}
     import graft.sources.IdentityColumns

@@ -46,6 +46,40 @@ class GraftDeltaSourceSpec extends SparkSpec {
   private def batchRows(dir: String): Seq[Seq[Any]] =
     DeltaReader.read(spark, dir).collect().map(_.toSeq.toVector).toSeq
 
+  test("batch load of a missing table refuses at load(); the sink probe (checkpointLocation) still falls back") {
+    val missing = freshDir("missing")
+    val e = intercept[Exception] {
+      spark.read.format("graft-delta").load(missing)
+    }
+    assert(e.getMessage.contains("not a Delta table"), e.getMessage)
+    // the stream-sink probe shape answers an empty schema instead of
+    // throwing — the writeStream path that CREATES the table stays alive
+    val probe = new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+      java.util.Map.of("path", missing, "checkpointLocation", freshDir("cp")))
+    assert(new graft.streaming.GraftDeltaSourceProvider()
+      .inferSchema(probe).isEmpty)
+  }
+
+  test("format write: partitionBy mismatching an existing table's layout refuses") {
+    val d = freshDir("pmm")
+    LakeWriter.writeDelta(base, d, partitionBy = Seq("k"))
+    val more = Seq((200L, "a", 9.0)).toDF("id", "k", "v")
+    val e = intercept[Exception] {
+      more.write.format("graft-delta").mode("append").partitionBy("v").save(d)
+    }
+    assert(e.getMessage.contains("does not match"), e.getMessage)
+    // matching partitionBy (or none) appends fine
+    more.write.format("graft-delta").mode("append").partitionBy("k").save(d)
+    more.write.format("graft-delta").mode("append").save(d)
+    assert(DeltaReader.read(spark, d).where(col("id") === 200L).count() == 2L)
+    // overwrite with a different layout refuses too — a silent layout
+    // change would betray every reader relying on partition pruning
+    val e2 = intercept[Exception] {
+      more.write.format("graft-delta").mode("overwrite").partitionBy("id").save(d)
+    }
+    assert(e2.getMessage.contains("does not match"), e2.getMessage)
+  }
+
   test("append tail: initial snapshot then incremental appends, across restarts") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base.repartition(3), d)
