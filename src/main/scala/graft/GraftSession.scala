@@ -16,6 +16,11 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      // write TIMESTAMP as parquet TIMESTAMP(MICROS) instead of the
+      // legacy INT96: INT96 chunks carry no usable footer min/max, so
+      // staying on the default would silently disable data skipping
+      // for every timestamp-with-local-zone column graft writes
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       // A wide lake's index build is a union with one branch per table,
       // and each branch's generated code inlines that table's id — at
       // 10^3+ tables the default 100-entry codegen cache thrashes and

@@ -585,6 +585,27 @@ object DeltaQueries {
         .orderBy("ym")
     }),
 
+    // typed data skipping end-to-end: a time-range predicate on the
+    // NTZ order date prunes files from the footer-derived bounds (the
+    // require gates it — a stats regression reads every file and
+    // fails loudly) and the pruned read recomputes exactly
+    "delta_time_skip" -> ((s, dir) => {
+      val d = freshDir("tsk")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").repartitionByRange(8, col("o_orderdate")), d)
+      val snap = DeltaReader.snapshot(s, d, None)
+      val pred = "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+        "o_orderdate < TIMESTAMP_NTZ'1997-01-01 00:00:00'"
+      val prunedN = graft.sources.DeltaStats.prune(s, snap.active, pred, snap).size
+      require(prunedN < snap.active.size,
+        s"time-range skipping must drop files: kept $prunedN of ${snap.active.size}")
+      DeltaReader.readWhere(s, d, pred)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .orderBy("ym")
+    }),
+
     // operationMetrics end-to-end: the funnel's metering must agree
     // with the data — summed numOutputRows across the two write
     // commits equals the recomputed row count, file counts positive
@@ -639,6 +660,14 @@ object DeltaQueries {
       """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS cnt,
         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
         |FROM orders WHERE o_orderkey % 10 < 6
+        |GROUP BY ym ORDER BY ym""".stripMargin,
+
+    "delta_time_skip" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY ym ORDER BY ym""".stripMargin,
 
     "delta_metrics" ->

@@ -201,23 +201,67 @@ object DeltaStats {
       } finally rdr.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** (min, max) as Long / Double / Boolean / String, or (null, null)
-    * when the physical/logical type is one we don't prune on.
+  /** Write-side typed carriers for the temporal families: days since
+    * epoch (DATE) and microseconds since epoch (TIMESTAMP adjusted to
+    * UTC / TIMESTAMP_NTZ on the zoneless local line) — kept distinct
+    * from plain Long so serialization and aggregation can't conflate a
+    * day count with an int column's value.
+    */
+  private[graft] final case class DateVal(days: Long)
+  private[graft] final case class TsVal(micros: Long, ntz: Boolean)
+
+  /** (min, max) as Long / Double / Boolean / String / DateVal / TsVal
+    * / java BigDecimal, or (null, null) when the physical/logical type
+    * is one we don't prune on.
     */
   private def statBounds(c: org.apache.parquet.hadoop.metadata.ColumnChunkMetaData,
                          st: org.apache.parquet.column.statistics.Statistics[_]): (Any, Any) = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val pt = c.getPrimitiveType
+    def decimalScale: Option[Int] = pt.getLogicalTypeAnnotation match {
+      case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+      case _ => None
+    }
     pt.getPrimitiveTypeName match {
       case INT32 if pt.getLogicalTypeAnnotation == null ||
           pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
         (s.getMin.toLong, s.getMax.toLong)
+      case INT32 if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.DateLogicalTypeAnnotation] =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+        (DateVal(s.getMin.toLong), DateVal(s.getMax.toLong))
+      case INT32 if decimalScale.isDefined =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.IntStatistics]
+        (java.math.BigDecimal.valueOf(s.getMin.toLong, decimalScale.get),
+          java.math.BigDecimal.valueOf(s.getMax.toLong, decimalScale.get))
       case INT64 if pt.getLogicalTypeAnnotation == null ||
           pt.getLogicalTypeAnnotation.isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
         (s.getMin, s.getMax)
+      case INT64 if pt.getLogicalTypeAnnotation
+          .isInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] =>
+        // MILLIS/MICROS only: Spark 4 writes MICROS for both timestamp
+        // kinds; NANOS tables read as plain long under the legacy flag
+        // (no timestamp semantics to prune with)
+        val ann = pt.getLogicalTypeAnnotation
+          .asInstanceOf[LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+        val ntz = !ann.isAdjustedToUTC
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+        ann.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MICROS =>
+            (TsVal(s.getMin, ntz), TsVal(s.getMax, ntz))
+          case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+            try (TsVal(Math.multiplyExact(s.getMin, 1000L), ntz),
+              TsVal(Math.multiplyExact(s.getMax, 1000L), ntz))
+            catch { case _: ArithmeticException => (null, null) }
+          case _ => (null, null)
+        }
+      case INT64 if decimalScale.isDefined =>
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.LongStatistics]
+        (java.math.BigDecimal.valueOf(s.getMin, decimalScale.get),
+          java.math.BigDecimal.valueOf(s.getMax, decimalScale.get))
       case FLOAT =>
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.FloatStatistics]
         if (s.getMin.isNaN || s.getMax.isNaN) (null, null)
@@ -234,6 +278,14 @@ object DeltaStats {
         val s = st.asInstanceOf[org.apache.parquet.column.statistics.BinaryStatistics]
         try (s.genericGetMin.toStringUsingUTF8, s.genericGetMax.toStringUsingUTF8)
         catch { case scala.util.control.NonFatal(_) => (null, null) }
+      case BINARY | FIXED_LEN_BYTE_ARRAY if decimalScale.isDefined =>
+        // unscaled big-endian two's-complement bytes (parquet DECIMAL)
+        val s = st.asInstanceOf[org.apache.parquet.column.statistics.Statistics[_]]
+        try {
+          def bd(b: Array[Byte]) =
+            new java.math.BigDecimal(new java.math.BigInteger(b), decimalScale.get)
+          (bd(s.getMinBytes), bd(s.getMaxBytes))
+        } catch { case scala.util.control.NonFatal(_) => (null, null) }
       case _ => (null, null)
     }
   }
@@ -243,6 +295,9 @@ object DeltaStats {
     case (x: Double, y: Double)   => x < y
     case (x: Boolean, y: Boolean) => !x && y
     case (x: String, y: String)   => codePointCompare(x, y) < 0
+    case (DateVal(x), DateVal(y)) => x < y
+    case (x: TsVal, y: TsVal)     => x.micros < y.micros
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => x.compareTo(y) < 0
     case _                        => false
   }
 
@@ -282,7 +337,16 @@ object DeltaStats {
     */
   private[graft] def truncateMaxString(s: String, n: Int): Option[String] = {
     val p = prefixCodePoints(s, n)
-    if (p.length == s.length) return Some(s)
+    if (p.length == s.length) Some(s) else prefixSucc(p)
+  }
+
+  /** The least string ABOVE every string prefixed by `p` (in code-point
+    * order): `p` with its last incrementable code point bumped
+    * (skipping the surrogate gap) and the tail dropped. None when every
+    * code point is U+10FFFF (no finite successor) — including the empty
+    * prefix, which every string matches.
+    */
+  private[graft] def prefixSucc(p: String): Option[String] = {
     val cps = p.codePoints().toArray
     var k = cps.length - 1
     while (k >= 0) {
@@ -298,12 +362,31 @@ object DeltaStats {
     None
   }
 
+  /** Microsecond-precision ISO-8601: `2024-05-01T12:34:56.000001Z`
+    * for UTC-adjusted timestamps, the same without the `Z` for
+    * TIMESTAMP_NTZ — full precision so the written envelope is EXACT
+    * (a millis-truncated max would under-report and wrongly prune).
+    */
+  private[graft] def formatTsMicros(us: Long, ntz: Boolean): String = {
+    val ldt = java.time.LocalDateTime.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+      java.time.ZoneOffset.UTC)
+    val base = ldt.format(tsMicrosFmt)
+    if (ntz) base else base + "Z"
+  }
+
+  private val tsMicrosFmt =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
   private def putValue(n: com.fasterxml.jackson.databind.node.ObjectNode,
                        name: String, v: Any): Unit = v match {
     case x: Long    => n.put(name, x)
     case x: Double  => n.put(name, x)
     case x: Boolean => n.put(name, x)
     case x: String  => n.put(name, x)
+    case DateVal(d) => n.put(name, java.time.LocalDate.ofEpochDay(d).toString)
+    case TsVal(us, ntz) => n.put(name, formatTsMicros(us, ntz))
+    case x: java.math.BigDecimal => n.put(name, x)
     case _          =>
   }
 
@@ -343,7 +426,8 @@ object DeltaStats {
     FileEnv(nr, remap(mn), remap(mx), remap(nc), remap(a.partitionValues))
   }
 
-  /** Literal's external value: Long / Double / Boolean / String, or
+  /** Untyped literal value (the legacy fallback when the column's
+    * schema type is unknown): Long / Double / Boolean / String, or
     * null when we don't prune on its type.
     */
   private def litValue(l: Literal): Any = l.value match {
@@ -361,6 +445,125 @@ object DeltaStats {
     case _ => null
   }
 
+  /** Literal lifted into the COLUMN's comparison domain (epoch days
+    * for DATE, epoch micros for the timestamp kinds, BigDecimal for
+    * DECIMAL), emulating exactly the cast Spark's own filter will
+    * apply — a string literal against a timestamp column compares as
+    * a timestamp, never lexically against an ISO-serialized bound
+    * whose format differs. Unhandled combinations answer null
+    * (= may-match); a temporal/decimal column NEVER falls back to the
+    * untyped path, where a raw string compare could wrongly prune.
+    */
+  private def typedLit(l: Literal, colDt: Option[org.apache.spark.sql.types.DataType],
+                       zone: java.time.ZoneId): Any = {
+    import org.apache.spark.sql.types._
+    def micros(v: Any): Any = v match { case x: Long => x; case _ => null }
+    def text: Option[String] = l.value match {
+      case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+      case _ => None
+    }
+    (l.dataType, colDt) match {
+      case (DateType, Some(DateType)) => l.value match {
+        case d: Int => d.toLong
+        case _ => null
+      }
+      case (TimestampType, Some(TimestampType)) => micros(l.value)
+      case (TimestampNTZType, Some(TimestampNTZType)) => micros(l.value)
+      case (DateType, Some(TimestampNTZType)) => l.value match {
+        case d: Int =>
+          try Math.multiplyExact(d.toLong, 86400000000L)
+          catch { case _: ArithmeticException => null }
+        case _ => null
+      }
+      case (DateType, Some(TimestampType)) => l.value match {
+        case d: Int =>
+          try {
+            val i = java.time.LocalDate.ofEpochDay(d.toLong).atStartOfDay(zone).toInstant
+            Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L)
+          } catch { case scala.util.control.NonFatal(_) => null }
+        case _ => null
+      }
+      case (StringType, Some(DateType)) =>
+        text.flatMap(s =>
+          try Some(java.time.LocalDate.parse(s.trim).toEpochDay)
+          catch { case scala.util.control.NonFatal(_) => None }).orNull
+      case (StringType, Some(TimestampType)) =>
+        // Spark's cast resolves a zoneless string in the SESSION zone
+        text.flatMap(parseTsString(_, zone)).orNull
+      case (StringType, Some(TimestampNTZType)) =>
+        text.flatMap(parseTsString(_, java.time.ZoneOffset.UTC)).orNull
+      case (dt: DecimalType, Some(_: DecimalType)) => l.value match {
+        case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
+        case _ => null
+      }
+      case (IntegerType | LongType | ShortType | ByteType, Some(_: DecimalType)) =>
+        l.value match {
+          case v: Int => java.math.BigDecimal.valueOf(v.toLong)
+          case v: Long => java.math.BigDecimal.valueOf(v)
+          case v: Short => java.math.BigDecimal.valueOf(v.toLong)
+          case v: Byte => java.math.BigDecimal.valueOf(v.toLong)
+          case _ => null
+        }
+      case (DoubleType | FloatType, Some(_: DecimalType)) => l.value match {
+        case v: Double => java.math.BigDecimal.valueOf(v)
+        case v: Float => java.math.BigDecimal.valueOf(v.toDouble)
+        case _ => null
+      }
+      // any OTHER literal against a temporal/decimal column: refuse to
+      // guess (may-match) rather than risk a lexical/numeric mixup
+      case (_, Some(DateType | TimestampType | TimestampNTZType | _: DecimalType)) => null
+      case _ => litValue(l)
+    }
+  }
+
+  /** A timestamp string in any of the forms Spark's cast accepts for
+    * the common cases — 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.f…]',
+    * the ISO T-form, with or without an explicit offset — to epoch
+    * micros (zoneless strings resolve in `zone`). None = unparseable
+    * here (Spark may still cast it; the caller answers may-match).
+    */
+  private def parseTsString(s0: String, zone: java.time.ZoneId): Option[Long] = {
+    val s = s0.trim.replace(' ', 'T')
+    try {
+      val inst =
+        try java.time.OffsetDateTime.parse(s).toInstant
+        catch {
+          case _: java.time.format.DateTimeParseException =>
+            val ldt =
+              if (s.contains("T")) java.time.LocalDateTime.parse(s)
+              else java.time.LocalDate.parse(s).atStartOfDay()
+            ldt.atZone(zone).toInstant
+        }
+      Some(Math.addExact(Math.multiplyExact(inst.getEpochSecond, 1000000L),
+        inst.getNano / 1000L))
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** An ISO temporal STATS bound to epoch micros. `widenMax`: a bound
+    * written at coarser-than-micros precision (a foreign writer's
+    * millis truncation) under-reports the true max — widen by the
+    * precision gap (10^(6-digits)-1 µs) so pruning stays sound against
+    * it; min needs nothing (truncation only lowers it).
+    */
+  private[graft] def parseTsBound(text0: String, widenMax: Boolean): Option[Long] = {
+    val text = text0.trim
+    val base = parseTsString(text, java.time.ZoneOffset.UTC)
+    base.map { us =>
+      if (!widenMax) us
+      else {
+        val dot = text.indexOf('.')
+        val frac = if (dot < 0) 0 else text.drop(dot + 1).takeWhile(_.isDigit).length
+        if (frac >= 6) us
+        else {
+          var gap = 1L; var i = frac
+          while (i < 6) { gap *= 10L; i += 1 }
+          try Math.addExact(us, gap - 1L)
+          catch { case _: ArithmeticException => us }
+        }
+      }
+    }
+  }
+
   private def jsonValue(n: JsonNode): Any =
     if (n.isIntegralNumber) n.asLong()
     else if (n.isFloatingPointNumber) n.asDouble()
@@ -368,53 +571,144 @@ object DeltaStats {
     else if (n.isTextual) n.asText()
     else null
 
-  /** Numeric-tolerant three-way compare; None = incomparable. */
-  private def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+  /** A stats-JSON bound lifted into the column's comparison domain —
+    * the read-side twin of [[typedLit]]. Temporal bounds are textual
+    * ISO (this writer's micros-exact form or a foreign engine's
+    * truncated one — `isMax` widens the latter); decimals are JSON
+    * numbers (parsed to BigDecimal — exact, never a lossy double).
+    */
+  private def statVal(node: JsonNode,
+                      colDt: Option[org.apache.spark.sql.types.DataType],
+                      isMax: Boolean): Any = {
+    import org.apache.spark.sql.types._
+    colDt match {
+      case Some(DateType) =>
+        if (!node.isTextual) null
+        else try java.lang.Long.valueOf(
+          java.time.LocalDate.parse(node.asText().trim).toEpochDay)
+        catch { case scala.util.control.NonFatal(_) => null }
+      case Some(TimestampType | TimestampNTZType) =>
+        if (!node.isTextual) null
+        else parseTsBound(node.asText(), widenMax = isMax).map(Long.box).orNull
+      case Some(_: DecimalType) =>
+        if (node.isNumber) node.decimalValue() else null
+      case Some(StringType) => if (node.isTextual) node.asText() else null
+      case _ => jsonValue(node)
+    }
+  }
+
+  /** A PARTITION VALUE string lifted into the column's comparison
+    * domain. The protocol serializes temporal partition values as
+    * 'yyyy-MM-dd[ HH:mm:ss[.ffffff]]' with no zone — a TIMESTAMP
+    * (with-local-zone) value was rendered in the writing session's
+    * zone, so it resolves in `zone` (the reading session's — the
+    * standard single-zone deployment; a cross-zone foreign table's
+    * zoneless pv is ambiguous by protocol design).
+    */
+  private def pvVal(sv: String,
+                    colDt: Option[org.apache.spark.sql.types.DataType],
+                    litDomain: Any, zone: java.time.ZoneId): Any = {
+    import org.apache.spark.sql.types._
+    colDt match {
+      case Some(DateType) =>
+        try java.lang.Long.valueOf(java.time.LocalDate.parse(sv.trim).toEpochDay)
+        catch { case scala.util.control.NonFatal(_) => null }
+      case Some(TimestampType) => parseTsString(sv, zone).map(Long.box).orNull
+      case Some(TimestampNTZType) =>
+        parseTsString(sv, java.time.ZoneOffset.UTC).map(Long.box).orNull
+      case Some(_: DecimalType) =>
+        try new java.math.BigDecimal(sv.trim)
+        catch { case scala.util.control.NonFatal(_) => null }
+      case Some(LongType | IntegerType | ShortType | ByteType) =>
+        try java.lang.Long.valueOf(sv.trim.toLong)
+        catch { case scala.util.control.NonFatal(_) => null }
+      case Some(DoubleType | FloatType) =>
+        try java.lang.Double.valueOf(sv.trim.toDouble)
+        catch { case scala.util.control.NonFatal(_) => null }
+      case Some(BooleanType) =>
+        try java.lang.Boolean.valueOf(sv.trim.toBoolean)
+        catch { case scala.util.control.NonFatal(_) => null }
+      case Some(StringType) => sv
+      // unknown column type: the legacy literal-driven coercion
+      case _ => (sv, litDomain) match {
+        case (s: String, _: Long)    => try java.lang.Long.valueOf(s.trim.toLong)
+          catch { case _: Exception => null }
+        case (s: String, _: Double)  => try java.lang.Double.valueOf(s.trim.toDouble)
+          catch { case _: Exception => null }
+        case (s: String, _: Boolean) => try java.lang.Boolean.valueOf(s.trim.toBoolean)
+          catch { case _: Exception => null }
+        case (b, _)                  => b
+      }
+    }
+  }
+
+  /** Numeric-tolerant three-way compare; None = incomparable. ±0.0
+    * compare EQUAL (SQL's `-0.0 = 0.0` is true; Double.compare's
+    * -0.0 < 0.0 would let an equality predicate wrongly prune a file
+    * whose envelope is the other zero).
+    */
+  private def cmp(a: Any, b: Any): Option[Int] = {
+    def z(d: Double): Double = if (d == 0.0d) 0.0d else d
+    (a, b) match {
     case (null, _) | (_, null)    => None
     case (x: Long, y: Long)       => Some(java.lang.Long.compare(x, y))
-    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, y))
-    case (x: Double, y: Long)     => Some(java.lang.Double.compare(x, y.toDouble))
-    case (x: Double, y: Double)   => Some(java.lang.Double.compare(x, y))
+    case (x: Long, y: Double)     => Some(java.lang.Double.compare(x.toDouble, z(y)))
+    case (x: Double, y: Long)     => Some(java.lang.Double.compare(z(x), y.toDouble))
+    case (x: Double, y: Double)   => Some(java.lang.Double.compare(z(x), z(y)))
     case (x: Boolean, y: Boolean) => Some(java.lang.Boolean.compare(x, y))
     case (x: String, y: String)   => Some(codePointCompare(x, y))
+    case (x: java.math.BigDecimal, y: java.math.BigDecimal) => Some(x.compareTo(y))
+    case (x: java.math.BigDecimal, y: Long) =>
+      Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+    case (x: Long, y: java.math.BigDecimal) =>
+      Some(java.math.BigDecimal.valueOf(x).compareTo(y))
+    case (x: java.math.BigDecimal, y: Double) =>
+      Some(x.compareTo(java.math.BigDecimal.valueOf(y)))
+    case (x: Double, y: java.math.BigDecimal) =>
+      Some(java.math.BigDecimal.valueOf(x).compareTo(y))
     case _                        => None
-  }
+  }}
 
   /** May ANY row of the file match `pred`? Conservative: unknown
     * shapes, missing stats, incomparable types all answer true.
+    * Comparisons lift BOTH sides into the schema column's domain
+    * ([[typedLit]] / [[statVal]] / [[pvVal]]) so date / timestamp /
+    * timestamp_ntz / decimal predicates prune — with exactly the cast
+    * semantics Spark's own filter applies.
     */
-  private def mayMatch(pred: Expression, env: FileEnv,
-                       partCols: Set[String]): Boolean = {
+  private def mayMatch(pred: Expression, env: FileEnv, partCols: Set[String],
+                       colTypes: Map[String, org.apache.spark.sql.types.DataType],
+                       zone: java.time.ZoneId): Boolean = {
+    def recur(p: Expression): Boolean = mayMatch(p, env, partCols, colTypes, zone)
     def attrName(e: Expression): Option[String] = e match {
       case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
       case _ => None
     }
-    // the column's (min, max) envelope, or None when unknown.
-    def bounds(c: String): Option[(Any, Any)] =
+    // the column's (min, max) envelope in its typed domain, given the
+    // literal's lifted value (for the legacy untyped pv coercion)
+    def bounds(c: String, litDomain: Any): Option[(Any, Any)] = {
+      val dt = colTypes.get(c)
       if (partCols.contains(c)) {
-        // a partition value is a single point; typed via the literal it
-        // meets — here as a raw string, coerced at comparison time
-        env.pv.get(c).filter(_ != null).map(v => (v, v))
+        // a partition value is a single point
+        env.pv.get(c).filter(_ != null)
+          .map(sv => { val v = pvVal(sv, dt, litDomain, zone); (v, v) })
+          .filter(p => p._1 != null)
       } else for {
-        mn <- env.min.get(c).map(jsonValue) if mn != null
-        mx <- env.max.get(c).map(jsonValue) if mx != null
+        mnN <- env.min.get(c)
+        mxN <- env.max.get(c)
+        mn = statVal(mnN, dt, isMax = false)
+        mx = statVal(mxN, dt, isMax = true)
+        if mn != null && mx != null
       } yield (mn, mx)
-    // coerce a partition-value STRING bound to the literal's type
-    def coerce(bound: Any, lit: Any): Any = (bound, lit) match {
-      case (s: String, _: Long)    => try s.trim.toLong catch { case _: Exception => null }
-      case (s: String, _: Double)  => try s.trim.toDouble catch { case _: Exception => null }
-      case (s: String, _: Boolean) => try s.trim.toBoolean catch { case _: Exception => null }
-      case (b, _)                  => b
     }
     def cmpOp(attr: Expression, lit: Expression, op: String, flip: Boolean): Boolean = {
       (attrName(attr), lit) match {
         case (Some(c), l: Literal) =>
-          val v = litValue(l)
+          val v = typedLit(l, colTypes.get(c), zone)
           if (v == null) return true
-          bounds(c) match {
+          bounds(c, v) match {
             case None => true
-            case Some((mn0, mx0)) =>
-              val mn = coerce(mn0, v); val mx = coerce(mx0, v)
+            case Some((mn, mx)) =>
               if (mn == null || mx == null) return true
               val effOp = if (!flip) op else op match {
                 case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<=" case o => o
@@ -431,9 +725,80 @@ object DeltaStats {
         case _ => true
       }
     }
+    // NOT(a = v): no row can satisfy it only when every non-null value
+    // provably equals v, i.e. the envelope is the single point v (null
+    // rows never satisfy a NOT(=) either). Truncated string bounds can
+    // never present as a point: a truncated max is strictly above the
+    // stored min, so this prunes only exact envelopes.
+    def notEqualMayMatch(attr: Expression, l: Literal): Boolean =
+      attrName(attr) match {
+        case Some(c) =>
+          val v = typedLit(l, colTypes.get(c), zone)
+          if (v == null) true
+          else bounds(c, v) match {
+            case Some((mn, mx)) if mn != null && mx != null =>
+              !(cmp(mn, v).contains(0) && cmp(mx, v).contains(0))
+            case _ => true
+          }
+        case None => true
+      }
+    // a LIKE whose pattern is a literal prefix + one trailing '%'
+    // (no other wildcards or escapes) is a prefix predicate
+    def likePrefix(pattern: String): Option[String] =
+      if (pattern.nonEmpty && pattern.last == '%' &&
+          !pattern.dropRight(1).exists(c => c == '%' || c == '_' || c == '\\'))
+        Some(pattern.dropRight(1))
+      else None
+    // may any value in the file start with `p`? v startsWith p ⟺
+    // p <= v < succ(p), succ = increment-last-code-point (surrogate
+    // gap skipped); an unincrementable p has no finite upper bound.
+    // Sound against TRUNCATED stored bounds with no extra cases: the
+    // stored envelope only ever widens, so the intersection test can
+    // only keep more files, never fewer.
+    def prefixMayMatch(attr: Expression, p: String): Boolean =
+      attrName(attr) match {
+        case Some(c) if colTypes.get(c).forall(
+            _ == org.apache.spark.sql.types.StringType) =>
+          bounds(c, p) match {
+            case Some((mn: String, mx: String)) =>
+              codePointCompare(mx, p) >= 0 &&
+                prefixSucc(p).forall(succ => codePointCompare(mn, succ) < 0)
+            case _ => true
+          }
+        case _ => true
+      }
     pred match {
-      case And(l, r) => mayMatch(l, env, partCols) && mayMatch(r, env, partCols)
-      case Or(l, r)  => mayMatch(l, env, partCols) || mayMatch(r, env, partCols)
+      case And(l, r) => recur(l) && recur(r)
+      case Or(l, r)  => recur(l) || recur(r)
+      // NOT pushes through exactly-invertible shapes; anything else
+      // stays may-match. NOT(a = v) prunes only a provably constant-v
+      // file (truncated string bounds can never present as constant:
+      // a truncated max is strictly above the stored min).
+      case Not(Not(e))       => recur(e)
+      case Not(And(l, r))    => recur(Or(Not(l), Not(r)))
+      case Not(Or(l, r))     => recur(And(Not(l), Not(r)))
+      case Not(LessThan(a, b))           => recur(GreaterThanOrEqual(a, b))
+      case Not(LessThanOrEqual(a, b))    => recur(GreaterThan(a, b))
+      case Not(GreaterThan(a, b))        => recur(LessThanOrEqual(a, b))
+      case Not(GreaterThanOrEqual(a, b)) => recur(LessThan(a, b))
+      case Not(IsNull(a))    => recur(IsNotNull(a))
+      case Not(IsNotNull(a)) => recur(IsNull(a))
+      case Not(In(a, vs)) if vs.forall(_.isInstanceOf[Literal]) =>
+        vs.forall(v => recur(Not(EqualTo(a, v))))
+      case Not(EqualTo(a, l: Literal)) => notEqualMayMatch(a, l)
+      case Not(EqualTo(l: Literal, a)) => notEqualMayMatch(a, l)
+      case StartsWith(a, l: Literal) =>
+        l.value match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            prefixMayMatch(a, s.toString)
+          case _ => true
+        }
+      case Like(a, l: Literal, '\\') =>
+        l.value match {
+          case s: org.apache.spark.unsafe.types.UTF8String =>
+            likePrefix(s.toString).forall(prefixMayMatch(a, _))
+          case _ => true
+        }
       case EqualTo(a, l: Literal)            => cmpOp(a, l, "=", flip = false)
       case EqualTo(l: Literal, a)            => cmpOp(a, l, "=", flip = false)
       case LessThan(a, l: Literal)           => cmpOp(a, l, "<", flip = false)
@@ -475,7 +840,11 @@ object DeltaStats {
     val pred =
       try spark.sessionState.sqlParser.parseExpression(predicate)
       catch { case scala.util.control.NonFatal(_) => return files }
+    // decimal bounds must parse EXACTLY (a double round-trip of a
+    // 38-digit decimal could flip a boundary comparison)
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      .configure(com.fasterxml.jackson.databind.DeserializationFeature
+        .USE_BIG_DECIMAL_FOR_FLOATS, true)
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
@@ -486,6 +855,10 @@ object DeltaStats {
           f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
     val partCols = snap.partCols.toSet
-    files.filter(a => mayMatch(pred, parseEnv(a, om, logicalToPhys), partCols))
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
+      schema.fields.map(f => f.name -> f.dataType).toMap
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    files.filter(a =>
+      mayMatch(pred, parseEnv(a, om, logicalToPhys), partCols, colTypes, zone))
   }
 }

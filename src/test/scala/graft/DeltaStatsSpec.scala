@@ -118,4 +118,185 @@ class DeltaStatsSpec extends SparkSpec {
     assert(DeltaReader.readWhere(spark, dir2, "v = 'zzz'").count() ==
       DeltaReader.read(spark, dir2).where("v = 'zzz'").count())
   }
+
+  /** One 4-file range-laid-out table with a DATE, both TIMESTAMP
+    * kinds and a DECIMAL column, each monotone in id — every typed
+    * family gets a tight disjoint per-file envelope.
+    */
+  private def typedTable(dir: String): Unit = {
+    val df = spark.range(400).selectExpr(
+      "id",
+      "date_add(DATE'2024-01-01', CAST(id AS INT)) AS d",
+      "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS tn",
+      "timestamp'2024-01-01 00:00:00Z' + make_interval(0,0,0,0,0,0,id*60) AS tl",
+      "CAST(id AS DECIMAL(20,2)) / 4 AS dec")
+    LakeWriter.writeDelta(
+      df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")), dir)
+  }
+
+  test("typed stats land in add.stats: date/timestamp/ntz as ISO text, decimal as a number") {
+    val dir = tmp("graft_stats_typed_")
+    typedTable(dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val first = snap.active.map { a =>
+      val n = om.readTree(a.stats.get)
+      (n.get("minValues"), n.get("maxValues"))
+    }.minBy(_._1.get("id").asLong())
+    assert(first._1.get("d").asText() == "2024-01-01", first._1.toString)
+    assert(first._2.get("d").asText() == "2024-04-09")
+    assert(first._1.get("tn").asText() == "2024-01-01T00:00:00.000000")
+    assert(first._2.get("tn").asText() == "2024-01-01T01:39:00.000000")
+    assert(first._1.get("tl").asText() == "2024-01-01T00:00:00.000000Z")
+    assert(first._1.get("dec").isNumber &&
+      first._1.get("dec").decimalValue().compareTo(new java.math.BigDecimal("0")) == 0,
+      first._1.toString)
+    assert(first._2.get("dec").decimalValue()
+      .compareTo(new java.math.BigDecimal("24.75")) == 0, first._2.toString)
+  }
+
+  test("date / timestamp / ntz / decimal predicates prune files and stay exact vs the unpruned read") {
+    val dir = tmp("graft_stats_tprune_")
+    typedTable(dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    // DATE literal and plain string literal both prune (4 disjoint files)
+    assert(kept("d >= DATE'2024-04-20' AND d < DATE'2024-07-01'") == 1)
+    assert(kept("d = '2024-01-05'") == 1)
+    assert(kept("d > '2025-06-01'") == 0)
+    // NTZ: typed literal, string literal, and a DATE literal cast
+    assert(kept("tn >= TIMESTAMP_NTZ'2024-01-01 02:00:00' AND " +
+      "tn < TIMESTAMP_NTZ'2024-01-01 03:00:00'") == 1)
+    assert(kept("tn = '2024-01-01 01:00:00'") == 1)
+    assert(kept("tn >= DATE'2024-01-02'") == 0)
+    assert(kept("tn < '2024-01-01 00:00:01'") == 1)
+    // LTZ (session is UTC): typed and string forms
+    assert(kept("tl >= TIMESTAMP'2024-01-01 05:00:00Z'") == 1)
+    assert(kept("tl < '2024-01-01 01:40:00'") == 1)
+    // DECIMAL: exact boundary = on a file max keeps exactly that file
+    assert(kept("dec = 24.75") == 1)
+    assert(kept("dec > 99.75") == 0)
+    assert(kept("dec >= 25.00 AND dec < 50.00") == 1)
+    // soundness: pruned reads equal the unpruned filter, boundaries included
+    for (p <- Seq(
+      "d >= DATE'2024-04-09' AND d <= DATE'2024-04-10'",   // straddles files 1|2
+      "tn = TIMESTAMP_NTZ'2024-01-01 01:39:00'",           // exact file max
+      "tl >= '2024-01-01 01:39:00' AND tl <= '2024-01-01 01:40:00'",
+      "dec = 25.00", "dec IN (0.25, 99.75)")) {
+      val a = DeltaReader.readWhere(spark, dir, p).count()
+      val b = DeltaReader.read(spark, dir).where(p).count()
+      assert(a == b && b > 0, s"$p: pruned=$a unpruned=$b")
+    }
+  }
+
+  test("temporal partition values prune typed (date partitions, the 100-TB layout)") {
+    val dir = tmp("graft_stats_tpv_")
+    val df = spark.range(90).selectExpr(
+      "id", "date_add(DATE'2024-01-01', CAST(id / 30 AS INT)) AS day")
+    LakeWriter.writeDelta(df, dir, partitionBy = Seq("day"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap)
+      .map(_.partitionValues("day")).toSet
+    assert(kept("day = DATE'2024-01-02'") == Set("2024-01-02"))
+    assert(kept("day >= '2024-01-02'") == Set("2024-01-02", "2024-01-03"))
+    assert(kept("day < DATE'2024-01-01'").isEmpty)
+    assert(DeltaReader.readWhere(spark, dir, "day = '2024-01-02'").count() == 30L)
+  }
+
+  test("foreign millis-truncated timestamp bounds widen on max (never wrongly prune)") {
+    // this writer emits micros-exact bounds; a foreign engine's
+    // millis-truncated max under-reports by up to 999 µs
+    assert(DeltaStats.parseTsBound("2024-01-01T00:00:00.123Z", widenMax = false)
+      .contains(1704067200123000L))
+    assert(DeltaStats.parseTsBound("2024-01-01T00:00:00.123Z", widenMax = true)
+      .contains(1704067200123999L))
+    assert(DeltaStats.parseTsBound("2024-01-01T00:00:00", widenMax = true)
+      .contains(1704067200999999L))
+    assert(DeltaStats.parseTsBound("2024-01-01T00:00:00.123456Z", widenMax = true)
+      .contains(1704067200123456L))
+    // offset forms resolve to the same instant
+    assert(DeltaStats.parseTsBound("2024-01-01T01:00:00+01:00", widenMax = false) ==
+      DeltaStats.parseTsBound("2024-01-01T00:00:00Z", widenMax = false))
+    assert(DeltaStats.parseTsBound("not a time", widenMax = true).isEmpty)
+  }
+
+  test("LIKE prefix predicates prune on string bounds; truncation boundary stays may-match") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_stats_like_")
+    // two files with disjoint URL-prefix envelopes — the corpus idiom
+    LakeWriter.writeDelta(Seq(
+      "https://a.example/x", "https://b.example/y").toDF("url").repartition(1)
+      .sortWithinPartitions("url").coalesce(1), dir)
+    LakeWriter.appendDelta(Seq(
+      "https://m.example/1", "https://n.example/2").toDF("url").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    assert(kept("url LIKE 'https://a.%'") == 1)
+    assert(kept("url LIKE 'https://m.%'") == 1)
+    assert(kept("url LIKE 'https://z.%'") == 0)
+    assert(kept("url LIKE 'https://%'") == 2)        // shared prefix
+    assert(kept("url LIKE '%example%'") == 2)        // not a prefix → may-match
+    assert(kept("url LIKE 'https://a._'") == 2)      // '_' wildcard → may-match
+    assert(DeltaReader.readWhere(spark, dir, "url LIKE 'https://m.%'").count() == 1L)
+
+    // truncation boundary: a 40-cp value truncates to a 32-cp stored
+    // envelope [a^31 b, a^31 c); a prefix probing exactly the
+    // incremented-max region must stay may-match (treating the
+    // truncated max as exact would be unsound one value later)
+    val dir2 = tmp("graft_stats_like_tr_")
+    val long40 = "a" * 31 + "b" + "z" * 8
+    LakeWriter.writeDelta(Seq(long40).toDF("v").coalesce(1), dir2)
+    val snap2 = DeltaReader.snapshot(spark, dir2, None)
+    def kept2(p: String) = DeltaStats.prune(spark, snap2.active, p, snap2).size
+    assert(kept2(s"v LIKE '${"a" * 31}b%'") == 1, "true prefix must keep")
+    assert(kept2(s"v LIKE '${"a" * 31}c%'") == 1,
+      "the truncated max's region must stay may-match")
+    assert(kept2(s"v LIKE '${"a" * 31}d%'") == 0, "above the widened envelope")
+    assert(kept2("v LIKE 'b%'") == 0)
+    assert(DeltaReader.readWhere(spark, dir2, s"v LIKE '${"a" * 31}b%'").count() == 1L)
+  }
+
+  test("NOT pushes through comparisons, IN and composition; NOT(=) prunes only constant files") {
+    val dir = tmp("graft_stats_not_")
+    rangedTable(dir)   // 4 files × 100 ids
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    assert(kept("NOT (id < 300)") == 1)
+    assert(kept("NOT (id >= 100)") == 1)
+    assert(kept("NOT (id < 100 OR id >= 200)") == 1)
+    assert(kept("NOT (id >= 100 AND id < 300)") == 2)
+    assert(kept("NOT NOT (id < 100)") == 1)
+    assert(kept("NOT (id IS NULL)") == 4)
+    // a constant-value file prunes under NOT(=); a mixed file never does
+    val s = spark
+    import s.implicits._
+    val dirC = tmp("graft_stats_notc_")
+    LakeWriter.writeDelta(Seq(7L, 7L, 7L).toDF("k").coalesce(1), dirC)
+    LakeWriter.appendDelta(Seq(7L, 8L).toDF("k").coalesce(1), dirC)
+    val snapC = DeltaReader.snapshot(spark, dirC, None)
+    val keptC = DeltaStats.prune(spark, snapC.active, "NOT (k = 7)", snapC)
+    assert(keptC.size == 1)
+    assert(DeltaReader.readWhere(spark, dirC, "NOT (k = 7)").count() == 1L)
+    assert(DeltaStats.prune(spark, snapC.active, "k != 7", snapC).size == 1)
+    assert(DeltaStats.prune(spark, snapC.active, "NOT (k IN (7, 8))", snapC).size == 1)
+    assert(DeltaStats.prune(spark, snapC.active, "NOT (k IN (7))", snapC).size == 1)
+  }
+
+  test("a decimal beyond double precision prunes exactly (BigDecimal path, no lossy round-trip)") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_stats_bigdec_")
+    // 2^53+1 is not representable as a double; the two values straddle it
+    LakeWriter.writeDelta(
+      Seq("9007199254740993.01", "9007199254740993.03")
+        .toDF("raw").selectExpr("CAST(raw AS DECIMAL(38,2)) AS x").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    // bare decimal literals (a CAST is not a Literal — it would
+    // legitimately fall to may-match)
+    assert(kept("x = 9007199254740993.02") == 1)
+    assert(kept("x > 9007199254740993.03") == 0)
+    assert(kept("x < 9007199254740993.01") == 0)
+  }
 }
