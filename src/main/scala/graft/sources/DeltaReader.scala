@@ -1362,7 +1362,20 @@ object DeltaReader {
       dvOpt("offset", IntegerType).as("dv_off"),
       dvOpt("sizeInBytes", IntegerType).as("dv_sz"),
       dvOpt("cardinality", LongType).as("dv_card"),
-      opt("stats", StringType).as("stats"),
+      // a foreign checkpoint written with writeStatsAsStruct=true +
+      // writeStatsAsJson=false carries ONLY add.stats_parsed — render
+      // the struct back to the JSON form the pruner reads, or data
+      // skipping silently dies on such tables. UTC + micros precision
+      // so temporal bounds round-trip losslessly.
+      (if (af("stats_parsed"))
+        org.apache.spark.sql.functions.coalesce(
+          (if (af("stats")) col("add.stats") else lit(null)).cast(StringType),
+          org.apache.spark.sql.functions.when(col("add.stats_parsed").isNotNull,
+            org.apache.spark.sql.functions.to_json(col("add.stats_parsed"), Map(
+              "timeZone" -> "UTC",
+              "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+              "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))))
+      else opt("stats", StringType)).as("stats"),
       opt("baseRowId", LongType).as("brid"),
       opt("defaultRowCommitVersion", LongType).as("drcv"),
       opt("clusteringProvider", StringType).as("clp"))

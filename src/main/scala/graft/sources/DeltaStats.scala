@@ -113,10 +113,29 @@ object DeltaStats {
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       try {
         val blocks = rdr.getFooter.getBlocks
-        // the indexed prefix, in footer-schema (= staged table) order
         import scala.jdk.CollectionConverters._
-        val topLevel = rdr.getFooter.getFileMetaData.getSchema.getFields
-          .asScala.map(_.getName)
+        // skippable leaves, depth-first in footer-schema (= staged
+        // table) order: primitives reachable through STRUCT nesting
+        // only — list/map internals have per-ROW multiplicity, so a
+        // chunk min/max is not a row-envelope delta-spark's shape can
+        // carry. Dotted paths are the stats keys for nested leaves;
+        // for a flat schema this is exactly the old top-level list.
+        def leafPaths(gt: org.apache.parquet.schema.GroupType,
+                      prefix: String): Seq[String] =
+          gt.getFields.asScala.toSeq.flatMap { f =>
+            val name = if (prefix.isEmpty) f.getName else prefix + "." + f.getName
+            if (f.getRepetition == org.apache.parquet.schema.Type.Repetition.REPEATED) Nil
+            else if (f.isPrimitive) Seq(name)
+            else f.getLogicalTypeAnnotation match {
+              case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .ListLogicalTypeAnnotation => Nil
+              case _: org.apache.parquet.schema.LogicalTypeAnnotation
+                    .MapLogicalTypeAnnotation => Nil
+              case _ => leafPaths(f.asGroupType(), name)
+            }
+          }
+        val leaves = leafPaths(rdr.getFooter.getFileMetaData.getSchema, "")
+        val leafSet = leaves.toSet
         // `alwaysInclude` rides over the cap: identity watermark
         // advance is DERIVED from these stats, so the identity
         // column's bounds must exist no matter where it sits in a
@@ -124,12 +143,19 @@ object DeltaStats {
         // every append)
         val indexed: String => Boolean = statsColumns match {
           // the explicit list REPLACES the prefix rule (delta-spark's
-          // dataSkippingStatsColumns precedence); identity columns
-          // still ride over it — their watermark needs the bounds
-          case Some(cols) => cols ++ alwaysInclude
+          // dataSkippingStatsColumns precedence); naming a struct
+          // includes all its leaves; identity columns still ride over
+          // it — their watermark needs the bounds
+          case Some(cols) => p => cols.contains(p) || alwaysInclude.contains(p) ||
+            cols.exists(c => p.startsWith(c + "."))
           case None =>
             if (numIndexedCols < 0) _ => true
-            else topLevel.take(numIndexedCols).toSet ++ alwaysInclude
+            else {
+              // the cap counts LEAF fields in depth-first order
+              // (delta-spark's rule — a 3-leaf struct spends 3 slots)
+              val capped = leaves.take(numIndexedCols).toSet
+              p => capped.contains(p) || alwaysInclude.contains(p)
+            }
         }
         val om = sharedOm
         val root = om.createObjectNode()
@@ -150,8 +176,9 @@ object DeltaStats {
           while (cit.hasNext) {
             val c = cit.next()
             val pathArr = c.getPath.toArray
-            if (pathArr.length == 1 && indexed(pathArr(0))) {
-              val name = pathArr(0)
+            val dotted = pathArr.mkString(".")
+            if (leafSet.contains(dotted) && indexed(dotted)) {
+              val name = dotted
               val agg = aggs.getOrElseUpdate(name, Agg(null, null, 0L, ok = true,
                 hasValues = false))
               val st = c.getStatistics
@@ -174,9 +201,25 @@ object DeltaStats {
             }
           }
         }
+        // a dotted key lands as NESTED objects (delta-spark's stats
+        // shape: minValues.a.b, not a flat "a.b" key)
+        def place(node: com.fasterxml.jackson.databind.node.ObjectNode,
+                  dotted: String): (com.fasterxml.jackson.databind.node.ObjectNode, String) = {
+          val parts = dotted.split('.')
+          var n = node
+          var i = 0
+          while (i < parts.length - 1) {
+            n = n.get(parts(i)) match {
+              case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+              case _ => n.putObject(parts(i))
+            }
+            i += 1
+          }
+          (n, parts.last)
+        }
         aggs.foreach { case (name, a) =>
           if (a.ok) {
-            nullNode.put(name, a.nulls)
+            locally { val (n, leaf) = place(nullNode, name); n.put(leaf, a.nulls) }
             if (a.hasValues) (a.min, a.max) match {
               // string bounds truncate (metadata bloat: add.stats JSON
               // rides in every commit, checkpoint and snapshot
@@ -187,10 +230,13 @@ object DeltaStats {
               // exact bound
               case (mn: String, mx: String) =>
                 truncateMaxString(mx, stringPrefixLen).foreach { tmx =>
-                  putValue(minNode, name, prefixCodePoints(mn, stringPrefixLen))
-                  putValue(maxNode, name, tmx)
+                  locally { val (n, leaf) = place(minNode, name)
+                    putValue(n, leaf, prefixCodePoints(mn, stringPrefixLen)) }
+                  locally { val (n, leaf) = place(maxNode, name); putValue(n, leaf, tmx) }
                 }
-              case (mn, mx) => putValue(minNode, name, mn); putValue(maxNode, name, mx)
+              case (mn, mx) =>
+                locally { val (n, leaf) = place(minNode, name); putValue(n, leaf, mn) }
+                locally { val (n, leaf) = place(maxNode, name); putValue(n, leaf, mx) }
             }
           }
         }
@@ -401,13 +447,22 @@ object DeltaStats {
   private def parseEnv(a: DeltaReader.AddFile,
                        om: com.fasterxml.jackson.databind.ObjectMapper,
                        logicalToPhys: Map[String, String]): FileEnv = {
-    def fields(n: JsonNode, name: String): Map[String, JsonNode] =
-      Option(n.get(name)).filterNot(_.isNull).map { m =>
-        val b = Map.newBuilder[String, JsonNode]
-        val it = m.fields()
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> e.getValue }
-        b.result()
-      }.getOrElse(Map.empty)
+    // nested stats objects flatten to dotted keys ("a.b" for
+    // minValues.a.b) — the pruner's attribute-path key shape
+    def fields(n: JsonNode, name: String): Map[String, JsonNode] = {
+      val b = Map.newBuilder[String, JsonNode]
+      def walk(node: JsonNode, prefix: String): Unit = {
+        val it = node.fields()
+        while (it.hasNext) {
+          val e = it.next()
+          val k = if (prefix.isEmpty) e.getKey else prefix + "." + e.getKey
+          if (e.getValue.isObject) walk(e.getValue, k)
+          else b += k -> e.getValue
+        }
+      }
+      Option(n.get(name)).filterNot(_.isNull).foreach(walk(_, ""))
+      b.result()
+    }
     val (nr, mn, mx, nc) = a.stats.flatMap { s =>
       try {
         val n = om.readTree(s)
@@ -418,11 +473,20 @@ object DeltaStats {
       } catch { case scala.util.control.NonFatal(_) => None }
     }.getOrElse((None, Map.empty[String, JsonNode], Map.empty[String, JsonNode],
       Map.empty[String, Long]))
-    // stats/pv keys are the file's PHYSICAL names; expose under LOGICAL
+    // stats/pv keys are the file's PHYSICAL names; expose under
+    // LOGICAL (a dotted key remaps its first segment — graft's column
+    // mapping assigns physical names to top-level fields)
     def remap[V](m: Map[String, V]): Map[String, V] =
       if (logicalToPhys.isEmpty) m
-      else logicalToPhys.collect { case (lg, ph) if m.contains(ph) => lg -> m(ph) } ++
-        m.filterNot(kv => logicalToPhys.values.exists(_ == kv._1))
+      else {
+        val physToLog = logicalToPhys.map(_.swap)
+        m.map { case (k, v) =>
+          val i = k.indexOf('.')
+          val head = if (i < 0) k else k.take(i)
+          val tail = if (i < 0) "" else k.drop(i)
+          (physToLog.get(head).map(_ + tail).getOrElse(k), v)
+        }
+      }
     FileEnv(nr, remap(mn), remap(mx), remap(nc), remap(a.partitionValues))
   }
 
@@ -680,8 +744,11 @@ object DeltaStats {
                        colTypes: Map[String, org.apache.spark.sql.types.DataType],
                        zone: java.time.ZoneId): Boolean = {
     def recur(p: Expression): Boolean = mayMatch(p, env, partCols, colTypes, zone)
+    // multi-part names address struct leaves ("s.x") — the dotted key
+    // the stats flattener and the schema walk both produce; a part
+    // that's actually a table alias simply finds no bounds (may-match)
     def attrName(e: Expression): Option[String] = e match {
-      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case a: UnresolvedAttribute => Some(a.nameParts.mkString("."))
       case _ => None
     }
     // the column's (min, max) envelope in its typed domain, given the
@@ -855,8 +922,21 @@ object DeltaStats {
           f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
     val partCols = snap.partCols.toSet
-    val colTypes: Map[String, org.apache.spark.sql.types.DataType] =
-      schema.fields.map(f => f.name -> f.dataType).toMap
+    // leaf types keyed by dotted path — struct leaves prune like any
+    // top-level column
+    val colTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+      val b = Map.newBuilder[String, org.apache.spark.sql.types.DataType]
+      def walk(prefix: String, st: org.apache.spark.sql.types.StructType): Unit =
+        st.fields.foreach { f =>
+          val n = if (prefix.isEmpty) f.name else prefix + "." + f.name
+          f.dataType match {
+            case s: org.apache.spark.sql.types.StructType => walk(n, s)
+            case dt => b += n -> dt
+          }
+        }
+      walk("", schema)
+      b.result()
+    }
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     files.filter(a =>
       mayMatch(pred, parseEnv(a, om, logicalToPhys), partCols, colTypes, zone))

@@ -5555,6 +5555,45 @@ object LakeWriter {
       checkpointDeltaV2(spark, dir, version, sidecarParts = parts)
       return
     }
+    // delta.checkpoint.writeStatsAsStruct authors add.stats_parsed —
+    // the typed struct form delta-spark can read without a JSON parse
+    // per add; writeStatsAsJson=false (with the struct on) drops the
+    // JSON field, delta-spark's struct-only layout. The struct's shape
+    // is the table schema restricted to skippable leaves.
+    val statsParsedSchema: Option[StructType] =
+      if (!snap.configuration.get("delta.checkpoint.writeStatsAsStruct").contains("true"))
+        None
+      else {
+        def prunable(st: StructType): StructType = StructType(st.fields.flatMap { f =>
+          f.dataType match {
+            case s: StructType =>
+              val inner = prunable(s)
+              if (inner.isEmpty) None else Some(StructField(f.name, inner))
+            case dt @ (LongType | IntegerType | ShortType | ByteType | DoubleType |
+                       FloatType | BooleanType | StringType | DateType |
+                       TimestampType | TimestampNTZType | _: DecimalType) =>
+              Some(StructField(f.name, dt))
+            case _ => None
+          }
+        })
+        def longs(st: StructType): StructType = StructType(st.fields.map { f =>
+          f.dataType match {
+            case s: StructType => StructField(f.name, longs(s))
+            case _ => StructField(f.name, LongType)
+          }
+        })
+        val tbl = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+          .asInstanceOf[StructType]
+        val mins = prunable(tbl)
+        Some(StructType(Seq(
+          StructField("numRecords", LongType),
+          StructField("minValues", mins),
+          StructField("maxValues", mins),
+          StructField("nullCount", longs(mins)))))
+      }
+    val writeStatsJson =
+      !snap.configuration.get("delta.checkpoint.writeStatsAsJson").contains("false") ||
+        statsParsedSchema.isEmpty  // never drop BOTH forms
     // checkpoint actions carry every field PROTOCOL.md requires of them:
     // add needs size + modificationTime and metaData needs format +
     // configuration — graft's own reader copes without, but delta-spark
@@ -5597,7 +5636,13 @@ object LakeWriter {
         // data-skipping stats survive checkpointing or every pruned
         // operation degrades to full scans once the checkpoint becomes
         // the replay base
-        StructField("stats", StringType),
+        StructField("stats", StringType)) ++
+        // delta-spark's struct form (delta.checkpoint.writeStatsAsStruct):
+        // typed per-leaf min/max/nullCount, parseable without a JSON
+        // decode per add at resolve time
+        (if (statsParsedSchema.isDefined)
+          Seq(StructField("stats_parsed", statsParsedSchema.get)) else Nil) ++
+        Seq(
         // row-tracking identities survive checkpointing (PROTOCOL.md:
         // baseRowId/defaultRowCommitVersion are checkpoint add fields)
         // or every row would silently change identity when the
@@ -5657,7 +5702,7 @@ object LakeWriter {
     val addsDf = snap.activeDf(spark).select(
       l(null).cast(schema("protocol").dataType).as("protocol"),
       l(null).cast(schema("metaData").dataType).as("metaData"),
-      st(
+      st((Seq(
         c("path"),
         cls(c("pv"), org.apache.spark.sql.functions.map())
           .as("partitionValues"),
@@ -5668,9 +5713,16 @@ object LakeWriter {
           c("dv_st").as("storageType"), c("dv_p").as("pathOrInlineDv"),
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
-        c("stats"), c("brid").as("baseRowId"),
-        c("drcv").as("defaultRowCommitVersion"),
-        c("clp").as("clusteringProvider")).cast(addT).as("add"),
+        (if (writeStatsJson) c("stats") else l(null).cast(StringType)).as("stats")) ++
+        statsParsedSchema.map(sps =>
+          org.apache.spark.sql.functions.from_json(c("stats"), sps, Map(
+            "timeZone" -> "UTC",
+            "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+            "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+            .as("stats_parsed")).toSeq ++
+        Seq(c("brid").as("baseRowId"),
+          c("drcv").as("defaultRowCommitVersion"),
+          c("clp").as("clusteringProvider"))): _*).cast(addT).as("add"),
       l(null).cast(schema("txn").dataType).as("txn"),
       l(null).cast(schema("domainMetadata").dataType).as("domainMetadata"))
     val scalarsDf = spark.createDataFrame(

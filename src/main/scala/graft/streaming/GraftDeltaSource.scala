@@ -26,11 +26,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   * the standard API instead of a poll/drain loop.
   *
   * Modes (same contracts as the poll API, refusals included):
-  *  - APPEND (default): batch 1 is the full snapshot at the stream's
-  *    start version (one consistent version — not splittable, rate cap
-  *    does not apply); later batches deliver dataChange=true adds via
-  *    [[DeltaTail.changes]], which refuses delete/rewrite versions
-  *    loudly instead of streaming a wrong delta. With
+  *  - APPEND (default): the stream opens with the full snapshot at its
+  *    start version — split into consecutive micro-batches by
+  *    `maxFilesPerTrigger`/`maxBytesPerTrigger` over the snapshot's
+  *    path-sorted add list (delta-spark's initial-snapshot admission;
+  *    the offset pins the version and the files-delivered index, so a
+  *    restart resumes mid-snapshot without duplication), or as one
+  *    batch when no cap is set. Later batches deliver dataChange=true
+  *    adds via [[DeltaTail.changes]], which refuses delete/rewrite
+  *    versions loudly instead of streaming a wrong delta. With
   *    `startingVersion` = v the snapshot is SKIPPED and the stream
   *    tails adds from version v (rate caps apply from the first
   *    batch) — joining a huge table's stream without scanning its
@@ -45,14 +49,15 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   *    absent = start AFTER the current version (first batch empty,
   *    the delta-spark default).
   *
-  * `maxVersionsPerTrigger` caps versions per batch and
-  * `maxBytesPerTrigger` caps the admitted versions' summed add sizes
-  * (soft: one version always admits; an over-sized commit rides
-  * alone) — both through the admission-control API, so the caps hold
-  * across restarts (the engine hands latestOffset the restart
-  * position — the V1 getOffset path cannot see it, which is exactly
-  * why this source implements SupportsAdmissionControl rather than
-  * leaving catch-up batches unbounded).
+  * `maxVersionsPerTrigger` caps versions per batch,
+  * `maxFilesPerTrigger` caps admitted files and `maxBytesPerTrigger`
+  * the admitted add sizes (soft: one version — or one snapshot
+  * file — always admits; an over-sized commit rides alone) — all
+  * through the admission-control API, so the caps hold across
+  * restarts (the engine hands latestOffset the restart position — the
+  * V1 getOffset path cannot see it, which is exactly why this source
+  * implements SupportsAdmissionControl rather than leaving catch-up
+  * batches unbounded).
   *
   * Schema is pinned at stream start: a mid-stream schema evolution
   * fails the batch loudly (restart the stream to adopt it) rather
@@ -377,31 +382,43 @@ class GraftDeltaSink(path: String, appId: String, checkpointInterval: Int,
   override def toString: String = s"GraftDeltaSink[$path]"
 }
 
-/** Version offset: `{"version":N}` = everything up to and including
-  * log version N has been delivered.
+/** Stream position. `{"version":N}` = everything up to and including
+  * log version N has been delivered (the tail form; also every
+  * pre-r14 checkpoint, which therefore replays unchanged).
+  * `{"version":N,"index":K}` = the INITIAL SNAPSHOT at version N is in
+  * progress: the first K files of its path-sorted add list have been
+  * delivered, versions ≤ N are otherwise subsumed by the snapshot —
+  * delta-spark's reservoirVersion/index shape, which is what lets the
+  * rate caps split the snapshot into restart-safe batches.
   */
-case class GraftDeltaSourceOffset(version: Long) extends OffsetV1 {
-  override def json: String = s"""{"version":$version}"""
+case class GraftDeltaSourceOffset(version: Long, index: Long = -1L) extends OffsetV1 {
+  override def json: String =
+    if (index < 0) s"""{"version":$version}"""
+    else s"""{"version":$version,"index":$index}"""
 }
 
 object GraftDeltaSourceOffset {
-  private val VersionRe = """\{\s*"version"\s*:\s*(\d+)\s*\}""".r
+  private val VersionRe =
+    """\{\s*"version"\s*:\s*(\d+)\s*(?:,\s*"index"\s*:\s*(\d+)\s*)?\}""".r
 
-  /** Version of ANY offset representation the engine can hand back:
-    * our own class, the engine's SerializedOffset (restart path), or a
-    * V2 offset — all carry the same json.
+  /** ANY offset representation the engine can hand back: our own
+    * class, the engine's SerializedOffset (restart path), or a V2
+    * offset — all carry the same json.
     */
-  def versionOf(o: AnyRef): Long = o match {
-    case g: GraftDeltaSourceOffset => g.version
+  def of(o: AnyRef): GraftDeltaSourceOffset = o match {
+    case g: GraftDeltaSourceOffset => g
     case v1: OffsetV1 => parse(v1.json)
     case v2: OffsetV2 => parse(v2.json)
     case other => parse(String.valueOf(other))
   }
 
-  private def parse(json: String): Long = json.trim match {
-    case VersionRe(v) => v.toLong
+  def versionOf(o: AnyRef): Long = of(o).version
+
+  private def parse(json: String): GraftDeltaSourceOffset = json.trim match {
+    case VersionRe(v, null) => GraftDeltaSourceOffset(v.toLong)
+    case VersionRe(v, i)    => GraftDeltaSourceOffset(v.toLong, i.toLong)
     case other => throw new IllegalArgumentException(
-      s"graft-delta: unparseable offset '$other' — expected {\"version\":N}")
+      s"graft-delta: unparseable offset '$other' — expected {\"version\":N[,\"index\":K]}")
   }
 }
 
@@ -458,6 +475,14 @@ object GraftDeltaSource {
       require(n > 0, s"graft-delta: maxBytesPerTrigger $n must be positive")
       n
     }
+    // delta-spark's maxFilesPerTrigger: caps the FILES a batch admits —
+    // the cap that also SPLITS the initial snapshot (a 100-TB table's
+    // snapshot as one micro-batch is a batch no cluster sizes for)
+    val maxFilesPerTrigger: Option[Int] = lower.get("maxfilespertrigger").map { v =>
+      val n = v.toInt
+      require(n > 0, s"graft-delta: maxFilesPerTrigger $n must be positive")
+      n
+    }
     // mutation tolerance for the append tail (delta-spark's options):
     // ignoreDeletes skips delete-only versions, skipChangeCommits skips
     // every version that removes data. CDF mode refuses them — the
@@ -508,7 +533,8 @@ object GraftDeltaSource {
     * always admits so the stream makes progress, and a single
     * over-sized commit rides alone).
     */
-  final case class MaxVersions(versions: Option[Int], bytes: Option[Long])
+  final case class MaxVersions(versions: Option[Int], files: Option[Int],
+                               bytes: Option[Long])
       extends ReadLimit
 }
 
@@ -543,9 +569,11 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     availableNowCap = Some(DeltaReader.snapshot(spark, opts.path, None).version)
 
   override def getDefaultReadLimit: ReadLimit =
-    if (opts.maxVersionsPerTrigger.isEmpty && opts.maxBytesPerTrigger.isEmpty)
+    if (opts.maxVersionsPerTrigger.isEmpty && opts.maxBytesPerTrigger.isEmpty &&
+        opts.maxFilesPerTrigger.isEmpty)
       ReadLimit.allAvailable()
-    else MaxVersions(opts.maxVersionsPerTrigger, opts.maxBytesPerTrigger)
+    else MaxVersions(opts.maxVersionsPerTrigger, opts.maxFilesPerTrigger,
+      opts.maxBytesPerTrigger)
 
   override def initialOffset(): OffsetV2 =
     // append mode's "position before the initial snapshot" and CDF's
@@ -561,76 +589,148 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     Option(latestOffset(null, ReadLimit.allAvailable()))
       .map(o => GraftDeltaSourceOffset(GraftDeltaSourceOffset.versionOf(o)))
 
+  // the initial snapshot's path-sorted add list, resolved once per
+  // pinned version (the offset pins it, so a restart re-resolves the
+  // SAME list — the log below a version is immutable)
+  @volatile private var snapshotAddsMemo: Option[(Long, IndexedSeq[DeltaReader.AddFile])] =
+    None
+
+  private def snapshotAdds(version: Long): IndexedSeq[DeltaReader.AddFile] =
+    snapshotAddsMemo match {
+      case Some((v, adds)) if v == version => adds
+      case _ =>
+        val adds = DeltaReader.snapshot(spark, opts.path, Some(version))
+          .active.sortBy(_.path).toIndexedSeq
+        snapshotAddsMemo = Some((version, adds))
+        adds
+    }
+
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val snapV = DeltaReader.snapshot(spark, opts.path, None).version
     val latest = availableNowCap.fold(snapV)(math.min(_, snapV))
-    val start = Option(startOffset).map(GraftDeltaSourceOffset.versionOf)
-    val (capV, capB) = limit match {
-      case MaxVersions(v, b) => (v.map(_.toLong).getOrElse(Long.MaxValue), b)
-      case _ => (Long.MaxValue, None)
+    val start = Option(startOffset).map(GraftDeltaSourceOffset.of)
+    val (capV, capF, capB) = limit match {
+      case MaxVersions(v, f, b) => (v.map(_.toLong).getOrElse(Long.MaxValue), f, b)
+      case _ => (Long.MaxValue, None, None)
     }
     // admit versions (s, end]: the count cap bounds how many, the
-    // bytes cap additionally walks the commits summing their add sizes
+    // file/byte caps additionally walk the commits summing their adds
     // (KB-scale JSON parses, the same cost class as the tail itself)
-    // and stops BEFORE the version that would overflow — always
+    // and stop BEFORE the version that would overflow — always
     // admitting at least one so the stream progresses
     def admitted(s: Long): Long = {
       val vEnd =
         if (capV == Long.MaxValue) latest else math.min(latest, s + capV)
-      capB match {
-        case None => vEnd
-        case Some(budget) =>
-          var end = s
-          var acc = 0L
-          var full = false
-          while (!full && end < vEnd) {
-            val nb = DeltaReader.commitActions(spark, opts.path, end + 1).collect {
-              case (Right(af), _) => af.size
-            }.sum
-            if (end > s && acc + nb > budget) full = true
-            else { end += 1; acc += nb }
+      if (capB.isEmpty && capF.isEmpty) vEnd
+      else {
+        var end = s
+        var accB = 0L
+        var accF = 0L
+        var full = false
+        while (!full && end < vEnd) {
+          val adds = DeltaReader.commitActions(spark, opts.path, end + 1).collect {
+            case (Right(af), _) => af
           }
-          end
+          val nb = adds.map(_.size).sum
+          if (end > s && (capB.exists(accB + nb > _) ||
+              capF.exists(f => accF + adds.size > f.toLong))) full = true
+          else { end += 1; accB += nb; accF += adds.size }
+        }
+        end
       }
     }
-    val end = start match {
+    // initial-snapshot admission: deliver files [done, k) of the
+    // PINNED version's path-sorted add list, k bounded by the file
+    // and byte caps (at least one file — the stream must progress; an
+    // over-sized file rides alone); the snapshot completes into the
+    // plain tail form {"version":pin}, from which tailing resumes.
+    // Restart-safe: the pin rides in the offset, the sorted list is a
+    // pure function of it.
+    def snapshotPhase(pin: Long, done: Long): OffsetV2 = {
+      if (capF.isEmpty && capB.isEmpty) return GraftDeltaSourceOffset(pin)
+      val adds = snapshotAdds(pin)
+      val n = adds.length.toLong
+      val fCap = capF.map(_.toLong).getOrElse(Long.MaxValue)
+      var k = done
+      var bytes = 0L
+      var full = false
+      while (!full && k < n && (k - done) < fCap) {
+        val sz = adds(k.toInt).size
+        if (k > done && capB.exists(bytes + sz > _)) full = true
+        else { bytes += sz; k += 1 }
+      }
+      if (k >= n) GraftDeltaSourceOffset(pin) else GraftDeltaSourceOffset(pin, k)
+    }
+    val end: OffsetV2 = start match {
       case None => startingVersion match {
         // replay from sv (CDF rows or append-mode add tailing): the
         // rate caps apply from sv-1 — these are version tails, not
-        // the unsplittable snapshot
-        case Some(sv) => admitted(sv - 1)
+        // the snapshot
+        case Some(sv) => GraftDeltaSourceOffset(admitted(sv - 1))
         // CDF start-after-current: first batch just records the
-        // position; append mode: the initial snapshot is ONE
-        // consistent version — not splittable, caps don't apply
-        case None => latest
+        // position; append mode: the initial snapshot at the current
+        // version, split by the file/byte caps
+        case None if !opts.cdf => snapshotPhase(latest, 0L)
+        case None => GraftDeltaSourceOffset(latest)
       }
-      case Some(s) => admitted(s)
+      // mid-snapshot: keep draining the pinned version's list
+      case Some(g) if g.index >= 0 => snapshotPhase(g.version, g.index)
+      case Some(g) => GraftDeltaSourceOffset(admitted(g.version))
     }
-    if (start.exists(_ >= end)) startOffset else GraftDeltaSourceOffset(end)
+    val endG = GraftDeltaSourceOffset.of(end)
+    val progressed = start match {
+      case None => true
+      case Some(s) =>
+        endG.version > s.version ||
+          (endG.version == s.version &&
+            ((s.index >= 0 && endG.index < 0) || endG.index > s.index))
+    }
+    if (progressed) end else startOffset
+  }
+
+  /** Files [from, until) of the pinned snapshot's path-sorted add
+    * list, scanned under that snapshot's metadata — the same
+    * distributed scan (DV anti-join, column mapping) as every reader.
+    */
+  private def snapshotSlice(pin: Long, from: Long, until: Long): DataFrame = {
+    val snap = DeltaReader.snapshot(spark, opts.path, Some(pin))
+    val adds = snapshotAdds(pin)
+    val hi = math.min(until, adds.length.toLong)
+    if (hi <= from) emptyBatch
+    else DeltaReader.scanFiles(spark, opts.path, snap,
+      adds.slice(from.toInt, hi.toInt))
   }
 
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
-    val endV = GraftDeltaSourceOffset.versionOf(end)
-    val startV = start.map(GraftDeltaSourceOffset.versionOf)
-    val df = (startV, opts.cdf) match {
+    val endO = GraftDeltaSourceOffset.of(end)
+    val endV = endO.version
+    val startO = start.map(GraftDeltaSourceOffset.of)
+    val df = (startO, opts.cdf) match {
       case (None, false) => startingVersion match {
         // skip-snapshot tailing: the first batch is the adds of
         // versions [sv, end] through the shared append-tail path
         case Some(sv) if sv <= endV => DeltaTail.changes(spark, opts.path, sv - 1, endV,
           opts.ignoreDeletes, opts.skipChangeCommits)
         case Some(_) => emptyBatch
-        case None => DeltaReader.read(spark, opts.path, Some(endV))
+        case None =>
+          if (endO.index >= 0) snapshotSlice(endV, 0L, endO.index)
+          else DeltaReader.read(spark, opts.path, Some(endV))
       }
+      // mid-snapshot continuation: the next slice of the pinned list
+      // (an end without an index is the snapshot's completing batch)
+      case (Some(s), false) if s.index >= 0 =>
+        snapshotSlice(s.version, s.index,
+          if (endO.index >= 0) endO.index else Long.MaxValue)
       case (Some(s), false) =>
-        DeltaTail.changes(spark, opts.path, s, endV,
+        DeltaTail.changes(spark, opts.path, s.version, endV,
           opts.ignoreDeletes, opts.skipChangeCommits)
       case (None, true) => startingVersion match {
         case Some(sv) if sv <= endV => DeltaReader.readChanges(spark, opts.path, sv, endV)
         case _ => emptyBatch // start-after-current (or nothing at sv yet)
       }
       case (Some(s), true) =>
-        if (s >= endV) emptyBatch
-        else DeltaReader.readChanges(spark, opts.path, s + 1, endV)
+        if (s.version >= endV) emptyBatch
+        else DeltaReader.readChanges(spark, opts.path, s.version + 1, endV)
     }
     val got = df.schema.map(f => (f.name, f.dataType))
     val want = schema.map(f => (f.name, f.dataType))

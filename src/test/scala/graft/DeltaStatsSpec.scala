@@ -283,6 +283,99 @@ class DeltaStatsSpec extends SparkSpec {
     assert(DeltaStats.prune(spark, snapC.active, "NOT (k IN (7))", snapC).size == 1)
   }
 
+  test("struct leaves get nested stats (delta-spark's shape) and prune on dotted paths") {
+    val dir = tmp("graft_stats_nested_")
+    val df = spark.range(400).selectExpr(
+      "id",
+      "named_struct('x', id * 2, 'tag', concat('t', lpad(CAST(id AS STRING), 4, '0')), " +
+        "'inner', named_struct('y', CAST(id AS DOUBLE))) AS s",
+      "array(id) AS arr",
+      "map('k', id) AS m")
+    LakeWriter.writeDelta(
+      df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val first = snap.active.map(a => om.readTree(a.stats.get))
+      .minBy(_.get("minValues").get("id").asLong())
+    // nested objects, not flat dotted keys
+    assert(first.get("minValues").get("s").get("x").asLong() == 0L, first.toString)
+    assert(first.get("maxValues").get("s").get("x").asLong() == 198L)
+    assert(first.get("maxValues").get("s").get("tag").asText() == "t0099")
+    assert(first.get("minValues").get("s").get("inner").get("y").asDouble() == 0.0)
+    assert(first.get("nullCount").get("s").get("x").asLong() == 0L)
+    // list/map internals carry no row-envelope stats
+    assert(!first.get("minValues").has("arr") && !first.get("minValues").has("m"),
+      first.toString)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    assert(kept("s.x >= 220 AND s.x < 380") == 1)
+    assert(kept("s.x > 10000") == 0)
+    assert(kept("s.tag LIKE 't03%'") == 1)
+    assert(kept("s.inner.y < 100.0") == 1)
+    assert(kept("s.inner.y IS NULL") == 0)
+    // pruned ≡ unpruned, and the checkpoint round-trip keeps pruning
+    assert(DeltaReader.readWhere(spark, dir, "s.x >= 220 AND s.x < 380").count() ==
+      DeltaReader.read(spark, dir).where("s.x >= 220 AND s.x < 380").count())
+    LakeWriter.checkpointDelta(spark, dir, 0L)
+    assert(new java.io.File(dir, "_delta_log/" + "0" * 20 + ".json").delete())
+    val replayed = DeltaReader.snapshot(spark, dir, None)
+    assert(DeltaStats.prune(spark, replayed.active, "s.x > 10000", replayed).isEmpty)
+
+    // the leaf CAP counts depth-first leaves: numIndexedCols=2 indexes
+    // id and s.x only
+    val dir2 = tmp("graft_stats_nested_cap_")
+    LakeWriter.writeDelta(df.coalesce(1), dir2,
+      configuration = Map("delta.dataSkippingNumIndexedCols" -> "2"))
+    val n2 = om.readTree(DeltaReader.snapshot(spark, dir2, None).active.head.stats.get)
+    assert(n2.get("minValues").has("id") && n2.get("minValues").get("s").has("x"))
+    assert(!n2.get("minValues").get("s").has("tag"), n2.toString)
+    // an explicit statsColumns list naming the STRUCT indexes all its leaves
+    val dir3 = tmp("graft_stats_nested_cols_")
+    LakeWriter.writeDelta(df.coalesce(1), dir3,
+      configuration = Map("delta.dataSkippingStatsColumns" -> "s"))
+    val n3 = om.readTree(DeltaReader.snapshot(spark, dir3, None).active.head.stats.get)
+    assert(!n3.get("minValues").has("id"))
+    assert(n3.get("minValues").get("s").has("tag") &&
+      n3.get("minValues").get("s").get("inner").has("y"), n3.toString)
+  }
+
+  test("stats_parsed interop: a struct-only checkpoint (writeStatsAsJson=false) still prunes after replay") {
+    val dir = tmp("graft_stats_parsed_")
+    val df = spark.range(400).selectExpr(
+      "id",
+      "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id*60) AS tn",
+      "concat('v', lpad(CAST(id AS STRING), 4, '0')) AS v",
+      "named_struct('x', id * 2) AS s")
+    LakeWriter.writeDelta(
+      df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")), dir,
+      configuration = Map(
+        "delta.checkpoint.writeStatsAsStruct" -> "true",
+        "delta.checkpoint.writeStatsAsJson" -> "false"))
+    LakeWriter.checkpointDelta(spark, dir, 0L)
+    // the checkpoint parquet carries ONLY the struct form
+    val cpFile = new java.io.File(dir, "_delta_log")
+      .listFiles().filter(_.getName.endsWith(".checkpoint.parquet")).head
+    val cp = spark.read.parquet(cpFile.getPath).where("add IS NOT NULL")
+    assert(cp.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("stats_parsed"))
+    assert(cp.where("add.stats IS NOT NULL").count() == 0L, "JSON form must be absent")
+    assert(cp.where("add.stats_parsed.numRecords = 100").count() == 4L)
+    // force replay THROUGH the checkpoint: the commit json goes away
+    assert(new java.io.File(dir, "_delta_log/" + "0" * 20 + ".json").delete())
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.active.forall(_.stats.isDefined),
+      "stats_parsed must synthesize the JSON form on read")
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    assert(kept("id >= 110 AND id < 160") == 1)
+    assert(kept("tn >= TIMESTAMP_NTZ'2024-01-01 02:00:00' AND " +
+      "tn < TIMESTAMP_NTZ'2024-01-01 03:00:00'") == 1)
+    assert(kept("v LIKE 'v03%'") == 1)
+    assert(kept("s.x > 10000") == 0)
+    assert(kept("id > 10000") == 0)
+    // and the pruned read stays exact
+    assert(DeltaReader.readWhere(spark, dir,
+      "tn >= TIMESTAMP_NTZ'2024-01-01 02:00:00'").count() == 280L)
+  }
+
   test("a decimal beyond double precision prunes exactly (BigDecimal path, no lossy round-trip)") {
     val s = spark
     import s.implicits._

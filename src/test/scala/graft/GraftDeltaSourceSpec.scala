@@ -80,6 +80,70 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("does not match"), e2.getMessage)
   }
 
+  test("maxFilesPerTrigger splits the initial snapshot; restart resumes mid-snapshot without duplication") {
+    val d = freshDir("snapsplit")
+    LakeWriter.writeDelta(base.repartition(5), d)   // 5 files, 40 rows
+
+    // end-to-end: ceil(5/2) = 3 initial batches whose union is the snapshot
+    val cp = freshDir("cp")
+    val (rows, nb) = drain(d, cp, Map("maxFilesPerTrigger" -> "2"))
+    assert(nb == 3, s"expected 3 snapshot batches, got $nb")
+    assert(rows.size == 40 && rows.toSet == batchRows(d).toSet)
+
+    // unit-level offset math: drive the admission API as the engine
+    // does, including a RESTART (fresh source instance) mid-snapshot
+    import graft.streaming.{GraftDeltaSource, GraftDeltaSourceOffset}
+    val lim = GraftDeltaSource.MaxVersions(None, Some(2), None)
+    val src1 = new GraftDeltaSource(spark, GraftDeltaSource.Options(Map("path" -> d)))
+    val o1 = GraftDeltaSourceOffset.of(src1.latestOffset(null, lim))
+    assert(o1.index == 2L, o1.json)
+    // restart: a NEW source resumes from o1 and pins the SAME version
+    val src2 = new GraftDeltaSource(spark, GraftDeltaSource.Options(Map("path" -> d)))
+    val o2 = GraftDeltaSourceOffset.of(src2.latestOffset(o1, lim))
+    assert(o2.version == o1.version && o2.index == 4L, o2.json)
+    // the completing batch drops the index (plain tail form)
+    val o3 = GraftDeltaSourceOffset.of(src2.latestOffset(o2, lim))
+    assert(o3.version == o1.version && o3.index == -1L, o3.json)
+    // drained: no further progress
+    assert(GraftDeltaSourceOffset.of(src2.latestOffset(o3, lim)) == o3)
+    // byte cap: each file rides alone when the budget is below a file
+    val limB = GraftDeltaSource.MaxVersions(None, None, Some(1L))
+    val oB = GraftDeltaSourceOffset.of(src1.latestOffset(null, limB))
+    assert(oB.index == 1L, oB.json)
+    // a pre-r14 checkpoint's plain offset keeps replaying as the tail
+    // position: version-only json parses with index = -1
+    val legacy = GraftDeltaSourceOffset.of(
+      new org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
+        s"""{"version":${o3.version}}"""))
+    assert(legacy.version == o3.version && legacy.index == -1L)
+
+    // end-to-end restart MID-SNAPSHOT: kill the query at batch 1's
+    // start; the restarted query replays exactly that slice and
+    // finishes — union is the snapshot, nothing duplicated, and the
+    // tail picks up an append committed between the runs
+    val d2 = freshDir("snapkill"); val cp2 = freshDir("cp")
+    LakeWriter.writeDelta(base.repartition(5), d2)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    @volatile var killed = false
+    def run(): org.apache.spark.sql.streaming.StreamingQuery =
+      spark.readStream.format("graft-delta").option("maxFilesPerTrigger", "2")
+        .load(d2).writeStream
+        .option("checkpointLocation", cp2)
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, id: Long) =>
+          if (id == 1 && !killed) { killed = true; sys.error("boom") }
+          seen.synchronized { seen ++= df.select("id").collect().map(_.getLong(0)) }
+          ()
+        }
+        .start()
+    val q1 = run()
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException](q1.awaitTermination())
+    LakeWriter.appendDelta(Seq((100L, "e", 1.0)).toDF("id", "k", "v"), d2)
+    val q2 = run(); q2.awaitTermination()
+    assert(seen.size == 41, s"no duplication across the restart: ${seen.size}")
+    assert(seen.toSet == (1L to 40L).toSet + 100L)
+  }
+
   test("append tail: initial snapshot then incremental appends, across restarts") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base.repartition(3), d)
