@@ -647,8 +647,10 @@ object DeltaQueries {
           System.currentTimeMillis() - 40L * 86400000L, -1)
       }
       val deleted = LakeWriter.cleanExpiredLogs(s, d)
-      require(deleted == (0L to 1L).map(v => f"$v%020d.json"),
-        s"cleanup must delete exactly the aged prefix, got $deleted")
+      require(deleted == (0L to 1L).flatMap(v =>
+          Seq(f"$v%020d.crc", f"$v%020d.json")),
+        s"cleanup must delete exactly the aged prefix (commits + their " +
+          s"version checksums), got $deleted")
       val hv = DeltaReader.history(s, d).select($"version").as[Long].collect().toSet
       require(hv == Set(2L, 3L, 4L), s"history must start at the boundary: $hv")
       statusAgg(DeltaReader.read(s, d))

@@ -1484,6 +1484,49 @@ object DeltaReader {
       "minReaderVersion", "minWriterVersion", "readerFeatures", "writerFeatures")
   }
 
+  /** Verify a version's `.crc` checksum against a fresh replay at
+    * that version — delta-spark's on-demand checksum validation.
+    * Compares live file count, live bytes, the metaData facts
+    * (schemaString, partitionColumns, configuration) and the protocol
+    * versions. Returns true when a checksum exists and matches, false
+    * when the version carries no checksum (chains seed at CREATE and
+    * re-seed at checkpoints); a MISMATCH throws loudly — the
+    * fingerprint of a lost commit on a non-atomic store or a
+    * hand-edited log.
+    */
+  def validateChecksum(s: SparkSession, dir: String,
+                       versionAsOf: Option[Long] = None): Boolean = {
+    val snap = snapshot(s, dir, versionAsOf)
+    val log = new Path(new Path(dir), "_delta_log")
+    val fs = log.getFileSystem(s.sessionState.newHadoopConf())
+    val crcPath = new Path(log, f"${snap.version}%020d.crc")
+    if (!fs.exists(crcPath)) return false
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val in = fs.open(crcPath)
+    val crc = try om.readTree(in) finally in.close()
+    val files = snap.active
+    def fail(what: String, want: Any, got: Any): Nothing =
+      throw new IllegalStateException(
+        s"checksum mismatch for $dir at version ${snap.version}: $what — " +
+          s"checksum says $want, replay says $got. A commit was lost or the " +
+          "log was edited; do not trust this table state")
+    if (crc.get("numFiles").asLong() != files.size.toLong)
+      fail("numFiles", crc.get("numFiles").asLong(), files.size)
+    if (crc.get("tableSizeBytes").asLong() != files.map(_.size).sum)
+      fail("tableSizeBytes", crc.get("tableSizeBytes").asLong(), files.map(_.size).sum)
+    val md = crc.get("metadata")
+    if (md != null && md.has("schemaString") &&
+        md.get("schemaString").asText() != snap.schemaJson)
+      fail("metadata.schemaString", md.get("schemaString").asText(), snap.schemaJson)
+    val pr = crc.get("protocol")
+    if (pr != null && (pr.get("minReaderVersion").asLong() != snap.minReader ||
+        pr.get("minWriterVersion").asLong() != snap.minWriter))
+      fail("protocol",
+        s"(${pr.get("minReaderVersion").asLong()},${pr.get("minWriterVersion").asLong()})",
+        s"(${snap.minReader},${snap.minWriter})")
+    true
+  }
+
   /** The version live at `timestampMillis` — delta-spark's
     * `timestampAsOf` rule: the NEWEST commit whose log-file
     * modification time is at or below the timestamp (commit content

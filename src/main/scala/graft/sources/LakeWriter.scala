@@ -236,6 +236,83 @@ object LakeWriter {
     (prefix + s""""operationMetrics":$json,""" + text.stripPrefix(prefix)).getBytes("UTF-8")
   }
 
+  /** Version checksum (`<version>.crc` beside the commit) —
+    * delta-spark's VersionChecksum: table-level facts (live bytes,
+    * live file count, current metaData and protocol) a reader can
+    * verify a replay against without resolving the file list, and the
+    * early-warning signal for a non-atomic store silently losing a
+    * commit. Folded INCREMENTALLY: the previous version's .crc plus
+    * this commit's OWN actions (adds add size/count, removes subtract
+    * via their `size` field, metaData/protocol replace) — O(commit
+    * bytes) driver work, no Spark job, no snapshot resolve. The chain
+    * seeds at version 0 (every graft CREATE) and RE-SEEDS at each
+    * checkpoint (whose author already aggregates the live set), so a
+    * foreign-history table heals at checkpoint cadence. Best-effort by
+    * contract: the commit is durable before this runs, and a checksum
+    * failure (foreign remove without size, absent predecessor) writes
+    * nothing rather than writing a wrong chain.
+    */
+  private[graft] def writeVersionChecksum(fs: org.apache.hadoop.fs.FileSystem,
+                                          commitPath: org.apache.hadoop.fs.Path,
+                                          content: Array[Byte]): Unit = try {
+    val name = commitPath.getName
+    if (!name.matches("\\d{20}\\.json")) return
+    val version = name.take(20).toLong
+    val log = commitPath.getParent
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    var size = 0L
+    var files = 0L
+    var metadata: com.fasterxml.jackson.databind.JsonNode = null
+    var protocol: com.fasterxml.jackson.databind.JsonNode = null
+    if (version > 0) {
+      val prev = new org.apache.hadoop.fs.Path(log, f"${version - 1}%020d.crc")
+      val in = try fs.open(prev) catch { case _: java.io.IOException => return }
+      val prevN = try om.readTree(in) finally in.close()
+      size = prevN.get("tableSizeBytes").asLong()
+      files = prevN.get("numFiles").asLong()
+      metadata = prevN.get("metadata")
+      protocol = prevN.get("protocol")
+    }
+    new String(content, "UTF-8").linesIterator.foreach { line =>
+      if (line.startsWith("""{"add"""")) {
+        val a = om.readTree(line).get("add")
+        files += 1
+        size += (if (a.has("size") && !a.get("size").isNull) a.get("size").asLong() else 0L)
+      } else if (line.startsWith("""{"remove"""")) {
+        val r = om.readTree(line).get("remove")
+        files -= 1
+        // a remove without size makes the byte chain unfoldable —
+        // write nothing (the checkpoint re-seed will heal it)
+        if (!r.has("size") || r.get("size").isNull)
+          throw new IllegalStateException("unfoldable")
+        size -= r.get("size").asLong()
+      } else if (line.startsWith("""{"metaData""""))
+        metadata = om.readTree(line).get("metaData")
+      else if (line.startsWith("""{"protocol""""))
+        protocol = om.readTree(line).get("protocol")
+    }
+    if (metadata == null || protocol == null || files < 0 || size < 0) return
+    writeCrcFile(fs, log, version, size, files, metadata, protocol, om)
+  } catch { case scala.util.control.NonFatal(_) => () }
+
+  private[graft] def writeCrcFile(fs: org.apache.hadoop.fs.FileSystem,
+                                  log: org.apache.hadoop.fs.Path, version: Long,
+                                  size: Long, files: Long,
+                                  metadata: com.fasterxml.jackson.databind.JsonNode,
+                                  protocol: com.fasterxml.jackson.databind.JsonNode,
+                                  om: com.fasterxml.jackson.databind.ObjectMapper): Unit = {
+    val root = om.createObjectNode()
+    root.put("tableSizeBytes", size)
+    root.put("numFiles", files)
+    root.put("numMetadata", 1L)
+    root.put("numProtocol", 1L)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("metadata", metadata)
+    root.set[com.fasterxml.jackson.databind.JsonNode]("protocol", protocol)
+    // deterministic content — overwrite is safe, no arbitration needed
+    val out = fs.create(new org.apache.hadoop.fs.Path(log, f"$version%020d.crc"), true)
+    try out.write(om.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
+  }
+
   /** Oldest retained version stamped at or after `cutoffMillis` — the
     * VACUUM RETAIN n HOURS horizon on an in-commit-timestamp table.
     * When every retained commit is older than the cutoff the latest
@@ -1539,7 +1616,7 @@ object LakeWriter {
         stageCdc(all, dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
-      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols, txn = txn,
@@ -1651,7 +1728,7 @@ object LakeWriter {
         stageCdc(all, dir, snap.version + 1, stagePartCols)
       }
     val removes = snap.active.map { a =>
-      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval, partCols = stagePartCols, txn = txn,
@@ -2242,10 +2319,13 @@ object LakeWriter {
     while (!committed) {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
       val effIctConf = if (ictEnabled(ictConf)) ictConf else configuration
-      val won = logStore.writeIfAbsent(fs, commit, ictStampContent(spark, fs, commit,
-        effIctConf, injectOperationMetrics(render(v).mkString("\n").getBytes("UTF-8"))))
-      if (won) committed = true
-      else {
+      val stamped = ictStampContent(spark, fs, commit,
+        effIctConf, injectOperationMetrics(render(v).mkString("\n").getBytes("UTF-8")))
+      val won = logStore.writeIfAbsent(fs, commit, stamped)
+      if (won) {
+        committed = true
+        writeVersionChecksum(fs, commit, stamped)
+      } else {
         val e = new java.io.IOException(s"commit $commit already exists")
         val newest = newestCommitVersion(fs, log)
         if (!rebaseable || newest < v)
@@ -2428,7 +2508,8 @@ object LakeWriter {
       .maxOption.getOrElse(return Nil)
     val victims = entries.filter { st =>
       val n = st.getPath.getName
-      if (n.matches("\\d{20}\\.json") || n.matches("\\d{20}\\.checkpoint([._].*)?\\.parquet") ||
+      if (n.matches("\\d{20}\\.json") || n.matches("\\d{20}\\.crc") ||
+          n.matches("\\d{20}\\.checkpoint([._].*)?\\.parquet") ||
           n.matches("\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.json"))
         n.take(20).toLong < k
       else if (n.matches("\\d{20}\\.\\d{20}\\.compacted\\.json"))
@@ -2948,7 +3029,7 @@ object LakeWriter {
         actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false$statsJson$rtJson}}"""
       }
       files.foreach { f =>
-        actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"dataChange":false}}"""
+        actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"size":${f.size},"dataChange":false}}"""
       }
     }
     if (rt) actions += RowTracking.watermarkAction(nextRowId - 1)
@@ -2972,10 +3053,11 @@ object LakeWriter {
     var committed = false
     while (!committed) {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
-      if (store.writeIfAbsent(fs, commit,
-          ictStampContent(spark, fs, commit, snap.configuration,
-            injectOperationMetrics(content)))) {
+      val stamped = ictStampContent(spark, fs, commit, snap.configuration,
+        injectOperationMetrics(content))
+      if (store.writeIfAbsent(fs, commit, stamped)) {
         committed = true
+        writeVersionChecksum(fs, commit, stamped)
         maybeCheckpointAtProperty(spark, commit, snap.configuration)
       } else {
         def refuse(extra: String): Nothing = throw new IllegalStateException(
@@ -3279,7 +3361,7 @@ object LakeWriter {
         stageCdc(physCdc, dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
-      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
@@ -3538,7 +3620,7 @@ object LakeWriter {
     dvFeatureUpgrade(snap, cm).foreach(actions += _)
     val ordered = affected.sortBy(_.path)
     ordered.foreach { a =>
-      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     ordered.foreach { a =>
       val pl = placed(absPath(a))
@@ -3722,7 +3804,7 @@ object LakeWriter {
     dvFeatureUpgrade(snap, cm).foreach(actions += _)
     val ordered = affected.sortBy(_.path)
     ordered.foreach { a =>
-      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     ordered.foreach { a =>
       val pl = placed(absPath(a))
@@ -3955,7 +4037,7 @@ object LakeWriter {
     }
     val ordered = affected.sortBy(_.path)
     ordered.foreach { a =>
-      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     ordered.foreach { a =>
       val pl = placed(absPath(a))
@@ -4401,7 +4483,7 @@ object LakeWriter {
       }
     val removesFiles = if (rewriteNeeded) affected else Nil
     val removes = removesFiles.map { a =>
-      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = schemaGrew,
       checkpointInterval = 0, partCols = stagePartCols, txn = txn,
@@ -4522,7 +4604,7 @@ object LakeWriter {
         stageCdc(pre.unionByName(post), dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
-      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":true}}"""
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = stagePartCols,
@@ -5063,7 +5145,7 @@ object LakeWriter {
         .drop("__z")
     }.reduce(_ unionByName _)
     val removes = active.sortBy(_.path).map { a =>
-      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"dataChange":false}}"""
+      s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":false}}"""
     }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false,
       checkpointInterval = 0, partCols = snap.partCols,
@@ -5222,7 +5304,7 @@ object LakeWriter {
     val actions = scala.collection.mutable.ArrayBuffer.empty[String]
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"RESTORE","operationParameters":{},"readVersion":${cur.version},"engineInfo":"graft"}}"""
     removes.sortBy(_.path).foreach { a =>
-      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"dataChange":true}}"""
+      actions += s"""{"remove":{"path":${om.writeValueAsString(a.path)},"deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
     }
     readds.sortBy(_.path).foreach { a =>
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
@@ -5760,7 +5842,45 @@ object LakeWriter {
       }
     }
     fs.delete(scratch, true)
-    val nActions = scalarRows.size + snap.activeDf(spark).count()
+    // ONE aggregation serves the hint's action count AND the version
+    // checksum's (numFiles, tableSizeBytes) — re-seeding the .crc
+    // chain here heals tables whose incremental chain broke (foreign
+    // commits, cloned history) at checkpoint cadence
+    val (nLive, liveBytes) = {
+      val r = snap.activeDf(spark).agg(
+        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+        org.apache.spark.sql.functions.coalesce(
+          org.apache.spark.sql.functions.sum("size"),
+          org.apache.spark.sql.functions.lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    locally {
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val crc = new org.apache.hadoop.fs.Path(log, f"$version%020d.crc")
+      if (!fs.exists(crc)) try {
+        val confJson = om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+          new java.util.TreeMap[String, String](
+            scala.jdk.CollectionConverters.MapHasAsJava(snap.configuration).asJava))
+        val md = om.createObjectNode()
+        md.put("id", snap.metaId.getOrElse(
+          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString))
+        md.put("schemaString", snap.schemaJson)
+        md.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns",
+          om.valueToTree(scala.jdk.CollectionConverters.SeqHasAsJava(snap.partCols).asJava))
+        md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confJson)
+        val pr = om.createObjectNode()
+        pr.put("minReaderVersion", snap.minReader)
+        pr.put("minWriterVersion", snap.minWriter)
+        if (snap.minReader >= 3) pr.set[com.fasterxml.jackson.databind.JsonNode](
+          "readerFeatures", om.valueToTree(
+            scala.jdk.CollectionConverters.SeqHasAsJava(snap.readerFeatures.toSeq.sorted).asJava))
+        if (snap.minWriter >= 7) pr.set[com.fasterxml.jackson.databind.JsonNode](
+          "writerFeatures", om.valueToTree(
+            scala.jdk.CollectionConverters.SeqHasAsJava(snap.writerFeatures.toSeq.sorted).asJava))
+        writeCrcFile(fs, log, version, liveBytes, nLive, md, pr, om)
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
+    val nActions = scalarRows.size + nLive
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
     // multi-part hints carry "parts" (delta-spark's form) so real

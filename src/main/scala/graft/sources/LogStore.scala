@@ -126,6 +126,9 @@ object GraftLogStore {
     if (!store.writeIfAbsent(fs, path, stamped))
       throw new IllegalStateException(
         s"Delta commit $path already exists — a concurrent writer won; $retryHint")
+    // version checksum rides every commit (best-effort: the commit
+    // above is durable; a failed .crc writes nothing)
+    LakeWriter.writeVersionChecksum(fs, path, stamped)
     // `delta.checkpointInterval` cadence rides EVERY commit through
     // this funnel (mutations, DV ops, merges, protocol changes), not
     // just appends — a mutation-heavy table must bound its replay

@@ -44,7 +44,8 @@ class DeltaLogCleanSpec extends SparkSpec {
     val day = 86400000L
     (0L to 3L).foreach(age(dir, _, 40 * day))
     val deleted = LakeWriter.cleanExpiredLogs(spark, dir)
-    assert(deleted == (0L to 3L).map(v => f"$v%020d.json"), deleted.toString)
+    assert(deleted == (0L to 3L).flatMap(v =>
+      Seq(f"$v%020d.crc", f"$v%020d.json")), deleted.toString)
     val (log, fs) = logFs(dir)
     val names = fs.listStatus(log).map(_.getPath.getName).toSet
     assert(!names.contains(f"${0L}%020d.json") && names.contains(f"${4L}%020d.json"))
@@ -129,7 +130,8 @@ class DeltaLogCleanSpec extends SparkSpec {
     LakeWriter.checkpointDeltaV2(spark, v2, 2L)
     (0L to 1L).foreach(age(v2, _, 40 * 86400000L))
     val deleted = LakeWriter.cleanExpiredLogs(spark, v2)
-    assert(deleted == Seq(f"${0L}%020d.json", f"${1L}%020d.json"), deleted.toString)
+    assert(deleted == Seq(f"${0L}%020d.crc", f"${0L}%020d.json",
+      f"${1L}%020d.crc", f"${1L}%020d.json"), deleted.toString)
     assert(DeltaReader.read(spark, v2).count() == 16L)
     assert(DeltaReader.read(spark, v2, versionAsOf = Some(2L)).count() == 12L)
   }
