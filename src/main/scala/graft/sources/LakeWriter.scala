@@ -313,6 +313,101 @@ object LakeWriter {
     try out.write(om.writeValueAsString(root).getBytes("UTF-8")) finally out.close()
   }
 
+  /** `delta.checkpoint.writeStatsAsStruct`: the typed per-leaf
+    * `stats_parsed` schema — the table schema restricted to skippable
+    * leaves — or None when the property is off.
+    */
+  private[graft] def statsParsedSchemaOf(conf: Map[String, String],
+                                         schemaJson: String)
+      : Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    if (!conf.get("delta.checkpoint.writeStatsAsStruct").contains("true")) None
+    else {
+      def prunable(st: StructType): StructType = StructType(st.fields.flatMap { f =>
+        f.dataType match {
+          case s: StructType =>
+            val inner = prunable(s)
+            if (inner.isEmpty) None else Some(StructField(f.name, inner))
+          case dt @ (LongType | IntegerType | ShortType | ByteType | DoubleType |
+                     FloatType | BooleanType | StringType | DateType |
+                     TimestampType | TimestampNTZType | _: DecimalType) =>
+            Some(StructField(f.name, dt))
+          case _ => None
+        }
+      })
+      def longs(st: StructType): StructType = StructType(st.fields.map { f =>
+        f.dataType match {
+          case s: StructType => StructField(f.name, longs(s))
+          case _ => StructField(f.name, LongType)
+        }
+      })
+      val tbl = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[StructType]
+      val mins = prunable(tbl)
+      Some(StructType(Seq(
+        StructField("numRecords", LongType),
+        StructField("minValues", mins),
+        StructField("maxValues", mins),
+        StructField("nullCount", longs(mins)))))
+    }
+  }
+
+  /** `add.stats_parsed` column for a checkpoint author: the JSON stats
+    * parsed into the typed struct (explicit micros formats so temporal
+    * bounds round-trip losslessly).
+    */
+  private[graft] def statsParsedColumn(sps: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.from_json(
+      org.apache.spark.sql.functions.col("stats"), sps, Map(
+        "timeZone" -> "UTC",
+        "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
+        "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
+      .as("stats_parsed")
+
+  /** Re-seed the version-checksum chain at a checkpoint: ONE
+    * aggregation over the live set (which the checkpoint author needs
+    * counted anyway) yields (numFiles, tableSizeBytes); writes the
+    * .crc if absent. Returns the counts for the author's own use.
+    */
+  private[graft] def reseedChecksum(spark: SparkSession,
+                                    fs: org.apache.hadoop.fs.FileSystem,
+                                    log: org.apache.hadoop.fs.Path, dir: String,
+                                    snap: DeltaReader.Snapshot, version: Long)
+      : (Long, Long) = {
+    val r = snap.activeDf(spark).agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.sum("size"),
+        org.apache.spark.sql.functions.lit(0L))).head()
+    val (nLive, liveBytes) = (r.getLong(0), r.getLong(1))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val crc = new org.apache.hadoop.fs.Path(log, f"$version%020d.crc")
+    if (!fs.exists(crc)) try {
+      val md = om.createObjectNode()
+      md.put("id", snap.metaId.getOrElse(
+        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString))
+      md.put("schemaString", snap.schemaJson)
+      md.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns",
+        om.valueToTree(scala.jdk.CollectionConverters.SeqHasAsJava(snap.partCols).asJava))
+      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration",
+        om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+          new java.util.TreeMap[String, String](
+            scala.jdk.CollectionConverters.MapHasAsJava(snap.configuration).asJava)))
+      val pr = om.createObjectNode()
+      pr.put("minReaderVersion", snap.minReader)
+      pr.put("minWriterVersion", snap.minWriter)
+      if (snap.minReader >= 3) pr.set[com.fasterxml.jackson.databind.JsonNode](
+        "readerFeatures", om.valueToTree(
+          scala.jdk.CollectionConverters.SeqHasAsJava(snap.readerFeatures.toSeq.sorted).asJava))
+      if (snap.minWriter >= 7) pr.set[com.fasterxml.jackson.databind.JsonNode](
+        "writerFeatures", om.valueToTree(
+          scala.jdk.CollectionConverters.SeqHasAsJava(snap.writerFeatures.toSeq.sorted).asJava))
+      writeCrcFile(fs, log, version, liveBytes, nLive, md, pr, om)
+    } catch { case scala.util.control.NonFatal(_) => () }
+    (nLive, liveBytes)
+  }
+
   /** Oldest retained version stamped at or after `cutoffMillis` — the
     * VACUUM RETAIN n HOURS horizon on an in-commit-timestamp table.
     * When every retained commit is older than the cutoff the latest
@@ -5643,36 +5738,7 @@ object LakeWriter {
     // JSON field, delta-spark's struct-only layout. The struct's shape
     // is the table schema restricted to skippable leaves.
     val statsParsedSchema: Option[StructType] =
-      if (!snap.configuration.get("delta.checkpoint.writeStatsAsStruct").contains("true"))
-        None
-      else {
-        def prunable(st: StructType): StructType = StructType(st.fields.flatMap { f =>
-          f.dataType match {
-            case s: StructType =>
-              val inner = prunable(s)
-              if (inner.isEmpty) None else Some(StructField(f.name, inner))
-            case dt @ (LongType | IntegerType | ShortType | ByteType | DoubleType |
-                       FloatType | BooleanType | StringType | DateType |
-                       TimestampType | TimestampNTZType | _: DecimalType) =>
-              Some(StructField(f.name, dt))
-            case _ => None
-          }
-        })
-        def longs(st: StructType): StructType = StructType(st.fields.map { f =>
-          f.dataType match {
-            case s: StructType => StructField(f.name, longs(s))
-            case _ => StructField(f.name, LongType)
-          }
-        })
-        val tbl = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
-          .asInstanceOf[StructType]
-        val mins = prunable(tbl)
-        Some(StructType(Seq(
-          StructField("numRecords", LongType),
-          StructField("minValues", mins),
-          StructField("maxValues", mins),
-          StructField("nullCount", longs(mins)))))
-      }
+      statsParsedSchemaOf(snap.configuration, snap.schemaJson)
     val writeStatsJson =
       !snap.configuration.get("delta.checkpoint.writeStatsAsJson").contains("false") ||
         statsParsedSchema.isEmpty  // never drop BOTH forms
@@ -5796,12 +5862,7 @@ object LakeWriter {
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
         (if (writeStatsJson) c("stats") else l(null).cast(StringType)).as("stats")) ++
-        statsParsedSchema.map(sps =>
-          org.apache.spark.sql.functions.from_json(c("stats"), sps, Map(
-            "timeZone" -> "UTC",
-            "timestampFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX",
-            "timestampNTZFormat" -> "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"))
-            .as("stats_parsed")).toSeq ++
+        statsParsedSchema.map(statsParsedColumn).toSeq ++
         Seq(c("brid").as("baseRowId"),
           c("drcv").as("defaultRowCommitVersion"),
           c("clp").as("clusteringProvider"))): _*).cast(addT).as("add"),
@@ -5846,40 +5907,7 @@ object LakeWriter {
     // checksum's (numFiles, tableSizeBytes) — re-seeding the .crc
     // chain here heals tables whose incremental chain broke (foreign
     // commits, cloned history) at checkpoint cadence
-    val (nLive, liveBytes) = {
-      val r = snap.activeDf(spark).agg(
-        org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
-        org.apache.spark.sql.functions.coalesce(
-          org.apache.spark.sql.functions.sum("size"),
-          org.apache.spark.sql.functions.lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
-    }
-    locally {
-      val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      val crc = new org.apache.hadoop.fs.Path(log, f"$version%020d.crc")
-      if (!fs.exists(crc)) try {
-        val confJson = om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
-          new java.util.TreeMap[String, String](
-            scala.jdk.CollectionConverters.MapHasAsJava(snap.configuration).asJava))
-        val md = om.createObjectNode()
-        md.put("id", snap.metaId.getOrElse(
-          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString))
-        md.put("schemaString", snap.schemaJson)
-        md.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns",
-          om.valueToTree(scala.jdk.CollectionConverters.SeqHasAsJava(snap.partCols).asJava))
-        md.set[com.fasterxml.jackson.databind.JsonNode]("configuration", confJson)
-        val pr = om.createObjectNode()
-        pr.put("minReaderVersion", snap.minReader)
-        pr.put("minWriterVersion", snap.minWriter)
-        if (snap.minReader >= 3) pr.set[com.fasterxml.jackson.databind.JsonNode](
-          "readerFeatures", om.valueToTree(
-            scala.jdk.CollectionConverters.SeqHasAsJava(snap.readerFeatures.toSeq.sorted).asJava))
-        if (snap.minWriter >= 7) pr.set[com.fasterxml.jackson.databind.JsonNode](
-          "writerFeatures", om.valueToTree(
-            scala.jdk.CollectionConverters.SeqHasAsJava(snap.writerFeatures.toSeq.sorted).asJava))
-        writeCrcFile(fs, log, version, liveBytes, nLive, md, pr, om)
-      } catch { case scala.util.control.NonFatal(_) => () }
-    }
+    val (nLive, _) = reseedChecksum(spark, fs, log, dir, snap, version)
     val nActions = scalarRows.size + nLive
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
@@ -5935,14 +5963,22 @@ object LakeWriter {
         StructField("offset", IntegerType),
         StructField("sizeInBytes", IntegerType),
         StructField("cardinality", LongType)))),
-      StructField("stats", StringType),
+      StructField("stats", StringType)) ++
+      (statsParsedSchemaOf(snap.configuration, snap.schemaJson) match {
+        case Some(sps) => Seq(StructField("stats_parsed", sps))
+        case None => Nil
+      }) ++ Seq(
       StructField("baseRowId", LongType),
       StructField("defaultRowCommitVersion", LongType),
       StructField("clusteringProvider", StringType)))
+    val v2StatsParsed = statsParsedSchemaOf(snap.configuration, snap.schemaJson)
+    val v2WriteJson =
+      !snap.configuration.get("delta.checkpoint.writeStatsAsJson").contains("false") ||
+        v2StatsParsed.isEmpty
     // sidecars: the distributed live-set plan, one `add` column
     import org.apache.spark.sql.functions.{coalesce => cls, col => c, lit => l, struct => st, when}
     val addsDf = snap.activeDf(spark).select(
-      st(
+      st((Seq(
         c("path"),
         cls(c("pv"), org.apache.spark.sql.functions.map()).as("partitionValues"),
         cls(c("size"), l(0L)).as("size"),
@@ -5952,9 +5988,11 @@ object LakeWriter {
           c("dv_st").as("storageType"), c("dv_p").as("pathOrInlineDv"),
           c("dv_off").as("offset"), c("dv_sz").as("sizeInBytes"),
           c("dv_card").as("cardinality"))).as("deletionVector"),
-        c("stats"), c("brid").as("baseRowId"),
-        c("drcv").as("defaultRowCommitVersion"),
-        c("clp").as("clusteringProvider")).cast(addT).as("add"))
+        (if (v2WriteJson) c("stats") else l(null).cast(StringType)).as("stats")) ++
+        v2StatsParsed.map(statsParsedColumn).toSeq ++
+        Seq(c("brid").as("baseRowId"),
+          c("drcv").as("defaultRowCommitVersion"),
+          c("clp").as("clusteringProvider"))): _*).cast(addT).as("add"))
     val sidecarDir = new org.apache.hadoop.fs.Path(log, "_sidecars")
     fs.mkdirs(sidecarDir)
     val scratch = new org.apache.hadoop.fs.Path(log,
@@ -6031,6 +6069,9 @@ object LakeWriter {
       f"$version%020d.checkpoint.$uid.parquet")
     require(fs.rename(mPart.head, mDest), s"rename ${mPart.head} -> $mDest failed")
     fs.delete(mScratch, true)
+    // the v2 author re-seeds the checksum chain too (same healing
+    // contract as the classic form)
+    reseedChecksum(spark, fs, log, dir, snap, version)
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
     try out.write(s"""{"version":$version,"size":${mRows.size}}""".getBytes("UTF-8"))

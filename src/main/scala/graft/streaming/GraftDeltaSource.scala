@@ -631,10 +631,18 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
           val adds = DeltaReader.commitActions(spark, opts.path, end + 1).collect {
             case (Right(af), _) => af
           }
-          val nb = adds.map(_.size).sum
+          // a CDF version's read payload is its cdc files when the
+          // writer staged them — budget what will actually be scanned
+          val payload =
+            if (!opts.cdf) adds
+            else {
+              val cdc = DeltaReader.commitCdc(spark, opts.path, end + 1)
+              if (cdc.nonEmpty) cdc else adds
+            }
+          val nb = payload.map(_.size).sum
           if (end > s && (capB.exists(accB + nb > _) ||
-              capF.exists(f => accF + adds.size > f.toLong))) full = true
-          else { end += 1; accB += nb; accF += adds.size }
+              capF.exists(f => accF + payload.size > f.toLong))) full = true
+          else { end += 1; accB += nb; accF += payload.size }
         }
         end
       }

@@ -374,6 +374,21 @@ class DeltaStatsSpec extends SparkSpec {
     // and the pruned read stays exact
     assert(DeltaReader.readWhere(spark, dir,
       "tn >= TIMESTAMP_NTZ'2024-01-01 02:00:00'").count() == 280L)
+
+    // the V2 author honors the same properties: a struct-only v2
+    // checkpoint (manifest + sidecars) replays and still prunes
+    val d2 = tmp("graft_stats_parsed_v2_")
+    LakeWriter.writeDelta(
+      df.repartitionByRange(4, org.apache.spark.sql.functions.col("id")), d2,
+      configuration = Map(
+        "delta.checkpoint.writeStatsAsStruct" -> "true",
+        "delta.checkpoint.writeStatsAsJson" -> "false"))
+    LakeWriter.checkpointDeltaV2(spark, d2, 0L)
+    assert(new java.io.File(d2, "_delta_log/" + "0" * 20 + ".json").delete())
+    val snap2 = DeltaReader.snapshot(spark, d2, None)
+    assert(snap2.active.forall(_.stats.isDefined))
+    assert(DeltaStats.prune(spark, snap2.active, "id >= 110 AND id < 160", snap2).size == 1)
+    assert(DeltaReader.readWhere(spark, d2, "v LIKE 'v03%'").count() == 100L)
   }
 
   test("a decimal beyond double precision prunes exactly (BigDecimal path, no lossy round-trip)") {
