@@ -1502,8 +1502,17 @@ object DeltaReader {
     val crcPath = new Path(log, f"${snap.version}%020d.crc")
     if (!fs.exists(crcPath)) return false
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val in = fs.open(crcPath)
-    val crc = try om.readTree(in) finally in.close()
+    // a truncated / unparseable / field-incomplete .crc (a crash
+    // mid-write, a foreign shape) is NOT table corruption — it is an
+    // unusable checksum, and answers false like a missing one
+    val crc =
+      try {
+        val in = fs.open(crcPath)
+        try om.readTree(in) finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => return false }
+    if (crc == null || !crc.isObject ||
+        !crc.hasNonNull("numFiles") || !crc.hasNonNull("tableSizeBytes"))
+      return false
     val files = snap.active
     def fail(what: String, want: Any, got: Any): Nothing =
       throw new IllegalStateException(
@@ -1518,9 +1527,28 @@ object DeltaReader {
     if (md != null && md.has("schemaString") &&
         md.get("schemaString").asText() != snap.schemaJson)
       fail("metadata.schemaString", md.get("schemaString").asText(), snap.schemaJson)
+    if (md != null && md.hasNonNull("partitionColumns")) {
+      val pcs = (0 until md.get("partitionColumns").size())
+        .map(md.get("partitionColumns").get(_).asText())
+      if (pcs != snap.partCols)
+        fail("metadata.partitionColumns", pcs.mkString(","), snap.partCols.mkString(","))
+    }
+    if (md != null && md.hasNonNull("configuration")) {
+      val b = Map.newBuilder[String, String]
+      val it = md.get("configuration").fields()
+      while (it.hasNext) {
+        val e = it.next()
+        b += e.getKey -> (if (e.getValue.isNull) null else e.getValue.asText())
+      }
+      val conf = b.result()
+      if (conf != snap.configuration)
+        fail("metadata.configuration", conf.toSeq.sorted.mkString(";"),
+          snap.configuration.toSeq.sorted.mkString(";"))
+    }
     val pr = crc.get("protocol")
-    if (pr != null && (pr.get("minReaderVersion").asLong() != snap.minReader ||
-        pr.get("minWriterVersion").asLong() != snap.minWriter))
+    if (pr != null && pr.hasNonNull("minReaderVersion") &&
+        (pr.get("minReaderVersion").asLong() != snap.minReader ||
+          pr.get("minWriterVersion").asLong() != snap.minWriter))
       fail("protocol",
         s"(${pr.get("minReaderVersion").asLong()},${pr.get("minWriterVersion").asLong()})",
         s"(${snap.minReader},${snap.minWriter})")

@@ -79,14 +79,19 @@ object DeltaStats {
                            schema: org.apache.spark.sql.types.StructType,
                            what: String): Unit =
     statsColumnsOf(tableConf).foreach(_.foreach { name =>
+      def eq(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
       def resolves(parts: List[String],
                    dt: org.apache.spark.sql.types.DataType): Boolean = (parts, dt) match {
         case (Nil, _) => true
         case (h :: t, st: org.apache.spark.sql.types.StructType) =>
-          st.fields.find(_.name == h).exists(f => resolves(t, f.dataType))
+          st.fields.find(f => eq(f.name, h)).exists(f => resolves(t, f.dataType))
         case _ => false
       }
-      require(resolves(name.split('.').toList, schema),
+      // a literal top-level name (dots included) wins over dotted
+      // struct resolution; names compare CASE-INSENSITIVELY (Spark's
+      // default resolution — delta-spark accepts either spelling)
+      require(schema.fields.exists(f => eq(f.name, name)) ||
+          resolves(name.split('.').toList, schema),
         s"$what: delta.dataSkippingStatsColumns names '$name' which is not a " +
           s"column of the table schema (${schema.fieldNames.mkString(", ")}) — " +
           "stats for it would silently never be collected")
@@ -144,10 +149,17 @@ object DeltaStats {
         val indexed: String => Boolean = statsColumns match {
           // the explicit list REPLACES the prefix rule (delta-spark's
           // dataSkippingStatsColumns precedence); naming a struct
-          // includes all its leaves; identity columns still ride over
-          // it — their watermark needs the bounds
-          case Some(cols) => p => cols.contains(p) || alwaysInclude.contains(p) ||
-            cols.exists(c => p.startsWith(c + "."))
+          // includes all its leaves; names match CASE-INSENSITIVELY
+          // (Spark's resolution — the validated config must also
+          // COLLECT, whatever case the user typed); identity columns
+          // still ride over it — their watermark needs the bounds
+          case Some(cols) =>
+            val lower = cols.map(_.toLowerCase(java.util.Locale.ROOT))
+            p => {
+              val pl = p.toLowerCase(java.util.Locale.ROOT)
+              lower.contains(pl) || alwaysInclude.contains(p) ||
+                lower.exists(c => pl.startsWith(c + "."))
+            }
           case None =>
             if (numIndexedCols < 0) _ => true
             else {
@@ -555,7 +567,9 @@ object DeltaStats {
         // Spark's cast resolves a zoneless string in the SESSION zone
         text.flatMap(parseTsString(_, zone)).orNull
       case (StringType, Some(TimestampNTZType)) =>
-        text.flatMap(parseTsString(_, java.time.ZoneOffset.UTC)).orNull
+        // NTZ cast IGNORES an explicit offset and keeps the wall clock
+        text.flatMap(parseTsString(_, java.time.ZoneOffset.UTC,
+          wallClock = true)).orNull
       case (dt: DecimalType, Some(_: DecimalType)) => l.value match {
         case d: org.apache.spark.sql.types.Decimal => d.toJavaBigDecimal
         case _ => null
@@ -583,15 +597,24 @@ object DeltaStats {
   /** A timestamp string in any of the forms Spark's cast accepts for
     * the common cases — 'yyyy-MM-dd', 'yyyy-MM-dd HH:mm:ss[.f…]',
     * the ISO T-form, with or without an explicit offset — to epoch
-    * micros (zoneless strings resolve in `zone`). None = unparseable
-    * here (Spark may still cast it; the caller answers may-match).
+    * micros (zoneless strings resolve in `zone`). `wallClock` = the
+    * TIMESTAMP_NTZ cast rule: an explicit offset in the string is
+    * IGNORED and the wall-clock datetime is kept (Spark's
+    * stringToTimestampWithoutTimeZone) — honoring the offset there
+    * would shift the value and wrongly prune files holding matching
+    * rows. None = unparseable here (Spark may still cast it; the
+    * caller answers may-match).
     */
-  private def parseTsString(s0: String, zone: java.time.ZoneId): Option[Long] = {
+  private def parseTsString(s0: String, zone: java.time.ZoneId,
+                            wallClock: Boolean = false): Option[Long] = {
     val s = s0.trim.replace(' ', 'T')
     try {
       val inst =
-        try java.time.OffsetDateTime.parse(s).toInstant
-        catch {
+        try {
+          val odt = java.time.OffsetDateTime.parse(s)
+          if (wallClock) odt.toLocalDateTime.atZone(zone).toInstant
+          else odt.toInstant
+        } catch {
           case _: java.time.format.DateTimeParseException =>
             val ldt =
               if (s.contains("T")) java.time.LocalDateTime.parse(s)
@@ -609,9 +632,10 @@ object DeltaStats {
     * precision gap (10^(6-digits)-1 µs) so pruning stays sound against
     * it; min needs nothing (truncation only lowers it).
     */
-  private[graft] def parseTsBound(text0: String, widenMax: Boolean): Option[Long] = {
+  private[graft] def parseTsBound(text0: String, widenMax: Boolean,
+                                  wallClock: Boolean = false): Option[Long] = {
     val text = text0.trim
-    val base = parseTsString(text, java.time.ZoneOffset.UTC)
+    val base = parseTsString(text, java.time.ZoneOffset.UTC, wallClock)
     base.map { us =>
       if (!widenMax) us
       else {
@@ -651,9 +675,15 @@ object DeltaStats {
         else try java.lang.Long.valueOf(
           java.time.LocalDate.parse(node.asText().trim).toEpochDay)
         catch { case scala.util.control.NonFatal(_) => null }
-      case Some(TimestampType | TimestampNTZType) =>
+      case Some(TimestampType) =>
         if (!node.isTextual) null
         else parseTsBound(node.asText(), widenMax = isMax).map(Long.box).orNull
+      case Some(TimestampNTZType) =>
+        // an NTZ bound is a wall clock; a (nonstandard) offset suffix
+        // must not shift it
+        if (!node.isTextual) null
+        else parseTsBound(node.asText(), widenMax = isMax, wallClock = true)
+          .map(Long.box).orNull
       case Some(_: DecimalType) =>
         if (node.isNumber) node.decimalValue() else null
       case Some(StringType) => if (node.isTextual) node.asText() else null
@@ -679,7 +709,8 @@ object DeltaStats {
         catch { case scala.util.control.NonFatal(_) => null }
       case Some(TimestampType) => parseTsString(sv, zone).map(Long.box).orNull
       case Some(TimestampNTZType) =>
-        parseTsString(sv, java.time.ZoneOffset.UTC).map(Long.box).orNull
+        parseTsString(sv, java.time.ZoneOffset.UTC, wallClock = true)
+          .map(Long.box).orNull
       case Some(_: DecimalType) =>
         try new java.math.BigDecimal(sv.trim)
         catch { case scala.util.control.NonFatal(_) => null }

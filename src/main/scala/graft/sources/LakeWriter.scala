@@ -186,11 +186,13 @@ object LakeWriter {
   private[graft] def injectOperationMetrics(content: Array[Byte]): Array[Byte] = {
     val text = new String(content, "UTF-8")
     val prefix = """{"commitInfo":{"""
+    val firstLine = text.linesIterator.next()
     if (!text.startsWith(prefix) ||
-        text.linesIterator.next().contains("\"operationMetrics\":")) return content
+        firstLine.contains("\"operationMetrics\":")) return content
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val operation =
-      Option(om.readTree(text.linesIterator.next()).get("commitInfo"))
+    // parsed lazily: metadata-only commits return before ever needing it
+    lazy val operation =
+      Option(om.readTree(firstLine).get("commitInfo"))
         .flatMap(ci => Option(ci.get("operation"))).map(_.asText()).getOrElse("")
     var addN = 0L; var addB = 0L; var remN = 0L; var cdcN = 0L; var cdcB = 0L
     var rows = 0L; var rowsKnown = true
@@ -323,15 +325,23 @@ object LakeWriter {
     import org.apache.spark.sql.types._
     if (!conf.get("delta.checkpoint.writeStatsAsStruct").contains("true")) None
     else {
+      // stats JSON is keyed by the files' PHYSICAL names — on a
+      // column-mapped table the struct fields must be physical too, or
+      // from_json parses every bound to null (and delta-spark, which
+      // keys stats_parsed physically, couldn't read ours)
+      def physName(f: StructField): String =
+        if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName")
+        else f.name
       def prunable(st: StructType): StructType = StructType(st.fields.flatMap { f =>
         f.dataType match {
           case s: StructType =>
             val inner = prunable(s)
-            if (inner.isEmpty) None else Some(StructField(f.name, inner))
+            if (inner.isEmpty) None else Some(StructField(physName(f), inner))
           case dt @ (LongType | IntegerType | ShortType | ByteType | DoubleType |
                      FloatType | BooleanType | StringType | DateType |
                      TimestampType | TimestampNTZType | _: DecimalType) =>
-            Some(StructField(f.name, dt))
+            Some(StructField(physName(f), dt))
           case _ => None
         }
       })
@@ -5951,6 +5961,7 @@ object LakeWriter {
     if (fs.exists(log) &&
         fs.listStatus(log).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    val v2StatsParsed = statsParsedSchemaOf(snap.configuration, snap.schemaJson)
     val addT = StructType(Seq(
       StructField("path", StringType),
       StructField("partitionValues", MapType(StringType, StringType)),
@@ -5964,14 +5975,10 @@ object LakeWriter {
         StructField("sizeInBytes", IntegerType),
         StructField("cardinality", LongType)))),
       StructField("stats", StringType)) ++
-      (statsParsedSchemaOf(snap.configuration, snap.schemaJson) match {
-        case Some(sps) => Seq(StructField("stats_parsed", sps))
-        case None => Nil
-      }) ++ Seq(
+      v2StatsParsed.map(sps => StructField("stats_parsed", sps)).toSeq ++ Seq(
       StructField("baseRowId", LongType),
       StructField("defaultRowCommitVersion", LongType),
       StructField("clusteringProvider", StringType)))
-    val v2StatsParsed = statsParsedSchemaOf(snap.configuration, snap.schemaJson)
     val v2WriteJson =
       !snap.configuration.get("delta.checkpoint.writeStatsAsJson").contains("false") ||
         v2StatsParsed.isEmpty

@@ -391,6 +391,54 @@ class DeltaStatsSpec extends SparkSpec {
     assert(DeltaReader.readWhere(spark, d2, "v LIKE 'v03%'").count() == 100L)
   }
 
+  test("an offset-suffixed string literal against an NTZ column keeps the wall clock (Spark's cast rule) — never shifts and wrongly prunes") {
+    val dir = tmp("graft_stats_ntzoff_")
+    typedTable(dir)   // tn starts at wall clock 2024-01-01T00:00
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    // Spark casts '....+05:00' to NTZ by IGNORING the offset: the
+    // predicate matches the 00:00 wall-clock row, so file 1 must stay
+    assert(kept("tn = '2024-01-01 00:00:00+05:00'") == 1)
+    val p = "tn = '2024-01-01 00:00:00+05:00'"
+    val pruned = DeltaReader.readWhere(spark, dir, p).count()
+    val full = DeltaReader.read(spark, dir).where(p).count()
+    assert(pruned == full && full == 1L, s"pruned=$pruned full=$full")
+    // and the LTZ column HONORS the offset (cast semantics differ)
+    assert(kept("tl = '2024-01-01 05:00:00+05:00'") == 1)
+    assert(DeltaReader.readWhere(spark, dir,
+      "tl = '2024-01-01 05:00:00+05:00'").count() == 1L)
+  }
+
+  test("stats_parsed on a column-mapped table keys the struct by PHYSICAL names; logical predicates still prune after replay") {
+    val dir = tmp("graft_stats_parsed_cm_")
+    val df = spark.range(200).selectExpr("id AS k",
+      "concat('v', lpad(CAST(id AS STRING), 4, '0')) AS v")
+    LakeWriter.writeDeltaMapped(
+      df.repartitionByRange(2, org.apache.spark.sql.functions.col("k")), dir)
+    LakeWriter.alterProperties(spark, dir, Map(
+      "delta.checkpoint.writeStatsAsStruct" -> "true",
+      "delta.checkpoint.writeStatsAsJson" -> "false"))
+    LakeWriter.checkpointDelta(spark, dir, 1L)
+    // the struct is keyed by the files' physical names, bounds non-null
+    val cpFile = new java.io.File(dir, "_delta_log")
+      .listFiles().filter(_.getName.endsWith(".checkpoint.parquet")).head
+    val cp = spark.read.parquet(cpFile.getPath).where("add IS NOT NULL")
+    val spT = cp.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType](
+      "stats_parsed").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    val minT = spT("minValues").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(minT.fieldNames.forall(_.startsWith("col-")), minT.fieldNames.mkString(","))
+    assert(cp.where("add.stats_parsed.numRecords IS NULL").count() == 0L)
+    // replay THROUGH the struct-only checkpoint: logical predicates prune
+    (0L to 1L).foreach { v =>
+      assert(new java.io.File(dir, "_delta_log/" + f"$v%020d.json").delete())
+    }
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.active.forall(_.stats.isDefined))
+    assert(DeltaStats.prune(spark, snap.active, "k > 10000", snap).isEmpty)
+    assert(DeltaStats.prune(spark, snap.active, "k >= 0 AND k < 100", snap).size == 1)
+    assert(DeltaReader.readWhere(spark, dir, "v LIKE 'v003%'").count() == 10L)
+  }
+
   test("a decimal beyond double precision prunes exactly (BigDecimal path, no lossy round-trip)") {
     val s = spark
     import s.implicits._
