@@ -95,10 +95,11 @@ object DeltaTail {
     */
   /** `maxVersionsPerTrigger` caps how many log versions one poll
     * delivers — a tail starting far behind a hot table catches up in
-    * bounded batches instead of one giant one (the rate-limit knob
-    * real delta-spark spells maxFilesPerTrigger). The initial snapshot
-    * batch is not splittable (it is one consistent version) and
-    * ignores the cap.
+    * bounded batches instead of one giant one. This poll API keeps the
+    * initial snapshot as ONE batch (one consistent version); the
+    * registered streaming source ([[GraftDeltaSource]]) additionally
+    * splits it by maxFilesPerTrigger/maxBytesPerTrigger with
+    * restart-safe offsets — prefer readStream for huge tables.
     */
   def pollOnce(s: SparkSession, dir: String, checkpoint: String,
                process: (DataFrame, Long) => Unit,
