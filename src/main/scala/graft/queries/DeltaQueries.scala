@@ -654,6 +654,27 @@ object DeltaQueries {
       val hv = DeltaReader.history(s, d).select($"version").as[Long].collect().toSet
       require(hv == Set(2L, 3L, 4L), s"history must start at the boundary: $hv")
       statusAgg(DeltaReader.read(s, d))
+    }),
+
+    // version checksums end-to-end: a mutation chain folds the .crc
+    // incrementally; every retained version validates against its
+    // replay (a lost-commit fingerprint would throw here), and the
+    // final state recomputes exactly in the oracle
+    "delta_checksum" -> ((s, dir) => {
+      val d = freshDir("crc")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(3), d)
+      LakeWriter.deleteWhere(s, d, "o_orderkey % 3 = 0")
+      LakeWriter.appendDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8")
+          .repartition(2), d)
+      LakeWriter.compactDelta(s, d, minFiles = 2)
+      val latest = DeltaReader.snapshot(s, d, None).version
+      (0L to latest).foreach { v =>
+        require(DeltaReader.validateChecksum(s, d, Some(v)),
+          s"version $v must carry a valid checksum")
+      }
+      statusAgg(DeltaReader.read(s, d))
     })
   )
 
@@ -679,6 +700,13 @@ object DeltaQueries {
     "delta_logclean" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 6
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_checksum" ->
+      s"""$aggSql
+         |FROM orders
+         |WHERE (o_orderkey % 10 < 6 AND NOT (o_orderkey % 3 = 0))
+         |   OR (o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8)
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_catalog" ->
