@@ -94,7 +94,8 @@ object DeltaReader {
                                       val metaId: Option[String],
                                       val domainMetadata: Map[String, String] = Map.empty,
                                       cpAdds: Option[DataFrame] = None,
-                                      suffixFinal: Seq[(String, Option[AddFile])] = Nil) {
+                                      suffixFinal: Seq[(String, Option[AddFile])] = Nil,
+                                      val metaRaw: Option[String] = None) {
 
     /** The live add set as a DISTRIBUTED DataFrame in the 10-column
       * resolve shape — never collected: the checkpoint's adds stay a
@@ -373,6 +374,46 @@ object DeltaReader {
       n.matches("\\d{20}\\.json") ||
         n.matches("\\d{20}\\.checkpoint(\\.\\d{10}\\.\\d{10})?\\.parquet")
     } catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** A parquet checkpoint's metaData struct row re-serialized as the
+    * action's JSON object — EVERY non-null field the checkpoint
+    * carries rides along (format, name, description, createdTime…),
+    * so the retained [[Snapshot.metaRaw]] matches what a commit-line
+    * metaData action would have said, not a field subset.
+    */
+  private def structRowJson(r: org.apache.spark.sql.Row): String = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def node(v: Any): com.fasterxml.jackson.databind.JsonNode = v match {
+      case null => om.nullNode()
+      case s: String => om.getNodeFactory.textNode(s)
+      case b: Boolean => om.getNodeFactory.booleanNode(b)
+      case i: Int => om.getNodeFactory.numberNode(i)
+      case l: Long => om.getNodeFactory.numberNode(l)
+      case d: Double => om.getNodeFactory.numberNode(d)
+      case f: Float => om.getNodeFactory.numberNode(f)
+      case row: org.apache.spark.sql.Row => rowNode(row)
+      case m: scala.collection.Map[_, _] =>
+        val o = om.createObjectNode()
+        m.foreach { case (k, v2) => o.set[com.fasterxml.jackson.databind.JsonNode](
+          String.valueOf(k), node(v2)) }
+        o
+      case s: scala.collection.Seq[_] =>
+        val a = om.createArrayNode()
+        s.foreach(e => a.add(node(e)))
+        a
+      case other => om.getNodeFactory.textNode(String.valueOf(other))
+    }
+    def rowNode(row: org.apache.spark.sql.Row)
+        : com.fasterxml.jackson.databind.node.ObjectNode = {
+      val o = om.createObjectNode()
+      row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(i))
+          o.set[com.fasterxml.jackson.databind.JsonNode](f, node(row.get(i)))
+      }
+      o
+    }
+    om.writeValueAsString(rowNode(r))
   }
 
   /** One JSON `add` action → AddFile (shared by the full replay and
@@ -921,6 +962,15 @@ object DeltaReader {
     var configuration: Map[String, String] = Map.empty
     var txns: Map[String, Long] = Map.empty
     var metaId: Option[String] = None
+    // the metaData action's inner object, VERBATIM from wherever it
+    // was ingested (commit line / JSON manifest: the raw node;
+    // parquet checkpoint: the struct row re-serialized with every
+    // field it carries). The version-checksum re-seed copies this
+    // node into the .crc — delta-spark loads protocol/metadata
+    // straight from the .crc (read-from-checksum optimization) and
+    // compares it against replayed state, so a reconstructed field
+    // subset (no format/name/createdTime) would diverge there.
+    var metaRaw: Option[String] = None
     // domain → configuration (JSON string), last-writer-wins per
     // domain; removed=true deletes the domain (PROTOCOL.md domain
     // metadata — the row-tracking high watermark lives in
@@ -954,6 +1004,7 @@ object DeltaReader {
             configuration = md.getMap[String, String](md.fieldIndex("configuration")).toMap
           if (mdFields("id") && !md.isNullAt(md.fieldIndex("id")))
             metaId = Some(md.getString(md.fieldIndex("id")))
+          metaRaw = Some(structRowJson(md))
         }
         if (cols("protocol") && !r.isNullAt(r.fieldIndex("protocol"))) {
           val pr = r.getStruct(r.fieldIndex("protocol"))
@@ -1067,6 +1118,7 @@ object DeltaReader {
               if (n.has("add")) inline += addFromJson(n.get("add"))
               if (n.has("metaData")) {
                 val md = n.get("metaData")
+                metaRaw = Some(md.toString)
                 schemaJson = Some(md.get("schemaString").asText())
                 metaId = Option(md.get("id")).filterNot(_.isNull).map(_.asText())
                 partCols = Option(md.get("partitionColumns")).map { pcs =>
@@ -1172,6 +1224,7 @@ object DeltaReader {
           if (n.has("remove")) suffix(n.get("remove").get("path").asText()) = None
           if (n.has("metaData")) {
             val md = n.get("metaData")
+            metaRaw = Some(md.toString)
             schemaJson = Some(md.get("schemaString").asText())
             metaId = Option(md.get("id")).filterNot(_.isNull).map(_.asText())
             partCols = Option(md.get("partitionColumns")).map { pcs =>
@@ -1309,7 +1362,7 @@ object DeltaReader {
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,
       minWriter, readerFeatures.toSeq.sorted, writerFeatures.toSeq.sorted, txns, metaId,
-      domainMeta, cpAddsDf, suffixFinal)
+      domainMeta, cpAddsDf, suffixFinal, metaRaw)
     if (cacheOn) SnapshotCache.put(cacheKey, fingerprint, snap,
       s.conf.get("spark.graft.delta.snapshotCache.maxEntries", "32").toInt)
     snap
@@ -1493,6 +1546,16 @@ object DeltaReader {
     * re-seed at checkpoints); a MISMATCH throws loudly — the
     * fingerprint of a lost commit on a non-atomic store or a
     * hand-edited log.
+    *
+    * Contract note: graft-authored chains cannot skew (the commit
+    * funnel only removes OCC-resolved live paths, and the fold
+    * refuses within-commit duplicate removes), but a FOREIGN-authored
+    * `.crc` that itself mis-counted — e.g. an engine that folded an
+    * idempotent re-remove of an already-removed path as -1 — would
+    * make this validation throw on a healthy table until the next
+    * checkpoint re-seeds the chain from the live set. Treat a
+    * mismatch on a mixed-writer table as "re-checkpoint, then
+    * re-validate" before concluding data loss.
     */
   def validateChecksum(s: SparkSession, dir: String,
                        versionAsOf: Option[Long] = None): Boolean = {
@@ -1931,11 +1994,44 @@ object DeltaReader {
           .build())
       }
     if (cmMode == "id") enableFieldIdReads(s)
-    val dataSchema = StructType(schema.fields.filterNot(f => snap.partCols.contains(f.name))
-      .map(f => withFieldId(f.copy(name = physName(f)))) ++
+    // NESTED physical names (delta-spark assigns one per level; graft's
+    // own mapped tables only rename at the top): the read schema must
+    // carry the files' physical names at EVERY level or nested leaves
+    // silently null-fill. Inner fields are lenient (no metadata = keep
+    // the name — graft's shape); a changed struct casts back to the
+    // logical type on projection, which renames positionally and is a
+    // value no-op (identical field types). The cast is applied ONLY
+    // when a nested name actually differs, so graft-written tables
+    // keep their exact previous plans (and nested pushdown).
+    def physDataType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName") else f.name
+        val f2 = f.copy(name = pn, dataType = physDataType(f.dataType))
+        if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id"))
+          f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f2.metadata)
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+        else f2
+      })
+      case org.apache.spark.sql.types.ArrayType(et, n) =>
+        org.apache.spark.sql.types.ArrayType(physDataType(et), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(physDataType(k), physDataType(v), n)
+      case other => other
+    }
+    val dataFields = schema.fields.filterNot(f => snap.partCols.contains(f.name))
+    val dataSchema = StructType(dataFields
+      .map(f => withFieldId(f.copy(name = physName(f),
+        dataType = if (mapped) physDataType(f.dataType) else f.dataType))) ++
       extraPhys.map(_.copy(nullable = true)))
-    val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
-      .map(f => physName(f) -> f.name)
+    // (physical top-level name, logical name, cast-back type when the
+    // nested physical shape differs from the logical one)
+    val logicalByPhys = dataFields.map { f =>
+      val deep = if (mapped) physDataType(f.dataType) else f.dataType
+      (physName(f), f.name, if (deep == f.dataType) None else Some(f.dataType))
+    }
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
 
     if (files.isEmpty) {
@@ -1965,8 +2061,9 @@ object DeltaReader {
       // field's physical name may legally equal ANOTHER field's logical
       // name, and a sequential rename would create a duplicate column
       // mid-fold and fail on a readable table
-      val projection = logicalByPhys.map { case (phys, logical) =>
-        base0.col(s"`${phys.replace("`", "``")}`").as(logical)
+      val projection = logicalByPhys.map { case (phys, logical, castBack) =>
+        val c = base0.col(s"`${phys.replace("`", "``")}`")
+        castBack.fold(c)(c.cast).as(logical)
       } ++ extraPhys.map(f => base0.col(s"`${f.name.replace("`", "``")}`")) ++
         (if (!withMeta) Nil else Seq(
         // which file and which row this came from — the join key the

@@ -68,6 +68,83 @@ object DeltaStats {
     tableConf.get("delta.dataSkippingStatsColumns")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
 
+  /** Full dotted PHYSICAL→LOGICAL path map for every struct-reachable
+    * node of `schema`: each segment maps through its field's
+    * `delta.columnMapping.physicalName` metadata (the field name where
+    * absent), per LEVEL — so a foreign table whose nested struct
+    * fields carry their own physical names remaps every segment, not
+    * just the head. Both mapping modes carry this metadata ("id"-mode
+    * tables declare physicalName alongside the field id — PROTOCOL.md
+    * requires both), so one map serves name- AND id-mode stats keys.
+    */
+  private[graft] def physToLogicalPaths(
+      schema: org.apache.spark.sql.types.StructType): Map[String, String] = {
+    val b = Map.newBuilder[String, String]
+    def physName(f: org.apache.spark.sql.types.StructField): String =
+      if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName")
+      else f.name
+    def walk(physPrefix: String, logPrefix: String,
+             st: org.apache.spark.sql.types.StructType): Unit =
+      st.fields.foreach { f =>
+        val p = if (physPrefix.isEmpty) physName(f) else physPrefix + "." + physName(f)
+        val l = if (logPrefix.isEmpty) f.name else logPrefix + "." + f.name
+        b += p -> l
+        f.dataType match {
+          case s: org.apache.spark.sql.types.StructType => walk(p, l, s)
+          case _ =>
+        }
+      }
+    walk("", "", schema)
+    b.result()
+  }
+
+  /** `delta.dataSkippingStatsColumns` translated into the staged
+    * files' key domain: on a column-mapped table the parquet footer
+    * paths are PHYSICAL names, so each configured logical (possibly
+    * dotted, case-insensitive) name walks the schema level by level
+    * and lands as its dotted physical path — without this the listed
+    * columns silently collect no stats at all, the exact failure
+    * validateStatsColumns exists to prevent. Unmapped tables pass
+    * through unchanged; a name that doesn't resolve (foreign conf
+    * drift) passes through too — it matches nothing, which is sound.
+    */
+  def physicalStatsColumns(tableConf: Map[String, String],
+                           schema: Option[org.apache.spark.sql.types.StructType])
+      : Option[Set[String]] = {
+    val cols = statsColumnsOf(tableConf)
+    if (tableConf.getOrElse("delta.columnMapping.mode", "none") == "none") cols
+    else (cols, schema) match {
+      case (Some(cs), Some(st)) =>
+        def eq(a: String, b: String): Boolean = a.equalsIgnoreCase(b)
+        def physName(f: org.apache.spark.sql.types.StructField): String =
+          if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName")
+          else f.name
+        def resolve(parts: List[String],
+                    cur: org.apache.spark.sql.types.StructType): Option[String] =
+          parts match {
+            case Nil => None
+            case h :: t => cur.fields.find(f => eq(f.name, h)).flatMap { f =>
+              (t, f.dataType) match {
+                case (Nil, _) => Some(physName(f))
+                case (_, s: org.apache.spark.sql.types.StructType) =>
+                  resolve(t, s).map(physName(f) + "." + _)
+                case _ => None
+              }
+            }
+          }
+        Some(cs.map { name =>
+          // a literal top-level name (dots included) wins over dotted
+          // struct resolution — validateStatsColumns' precedence
+          st.fields.find(f => eq(f.name, name)).map(physName)
+            .orElse(resolve(name.split('.').toList, st))
+            .getOrElse(name)
+        })
+      case _ => cols
+    }
+  }
+
   /** Refuse a `delta.dataSkippingStatsColumns` list naming columns the
     * schema doesn't have (delta-spark validates too) — a misspelled
     * entry otherwise silently collects NO stats for the column the
@@ -458,7 +535,7 @@ object DeltaStats {
 
   private def parseEnv(a: DeltaReader.AddFile,
                        om: com.fasterxml.jackson.databind.ObjectMapper,
-                       logicalToPhys: Map[String, String]): FileEnv = {
+                       physToLog: Map[String, String]): FileEnv = {
     // nested stats objects flatten to dotted keys ("a.b" for
     // minValues.a.b) — the pruner's attribute-path key shape
     def fields(n: JsonNode, name: String): Map[String, JsonNode] = {
@@ -486,19 +563,14 @@ object DeltaStats {
     }.getOrElse((None, Map.empty[String, JsonNode], Map.empty[String, JsonNode],
       Map.empty[String, Long]))
     // stats/pv keys are the file's PHYSICAL names; expose under
-    // LOGICAL (a dotted key remaps its first segment — graft's column
-    // mapping assigns physical names to top-level fields)
+    // LOGICAL via the full dotted-path map (every segment remapped —
+    // physToLogicalPaths walked the schema per level, so foreign
+    // nested physical names land on their logical leaves too). An
+    // unmapped key stays as-is: the pruner's attributes are logical,
+    // so it simply never matches — may-match, sound.
     def remap[V](m: Map[String, V]): Map[String, V] =
-      if (logicalToPhys.isEmpty) m
-      else {
-        val physToLog = logicalToPhys.map(_.swap)
-        m.map { case (k, v) =>
-          val i = k.indexOf('.')
-          val head = if (i < 0) k else k.take(i)
-          val tail = if (i < 0) "" else k.drop(i)
-          (physToLog.get(head).map(_ + tail).getOrElse(k), v)
-        }
-      }
+      if (physToLog.isEmpty) m
+      else m.map { case (k, v) => (physToLog.getOrElse(k, k), v) }
     FileEnv(nr, remap(mn), remap(mx), remap(nc), remap(a.partitionValues))
   }
 
@@ -945,13 +1017,13 @@ object DeltaStats {
         .USE_BIG_DECIMAL_FOR_FLOATS, true)
     val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val mapped = snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name"
-    val logicalToPhys: Map[String, String] =
-      if (!mapped) Map.empty
-      else schema.fields.collect {
-        case f if f.metadata.contains("delta.columnMapping.physicalName") =>
-          f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-      }.toMap
+    // BOTH mapping modes remap stats keys — id-mode tables read fine
+    // through field ids but their stats are keyed by the same
+    // physicalName metadata, and without this map every predicate on
+    // an id-mode table answered may-match: sound, zero pruning
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val physToLog: Map[String, String] =
+      if (cmMode == "none") Map.empty else physToLogicalPaths(schema)
     val partCols = snap.partCols.toSet
     // leaf types keyed by dotted path — struct leaves prune like any
     // top-level column
@@ -970,6 +1042,6 @@ object DeltaStats {
     }
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
     files.filter(a =>
-      mayMatch(pred, parseEnv(a, om, logicalToPhys), partCols, colTypes, zone))
+      mayMatch(pred, parseEnv(a, om, physToLog), partCols, colTypes, zone))
   }
 }

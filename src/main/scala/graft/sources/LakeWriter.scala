@@ -186,7 +186,9 @@ object LakeWriter {
   private[graft] def injectOperationMetrics(content: Array[Byte]): Array[Byte] = {
     val text = new String(content, "UTF-8")
     val prefix = """{"commitInfo":{"""
-    val firstLine = text.linesIterator.next()
+    // empty/odd content passes through untouched — nextOption, so an
+    // empty byte array cannot throw inside the commit path
+    val firstLine = text.linesIterator.nextOption().getOrElse("")
     if (!text.startsWith(prefix) ||
         firstLine.contains("\"operationMetrics\":")) return content
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -275,6 +277,17 @@ object LakeWriter {
       metadata = prevN.get("metadata")
       protocol = prevN.get("protocol")
     }
+    // Remove-liveness: graft's own funnel only ever removes paths it
+    // resolved LIVE under OCC (every rebase tier re-checks its removes
+    // disjoint from the winners'), so each remove here is -1 live file
+    // by construction. The one protocol-legal shape that would skew
+    // the fold — the same path removed twice in one commit (an
+    // idempotent retry folded into one version) — is detected below
+    // and makes the chain unfoldable (write nothing; the checkpoint
+    // re-seed heals). Foreign commits never reach this fold at all:
+    // they carry no graft .crc, so the chain breaks at them and
+    // re-seeds at the next checkpoint.
+    val removedPaths = scala.collection.mutable.HashSet.empty[String]
     new String(content, "UTF-8").linesIterator.foreach { line =>
       if (line.startsWith("""{"add"""")) {
         val a = om.readTree(line).get("add")
@@ -287,6 +300,8 @@ object LakeWriter {
         // write nothing (the checkpoint re-seed will heal it)
         if (!r.has("size") || r.get("size").isNull)
           throw new IllegalStateException("unfoldable")
+        if (!removedPaths.add(r.get("path").asText()))
+          throw new IllegalStateException("unfoldable: duplicate remove")
         size -= r.get("size").asLong()
       } else if (line.startsWith("""{"metaData""""))
         metadata = om.readTree(line).get("metaData")
@@ -394,16 +409,27 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val crc = new org.apache.hadoop.fs.Path(log, f"$version%020d.crc")
     if (!fs.exists(crc)) try {
-      val md = om.createObjectNode()
-      md.put("id", snap.metaId.getOrElse(
-        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString))
-      md.put("schemaString", snap.schemaJson)
-      md.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns",
-        om.valueToTree(scala.jdk.CollectionConverters.SeqHasAsJava(snap.partCols).asJava))
-      md.set[com.fasterxml.jackson.databind.JsonNode]("configuration",
-        om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
-          new java.util.TreeMap[String, String](
-            scala.jdk.CollectionConverters.MapHasAsJava(snap.configuration).asJava)))
+      // the table's REAL metaData action, verbatim (delta-spark loads
+      // protocol/metadata straight from the .crc and compares against
+      // replayed state — a reconstructed field subset would diverge
+      // there, and the incremental fold would inherit it at every
+      // subsequent version); the synthesis below is only the fallback
+      // for a snapshot whose source never carried the raw node
+      val md: com.fasterxml.jackson.databind.JsonNode = snap.metaRaw match {
+        case Some(raw) => om.readTree(raw)
+        case None =>
+          val m = om.createObjectNode()
+          m.put("id", snap.metaId.getOrElse(
+            java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString))
+          m.put("schemaString", snap.schemaJson)
+          m.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns",
+            om.valueToTree(scala.jdk.CollectionConverters.SeqHasAsJava(snap.partCols).asJava))
+          m.set[com.fasterxml.jackson.databind.JsonNode]("configuration",
+            om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+              new java.util.TreeMap[String, String](
+                scala.jdk.CollectionConverters.MapHasAsJava(snap.configuration).asJava)))
+          m
+      }
       val pr = om.createObjectNode()
       pr.put("minReaderVersion", snap.minReader)
       pr.put("minWriterVersion", snap.minWriter)
@@ -1361,7 +1387,8 @@ object LakeWriter {
     commitDelta(dfPhys, dir, 0L, includeMeta = true, checkpointInterval,
       partitionBy.map(phys), txn,
       operation = "CREATE TABLE",
-      metaOverride = Some(protoLine -> metaLine))
+      metaOverride = Some(protoLine -> metaLine),
+      statsSchema = Some(logical))
   }
 
   /** Append `df` to an existing Delta table as its next version —
@@ -1602,7 +1629,8 @@ object LakeWriter {
         operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap),
         ictConf = snap.configuration,
         identity = IdentityColumns.advanceOf(merged,
-          physNameMap(merged, cm, "appendDeltaEvolve")).map(adv => (adv, None)))
+          physNameMap(merged, cm, "appendDeltaEvolve")).map(adv => (adv, None)),
+        statsSchema = Some(merged))
     }
   }
 
@@ -1730,7 +1758,7 @@ object LakeWriter {
         s"""{"mode":"Overwrite","predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
-      ictConf = snap.configuration,
+      ictConf = snap.configuration, statsSchema = Some(table),
       identity = IdentityColumns.advanceOf(table, phys).map(adv =>
         (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))))
     affected.map(_.path).sorted
@@ -1840,6 +1868,7 @@ object LakeWriter {
       extraActions = removes ++ cdcActions, operation = "WRITE",
       operationParameters = """{"mode":"Overwrite"}""",
       rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
+      statsSchema = Some(table),
       // the watermark NEVER rewinds on overwrite: replaced rows' ids
       // stay burned (a rewound mark would re-mint them)
       identity = IdentityColumns.advanceOf(table, phys).map(adv =>
@@ -2096,7 +2125,8 @@ object LakeWriter {
       stagePartCols, txn, operation = operation, operationParameters = operationParameters,
       rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
       identity = IdentityColumns.advanceOf(table, physByLogical).map(adv =>
-        (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))))
+        (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))),
+      statsSchema = Some(table))
   }
 
   /** Percent-encoding for `add.path` (PROTOCOL.md stores paths
@@ -2133,7 +2163,13 @@ object LakeWriter {
                                  rebase: Option[(DeltaReader.Snapshot, String, Set[String])] = None,
                                  ictConf: Map[String, String] = Map.empty,
                                  identity: Option[(IdentityColumns.Advance, Option[String])] = None,
-                                 clusteringProvider: Option[String] = None): Unit = {
+                                 clusteringProvider: Option[String] = None,
+                                 // the LOGICAL table schema (physicalName metadata
+                                 // included) — only consulted to translate
+                                 // delta.dataSkippingStatsColumns into the staged
+                                 // footers' physical key domain on column-mapped
+                                 // tables; None on unmapped paths
+                                 statsSchema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     val spark = df.sparkSession
     // fail FAST on a store that can't arbitrate commits: before any
     // staging work, before the log directory exists — a refused create
@@ -2203,7 +2239,8 @@ object LakeWriter {
                 graft.sources.DeltaStats.indexedColsOf(sizingConf),
                 // identity watermark bounds must survive the cap
                 identity.map(_._1.cols.map(_._2).toSet).getOrElse(Set.empty),
-                graft.sources.DeltaStats.statsColumnsOf(sizingConf))
+                // logical config names → the footers' physical keys
+                graft.sources.DeltaStats.physicalStatsColumns(sizingConf, statsSchema))
           }
         }.asJava).asScala.map(_.get()).toMap
       } finally pool.shutdown()
@@ -3074,6 +3111,8 @@ object LakeWriter {
         .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
         .sortBy(_.toString)
       require(part.nonEmpty, "compaction wrote no files")
+      val statsColsPhys = graft.sources.DeltaStats.physicalStatsColumns(
+        snap.configuration, Some(tableSchema(snap)))
       // destination keeps the partition directory so the layout stays
       // hive-readable. The directory part of `rel` is reused straight
       // from the first removed file's add.path, which is ALREADY
@@ -3117,7 +3156,7 @@ object LakeWriter {
         // whose narrow mutations live off the pruning
         val stats = graft.sources.DeltaStats.fileStats(pf, hconf,
           graft.sources.DeltaStats.indexedColsOf(snap.configuration),
-          statsColumns = graft.sources.DeltaStats.statsColumnsOf(snap.configuration))
+          statsColumns = statsColsPhys)
         val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
         // every add in a tracked table carries a (fresh, shadowed)
         // baseRowId range — footer numRecords sizes it exactly
@@ -3474,7 +3513,7 @@ object LakeWriter {
       operationParameters = s"""{"predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
-      ictConf = snap.configuration)
+      ictConf = snap.configuration, statsSchema = Some(table))
     affected.map(_.path).sorted
   }
 
@@ -3878,6 +3917,8 @@ object LakeWriter {
       }
     val stageUri = stage.toUri.getPath.stripSuffix("/")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val statsColsPhys = DeltaStats.physicalStatsColumns(
+      snap.configuration, Some(tableSchema(snap)))
     val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
@@ -3886,7 +3927,7 @@ object LakeWriter {
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf,
           DeltaStats.indexedColsOf(snap.configuration),
-          statsColumns = DeltaStats.statsColumnsOf(snap.configuration))
+          statsColumns = statsColsPhys)
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
         require(fs.rename(st.getPath, dest), s"rename ${st.getPath} -> $dest failed")
@@ -4098,6 +4139,8 @@ object LakeWriter {
     val stageUri = stage.toUri.getPath.stripSuffix("/")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val newAddStats = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
+    val cdcStatsColsPhys = DeltaStats.physicalStatsColumns(
+      snap.configuration, Some(tableSchema(snap)))
     val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
@@ -4106,7 +4149,7 @@ object LakeWriter {
         val rel = if (relDir.isEmpty) name else s"$relDir/$name"
         val stats = DeltaStats.fileStats(st.getPath, hconf,
           DeltaStats.indexedColsOf(snap.configuration), idStatCols,
-          DeltaStats.statsColumnsOf(snap.configuration))
+          cdcStatsColsPhys)
         newAddStats += stats
         val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
         if (rel.contains("/")) fs.mkdirs(dest.getParent)
@@ -4597,6 +4640,7 @@ object LakeWriter {
         else Some((protocolJson(snap), metaLineFor(dir, snap, table, evolvedConf))),
       extraActions = removes ++ cdcActions, operation = "MERGE",
       rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
+      statsSchema = Some(table),
       identity = IdentityColumns.advanceOf(table, phys).map(adv =>
         (adv, Some(metaLineFor(dir, snap, table, evolvedConf)))))
     removesFiles.map(_.path).sorted
@@ -4717,7 +4761,7 @@ object LakeWriter {
       operationParameters = s"""{"predicate":${new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(predicate)}}""",
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
-      ictConf = snap.configuration)
+      ictConf = snap.configuration, statsSchema = Some(table))
     affected.map(_.path).sorted
   }
 
@@ -5256,7 +5300,7 @@ object LakeWriter {
       checkpointInterval = 0, partCols = snap.partCols,
       extraActions = removes, addDataChange = false, operation = "OPTIMIZE",
       rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None,
-      ictConf = snap.configuration,
+      ictConf = snap.configuration, statsSchema = Some(table),
       clusteringProvider = if (zorder) None else Some("liquid"))
   }
 

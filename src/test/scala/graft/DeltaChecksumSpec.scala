@@ -103,4 +103,59 @@ class DeltaChecksumSpec extends SparkSpec {
     assert(log.listFiles().exists(_.getName == "0" * 19 + "4.crc"))
     assert(DeltaReader.validateChecksum(spark, d, None))
   }
+
+  test("a checkpoint re-seed writes the table's REAL metaData action verbatim, not a field subset") {
+    val d = tmp("reseed_meta")
+    LakeWriter.writeDelta(spark.range(10).toDF("k"), d,
+      configuration = Map("delta.appendOnly" -> "false"))
+    LakeWriter.appendDelta(spark.range(10, 20).toDF("k"), d)
+    // the commit's own metaData node — what delta-spark's
+    // read-from-checksum optimization compares against replayed state
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val commitMeta = java.nio.file.Files.readAllLines(
+      new java.io.File(d, "_delta_log/" + "0" * 20 + ".json").toPath)
+      .stream().filter(_.startsWith("""{"metaData""""))
+      .findFirst().map[com.fasterxml.jackson.databind.JsonNode](
+        l => om.readTree(l).get("metaData")).get()
+    assert(commitMeta.has("format"),
+      s"fixture assumes graft metaData carries format: $commitMeta")
+    // break the chain and re-seed at a checkpoint
+    new java.io.File(d, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".crc")).foreach(f => assert(f.delete()))
+    graft.sources.DeltaReader.SnapshotCache.clear()
+    LakeWriter.checkpointDelta(spark, d, 1L)
+    val reseeded = crc(d, 1L).get.get("metadata")
+    // VERBATIM: every field of the real action, byte-equal values —
+    // format included (the old synthesis dropped it)
+    assert(reseeded == commitMeta, s"reseeded=$reseeded\ncommit=$commitMeta")
+    // and the incremental fold inherits the full node
+    LakeWriter.appendDelta(spark.range(20, 30).toDF("k"), d)
+    assert(crc(d, 2L).get.get("metadata") == commitMeta)
+    assert(DeltaReader.validateChecksum(spark, d, None))
+  }
+
+  test("a duplicate remove of one path in a single commit makes the fold unfoldable (no .crc written)") {
+    val d = tmp("dup_remove")
+    LakeWriter.writeDelta(spark.range(10).toDF("k"), d)
+    assert(crc(d, 0L).isDefined)
+    val fs = new org.apache.hadoop.fs.Path(d).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    val commit1 = new org.apache.hadoop.fs.Path(d, "_delta_log/" + "0" * 19 + "1.json")
+    // protocol-legal idempotent-retry shape: the same path removed
+    // twice — counting it -1 twice would skew numFiles and make
+    // validateChecksum cry 'lost commit' on a healthy table
+    val content = Seq(
+      """{"commitInfo":{"timestamp":0,"operation":"DELETE","engineInfo":"test"}}""",
+      """{"remove":{"path":"part-x.parquet","deletionTimestamp":0,"size":100,"dataChange":true}}""",
+      """{"remove":{"path":"part-x.parquet","deletionTimestamp":0,"size":100,"dataChange":true}}"""
+    ).mkString("\n").getBytes("UTF-8")
+    LakeWriter.writeVersionChecksum(fs, commit1, content)
+    assert(crc(d, 1L).isEmpty, "duplicate remove must not fold a checksum")
+  }
+
+  test("operation-metrics injection passes empty commit content through untouched") {
+    assert(LakeWriter.injectOperationMetrics(Array.emptyByteArray).isEmpty)
+    val odd = "not json".getBytes("UTF-8")
+    assert(LakeWriter.injectOperationMetrics(odd).sameElements(odd))
+  }
 }

@@ -439,6 +439,141 @@ class DeltaStatsSpec extends SparkSpec {
     assert(DeltaReader.readWhere(spark, dir, "v LIKE 'v003%'").count() == 10L)
   }
 
+  test("id-mode column mapping prunes: stats keys remap through physicalName metadata like name mode") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_idmode_").toFile
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    // two parquet files in the physical names, field ids attached
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    def fileOf(name: String, lo: Long): Unit = {
+      val fileSchema = StructType(Seq(
+        StructField("pa", LongType, nullable = true, new MetadataBuilder()
+          .putLong("parquet.field.id", 1L).build()),
+        StructField("pb", StringType, nullable = true, new MetadataBuilder()
+          .putLong("parquet.field.id", 2L).build())))
+      val stage = new java.io.File(dir, s"_stage_$name")
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          (lo until lo + 10).map(i => org.apache.spark.sql.Row(i, s"v$i")), 1),
+        fileSchema).coalesce(1).write.parquet(stage.getPath)
+      val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(pf.toPath, new java.io.File(dir, name).toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    fileOf("f-low.parquet", 0L)
+    fileOf("f-high.parquet", 1000L)
+    def fld(n: String, t: DataType, phys: String, id: Long) =
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "pa", 1), fld("v", StringType, "pb", 2)))
+    def stats(lo: Long): String = om.writeValueAsString(
+      s"""{"numRecords":10,"minValues":{"pa":$lo,"pb":"v$lo"},""" +
+        s""""maxValues":{"pa":${lo + 9},"pb":"v${lo + 9}"},""" +
+        s""""nullCount":{"pa":0,"pb":0}}""")
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idm","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}""",
+      s"""{"add":{"path":"f-low.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":${stats(0L)}}}""",
+      s"""{"add":{"path":"f-high.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":${stats(1000L)}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val snap = DeltaReader.snapshot(spark, dir.getPath, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    // before the fix every predicate on an id-mode table answered
+    // may-match (keys never remapped): these pins prove files SKIP
+    assert(kept("id >= 1000") == 1)
+    assert(kept("id > 5000") == 0)
+    assert(kept("v = 'v3'") == 1)
+    // pruned ≡ unpruned
+    assert(DeltaReader.readWhere(spark, dir.getPath, "id >= 1000").count() ==
+      DeltaReader.read(spark, dir.getPath).where("id >= 1000").count())
+    assert(DeltaReader.readWhere(spark, dir.getPath, "id >= 1000").count() == 10L)
+  }
+
+  test("foreign nested physical names (per-level) prune their struct leaves and read correctly") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stats_nestphys_").toFile
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    // files carry PHYSICAL names at every level: p_s { p_x, p_tag }
+    def fileOf(name: String, lo: Long): Unit = {
+      val stage = new java.io.File(dir, s"_stage_$name")
+      spark.range(lo, lo + 10).selectExpr(
+        "id AS c_id", "named_struct('p_x', id * 2, 'p_tag', concat('t', id)) AS p_s")
+        .coalesce(1).write.parquet(stage.getPath)
+      val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(pf.toPath, new java.io.File(dir, name).toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    fileOf("n-low.parquet", 0L)
+    fileOf("n-high.parquet", 500L)
+    def pf(n: String, t: DataType, phys: String, id: Long) =
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      pf("id", LongType, "c_id", 1),
+      pf("s", StructType(Seq(
+        pf("x", LongType, "p_x", 3), pf("tag", StringType, "p_tag", 4))), "p_s", 2)))
+    def stats(lo: Long): String = om.writeValueAsString(
+      s"""{"numRecords":10,"minValues":{"c_id":$lo,"p_s":{"p_x":${lo * 2},"p_tag":"t$lo"}},""" +
+        s""""maxValues":{"c_id":${lo + 9},"p_s":{"p_x":${(lo + 9) * 2},"p_tag":"t${lo + 9}"}},""" +
+        s""""nullCount":{"c_id":0,"p_s":{"p_x":0,"p_tag":0}}}""")
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"nph","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+      s"""{"add":{"path":"n-low.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":${stats(0L)}}}""",
+      s"""{"add":{"path":"n-high.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true,"stats":${stats(500L)}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val snap = DeltaReader.snapshot(spark, dir.getPath, None)
+    def kept(p: String) = DeltaStats.prune(spark, snap.active, p, snap).size
+    // per-level remap: the dotted physical key p_s.p_x lands on s.x
+    assert(kept("s.x >= 1000") == 1)
+    assert(kept("s.x > 100000") == 0)
+    assert(kept("s.tag = 't3'") == 1)
+    // the read itself resolves nested physical names (not null-fill):
+    // values AND pruned ≡ unpruned
+    val got = DeltaReader.read(spark, dir.getPath)
+      .selectExpr("id", "s.x", "s.tag").where("id = 502").collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1004L &&
+      got(0).getString(2) == "t502", got.mkString(","))
+    assert(DeltaReader.readWhere(spark, dir.getPath, "s.x >= 1000").count() ==
+      DeltaReader.read(spark, dir.getPath).where("s.x >= 1000").count())
+    assert(DeltaReader.readWhere(spark, dir.getPath, "s.x >= 1000").count() == 10L)
+  }
+
+  test("dataSkippingStatsColumns on a column-mapped table collects the listed columns (logical→physical)") {
+    val dir = tmp("graft_stats_cmcols_")
+    val df = spark.range(100).selectExpr("id AS k",
+      "concat('v', lpad(CAST(id AS STRING), 4, '0')) AS v")
+    LakeWriter.writeDeltaMapped(df.coalesce(1), dir)
+    LakeWriter.alterProperties(spark, dir, Map(
+      "delta.dataSkippingStatsColumns" -> "v"))
+    LakeWriter.appendDelta(
+      spark.range(100, 200).selectExpr("id AS k",
+        "concat('v', lpad(CAST(id AS STRING), 4, '0')) AS v").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val physV = schema("v").metadata.getString("delta.columnMapping.physicalName")
+    val physK = schema("k").metadata.getString("delta.columnMapping.physicalName")
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // the appended file (written AFTER statsColumns was set) carries
+    // the LISTED column under its physical key and NOT the unlisted
+    // one — before the fix the logical name matched no footer path and
+    // the column the user explicitly configured collected NO stats
+    val appended = snap.active.filter(a => a.stats.exists { st =>
+      val mv = om.readTree(st).get("minValues")
+      mv != null && mv.has(physV) && !mv.has(physK)
+    })
+    assert(appended.size == 1, snap.active.map(_.stats).mkString("\n"))
+    assert(DeltaReader.readWhere(spark, dir, "v = 'v0150'").count() == 1L)
+  }
+
   test("a decimal beyond double precision prunes exactly (BigDecimal path, no lossy round-trip)") {
     val s = spark
     import s.implicits._
