@@ -606,6 +606,35 @@ object DeltaQueries {
         .orderBy("ym")
     }),
 
+    // generated-partition derivation end-to-end: p_year is GENERATED
+    // AS year(o_orderdate) and is the partition column; a timestamp
+    // predicate alone must prune partitions EVEN WITH per-file stats
+    // STRIPPED (the foreign-add shape stats cannot help with) — the
+    // require gates the derivation, and the pruned read recomputes
+    // exactly against the oracle
+    "delta_gen_prune" -> ((s, dir) => {
+      val d = freshDir("gpn")
+      val df = t(s, dir, "orders")
+        .withColumn("p_year", expr("year(o_orderdate)"))
+        .withMetadata("p_year", new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.generationExpression", "year(o_orderdate)").build())
+      LakeWriter.writeDelta(df, d, partitionBy = Seq("p_year"))
+      val snap = DeltaReader.snapshot(s, d, None)
+      val statless = snap.active.map(_.copy(stats = None))
+      val pred = "o_orderdate >= TIMESTAMP_NTZ'1996-01-01 00:00:00' AND " +
+        "o_orderdate <= TIMESTAMP_NTZ'1996-12-31 23:59:59'"
+      val kept = graft.sources.DeltaStats.prune(s, statless, pred, snap)
+      require(kept.size < statless.size &&
+        kept.forall(_.partitionValues("p_year") == "1996"),
+        s"generated-partition derivation must prune stats-less files to the " +
+          s"1996 partition: kept ${kept.map(_.partitionValues("p_year")).distinct}")
+      DeltaReader.readWhere(s, d, pred)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("o_totalprice"))).cast("decimal(18,2)").as("total"))
+        .orderBy("ym")
+    }),
+
     // operationMetrics end-to-end: the funnel's metering must agree
     // with the data — summed numOutputRows across the two write
     // commits equals the recomputed row count, file counts positive
@@ -691,6 +720,14 @@ object DeltaQueries {
         |FROM orders
         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY ym ORDER BY ym""".stripMargin,
+
+    "delta_gen_prune" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS ym, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY ym ORDER BY ym""".stripMargin,
 
     "delta_metrics" ->

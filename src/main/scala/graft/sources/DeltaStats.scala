@@ -1001,6 +1001,166 @@ object DeltaStats {
     }
   }
 
+  /** Derived partition conjuncts for GENERATED partition columns
+    * (delta-spark's OptimizeGeneratedColumn): when a partition column
+    * g carries `delta.generationExpression` = a MONOTONE date mapping
+    * f over one source column src — `CAST(src AS DATE)` / `to_date` /
+    * `date_trunc(level, src)` / `year(src)` — every top-level
+    * conjunct `src <op> L` in the user predicate implies a partition
+    * predicate `g <op'> f(L)` (floor functions: < and <= both derive
+    * <= f(L); > and >= derive >= f(L); = derives =). The derived
+    * conjuncts prune through add.partitionValues, which matters for
+    * the files per-file stats cannot help with: FOREIGN adds written
+    * without stats still carry partition values, so a timestamp
+    * predicate keeps pruning a date-partitioned 100-TB table even
+    * when the stats envelope is absent. Harvesting stops at the
+    * top-level conjunction (a comparison under OR or NOT is not an
+    * implied global constraint). f(L) evaluates under the PRUNE-TIME
+    * session zone for zoned sources — the same zone the writer's
+    * expr() used when it computed the partition values in-process;
+    * like delta-spark, a table written under a different zone should
+    * disable derivation by not declaring the generation expression.
+    */
+  private[graft] def derivedPartitionConjuncts(
+      pred: Expression,
+      schema: org.apache.spark.sql.types.StructType,
+      partCols: Set[String],
+      zone: java.time.ZoneId,
+      parser: org.apache.spark.sql.catalyst.parser.ParserInterface): Seq[Expression] = {
+    import org.apache.spark.sql.types._
+    sealed trait Shape
+    case object ToDate extends Shape
+    final case class Trunc(level: String) extends Shape
+    case object YearOf extends Shape
+    def attrOf(e: Expression): Option[String] = e match {
+      case a: UnresolvedAttribute if a.nameParts.length == 1 => Some(a.nameParts.head)
+      case _ => None
+    }
+    // (generated partition col, source col, shape, generated type)
+    val gens: Seq[(String, String, Shape, DataType)] = schema.fields.toSeq.flatMap { g =>
+      if (!partCols.contains(g.name) ||
+          !g.metadata.contains("delta.generationExpression")) None
+      else {
+        val parsed =
+          try Some(parser.parseExpression(g.metadata.getString("delta.generationExpression")))
+          catch { case scala.util.control.NonFatal(_) => None }
+        parsed.flatMap {
+          case c: Cast if c.dataType == DateType =>
+            attrOf(c.child).map(src => (g.name, src, ToDate, g.dataType))
+          case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction =>
+            val fn = f.nameParts.last.toLowerCase(java.util.Locale.ROOT)
+            (fn, f.arguments) match {
+              case ("to_date" | "date", Seq(a)) =>
+                attrOf(a).map(src => (g.name, src, ToDate, g.dataType))
+              case ("date_trunc",
+                    Seq(Literal(lvl: org.apache.spark.unsafe.types.UTF8String, StringType), a)) =>
+                val level = lvl.toString.toUpperCase(java.util.Locale.ROOT)
+                if (!Set("YEAR", "MONTH", "WEEK", "DAY", "HOUR", "MINUTE")(level)) None
+                else attrOf(a).map(src => (g.name, src, Trunc(level), g.dataType))
+              case ("year", Seq(a)) =>
+                attrOf(a).map(src => (g.name, src, YearOf, g.dataType))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+    }
+    if (gens.isEmpty) return Nil
+    val srcType: Map[String, DataType] =
+      schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+    def ldtOf(src: DataType, v: Any): Option[java.time.LocalDateTime] = (src, v) match {
+      case (TimestampType, us: Long) => Some(java.time.LocalDateTime.ofInstant(
+        java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L) * 1000L), zone))
+      case (TimestampNTZType, us: Long) => Some(java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(us, 1000000L), (Math.floorMod(us, 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC))
+      case (DateType, d: Long) => Some(java.time.LocalDate.ofEpochDay(d).atStartOfDay())
+      case _ => None
+    }
+    def truncLdt(level: String, t: java.time.LocalDateTime): java.time.LocalDateTime =
+      level match {
+        case "YEAR"   => java.time.LocalDateTime.of(t.getYear, 1, 1, 0, 0)
+        case "MONTH"  => java.time.LocalDateTime.of(t.getYear, t.getMonthValue, 1, 0, 0)
+        case "WEEK"   => t.toLocalDate.minusDays(t.getDayOfWeek.getValue - 1L).atStartOfDay()
+        case "DAY"    => t.toLocalDate.atStartOfDay()
+        case "HOUR"   => t.truncatedTo(java.time.temporal.ChronoUnit.HOURS)
+        case _        => t.truncatedTo(java.time.temporal.ChronoUnit.MINUTES)
+      }
+    def microsOf(gDt: DataType, t: java.time.LocalDateTime): Option[Long] = gDt match {
+      case TimestampType =>
+        val i = t.atZone(zone).toInstant
+        Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L), i.getNano / 1000L))
+      case TimestampNTZType =>
+        Some(Math.addExact(Math.multiplyExact(
+          t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L))
+      case _ => None
+    }
+    // f(L) as a typed literal in the generated column's domain
+    def mapped(shape: Shape, src: DataType, gDt: DataType, l: Literal): Option[Literal] = {
+      val lifted = typedLit(l, Some(src), zone)
+      if (lifted == null) None
+      else ldtOf(src, lifted).flatMap { t =>
+        shape match {
+          case ToDate if gDt == DateType =>
+            Some(Literal(t.toLocalDate.toEpochDay.toInt, DateType))
+          // date_trunc returns zoned TIMESTAMP even for NTZ input
+          // (Spark casts first — the wall clock carries over in the
+          // session zone), so truncate the WALL datetime and land it
+          // in whatever temporal domain g declares; microsOf answers
+          // None for a non-timestamp g
+          case Trunc(level) =>
+            microsOf(gDt, truncLdt(level, t)).map(Literal(_, gDt))
+          case YearOf => gDt match {
+            case IntegerType => Some(Literal(t.getYear, IntegerType))
+            case LongType    => Some(Literal(t.getYear.toLong, LongType))
+            case _           => None
+          }
+          case _ => None
+        }
+      }
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def gensFor(e: Expression): Seq[(String, String, Shape, DataType)] =
+      attrOf(e).toSeq.flatMap(n => gens.filter(_._2.equalsIgnoreCase(n)))
+    val out = Seq.newBuilder[Expression]
+    def derive(a: Expression, l: Literal, lower: Boolean, upper: Boolean,
+               eq: Boolean): Unit =
+      gensFor(a).foreach { case (gName, src, shape, gDt) =>
+        srcType.get(src.toLowerCase(java.util.Locale.ROOT))
+          .flatMap(st => mapped(shape, st, gDt, l)).foreach { fl =>
+            val gAttr = UnresolvedAttribute(Seq(gName))
+            if (eq) out += EqualTo(gAttr, fl)
+            else if (lower) out += GreaterThanOrEqual(gAttr, fl)
+            else if (upper) out += LessThanOrEqual(gAttr, fl)
+          }
+      }
+    conjuncts(pred).foreach {
+      case EqualTo(a, l: Literal) => derive(a, l, lower = false, upper = false, eq = true)
+      case EqualTo(l: Literal, a) => derive(a, l, lower = false, upper = false, eq = true)
+      case GreaterThan(a, l: Literal)        => derive(a, l, lower = true,  upper = false, eq = false)
+      case GreaterThanOrEqual(a, l: Literal) => derive(a, l, lower = true,  upper = false, eq = false)
+      case LessThan(a, l: Literal)           => derive(a, l, lower = false, upper = true,  eq = false)
+      case LessThanOrEqual(a, l: Literal)    => derive(a, l, lower = false, upper = true,  eq = false)
+      case GreaterThan(l: Literal, a)        => derive(a, l, lower = false, upper = true,  eq = false)
+      case GreaterThanOrEqual(l: Literal, a) => derive(a, l, lower = false, upper = true,  eq = false)
+      case LessThan(l: Literal, a)           => derive(a, l, lower = true,  upper = false, eq = false)
+      case LessThanOrEqual(l: Literal, a)    => derive(a, l, lower = true,  upper = false, eq = false)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        gensFor(a).foreach { case (gName, src, shape, gDt) =>
+          val st = srcType.get(src.toLowerCase(java.util.Locale.ROOT))
+          val ms = st.map(t => vs.map(v => mapped(shape, t, gDt, v.asInstanceOf[Literal])))
+          ms.filter(_.forall(_.isDefined)).foreach(m =>
+            out += In(UnresolvedAttribute(Seq(gName)), m.map(_.get)))
+        }
+      case _ =>
+    }
+    out.result()
+  }
+
   /** The subset of `files` whose stats/partition envelope may satisfy
     * `predicate` — sound (never drops a matching file), driver-side,
     * O(files × predicate size), zero file opens.
@@ -1041,7 +1201,12 @@ object DeltaStats {
       b.result()
     }
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    // generated-partition derivation: conjoin the implied partition
+    // predicates so files WITHOUT stats (foreign adds) still prune
+    // through their partition values
+    val fullPred = derivedPartitionConjuncts(pred, schema, partCols, zone,
+      spark.sessionState.sqlParser).foldLeft(pred)(And(_, _))
     files.filter(a =>
-      mayMatch(pred, parseEnv(a, om, physToLog), partCols, colTypes, zone))
+      mayMatch(fullPred, parseEnv(a, om, physToLog), partCols, colTypes, zone))
   }
 }

@@ -574,6 +574,73 @@ class DeltaStatsSpec extends SparkSpec {
     assert(DeltaReader.readWhere(spark, dir, "v = 'v0150'").count() == 1L)
   }
 
+  test("generated date partitions derive partition filters from source-column predicates") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("graft_stats_genpart_")
+    // p DATE GENERATED ALWAYS AS (CAST(ts AS DATE)), partitioned by p:
+    // 4 days of hourly NTZ timestamps -> 4 partitions
+    val genMeta = new MetadataBuilder()
+      .putString("delta.generationExpression", "CAST(ts AS DATE)").build()
+    val base = spark.range(96).selectExpr(
+      "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts",
+      "id AS n", "CAST(CAST(timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS DATE) AS DATE) AS p")
+    val df = spark.createDataFrame(base.rdd, StructType(base.schema.fields.map {
+      case f if f.name == "p" => f.copy(metadata = genMeta)
+      case f => f
+    }))
+    LakeWriter.writeDelta(df, dir, partitionBy = Seq("p"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.active.map(_.partitionValues("p")).distinct.size == 4)
+    // the ts-only predicate prunes to the SAME file set an explicitly
+    // derived partition filter would (the r14 redundancy claim, now a
+    // checkable pin rather than a comment)
+    val byTs = DeltaStats.prune(spark, snap.active,
+      "ts >= timestamp_ntz'2024-01-03 00:00:00'", snap).map(_.path).toSet
+    val byPart = DeltaStats.prune(spark, snap.active,
+      "p >= date'2024-01-03'", snap).map(_.path).toSet
+    assert(byTs == byPart && byTs.size < snap.active.size, s"$byTs vs $byPart")
+    // the case stats CANNOT cover: strip stats (a foreign add without
+    // them) — the derived partition conjunct still prunes
+    val statless = snap.active.map(_.copy(stats = None))
+    val derivedOnly = DeltaStats.prune(spark, statless,
+      "ts >= timestamp_ntz'2024-01-03 00:00:00'", snap).map(_.path).toSet
+    assert(derivedOnly == byPart, s"derived=$derivedOnly part=$byPart")
+    // equality with IN and the = shape; under OR nothing derives (sound)
+    assert(DeltaStats.prune(spark, statless,
+      "ts = timestamp_ntz'2024-01-02 05:00:00'", snap)
+      .map(_.partitionValues("p")).toSet == Set("2024-01-02"))
+    assert(DeltaStats.prune(spark, statless,
+      "ts = timestamp_ntz'2024-01-02 05:00:00' OR n = 0", snap).size ==
+      statless.size)
+    // pruned read ≡ unpruned read
+    assert(DeltaReader.readWhere(spark, dir,
+      "ts >= timestamp_ntz'2024-01-03 00:00:00'").count() ==
+      DeltaReader.read(spark, dir)
+        .where("ts >= timestamp_ntz'2024-01-03 00:00:00'").count())
+    // date_trunc shape: month partitions over an NTZ source
+    val dir2 = tmp("graft_stats_genpart_m_")
+    val gm2 = new MetadataBuilder()
+      .putString("delta.generationExpression", "date_trunc('MONTH', ts)").build()
+    val b2 = spark.range(90).selectExpr(
+      "timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0) AS ts",
+      "date_trunc('MONTH', timestamp_ntz'2024-01-01 00:00:00' + make_interval(0,0,0,CAST(id AS INT),0,0,0)) AS pm")
+    val df2 = spark.createDataFrame(b2.rdd, StructType(b2.schema.fields.map {
+      case f if f.name == "pm" => f.copy(metadata = gm2)
+      case f => f
+    }))
+    LakeWriter.writeDelta(df2, dir2, partitionBy = Seq("pm"))
+    val snap2 = DeltaReader.snapshot(spark, dir2, None)
+    val sl2 = snap2.active.map(_.copy(stats = None))
+    val kept2 = DeltaStats.prune(spark, sl2,
+      "ts > timestamp_ntz'2024-03-02 00:00:00'", snap2)
+    assert(kept2.map(_.partitionValues("pm")).forall(_.startsWith("2024-03")),
+      kept2.map(_.partitionValues("pm")).mkString(","))
+    assert(DeltaReader.readWhere(spark, dir2,
+      "ts > timestamp_ntz'2024-03-02 00:00:00'").count() ==
+      DeltaReader.read(spark, dir2)
+        .where("ts > timestamp_ntz'2024-03-02 00:00:00'").count())
+  }
+
   test("a decimal beyond double precision prunes exactly (BigDecimal path, no lossy round-trip)") {
     val s = spark
     import s.implicits._
