@@ -799,6 +799,68 @@ object DeltaReader {
     else built.reduce(_ unionByName _)
   }
 
+  /** ONE version's ordered change-file payload — the unit list the
+    * streaming source's intra-version admission slices (delta-spark's
+    * CDF offsets carry file indexes for the same reason): the commit's
+    * `cdc` files when the writer staged them, else its dataChange adds
+    * (the insert-derivable shape), PATH-SORTED so the list is an
+    * immutable pure function of the version and a restart re-resolves
+    * it identically. Versions whose changes are not file-sliceable
+    * (removes-only, metadata-only, compaction) answer empty — they
+    * budget as zero payload and always ride whole.
+    */
+  private[graft] def cdfVersionPayload(s: SparkSession, dir: String,
+                                       version: Long): IndexedSeq[AddFile] = {
+    val cdc = commitCdc(s, dir, version)
+    if (cdc.nonEmpty) cdc.sortBy(_.path).toIndexedSeq
+    else {
+      val (adds, removes) = commitChanges(s, dir, version)
+      val addsDc = adds.collect { case (af, true) => af }
+      val remsDc = removes.collect { case (p, true) => p }
+      if (addsDc.nonEmpty && remsDc.isEmpty) addsDc.sortBy(_.path).toIndexedSeq
+      else IndexedSeq.empty
+    }
+  }
+
+  /** Change rows for files [from, until) of ONE version's payload
+    * ([[cdfVersionPayload]]) — the same CDF triple as [[readChanges]]
+    * (`_change_type`, `_commit_version`, `_commit_timestamp`), used by
+    * the streaming source when a single huge commit (a backfill, a
+    * giant MERGE) must split across micro-batches instead of arriving
+    * as one batch no cluster sizes for. The union of a version's
+    * slices is exactly `readChanges(v, v)` for the sliceable shapes.
+    */
+  private[graft] def readChangesSlice(s: SparkSession, dir: String, version: Long,
+                                      from: Long, until: Long): DataFrame = {
+    val payload = cdfVersionPayload(s, dir, version)
+    require(payload.nonEmpty,
+      s"readChangesSlice: version $version of $dir has no sliceable change payload")
+    val snap = snapshot(s, dir, Some(version))
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val outSchema = StructType(schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_commit_version", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("_commit_timestamp", org.apache.spark.sql.types.TimestampType)))
+    val outCols = outSchema.fieldNames.map(col).toIndexedSeq
+    val hi = math.min(until, payload.length.toLong)
+    if (hi <= from)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val slice = payload.slice(from.toInt, hi.toInt)
+    val root = new Path(dir)
+    val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    val ts = commitTimestamps(fs, new Path(root, "_delta_log"), version).toMap
+      .getOrElse(version, 0L)
+    val isCdc = commitCdc(s, dir, version).nonEmpty
+    val base =
+      if (isCdc) readCdcFiles(s, dir, snap, slice)
+      else scanFiles(s, dir, snap, slice).withColumn("_change_type", lit("insert"))
+    base
+      .withColumn("_commit_version", lit(version))
+      .withColumn("_commit_timestamp",
+        org.apache.spark.sql.functions.timestamp_millis(lit(ts)))
+      .select(outCols: _*)
+  }
+
   /** Process-wide snapshot cache. A session running N queries against
     * one table must not pay N× (commit-suffix JSON parse + checkpoint
     * DataFrame setup + the gated `active` collect) — real delta-spark

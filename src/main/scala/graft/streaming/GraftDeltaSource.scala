@@ -529,9 +529,12 @@ object GraftDeltaSource {
     * (and optionally their staged BYTES) are this source's admission
     * units: `maxVersionsPerTrigger` bounds commit count,
     * `maxBytesPerTrigger` bounds the sum of the admitted versions'
-    * add sizes (a soft cap, delta-spark style: at least one version
-    * always admits so the stream makes progress, and a single
-    * over-sized commit rides alone).
+    * add sizes (a soft cap, delta-spark style: at least one unit
+    * always admits so the stream makes progress). An over-sized
+    * commit no longer rides alone: the initial snapshot AND a CDF
+    * version whose change payload exceeds the file/byte caps both
+    * SPLIT across micro-batches via `{"version":N,"index":K}`
+    * offsets over a path-sorted file list.
     */
   final case class MaxVersions(versions: Option[Int], files: Option[Int],
                                bytes: Option[Long])
@@ -605,6 +608,21 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
         adds
     }
 
+  // one CDF version's sliceable payload, memoized per pinned version
+  // (latestOffset probes it, getBatch re-reads it — one parse, and the
+  // list is an immutable pure function of the version)
+  @volatile private var cdfPayloadMemo: Option[(Long, IndexedSeq[DeltaReader.AddFile])] =
+    None
+
+  private def cdfPayload(version: Long): IndexedSeq[DeltaReader.AddFile] =
+    cdfPayloadMemo match {
+      case Some((v, p)) if v == version => p
+      case _ =>
+        val p = DeltaReader.cdfVersionPayload(spark, opts.path, version)
+        cdfPayloadMemo = Some((version, p))
+        p
+    }
+
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val snapV = DeltaReader.snapshot(spark, opts.path, None).version
     val latest = availableNowCap.fold(snapV)(math.min(_, snapV))
@@ -633,12 +651,11 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
           }
           // a CDF version's read payload is its cdc files when the
           // writer staged them — budget what will actually be scanned
+          // (cdfVersionPayload: cdc else dataChange adds, the same
+          // unit list the intra-version slicer walks)
           val payload =
             if (!opts.cdf) adds
-            else {
-              val cdc = DeltaReader.commitCdc(spark, opts.path, end + 1)
-              if (cdc.nonEmpty) cdc else adds
-            }
+            else DeltaReader.cdfVersionPayload(spark, opts.path, end + 1)
           val nb = payload.map(_.size).sum
           if (end > s && (capB.exists(accB + nb > _) ||
               capF.exists(f => accF + payload.size > f.toLong))) full = true
@@ -669,11 +686,42 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       }
       if (k >= n) GraftDeltaSourceOffset(pin) else GraftDeltaSourceOffset(pin, k)
     }
+    // CDF intra-version admission: when the NEXT undelivered version's
+    // change payload alone exceeds the caps, slice it — offset
+    // {"version":v,"index":k} means "the first k files of v's sorted
+    // payload delivered" (delta-spark's CDF offsets carry file indexes
+    // the same way). A fitting version rides whole through admitted()
+    // as before; a batch is EITHER whole versions OR one version's
+    // slice, never a mix.
+    def cdfVersionPhase(v: Long, done: Long): OffsetV2 = {
+      val payload = cdfPayload(v)
+      val n = payload.length.toLong
+      val fCap = capF.map(_.toLong).getOrElse(Long.MaxValue)
+      var k = done
+      var bytes = 0L
+      var full = false
+      while (!full && k < n && (k - done) < fCap) {
+        val sz = payload(k.toInt).size
+        if (k > done && capB.exists(bytes + sz > _)) full = true
+        else { bytes += sz; k += 1 }
+      }
+      if (k >= n) GraftDeltaSourceOffset(v) else GraftDeltaSourceOffset(v, k)
+    }
+    def cdfPhase(doneV: Long): OffsetV2 = {
+      if (capF.isEmpty && capB.isEmpty) return GraftDeltaSourceOffset(admitted(doneV))
+      if (doneV >= latest) return GraftDeltaSourceOffset(doneV)
+      val payload = cdfPayload(doneV + 1)
+      val fits = capF.forall(payload.size <= _) &&
+        capB.forall(payload.map(_.size).sum <= _)
+      if (fits) GraftDeltaSourceOffset(admitted(doneV))
+      else cdfVersionPhase(doneV + 1, 0L)
+    }
     val end: OffsetV2 = start match {
       case None => startingVersion match {
         // replay from sv (CDF rows or append-mode add tailing): the
         // rate caps apply from sv-1 — these are version tails, not
-        // the snapshot
+        // the snapshot (CDF additionally slices an over-sized version)
+        case Some(sv) if opts.cdf => cdfPhase(sv - 1)
         case Some(sv) => GraftDeltaSourceOffset(admitted(sv - 1))
         // CDF start-after-current: first batch just records the
         // position; append mode: the initial snapshot at the current
@@ -681,8 +729,11 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
         case None if !opts.cdf => snapshotPhase(latest, 0L)
         case None => GraftDeltaSourceOffset(latest)
       }
-      // mid-snapshot: keep draining the pinned version's list
-      case Some(g) if g.index >= 0 => snapshotPhase(g.version, g.index)
+      // mid-snapshot / mid-version: keep draining the pinned list
+      case Some(g) if g.index >= 0 =>
+        if (opts.cdf) cdfVersionPhase(g.version, g.index)
+        else snapshotPhase(g.version, g.index)
+      case Some(g) if opts.cdf => cdfPhase(g.version)
       case Some(g) => GraftDeltaSourceOffset(admitted(g.version))
     }
     val endG = GraftDeltaSourceOffset.of(end)
@@ -733,11 +784,22 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
         DeltaTail.changes(spark, opts.path, s.version, endV,
           opts.ignoreDeletes, opts.skipChangeCommits)
       case (None, true) => startingVersion match {
+        // an indexed end = the first slice of sv's over-sized payload
+        case Some(sv) if sv <= endV && endO.index >= 0 =>
+          DeltaReader.readChangesSlice(spark, opts.path, endV, 0L, endO.index)
         case Some(sv) if sv <= endV => DeltaReader.readChanges(spark, opts.path, sv, endV)
         case _ => emptyBatch // start-after-current (or nothing at sv yet)
       }
+      // mid-version continuation: the next slice of the pinned
+      // version's payload (an end without an index completes it)
+      case (Some(s), true) if s.index >= 0 =>
+        DeltaReader.readChangesSlice(spark, opts.path, s.version, s.index,
+          if (endO.index >= 0) endO.index else Long.MaxValue)
       case (Some(s), true) =>
-        if (s.version >= endV) emptyBatch
+        if (endO.index >= 0)
+          // entering a sliced version: by construction endV == s.version+1
+          DeltaReader.readChangesSlice(spark, opts.path, endV, 0L, endO.index)
+        else if (s.version >= endV) emptyBatch
         else DeltaReader.readChanges(spark, opts.path, s.version + 1, endV)
     }
     val got = df.schema.map(f => (f.name, f.dataType))

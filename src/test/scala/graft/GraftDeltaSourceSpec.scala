@@ -144,6 +144,79 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(seen.toSet == (1L to 40L).toSet + 100L)
   }
 
+  test("CDF intra-version admission: one over-sized commit splits across batches, restart resumes mid-version") {
+    val d = freshDir("cdfsplit")
+    LakeWriter.writeDelta(base.repartition(2), d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    LakeWriter.appendDelta(
+      (41 to 80).map(i => (i.toLong, "e", i * 1.5)).toDF("id", "k", "v")
+        .repartition(5), d)                       // v1: 5 insert files
+    LakeWriter.deleteWhere(spark, d, "id <= 4")   // v2: cdc-staged deletes
+
+    // end-to-end: every batch carries ONE version (whole versions or a
+    // single version's slice, never a mix), v1's 5 files arrive as
+    // ceil(5/2)=3 batches, and the union ≡ readChanges(0, 2)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+    val q = spark.readStream.format("graft-delta")
+      .option("readChangeFeed", "true").option("startingVersion", "0")
+      .option("maxFilesPerTrigger", "2")
+      .load(d).writeStream
+      .option("checkpointLocation", freshDir("cp"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val got = df.select("id", "k", "v", "_change_type", "_commit_version")
+          .collect().map(_.toSeq.toVector).toSeq
+        if (got.nonEmpty) perBatch.synchronized { perBatch += got }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    perBatch.foreach { b =>
+      assert(b.map(_.last).distinct.size == 1,
+        s"a batch mixed versions: ${b.map(_.last).distinct}")
+    }
+    assert(perBatch.count(_.head.last == 1L) == 3,
+      s"v1 (5 files, cap 2) must arrive as 3 slices: " +
+        perBatch.map(b => (b.head.last, b.size)).mkString(","))
+    val want = DeltaReader.readChanges(spark, d, 0L, 2L)
+      .select("id", "k", "v", "_change_type", "_commit_version")
+      .collect().map(_.toSeq.toVector).toSeq
+    val got = perBatch.flatten
+    assert(got.size == want.size && got.groupBy(identity).view.mapValues(_.size).toMap ==
+      want.groupBy(identity).view.mapValues(_.size).toMap,
+      s"union of slices must equal the window's change set: got ${got.size}, want ${want.size}")
+
+    // unit-level offset math, including a mid-version RESTART
+    import graft.streaming.{GraftDeltaSource, GraftDeltaSourceOffset}
+    val opts = GraftDeltaSource.Options(Map("path" -> d,
+      "readChangeFeed" -> "true", "startingVersion" -> "0"))
+    val lim = GraftDeltaSource.MaxVersions(None, Some(2), None)
+    val src1 = new GraftDeltaSource(spark, opts)
+    val o1 = GraftDeltaSourceOffset.of(src1.latestOffset(null, lim))
+    assert(o1.version == 0L && o1.index == -1L, o1.json)   // v0 fits whole
+    val o2 = GraftDeltaSourceOffset.of(src1.latestOffset(o1, lim))
+    assert(o2.version == 1L && o2.index == 2L, o2.json)    // v1 slices
+    // restart: a NEW source resumes mid-version from the offset alone
+    val src2 = new GraftDeltaSource(spark, opts)
+    val o3 = GraftDeltaSourceOffset.of(src2.latestOffset(o2, lim))
+    assert(o3.version == 1L && o3.index == 4L, o3.json)
+    val o4 = GraftDeltaSourceOffset.of(src2.latestOffset(o3, lim))
+    assert(o4.version == 1L && o4.index == -1L, o4.json)   // completes v1
+    // slices recompose exactly: union of v1's three slices == readChanges(1,1)
+    val sliced = Seq((0L, 2L), (2L, 4L), (4L, Long.MaxValue)).map { case (a, b) =>
+      DeltaReader.readChangesSlice(spark, d, 1L, a, b)
+    }.reduce(_ unionByName _).select("id").collect().map(_.getLong(0)).sorted
+    val whole = DeltaReader.readChanges(spark, d, 1L, 1L)
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(sliced.toSeq == whole.toSeq)
+    // a legacy (pre-split) CDF checkpoint's plain offset keeps working
+    val legacy = GraftDeltaSourceOffset.of(
+      new org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
+        """{"version":0}"""))
+    val o2b = GraftDeltaSourceOffset.of(src2.latestOffset(legacy, lim))
+    assert(o2b.version == 1L && o2b.index == 2L, o2b.json)
+  }
+
   test("append tail: initial snapshot then incremental appends, across restarts") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base.repartition(3), d)
