@@ -5783,7 +5783,10 @@ object LakeWriter {
     // honors the obligation without knowing about it
     if (snap.readerFeatures.contains("v2Checkpoints") ||
         snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
-      checkpointDeltaV2(spark, dir, version, sidecarParts = parts)
+      // the default part count defers to the v2 author's live-set
+      // auto-sizing; an explicit multi-part request carries over
+      checkpointDeltaV2(spark, dir, version,
+        sidecarParts = if (parts <= 1) 0 else parts)
       return
     }
     // delta.checkpoint.writeStatsAsStruct authors add.stats_parsed —
@@ -5992,12 +5995,20 @@ object LakeWriter {
     * delta-spark writes by default; producing it closes the v2 interop
     * loop the reader opened. Idempotent like [[checkpointDelta]]
     * (any existing checkpoint form at `version` wins).
+    *
+    * `sidecarParts = 0` (the default) SIZES the sidecar count from the
+    * live set: ceil(liveFiles / spark.graft.delta.checkpoint
+    * .sidecarTargetActions) (default 1M adds per sidecar) — a 100-TB
+    * table's millions of adds split across bounded parquet files a
+    * reader scans in parallel instead of one enormous sidecar; an
+    * explicit count still wins. The live aggregation this needs is the
+    * same one the checksum re-seed runs anyway — one job, not two.
     */
   def checkpointDeltaV2(spark: SparkSession, dir: String, version: Long,
-                        sidecarParts: Int = 1): Unit = {
+                        sidecarParts: Int = 0): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    require(sidecarParts >= 1, s"checkpointDeltaV2: sidecarParts $sidecarParts")
+    require(sidecarParts >= 0, s"checkpointDeltaV2: sidecarParts $sidecarParts")
     val hconf = spark.sessionState.newHadoopConf()
     val log = new org.apache.hadoop.fs.Path(dir, "_delta_log")
     val fs = log.getFileSystem(hconf)
@@ -6005,6 +6016,17 @@ object LakeWriter {
     if (fs.exists(log) &&
         fs.listStatus(log).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // ONE live aggregation serves the checksum re-seed AND the auto
+    // sidecar sizing (the re-seed also heals broken .crc chains at
+    // checkpoint cadence, same contract as the classic author)
+    val (nLive, liveBytes) = reseedChecksum(spark, fs, log, dir, snap, version)
+    val targetActions = spark.conf
+      .get("spark.graft.delta.checkpoint.sidecarTargetActions", "1000000").toLong
+    require(targetActions > 0,
+      s"sidecarTargetActions $targetActions must be positive")
+    val effParts: Int =
+      if (sidecarParts >= 1) sidecarParts
+      else math.max(1L, (nLive + targetActions - 1) / targetActions).toInt
     val v2StatsParsed = statsParsedSchemaOf(snap.configuration, snap.schemaJson)
     val addT = StructType(Seq(
       StructField("path", StringType),
@@ -6048,7 +6070,7 @@ object LakeWriter {
     fs.mkdirs(sidecarDir)
     val scratch = new org.apache.hadoop.fs.Path(log,
       s"_cpv2_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    (if (sidecarParts <= 1) addsDf.coalesce(1) else addsDf.repartition(sidecarParts))
+    (if (effParts <= 1) addsDf.coalesce(1) else addsDf.repartition(effParts))
       .write.parquet(scratch.toString)
     val parts = fs.listStatus(scratch).map(_.getPath)
       .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -6081,7 +6103,12 @@ object LakeWriter {
         StructField("appId", StringType),
         StructField("version", LongType)))),
       StructField("checkpointMetadata", StructType(Seq(
-        StructField("version", LongType)))),
+        StructField("version", LongType),
+        // informative TAGS (delta-spark's checkpointMetadata shape
+        // carries a map<string,string> a reader may ignore): sizing
+        // facts so an operator can see how the sidecars were split
+        // without scanning them
+        StructField("tags", MapType(StringType, StringType))))),
       StructField("sidecar", StructType(Seq(
         StructField("path", StringType),
         StructField("sizeInBytes", LongType),
@@ -6101,7 +6128,11 @@ object LakeWriter {
           Row("parquet", Map.empty[String, String]),
           snap.schemaJson, snap.partCols, snap.configuration),
         null, null, null, null) +:
-      Row(null, null, null, Row(version), null, null) +:
+      Row(null, null, null, Row(version, Map(
+        "numSidecars" -> sidecars.length.toString,
+        "numAddFiles" -> nLive.toString,
+        "tableSizeBytes" -> liveBytes.toString,
+        "sidecarTargetActions" -> targetActions.toString)), null, null) +:
       snap.txns.toSeq.sortBy(_._1).map { case (appId, v) =>
         Row(null, null, Row(appId, v), null, null, null)
       }) ++ sidecars.map { case (name, size) =>
@@ -6120,9 +6151,8 @@ object LakeWriter {
       f"$version%020d.checkpoint.$uid.parquet")
     require(fs.rename(mPart.head, mDest), s"rename ${mPart.head} -> $mDest failed")
     fs.delete(mScratch, true)
-    // the v2 author re-seeds the checksum chain too (same healing
-    // contract as the classic form)
-    reseedChecksum(spark, fs, log, dir, snap, version)
+    // (the checksum chain was re-seeded up front, where the same live
+    // aggregation sized the sidecars)
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
     try out.write(s"""{"version":$version,"size":${mRows.size}}""".getBytes("UTF-8"))

@@ -168,6 +168,79 @@ class DeltaV2CheckpointSpec extends SparkSpec {
       Set((0L, "a"), (1L, "b"), (2L, "c"), (3L, "d")))
   }
 
+  test("auto sidecar sizing splits the live set; checkpointMetadata carries sizing tags; foreign multi-sidecar manifests replay") {
+    val s = spark
+    import s.implicits._
+    // graft-authored AUTO split: 5 live files at 2 adds/sidecar → 3
+    val dir = tmp("graft_v2auto_")
+    LakeWriter.writeDelta((0L until 20L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(5), dir)
+    spark.conf.set("spark.graft.delta.checkpoint.sidecarTargetActions", "2")
+    try LakeWriter.checkpointDeltaV2(spark, dir, 0L)
+    finally spark.conf.unset("spark.graft.delta.checkpoint.sidecarTargetActions")
+    val log = new java.io.File(dir, "_delta_log")
+    val nSidecars = new java.io.File(log, "_sidecars").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nSidecars == 3, s"5 live adds / 2 per sidecar must author 3, got $nSidecars")
+    // tags: sizing facts ride checkpointMetadata (a reader may ignore)
+    val manifest = log.listFiles().filter(_.getName.matches(
+      "\\d{20}\\.checkpoint\\.[A-Za-z0-9_-]+\\.parquet")).head
+    val cm = spark.read.parquet(manifest.getPath)
+      .where(col("checkpointMetadata").isNotNull)
+      .select("checkpointMetadata.version", "checkpointMetadata.tags").collect()
+    assert(cm.length == 1 && cm(0).getLong(0) == 0L)
+    val tags = cm(0).getMap[String, String](1)
+    assert(tags("numSidecars") == "3" && tags("numAddFiles") == "5", tags.toString)
+    // the split checkpoint is a complete replay base
+    assert(new java.io.File(log, "0" * 20 + ".json").delete())
+    assert(DeltaReader.read(spark, dir).count() == 20L)
+
+    // FOREIGN multi-sidecar manifest (tags included, a shape another
+    // engine writes): adds split across TWO sidecars — the reader
+    // must union them and tolerate the tags field
+    val (dir2, classic) = mkTable()
+    val log2 = new java.io.File(dir2, "_delta_log")
+    val sidecars2 = new java.io.File(log2, "_sidecars"); sidecars2.mkdirs()
+    val cp = spark.read.parquet(classic.getPath)
+    val adds = cp.where(col("add").isNotNull).select(col("add"))
+    Seq(0, 1).foreach { i =>
+      val stage = new java.io.File(dir2, s"_v2ms_$i")
+      adds.where(s"pmod(hash(add.path), 2) = $i")
+        .coalesce(1).write.parquet(stage.getPath)
+      val part = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        new java.io.File(sidecars2, s"ms-$i.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    }
+    val scalars = cp.where(col("metaData").isNotNull || col("protocol").isNotNull)
+      .select(col("metaData"), col("protocol"))
+      .withColumn("checkpointMetadata",
+        lit(null).cast("struct<version:bigint,tags:map<string,string>>"))
+      .withColumn("sidecar",
+        lit(null).cast("struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"))
+    val extras = spark.range(1).select(
+      lit(null).cast(scalars.schema("metaData").dataType).as("metaData"),
+      lit(null).cast(scalars.schema("protocol").dataType).as("protocol"),
+      struct(lit(1L).as("version"),
+        org.apache.spark.sql.functions.map(
+          lit("flavor"), lit("FLAT"), lit("numSidecars"), lit("2")).as("tags"))
+        .as("checkpointMetadata"),
+      lit(null).cast(scalars.schema("sidecar").dataType).as("sidecar"))
+      .unionByName(spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(0, 1).map(i =>
+          org.apache.spark.sql.Row(null, null, null,
+            org.apache.spark.sql.Row(s"ms-$i.parquet", 1L, 0L))), 1),
+        org.apache.spark.sql.types.StructType(scalars.schema.fields)))
+    val stage2 = new java.io.File(dir2, "_v2ms_m")
+    scalars.unionByName(extras).coalesce(1).write.parquet(stage2.getPath)
+    val p2 = stage2.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(p2.toPath,
+      new java.io.File(log2, "00000000000000000001.checkpoint.ms-fx1.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage2)
+    dropPreV2(dir2, classic)
+    assert(rows(DeltaReader.read(spark, dir2)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
+  }
+
   test("vacuum reclaims below-horizon v2 manifests and their orphaned sidecars") {
     val s = spark
     import s.implicits._
