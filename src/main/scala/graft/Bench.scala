@@ -65,7 +65,7 @@ object Bench {
     // session, so nothing is reused), its cached blocks are dropped,
     // then pass B builds on the bench session and stays warm for the
     // queries. Each entry reports the min of its two cold builds.
-    def buildPass(s: SparkSession): (Double, Double) = {
+    def buildPass(s: SparkSession): (Double, Double, Map[String, Double]) = {
       val ib = timed("index_build") {
         graft.index.TestLake.cells(s, sfDir).count()
         graft.index.TestLake.cellsBloom(s, sfDir).count()
@@ -77,26 +77,46 @@ object Bench {
       // and per-query numbers stop meaning anything round-over-round.
       // Independent cache families warm CONCURRENTLY (Spark actions are
       // thread-safe): wall time = the slowest family, not the sum.
+      // Each family ALSO times itself, so a round-over-round swing in
+      // `cache_build` is attributable to the family that moved instead
+      // of reading as one opaque noisy entry.
+      val fam = new java.util.concurrent.ConcurrentHashMap[String, Double]()
+      def famTimed(name: String)(f: => Unit): Unit = {
+        val t0 = System.nanoTime()
+        f
+        fam.put(name, (System.nanoTime() - t0) / 1e9)
+        ()
+      }
       val cb = timed("cache_build") {
         import scala.concurrent.{Await, Future}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         Await.result(Future.sequence(Seq(
-          Future(graft.queries.DiscoveryQueries.warmCaches(s, sfDir)),
-          Future(graft.queries.PipelineQueries.warmCaches(s, sfDir)),
-          Future(graft.queries.DupQueries.warmCaches(s, sfDir)))), Duration.Inf)
+          Future(famTimed("cache_build_discovery")(
+            graft.queries.DiscoveryQueries.warmCaches(s, sfDir))),
+          Future(famTimed("cache_build_pipeline")(
+            graft.queries.PipelineQueries.warmCaches(s, sfDir))),
+          Future(famTimed("cache_build_dup")(
+            graft.queries.DupQueries.warmCaches(s, sfDir))))), Duration.Inf)
       }
-      (ib._2, cb._2)
+      (ib._2, cb._2, scala.jdk.CollectionConverters.MapHasAsScala(fam).asScala.toMap)
     }
-    val (ibA, cbA) = buildPass(spark.newSession())
+    val (ibA, cbA, famA) = buildPass(spark.newSession())
     // drop the throwaway session's cached blocks (the CacheManager is
     // shared across sessions; the bench session has cached nothing yet)
     // and settle the heap so pass B starts clean
     spark.catalog.clearCache()
     System.gc()
-    val (ibB, cbB) = buildPass(spark)
+    val (ibB, cbB, famB) = buildPass(spark)
     val indexBuild = ("index_build", math.min(ibA, ibB))
     val cacheBuild = ("cache_build", math.min(cbA, cbB))
+    // per-family attribution rows (min-of-2 like everything else).
+    // EXCLUDED from `total`: cache_build already counts this wall time
+    // — these rows exist so one noisy family cannot hide inside it.
+    val famEntries = (famA.keySet ++ famB.keySet).toSeq.sorted.map { k =>
+      (k, math.min(famA.getOrElse(k, Double.PositiveInfinity),
+        famB.getOrElse(k, Double.PositiveInfinity)))
+    }.filter(_._2.isFinite)
     // sorted order: deterministic and comparable across rounds (Map
     // iteration order reshuffles whenever the key set changes).
     // Each query is timed over TWO passes and reports the per-query
@@ -116,8 +136,10 @@ object Bench {
     // authoritative signal (a 0 next to a failed entry cannot be read
     // as a fast success)
     val all = (results :+ indexBuild :+ cacheBuild)
-      .map { case (n, v) => (n, if (v.isInfinity) 0.0 else v) }
-    val total = all.map(_._2).sum
+      .map { case (n, v) => (n, if (v.isInfinity) 0.0 else v) } ++ famEntries
+    // total excludes the cache_build_* attribution rows — cache_build
+    // already counts that wall clock once
+    val total = all.filterNot(_._1.startsWith("cache_build_")).map(_._2).sum
     val failedJson = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // The harness keeps only a 2000-char stdout TAIL; a full ~100-query
     // map is >2000 chars at any precision (key names alone are ~1.2k),

@@ -648,20 +648,48 @@ object DeltaReader {
           .build())
       }
     if (cmMode == "id") enableFieldIdReads(s)
+    // nested physical names: the read schema carries the files'
+    // physical names at EVERY level, casting changed structs back to
+    // the logical shape on projection — the same rule as [[scanFiles]]
+    // (cdc files of a foreign per-level-named table must not null-fill
+    // their struct leaves)
+    def physDataType(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName") else f.name
+        val f2 = f.copy(name = pn, dataType = physDataType(f.dataType))
+        if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id"))
+          f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f2.metadata)
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build())
+        else f2
+      })
+      case org.apache.spark.sql.types.ArrayType(et, n) =>
+        org.apache.spark.sql.types.ArrayType(physDataType(et), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(physDataType(k), physDataType(v), n)
+      case other => other
+    }
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partCols.contains(f.name))
-        .map(f => withFieldId(f.copy(name = physName(f)))) :+
+        .map(f => withFieldId(f.copy(name = physName(f),
+          dataType = if (mapped) physDataType(f.dataType) else f.dataType))) :+
         org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType))
     val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
-      .map(f => physName(f) -> f.name) :+ ("_change_type" -> "_change_type")
+      .map { f =>
+        val deep = if (mapped) physDataType(f.dataType) else f.dataType
+        (physName(f), f.name, if (deep == f.dataType) None else Some(f.dataType))
+      } :+ (("_change_type", "_change_type", None))
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
     val outNames = schema.fieldNames ++ Seq("_change_type") ++
       (if (withPath) Seq("__chg_path") else Nil)
     files.groupBy(_.partitionValues).map { case (pv, group) =>
       val paths = group.map(f => resolveAddPath(new Path(dir), f.path).toString)
       val base0 = s.read.schema(dataSchema).parquet(paths: _*)
-      val proj = logicalByPhys.map { case (phys, logical) =>
-        base0.col(s"`${phys.replace("`", "``")}`").as(logical)
+      val proj = logicalByPhys.map { case (phys, logical, castBack) =>
+        val c = base0.col(s"`${phys.replace("`", "``")}`")
+        castBack.fold(c)(c.cast).as(logical)
       } ++ (if (withPath)
         Seq(uriPathCol(base0.col("_metadata.file_path")).as("__chg_path")) else Nil)
       val base = base0.select(proj.toIndexedSeq: _*)

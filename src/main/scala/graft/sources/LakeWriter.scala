@@ -2061,9 +2061,8 @@ object LakeWriter {
                                              operation: String = "WRITE",
                                              operationParameters: String = "{}"): Unit = {
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"appendDelta: table uses column mapping mode '$cm' — id mode needs parquet " +
-        "field-id staging this writer does not produce; refusing to write unreadable files")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"appendDelta: unknown column mapping mode '$cm'")
     // deletionVectors is append-safe: the writer obligation it imposes
     // (respect + rewrite DVs when modifying files) only binds writes
     // that TOUCH existing files, and a pure append never does.
@@ -2112,15 +2111,63 @@ object LakeWriter {
       if (cm == "none") Map.empty
       else table.fields.map { f =>
         require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"appendDelta: column mapping is 'name' but field '${f.name}' carries no " +
+          s"appendDelta: column mapping is '$cm' but field '${f.name}' carries no " +
             "physicalName metadata — malformed schemaString")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
+    // ID MODE staging (r15): parquet FIELD IDS are the resolution
+    // contract, so the staged files must carry them at every level —
+    // `parquet.field.id` metadata from each field's
+    // `delta.columnMapping.id` rides the write schema (Dataset.to
+    // reconciles the nested metadata; the top-level alias re-attaches
+    // it alongside the physical rename). Top-level names go physical
+    // so footer-derived add.stats keys match what id-mode readers
+    // (delta-spark's included) expect; inner names stay logical —
+    // informational under the id contract, where only ids resolve.
+    def fieldIdType(dt: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = dt match {
+      case st: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(st.fields.map { f =>
+          val md =
+            if (!f.metadata.contains("delta.columnMapping.id")) f.metadata
+            else new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+              .build()
+          f.copy(dataType = fieldIdType(f.dataType), metadata = md)
+        })
+      case org.apache.spark.sql.types.ArrayType(et, n) =>
+        org.apache.spark.sql.types.ArrayType(fieldIdType(et), n)
+      case org.apache.spark.sql.types.MapType(k, v, n) =>
+        org.apache.spark.sql.types.MapType(fieldIdType(k), fieldIdType(v), n)
+      case other => other
+    }
     val (staged, stagePartCols) =
       if (cm == "none") (df, snap.partCols)
-      else (df.select(table.fieldNames.map(c =>
-        df.col(c).as(physByLogical(c))).toIndexedSeq: _*),
-        snap.partCols.map(physByLogical))
+      else if (cm == "name")
+        (df.select(table.fieldNames.map(c =>
+          df.col(c).as(physByLogical(c))).toIndexedSeq: _*),
+          snap.partCols.map(physByLogical))
+      else {
+        table.fields.foreach(f => require(f.metadata.contains("delta.columnMapping.id"),
+          s"appendDelta: column mapping is 'id' but field '${f.name}' carries no " +
+            "delta.columnMapping.id metadata — malformed schemaString"))
+        // Spark writes parquet field ids from schema metadata when this
+        // is on (the default since 3.3 — set defensively; without ids
+        // the staged files would be unreadable under the id contract)
+        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        val withNested = df.to(fieldIdType(table)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        val renamed = withNested.select(table.fields.map { f =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build()
+          withNested.col(s"`${f.name.replace("`", "``")}`")
+            .as(physByLogical(f.name), md)
+        }.toIndexedSeq: _*)
+        (renamed, snap.partCols.map(physByLogical))
+      }
     commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
       stagePartCols, txn, operation = operation, operationParameters = operationParameters,
       rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,

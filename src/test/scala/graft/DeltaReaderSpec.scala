@@ -308,7 +308,8 @@ class DeltaReaderSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
     val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((7L, "x"), (8L, "y")), got.toString)
-    // id-mode WRITES stay refused (graft stages name-resolved parquet)
+    // id-mode MUTATIONS stay refused (they re-stage existing files);
+    // APPENDS are supported since r15 — field-id staging below
     val s2 = spark
     locally {
       import s2.implicits._
@@ -317,6 +318,90 @@ class DeltaReaderSpec extends SparkSpec {
       }
       assert(e.getMessage.contains("mode 'id' not supported"), e.getMessage)
     }
+  }
+
+  test("id-mode APPEND stages parquet field ids at every level; data round-trips and stats prune") {
+    import org.apache.spark.sql.types._
+    val (dir, log) = mkTable()
+    // foreign id-mode table: flat id/v plus a nested struct s{x}, the
+    // existing file decoy-named with only field ids lining up
+    val fileSchema = StructType(Seq(
+      StructField("decoy_a", LongType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 1L).build()),
+      StructField("decoy_b", StringType, nullable = true, new MetadataBuilder()
+        .putLong("parquet.field.id", 2L).build()),
+      StructField("decoy_s", StructType(Seq(
+        StructField("decoy_x", LongType, nullable = true, new MetadataBuilder()
+          .putLong("parquet.field.id", 4L).build()))), nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 3L).build())))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val stage = new java.io.File(dir, "_stage_idap")
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(1L, "a", org.apache.spark.sql.Row(10L)),
+        org.apache.spark.sql.Row(2L, "b", org.apache.spark.sql.Row(20L))), 1), fileSchema)
+      .coalesce(1).write.parquet(stage.getPath)
+    val pf0 = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf0.toPath,
+      new java.io.File(dir, "part-id0.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    def fld(n: String, t: DataType, phys: String, id: Long) =
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "col-pa", 1),
+      fld("v", StringType, "col-pb", 2),
+      fld("s", StructType(Seq(fld("x", LongType, "col-px", 4))), "col-ps", 3)))
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    commit(log, 0, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"idap","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"4"}}}""",
+      """{"add":{"path":"part-id0.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""))
+
+    // the append: LOGICAL column names in, field-id parquet out
+    val appended = spark.range(100, 103).selectExpr(
+      "id", "concat('v', id) AS v", "named_struct('x', id * 10) AS s").coalesce(1)
+    graft.sources.LakeWriter.appendDelta(appended, dir.getPath)
+
+    // round-trip: both the foreign file and the appended one resolve
+    val got = DeltaReader.read(spark, dir.getPath)
+      .selectExpr("id", "v", "s.x").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set((1L, "a", 10L), (2L, "b", 20L),
+      (100L, "v100", 1000L), (101L, "v101", 1010L), (102L, "v102", 1020L)), got)
+
+    // the staged file carries FIELD IDS at every level (the id-mode
+    // read contract) and physical TOP-LEVEL names (the stats key
+    // domain id-mode readers expect)
+    val snap = DeltaReader.snapshot(spark, dir.getPath, None)
+    val newAdd = snap.active.find(_.path != "part-id0.parquet").get
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir.getPath, newAdd.path),
+        spark.sessionState.newHadoopConf()))
+    val msg = try footer.getFooter.getFileMetaData.getSchema finally footer.close()
+    import scala.jdk.CollectionConverters._
+    val top = msg.getFields.asScala.map(f => f.getName -> Option(f.getId).map(_.intValue))
+    assert(top.toSet == Set("col-pa" -> Some(1), "col-pb" -> Some(2), "col-ps" -> Some(3)),
+      top.toString)
+    val inner = msg.getFields.asScala.find(_.getName == "col-ps").get
+      .asGroupType().getFields.asScala
+      .map(f => Option(f.getId).map(_.intValue)).toSeq
+    assert(inner == Seq(Some(4)), s"nested field id must ride the staged file: $inner")
+
+    // stats key physically, and the id-mode pruner (r15) skips on them
+    assert(newAdd.stats.isDefined)
+    val mv = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(newAdd.stats.get).get("minValues")
+    assert(mv.has("col-pa") && mv.get("col-pa").asLong() == 100L, mv.toString)
+    // the appended file's stats are LIVE under the id-mode pruner: a
+    // predicate outside its bounds drops it (the stats-less foreign
+    // file stays, may-match — sound)
+    val kept = graft.sources.DeltaStats.prune(spark, snap.active, "id > 1000", snap)
+    assert(kept.map(_.path) == Seq("part-id0.parquet"),
+      s"id-mode skipping must drop the appended file: ${kept.map(_.path)}")
   }
 
   test("unknown v3 reader features stay refused") {
@@ -504,13 +589,14 @@ class DeltaReaderSpec extends SparkSpec {
       Set((1L, "a"), (2L, "b")))
   }
 
-  test("appendDelta refuses id-mode column mapping and unimplemented writer features") {
+  test("appendDelta refuses malformed id-mode tables and unimplemented writer features") {
     val s = spark
     import s.implicits._
     val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
-    // id-mode column mapping: resolution is by parquet field id, which
-    // this writer's staging does not produce (name mode appends ARE
-    // supported — DeltaCmWriteSpec)
+    // id-mode appends ARE supported (r15, field-id staging) — but a
+    // table DECLARING id mode whose schema carries no column-mapping
+    // metadata is malformed and must refuse loudly, not write files
+    // readers cannot resolve
     val (dir, log) = mkTable()
     commit(log, 0, Seq(
       """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
@@ -519,7 +605,7 @@ class DeltaReaderSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException] {
       graft.sources.LakeWriter.appendDelta(Seq((1L, "a")).toDF("id", "v"), dir.getPath)
     }
-    assert(e1.getMessage.contains("mode 'id'"), e1.getMessage)
+    assert(e1.getMessage.contains("malformed schemaString"), e1.getMessage)
     // writer version 7 with a feature this writer cannot enforce
     val (dir2, log2) = mkTable()
     commit(log2, 0, Seq(
