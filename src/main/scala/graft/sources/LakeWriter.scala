@@ -2118,28 +2118,34 @@ object LakeWriter {
     // ID MODE staging (r15): parquet FIELD IDS are the resolution
     // contract, so the staged files must carry them at every level —
     // `parquet.field.id` metadata from each field's
-    // `delta.columnMapping.id` rides the write schema (Dataset.to
-    // reconciles the nested metadata; the top-level alias re-attaches
-    // it alongside the physical rename). Top-level names go physical
-    // so footer-derived add.stats keys match what id-mode readers
-    // (delta-spark's included) expect; inner names stay logical —
-    // informational under the id contract, where only ids resolve.
-    def fieldIdType(dt: org.apache.spark.sql.types.DataType)
+    // `delta.columnMapping.id` rides the write schema. Names go
+    // PHYSICAL at every level too (what delta-spark's id-mode writer
+    // produces): footer-derived add.stats then key by the full dotted
+    // physical path, which is both the key domain foreign id-mode
+    // readers expect AND what our own pruner's physical→logical walk
+    // remaps — nested leaves keep pruning on graft-appended files. A
+    // changed struct reaches its physical shape via ONE cast (renames
+    // positionally, value no-op; the cast's target type carries the
+    // nested field-id metadata into the write schema); top-level ids
+    // ride the alias metadata.
+    def physIdType(dt: org.apache.spark.sql.types.DataType)
         : org.apache.spark.sql.types.DataType = dt match {
       case st: org.apache.spark.sql.types.StructType =>
         org.apache.spark.sql.types.StructType(st.fields.map { f =>
+          val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+            f.metadata.getString("delta.columnMapping.physicalName") else f.name
           val md =
             if (!f.metadata.contains("delta.columnMapping.id")) f.metadata
             else new org.apache.spark.sql.types.MetadataBuilder()
               .withMetadata(f.metadata)
               .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
               .build()
-          f.copy(dataType = fieldIdType(f.dataType), metadata = md)
+          f.copy(name = pn, dataType = physIdType(f.dataType), metadata = md)
         })
       case org.apache.spark.sql.types.ArrayType(et, n) =>
-        org.apache.spark.sql.types.ArrayType(fieldIdType(et), n)
+        org.apache.spark.sql.types.ArrayType(physIdType(et), n)
       case org.apache.spark.sql.types.MapType(k, v, n) =>
-        org.apache.spark.sql.types.MapType(fieldIdType(k), fieldIdType(v), n)
+        org.apache.spark.sql.types.MapType(physIdType(k), physIdType(v), n)
       case other => other
     }
     val (staged, stagePartCols) =
@@ -2156,14 +2162,14 @@ object LakeWriter {
         // is on (the default since 3.3 — set defensively; without ids
         // the staged files would be unreadable under the id contract)
         df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        val withNested = df.to(fieldIdType(table)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        val renamed = withNested.select(table.fields.map { f =>
+        val renamed = df.select(table.fields.map { f =>
           val md = new org.apache.spark.sql.types.MetadataBuilder()
             .withMetadata(f.metadata)
             .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
             .build()
-          withNested.col(s"`${f.name.replace("`", "``")}`")
+          val c = df.col(s"`${f.name.replace("`", "``")}`")
+          val deep = physIdType(f.dataType)
+          (if (deep == f.dataType) c else c.cast(deep))
             .as(physByLogical(f.name), md)
         }.toIndexedSeq: _*)
         (renamed, snap.partCols.map(physByLogical))

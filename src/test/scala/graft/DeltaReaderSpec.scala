@@ -388,20 +388,26 @@ class DeltaReaderSpec extends SparkSpec {
       top.toString)
     val inner = msg.getFields.asScala.find(_.getName == "col-ps").get
       .asGroupType().getFields.asScala
-      .map(f => Option(f.getId).map(_.intValue)).toSeq
-    assert(inner == Seq(Some(4)), s"nested field id must ride the staged file: $inner")
+      .map(f => f.getName -> Option(f.getId).map(_.intValue)).toSeq
+    assert(inner == Seq("col-px" -> Some(4)),
+      s"nested physical name + field id must ride the staged file: $inner")
 
-    // stats key physically, and the id-mode pruner (r15) skips on them
+    // stats key by the full dotted PHYSICAL path, and the id-mode
+    // pruner (r15) skips on them — nested leaves included
     assert(newAdd.stats.isDefined)
     val mv = new com.fasterxml.jackson.databind.ObjectMapper()
       .readTree(newAdd.stats.get).get("minValues")
     assert(mv.has("col-pa") && mv.get("col-pa").asLong() == 100L, mv.toString)
+    assert(mv.get("col-ps").get("col-px").asLong() == 1000L, mv.toString)
     // the appended file's stats are LIVE under the id-mode pruner: a
     // predicate outside its bounds drops it (the stats-less foreign
-    // file stays, may-match — sound)
+    // file stays, may-match — sound); struct leaves prune too
     val kept = graft.sources.DeltaStats.prune(spark, snap.active, "id > 1000", snap)
     assert(kept.map(_.path) == Seq("part-id0.parquet"),
       s"id-mode skipping must drop the appended file: ${kept.map(_.path)}")
+    val keptN = graft.sources.DeltaStats.prune(spark, snap.active, "s.x > 5000", snap)
+    assert(keptN.map(_.path) == Seq("part-id0.parquet"),
+      s"nested id-mode skipping must drop the appended file: ${keptN.map(_.path)}")
   }
 
   test("unknown v3 reader features stay refused") {
