@@ -6022,9 +6022,17 @@ object LakeWriter {
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
     // multi-part hints carry "parts" (delta-spark's form) so real
-    // readers know how many files complete the checkpoint
+    // readers know how many files complete the checkpoint;
+    // sizeInBytes/numOfAddFiles are delta-spark's sizing hints — a
+    // reader can budget the replay scan without listing the parts
     val partsField = if (parts <= 1) "" else s""","parts":${part.length}"""
-    try out.write(s"""{"version":$version,"size":$nActions$partsField}""".getBytes("UTF-8"))
+    val cpBytes = (if (parts <= 1)
+        Seq(new org.apache.hadoop.fs.Path(log, f"$version%020d.checkpoint.parquet"))
+      else (1 to part.length).map(i => new org.apache.hadoop.fs.Path(log,
+        f"$version%020d.checkpoint.$i%010d.${part.length}%010d.parquet")))
+      .map(p => fs.getFileStatus(p).getLen).sum
+    try out.write((s"""{"version":$version,"size":$nActions$partsField""" +
+      s""","sizeInBytes":$cpBytes,"numOfAddFiles":$nLive}""").getBytes("UTF-8"))
     finally out.close()
     // metadata cleanup rides every checkpoint (delta-spark's cadence):
     // best-effort — the checkpoint above is durable either way
@@ -6208,7 +6216,11 @@ object LakeWriter {
     // aggregation sized the sidecars)
     val hint = new org.apache.hadoop.fs.Path(log, "_last_checkpoint")
     val out = fs.create(hint, true)
-    try out.write(s"""{"version":$version,"size":${mRows.size}}""".getBytes("UTF-8"))
+    // sizing hints like the classic form: manifest + sidecar bytes,
+    // live add count from the up-front aggregation
+    val cpBytes = fs.getFileStatus(mDest).getLen + sidecars.map(_._2).sum
+    try out.write((s"""{"version":$version,"size":${mRows.size}""" +
+      s""","sizeInBytes":$cpBytes,"numOfAddFiles":$nLive}""").getBytes("UTF-8"))
     finally out.close()
     try { cleanExpiredLogsWithConf(spark, dir, snap.configuration); () }
     catch {

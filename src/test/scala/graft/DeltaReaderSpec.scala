@@ -144,6 +144,16 @@ class DeltaReaderSpec extends SparkSpec {
     assert(new java.io.File(log, f"${10L}%020d.checkpoint.parquet").isFile)
     assert(new java.io.File(log, f"${20L}%020d.checkpoint.parquet").isFile)
     assert(new java.io.File(log, "_last_checkpoint").isFile)
+    // the hint carries delta-spark's sizing fields: a reader budgets
+    // the replay scan without listing the checkpoint parts
+    locally {
+      val hint = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new java.io.File(log, "_last_checkpoint"))
+      assert(hint.get("version").asLong() == 20L)
+      assert(hint.get("numOfAddFiles").asLong() == 21L, hint.toString)
+      assert(hint.get("sizeInBytes").asLong() ==
+        new java.io.File(log, f"${20L}%020d.checkpoint.parquet").length(), hint.toString)
+    }
     // the writer's checkpoint stores protocol versions as int32, like
     // real delta-spark checkpoints — this doubles as the regression
     // fixture for the reader's Number-based access (getLong would throw)

@@ -194,6 +194,15 @@ class DeltaV2CheckpointSpec extends SparkSpec {
     // the split checkpoint is a complete replay base
     assert(new java.io.File(log, "0" * 20 + ".json").delete())
     assert(DeltaReader.read(spark, dir).count() == 20L)
+    // _last_checkpoint sizing fields cover manifest + sidecars
+    locally {
+      val hint = new com.fasterxml.jackson.databind.ObjectMapper().readTree(
+        new java.io.File(log, "_last_checkpoint"))
+      assert(hint.get("numOfAddFiles").asLong() == 5L, hint.toString)
+      val expect = manifest.length() + new java.io.File(log, "_sidecars")
+        .listFiles().filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+      assert(hint.get("sizeInBytes").asLong() == expect, hint.toString)
+    }
 
     // FOREIGN multi-sidecar manifest (tags included, a shape another
     // engine writes): adds split across TWO sidecars — the reader

@@ -217,6 +217,57 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(o2b.version == 1L && o2b.index == 2L, o2b.json)
   }
 
+  test("CDF admission fuzz: random commit shapes × random caps drain to exactly the window's change set") {
+    val rnd = new scala.util.Random(42)
+    val d = freshDir("cdffuzz")
+    LakeWriter.writeDelta(base.repartition(1 + rnd.nextInt(3)), d,
+      configuration = Map("delta.enableChangeDataFeed" -> "true"))
+    var lo = 100L
+    (1 to 5).foreach { _ =>
+      val n = 5 + rnd.nextInt(20)
+      LakeWriter.appendDelta(
+        (lo until lo + n).map(i => (i, "f", i * 0.5)).toDF("id", "k", "v")
+          .repartition(1 + rnd.nextInt(6)), d)
+      lo += n
+    }
+    LakeWriter.deleteWhere(spark, d, "id % 7 = 0")   // cdc-staged version
+    val latest = DeltaReader.snapshot(spark, d, None).version
+    val want = DeltaReader.readChanges(spark, d, 0L, latest)
+      .selectExpr("id", "_change_type", "_commit_version")
+      .collect().map(_.toSeq.toVector).toSeq
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val caps: Seq[(Option[Int], Option[Long])] = Seq(
+      (Some(1), None), (Some(2), None), (Some(4), None),
+      (None, Some(1L)), (None, Some(5000L)), (Some(3), Some(3000L)))
+    caps.foreach { case (fc, bc) =>
+      val perBatch = scala.collection.mutable.ArrayBuffer.empty[Seq[Seq[Any]]]
+      var reader = spark.readStream.format("graft-delta")
+        .option("readChangeFeed", "true").option("startingVersion", "0")
+      fc.foreach(v => reader = reader.option("maxFilesPerTrigger", v.toString))
+      bc.foreach(v => reader = reader.option("maxBytesPerTrigger", v.toString))
+      val q = reader.load(d).writeStream
+        .option("checkpointLocation", freshDir("cpf"))
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          val rows = df.selectExpr("id", "_change_type", "_commit_version")
+            .collect().map(_.toSeq.toVector).toSeq
+          if (rows.nonEmpty) perBatch.synchronized { perBatch += rows }
+          ()
+        }
+        .start()
+      q.awaitTermination()
+      val got = perBatch.flatten
+      val gm = got.toSeq.groupBy(identity).view.mapValues(_.size).toMap
+      assert(gm == want,
+        s"cap=$fc/$bc drained multiset differs: got ${got.size} rows, want ${want.values.sum}")
+      // slicing invariant holds end-to-end: under the tightest file
+      // cap each batch carries exactly one version
+      if (fc.contains(1))
+        perBatch.foreach(b => assert(b.map(_.last).distinct.size == 1,
+          s"cap=$fc/$bc batch mixed versions: ${b.map(_.last).distinct}"))
+    }
+  }
+
   test("append tail: initial snapshot then incremental appends, across restarts") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base.repartition(3), d)
