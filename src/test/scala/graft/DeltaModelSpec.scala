@@ -186,6 +186,11 @@ class DeltaModelSpec extends SparkSpec {
       assert(readState(dir) == model,
         s"latest read diverged from the model at version $after (seed $seed)")
     }
+    // the version-checksum chain survives the whole random mutation
+    // surface: every retained version either validates against its
+    // replay or carries no .crc (false) — a mismatch, the fingerprint
+    // of a mis-folded chain, throws and fails the scenario
+    (0L to version).foreach(v => DeltaReader.validateChecksum(spark, dir, Some(v)))
     (history, dir)
   }
 
