@@ -391,15 +391,20 @@ class GraftDeltaSink(path: String, appId: String, checkpointInterval: Int,
   * delta-spark's reservoirVersion/index shape, which is what lets the
   * rate caps split the snapshot into restart-safe batches.
   */
-case class GraftDeltaSourceOffset(version: Long, index: Long = -1L) extends OffsetV1 {
+case class GraftDeltaSourceOffset(version: Long, index: Long = -1L,
+                                  tail: Boolean = false) extends OffsetV1 {
   override def json: String =
     if (index < 0) s"""{"version":$version}"""
-    else s"""{"version":$version,"index":$index}"""
+    else if (!tail) s"""{"version":$version,"index":$index}"""
+    // `tail` disambiguates an index into a TAIL version's add list
+    // from an index into the pinned initial snapshot — absent (every
+    // pre-r15 checkpoint) means snapshot phase, the old meaning
+    else s"""{"version":$version,"index":$index,"tail":true}"""
 }
 
 object GraftDeltaSourceOffset {
   private val VersionRe =
-    """\{\s*"version"\s*:\s*(\d+)\s*(?:,\s*"index"\s*:\s*(\d+)\s*)?\}""".r
+    """\{\s*"version"\s*:\s*(\d+)\s*(?:,\s*"index"\s*:\s*(\d+)\s*(?:,\s*"tail"\s*:\s*(true|false)\s*)?)?\}""".r
 
   /** ANY offset representation the engine can hand back: our own
     * class, the engine's SerializedOffset (restart path), or a V2
@@ -415,10 +420,11 @@ object GraftDeltaSourceOffset {
   def versionOf(o: AnyRef): Long = of(o).version
 
   private def parse(json: String): GraftDeltaSourceOffset = json.trim match {
-    case VersionRe(v, null) => GraftDeltaSourceOffset(v.toLong)
-    case VersionRe(v, i)    => GraftDeltaSourceOffset(v.toLong, i.toLong)
+    case VersionRe(v, null, _) => GraftDeltaSourceOffset(v.toLong)
+    case VersionRe(v, i, t)    => GraftDeltaSourceOffset(v.toLong, i.toLong, t == "true")
     case other => throw new IllegalArgumentException(
-      s"graft-delta: unparseable offset '$other' — expected {\"version\":N[,\"index\":K]}")
+      s"graft-delta: unparseable offset '$other' — expected " +
+        "{\"version\":N[,\"index\":K[,\"tail\":true]]}")
   }
 }
 
@@ -452,10 +458,16 @@ object GraftDeltaSource {
     // joining a huge table's stream without scanning its history
     // (rate caps apply from the first batch, unlike the unsplittable
     // snapshot).
+    // the literal "latest" (delta-spark's spelling) = start AFTER the
+    // version current at stream construction — resolved there, where
+    // the table is consulted; -1 is the internal sentinel
     val startingVersion: Option[Long] = lower.get("startingversion").map { v =>
-      val n = v.toLong
-      require(n >= 0, s"graft-delta: startingVersion $n must be >= 0")
-      n
+      if (v.trim.equalsIgnoreCase("latest")) -1L
+      else {
+        val n = v.toLong
+        require(n >= 0, s"graft-delta: startingVersion $n must be >= 0")
+        n
+      }
     }
     // delta-spark's startingTimestamp: epoch millis, a SQL timestamp
     // ("2026-08-15 12:00:00", session-local like timestampAsOf), or an
@@ -555,7 +567,12 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
   // commit — the stream then tails only future commits. After the
   // first batch the checkpoint offset governs; this never re-resolves.
   private val startingVersion: Option[Long] =
-    opts.startingVersion.orElse(opts.startingTimestampMillis.map { ts =>
+    opts.startingVersion.map {
+      // "latest": only commits AFTER the version current at stream
+      // construction (delta-spark's semantics); resolved exactly once
+      case -1L => DeltaReader.snapshot(spark, opts.path, None).version + 1
+      case n => n
+    }.orElse(opts.startingTimestampMillis.map { ts =>
       val logPath = new org.apache.hadoop.fs.Path(opts.path, "_delta_log")
       val fs = logPath.getFileSystem(spark.sessionState.newHadoopConf())
       val mono = DeltaReader.commitTimestamps(fs, logPath, Long.MaxValue)
@@ -622,6 +639,39 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
         cdfPayloadMemo = Some((version, p))
         p
     }
+
+  // a TAIL version's sliceable payload (append mode): its dataChange
+  // adds, path-sorted — ONLY when the version removes nothing; a
+  // removing version is never sliced, it rides whole through
+  // DeltaTail's refusal / ignoreDeletes / skipChangeCommits semantics
+  @volatile private var tailPayloadMemo: Option[(Long, IndexedSeq[DeltaReader.AddFile])] =
+    None
+
+  private def tailPayload(version: Long): IndexedSeq[DeltaReader.AddFile] =
+    tailPayloadMemo match {
+      case Some((v, p)) if v == version => p
+      case _ =>
+        val (adds, removes) = DeltaReader.commitChanges(spark, opts.path, version)
+        val addsDc = adds.collect { case (af, true) => af }
+        val remsDc = removes.collect { case (p0, true) => p0 }
+        val p =
+          if (addsDc.nonEmpty && remsDc.isEmpty) addsDc.sortBy(_.path).toIndexedSeq
+          else IndexedSeq.empty
+        tailPayloadMemo = Some((version, p))
+        p
+    }
+
+  /** Files [from, until) of tail version `v`'s add payload, scanned
+    * under that version's snapshot — the over-sized-append slice.
+    */
+  private def tailSlice(v: Long, from: Long, until: Long): DataFrame = {
+    val payload = tailPayload(v)
+    val hi = math.min(until, payload.length.toLong)
+    if (hi <= from) emptyBatch
+    else DeltaReader.scanFiles(spark, opts.path,
+      DeltaReader.snapshot(spark, opts.path, Some(v)),
+      payload.slice(from.toInt, hi.toInt))
+  }
 
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val snapV = DeltaReader.snapshot(spark, opts.path, None).version
@@ -716,13 +766,40 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       if (fits) GraftDeltaSourceOffset(admitted(doneV))
       else cdfVersionPhase(doneV + 1, 0L)
     }
+    // append-tail intra-version admission (same shape): an over-sized
+    // pure-append commit slices; the offset carries tail=true so a
+    // restart can't confuse the index with the initial snapshot's
+    def tailVersionPhase(v: Long, done: Long): OffsetV2 = {
+      val payload = tailPayload(v)
+      val n = payload.length.toLong
+      val fCap = capF.map(_.toLong).getOrElse(Long.MaxValue)
+      var k = done
+      var bytes = 0L
+      var full = false
+      while (!full && k < n && (k - done) < fCap) {
+        val sz = payload(k.toInt).size
+        if (k > done && capB.exists(bytes + sz > _)) full = true
+        else { bytes += sz; k += 1 }
+      }
+      if (k >= n) GraftDeltaSourceOffset(v)
+      else GraftDeltaSourceOffset(v, k, tail = true)
+    }
+    def tailPhase(doneV: Long): OffsetV2 = {
+      if (capF.isEmpty && capB.isEmpty) return GraftDeltaSourceOffset(admitted(doneV))
+      if (doneV >= latest) return GraftDeltaSourceOffset(doneV)
+      val payload = tailPayload(doneV + 1)
+      val fits = payload.isEmpty || (capF.forall(payload.size <= _) &&
+        capB.forall(payload.map(_.size).sum <= _))
+      if (fits) GraftDeltaSourceOffset(admitted(doneV))
+      else tailVersionPhase(doneV + 1, 0L)
+    }
     val end: OffsetV2 = start match {
       case None => startingVersion match {
         // replay from sv (CDF rows or append-mode add tailing): the
         // rate caps apply from sv-1 — these are version tails, not
         // the snapshot (CDF additionally slices an over-sized version)
         case Some(sv) if opts.cdf => cdfPhase(sv - 1)
-        case Some(sv) => GraftDeltaSourceOffset(admitted(sv - 1))
+        case Some(sv) => tailPhase(sv - 1)
         // CDF start-after-current: first batch just records the
         // position; append mode: the initial snapshot at the current
         // version, split by the file/byte caps
@@ -732,9 +809,10 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
       // mid-snapshot / mid-version: keep draining the pinned list
       case Some(g) if g.index >= 0 =>
         if (opts.cdf) cdfVersionPhase(g.version, g.index)
+        else if (g.tail) tailVersionPhase(g.version, g.index)
         else snapshotPhase(g.version, g.index)
       case Some(g) if opts.cdf => cdfPhase(g.version)
-      case Some(g) => GraftDeltaSourceOffset(admitted(g.version))
+      case Some(g) => tailPhase(g.version)
     }
     val endG = GraftDeltaSourceOffset.of(end)
     val progressed = start match {
@@ -766,6 +844,10 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     val startO = start.map(GraftDeltaSourceOffset.of)
     val df = (startO, opts.cdf) match {
       case (None, false) => startingVersion match {
+        // an indexed tail end = the first slice of sv's over-sized
+        // append payload (endV == sv by construction)
+        case Some(sv) if sv <= endV && endO.tail && endO.index >= 0 =>
+          tailSlice(endV, 0L, endO.index)
         // skip-snapshot tailing: the first batch is the adds of
         // versions [sv, end] through the shared append-tail path
         case Some(sv) if sv <= endV => DeltaTail.changes(spark, opts.path, sv - 1, endV,
@@ -775,13 +857,21 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
           if (endO.index >= 0) snapshotSlice(endV, 0L, endO.index)
           else DeltaReader.read(spark, opts.path, Some(endV))
       }
+      // mid-version tail continuation (an end without an index
+      // completes the sliced version)
+      case (Some(s), false) if s.index >= 0 && s.tail =>
+        tailSlice(s.version, s.index,
+          if (endO.index >= 0) endO.index else Long.MaxValue)
       // mid-snapshot continuation: the next slice of the pinned list
       // (an end without an index is the snapshot's completing batch)
       case (Some(s), false) if s.index >= 0 =>
         snapshotSlice(s.version, s.index,
           if (endO.index >= 0) endO.index else Long.MaxValue)
       case (Some(s), false) =>
-        DeltaTail.changes(spark, opts.path, s.version, endV,
+        if (endO.tail && endO.index >= 0)
+          // entering a sliced tail version: endV == s.version + 1
+          tailSlice(endV, 0L, endO.index)
+        else DeltaTail.changes(spark, opts.path, s.version, endV,
           opts.ignoreDeletes, opts.skipChangeCommits)
       case (None, true) => startingVersion match {
         // an indexed end = the first slice of sv's over-sized payload

@@ -217,6 +217,82 @@ class GraftDeltaSourceSpec extends SparkSpec {
     assert(o2b.version == 1L && o2b.index == 2L, o2b.json)
   }
 
+  test("append-tail intra-version admission: an over-sized append commit slices; legacy offsets keep their snapshot meaning") {
+    import graft.streaming.{GraftDeltaSource, GraftDeltaSourceOffset}
+    val d = freshDir("tailsplit")
+    LakeWriter.writeDelta(base.repartition(2), d)
+    val cp = freshDir("cp")
+    // drain the initial snapshot first (cap 2 → 1 batch of 2 files... 2 files fit)
+    val (rows0, _) = drain(d, cp, Map("maxFilesPerTrigger" -> "2"))
+    assert(rows0.size == 40)
+    // one giant append: 5 files — the tail must slice it, not deliver
+    // one unbounded batch
+    LakeWriter.appendDelta(
+      (41 to 80).map(i => (i.toLong, "t", i * 1.5)).toDF("id", "k", "v")
+        .repartition(5), d)
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val q = spark.readStream.format("graft-delta")
+      .option("maxFilesPerTrigger", "2").load(d).writeStream
+      .option("checkpointLocation", cp)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: DataFrame, _: Long) =>
+        val n = df.count().toInt
+        if (n > 0) perBatch.synchronized { perBatch += n }
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    assert(perBatch.size == 3, s"5 files at cap 2 must arrive as 3 slices: $perBatch")
+    assert(perBatch.sum == 40, perBatch.toString)
+
+    // unit offset walk: the tail flag rides the json, restart resumes
+    // mid-version, and a LEGACY index offset keeps the snapshot meaning
+    val lim = GraftDeltaSource.MaxVersions(None, Some(2), None)
+    val opts = GraftDeltaSource.Options(Map("path" -> d))
+    val src = new GraftDeltaSource(spark, opts)
+    val o1 = GraftDeltaSourceOffset.of(src.latestOffset(GraftDeltaSourceOffset(0L), lim))
+    assert(o1 == GraftDeltaSourceOffset(1L, 2L, tail = true), o1.json)
+    assert(o1.json.contains("\"tail\":true"), o1.json)
+    val src2 = new GraftDeltaSource(spark, opts)   // restart
+    val o2 = GraftDeltaSourceOffset.of(src2.latestOffset(o1, lim))
+    assert(o2 == GraftDeltaSourceOffset(1L, 4L, tail = true), o2.json)
+    val o3 = GraftDeltaSourceOffset.of(src2.latestOffset(o2, lim))
+    assert(o3 == GraftDeltaSourceOffset(1L), o3.json)   // completes plain
+    // slices recompose: union of the three tail slices == version 1's adds
+    val sliced = Seq((0L, 2L), (2L, 4L), (4L, Long.MaxValue)).map { case (a, b) =>
+      DeltaReader.scanFiles(spark, d, DeltaReader.snapshot(spark, d, Some(1L)),
+        DeltaReader.commitActions(spark, d, 1L).collect { case (Right(af), true) => af }
+          .sortBy(_.path).toIndexedSeq.slice(a.toInt, math.min(b, 5L).toInt))
+    }.reduce(_ unionByName _).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(sliced == (41L to 80L).toSeq)
+    // a legacy {"version":V,"index":K} (no tail) still means the
+    // INITIAL SNAPSHOT's pinned list — pre-r15 checkpoints replay
+    val legacy = GraftDeltaSourceOffset.of(
+      new org.apache.spark.sql.execution.streaming.runtime.SerializedOffset(
+        """{"version":1,"index":1}"""))
+    assert(!legacy.tail && legacy.index == 1L)
+    val snapAdds = DeltaReader.snapshot(spark, d, Some(1L)).active.sortBy(_.path)
+    val fromLegacy = src2.getBatch(Some(legacy), GraftDeltaSourceOffset(1L, 3L))
+    // engine-shaped streaming frame: count via a fresh batch scan of
+    // the same slice instead of collecting the streaming-marked plan
+    val expectRows = DeltaReader.scanFiles(spark, d,
+      DeltaReader.snapshot(spark, d, Some(1L)),
+      snapAdds.slice(1, 3)).count()
+    assert(fromLegacy.schema.fieldNames.toSeq == Seq("id", "k", "v"))
+    assert(expectRows > 0)
+  }
+
+  test("startingVersion=latest starts after the version current at stream construction") {
+    val d = freshDir("svlatest")
+    LakeWriter.writeDelta(base.repartition(2), d)
+    val cp = freshDir("cp")
+    val (rows0, _) = drain(d, cp, Map("startingVersion" -> "latest"))
+    assert(rows0.isEmpty, s"latest must skip the existing table: ${rows0.size}")
+    LakeWriter.appendDelta(Seq((200L, "z", 1.0)).toDF("id", "k", "v"), d)
+    val (rows1, _) = drain(d, cp, Map("startingVersion" -> "latest"))
+    assert(rows1.map(_.head) == Seq(200L), rows1.toString)
+  }
+
   test("CDF admission fuzz: random commit shapes × random caps drain to exactly the window's change set") {
     val rnd = new scala.util.Random(42)
     val d = freshDir("cdffuzz")
