@@ -1206,7 +1206,12 @@ object DeltaStats {
     // through their partition values
     val fullPred = derivedPartitionConjuncts(pred, schema, partCols, zone,
       spark.sessionState.sqlParser).foldLeft(pred)(And(_, _))
-    files.filter(a =>
-      mayMatch(fullPred, parseEnv(a, om, physToLog), partCols, colTypes, zone))
+    files.filter { a =>
+      val env = parseEnv(a, om, physToLog)
+      // a zero-row file satisfies NO row predicate — drop it outright
+      // (its bounds are absent, which would otherwise read may-match)
+      !env.numRecords.contains(0L) &&
+        mayMatch(fullPred, env, partCols, colTypes, zone)
+    }
   }
 }

@@ -1660,8 +1660,8 @@ object LakeWriter {
     val spark = df0.sparkSession
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"overwriteWhere: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"overwriteWhere: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
@@ -1721,32 +1721,26 @@ object LakeWriter {
       if (cm == "none") Map.empty
       else table.fields.map { f =>
         require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"overwriteWhere: column mapping is 'name' but field '${f.name}' carries " +
+          s"overwriteWhere: column mapping is '$cm' but field '${f.name}' carries " +
             "no physicalName metadata — malformed schemaString")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
-    val (staged, stagePartCols) =
-      if (cm == "none") (replaced, snap.partCols)
-      else (replaced.select(
-        table.fieldNames.map(c => replaced.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val staged = stagePhysicalRows(replaced, table, cm, phys, "overwriteWhere")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
     val cdcActions =
       if (!cdfEnabled(snap)) Nil
       else {
-        val inserts = df.select((table.fieldNames.map { c =>
-          df.col(c).as(phys.getOrElse(c, c))
-        } :+ lit("insert").as("_change_type")).toIndexedSeq: _*)
+        val inserts = df.withColumn("_change_type", lit("insert"))
         val all =
           if (affected.isEmpty) inserts
           else {
             val deleted = DeltaReader.scanFiles(spark, dir, snap, affected)
               .where(coalesce(pred, lit(false)))
-            deleted.select((table.fieldNames.map { c =>
-              deleted.col(c).as(phys.getOrElse(c, c))
-            } :+ lit("delete").as("_change_type")).toIndexedSeq: _*)
+            deleted.withColumn("_change_type", lit("delete"))
               .unionByName(inserts)
           }
-        stageCdc(all, dir, snap.version + 1, stagePartCols)
+        stageCdc(stagePhysicalRows(all, table, cm, phys, "overwriteWhere"),
+          dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
@@ -1804,8 +1798,8 @@ object LakeWriter {
     val spark = df0.sparkSession
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"overwriteDelta: column mapping mode '$cm' not supported (none/name only)")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"overwriteDelta: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
@@ -1837,28 +1831,25 @@ object LakeWriter {
       if (cm == "none") Map.empty
       else table.fields.map { f =>
         require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"overwriteDelta: column mapping is 'name' but field '${f.name}' carries no " +
+          s"overwriteDelta: column mapping is '$cm' but field '${f.name}' carries no " +
             "physicalName metadata — malformed schemaString")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
-    val (staged, stagePartCols) =
-      if (cm == "none") (df, snap.partCols)
-      else (df.select(table.fieldNames.map(c => df.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val staged = stagePhysicalRows(df, table, cm, phys, "overwriteDelta")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
     val cdcActions =
       if (!cdfEnabled(snap)) Nil
       else {
-        val inserts = staged.withColumn("_change_type", lit("insert"))
+        val inserts = df.withColumn("_change_type", lit("insert"))
         val all =
           if (snap.active.isEmpty) inserts
           else {
             val oldRows = DeltaReader.scanFiles(spark, dir, snap, snap.active)
-            oldRows.select((table.fieldNames.map { c =>
-              oldRows.col(c).as(phys.getOrElse(c, c))
-            } :+ lit("delete").as("_change_type")).toIndexedSeq: _*)
+            oldRows.withColumn("_change_type", lit("delete"))
               .unionByName(inserts)
           }
-        stageCdc(all, dir, snap.version + 1, stagePartCols)
+        stageCdc(stagePhysicalRows(all, table, cm, phys, "overwriteDelta"),
+          dir, snap.version + 1, stagePartCols)
       }
     val removes = snap.active.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""
@@ -2054,6 +2045,74 @@ object LakeWriter {
     * its txn-watermark check and the append, instead of replaying the
     * log twice per batch.
     */
+  /** Logical-named rows → the table's PHYSICAL staging shape, shared
+    * by every path that writes data files (append, delete/update
+    * rewrites, overwrite, merge, CDC images):
+    *  - mode "none": untouched;
+    *  - mode "name": top-level rename to the declared physical names;
+    *  - mode "id" (r15): physical names at EVERY level AND
+    *    `parquet.field.id` from each field's `delta.columnMapping.id`
+    *    — the resolution contract id-mode readers (ours and
+    *    delta-spark's) use. A nested struct reaches its physical shape
+    *    via ONE cast (renames positionally, value no-op; the cast's
+    *    target type carries the nested field-id metadata into the
+    *    write schema); top-level ids ride the alias metadata, and
+    *    footer-derived stats key by the full dotted physical path.
+    * Columns beyond the table schema (cdc's `_change_type`) pass
+    * through by name — protocol-fixed names, no mapping.
+    */
+  private[graft] def stagePhysicalRows(rows: DataFrame,
+      table: org.apache.spark.sql.types.StructType, cm: String,
+      physByLogical: Map[String, String], op: String): DataFrame = {
+    if (cm == "none") return rows
+    def q(c: String) = s"`${c.replace("`", "``")}`"
+    val extras = rows.columns.filterNot(table.fieldNames.contains).toSeq
+    if (cm == "name")
+      rows.select((table.fieldNames.toSeq.map(c =>
+        rows.col(q(c)).as(physByLogical(c))) ++
+        extras.map(c => rows.col(q(c)))).toIndexedSeq: _*)
+    else {
+      require(cm == "id", s"$op: unknown column mapping mode '$cm'")
+      table.fields.foreach(f => require(f.metadata.contains("delta.columnMapping.id"),
+        s"$op: column mapping is 'id' but field '${f.name}' carries no " +
+          "delta.columnMapping.id metadata — malformed schemaString"))
+      // Spark writes parquet field ids from schema metadata when this
+      // is on (the default since 3.3 — set defensively; without ids
+      // the staged files would be unreadable under the id contract)
+      rows.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      def physIdType(dt: org.apache.spark.sql.types.DataType)
+          : org.apache.spark.sql.types.DataType = dt match {
+        case st: org.apache.spark.sql.types.StructType =>
+          org.apache.spark.sql.types.StructType(st.fields.map { f =>
+            val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.metadata.getString("delta.columnMapping.physicalName") else f.name
+            val md =
+              if (!f.metadata.contains("delta.columnMapping.id")) f.metadata
+              else new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+                .build()
+            f.copy(name = pn, dataType = physIdType(f.dataType), metadata = md)
+          })
+        case org.apache.spark.sql.types.ArrayType(et, n) =>
+          org.apache.spark.sql.types.ArrayType(physIdType(et), n)
+        case org.apache.spark.sql.types.MapType(k, v, n) =>
+          org.apache.spark.sql.types.MapType(physIdType(k), physIdType(v), n)
+        case other => other
+      }
+      rows.select((table.fields.toSeq.map { f =>
+        val md = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata)
+          .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+          .build()
+        val c = rows.col(q(f.name))
+        val deep = physIdType(f.dataType)
+        (if (deep == f.dataType) c else c.cast(deep))
+          .as(physByLogical(f.name), md)
+      } ++ extras.map(c => rows.col(q(c)))).toIndexedSeq: _*)
+    }
+  }
+
   private[graft] def appendDeltaWithSnapshot(df0: DataFrame, dir: String,
                                              checkpointInterval: Int,
                                              txn: Option[(String, Long)],
@@ -2115,65 +2174,9 @@ object LakeWriter {
             "physicalName metadata — malformed schemaString")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
-    // ID MODE staging (r15): parquet FIELD IDS are the resolution
-    // contract, so the staged files must carry them at every level —
-    // `parquet.field.id` metadata from each field's
-    // `delta.columnMapping.id` rides the write schema. Names go
-    // PHYSICAL at every level too (what delta-spark's id-mode writer
-    // produces): footer-derived add.stats then key by the full dotted
-    // physical path, which is both the key domain foreign id-mode
-    // readers expect AND what our own pruner's physical→logical walk
-    // remaps — nested leaves keep pruning on graft-appended files. A
-    // changed struct reaches its physical shape via ONE cast (renames
-    // positionally, value no-op; the cast's target type carries the
-    // nested field-id metadata into the write schema); top-level ids
-    // ride the alias metadata.
-    def physIdType(dt: org.apache.spark.sql.types.DataType)
-        : org.apache.spark.sql.types.DataType = dt match {
-      case st: org.apache.spark.sql.types.StructType =>
-        org.apache.spark.sql.types.StructType(st.fields.map { f =>
-          val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
-            f.metadata.getString("delta.columnMapping.physicalName") else f.name
-          val md =
-            if (!f.metadata.contains("delta.columnMapping.id")) f.metadata
-            else new org.apache.spark.sql.types.MetadataBuilder()
-              .withMetadata(f.metadata)
-              .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-              .build()
-          f.copy(name = pn, dataType = physIdType(f.dataType), metadata = md)
-        })
-      case org.apache.spark.sql.types.ArrayType(et, n) =>
-        org.apache.spark.sql.types.ArrayType(physIdType(et), n)
-      case org.apache.spark.sql.types.MapType(k, v, n) =>
-        org.apache.spark.sql.types.MapType(physIdType(k), physIdType(v), n)
-      case other => other
-    }
     val (staged, stagePartCols) =
-      if (cm == "none") (df, snap.partCols)
-      else if (cm == "name")
-        (df.select(table.fieldNames.map(c =>
-          df.col(c).as(physByLogical(c))).toIndexedSeq: _*),
-          snap.partCols.map(physByLogical))
-      else {
-        table.fields.foreach(f => require(f.metadata.contains("delta.columnMapping.id"),
-          s"appendDelta: column mapping is 'id' but field '${f.name}' carries no " +
-            "delta.columnMapping.id metadata — malformed schemaString"))
-        // Spark writes parquet field ids from schema metadata when this
-        // is on (the default since 3.3 — set defensively; without ids
-        // the staged files would be unreadable under the id contract)
-        df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        val renamed = df.select(table.fields.map { f =>
-          val md = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f.metadata)
-            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-            .build()
-          val c = df.col(s"`${f.name.replace("`", "``")}`")
-          val deep = physIdType(f.dataType)
-          (if (deep == f.dataType) c else c.cast(deep))
-            .as(physByLogical(f.name), md)
-        }.toIndexedSeq: _*)
-        (renamed, snap.partCols.map(physByLogical))
-      }
+      (stagePhysicalRows(df, table, cm, physByLogical, "appendDelta"),
+        snap.partCols.map(c => physByLogical.getOrElse(c, c)))
     commitDelta(staged, dir, snap.version + 1, includeMeta = false, checkpointInterval,
       stagePartCols, txn, operation = operation, operationParameters = operationParameters,
       rowIdBase = RowTracking.rowIdBase(snap), ictConf = snap.configuration,
@@ -3485,8 +3488,8 @@ object LakeWriter {
       predicate: String, snap: DeltaReader.Snapshot): Seq[String] = {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, not}
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"deleteWhere: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"deleteWhere: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhere: table declares delta.appendOnly=true — deletes are forbidden on it")
     // same shape as the append gate: legacy writer versions pass when
@@ -3536,15 +3539,12 @@ object LakeWriter {
       if (cm == "none") Map.empty
       else table.fields.map { f =>
         require(f.metadata.contains("delta.columnMapping.physicalName"),
-          s"deleteWhere: column mapping is 'name' but field '${f.name}' carries no " +
+          s"deleteWhere: column mapping is '$cm' but field '${f.name}' carries no " +
             "physicalName metadata — malformed schemaString")
         f.name -> f.metadata.getString("delta.columnMapping.physicalName")
       }.toMap
-    val (staged, stagePartCols) =
-      if (cm == "none") (survivors, snap.partCols)
-      else (survivors.select(
-        table.fieldNames.map(c => survivors.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val staged = stagePhysicalRows(survivors, table, cm, phys, "deleteWhere")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
     // CDF: the deleted rows ARE the commit's change data — staged to
     // _change_data in the table's physical layout, committed atomically
     val cdcActions =
@@ -3552,9 +3552,9 @@ object LakeWriter {
       else {
         val deletedRows = DeltaReader.scanFiles(spark, dir, snap, affected)
           .where(coalesce(pred, lit(false)))
-        val physCdc = deletedRows.select((table.fieldNames.map { c =>
-          deletedRows.col(c).as(phys.getOrElse(c, c))
-        } :+ lit("delete").as("_change_type")).toIndexedSeq: _*)
+        val physCdc = stagePhysicalRows(
+          deletedRows.withColumn("_change_type", lit("delete")),
+          table, cm, phys, "deleteWhere")
         stageCdc(physCdc, dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
@@ -3748,8 +3748,8 @@ object LakeWriter {
     import org.apache.spark.sql.functions.{col, expr}
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"deleteWhereDv: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"deleteWhereDv: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
@@ -3787,11 +3787,11 @@ object LakeWriter {
         val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         val phys = physNameMap(table, cm, "deleteWhereDv")
-        val physCdc = matchedRows.select((table.fieldNames.map { c =>
-          matchedRows.col(c).as(phys.getOrElse(c, c))
+        val logCdc = matchedRows.select((table.fieldNames.map { c =>
+          matchedRows.col(c)
         } :+ org.apache.spark.sql.functions.lit("delete").as("_change_type")).toIndexedSeq: _*)
-        stageCdc(physCdc, dir, snap.version + 1,
-          if (cm == "none") snap.partCols else snap.partCols.map(phys))
+        stageCdc(stagePhysicalRows(logCdc, table, cm, phys, "deleteWhereDv"),
+          dir, snap.version + 1, snap.partCols.map(c => phys.getOrElse(c, c)))
       }
 
     def absPath(a: DeltaReader.AddFile): String =
@@ -3874,8 +3874,8 @@ object LakeWriter {
     require(set.nonEmpty, "updateWhereDv: empty SET clause")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"updateWhereDv: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"updateWhereDv: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhereDv: table declares delta.appendOnly=true — updates are forbidden")
     require(!snap.writerFeatures.contains("rowTracking"),
@@ -3925,23 +3925,19 @@ object LakeWriter {
     }.toIndexedSeq: _*)
     val updated = enforceObligations(updated0, snap, table, "updateWhereDv")
     val phys = physNameMap(table, cm, "updateWhereDv")
-    val (stagedDf, stagePartCols) =
-      if (cm == "none") (updated, snap.partCols)
-      else (updated.select(
-        table.fieldNames.map(c => updated.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val stagedDf = stagePhysicalRows(updated, table, cm, phys, "updateWhereDv")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
 
     // CDF: complete pre/post images of exactly the matched rows
     val cdcActions =
       if (!cdfEnabled(snap)) Nil
       else {
-        val pre = matchedRows.select((table.fieldNames.map { c =>
-          matchedRows.col(c).as(phys.getOrElse(c, c))
-        } :+ lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
-        val post = stagedDf.withColumn("_change_type", lit("update_postimage"))
-          .select((table.fieldNames.map(c => col(phys.getOrElse(c, c))) :+
-            col("_change_type")).toIndexedSeq: _*)
-        stageCdc(pre.unionByName(post), dir, snap.version + 1, stagePartCols)
+        val pre = matchedRows
+          .select((table.fieldNames.map(c => matchedRows.col(c)) :+
+            lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
+        val post = updated.withColumn("_change_type", lit("update_postimage"))
+        stageCdc(stagePhysicalRows(pre.unionByName(post), table, cm, phys,
+          "updateWhereDv"), dir, snap.version + 1, stagePartCols)
       }
 
     // DV bitmaps: new matches ∪ each file's existing DV rows —
@@ -4056,8 +4052,8 @@ object LakeWriter {
       "applyCdcDv: the batch must carry _change_type ('delete' or upsert)")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"applyCdcDv: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"applyCdcDv: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "applyCdcDv: table declares delta.appendOnly=true — CDC deletes are forbidden")
     require(!snap.writerFeatures.contains("rowTracking"),
@@ -4134,11 +4130,8 @@ object LakeWriter {
     if (affected.isEmpty && written.isEmpty) return Nil
 
     val phys = physNameMap(table, cm, "applyCdcDv")
-    val (stagedDf, stagePartCols) =
-      if (cm == "none") (written, snap.partCols)
-      else (written.select(
-        table.fieldNames.map(c => written.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val stagedDf = stagePhysicalRows(written, table, cm, phys, "applyCdcDv")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
 
     // CDF: deletes' preimages, updates' pre/post, inserts — complete
     val cdcActions =
@@ -4146,17 +4139,15 @@ object LakeWriter {
       else {
         def img(df: DataFrame, kind: String): DataFrame =
           df.select((table.fieldNames.map { c =>
-            df.col(c).as(phys.getOrElse(c, c))
+            df.col(c)
           } :+ lit(kind).as("_change_type")).toIndexedSeq: _*)
         val delPre = img(joined.where(col("__op") === "delete"), "delete")
         val updPre = img(joined.where(col("__op") =!= "delete"), "update_preimage")
-        val updPost = updatedRows
-          .select((table.fieldNames.map(c => updatedRows.col(c).as(phys.getOrElse(c, c))) :+
-            lit("update_postimage").as("_change_type")).toIndexedSeq: _*)
-        val ins = inserts
-          .select((table.fieldNames.map(c => inserts.col(c).as(phys.getOrElse(c, c))) :+
-            lit("insert").as("_change_type")).toIndexedSeq: _*)
-        stageCdc(delPre.unionByName(updPre).unionByName(updPost).unionByName(ins),
+        val updPost = img(updatedRows, "update_postimage")
+        val ins = img(inserts, "insert")
+        stageCdc(stagePhysicalRows(
+          delPre.unionByName(updPre).unionByName(updPost).unionByName(ins),
+          table, cm, phys, "applyCdcDv"),
           dir, snap.version + 1, stagePartCols)
       }
 
@@ -4384,8 +4375,8 @@ object LakeWriter {
     }
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"mergeIntoClauses: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"mergeIntoClauses: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
@@ -4646,18 +4637,15 @@ object LakeWriter {
     val checked = enforceObligations(written, snap, table, "mergeIntoClauses")
 
     val phys = physNameMap(table, cm, "mergeIntoClauses")
-    val (staged, stagePartCols) =
-      if (cm == "none") (checked, snap.partCols)
-      else (checked.select(
-        table.fieldNames.map(c => checked.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val staged = stagePhysicalRows(checked, table, cm, phys, "mergeIntoClauses")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
     val cdcActions =
       if (!cdfEnabled(snap)) Nil
       else {
         val updCodes = updIdx.map(_._2)
         def img(df: DataFrame, cols: Seq[Column], kind: String): DataFrame =
           df.select((table.fields.zip(cols).map { case (f, c) =>
-            c.as(phys.getOrElse(f.name, f.name))
+            c.as(f.name)
           } :+ lit(kind).as("_change_type")).toIndexedSeq: _*)
         val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
         if (cdcRewrite != null) {
@@ -4679,7 +4667,8 @@ object LakeWriter {
         if (inserts != null)
           parts += img(inserts, table.fieldNames.toSeq.map(inserts.col), "insert")
         parts.reduceOption(_.unionByName(_))
-          .map(stageCdc(_, dir, snap.version + 1, stagePartCols))
+          .map(u => stageCdc(stagePhysicalRows(u, table, cm, phys,
+            "mergeIntoClauses"), dir, snap.version + 1, stagePartCols))
           .getOrElse(Nil)
       }
     val removesFiles = if (rewriteNeeded) affected else Nil
@@ -4729,8 +4718,8 @@ object LakeWriter {
     import org.apache.spark.sql.functions.{coalesce, col, expr, lit, when}
     require(set.nonEmpty, "updateWhere: empty SET clause")
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"updateWhere: column mapping mode '$cm' not supported")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"updateWhere: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
@@ -4782,11 +4771,8 @@ object LakeWriter {
       }).as(f.name)
     }.toIndexedSeq: _*), snap, table, "updateWhere")
     val phys = physNameMap(table, cm, "updateWhere")
-    val (staged, stagePartCols) =
-      if (cm == "none") (rewritten, snap.partCols)
-      else (rewritten.select(
-        table.fieldNames.map(c => rewritten.col(c).as(phys(c))).toIndexedSeq: _*),
-        snap.partCols.map(phys))
+    val staged = stagePhysicalRows(rewritten, table, cm, phys, "updateWhere")
+    val stagePartCols = snap.partCols.map(c => phys.getOrElse(c, c))
     // CDF: complete change data = each updated row's pre-image AND
     // post-image (both derived from the same pre-update scan, so the
     // SET expressions see old values exactly as the rewrite does)
@@ -4794,16 +4780,16 @@ object LakeWriter {
       if (!cdfEnabled(snap)) Nil
       else {
         val matchedPre = src.where(hit)
-        val pre = matchedPre.select((table.fieldNames.map { c =>
-          matchedPre.col(c).as(phys.getOrElse(c, c))
-        } :+ lit("update_preimage").as("_change_type")).toIndexedSeq: _*)
+        val pre = matchedPre
+          .withColumn("_change_type", lit("update_preimage"))
         val post = matchedPre.select((table.fields.map { f =>
           (set.get(f.name) match {
             case Some(e) => expr(e).cast(f.dataType)
             case None => col(f.name)
-          }).as(phys.getOrElse(f.name, f.name))
+          }).as(f.name)
         } :+ lit("update_postimage").as("_change_type")).toIndexedSeq: _*)
-        stageCdc(pre.unionByName(post), dir, snap.version + 1, stagePartCols)
+        stageCdc(stagePhysicalRows(pre.unionByName(post), table, cm, phys,
+          "updateWhere"), dir, snap.version + 1, stagePartCols)
       }
     val removes = affected.map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":true}}"""

@@ -318,16 +318,13 @@ class DeltaReaderSpec extends SparkSpec {
     assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
     val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(got == Set((7L, "x"), (8L, "y")), got.toString)
-    // id-mode MUTATIONS stay refused (they re-stage existing files);
-    // APPENDS are supported since r15 — field-id staging below
-    val s2 = spark
-    locally {
-      import s2.implicits._
-      val e = intercept[IllegalArgumentException] {
-        graft.sources.LakeWriter.deleteWhere(spark, dir.getPath, "id = 7")
-      }
-      assert(e.getMessage.contains("mode 'id' not supported"), e.getMessage)
-    }
+    // id-mode WRITES are supported since r15 (field-id staging): the
+    // copy-on-write delete rewrites the decoy-named file into the
+    // table's physical shape and the surviving row still resolves
+    graft.sources.LakeWriter.deleteWhere(spark, dir.getPath, "id = 7")
+    val after = DeltaReader.read(spark, dir.getPath).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == Set((8L, "y")), after.toString)
   }
 
   test("id-mode APPEND stages parquet field ids at every level; data round-trips and stats prune") {
