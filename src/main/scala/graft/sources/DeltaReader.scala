@@ -649,28 +649,12 @@ object DeltaReader {
       }
     if (cmMode == "id") enableFieldIdReads(s)
     // nested physical names: the read schema carries the files'
-    // physical names at EVERY level, casting changed structs back to
-    // the logical shape on projection — the same rule as [[scanFiles]]
-    // (cdc files of a foreign per-level-named table must not null-fill
-    // their struct leaves)
-    def physDataType(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map { f =>
-        val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
-          f.metadata.getString("delta.columnMapping.physicalName") else f.name
-        val f2 = f.copy(name = pn, dataType = physDataType(f.dataType))
-        if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id"))
-          f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f2.metadata)
-            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-            .build())
-        else f2
-      })
-      case org.apache.spark.sql.types.ArrayType(et, n) =>
-        org.apache.spark.sql.types.ArrayType(physDataType(et), n)
-      case org.apache.spark.sql.types.MapType(k, v, n) =>
-        org.apache.spark.sql.types.MapType(physDataType(k), physDataType(v), n)
-      case other => other
-    }
+    // physical names at EVERY level (DeltaStats.physicalShape — the
+    // walker the write staging shares), casting changed structs back
+    // to the logical shape on projection — cdc files of a foreign
+    // per-level-named table must not null-fill their struct leaves
+    def physDataType(dt: DataType): DataType =
+      DeltaStats.physicalShape(dt, attachIds = cmMode == "id")
     val dataSchema = StructType(
       schema.fields.filterNot(f => snap.partCols.contains(f.name))
         .map(f => withFieldId(f.copy(name = physName(f),
@@ -876,8 +860,14 @@ object DeltaReader {
     val slice = payload.slice(from.toInt, hi.toInt)
     val root = new Path(dir)
     val fs = root.getFileSystem(s.sessionState.newHadoopConf())
+    // loud like readChanges' tsByVersion(v): a missing timestamp means
+    // the commit vanished between offset resolution and the scan —
+    // stamping epoch 0 would silently misplace the batch for every
+    // consumer ordering by _commit_timestamp
     val ts = commitTimestamps(fs, new Path(root, "_delta_log"), version).toMap
-      .getOrElse(version, 0L)
+      .getOrElse(version, throw new IllegalStateException(
+        s"readChangesSlice: no commit timestamp for version $version of $dir — " +
+          "the commit was cleaned mid-stream; restart the stream"))
     val isCdc = commitCdc(s, dir, version).nonEmpty
     val base =
       if (isCdc) readCdcFiles(s, dir, snap, slice)
@@ -2087,30 +2077,16 @@ object DeltaReader {
     // NESTED physical names (delta-spark assigns one per level; graft's
     // own mapped tables only rename at the top): the read schema must
     // carry the files' physical names at EVERY level or nested leaves
-    // silently null-fill. Inner fields are lenient (no metadata = keep
-    // the name — graft's shape); a changed struct casts back to the
+    // silently null-fill — DeltaStats.physicalShape, the SAME walker
+    // the write staging uses, so read and write schemas cannot
+    // desynchronize. Inner fields are lenient (no metadata = keep the
+    // name — graft's shape); a changed struct casts back to the
     // logical type on projection, which renames positionally and is a
     // value no-op (identical field types). The cast is applied ONLY
     // when a nested name actually differs, so graft-written tables
     // keep their exact previous plans (and nested pushdown).
-    def physDataType(dt: DataType): DataType = dt match {
-      case st: StructType => StructType(st.fields.map { f =>
-        val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
-          f.metadata.getString("delta.columnMapping.physicalName") else f.name
-        val f2 = f.copy(name = pn, dataType = physDataType(f.dataType))
-        if (cmMode == "id" && f.metadata.contains("delta.columnMapping.id"))
-          f2.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-            .withMetadata(f2.metadata)
-            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-            .build())
-        else f2
-      })
-      case org.apache.spark.sql.types.ArrayType(et, n) =>
-        org.apache.spark.sql.types.ArrayType(physDataType(et), n)
-      case org.apache.spark.sql.types.MapType(k, v, n) =>
-        org.apache.spark.sql.types.MapType(physDataType(k), physDataType(v), n)
-      case other => other
-    }
+    def physDataType(dt: DataType): DataType =
+      DeltaStats.physicalShape(dt, attachIds = cmMode == "id")
     val dataFields = schema.fields.filterNot(f => snap.partCols.contains(f.name))
     val dataSchema = StructType(dataFields
       .map(f => withFieldId(f.copy(name = physName(f),

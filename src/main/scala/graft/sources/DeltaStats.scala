@@ -99,6 +99,37 @@ object DeltaStats {
     b.result()
   }
 
+  /** The PHYSICAL shape of a column's data type under column mapping:
+    * every struct level renames through its field's
+    * `delta.columnMapping.physicalName` (field name where absent), and
+    * with `attachIds` each field carrying `delta.columnMapping.id`
+    * gains `parquet.field.id` metadata — the one walker the read
+    * schemas (scanFiles / readCdcFiles) and the write staging
+    * (stagePhysicalRows) all share, so the two sides cannot
+    * desynchronize on a mapping rule.
+    */
+  private[graft] def physicalShape(dt: org.apache.spark.sql.types.DataType,
+                                   attachIds: Boolean)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
+          f.metadata.getString("delta.columnMapping.physicalName") else f.name
+        val md =
+          if (!attachIds || !f.metadata.contains("delta.columnMapping.id")) f.metadata
+          else new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+            .build()
+        f.copy(name = pn, dataType = physicalShape(f.dataType, attachIds), metadata = md)
+      })
+      case ArrayType(et, n) => ArrayType(physicalShape(et, attachIds), n)
+      case MapType(k, v, n) =>
+        MapType(physicalShape(k, attachIds), physicalShape(v, attachIds), n)
+      case other => other
+    }
+  }
+
   /** `delta.dataSkippingStatsColumns` translated into the staged
     * files' key domain: on a column-mapped table the parquet footer
     * paths are PHYSICAL names, so each configured logical (possibly
@@ -1096,8 +1127,12 @@ object DeltaStats {
           t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L), t.getNano / 1000L))
       case _ => None
     }
-    // f(L) as a typed literal in the generated column's domain
-    def mapped(shape: Shape, src: DataType, gDt: DataType, l: Literal): Option[Literal] = {
+    // f(L) as a typed literal in the generated column's domain; an
+    // extreme-but-legal literal whose mapping overflows epoch micros
+    // (year ±290307 boundaries) degrades to None = may-match, like
+    // every other unmappable literal in this file — never an exception
+    // out of the prune path
+    def mapped(shape: Shape, src: DataType, gDt: DataType, l: Literal): Option[Literal] = try {
       val lifted = typedLit(l, Some(src), zone)
       if (lifted == null) None
       else ldtOf(src, lifted).flatMap { t =>
@@ -1119,7 +1154,7 @@ object DeltaStats {
           case _ => None
         }
       }
-    }
+    } catch { case scala.util.control.NonFatal(_) => None }
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case other => Seq(other)

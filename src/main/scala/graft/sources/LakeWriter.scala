@@ -2065,51 +2065,64 @@ object LakeWriter {
       table: org.apache.spark.sql.types.StructType, cm: String,
       physByLogical: Map[String, String], op: String): DataFrame = {
     if (cm == "none") return rows
-    def q(c: String) = s"`${c.replace("`", "``")}`"
-    val extras = rows.columns.filterNot(table.fieldNames.contains).toSeq
-    if (cm == "name")
-      rows.select((table.fieldNames.toSeq.map(c =>
-        rows.col(q(c)).as(physByLogical(c))) ++
-        extras.map(c => rows.col(q(c)))).toIndexedSeq: _*)
-    else {
-      require(cm == "id", s"$op: unknown column mapping mode '$cm'")
+    require(cm == "name" || cm == "id", s"$op: unknown column mapping mode '$cm'")
+    if (cm == "id")
       table.fields.foreach(f => require(f.metadata.contains("delta.columnMapping.id"),
         s"$op: column mapping is 'id' but field '${f.name}' carries no " +
           "delta.columnMapping.id metadata — malformed schemaString"))
-      // Spark writes parquet field ids from schema metadata when this
-      // is on (the default since 3.3 — set defensively; without ids
-      // the staged files would be unreadable under the id contract)
-      rows.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-      def physIdType(dt: org.apache.spark.sql.types.DataType)
-          : org.apache.spark.sql.types.DataType = dt match {
-        case st: org.apache.spark.sql.types.StructType =>
-          org.apache.spark.sql.types.StructType(st.fields.map { f =>
-            val pn = if (f.metadata.contains("delta.columnMapping.physicalName"))
-              f.metadata.getString("delta.columnMapping.physicalName") else f.name
-            val md =
-              if (!f.metadata.contains("delta.columnMapping.id")) f.metadata
-              else new org.apache.spark.sql.types.MetadataBuilder()
-                .withMetadata(f.metadata)
-                .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
-                .build()
-            f.copy(name = pn, dataType = physIdType(f.dataType), metadata = md)
-          })
-        case org.apache.spark.sql.types.ArrayType(et, n) =>
-          org.apache.spark.sql.types.ArrayType(physIdType(et), n)
-        case org.apache.spark.sql.types.MapType(k, v, n) =>
-          org.apache.spark.sql.types.MapType(physIdType(k), physIdType(v), n)
-        case other => other
-      }
-      rows.select((table.fields.toSeq.map { f =>
-        val md = new org.apache.spark.sql.types.MetadataBuilder()
+    def q(c: String) = s"`${c.replace("`", "``")}`"
+    val extras = rows.columns.filterNot(table.fieldNames.contains).toSeq
+    // BOTH modes stage the full physical shape through ONE walker
+    // (DeltaStats.physicalShape — the same one the read schemas use,
+    // so write and read cannot desynchronize on a nested name): a
+    // foreign name-mode table with per-level physical names must not
+    // receive files keyed by logical nested names no per-level reader
+    // resolves. Field ids attach wherever the schema declares them
+    // (name-mode tables carry them too — delta-spark writes them in
+    // both modes); graft-shaped tables (top-level physical names only)
+    // see `deep == f.dataType` and keep their exact previous plans.
+    rows.select((table.fields.toSeq.map { f =>
+      val md =
+        if (!f.metadata.contains("delta.columnMapping.id")) f.metadata
+        else new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata)
           .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
           .build()
-        val c = rows.col(q(f.name))
-        val deep = physIdType(f.dataType)
-        (if (deep == f.dataType) c else c.cast(deep))
-          .as(physByLogical(f.name), md)
-      } ++ extras.map(c => rows.col(q(c)))).toIndexedSeq: _*)
+      val c = rows.col(q(f.name))
+      val deep = DeltaStats.physicalShape(f.dataType, attachIds = true)
+      (if (deep == f.dataType) c else c.cast(deep))
+        .as(physByLogical(f.name), md)
+    } ++ extras.map(c => rows.col(q(c)))).toIndexedSeq: _*)
+  }
+
+  /** Run `body` (a staging write) with parquet field-id writing ON
+    * when `schema` carries field ids anywhere, RESTORING the user's
+    * session setting afterwards — an id-mode write must not
+    * permanently flip a flag the user may have disabled deliberately
+    * for unrelated parquet output.
+    */
+  private[graft] def hasFieldIds(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => st.fields.exists(f =>
+        f.metadata.contains("parquet.field.id") || hasFieldIds(f.dataType))
+      case ArrayType(et, _) => hasFieldIds(et)
+      case MapType(k, v, _) => hasFieldIds(k) || hasFieldIds(v)
+      case _ => false
+    }
+  }
+
+  private[graft] def withFieldIdWrites[A](s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType)(body: => A): A = {
+    if (!hasFieldIds(schema)) body
+    else {
+      val key = "spark.sql.parquet.fieldId.write.enabled"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key, "true")
+      try body finally prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
     }
   }
 
@@ -2253,8 +2266,10 @@ object LakeWriter {
     // writer's cleanup delete(stage) sweep the other's in-flight files
     val stage = new org.apache.hadoop.fs.Path(root,
       s"_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    if (partCols.isEmpty) df.write.parquet(stage.toString)
-    else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    withFieldIdWrites(spark, df.schema) {
+      if (partCols.isEmpty) df.write.parquet(stage.toString)
+      else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -2272,7 +2287,11 @@ object LakeWriter {
     // curve layout folded by size would lose the very envelopes it
     // was built for, while still carrying clusteringProvider tags.
     val sizingConf = if (ictConf.nonEmpty) ictConf else configuration
-    if (addDataChange &&
+    // the fold re-reads and rewrites staged parquet, which would DROP
+    // parquet field ids (Spark's reader does not round-trip them into
+    // schema metadata) — on an id-mode staged set skip it; OPTIMIZE is
+    // refused on mapped tables anyway, so sizing debt stays visible
+    if (addDataChange && !hasFieldIds(df.schema) &&
         sizingConf.get("delta.autoOptimize.optimizeWrite").contains("true"))
       optimizeWriteFold(spark, fs, stage, walk(stage), targetFileSizeOf(sizingConf))
     val stageUri = stage.toUri.getPath.stripSuffix("/")
@@ -3440,8 +3459,10 @@ object LakeWriter {
     // writer-unique (see commitDelta's staging comment)
     val stage = new org.apache.hadoop.fs.Path(root,
       s"_stage_cdc_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    if (partCols.isEmpty) df.write.parquet(stage.toString)
-    else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    withFieldIdWrites(spark, df.schema) {
+      if (partCols.isEmpty) df.write.parquet(stage.toString)
+      else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -3957,8 +3978,10 @@ object LakeWriter {
     // between two writers racing the same version either
     val wtok = java.util.UUID.randomUUID().toString.take(8)
     val stage = new org.apache.hadoop.fs.Path(root, s"_stage_updv_${version}_$wtok")
-    if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
-    else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    withFieldIdWrites(spark, stagedDf.schema) {
+      if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
+      else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -4173,8 +4196,10 @@ object LakeWriter {
     // writer-unique stage dir and rename token (commitDelta's comment)
     val wtok = java.util.UUID.randomUUID().toString.take(8)
     val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdcdv_${version}_$wtok")
-    if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
-    else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    withFieldIdWrites(spark, stagedDf.schema) {
+      if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
+      else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
         if (st.isDirectory) walk(st.getPath)
@@ -5803,10 +5828,15 @@ object LakeWriter {
       Some(DeltaReader.versionAtTimestamp(spark, srcDir, timestampMillis)))
 
   def checkpointDelta(spark: SparkSession, dir: String, version: Long,
-                      parts: Int = 1): Unit = {
+                      parts: Int = 0): Unit = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
-    require(parts >= 1, s"checkpointDelta: parts $parts must be >= 1")
+    // parts = 0 (default) means "writer's choice": one classic file,
+    // or live-set auto-sizing when the v2 author takes over; an
+    // EXPLICIT 1 forces a single sidecar there — the two requests are
+    // distinct, so the default is expressed at the parameter level
+    // instead of reinterpreting the legal value 1
+    require(parts >= 0, s"checkpointDelta: parts $parts must be >= 0")
     // idempotent: a checkpoint of this version (any form) is already a
     // complete snapshot — re-authoring would race readers replaying it
     val log0 = new org.apache.hadoop.fs.Path(dir, "_delta_log")
@@ -5822,10 +5852,9 @@ object LakeWriter {
     // honors the obligation without knowing about it
     if (snap.readerFeatures.contains("v2Checkpoints") ||
         snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
-      // the default part count defers to the v2 author's live-set
-      // auto-sizing; an explicit multi-part request carries over
-      checkpointDeltaV2(spark, dir, version,
-        sidecarParts = if (parts <= 1) 0 else parts)
+      // the default (0) defers to the v2 author's live-set
+      // auto-sizing; explicit counts — including 1 — carry over
+      checkpointDeltaV2(spark, dir, version, sidecarParts = parts)
       return
     }
     // delta.checkpoint.writeStatsAsStruct authors add.stats_parsed —

@@ -702,7 +702,10 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
           // a CDF version's read payload is its cdc files when the
           // writer staged them — budget what will actually be scanned
           // (cdfVersionPayload: cdc else dataChange adds, the same
-          // unit list the intra-version slicer walks)
+          // unit list the intra-version slicer walks). Re-deriving it
+          // here and in getBatch is a CommitParseCache hit (bounded
+          // LRU keyed by commit-file identity), not a re-parse
+          // — only the per-call sort repeats, on a KB-scale list
           val payload =
             if (!opts.cdf) adds
             else DeltaReader.cdfVersionPayload(spark, opts.path, end + 1)

@@ -121,6 +121,29 @@ class DeltaIdWriteSpec extends SparkSpec {
     }
   }
 
+  test("an id-mode write restores the user's fieldId.write setting and still stages ids") {
+    val dir = mkIdTable(cdf = false)
+    val key = "spark.sql.parquet.fieldId.write.enabled"
+    spark.conf.set(key, "false")
+    try {
+      LakeWriter.appendDelta(Seq((300L, "w300")).toDF("id", "v").coalesce(1), dir)
+      // the user's deliberate setting survives the write...
+      assert(spark.conf.get(key) == "false")
+      // ...but the staged file itself carries the ids the id contract
+      // requires (the wrapper flips the flag only AROUND the write)
+      val snap = DeltaReader.snapshot(spark, dir, None)
+      val add = snap.active.find(_.path != "part-seed.parquet").get
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir, add.path),
+          spark.sessionState.newHadoopConf()))
+      val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+      import scala.jdk.CollectionConverters._
+      assert(msg.getFields.asScala.forall(f => f.getId != null), msg.toString)
+      assert(state(dir)(300L) == "w300")
+    } finally spark.conf.unset(key)
+  }
+
   test("id-mode CDF: cdc files stage with field ids; the change feed folds to every state") {
     val dir = mkIdTable(cdf = true)
     LakeWriter.appendDelta(

@@ -544,6 +544,23 @@ class DeltaStatsSpec extends SparkSpec {
     assert(DeltaReader.readWhere(spark, dir.getPath, "s.x >= 1000").count() ==
       DeltaReader.read(spark, dir.getPath).where("s.x >= 1000").count())
     assert(DeltaReader.readWhere(spark, dir.getPath, "s.x >= 1000").count() == 10L)
+    // WRITES to the per-level table stage physical nested names too —
+    // the read schema above resolves them, so a graft-written file
+    // must carry the same shape or its struct leaves would null-fill
+    LakeWriter.appendDelta(spark.range(900, 902).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1),
+      dir.getPath)
+    val back = DeltaReader.read(spark, dir.getPath)
+      .selectExpr("id", "s.x", "s.tag").where("id = 901").collect()
+    assert(back.length == 1 && back(0).getLong(1) == 1802L &&
+      back(0).getString(2) == "t901", back.mkString(","))
+    val snap2 = DeltaReader.snapshot(spark, dir.getPath, None)
+    val newAdd = snap2.active.find(_.path.startsWith("part-0")).get
+    val om2 = new com.fasterxml.jackson.databind.ObjectMapper()
+    val mv2 = om2.readTree(newAdd.stats.get).get("minValues")
+    assert(mv2.get("p_s").has("p_x"), mv2.toString)
+    assert(DeltaStats.prune(spark, snap2.active, "s.x >= 1800", snap2)
+      .map(_.path) == Seq(newAdd.path))
   }
 
   test("dataSkippingStatsColumns on a column-mapped table collects the listed columns (logical→physical)") {
