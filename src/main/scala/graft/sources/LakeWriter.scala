@@ -3053,16 +3053,21 @@ object LakeWriter {
     require(targetFileBytes > 0, s"compactDelta: targetFileBytes $targetFileBytes")
     // snapOverride = OCC test seam (appendDeltaWithSnapshot's pattern)
     val snap = snapOverride.getOrElse(DeltaReader.snapshot(spark, dir, None))
-    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-      "compactDelta: column-mapped tables not supported (rewritten files would " +
-        "carry logical names readers can't resolve)")
+    // column-mapped tables compact too (r15): the fold re-stages its
+    // LIVE rows through stagePhysicalRows, so rewritten files carry
+    // the physical names (and, in id mode, the parquet field ids) the
+    // table's readers resolve — OPTIMIZE debt on a mapped 100-TB
+    // table would otherwise be permanent
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"compactDelta: unknown column mapping mode '$cmMode'")
     // writer-version/feature gate: a dataChange=false rewrite re-states
     // EXISTING rows only, so every legacy obligation through writer v5
     // holds by construction — CHECK constraints and invariants already
     // passed on these rows, generated columns copy through, CDF readers
     // skip dataChange=false commits entirely (the protocol's OPTIMIZE
-    // carve-out — no change files needed), and column mapping is gated
-    // separately above. v7 tables must declare only features this
+    // carve-out — no change files needed), and column mapping is
+    // honored by physical re-staging. v7 tables must declare only features this
     // rewrite preserves (rowTracking, e.g., would need baseRowId on
     // every add — refused). deletionVectors is honored, not refused:
     // the fold below reads through the DV-applied scan, so a compacted
@@ -3078,8 +3083,14 @@ object LakeWriter {
     // layout change. Tracked tables missing the materialized-name
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
+    // preserved-profile row tracking writes materialized id columns
+    // into the staged files — combining that with physical re-staging
+    // is untested territory; refuse the combination loudly
+    require(cmMode == "none" || !rt,
+      "compactDelta: row tracking + column mapping is not a combination this " +
+        "rewrite stages; refusing")
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -3158,7 +3169,13 @@ object LakeWriter {
       }
       // preserved profile: the group scans WITH effective row ids
       // (materialized-or-derived, same rule as the reader) and writes
-      // them back under the materialized column names
+      // them back under the materialized column names; on a mapped
+      // table each bin re-stages through stagePhysicalRows (rt is
+      // refused with CM above, so matCols and CM never combine)
+      val tableS = tableSchema(snap)
+      val dataTable = org.apache.spark.sql.types.StructType(
+        tableS.fields.filterNot(f => snap.partCols.contains(f.name)))
+      val physMap = physNameMap(tableS, cmMode, "compactDelta")
       def scanOf(fsub: Seq[DeltaReader.AddFile]) = matCols match {
         case Some((idc, vc)) =>
           DeltaReader.scanFilesWithRowIds(spark, dir, snap, fsub)
@@ -3166,10 +3183,13 @@ object LakeWriter {
             .withColumnRenamed("_row_commit_version", vc)
             .drop(snap.partCols: _*)
         case None =>
-          DeltaReader.scanFiles(spark, dir, snap, fsub)
-            .drop(snap.partCols: _*)
+          stagePhysicalRows(
+            DeltaReader.scanFiles(spark, dir, snap, fsub).drop(snap.partCols: _*),
+            dataTable, cmMode, physMap, "compactDelta")
       }
-      locally {
+      withFieldIdWrites(spark, graft.sources.DeltaStats
+          .physicalShape(dataTable, attachIds = true)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]) {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, bins.size))
         try {

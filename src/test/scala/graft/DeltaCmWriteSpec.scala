@@ -138,6 +138,38 @@ class DeltaCmWriteSpec extends SparkSpec {
       .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
   }
 
+  test("OPTIMIZE on a name-mode table: compacted files keep physical names, rows and pruning intact") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cmw_opt_")
+    LakeWriter.writeDeltaMapped(
+      (0L until 40L).map(i => (i, s"v$i")).toDF("id", "v").repartition(4), dir)
+    LakeWriter.appendDelta((40L until 50L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(2), dir)
+    val before = DeltaReader.read(spark, dir)
+      .select("id", "v").as[(Long, String)].collect().toSet
+    LakeWriter.compactDelta(spark, dir, minFiles = 2)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.active.size < 6, s"compaction must fold: ${snap.active.size}")
+    assert(DeltaReader.read(spark, dir)
+      .select("id", "v").as[(Long, String)].collect().toSet == before)
+    // compacted footers carry PHYSICAL column names (the read contract)
+    val hconf = spark.sessionState.newHadoopConf()
+    snap.active.filter(_.path.contains("part-compact")).foreach { a =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dir, a.path), hconf))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        rdr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSeq
+      } finally rdr.close()
+      assert(names.forall(_.startsWith("col-")), s"${a.path}: $names")
+      // and they carry stats that prune
+      assert(a.stats.isDefined, a.path)
+    }
+    assert(graft.sources.DeltaStats.prune(spark, snap.active, "id > 10000", snap).isEmpty)
+  }
+
   test("legacy writer obligations: constraints and generated columns ENFORCE on append") {
     val s = spark
     import s.implicits._

@@ -95,6 +95,11 @@ class DeltaIdWriteSpec extends SparkSpec {
     model += 6L -> "dv6"
     assert(state(dir) == model)
 
+    // OPTIMIZE on the id table: the compacted files re-stage through
+    // the same physical/field-id shape, rows unchanged
+    LakeWriter.compactDelta(spark, dir, minFiles = 2)
+    assert(state(dir) == model)
+
     // every rewritten file resolves BY FIELD ID with physical names
     // and carries physically-keyed stats that actually prune
     val snap = DeltaReader.snapshot(spark, dir, None)
