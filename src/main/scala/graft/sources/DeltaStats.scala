@@ -1051,6 +1051,18 @@ object DeltaStats {
     * expr() used when it computed the partition values in-process;
     * like delta-spark, a table written under a different zone should
     * disable derivation by not declaring the generation expression.
+    * KNOWN EDGE (shared with delta-spark, documented rather than
+    * restricted): in zones with MIDNIGHT DST transitions (e.g.
+    * America/Santiago, where some days start at 01:00), `CAST(src AS
+    * DATE)` / `date_trunc` over a zoned TIMESTAMP are not strictly
+    * epoch-monotone around the transition instant, so a derived
+    * DAY-or-finer bound can in principle prune a file holding rows
+    * inside the skipped hour. Zones whose transitions never cross
+    * midnight (all offsets that shift at 02:00+, and DATE /
+    * TIMESTAMP_NTZ sources, which have no zone at all) are exact.
+    * Matching the reference engine's session-zone semantics here is
+    * deliberate — a table that must be robust to such zones should
+    * not declare the generation expression.
     */
   private[graft] def derivedPartitionConjuncts(
       pred: Expression,

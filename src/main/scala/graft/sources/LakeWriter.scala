@@ -812,8 +812,8 @@ object LakeWriter {
         "typeWidening" +: typeFeaturesNeeded(snap, Seq(to)): _*)))
   }
 
-  /** ALTER TABLE RENAME COLUMN — column-mapped (name mode) tables
-    * only, where a rename is what the mode EXISTS for: the parquet
+  /** ALTER TABLE RENAME COLUMN — column-mapped tables only (name OR
+    * id mode), where a rename is what the mode EXISTS for: the parquet
     * files carry stable physical names, so the logical rename is one
     * metadata commit and zero rewritten bytes. Partition columns
     * rename too (metaData.partitionColumns holds logical names; the
@@ -823,9 +823,10 @@ object LakeWriter {
     */
   def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
     val snap = DeltaReader.snapshot(spark, dir, None)
-    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name",
-      "renameColumn: table is not column-mapped (name mode) — a metadata-only " +
-        "rename needs stable physical names; rewrite via read + writeDeltaMapped")
+    val cmR = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmR == "name" || cmR == "id",
+      "renameColumn: table is not column-mapped — a metadata-only rename needs " +
+        "stable physical names; rewrite via read + writeDeltaMapped")
     val table = tableSchema(snap)
     require(table.fieldNames.contains(from), s"renameColumn: no column '$from'")
     require(!table.fieldNames.contains(to), s"renameColumn: column '$to' already exists")
@@ -844,8 +845,9 @@ object LakeWriter {
     */
   def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
     val snap = DeltaReader.snapshot(spark, dir, None)
-    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "name",
-      "dropColumn: table is not column-mapped (name mode) — physical files carry " +
+    val cmD = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmD == "name" || cmD == "id",
+      "dropColumn: table is not column-mapped — physical files carry " +
         "the logical name; a metadata-only drop needs column mapping")
     val table = tableSchema(snap)
     require(table.fieldNames.contains(name), s"dropColumn: no column '$name'")
@@ -1477,9 +1479,15 @@ object LakeWriter {
     *
     * Refusals: type changes on existing columns (this writer does not
     * rewrite old files), dropping into a non-nullable hole, partition
-    * columns missing from `df`, column-mapped tables (new fields need
-    * physical-name + maxColumnId assignment — not yet implemented),
-    * and the same writer-obligation gates as [[appendDelta]].
+    * columns missing from `df`, and the same writer-obligation gates
+    * as [[appendDelta]]. Column-mapped tables (name AND id mode, r16)
+    * evolve like unmapped ones: each new field gets a fresh physical
+    * name + field id and `maxColumnId` advances ([[evolveSchema]]);
+    * the grew-path batch stages through [[stagePhysicalRows]], so
+    * nested struct leaves land under their PER-LEVEL physical names
+    * (a foreign table whose inner fields carry their own physical
+    * names must not receive files keyed by logical nested names) and
+    * id-mode files carry parquet field ids.
     */
   /** Schema EVOLUTION: merge `incoming` fields not yet in the table
     * into the schema — appended after the existing fields, forced
@@ -1537,14 +1545,14 @@ object LakeWriter {
     val spark = df0.sparkSession
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    require(cm == "none" || cm == "name",
-      s"appendDeltaEvolve: column mapping mode '$cm' not supported (none/name only)")
+    require(cm == "none" || cm == "name" || cm == "id",
+      s"appendDeltaEvolve: unknown column mapping mode '$cm'")
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[StructType]
     val tableNames = table.fieldNames.toSet
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -1602,19 +1610,14 @@ object LakeWriter {
       val aligned = IdentityColumns.complete(aligned0, merged, "appendDeltaEvolve")
       val metaLine = metaLineFor(dir, snap, merged, newConf)
       // CM tables stage parquet + partition dirs under PHYSICAL names
-      // (what the table's readers resolve), exactly like appendDelta
-      val (staged, stagePartCols) =
-        if (cm == "none") (aligned, snap.partCols)
-        else {
-          val phys = merged.fields.map { f =>
-            require(f.metadata.contains("delta.columnMapping.physicalName"),
-              s"appendDeltaEvolve: field '${f.name}' carries no physicalName metadata")
-            f.name -> f.metadata.getString("delta.columnMapping.physicalName")
-          }.toMap
-          (aligned.select(merged.fieldNames.map(c =>
-            aligned.col(c).as(phys(c))).toIndexedSeq: _*),
-            snap.partCols.map(phys))
-        }
+      // (what the table's readers resolve) through the SAME walker the
+      // read schemas use — a top-level-only rename here would write
+      // nested struct leaves under logical names a per-level foreign
+      // table's readers null-fill (silent corruption); id mode
+      // additionally needs parquet field ids on every staged file
+      val physE = physNameMap(merged, cm, "appendDeltaEvolve")
+      val staged = stagePhysicalRows(aligned, merged, cm, physE, "appendDeltaEvolve")
+      val stagePartCols = snap.partCols.map(c => physE.getOrElse(c, c))
       // an evolution that INTRODUCES variant or NTZ upgrades the
       // protocol in the same commit (readers must understand the new
       // column)
@@ -1628,8 +1631,7 @@ object LakeWriter {
         metaOverride = Some((protoLine, metaLine)),
         operation = "WRITE", rowIdBase = RowTracking.rowIdBase(snap),
         ictConf = snap.configuration,
-        identity = IdentityColumns.advanceOf(merged,
-          physNameMap(merged, cm, "appendDeltaEvolve")).map(adv => (adv, None)),
+        identity = IdentityColumns.advanceOf(merged, physE).map(adv => (adv, None)),
         statsSchema = Some(merged))
     }
   }
@@ -2112,19 +2114,34 @@ object LakeWriter {
     }
   }
 
-  private[graft] def withFieldIdWrites[A](s: SparkSession,
-      schema: org.apache.spark.sql.types.StructType)(body: => A): A = {
-    if (!hasFieldIds(schema)) body
+  /** A session with parquet field-id writing ON when `schema` carries
+    * ids anywhere — a CLONE of `s` (shared SparkContext, copied
+    * session state), so the caller's session conf is never touched:
+    * concurrent writes on `s` can neither observe a flipped flag nor
+    * race a restore (r16 — previously this flipped and restored the
+    * session-global conf around the write). `s` itself when the
+    * schema carries no ids.
+    */
+  private[graft] def fieldIdSession(s: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): SparkSession = {
+    if (!hasFieldIds(schema)) s
     else {
-      val key = "spark.sql.parquet.fieldId.write.enabled"
-      val prev = s.conf.getOption(key)
-      s.conf.set(key, "true")
-      try body finally prev match {
-        case Some(v) => s.conf.set(key, v)
-        case None => s.conf.unset(key)
-      }
+      val s2 = org.apache.spark.sql.GraftColumnBridge.cloneSession(s)
+      s2.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      s2
     }
   }
+
+  /** `df` re-bound for a staging write that must emit parquet field
+    * ids: when the schema carries ids the plan re-binds onto a
+    * [[fieldIdSession]] clone; otherwise `df` unchanged. One
+    * SessionState copy per id-mode staging write — negligible next to
+    * the write itself.
+    */
+  private[graft] def fieldIdStaged(df: DataFrame): DataFrame =
+    if (!hasFieldIds(df.schema)) df
+    else org.apache.spark.sql.GraftColumnBridge.rebind(
+      fieldIdSession(df.sparkSession, df.schema), df)
 
   private[graft] def appendDeltaWithSnapshot(df0: DataFrame, dir: String,
                                              checkpointInterval: Int,
@@ -2266,9 +2283,10 @@ object LakeWriter {
     // writer's cleanup delete(stage) sweep the other's in-flight files
     val stage = new org.apache.hadoop.fs.Path(root,
       s"_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    withFieldIdWrites(spark, df.schema) {
-      if (partCols.isEmpty) df.write.parquet(stage.toString)
-      else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    locally {
+      val wdf = fieldIdStaged(df)
+      if (partCols.isEmpty) wdf.write.parquet(stage.toString)
+      else wdf.write.partitionBy(partCols: _*).parquet(stage.toString)
     }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -2287,13 +2305,21 @@ object LakeWriter {
     // curve layout folded by size would lose the very envelopes it
     // was built for, while still carrying clusteringProvider tags.
     val sizingConf = if (ictConf.nonEmpty) ictConf else configuration
-    // the fold re-reads and rewrites staged parquet, which would DROP
-    // parquet field ids (Spark's reader does not round-trip them into
-    // schema metadata) — on an id-mode staged set skip it; OPTIMIZE is
-    // refused on mapped tables anyway, so sizing debt stays visible
-    if (addDataChange && !hasFieldIds(df.schema) &&
-        sizingConf.get("delta.autoOptimize.optimizeWrite").contains("true"))
-      optimizeWriteFold(spark, fs, stage, walk(stage), targetFileSizeOf(sizingConf))
+    // the fold re-reads staged parquet; a bare read would DROP parquet
+    // field ids (Spark's reader does not round-trip them into schema
+    // metadata), so it re-reads under the staged LEAF schema — df's
+    // schema minus the directory-encoded partition columns, field-id
+    // metadata included — and rewrites with field-id writing on (r16:
+    // previously the fold silently skipped ANY field-id-carrying
+    // staged set, quietly ignoring delta.autoOptimize.optimizeWrite on
+    // mapped tables)
+    if (addDataChange &&
+        sizingConf.get("delta.autoOptimize.optimizeWrite").contains("true")) {
+      val leafSchema = org.apache.spark.sql.types.StructType(
+        df.schema.fields.filterNot(f => partCols.contains(f.name)))
+      optimizeWriteFold(spark, fs, stage, walk(stage), targetFileSizeOf(sizingConf),
+        leafSchema)
+    }
     val stageUri = stage.toUri.getPath.stripSuffix("/")
     val staged = walk(stage).sortBy(_.getPath.toString)
     // footer-derived add.stats BEFORE the move (metadata-only read of
@@ -2795,7 +2821,8 @@ object LakeWriter {
   private def optimizeWriteFold(spark: SparkSession, fs: org.apache.hadoop.fs.FileSystem,
                                 stage: org.apache.hadoop.fs.Path,
                                 staged: Seq[org.apache.hadoop.fs.FileStatus],
-                                target: Long): Unit = {
+                                target: Long,
+                                leafSchema: org.apache.spark.sql.types.StructType): Unit = {
     val folds = staged.groupBy(_.getPath.getParent).toSeq.flatMap { case (parent, fsts) =>
       val bins = scala.collection.mutable.ArrayBuffer(
         scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.FileStatus])
@@ -2820,7 +2847,12 @@ object LakeWriter {
           def call(): Unit = {
             val tmp = new org.apache.hadoop.fs.Path(stage,
               s".ow_${java.util.UUID.randomUUID().toString.take(8)}")
-            spark.read.parquet(fsts.map(_.getPath.toString): _*).coalesce(1)
+            // read under the declared leaf schema (keeps field-id
+            // metadata the parquet reader would drop) and write with
+            // field-id emission matching the original staging write
+            val fsess = fieldIdSession(spark, leafSchema)
+            fsess.read.schema(leafSchema)
+              .parquet(fsts.map(_.getPath.toString): _*).coalesce(1)
               .write.parquet(tmp.toString)
             val outs = fs.listStatus(tmp).map(_.getPath)
               .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
@@ -2849,10 +2881,16 @@ object LakeWriter {
     val target = targetFileSizeOf(conf)
     val minN = spark.conf.get("spark.graft.delta.autoCompact.minNumFiles", "32").toInt
     val snap = DeltaReader.snapshot(spark, dir, None)
-    if (snap.configuration.getOrElse("delta.columnMapping.mode", "none") != "none") return
+    // column-mapped tables auto-compact too (r16 — compactDelta
+    // re-stages physical names/ids since r15, and composes them with
+    // row tracking's materialized columns since r16, so the old
+    // blanket CM skip would silently accumulate small-file debt the
+    // code can clear); only unknown modes skip
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    if (cm != "none" && cm != "name" && cm != "id") return
     val rt = RowTracking.preservedProfileReady(snap)
     val safe = Set("appendOnly", "invariants", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening",
+      "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening",
       "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++ Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     if (snap.minWriter > 5 &&
@@ -3083,12 +3121,10 @@ object LakeWriter {
     // layout change. Tracked tables missing the materialized-name
     // configs (enabled by an older writer) still refuse.
     val rt = RowTracking.preservedProfileReady(snap)
-    // preserved-profile row tracking writes materialized id columns
-    // into the staged files — combining that with physical re-staging
-    // is untested territory; refuse the combination loudly
-    require(cmMode == "none" || !rt,
-      "compactDelta: row tracking + column mapping is not a combination this " +
-        "rewrite stages; refusing")
+    // preserved-profile row tracking + column mapping COMPOSE (r16):
+    // the materialized id columns are storage-level physical names the
+    // logical schema never carries, so they ride the physical staging
+    // as pass-through extras while the table columns rename/attach ids
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
@@ -3169,34 +3205,35 @@ object LakeWriter {
       }
       // preserved profile: the group scans WITH effective row ids
       // (materialized-or-derived, same rule as the reader) and writes
-      // them back under the materialized column names; on a mapped
-      // table each bin re-stages through stagePhysicalRows (rt is
-      // refused with CM above, so matCols and CM never combine)
+      // them back under the materialized column names; every bin
+      // re-stages through stagePhysicalRows (no-op when unmapped)
       val tableS = tableSchema(snap)
       val dataTable = org.apache.spark.sql.types.StructType(
         tableS.fields.filterNot(f => snap.partCols.contains(f.name)))
       val physMap = physNameMap(tableS, cmMode, "compactDelta")
-      def scanOf(fsub: Seq[DeltaReader.AddFile]) = matCols match {
-        case Some((idc, vc)) =>
-          DeltaReader.scanFilesWithRowIds(spark, dir, snap, fsub)
-            .withColumnRenamed("_row_id", idc)
-            .withColumnRenamed("_row_commit_version", vc)
-            .drop(snap.partCols: _*)
-        case None =>
-          stagePhysicalRows(
-            DeltaReader.scanFiles(spark, dir, snap, fsub).drop(snap.partCols: _*),
-            dataTable, cmMode, physMap, "compactDelta")
+      def scanOf(fsub: Seq[DeltaReader.AddFile]) = {
+        val base = matCols match {
+          case Some((idc, vc)) =>
+            DeltaReader.scanFilesWithRowIds(spark, dir, snap, fsub)
+              .withColumnRenamed("_row_id", idc)
+              .withColumnRenamed("_row_commit_version", vc)
+              .drop(snap.partCols: _*)
+          case None =>
+            DeltaReader.scanFiles(spark, dir, snap, fsub).drop(snap.partCols: _*)
+        }
+        // materialized row-id columns pass through staging as extras
+        // (storage-level names, mapped by NOTHING); table columns
+        // rename to physical and attach field ids
+        stagePhysicalRows(base, dataTable, cmMode, physMap, "compactDelta")
       }
-      withFieldIdWrites(spark, graft.sources.DeltaStats
-          .physicalShape(dataTable, attachIds = true)
-          .asInstanceOf[org.apache.spark.sql.types.StructType]) {
+      locally {
         val pool = java.util.concurrent.Executors.newFixedThreadPool(
           math.min(8, bins.size))
         try {
           import scala.jdk.CollectionConverters._
           pool.invokeAll(bins.toSeq.zipWithIndex.map { case (b, j) =>
             new java.util.concurrent.Callable[Unit] {
-              def call(): Unit = scanOf(b.toSeq).coalesce(1)
+              def call(): Unit = fieldIdStaged(scanOf(b.toSeq)).coalesce(1)
                 .write.parquet(new org.apache.hadoop.fs.Path(sub, s"b$j").toString)
             }
           }.asJava).asScala.foreach(_.get())
@@ -3479,9 +3516,10 @@ object LakeWriter {
     // writer-unique (see commitDelta's staging comment)
     val stage = new org.apache.hadoop.fs.Path(root,
       s"_stage_cdc_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    withFieldIdWrites(spark, df.schema) {
-      if (partCols.isEmpty) df.write.parquet(stage.toString)
-      else df.write.partitionBy(partCols: _*).parquet(stage.toString)
+    locally {
+      val wdf = fieldIdStaged(df)
+      if (partCols.isEmpty) wdf.write.parquet(stage.toString)
+      else wdf.write.partitionBy(partCols: _*).parquet(stage.toString)
     }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -3685,9 +3723,11 @@ object LakeWriter {
           table.fields.exists(_.metadata.contains("delta.generationExpression")))
         legacy += "generatedColumns"
       if (cdfEnabled(snap)) legacy += "changeDataFeed"
-      if (cm == "name") legacy += "columnMapping"
+      // BOTH mapping modes are reader-visible obligations the (3,7)
+      // restatement must carry explicitly — id mode included
+      if (cm != "none") legacy += "columnMapping"
       val rf = snap.readerFeatures.toSet ++
-        (if (cm == "name") Set("columnMapping") else Set.empty) + "deletionVectors"
+        (if (cm != "none") Set("columnMapping") else Set.empty) + "deletionVectors"
       val wf = snap.writerFeatures.toSet ++ legacy + "deletionVectors"
       Some(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":${jarr(rf)},"writerFeatures":${jarr(wf)}}}""")
     }
@@ -3998,9 +4038,10 @@ object LakeWriter {
     // between two writers racing the same version either
     val wtok = java.util.UUID.randomUUID().toString.take(8)
     val stage = new org.apache.hadoop.fs.Path(root, s"_stage_updv_${version}_$wtok")
-    withFieldIdWrites(spark, stagedDf.schema) {
-      if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
-      else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    locally {
+      val wdf = fieldIdStaged(stagedDf)
+      if (stagePartCols.isEmpty) wdf.write.parquet(stage.toString)
+      else wdf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
     }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -4216,9 +4257,10 @@ object LakeWriter {
     // writer-unique stage dir and rename token (commitDelta's comment)
     val wtok = java.util.UUID.randomUUID().toString.take(8)
     val stage = new org.apache.hadoop.fs.Path(root, s"_stage_cdcdv_${version}_$wtok")
-    withFieldIdWrites(spark, stagedDf.schema) {
-      if (stagePartCols.isEmpty) stagedDf.write.parquet(stage.toString)
-      else stagedDf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
+    locally {
+      val wdf = fieldIdStaged(stagedDf)
+      if (stagePartCols.isEmpty) wdf.write.parquet(stage.toString)
+      else wdf.write.partitionBy(stagePartCols: _*).parquet(stage.toString)
     }
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
       fs.listStatus(p).toSeq.flatMap { st =>
@@ -5229,10 +5271,11 @@ object LakeWriter {
     * size at any table size); nulls take bucket 0, the curve's NULLS
     * FIRST side.
     *
-    * Same gates as [[compactDelta]]: dataChange=false, column mapping
-    * refused (rewritten files would carry logical names), row-tracked
-    * tables rewrite through the preserved id profile, DVs fold through
-    * the applied scan and drop.
+    * Same gates as [[compactDelta]]: dataChange=false, column-mapped
+    * tables (name and id mode) re-stage their rewritten files under
+    * physical names + field ids, row-tracked tables rewrite through
+    * the preserved id profile (the rt+CM combination refuses, same as
+    * compactDelta), DVs fold through the applied scan and drop.
     */
   def compactDeltaCluster(spark: SparkSession, dir: String, cols: Seq[String],
                           filesPerPartition: Int = 8,
@@ -5250,15 +5293,19 @@ object LakeWriter {
     // commit from a deliberately stale snapshot to exercise the
     // maintenance-rebase tier deterministically
     val snap = snapOverride.getOrElse(DeltaReader.snapshot(spark, dir, None))
-    require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-      s"$op: column-mapped tables not supported (rewritten files would " +
-        "carry logical names readers can't resolve)")
+    // column-mapped tables re-layout too (r16): the unioned rewrite
+    // re-stages through stagePhysicalRows below — same pattern as
+    // compactDelta's r15 change — so rewritten files carry physical
+    // names (and, in id mode, parquet field ids) readers resolve
+    val cmMode = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cmMode == "none" || cmMode == "name" || cmMode == "id",
+      s"$op: unknown column mapping mode '$cmMode'")
     // the same PRESERVED row-tracking profile as compactDelta: ready
     // tracked tables re-layout with every surviving id materialized;
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
     val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
-      "generatedColumns", "changeDataFeed", "deletionVectors", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
+      "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
     val compactUnsafe = snap.writerFeatures.filterNot(compactSafe)
@@ -5377,11 +5424,16 @@ object LakeWriter {
         .sortWithinPartitions("__z")
         .drop("__z")
     }.reduce(_ unionByName _)
+    // CM tables stage the physical shape (per-level names + field
+    // ids); the curve columns were computed over LOGICAL names above,
+    // so staging is the last projection before the commit
+    val physC = physNameMap(table, cmMode, op)
+    val stagedPhys = stagePhysicalRows(staged, table, cmMode, physC, op)
     val removes = active.sortBy(_.path).map { a =>
       s"""{"remove":{"path":"${a.path}","deletionTimestamp":0,"size":${a.size},"dataChange":false}}"""
     }
-    commitDelta(staged, dir, snap.version + 1, includeMeta = false,
-      checkpointInterval = 0, partCols = snap.partCols,
+    commitDelta(stagedPhys, dir, snap.version + 1, includeMeta = false,
+      checkpointInterval = 0, partCols = snap.partCols.map(c => physC.getOrElse(c, c)),
       extraActions = removes, addDataChange = false, operation = "OPTIMIZE",
       rowIdBase = if (rt) RowTracking.rowIdBase(snap) else None,
       ictConf = snap.configuration, statsSchema = Some(table),
@@ -5409,12 +5461,12 @@ object LakeWriter {
       if (!Clustering.isClustered(snap)) return
       actions += Clustering.domainAction(Nil)
     } else {
-      // the maintenance op stages logical-named parquet — a CM table's
-      // declaration would be unmaintainable; refuse at declaration
-      // time, not at the first OPTIMIZE
-      require(snap.configuration.getOrElse("delta.columnMapping.mode", "none") == "none",
-        "clusterBy: column-mapped tables not supported (the clustered OPTIMIZE " +
-          "rewrite would stage logical names readers can't resolve)")
+      // column-mapped tables may declare clustering (r16): the
+      // clustered OPTIMIZE rewrite re-stages physical names/ids, so
+      // the declaration is maintainable; only unknown modes refuse
+      val cmC = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+      require(cmC == "none" || cmC == "name" || cmC == "id",
+        s"clusterBy: unknown column mapping mode '$cmC'")
       Clustering.validate(table, snap.partCols, cols, "clusterBy")
       protocolWithWriterFeatures(snap, Clustering.Features).foreach(actions += _)
       // the domain stores PHYSICAL names (what the files' stats carry)
@@ -5715,7 +5767,7 @@ object LakeWriter {
           table.fields.exists(_.metadata.contains("delta.generationExpression")))
         legacy += "generatedColumns"
       if (cdfEnabled(snap)) legacy += "changeDataFeed"
-      if (cm == "name") legacy += "columnMapping"
+      if (cm != "none") legacy += "columnMapping"
       val wf = snap.writerFeatures.toSet ++ legacy ++ RowTracking.Features
       val rdr = math.max(snap.minReader, if (snap.minReader >= 3) 3 else snap.minReader)
       val rfJson = if (rdr >= 3) s""","readerFeatures":${jarr(snap.readerFeatures)}""" else ""

@@ -12,6 +12,22 @@ object GraftColumnBridge {
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** A clone sharing the SparkContext and (copied) session state —
+    * the public-API way to run one action under a locally-modified
+    * SQL conf without flipping the caller's session-global flags
+    * (structured streaming runs every micro-batch on one).
+    */
+  def cloneSession(spark: SparkSession): SparkSession =
+    spark.asInstanceOf[classic.SparkSession].cloneSession()
+
+  /** Re-bind an (analyzed) DataFrame onto another session of the same
+    * SparkContext — used with [[cloneSession]] to execute a plan under
+    * per-operation conf overrides.
+    */
+  def rebind(spark: SparkSession, df: DataFrame): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed)
+
   /** Re-wrap a batch DataFrame's physical plan as a STREAMING
     * DataFrame (isStreaming = true) — what a V1 streaming `Source`
     * must return from getBatch (MicroBatchExecution asserts it). The

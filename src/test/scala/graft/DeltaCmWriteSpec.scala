@@ -170,6 +170,84 @@ class DeltaCmWriteSpec extends SparkSpec {
     assert(graft.sources.DeltaStats.prune(spark, snap.active, "id > 10000", snap).isEmpty)
   }
 
+  test("autoCompact folds small-file debt on an id-mode table; folded files keep ids") {
+    import org.apache.spark.sql.types._
+    val s0 = spark
+    import s0.implicits._
+    // a foreign id-mode table DECLARING autoCompact — before r16 the
+    // maintenance silently skipped ALL column-mapped tables
+    val dirF = java.nio.file.Files.createTempDirectory("graft_cmw_ac_").toFile
+    val log = new java.io.File(dirF, "_delta_log"); log.mkdirs()
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def fld(n: String, t: DataType, phys: String, id: Long) =
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "col-a1", 1), fld("v", StringType, "col-a2", 2)))
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"acid","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2","delta.autoOptimize.autoCompact":"true"}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val dir = dirF.getPath
+    spark.conf.set("spark.graft.delta.autoCompact.minNumFiles", "4")
+    try {
+      (0 until 6).foreach { i =>
+        LakeWriter.appendDelta(
+          Seq((i.toLong, s"v$i")).toDF("id", "v").coalesce(1), dir)
+      }
+      val snap = graft.sources.DeltaReader.snapshot(spark, dir, None)
+      // debt folded: well under the 6 per-batch files
+      assert(snap.active.size < 4, s"autoCompact must fold: ${snap.active.size}")
+      assert(graft.sources.DeltaReader.read(spark, dir).select("id", "v")
+        .as[(Long, String)].collect().toSet ==
+        (0 until 6).map(i => (i.toLong, s"v$i")).toSet)
+      // every live file resolves by field id under physical names
+      val hconf = spark.sessionState.newHadoopConf()
+      snap.active.foreach { a =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dir, a.path), hconf))
+        val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+        import scala.jdk.CollectionConverters._
+        val ids = msg.getFields.asScala.map(f =>
+          f.getName -> Option(f.getId).map(_.intValue)).toMap
+        assert(ids == Map("col-a1" -> Some(1), "col-a2" -> Some(2)),
+          s"${a.path}: $ids")
+      }
+    } finally spark.conf.unset("spark.graft.delta.autoCompact.minNumFiles")
+  }
+
+  test("optimizeWrite folds a many-task batch on a MAPPED table, field ids intact") {
+    val s0 = spark
+    import s0.implicits._
+    val dir = tmp("graft_cmw_ow_")
+    LakeWriter.writeDeltaMapped(Seq((0L, "seed")).toDF("id", "v"), dir)
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.autoOptimize.optimizeWrite" -> "true"), Nil)
+    // an 8-task tiny batch folds to ONE staged file (r16: previously
+    // the fold silently skipped any field-id-carrying staged set, so
+    // optimizeWrite was quietly ignored on mapped tables)
+    LakeWriter.appendDelta(
+      (1L until 9L).map(i => (i, s"v$i")).toDF("id", "v").repartition(8), dir)
+    val snap = graft.sources.DeltaReader.snapshot(spark, dir, None)
+    val newAdds = snap.active.filter(_.path.startsWith("part-")).filterNot(a =>
+      graft.sources.DeltaReader.snapshot(spark, dir, Some(0L)).active
+        .exists(_.path == a.path))
+    assert(newAdds.size == 1, s"fold must leave one add: ${newAdds.map(_.path)}")
+    // the folded file keeps physical names AND parquet field ids
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir, newAdds.head.path),
+        spark.sessionState.newHadoopConf()))
+    val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+    import scala.jdk.CollectionConverters._
+    assert(msg.getFields.asScala.forall(f =>
+      f.getName.startsWith("col-") && f.getId != null), msg.toString)
+    assert(graft.sources.DeltaReader.read(spark, dir).count() == 9L)
+  }
+
   test("legacy writer obligations: constraints and generated columns ENFORCE on append") {
     val s = spark
     import s.implicits._

@@ -135,4 +135,72 @@ class DeltaEvolveSpec extends SparkSpec {
         .coalesce(1), dir)
     assert(DeltaReader.read(spark, dir).count() == 3)
   }
+
+  test("evolution on a foreign PER-LEVEL nested table stages physical struct leaves (no null-fill)") {
+    import org.apache.spark.sql.types._
+    // a foreign name-mode table whose files AND schema carry physical
+    // names at EVERY level: c_id, p_s { p_x, p_tag } — the shape where
+    // a top-level-only rename would corrupt (nested leaves staged
+    // under logical names read back as nulls)
+    val dir = java.nio.file.Files.createTempDirectory("graft_evo_nest_").toFile
+    val log = new java.io.File(dir, "_delta_log"); log.mkdirs()
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val stage = new java.io.File(dir, "_stage_seed")
+    spark.range(0, 10).selectExpr(
+      "id AS c_id", "named_struct('p_x', id * 2, 'p_tag', concat('t', id)) AS p_s")
+      .coalesce(1).write.parquet(stage.getPath)
+    val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(pf.toPath, new java.io.File(dir, "n-seed.parquet").toPath)
+    org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    def fld(n: String, t: DataType, phys: String, id: Long) =
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "c_id", 1),
+      fld("s", StructType(Seq(
+        fld("x", LongType, "p_x", 3), fld("tag", StringType, "p_tag", 4))), "p_s", 2)))
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"evn","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name","delta.columnMapping.maxColumnId":"4"}}}""",
+      """{"add":{"path":"n-seed.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+
+    // EVOLUTION append with a new column: the grew path must stage the
+    // nested leaves under their PER-LEVEL physical names
+    LakeWriter.appendDeltaEvolve(spark.range(900, 902).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id)) AS s",
+      "id + 1 AS extra").coalesce(1), dir.getPath)
+    // new rows read their struct values back (NOT null-fill) and the
+    // new column carries data; old rows null-fill only `extra`
+    val got = DeltaReader.read(spark, dir.getPath)
+      .selectExpr("id", "s.x", "s.tag", "extra").where("id = 901").collect()
+    assert(got.length == 1 && got(0).getLong(1) == 1802L &&
+      got(0).getString(2) == "t901" && got(0).getLong(3) == 902L, got.mkString(","))
+    val old = DeltaReader.read(spark, dir.getPath)
+      .selectExpr("id", "s.x", "extra").where("id = 3").collect()
+    assert(old.length == 1 && old(0).getLong(1) == 6L && old(0).isNullAt(2))
+    // on disk: the staged file's struct leaves carry physical names
+    val snap = DeltaReader.snapshot(spark, dir.getPath, None)
+    val add = snap.active.find(_.path != "n-seed.parquet").get
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir.getPath, add.path),
+        spark.sessionState.newHadoopConf()))
+    val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+    val grp = msg.getType(msg.getFieldIndex("p_s")).asGroupType()
+    import scala.jdk.CollectionConverters._
+    assert(grp.getFields.asScala.map(_.getName).toSet == Set("p_x", "p_tag"),
+      msg.toString)
+    // and its stats key the dotted PHYSICAL path, so nested pruning
+    // works (the stats-less seed add may-matches by design; the new
+    // add's envelope is what prunes)
+    val mv = om.readTree(add.stats.get).get("minValues")
+    assert(mv.get("p_s").has("p_x"), mv.toString)
+    assert(graft.sources.DeltaStats.prune(spark, snap.active, "s.x >= 1800", snap)
+      .map(_.path).contains(add.path))
+    assert(!graft.sources.DeltaStats.prune(spark, snap.active, "s.x > 100000", snap)
+      .map(_.path).contains(add.path))
+  }
 }

@@ -135,7 +135,8 @@ class DeltaIdWriteSpec extends SparkSpec {
       // the user's deliberate setting survives the write...
       assert(spark.conf.get(key) == "false")
       // ...but the staged file itself carries the ids the id contract
-      // requires (the wrapper flips the flag only AROUND the write)
+      // requires (the write runs on a cloned session with the flag on;
+      // the user's session conf is never touched, r16)
       val snap = DeltaReader.snapshot(spark, dir, None)
       val add = snap.active.find(_.path != "part-seed.parquet").get
       val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -147,6 +148,62 @@ class DeltaIdWriteSpec extends SparkSpec {
       assert(msg.getFields.asScala.forall(f => f.getId != null), msg.toString)
       assert(state(dir)(300L) == "w300")
     } finally spark.conf.unset(key)
+  }
+
+  test("id-mode schema evolution assigns a fresh field id; rename/drop are metadata-only") {
+    val dir = mkIdTable(cdf = false)
+    // EVOLVE: a new column appended after the table's fields gets the
+    // next field id and a synthesized physical name; maxColumnId bumps
+    // in the same commit
+    LakeWriter.appendDeltaEvolve(
+      Seq((200L, "e200", 7L)).toDF("id", "v", "w").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "3")
+    val schema = DataType.fromJson(snap.schemaJson).asInstanceOf[StructType]
+    val wf = schema("w")
+    assert(wf.metadata.getLong("delta.columnMapping.id") == 3L)
+    assert(wf.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    // old rows null-fill the new column; the new row carries it
+    val got = DeltaReader.read(spark, dir).selectExpr("id", "v", "w").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(got(200L) == (("e200", Some(7L))))
+    assert(got(0L) == (("v0", None)))
+    // the evolution-staged file resolves BY FIELD ID: footer carries
+    // physical names with ids 1, 2, 3
+    val add = snap.active.filterNot(_.path == "part-seed.parquet")
+    assert(add.size == 1, add.map(_.path).mkString(","))
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(dir, add.head.path),
+        spark.sessionState.newHadoopConf()))
+    val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+    import scala.jdk.CollectionConverters._
+    val ids = msg.getFields.asScala.map(f =>
+      f.getName -> Option(f.getId).map(_.intValue)).toMap
+    assert(ids("col-w1").contains(1) && ids("col-w2").contains(2), ids.toString)
+    val physW = wf.metadata.getString("delta.columnMapping.physicalName")
+    assert(ids(physW).contains(3), ids.toString)
+    // time travel below the evolution replays the two-column shape
+    assert(DeltaReader.read(spark, dir, Some(0L)).schema.fieldNames.toSeq ==
+      Seq("id", "v"))
+    // RENAME on the id table: one metadata commit, values intact
+    LakeWriter.renameColumn(spark, dir, "v", "val")
+    val renamed = DeltaReader.read(spark, dir)
+    assert(renamed.schema.fieldNames.toSeq == Seq("id", "val", "w"))
+    assert(renamed.selectExpr("val").where("id = 200").collect()
+      .head.getString(0) == "e200")
+    // DROP hides the evolved column at latest; time travel keeps it
+    LakeWriter.dropColumn(spark, dir, "w")
+    assert(DeltaReader.read(spark, dir).schema.fieldNames.toSeq == Seq("id", "val"))
+    val latest = DeltaReader.snapshot(spark, dir, None).version
+    assert(DeltaReader.read(spark, dir, Some(latest - 1))
+      .schema.fieldNames.contains("w"))
+    // the whole chain time-travels and validates its checksums
+    (1L to latest).foreach { ver =>
+      DeltaReader.read(spark, dir, Some(ver)).count()
+      DeltaReader.validateChecksum(spark, dir, Some(ver))
+    }
   }
 
   test("id-mode CDF: cdc files stage with field ids; the change feed folds to every state") {

@@ -169,6 +169,57 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(after.keySet.size == after.size && after.keySet.forall(_ <= wm))
   }
 
+  test("compaction composes row tracking with COLUMN MAPPING: ids preserved, physical footers") {
+    val d = freshDir("cm")
+    LakeWriter.writeDeltaMapped(base.repartition(4), d)
+    LakeWriter.enableRowTracking(spark, d)
+    // mixed debt: an id-stable DV delete + a fresh append
+    LakeWriter.deleteWhereDv(spark, d, "id % 5 = 0")
+    LakeWriter.appendDelta(base.limit(3).selectExpr("id + 500 AS id", "v", "k")
+      .repartition(2), d)
+    def idMap() = DeltaReader.readWithRowIds(spark, d)
+      .select("_row_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = idMap()
+    val filesBefore = DeltaReader.snapshot(spark, d, None).active.size
+    LakeWriter.compactDelta(spark, d, minFiles = 2)
+    assert(idMap() == before,
+      "rt+CM compaction must preserve _row_id for every surviving row")
+    val snap = DeltaReader.snapshot(spark, d, None)
+    assert(snap.active.size < filesBefore)
+    assert(snap.active.forall(_.dv.isEmpty), "compaction folds DVs away")
+    assert(snap.active.forall(_.baseRowId.isDefined),
+      "every compacted add still carries a baseRowId")
+    // compacted footers: table columns under PHYSICAL names, the
+    // materialized identity columns pass through by their storage names
+    val hconf = spark.sessionState.newHadoopConf()
+    val compacted = snap.active.filter(_.path.contains("part-compact"))
+    assert(compacted.nonEmpty)
+    compacted.foreach { a =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(d, a.path), hconf))
+      val names = try {
+        import scala.jdk.CollectionConverters._
+        rdr.getFooter.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toSet
+      } finally rdr.close()
+      assert(names.contains(graft.sources.RowTracking.DefaultRowIdCol),
+        s"${a.path}: $names")
+      val tableCols = names - graft.sources.RowTracking.DefaultRowIdCol -
+        graft.sources.RowTracking.DefaultRowVerCol
+      assert(tableCols.nonEmpty && tableCols.forall(_.startsWith("col-")),
+        s"${a.path}: $names")
+    }
+    // rows themselves unchanged, and a SECOND compaction round-trips
+    // the materialized ids through the CM read path
+    assert(DeltaReader.read(spark, d).select("id").collect().map(_.getLong(0)).sorted
+      .toSeq == before.values.toSeq.sorted)
+    LakeWriter.appendDelta(base.limit(2).selectExpr("id + 600 AS id", "v", "k"), d)
+    val mid = idMap()
+    LakeWriter.compactDelta(spark, d, minFiles = 2)
+    assert(idMap() == mid, "re-compaction must keep preserved ids stable")
+  }
+
   test("z-order preserves ids on ready tables; half-enabled tables refuse loudly") {
     val d = freshDir("rf")
     LakeWriter.writeDelta(base.repartition(3), d)

@@ -95,4 +95,69 @@ class DeltaZOrderSpec extends SparkSpec {
     assert(DeltaReader.read(spark, dir).select("id").as[Long].collect().toSet ==
       (20L until 100L).toSet)
   }
+
+  test("z-order and clustered OPTIMIZE on COLUMN-MAPPED tables keep physical footers and pruning") {
+    val s0 = spark
+    import s0.implicits._
+    import org.apache.spark.sql.types._
+    def footerCheck(dir: String, paths: Seq[String], wantIds: Boolean): Unit = {
+      val hconf = spark.sessionState.newHadoopConf()
+      paths.foreach { p =>
+        val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(dir, p), hconf))
+        val msg = try rdr.getFooter.getFileMetaData.getSchema finally rdr.close()
+        import scala.jdk.CollectionConverters._
+        msg.getFields.asScala.foreach { f =>
+          assert(f.getName.startsWith("col-"), s"$p: ${f.getName}")
+          if (wantIds) assert(f.getId != null, s"$p: ${f.getName} has no field id")
+        }
+      }
+    }
+    // NAME mode: graft-mapped table, 2-column z-order
+    val dirN = tmp("graft_zo_cmn_")
+    val pts = for { i <- 0L until 400L } yield (i, (i * 37) % 400, (i * 91) % 400)
+    LakeWriter.writeDeltaMapped(pts.take(200).toDF("id", "x", "y").repartition(2), dirN)
+    LakeWriter.appendDelta(pts.drop(200).toDF("id", "x", "y").repartition(2), dirN)
+    LakeWriter.compactDeltaZOrder(spark, dirN, "x", "y", filesPerPartition = 4)
+    val snapN = DeltaReader.snapshot(spark, dirN, None)
+    assert(DeltaReader.read(spark, dirN).as[(Long, Long, Long)].collect().toSet ==
+      pts.toSet)
+    footerCheck(dirN, snapN.active.map(_.path), wantIds = true)
+    // the rewritten files carry physically-keyed stats that prune
+    assert(graft.sources.DeltaStats.prune(spark, snapN.active, "id > 100000", snapN)
+      .isEmpty)
+
+    // ID mode: foreign fixture, clusterBy declaration + clustered OPTIMIZE
+    val dirF = java.nio.file.Files.createTempDirectory("graft_zo_cmi_").toFile
+    val log = new java.io.File(dirF, "_delta_log"); log.mkdirs()
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    def fld(n: String, t: DataType, phys: String, id: Long) =
+      StructField(n, t, nullable = true, new MetadataBuilder()
+        .putString("delta.columnMapping.physicalName", phys)
+        .putLong("delta.columnMapping.id", id).build())
+    val logical = StructType(Seq(
+      fld("id", LongType, "col-z1", 1), fld("v", StringType, "col-z2", 2)))
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      s"""{"metaData":{"id":"zoid","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(logical.json)},"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"id","delta.columnMapping.maxColumnId":"2"}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val dirI = dirF.getPath
+    (0 until 3).foreach { b =>
+      LakeWriter.appendDelta((0 until 50).map(i =>
+        ((b * 50 + i).toLong, s"v${b * 50 + i}")).toDF("id", "v").coalesce(1), dirI)
+    }
+    LakeWriter.clusterBy(spark, dirI, Seq("id"))
+    LakeWriter.compactDeltaCluster(spark, dirI, Seq("id"), filesPerPartition = 2)
+    val snapI = DeltaReader.snapshot(spark, dirI, None)
+    assert(DeltaReader.read(spark, dirI).as[(Long, String)].collect().toSet ==
+      (0 until 150).map(i => (i.toLong, s"v$i")).toSet)
+    // clustered adds carry the liquid tag and physical/field-id footers
+    val clustered = snapI.active.filter(_.clusteringProvider.contains("liquid"))
+    assert(clustered.nonEmpty, "clustered OPTIMIZE must tag its adds")
+    footerCheck(dirI, clustered.map(_.path), wantIds = true)
+    assert(graft.sources.DeltaStats.prune(spark, snapI.active, "id > 100000", snapI)
+      .isEmpty)
+  }
 }
