@@ -518,6 +518,31 @@ object DeltaQueries {
 
     // ALTER ADD COLUMNS + UPDATE into the new column: old rows
     // null-fill, updated rows carry the computed value
+    // the none -> name column-mapping UPGRADE mid-life (r16): a plain
+    // table upgrades METADATA-ONLY (old files keep resolving — their
+    // names became the physical names), then the whole mapped surface
+    // works on it: rename (metadata-only), schema EVOLUTION (fresh
+    // field id above the stamped maxColumnId), and a CoW DELETE whose
+    // rewrites stage under the physical names
+    "delta_cm_upgrade" -> ((s, dir) => {
+      val d = freshDir("cmup")
+      LakeWriter.writeDelta(
+        t(s, dir, "orders").where("o_orderkey % 10 < 6").repartition(4), d)
+      LakeWriter.alterProperties(s, d, Map("delta.columnMapping.mode" -> "name"))
+      LakeWriter.renameColumn(s, d, "o_totalprice", "price")
+      LakeWriter.appendDeltaEvolve(
+        t(s, dir, "orders").where("o_orderkey % 10 >= 6 AND o_orderkey % 10 < 8")
+          .withColumnRenamed("o_totalprice", "price")
+          .withColumn("score", expr("CAST(o_orderkey % 5 AS DOUBLE)"))
+          .repartition(2), d)
+      s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 3 = 0")
+      DeltaReader.read(s, d).groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(dec(col("price"))).cast("decimal(18,2)").as("total"),
+          sum(col("score")).cast("double").as("score_sum"))
+        .orderBy("o_orderstatus")
+    }),
+
     "delta_alter" -> ((s, dir) => {
       val d = freshDir("alt")
       LakeWriter.writeDelta(
@@ -947,6 +972,13 @@ object DeltaQueries {
     "delta_convert" ->
       s"""$aggSql
          |FROM orders WHERE o_orderkey % 10 < 3 OR o_orderkey % 10 = 7
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+
+    "delta_cm_upgrade" ->
+      s"""SELECT o_orderstatus, COUNT(*) AS cnt,
+         | CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+         | CAST(SUM(CASE WHEN o_orderkey % 10 >= 6 THEN CAST(o_orderkey % 5 AS DOUBLE) END) AS DOUBLE) AS score_sum
+         |FROM orders WHERE o_orderkey % 10 < 8 AND o_orderkey % 3 <> 0
          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
 
     "delta_alter" ->

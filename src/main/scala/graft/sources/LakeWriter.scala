@@ -906,11 +906,13 @@ object LakeWriter {
   /** ALTER TABLE SET/UNSET TBLPROPERTIES. Enabling Change Data Feed
     * bumps the protocol to its legacy writer floor (1,4) in the same
     * commit — later mutations must write change data and legacy
-    * writers that can't must refuse the table. Changing
-    * `delta.columnMapping.mode` refuses: mode transitions re-key
-    * every file's columns and are a rewrite, not a property.
-    * `delta.feature.<name>=supported` keys are consumed into a
-    * protocol upgrade riding the same commit.
+    * writers that can't must refuse the table. Setting
+    * `delta.columnMapping.mode` = name on an UNMAPPED table routes to
+    * the metadata-only upgrade ([[upgradeToNameMapping]], r16); every
+    * other mode transition refuses — it would re-key every file's
+    * columns, a rewrite, not a property. `delta.feature.<name>=
+    * supported` keys are consumed into a protocol upgrade riding the
+    * same commit.
     */
   def alterProperties(spark: SparkSession, dir: String,
                       set: Map[String, String],
@@ -936,10 +938,30 @@ object LakeWriter {
     reqMinWriter.foreach(w => require(w >= snap.minWriter && w <= 7,
       s"alterProperties: delta.minWriterVersion $w must be in " +
         s"[${snap.minWriter} (current — no downgrades), 7]"))
-    set.get("delta.columnMapping.mode").foreach { m =>
-      require(cur.getOrElse("delta.columnMapping.mode", "none") == m,
-        "alterProperties: changing delta.columnMapping.mode re-keys every file's " +
-          "columns — a rewrite, not a property change; refusing")
+    // delta.columnMapping.mode: the none -> name UPGRADE is supported
+    // (delta-spark's documented spelling) and is METADATA-ONLY — every
+    // existing column takes its CURRENT name as its physical name, so
+    // the files already on disk keep resolving, and ids assign at
+    // every nesting level with maxColumnId stamped alongside. All
+    // other transitions (name/id -> none, name <-> id, none -> id)
+    // re-key every file's columns — a rewrite, not a property; refused.
+    val curMode = cur.getOrElse("delta.columnMapping.mode", "none")
+    val modeReq = setP.get("delta.columnMapping.mode").filter(_ != curMode)
+    if (modeReq.isDefined) {
+      require(modeReq.contains("name") && curMode == "none",
+        s"alterProperties: column mapping transition '$curMode' -> '${modeReq.get}' " +
+          "re-keys every file's columns — a rewrite, not a property change; only " +
+          "the metadata-only none -> name upgrade is supported")
+      require((setP - "delta.columnMapping.mode").isEmpty && unset.isEmpty &&
+          featsDeclared.isEmpty,
+        "alterProperties: the column-mapping upgrade must ride alone (with " +
+          "optional delta.minReaderVersion/delta.minWriterVersion)")
+      reqMinWriter.foreach(w => require(w >= 5,
+        s"alterProperties: column mapping binds writers from version 5; " +
+          s"requested minWriterVersion $w is below the floor"))
+      upgradeToNameMapping(spark, dir, snap,
+        featureForm = snap.minWriter == 7 || reqMinWriter.contains(7))
+      return
     }
     unset.foreach(k => require(!k.startsWith("delta.columnMapping"),
       s"alterProperties: unsetting '$k' would orphan the mapped schema; refusing"))
@@ -1025,6 +1047,54 @@ object LakeWriter {
       }
     commitAlter(spark, dir, snap, snap.schemaJson, snap.partCols, newConf,
       "SET TBLPROPERTIES", protocolOverride)
+  }
+
+  /** The none -> name column-mapping UPGRADE: one metadata commit, zero
+    * rewritten bytes. Every field at EVERY nesting level (struct
+    * members, array/map element structs) takes `physicalName` = its
+    * current name — the name the existing files already carry, so they
+    * keep resolving — plus the next depth-first field id;
+    * `maxColumnId` stamps the final counter. The protocol lifts to the
+    * legacy column-mapping floor (reader 2 / writer 5, existing higher
+    * versions kept) or, on feature-form tables (or when the caller
+    * requested minWriterVersion 7), restates (3,7) with columnMapping
+    * in BOTH feature lists. After the upgrade, renameColumn /
+    * dropColumn / evolution all work — the point of the mode.
+    */
+  private def upgradeToNameMapping(spark: SparkSession, dir: String,
+                                   snap: DeltaReader.Snapshot,
+                                   featureForm: Boolean): Unit = {
+    import org.apache.spark.sql.types._
+    val table = tableSchema(snap)
+    var next = 0L
+    def walkT(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        next += 1
+        val id = next
+        f.copy(dataType = walkT(f.dataType),
+          metadata = new MetadataBuilder().withMetadata(f.metadata)
+            .putLong("delta.columnMapping.id", id)
+            .putString("delta.columnMapping.physicalName", f.name)
+            .build())
+      })
+      case ArrayType(e, n) => ArrayType(walkT(e), n)
+      case MapType(k, v, n) => MapType(walkT(k), walkT(v), n)
+      case other => other
+    }
+    val newSchema = walkT(table).asInstanceOf[StructType]
+    val newConf = snap.configuration +
+      ("delta.columnMapping.mode" -> "name") +
+      ("delta.columnMapping.maxColumnId" -> next.toString)
+    val proto =
+      if (featureForm)
+        protocolWithReaderWriterFeature(
+          // legacyR computes off the CURRENT (unmapped) configuration,
+          // so pass the feature explicitly — it must land in both lists
+          snap, "columnMapping")
+      else
+        s"""{"protocol":{"minReaderVersion":${math.max(snap.minReader, 2)},"minWriterVersion":${math.max(snap.minWriter, 5)}}}"""
+    commitAlter(spark, dir, snap, newSchema.json, snap.partCols, newConf,
+      "SET TBLPROPERTIES", protocolOverride = Some(proto))
   }
 
   /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat

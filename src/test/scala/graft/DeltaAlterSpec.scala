@@ -101,9 +101,77 @@ class DeltaAlterSpec extends SparkSpec {
     LakeWriter.alterProperties(spark, dir, Map.empty, unset = Seq("graft.note"))
     assert(!DeltaReader.snapshot(spark, dir, None).configuration.contains("graft.note"))
 
+    // none -> name is the supported METADATA-ONLY upgrade (r16); every
+    // other transition still refuses as the rewrite it would be
+    LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "name"))
+    assert(DeltaReader.snapshot(spark, dir, None)
+      .configuration("delta.columnMapping.mode") == "name")
     val e = intercept[IllegalArgumentException](
-      LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "name")))
+      LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "id")))
     assert(e.getMessage.contains("rewrite"))
+    val e2 = intercept[IllegalArgumentException](
+      LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "none")))
+    assert(e2.getMessage.contains("rewrite"))
+  }
+
+  test("column-mapping UPGRADE (none -> name): metadata-only, old files keep resolving, rename/evolve then work") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_cmup_")
+    LakeWriter.writeDelta(spark.range(0, 2).selectExpr(
+      "id", "concat('v', id) AS v",
+      "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1), dir)
+    LakeWriter.appendDelta(spark.range(2, 3).selectExpr(
+      "id", "concat('v', id) AS v",
+      "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1), dir)
+    val preVersion = DeltaReader.snapshot(spark, dir, None).version
+    LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "name"))
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.minReader == 2 && snap.minWriter == 5)
+    assert(snap.configuration("delta.columnMapping.mode") == "name")
+    // ids assigned at EVERY level: id, v, s, s.x, s.tag = 5
+    assert(snap.configuration("delta.columnMapping.maxColumnId") == "5")
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    sch.fields.foreach { f =>
+      assert(f.metadata.getString("delta.columnMapping.physicalName") == f.name)
+      assert(f.metadata.contains("delta.columnMapping.id"))
+    }
+    val inner = sch("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    inner.fields.foreach { f =>
+      assert(f.metadata.getString("delta.columnMapping.physicalName") == f.name)
+    }
+    def values(): Set[(Long, String, Long)] =
+      DeltaReader.read(spark, dir).selectExpr("id", "v", "s.x").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // the PRE-upgrade files keep resolving (their on-disk names ARE the
+    // physical names now)
+    assert(values() == Set((0L, "v0", 0L), (1L, "v1", 2L), (2L, "v2", 4L)))
+    // appends stage under the (identical) physical names, field ids on
+    LakeWriter.appendDelta(spark.range(3, 4).selectExpr(
+      "id", "concat('v', id) AS v",
+      "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1), dir)
+    assert(values().contains((3L, "v3", 6L)))
+    // rename is now metadata-only; old files keep the old physical name
+    LakeWriter.renameColumn(spark, dir, "v", "val")
+    assert(DeltaReader.read(spark, dir).selectExpr("val").where("id = 0")
+      .collect().head.getString(0) == "v0")
+    // evolution assigns the NEXT id above the stamped maxColumnId
+    LakeWriter.appendDeltaEvolve(spark.range(4, 5).selectExpr(
+      "id", "concat('v', id) AS val",
+      "named_struct('x', id * 2, 'tag', concat('t', id)) AS s",
+      "id * 10 AS w").coalesce(1), dir)
+    val snap2 = DeltaReader.snapshot(spark, dir, None)
+    assert(snap2.configuration("delta.columnMapping.maxColumnId") == "6")
+    assert(DeltaReader.read(spark, dir).where("w = 40").count() == 1)
+    // pruning works through the (identity) physical stats keys
+    assert(graft.sources.DeltaStats.prune(spark, snap2.active, "id > 100000", snap2)
+      .isEmpty)
+    // time travel below the upgrade replays the UNMAPPED schema
+    val old = DeltaReader.read(spark, dir, Some(preVersion))
+    assert(old.schema.fieldNames.toSeq == Seq("id", "v", "s"))
+    assert(old.count() == 3)
+    DeltaReader.validateChecksum(spark, dir, None)
   }
 
   test("upgradeProtocol: versions only rise, features never drop, gates then bind") {
