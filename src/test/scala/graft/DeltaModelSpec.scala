@@ -9,7 +9,8 @@ import graft.sources.{DeltaReader, LakeWriter, MergeClause, MergeDelete, MergeIn
   * cluster-declare + incremental OPTIMIZE / CLUSTER BY NONE /
   * checkpoint / delta.feature.* declaration (incl. v2Checkpoints,
   * which re-routes later checkpoint ops to the v2 shape mid-run) /
-  * protocol-version lift ops runs
+  * protocol-version lift / column-mapping UPGRADE (r16 — every later
+  * op then composes on a name-mapped table) ops runs
   * against BOTH the real table and an in-memory Map[id -> v] model.
   * After every committed version the latest read must equal the model;
   * at the end every historical version must time-travel to its
@@ -60,7 +61,7 @@ class DeltaModelSpec extends SparkSpec {
     var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(21) match {
+      rnd.nextInt(22) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -172,6 +173,16 @@ class DeltaModelSpec extends SparkSpec {
         case 20 => // protocol-version lift via the consumed property
           LakeWriter.alterProperties(spark, dir,
             Map("delta.minWriterVersion" -> "7"))
+        case 21 => // column-mapping UPGRADE (r16): one metadata commit;
+          // every LATER random op then runs on a name-mapped table —
+          // mutations stage physical names, maintenance re-stages,
+          // restores to pre-upgrade versions refuse (metadata changed,
+          // caught by case 5). Already-mapped tables compact instead.
+          val snapU = DeltaReader.snapshot(spark, dir, None)
+          if (snapU.configuration.getOrElse("delta.columnMapping.mode", "none") == "none")
+            LakeWriter.alterProperties(spark, dir,
+              Map("delta.columnMapping.mode" -> "name"))
+          else LakeWriter.compactDelta(spark, dir, minFiles = 2)
         case _ => // shallow clone: the fork must equal the model NOW
           cloneCount += 1
           val cl = tmp(s"graft_model_cl_${seed}_${cloneCount}_") + "/t"
