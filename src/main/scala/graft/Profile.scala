@@ -57,6 +57,8 @@ object Profile {
         stressHistoryMemo(spark, args.lift(1).map(_.toInt).getOrElse(300))
       case "stress-cluster" =>
         stressCluster(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
+      case "stress-cm-optimize" =>
+        stressCmOptimize(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta-files" =>
         stressDeltaFiles(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-delta-clone" =>
@@ -365,6 +367,51 @@ object Profile {
     val cnt = DeltaReader.read(spark, dir.getPath).count()
     require(cnt == baseRows.toLong + appendRows, s"row drift: $cnt")
     org.apache.commons.io.FileUtils.deleteDirectory(dir)
+  }
+
+  /** r16: the column-mapping staging cost at OPTIMIZE time — the same
+    * bin-packed compaction and z-order rewrite on a MAPPED table vs an
+    * identical UNMAPPED one. stagePhysicalRows is a metadata-only
+    * projection (top-level aliases + positional casts carrying field
+    * ids), so the mapped rewrites must price inside the unmapped band;
+    * a real gap here would mean the staging added a shuffle or broke
+    * codegen.
+    */
+  def stressCmOptimize(spark: SparkSession, rows: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    import org.apache.spark.sql.functions._
+    def mk(mapped: Boolean): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        s"graft_stress_cmopt_${mapped}_").toFile.getPath
+      def slice(lo: Long, hi: Long) = spark.range(lo, hi).select(col("id"),
+        concat(lit("v"), col("id")).as("v"), (col("id") % 97).as("k"))
+      if (mapped) LakeWriter.writeDeltaMapped(slice(0, rows).repartition(4), dir)
+      else LakeWriter.writeDelta(slice(0, rows).repartition(4), dir)
+      // 16 tiny appends = the small-file debt OPTIMIZE folds
+      (0 until 16).foreach { i =>
+        LakeWriter.appendDelta(
+          slice(rows + i * 1000L, rows + (i + 1) * 1000L).coalesce(1), dir)
+      }
+      dir
+    }
+    val plain = mk(false); val mapped = mk(true)
+    time(s"optimize_unmapped_${rows}_rows_20_files") {
+      LakeWriter.compactDelta(spark, plain, minFiles = 2)
+    }
+    time(s"optimize_mapped_${rows}_rows_20_files") {
+      LakeWriter.compactDelta(spark, mapped, minFiles = 2)
+    }
+    time("zorder_unmapped") {
+      LakeWriter.compactDeltaZOrder(spark, plain, "id", "k", filesPerPartition = 4)
+    }
+    time("zorder_mapped") {
+      LakeWriter.compactDeltaZOrder(spark, mapped, "id", "k", filesPerPartition = 4)
+    }
+    val a = DeltaReader.read(spark, plain).count()
+    val b = DeltaReader.read(spark, mapped).count()
+    require(a == b && a == rows.toLong + 16000L, s"row drift: $a vs $b")
+    Seq(plain, mapped).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
   /** The snapshot cache's per-query win: a session analyzing N queries
