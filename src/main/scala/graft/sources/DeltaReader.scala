@@ -663,7 +663,11 @@ object DeltaReader {
     val logicalByPhys = schema.fields.filterNot(f => snap.partCols.contains(f.name))
       .map { f =>
         val deep = if (mapped) physDataType(f.dataType) else f.dataType
-        (physName(f), f.name, if (deep == f.dataType) None else Some(f.dataType))
+        (physName(f), f.name,
+          if (deep == f.dataType) None
+          // cast back to the DEEP-NULLABLE logical shape: parquet reads
+          // are nullable and a struct Cast refuses nullable→non-null
+          else Some(DeltaStats.deepNullable(f.dataType)))
       } :+ (("_change_type", "_change_type", None))
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
     val outNames = schema.fieldNames ++ Seq("_change_type") ++
@@ -2096,7 +2100,10 @@ object DeltaReader {
     // nested physical shape differs from the logical one)
     val logicalByPhys = dataFields.map { f =>
       val deep = if (mapped) physDataType(f.dataType) else f.dataType
-      (physName(f), f.name, if (deep == f.dataType) None else Some(f.dataType))
+      (physName(f), f.name,
+        if (deep == f.dataType) None
+        // deep-nullable target: see readCdcFiles' twin above
+        else Some(DeltaStats.deepNullable(f.dataType)))
     }
     val partSchema = schema.fields.filter(f => snap.partCols.contains(f.name))
 

@@ -130,6 +130,27 @@ object DeltaStats {
     }
   }
 
+  /** `dt` with nullability relaxed at EVERY level — the cast-back
+    * target when a physically-shaped scan projects to the logical
+    * type: parquet reads are nullable, and a struct Cast refuses a
+    * nullable→non-nullable field, so casting to the DECLARED shape
+    * would refuse readable foreign tables whose nested fields are
+    * non-nullable (r16). Nullability is advisory on the read side;
+    * the write gates enforce it.
+    */
+  private[graft] def deepNullable(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case ArrayType(e, _) => ArrayType(deepNullable(e), containsNull = true)
+      case MapType(k, v, _) =>
+        MapType(deepNullable(k), deepNullable(v), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   /** `delta.dataSkippingStatsColumns` translated into the staged
     * files' key domain: on a column-mapped table the parquet footer
     * paths are PHYSICAL names, so each configured logical (possibly

@@ -1537,10 +1537,13 @@ object LakeWriter {
     * columns the table doesn't have yet are ADDED (appended after the
     * existing fields, forced nullable — pre-evolution files simply
     * lack them, and the schema-first scan reads those as null, which
-    * is the protocol's evolution model); table columns missing from
+    * is the protocol's evolution model); since r16 this includes
+    * NESTED additions — a new field inside an existing struct (directly
+    * or through an array element) appends after that struct's fields,
+    * and old files null-fill it on read; table columns missing from
     * `df` fill with nulls when the table declares them nullable
-    * (refused otherwise); common columns obey exactly [[appendDelta]]'s
-    * compatibility rules. When the schema actually changes, the commit
+    * (refused otherwise, nested fields included); common columns obey
+    * [[appendDelta]]'s compatibility rules against the merged shape. When the schema actually changes, the commit
     * carries the new `metaData` action (same table id — readers track
     * identity by it) plus the CURRENT protocol restated verbatim; when
     * it doesn't, this is a plain append. Time travel below the
@@ -1571,25 +1574,150 @@ object LakeWriter {
       table: org.apache.spark.sql.types.StructType, cm: String,
       incoming: Seq[org.apache.spark.sql.types.StructField])
       : (org.apache.spark.sql.types.StructType, Map[String, String]) = {
-    val tableNames = table.fieldNames.toSet
+    import org.apache.spark.sql.types._
     val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
       .map(_.toLong).getOrElse(0L)
-    val newFields = incoming.filterNot(f => tableNames.contains(f.name))
-      .zipWithIndex.map { case (f0, i) =>
-        val f = f0.copy(nullable = true)
-        if (cm == "none") f
-        else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+    var next = maxId
+    // a NEW column (top-level or nested) is forced nullable and, on a
+    // mapped table, gets a fresh physical name + field id at EVERY
+    // level of its own subtree; the physical name derives from the
+    // dotted logical path (dir#name for top-level — the pre-r16 form,
+    // so existing tables' derivations are stable)
+    def newField(f0: StructField, path: String): StructField = {
+      val f = f0.copy(nullable = true)
+      val dt = f.dataType match {
+        case st: StructType =>
+          StructType(st.fields.map(c => newField(c, s"$path.${c.name}")))
+        case ArrayType(e: StructType, n) =>
+          ArrayType(StructType(e.fields.map(c =>
+            newField(c, s"$path.element.${c.name}"))), n)
+        case other => other
+      }
+      if (cm == "none") f.copy(dataType = dt)
+      else {
+        next += 1
+        f.copy(dataType = dt, metadata = new MetadataBuilder()
           .withMetadata(f.metadata)
-          .putLong("delta.columnMapping.id", maxId + i + 1)
+          .putLong("delta.columnMapping.id", next)
           .putString("delta.columnMapping.physicalName",
-            s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#${f.name}".getBytes("UTF-8"))}")
+            s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#$path".getBytes("UTF-8"))}")
           .build())
       }
+    }
+    // NESTED evolution (r16, delta-spark's mergeSchema semantics): new
+    // fields inside an existing struct (directly or through an array
+    // element) append after that struct's existing fields; existing
+    // fields keep their declared types and metadata untouched
+    def merge(tbl: StructType, inc: StructType, path: String): StructType = {
+      val incByName = inc.fields.map(f => f.name -> f).toMap
+      val kept = tbl.fields.map { tf =>
+        incByName.get(tf.name) match {
+          case Some(af) => (tf.dataType, af.dataType) match {
+            case (ts: StructType, as: StructType) =>
+              tf.copy(dataType = merge(ts, as, s"$path${tf.name}."))
+            case (ArrayType(ts: StructType, n), ArrayType(as: StructType, _)) =>
+              tf.copy(dataType =
+                ArrayType(merge(ts, as, s"$path${tf.name}.element."), n))
+            case _ => tf
+          }
+          case None => tf
+        }
+      }
+      val newOnes = inc.fields.filterNot(f => tbl.fieldNames.contains(f.name))
+        .map(f => newField(f, s"$path${f.name}"))
+      StructType(kept ++ newOnes)
+    }
+    val merged = merge(table, StructType(incoming.toArray), "")
     val newConf =
-      if (cm == "none" || newFields.isEmpty) snap.configuration
-      else snap.configuration + ("delta.columnMapping.maxColumnId" ->
-        (maxId + newFields.length).toString)
-    (org.apache.spark.sql.types.StructType(table.fields ++ newFields), newConf)
+      if (cm == "none" || next == maxId) snap.configuration
+      else snap.configuration + ("delta.columnMapping.maxColumnId" -> next.toString)
+    (merged, newConf)
+  }
+
+  /** Evolve-side type compatibility: like [[typeCompatible]] but the
+    * batch may carry EXTRA struct fields (the nested evolution) and
+    * may OMIT struct fields (nested null-fill, hole nullability
+    * checked separately) — each batch field must exist in the merged
+    * type with a compatible shape and may not put nulls into a
+    * non-nullable slot.
+    */
+  private[graft] def evolveCompatible(a: org.apache.spark.sql.types.DataType,
+                                      t: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (a, t) match {
+      case (as: StructType, ts: StructType) =>
+        as.fields.forall { af =>
+          ts.fields.find(_.name == af.name).exists(tf =>
+            evolveCompatible(af.dataType, tf.dataType) &&
+              (tf.nullable || !af.nullable))
+        }
+      case (ArrayType(ae, an), ArrayType(te, tn)) =>
+        evolveCompatible(ae, te) && (tn || !an)
+      case (MapType(ak, av, an), MapType(tk, tv, tn)) =>
+        typeCompatible(ak, tk) && evolveCompatible(av, tv) && (tn || !an)
+      case _ => typeCompatible(a, t)
+    }
+  }
+
+  /** Refuse a nested HOLE into a non-nullable slot: a merged struct
+    * field absent from the batch null-fills, which the declared
+    * nullability must allow (same rule as top-level holes).
+    */
+  private def checkNestedHoles(from: org.apache.spark.sql.types.DataType,
+                               to: org.apache.spark.sql.types.DataType,
+                               path: String, op: String): Unit = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (fs: StructType, ts: StructType) =>
+        val fNames = fs.fieldNames.toSet
+        ts.fields.foreach { tf =>
+          if (!fNames.contains(tf.name))
+            require(tf.nullable,
+              s"$op: nested column '$path${tf.name}' is non-nullable and missing " +
+                "from the appended data — cannot null-fill")
+          else checkNestedHoles(fs(tf.name).dataType, tf.dataType,
+            s"$path${tf.name}.", op)
+        }
+      case (ArrayType(fe, _), ArrayType(te, _)) =>
+        checkNestedHoles(fe, te, path + "element.", op)
+      case _ =>
+    }
+  }
+
+  /** Align a batch column to its MERGED type: equal types pass
+    * through; a struct rebuilds in merged field order with absent
+    * fields null-filled (null structs stay null); arrays align their
+    * elements through `transform`. The rebuild only happens where the
+    * shapes actually differ, so schema-stable batches keep their
+    * exact previous plans.
+    */
+  private def alignToMerged(c: org.apache.spark.sql.Column,
+                            from: org.apache.spark.sql.types.DataType,
+                            to: org.apache.spark.sql.types.DataType,
+                            fromNullable: Boolean)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.{lit, struct, transform, when}
+    (from, to) match {
+      case (f, t) if f == t => c
+      case (fs: StructType, ts: StructType) =>
+        val fByName = fs.fields.map(x => x.name -> x).toMap
+        val rebuilt = struct(ts.fields.map { tf =>
+          (fByName.get(tf.name) match {
+            case Some(ff) => alignToMerged(c.getField(tf.name), ff.dataType,
+              tf.dataType, fromNullable || ff.nullable)
+            case None => lit(null).cast(tf.dataType)
+          }).as(tf.name)
+        }.toIndexedSeq: _*)
+        // the null-guard only when the source can BE null — wrapping a
+        // non-nullable struct would make it nullable and trip the
+        // declared-nullability append gate
+        if (!fromNullable) rebuilt
+        else when(c.isNull, lit(null)).otherwise(rebuilt)
+      case (ArrayType(fe, fn), ArrayType(te, _)) =>
+        transform(c, x => alignToMerged(x, fe, te, fn))
+      case _ => c.cast(to)
+    }
   }
 
   /** The metaData action restating the table under an evolved schema
@@ -1636,17 +1764,24 @@ object LakeWriter {
     // ones verify, constraints/invariants check in one pass
     val df = enforceObligations(df0, snap, table, "appendDeltaEvolve")
 
-    // common columns: appendDelta's exact compatibility rules
+    // new columns — TOP-LEVEL and NESTED (r16) — append after their
+    // parent's existing fields, forced nullable; CM gets fresh
+    // physical names/ids at every level ([[evolveSchema]])
     val dfByName = df.schema.fields.map(f => f.name -> f).toMap
-    table.fields.foreach { t =>
+    val (merged, newConf) = evolveSchema(dir, snap, table, cm, df.schema.fields.toSeq)
+    // common columns: the batch must fit the MERGED shape — extra
+    // nested fields are the evolution itself; a type CHANGE on an
+    // existing (possibly nested) field still refuses
+    merged.fields.foreach { t =>
       dfByName.get(t.name).foreach { a =>
-        require(typeCompatible(a.dataType, t.dataType),
+        require(evolveCompatible(a.dataType, t.dataType),
           s"appendDeltaEvolve: type mismatch at '${t.name}': appended " +
             s"${a.dataType.simpleString}, table declares ${t.dataType.simpleString} — " +
             "evolution adds columns, it does not change existing ones")
         require(t.nullable || !a.nullable,
           s"appendDeltaEvolve: column '${t.name}' may carry nulls but the table " +
             "declares it non-nullable")
+        checkNestedHoles(a.dataType, t.dataType, s"${t.name}.", "appendDeltaEvolve")
       }
     }
     // holes: table columns absent from df — null-fill, nullable only
@@ -1660,17 +1795,18 @@ object LakeWriter {
         s"appendDeltaEvolve: partition column '${t.name}' missing from the appended " +
           "data — every row needs a partition value")
     }
-    // new columns: appended after the table's fields, forced nullable;
-    // CM gets fresh physical names/ids ([[evolveSchema]])
-    val (merged, newConf) = evolveSchema(dir, snap, table, cm, df.schema.fields.toSeq)
-    val schemaGrew = merged.length > table.length
+    // nested growth changes the schema without changing the top-level
+    // arity — compare the full structure, not the length
+    val schemaGrew = merged != table
     // absent IDENTITY columns are GENERATED holes, not null-fill:
     // leave them out here; appendDeltaWithSnapshot (or the completion
     // below on the grew path) generates them
     val idHoles = IdentityColumns.specs(merged).map(_.name)
       .filterNot(dfByName.contains).toSet
     val aligned0 = df.select(merged.fields.filterNot(f => idHoles(f.name)).map { f =>
-      if (dfByName.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (dfByName.contains(f.name))
+        alignToMerged(col(f.name), dfByName(f.name).dataType, f.dataType,
+          dfByName(f.name).nullable).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }.toIndexedSeq: _*)
 

@@ -174,6 +174,47 @@ class DeltaAlterSpec extends SparkSpec {
     DeltaReader.validateChecksum(spark, dir, None)
   }
 
+  test("column-mapping UPGRADE on a PARTITIONED table: dirs stay, partition rename is metadata-only") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_cmup_part_")
+    LakeWriter.writeDelta(
+      (0L until 12L).map(i => (i, s"v$i", s"p${i % 3}")).toDF("id", "v", "part"),
+      dir, partitionBy = Seq("part"))
+    LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "name"))
+    def vals(): Set[(Long, String, String)] =
+      DeltaReader.read(spark, dir).select("id", "v", "part")
+        .as[(Long, String, String)].collect().toSet
+    val expect0 = (0L until 12L).map(i => (i, s"v$i", s"p${i % 3}")).toSet
+    assert(vals() == expect0)
+    // appends after the upgrade keep the SAME physical directory layout
+    LakeWriter.appendDelta(Seq((100L, "v100", "p1")).toDF("id", "v", "part"), dir)
+    assert(vals() == expect0 + ((100L, "v100", "p1")))
+    // partition-value pruning still rides the (physical-keyed) log
+    assert(DeltaReader.readPartition(spark, dir, Map("part" -> "p1"))
+      .count() == 5)
+    // RENAME THE PARTITION COLUMN: metadata-only — directories and
+    // partitionValues keys keep the physical name
+    LakeWriter.renameColumn(spark, dir, "part", "bucket")
+    val renamed = DeltaReader.read(spark, dir)
+    assert(renamed.schema.fieldNames.toSeq == Seq("id", "v", "bucket"))
+    assert(renamed.select("id", "v", "bucket").as[(Long, String, String)]
+      .collect().toSet == expect0.map { case (i, v, p) => (i, v, p) } +
+        ((100L, "v100", "p1")))
+    // reads BY the new logical name prune through the physical keys
+    assert(DeltaReader.readPartition(spark, dir, Map("bucket" -> "p2"))
+      .count() == 4)
+    assert(DeltaReader.readWhere(spark, dir, "bucket = 'p0'").count() == 4)
+    // appends under the NEW logical name land in the OLD physical dirs
+    LakeWriter.appendDelta(Seq((200L, "v200", "p2")).toDF("id", "v", "bucket"), dir)
+    assert(DeltaReader.readWhere(spark, dir, "bucket = 'p2'").count() == 5)
+    // a mutation on the renamed partitioned table stages correctly
+    LakeWriter.deleteWhere(spark, dir, "bucket = 'p0'")
+    assert(DeltaReader.read(spark, dir).where("bucket = 'p0'").count() == 0)
+    assert(DeltaReader.read(spark, dir).count() == 10)
+    DeltaReader.validateChecksum(spark, dir, None)
+  }
+
   test("upgradeProtocol: versions only rise, features never drop, gates then bind") {
     val s = spark
     import s.implicits._

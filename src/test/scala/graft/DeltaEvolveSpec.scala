@@ -136,6 +136,85 @@ class DeltaEvolveSpec extends SparkSpec {
     assert(DeltaReader.read(spark, dir).count() == 3)
   }
 
+  test("NESTED evolution: new struct fields append inside; old rows null-fill; holes align") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_nested_")
+    LakeWriter.writeDelta(spark.range(0, 2).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1), dir)
+    // batch carries s with an EXTRA nested field 'score' (and the rest)
+    LakeWriter.appendDeltaEvolve(spark.range(10, 12).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id), 'score', CAST(id * 1.5 AS DOUBLE)) AS s")
+      .coalesce(1), dir)
+    val got = DeltaReader.read(spark, dir)
+    val sType = got.schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sType.fieldNames.toSeq == Seq("x", "tag", "score"))
+    val rows = got.selectExpr("id", "s.x", "s.tag", "s.score").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSet
+    assert(rows == Set(
+      (0L, 0L, "t0", None), (1L, 2L, "t1", None),
+      (10L, 20L, "t10", Some(15.0)), (11L, 22L, "t11", Some(16.5))), rows.toString)
+    // a later batch in the PRE-evolution shape null-fills the nested hole
+    LakeWriter.appendDeltaEvolve(spark.range(20, 21).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1), dir)
+    val hole = DeltaReader.read(spark, dir).selectExpr("s.x", "s.score")
+      .where("id = 20").collect().head
+    assert(hole.getLong(0) == 40L && hole.isNullAt(1))
+    // time travel below the evolution keeps the two-field struct
+    assert(DeltaReader.read(spark, dir, Some(0L)).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("x", "tag"))
+    // a nested TYPE change still refuses
+    val e = intercept[IllegalArgumentException] {
+      LakeWriter.appendDeltaEvolve(spark.range(30, 31).selectExpr(
+        "id", "named_struct('x', CAST(id AS STRING), 'tag', concat('t', id)) AS s")
+        .coalesce(1), dir)
+    }
+    assert(e.getMessage.contains("type mismatch"), e.getMessage)
+  }
+
+  test("NESTED evolution on a COLUMN-MAPPED table assigns per-level physical names + ids") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_evo_nested_cm_")
+    LakeWriter.writeDeltaMapped(spark.range(0, 2).selectExpr(
+      "id", "named_struct('x', id * 2) AS s").coalesce(1), dir)
+    val max0 = DeltaReader.snapshot(spark, dir, None)
+      .configuration("delta.columnMapping.maxColumnId").toLong
+    LakeWriter.appendDeltaEvolve(spark.range(10, 12).selectExpr(
+      "id", "named_struct('x', id * 2, 'extra', concat('e', id)) AS s").coalesce(1), dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(snap.configuration("delta.columnMapping.maxColumnId").toLong == max0 + 1)
+    val sF = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("s")
+    val extraF = sF.dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("extra")
+    assert(extraF.metadata.getString("delta.columnMapping.physicalName").startsWith("col-"))
+    assert(extraF.metadata.getLong("delta.columnMapping.id") == max0 + 1)
+    // values read back; old rows null-fill the new nested leaf
+    val rows = DeltaReader.read(spark, dir).selectExpr("id", "s.x", "s.extra").collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2)))).toSet
+    assert(rows == Set((0L, 0L, None), (1L, 2L, None),
+      (10L, 20L, Some("e10")), (11L, 22L, Some("e11"))), rows.toString)
+    // the staged file keys the new leaf by its PHYSICAL name — find
+    // the evolution add BY that key (part-file names are uuids; any
+    // order-based pick is nondeterministic)
+    val phys = extraF.metadata.getString("delta.columnMapping.physicalName")
+    val add = snap.active.find(_.stats.exists(_.contains(phys)))
+      .getOrElse(fail(s"no add carries stats keyed by $phys: " +
+        snap.active.flatMap(_.stats).mkString(" | ")))
+    // pruning on the evolved nested leaf works through the remap: the
+    // EVOLUTION add (whose stats carry the new physical key) prunes
+    // away; the pre-evolution file has no key for the leaf and
+    // may-matches — the sound answer
+    val kept = graft.sources.DeltaStats.prune(spark, snap.active, "s.extra = 'zzz'", snap)
+      .map(_.path).toSet
+    assert(!kept.contains(add.path), kept.toString)
+    assert(graft.sources.DeltaStats.prune(spark, snap.active, "s.extra = 'e11'", snap)
+      .map(_.path).contains(add.path))
+  }
+
   test("evolution on a foreign PER-LEVEL nested table stages physical struct leaves (no null-fill)") {
     import org.apache.spark.sql.types._
     // a foreign name-mode table whose files AND schema carry physical
