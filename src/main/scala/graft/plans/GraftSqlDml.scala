@@ -361,27 +361,22 @@ object GraftSqlDml {
       }
     // the ALTER TABLE family — routed to the metadata-commit writers
     case AddColumns(GraftAlterTarget(path), cols) =>
+      // nested names (s.score) route through the same dotted-path add
+      // the Scala API takes (r16); FIRST/AFTER and DEFAULT still refuse
       val simple = cols.map { c =>
-        if (c.path.nonEmpty || c.name.length != 1 || c.position.nonEmpty ||
-            c.default.nonEmpty)
+        if (c.position.nonEmpty || c.default.nonEmpty)
           throw new UnsupportedOperationException(
-            "graft_delta ALTER TABLE ADD COLUMNS supports top-level columns without " +
+            "graft_delta ALTER TABLE ADD COLUMNS supports columns without " +
               "FIRST/AFTER position or DEFAULT (a default that rewrites history does " +
               "not exist in the protocol — ADD the column, then ALTER COLUMN ... SET " +
               s"DEFAULT for future writes), got $c")
-        c.name.head -> c.dataType.sql
+        c.name.mkString(".") -> c.dataType.sql
       }
       GraftAlterAddColumnsCommand(path, simple)
     case RenameColumn(GraftAlterTarget(path), col, newName) =>
-      require(col.name.length == 1,
-        s"graft_delta ALTER TABLE RENAME COLUMN: '${col.name.mkString(".")}' — only " +
-          "top-level columns rename")
-      GraftAlterRenameColumnCommand(path, col.name.head, newName)
+      GraftAlterRenameColumnCommand(path, col.name.mkString("."), newName)
     case DropColumns(GraftAlterTarget(path), cols, _) =>
-      cols.foreach(c => require(c.name.length == 1,
-        s"graft_delta ALTER TABLE DROP COLUMN: '${c.name.mkString(".")}' — only " +
-          "top-level columns drop"))
-      GraftAlterDropColumnsCommand(path, cols.map(_.name.head))
+      GraftAlterDropColumnsCommand(path, cols.map(_.name.mkString(".")))
     case ac @ AlterColumns(GraftAlterTarget(path), specs)
         if specs.forall(sp => sp.newDataType.nonEmpty) =>
       // ALTER COLUMN c TYPE <wider> — the typeWidening feature

@@ -684,35 +684,73 @@ object LakeWriter {
     */
   def alterAddColumns(spark: SparkSession, dir: String,
                       cols: Seq[(String, String)]): Unit = {
+    import org.apache.spark.sql.types._
     require(cols.nonEmpty, "alterAddColumns: no columns given")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val table = tableSchema(snap)
-    cols.foreach { case (n, _) =>
-      require(!table.fieldNames.contains(n),
-        s"alterAddColumns: column '$n' already exists")
-    }
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
-      .map(_.toLong).getOrElse(0L)
-    val newFields = cols.zipWithIndex.map { case ((n, ddl), i) =>
-      val base = org.apache.spark.sql.types.StructField(n,
-        org.apache.spark.sql.types.DataType.fromDDL(ddl), nullable = true)
-      if (cm == "none") base
-      else base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
-        .putLong("delta.columnMapping.id", maxId + i + 1)
-        .putString("delta.columnMapping.physicalName",
-          s"col-${java.util.UUID.nameUUIDFromBytes(s"$dir#$n".getBytes("UTF-8"))}")
-        .build())
+    // DOTTED names add NESTED fields (r16 — `ALTER TABLE t ADD COLUMNS
+    // (s.score DOUBLE)`): each path is validated against the declared
+    // shape (every intermediate segment must be a struct; the leaf
+    // must not exist), then the whole batch routes through
+    // [[evolveSchema]]'s recursive merge — the same discipline
+    // appendDeltaEvolve uses, so CM id/physical-name assignment and
+    // maxColumnId advancement are identical in both entry points
+    def checkPath(st: StructType, path: List[String], full: String): Unit =
+      path match {
+        case name :: Nil =>
+          require(!st.fieldNames.contains(name),
+            s"alterAddColumns: column '$full' already exists")
+        case head :: rest =>
+          st.fields.find(_.name == head).foreach { f =>
+            f.dataType match {
+              case inner: StructType => checkPath(inner, rest, full)
+              case dt => throw new IllegalArgumentException(
+                s"alterAddColumns: '$head' in '$full' is ${dt.simpleString}, " +
+                  "not a struct — nested adds need a struct at every level")
+            }
+          }
+        case Nil =>
+      }
+    def insertPath(into: StructType, path: List[String], dt: DataType): StructType =
+      path match {
+        case name :: Nil =>
+          StructType(into.fields :+ StructField(name, dt, nullable = true))
+        case head :: rest =>
+          into.fields.find(_.name == head) match {
+            case Some(f) =>
+              val inner = f.dataType match {
+                case s: StructType => s
+                case other => throw new IllegalArgumentException(
+                  s"alterAddColumns: '$head' is ${other.simpleString}, not a struct")
+              }
+              StructType(into.fields.map(x =>
+                if (x.name == head) f.copy(dataType = insertPath(inner, rest, dt))
+                else x))
+            case None =>
+              StructType(into.fields :+ StructField(head,
+                insertPath(StructType(Array.empty[StructField]), rest, dt),
+                nullable = true))
+          }
+        case Nil => into
+      }
+    val parsed = cols.map { case (n, ddl) =>
+      val path = n.split('.').toList
+      checkPath(table, path, n)
+      (path, DataType.fromDDL(ddl))
     }
-    val newSchema = org.apache.spark.sql.types.StructType(table.fields ++ newFields)
-    val newConf =
-      if (cm == "none") snap.configuration
-      else snap.configuration + ("delta.columnMapping.maxColumnId" ->
-        (maxId + cols.size).toString)
+    // the incoming shape: the TABLE's existing fields plus the new
+    // paths — evolveSchema's merge keeps existing fields verbatim and
+    // appends only what's new
+    val incoming = parsed.foldLeft(table) { case (acc, (path, dt)) =>
+      insertPath(acc, path, dt)
+    }
+    val (newSchema, newConf) = evolveSchema(dir, snap, table, cm, incoming.fields.toSeq)
+    require(newSchema != table, "alterAddColumns: nothing to add")
     // an added VARIANT or TIMESTAMP_NTZ column changes what READERS
     // must understand — the upgrade rides the same commit as the
     // schema change
-    val typeFeats = typeFeaturesNeeded(snap, newFields.map(_.dataType))
+    val typeFeats = typeFeaturesNeeded(snap, parsed.map(_._2))
     val protoOverride =
       if (typeFeats.isEmpty) None
       else Some(protocolWithReaderWriterFeature(snap, typeFeats: _*))
@@ -822,18 +860,64 @@ object LakeWriter {
     * rename would silently read nulls forever.
     */
   def renameColumn(spark: SparkSession, dir: String, from: String, to: String): Unit = {
+    import org.apache.spark.sql.types._
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cmR = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmR == "name" || cmR == "id",
       "renameColumn: table is not column-mapped — a metadata-only rename needs " +
         "stable physical names; rewrite via read + writeDeltaMapped")
+    require(!to.contains("."),
+      s"renameColumn: '$to' must be a bare name — a rename cannot move a column " +
+        "to a different nesting level")
     val table = tableSchema(snap)
-    require(table.fieldNames.contains(from), s"renameColumn: no column '$from'")
-    require(!table.fieldNames.contains(to), s"renameColumn: column '$to' already exists")
-    val newSchema = org.apache.spark.sql.types.StructType(
-      table.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val maxId = snap.configuration.get("delta.columnMapping.maxColumnId")
+      .map(_.toLong).getOrElse(0L)
+    var stamped = false
+    // NESTED rename (r16, dotted `from`): metadata-only too — but a
+    // nested field graft's own writer mapped only at the top level may
+    // LACK per-level physicalName metadata, and renaming it logically
+    // would orphan the on-disk name; such a leaf gets its CURRENT name
+    // stamped as physicalName (+ a fresh field id, maxColumnId bumped)
+    // in the SAME commit, making it stable exactly like the none→name
+    // upgrade does
+    def renameAt(st: StructType, path: List[String], full: String): StructType =
+      path match {
+        case name :: Nil =>
+          require(st.fieldNames.contains(name), s"renameColumn: no column '$full'")
+          require(!st.fieldNames.contains(to),
+            s"renameColumn: column '$to' already exists beside '$full'")
+          StructType(st.fields.map { f =>
+            if (f.name != name) f
+            else if (f.metadata.contains("delta.columnMapping.physicalName"))
+              f.copy(name = to)
+            else {
+              stamped = true
+              f.copy(name = to, metadata = new MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putLong("delta.columnMapping.id", maxId + 1)
+                .putString("delta.columnMapping.physicalName", name)
+                .build())
+            }
+          })
+        case head :: rest =>
+          val f = st.fields.find(_.name == head).getOrElse(
+            throw new IllegalArgumentException(s"renameColumn: no column '$full'"))
+          f.dataType match {
+            case inner: StructType =>
+              StructType(st.fields.map(x =>
+                if (x.name == head) f.copy(dataType = renameAt(inner, rest, full))
+                else x))
+            case dt => throw new IllegalArgumentException(
+              s"renameColumn: '$head' in '$full' is ${dt.simpleString}, not a struct")
+          }
+        case Nil => st
+      }
+    val newSchema = renameAt(table, from.split('.').toList, from)
+    val newConf =
+      if (!stamped) snap.configuration
+      else snap.configuration + ("delta.columnMapping.maxColumnId" -> (maxId + 1).toString)
     val newPartCols = snap.partCols.map(c => if (c == from) to else c)
-    commitAlter(spark, dir, snap, newSchema.json, newPartCols, snap.configuration,
+    commitAlter(spark, dir, snap, newSchema.json, newPartCols, newConf,
       "RENAME COLUMN")
   }
 
@@ -844,18 +928,40 @@ object LakeWriter {
     * dropping the last column.
     */
   def dropColumn(spark: SparkSession, dir: String, name: String): Unit = {
+    import org.apache.spark.sql.types._
     val snap = DeltaReader.snapshot(spark, dir, None)
     val cmD = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmD == "name" || cmD == "id",
       "dropColumn: table is not column-mapped — physical files carry " +
         "the logical name; a metadata-only drop needs column mapping")
     val table = tableSchema(snap)
-    require(table.fieldNames.contains(name), s"dropColumn: no column '$name'")
     require(!snap.partCols.contains(name),
       s"dropColumn: '$name' is a partition column — the layout depends on it")
-    require(table.fields.length > 1, "dropColumn: cannot drop the last column")
-    val newSchema = org.apache.spark.sql.types.StructType(
-      table.fields.filterNot(_.name == name))
+    // NESTED drop (r16, dotted name): the struct keeps its remaining
+    // fields; the files keep the physical column and the schema-first
+    // scan stops projecting it — exactly the top-level semantics
+    def dropAt(st: StructType, path: List[String], full: String): StructType =
+      path match {
+        case leaf :: Nil =>
+          require(st.fieldNames.contains(leaf), s"dropColumn: no column '$full'")
+          require(st.fields.length > 1,
+            s"dropColumn: cannot drop the last column" +
+              (if (full.contains(".")) s" of the struct holding '$full'" else ""))
+          StructType(st.fields.filterNot(_.name == leaf))
+        case head :: rest =>
+          val f = st.fields.find(_.name == head).getOrElse(
+            throw new IllegalArgumentException(s"dropColumn: no column '$full'"))
+          f.dataType match {
+            case inner: StructType =>
+              StructType(st.fields.map(x =>
+                if (x.name == head) f.copy(dataType = dropAt(inner, rest, full))
+                else x))
+            case dt => throw new IllegalArgumentException(
+              s"dropColumn: '$head' in '$full' is ${dt.simpleString}, not a struct")
+          }
+        case Nil => st
+      }
+    val newSchema = dropAt(table, name.split('.').toList, name)
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
       "DROP COLUMNS")
   }

@@ -215,6 +215,94 @@ class DeltaAlterSpec extends SparkSpec {
     DeltaReader.validateChecksum(spark, dir, None)
   }
 
+  test("NESTED ALTER family: add s.score, rename s.x (physicalName stamped), drop s.tag") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_alter_nested_")
+    LakeWriter.writeDeltaMapped(spark.range(0, 3).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id)) AS s").coalesce(1), dir)
+    val max0 = DeltaReader.snapshot(spark, dir, None)
+      .configuration("delta.columnMapping.maxColumnId").toLong
+
+    // ADD: one nested + one top-level in the same commit
+    LakeWriter.alterAddColumns(spark, dir,
+      Seq("s.score" -> "DOUBLE", "top2" -> "STRING"))
+    val snap1 = DeltaReader.snapshot(spark, dir, None)
+    assert(snap1.configuration("delta.columnMapping.maxColumnId").toLong == max0 + 2)
+    val sch1 = org.apache.spark.sql.types.DataType.fromJson(snap1.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val sT = sch1("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sT.fieldNames.toSeq == Seq("x", "tag", "score"))
+    assert(sT("score").metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    assert(sch1("top2").metadata.contains("delta.columnMapping.id"))
+    // old rows null-fill both additions
+    val r0 = DeltaReader.read(spark, dir)
+      .selectExpr("id", "s.x", "s.score", "top2").where("id = 1").collect().head
+    assert(r0.getLong(1) == 2L && r0.isNullAt(2) && r0.isNullAt(3))
+    // an append in the new shape lands values
+    LakeWriter.appendDelta(spark.range(10, 11).selectExpr(
+      "id", "named_struct('x', id * 2, 'tag', concat('t', id), " +
+        "'score', CAST(id AS DOUBLE)) AS s", "concat('w', id) AS top2")
+      .coalesce(1), dir)
+    assert(DeltaReader.read(spark, dir).selectExpr("s.score").where("id = 10")
+      .collect().head.getDouble(0) == 10.0)
+
+    // RENAME a nested leaf that lacks per-level physicalName metadata:
+    // the CURRENT name stamps as the physical name in the same commit,
+    // so the files already on disk keep resolving
+    LakeWriter.renameColumn(spark, dir, "s.x", "x2")
+    val snap2 = DeltaReader.snapshot(spark, dir, None)
+    assert(snap2.configuration("delta.columnMapping.maxColumnId").toLong == max0 + 3)
+    val sT2 = org.apache.spark.sql.types.DataType.fromJson(snap2.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sT2.fieldNames.toSeq == Seq("x2", "tag", "score"))
+    assert(sT2("x2").metadata.getString("delta.columnMapping.physicalName") == "x")
+    val vals = DeltaReader.read(spark, dir).selectExpr("id", "s.x2").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(vals == Map(0L -> 0L, 1L -> 2L, 2L -> 4L, 10L -> 20L), vals.toString)
+    // appends under the RENAMED logical shape stage the OLD physical name
+    LakeWriter.appendDelta(spark.range(20, 21).selectExpr(
+      "id", "named_struct('x2', id * 2, 'tag', concat('t', id), " +
+        "'score', CAST(id AS DOUBLE)) AS s", "concat('w', id) AS top2")
+      .coalesce(1), dir)
+    assert(DeltaReader.read(spark, dir).selectExpr("s.x2").where("id = 20")
+      .collect().head.getLong(0) == 40L)
+
+    // DROP a nested leaf: hidden at latest, visible under time travel
+    LakeWriter.dropColumn(spark, dir, "s.tag")
+    val sT3 = DeltaReader.read(spark, dir).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sT3.fieldNames.toSeq == Seq("x2", "score"))
+    assert(DeltaReader.read(spark, dir, Some(snap2.version)).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.contains("tag"))
+    DeltaReader.validateChecksum(spark, dir, None)
+
+    // refusal battery
+    val e1 = intercept[IllegalArgumentException](
+      LakeWriter.alterAddColumns(spark, dir, Seq("id.sub" -> "LONG")))
+    assert(e1.getMessage.contains("not a struct"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      LakeWriter.renameColumn(spark, dir, "s.x2", "s.y"))
+    assert(e2.getMessage.contains("bare name"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      LakeWriter.alterAddColumns(spark, dir, Seq("s.score" -> "DOUBLE")))
+    assert(e3.getMessage.contains("already exists"), e3.getMessage)
+
+    // the SQL spellings route to the same dotted-path commands
+    spark.sql(s"ALTER TABLE graft_delta.`$dir` ADD COLUMNS (s.w2 STRING)")
+    spark.sql(s"ALTER TABLE graft_delta.`$dir` RENAME COLUMN s.w2 TO w3")
+    val sqlT = DeltaReader.read(spark, dir).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sqlT.fieldNames.toSeq == Seq("x2", "score", "w3"), sqlT.fieldNames.toSeq)
+    spark.sql(s"ALTER TABLE graft_delta.`$dir` DROP COLUMN s.w3")
+    assert(DeltaReader.read(spark, dir).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .fieldNames.toSeq == Seq("x2", "score"))
+  }
+
   test("upgradeProtocol: versions only rise, features never drop, gates then bind") {
     val s = spark
     import s.implicits._
