@@ -381,14 +381,14 @@ object GraftSqlDml {
         if specs.forall(sp => sp.newDataType.nonEmpty) =>
       // ALTER COLUMN c TYPE <wider> — the typeWidening feature
       specs.foreach { sp =>
-        require(sp.column.name.length == 1 && sp.newNullability.isEmpty &&
+        require(sp.newNullability.isEmpty &&
             sp.newComment.isEmpty && sp.newPosition.isEmpty &&
             sp.newDefaultExpression.isEmpty,
           s"graft_delta ALTER COLUMN ... TYPE changes the type only, got " +
             s"${ac.simpleString(5)}")
       }
       GraftAlterColumnTypeCommand(path, specs.map { sp =>
-        sp.column.name.head -> sp.newDataType.get
+        sp.column.name.mkString(".") -> sp.newDataType.get
       })
     case ac @ AlterColumns(GraftAlterTarget(path), specs) =>
       specs.foreach { sp =>

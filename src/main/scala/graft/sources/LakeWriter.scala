@@ -800,9 +800,24 @@ object LakeWriter {
     import org.apache.spark.sql.types._
     val snap = DeltaReader.snapshot(spark, dir, None)
     val table = tableSchema(snap)
-    val f = table.fields.find(_.name == colName).getOrElse(
-      throw new IllegalArgumentException(
-        s"widenColumnType: column '$colName' not in (${table.fieldNames.mkString(", ")})"))
+    // dotted names widen NESTED leaves (r16) — the typeChanges history
+    // attaches to the leaf field, exactly like a top-level widening
+    def leafOf(st: StructType, path: List[String]): StructField = path match {
+      case name :: Nil => st.fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"widenColumnType: column '$colName' not in (${st.fieldNames.mkString(", ")})"))
+      case head :: rest =>
+        st.fields.find(_.name == head).map(_.dataType) match {
+          case Some(inner: StructType) => leafOf(inner, rest)
+          case Some(dt) => throw new IllegalArgumentException(
+            s"widenColumnType: '$head' in '$colName' is ${dt.simpleString}, not a struct")
+          case None => throw new IllegalArgumentException(
+            s"widenColumnType: column '$colName' not in (${st.fieldNames.mkString(", ")})")
+        }
+      case Nil => throw new IllegalArgumentException("widenColumnType: empty name")
+    }
+    val pathParts = colName.split('.').toList
+    val f = leafOf(table, pathParts)
     require(!snap.partCols.contains(colName),
       s"widenColumnType: '$colName' is a partition column — partitionValues parse " +
         "by the declared type; refusing a silent directory re-route")
@@ -839,8 +854,16 @@ object LakeWriter {
     val newField = f.copy(dataType = to,
       metadata = new MetadataBuilder().withMetadata(f.metadata)
         .putMetadataArray("delta.typeChanges", (prior :+ hop).toArray).build())
-    val newSchema = StructType(table.fields.map(x =>
-      if (x.name == colName) newField else x))
+    def replaceAt(st: StructType, path: List[String]): StructType = path match {
+      case name :: Nil =>
+        StructType(st.fields.map(x => if (x.name == name) newField else x))
+      case head :: rest => StructType(st.fields.map { x =>
+        if (x.name != head) x
+        else x.copy(dataType = replaceAt(x.dataType.asInstanceOf[StructType], rest))
+      })
+      case Nil => st
+    }
+    val newSchema = replaceAt(table, pathParts)
     // reader+writer feature: minReader 3 / minWriter 7, existing
     // features and legacy obligations preserved; the date→NTZ edge
     // introduces a second reader-visible shape in the same commit

@@ -123,4 +123,40 @@ class DeltaTypeWideningSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("not in"), e.getMessage)
   }
+
+  test("NESTED widening: s.n INT -> BIGINT, old narrow files up-cast, history records the hop") {
+    val s0 = spark
+    import s0.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_widen_nested_").toFile.getPath
+    LakeWriter.writeDelta(spark.range(0, 3).selectExpr(
+      "id", "named_struct('n', CAST(id AS INT), 'tag', concat('t', id)) AS s")
+      .coalesce(1), dir)
+    LakeWriter.widenColumnType(spark, dir, "s.n", org.apache.spark.sql.types.LongType)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val sT = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sT("n").dataType == org.apache.spark.sql.types.LongType)
+    assert(sT("n").metadata.contains("delta.typeChanges"))
+    // the OLD narrow file up-casts through the declared schema
+    val got = DeltaReader.read(spark, dir).selectExpr("id", "s.n").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L), got.toString)
+    // appends in the WIDE shape land beside the narrow files
+    LakeWriter.appendDelta(spark.range(10, 11).selectExpr(
+      "id", "named_struct('n', id * 100, 'tag', concat('t', id)) AS s")
+      .coalesce(1), dir)
+    assert(DeltaReader.read(spark, dir).selectExpr("s.n").where("id = 10")
+      .collect().head.getLong(0) == 1000L)
+    // SQL spelling for a nested leaf
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_widen_nested2_").toFile.getPath
+    LakeWriter.writeDelta(spark.range(0, 2).selectExpr(
+      "id", "named_struct('n', CAST(id AS INT)) AS s").coalesce(1), dir2)
+    spark.sql(s"ALTER TABLE graft_delta.`$dir2` ALTER COLUMN s.n TYPE BIGINT")
+    assert(DeltaReader.read(spark, dir2).schema("s").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]("n").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(DeltaReader.read(spark, dir2).selectExpr("sum(s.n)").collect()
+      .head.getLong(0) == 1L)
+  }
 }
