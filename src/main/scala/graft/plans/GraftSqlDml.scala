@@ -390,12 +390,23 @@ object GraftSqlDml {
       GraftAlterColumnTypeCommand(path, specs.map { sp =>
         sp.column.name.mkString(".") -> sp.newDataType.get
       })
+    case ac @ AlterColumns(GraftAlterTarget(path), specs)
+        if specs.forall(sp => sp.newComment.nonEmpty) =>
+      // ALTER COLUMN c COMMENT 'text' — nested leaves included
+      specs.foreach(sp => require(sp.newDataType.isEmpty &&
+          sp.newNullability.isEmpty && sp.newPosition.isEmpty &&
+          sp.newDefaultExpression.isEmpty,
+        s"graft_delta ALTER COLUMN ... COMMENT changes the comment only, got " +
+          s"${ac.simpleString(5)}"))
+      GraftAlterColumnCommentCommand(path, specs.map { sp =>
+        sp.column.name.mkString(".") -> sp.newComment.get
+      })
     case ac @ AlterColumns(GraftAlterTarget(path), specs) =>
       specs.foreach { sp =>
         require(sp.column.name.length == 1 && sp.newDataType.isEmpty &&
             sp.newNullability.isEmpty && sp.newComment.isEmpty && sp.newPosition.isEmpty,
-          s"graft_delta ALTER COLUMN supports TYPE <wider> or SET DEFAULT / DROP " +
-            s"DEFAULT on top-level columns only, got ${ac.simpleString(5)}")
+          s"graft_delta ALTER COLUMN supports TYPE <wider>, COMMENT, or SET DEFAULT " +
+            s"/ DROP DEFAULT (defaults on top-level columns only), got ${ac.simpleString(5)}")
       }
       GraftAlterColumnDefaultCommand(path, specs.map { sp =>
         sp.column.name.head -> sp.newDefaultExpression.map(_.originalSQL)
@@ -906,6 +917,16 @@ case class GraftAlterAddColumnsCommand(path: String, cols: Seq[(String, String)]
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
     LakeWriter.alterAddColumns(spark, path, cols); Seq.empty
+  }
+}
+
+case class GraftAlterColumnCommentCommand(path: String,
+    comments: Seq[(String, String)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    comments.foreach { case (c, txt) =>
+      graft.sources.LakeWriter.alterColumnComment(spark, path, c, Some(txt))
+    }
+    Seq.empty
   }
 }
 

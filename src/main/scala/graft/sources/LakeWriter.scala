@@ -505,15 +505,12 @@ object LakeWriter {
                           operation: String,
                           protocolOverride: Option[String] = None): Unit = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val pcJson = partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-    val confJson = configuration.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
-    }.mkString("{", ",", "}")
     val actions = Seq(
       s"""{"commitInfo":{"timestamp":0,"operation":${om.writeValueAsString(operation)},"operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}""",
       protocolOverride.getOrElse(protocolJson(snap)),
-      s"""{"metaData":{"id":"${snap.metaId.getOrElse(
-        java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)}","format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schemaJson)},"partitionColumns":$pcJson,"configuration":$confJson}}""")
+      // raw-node restatement: a foreign table's name/description/
+      // createdTime survive graft's ALTER commits (r16)
+      metaLineRaw(dir, snap, schemaJson, partCols, configuration))
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
@@ -987,6 +984,48 @@ object LakeWriter {
     val newSchema = dropAt(table, name.split('.').toList, name)
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
       "DROP COLUMNS")
+  }
+
+  /** `ALTER TABLE t ALTER COLUMN c COMMENT 'text'` — one metadata
+    * commit stamping the standard `comment` metadata key on the
+    * (possibly nested, dotted) field; `None` drops it. Works on every
+    * mapping mode: comments are pure metadata and never touch files.
+    */
+  def alterColumnComment(spark: SparkSession, dir: String, colName: String,
+                         comment: Option[String]): Unit = {
+    import org.apache.spark.sql.types._
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val table = tableSchema(snap)
+    def at(st: StructType, path: List[String]): StructType = path match {
+      case name :: Nil =>
+        require(st.fieldNames.contains(name),
+          s"alterColumnComment: no column '$colName'")
+        StructType(st.fields.map { f =>
+          if (f.name != name) f
+          else {
+            val b = new MetadataBuilder().withMetadata(f.metadata)
+            comment match {
+              case Some(c) => b.putString("comment", c)
+              case None => b.remove("comment")
+            }
+            f.copy(metadata = b.build())
+          }
+        })
+      case head :: rest =>
+        val f = st.fields.find(_.name == head).getOrElse(
+          throw new IllegalArgumentException(s"alterColumnComment: no column '$colName'"))
+        f.dataType match {
+          case inner: StructType =>
+            StructType(st.fields.map(x =>
+              if (x.name == head) f.copy(dataType = at(inner, rest)) else x))
+          case dt => throw new IllegalArgumentException(
+            s"alterColumnComment: '$head' in '$colName' is ${dt.simpleString}, not a struct")
+        }
+      case Nil => st
+    }
+    val newSchema = at(table, colName.split('.').toList)
+    commitAlter(spark, dir, snap, newSchema.json, snap.partCols, snap.configuration,
+      "CHANGE COLUMN")
   }
 
   /** Feature names a `delta.feature.<name>=supported` TBLPROPERTIES
@@ -1850,19 +1889,42 @@ object LakeWriter {
   }
 
   /** The metaData action restating the table under an evolved schema
-    * and configuration (same id, partitioning, format).
+    * and configuration (same id, partitioning, format). Built over the
+    * table's RAW metaData node when the snapshot carries one (r16):
+    * only schemaString / partitionColumns / configuration change, so a
+    * foreign table's `name`, `description` and `createdTime` survive
+    * graft's metadata commits instead of silently dropping.
     */
   private[graft] def metaLineFor(dir: String, snap: DeltaReader.Snapshot,
       schema: org.apache.spark.sql.types.StructType,
+      conf: Map[String, String]): String =
+    metaLineRaw(dir, snap, schema.json, snap.partCols, conf)
+
+  private[graft] def metaLineRaw(dir: String, snap: DeltaReader.Snapshot,
+      schemaJson: String, partCols: Seq[String],
       conf: Map[String, String]): String = {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
-    val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-    val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
-      s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
-    }.mkString("{", ",", "}")
-    val id = snap.metaId.getOrElse(
-      java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString)
-    s"""{"metaData":{"id":${om.writeValueAsString(id)},"format":{"provider":"parquet","options":{}},"schemaString":${om.writeValueAsString(schema.json)},"partitionColumns":$pcJson,"configuration":$confJson}}"""
+    val md: com.fasterxml.jackson.databind.node.ObjectNode = snap.metaRaw match {
+      case Some(raw) =>
+        om.readTree(raw).asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      case None =>
+        val m = om.createObjectNode()
+        m.put("id", snap.metaId.getOrElse(
+          java.util.UUID.nameUUIDFromBytes(dir.getBytes("UTF-8")).toString))
+        m.set[com.fasterxml.jackson.databind.JsonNode]("format",
+          om.readTree("""{"provider":"parquet","options":{}}"""))
+        m
+    }
+    md.put("schemaString", schemaJson)
+    md.set[com.fasterxml.jackson.databind.JsonNode]("partitionColumns",
+      om.valueToTree(scala.jdk.CollectionConverters.SeqHasAsJava(partCols).asJava))
+    md.set[com.fasterxml.jackson.databind.JsonNode]("configuration",
+      om.valueToTree[com.fasterxml.jackson.databind.JsonNode](
+        new java.util.TreeMap[String, String](
+          scala.jdk.CollectionConverters.MapHasAsJava(conf).asJava)))
+    val wrapper = om.createObjectNode()
+    wrapper.set[com.fasterxml.jackson.databind.JsonNode]("metaData", md)
+    om.writeValueAsString(wrapper)
   }
 
   def appendDeltaEvolve(df0: DataFrame, dir: String, checkpointInterval: Int = 0,

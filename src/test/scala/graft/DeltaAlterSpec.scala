@@ -303,6 +303,54 @@ class DeltaAlterSpec extends SparkSpec {
       .fieldNames.toSeq == Seq("x2", "score"))
   }
 
+  test("column comments + foreign metaData fidelity: description survives ALTER commits") {
+    val s = spark
+    import s.implicits._
+    // a FOREIGN table whose metaData carries name/description/createdTime
+    val dirF = java.nio.file.Files.createTempDirectory("graft_alter_desc_").toFile
+    val log = new java.io.File(dirF, "_delta_log"); log.mkdirs()
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.StringType)))
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":"dsc","name":"events_gold","description":"curated events","createdTime":1700000000000,"format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val dir = dirF.getPath
+    // a COMMENT on a column (one metadata commit)...
+    LakeWriter.alterColumnComment(spark, dir, "v", Some("the value"))
+    // ...and an ADD COLUMNS — both must restate the RAW metaData node,
+    // so the foreign name/description/createdTime survive
+    LakeWriter.alterAddColumns(spark, dir, Seq("w" -> "DOUBLE"))
+    val lines = java.nio.file.Files.readAllLines(
+      new java.io.File(log, f"${2L}%020d.json").toPath)
+    import scala.jdk.CollectionConverters._
+    val mdLine = lines.asScala.find(_.contains("metaData")).get
+    val md = om.readTree(mdLine).get("metaData")
+    assert(md.get("name").asText() == "events_gold", mdLine)
+    assert(md.get("description").asText() == "curated events", mdLine)
+    assert(md.get("createdTime").asLong() == 1700000000000L, mdLine)
+    // the comment itself landed in the schemaString metadata
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaReader.snapshot(spark, dir, None).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sch("v").metadata.getString("comment") == "the value")
+    // SQL spelling, nested target on a struct table
+    val dir2 = tmp("graft_alter_cmt2_")
+    LakeWriter.writeDelta(spark.range(0, 2).selectExpr(
+      "id", "named_struct('x', id * 2) AS s").coalesce(1), dir2)
+    spark.sql(s"ALTER TABLE graft_delta.`$dir2` ALTER COLUMN s.x COMMENT 'doubled id'")
+    val sch2 = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaReader.snapshot(spark, dir2, None).schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(sch2("s").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]("x")
+      .metadata.getString("comment") == "doubled id")
+    // comments never break reads or later drops
+    assert(DeltaReader.read(spark, dir2).count() == 2)
+  }
+
   test("upgradeProtocol: versions only rise, features never drop, gates then bind") {
     val s = spark
     import s.implicits._
