@@ -1611,12 +1611,31 @@ object DeltaReader {
     val files = snap.active
     val location = new Path(dir).getFileSystem(s.sessionState.newHadoopConf())
       .makeQualified(new Path(dir)).toUri.toString
+    // name / description / createdTime ride the raw metaData node
+    // (delta-spark's DESCRIBE DETAIL shape, r16); clusteringColumns
+    // come from the clustering domain — LOGICAL names for the user
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val raw = snap.metaRaw.map(om.readTree)
+    def str(k: String): String = raw.flatMap(n => Option(n.get(k)))
+      .filterNot(_.isNull).map(_.asText()).orNull
+    val createdTime: java.lang.Long = raw.flatMap(n => Option(n.get("createdTime")))
+      .filterNot(_.isNull).map(n => java.lang.Long.valueOf(n.asLong())).orNull
+    val physCluster = graft.sources.Clustering.columnsOf(snap)
+    val schema = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val logByPhys = schema.fields.map { f =>
+      (if (f.metadata.contains("delta.columnMapping.physicalName"))
+        f.metadata.getString("delta.columnMapping.physicalName") else f.name) -> f.name
+    }.toMap
+    val clusterCols = physCluster.map(c => logByPhys.getOrElse(c, c))
     Seq((
-      "delta", snap.metaId.orNull, location, snap.version,
-      snap.partCols, files.size.toLong, files.map(_.size).sum,
+      "delta", snap.metaId.orNull, str("name"), str("description"), location,
+      createdTime, snap.version,
+      snap.partCols, clusterCols, files.size.toLong, files.map(_.size).sum,
       files.count(_.dv.isDefined).toLong, snap.configuration,
       snap.minReader, snap.minWriter, snap.readerFeatures, snap.writerFeatures
-    )).toDF("format", "id", "location", "version", "partitionColumns",
+    )).toDF("format", "id", "name", "description", "location",
+      "createdTime", "version", "partitionColumns", "clusteringColumns",
       "numFiles", "sizeInBytes", "numDeletionVectorFiles", "properties",
       "minReaderVersion", "minWriterVersion", "readerFeatures", "writerFeatures")
   }

@@ -188,6 +188,13 @@ class DeltaCloneSpec extends SparkSpec {
     assert(d.getAs[Long]("numDeletionVectorFiles") == 1L)
     assert(d.getAs[Long]("sizeInBytes") > 0L)
     assert(d.getAs[Long]("minReaderVersion") == 3L) // DV table upgraded
+    // delta-spark's detail shape (r16): name/description null on a
+    // plain table, clusteringColumns empty until CLUSTER BY
+    assert(d.getAs[String]("name") == null && d.getAs[String]("description") == null)
+    assert(d.getAs[scala.collection.Seq[String]]("clusteringColumns").isEmpty)
+    LakeWriter.clusterBy(spark, src, Seq("id"))
+    assert(DeltaReader.detail(spark, src).collect()(0)
+      .getAs[scala.collection.Seq[String]]("clusteringColumns").toSeq == Seq("id"))
     LakeWriter.cloneDelta(spark, src, dst)
     val dc = DeltaReader.detail(spark, dst).collect()(0)
     assert(dc.getAs[String]("id") != d.getAs[String]("id"),
