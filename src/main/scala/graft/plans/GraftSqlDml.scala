@@ -370,9 +370,16 @@ object GraftSqlDml {
               "FIRST/AFTER position or DEFAULT (a default that rewrites history does " +
               "not exist in the protocol — ADD the column, then ALTER COLUMN ... SET " +
               s"DEFAULT for future writes), got $c")
+        if (!c.nullable)
+          throw new UnsupportedOperationException(
+            "graft_delta ALTER TABLE ADD COLUMNS refuses NOT NULL — existing " +
+              "rows read the new column as null and cannot satisfy it " +
+              s"(delta-spark refuses this too), got $c")
         c.name.mkString(".") -> c.dataType.sql
       }
-      GraftAlterAddColumnsCommand(path, simple)
+      val comments = cols.flatMap(c =>
+        c.comment.map(txt => c.name.mkString(".") -> txt)).toMap
+      GraftAlterAddColumnsCommand(path, simple, comments)
     case RenameColumn(GraftAlterTarget(path), col, newName) =>
       GraftAlterRenameColumnCommand(path, col.name.mkString("."), newName)
     case DropColumns(GraftAlterTarget(path), cols, _) =>
@@ -533,13 +540,14 @@ object GraftSqlDml {
 /** Tables declaring `delta.enableDeletionVectors=true` mutate
   * MERGE-ON-READ by default (delta-spark's own selector) — DV marks
   * instead of file rewrites; everything else stays copy-on-write.
-  * Row-tracked tables always take copy-on-write (the id-correct path).
+  * Row-tracked tables compose on the DV path too: surviving rows keep
+  * their ids (the DV'd files carry baseRowId verbatim), changed rows
+  * take fresh ids from the watermark in the same commit.
   */
 private object GraftDmlMode {
   def mergeOnRead(spark: SparkSession, path: String): Boolean = {
     val snap = graft.sources.DeltaReader.snapshot(spark, path, None)
-    snap.configuration.get("delta.enableDeletionVectors").contains("true") &&
-      !snap.writerFeatures.contains("rowTracking")
+    snap.configuration.get("delta.enableDeletionVectors").contains("true")
   }
 }
 
@@ -913,10 +921,11 @@ case class GraftRestoreTimestampCommand(path: String, ts: String)
   * assignment on rename, nullability/feature refusals, protocol
   * restatement).
   */
-case class GraftAlterAddColumnsCommand(path: String, cols: Seq[(String, String)])
+case class GraftAlterAddColumnsCommand(path: String, cols: Seq[(String, String)],
+    comments: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    LakeWriter.alterAddColumns(spark, path, cols); Seq.empty
+    LakeWriter.alterAddColumns(spark, path, cols, comments); Seq.empty
   }
 }
 

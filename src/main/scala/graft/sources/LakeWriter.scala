@@ -258,7 +258,8 @@ object LakeWriter {
     */
   private[graft] def writeVersionChecksum(fs: org.apache.hadoop.fs.FileSystem,
                                           commitPath: org.apache.hadoop.fs.Path,
-                                          content: Array[Byte]): Unit = try {
+                                          content: Array[Byte],
+                                          replacedSizes: Seq[Long] = Nil): Unit = try {
     val name = commitPath.getName
     if (!name.matches("\\d{20}\\.json")) return
     val version = name.take(20).toLong
@@ -308,6 +309,12 @@ object LakeWriter {
       else if (line.startsWith("""{"protocol""""))
         protocol = om.readTree(line).get("protocol")
     }
+    // last-writer-wins re-adds (backfill/restore shapes): each add
+    // that replaced a live path counted +1/+newSize above but removed
+    // nothing from the replay — subtract the replaced entries here
+    // (the caller, who resolved the pre-commit snapshot, names them)
+    files -= replacedSizes.size
+    size -= replacedSizes.sum
     if (metadata == null || protocol == null || files < 0 || size < 0) return
     writeCrcFile(fs, log, version, size, files, metadata, protocol, om)
   } catch { case scala.util.control.NonFatal(_) => () }
@@ -680,9 +687,13 @@ object LakeWriter {
     * makes ADD COLUMN safe on a 100-TB table: zero files rewritten.
     */
   def alterAddColumns(spark: SparkSession, dir: String,
-                      cols: Seq[(String, String)]): Unit = {
+                      cols: Seq[(String, String)],
+                      comments: Map[String, String] = Map.empty): Unit = {
     import org.apache.spark.sql.types._
     require(cols.nonEmpty, "alterAddColumns: no columns given")
+    val badComments = comments.keySet -- cols.map(_._1).toSet
+    require(badComments.isEmpty,
+      s"alterAddColumns: comments for columns not being added: ${badComments.mkString(", ")}")
     val snap = DeltaReader.snapshot(spark, dir, None)
     val table = tableSchema(snap)
     val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
@@ -699,20 +710,32 @@ object LakeWriter {
           require(!st.fieldNames.contains(name),
             s"alterAddColumns: column '$full' already exists")
         case head :: rest =>
-          st.fields.find(_.name == head).foreach { f =>
-            f.dataType match {
-              case inner: StructType => checkPath(inner, rest, full)
-              case dt => throw new IllegalArgumentException(
-                s"alterAddColumns: '$head' in '$full' is ${dt.simpleString}, " +
-                  "not a struct — nested adds need a struct at every level")
-            }
+          // a missing intermediate is an ERROR, not an auto-created
+          // parent (delta-spark's missing-field behavior) — silently
+          // materializing a new top-level struct for a typo'd parent
+          // ('adress.x' vs existing 'address') would hide the typo
+          val f = st.fields.find(_.name == head).getOrElse(
+            throw new IllegalArgumentException(
+              s"alterAddColumns: parent field '$head' in '$full' does not exist " +
+                s"(have: ${st.fieldNames.mkString(", ")})"))
+          f.dataType match {
+            case inner: StructType => checkPath(inner, rest, full)
+            case dt => throw new IllegalArgumentException(
+              s"alterAddColumns: '$head' in '$full' is ${dt.simpleString}, " +
+                "not a struct — nested adds need a struct at every level")
           }
         case Nil =>
       }
-    def insertPath(into: StructType, path: List[String], dt: DataType): StructType =
+    def insertPath(into: StructType, path: List[String], dt: DataType,
+                   comment: Option[String]): StructType =
       path match {
         case name :: Nil =>
-          StructType(into.fields :+ StructField(name, dt, nullable = true))
+          // a user-declared COMMENT rides the new leaf's metadata
+          // (evolveSchema's CM id assignment preserves it — the
+          // builder starts withMetadata(f.metadata))
+          val md = comment.map(c => new MetadataBuilder()
+            .putString("comment", c).build()).getOrElse(Metadata.empty)
+          StructType(into.fields :+ StructField(name, dt, nullable = true, md))
         case head :: rest =>
           into.fields.find(_.name == head) match {
             case Some(f) =>
@@ -722,25 +745,26 @@ object LakeWriter {
                   s"alterAddColumns: '$head' is ${other.simpleString}, not a struct")
               }
               StructType(into.fields.map(x =>
-                if (x.name == head) f.copy(dataType = insertPath(inner, rest, dt))
+                if (x.name == head) f.copy(dataType = insertPath(inner, rest, dt, comment))
                 else x))
             case None =>
-              StructType(into.fields :+ StructField(head,
-                insertPath(StructType(Array.empty[StructField]), rest, dt),
-                nullable = true))
+              // unreachable: checkPath already required every
+              // intermediate to exist
+              throw new IllegalArgumentException(
+                s"alterAddColumns: parent field '$head' does not exist")
           }
         case Nil => into
       }
     val parsed = cols.map { case (n, ddl) =>
       val path = n.split('.').toList
       checkPath(table, path, n)
-      (path, DataType.fromDDL(ddl))
+      (path, DataType.fromDDL(ddl), comments.get(n))
     }
     // the incoming shape: the TABLE's existing fields plus the new
     // paths — evolveSchema's merge keeps existing fields verbatim and
     // appends only what's new
-    val incoming = parsed.foldLeft(table) { case (acc, (path, dt)) =>
-      insertPath(acc, path, dt)
+    val incoming = parsed.foldLeft(table) { case (acc, (path, dt, cmt)) =>
+      insertPath(acc, path, dt, cmt)
     }
     val (newSchema, newConf) = evolveSchema(dir, snap, table, cm, incoming.fields.toSeq)
     require(newSchema != table, "alterAddColumns: nothing to add")
@@ -1753,14 +1777,20 @@ object LakeWriter {
     // so existing tables' derivations are stable)
     def newField(f0: StructField, path: String): StructField = {
       val f = f0.copy(nullable = true)
-      val dt = f.dataType match {
+      // walk EVERY nesting shape (mirror of upgradeToNameMapping's
+      // walkT): map key/value and arbitrary array depth included — a
+      // new map-of-struct column on a mapped table must carry
+      // per-level ids/physicalNames or a foreign reader's CM schema
+      // validation refuses the whole table
+      def walk(dt: DataType, p: String): DataType = dt match {
         case st: StructType =>
-          StructType(st.fields.map(c => newField(c, s"$path.${c.name}")))
-        case ArrayType(e: StructType, n) =>
-          ArrayType(StructType(e.fields.map(c =>
-            newField(c, s"$path.element.${c.name}"))), n)
+          StructType(st.fields.map(c => newField(c, s"$p.${c.name}")))
+        case ArrayType(e, n) => ArrayType(walk(e, s"$p.element"), n)
+        case MapType(k, v, n) =>
+          MapType(walk(k, s"$p.key"), walk(v, s"$p.value"), n)
         case other => other
       }
+      val dt = walk(f.dataType, path)
       if (cm == "none") f.copy(dataType = dt)
       else {
         next += 1
@@ -4338,9 +4368,13 @@ object LakeWriter {
     * and shared sidecar layout are deleteWhereDv's. Updated rows land
     * under fresh `part-updv-*` files (partition-laid-out; a SET that
     * moves rows across partitions stages them under their NEW
-    * directories). Row-tracked tables refuse — fresh-id assignment
-    * belongs to the copy-on-write path ([[updateWhere]]), which
-    * preserves/assigns identities correctly.
+    * directories). Row-tracked tables compose: the DV'd files keep
+    * their `baseRowId` verbatim (surviving rows keep their ids — the
+    * merge-on-read property that makes DV mutations id-stable), and
+    * the updated rows land as NEW rows with FRESH ids assigned from
+    * the watermark in this same atomic commit — the protocol's
+    * non-preserving profile, identical to what [[updateWhere]]'s
+    * copy-on-write rewrite does to the rows it updates.
     *
     * Scale: the find phase is stats-pruned like every predicate
     * mutation; bitmaps build on executors; driver state is O(affected
@@ -4356,12 +4390,12 @@ object LakeWriter {
       s"updateWhereDv: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhereDv: table declares delta.appendOnly=true — updates are forbidden")
-    require(!snap.writerFeatures.contains("rowTracking"),
-      "updateWhereDv: row-tracked tables update copy-on-write (updateWhere) — " +
-        "id assignment inside the DV commit is not implemented; refusing")
+    // row tracking: refuses only the half-configured shape (tracking
+    // declared, watermark absent) — rowIdBase throws there
+    val rowIdBase = RowTracking.rowIdBase(snap)
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
-      Clustering.Features
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"updateWhereDv: table requires writer version ${snap.minWriter}" +
@@ -4449,6 +4483,10 @@ object LakeWriter {
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val statsColsPhys = DeltaStats.physicalStatsColumns(
       snap.configuration, Some(tableSchema(snap)))
+    // row tracking: the updated rows are NEW rows — fresh ids in the
+    // staged files' sorted order (commitDelta's discipline), watermark
+    // advanced atomically below
+    var nextRowId = rowIdBase
     val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
@@ -4471,7 +4509,15 @@ object LakeWriter {
             else om.writeValueAsString(raw)}"
         }.mkString("{", ",", "}")
         val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-        s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":${fs.getFileStatus(dest).getLen},"modificationTime":0,"dataChange":true$statsJson}}"""
+        val rtJson = nextRowId.map { base =>
+          val nr = stats.map(s => om.readTree(s).get("numRecords").asLong()).getOrElse(
+            throw new IllegalArgumentException(
+              s"updateWhereDv rowTracking: staged file $rel produced no footer stats, " +
+                "so its row count is unknown — cannot assign baseRowId; refusing"))
+          nextRowId = Some(base + nr)
+          s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
+        }.getOrElse("")
+        s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":${fs.getFileStatus(dest).getLen},"modificationTime":0,"dataChange":true$statsJson$rtJson}}"""
     }
     fs.delete(stage, true)
 
@@ -4488,9 +4534,13 @@ object LakeWriter {
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${clpCarry(a)}}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${RowTracking.carryJson(a)}${clpCarry(a)}}}"""
     }
     actions ++= newAdds
+    // consumed ids → advance the watermark in the SAME atomic commit
+    rowIdBase.foreach { base =>
+      actions += RowTracking.watermarkAction(nextRowId.getOrElse(base) - 1)
+    }
     actions ++= cdcActions
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
@@ -4519,8 +4569,12 @@ object LakeWriter {
     * Same contracts as the DV family: protocol upgrade in-commit,
     * bitmap union with existing DVs, shared sidecar, obligations
     * verified on every staged row, a delete for an absent key no-ops,
-    * an all-absent batch with no live rows still commits its inserts,
-    * row-tracked tables refuse toward the copy-on-write fold. Find
+    * an all-absent batch with no live rows still commits its inserts.
+    * Row-tracked tables compose the way [[updateWhereDv]] does: DV'd
+    * files carry their `baseRowId` verbatim (surviving rows keep
+    * their ids), staged rows — updated versions and inserts alike —
+    * take FRESH ids from the watermark advanced in this commit (the
+    * non-preserving profile, matching the copy-on-write fold). Find
     * phase stats-prunes by the batch's key range (single-key) before
     * the semi-join. Returns the DV'd file paths, sorted.
     */
@@ -4537,12 +4591,12 @@ object LakeWriter {
       s"applyCdcDv: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "applyCdcDv: table declares delta.appendOnly=true — CDC deletes are forbidden")
-    require(!snap.writerFeatures.contains("rowTracking"),
-      "applyCdcDv: row-tracked tables fold copy-on-write (mergeIntoClauses) — " +
-        "id assignment inside the DV commit is not implemented; refusing")
+    // row tracking: refuses only the half-configured shape (tracking
+    // declared, watermark absent) — rowIdBase throws there
+    val rowIdBase = RowTracking.rowIdBase(snap)
     val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
-      Clustering.Features
+      Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
     require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
       s"applyCdcDv: table requires writer version ${snap.minWriter}" +
@@ -4669,6 +4723,9 @@ object LakeWriter {
     val newAddStats = scala.collection.mutable.ArrayBuffer.empty[Option[String]]
     val cdcStatsColsPhys = DeltaStats.physicalStatsColumns(
       snap.configuration, Some(tableSchema(snap)))
+    // row tracking: staged rows (updates + inserts) are NEW rows —
+    // fresh ids in sorted file order, watermark advanced atomically
+    var nextRowId = rowIdBase
     val newAdds = walk(stage).sortBy(_.getPath.toString).zipWithIndex.map {
       case (st, i) =>
         val rel0 = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
@@ -4692,7 +4749,15 @@ object LakeWriter {
             else om.writeValueAsString(raw)}"
         }.mkString("{", ",", "}")
         val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-        s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":${fs.getFileStatus(dest).getLen},"modificationTime":0,"dataChange":true$statsJson}}"""
+        val rtJson = nextRowId.map { base =>
+          val nr = stats.map(s => om.readTree(s).get("numRecords").asLong()).getOrElse(
+            throw new IllegalArgumentException(
+              s"applyCdcDv rowTracking: staged file $rel produced no footer stats, " +
+                "so its row count is unknown — cannot assign baseRowId; refusing"))
+          nextRowId = Some(base + nr)
+          s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
+        }.getOrElse("")
+        s"""{"add":{"path":"${percentEncode(rel)}","partitionValues":$pvJson,"size":${fs.getFileStatus(dest).getLen},"modificationTime":0,"dataChange":true$statsJson$rtJson}}"""
     }
     fs.delete(stage, true)
 
@@ -4721,9 +4786,13 @@ object LakeWriter {
         s"${om.writeValueAsString(c0)}:${if (v == null) "null" else om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
       val statsJson = a.stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
-      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${clpCarry(a)}}}"""
+      actions += s"""{"add":{"path":${om.writeValueAsString(a.path)},"partitionValues":$pvJson,"size":${a.size},"modificationTime":${a.modificationTime},"dataChange":true,"deletionVector":{"storageType":"u","pathOrInlineDv":${om.writeValueAsString(pl.uuidEnc)},"offset":${pl.offset},"sizeInBytes":${pl.sizeInBytes},"cardinality":${pl.cardinality}}$statsJson${RowTracking.carryJson(a)}${clpCarry(a)}}}"""
     }
     actions ++= newAdds
+    // consumed ids → advance the watermark in the SAME atomic commit
+    rowIdBase.foreach { base =>
+      actions += RowTracking.watermarkAction(nextRowId.getOrElse(base) - 1)
+    }
     actions ++= cdcActions
     val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
     fs.mkdirs(log)
@@ -5671,8 +5740,10 @@ object LakeWriter {
     * Same gates as [[compactDelta]]: dataChange=false, column-mapped
     * tables (name and id mode) re-stage their rewritten files under
     * physical names + field ids, row-tracked tables rewrite through
-    * the preserved id profile (the rt+CM combination refuses, same as
-    * compactDelta), DVs fold through the applied scan and drop.
+    * the preserved id profile — and the two COMPOSE (the materialized
+    * identity columns ride through stagePhysicalRows as extras, same
+    * as compactDelta since r16), DVs fold through the applied scan
+    * and drop.
     */
   def compactDeltaCluster(spark: SparkSession, dir: String, cols: Seq[String],
                           filesPerPartition: Int = 8,
@@ -5998,7 +6069,10 @@ object LakeWriter {
     GraftLogStore.commitOrThrow(spark, fs, commit,
       actions.mkString("\n").getBytes("UTF-8"),
       s"a concurrent writer won version ${cur.version + 1}; re-read the table and retry the restore",
-      ictConf = cur.configuration)
+      ictConf = cur.configuration,
+      // a re-add whose path is STILL live (DV descriptor differs)
+      // replaces that entry rather than growing the live set
+      crcReplaced = readds.flatMap(a => curByPath.get(a.path).map(_.size)))
     (readds.map(_.path).sorted, removes.map(_.path).sorted)
   }
 
@@ -6214,7 +6288,9 @@ object LakeWriter {
     GraftLogStore.commitOrThrow(spark, fs, commit,
       actions.mkString("\n").getBytes("UTF-8"),
       s"a concurrent writer won version $backfillVersion; re-read and retry enableRowTracking",
-      ictConf = snap.configuration)
+      ictConf = snap.configuration,
+      // every backfill add replaces a live entry (no paired removes)
+      crcReplaced = files.map(_.size))
   }
 
   /** SET (or remove) a DOMAIN METADATA entry (PROTOCOL.md): one

@@ -118,7 +118,8 @@ object GraftLogStore {
     */
   def commitOrThrow(spark: SparkSession, fs: FileSystem, path: Path,
                     content: Array[Byte], retryHint: String,
-                    ictConf: Map[String, String] = Map.empty): Unit = {
+                    ictConf: Map[String, String] = Map.empty,
+                    crcReplaced: Seq[Long] = Nil): Unit = {
     val store = resolve(spark)
     requireAtomic(store)
     val stamped = LakeWriter.ictStampContent(spark, fs, path, ictConf,
@@ -127,8 +128,11 @@ object GraftLogStore {
       throw new IllegalStateException(
         s"Delta commit $path already exists — a concurrent writer won; $retryHint")
     // version checksum rides every commit (best-effort: the commit
-    // above is durable; a failed .crc writes nothing)
-    LakeWriter.writeVersionChecksum(fs, path, stamped)
+    // above is durable; a failed .crc writes nothing). crcReplaced:
+    // the previous sizes of adds that REPLACE a live path without a
+    // paired remove (last-writer-wins re-adds — the backfill/restore
+    // shapes), which the incremental fold must subtract.
+    LakeWriter.writeVersionChecksum(fs, path, stamped, crcReplaced)
     // `delta.checkpointInterval` cadence rides EVERY commit through
     // this funnel (mutations, DV ops, merges, protocol changes), not
     // just appends — a mutation-heavy table must bound its replay

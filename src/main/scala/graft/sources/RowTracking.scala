@@ -9,9 +9,11 @@ package graft.sources
   * creates/appends and copy-on-write rewrites assign FRESH baseRowIds
   * (a rewritten row legally becomes a new row — delta-spark's
   * delta.rowTracking.preserved=false semantics); merge-on-read DV
-  * deletes keep files in place, so surviving rows KEEP their ids —
+  * mutations keep files in place, so surviving rows KEEP their ids —
   * which is why `deleteWhereDv` is the id-stable delete on a tracked
-  * table.
+  * table, and why `updateWhereDv`/`applyCdcDv` compose too: DV'd
+  * files carry their baseRowId verbatim while the staged changed
+  * rows take fresh ids from the watermark in the same commit.
   *
   * dataChange=false rewrites MUST preserve ids. compactDelta
   * implements the PRESERVED profile for them: it stores every

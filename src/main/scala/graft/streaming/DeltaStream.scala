@@ -164,9 +164,10 @@ object DeltaStream {
       if (batchId > snap.txns.getOrElse(appId, -1L)) {
         // a target declaring enableDeletionVectors folds MERGE-ON-READ:
         // matched rows DV'd in place, only the changed rows staged —
-        // replication batches never rewrite target files
+        // replication batches never rewrite target files (row-tracked
+        // targets compose: ids carried on DV'd files, fresh for staged)
         val mor = snap.configuration.get("delta.enableDeletionVectors")
-          .contains("true") && !snap.writerFeatures.contains("rowTracking")
+          .contains("true")
         if (mor)
           LakeWriter.applyCdcDv(s, dir, latest, keyCols,
             txn = Some(appId -> batchId))

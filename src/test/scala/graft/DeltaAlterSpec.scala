@@ -303,6 +303,74 @@ class DeltaAlterSpec extends SparkSpec {
       .fieldNames.toSeq == Seq("x2", "score"))
   }
 
+  test("ADD COLUMNS edge battery: typo'd parent refuses, SQL COMMENT threads, NOT NULL refuses, map-of-struct gets per-level ids") {
+    import org.apache.spark.sql.types.{StructType, MapType, ArrayType}
+    val dir = tmp("graft_alter_edge_")
+    LakeWriter.writeDeltaMapped(spark.range(0, 2).selectExpr(
+      "id", "named_struct('x', id) AS address").coalesce(1), dir)
+    // a typo'd parent is an ERROR — never an auto-created sibling struct
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.alterAddColumns(spark, dir, Seq("adress.zip" -> "STRING")))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+    assert(!DeltaReader.read(spark, dir).columns.contains("adress"))
+    // SQL ADD COLUMNS carries COMMENT into the new leaf's metadata
+    spark.sql(s"ALTER TABLE graft_delta.`$dir` ADD COLUMNS " +
+      "(note STRING COMMENT 'freeform note', address.zip STRING COMMENT 'postal code')")
+    val sch = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaReader.snapshot(spark, dir, None).schemaJson).asInstanceOf[StructType]
+    assert(sch("note").metadata.getString("comment") == "freeform note")
+    assert(sch("note").metadata.contains("delta.columnMapping.id"))
+    val aT = sch("address").dataType.asInstanceOf[StructType]
+    assert(aT("zip").metadata.getString("comment") == "postal code")
+    assert(aT("zip").metadata.contains("delta.columnMapping.id"))
+    // NOT NULL adds refuse loudly (existing rows read null)
+    val e2 = intercept[UnsupportedOperationException](
+      spark.sql(s"ALTER TABLE graft_delta.`$dir` ADD COLUMNS (must STRING NOT NULL)"))
+    assert(e2.getMessage.contains("NOT NULL"), e2.getMessage)
+    // a NEW map-of-struct (and array-of-array-of-struct) column on a
+    // mapped table carries ids + physical names at EVERY level —
+    // walkT's recursion mirrored into evolution
+    LakeWriter.alterAddColumns(spark, dir, Seq(
+      "attrs" -> "map<string, struct<a: bigint, b: string>>",
+      "mat" -> "array<array<struct<q: bigint>>>"))
+    val sch2 = org.apache.spark.sql.types.DataType.fromJson(
+      DeltaReader.snapshot(spark, dir, None).schemaJson).asInstanceOf[StructType]
+    val attrsV = sch2("attrs").dataType.asInstanceOf[MapType]
+      .valueType.asInstanceOf[StructType]
+    Seq("a", "b").foreach { n =>
+      assert(attrsV(n).metadata.contains("delta.columnMapping.id"), n)
+      assert(attrsV(n).metadata.getString("delta.columnMapping.physicalName")
+        .startsWith("col-"), n)
+    }
+    val matQ = sch2("mat").dataType.asInstanceOf[ArrayType]
+      .elementType.asInstanceOf[ArrayType].elementType.asInstanceOf[StructType]("q")
+    assert(matQ.metadata.contains("delta.columnMapping.id"))
+    assert(matQ.metadata.getString("delta.columnMapping.physicalName")
+      .startsWith("col-"))
+    // ids unique across the whole schema, maxColumnId bounds them
+    def ids(dt: org.apache.spark.sql.types.DataType): Seq[Long] = dt match {
+      case st: StructType => st.fields.toSeq.flatMap(f =>
+        (if (f.metadata.contains("delta.columnMapping.id"))
+          Seq(f.metadata.getLong("delta.columnMapping.id")) else Nil) ++ ids(f.dataType))
+      case at: ArrayType => ids(at.elementType)
+      case mt: MapType => ids(mt.keyType) ++ ids(mt.valueType)
+      case _ => Nil
+    }
+    val allIds = ids(sch2)
+    assert(allIds.distinct.size == allIds.size, s"duplicate CM ids: $allIds")
+    assert(allIds.max == DeltaReader.snapshot(spark, dir, None)
+      .configuration("delta.columnMapping.maxColumnId").toLong)
+    // and the evolved shape round-trips through the physical staging
+    LakeWriter.appendDelta(spark.range(5, 6).selectExpr(
+      "id", "named_struct('x', id, 'zip', '12345') AS address",
+      "'n' AS note", "map('k', named_struct('a', id, 'b', 'bb')) AS attrs",
+      "array(array(named_struct('q', id))) AS mat").coalesce(1), dir)
+    val r = DeltaReader.read(spark, dir)
+      .selectExpr("address.zip", "attrs['k'].a", "mat[0][0].q")
+      .where("id = 5").collect().head
+    assert(r.getString(0) == "12345" && r.getLong(1) == 5L && r.getLong(2) == 5L)
+  }
+
   test("column comments + foreign metaData fidelity: description survives ALTER commits") {
     val s = spark
     import s.implicits._

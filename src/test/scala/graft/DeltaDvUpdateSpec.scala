@@ -157,14 +157,16 @@ class DeltaDvUpdateSpec extends SparkSpec {
     val v0 = DeltaReader.snapshot(spark, d, None).version
     assert(LakeWriter.updateWhereDv(spark, d, "id > 10000", Map("v" -> "0.0")).isEmpty)
     assert(DeltaReader.snapshot(spark, d, None).version == v0)
-    // row-tracked tables refuse toward the copy-on-write path
+    // HALF-configured row tracking (feature declared, no watermark)
+    // refuses — a fully-enabled table composes (DeltaRowTrackingSpec)
     val d2 = freshDir("rt")
     LakeWriter.writeDelta(base, d2)
-    LakeWriter.enableRowTracking(spark, d2)
+    LakeWriter.upgradeProtocol(spark, d2, 1, 7,
+      writerFeatures = Seq("rowTracking", "domainMetadata"))
     val e = intercept[IllegalArgumentException] {
       LakeWriter.updateWhereDv(spark, d2, "id = 1", Map("v" -> "0.0"))
     }
-    assert(e.getMessage.contains("updateWhere"))
+    assert(e.getMessage.contains("rowTracking"))
     // obligations still bind: a CHECK-violating new value refuses
     val d3 = freshDir("chk")
     LakeWriter.writeDelta(base, d3,

@@ -56,6 +56,11 @@ class DeltaRestoreSpec extends SparkSpec {
     assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b"), (2L, "c")))
     // and the DV'd intermediate state is still travelable
     assert(rows(DeltaReader.read(spark, dir, Some(1L))) == Set((0L, "a"), (2L, "c")))
+    // the checksum chain folds the replacement re-add correctly (the
+    // path was LIVE at v1 — +1 without the crcReplaced hint)
+    (0L to 2L).foreach { v =>
+      assert(DeltaReader.validateChecksum(spark, dir, Some(v)), s"version $v")
+    }
   }
 
   test("restore refuses when the target version's files were vacuumed away") {

@@ -220,6 +220,48 @@ class DeltaRowTrackingSpec extends SparkSpec {
     assert(idMap() == mid, "re-compaction must keep preserved ids stable")
   }
 
+  test("DV update + DV CDC apply compose: survivors keep ids, changed rows fresh (CM table)") {
+    val d = freshDir("udv")
+    LakeWriter.writeDeltaMapped(base.repartition(2), d)
+    LakeWriter.enableRowTracking(spark, d)
+    val before = rows(d)
+    val wm0 = wmOf(d)
+    // merge-on-read UPDATE: victims become NEW rows (non-preserving
+    // profile, like updateWhere's rewrite); everyone else is untouched
+    // IN PLACE — the id-stability DV mutations exist for
+    LakeWriter.updateWhereDv(spark, d, "id < 5", Map("v" -> "'udv'"))
+    val afterUpd = rows(d)
+    assert(afterUpd.size == 40)
+    assert(afterUpd.filter(_._1 >= 5).forall { case (k, v) => before(k) == v },
+      "rows the update didn't touch must keep their ids")
+    assert(afterUpd.filter(_._1 < 5).values.forall(_._1 > wm0),
+      "updated rows are NEW rows — fresh ids above the old watermark")
+    assert(wmOf(d) == wm0 + 5, "watermark advances by exactly the staged rows")
+    assert(afterUpd.values.map(_._1).toSeq.distinct.size == 40, "ids unique")
+    assert(DeltaReader.read(spark, d).where("id < 5").select("v").collect()
+      .forall(_.getString(0) == "udv"))
+    // merge-on-read CDC APPLY: one batch deletes, updates and inserts
+    val wm1 = wmOf(d)
+    val batch = Seq((7L, "cdc", 1, "update"), (8L, "x", 0, "delete"),
+      (900L, "ins", 2, "insert")).toDF("id", "v", "k", "_change_type")
+    LakeWriter.applyCdcDv(spark, d, batch, Seq("id"))
+    val afterCdc = rows(d)
+    assert(afterCdc.size == 40, "40 - 1 delete + 1 insert")
+    assert(!afterCdc.contains(8L))
+    assert(afterCdc.filter(k => k._1 != 7L && k._1 != 900L)
+      .forall { case (k, v) => afterUpd(k) == v },
+      "rows the batch didn't touch must keep their ids")
+    assert(afterCdc(7L)._1 > wm1 && afterCdc(900L)._1 > wm1,
+      "the updated version and the insert both consume fresh ids")
+    assert(wmOf(d) == wm1 + 2)
+    assert(afterCdc.values.map(_._1).toSeq.distinct.size == 40)
+    // the checksum chain stayed green through both DV mutations
+    val v = DeltaReader.snapshot(spark, d, None).version
+    (0L to v).foreach { ver =>
+      assert(DeltaReader.validateChecksum(spark, d, Some(ver)), s"version $ver")
+    }
+  }
+
   test("z-order preserves ids on ready tables; half-enabled tables refuse loudly") {
     val d = freshDir("rf")
     LakeWriter.writeDelta(base.repartition(3), d)
@@ -257,7 +299,7 @@ class DeltaRowTrackingSpec extends SparkSpec {
     val rnd = new scala.util.Random(4242)
     var nextKey = 1000L
     (1 to 12).foreach { step =>
-      rnd.nextInt(6) match {
+      rnd.nextInt(7) match {
         case 0 => LakeWriter.appendDelta(
           (0 until 5).map(i => { nextKey += 1; (nextKey, s"a$i", i % 4) })
             .toDF("id", "v", "k"), d)
@@ -271,6 +313,8 @@ class DeltaRowTrackingSpec extends SparkSpec {
         case 5 =>
           val snap = DeltaReader.snapshot(spark, d, None)
           LakeWriter.checkpointDelta(spark, d, snap.version)
+        case 6 => LakeWriter.updateWhereDv(spark, d,
+          s"id % 9 = ${rnd.nextInt(9)}", Map("v" -> s"'dv$step'"))
       }
       val ids = DeltaReader.readWithRowIds(spark, d)
         .select("_row_id").collect().map(_.getLong(0))
