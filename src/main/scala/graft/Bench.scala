@@ -65,7 +65,8 @@ object Bench {
     // session, so nothing is reused), its cached blocks are dropped,
     // then pass B builds on the bench session and stays warm for the
     // queries. Each entry reports the min of its two cold builds.
-    def buildPass(s: SparkSession): (Double, Double, Map[String, Double]) = {
+    def buildPass(s: SparkSession, sequentialFams: Boolean)
+        : (Double, Double, Map[String, Double]) = {
       val ib = timed("index_build") {
         graft.index.TestLake.cells(s, sfDir).count()
         graft.index.TestLake.cellsBloom(s, sfDir).count()
@@ -75,11 +76,17 @@ object Bench {
       // own timed entry — otherwise their first-touch cost lands inside
       // whichever query the map iteration order happens to run first
       // and per-query numbers stop meaning anything round-over-round.
-      // Independent cache families warm CONCURRENTLY (Spark actions are
-      // thread-safe): wall time = the slowest family, not the sum.
-      // Each family ALSO times itself, so a round-over-round swing in
-      // `cache_build` is attributable to the family that moved instead
-      // of reading as one opaque noisy entry.
+      //
+      // Pass A warms the families SEQUENTIALLY and times each — the
+      // attribution rows are clean SOLO costs. Pass B warms them
+      // CONCURRENTLY (Spark actions are thread-safe; wall time = the
+      // slowest family) and times only the total. Through r16 BOTH
+      // passes warmed concurrently and famTimed the concurrent wall
+      // time, which ALIASES scheduler contention into the rows: a
+      // same-host A/B (r17, WarmProbe) measured the smallest family
+      // (dup) at 1.6-2.0× its solo cost under concurrency on both the
+      // r15 and r17 binaries — r16's "cache_build_dup doubled" was
+      // that aliasing plus schedule luck, not an operator change.
       val fam = new java.util.concurrent.ConcurrentHashMap[String, Double]()
       def famTimed(name: String)(f: => Unit): Unit = {
         val t0 = System.nanoTime()
@@ -87,30 +94,40 @@ object Bench {
         fam.put(name, (System.nanoTime() - t0) / 1e9)
         ()
       }
+      val fams: Seq[(String, () => Unit)] = Seq(
+        "cache_build_discovery" ->
+          (() => graft.queries.DiscoveryQueries.warmCaches(s, sfDir)),
+        "cache_build_pipeline" ->
+          (() => graft.queries.PipelineQueries.warmCaches(s, sfDir)),
+        "cache_build_dup" ->
+          (() => graft.queries.DupQueries.warmCaches(s, sfDir)))
       val cb = timed("cache_build") {
-        import scala.concurrent.{Await, Future}
-        import scala.concurrent.duration.Duration
-        import scala.concurrent.ExecutionContext.Implicits.global
-        Await.result(Future.sequence(Seq(
-          Future(famTimed("cache_build_discovery")(
-            graft.queries.DiscoveryQueries.warmCaches(s, sfDir))),
-          Future(famTimed("cache_build_pipeline")(
-            graft.queries.PipelineQueries.warmCaches(s, sfDir))),
-          Future(famTimed("cache_build_dup")(
-            graft.queries.DupQueries.warmCaches(s, sfDir))))), Duration.Inf)
+        if (sequentialFams)
+          fams.foreach { case (n, f) => famTimed(n)(f()) }
+        else {
+          import scala.concurrent.{Await, Future}
+          import scala.concurrent.duration.Duration
+          import scala.concurrent.ExecutionContext.Implicits.global
+          Await.result(
+            Future.sequence(fams.map { case (_, f) => Future(f()) }),
+            Duration.Inf)
+        }
       }
       (ib._2, cb._2, scala.jdk.CollectionConverters.MapHasAsScala(fam).asScala.toMap)
     }
-    val (ibA, cbA, famA) = buildPass(spark.newSession())
+    val (ibA, cbA, famA) = buildPass(spark.newSession(), sequentialFams = true)
     // drop the throwaway session's cached blocks (the CacheManager is
     // shared across sessions; the bench session has cached nothing yet)
     // and settle the heap so pass B starts clean
     spark.catalog.clearCache()
     System.gc()
-    val (ibB, cbB, famB) = buildPass(spark)
+    val (ibB, cbB, famB) = buildPass(spark, sequentialFams = false)
     val indexBuild = ("index_build", math.min(ibA, ibB))
-    val cacheBuild = ("cache_build", math.min(cbA, cbB))
-    // per-family attribution rows (min-of-2 like everything else).
+    // cache_build stays the CONCURRENT wall time (pass B) — pass A's
+    // sequential sum is a different quantity and must not win the min
+    val cacheBuild = ("cache_build", cbB)
+    // per-family attribution rows: pass A's solo times (pass B does
+    // not famTime — concurrent wall times alias contention, above).
     // EXCLUDED from `total`: cache_build already counts this wall time
     // — these rows exist so one noisy family cannot hide inside it.
     val famEntries = (famA.keySet ++ famB.keySet).toSeq.sorted.map { k =>
