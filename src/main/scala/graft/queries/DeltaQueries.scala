@@ -523,7 +523,10 @@ object DeltaQueries {
     // names became the physical names), then the whole mapped surface
     // works on it: rename (metadata-only), schema EVOLUTION (fresh
     // field id above the stamped maxColumnId), and a CoW DELETE whose
-    // rewrites stage under the physical names
+    // rewrites stage under the physical names. r17 closes the loop:
+    // the mapping is then REMOVED (name -> none, the full rewrite back
+    // to logical footers) and the final read runs on the unmapped
+    // table — values must be bit-identical through the round trip
     "delta_cm_upgrade" -> ((s, dir) => {
       val d = freshDir("cmup")
       LakeWriter.writeDelta(
@@ -536,6 +539,8 @@ object DeltaQueries {
           .withColumn("score", expr("CAST(o_orderkey % 5 AS DOUBLE)"))
           .repartition(2), d)
       s.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 3 = 0")
+      s.sql(s"ALTER TABLE graft_delta.`$d` SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'none')")
       DeltaReader.read(s, d).groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"),
           sum(dec(col("price"))).cast("decimal(18,2)").as("total"),

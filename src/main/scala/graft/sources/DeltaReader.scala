@@ -1442,6 +1442,30 @@ object DeltaReader {
           cpActive ++ survivors
       }
     }
+    // checkpointProtection (PROTOCOL.md, stamped by a TRUNCATE HISTORY
+    // feature drop): a snapshot AT or ABOVE the boundary must replay
+    // from a checkpoint at/above it — a from-JSON replay would cross
+    // the dropped feature's historical actions, the exact exposure the
+    // feature exists to close. Time travel BELOW the boundary is
+    // unaffected (that region's protocol actions declare its features
+    // and gate as usual).
+    configuration.get("delta.requireCheckpointProtectionBeforeVersion")
+      .map(_.toLong).filter(_ > 0)
+      .filterNot(_ => s.conf.get(
+        "spark.graft.delta.ignoreCheckpointProtection", "false").toBoolean)
+      .foreach { bound =>
+        val baseV = base.map(_._1).getOrElse(-1L)
+        require(baseV >= bound - 1,
+          s"snapshot at version $target replays JSON history across the table's " +
+            s"checkpoint protection boundary $bound (base: " +
+            (if (baseV < 0) "version 0, no checkpoint" else s"checkpoint $baseV") +
+            ") — a TRUNCATE HISTORY feature drop protects that history; replay " +
+            "from a checkpoint at or above the boundary. If the boundary " +
+            "checkpoint was deleted, repair under " +
+            "spark.graft.delta.ignoreCheckpointProtection=true (this reader " +
+            "understands every feature graft drops) by re-authoring it with " +
+            "LakeWriter.checkpointDelta, then unset the flag")
+      }
     val snap = new Snapshot(target, resolveFn,
       schemaJson.getOrElse(sys.error(s"no metaData action found in $logPath")),
       partCols, minReader, configuration,

@@ -1140,14 +1140,23 @@ object LakeWriter {
     val curMode = cur.getOrElse("delta.columnMapping.mode", "none")
     val modeReq = setP.get("delta.columnMapping.mode").filter(_ != curMode)
     if (modeReq.isDefined) {
-      require(modeReq.contains("name") && curMode == "none",
+      require((modeReq.contains("name") && curMode == "none") ||
+          (modeReq.contains("none") && (curMode == "name" || curMode == "id")),
         s"alterProperties: column mapping transition '$curMode' -> '${modeReq.get}' " +
-          "re-keys every file's columns — a rewrite, not a property change; only " +
-          "the metadata-only none -> name upgrade is supported")
+          "is not supported; supported: the metadata-only none -> name upgrade " +
+          "and the name/id -> none REMOVAL (a full-table rewrite)")
       require((setP - "delta.columnMapping.mode").isEmpty && unset.isEmpty &&
           featsDeclared.isEmpty,
-        "alterProperties: the column-mapping upgrade must ride alone (with " +
+        "alterProperties: the column-mapping transition must ride alone (with " +
           "optional delta.minReaderVersion/delta.minWriterVersion)")
+      if (modeReq.contains("none")) {
+        require(reqMinReader.isEmpty && reqMinWriter.isEmpty,
+          "alterProperties: the column-mapping REMOVAL never changes the protocol " +
+            "(the feature stays declared, inert at mode none; DROP FEATURE is the " +
+            "downgrade path) — drop the version requests")
+        removeColumnMapping(spark, dir)
+        return
+      }
       reqMinWriter.foreach(w => require(w >= 5,
         s"alterProperties: column mapping binds writers from version 5; " +
           s"requested minWriterVersion $w is below the floor"))
@@ -1287,6 +1296,199 @@ object LakeWriter {
         s"""{"protocol":{"minReaderVersion":${math.max(snap.minReader, 2)},"minWriterVersion":${math.max(snap.minWriter, 5)}}}"""
     commitAlter(spark, dir, snap, newSchema.json, snap.partCols, newConf,
       "SET TBLPROPERTIES", protocolOverride = Some(proto))
+  }
+
+  /** REMOVE column mapping (`name`/`id` → `none`) — the inverse of
+    * [[upgradeToNameMapping]] (delta-spark 3.3's remove-column-mapping
+    * rewrite): every live file re-stages with the table's LOGICAL
+    * column names in its parquet footer, and the SAME atomic commit
+    * restates metaData with the mapping configuration dropped and
+    * every field's `delta.columnMapping.*` metadata stripped. All
+    * actions carry `dataChange=false` (no rows changed — only their
+    * column keys), so no CDF rows stage and streams skip the commit.
+    * Time travel below the commit keeps reading the mapped history
+    * through the historic metaData. The PROTOCOL keeps declaring
+    * columnMapping where it did — inert at mode none, and exactly
+    * what delta-spark leaves behind; [[dropFeature]] stays the
+    * separate protocol-downgrade path.
+    *
+    * Row-tracked tables compose through the preserved profile like
+    * [[compactDelta]]: surviving rows keep their ids in the
+    * materialized columns, fresh (shadowed) baseRowIds satisfy the
+    * every-add invariant, the watermark advances in the commit.
+    *
+    * Cost: a FULL-TABLE rewrite — re-keying every parquet footer is
+    * what removal IS (the reason the upgrade direction is free and
+    * this one is not; a 100-TB table should schedule it like a
+    * compaction campaign). The rewrite bin-packs per partition into
+    * ≤`targetFileBytes` outputs and submits per-bin coalesce jobs
+    * from a bounded pool — OPTIMIZE's zero-shuffle shape. SQL
+    * spelling: `ALTER TABLE t SET TBLPROPERTIES
+    * ('delta.columnMapping.mode'='none')`.
+    */
+  def removeColumnMapping(spark: SparkSession, dir: String,
+                          targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.spark.sql.types._
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val cm = snap.configuration.getOrElse("delta.columnMapping.mode", "none")
+    require(cm == "name" || cm == "id",
+      s"removeColumnMapping: column mapping mode is '$cm' — nothing to remove")
+    val rt = RowTracking.preservedProfileReady(snap)
+    require(!RowTracking.enabled(snap) || rt,
+      "removeColumnMapping: row tracking is declared but the preserved-profile " +
+        "configuration is incomplete (enableRowTracking backfill missing) — " +
+        "a rewrite would silently re-identify every row; refusing")
+    val safe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "checkConstraints",
+      "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping",
+      "typeWidening", "variantType", "timestampNtz", "v2Checkpoints",
+      IdentityColumns.Feature) ++
+      Clustering.Features ++ (if (rt) RowTracking.Features else Set.empty[String])
+    val unsafe = snap.writerFeatures.filterNot(safe)
+    require(snap.minWriter <= 5 || (snap.minWriter == 7 && unsafe.isEmpty),
+      s"removeColumnMapping: table requires writer version ${snap.minWriter}" +
+        (if (unsafe.nonEmpty) s" with features ${unsafe.mkString(", ")}" else "") +
+        " — refusing a rewrite whose obligations this writer cannot honor")
+    val table = tableSchema(snap)
+    // the stripped LOGICAL schema: no ids, no physical names — while
+    // comments, defaults, generation expressions and widening history
+    // all stay (they are logical facts, not mapping facts)
+    def stripT(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map { f =>
+        val b = new MetadataBuilder().withMetadata(f.metadata)
+        b.remove("delta.columnMapping.id")
+        b.remove("delta.columnMapping.physicalName")
+        f.copy(dataType = stripT(f.dataType), metadata = b.build())
+      })
+      case ArrayType(e, n) => ArrayType(stripT(e), n)
+      case MapType(k, v, n) => MapType(stripT(k), stripT(v), n)
+      case other => other
+    }
+    val newSchema = stripT(table).asInstanceOf[StructType]
+    val newConf = snap.configuration -
+      "delta.columnMapping.mode" - "delta.columnMapping.maxColumnId"
+
+    val hconf = spark.sessionState.newHadoopConf()
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(hconf)
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val matCols = if (rt) RowTracking.materializedCols(snap) else None
+    matCols.foreach { case (idc, vc) =>
+      Seq(idc, vc).foreach(c => require(!table.fieldNames.contains(c),
+        s"removeColumnMapping: materialized row-id column name '$c' collides " +
+          "with a table column — repair the table configuration"))
+    }
+    var nextRowId = if (rt) RowTracking.watermark(snap).get + 1 else 0L
+    val version = snap.version + 1
+    val actions = scala.collection.mutable.ArrayBuffer.empty[String]
+    actions += s"""{"commitInfo":{"timestamp":0,"operation":"REMOVE COLUMN MAPPING","operationParameters":{},"readVersion":${snap.version},"engineInfo":"graft"}}"""
+    actions += metaLineFor(dir, snap, newSchema, newConf)
+    // logical -> physical names for the partition columns: historic
+    // partitionValues are keyed physical; the new adds re-key logical
+    val physPart = physNameMap(
+      StructType(table.fields.filter(f => snap.partCols.contains(f.name))), cm,
+      "removeColumnMapping")
+    val statsColsLogical = DeltaStats.physicalStatsColumns(
+      newConf, Some(newSchema))
+    val stage = new org.apache.hadoop.fs.Path(root,
+      s"_cmremove_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
+    snap.active.groupBy(_.partitionValues).toSeq.sortBy(_._2.head.path)
+      .zipWithIndex.foreach { case ((pv, files), i) =>
+        val sub = new org.apache.hadoop.fs.Path(stage, s"g$i")
+        // bin-pack like compactDelta: one coalesce(1) output per bin of
+        // ≤ targetFileBytes inputs, bins written concurrently, no
+        // exchange anywhere — the bytes move once, file to file
+        val bins = scala.collection.mutable.ArrayBuffer(
+          scala.collection.mutable.ArrayBuffer.empty[DeltaReader.AddFile])
+        var binBytes = 0L
+        files.sortBy(_.path).foreach { f =>
+          if (bins.last.nonEmpty && binBytes + f.size > targetFileBytes) {
+            bins += scala.collection.mutable.ArrayBuffer.empty[DeltaReader.AddFile]
+            binBytes = 0L
+          }
+          bins.last += f
+          binBytes += f.size
+        }
+        // the scan resolves physical→logical itself; NO physical
+        // re-staging and NO field ids on the way out — logical footers
+        // ARE the point. Preserved profile: materialized ids ride as
+        // extra storage-named columns, same as compactDelta.
+        def scanOf(fsub: Seq[DeltaReader.AddFile]) = matCols match {
+          case Some((idc, vc)) =>
+            DeltaReader.scanFilesWithRowIds(spark, dir, snap, fsub)
+              .withColumnRenamed("_row_id", idc)
+              .withColumnRenamed("_row_commit_version", vc)
+              .drop(snap.partCols: _*)
+          case None =>
+            DeltaReader.scanFiles(spark, dir, snap, fsub).drop(snap.partCols: _*)
+        }
+        locally {
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(
+            math.min(8, bins.size))
+          try {
+            import scala.jdk.CollectionConverters._
+            pool.invokeAll(bins.toSeq.zipWithIndex.map { case (b, j) =>
+              new java.util.concurrent.Callable[Unit] {
+                def call(): Unit = scanOf(b.toSeq).coalesce(1)
+                  .write.parquet(new org.apache.hadoop.fs.Path(sub, s"b$j").toString)
+              }
+            }.asJava).asScala.foreach(_.get())
+          } finally pool.shutdown()
+        }
+        val part = fs.listStatus(sub).flatMap(d => fs.listStatus(d.getPath))
+          .map(_.getPath)
+          .filter(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+          .sortBy(_.toString)
+        require(part.nonEmpty, "removeColumnMapping: rewrite wrote no files")
+        // LOGICAL partition values + directory layout (the historic pv
+        // is keyed physical; foreign fixtures may carry logical keys —
+        // accept either, the reader's own fallback)
+        val pvLogical: Seq[(String, String)] = snap.partCols.map { c =>
+          c -> pv.get(physPart.getOrElse(c, c)).orElse(pv.get(c)).orNull
+        }
+        val relDir = percentEncode(pvLogical.map { case (c, v) =>
+          val seg = if (v == null) "__HIVE_DEFAULT_PARTITION__"
+            else org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+          s"${org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(c)}=$seg"
+        }.mkString("/"))
+        val pvJson = pvLogical.map { case (c, v) =>
+          s"${om.writeValueAsString(c)}:${if (v == null) "null" else om.writeValueAsString(v)}"
+        }.mkString("{", ",", "}")
+        val attempt = java.util.UUID.randomUUID().toString.take(8)
+        part.zipWithIndex.foreach { case (pf, j) =>
+          val destName = s"part-cmremove-$version-g$i-$j-$attempt.parquet"
+          val rel = if (relDir.isEmpty) destName else s"$relDir/$destName"
+          val dest = new org.apache.hadoop.fs.Path(root, DeltaReader.percentDecode(rel))
+          if (rel.contains("/")) fs.mkdirs(dest.getParent)
+          val size = fs.getFileStatus(pf).getLen
+          val stats = DeltaStats.fileStats(pf, hconf,
+            DeltaStats.indexedColsOf(newConf), statsColumns = statsColsLogical)
+          val statsJson = stats.map(s => s""","stats":${om.writeValueAsString(s)}""").getOrElse("")
+          val rtJson = if (!rt) "" else {
+            val nr = stats.map(st => om.readTree(st).get("numRecords").asLong())
+              .getOrElse(throw new IllegalArgumentException(
+                s"removeColumnMapping: rewritten file $pf produced no footer stats — " +
+                  "cannot assign baseRowId on a tracked table; refusing"))
+            val base = nextRowId
+            nextRowId += nr
+            s""","baseRowId":$base,"defaultRowCommitVersion":$version"""
+          }
+          require(fs.rename(pf, dest), s"rename $pf -> $dest failed")
+          actions += s"""{"add":{"path":"$rel","partitionValues":$pvJson,"size":$size,"modificationTime":0,"dataChange":false$statsJson$rtJson}}"""
+        }
+        files.foreach { f =>
+          actions += s"""{"remove":{"path":"${f.path}","deletionTimestamp":0,"size":${f.size},"dataChange":false}}"""
+        }
+      }
+    if (rt) actions += RowTracking.watermarkAction(nextRowId - 1)
+    fs.delete(stage, true)
+    val log = new org.apache.hadoop.fs.Path(root, "_delta_log")
+    fs.mkdirs(log)
+    val commit = new org.apache.hadoop.fs.Path(log, f"$version%020d.json")
+    GraftLogStore.commitOrThrow(spark, fs, commit,
+      actions.mkString("\n").getBytes("UTF-8"),
+      s"a concurrent writer won version $version; re-read the table and retry " +
+        "the column-mapping removal",
+      ictConf = snap.configuration)
   }
 
   /** CONVERT TO DELTA: turn an existing plain-parquet directory (flat
@@ -1971,7 +2173,7 @@ object LakeWriter {
     val tableNames = table.fieldNames.toSet
     // the same obligation gates as appendDeltaWithSnapshot — evolution
     // is still an append, and the table's declared constraints bind it
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -2094,7 +2296,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "overwriteWhere: table declares delta.appendOnly=true — a replace removes " +
         "rows; forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -2232,7 +2434,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "overwriteDelta: table declares delta.appendOnly=true — an overwrite removes " +
         "every existing row; forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -2585,7 +2787,7 @@ object LakeWriter {
     // columnMapping is append-safe because the physical rename below
     // stages parquet in the table's physical names. checkConstraints /
     // generatedColumns / invariants are ENFORCED below, not refused.
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "checkConstraints", "generatedColumns", "changeDataFeed", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -3552,7 +3754,7 @@ object LakeWriter {
     // the materialized id columns are storage-level physical names the
     // logical schema never carries, so they ride the physical staging
     // as pass-through extras while the table columns rename/attach ids
-    val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
+    val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
@@ -3866,7 +4068,19 @@ object LakeWriter {
           "have verifiable no-trace checks")
     }
     val rf = snap.readerFeatures.filterNot(_ == feature).distinct.sorted
-    val wf = snap.writerFeatures.filterNot(_ == feature).distinct.sorted
+    // TRUNCATE HISTORY protects the boundary (PROTOCOL.md's
+    // checkpointProtection feature): the SAME drop commit declares it
+    // and stamps delta.requireCheckpointProtectionBeforeVersion = the
+    // drop version, then authors the checkpoint AT that version.
+    // From then on graft's reader refuses a from-JSON replay that
+    // CROSSES the boundary (the history below it holds the dropped
+    // feature's actions) and graft's writers never author a
+    // checkpoint below it — which closes the one reader shape the
+    // checkpoint-at-drop stand-in left exposed: a from-version-0 JSON
+    // replayer that ignores checkpoints.
+    val dropVersion = snap.version + 1
+    val wf = (snap.writerFeatures.filterNot(_ == feature) ++
+      (if (truncateHistory) Seq("checkpointProtection") else Nil)).distinct.sorted
     // reader version falls out of the remaining reader features
     val minReader =
       if (rf.nonEmpty) 3
@@ -3874,7 +4088,11 @@ object LakeWriter {
       else 1
     val rfJson = if (minReader >= 3) s""","readerFeatures":${jarr(rf)}""" else ""
     actions += s"""{"protocol":{"minReaderVersion":$minReader,"minWriterVersion":7$rfJson,"writerFeatures":${jarr(wf)}}}"""
-    restateConf.foreach { conf =>
+    val confOut: Option[Map[String, String]] =
+      if (!truncateHistory) restateConf
+      else Some(restateConf.getOrElse(snap.configuration) +
+        ("delta.requireCheckpointProtectionBeforeVersion" -> dropVersion.toString))
+    confOut.foreach { conf =>
       val confJson = conf.toSeq.sortBy(_._1).map { case (k, v) =>
         s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
       }.mkString("{", ",", "}")
@@ -3890,10 +4108,17 @@ object LakeWriter {
       actions.mkString("\n").getBytes("UTF-8"),
       s"a concurrent writer won version ${snap.version + 1}; re-read and retry DROP FEATURE",
       ictConf = snap.configuration)
-    // the truncate-history stand-in: a full checkpoint AT the drop
-    // version — replay from it never crosses the dropped feature's
-    // historical actions
-    if (truncateHistory) checkpointDelta(spark, dir, snap.version + 1)
+    // the boundary checkpoint: a full checkpoint AT the drop version —
+    // replay from it never crosses the dropped feature's historical
+    // actions. Authoring it is the ONE legitimate from-JSON snapshot
+    // across the just-stamped boundary, so it runs on a CLONED session
+    // with the repair override set (never the caller's session — the
+    // same discipline as fieldIdSession)
+    if (truncateHistory) {
+      val s2 = org.apache.spark.sql.GraftColumnBridge.cloneSession(spark)
+      s2.conf.set("spark.graft.delta.ignoreCheckpointProtection", "true")
+      checkpointDelta(s2, dir, snap.version + 1)
+    }
   }
 
   /** DELETE FROM the Delta table WHERE `predicate` (a SQL boolean
@@ -4003,7 +4228,7 @@ object LakeWriter {
     // constraints and generated columns cannot be VIOLATED by removing
     // rows, so only CDF — gated above — blocks legacy tables); v7
     // tables must declare only features this rewrite preserves
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -4260,7 +4485,7 @@ object LakeWriter {
       s"deleteWhereDv: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "deleteWhereDv: table declares delta.appendOnly=true — deletes are forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -4393,7 +4618,7 @@ object LakeWriter {
     // row tracking: refuses only the half-configured shape (tracking
     // declared, watermark absent) — rowIdBase throws there
     val rowIdBase = RowTracking.rowIdBase(snap)
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -4594,7 +4819,7 @@ object LakeWriter {
     // row tracking: refuses only the half-configured shape (tracking
     // declared, watermark absent) — rowIdBase throws there
     val rowIdBase = RowTracking.rowIdBase(snap)
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -4933,7 +5158,7 @@ object LakeWriter {
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "mergeIntoClauses: table declares delta.appendOnly=true — merges rewrite rows; " +
         "refusing")
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -5275,7 +5500,7 @@ object LakeWriter {
       s"updateWhere: unknown column mapping mode '$cm'")
     require(snap.configuration.getOrElse("delta.appendOnly", "false") != "true",
       "updateWhere: table declares delta.appendOnly=true — updates are forbidden on it")
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(snap)
     val unsafe = snap.writerFeatures.filterNot(safeFeatures)
@@ -5772,7 +5997,7 @@ object LakeWriter {
     // tracked tables re-layout with every surviving id materialized;
     // half-configured ones refuse
     val rt = RowTracking.preservedProfileReady(snap)
-    val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkConstraints",
+    val compactSafe = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "checkConstraints",
       "generatedColumns", "changeDataFeed", "deletionVectors", "columnMapping", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++
       (if (rt) RowTracking.Features else Set.empty[String])
@@ -5993,7 +6218,7 @@ object LakeWriter {
     require(!cur.configuration.get("delta.enableChangeDataFeed").contains("true"),
       "restoreDelta: table enables Change Data Feed — a restore must write change " +
         "data files this writer does not produce; refusing to break CDF readers")
-    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "deletionVectors", "columnMapping",
+    val safeFeatures = Set("appendOnly", "invariants", "vacuumProtocolCheck", "checkpointProtection", "deletionVectors", "columnMapping",
       "changeDataFeed", "checkConstraints", "generatedColumns", "inCommitTimestamp", "allowColumnDefaults", "typeWidening", "variantType", "timestampNtz", "v2Checkpoints", IdentityColumns.Feature) ++
       Clustering.Features ++ RowTracking.safeExtra(cur)
     val unsafe = cur.writerFeatures.filterNot(safeFeatures)
@@ -6390,6 +6615,18 @@ object LakeWriter {
     if (fs0.exists(log0) &&
         fs0.listStatus(log0).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // checkpointProtection (PROTOCOL.md): the boundary a TRUNCATE
+    // HISTORY drop stamped — authoring a checkpoint BELOW it would
+    // hand later readers a replay base inside the dropped feature's
+    // history; the feature exists to forbid exactly that
+    DeltaReader.snapshot(spark, dir, None).configuration
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .map(_.toLong).foreach { bound =>
+        require(version >= bound,
+          s"checkpointDelta: version $version is below the table's checkpoint " +
+            s"protection boundary $bound (a TRUNCATE HISTORY feature drop) — " +
+            "a checkpoint there would base replays inside dropped-feature history")
+      }
     // a v2Checkpoints table (declared feature or
     // delta.checkpointPolicy=v2) obligates the v2 file shape — route
     // to the v2 author HERE so every cadence site (commit-interval

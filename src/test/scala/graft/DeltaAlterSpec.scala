@@ -101,17 +101,100 @@ class DeltaAlterSpec extends SparkSpec {
     LakeWriter.alterProperties(spark, dir, Map.empty, unset = Seq("graft.note"))
     assert(!DeltaReader.snapshot(spark, dir, None).configuration.contains("graft.note"))
 
-    // none -> name is the supported METADATA-ONLY upgrade (r16); every
-    // other transition still refuses as the rewrite it would be
+    // none -> name is the supported METADATA-ONLY upgrade (r16) and
+    // name/id -> none the supported REMOVAL rewrite (r17, dedicated
+    // vector below); name <-> id still refuses
     LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "name"))
     assert(DeltaReader.snapshot(spark, dir, None)
       .configuration("delta.columnMapping.mode") == "name")
     val e = intercept[IllegalArgumentException](
       LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "id")))
-    assert(e.getMessage.contains("rewrite"))
+    assert(e.getMessage.contains("not supported"))
+    // removal on an UNMAPPED table refuses
     val e2 = intercept[IllegalArgumentException](
-      LakeWriter.alterProperties(spark, dir, Map("delta.columnMapping.mode" -> "none")))
-    assert(e2.getMessage.contains("rewrite"))
+      LakeWriter.removeColumnMapping(spark,
+        { val d2 = tmp("graft_alter_unm_"); LakeWriter.writeDelta(
+          spark.range(1).toDF("id"), d2); d2 }))
+    assert(e2.getMessage.contains("nothing to remove"))
+  }
+
+  test("column-mapping REMOVAL (name -> none): logical footers, mapped history travels, row-tracked ids survive") {
+    import org.apache.spark.sql.types.StructType
+    val dir = tmp("graft_alter_cmrm_")
+    // a PARTITIONED mapped table with col-xxx physical names — the
+    // adversarial shape (physical != logical at every column AND in
+    // the partition directory layout)
+    LakeWriter.writeDeltaMapped(spark.range(0, 40).selectExpr(
+      "id", "concat('v', id) AS v", "CAST(id % 4 AS STRING) AS k",
+      "named_struct('x', id * 2, 'tag', concat('t', id)) AS s")
+      .repartition(2), dir, partitionBy = Seq("k"))
+    LakeWriter.enableRowTracking(spark, dir)
+    LakeWriter.renameColumn(spark, dir, "v", "val")
+    LakeWriter.deleteWhereDv(spark, dir, "id % 10 = 9")
+    val idsBefore = DeltaReader.readWithRowIds(spark, dir)
+      .select("_row_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val preVersion = DeltaReader.snapshot(spark, dir, None).version
+    val valuesBefore = DeltaReader.read(spark, dir)
+      .selectExpr("id", "val", "k", "s.x").collect()
+      .map(_.toSeq).toSet
+
+    LakeWriter.removeColumnMapping(spark, dir)
+
+    // configuration + schema hold zero mapping facts
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(!snap.configuration.contains("delta.columnMapping.mode"))
+    assert(!snap.configuration.contains("delta.columnMapping.maxColumnId"))
+    val sch = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
+      .asInstanceOf[StructType]
+    def noCm(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case st: StructType => st.fields.forall(f =>
+        !f.metadata.contains("delta.columnMapping.id") &&
+          !f.metadata.contains("delta.columnMapping.physicalName") &&
+          noCm(f.dataType))
+      case at: org.apache.spark.sql.types.ArrayType => noCm(at.elementType)
+      case mt: org.apache.spark.sql.types.MapType => noCm(mt.keyType) && noCm(mt.valueType)
+      case _ => true
+    }
+    assert(noCm(sch), snap.schemaJson)
+    // values identical through the round trip (DVs materialized away)
+    assert(DeltaReader.read(spark, dir)
+      .selectExpr("id", "val", "k", "s.x").collect()
+      .map(_.toSeq).toSet == valuesBefore)
+    assert(snap.active.forall(_.dv.isEmpty), "removal materializes DV debt")
+    // the new files are PLAIN-NAMES readable: raw spark.read.parquet
+    // resolves the logical columns with no Delta metadata at all
+    val rawFiles = snap.active.map(a =>
+      new org.apache.hadoop.fs.Path(dir, DeltaReader.percentDecode(a.path)).toString)
+    val raw = spark.read.parquet(rawFiles: _*)
+    assert(Seq("id", "val", "s").forall(raw.columns.contains), raw.columns.toSeq)
+    assert(raw.count() == valuesBefore.size)
+    // partition directory layout + partitionValues re-keyed LOGICAL
+    assert(snap.active.forall(_.partitionValues.keySet == Set("k")),
+      snap.active.map(_.partitionValues).toSeq.take(3).toString)
+    assert(snap.active.forall(_.path.contains("k=")))
+    // row-tracked: every surviving row keeps its id (preserved profile)
+    val idsAfter = DeltaReader.readWithRowIds(spark, dir)
+      .select("_row_id", "id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(idsAfter == idsBefore, "removal must preserve row identities")
+    // time travel below the removal still reads the MAPPED history
+    val historic = DeltaReader.read(spark, dir, Some(preVersion))
+    assert(historic.columns.contains("val"))
+    assert(historic.count() == valuesBefore.size)
+    // checksum chain green through the rewrite commit
+    (0L to snap.version).foreach { v =>
+      assert(DeltaReader.validateChecksum(spark, dir, Some(v)), s"version $v")
+    }
+    // mutations now run UNMAPPED: a rename refuses (needs the mode)
+    val e = intercept[IllegalArgumentException](
+      LakeWriter.renameColumn(spark, dir, "val", "v2"))
+    assert(e.getMessage.contains("not column-mapped"), e.getMessage)
+    // and appends land under logical names
+    LakeWriter.appendDelta(spark.range(100, 101).selectExpr(
+      "id", "concat('v', id) AS val", "CAST(id % 4 AS STRING) AS k",
+      "named_struct('x', id * 2, 'tag', concat('t', id)) AS s"), dir)
+    assert(DeltaReader.read(spark, dir).where("id = 100").count() == 1)
   }
 
   test("column-mapping UPGRADE (none -> name): metadata-only, old files keep resolving, rename/evolve then work") {

@@ -238,4 +238,21 @@ class DeltaForeignIdSpec extends SparkSpec {
     assert(!kept("s.x >= 1000").contains("fileA.parquet"))
     assert(kept("s.x >= 1000").exists(_.contains("fileB2")))
   }
+
+  test("column-mapping REMOVAL on the foreign id-mode fixture: decoy files rewrite to logical footers") {
+    val dir = mkFixture()
+    val before = state(dir)
+    LakeWriter.removeColumnMapping(spark, dir)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    assert(!snap.configuration.contains("delta.columnMapping.mode"))
+    assert(state(dir) == before, "values identical through the removal")
+    // every live file now carries the LOGICAL names — a plain reader
+    // with no Delta layer resolves them (decoy names and ids are gone)
+    val raw = spark.read.parquet(snap.active.map(a =>
+      new org.apache.hadoop.fs.Path(dir, DeltaReader.percentDecode(a.path)).toString): _*)
+    assert(raw.columns.toSet == Set("id", "s"), raw.columns.toSeq)
+    assert(raw.selectExpr("id", "s.x", "s.tag").count() == before.size)
+    // the inline DV's deleted row did not resurrect
+    assert(!raw.select("id").collect().map(_.getLong(0)).contains(3L))
+  }
 }

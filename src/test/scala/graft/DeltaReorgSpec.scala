@@ -88,6 +88,59 @@ class DeltaReorgSpec extends SparkSpec {
     assert(DeltaReader.read(spark, dir, versionAsOf = Some(1L)).count() == 49)
   }
 
+  test("checkpointProtection: TRUNCATE HISTORY stamps the boundary; from-JSON replay across it refuses") {
+    val dir = tmp("graft_cpprot_")
+    LakeWriter.writeDelta(spark.range(0, 30).toDF("id").repartition(2), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    LakeWriter.deleteWhereDv(spark, dir, "id = 3")
+    LakeWriter.reorgPurge(spark, dir)
+    LakeWriter.dropFeature(spark, dir, "deletionVectors", truncateHistory = true)
+    val snap = DeltaReader.snapshot(spark, dir, None)
+    val bound = snap.version
+    assert(snap.writerFeatures.contains("checkpointProtection"),
+      snap.writerFeatures.toString)
+    assert(snap.configuration(
+      "delta.requireCheckpointProtectionBeforeVersion").toLong == bound)
+    // checkpoint replay works (the drop authored one AT the boundary)
+    assert(DeltaReader.read(spark, dir).count() == 29)
+    // the feature binds checkpoints and cleanup, not rows — appends run
+    LakeWriter.appendDelta(spark.range(100, 102).toDF("id"), dir)
+    assert(DeltaReader.read(spark, dir).count() == 31)
+    // graft never authors a checkpoint BELOW the boundary
+    val eCp = intercept[IllegalArgumentException](
+      LakeWriter.checkpointDelta(spark, dir, bound - 1))
+    assert(eCp.getMessage.contains("protection boundary"), eCp.getMessage)
+    // delete every checkpoint: a from-version-0 JSON replay to the
+    // LATEST must refuse loudly instead of silently crossing the
+    // dropped feature's history (the r16 documented deviation, closed)
+    val log = new java.io.File(s"$dir/_delta_log")
+    log.listFiles().filter(_.getName.contains("checkpoint")).foreach(_.delete())
+    new java.io.File(log, "_last_checkpoint").delete()
+    val eRead = intercept[IllegalArgumentException](
+      DeltaReader.read(spark, dir).count())
+    assert(eRead.getMessage.contains("checkpoint protection boundary"),
+      eRead.getMessage)
+    // time travel BELOW the boundary still reads: that region's
+    // protocol actions declare its features and gate as usual
+    assert(DeltaReader.read(spark, dir, Some(1L)).count() == 29)
+    // repair recipe from the refusal message: re-author the boundary
+    // checkpoint under the override flag, then unset it
+    spark.conf.set("spark.graft.delta.ignoreCheckpointProtection", "true")
+    try LakeWriter.checkpointDelta(spark, dir,
+      DeltaReader.snapshot(spark, dir, None).version)
+    finally spark.conf.unset("spark.graft.delta.ignoreCheckpointProtection")
+    assert(DeltaReader.read(spark, dir).count() == 31)
+    // FOREIGN shape: a table that merely DECLARES the writer feature
+    // reads and appends (its obligations bind checkpoint authoring)
+    val f = tmp("graft_cpprot_f_")
+    LakeWriter.writeDelta(spark.range(0, 5).toDF("id"), f)
+    LakeWriter.upgradeProtocol(spark, f, 1, 7,
+      writerFeatures = Seq("checkpointProtection"))
+    assert(DeltaReader.read(spark, f).count() == 5)
+    LakeWriter.appendDelta(spark.range(5, 7).toDF("id"), f)
+    assert(DeltaReader.read(spark, f).count() == 7)
+  }
+
   test("DROP FEATURE clustering removes the domain; unknown features refuse") {
     val dir = tmp("graft_dropcl_")
     LakeWriter.writeDelta(spark.range(0, 10).toDF("id"), dir)
