@@ -1369,12 +1369,19 @@ object DeltaReader {
       // resolves the snapshot through this very gate, so the
       // obligation holds by construction and the feature is pure
       // interop breadth
+      // variantShredding (r17): the table MAY hold parquet files whose
+      // variant columns are SHREDDED (metadata/value/typed_value
+      // groups) — Spark 4's parquet row converter reassembles them
+      // natively under spark.sql.variant.allowReadingShredded, so the
+      // scan path reads both layouts through the declared VariantType
       val unsupported = readerFeatures -- Set("columnMapping", "deletionVectors",
-        "v2Checkpoints", "typeWidening", "variantType", "timestampNtz", "vacuumProtocolCheck")
+        "v2Checkpoints", "typeWidening", "variantType", "timestampNtz",
+        "vacuumProtocolCheck", "variantShredding")
       require(unsupported.isEmpty,
         s"unsupported Delta reader features ${unsupported.mkString(", ")} " +
-          "(columnMapping, deletionVectors, v2Checkpoints, typeWidening and " +
-          "vacuumProtocolCheck are implemented) — refusing to misread the table")
+          "(columnMapping, deletionVectors, v2Checkpoints, typeWidening, " +
+          "variantShredding and vacuumProtocolCheck are implemented) — " +
+          "refusing to misread the table")
     }
     val cmMode = configuration.getOrElse("delta.columnMapping.mode", "none")
     require(cmMode == "none" || cmMode == "name" || cmMode == "id",

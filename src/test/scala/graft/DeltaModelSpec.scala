@@ -10,7 +10,8 @@ import graft.sources.{DeltaReader, LakeWriter, MergeClause, MergeDelete, MergeIn
   * checkpoint / delta.feature.* declaration (incl. v2Checkpoints,
   * which re-routes later checkpoint ops to the v2 shape mid-run) /
   * protocol-version lift / column-mapping UPGRADE (r16 — every later
-  * op then composes on a name-mapped table) ops runs
+  * op then composes on a name-mapped table) / column-mapping REMOVAL
+  * (r17 — the rewrite back to logical footers mid-scenario) ops runs
   * against BOTH the real table and an in-memory Map[id -> v] model.
   * After every committed version the latest read must equal the model;
   * at the end every historical version must time-travel to its
@@ -61,7 +62,7 @@ class DeltaModelSpec extends SparkSpec {
     var cloneCount = 0
     (1 to ops).foreach { _ =>
       val before = version
-      rnd.nextInt(22) match {
+      rnd.nextInt(23) match {
         case 0 => // append fresh rows
           val rows = freshIds(1 + rnd.nextInt(4)).map(i => i -> s"v$i")
           LakeWriter.appendDelta(df(rows), dir)
@@ -182,6 +183,14 @@ class DeltaModelSpec extends SparkSpec {
           if (snapU.configuration.getOrElse("delta.columnMapping.mode", "none") == "none")
             LakeWriter.alterProperties(spark, dir,
               Map("delta.columnMapping.mode" -> "name"))
+          else LakeWriter.compactDelta(spark, dir, minFiles = 2)
+        case 22 => // column-mapping REMOVAL (r17): the full rewrite back
+          // to logical footers — values must be identical, later ops
+          // run unmapped again (an upgrade op may re-map later);
+          // unmapped tables take a layout-only compaction instead
+          val snapR = DeltaReader.snapshot(spark, dir, None)
+          if (snapR.configuration.getOrElse("delta.columnMapping.mode", "none") != "none")
+            LakeWriter.removeColumnMapping(spark, dir)
           else LakeWriter.compactDelta(spark, dir, minFiles = 2)
         case _ => // shallow clone: the fork must equal the model NOW
           cloneCount += 1

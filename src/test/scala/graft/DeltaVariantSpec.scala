@@ -78,4 +78,70 @@ class DeltaVariantSpec extends SparkSpec {
     assert(DeltaReader.read(spark, dir2).schema("payload").dataType ==
       org.apache.spark.sql.types.VariantType)
   }
+
+  test("variantShredding: a genuinely SHREDDED foreign file reads through the declared VariantType") {
+    val om = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val root = java.nio.file.Files.createTempDirectory("graft_vshred_").toFile
+    val log = new java.io.File(root, "_delta_log"); log.mkdirs()
+    // write a SHREDDED parquet file with Spark's own writer (the
+    // foreign-engine stand-in): typed_value groups in the footer
+    val keys = Seq("spark.sql.variant.writeShredding.enabled",
+      "spark.sql.variant.inferShreddingSchema")
+    val prev = keys.map(k => k -> spark.conf.getOption(k))
+    keys.foreach(k => spark.conf.set(k, "true"))
+    try {
+      val stage = new java.io.File(root, "_stage")
+      spark.sql(
+        """SELECT id, parse_json(concat('{"a":', id, ',"b":"s', id, '"}')) AS v
+          |FROM range(6)""".stripMargin)
+        .coalesce(1).write.parquet(stage.getPath)
+      val pf = stage.listFiles().find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(pf.toPath,
+        new java.io.File(root, "shredded.parquet").toPath)
+      org.apache.commons.io.FileUtils.deleteDirectory(stage)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    // prove the fixture is really shredded, not a plain binary pair
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(root.getPath, "shredded.parquet"),
+        spark.sessionState.newHadoopConf()))
+    val footer = try rdr.getFooter.getFileMetaData.getSchema.toString
+      finally rdr.close()
+    assert(footer.contains("typed_value"), s"fixture is not shredded:\n$footer")
+    // the foreign table declares BOTH variant features
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.VariantType)))
+    java.nio.file.Files.write(new java.io.File(log, "0" * 20 + ".json").toPath, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["variantType","variantShredding"],"writerFeatures":["variantType","variantShredding"]}}""",
+      s"""{"metaData":{"id":"vshred","format":{"provider":"parquet","options":{}},"schemaString":${
+        om.writeValueAsString(schema.json)},"partitionColumns":[],"configuration":{}}}""",
+      """{"add":{"path":"shredded.parquet","partitionValues":{},"size":1,"modificationTime":1,"dataChange":true}}"""
+    ).mkString("\n").getBytes("UTF-8"))
+    val dir = root.getPath
+    def got() = DeltaReader.read(spark, dir)
+      .selectExpr("id", "variant_get(v, '$.a', 'long') AS a",
+        "variant_get(v, '$.b', 'string') AS b")
+      .as[(Long, Long, String)].collect().toSet
+    assert(got() == (0L until 6L).map(i => (i, i, s"s$i")).toSet, got().toString)
+    // graft writes stay UNSHREDDED (legal under the feature — shredding
+    // is a MAY): an append lands beside the shredded file and both read
+    LakeWriter.appendDelta(spark.sql(
+      """SELECT id, parse_json(concat('{"a":', id, ',"b":"s', id, '"}')) AS v
+        |FROM range(100, 102)""".stripMargin).coalesce(1), dir)
+    assert(got() == ((0L until 6L) ++ (100L until 102L))
+      .map(i => (i, i, s"s$i")).toSet, got().toString)
+    // and a rewrite (OPTIMIZE) folds the shredded file into an
+    // unshredded one without changing a value
+    LakeWriter.compactDelta(spark, dir, minFiles = 2)
+    assert(got() == ((0L until 6L) ++ (100L until 102L))
+      .map(i => (i, i, s"s$i")).toSet, got().toString)
+    assert(DeltaReader.snapshot(spark, dir, None).active
+      .forall(!_.path.contains("shredded")), "compaction folded the foreign file")
+  }
 }
