@@ -57,6 +57,8 @@ object Profile {
         stressHistoryMemo(spark, args.lift(1).map(_.toInt).getOrElse(300))
       case "stress-cluster" =>
         stressCluster(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
+      case "stress-cm-remove" =>
+        stressCmRemove(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-cm-optimize" =>
         stressCmOptimize(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta-files" =>
@@ -411,6 +413,40 @@ object Profile {
     val b = DeltaReader.read(spark, mapped).count()
     require(a == b && a == rows.toLong + 16000L, s"row drift: $a vs $b")
     Seq(plain, mapped).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
+  /** removeColumnMapping's price vs the equal-bytes comparator: a FULL
+    * OPTIMIZE rewrite of the same mapped table (both move every byte
+    * exactly once, bin-packed per partition, zero shuffles). Proves
+    * the removal is compaction-priced — the claim SURVEY §4 makes for
+    * scheduling it like a maintenance campaign at 100 TB.
+    */
+  def stressCmRemove(spark: SparkSession, rows: Int): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    import org.apache.spark.sql.functions._
+    def mk(): String = {
+      val dir = java.nio.file.Files.createTempDirectory(
+        "graft_stress_cmrm_").toFile.getPath
+      LakeWriter.writeDeltaMapped(spark.range(0, rows).select(col("id"),
+        concat(lit("v"), col("id")).as("v"),
+        (col("id") % 4).cast("string").as("k")).repartition(8), dir,
+        partitionBy = Seq("k"))
+      dir
+    }
+    val a = mk(); val b = mk()
+    time(s"optimize_full_mapped_${rows}_rows") {
+      LakeWriter.compactDelta(spark, a, minFiles = 1)
+    }
+    time(s"cm_remove_${rows}_rows") {
+      LakeWriter.removeColumnMapping(spark, b)
+    }
+    val ca = DeltaReader.read(spark, a).count()
+    val cb = DeltaReader.read(spark, b).count()
+    require(ca == rows.toLong && cb == rows.toLong, s"row drift: $ca / $cb")
+    require(!DeltaReader.snapshot(spark, b, None).configuration
+      .contains("delta.columnMapping.mode"), "removal did not land")
+    Seq(a, b).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 

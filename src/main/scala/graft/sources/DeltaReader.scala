@@ -726,6 +726,32 @@ object DeltaReader {
     require(fromVersion >= 0 && fromVersion <= toVersion && toVersion <= latest.version,
       s"readChanges: range [$fromVersion, $toVersion] outside [0, ${latest.version}]")
     val snapTo = if (toVersion == latest.version) latest else snapshot(s, dir, Some(toVersion))
+    // a column-mapping REMOVAL inside the window re-keys change files:
+    // versions before it are keyed by the OLD physical names, which
+    // snapTo's logical read schema would silently null-misread (r17 —
+    // caught by the removal repro). Refuse and name the split point —
+    // delta-spark's CDF refuses non-additive schema changes the same
+    // way. The none→name UPGRADE is additive here: it stamps
+    // physicalName = each column's current name, so pre-upgrade files
+    // keep resolving under snapTo; name→id never happens in graft.
+    locally {
+      def modeOf(sn: Snapshot): String =
+        sn.configuration.getOrElse("delta.columnMapping.mode", "none")
+      // an unresolvable fromVersion (retention-cleaned prefix) falls
+      // through — the classification below raises its own loud
+      // retention refusal, which must not be masked by this guard
+      val modeFrom =
+        if (fromVersion == toVersion) modeOf(snapTo)
+        else try modeOf(snapshot(s, dir, Some(fromVersion)))
+        catch { case scala.util.control.NonFatal(_) => modeOf(snapTo) }
+      val modeTo = modeOf(snapTo)
+      require(modeFrom == modeTo || (modeFrom == "none" && modeTo == "name"),
+        s"readChanges: the window [$fromVersion, $toVersion] crosses a " +
+          s"column-mapping transition ('$modeFrom' at $fromVersion -> '$modeTo' " +
+          "at the window end) — change files written before the transition are " +
+          "keyed by the old physical names and would silently misread under " +
+          "the latest schema; split the read at the transition commit")
+    }
     val schema = DataType.fromJson(snapTo.schemaJson).asInstanceOf[StructType]
     val outSchema = StructType(schema.fields ++ Seq(
       org.apache.spark.sql.types.StructField("_change_type", org.apache.spark.sql.types.StringType),

@@ -1307,7 +1307,10 @@ object LakeWriter {
     * actions carry `dataChange=false` (no rows changed — only their
     * column keys), so no CDF rows stage and streams skip the commit.
     * Time travel below the commit keeps reading the mapped history
-    * through the historic metaData. The PROTOCOL keeps declaring
+    * through the historic metaData; a batch CDF window that CROSSES
+    * the removal refuses loudly (pre-removal change files are keyed
+    * by the old physical names — split the read at the removal
+    * commit; the per-version streaming slices are unaffected). The PROTOCOL keeps declaring
     * columnMapping where it did — inert at mode none, and exactly
     * what delta-spark leaves behind; [[dropFeature]] stays the
     * separate protocol-downgrade path.

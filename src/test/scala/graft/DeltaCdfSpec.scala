@@ -282,4 +282,42 @@ class DeltaCdfSpec extends SparkSpec {
       (0L, "a", "insert", 0L), (1L, "b", "insert", 1L)))
     assert(rows(DeltaReader.read(spark, dir)) == Set((0L, "a"), (1L, "b")))
   }
+
+  test("a window crossing a column-mapping REMOVAL refuses; split windows read") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_cmrm_")
+    // physically-keyed table (col-xxx footers) with CDF
+    LakeWriter.writeDeltaMapped(
+      (0L until 6L).map(i => (i, s"v$i")).toDF("id", "v"), dir)       // v0
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                     // v1
+    LakeWriter.deleteWhere(spark, dir, "id = 2")                       // v2: cdc under PHYSICAL names
+    LakeWriter.removeColumnMapping(spark, dir)                         // v3: re-key to logical
+    // the straddling window would read v2's physically-keyed cdc file
+    // under the now-logical schema — silent null-misreads (the r17
+    // repro); it must refuse loudly instead
+    val e = intercept[IllegalArgumentException](
+      DeltaReader.readChanges(spark, dir, 2L, 3L))
+    assert(e.getMessage.contains("column-mapping transition"), e.getMessage)
+    // split at the transition: BOTH sides read correctly
+    val before = DeltaReader.readChanges(spark, dir, 2L, 2L)
+      .selectExpr("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(before == Set((2L, "delete")), before.toString)
+    LakeWriter.appendDelta(Seq((100L, "x")).toDF("id", "v"), dir)      // v4
+    val after = DeltaReader.readChanges(spark, dir, 3L, 4L)
+      .selectExpr("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(after == Set((100L, "insert")), after.toString)
+    // the UPGRADE direction stays additive: none -> name windows read
+    val dir2 = tmp("graft_cdf_cmup_")
+    LakeWriter.writeDelta((0L until 3L).map(i => (i, s"v$i")).toDF("id", "v"),
+      dir2, configuration = CDF)                                       // v0
+    LakeWriter.alterProperties(spark, dir2,
+      Map("delta.columnMapping.mode" -> "name"))                       // v1
+    LakeWriter.deleteWhere(spark, dir2, "id = 1")                      // v2
+    val up = DeltaReader.readChanges(spark, dir2, 0L, 2L)
+      .selectExpr("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(up == Set((0L, "insert"), (1L, "insert"), (2L, "insert"),
+      (1L, "delete")), up.toString)
+  }
 }
