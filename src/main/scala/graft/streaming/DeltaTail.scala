@@ -62,6 +62,24 @@ object DeltaTail {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val snap = DeltaReader.snapshot(s, dir, Some(toVersion))
+    // a column-mapping REMOVAL inside the window re-keys files: adds
+    // from versions before it carry the OLD physical names, which
+    // toVersion's logical scan schema would silently null-misread
+    // (readChanges' r17 guard, same class) — refuse at the transition
+    if (fromVersion < toVersion) {
+      def modeOf(sn: DeltaReader.Snapshot): String =
+        sn.configuration.getOrElse("delta.columnMapping.mode", "none")
+      val modeFrom =
+        try modeOf(DeltaReader.snapshot(s, dir, Some(fromVersion)))
+        catch { case scala.util.control.NonFatal(_) => modeOf(snap) }
+      require(modeFrom == modeOf(snap) ||
+          (modeFrom == "none" && modeOf(snap) == "name"),
+        s"changes: the window ($fromVersion, $toVersion] crosses a " +
+          s"column-mapping transition ('$modeFrom' -> '${modeOf(snap)}') — " +
+          "appends before the transition are keyed by the old physical names " +
+          "and would silently misread; restart the tail from a fresh initial " +
+          "snapshot past the transition commit")
+    }
     val newAdds = ((fromVersion + 1) to toVersion).flatMap { v =>
       val (adds, removes) = DeltaReader.commitChanges(s, dir, v)
       val deletes = removes.filter(_._2)

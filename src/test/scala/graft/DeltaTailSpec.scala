@@ -143,4 +143,23 @@ class DeltaTailSpec extends SparkSpec {
     val mirrorSnap = DeltaReader.snapshot(spark, mirror, None)
     assert(mirrorSnap.version == 1L, s"mirror grew to ${mirrorSnap.version}")
   }
+
+  test("a tail window crossing a column-mapping REMOVAL refuses; post-transition windows read") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_tail_cmrm_")
+    LakeWriter.writeDeltaMapped(
+      (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), dir)         // v0
+    LakeWriter.appendDelta(Seq((10L, "a")).toDF("id", "v"), dir)        // v1: PHYSICAL names
+    LakeWriter.removeColumnMapping(spark, dir)                          // v2
+    LakeWriter.appendDelta(Seq((11L, "b")).toDF("id", "v"), dir)        // v3: logical names
+    // the straddling window would scan v1's physically-keyed append
+    // under the post-removal schema — refuse loudly
+    val e = intercept[IllegalArgumentException](
+      DeltaTail.changes(spark, dir, 0L, 3L).count())
+    assert(e.getMessage.contains("column-mapping transition"), e.getMessage)
+    // windows on either side of the transition read correctly
+    assert(rows(DeltaTail.changes(spark, dir, 0L, 1L)) == Set((10L, "a")))
+    assert(rows(DeltaTail.changes(spark, dir, 2L, 3L)) == Set((11L, "b")))
+  }
 }
