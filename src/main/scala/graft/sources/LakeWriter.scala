@@ -3332,6 +3332,14 @@ object LakeWriter {
     * the retained suffix; history, CDF, the ICT horizon and time
     * travel now start at k, and a read below k refuses loudly (the
     * retention contract). Returns the deleted names, sorted.
+    *
+    * checkpointProtection interplay: the protocol lets a writer clean
+    * metadata below `delta.requireCheckpointProtectionBeforeVersion`
+    * only when it supports every feature the protected history
+    * dropped — graft qualifies by construction (it only ever drops
+    * features it fully implements, and the boundary checkpoint it
+    * authored at the drop version is exactly the ≥-boundary base the
+    * cleanup anchors to), so no extra gate is needed here.
     */
   def cleanExpiredLogs(spark: SparkSession, dir: String,
                        nowMillis: Option[Long] = None): Seq[String] =

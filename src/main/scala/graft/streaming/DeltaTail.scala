@@ -42,7 +42,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object DeltaTail {
 
   /** New rows committed in versions (fromVersion, toVersion]:
-    * dataChange=true adds only, scanned under `toVersion`'s metadata.
+    * dataChange=true adds only, scanned under `toVersion`'s metadata —
+    * or per-version under each version's OWN metadata when the window
+    * crosses a column-mapping transition (whose re-keyed files the
+    * single scan would null-misread; the logical names are
+    * transition-invariant, so the slices union).
     * Refuses dataChange=true removes (deletes need CDF, not a tail)
     * and DV-carrying new adds (a file BORN with deleted rows is a
     * rewrite product, not an append) — unless the caller opted into
@@ -62,25 +66,7 @@ object DeltaTail {
     require(fromVersion <= toVersion,
       s"changes: fromVersion $fromVersion > toVersion $toVersion")
     val snap = DeltaReader.snapshot(s, dir, Some(toVersion))
-    // a column-mapping REMOVAL inside the window re-keys files: adds
-    // from versions before it carry the OLD physical names, which
-    // toVersion's logical scan schema would silently null-misread
-    // (readChanges' r17 guard, same class) — refuse at the transition
-    if (fromVersion < toVersion) {
-      def modeOf(sn: DeltaReader.Snapshot): String =
-        sn.configuration.getOrElse("delta.columnMapping.mode", "none")
-      val modeFrom =
-        try modeOf(DeltaReader.snapshot(s, dir, Some(fromVersion)))
-        catch { case scala.util.control.NonFatal(_) => modeOf(snap) }
-      require(modeFrom == modeOf(snap) ||
-          (modeFrom == "none" && modeOf(snap) == "name"),
-        s"changes: the window ($fromVersion, $toVersion] crosses a " +
-          s"column-mapping transition ('$modeFrom' -> '${modeOf(snap)}') — " +
-          "appends before the transition are keyed by the old physical names " +
-          "and would silently misread; restart the tail from a fresh initial " +
-          "snapshot past the transition commit")
-    }
-    val newAdds = ((fromVersion + 1) to toVersion).flatMap { v =>
+    val perVersion = ((fromVersion + 1) to toVersion).flatMap { v =>
       val (adds, removes) = DeltaReader.commitChanges(s, dir, v)
       val deletes = removes.filter(_._2)
       val dcAdds = adds.filter(_._2)
@@ -92,15 +78,37 @@ object DeltaTail {
             "(a delete/rewrite) — an append-only tail cannot represent it; " +
             "refusing to stream a wrong delta (option ignoreDeletes skips " +
             "delete-only versions; skipChangeCommits skips every changing version)")
-        dcAdds.map(_._1)
+        if (dcAdds.isEmpty) Nil else Seq(v -> dcAdds.map(_._1))
       }
     }
+    val newAdds = perVersion.flatMap(_._2)
     newAdds.foreach { a =>
       require(a.dv.isEmpty,
         s"version range ($fromVersion, $toVersion] adds ${a.path} carrying a deletion " +
           "vector — a rewrite product, not an append; refusing to stream it")
     }
-    DeltaReader.scanFiles(s, dir, snap, newAdds)
+    // a column-mapping REMOVAL inside the window re-keys files: adds
+    // from versions before it carry the OLD physical names, which
+    // toVersion's logical scan schema would silently null-misread
+    // (r17 repro, the readChanges class). The tail can deliver it
+    // CORRECTLY though: each version's adds scan under that version's
+    // OWN metadata and the slices union by the (transition-invariant)
+    // logical names — one scan per version only on windows that
+    // actually cross a transition, the homogeneous fast path otherwise.
+    def modeOf(sn: DeltaReader.Snapshot): String =
+      sn.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val crossesCm = fromVersion < toVersion && {
+      val modeFrom =
+        try modeOf(DeltaReader.snapshot(s, dir, Some(fromVersion)))
+        catch { case scala.util.control.NonFatal(_) => modeOf(snap) }
+      !(modeFrom == modeOf(snap) ||
+        (modeFrom == "none" && modeOf(snap) == "name"))
+    }
+    if (!crossesCm) DeltaReader.scanFiles(s, dir, snap, newAdds)
+    else perVersion.map { case (v, adds) =>
+      DeltaReader.scanFiles(s, dir, DeltaReader.snapshot(s, dir, Some(v)), adds)
+    }.reduceOption(_ unionByName _)
+      .getOrElse(DeltaReader.scanFiles(s, dir, snap, Nil))
   }
 
   /** One micro-batch poll: deliver everything committed since the

@@ -144,7 +144,7 @@ class DeltaTailSpec extends SparkSpec {
     assert(mirrorSnap.version == 1L, s"mirror grew to ${mirrorSnap.version}")
   }
 
-  test("a tail window crossing a column-mapping REMOVAL refuses; post-transition windows read") {
+  test("a tail window crossing a column-mapping REMOVAL delivers per-version (no null-misread)") {
     val s = spark
     import s.implicits._
     val dir = tmp("graft_tail_cmrm_")
@@ -153,12 +153,13 @@ class DeltaTailSpec extends SparkSpec {
     LakeWriter.appendDelta(Seq((10L, "a")).toDF("id", "v"), dir)        // v1: PHYSICAL names
     LakeWriter.removeColumnMapping(spark, dir)                          // v2
     LakeWriter.appendDelta(Seq((11L, "b")).toDF("id", "v"), dir)        // v3: logical names
-    // the straddling window would scan v1's physically-keyed append
-    // under the post-removal schema — refuse loudly
-    val e = intercept[IllegalArgumentException](
-      DeltaTail.changes(spark, dir, 0L, 3L).count())
-    assert(e.getMessage.contains("column-mapping transition"), e.getMessage)
-    // windows on either side of the transition read correctly
+    // the straddling window scans v1's physically-keyed append under
+    // ITS metadata and v3's under the post-removal one — both rows
+    // arrive with REAL values (the single toVersion-schema scan would
+    // silently null-misread v1's — the r17 repro)
+    assert(rows(DeltaTail.changes(spark, dir, 0L, 3L)) ==
+      Set((10L, "a"), (11L, "b")))
+    // windows on either side of the transition read the fast path
     assert(rows(DeltaTail.changes(spark, dir, 0L, 1L)) == Set((10L, "a")))
     assert(rows(DeltaTail.changes(spark, dir, 2L, 3L)) == Set((11L, "b")))
   }

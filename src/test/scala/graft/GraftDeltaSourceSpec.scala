@@ -366,6 +366,26 @@ class GraftDeltaSourceSpec extends SparkSpec {
       "snapshot + streamed increments must equal the final batch read")
   }
 
+  test("a mid-stream column-mapping REMOVAL streams through: per-version slices resolve their own metadata") {
+    val d = freshDir("cmrm"); val cp = freshDir("cmrmcp")
+    // physically-keyed mapped table (base has 3 columns; writeDeltaMapped)
+    LakeWriter.writeDeltaMapped(base.repartition(2), d)            // v0
+    val (first, _) = drain(d, cp)
+    assert(first.size == 40)
+    // appends under PHYSICAL names, then the removal, then logical ones
+    LakeWriter.appendDelta(Seq((500L, "p", 1.0)).toDF("id", "k", "v"), d) // v1
+    LakeWriter.removeColumnMapping(spark, d)                        // v2 (dataChange=false)
+    LakeWriter.appendDelta(Seq((600L, "l", 2.0)).toDF("id", "k", "v"), d) // v3
+    val (inc, _) = drain(d, cp)
+    // both appends arrive with REAL values (v1's slice resolved under
+    // the mapped metadata, v3's under the unmapped one); the removal's
+    // own rewrite commit delivers nothing (dataChange=false)
+    assert(inc.map(r => (r.head, r(1))).toSet == Set((500L, "p"), (600L, "l")),
+      inc.toString)
+    assert((first ++ inc).toSet == batchRows(d).toSet,
+      "snapshot + streamed increments must equal the final batch read")
+  }
+
   test("maxVersionsPerTrigger caps catch-up batches (admission control survives restart)") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base, d)
