@@ -6325,8 +6325,11 @@ object LakeWriter {
     *
     * The clone is a fully independent table from the first commit:
     * NEW table id (readers must never confuse the lineages), the
-    * source's schemaString / partitionColumns / configuration /
-    * protocol restated verbatim, and its own history — appends land
+    * source's schemaString / partitionColumns / protocol restated
+    * verbatim, the configuration restated MINUS the version-anchored
+    * properties (checkpoint-protection boundary, ICT enablement
+    * provenance — they name SOURCE commit numbers; see the strip
+    * below), and its own history — appends land
     * relative files next to the absolute ones, copy-on-write mutations
     * rewrite affected SOURCE files into clone-local files (the source
     * is never touched), compaction folds absolute entries into local
@@ -6355,6 +6358,23 @@ object LakeWriter {
       s"cloneDelta: $dstDir already holds a Delta log — refusing to overwrite a table")
     val snap = DeltaReader.snapshot(spark, srcDir, versionAsOf)
     val srcFs = srcRoot.getFileSystem(hconf)
+    // VERSION-ANCHORED properties reference SOURCE commit numbers and
+    // must not carry into a log that starts fresh at version 0: a
+    // carried checkpoint-protection boundary would refuse every read
+    // of the clone (its replay base is version 0 — below any source
+    // boundary — yet none of the protected history even exists here),
+    // and carried ICT enablement provenance would alias onto the
+    // clone's own commit at the source's enablement version and stamp
+    // it with the stale source timestamp, breaking the protocol's
+    // strict ICT monotonicity. The FEATURES themselves
+    // (checkpointProtection, inCommitTimestamp) stay declared: the
+    // clone's ICT history simply starts at its version 0, where the
+    // spec makes the provenance pair optional. delta-spark's CLONE
+    // strips the same properties.
+    val confClone = snap.configuration -- Seq(
+      "delta.requireCheckpointProtectionBeforeVersion",
+      "delta.inCommitTimestampEnablementVersion",
+      "delta.inCommitTimestampEnablementTimestamp")
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     def absUri(p: String): String =
       if (DeltaReader.isAbsoluteAddPath(p)) p // a clone of a clone keeps the origin
@@ -6378,7 +6398,7 @@ object LakeWriter {
     actions += s"""{"commitInfo":{"timestamp":0,"operation":"CLONE","operationParameters":{"source":${om.writeValueAsString(srcDir)},"sourceVersion":${snap.version}},"engineInfo":"graft"}}"""
     actions += protocolJson(snap)
     val pcJson = snap.partCols.map(om.writeValueAsString).mkString("[", ",", "]")
-    val confJson = snap.configuration.toSeq.sortBy(_._1).map { case (k, v) =>
+    val confJson = confClone.toSeq.sortBy(_._1).map { case (k, v) =>
       s"${om.writeValueAsString(k)}:${om.writeValueAsString(v)}"
     }.mkString("{", ",", "}")
     // deterministic like every graft log: the id derives from the CLONE's
@@ -6404,7 +6424,9 @@ object LakeWriter {
     GraftLogStore.commitOrThrow(spark, fs, commit,
       actions.mkString("\n").getBytes("UTF-8"),
       "a concurrent writer won version 0; clone into a fresh directory",
-      ictConf = snap.configuration)
+      // the stripped conf: a foreign source enabled at ITS version 0
+      // would otherwise alias its provenance stamp onto the clone's
+      ictConf = confClone)
     // a big clone's version-0 commit is one JSON file with `files`
     // add lines, and commit JSON parses on the DRIVER at every replay
     // (the format's design assumes commits are small) — fold it into a

@@ -202,4 +202,66 @@ class DeltaCloneSpec extends SparkSpec {
     assert(dc.getAs[Long]("numFiles") == 1L)
     assert(dc.getAs[Long]("numDeletionVectorFiles") == 1L)
   }
+
+  test("clone of a checkpoint-protected table reads: the boundary is version-anchored and does not carry") {
+    val src = tmp("graft_clone_cp_src_") + "/t"
+    val dst = tmp("graft_clone_cp_dst_") + "/t"
+    LakeWriter.writeDelta(spark.range(0, 30).toDF("id").repartition(2), src,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    LakeWriter.deleteWhereDv(spark, src, "id = 3")
+    LakeWriter.reorgPurge(spark, src)
+    LakeWriter.dropFeature(spark, src, "deletionVectors", truncateHistory = true)
+    val srcSnap = DeltaReader.snapshot(spark, src, None)
+    assert(srcSnap.configuration.contains(
+      "delta.requireCheckpointProtectionBeforeVersion"), "harness: source unprotected")
+    LakeWriter.cloneDelta(spark, src, dst)
+    // the clone's log begins at a complete version-0 snapshot — none of
+    // the source's protected history exists in it, so the SOURCE-version
+    // boundary must not carry (it would refuse every read of the clone)
+    assert(DeltaReader.read(spark, dst).count() == 29)
+    val cSnap = DeltaReader.snapshot(spark, dst, None)
+    assert(!cSnap.configuration.contains(
+      "delta.requireCheckpointProtectionBeforeVersion"),
+      s"boundary carried into the clone: ${cSnap.configuration}")
+    // the declared feature itself is an inert obligation and stays
+    assert(cSnap.writerFeatures.contains("checkpointProtection"),
+      cSnap.writerFeatures.toString)
+    // the clone checkpoints at its own version 0 (the >=10k-file clone
+    // path does exactly this) and mutates freely
+    LakeWriter.checkpointDelta(spark, dst, 0L)
+    LakeWriter.appendDelta(spark.range(100, 102).toDF("id"), dst)
+    assert(DeltaReader.read(spark, dst).count() == 31)
+  }
+
+  test("clone of a mid-life ICT table: enablement provenance resets; clone stamps stay monotone") {
+    val s = spark
+    import s.implicits._
+    val src = tmp("graft_clone_ict_src_") + "/t"
+    val dst = tmp("graft_clone_ict_dst_") + "/t"
+    LakeWriter.writeDelta(Seq((0L, "a")).toDF("id", "v"), src)       // v0 unstamped
+    LakeWriter.alterProperties(spark, src,
+      Map("delta.enableInCommitTimestamps" -> "true"))               // v1 enables
+    LakeWriter.appendDelta(Seq((1L, "b")).toDF("id", "v"), src)      // v2
+    Thread.sleep(5) // source enablement stamp strictly in the clone's past
+    LakeWriter.cloneDelta(spark, src, dst)
+    val cSnap = DeltaReader.snapshot(spark, dst, None)
+    // the feature and its enabling flag carry; the SOURCE-version
+    // provenance pair does not — the clone's ICT history starts at its
+    // own version 0, and a carried (version=1, timestamp=T_src) would
+    // alias onto the clone's commit 1 and stamp it with a stale T_src,
+    // breaking the protocol's strict monotonicity
+    assert(cSnap.configuration.get("delta.enableInCommitTimestamps").contains("true"))
+    assert(!cSnap.configuration.contains("delta.inCommitTimestampEnablementVersion") &&
+      !cSnap.configuration.contains("delta.inCommitTimestampEnablementTimestamp"),
+      s"enablement provenance carried into the clone: ${cSnap.configuration}")
+    // drive the clone past the source's enablement version
+    LakeWriter.appendDelta(Seq((2L, "c")).toDF("id", "v"), dst)      // clone v1
+    LakeWriter.appendDelta(Seq((3L, "d")).toDF("id", "v"), dst)      // clone v2
+    val log = new org.apache.hadoop.fs.Path(dst, "_delta_log")
+    val fs = log.getFileSystem(spark.sessionState.newHadoopConf())
+    val stamps = (0L to 2L).map(v => DeltaReader.commitIct(fs, log, v).getOrElse(
+      fail(s"clone commit $v carries no inCommitTimestamp")))
+    assert(stamps == stamps.sorted && stamps.distinct == stamps,
+      s"clone ICT stamps not strictly monotone: $stamps")
+  }
 }

@@ -135,4 +135,49 @@ class DeltaLogCleanSpec extends SparkSpec {
     assert(DeltaReader.read(spark, v2).count() == 16L)
     assert(DeltaReader.read(spark, v2, versionAsOf = Some(2L)).count() == 12L)
   }
+
+  test("cleanup composes with checkpointProtection: the protected prefix (boundary checkpoint included) ages out, reads stay green") {
+    // the protocol lets a writer clean metadata below
+    // delta.requireCheckpointProtectionBeforeVersion only when it
+    // supports every feature the protected history dropped — graft
+    // qualifies by construction (it only drops features it implements).
+    // Pin the whole lifecycle: TRUNCATE HISTORY drop stamps boundary B
+    // with a checkpoint AT B; later commits + a later checkpoint K>B;
+    // cleanup deletes everything below K — the boundary checkpoint and
+    // the pre-drop DV history included — and the table still replays
+    // (from K, at or above the boundary), the protection guard does not
+    // spuriously fire, and reads below K refuse on the RETENTION
+    // contract, not a protection misfire.
+    val dir = tmp("cpprot")
+    val day = 86400000L
+    LakeWriter.writeDelta(spark.range(0, 30).toDF("k").repartition(2), dir,
+      configuration = Map("delta.enableDeletionVectors" -> "true"))
+    LakeWriter.deleteWhereDv(spark, dir, "k = 3")                    // v1
+    LakeWriter.reorgPurge(spark, dir)                                // v2
+    LakeWriter.dropFeature(spark, dir, "deletionVectors",
+      truncateHistory = true)                                        // v3 = B, checkpointed
+    val bound = DeltaReader.snapshot(spark, dir, None)
+      .configuration("delta.requireCheckpointProtectionBeforeVersion").toLong
+    LakeWriter.appendDelta(spark.range(100, 102).toDF("k"), dir)     // v4
+    LakeWriter.appendDelta(spark.range(102, 104).toDF("k"), dir)     // v5
+    LakeWriter.checkpointDelta(spark, dir, 5L)                       // K = 5 > B
+    (0L to 4L).foreach(age(dir, _, 40 * day))
+    val deleted = LakeWriter.cleanExpiredLogs(spark, dir)
+    assert(deleted.contains(f"$bound%020d.checkpoint.parquet"),
+      s"boundary checkpoint survived cleanup: $deleted")
+    assert((0L to 4L).forall(v => deleted.contains(f"$v%020d.json")),
+      deleted.toString)
+    // the table replays from K — protection guard satisfied (K >= B)
+    assert(DeltaReader.read(spark, dir).count() == 33L)
+    // config still carries the boundary; a read below K refuses on the
+    // retention contract (the history is GONE), not a protection error
+    val e = intercept[Exception](
+      DeltaReader.read(spark, dir, versionAsOf = Some(1L)).count())
+    assert(!e.getMessage.contains("protection"), e.getMessage)
+    // and the table keeps mutating + checkpointing normally after
+    LakeWriter.appendDelta(spark.range(104, 106).toDF("k"), dir)
+    LakeWriter.checkpointDelta(spark, dir,
+      DeltaReader.snapshot(spark, dir, None).version)
+    assert(DeltaReader.read(spark, dir).count() == 35L)
+  }
 }
