@@ -386,6 +386,41 @@ class GraftDeltaSourceSpec extends SparkSpec {
       "snapshot + streamed increments must equal the final batch read")
   }
 
+  test("a mid-stream column-mapping UPGRADE streams through; a rename beyond it refuses loudly") {
+    val d = freshDir("cmup"); val cp = freshDir("cmupcp")
+    LakeWriter.writeDelta(base.repartition(2), d)                   // v0, unmapped
+    val (first, _) = drain(d, cp)
+    assert(first.size == 40)
+    LakeWriter.appendDelta(Seq((500L, "p", 1.0)).toDF("id", "k", "v"), d) // v1, logical footers
+    LakeWriter.alterProperties(spark, d,
+      Map("delta.columnMapping.mode" -> "name"))                    // v2: metadata-only upgrade
+    LakeWriter.appendDelta(Seq((600L, "l", 2.0)).toDF("id", "k", "v"), d) // v3, mapped
+    // the upgrade is invisible to the stream: physicalName = each
+    // column's current name, so pre- and post-upgrade slices project
+    // to the same logical shape
+    val (inc, _) = drain(d, cp)
+    assert(inc.map(r => (r.head, r(1))).toSet == Set((500L, "p"), (600L, "l")),
+      inc.toString)
+    assert((first ++ inc).toSet == batchRows(d).toSet,
+      "snapshot + streamed increments must equal the final batch read")
+    // a RENAME landing while an old-schema append is still PENDING is
+    // a BREAKING change for a streaming consumer: the restarted stream
+    // pins the new logical schema while the pending slice scans the
+    // old one — the mutation tolerance refuses loudly (delta-spark
+    // refuses the same way without a schema-tracking location), never
+    // silently null-reads
+    LakeWriter.appendDelta(Seq((700L, "m", 3.0)).toDF("id", "k", "v"), d) // v4, pending
+    LakeWriter.renameColumn(spark, d, "k", "k2")                    // v5
+    LakeWriter.appendDelta(Seq((701L, "n", 4.0)).toDF("id", "k2", "v"), d) // v6
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+      drain(d, cp))
+    assert(e.getMessage.contains("schema changed mid-stream"), e.getMessage)
+    // a FRESH checkpoint adopts the renamed schema and replays whole
+    val (fresh, _) = drain(d, freshDir("cmupcp2"))
+    assert(fresh.size == 44 && fresh.map(r => (r.head, r(1))).toSet
+      .contains((700L, "m")), fresh.size.toString)
+  }
+
   test("maxVersionsPerTrigger caps catch-up batches (admission control survives restart)") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base, d)
