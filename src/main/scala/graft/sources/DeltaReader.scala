@@ -475,7 +475,12 @@ object DeltaReader {
       operation: Option[String], readVersion: Option[Long],
       engineInfo: Option[String], ict: Option[Long],
       metrics: Map[String, String] = Map.empty,
-      params: Map[String, String] = Map.empty)
+      params: Map[String, String] = Map.empty,
+      // the column-mapping mode a metaData RESTATEMENT in this commit
+      // declares ("none" when the restatement omits the key); None =
+      // no metaData action — the window guards walk these to find
+      // transitions whose endpoints agree (removal + re-upgrade)
+      cmMode: Option[String] = None)
 
   /** Process-wide per-commit parse memo, validated by the commit
     * FILE's own (length, mtime) — deliberately NOT the snapshot
@@ -527,6 +532,7 @@ object DeltaReader {
     var ict: Option[Long] = None
     var metrics: Map[String, String] = Map.empty
     var params: Map[String, String] = Map.empty
+    var cmMode: Option[String] = None
     def dataChange(n: com.fasterxml.jackson.databind.JsonNode): Boolean =
       !n.has("dataChange") || n.get("dataChange").isNull || n.get("dataChange").asBoolean()
     val rd = new java.io.BufferedReader(
@@ -538,6 +544,12 @@ object DeltaReader {
         if (n.has("remove"))
           acts += Left(n.get("remove").get("path").asText()) -> dataChange(n.get("remove"))
         if (n.has("cdc")) cdc += addFromJson(n.get("cdc"))
+        if (n.has("metaData")) {
+          val conf = n.get("metaData").get("configuration")
+          cmMode = Some(Option(conf).filterNot(_.isNull)
+            .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+            .filterNot(_.isNull).map(_.asText()).getOrElse("none"))
+        }
         if (n.has("commitInfo")) {
           val ci = n.get("commitInfo")
           op = Option(ci.get("operation")).filterNot(_.isNull).map(_.asText())
@@ -558,7 +570,49 @@ object DeltaReader {
         }
       } finally rd.close()
     CommitParse(acts.result(), cdc.result(), op, readVersion, engine, ict, metrics,
-      params)
+      params, cmMode)
+  }
+
+  /** The FIRST column-mapping transition in versions
+    * (fromVersion, toVersion] that breaks single-scan soundness — a
+    * single scan under `snapTo`'s metadata resolves files written
+    * anywhere in the window ONLY when no in-window metaData
+    * restatement changes the mapping mode, except the additive
+    * none→name upgrade (it stamps physicalName = each column's
+    * then-current on-disk name, so earlier files keep resolving).
+    * Endpoint comparison is NOT enough: a name→none REMOVAL followed
+    * by a re-upgrade (or an upgrade followed by a removal) can leave
+    * the endpoints agreeing while mid-window files are keyed by a
+    * mapping `snapTo` no longer carries — those would silently
+    * null-misread. Returns Some((version, modeBefore, modeAfter)) of
+    * the first breaking transition, None when a single scan is sound.
+    * Cost: O(window) memoized commit parses (the history family's
+    * cache); retention-cleaned commits skip — the caller's own
+    * classification raises the loud retention refusal.
+    */
+  private[graft] def cmTransitionBreak(s: SparkSession, dir: String,
+      fromVersion: Long, toVersion: Long,
+      snapTo: Snapshot): Option[(Long, String, String)] = {
+    if (fromVersion >= toVersion) return None
+    def modeOf(sn: Snapshot): String =
+      sn.configuration.getOrElse("delta.columnMapping.mode", "none")
+    val logPath = new Path(dir, "_delta_log")
+    val fs = logPath.getFileSystem(s.sessionState.newHadoopConf())
+    var mode =
+      try modeOf(snapshot(s, dir, Some(fromVersion)))
+      catch { case scala.util.control.NonFatal(_) => modeOf(snapTo) }
+    var break0: Option[(Long, String, String)] = None
+    var v = fromVersion + 1
+    while (v <= toVersion && break0.isEmpty) {
+      parsedCommit(fs, logPath, v).flatMap(_.cmMode).foreach { m =>
+        if (m != mode) {
+          if (!(mode == "none" && m == "name")) break0 = Some((v, mode, m))
+          mode = m
+        }
+      }
+      v += 1
+    }
+    break0
   }
 
   /** The memoized parse of commit `version`, or None when its file is
@@ -734,23 +788,20 @@ object DeltaReader {
     // way. The none→name UPGRADE is additive here: it stamps
     // physicalName = each column's current name, so pre-upgrade files
     // keep resolving under snapTo; name→id never happens in graft.
-    locally {
-      def modeOf(sn: Snapshot): String =
-        sn.configuration.getOrElse("delta.columnMapping.mode", "none")
-      // an unresolvable fromVersion (retention-cleaned prefix) falls
-      // through — the classification below raises its own loud
-      // retention refusal, which must not be masked by this guard
-      val modeFrom =
-        if (fromVersion == toVersion) modeOf(snapTo)
-        else try modeOf(snapshot(s, dir, Some(fromVersion)))
-        catch { case scala.util.control.NonFatal(_) => modeOf(snapTo) }
-      val modeTo = modeOf(snapTo)
-      require(modeFrom == modeTo || (modeFrom == "none" && modeTo == "name"),
+    // the walk inspects every IN-WINDOW metaData restatement, not just
+    // the endpoints: a removal + re-upgrade (or upgrade + removal)
+    // leaves the endpoint modes agreeing while mid-window change files
+    // are keyed by a mapping snapTo no longer carries. An unresolvable
+    // fromVersion (retention-cleaned prefix) falls through — the
+    // classification below raises its own loud retention refusal,
+    // which must not be masked by this guard.
+    cmTransitionBreak(s, dir, fromVersion, toVersion, snapTo).foreach {
+      case (v, m0, m1) => throw new IllegalArgumentException(
         s"readChanges: the window [$fromVersion, $toVersion] crosses a " +
-          s"column-mapping transition ('$modeFrom' at $fromVersion -> '$modeTo' " +
-          "at the window end) — change files written before the transition are " +
-          "keyed by the old physical names and would silently misread under " +
-          "the latest schema; split the read at the transition commit")
+          s"column-mapping transition ('$m0' -> '$m1' at version $v) — change " +
+          "files written before the transition are keyed by the old physical " +
+          "names and would silently misread under the window-end schema; " +
+          "split the read at the transition commit")
     }
     val schema = DataType.fromJson(snapTo.schemaJson).asInstanceOf[StructType]
     val outSchema = StructType(schema.fields ++ Seq(

@@ -6907,6 +6907,17 @@ object LakeWriter {
     if (fs.exists(log) &&
         fs.listStatus(log).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // same checkpointProtection gate as the classic author — this is
+    // public API too, and a direct call below the boundary would base
+    // replays inside dropped-feature history
+    DeltaReader.snapshot(spark, dir, None).configuration
+      .get("delta.requireCheckpointProtectionBeforeVersion")
+      .map(_.toLong).foreach { bound =>
+        require(version >= bound,
+          s"checkpointDeltaV2: version $version is below the table's checkpoint " +
+            s"protection boundary $bound (a TRUNCATE HISTORY feature drop) — " +
+            "a checkpoint there would base replays inside dropped-feature history")
+      }
     // ONE live aggregation serves the checksum re-seed AND the auto
     // sidecar sizing (the re-seed also heals broken .crc chains at
     // checkpoint cadence, same contract as the classic author)

@@ -95,15 +95,12 @@ object DeltaTail {
     // OWN metadata and the slices union by the (transition-invariant)
     // logical names — one scan per version only on windows that
     // actually cross a transition, the homogeneous fast path otherwise.
-    def modeOf(sn: DeltaReader.Snapshot): String =
-      sn.configuration.getOrElse("delta.columnMapping.mode", "none")
-    val crossesCm = fromVersion < toVersion && {
-      val modeFrom =
-        try modeOf(DeltaReader.snapshot(s, dir, Some(fromVersion)))
-        catch { case scala.util.control.NonFatal(_) => modeOf(snap) }
-      !(modeFrom == modeOf(snap) ||
-        (modeFrom == "none" && modeOf(snap) == "name"))
-    }
+    // the in-window restatement walk, not endpoint comparison: a
+    // removal + re-upgrade leaves the endpoints agreeing while
+    // mid-window adds are keyed by a mapping toVersion's metadata no
+    // longer carries (DeltaReader.cmTransitionBreak)
+    val crossesCm =
+      DeltaReader.cmTransitionBreak(s, dir, fromVersion, toVersion, snap).nonEmpty
     if (!crossesCm) DeltaReader.scanFiles(s, dir, snap, newAdds)
     else perVersion.map { case (v, adds) =>
       DeltaReader.scanFiles(s, dir, DeltaReader.snapshot(s, dir, Some(v)), adds)

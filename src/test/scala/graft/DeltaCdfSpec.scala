@@ -308,6 +308,21 @@ class DeltaCdfSpec extends SparkSpec {
     val after = DeltaReader.readChanges(spark, dir, 3L, 4L)
       .selectExpr("id", "_change_type").as[(Long, String)].collect().toSet
     assert(after == Set((100L, "insert")), after.toString)
+    // ROUND TRIP: re-upgrade after the removal — the ENDPOINTS now
+    // agree ('name' at v2 and after v5) and an endpoint-only guard
+    // would silently null-misread v2's cdc file (keyed by the ORIGINAL
+    // physical names) under the re-upgrade's NEW mapping; the
+    // in-window restatement walk refuses at the removal
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.columnMapping.mode" -> "name"))                       // v5
+    LakeWriter.deleteWhere(spark, dir, "id = 3")                       // v6
+    val e2 = intercept[IllegalArgumentException](
+      DeltaReader.readChanges(spark, dir, 2L, 6L))
+    assert(e2.getMessage.contains("column-mapping transition"), e2.getMessage)
+    // the sub-window crossing only the RE-UPGRADE stays additive-readable
+    val mixed = DeltaReader.readChanges(spark, dir, 4L, 6L)
+      .selectExpr("id", "_change_type").as[(Long, String)].collect().toSet
+    assert(mixed == Set((100L, "insert"), (3L, "delete")), mixed.toString)
     // the UPGRADE direction stays additive: none -> name windows read
     val dir2 = tmp("graft_cdf_cmup_")
     LakeWriter.writeDelta((0L until 3L).map(i => (i, s"v$i")).toDF("id", "v"),

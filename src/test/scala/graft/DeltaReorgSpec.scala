@@ -110,6 +110,10 @@ class DeltaReorgSpec extends SparkSpec {
     val eCp = intercept[IllegalArgumentException](
       LakeWriter.checkpointDelta(spark, dir, bound - 1))
     assert(eCp.getMessage.contains("protection boundary"), eCp.getMessage)
+    // the v2 author is public API too — the same gate binds a direct call
+    val eCp2 = intercept[IllegalArgumentException](
+      LakeWriter.checkpointDeltaV2(spark, dir, bound - 1))
+    assert(eCp2.getMessage.contains("protection boundary"), eCp2.getMessage)
     // delete every checkpoint: a from-version-0 JSON replay to the
     // LATEST must refuse loudly instead of silently crossing the
     // dropped feature's history (the r16 documented deviation, closed)

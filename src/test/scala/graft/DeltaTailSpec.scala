@@ -162,5 +162,18 @@ class DeltaTailSpec extends SparkSpec {
     // windows on either side of the transition read the fast path
     assert(rows(DeltaTail.changes(spark, dir, 0L, 1L)) == Set((10L, "a")))
     assert(rows(DeltaTail.changes(spark, dir, 2L, 3L)) == Set((11L, "b")))
+    // ROUND TRIP: a RE-UPGRADE after the removal makes the window
+    // ENDPOINTS agree ('name' at v1, 'name' at v6) — an endpoint-only
+    // comparison takes the fast single-scan path and null-misreads
+    // v1's add (keyed by the ORIGINAL physical names) under the new
+    // mapping; the in-window restatement walk routes per-version
+    LakeWriter.appendDelta(Seq((12L, "c")).toDF("id", "v"), dir)        // v4
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.columnMapping.mode" -> "name"))                        // v5
+    LakeWriter.appendDelta(Seq((13L, "d")).toDF("id", "v"), dir)        // v6
+    assert(rows(DeltaTail.changes(spark, dir, 1L, 6L)) ==
+      Set((11L, "b"), (12L, "c"), (13L, "d")))
+    assert(rows(DeltaTail.changes(spark, dir, 0L, 6L)) ==
+      Set((10L, "a"), (11L, "b"), (12L, "c"), (13L, "d")))
   }
 }
