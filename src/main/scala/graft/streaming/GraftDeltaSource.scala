@@ -880,7 +880,7 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
         // an indexed end = the first slice of sv's over-sized payload
         case Some(sv) if sv <= endV && endO.index >= 0 =>
           DeltaReader.readChangesSlice(spark, opts.path, endV, 0L, endO.index)
-        case Some(sv) if sv <= endV => DeltaReader.readChanges(spark, opts.path, sv, endV)
+        case Some(sv) if sv <= endV => readChangesRange(sv, endV)
         case _ => emptyBatch // start-after-current (or nothing at sv yet)
       }
       // mid-version continuation: the next slice of the pinned
@@ -893,7 +893,7 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
           // entering a sliced version: by construction endV == s.version+1
           DeltaReader.readChangesSlice(spark, opts.path, endV, 0L, endO.index)
         else if (s.version >= endV) emptyBatch
-        else DeltaReader.readChanges(spark, opts.path, s.version + 1, endV)
+        else readChangesRange(s.version + 1, endV)
     }
     val got = df.schema.map(f => (f.name, f.dataType))
     val want = schema.map(f => (f.name, f.dataType))
@@ -902,6 +902,25 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
         s"(stream pinned ${want.mkString(",")}, version $endV scans ${got.mkString(",")}) " +
         "— restart the stream to adopt the evolved schema")
     GraftColumnBridge.asStreaming(df)
+  }
+
+  /** A multi-version CDF catch-up window: the grouped O(1)-plan
+    * [[DeltaReader.readChanges]] when no column-mapping transition
+    * breaks single-scan soundness; the per-version union when one
+    * does (a removal, or a removal + re-upgrade round trip — each
+    * version then reads under its OWN metadata and the slices union
+    * by the transition-invariant logical names, DeltaTail's exact
+    * fallback). Without this, a catch-up batch crossing a removal
+    * would surface readChanges' batch-API refusal instead of
+    * delivering — the batch API makes the caller split the window;
+    * the source IS that caller.
+    */
+  private def readChangesRange(from: Long, to: Long): DataFrame = {
+    val snapTo = DeltaReader.snapshot(spark, opts.path, Some(to))
+    if (DeltaReader.cmTransitionBreak(spark, opts.path, from, to, snapTo).isEmpty)
+      DeltaReader.readChanges(spark, opts.path, from, to)
+    else (from to to).map(v => DeltaReader.readChanges(spark, opts.path, v, v))
+      .reduce(_ unionByName _)
   }
 
   private def emptyBatch: DataFrame =

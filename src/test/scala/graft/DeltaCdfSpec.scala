@@ -334,5 +334,17 @@ class DeltaCdfSpec extends SparkSpec {
       .selectExpr("id", "_change_type").as[(Long, String)].collect().toSet
     assert(up == Set((0L, "insert"), (1L, "insert"), (2L, "insert"),
       (1L, "delete")), up.toString)
+    // ... even with a RENAME after the upgrade in the same window: the
+    // pre-upgrade change files carry the column's ORIGINAL name, which
+    // is exactly the physicalName the upgrade stamped — so they keep
+    // resolving under the renamed window-end schema, values intact
+    LakeWriter.renameColumn(spark, dir2, "v", "txt")                   // v3
+    LakeWriter.deleteWhere(spark, dir2, "id = 2")                      // v4
+    val up2 = DeltaReader.readChanges(spark, dir2, 0L, 4L)
+      .selectExpr("id", "txt", "_change_type").as[(Long, String, String)]
+      .collect().toSet
+    assert(up2 == Set((0L, "v0", "insert"), (1L, "v1", "insert"),
+      (2L, "v2", "insert"), (1L, "v1", "delete"), (2L, "v2", "delete")),
+      up2.toString)
   }
 }

@@ -421,6 +421,24 @@ class GraftDeltaSourceSpec extends SparkSpec {
       .contains((700L, "m")), fresh.size.toString)
   }
 
+  test("a mid-stream column-mapping REMOVAL streams through the CDF source: the catch-up window splits per-version") {
+    val d = freshDir("cmrmcdf"); val cp = freshDir("cmrmcdfcp")
+    LakeWriter.writeDeltaMapped(base.repartition(2), d)             // v0, physical names
+    LakeWriter.alterProperties(spark, d,
+      Map("delta.enableChangeDataFeed" -> "true"))                  // v1
+    drain(d, cp, Map("readChangeFeed" -> "true"))                   // starts after v1
+    LakeWriter.deleteWhere(spark, d, "id = 2")                      // v2: cdc under PHYSICAL names
+    LakeWriter.removeColumnMapping(spark, d)                        // v3 (dataChange=false)
+    LakeWriter.appendDelta(Seq((500L, "p", 1.0)).toDF("id", "k", "v"), d) // v4
+    // ONE catch-up batch spans v2..v4 — a window the BATCH CDF API
+    // refuses (it crosses the removal); the source is the caller that
+    // can split, and delivers v2's delete with REAL pre-image values
+    // resolved under ITS mapped metadata, nothing for v3, v4's insert
+    val (inc, _) = drain(d, cp, Map("readChangeFeed" -> "true"))
+    val got = inc.map(r => (r(0), r(1), r(3))).toSet
+    assert(got == Set((2L, "c", "delete"), (500L, "p", "insert")), got.toString)
+  }
+
   test("maxVersionsPerTrigger caps catch-up batches (admission control survives restart)") {
     val d = freshDir("t"); val cp = freshDir("cp")
     LakeWriter.writeDelta(base, d)
