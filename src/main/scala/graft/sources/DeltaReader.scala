@@ -892,6 +892,28 @@ object DeltaReader {
     else built.reduce(_ unionByName _)
   }
 
+  /** [[readChanges]] that SPLITS the window per-version when a
+    * column-mapping transition breaks single-scan soundness
+    * ([[cmTransitionBreak]]): each version then reads under its OWN
+    * metadata and the slices union by the transition-invariant
+    * LOGICAL names. For callers that only consume the logical CDF
+    * shape — the streaming source's catch-up, incremental view
+    * maintenance — this delivers correctly across a removal (or a
+    * removal + re-upgrade round trip) where the strict
+    * [[readChanges]] refuses; the strict form remains for callers
+    * that must KNOW the window is homogeneous. The split path builds
+    * one scan per version — acceptable exactly because transitions
+    * are rare, priced rewrites.
+    */
+  def readChangesSplit(s: SparkSession, dir: String,
+                       fromVersion: Long, toVersion: Long): DataFrame = {
+    val snapTo = snapshot(s, dir, Some(toVersion))
+    if (cmTransitionBreak(s, dir, fromVersion, toVersion, snapTo).isEmpty)
+      readChanges(s, dir, fromVersion, toVersion)
+    else (fromVersion to toVersion).map(v => readChanges(s, dir, v, v))
+      .reduce(_ unionByName _)
+  }
+
   /** ONE version's ordered change-file payload — the unit list the
     * streaming source's intra-version admission slices (delta-spark's
     * CDF offsets carry file indexes for the same reason): the commit's

@@ -915,13 +915,8 @@ class GraftDeltaSource(spark: SparkSession, opts: GraftDeltaSource.Options)
     * delivering — the batch API makes the caller split the window;
     * the source IS that caller.
     */
-  private def readChangesRange(from: Long, to: Long): DataFrame = {
-    val snapTo = DeltaReader.snapshot(spark, opts.path, Some(to))
-    if (DeltaReader.cmTransitionBreak(spark, opts.path, from, to, snapTo).isEmpty)
-      DeltaReader.readChanges(spark, opts.path, from, to)
-    else (from to to).map(v => DeltaReader.readChanges(spark, opts.path, v, v))
-      .reduce(_ unionByName _)
-  }
+  private def readChangesRange(from: Long, to: Long): DataFrame =
+    DeltaReader.readChangesSplit(spark, opts.path, from, to)
 
   private def emptyBatch: DataFrame =
     // deliberately NOT wrapped via asStreaming: Spark 4's microbatch

@@ -66,7 +66,11 @@ object ViewMaintain {
         writeState(s, fs, stateRoot, wmFile, full, v)
         Some(v)
       case Some(w) =>
-        val changes = DeltaReader.readChanges(s, srcDir, w + 1, v)
+        // the SPLIT form: the view consumes only the logical CDF shape
+        // (keys + value + _change_type), which is transition-invariant
+        // — a catch-up window crossing a column-mapping removal must
+        // maintain the view, not strand it behind the batch refusal
+        val changes = DeltaReader.readChangesSplit(s, srcDir, w + 1, v)
         val sign = when(col("_change_type").isin("insert", "update_postimage"), lit(1))
           .when(col("_change_type").isin("delete", "update_preimage"), lit(-1))
         val delta = changes

@@ -53,6 +53,25 @@ class ViewMaintainSpec extends SparkSpec {
     assert(ViewMaintain.maintain(spark, d, st, Seq("k"), col("v")) == 0)
   }
 
+  test("view maintains across a column-mapping REMOVAL in one catch-up window") {
+    val d = freshDir("cmrm")
+    val st = freshDir("cmrms")
+    LakeWriter.writeDeltaMapped(base.repartition(3), d)               // v0, physical names
+    LakeWriter.alterProperties(spark, d,
+      Map("delta.enableChangeDataFeed" -> "true"))                    // v1
+    assert(ViewMaintain.maintain(spark, d, st, Seq("k"), col("v")) == 1)
+    // the catch-up window v2..v4 crosses the removal: v2's cdc files
+    // are keyed by the OLD physical names — the split form reads each
+    // version under its own metadata instead of stranding the view
+    // behind the batch refusal
+    LakeWriter.updateWhere(spark, d, "k = 'a'", Map("v" -> "v * 2"))  // v2
+    LakeWriter.removeColumnMapping(spark, d)                          // v3
+    LakeWriter.appendDelta(
+      (200 to 205).map(i => (i.toLong, "e", 2.0)).toDF("id", "k", "v"), d) // v4
+    assert(ViewMaintain.maintain(spark, d, st, Seq("k"), col("v")) == 1)
+    assert(view(st) == fullAgg(d))
+  }
+
   test("crash replay: re-applying the same change window is a no-op") {
     val d = freshDir("t")
     val st = freshDir("s")
