@@ -907,11 +907,38 @@ object DeltaReader {
     */
   def readChangesSplit(s: SparkSession, dir: String,
                        fromVersion: Long, toVersion: Long): DataFrame = {
-    val snapTo = snapshot(s, dir, Some(toVersion))
-    if (cmTransitionBreak(s, dir, fromVersion, toVersion, snapTo).isEmpty)
-      readChanges(s, dir, fromVersion, toVersion)
-    else (fromVersion to toVersion).map(v => readChanges(s, dir, v, v))
-      .reduce(_ unionByName _)
+    // the homogeneous fast path IS the strict call — its own guard
+    // already runs the restatement walk, so re-checking here would
+    // duplicate the snapshot probes on every transition-free window
+    try readChanges(s, dir, fromVersion, toVersion)
+    catch {
+      case e: IllegalArgumentException
+          if e.getMessage != null &&
+            e.getMessage.contains("crosses a column-mapping transition") =>
+        // per-version slices, each read under its OWN metadata, then
+        // PROJECTED to the window-end logical schema (+ CDF columns)
+        // before the union — exactly what the grouped read produces
+        // for windows it can serve: a column added mid-window
+        // null-fills in earlier slices, a dropped column's values
+        // disappear, a widened column upcasts. A raw unionByName
+        // would instead throw an undiagnosable resolution error the
+        // moment a transition-crossing window also contains a schema
+        // change.
+        val snapTo = snapshot(s, dir, Some(toVersion))
+        val logical = DataType.fromJson(snapTo.schemaJson).asInstanceOf[StructType]
+        val want: Seq[(String, org.apache.spark.sql.types.DataType)] =
+          logical.fields.map(f => (f.name, f.dataType)).toSeq ++ Seq(
+            ("_change_type", org.apache.spark.sql.types.StringType),
+            ("_commit_version", org.apache.spark.sql.types.LongType),
+            ("_commit_timestamp", org.apache.spark.sql.types.TimestampType))
+        (fromVersion to toVersion).map { v =>
+          val df = readChanges(s, dir, v, v)
+          df.select(want.map { case (n, dt) =>
+            (if (df.columns.contains(n)) col(n).cast(dt)
+             else org.apache.spark.sql.functions.lit(null).cast(dt)).as(n)
+          }.toIndexedSeq: _*)
+        }.reduce(_ unionByName _)
+    }
   }
 
   /** ONE version's ordered change-file payload — the unit list the

@@ -6648,6 +6648,20 @@ object LakeWriter {
     if (fs0.exists(log0) &&
         fs0.listStatus(log0).exists(_.getPath.getName.startsWith(cpPrefix))) return
     val snap = DeltaReader.snapshot(spark, dir, Some(version))
+    // a v2Checkpoints table (declared feature or
+    // delta.checkpointPolicy=v2) obligates the v2 file shape — route
+    // to the v2 author HERE so every cadence site (commit-interval
+    // loop, property cadence, nightly maintenance, truncate-history)
+    // honors the obligation without knowing about it. Routing runs
+    // BEFORE this author's protection gate: the v2 author carries its
+    // own (it is public API too), so each entry point gates once.
+    if (snap.readerFeatures.contains("v2Checkpoints") ||
+        snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
+      // the default (0) defers to the v2 author's live-set
+      // auto-sizing; explicit counts — including 1 — carry over
+      checkpointDeltaV2(spark, dir, version, sidecarParts = parts)
+      return
+    }
     // checkpointProtection (PROTOCOL.md): the boundary a TRUNCATE
     // HISTORY drop stamped — authoring a checkpoint BELOW it would
     // hand later readers a replay base inside the dropped feature's
@@ -6660,18 +6674,6 @@ object LakeWriter {
             s"protection boundary $bound (a TRUNCATE HISTORY feature drop) — " +
             "a checkpoint there would base replays inside dropped-feature history")
       }
-    // a v2Checkpoints table (declared feature or
-    // delta.checkpointPolicy=v2) obligates the v2 file shape — route
-    // to the v2 author HERE so every cadence site (commit-interval
-    // loop, property cadence, nightly maintenance, truncate-history)
-    // honors the obligation without knowing about it
-    if (snap.readerFeatures.contains("v2Checkpoints") ||
-        snap.configuration.get("delta.checkpointPolicy").contains("v2")) {
-      // the default (0) defers to the v2 author's live-set
-      // auto-sizing; explicit counts — including 1 — carry over
-      checkpointDeltaV2(spark, dir, version, sidecarParts = parts)
-      return
-    }
     // delta.checkpoint.writeStatsAsStruct authors add.stats_parsed —
     // the typed struct form delta-spark can read without a JSON parse
     // per add; writeStatsAsJson=false (with the struct on) drops the

@@ -259,7 +259,11 @@ object DeltaTail {
     if (from > snap.version) return None
     val to = maxVersionsPerTrigger.map(m => math.min(snap.version, from + m - 1))
       .getOrElse(snap.version)
-    val batch = DeltaReader.readChanges(s, dir, from, to)
+    // the SPLIT form: this poller's consumer takes the logical CDF
+    // shape, so a window crossing a column-mapping removal delivers
+    // per-version instead of wedging the watermark behind the batch
+    // refusal forever (the poller cannot split its own window)
+    val batch = DeltaReader.readChangesSplit(s, dir, from, to)
     process(batch, to)
     writeWatermark(fs, cpDir, wmFile, to)
     Some(to)

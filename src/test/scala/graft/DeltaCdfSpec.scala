@@ -251,6 +251,55 @@ class DeltaCdfSpec extends SparkSpec {
     assert(got2.toSet == Set((1L, "B", "delete", 3L)))
   }
 
+  test("the CDF change tail delivers across a column-mapping REMOVAL; the watermark advances") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_tailrm_")
+    val cp = tmp("graft_cdf_tailrm_cp_")
+    LakeWriter.writeDeltaMapped(
+      (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), dir)        // v0, physical names
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                     // v1
+    assert(graft.streaming.DeltaTail.pollChangesOnce(spark, dir, cp,
+      (_, _) => fail("start-from-now must not deliver history")).isEmpty)
+    LakeWriter.deleteWhere(spark, dir, "id = 1")                       // v2: cdc PHYSICAL names
+    LakeWriter.removeColumnMapping(spark, dir)                         // v3
+    LakeWriter.appendDelta(Seq((100L, "x")).toDF("id", "v"), dir)      // v4
+    // ONE poll spans v2..v4 — a removal-crossing window the batch API
+    // refuses; the poller cannot split its own window, so it must
+    // deliver per-version (a strict read here wedged the watermark
+    // forever: every poll recomputed the same refused window)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    assert(graft.streaming.DeltaTail.pollChangesOnce(spark, dir, cp,
+      (df, _) => got ++= changes(df)).contains(4L))
+    assert(got.toSet == Set((1L, "v1", "delete", 2L), (100L, "x", "insert", 4L)),
+      got.toString)
+    // and the tail is quiescent after — the watermark genuinely moved
+    assert(graft.streaming.DeltaTail.pollChangesOnce(spark, dir, cp,
+      (_, _) => fail("nothing new — nothing must deliver")).isEmpty)
+  }
+
+  test("readChangesSplit projects slices to the window-end schema: removal + ADD COLUMNS in one window") {
+    val s = spark
+    import s.implicits._
+    val dir = tmp("graft_cdf_splitsc_")
+    LakeWriter.writeDeltaMapped(
+      (0L until 4L).map(i => (i, s"v$i")).toDF("id", "v"), dir)        // v0
+    LakeWriter.alterProperties(spark, dir,
+      Map("delta.enableChangeDataFeed" -> "true"))                     // v1
+    LakeWriter.deleteWhere(spark, dir, "id = 1")                       // v2: old 2-column shape
+    LakeWriter.removeColumnMapping(spark, dir)                         // v3
+    LakeWriter.alterAddColumns(spark, dir, Seq("w" -> "double"))       // v4
+    LakeWriter.appendDelta(Seq((100L, "x", 9.5)).toDF("id", "v", "w"), dir) // v5
+    // v2's slice has no 'w' — it must null-fill to the window-end
+    // shape instead of blowing up the union with a resolution error
+    val got = DeltaReader.readChangesSplit(spark, dir, 2L, 5L)
+      .selectExpr("id", "v", "w", "_change_type")
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(got == Set((1L, "v1", None, "delete"), (100L, "x", Some(9.5), "insert")),
+      got.toString)
+  }
+
   test("the CDF tail's start-from-now mode skips history") {
     val s = spark
     import s.implicits._
