@@ -41,6 +41,8 @@ object Profile {
       case "dup_tables" => dupTables(spark, sfDir)
       case "explain"    => explainPlans(spark, sfDir)
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
+      case "jobsq"      => jobProfileNoWarm(spark, sfDir, args.lift(1).getOrElse("delta_merge"))
+      case "delta-phases" => deltaPhases(spark, sfDir)
       case "stress"     => stress(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
@@ -1017,6 +1019,42 @@ object Profile {
       LakeIndexer.tableInfoMerged(spark, groups, catalog).count())
   }
 
+  /** Phase breakdown of the delta_merge / delta_delete harness rows:
+    * fixture write vs mutation vs read-back, run twice (steady state =
+    * the second pass, everything JIT/codegen-warm).
+    */
+  def deltaPhases(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.{DeltaReader, LakeWriter}
+    for (pass <- 1 to 2) {
+      val d = java.nio.file.Files.createTempDirectory(s"graft_ph_$pass").resolve("tbl")
+        .toAbsolutePath.toString
+      val base = graft.queries.Q.t(spark, dir, "orders").where("o_orderkey % 10 < 6").repartition(4)
+      time(s"p$pass.writeDelta")(LakeWriter.writeDelta(base, d))
+      time(s"p$pass.snapshot")(DeltaReader.snapshot(spark, d, None))
+      time(s"p$pass.delete_sql")(
+        spark.sql(s"DELETE FROM graft_delta.`$d` WHERE o_orderkey % 3 = 0"))
+      time(s"p$pass.read_agg") {
+        DeltaReader.read(spark, d).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt")).orderBy("o_orderstatus").count()
+      }
+      val src = graft.queries.Q.t(spark, dir, "orders")
+        .where("o_orderkey % 10 >= 4 AND o_orderkey % 10 < 8")
+        .withColumn("o_orderstatus", lit("M"))
+      src.createOrReplaceTempView("graft_ph_src")
+      time(s"p$pass.merge_sql")(
+        spark.sql(s"""MERGE INTO graft_delta.`$d` AS t USING graft_ph_src AS src
+          ON t.o_orderkey = src.o_orderkey
+          WHEN MATCHED THEN UPDATE SET *
+          WHEN NOT MATCHED THEN INSERT *"""))
+      time(s"p$pass.read_agg2") {
+        DeltaReader.read(spark, d).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("cnt")).orderBy("o_orderstatus").count()
+      }
+      time(s"p$pass.append")(LakeWriter.appendDelta(
+        graft.queries.Q.t(spark, dir, "orders").where("o_orderkey % 10 >= 8").repartition(2), d))
+    }
+  }
+
   /** Per-Spark-job wall time for one query (index + shared caches
     * prebuilt, warm — the same conditions Bench times queries under).
     */
@@ -1041,6 +1079,38 @@ object Profile {
     }
     spark.sparkContext.addSparkListener(listener)
     time(query)(SparkEntry.queries(query)(spark, dir).count())
+    spark.sparkContext.removeSparkListener(listener)
+  }
+
+  /** [[jobProfile]] without the cache warm-up, with job START offsets
+    * from the query's t0 — the gaps BETWEEN jobs are driver-side work
+    * (snapshot replay, commit funnel, footer stats), which is what the
+    * Delta machinery rows are suspected of spending their time on.
+    * Runs the query twice (bench takes min-of-2; pass 2 is the
+    * steady-state cost).
+    */
+  def jobProfileNoWarm(spark: SparkSession, dir: String, query: String): Unit = {
+    @volatile var t0 = System.nanoTime()
+    val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val tasks = e.stageInfos.map(_.numTasks).sum
+        val site = e.stageInfos.lastOption.map(si =>
+          si.name + " @ " + si.details.linesIterator.take(1).mkString).getOrElse("")
+        starts.put(e.jobId, (e.time, s"${e.stageInfos.size}st/${tasks}t $site"))
+        println(f"[job-start] ${e.jobId}%3d at ${(e.time * 1000000L - t0) / 1e9}%7.3f s")
+      }
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.get(e.jobId)).foreach { case (s0, desc) =>
+          println(f"[job] ${e.jobId}%3d ${(e.time - s0) / 1000.0}%7.2f s  ${desc.take(140)}")
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    t0 = System.nanoTime()
+    time(s"${query}_pass1")(SparkEntry.queries(query)(spark, dir).count())
+    t0 = System.nanoTime()
+    time(s"${query}_pass2")(SparkEntry.queries(query)(spark, dir).count())
     spark.sparkContext.removeSparkListener(listener)
   }
 

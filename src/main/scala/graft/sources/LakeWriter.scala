@@ -5244,6 +5244,17 @@ object LakeWriter {
           "(declare it GENERATED BY DEFAULT to allow explicit values)")
     }
 
+    // ONE distinct-key aggregate of the source feeds the duplicate-key
+    // gate, the single-key stats-prune range and both key probes — the
+    // source used to be re-scanned and re-shuffled once per consumer
+    // (dup check, min/max, matched-file probe, insert probe: four full
+    // passes). Materialized eagerly via localCheckpoint: it is one row
+    // per distinct source key (strictly smaller than the source), its
+    // blocks are GC-freed when the plan becomes unreachable, and every
+    // consumer below is a bounded follow-up job on it.
+    val keyAgg = source.groupBy(keyCols.map(col): _*)
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("__kn"))
+      .localCheckpoint(true)
     // any clause that REWRITES target rows (matched or by-source) joins
     // target × source on the keys — a duplicate source key would
     // multiply its matched target rows through that join (even a pure
@@ -5251,8 +5262,7 @@ object LakeWriter {
     // refuse; only insert-only merges (anti-join probe, no row join)
     // legally insert duplicate-keyed rows
     if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
-      val dupKeys = source.groupBy(keyCols.map(col): _*)
-        .count().where(col("count") > 1).limit(1).collect()
+      val dupKeys = keyAgg.where(col("__kn") > 1).limit(1).collect()
       require(dupKeys.isEmpty,
         s"mergeIntoClauses: source carries duplicate keys (e.g. ${dupKeys.headOption
           .map(_.toSeq.init.mkString("(", ", ", ")")).getOrElse("")}) — each matched " +
@@ -5265,7 +5275,7 @@ object LakeWriter {
     def absPath(a: DeltaReader.AddFile): String =
       fs.makeQualified(DeltaReader.resolveAddPath(root, a.path)).toUri.getPath
 
-    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val srcKeys = keyAgg.select(keyCols.map(col): _*)
     // BY SOURCE clauses inspect every live target row — the whole
     // table is affected by definition. Otherwise only files holding a
     // matched key (single-key merges stats-prune by the source range).
@@ -5276,7 +5286,8 @@ object LakeWriter {
           if (keyCols.size != 1) snap.active
           else {
             val k = keyCols.head
-            val r = source.agg(org.apache.spark.sql.functions.min(col(k)),
+            // min/max over the distinct keys ≡ min/max over the source
+            val r = keyAgg.agg(org.apache.spark.sql.functions.min(col(k)),
               org.apache.spark.sql.functions.max(col(k))).head()
             (r.get(0), r.get(1)) match {
               case (mn: Number, mx: Number) =>
@@ -5295,7 +5306,7 @@ object LakeWriter {
         got
       }
     // a merge that touches no file and can insert nothing writes NO commit
-    if (affected.isEmpty && (notMatched.isEmpty || source.isEmpty)) return Nil
+    if (affected.isEmpty && (notMatched.isEmpty || keyAgg.isEmpty)) return Nil
     // matched/by-source clauses rewrite the affected files; an
     // insert-only merge leaves them in place (the scan below is only
     // the insert probe)
@@ -5350,7 +5361,19 @@ object LakeWriter {
         val actCol = whens.foldLeft(Option.empty[Column]) { case (acc, (p, v)) =>
           Some(acc.map(_.when(p, v)).getOrElse(when(p, v)))
         }.map(_.otherwise(lit(-1))).getOrElse(lit(-1))
-        val withAct = joined.withColumn("__act", actCol)
+        // the target × source join is THE expensive subplan of a merge
+        // — materialize it once (eager localCheckpoint, blocks GC-freed
+        // with the plan) instead of re-executing it per consumer: the
+        // staged rewrite, the CDF pre/post/delete images (which used to
+        // re-run the join up to three times inside one union) and the
+        // insert probe's matched-key set all read this frame. A
+        // single-consumer merge (matched-only, CDF off) skips the
+        // materialization — there is nothing to share.
+        val joinConsumers = 1 + (if (notMatched.nonEmpty) 1 else 0) +
+          (if (cdfEnabled(snap)) 3 else 0)
+        val withAct0 = joined.withColumn("__act", actCol)
+        val withAct =
+          if (joinConsumers > 1) withAct0.localCheckpoint(true) else withAct0
         def resultCol(f: org.apache.spark.sql.types.StructField): Column =
           updIdx.foldLeft(tField(f)) { case (acc, (c, code)) =>
             updValue(c.action, f).map(v => when(col("__act") === code, v).otherwise(acc))
@@ -5372,6 +5395,11 @@ object LakeWriter {
       else {
         val matchedKeys =
           if (affected.isEmpty) srcKeys.limit(0)
+          else if (cdcRewrite != null)
+            // the rewrite's materialized join already knows which target
+            // rows matched (__m non-null) — no second target-side probe
+            cdcRewrite.where(col("__m").isNotNull)
+              .select(keyCols.map(k => col("t").getField(k).as(k)): _*).distinct()
           else affectedRows.join(srcKeys, keyCols.toSeq, "left_semi")
             .select(keyCols.map(col): _*).distinct()
         val cand = source.join(matchedKeys, keyCols.toSeq, "left_anti")
