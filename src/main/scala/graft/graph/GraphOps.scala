@@ -44,36 +44,47 @@ object GraphOps {
       .select(col(src).cast("long").as("src"), col(dst).cast("long").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct().localCheckpoint()
-    val nodes = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node"))).distinct().localCheckpoint()
-    val n = nodes.count()
-    val outdeg = e.groupBy(col("src").as("od_node"))
-      .agg(count(lit(1)).as("outdeg")).localCheckpoint()
+    // the iterated STATE carries each node's out-degree next to its
+    // rank (null = dangling): the contribution pass then needs ONE join
+    // (edges ⋈ state) instead of two (edges ⋈ ranks ⋈ outdeg), and the
+    // dangling mass is a plain aggregate over the state instead of an
+    // anti-join of two frames — per iteration that removes a join and a
+    // two-sided probe, and the one-time nodes/outdeg/ranks triple
+    // checkpoint collapses to a single state checkpoint. Cost: one long
+    // column rides the per-iteration checkpoint. Arithmetic unchanged —
+    // same fixed-point longs, bit-identical result.
+    // node set and out-degree in ONE aggregation pass (src rows vote 1,
+    // dst rows vote 0; a zero sum = dangling → null outdeg) — the
+    // union-distinct + groupBy + join form shuffled the edge set twice
+    // and joined the results; this is one map-combined shuffle.
+    val stateBase = e.select(col("src").as("node"), lit(1L).as("__e"))
+      .unionAll(e.select(col("dst").as("node"), lit(0L).as("__e")))
+      .groupBy(col("node")).agg(sum(col("__e")).as("od0"))
+      .select(col("node"), when(col("od0") > 0, col("od0")).as("outdeg"))
+      .localCheckpoint()
+    val n = stateBase.count()
 
     val base = ((100L - d100) * Scale) / (100L * n) // exact long arithmetic
 
-    var ranks = nodes.select(col("node"), lit(Scale / n).as("rank_fp"))
-      .localCheckpoint()
+    var state = stateBase.withColumn("rank_fp", lit(Scale / n))
     for (_ <- 1 to iterations) {
       val contribs = e
-        .join(ranks, col("src") === col("node"))
-        .join(outdeg, col("src") === col("od_node"))
+        .join(state.where(col("outdeg").isNotNull), col("src") === col("node"))
         .select(col("dst"), expr("rank_fp DIV outdeg").as("contrib"))
       val sums = contribs.groupBy(col("dst").as("c_node"))
         .agg(sum(col("contrib")).as("csum"))
-      val dang = ranks
-        .join(outdeg, col("node") === col("od_node"), "left_anti")
-        .agg(coalesce(sum(col("rank_fp")), lit(0L)).as("dsum"))
-      ranks = nodes
+      val dang = state.agg(coalesce(
+        sum(when(col("outdeg").isNull, col("rank_fp"))), lit(0L)).as("dsum"))
+      state = state.select(col("node"), col("outdeg"))
         .join(sums, col("node") === col("c_node"), "left")
         .crossJoin(broadcast(dang))
-        .select(col("node"),
+        .select(col("node"), col("outdeg"),
           (lit(base) +
             expr(s"($d100 * (coalesce(csum, 0L) + (dsum DIV $n))) DIV 100")
           ).as("rank_fp"))
         .localCheckpoint()
     }
-    ranks.select(col("node"), col("rank_fp"),
+    state.select(col("node"), col("rank_fp"),
       (col("rank_fp").cast("double") / Scale.toDouble).as("rank"))
   }
 
