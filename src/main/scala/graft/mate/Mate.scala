@@ -106,8 +106,14 @@ object Mate {
     * shared tail of every prefilter variant. `cells` only needs
     * (tableid, rowid, colid, tokenized).
     */
-  private def verifyAndCombine(cand: DataFrame, prep: DataFrame,
+  private def verifyAndCombine(cand0: DataFrame, prep: DataFrame,
                                queryCols: Seq[String], cells: DataFrame): DataFrame = {
+    // multi-column searches consume the candidate join twice (the
+    // candidate-key set below and the verification chain's base) — and
+    // that join is a full scan of the cell index, the single most
+    // expensive subplan of a search. Materialize it once; single-column
+    // searches consume it once and skip the checkpoint.
+    val cand = if (queryCols.length > 1) cand0.localCheckpoint(true) else cand0
     var cur = cand
     if (queryCols.length > 1) {
       // materialized ONCE via eager localCheckpoint — consumed once per
