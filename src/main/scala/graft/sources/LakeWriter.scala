@@ -4273,8 +4273,12 @@ object LakeWriter {
 
     // job 2: rewrite ONLY the affected files' surviving rows (their
     // DVs already applied by the scan). NULL-predicate rows survive.
-    val survivors = DeltaReader.scanFiles(spark, dir, snap, affected)
-      .where(not(coalesce(pred, lit(false))))
+    // On a CDF table the same scan also feeds the deleted-rows change
+    // data — materialize it once instead of reading the affected files
+    // twice; without CDF the single consumer pipelines.
+    val affScan0 = DeltaReader.scanFiles(spark, dir, snap, affected)
+    val affScan = if (cdfEnabled(snap)) affScan0.localCheckpoint(true) else affScan0
+    val survivors = affScan.where(not(coalesce(pred, lit(false))))
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val phys: Map[String, String] =
@@ -4292,8 +4296,7 @@ object LakeWriter {
     val cdcActions =
       if (!cdfEnabled(snap)) Nil
       else {
-        val deletedRows = DeltaReader.scanFiles(spark, dir, snap, affected)
-          .where(coalesce(pred, lit(false)))
+        val deletedRows = affScan.where(coalesce(pred, lit(false)))
         val physCdc = stagePhysicalRows(
           deletedRows.withColumn("_change_type", lit("delete")),
           table, cm, phys, "deleteWhere")
@@ -5578,8 +5581,13 @@ object LakeWriter {
     // rewrite the affected files: matching rows get the SET expressions
     // (evaluated against the PRE-update row, all at once — a SET that
     // references another updated column sees the old value, as SQL
-    // demands), everything else copies through
-    val src = DeltaReader.scanFiles(spark, dir, snap, affected)
+    // demands), everything else copies through. On a CDF table the
+    // same scan also feeds the pre-image and post-image branches of the
+    // change-data staging — materialize it once (eager localCheckpoint,
+    // blocks GC-freed with the plan) instead of reading the affected
+    // files three times; without CDF the single consumer pipelines.
+    val src0 = DeltaReader.scanFiles(spark, dir, snap, affected)
+    val src = if (cdfEnabled(snap)) src0.localCheckpoint(true) else src0
     val hit = coalesce(pred, lit(false))
     val rewritten = enforceObligations(src.select(table.fields.map { f =>
       (set.get(f.name) match {
