@@ -2346,10 +2346,18 @@ object LakeWriter {
       s"overwriteWhere: resolved ${affected.size} of ${matchedPaths.size} matched " +
         "files back to log entries — path normalization bug, refusing to commit")
 
+    // CDF tables read the affected files again for the deleted-rows
+    // change data — persist the scan so they are read once (lazy, no
+    // extra job; released after the commit)
+    val affScanOw =
+      if (affected.isEmpty) null
+      else {
+        val sc = DeltaReader.scanFiles(spark, dir, snap, affected)
+        if (cdfEnabled(snap)) sc.persist() else sc
+      }
     val survivors =
       if (affected.isEmpty) null
-      else DeltaReader.scanFiles(spark, dir, snap, affected)
-        .where(not(coalesce(pred, lit(false))))
+      else affScanOw.where(not(coalesce(pred, lit(false))))
     val replaced = Option(survivors).map(_.unionByName(df)).getOrElse(df)
     val phys: Map[String, String] =
       if (cm == "none") Map.empty
@@ -2368,8 +2376,7 @@ object LakeWriter {
         val all =
           if (affected.isEmpty) inserts
           else {
-            val deleted = DeltaReader.scanFiles(spark, dir, snap, affected)
-              .where(coalesce(pred, lit(false)))
+            val deleted = affScanOw.where(coalesce(pred, lit(false)))
             deleted.withColumn("_change_type", lit("delete"))
               .unionByName(inserts)
           }
@@ -2389,6 +2396,7 @@ object LakeWriter {
       ictConf = snap.configuration, statsSchema = Some(table),
       identity = IdentityColumns.advanceOf(table, phys).map(adv =>
         (adv, Some(metaLineFor(dir, snap, table, snap.configuration)))))
+    if (affScanOw != null && cdfEnabled(snap)) affScanOw.unpersist(false)
     affected.map(_.path).sorted
   }
 
@@ -4274,10 +4282,11 @@ object LakeWriter {
     // job 2: rewrite ONLY the affected files' surviving rows (their
     // DVs already applied by the scan). NULL-predicate rows survive.
     // On a CDF table the same scan also feeds the deleted-rows change
-    // data — materialize it once instead of reading the affected files
-    // twice; without CDF the single consumer pipelines.
+    // data — persist it so the affected files are read once instead of
+    // twice (lazy, no extra job; blocks released after the commit);
+    // without CDF the single consumer pipelines.
     val affScan0 = DeltaReader.scanFiles(spark, dir, snap, affected)
-    val affScan = if (cdfEnabled(snap)) affScan0.localCheckpoint(true) else affScan0
+    val affScan = if (cdfEnabled(snap)) affScan0.persist() else affScan0
     val survivors = affScan.where(not(coalesce(pred, lit(false))))
     val table = org.apache.spark.sql.types.DataType.fromJson(snap.schemaJson)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -4312,6 +4321,7 @@ object LakeWriter {
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
       ictConf = snap.configuration, statsSchema = Some(table))
+    if (cdfEnabled(snap)) affScan.unpersist(false)
     affected.map(_.path).sorted
   }
 
@@ -5583,11 +5593,13 @@ object LakeWriter {
     // references another updated column sees the old value, as SQL
     // demands), everything else copies through. On a CDF table the
     // same scan also feeds the pre-image and post-image branches of the
-    // change-data staging — materialize it once (eager localCheckpoint,
-    // blocks GC-freed with the plan) instead of reading the affected
-    // files three times; without CDF the single consumer pipelines.
+    // change-data staging — persist it so the first consumer's scan
+    // populates the cache and the others read blocks instead of
+    // re-reading the affected files (three reads before); lazy persist
+    // adds no extra job, and the blocks are released after the commit.
+    // Without CDF the single consumer pipelines.
     val src0 = DeltaReader.scanFiles(spark, dir, snap, affected)
-    val src = if (cdfEnabled(snap)) src0.localCheckpoint(true) else src0
+    val src = if (cdfEnabled(snap)) src0.persist() else src0
     val hit = coalesce(pred, lit(false))
     val rewritten = enforceObligations(src.select(table.fields.map { f =>
       (set.get(f.name) match {
@@ -5626,6 +5638,7 @@ object LakeWriter {
       rowIdBase = RowTracking.rowIdBase(snap),
       rebase = Some((snap, predicate, affected.map(_.path).toSet)),
       ictConf = snap.configuration, statsSchema = Some(table))
+    if (cdfEnabled(snap)) src.unpersist(false)
     affected.map(_.path).sorted
   }
 
