@@ -6,8 +6,20 @@ import org.apache.spark.sql.expressions.Window
 
 /** Shared helpers for query modules. */
 object Q {
+  /** Parquet footer schemas memoized per (dir, table): without this,
+    * every `t()` call re-runs Spark's schema inference — a one-task
+    * driver job per call (~30-40 ms) that adds up to seconds across a
+    * bench pass. The schema is file metadata (a catalog would serve it
+    * in a real deployment); the DATA is still scanned fresh by every
+    * action — nothing here caches results.
+    */
+  private val schemaCache = scala.collection.concurrent.TrieMap
+    .empty[(String, String), org.apache.spark.sql.types.StructType]
+
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    val df = s.read.parquet(s"$dir/$name.parquet")
+    val schema = schemaCache.getOrElseUpdate((dir, name),
+      s.read.parquet(s"$dir/$name.parquet").schema)
+    val df = s.read.schema(schema).parquet(s"$dir/$name.parquet")
     // events.ts has shipped as BOTH parquet TIMESTAMP(NANOS) (reads as
     // long nanos under spark.sql.legacy.parquet.nanosAsLong) and
     // TIMESTAMP(MICROS) (reads as TIMESTAMP_NTZ) across testdata
