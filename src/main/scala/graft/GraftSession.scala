@@ -28,6 +28,14 @@ object GraftSession {
       // repeat action over 1000 tables). Sized for 10^4-branch plans;
       // entries are soft-referenced so this is a cap, not a reservation.
       .config("spark.sql.codegen.cache.maxEntries", "8192")
+      // FileOutputCommitter v2: task outputs move to the destination at
+      // task commit instead of a serial driver-side rename pass at job
+      // commit. Safe for every graft write path — the Delta funnel
+      // stages into a writer-private directory and publishes through
+      // the log (its own atomicity), and plain parquet/csv sinks here
+      // are overwrite-or-fresh directories. At many-file commits the v1
+      // job-commit rename pass is a driver serialization point.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
 
   /** Extra tuning for the single-JVM (local[N]) entry points — Bench,
     * Verify, tests. Shuffle and cache compression trade CPU for network

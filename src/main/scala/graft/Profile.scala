@@ -43,6 +43,11 @@ object Profile {
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
       case "jobsq"      => jobProfileNoWarm(spark, sfDir, args.lift(1).getOrElse("delta_merge"))
       case "delta-phases" => deltaPhases(spark, sfDir)
+      case "explainq" =>
+        args.lift(1).getOrElse("q5_multijoin").split(',').foreach { q =>
+          println(s"==== $q ====")
+          SparkEntry.queries(q)(spark, sfDir).explain("formatted")
+        }
       case "stress"     => stress(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
