@@ -75,9 +75,13 @@ object Cocoa {
     // bucket size IS the token's column frequency — the guard costs no
     // extra shuffle. Pairs stream from a lazy iterator (never df²
     // buffered per bucket).
+    // consumed twice below (sizes + the pair stream) with different
+    // downstream shapes — materialize the guarded buckets once instead
+    // of running the distinct+collect_list aggregation per consumer
     val buckets = d.groupBy("tokenized")
       .agg(collect_list(col("table_col_id")).as("cs"))
       .where(size(col("cs")) <= maxTokenDf)
+      .localCheckpoint(true)
     // sizes over the SAME guarded universe as the pair counts
     val sizes = buckets.select(explode(col("cs")).as("table_col_id"))
       .groupBy("table_col_id").agg(count(lit(1)).as("nd"))

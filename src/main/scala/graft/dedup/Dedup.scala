@@ -80,7 +80,14 @@ object Dedup {
     // boilerplate gram in 10^5 docs would put 10^10 position pairs in
     // one join key. A capped gram can only shorten/split a span that
     // ALSO contains rarer grams — real duplicated passages always do.
-    val guarded = if (maxGramDf == Long.MaxValue) g else frequentShingleFilter(g, maxGramDf)
+    val guarded0 = if (maxGramDf == Long.MaxValue) g else frequentShingleFilter(g, maxGramDf)
+    // the self-join consumes the guarded gram table on BOTH sides with
+    // different projections, so the exchanges differ and Spark cannot
+    // reuse them — without materialization the explode+hash+df-cap
+    // subplan (the expensive pass over the corpus) executes twice.
+    // localCheckpoint computes it once; blocks are GC-freed with the
+    // plan.
+    val guarded = guarded0.localCheckpoint(true)
     val hits = guarded.select(col("did").as("doc_a"), col("pos").as("p1"), col("g"))
       .join(guarded.select(col("did").as("doc_b"), col("pos").as("p2"), col("g")), "g")
       .where(col("doc_a") < col("doc_b"))
