@@ -56,10 +56,14 @@ object DuplicateDetection {
   def duplicateTablePairs(cells: DataFrame): DataFrame =
     duplicateTablePairsFromSigs(cells, rowSignatures(cells))
 
-  /** [[duplicateTablePairs]] with a precomputed signature frame. */
+  /** [[duplicateTablePairs]] with a precomputed signature frame.
+    * (`cells` is kept for API stability; row counts derive from `sigs`
+    * — one signature row per distinct (tableid, rowid) by construction,
+    * so counting sigs ≡ the old distinct-over-cells pass without
+    * re-shuffling the full cell index.)
+    */
   def duplicateTablePairsFromSigs(cells: DataFrame, sigs: DataFrame): DataFrame = {
-    val sizes = cells.select("tableid", "rowid").distinct()
-      .groupBy("tableid").agg(count(lit(1)).as("n_rows"))
+    val sizes = sigs.groupBy("tableid").agg(count(lit(1)).as("n_rows"))
     duplicateRowPairsFromSigs(sigs)
       .groupBy("tableid_1", "tableid_2")
       .agg(count(lit(1)).as("n_dup"))
@@ -79,9 +83,13 @@ object DuplicateDetection {
     val in = rowSignatures(inputCells).select(
       col("rowid").as("in_row"), col("sig").as("in_sig"), col("sk_hi"), col("sk_lo"))
     val nInput = in.select(countDistinct(col("in_row")).as("n_input"))
-    val lake = rowSignatures(lakeCells)
-    val sizes = lakeCells.select("tableid", "rowid").distinct()
-      .groupBy("tableid").agg(count(lit(1)).as("n_ext"))
+    // the lake signature groupBy is the expensive pass over the cell
+    // index — materialize it once and derive per-table sizes from it
+    // (one sig row per distinct (tableid, rowid) by construction), so
+    // the index is shuffled once instead of once for the join side and
+    // once for the old distinct-based size pass
+    val lake = rowSignatures(lakeCells).localCheckpoint(true)
+    val sizes = lake.groupBy("tableid").agg(count(lit(1)).as("n_ext"))
     lake.join(in, Seq("sk_hi", "sk_lo"))
       .where(col("sig") === col("in_sig"))
       .groupBy("tableid")
