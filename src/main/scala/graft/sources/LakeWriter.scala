@@ -35,6 +35,21 @@ final case class MergeInsert(values: Map[String, String]) extends MergeClauseAct
   */
 object LakeWriter {
 
+  /** Dev-only phase profiler for the commit funnel: set
+    * GRAFT_COMMIT_PROFILE=1 to print per-phase wall times to stderr.
+    * Zero-cost when off (one cached env check).
+    */
+  private val commitProfOn = sys.env.contains("GRAFT_COMMIT_PROFILE")
+  @inline private def commitProf[T](name: String)(f: => T): T =
+    if (!commitProfOn) f
+    else {
+      val t0 = System.nanoTime()
+      val r = f
+      System.err.println(
+        f"[commit] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
   /** Directory-partitioned parquet: one directory per `partitionCol`
     * value, rows sorted by `sortCols` within each file. Queries
     * filtering on the partition column scan only matching directories
@@ -2923,7 +2938,7 @@ object LakeWriter {
     // writer's cleanup delete(stage) sweep the other's in-flight files
     val stage = new org.apache.hadoop.fs.Path(root,
       s"_stage_${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    locally {
+    commitProf("stage_write") {
       val wdf = fieldIdStaged(df)
       if (partCols.isEmpty) wdf.write.parquet(stage.toString)
       else wdf.write.partitionBy(partCols: _*).parquet(stage.toString)
@@ -2968,7 +2983,7 @@ object LakeWriter {
     // PARALLEL: one serial ~10 ms open per file turns a 2000-file
     // commit into ~20 s of driver bookkeeping; a bounded pool keeps it
     // at the per-file cost
-    val statsByPath: Map[String, Option[String]] = {
+    val statsByPath: Map[String, Option[String]] = commitProf("footer_stats") {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(16, math.max(1, staged.size)))
       try {
@@ -2986,7 +3001,7 @@ object LakeWriter {
         }.asJava).asScala.map(_.get()).toMap
       } finally pool.shutdown()
     }
-    val moved = staged
+    val moved = commitProf("rename_moves") { staged
       .map { st =>
         // relative path under the stage dir = partition dirs + file name
         val rel = st.getPath.toUri.getPath.stripPrefix(stageUri).stripPrefix("/")
@@ -3006,7 +3021,7 @@ object LakeWriter {
           col -> (if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw)
         }.toSeq
         (rel, pv, st.getLen, stats)
-      }
+      } }
     fs.delete(stage, true)
     // identity watermark advance — derived from the footer stats just
     // computed (zero extra jobs); a changed watermark restates
@@ -3199,7 +3214,7 @@ object LakeWriter {
     val rebaseable = appendShape || mutationShape || maintenanceShape
     var v = version
     var committed = false
-    while (!committed) {
+    commitProf("log_write") { while (!committed) {
       val commit = new org.apache.hadoop.fs.Path(log, f"$v%020d.json")
       val effIctConf = if (ictEnabled(ictConf)) ictConf else configuration
       val stamped = ictStampContent(spark, fs, commit,
@@ -3233,7 +3248,7 @@ object LakeWriter {
               "re-read the table and retry", e)
         v = newest + 1
       }
-    }
+    } }
     // checkpoint cadence: the caller's explicit interval wins, else the
     // TABLE's own `delta.checkpointInterval` property (delta-spark's
     // knob) keeps the replay suffix bounded for every writer without
