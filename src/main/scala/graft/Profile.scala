@@ -51,6 +51,8 @@ object Profile {
       case "stress"     => stress(spark, args.lift(1).map(_.toInt).getOrElse(200000))
       case "stress-tables" => stressTables(spark, args.lift(1).map(_.toInt).getOrElse(1000))
       case "stress-merged" => stressMerged(spark, args.lift(1).map(_.toInt).getOrElse(1000))
+      case "stress-merged-rows" =>
+        stressMergedRows(spark, args.lift(1).map(_.toInt).getOrElse(2000000))
       case "stress-delta" => stressDelta(spark, args.lift(1).map(_.toInt).getOrElse(10000))
       case "stress-delta-mutate" =>
         stressDeltaMutate(spark, args.lift(1).map(_.toInt).getOrElse(2000))
@@ -1022,6 +1024,44 @@ object Profile {
     time("cells_count2")(cells.count())
     time("table_info_count")(
       LakeIndexer.tableInfoMerged(spark, groups, catalog).count())
+  }
+
+  /** The OTHER merged-lake regime: few LARGE tables. Writes 4 csv
+    * files of `rows` rows each and forces multi-split scans
+    * (maxPartitionBytes=8m), so the per-table `__rid` assignment is
+    * the variable under test — the row_number-window design funnels
+    * each table through one reducer; the split-offsets design stays
+    * fully parallel. Timed twice (pass 2 = steady state).
+    */
+  def stressMergedRows(spark: SparkSession, rows: Int): Unit = {
+    import graft.index.LakeIndexer
+    import graft.sources.LakeReader
+    val dir = java.nio.file.Files.createTempDirectory("graft_biglake_")
+    time(s"write_4x${rows}_csv") {
+      (1 to 4).foreach { i =>
+        val sb = new StringBuilder("k,name,v\n")
+        (0 until rows).foreach(r => sb.append(r).append(",t").append(i)
+          .append('-').append(r).append(',').append(r.toLong * i).append('\n'))
+        java.nio.file.Files.writeString(dir.resolve(s"t$i.csv"), sb.toString)
+      }
+    }
+    val prev = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8m")
+    try {
+      val (groups, catalog, errors) =
+        time("read_folder_merged")(LakeReader.readFolderMerged(spark, dir.toString))
+      println(s"[profile] groups=${groups.size} tables=${catalog.size} errors=$errors")
+      val cells = LakeIndexer.cellsMerged(groups)
+      time("cells_count")(cells.count())
+      time("cells_count2")(cells.count())
+      // the id assignment alone (no tokenize/explode): max rid per table
+      val g = groups.head.df
+      time("rid_max")(g.groupBy("tableid")
+        .agg(org.apache.spark.sql.functions.max("__rid")).collect())
+      time("rid_max2")(g.groupBy("tableid")
+        .agg(org.apache.spark.sql.functions.max("__rid")).collect())
+    } finally prev.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+      v => spark.conf.set("spark.sql.files.maxPartitionBytes", v))
   }
 
   /** Phase breakdown of the delta_merge / delta_delete harness rows:

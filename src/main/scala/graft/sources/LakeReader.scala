@@ -89,16 +89,17 @@ object LakeReader {
     * Anything else is counted in `errors` — route exotic formats
     * through [[readFolder]].
     *
-    * The per-table `__rid` is dense 0-based in FILE ORDER: one
-    * `row_number` window partitioned BY TABLE, ordered by the split's
-    * byte offset (`_metadata.file_block_start`) then intra-split read
-    * order — deterministic however `files.maxPartitionBytes` carves
-    * the scan, where plain `monotonically_increasing_id()` order would
-    * follow Spark's size-descending file packing and shift ids when
-    * partition sizing changes. Distributed across the lake's tables
-    * (the skew bound is the largest single table, which is the
-    * wide-lake regime's small dimension; a lake of few huge tables
-    * wants [[readFolder]] + a native dense key instead).
+    * The per-table `__rid` is dense 0-based in FILE ORDER: ordered by
+    * the split's byte offset (`_metadata.file_block_start`) then
+    * intra-split read order — deterministic however
+    * `files.maxPartitionBytes` carves the scan, where plain
+    * `monotonically_increasing_id()` order would follow Spark's
+    * size-descending file packing and shift ids when partition sizing
+    * changes. Assigned WITHOUT shuffling the data: a one-row-per-split
+    * count/min aggregate feeds broadcast prefix-sum offsets back onto
+    * the scan (see inline comment), so there is no per-table
+    * single-reducer sort — the id assignment has no skew bound at all,
+    * and huge tables cost the same as many small ones.
     */
   def readFolderMerged(s: SparkSession, dir: String, firstTableId: Int = 1):
       (Seq[MergedGroup], Seq[(Int, String)], Int) = {
@@ -173,7 +174,7 @@ object LakeReader {
         catalog += ((id, f.split('/').last))
         fileIds += ((f, id))
     }
-    import org.apache.spark.sql.functions.{broadcast, col, input_file_name, monotonically_increasing_id, regexp_replace, row_number}
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit, min, sum, input_file_name, monotonically_increasing_id, regexp_replace}
     // join key: the PATH part of the file URI in its PERCENT-ENCODED
     // form — input_file_name() returns Spark's url-encoded path (a
     // space is "%20"), so the listing side must key on the encoded
@@ -197,18 +198,40 @@ object LakeReader {
         case _      => s.read.parquet(groupFiles.toSeq: _*)
       }
       val tagged = base
-        // captured BEFORE the id join — metadata columns don't resolve
-        // through it. __pos orders a table's splits by byte offset so
-        // __rid below is independent of partition sizing.
+        // captured BEFORE any join — metadata columns don't resolve
+        // through one. __pos orders a table's splits by byte offset and
+        // __mid orders rows within a split (read order), so __rid below
+        // is independent of partition sizing.
         .withColumn("__pos", col("_metadata.file_block_start"))
         .withColumn("__file",
           regexp_replace(input_file_name(), "^[a-zA-Z][a-zA-Z0-9+.-]*:(//[^/]*)?", ""))
-        .join(broadcast(idFrame), "__file")
-        .drop("__file")
+        .withColumn("__mid", monotonically_increasing_id())
+      // Dense per-table __rid WITHOUT shuffling the data: a
+      // row_number() window partitioned by table would shuffle the
+      // whole lake and sort each table on a single reducer (the
+      // biggest table = one task). Instead aggregate one row PER SPLIT
+      // (count + first read-order id — rows of a split are contiguous
+      // in its scan partition, so min(__mid) anchors the split) and
+      // broadcast the exclusive prefix sums back:
+      //   __rid = split_offset + (__mid - min __mid of the split).
+      // The offsets subplan re-scans the files (column-pruned to
+      // metadata only), which is two parallel passes instead of one
+      // pass plus a full-data shuffle — strictly better at scale, and
+      // the ordering contract (byte offset, then intra-split read
+      // order) is byte-identical to the window it replaces.
+      val splits = tagged.groupBy("__file", "__pos")
+        .agg(count(lit(1)).as("__cnt"), min(col("__mid")).as("__minmid"))
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("tableid").orderBy(col("__pos"), monotonically_increasing_id())
+        .partitionBy("__file").orderBy("__pos")
+      val offsets = splits
+        .join(broadcast(idFrame), "__file")
+        .withColumn("__off", sum(col("__cnt")).over(w) - col("__cnt"))
+        .select("__file", "__pos", "tableid", "__minmid", "__off")
       MergedGroup(
-        tagged.withColumn("__rid", row_number().over(w).cast("long") - 1L).drop("__pos"),
+        tagged
+          .join(broadcast(offsets), Seq("__file", "__pos"))
+          .withColumn("__rid", col("__off") + (col("__mid") - col("__minmid")))
+          .drop("__file", "__pos", "__mid", "__minmid", "__off"),
         cols, ids.toSeq)
     }
     (merged, catalog.toSeq, errors)
