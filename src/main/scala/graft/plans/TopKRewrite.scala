@@ -23,8 +23,10 @@ import org.apache.spark.sql.types.IntegerType
   *    (rank/dense_rank can emit MORE than k rows on ties — never rewritten);
   *  - the filter is `rn <= k` / `rn < k` / `rn = 1` (any literal-compare
   *    orientation) and references nothing else;
-  *  - a Project ABOVE the filter discards `rn` (if `rn` survives, the
-  *    row numbers themselves are demanded and the window must run);
+  *  - there is a Project above the filter. If it still references `rn`,
+  *    the operator emits the row numbers itself — ordering the <= k
+  *    SURVIVORS of each key (a k-row sort) instead of every row of
+  *    every partition;
   *  - partition and order expressions are deterministic and non-empty.
   *
   * Like `row_number` itself, row identity under order TIES is
@@ -85,22 +87,42 @@ object TopKRewriteRule extends Rule[LogicalPlan] {
     case other => Seq(other)
   }
 
+  private def eligible(w: Window): Boolean =
+    w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
+      w.partitionSpec.forall(_.deterministic) &&
+      w.orderSpec.forall(_.deterministic)
+
+  private def boundedRn(w: Window, cond: Expression): Option[(Attribute, Int)] =
+    for {
+      rn <- rowNumberAttr(w)
+      if cond.references == AttributeSet(rn)
+      k <- boundOf(cond, rn)
+      if k >= 1 && k <= maxK
+    } yield (rn, k)
+
+  // transformDown: the Project form must win over its own inner Filter
+  // form, so the rank column is only materialized when demanded
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
-    else plan.transformUp {
-      case p @ Project(projectList, Filter(cond, w: Window))
-          if w.partitionSpec.nonEmpty && w.orderSpec.nonEmpty &&
-            w.partitionSpec.forall(_.deterministic) &&
-            w.orderSpec.forall(_.deterministic) =>
-        (for {
-          rn <- rowNumberAttr(w)
-          if cond.references == AttributeSet(rn)
-          if !projectList.exists(_.references.contains(rn))
-          k <- boundOf(cond, rn)
-          if k >= 1 && k <= maxK
-        } yield Project(projectList,
-          TopKPerKeyNode(k, w.partitionSpec, w.orderSpec, w.child))
-        ).getOrElse(p)
+    else plan.transformDown {
+      case p @ Project(projectList, Filter(cond, w: Window)) if eligible(w) =>
+        boundedRn(w, cond).map { case (rn, k) =>
+          // if the row numbers themselves are demanded above the
+          // filter, the operator emits them (a sort of the <= k
+          // survivors per key); otherwise they are dropped for free
+          val rank =
+            if (projectList.exists(_.references.contains(rn))) Some(rn) else None
+          Project(projectList,
+            TopKPerKeyNode(k, w.partitionSpec, w.orderSpec, w.child, rank))
+        }.getOrElse(p)
+      // bare Filter (no Project above — the whole window output is the
+      // result, rank included): column pruning would have inserted a
+      // Project if rn were unused, so here the ranks are demanded
+      case f @ Filter(cond, w: Window) if eligible(w) =>
+        boundedRn(w, cond).map { case (rn, k) =>
+          TopKPerKeyNode(k, w.partitionSpec, w.orderSpec, w.child, Some(rn))
+            : LogicalPlan
+        }.getOrElse(f)
     }
 
   /** Install rule + strategy into a live session (tests, notebooks);

@@ -54,14 +54,27 @@ class TopKRewriteSpec extends SparkSpec {
     assert(perKey == 0L)
   }
 
-  test("surviving rank column blocks the rewrite") {
-    val df = cust
+  test("surviving rank column rewrites too — the operator emits the ranks") {
+    def rankIdiom = cust
       .withColumn("rn", row_number().over(
         Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))))
       .where(col("rn") <= 3)
       .select("c_custkey", "rn")
-    assert(physical(df).contains("Window"), physical(df))
-    assert(!physical(df).contains("TopKPerKey "), physical(df))
+    val df = rankIdiom
+    val plan = physical(df)
+    assert(plan.contains("TopKPerKey "), plan)
+    assert(!plan.contains("Window"), plan)
+    // rank VALUES must be byte-identical to the window's row_number()
+    // (the order here is total, so ranks are deterministic)
+    val viaHeap = df.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    val viaWindow = withConf("spark.graft.topkRewrite.enabled", "false") {
+      val w = rankIdiom
+      assert(physical(w).contains("Window"), "disable flag must restore the window plan")
+      w.orderBy("c_custkey").collect().map(_.toSeq).toSeq
+    }
+    assert(viaHeap == viaWindow)
+    assert(viaHeap.nonEmpty)
+    assert(viaHeap.exists(_(1) == 3), "k=3 must actually appear as a rank")
   }
 
   test("rank() never rewrites (ties may exceed k rows)") {
@@ -93,6 +106,30 @@ class TopKRewriteSpec extends SparkSpec {
     }
     // and the budget is generous by default: the same query passes
     assert(idiom(3).count() > 0)
+  }
+
+  test("map-side partial phase bounds the exchange input") {
+    // 32 input partitions, TWO keys: the exchange between partial and
+    // final must see at most k rows per key per input partition, not
+    // the dataset — and the global top-k must still be exact even
+    // though every partition holds candidates for both keys.
+    val df = spark.range(0, 100000, 1, 32)
+      .selectExpr("CAST(pmod(id, 2) AS INT) AS key", "id AS v")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("key").orderBy(col("v").desc)))
+      .where(col("rn") <= 2)
+      .select("key", "v", "rn")
+    val plan = physical(df)
+    assert(plan.contains("TopKPerKeyPartial "), plan)
+    // partial sits BELOW the exchange, final above it
+    val iPartial = plan.indexOf("TopKPerKeyPartial ")
+    val iFinal = plan.indexOf("TopKPerKey ")
+    val iExchange = plan.indexOf("Exchange")
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"final/exchange/partial order wrong:\n$plan")
+    assert(df.select("key", "v", "rn").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+      == Seq((0, 99996L, 2), (0, 99998L, 1), (1, 99997L, 2), (1, 99999L, 1)))
   }
 
   test("SQL-surface form rewrites too") {
