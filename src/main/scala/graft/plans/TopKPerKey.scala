@@ -112,6 +112,14 @@ private[plans] object TopKHeaps {
     }
     var seen = 0L
     var kept = 0L
+    // `kept` counts below-capacity adds, i.e. the CURRENT held-row
+    // total — so the pay-for-itself test must be WINDOWED: cumulative
+    // kept/seen is inevitably ~1 while the heaps are still filling
+    // (first ~keys·k rows), which says nothing about the regime. The
+    // recent keep RATE does: once heaps saturate it collapses for a
+    // selective key set but stays high exactly when keys·k tracks the
+    // rows (the many-distinct-keys regime where the pass is useless).
+    var keptAtCheck = 0L
     var bail = false
     while (it.hasNext && !bail) {
       val row = it.next()
@@ -127,9 +135,11 @@ private[plans] object TopKHeaps {
         heap.add(row.copy())
       }
       seen += 1
-      if ((seen & 4095L) == 0L)
-        bail = (seen >= 65536L && kept * 2 > seen) ||
+      if ((seen & 4095L) == 0L) {
+        bail = (seen >= 8192L && (kept - keptAtCheck) * 2 > 4096L) ||
           heaps.size.toLong * kLocal > maxEntries
+        keptAtCheck = kept
+      }
     }
     val held = scala.collection.mutable.ArrayBuffer.empty[InternalRow]
     heaps.values().forEach(h => h.forEach(r => held += r))
