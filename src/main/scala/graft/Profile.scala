@@ -43,6 +43,7 @@ object Profile {
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
       case "jobsq"      => jobProfileNoWarm(spark, sfDir, args.lift(1).getOrElse("delta_merge"))
       case "delta-phases" => deltaPhases(spark, sfDir)
+      case "pipeline-phases" => pipelinePhases(spark, sfDir)
       case "explainq" =>
         args.lift(1).getOrElse("q5_multijoin").split(',').foreach { q =>
           println(s"==== $q ====")
@@ -1068,6 +1069,30 @@ object Profile {
     * fixture write vs mutation vs read-back, run twice (steady state =
     * the second pass, everything JIT/codegen-warm).
     */
+  /** Times each cache_build_pipeline component SOLO (same products as
+    * PipelineQueries' private caches), two passes on fresh sessions so
+    * pass 2 is code-warm but cache-cold.
+    */
+  def pipelinePhases(spark: SparkSession, dir: String): Unit = {
+    def docs(s: SparkSession) = s.read.parquet(s"$dir/documents.parquet")
+    def emb(s: SparkSession) = s.read.parquet(s"$dir/embeddings.parquet")
+    (1 to 2).foreach { pass =>
+      val s = spark.newSession()
+      time(s"p$pass.jacPairs")(graft.dedup.Dedup.ngramJaccard(docs(s), 0.5).count())
+      time(s"p$pass.docSpans")(graft.dedup.Dedup.duplicateSpans(docs(s), 5, 8).count())
+      time(s"p$pass.embCells")(graft.sim.Similarity.assignCells(emb(s), 16, 42L).count())
+      time(s"p$pass.contamSpans")(graft.dedup.Dedup.duplicateSpansAcross(
+        docs(s).where(col("doc_id") % 50 =!= 0),
+        docs(s).where(col("doc_id") % 50 === 0), 5, 8).count())
+      time(s"p$pass.dsirW") {
+        val d = docs(s)
+        graft.text.Dsir.importanceWeights(d, d.where(col("lang") === "en")).count()
+      }
+      time(s"p$pass.bpe")(graft.text.Bpe.trainWithVocab(
+        graft.text.Bpe.wordCounts(docs(s)), 64))
+    }
+  }
+
   def deltaPhases(spark: SparkSession, dir: String): Unit = {
     import graft.sources.{DeltaReader, LakeWriter}
     for (pass <- 1 to 2) {

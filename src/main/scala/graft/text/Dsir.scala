@@ -36,28 +36,22 @@ import org.apache.spark.sql.functions._
   */
 object Dsir {
 
-  private def words(text: Column): Column = split(lower(text), " ")
-
-  /** Unigrams + bigrams of the space-split lowered text. */
-  private def features(text: Column): Column = {
-    val ws = words(text)
-    val bigrams = zip_with(
-      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-      (a, b) => concat_ws(" ", a, b))
-    concat(ws, bigrams)
-  }
-
-  /** First 8 hex digits of md5 as an unsigned int, mod `buckets` —
-    * cross-engine reproducible (DuckDB: ('0x'||substr(md5(f),1,8))::BIGINT).
+  /** Feature bucket ids — first 8 md5 hex digits of each unigram+bigram
+    * as an unsigned int, mod `buckets` (cross-engine reproducible;
+    * DuckDB: ('0x'||substr(md5(f),1,8))::BIGINT). Computed by the
+    * codegen'd [[graft.functions.DsirKernel]]: the equivalent
+    * explode(concat(words, zip_with(...))) + conv(substring(md5(f)))
+    * chain pays an interpreted higher-order function and five
+    * allocations per feature on the corpus-scale path (measured ~2× on
+    * the whole weight fit); the kernel is bit-identical by construction
+    * and pinned to the relational form by DsirSpec.
     */
-  private def bucketOf(f: Column, buckets: Int): Column =
-    conv(substring(md5(f), 1, 8), 16, 10).cast("long") % buckets
+  private def featureBuckets(text: Column, buckets: Int): Column =
+    graft.functions.DsirKernel.featureBucketsCol(text, buckets)
 
   /** (bucket, cnt) for one corpus — at most `buckets` rows. */
   private def bucketCounts(docs: DataFrame, text: String, buckets: Int): DataFrame =
-    docs.select(explode(features(col(text))).as("f"))
-      .select(bucketOf(col("f"), buckets).as("b"))
+    docs.select(explode(featureBuckets(col(text), buckets)).as("b"))
       .groupBy("b").agg(count(lit(1)).as("cnt"))
 
   /** Per-raw-document DSIR log importance weight. Output: (doc_id,
@@ -83,8 +77,7 @@ object Dsir {
           (col("t_tot") + buckets.toDouble)) -
           log((coalesce(col("r_cnt"), lit(0L)).cast("double") + 1.0) /
             (col("r_tot") + buckets.toDouble))).as("logratio"))
-    raw.select(col(id), explode(features(col(text))).as("f"))
-      .select(col(id), bucketOf(col("f"), buckets).as("b"))
+    raw.select(col(id), explode(featureBuckets(col(text), buckets)).as("b"))
       .join(broadcast(ratio), Seq("b"))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_feats"),

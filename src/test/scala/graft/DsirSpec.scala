@@ -38,6 +38,44 @@ class DsirSpec extends SparkSpec {
     assert(math.abs(r1.getDouble(2)) < 1e-6)
   }
 
+  test("DsirKernel.featureBuckets is bit-identical to the relational md5 form") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    // adversarial shapes: trailing/leading/double spaces (Spark's split
+    // keeps empty tokens), unicode case, single word, empty text, null
+    val docs = Seq(
+      (1L, "Alpha beta GAMMA delta"),
+      (2L, "trailing space "),
+      (3L, " leading"),
+      (4L, "double  space"),
+      (5L, "one"),
+      (6L, ""),
+      (7L, null.asInstanceOf[String]),
+      (8L, "Größe STRASSE İstanbul"),
+      (9L, "a b c d e f g h i j k")
+    ).toDF("doc_id", "text")
+    val buckets = 8192
+    // the pre-kernel relational form, verbatim
+    val ws = split(lower(col("text")), " ")
+    val bigrams = zip_with(
+      slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+      slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+      (a, b) => concat_ws(" ", a, b))
+    val relational = docs
+      .select(col("doc_id"), posexplode(concat(ws, bigrams)).as(Seq("i", "f")))
+      .select(col("doc_id"), col("i"),
+        (conv(substring(md5(col("f")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val kernel = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.DsirKernel.featureBucketsCol(col("text"), buckets))
+          .as(Seq("i", "b")))
+    val a = relational.orderBy("doc_id", "i").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val b = kernel.orderBy("doc_id", "i").collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(a == b, s"kernel diverges from the relational form:\n$a\nvs\n$b")
+    assert(a.nonEmpty && a.map(_._1).toSet == Set(1L, 2L, 3L, 4L, 5L, 6L, 8L, 9L))
+  }
+
   test("gopher rules gate on each signal") {
     val s = spark
     import s.implicits._
