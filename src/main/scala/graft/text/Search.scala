@@ -29,9 +29,19 @@ object Search {
   def tfidfTopK(docs: DataFrame, k: Int,
                 id: String = "doc_id", text: String = "text"): DataFrame = {
     val tf = termFreq(docs, id, text)
-    val df = tf.groupBy("word").agg(count(lit(1)).cast("double").as("df"))
     val n = docs.agg(count(lit(1)).cast("double").as("n"))
-    val scored = tf.join(df, "word").crossJoin(broadcast(n))
+    // df as a COUNT WINDOW over tf's word key instead of a second
+    // aggregate joined back: the join form executed the whole
+    // tokenize+aggregate subplan TWICE (once under the df aggregate,
+    // once as the join input) — the dominant corpus pass. The window
+    // pays one word-keyed exchange, exactly what the join's sort-merge
+    // side would pay anyway once the vocabulary outgrows a broadcast;
+    // df values (count per word = docs containing the word, since tf
+    // has one row per (doc, word)) and the double arithmetic are
+    // identical.
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")).cast("double"))
+      .crossJoin(broadcast(n))
       .select(col(id), col("word"),
         round(col("tf") * log(col("n") / col("df")), 6).as("score"))
     // window top-k, not the heap operator: with keys ≈ rows/100 the
@@ -127,8 +137,10 @@ object Search {
       .agg(sum("n3").as("n2bc"))
     val n1 = lm.select(explode(words(text)).as("w"))
       .groupBy("w").agg(count(lit(1)).cast("double").as("n1"))
-    val nTot = lm.select(explode(words(text)).as("w"))
-      .agg(count(lit(1)).cast("double").as("ntot"))
+    // N derives from the vocabulary table (sum of per-word counts =
+    // total tokens, exact in doubles far past any corpus size), not
+    // from a SECOND full tokenize pass over the LM corpus
+    val nTot = n1.agg(sum(col("n1")).as("ntot"))
     val dt = tris(docs, Seq(col(id)))
     val a2 = alpha * alpha
     val scored = dt
@@ -171,11 +183,19 @@ object Search {
         slice(col("ws"), lit(1), size(col("ws")) - 1).as("prev"),
         slice(col("ws"), lit(2), size(col("ws")) - 1).as("w"))).as("b"))
       .select(col(id), col("b.prev").as("prev"), col("b.w").as("w"))
-    val c2 = bi.groupBy("prev", "w").agg(count(lit(1)).cast("double").as("c2"))
-    val c1 = c2.groupBy("prev").agg(sum(col("c2")).as("c1"))
     val v = docs.select(explode(words(text)).as("w"))
       .agg(countDistinct(col("w")).cast("double").as("v"))
-    bi.join(c2, Seq("prev", "w")).join(c1, Seq("prev")).crossJoin(broadcast(v))
+    // c(prev,w) and c(prev) as COUNT WINDOWS over the bigram stream
+    // instead of two aggregates joined back: the join form executed
+    // the whole bigram subplan TWICE (under the c2 aggregate and as
+    // the join input) — the corpus pass is the cost. One exchange
+    // (hash by prev satisfies both windows' clustering; one sort by
+    // (prev, w) serves both) replaces the two join shuffles; counts
+    // are identical (c1 = bigram rows per prev = the old sum of c2).
+    bi
+      .withColumn("c2", count(lit(1)).over(Window.partitionBy("prev", "w")).cast("double"))
+      .withColumn("c1", count(lit(1)).over(Window.partitionBy("prev")).cast("double"))
+      .crossJoin(broadcast(v))
       .groupBy(col(id))
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log((col("c2") + 1.0) / (col("c1") + col("v")))).as("logprob"))
