@@ -106,8 +106,34 @@ object LakeReader {
     val hconf = s.sessionState.newHadoopConf()
     val dirPath = new org.apache.hadoop.fs.Path(dir)
     val fs = dirPath.getFileSystem(hconf)
-    val files = fs.listStatus(dirPath).filter(_.isFile)
-      .map(_.getPath.toString).sorted
+    val listing = fs.listStatus(dirPath).filter(_.isFile)
+    val files = listing.map(_.getPath.toString).sorted
+    // Scale-adaptive SPLIT sizing for the scan below: `__rid` is
+    // split-independent by construction (see scaladoc), the melt+hash
+    // downstream is CPU-bound, and csv/json are line-splittable — so a
+    // lake of a few large files must not serialize its ingest on
+    // one-task-per-file scans (the default 128 MiB maxPartitionBytes /
+    // 4 MiB openCost never split them). Target ~2 splits per core,
+    // floored at 64 KiB; when the lake is big enough that bytes per
+    // 2·cores exceeds the session default this is a no-op and the
+    // session's own sizing stands. The tuned confs live on a CLONED
+    // session (captured by the HadoopFsRelation at read time), never
+    // the caller's.
+    val scanSession = {
+      val totalBytes = listing.map(_.getLen).sum
+      val parallelism = math.max(1, s.sparkContext.defaultParallelism)
+      val defaultMax = s.sessionState.conf.filesMaxPartitionBytes
+      val target = math.min(defaultMax,
+        math.max(64L << 10, totalBytes / (2L * parallelism)))
+      if (target >= defaultMax) s
+      else {
+        val rs = org.apache.spark.sql.GraftColumnBridge.cloneSession(s)
+        rs.conf.set("spark.sql.files.maxPartitionBytes", target.toString)
+        rs.conf.set("spark.sql.files.openCostInBytes",
+          math.min(target, 4L << 20).toString)
+        rs
+      }
+    }
     // metadata probe (header line / parquet footer) per file, in
     // PARALLEL: at 10^5 files a serial probe is minutes of driver
     // wall time for ~3ms of I/O each — the probe must not become the
@@ -192,10 +218,10 @@ object LakeReader {
         org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType)))
       val base = fmt match {
         case "csv" =>
-          s.read.option("header", "true").option("delimiter", delim)
+          scanSession.read.option("header", "true").option("delimiter", delim)
             .schema(allString).csv(groupFiles.toSeq: _*)
-        case "json" => s.read.schema(allString).json(groupFiles.toSeq: _*)
-        case _      => s.read.parquet(groupFiles.toSeq: _*)
+        case "json" => scanSession.read.schema(allString).json(groupFiles.toSeq: _*)
+        case _      => scanSession.read.parquet(groupFiles.toSeq: _*)
       }
       val tagged = base
         // captured BEFORE any join — metadata columns don't resolve

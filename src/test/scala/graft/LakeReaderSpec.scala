@@ -134,6 +134,24 @@ class LakeReaderSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("merged scan auto-splits a lone large file without caller conf") {
+    // scale-adaptive split sizing: a single big csv must not serialize
+    // the melt on one task under the DEFAULT 128 MiB / 4 MiB-open-cost
+    // sizing — readFolderMerged derives a target from the listing bytes
+    // (floored at 64 KiB) on a cloned session. ~470 KB here → ≥2 splits.
+    val dir = Files.createTempDirectory("graft_autosplit_").toString
+    val sb = new StringBuilder("k,v\n")
+    (0 until 20000).foreach(i => sb ++= s"$i,value_padding_$i\n")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/t.csv"), sb.toString)
+    val (groups, _, errors) = LakeReader.readFolderMerged(spark, dir)
+    assert(errors == 0)
+    assert(groups.head.df.rdd.getNumPartitions > 1,
+      "expected the auto-sized scan to split the file")
+    val rids = groups.head.df.select("__rid", "k").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rids.size == 20000 && rids(0L) == "0" && rids(19999L) == "19999")
+  }
+
   test("a first line over the 64 KiB probe cap is a counted error, not a truncated group") {
     val dir = Files.createTempDirectory("graft_bigline_").toString
     // > 64 KiB before the first newline: a truncated probe would build
