@@ -85,22 +85,9 @@ object Cocoa {
     // sizes over the SAME guarded universe as the pair counts
     val sizes = buckets.select(explode(col("cs")).as("table_col_id"))
       .groupBy("table_col_id").agg(count(lit(1)).as("nd"))
-    val pairs = buckets.select(col("cs")).as[Seq[String]]
-      .flatMap { cs =>
-        val arr = cs.sorted.toArray
-        new Iterator[(String, String)] {
-          private var i = 0
-          private var j = 1
-          def hasNext: Boolean = i < arr.length - 1
-          def next(): (String, String) = {
-            val r = (arr(i), arr(j))
-            j += 1
-            if (j >= arr.length) { i += 1; j = i + 1 }
-            r
-          }
-        }
-      }
-      .toDF("col_1", "col_2")
+    // lazy Generator, not a typed flatMap — same streaming property,
+    // no per-bucket encoder ser/de (see PairGenerators)
+    val pairs = buckets.select(graft.plans.PairGenerators.sortedStringPairsCol(col("cs")))
       .groupBy("col_1", "col_2")
       .agg(count(lit(1)).as("common"))
     pairs

@@ -227,26 +227,15 @@ object Dedup {
     val buckets = inv.groupBy("g")
       .agg(collect_list(struct(col("did").as("_1"), col("sz").as("_2"))).as("ds"))
       .where(size(col("ds")) <= maxDocFreq)
-    // Pairs stream out of a LAZY iterator into the downstream hash
+    // Pairs stream out of a LAZY generator into the downstream hash
     // aggregation — never df(df-1)/2 tuples buffered per bucket (that
     // buffer's Int size hint overflowed past df = 2^16 and a single hot
-    // shingle could OOM an executor).
-    buckets.select(col("ds")).as[Seq[(Long, Int)]]
-      .flatMap { ds =>
-        val arr = ds.sortBy(_._1).toArray
-        new Iterator[(Long, Int, Long, Int)] {
-          private var i = 0
-          private var j = 1
-          def hasNext: Boolean = i < arr.length - 1
-          def next(): (Long, Int, Long, Int) = {
-            val r = (arr(i)._1, arr(i)._2, arr(j)._1, arr(j)._2)
-            j += 1
-            if (j >= arr.length) { i += 1; j = i + 1 }
-            r
-          }
-        }
-      }
-      .toDF("id_1", "sz_1", "id_2", "sz_2")
+    // shingle could OOM an executor). Generator expression, not a typed
+    // flatMap: the flatMap form deserialized every bucket to a boxed
+    // Seq and re-encoded every pair (DeserializeToObject /
+    // SerializeFromObject around the stage); the generator reads the
+    // ArrayData in place with the same id-ascending order.
+    buckets.select(graft.plans.PairGenerators.sortedLongIntPairsCol(col("ds")))
       .groupBy("id_1", "id_2", "sz_1", "sz_2")
       .agg(count(lit(1)).as("common"))
       .withColumn("jac", col("common").cast("double") /

@@ -276,4 +276,30 @@ class DedupSpec extends SparkSpec {
     val knn = Similarity.bruteForceKnn(emb.where(col("vec_id") === 0), emb, 2).collect()
     assert(knn.map(r => (r.getInt(1), r.getLong(2))).toSeq == Seq((1, 1L), (2, 2L)))
   }
+
+  test("pair generators match the reference pair enumeration") {
+    val s = spark
+    import s.implicits._
+    // long/int buckets: unsorted members, singleton and empty arrays
+    val li = Seq(
+      Seq((5L, 50), (1L, 10), (3L, 30)),
+      Seq((2L, 20)),
+      Seq[(Long, Int)](),
+      Seq((9L, 90), (7L, 70))
+    ).toDF("ds")
+      .select(graft.plans.PairGenerators.sortedLongIntPairsCol(col("ds")))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3))).toSet
+    assert(li == Set((1L, 10, 3L, 30), (1L, 10, 5L, 50), (3L, 30, 5L, 50), (7L, 70, 9L, 90)))
+    // string buckets: java.lang.String ordering must hold, including a
+    // supplementary character where UTF8String BINARY order diverges
+    // ("\uFFFD" sorts after a surrogate-paired code point in UTF-16
+    // but before it in UTF-8 bytes)
+    val hi = new String(Character.toChars(0x1F600)) // U+1F600, surrogate pair
+    val ss = Seq(Seq("b", hi, "\uFFFD", "a")).toDF("cs")
+      .select(graft.plans.PairGenerators.sortedStringPairsCol(col("cs")))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    val ref = Seq("b", hi, "\uFFFD", "a").sorted
+    val want = for { i <- ref.indices; j <- i + 1 until ref.length } yield (ref(i), ref(j))
+    assert(ss.toSet == want.toSet && ss.length == want.length)
+  }
 }
