@@ -43,6 +43,7 @@ object Profile {
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
       case "jobsq"      => jobProfileNoWarm(spark, sfDir, args.lift(1).getOrElse("delta_merge"))
       case "delta-phases" => deltaPhases(spark, sfDir)
+      case "warm-components" => warmComponents(spark, sfDir)
       case "pipeline-phases" => pipelinePhases(spark, sfDir)
       case "explainq" =>
         args.lift(1).getOrElse("q5_multijoin").split(',').foreach { q =>
@@ -1159,6 +1160,28 @@ object Profile {
     * Runs the query twice (bench takes min-of-2; pass 2 is the
     * steady-state cost).
     */
+  /** Times every shared-cache component SOLO, twice (fresh session per
+    * pass so each pass rebuilds): splits the cache_build families into
+    * their constituent builds. Components within a family run in the
+    * family's declared order; pass 2 is the steady-state number.
+    */
+  def warmComponents(spark: SparkSession, dir: String): Unit = {
+    val fams: Seq[(String, Seq[(String, (SparkSession, String) => Unit)])] = Seq(
+      "discovery" -> graft.queries.DiscoveryQueries.warmComponents,
+      "pipeline" -> graft.queries.PipelineQueries.warmComponents,
+      "dup" -> graft.queries.DupQueries.warmComponents)
+    (1 to 2).foreach { pass =>
+      fams.foreach { case (fam, comps) =>
+        val s = spark.newSession()
+        val t0 = System.nanoTime()
+        comps.foreach { case (n, f) => time(s"$n($pass)")(f(s, dir)) }
+        val famLabel = s"fam_$fam($pass)"
+        println(f"[profile] $famLabel%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+        spark.catalog.clearCache(); System.gc()
+      }
+    }
+  }
+
   def jobProfileNoWarm(spark: SparkSession, dir: String, query: String): Unit = {
     @volatile var t0 = System.nanoTime()
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()

@@ -95,6 +95,17 @@ object PipelineQueries {
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (Seq[(String, String)], Map[String, Int])]
 
+  /** Per-component warm list for the `Profile warm-components` dev
+    * mode — same builds `warmCaches` runs, individually addressable.
+    */
+  private[graft] def warmComponents: Seq[(String, (SparkSession, String) => Unit)] = Seq(
+    "pipe_jacPairs" -> ((s, dir) => { jacPairs(s, dir).count(); () }),
+    "pipe_docSpans" -> ((s, dir) => { docSpans(s, dir).count(); () }),
+    "pipe_embCells" -> ((s, dir) => { embCells(s, dir).count(); () }),
+    "pipe_contamSpans" -> ((s, dir) => { contamSpans(s, dir).count(); () }),
+    "pipe_dsirW" -> ((s, dir) => { dsirW(s, dir).count(); () }),
+    "pipe_bpeMerges" -> ((s, dir) => { bpeMerges(s, dir); () }))
+
   /** Materialize the shared caches (timed as Bench's `cache_build`). */
   def warmCaches(s: SparkSession, dir: String): Unit = {
     import scala.concurrent.{Await, Future}
