@@ -177,7 +177,10 @@ object Bench {
       val s = f"$v%.2f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
       if (s.isEmpty) "0" else s
     }
-    val budget = 1400
+    // sized so line + tail stays safely under the harness's 2000-char
+    // stdout tail window; r17's 1400 let 4 fast queries fall off the
+    // line and read as dropped — spend the slack we actually have
+    val budget = 1750
     val fixedTail = s""""nq":${all.size},"detail":"${detailPath.getPath}"""" +
       (if (failed.isEmpty) "" else s""","failed":$failedJson""") +
       f""","sf":"$sfDir","unit":"sec","metric":"total","value":$total%.2f}"""

@@ -43,6 +43,7 @@ object Profile {
       case "jobs"       => jobProfile(spark, sfDir, args.lift(1).getOrElse("cocoa_topk_features"))
       case "jobsq"      => jobProfileNoWarm(spark, sfDir, args.lift(1).getOrElse("delta_merge"))
       case "delta-phases" => deltaPhases(spark, sfDir)
+      case "write-phases" => writePhases(spark, sfDir)
       case "warm-components" => warmComponents(spark, sfDir)
       case "pipeline-phases" => pipelinePhases(spark, sfDir)
       case "explainq" =>
@@ -1179,6 +1180,31 @@ object Profile {
         println(f"[profile] $famLabel%-28s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
         spark.catalog.clearCache(); System.gc()
       }
+    }
+  }
+
+  /** Isolates the Delta CREATE write's cost next to a plain parquet
+    * write of the SAME frame — the difference is the whole commit
+    * funnel (staging indirection + stats + renames + log).
+    */
+  def writePhases(spark: SparkSession, dir: String): Unit = {
+    import graft.sources.LakeWriter
+    for (pass <- 1 to 3) {
+      val base = graft.queries.Q.t(spark, dir, "orders")
+        .where("o_orderkey % 10 < 6").repartition(4)
+      val plain = java.nio.file.Files.createTempDirectory(s"graft_wp_p$pass")
+        .resolve("plain").toAbsolutePath.toString
+      time(s"p$pass.plain_parquet")(base.write.parquet(plain))
+      val d = java.nio.file.Files.createTempDirectory(s"graft_wp_d$pass")
+        .resolve("tbl").toAbsolutePath.toString
+      time(s"p$pass.writeDelta")(LakeWriter.writeDelta(base, d))
+      val d2 = java.nio.file.Files.createTempDirectory(s"graft_wp_a$pass")
+        .resolve("tbl").toAbsolutePath.toString
+      time(s"p$pass.writeDelta2")(LakeWriter.writeDelta(base, d2))
+      time(s"p$pass.append")(LakeWriter.appendDelta(
+        graft.queries.Q.t(spark, dir, "orders").where("o_orderkey % 10 >= 8")
+          .repartition(2), d2))
+      time(s"p$pass.read_count")(graft.sources.DeltaReader.read(spark, d2).count())
     }
   }
 

@@ -5288,8 +5288,29 @@ object LakeWriter {
     // multiply its matched target rows through that join (even a pure
     // BY SOURCE merge copies matched rows through it), so duplicates
     // refuse; only insert-only merges (anti-join probe, no row join)
-    // legally insert duplicate-keyed rows
-    if (matched.nonEmpty || notMatchedBySource.nonEmpty) {
+    // legally insert duplicate-keyed rows.
+    //
+    // The dup gate and the single-key stats-prune range below are BOTH
+    // one-row aggregates over the checkpointed keyAgg — fused into ONE
+    // driver round-trip (each separate action costs a full
+    // plan+schedule cycle; the per-key example in the error message
+    // only needs computing on the failure path).
+    val needDupGate = matched.nonEmpty || notMatchedBySource.nonEmpty
+    val needKeyRange = notMatchedBySource.isEmpty && keyCols.size == 1
+    val fusedStats: Option[org.apache.spark.sql.Row] =
+      if (!needDupGate && !needKeyRange) None
+      else {
+        import org.apache.spark.sql.functions.{max => fMax, min => fMin}
+        val aggs =
+          fMax(col("__kn")).as("__maxkn") +:
+            (if (needKeyRange)
+              Seq(fMin(col(keyCols.head)).as("__kmin"),
+                fMax(col(keyCols.head)).as("__kmax"))
+            else Nil)
+        Some(keyAgg.agg(aggs.head, aggs.tail: _*).head())
+      }
+    if (needDupGate &&
+        fusedStats.exists(r => !r.isNullAt(0) && r.getLong(0) > 1)) {
       val dupKeys = keyAgg.where(col("__kn") > 1).limit(1).collect()
       require(dupKeys.isEmpty,
         s"mergeIntoClauses: source carries duplicate keys (e.g. ${dupKeys.headOption
@@ -5315,9 +5336,8 @@ object LakeWriter {
           else {
             val k = keyCols.head
             // min/max over the distinct keys ≡ min/max over the source
-            val r = keyAgg.agg(org.apache.spark.sql.functions.min(col(k)),
-              org.apache.spark.sql.functions.max(col(k))).head()
-            (r.get(0), r.get(1)) match {
+            val r = fusedStats.get
+            (r.get(1), r.get(2)) match {
               case (mn: Number, mx: Number) =>
                 DeltaStats.prune(spark, snap.active, s"$k >= $mn AND $k <= $mx", snap)
               case _ => snap.active
@@ -5334,7 +5354,13 @@ object LakeWriter {
         got
       }
     // a merge that touches no file and can insert nothing writes NO commit
-    if (affected.isEmpty && (notMatched.isEmpty || keyAgg.isEmpty)) return Nil
+    // source emptiness falls out of the fused aggregate when it ran
+    // (an all-null max over zero groups) — no extra isEmpty action
+    def sourceEmpty: Boolean = fusedStats match {
+      case Some(r) => r.isNullAt(0)
+      case None => keyAgg.isEmpty
+    }
+    if (affected.isEmpty && (notMatched.isEmpty || sourceEmpty)) return Nil
     // matched/by-source clauses rewrite the affected files; an
     // insert-only merge leaves them in place (the scan below is only
     // the insert probe)
