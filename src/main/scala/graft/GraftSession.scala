@@ -48,4 +48,13 @@ object GraftSession {
     tune(b)
       .config("spark.shuffle.compress", "false")
       .config("spark.shuffle.spill.compress", "false")
+      // Hadoop's default file:// implementation is ChecksumFileSystem:
+      // every created file (staged parquet, each Delta log json /
+      // checkpoint, every small sink file) writes a shadow ".….crc"
+      // sidecar and every read re-verifies it — for a single-JVM local
+      // store that is one extra create+write+rename per real file for
+      // integrity the local page cache already gives us. Raw local fs
+      // halves the small-file op count. Cluster stores (HDFS/S3) have
+      // their own integrity layers and never consult this key.
+      .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
 }
