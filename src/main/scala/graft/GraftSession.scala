@@ -57,4 +57,8 @@ object GraftSession {
       // halves the small-file op count. Cluster stores (HDFS/S3) have
       // their own integrity layers and never consult this key.
       .config("spark.hadoop.fs.file.impl", "org.apache.hadoop.fs.RawLocalFileSystem")
+      // same for the FileContext API (streaming checkpoint offset/commit
+      // logs go through fs.AbstractFileSystem, not FileSystem)
+      .config("spark.hadoop.fs.AbstractFileSystem.file.impl",
+        "org.apache.hadoop.fs.local.RawLocalFs")
 }
