@@ -29,7 +29,13 @@ object TestLake {
       // (CPU-bound) index transform; a real lake has many files/row
       // groups and needs no such shuffle, so gate it on the actual scan
       // parallelism rather than doing it unconditionally.
-      val df = if (raw.rdd.getNumPartitions < 4 && id >= 3) raw.repartition(8) else raw
+      // probe scan parallelism from the FILE COUNT (one row group per
+      // file in this fixture, so files = splits): the previous
+      // `.rdd.getNumPartitions` probe forced a full physical plan + RDD
+      // conversion per table, ~0.2 s of driver time each on a cold
+      // session — ~1 s of every cold index build spent deciding whether
+      // to repartition
+      val df = if (raw.inputFiles.length < 4 && id >= 3) raw.repartition(8) else raw
       LakeTable(id, name, df, col(key))
     }
 
